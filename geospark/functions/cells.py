@@ -1,0 +1,204 @@
+"""Hierarchical grid-cell index (the engine's H3/S2-style tiling).
+
+Design (documented deviation from true H3/S2, SURVEY.md §7.3): a
+hierarchical quadtree over the equirectangular lat/lon plane. At
+resolution ``r`` the world is a 2^r x 2^r grid; a cell id packs
+``(r << 56) | (y << r) | x`` into one int64. Chosen over cube-face S2 /
+icosahedral H3 because:
+
+  * parent/child/neighbor algebra is exact integer bit math — identical
+    in NumPy, Spark Column expressions, and ANSI SQL (the DuckDB oracle
+    reproduces cell assignment with plain arithmetic);
+  * the whole encode path is **pure Spark column expressions** — no UDF,
+    whole-stage codegen, Catalyst can constant-fold and push down;
+  * hierarchy containment is exact (child strictly within parent), which
+    the broadcast-then-refine join relies on.
+
+The tradeoffs vs S2 (area distortion near poles, no Hilbert locality)
+don't affect join correctness — only cell-size uniformity, which the
+resolution-selection heuristic compensates for.
+
+Reference tie-in: cell ids play the role the GeoArrow *type/schema* system
+plays in the reference — the batch-level organizing key; encode consumes
+the WKB point fast path (wkb.py) at Common-Crawl scale.
+
+MAX_RES = 26 (2*26 + 7 bits of resolution < 63; ~60cm cells at equator).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+MAX_RES = 26
+_RES_SHIFT = 56
+
+
+# ---------------------------------------------------------------------------
+# NumPy twin (used inside pandas UDFs, e.g. polygon covering)
+# ---------------------------------------------------------------------------
+
+def xy_np(lat: np.ndarray, lon: np.ndarray, res: int
+          ) -> tuple[np.ndarray, np.ndarray]:
+    n = 1 << res
+    x = np.floor((np.asarray(lon, dtype=np.float64) + 180.0) / 360.0 * n)
+    y = np.floor((np.asarray(lat, dtype=np.float64) + 90.0) / 180.0 * n)
+    return (np.clip(x, 0, n - 1).astype(np.int64),
+            np.clip(y, 0, n - 1).astype(np.int64))
+
+
+def encode_np(lat: np.ndarray, lon: np.ndarray, res: int) -> np.ndarray:
+    if not 0 <= res <= MAX_RES:
+        raise ValueError(f"res must be in [0, {MAX_RES}]")
+    x, y = xy_np(lat, lon, res)
+    return (np.int64(res) << _RES_SHIFT) | (y << res) | x
+
+
+def decode_np(cell: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """cell -> (res, x, y)."""
+    cell = np.asarray(cell, dtype=np.int64)
+    res = (cell >> _RES_SHIFT).astype(np.int64)
+    mask = (np.int64(1) << res) - 1
+    x = cell & mask
+    y = (cell >> res) & mask
+    return res, x, y
+
+
+def parent_np(cell: np.ndarray, steps: int = 1) -> np.ndarray:
+    res, x, y = decode_np(cell)
+    r2 = res - steps
+    if np.any(r2 < 0):
+        raise ValueError("parent below resolution 0")
+    return (r2 << _RES_SHIFT) | ((y >> steps) << r2) | (x >> steps)
+
+
+def cell_bounds_np(cell: np.ndarray
+                   ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """cell -> (lon_min, lat_min, lon_max, lat_max)."""
+    res, x, y = decode_np(cell)
+    n = (np.int64(1) << res).astype(np.float64)
+    lon_min = x / n * 360.0 - 180.0
+    lon_max = (x + 1) / n * 360.0 - 180.0
+    lat_min = y / n * 180.0 - 90.0
+    lat_max = (y + 1) / n * 180.0 - 90.0
+    return lon_min, lat_min, lon_max, lat_max
+
+
+def neighbors_np(cell: int, ring: int = 1) -> np.ndarray:
+    """All cells within Chebyshev distance ``ring`` (incl. self), with
+    longitude wraparound; latitude edges clamp (no polar wrap)."""
+    res, x, y = decode_np(np.asarray([cell]))
+    res, x, y = int(res[0]), int(x[0]), int(y[0])
+    n = 1 << res
+    dx, dy = np.meshgrid(np.arange(-ring, ring + 1),
+                         np.arange(-ring, ring + 1))
+    xs = (x + dx.ravel()) % n
+    ys = y + dy.ravel()
+    keep = (ys >= 0) & (ys < n)
+    xs, ys = xs[keep].astype(np.int64), ys[keep].astype(np.int64)
+    out = (np.int64(res) << _RES_SHIFT) | (ys << res) | xs
+    return np.unique(out)
+
+
+def cover_bbox_np(lon_min: float, lat_min: float, lon_max: float,
+                  lat_max: float, res: int) -> np.ndarray:
+    """All cells at ``res`` intersecting the bbox (inclusive edges)."""
+    n = 1 << res
+    x0, y0 = xy_np(np.asarray([lat_min]), np.asarray([lon_min]), res)
+    x1, y1 = xy_np(np.asarray([lat_max]), np.asarray([lon_max]), res)
+    xs = np.arange(int(x0[0]), int(x1[0]) + 1, dtype=np.int64)
+    ys = np.arange(int(y0[0]), int(y1[0]) + 1, dtype=np.int64)
+    gx, gy = np.meshgrid(xs, ys)
+    return ((np.int64(res) << _RES_SHIFT) | (gy.ravel() << res)
+            | gx.ravel())
+
+
+def cover_polygon_np(rings: list[np.ndarray], res: int,
+                     exact_interior: bool = True) -> np.ndarray:
+    """Cells at ``res`` that (may) intersect the polygon: bbox cover
+    filtered by cell-center-in-polygon OR polygon-vertex-in-cell OR
+    edge-crossing. Conservative (superset) — the join's exact ray-cast
+    refine removes false positives, so covering only needs to never
+    *miss* a cell that contains a matching point... strictly, a cell
+    intersecting the polygon must be kept. We keep any bbox cell whose
+    rectangle intersects any edge or whose center is inside, plus cells
+    containing vertices; a rectangle fully inside the polygon with no
+    edge crossing is caught by the center test."""
+    from ..kernels.ops import point_in_rings, seg_rect_intersect
+    ext = rings[0]
+    lon_min, lat_min = ext[:, 0].min(), ext[:, 1].min()
+    lon_max, lat_max = ext[:, 0].max(), ext[:, 1].max()
+    cells = cover_bbox_np(lon_min, lat_min, lon_max, lat_max, res)
+    if not exact_interior or cells.size <= 4:
+        return cells
+    clon_min, clat_min, clon_max, clat_max = cell_bounds_np(cells)
+    cx = (clon_min + clon_max) / 2
+    cy = (clat_min + clat_max) / 2
+    keep = point_in_rings(cx, cy, rings)
+    # edge-crossing test per cell (vectorized over edges x cells)
+    for ring in rings:
+        keep |= seg_rect_intersect(ring, clon_min, clat_min,
+                                   clon_max, clat_max)
+    return cells[keep]
+
+
+# ---------------------------------------------------------------------------
+# Spark Column expressions (JVM-side; no UDF — whole-stage codegen)
+# ---------------------------------------------------------------------------
+
+def _F():
+    from pyspark.sql import functions as F
+    return F
+
+
+def cell_encode(lat, lon, res: int):
+    """Column expr: (lat, lon) -> int64 cell id at resolution ``res``.
+    Pure built-ins (floor + shiftleft) — whole-stage codegen, no UDF.
+    NOTE: all id arithmetic is integer shifts, never double division —
+    cell ids exceed 2^53 and would lose precision in doubles."""
+    F = _F()
+    n = 1 << res
+    lonc = F.col(lon) if isinstance(lon, str) else lon
+    latc = F.col(lat) if isinstance(lat, str) else lat
+    x = F.least(F.lit(n - 1).cast("long"), F.greatest(
+        F.lit(0).cast("long"),
+        F.floor((lonc + F.lit(180.0)) / F.lit(360.0) * F.lit(n))))
+    y = F.least(F.lit(n - 1).cast("long"), F.greatest(
+        F.lit(0).cast("long"),
+        F.floor((latc + F.lit(90.0)) / F.lit(180.0) * F.lit(n))))
+    return (F.shiftleft(F.lit(res).cast("long"), _RES_SHIFT)
+            + F.shiftleft(y, res) + x)
+
+
+def cell_parent(cell, res: int, steps: int = 1):
+    """Column expr: parent cell id. ``res`` is the child resolution
+    (static, as in all our pipelines — resolution is a plan-time choice)."""
+    F = _F()
+    c = F.col(cell) if isinstance(cell, str) else cell
+    r2 = res - steps
+    mask = (1 << res) - 1
+    x = c.bitwiseAND(F.lit(mask))
+    y = F.shiftright(c, res).bitwiseAND(F.lit(mask))
+    return (F.shiftleft(F.lit(r2).cast("long"), _RES_SHIFT)
+            + F.shiftleft(F.shiftright(y, steps), r2)
+            + F.shiftright(x, steps))
+
+
+def cell_encode_sql(lat_expr: str, lon_expr: str, res: int) -> str:
+    """The SAME cell id as ANSI SQL text — the DuckDB oracle twin of
+    cell_encode. Keep the two in lockstep (test_cells cross-checks)."""
+    n = 1 << res
+    x = (f"least({n - 1}, greatest(0, "
+         f"cast(floor((({lon_expr}) + 180.0) / 360.0 * {n}) as bigint)))")
+    y = (f"least({n - 1}, greatest(0, "
+         f"cast(floor((({lat_expr}) + 90.0) / 180.0 * {n}) as bigint)))")
+    return (f"(cast({res} as bigint) * {1 << _RES_SHIFT} "
+            f"+ {y} * {n} + {x})")
+
+
+def cell_parent_sql(cell_expr: str, res: int, steps: int = 1) -> str:
+    r2 = res - steps
+    n, mask = 1 << res, (1 << res) - 1
+    x = f"(({cell_expr}) & {mask})"
+    y = f"((({cell_expr}) // {n}) & {mask})"
+    return (f"(cast({r2} as bigint) * {1 << _RES_SHIFT} "
+            f"+ ({y} // {1 << steps}) * {1 << r2} + ({x} // {1 << steps}))")

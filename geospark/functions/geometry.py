@@ -1,0 +1,335 @@
+"""st_* function surface: vectorized pandas UDFs over the kernel layer.
+
+Dispatch policy (SURVEY.md §4.1 — the reference's batch-at-a-time model,
+mapped to Spark's Arrow-batch UDF transport):
+
+  * every UDF body reconstructs a pyarrow BinaryArray from its pandas
+    batch and runs the **vectorized point fast path** first
+    (wkb.parse_point_wkb_buffer — one structured view per batch, zero
+    per-row Python); rows that are not plain points fall back to the
+    general per-geometry codec (type-homogeneous grouping, §7.3);
+  * pure-arithmetic functions (cells, bbox, squared distance) are NOT
+    here — they're Column expressions in cells.py / joins, JVM-side;
+  * encode direction (st_point) assembles the whole batch's WKB in one
+    NumPy structured write (wkb.points_to_wkb_buffer), the builder-side
+    analog (reference EP1, geoarrow_geos.c:308-321).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ..kernels.geom import GEOM_TYPES, format_wkt, parse_wkt
+from ..kernels.ops import geom_envelope, point_in_rings
+from ..kernels.wkb import (parse_point_wkb_buffer, parse_wkb,
+                           points_to_wkb_buffer, write_wkb)
+
+# ---------------------------------------------------------------------------
+# batch plumbing
+# ---------------------------------------------------------------------------
+
+
+def _series_to_wkb_buffers(s: pd.Series):
+    """pandas batch of WKB -> (data uint8[], offsets int64[], validity)."""
+    arr = pa.array(s, type=pa.binary())
+    bufs = arr.buffers()
+    validity = None
+    if arr.null_count:
+        validity = ~np.asarray(arr.is_null())
+    offsets = np.frombuffer(bufs[1], dtype=np.int32,
+                            count=len(arr) + 1).astype(np.int64)
+    data = (np.frombuffer(bufs[2], dtype=np.uint8)
+            if bufs[2] is not None else np.empty(0, dtype=np.uint8))
+    return data, offsets, validity
+
+
+def wkb_batch_xy(s: pd.Series) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(x, y, ok) for a WKB batch — vectorized for points, general-codec
+    fallback for anything else (returns centroid-of-first-coord? no:
+    non-points get NaN/not-ok; st_x/st_y are point accessors, matching
+    GEOSGeomGetX semantics)."""
+    data, offsets, validity = _series_to_wkb_buffers(s)
+    x, y, ok = parse_point_wkb_buffer(data, offsets, validity)
+    # rows that are valid but not fast-path points: try general parse
+    # (e.g. big-endian or EWKB-flagged points)
+    todo = ~ok
+    if validity is not None:
+        todo &= validity
+    if todo.any():
+        for i in np.nonzero(todo)[0]:
+            b = data[offsets[i]:offsets[i + 1]].tobytes()
+            if not b:
+                continue
+            g = parse_wkb(b)
+            if g is not None and g.type_id == 1 and not g.is_empty:
+                x[i], y[i] = g.coords[0, 0], g.coords[0, 1]
+                ok[i] = True
+    return x, y, ok
+
+
+def _wkb_buffer_to_bytes_series(data: np.ndarray, offsets: np.ndarray,
+                                null_mask: np.ndarray | None) -> pd.Series:
+    """Packed buffer -> pandas Series of bytes (the unavoidable object
+    materialization at the pandas-UDF boundary; mapInArrow paths in
+    operators/ skip this entirely)."""
+    mv = memoryview(data.tobytes())
+    out = [None if (null_mask is not None and null_mask[i])
+           else bytes(mv[offsets[i]:offsets[i + 1]])
+           for i in range(len(offsets) - 1)]
+    return pd.Series(out, dtype=object)
+
+
+# ---------------------------------------------------------------------------
+# batch kernels (plain functions — importable on workers with no session)
+# ---------------------------------------------------------------------------
+
+def _st_point_batch(lon: pd.Series, lat: pd.Series) -> pd.Series:
+    xv = lon.to_numpy(dtype=np.float64, na_value=np.nan)
+    yv = lat.to_numpy(dtype=np.float64, na_value=np.nan)
+    data, offsets = points_to_wkb_buffer(xv, yv)
+    nulls = np.isnan(xv) | np.isnan(yv)
+    return _wkb_buffer_to_bytes_series(data, offsets,
+                                       nulls if nulls.any() else None)
+
+
+def _st_geometrytype_batch(s: pd.Series) -> pd.Series:
+    data, offsets, validity = _series_to_wkb_buffers(s)
+    n = len(offsets) - 1
+    out = np.full(n, None, dtype=object)
+    lens = np.diff(offsets)
+    idx = np.nonzero((lens >= 5) if validity is None
+                     else ((lens >= 5) & validity))[0]
+    for i in idx:  # header decode handles either endianness per row
+        st = offsets[i]
+        le = data[st] == 1
+        raw = int.from_bytes(data[st + 1:st + 5].tobytes(),
+                             "little" if le else "big")
+        t = (raw & 0x1FFFFFFF) % 1000
+        out[i] = GEOM_TYPES.get(t)
+    return pd.Series(out)
+
+
+def _typecode_batch(s: pd.Series) -> np.ndarray:
+    """Calculator-convention type code (geoarrow_geos.h:125-170): 0 for
+    null/empty, type for XY, 2000+t XYZ, 3000+t XYM, 4000+t XYZM.
+    Vectorized for the point-dominant case; general parse for multis
+    and big-endian rows."""
+    data, offsets, validity = _series_to_wkb_buffers(s)
+    n = len(offsets) - 1
+    out = np.zeros(n, dtype=np.int32)
+    isnull = np.zeros(n, dtype=bool) if validity is None else ~validity
+    lens = np.diff(offsets)
+    cand = (lens >= 5) & ~isnull
+    starts = offsets[:-1]
+    le = np.zeros(n, dtype=bool)
+    le[cand] = data[starts[cand]] == 1
+    fast = cand & le
+    if fast.any():
+        si = starts[fast]
+        raw = (data[si + 1].astype(np.uint32)
+               | (data[si + 2].astype(np.uint32) << 8)
+               | (data[si + 3].astype(np.uint32) << 16)
+               | (data[si + 4].astype(np.uint32) << 24))
+        base = (raw & np.uint32(0x1FFFFFFF)).astype(np.int64)
+        k, t = base // 1000, base % 1000
+        has_z = (k == 1) | (k == 3) | ((raw & np.uint32(0x80000000)) != 0)
+        has_m = (k == 2) | (k == 3) | ((raw & np.uint32(0x40000000)) != 0)
+        dims_enum = np.where(has_z & has_m, 4,
+                             np.where(has_m, 3, np.where(has_z, 2, 0)))
+        code = (dims_enum * 1000 + t).astype(np.int32)
+        # empty detection, vectorized: points -> NaN first coord;
+        # linestring/polygon -> zero count word; multis with count>0 need
+        # the general path (all-empty-children case)
+        fi = np.nonzero(fast)[0]
+        is_pt = t == 1
+        if is_pt.any():
+            px = np.empty(is_pt.sum())
+            g = si[is_pt][:, None] + np.arange(5, 13, dtype=np.int64)[None]
+            px = data[g].copy().view("<f8").ravel()
+            code[is_pt] = np.where(np.isnan(px), 0, code[is_pt])
+        non_pt = ~is_pt & (lens[fast] >= 9)
+        if non_pt.any():
+            g = si[non_pt][:, None] + np.arange(5, 9, dtype=np.int64)[None]
+            cnt = data[g].copy().view("<u4").ravel()
+            code[non_pt] = np.where(cnt == 0, 0, code[non_pt])
+        out[fi] = code
+        # exact pass for multis with parts (all-empty-children can only
+        # be detected by full decode; rare on point-heavy web data)
+        for i in fi[(t >= 4) & (code != 0)]:
+            b = data[offsets[i]:offsets[i + 1]].tobytes()
+            gg = parse_wkb(b)
+            out[i] = 0 if gg is None else gg.calc_code()
+    slow = cand & ~le
+    for i in np.nonzero(slow)[0]:
+        gg = parse_wkb(data[offsets[i]:offsets[i + 1]].tobytes())
+        out[i] = 0 if gg is None else gg.calc_code()
+    return out
+
+
+def _st_envelope_batch(s: pd.Series) -> pd.DataFrame:
+    x, y, ok = wkb_batch_xy(s)
+    xmin = np.where(ok, x, np.nan)
+    ymin = np.where(ok, y, np.nan)
+    xmax, ymax = xmin.copy(), ymin.copy()
+    todo = ~ok & ~s.isna().to_numpy()
+    if todo.any():
+        vals = s.to_numpy(dtype=object)
+        for i in np.nonzero(todo)[0]:
+            g = parse_wkb(vals[i])
+            e = geom_envelope(g)
+            xmin[i], ymin[i], xmax[i], ymax[i] = e
+    return pd.DataFrame({"xmin": xmin, "ymin": ymin,
+                         "xmax": xmax, "ymax": ymax})
+
+
+# ---------------------------------------------------------------------------
+# lazy UDF surface
+# ---------------------------------------------------------------------------
+# UDF objects are created on first use, never at module import: Spark
+# workers re-import this module when unpickling, and pandas_udf with a
+# DDL return type needs an active session. Inner defs are closures, so
+# cloudpickle ships them by value; the batch kernels above ship by module
+# reference (import-safe).
+
+_UDF_CACHE: dict = {}
+
+
+def _lazy_udfs():
+    if _UDF_CACHE:
+        return _UDF_CACHE
+    from pyspark.sql import types as T
+
+    @pandas_udf(T.BinaryType())
+    def st_point_u(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        """(lon, lat) -> WKB point; null/NaN input -> null."""
+        return _st_point_batch(lon, lat)
+
+    @pandas_udf(T.DoubleType())
+    def st_x_u(s: pd.Series) -> pd.Series:
+        x, _, ok = wkb_batch_xy(s)
+        return pd.Series(np.where(ok, x, np.nan))
+
+    @pandas_udf(T.DoubleType())
+    def st_y_u(s: pd.Series) -> pd.Series:
+        _, y, ok = wkb_batch_xy(s)
+        return pd.Series(np.where(ok, y, np.nan))
+
+    @pandas_udf(T.BinaryType())
+    def st_geomfromtext_u(s: pd.Series) -> pd.Series:
+        return s.map(lambda w: None if w is None
+                     else write_wkb(parse_wkt(w)), na_action="ignore")
+
+    @pandas_udf(T.StringType())
+    def st_astext_u(s: pd.Series) -> pd.Series:
+        return s.map(lambda b: None if b is None
+                     else format_wkt(parse_wkb(b)), na_action="ignore")
+
+    @pandas_udf(T.StringType())
+    def st_geometrytype_u(s: pd.Series) -> pd.Series:
+        return _st_geometrytype_batch(s)
+
+    @pandas_udf(T.IntegerType())
+    def st_typecode_u(s: pd.Series) -> pd.Series:
+        """Feeds the distributed schema-inference agg
+        (schema.infer_geoarrow_schema); see _typecode_batch."""
+        return pd.Series(_typecode_batch(s))
+
+    @pandas_udf(T.BooleanType())
+    def st_isempty_u(s: pd.Series) -> pd.Series:
+        codes = _typecode_batch(s)
+        isnull = s.isna().to_numpy()
+        out = pd.array((codes == 0) & ~isnull, dtype="boolean")
+        out[isnull] = None
+        return pd.Series(out, dtype="boolean")
+
+    env_t = T.StructType([T.StructField(n, T.DoubleType())
+                          for n in ("xmin", "ymin", "xmax", "ymax")])
+
+    @pandas_udf(env_t)
+    def st_envelope_u(s: pd.Series) -> pd.DataFrame:
+        """WKB -> bbox struct. Materializing bboxes as plain double
+        columns at extraction time is the engine's pushdown strategy
+        (SURVEY.md §4.2 item 4): Catalyst pushes bbox predicates to
+        Parquet because they never touch a UDF afterwards."""
+        return _st_envelope_batch(s)
+
+    _UDF_CACHE.update(
+        st_point=st_point_u, st_x=st_x_u, st_y=st_y_u,
+        st_geomfromtext=st_geomfromtext_u, st_astext=st_astext_u,
+        st_geometrytype=st_geometrytype_u, st_typecode=st_typecode_u,
+        st_isempty=st_isempty_u, st_envelope=st_envelope_u)
+    return _UDF_CACHE
+
+
+def st_point(lon, lat):
+    return _lazy_udfs()["st_point"](lon, lat)
+
+
+def st_x(c):
+    return _lazy_udfs()["st_x"](c)
+
+
+def st_y(c):
+    return _lazy_udfs()["st_y"](c)
+
+
+def st_geomfromtext(c):
+    return _lazy_udfs()["st_geomfromtext"](c)
+
+
+def st_astext(c):
+    return _lazy_udfs()["st_astext"](c)
+
+
+def st_geometrytype(c):
+    return _lazy_udfs()["st_geometrytype"](c)
+
+
+def st_typecode(c):
+    return _lazy_udfs()["st_typecode"](c)
+
+
+def st_isempty(c):
+    return _lazy_udfs()["st_isempty"](c)
+
+
+def st_envelope(c):
+    return _lazy_udfs()["st_envelope"](c)
+
+
+def make_st_contains(rings: list[np.ndarray]):
+    """Factory: fixed-polygon containment UDF (x, y) -> bool. The
+    polygon is captured in the closure (broadcast with the pickled UDF,
+    parsed once per executor) — reference-style 'lazy construction of
+    expensive components' (geoarrow_geos.c:782-800)."""
+    from pyspark.sql import types as T
+    rings = [np.asarray(r, dtype=np.float64) for r in rings]
+
+    @pandas_udf(T.BooleanType())
+    def st_contains_fixed(x: pd.Series, y: pd.Series) -> pd.Series:
+        xv = x.to_numpy(dtype=np.float64, na_value=np.nan)
+        yv = y.to_numpy(dtype=np.float64, na_value=np.nan)
+        return pd.Series(point_in_rings(xv, yv, rings))
+
+    return st_contains_fixed
+
+
+def register_udfs(spark) -> None:
+    """Expose the st_* surface to SQL (spark.udf.register)."""
+    for name, u in _lazy_udfs().items():
+        spark.udf.register(name, u)
+
+
+def haversine_m(lat1, lon1, lat2, lon2):
+    """Great-circle meters as a Column expression (JVM trig — round
+    before comparing across engines; see kernels.ops docstring)."""
+    rl1, rl2 = F.radians(lat1), F.radians(lat2)
+    dlat = F.radians(lat2 - lat1)
+    dlon = F.radians(lon2 - lon1)
+    h = (F.pow(F.sin(dlat / 2), 2)
+         + F.cos(rl1) * F.cos(rl2) * F.pow(F.sin(dlon / 2), 2))
+    return 2 * F.lit(6371008.8) * F.asin(F.sqrt(h))

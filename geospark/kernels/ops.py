@@ -1,0 +1,129 @@
+"""Vectorized geometry predicates: ray-cast point-in-polygon, envelopes,
+distances, segment/rectangle intersection.
+
+All functions are batch NumPy (the hot path inside pandas UDFs: one
+polygon x N points per call, broadcast over edges). Numeric-determinism
+policy (load-bearing for the DuckDB oracle): predicates use only
++,-,*,comparisons (IEEE-exact, identical across engines); transcendental
+distance (haversine) is provided for reporting but query outputs that
+cross the oracle boundary round it, and kNN ordering uses squared
+euclidean degrees (exact) with an id tiebreak.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+EARTH_RADIUS_M = 6371008.8
+
+
+def point_in_rings(px: np.ndarray, py: np.ndarray,
+                   rings: list[np.ndarray]) -> np.ndarray:
+    """Even-odd ray cast: True where (px,py) is inside the polygon
+    defined by ``rings`` (ring 0 exterior, rest holes — even-odd handles
+    holes with no orientation requirement). Boundary points follow the
+    standard half-open convention (left/bottom edges in, right/top out,
+    up to the strict-inequality asymmetry).
+
+    Vectorized (E edges x N points) per ring; E is small (zone polygons),
+    N is the Arrow batch size."""
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    inside = np.zeros(px.shape[0], dtype=bool)
+    for ring in rings:
+        if ring.shape[0] < 3:
+            continue
+        x1 = ring[:-1, 0][:, None]  # (E,1)
+        y1 = ring[:-1, 1][:, None]
+        x2 = ring[1:, 0][:, None]
+        y2 = ring[1:, 1][:, None]
+        cond = (y1 > py[None, :]) != (y2 > py[None, :])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xint = (x2 - x1) * (py[None, :] - y1) / (y2 - y1) + x1
+        crossings = cond & (px[None, :] < xint)
+        inside ^= (crossings.sum(axis=0) % 2).astype(bool)
+    return inside
+
+
+def point_in_rings_sql(px_expr: str, py_expr: str,
+                       rings: list[np.ndarray]) -> str:
+    """The SAME even-odd ray cast as an unrolled ANSI-SQL boolean
+    expression for a *fixed* polygon — the DuckDB-oracle twin of
+    point_in_rings. One CASE term per edge; identical arithmetic
+    (*,/,+,comparisons) so results match bit-for-bit."""
+    terms = []
+    for ring in rings:
+        if ring.shape[0] < 3:
+            continue
+        for i in range(ring.shape[0] - 1):
+            x1, y1 = repr(float(ring[i, 0])), repr(float(ring[i, 1]))
+            x2, y2 = repr(float(ring[i + 1, 0])), repr(float(ring[i + 1, 1]))
+            terms.append(
+                f"(CASE WHEN (({y1} > {py_expr}) <> ({y2} > {py_expr})) "
+                f"AND ({px_expr} < ({x2} - {x1}) * ({py_expr} - {y1}) "
+                f"/ ({y2} - {y1}) + {x1}) THEN 1 ELSE 0 END)")
+    if not terms:
+        return "FALSE"
+    return f"((({' + '.join(terms)}) % 2) = 1)"
+
+
+def seg_rect_intersect(ring: np.ndarray, rx0: np.ndarray, ry0: np.ndarray,
+                       rx1: np.ndarray, ry1: np.ndarray) -> np.ndarray:
+    """Conservative: True where any edge of ``ring`` has a bounding box
+    overlapping rect i. Superset of true segment/rect intersection —
+    used only for polygon covering, where false positives are removed by
+    the exact refine."""
+    ex0 = np.minimum(ring[:-1, 0], ring[1:, 0])[:, None]
+    ex1 = np.maximum(ring[:-1, 0], ring[1:, 0])[:, None]
+    ey0 = np.minimum(ring[:-1, 1], ring[1:, 1])[:, None]
+    ey1 = np.maximum(ring[:-1, 1], ring[1:, 1])[:, None]
+    hit = ((ex0 <= rx1[None, :]) & (ex1 >= rx0[None, :])
+           & (ey0 <= ry1[None, :]) & (ey1 >= ry0[None, :]))
+    return hit.any(axis=0)
+
+
+def envelope(coords: np.ndarray) -> tuple[float, float, float, float]:
+    """(xmin, ymin, xmax, ymax) of an (k, >=2) coord array; NaN-safe."""
+    if coords.shape[0] == 0:
+        return (np.nan, np.nan, np.nan, np.nan)
+    return (float(np.nanmin(coords[:, 0])), float(np.nanmin(coords[:, 1])),
+            float(np.nanmax(coords[:, 0])), float(np.nanmax(coords[:, 1])))
+
+
+def geom_envelope(g) -> tuple[float, float, float, float]:
+    """Envelope of a Geom (any type)."""
+    if g is None or g.is_empty:
+        return (np.nan, np.nan, np.nan, np.nan)
+    if g.type_id in (1, 2):
+        return envelope(g.coords)
+    if g.type_id == 3:
+        return envelope(np.concatenate(g.rings, axis=0))
+    envs = [geom_envelope(p) for p in g.parts if not p.is_empty]
+    if not envs:
+        return (np.nan, np.nan, np.nan, np.nan)
+    a = np.array(envs)
+    return (float(a[:, 0].min()), float(a[:, 1].min()),
+            float(a[:, 2].max()), float(a[:, 3].max()))
+
+
+def haversine_np(lat1, lon1, lat2, lon2) -> np.ndarray:
+    """Great-circle distance in meters (vectorized). Transcendental —
+    round before crossing an engine boundary (see module docstring)."""
+    la1, lo1, la2, lo2 = (np.radians(np.asarray(a, dtype=np.float64))
+                          for a in (lat1, lon1, lat2, lon2))
+    dlat = la2 - la1
+    dlon = lo2 - lo1
+    h = (np.sin(dlat / 2.0) ** 2
+         + np.cos(la1) * np.cos(la2) * np.sin(dlon / 2.0) ** 2)
+    return 2.0 * EARTH_RADIUS_M * np.arcsin(np.sqrt(np.clip(h, 0.0, 1.0)))
+
+
+def sqdist_deg_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
+    """Squared euclidean distance in degrees as SQL text (exact IEEE
+    arithmetic, safe across engines). Spark twin: sqdist_deg_col."""
+    return (f"(({lat1}) - ({lat2})) * (({lat1}) - ({lat2})) "
+            f"+ (({lon1}) - ({lon2})) * (({lon1}) - ({lon2}))")
+
+
+def sqdist_deg_col(lat1, lon1, lat2, lon2):
+    return (lat1 - lat2) * (lat1 - lat2) + (lon1 - lon2) * (lon1 - lon2)

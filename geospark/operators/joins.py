@@ -1,0 +1,287 @@
+"""Spatial joins: broadcast-then-refine point-in-polygon, bbox join,
+grid-partitioned kNN with candidate-cell expansion.
+
+This module is the engine's "logical rewrite" layer (SURVEY.md §4.2):
+spatial theta-joins are rewritten at DataFrame-construction time into
+  cell-covering explode  ->  equi-join on cell  ->  exact refine
+so Catalyst sees plain equi-joins it can broadcast/AQE-optimize, and the
+only UDF in the plan is the vectorized ray-cast refine.
+
+Scale design:
+  * polygon side: covered into cells ONCE on the driver (dimension tables
+    are small — countries/zones; the covering is what gets broadcast, not
+    the raw geometry), with per-cell `full` flags so interior cells skip
+    the ray-cast entirely (most of a large polygon's area).
+  * point side: never shuffled for the join — `cell_encode` is a column
+    expression and the join is `broadcast(cover)`, so the probe side
+    streams map-side. groupBy after the join shuffles only the aggregate.
+  * skew: hot cells are a broadcast-join non-issue (no shuffle); for the
+    non-broadcast path `salt` replicates the cover S ways and salts the
+    probe side (SURVEY.md §2.2 skew row), plus AQE skew-join stays on.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ..functions.cells import (MAX_RES, cell_bounds_np, cell_encode,
+                               cover_polygon_np, encode_np)
+from ..kernels.geom import Geom
+from ..kernels.ops import point_in_rings
+from ..kernels.wkb import parse_wkb
+
+
+def _geom_rings(g: Geom) -> list[list[np.ndarray]]:
+    """Geometry -> list of polygons, each a list of rings (closed)."""
+    if g is None or g.is_empty:
+        return []
+    if g.type_id == 3:
+        return [[r[:, :2] for r in g.rings]]
+    if g.type_id == 6:
+        return [[r[:, :2] for r in p.rings] for p in g.parts
+                if not p.is_empty]
+    raise ValueError(f"not an areal geometry: type {g.type_id}")
+
+
+def polygon_cover(polys: list[tuple[int, bytes | None]], res: int
+                  ) -> tuple[list[tuple[int, int, bool]],
+                             dict[int, list[list[np.ndarray]]]]:
+    """[(poly_id, wkb)] -> (cover rows [(poly_id, cell, full)],
+    {poly_id: polygons-as-rings}). ``full=True`` cells are entirely
+    inside the polygon (refine skipped). Null/EMPTY polygons cover
+    nothing (reference null/empty semantics end to end)."""
+    cover: list[tuple[int, int, bool]] = []
+    ring_map: dict[int, list[list[np.ndarray]]] = {}
+    for pid, wkb in polys:
+        g = parse_wkb(wkb) if wkb is not None else None
+        pgs = _geom_rings(g) if g is not None else []
+        if not pgs:
+            continue
+        ring_map[pid] = pgs
+        seen: dict[int, bool] = {}
+        for rings in pgs:
+            cells = cover_polygon_np(rings, res)
+            if cells.size == 0:
+                continue
+            # full-containment: center inside AND no edge bbox overlaps
+            from ..kernels.ops import seg_rect_intersect
+            x0, y0, x1, y1 = cell_bounds_np(cells)
+            cx, cy = (x0 + x1) / 2, (y0 + y1) / 2
+            center_in = point_in_rings(cx, cy, rings)
+            edge_hit = np.zeros(cells.size, dtype=bool)
+            for ring in rings:
+                edge_hit |= seg_rect_intersect(ring, x0, y0, x1, y1)
+            full = center_in & ~edge_hit
+            for c, f in zip(cells.tolist(), full.tolist()):
+                seen[c] = seen.get(c, False) or f
+        cover.extend((pid, c, f) for c, f in seen.items())
+    return cover, ring_map
+
+
+def pick_resolution(polys: list[tuple[int, bytes | None]],
+                    min_res: int = 4, max_res: int = 12,
+                    target_cells_per_poly: int = 64) -> int:
+    """Resolution selection (SURVEY.md §4.2 item 3): smallest res whose
+    expected bbox-cover size per polygon reaches the target — balances
+    explode factor (broadcast size) against candidates-per-cell (refine
+    cost). Driver-side, envelope math only."""
+    from ..kernels.ops import geom_envelope
+    areas = []
+    for _, wkb in polys:
+        g = parse_wkb(wkb) if wkb is not None else None
+        if g is None or g.is_empty:
+            continue
+        x0, y0, x1, y1 = geom_envelope(g)
+        if np.isnan(x0):
+            continue
+        areas.append(max(x1 - x0, 1e-9) * max(y1 - y0, 1e-9))
+    if not areas:
+        return min_res
+    med = float(np.median(areas))
+    for res in range(min_res, max_res + 1):
+        cell_deg_x, cell_deg_y = 360.0 / (1 << res), 180.0 / (1 << res)
+        if med / (cell_deg_x * cell_deg_y) >= target_cells_per_poly:
+            return res
+    return max_res
+
+
+def make_refine_udf(ring_map: dict[int, list[list[np.ndarray]]]):
+    """(poly_id, lon, lat) -> bool pandas UDF. The ring map travels in
+    the closure (pickled once, reused per executor); the batch is grouped
+    by poly_id so each polygon's ray-cast runs vectorized over its
+    points."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("boolean")
+    def refine(pid: pd.Series, lon: pd.Series, lat: pd.Series) -> pd.Series:
+        out = np.zeros(len(pid), dtype=bool)
+        pids = pid.to_numpy()
+        x = lon.to_numpy(dtype=np.float64, na_value=np.nan)
+        y = lat.to_numpy(dtype=np.float64, na_value=np.nan)
+        for p in np.unique(pids):
+            sel = pids == p
+            hit = np.zeros(int(sel.sum()), dtype=bool)
+            for rings in ring_map.get(int(p), []):
+                hit |= point_in_rings(x[sel], y[sel], rings)
+            out[sel] = hit
+        return pd.Series(out)
+
+    return refine
+
+
+def spatial_join(points, polys_df, *, res: int | None = None,
+                 lat_col: str = "lat", lon_col: str = "lon",
+                 poly_id_col: str = "zone_id", geom_col: str = "geom_wkb",
+                 how: str = "inner", broadcast_cover: bool = True,
+                 salt: int = 0):
+    """Point-in-polygon join.
+
+    points: DataFrame with lat/lon double columns.
+    polys_df: dimension DataFrame (poly_id, wkb geometry).
+    Returns points columns + poly_id (inner), or semi/anti projections.
+
+    Plan shape: points -> [cell expr] -> equi-join broadcast(cover) ->
+    refine filter (UDF only on boundary cells). With ``salt>0`` and
+    ``broadcast_cover=False``: cover replicated x salt, probe side salted
+    by a hash — the explicit skew treatment for the shuffle path."""
+    from pyspark.sql import functions as F
+
+    spark = points.sparkSession
+    polys = [(r[poly_id_col], r[geom_col])
+             for r in polys_df.select(poly_id_col, geom_col).collect()]
+    if res is None:
+        res = pick_resolution(polys)
+    cover, ring_map = polygon_cover(polys, res)
+    cover_df = spark.createDataFrame(
+        [(int(p), int(c), bool(f)) for p, c, f in cover],
+        schema=f"{poly_id_col} long, _cell long, _full boolean")
+
+    pts = points.withColumn("_cell", cell_encode(lat_col, lon_col, res))
+
+    if broadcast_cover:
+        joined = pts.join(F.broadcast(cover_df), "_cell", "inner")
+    else:
+        if salt > 0:
+            cover_df = cover_df.withColumn(
+                "_salt", F.explode(F.array(*[F.lit(i)
+                                             for i in range(salt)])))
+            pts = pts.withColumn(
+                "_salt", F.pmod(F.xxhash64(F.col(lat_col), F.col(lon_col)),
+                                F.lit(salt)).cast("int"))
+            joined = pts.join(cover_df, ["_cell", "_salt"], "inner") \
+                .drop("_salt")
+        else:
+            joined = pts.join(cover_df, "_cell", "inner")
+
+    refine = make_refine_udf(ring_map)
+    matched = joined.filter(
+        F.col("_full") | refine(F.col(poly_id_col), F.col(lon_col),
+                                F.col(lat_col))
+    ).drop("_cell", "_full")
+
+    if how == "inner":
+        return matched
+    point_cols = [c for c in points.columns]
+    if how == "left_semi":
+        return matched.select(point_cols).distinct()
+    if how == "left_anti":
+        return points.join(matched.select(point_cols).distinct(),
+                           point_cols, "left_anti")
+    raise ValueError(f"how={how!r}")
+
+
+# ---------------------------------------------------------------------------
+# kNN join with candidate-cell expansion
+# ---------------------------------------------------------------------------
+
+def knn_join(queries, points, k: int, *, res: int = 8,
+             query_id_col: str = "query_id", point_id_col: str = "point_id",
+             q_lat: str = "q_lat", q_lon: str = "q_lon",
+             p_lat: str = "lat", p_lon: str = "lon",
+             max_iters: int = 5):
+    """Exact k nearest neighbors (squared-euclidean-degrees metric, id
+    tiebreak) per query point.
+
+    Grid algorithm: candidates from a Chebyshev ring of cells around the
+    query; per-query exactness guarantee = kth distance must fit inside
+    the ring's guaranteed radius, else the ring expands (driver loop —
+    each iteration only re-joins the unsatisfied queries). Queries still
+    unsatisfied after ``max_iters`` fall back to a brute-force broadcast
+    cross join (exactness is never sacrificed).
+
+    Metric note: squared euclidean over raw degrees — IEEE-exact in
+    NumPy, Spark and the DuckDB oracle (kernels.ops docstring)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    pts = points.withColumn("_pcell", cell_encode(p_lat, p_lon, res))
+    # guarantee radius of a ring r (degrees): r cells in the *narrower*
+    # axis; lat cells are 180/2^res deg, lon cells 360/2^res deg — a
+    # Chebyshev ring r guarantees a disk of r * min(cell_h, cell_w)
+    cell_h = 180.0 / (1 << res)
+    guard_deg = cell_h  # min(180/2^r, 360/2^r) = 180/2^r
+
+    remaining = queries
+    results = []
+    ring = 1
+    for _ in range(max_iters):
+        if remaining.isEmpty():
+            break
+        # neighbor-cell fanout as pure column ops: explode dx, dy ranges
+        d = list(range(-ring, ring + 1))
+        cand = (remaining
+                .withColumn("_dx", F.explode(F.array(*[F.lit(i) for i in d])))
+                .withColumn("_dy", F.explode(F.array(*[F.lit(i) for i in d])))
+                .withColumn("_qx", F.least(
+                    F.lit((1 << res) - 1), F.greatest(F.lit(0), F.floor(
+                        (F.col(q_lon) + 180.0) / 360.0 * (1 << res)))))
+                .withColumn("_qy", F.least(
+                    F.lit((1 << res) - 1), F.greatest(F.lit(0), F.floor(
+                        (F.col(q_lat) + 90.0) / 180.0 * (1 << res)))))
+                .withColumn("_nx", F.pmod(F.col("_qx") + F.col("_dx"),
+                                          F.lit(1 << res)))
+                .withColumn("_ny", F.col("_qy") + F.col("_dy"))
+                .filter((F.col("_ny") >= 0) & (F.col("_ny") < (1 << res)))
+                .withColumn("_pcell",
+                            F.shiftleft(F.lit(res).cast("long"), 56)
+                            + F.shiftleft(F.col("_ny").cast("long"), res)
+                            + F.col("_nx").cast("long"))
+                .drop("_dx", "_dy", "_qx", "_qy", "_nx", "_ny"))
+        j = cand.join(pts, "_pcell", "inner").drop("_pcell")
+        dist = ((F.col(q_lat) - F.col(p_lat)) * (F.col(q_lat) - F.col(p_lat))
+                + (F.col(q_lon) - F.col(p_lon))
+                * (F.col(q_lon) - F.col(p_lon)))
+        w = Window.partitionBy(query_id_col).orderBy(
+            dist.asc(), F.col(point_id_col).asc())
+        topk = (j.withColumn("_sqdist", dist)
+                 .withColumn("_rn", F.row_number().over(w))
+                 .filter(F.col("_rn") <= k))
+        # satisfied: found k candidates AND kth distance within guarantee
+        guard = (ring * guard_deg) ** 2
+        stats = (topk.groupBy(query_id_col)
+                 .agg(F.count("*").alias("_n"),
+                      F.max("_sqdist").alias("_kth")))
+        sat_ids = stats.filter((F.col("_n") >= k)
+                               & (F.col("_kth") <= F.lit(guard))) \
+            .select(query_id_col)
+        results.append(topk.join(sat_ids, query_id_col, "left_semi"))
+        remaining = remaining.join(sat_ids, query_id_col, "left_anti")
+        ring *= 2
+    if not remaining.isEmpty():
+        # brute-force fallback for stragglers (exactness floor)
+        j = remaining.crossJoin(F.broadcast(pts.drop("_pcell")))
+        dist = ((F.col(q_lat) - F.col(p_lat)) * (F.col(q_lat) - F.col(p_lat))
+                + (F.col(q_lon) - F.col(p_lon))
+                * (F.col(q_lon) - F.col(p_lon)))
+        from pyspark.sql import Window as W2
+        w = W2.partitionBy(query_id_col).orderBy(
+            dist.asc(), F.col(point_id_col).asc())
+        results.append(j.withColumn("_sqdist", dist)
+                       .withColumn("_rn", F.row_number().over(w))
+                       .filter(F.col("_rn") <= k))
+    out = results[0]
+    for r in results[1:]:
+        out = out.unionByName(r)
+    return out.withColumnRenamed("_sqdist", "sqdist") \
+              .withColumnRenamed("_rn", "rank")

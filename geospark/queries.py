@@ -1,0 +1,363 @@
+"""Driver-contract query catalog: every operator exposed as a
+(spark_query, oracle_sql) pair over /root/testdata tables.
+
+Conventions (load-bearing — the driver hashes values after sorting
+columns by name):
+  * every computed column is aliased IDENTICALLY in Spark and SQL;
+  * integer-typed outputs are cast to the same width on both sides;
+  * cross-engine floating point: only IEEE-exact arithmetic (+,-,*,
+    comparisons) feeds predicates/orderings; transcendental outputs are
+    rounded (kernels.ops docstring);
+  * spatial coordinates are derived deterministically from numeric
+    columns (FIXTURES.md §3.3) so DuckDB reproduces them with plain
+    arithmetic: lat = (key % 180) - 90, lon = ((bal % 360)+360)%360-180.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .functions.cells import cell_encode, cell_encode_sql, cell_parent_sql
+from .kernels.geom import parse_wkt
+from .kernels.ops import point_in_rings_sql
+from .kernels.wkb import write_wkb
+
+RES_FINE = 12
+RES_MID = 8
+RES_COARSE = 6
+
+# SQL snippets for derived coordinates (the DuckDB side)
+CUST_LAT_SQL = "CAST(c_custkey % 180 AS DOUBLE) - 90.0"
+CUST_LON_SQL = "((c_acctbal % 360.0) + 360.0) % 360.0 - 180.0"
+SUPP_LAT_SQL = "CAST(s_suppkey % 173 AS DOUBLE) - 86.0 + 0.25"
+SUPP_LON_SQL = "((s_acctbal % 360.0) + 360.0) % 360.0 - 180.0"
+EVT_LAT_SQL = "CAST(user_id % 180 AS DOUBLE) - 90.0"
+EVT_LON_SQL = "((value % 360.0) + 360.0) % 360.0 - 180.0"
+
+
+def _cust_points(spark, sf_dir):
+    from pyspark.sql import functions as F
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return c.select(
+        "c_custkey",
+        ((F.col("c_custkey") % 180).cast("double") - 90.0).alias("lat"),
+        (((F.col("c_acctbal") % 360.0) + 360.0) % 360.0 - 180.0)
+        .alias("lon"))
+
+
+def _supp_queries(spark, sf_dir):
+    from pyspark.sql import functions as F
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    return s.select(
+        F.col("s_suppkey").alias("query_id"),
+        ((F.col("s_suppkey") % 173).cast("double") - 86.0 + 0.25)
+        .alias("q_lat"),
+        (((F.col("s_acctbal") % 360.0) + 360.0) % 360.0 - 180.0)
+        .alias("q_lon"))
+
+
+# ---------------------------------------------------------------------------
+# fixed evaluation zones (globe-spanning; the derived points cover the
+# whole lat/lon plane). zone 2 has a hole; zone 3 is concave.
+# ---------------------------------------------------------------------------
+
+FIXED_ZONES: list[tuple[int, str]] = [
+    (1, "POLYGON ((-120 -60, 0 -60, -60 30, -120 -60))"),
+    (2, "POLYGON ((20 -20, 120 -20, 120 60, 20 60, 20 -20), "
+        "(60 0, 90 0, 90 30, 60 30, 60 0))"),
+    (3, "POLYGON ((-30 40, 60 40, 60 60, 10 60, 10 80, -30 80, -30 40))"),
+]
+
+
+def _zone_rings(wkt: str) -> list[np.ndarray]:
+    g = parse_wkt(wkt)
+    return [r[:, :2] for r in g.rings]
+
+
+def fixed_zones_df(spark):
+    rows = [(zid, write_wkb(parse_wkt(wkt))) for zid, wkt in FIXED_ZONES]
+    return spark.createDataFrame(rows,
+                                 schema="zone_id long, geom_wkb binary")
+
+
+def _pip_union_sql(pts_cte: str, key: str) -> str:
+    parts = []
+    for zid, wkt in FIXED_ZONES:
+        pred = point_in_rings_sql("lon", "lat", _zone_rings(wkt))
+        parts.append(f"SELECT {key}, CAST({zid} AS BIGINT) AS zone_id "
+                     f"FROM pts WHERE {pred}")
+    return f"WITH pts AS ({pts_cte}) " + " UNION ALL ".join(parts)
+
+
+_CUST_PTS_CTE = (f"SELECT c_custkey, {CUST_LAT_SQL} AS lat, "
+                 f"{CUST_LON_SQL} AS lon FROM customer")
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def q_cell_assign(spark, sf_dir):
+    return _cust_points(spark, sf_dir).select(
+        "c_custkey", cell_encode("lat", "lon", RES_FINE).alias("cell"))
+
+
+def q_cell_counts(spark, sf_dir):
+    from .operators.tiles import tile_counts
+    return tile_counts(_cust_points(spark, sf_dir), RES_MID) \
+        .withColumnRenamed("n_docs", "n_pts")
+
+
+def q_cell_rollup(spark, sf_dir):
+    from .operators.tiles import rollup_tiles, tile_counts
+    t8 = tile_counts(_cust_points(spark, sf_dir), RES_MID)
+    return rollup_tiles(t8, RES_MID, RES_MID - RES_COARSE) \
+        .withColumnRenamed("n_docs", "n_pts")
+
+
+def q_bbox_filter(spark, sf_dir):
+    from pyspark.sql import functions as F
+    return _cust_points(spark, sf_dir).filter(
+        (F.col("lon") >= -60.0) & (F.col("lon") <= 20.0)
+        & (F.col("lat") >= -30.0) & (F.col("lat") <= 45.0))
+
+
+def q_pip_join(spark, sf_dir):
+    from .operators.joins import spatial_join
+    pts = _cust_points(spark, sf_dir)
+    out = spatial_join(pts, fixed_zones_df(spark), res=RES_COARSE)
+    return out.select("c_custkey", "zone_id")
+
+
+def q_pip_agg(spark, sf_dir):
+    from pyspark.sql import functions as F
+    return q_pip_join(spark, sf_dir).groupBy("zone_id") \
+        .agg(F.count(F.lit(1)).alias("n_pts"))
+
+
+def q_knn(spark, sf_dir):
+    from pyspark.sql import functions as F
+    from .operators.joins import knn_join
+    pts = _cust_points(spark, sf_dir) \
+        .withColumnRenamed("c_custkey", "point_id")
+    out = knn_join(_supp_queries(spark, sf_dir), pts, 3, res=RES_COARSE)
+    return out.select("query_id", "point_id",
+                      F.col("rank").cast("int").alias("rank"))
+
+
+def q_topk_cells(spark, sf_dir):
+    from .operators.tiles import tile_counts, top_k_cells
+    t = tile_counts(_cust_points(spark, sf_dir), RES_MID) \
+        .withColumnRenamed("n_docs", "n_pts")
+    return top_k_cells(t, 10, "n_pts")
+
+
+def q_st_roundtrip(spark, sf_dir):
+    from pyspark.sql import functions as F
+    from .functions.geometry import st_point, st_x, st_y
+    pts = _cust_points(spark, sf_dir)
+    wkb = st_point(F.col("lon"), F.col("lat"))
+    return pts.select("c_custkey", st_x(wkb).alias("x"),
+                      st_y(wkb).alias("y"))
+
+
+def q_envelope_agg(spark, sf_dir):
+    from pyspark.sql import functions as F
+    from .functions.geometry import st_envelope, st_point
+    pts = _cust_points(spark, sf_dir)
+    env = st_envelope(st_point(F.col("lon"), F.col("lat")))
+    return pts.select(env.alias("e")).agg(
+        F.min("e.xmin").alias("xmin"), F.min("e.ymin").alias("ymin"),
+        F.max("e.xmax").alias("xmax"), F.max("e.ymax").alias("ymax"))
+
+
+def q_schema_infer(spark, sf_dir):
+    from pyspark.sql import functions as F
+    from .functions.geometry import st_point, st_typecode
+    from .kernels.schema import infer_geoarrow_schema
+    pts = _cust_points(spark, sf_dir)
+    codes = pts.select(st_typecode(
+        st_point(F.col("lon"), F.col("lat"))).alias("code"))
+    ext, dims = infer_geoarrow_schema(codes, "code", "geoarrow")
+    return spark.createDataFrame([(ext, dims)],
+                                 "extension_name string, dims string")
+
+
+def q_events_cell_stats(spark, sf_dir):
+    from pyspark.sql import functions as F
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pts = e.select(
+        "event_type",
+        ((F.col("user_id") % 180).cast("double") - 90.0).alias("lat"),
+        (((F.col("value") % 360.0) + 360.0) % 360.0 - 180.0).alias("lon"))
+    return (pts.withColumn("cell", cell_encode("lat", "lon", RES_COARSE))
+            .groupBy("cell", "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.min("lat"), 6).alias("min_lat"),
+                 F.round(F.max("lat"), 6).alias("max_lat")))
+
+
+def q_dedup_exact(spark, sf_dir):
+    from pyspark.sql import functions as F
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (d.groupBy(F.md5(F.col("text")).alias("text_md5"))
+            .agg(F.count(F.lit(1)).alias("n_dups"))
+            .filter(F.col("n_dups") > 1))
+
+
+def q_doc_tokens(spark, sf_dir):
+    from pyspark.sql import functions as F
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit("[A-Za-z0-9]+"))
+        .cast("long").alias("n_tokens"))
+
+
+def q_doc_quality(spark, sf_dir):
+    from pyspark.sql import functions as F
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ntok = F.regexp_count(F.col("text"), F.lit("[A-Za-z0-9]+")) \
+        .cast("double")
+    nchr = F.length("text").cast("double")
+    return d.select(
+        "doc_id",
+        F.round(ntok / (nchr + 1.0), 8).alias("quality"))
+
+
+def q_fingerprint(spark, sf_dir):
+    from pyspark.sql import functions as F
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.select("doc_id",
+                    F.md5(F.lower(F.trim(F.col("text")))).alias("fp"))
+
+
+def q_ann_topk(spark, sf_dir):
+    """Brute-force cosine top-10 vs the vec_id=0 embedding (the exact
+    baseline for ANN; the LSH-bucketed scale path lives in
+    operators/similarity)."""
+    from pyspark.sql import functions as F
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    qlit = F.array(*[F.lit(float(v)) for v in qv])
+    emb = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    dot = F.aggregate(F.zip_with(emb, qlit, lambda a, b: a * b),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    nrm = F.sqrt(F.aggregate(F.transform(emb, lambda x: x * x),
+                             F.lit(0.0), lambda acc, x: acc + x))
+    qn = float(np.sqrt(np.sum(np.asarray(qv, dtype=np.float64) ** 2)))
+    sim = F.round(dot / (nrm * F.lit(qn)), 6)
+    return (e.select("vec_id", sim.alias("sim"))
+            .orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+            .limit(10))
+
+
+QUERIES = {
+    "cell_assign": q_cell_assign,
+    "cell_counts": q_cell_counts,
+    "cell_rollup": q_cell_rollup,
+    "bbox_filter": q_bbox_filter,
+    "pip_join": q_pip_join,
+    "pip_agg": q_pip_agg,
+    "knn": q_knn,
+    "topk_cells": q_topk_cells,
+    "st_roundtrip": q_st_roundtrip,
+    "envelope_agg": q_envelope_agg,
+    "schema_infer": q_schema_infer,
+    "events_cell_stats": q_events_cell_stats,
+    "dedup_exact": q_dedup_exact,
+    "doc_tokens": q_doc_tokens,
+    "doc_quality": q_doc_quality,
+    "fingerprint": q_fingerprint,
+    "ann_topk": q_ann_topk,
+}
+
+
+def oracle_sql() -> dict[str, str]:
+    cell12 = cell_encode_sql("lat", "lon", RES_FINE)
+    cell8 = cell_encode_sql("lat", "lon", RES_MID)
+    cell6 = cell_encode_sql("lat", "lon", RES_COARSE)
+    out = {
+        "cell_assign":
+            f"SELECT c_custkey, {cell12} AS cell "
+            f"FROM ({_CUST_PTS_CTE})",
+        "cell_counts":
+            f"SELECT {cell8} AS cell, COUNT(*) AS n_pts "
+            f"FROM ({_CUST_PTS_CTE}) GROUP BY 1",
+        "cell_rollup":
+            f"SELECT {cell6} AS cell, COUNT(*) AS n_pts "
+            f"FROM ({_CUST_PTS_CTE}) GROUP BY 1",
+        "bbox_filter":
+            f"SELECT * FROM ({_CUST_PTS_CTE}) WHERE lon >= -60.0 "
+            f"AND lon <= 20.0 AND lat >= -30.0 AND lat <= 45.0",
+        "pip_join": _pip_union_sql(_CUST_PTS_CTE, "c_custkey"),
+        "pip_agg":
+            f"SELECT zone_id, COUNT(*) AS n_pts FROM ("
+            f"{_pip_union_sql(_CUST_PTS_CTE, 'c_custkey')}) GROUP BY 1",
+        "knn":
+            f"WITH q AS (SELECT s_suppkey AS query_id, "
+            f"{SUPP_LAT_SQL} AS q_lat, {SUPP_LON_SQL} AS q_lon "
+            f"FROM supplier), "
+            f"p AS (SELECT c_custkey AS point_id, {CUST_LAT_SQL} AS lat, "
+            f"{CUST_LON_SQL} AS lon FROM customer) "
+            f"SELECT query_id, point_id, CAST(rank AS INTEGER) AS rank "
+            f"FROM (SELECT q.query_id, p.point_id, ROW_NUMBER() OVER ("
+            f"PARTITION BY q.query_id ORDER BY "
+            f"(q.q_lat - p.lat) * (q.q_lat - p.lat) "
+            f"+ (q.q_lon - p.lon) * (q.q_lon - p.lon) ASC, "
+            f"p.point_id ASC) AS rank FROM q CROSS JOIN p) "
+            f"WHERE rank <= 3",
+        "topk_cells":
+            f"SELECT {cell8} AS cell, COUNT(*) AS n_pts "
+            f"FROM ({_CUST_PTS_CTE}) GROUP BY 1 "
+            f"ORDER BY n_pts DESC, cell ASC LIMIT 10",
+        "st_roundtrip":
+            f"SELECT c_custkey, lon AS x, lat AS y "
+            f"FROM ({_CUST_PTS_CTE})",
+        "envelope_agg":
+            f"SELECT MIN(lon) AS xmin, MIN(lat) AS ymin, "
+            f"MAX(lon) AS xmax, MAX(lat) AS ymax FROM ({_CUST_PTS_CTE})",
+        "schema_infer":
+            "SELECT 'geoarrow.point' AS extension_name, 'xy' AS dims",
+        "events_cell_stats":
+            f"SELECT {cell6} AS cell, event_type, COUNT(*) AS n_events, "
+            f"ROUND(MIN(lat), 6) AS min_lat, ROUND(MAX(lat), 6) AS max_lat "
+            f"FROM (SELECT event_type, {EVT_LAT_SQL} AS lat, "
+            f"{EVT_LON_SQL} AS lon FROM events) GROUP BY 1, 2",
+        "dedup_exact":
+            "SELECT md5(text) AS text_md5, COUNT(*) AS n_dups "
+            "FROM documents GROUP BY 1 HAVING COUNT(*) > 1",
+        "doc_tokens":
+            "SELECT doc_id, CAST(length(regexp_extract_all(text, "
+            "'[A-Za-z0-9]+')) AS BIGINT) AS n_tokens FROM documents",
+        "doc_quality":
+            "SELECT doc_id, ROUND(CAST(length(regexp_extract_all(text, "
+            "'[A-Za-z0-9]+')) AS DOUBLE) / (CAST(length(text) AS DOUBLE) "
+            "+ 1.0), 8) AS quality FROM documents",
+        "fingerprint":
+            "SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents",
+        "ann_topk":
+            "WITH qv AS (SELECT CAST(embedding AS DOUBLE[]) AS v "
+            "FROM embeddings WHERE vec_id = 0) "
+            "SELECT vec_id, ROUND("
+            "list_dot_product(CAST(embedding AS DOUBLE[]), (SELECT v FROM qv)) "
+            "/ (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), "
+            "CAST(embedding AS DOUBLE[]))) "
+            "* sqrt(list_dot_product((SELECT v FROM qv), (SELECT v FROM qv))))"
+            ", 6) AS sim FROM embeddings "
+            "ORDER BY sim DESC, vec_id ASC LIMIT 10",
+    }
+    return out
+
+
+def flagship(spark, sf_dir: str = "/root/testdata/sf0.001"):
+    """The EP-RULE pipeline shape on driver testdata: points -> cell
+    assign -> broadcast PIP join -> per-zone tile aggregate."""
+    from pyspark.sql import functions as F
+    pip = q_pip_join(spark, sf_dir)
+    pts = _cust_points(spark, sf_dir)
+    return (pip.join(pts, "c_custkey")
+            .withColumn("cell", cell_encode("lat", "lon", RES_COARSE))
+            .groupBy("zone_id", "cell")
+            .agg(F.count(F.lit(1)).alias("n_pts"))
+            .orderBy("zone_id", "cell"))
