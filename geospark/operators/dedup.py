@@ -1,0 +1,308 @@
+"""Deduplication operators for training-data pipelines: exact,
+MinHash+LSH, SimHash, n-gram Jaccard.
+
+Design rule: every step is Spark BUILT-IN expressions (md5, conv,
+transform, aggregate, explode + relational joins) — fully JVM-side,
+whole-stage-codegen'd, no Python in the hot path at all. The hash
+primitive is md5 (cross-engine deterministic: Spark, DuckDB oracle, and
+Python agree byte-for-byte); at production scale swap HASH64 below for
+xxhash64 (Spark-native, ~10x faster) — the structure is unchanged, only
+the oracle needs md5.
+
+Scale notes (10^12 docs): shingling + signatures are narrow map-side
+work; the only shuffles are the LSH band groupBy (keyed by band hash —
+uniform by construction) and the candidate-pair verify join. Band
+buckets with pathological sizes (boilerplate pages) are handled by AQE
+skew-join plus the bucket-size cap in ``lsh_candidate_pairs``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+TOKEN_RX = "[a-z0-9]+"
+
+
+def _hash64_sql(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def _hash64_col(c):
+    from pyspark.sql import functions as F
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def perm_constants(n: int) -> list[int]:
+    """Deterministic XOR-permutation constants (shared with the SQL
+    twin): c_i = first 15 hex digits of md5('perm<i>')."""
+    return [int(hashlib.md5(f"perm{i}".encode()).hexdigest()[:15], 16)
+            for i in range(n)]
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Keep the lowest-id representative of each exact-text group.
+    Hash-groupBy on md5 — one shuffle keyed by digest (uniform)."""
+    from pyspark.sql import functions as F
+    return (df.withColumn("_h", F.md5(F.col(text_col)))
+            .groupBy("_h").agg(F.min(id_col).alias(id_col))
+            .join(df, id_col).drop("_h"))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def shingles_col(text_col: str, k: int):
+    """Column expr: lowercase word-k-shingles (distinct), '' guard for
+    short docs. Pure built-ins: regexp_extract_all + transform/slice."""
+    from pyspark.sql import functions as F
+    w = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RX), 0)
+    n = F.size(w)
+    return F.when(n >= k, F.array_distinct(F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.concat_ws(" ", F.slice(w, i, k))
+    ))).otherwise(F.array().cast("array<string>"))
+
+
+def shingles_sql(text_expr: str, k: int) -> str:
+    return (f"list_distinct(list_transform(generate_series(1, "
+            f"greatest(len(regexp_extract_all(lower({text_expr}), "
+            f"'{TOKEN_RX}')) - {k - 1}, 0)), i -> array_to_string("
+            f"(regexp_extract_all(lower({text_expr}), '{TOKEN_RX}'))"
+            f"[i:i + {k - 1}], ' ')))")
+
+
+def minhash_signature(df, text_col: str = "text", id_col: str = "doc_id",
+                      n_hashes: int = 16, k: int = 4):
+    """-> (id, sig array<long>[n_hashes]). sig_i = min over shingles of
+    hash64(shingle) XOR c_i (XOR permutation family — exact in int64 on
+    every engine; multiply-mod would overflow differently per engine)."""
+    from pyspark.sql import functions as F
+    consts = perm_constants(n_hashes)
+    sh = shingles_col(text_col, k)
+    hs = F.transform(sh, lambda s: _hash64_col(s))
+    sig = F.array(*[
+        F.array_min(F.transform(hs, lambda h: h.bitwiseXOR(F.lit(c))))
+        for c in consts])
+    return (df.select(F.col(id_col), sig.alias("sig"))
+            .filter(F.size("sig") > 0)
+            .filter(~F.array_contains(
+                F.transform(F.col("sig"), lambda x: x.isNull()), True)))
+
+
+def lsh_candidate_pairs(sig_df, id_col: str = "doc_id", bands: int = 4,
+                        rows_per_band: int = 4,
+                        max_bucket: int = 1000):
+    """Signature table -> distinct candidate pairs (a < b) sharing at
+    least one LSH band. ``max_bucket`` caps pathological buckets (mass
+    boilerplate) so one bucket can't produce O(n^2) pairs on a single
+    task — capped buckets are dropped and logged in the plan via a
+    filter, the standard scale guard."""
+    from pyspark.sql import functions as F
+    b = sig_df.select(
+        id_col,
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("band"),
+                     F.md5(F.concat_ws(",", *[
+                         F.element_at("sig", i * rows_per_band + j + 1)
+                         .cast("string")
+                         for j in range(rows_per_band)])).alias("bh"))
+            for i in range(bands)])).alias("band_key"))
+    b = b.select(id_col, "band_key.band", "band_key.bh")
+    sizes = b.groupBy("band", "bh").count().filter(
+        (F.col("count") > 1) & (F.col("count") <= max_bucket))
+    b = b.join(sizes.select("band", "bh"), ["band", "bh"])
+    l = b.alias("l")
+    r = b.alias("r")
+    return (l.join(r, ["band", "bh"])
+            .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+            .select(F.col(f"l.{id_col}").alias("doc_a"),
+                    F.col(f"r.{id_col}").alias("doc_b"))
+            .distinct())
+
+
+def jaccard_verify(pairs, docs, text_col: str = "text",
+                   id_col: str = "doc_id", k: int = 4,
+                   threshold: float = 0.2):
+    """Exact shingle-set Jaccard on candidate pairs (the refine step).
+    -> (doc_a, doc_b, jaccard) with jaccard rounded(6) >= threshold."""
+    from pyspark.sql import functions as F
+    sh = docs.select(F.col(id_col), shingles_col(text_col, k).alias("sh"),
+                     F.size(shingles_col(text_col, k)).alias("n"))
+    ex = sh.select(id_col, "n", F.explode("sh").alias("g"))
+    a = ex.select(F.col(id_col).alias("doc_a"), F.col("n").alias("na"),
+                  "g")
+    bb = ex.select(F.col(id_col).alias("doc_b"), F.col("n").alias("nb"),
+                   "g")
+    inter = (pairs.join(a, "doc_a").join(bb, ["doc_b", "g"])
+             .groupBy("doc_a", "doc_b", "na", "nb")
+             .agg(F.count(F.lit(1)).alias("ni")))
+    jac = F.round(F.col("ni").cast("double")
+                  / (F.col("na") + F.col("nb") - F.col("ni")), 6)
+    return (inter.select("doc_a", "doc_b", jac.alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))
+
+
+def minhash_pairs(df, *, text_col: str = "text", id_col: str = "doc_id",
+                  n_hashes: int = 16, k: int = 4, bands: int = 4,
+                  threshold: float = 0.2):
+    sig = minhash_signature(df, text_col, id_col, n_hashes, k)
+    cand = lsh_candidate_pairs(sig, id_col, bands, n_hashes // bands)
+    return jaccard_verify(cand, df, text_col, id_col, k, threshold)
+
+
+def minhash_pairs_sql(n_hashes: int = 16, k: int = 4, bands: int = 4,
+                      threshold: float = 0.2,
+                      table: str = "documents") -> str:
+    """DuckDB twin of minhash_pairs (identical hashes, bands, verify)."""
+    consts = perm_constants(n_hashes)
+    rpb = n_hashes // bands
+    sig_exprs = ", ".join(
+        f"list_min(list_transform(hs, h -> xor(h, {c}))) AS s{i}"
+        for i, c in enumerate(consts))
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {i} AS band, md5(concat_ws(',', "
+        + ", ".join(f"CAST(s{i * rpb + j} AS VARCHAR)"
+                    for j in range(rpb))
+        + ")) AS bh FROM sigs"
+        for i in range(bands))
+    return f"""
+WITH sh AS (
+  SELECT doc_id, {shingles_sql('text', k)} AS shingles FROM {table}
+), shf AS (
+  SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0
+), hsh AS (
+  SELECT doc_id,
+         list_transform(shingles,
+                        s -> {_hash64_sql('s')}) AS hs,
+         len(shingles) AS n FROM shf
+), sigs AS (
+  SELECT doc_id, n, {sig_exprs} FROM hsh
+), bandt AS ( {band_rows} ),
+cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM bandt l JOIN bandt r ON l.band = r.band AND l.bh = r.bh
+  WHERE l.doc_id < r.doc_id
+), ex AS (
+  SELECT doc_id, n, unnest(shingles) AS g FROM (
+    SELECT doc_id, shingles, len(shingles) AS n FROM shf)
+), inter AS (
+  SELECT c.doc_a, c.doc_b, a.n AS na, b.n AS nb, COUNT(*) AS ni
+  FROM cand c JOIN ex a ON a.doc_id = c.doc_a
+              JOIN ex b ON b.doc_id = c.doc_b AND b.g = a.g
+  GROUP BY 1, 2, 3, 4
+)
+SELECT doc_a, doc_b,
+       ROUND(CAST(ni AS DOUBLE) / (na + nb - ni), 6) AS jaccard
+FROM inter
+WHERE ROUND(CAST(ni AS DOUBLE) / (na + nb - ni), 6) >= {threshold}
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def simhash(df, text_col: str = "text", id_col: str = "doc_id"):
+    """-> (id, simhash long). Bit b of the signature is the sign of
+    sum over distinct words of (bit b of hash64(word) ? +1 : -1).
+    Explode + one groupBy with 32 flat SUM aggregates — all map-side
+    combinable, no UDF."""
+    from pyspark.sql import functions as F
+    w = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(F.regexp_extract_all(
+            F.lower(F.col(text_col)), F.lit(TOKEN_RX), 0))).alias("w"))
+    w = w.withColumn("h", _hash64_col(F.col("w")))
+    aggs = [F.sum(F.shiftright("h", b).bitwiseAND(F.lit(1)) * 2 - 1)
+            .alias(f"b{b}") for b in range(SIMHASH_BITS)]
+    g = w.groupBy(id_col).agg(*aggs)
+    sig = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b{b}") > 0,
+                      F.lit(1 << b).cast("long")).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return g.select(id_col, sig.alias("simhash"))
+
+
+def simhash_sql(table: str = "documents") -> str:
+    terms = []
+    for b in range(SIMHASH_BITS):
+        terms.append(
+            f"CASE WHEN SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 "
+            f"ELSE -1 END) > 0 THEN CAST({1 << b} AS BIGINT) "
+            f"ELSE 0 END")
+    return f"""
+WITH w AS (
+  SELECT doc_id, unnest(list_distinct(regexp_extract_all(lower(text),
+         '{TOKEN_RX}'))) AS w FROM {table}
+), h AS (
+  SELECT doc_id, {_hash64_sql('w')} AS h FROM w
+)
+SELECT doc_id, ({' + '.join(terms)}) AS simhash FROM h GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# character n-gram Jaccard (within-source blocking)
+# ---------------------------------------------------------------------------
+
+def ngram_pairs(df, *, n: int = 3, block_col: str = "source",
+                id_col: str = "doc_id", text_col: str = "text",
+                threshold: float = 0.35):
+    """Char-n-gram Jaccard near-dup pairs, blocked by ``block_col``
+    (at web scale the block is a cheap partition key — domain, language,
+    length bucket — keeping the pair space linear-ish)."""
+    from pyspark.sql import functions as F
+    # F.substring needs a literal pos; bind the lambda var via expr
+    grams = F.array_distinct(F.expr(
+        f"transform(sequence(1, greatest(length(lower({text_col})) "
+        f"- {n - 1}, 0)), i -> substring(lower({text_col}), i, {n}))"))
+    g = df.select(F.col(id_col), F.col(block_col).alias("blk"),
+                  grams.alias("grams"))
+    g = g.withColumn("ng", F.size("grams"))
+    ex = g.select(id_col, "blk", "ng", F.explode("grams").alias("g"))
+    a = ex.select(F.col(id_col).alias("doc_a"), F.col("ng").alias("na"),
+                  "blk", "g")
+    b = ex.select(F.col(id_col).alias("doc_b"), F.col("ng").alias("nb"),
+                  "blk", "g")
+    inter = (a.join(b, ["blk", "g"])
+             .filter(F.col("doc_a") < F.col("doc_b"))
+             .groupBy("doc_a", "doc_b", "na", "nb")
+             .agg(F.count(F.lit(1)).alias("ni")))
+    jac = F.round(F.col("ni").cast("double")
+                  / (F.col("na") + F.col("nb") - F.col("ni")), 6)
+    return (inter.select("doc_a", "doc_b", jac.alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))
+
+
+def ngram_pairs_sql(n: int = 3, threshold: float = 0.35,
+                    table: str = "documents") -> str:
+    return f"""
+WITH g AS (
+  SELECT doc_id, source AS blk,
+         list_distinct(list_transform(generate_series(1,
+             greatest(length(lower(text)) - {n - 1}, 0)),
+             i -> substring(lower(text), i, {n}))) AS grams
+  FROM {table}
+), ex AS (
+  SELECT doc_id, blk, len(grams) AS ng, unnest(grams) AS g FROM g
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.ng AS na, b.ng AS nb,
+         COUNT(*) AS ni
+  FROM ex a JOIN ex b ON a.blk = b.blk AND a.g = b.g
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT doc_a, doc_b,
+       ROUND(CAST(ni AS DOUBLE) / (na + nb - ni), 6) AS jaccard
+FROM inter
+WHERE ROUND(CAST(ni AS DOUBLE) / (na + nb - ni), 6) >= {threshold}
+"""

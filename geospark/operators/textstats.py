@@ -1,0 +1,146 @@
+"""Text analysis for training-data pipelines: language-ID heuristic,
+quality scoring, token counting, document fingerprinting.
+
+All pure built-in column expressions (regexp/md5/array lambdas) with
+exact DuckDB twins — zero UDFs, so the whole layer rides whole-stage
+codegen and pushes through Catalyst untouched.
+"""
+
+from __future__ import annotations
+
+TOKEN_RX = "[a-z0-9]+"
+
+# tiny per-language stopword profiles (n-gram heuristic tier; at real
+# scale these would be the top-100 lists — the operator shape is the same)
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "is", "in"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "nicht"],
+    "es": ["el", "la", "de", "y", "es", "que", "los"],
+    "fr": ["le", "la", "et", "les", "des", "un", "est"],
+}
+LANG_ORDER = ["en", "de", "es", "fr"]  # deterministic tiebreak order
+
+
+def words_col(text_col: str):
+    from pyspark.sql import functions as F
+    return F.regexp_extract_all(F.lower(F.col(text_col)),
+                                F.lit(TOKEN_RX), 0)
+
+
+def lang_scores(text_col: str):
+    """dict lang -> Column of stopword hit counts."""
+    from pyspark.sql import functions as F
+    w = words_col(text_col)
+    out = {}
+    for lang in LANG_ORDER:
+        sw = STOPWORDS[lang]
+        out[lang] = F.size(F.filter(w, lambda x: x.isin(*sw)))
+    return out
+
+
+def lang_guess(df, text_col: str = "text", id_col: str = "doc_id"):
+    """-> (id, lang_guess). argmax of stopword hits, 'und' (undetermined)
+    when no profile hits; ties resolved by LANG_ORDER."""
+    from pyspark.sql import functions as F
+    sc = lang_scores(text_col)
+    # build the CASE chain reversed so earlier langs win ties
+    expr = F.lit("und")
+    mx = F.greatest(*[sc[lg] for lg in LANG_ORDER], F.lit(1))
+    for lang in reversed(LANG_ORDER):
+        expr = F.when(sc[lang] >= mx, F.lit(lang)).otherwise(expr)
+    return df.select(F.col(id_col), expr.alias("lang_guess"))
+
+
+def lang_guess_sql(table: str = "documents") -> str:
+    score = {}
+    for lang in LANG_ORDER:
+        lst = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+        score[lang] = (f"len(list_filter(regexp_extract_all(lower(text), "
+                       f"'{TOKEN_RX}'), x -> x IN ({lst})))")
+    mx = f"greatest({', '.join(score[lg] for lg in LANG_ORDER)}, 1)"
+    expr = "'und'"
+    for lang in reversed(LANG_ORDER):
+        expr = (f"CASE WHEN {score[lang]} >= {mx} THEN '{lang}' "
+                f"ELSE {expr} END")
+    return f"SELECT doc_id, {expr} AS lang_guess FROM {table}"
+
+
+def quality_features(df, text_col: str = "text", id_col: str = "doc_id"):
+    """-> (id, n_chars, n_tokens, mean_token_len, punct_ratio,
+    stop_ratio, quality) — length/punct/stopword-ratio scoring, all
+    rational arithmetic (cross-engine exact) rounded at the boundary."""
+    from pyspark.sql import functions as F
+    w = words_col(text_col)
+    n_chars = F.length(text_col).cast("double")
+    n_tokens = F.size(w).cast("double")
+    alpha_chars = F.length(F.regexp_replace(
+        F.lower(F.col(text_col)), "[^a-z0-9]", "")).cast("double")
+    sw = STOPWORDS["en"]
+    n_stop = F.size(F.filter(w, lambda x: x.isin(*sw))).cast("double")
+    mean_tok = F.round(alpha_chars / F.greatest(n_tokens, F.lit(1.0)), 6)
+    punct = F.round((n_chars - alpha_chars)
+                    / F.greatest(n_chars, F.lit(1.0)), 6)
+    stopr = F.round(n_stop / F.greatest(n_tokens, F.lit(1.0)), 6)
+    quality = F.round(
+        (n_tokens / (n_chars + 1.0))
+        * (F.lit(1.0) - (n_chars - alpha_chars)
+           / F.greatest(n_chars, F.lit(1.0))), 8)
+    return df.select(
+        F.col(id_col), n_chars.cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        mean_tok.alias("mean_token_len"), punct.alias("punct_ratio"),
+        stopr.alias("stop_ratio"), quality.alias("quality"))
+
+
+def quality_features_sql(table: str = "documents") -> str:
+    w = f"regexp_extract_all(lower(text), '{TOKEN_RX}')"
+    sw = ", ".join(f"'{x}'" for x in STOPWORDS["en"])
+    return f"""
+SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS n_chars,
+  CAST(len({w}) AS BIGINT) AS n_tokens,
+  ROUND(CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+        AS DOUBLE) / greatest(CAST(len({w}) AS DOUBLE), 1.0), 6)
+    AS mean_token_len,
+  ROUND((CAST(length(text) AS DOUBLE)
+         - CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+                AS DOUBLE))
+        / greatest(CAST(length(text) AS DOUBLE), 1.0), 6) AS punct_ratio,
+  ROUND(CAST(len(list_filter({w}, x -> x IN ({sw}))) AS DOUBLE)
+        / greatest(CAST(len({w}) AS DOUBLE), 1.0), 6) AS stop_ratio,
+  ROUND((CAST(len({w}) AS DOUBLE) / (CAST(length(text) AS DOUBLE) + 1.0))
+        * (1.0 - (CAST(length(text) AS DOUBLE)
+                  - CAST(length(regexp_replace(lower(text), '[^a-z0-9]',
+                         '', 'g')) AS DOUBLE))
+                 / greatest(CAST(length(text) AS DOUBLE), 1.0)), 8)
+    AS quality
+FROM {table}
+"""
+
+
+def rolling_fingerprint(df, text_col: str = "text",
+                        id_col: str = "doc_id", window: int = 16):
+    """Winnowing-style document fingerprint: min hash64 over the
+    rolling set of ``window``-char substrings of the normalized text —
+    robust to small edits (unlike whole-text md5), cheap, built-in only.
+    -> (id, fp long)."""
+    from pyspark.sql import functions as F
+    norm = f"regexp_replace(lower({text_col}), '[^a-z0-9]+', ' ')"
+    grams = (f"transform(sequence(1, greatest(length({norm}) "
+             f"- {window - 1}, 1)), i -> substring({norm}, i, {window}))")
+    h = (f"array_min(transform({grams}, s -> "
+         f"CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)))")
+    return df.select(F.col(id_col), F.expr(h).alias("fp"))
+
+
+def rolling_fingerprint_sql(window: int = 16,
+                            table: str = "documents") -> str:
+    norm = "regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')"
+    return f"""
+SELECT doc_id,
+  list_min(list_transform(generate_series(1,
+      greatest(length({norm}) - {window - 1}, 1)),
+      i -> CAST(('0x' || substr(md5(substring({norm}, i, {window})),
+                 1, 15)) AS BIGINT))) AS fp
+FROM {table}
+"""

@@ -252,6 +252,58 @@ def q_ann_topk(spark, sf_dir):
             .limit(10))
 
 
+def q_minhash_pairs(spark, sf_dir):
+    from .operators.dedup import minhash_pairs
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_pairs(d)
+
+
+def q_simhash(spark, sf_dir):
+    from .operators.dedup import simhash
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash(d)
+
+
+def q_ngram_pairs(spark, sf_dir):
+    from .operators.dedup import ngram_pairs
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ngram_pairs(d)
+
+
+def q_embed_near_dup(spark, sf_dir):
+    from .operators.similarity import lsh_near_dup
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # 0.3 yields a non-trivial pair set on the synthetic embeddings
+    # (max in-bucket cosine is ~0.43); real dedup would use ~0.9
+    return lsh_near_dup(e, threshold=0.3)
+
+
+def q_lsh_ann_topk(spark, sf_dir):
+    from pyspark.sql import functions as F
+    from .operators.similarity import lsh_ann_topk
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return lsh_ann_topk(e, qv, 10)
+
+
+def q_lang_guess(spark, sf_dir):
+    from .operators.textstats import lang_guess
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return lang_guess(d)
+
+
+def q_quality_features(spark, sf_dir):
+    from .operators.textstats import quality_features
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return quality_features(d)
+
+
+def q_rolling_fp(spark, sf_dir):
+    from .operators.textstats import rolling_fingerprint
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return rolling_fingerprint(d)
+
+
 QUERIES = {
     "cell_assign": q_cell_assign,
     "cell_counts": q_cell_counts,
@@ -270,6 +322,14 @@ QUERIES = {
     "doc_quality": q_doc_quality,
     "fingerprint": q_fingerprint,
     "ann_topk": q_ann_topk,
+    "minhash_pairs": q_minhash_pairs,
+    "simhash": q_simhash,
+    "ngram_pairs": q_ngram_pairs,
+    "embed_near_dup": q_embed_near_dup,
+    "lsh_ann_topk": q_lsh_ann_topk,
+    "lang_guess": q_lang_guess,
+    "quality_features": q_quality_features,
+    "rolling_fp": q_rolling_fp,
 }
 
 
@@ -347,6 +407,20 @@ def oracle_sql() -> dict[str, str]:
             ", 6) AS sim FROM embeddings "
             "ORDER BY sim DESC, vec_id ASC LIMIT 10",
     }
+    from .operators.dedup import (minhash_pairs_sql, ngram_pairs_sql,
+                                  simhash_sql)
+    from .operators.similarity import lsh_ann_topk_sql, lsh_near_dup_sql
+    from .operators.textstats import (lang_guess_sql,
+                                      quality_features_sql,
+                                      rolling_fingerprint_sql)
+    out["minhash_pairs"] = minhash_pairs_sql()
+    out["simhash"] = simhash_sql()
+    out["ngram_pairs"] = ngram_pairs_sql()
+    out["embed_near_dup"] = lsh_near_dup_sql(threshold=0.3)
+    out["lsh_ann_topk"] = lsh_ann_topk_sql()
+    out["lang_guess"] = lang_guess_sql()
+    out["quality_features"] = quality_features_sql()
+    out["rolling_fp"] = rolling_fingerprint_sql()
     return out
 
 

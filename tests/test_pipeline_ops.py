@@ -1,0 +1,212 @@
+"""Checkpoint/resume, multimodal plumbing, streaming convergence, and
+dedup/similarity operator properties (Tier 3, SURVEY.md §5.2)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+pytestmark = pytest.mark.spark
+
+
+# ---------------------------------------------------------------------------
+# checkpoint / lineage / resume
+# ---------------------------------------------------------------------------
+
+def test_checkpoint_resume(spark, tmp_path):
+    from geospark.sources.checkpoint import CheckpointStore, Pipeline
+    root = str(tmp_path / "ckpt")
+    calls = {"a": 0, "b": 0}
+
+    def build(n):
+        def f():
+            calls[n] += 1
+            return spark.range(100).withColumn("v", F.col("id") * 2)
+        return f
+
+    p1 = Pipeline(spark, CheckpointStore(root))
+    df_a = p1.stage("a", build("a"))
+    df_b = p1.stage("b", build("b"))
+    assert calls == {"a": 1, "b": 1}
+    rows1 = sorted((r.id, r.v) for r in df_b.collect())
+
+    # resume: nothing reruns, outputs identical
+    p2 = Pipeline(spark, CheckpointStore(root))
+    df_a2 = p2.stage("a", build("a"))
+    df_b2 = p2.stage("b", build("b"))
+    assert calls == {"a": 1, "b": 1}
+    assert [s["skipped"] for s in p2.report] == [True, True]
+    assert sorted((r.id, r.v) for r in df_b2.collect()) == rows1
+
+    # force-rerun upstream invalidates downstream (fingerprint chain)
+    p3 = Pipeline(spark, CheckpointStore(root))
+    p3.stage("a", build("a"), force=True)
+    p3.stage("b", build("b"))
+    assert calls == {"a": 2, "b": 2}
+
+
+def test_checkpoint_lineage_and_manifest(spark, tmp_path):
+    from geospark.sources.checkpoint import CheckpointStore
+    store = CheckpointStore(str(tmp_path / "ck2"))
+    df, manifest, skipped = store.run_stage(
+        spark, "s1", lambda: spark.range(1000).repartition(4))
+    assert not skipped
+    assert manifest["n_rows"] == 1000
+    assert manifest["n_bytes"] > 0
+    lin = store.lineage(spark, "s1").toPandas()
+    assert lin["n_rows"].sum() == 1000
+    assert len(lin) >= 2  # multiple partitions recorded
+    # uncommitted (torn) manifest is invisible: delete manifest -> rerun
+    m = store._manifest_path("s1", manifest["snapshot_id"])
+    os.remove(m)
+    _, m2, skipped2 = store.run_stage(
+        spark, "s1", lambda: spark.range(1000))
+    assert not skipped2
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+def test_multimodal_meta_and_features(spark):
+    from geospark.operators import multimodal as mm
+    assets = mm.synth_assets_df(spark, 60).cache()
+    meta = mm.with_asset_meta(assets).toPandas().sort_values("asset_id")
+    assert len(meta) == 60 and meta["valid"].all()
+    assert set(meta["kind"]) == {1, 2, 3}
+    assert (meta["width"] >= 4).all() and (meta["n_bytes"] > 16).all()
+
+    feats = mm.byte_histogram_features(assets).toPandas()
+    assert len(feats) == 60
+    fl = np.array(feats["features"].tolist())
+    assert fl.shape[1] == 16
+    np.testing.assert_allclose(fl.sum(axis=1), 1.0, atol=1e-9)
+
+    frames = mm.frame_sample(assets, every_k=2).toPandas()
+    vids = meta[meta["kind"] == mm.KIND_VIDEO]
+    exp = int(sum((nf + 1) // 2 for nf in vids["n_frames"]))
+    assert len(frames) == exp
+    assert (frames["frame_bytes"].map(len) > 0).all()
+
+
+def test_multimodal_decode_stub_gate(spark):
+    from geospark.operators import multimodal as mm
+    a = mm.make_asset(7, mm.KIND_IMAGE, 8, 6)
+    with pytest.raises(NotImplementedError):
+        mm.decode_image(a)
+    img = mm.decode_image(a, allow_fake=True)
+    assert img.shape == (6, 8) and img.dtype == np.uint8
+    # deterministic
+    np.testing.assert_array_equal(img, mm.decode_image(a, allow_fake=True))
+
+
+# ---------------------------------------------------------------------------
+# streaming converges to batch
+# ---------------------------------------------------------------------------
+
+def test_stream_tile_counts_matches_batch(spark, tmp_path):
+    from geospark.sources.synth import pages_df, PAGES_SCHEMA
+    from geospark.operators.extract import extract_pages
+    from geospark.streaming.stream import (run_available_now,
+                                           stream_tile_counts)
+    src = str(tmp_path / "pages_src")
+    pages = pages_df(spark, 800)
+    geo = extract_pages(pages)
+    geo.write.mode("overwrite").parquet(src)
+
+    schema = ("url string, warc_ts timestamp, lang string, "
+              "lat double, lon double, kind string")
+    # update mode: last refinement per (window, cell) == exact batch agg
+    sdf = stream_tile_counts(spark, src, schema=schema, res=5,
+                             window="1 hour")
+    run_available_now(sdf, str(tmp_path / "ck_u"), "stream_tiles_u",
+                      output_mode="update")
+    got = spark.sql("SELECT cell, SUM(n) AS n FROM ("
+                    "SELECT win_start, cell, MAX(n_docs) AS n "
+                    "FROM stream_tiles_u GROUP BY 1, 2) GROUP BY cell")
+    from geospark.operators.tiles import tile_counts
+    exp = tile_counts(spark.read.parquet(src), 5) \
+        .withColumnRenamed("n_docs", "n")
+    g = {(r.cell, r.n) for r in got.collect()}
+    e = {(r.cell, r.n) for r in exp.collect()}
+    assert g == e
+
+    # append mode: watermark semantics — emitted rows are a subset of
+    # the batch result, each exactly matching its batch count
+    sdf2 = stream_tile_counts(spark, src, schema=schema, res=5,
+                              window="1 hour")
+    run_available_now(sdf2, str(tmp_path / "ck_a"), "stream_tiles_a",
+                      output_mode="append")
+    got_a = spark.sql("SELECT cell, SUM(n_docs) AS n FROM stream_tiles_a "
+                      "GROUP BY cell")
+    ga = {r.cell: r.n for r in got_a.collect()}
+    eb = {r.cell: r.n for r in exp.collect()}
+    assert all(k in eb and ga[k] <= eb[k] for k in ga)
+
+
+# ---------------------------------------------------------------------------
+# dedup / similarity properties
+# ---------------------------------------------------------------------------
+
+def test_exact_dedup_keeps_one_per_text(spark):
+    from geospark.operators.dedup import exact_dedup
+    df = spark.createDataFrame(
+        [(1, "aaa"), (2, "bbb"), (3, "aaa"), (4, "ccc"), (5, "bbb")],
+        "doc_id long, text string")
+    out = exact_dedup(df).toPandas().sort_values("doc_id")
+    assert out["doc_id"].tolist() == [1, 2, 4]
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    from geospark.operators.dedup import minhash_pairs
+    base = ("the quick brown fox jumps over the lazy dog while data "
+            "flows through spark pipelines at massive scale every day")
+    docs = [(0, base), (1, base.replace("lazy", "sleepy")),
+            (2, "completely different words about unrelated topics "
+                "nothing shared here at all in any shingle window ok"),
+            (3, base + " with a small suffix added")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    pairs = {(r.doc_a, r.doc_b)
+             for r in minhash_pairs(df, threshold=0.3).collect()}
+    assert (0, 1) in pairs and (0, 3) in pairs
+    assert not any(2 in p for p in pairs)
+
+
+def test_lsh_ann_recall_planted(spark):
+    """LSH-bucketed ANN recall@10 vs brute force on PLANTED near-dups —
+    the guarantee that matters for dedup: strongly correlated vectors
+    land in the query's buckets with high probability."""
+    from geospark.operators.similarity import cosine_col, lsh_ann_topk
+    rng = np.random.default_rng(123)
+    q = rng.normal(size=64)
+    rows = []
+    for i in range(9):  # 9 planted near-dups of the query
+        v = q + rng.normal(scale=0.15, size=64)
+        rows.append((i + 1, [float(x) for x in v]))
+    for i in range(300):  # noise
+        rows.append((100 + i,
+                     [float(x) for x in rng.normal(size=64)]))
+    rows.insert(0, (0, [float(x) for x in q]))
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    approx = lsh_ann_topk(e, [float(x) for x in q], 10,
+                          n_bits=6, n_tables=4).toPandas()
+    planted = set(range(10))
+    recall = len(set(approx.vec_id) & planted) / 10.0
+    assert recall >= 0.9
+    assert approx.vec_id.iloc[0] == 0  # exact self-match ranks first
+
+
+def test_lsh_ann_isotropic_sanity(spark):
+    """On isotropic data the approximate tier still returns the query
+    itself and only valid candidates (no exactness claim)."""
+    from geospark.operators.similarity import lsh_ann_topk
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qv = e.filter(F.col("vec_id") == 0).select("embedding") \
+        .collect()[0][0]
+    approx = lsh_ann_topk(e, qv, 10, n_bits=6, n_tables=4).toPandas()
+    assert approx.vec_id.iloc[0] == 0 and approx.sim.iloc[0] == 1.0
+    assert approx.sim.is_monotonic_decreasing
