@@ -76,22 +76,38 @@ def shingles_sql(text_expr: str, k: int) -> str:
             f"[i:i + {k - 1}], ' ')))")
 
 
+def shingle_hashes(df, text_col: str = "text", id_col: str = "doc_id",
+                   k: int = 4):
+    """-> exploded (id, h) — one row per distinct shingle, h = 60-bit
+    md5 prefix. The single md5 pass everything downstream shares.
+
+    Perf note (measured at sf0.1): keeping shingle hashes inside array
+    columns and folding with transform/aggregate lambdas is 10-30x
+    slower than explode + flat aggregates — Spark's higher-order array
+    functions are interpreted per element, while explode + groupBy
+    aggregates ride whole-stage codegen and map-side combine."""
+    from pyspark.sql import functions as F
+    ex = df.select(F.col(id_col),
+                   F.explode(shingles_col(text_col, k)).alias("_s"))
+    return ex.select(id_col, _hash64_col(F.col("_s")).alias("h"))
+
+
 def minhash_signature(df, text_col: str = "text", id_col: str = "doc_id",
                       n_hashes: int = 16, k: int = 4):
     """-> (id, sig array<long>[n_hashes]). sig_i = min over shingles of
     hash64(shingle) XOR c_i (XOR permutation family — exact in int64 on
-    every engine; multiply-mod would overflow differently per engine)."""
+    every engine; multiply-mod would overflow differently per engine).
+    Computed as n_hashes flat MIN aggregates over the exploded shingle
+    table (codegen + partial aggregation)."""
     from pyspark.sql import functions as F
     consts = perm_constants(n_hashes)
-    sh = shingles_col(text_col, k)
-    hs = F.transform(sh, lambda s: _hash64_col(s))
-    sig = F.array(*[
-        F.array_min(F.transform(hs, lambda h: h.bitwiseXOR(F.lit(c))))
-        for c in consts])
-    return (df.select(F.col(id_col), sig.alias("sig"))
-            .filter(F.size("sig") > 0)
-            .filter(~F.array_contains(
-                F.transform(F.col("sig"), lambda x: x.isNull()), True)))
+    sh = shingle_hashes(df, text_col, id_col, k)
+    aggs = [F.min(F.col("h").bitwiseXOR(F.lit(c))).alias(f"_m{i}")
+            for i, c in enumerate(consts)]
+    g = sh.groupBy(id_col).agg(*aggs)
+    return g.select(F.col(id_col),
+                    F.array(*[F.col(f"_m{i}")
+                              for i in range(n_hashes)]).alias("sig"))
 
 
 def lsh_candidate_pairs(sig_df, id_col: str = "doc_id", bands: int = 4,
@@ -125,20 +141,19 @@ def lsh_candidate_pairs(sig_df, id_col: str = "doc_id", bands: int = 4,
             .distinct())
 
 
-def jaccard_verify(pairs, docs, text_col: str = "text",
-                   id_col: str = "doc_id", k: int = 4,
+def jaccard_verify(pairs, shashes, id_col: str = "doc_id",
                    threshold: float = 0.2):
-    """Exact shingle-set Jaccard on candidate pairs (the refine step).
-    -> (doc_a, doc_b, jaccard) with jaccard rounded(6) >= threshold."""
+    """Exact shingle-set Jaccard on candidate pairs (the refine step),
+    over the shared exploded (id, h) table — the intersection join keys
+    on a long, not a string. -> (doc_a, doc_b, jaccard rounded 6)."""
     from pyspark.sql import functions as F
-    sh = docs.select(F.col(id_col), shingles_col(text_col, k).alias("sh"),
-                     F.size(shingles_col(text_col, k)).alias("n"))
-    ex = sh.select(id_col, "n", F.explode("sh").alias("g"))
+    ex = shashes.join(
+        shashes.groupBy(id_col).agg(F.count(F.lit(1)).alias("n")), id_col)
     a = ex.select(F.col(id_col).alias("doc_a"), F.col("n").alias("na"),
-                  "g")
+                  "h")
     bb = ex.select(F.col(id_col).alias("doc_b"), F.col("n").alias("nb"),
-                   "g")
-    inter = (pairs.join(a, "doc_a").join(bb, ["doc_b", "g"])
+                   "h")
+    inter = (pairs.join(a, "doc_a").join(bb, ["doc_b", "h"])
              .groupBy("doc_a", "doc_b", "na", "nb")
              .agg(F.count(F.lit(1)).alias("ni")))
     jac = F.round(F.col("ni").cast("double")
@@ -150,9 +165,17 @@ def jaccard_verify(pairs, docs, text_col: str = "text",
 def minhash_pairs(df, *, text_col: str = "text", id_col: str = "doc_id",
                   n_hashes: int = 16, k: int = 4, bands: int = 4,
                   threshold: float = 0.2):
-    sig = minhash_signature(df, text_col, id_col, n_hashes, k)
+    from pyspark.sql import functions as F
+    consts = perm_constants(n_hashes)
+    sh = shingle_hashes(df, text_col, id_col, k).persist()
+    aggs = [F.min(F.col("h").bitwiseXOR(F.lit(c))).alias(f"_m{i}")
+            for i, c in enumerate(consts)]
+    sig = (sh.groupBy(id_col).agg(*aggs)
+           .select(F.col(id_col),
+                   F.array(*[F.col(f"_m{i}")
+                             for i in range(n_hashes)]).alias("sig")))
     cand = lsh_candidate_pairs(sig, id_col, bands, n_hashes // bands)
-    return jaccard_verify(cand, df, text_col, id_col, k, threshold)
+    return jaccard_verify(cand, sh, id_col, threshold)
 
 
 def minhash_pairs_sql(n_hashes: int = 16, k: int = 4, bands: int = 4,
@@ -188,12 +211,11 @@ cand AS (
   FROM bandt l JOIN bandt r ON l.band = r.band AND l.bh = r.bh
   WHERE l.doc_id < r.doc_id
 ), ex AS (
-  SELECT doc_id, n, unnest(shingles) AS g FROM (
-    SELECT doc_id, shingles, len(shingles) AS n FROM shf)
+  SELECT doc_id, n, unnest(hs) AS h FROM hsh
 ), inter AS (
   SELECT c.doc_a, c.doc_b, a.n AS na, b.n AS nb, COUNT(*) AS ni
   FROM cand c JOIN ex a ON a.doc_id = c.doc_a
-              JOIN ex b ON b.doc_id = c.doc_b AND b.g = a.g
+              JOIN ex b ON b.doc_id = c.doc_b AND b.h = a.h
   GROUP BY 1, 2, 3, 4
 )
 SELECT doc_a, doc_b,

@@ -103,11 +103,74 @@ _GEOTAG_SCHEMA = ("url string, warc_ts timestamp, lang string, "
                   "lat double, lon double, kind string")
 
 
+def _jvm_tags(html_s, rx: str, lat_group: int, lon_group: int, kind: str):
+    """Column expr: array<struct<lat,lon,kind>> for one tag pattern —
+    regexp_extract_all for full matches, then per-match group extraction
+    (arrays are tiny: 0-3 tags per page)."""
+    from pyspark.sql import functions as F
+    ms = F.regexp_extract_all(html_s, F.lit(rx), 0)
+    return F.transform(ms, lambda m: F.struct(
+        F.regexp_extract(m, rx, lat_group).cast("double").alias("lat"),
+        F.regexp_extract(m, rx, lon_group).cast("double").alias("lon"),
+        F.lit(kind).alias("kind")))
+
+
 def extract_pages(df):
     """pages(url, warc_ts, html, text, lang) -> one row per geotag:
-    (url, warc_ts, lang, lat, lon, kind). mapInPandas keeps the whole
-    transform Arrow-batched — the fan-out (0-3 tags per page) happens in
-    pandas, not via a per-row explode UDF."""
+    (url, warc_ts, lang, lat, lon, kind).
+
+    Pure JVM built-ins (decode + regexp_extract_all + explode): the
+    extraction hot path has ZERO Python — faster than the mapInPandas
+    variant (no Arrow transfer, no Python workers competing for cores),
+    and the html column is scanned ONCE with an alternation of the three
+    tag patterns (at 100 TB the html scan is the bandwidth bill; 3
+    regex passes would triple it). Per-match group re-extraction only
+    touches the tiny matched substrings. The pandas twin
+    (extract_pages_pandas) is kept and tested equal.
+
+    NOTE: emits tags grouped per kind in pattern order *per match
+    position*; the pandas twin orders by kind across the batch — equal
+    as multisets, which is what every consumer (joins, aggregates)
+    observes."""
+    from pyspark.sql import functions as F
+    # combined groups: 1=(meta full) 2=lat 3=lon | 4=(geouri full)
+    # 5=lat 6=lon | 7=(data full) 8=lon 9=lat
+    rx = (f"({RE_META.pattern})|({RE_GEOURI.pattern})"
+          f"|({RE_DATACOORDS.pattern})")
+    html_s = F.decode(F.col("html"), "UTF-8")
+    ms = F.regexp_extract_all(html_s, F.lit(rx), 0)
+
+    def tag(m):
+        lat = F.coalesce(
+            F.nullif(F.regexp_extract(m, rx, 2), F.lit("")),
+            F.nullif(F.regexp_extract(m, rx, 5), F.lit("")),
+            F.nullif(F.regexp_extract(m, rx, 9), F.lit("")))
+        lon = F.coalesce(
+            F.nullif(F.regexp_extract(m, rx, 3), F.lit("")),
+            F.nullif(F.regexp_extract(m, rx, 6), F.lit("")),
+            F.nullif(F.regexp_extract(m, rx, 8), F.lit("")))
+        kind = (F.when(F.regexp_extract(m, rx, 1) != "",
+                       F.lit(KIND_META))
+                .when(F.regexp_extract(m, rx, 4) != "",
+                      F.lit(KIND_GEOURI))
+                .otherwise(F.lit(KIND_DATACOORDS)))
+        return F.struct(lat.cast("double").alias("lat"),
+                        lon.cast("double").alias("lon"),
+                        kind.alias("kind"))
+
+    out = (df.select("url", "warc_ts", "lang",
+                     F.explode(F.transform(ms, tag)).alias("t"))
+           .select("url", "warc_ts", "lang",
+                   F.col("t.lat").alias("lat"),
+                   F.col("t.lon").alias("lon"),
+                   F.col("t.kind").alias("kind")))
+    return out.filter((F.col("lat") >= -90) & (F.col("lat") <= 90)
+                      & (F.col("lon") >= -180) & (F.col("lon") <= 180))
+
+
+def extract_pages_pandas(df):
+    """mapInPandas twin of extract_pages (kept for parity testing and as
+    the template for extractors that genuinely need Python)."""
     def fn(it):
         for pdf in it:
             tags = extract_geotags_batch(pdf["html"])

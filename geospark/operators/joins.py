@@ -106,6 +106,35 @@ def pick_resolution(polys: list[tuple[int, bytes | None]],
     return max_res
 
 
+def refine_expr_col(ring_map: dict[int, list[list[np.ndarray]]],
+                    poly_id_col: str, lon_col: str, lat_col: str):
+    """JVM-expression refine: the even-odd ray cast unrolled into a
+    CASE over poly ids (kernels.ops.point_in_rings_sql emits ANSI SQL
+    valid in both Spark and DuckDB). Zero Python — the whole PIP join
+    becomes whole-stage-codegen'd. Viable when the total edge count is
+    small (dimension tables: countries/zones); the UDF path covers the
+    general case."""
+    from pyspark.sql import functions as F
+
+    from ..kernels.ops import point_in_rings_sql
+    whens = []
+    for pid, pgs in ring_map.items():
+        pred = " OR ".join(
+            f"({point_in_rings_sql(lon_col, lat_col, rings)})"
+            for rings in pgs)
+        whens.append(f"WHEN {int(pid)} THEN ({pred})")
+    if not whens:
+        return F.lit(False)
+    return F.expr(f"CASE {poly_id_col} " + " ".join(whens)
+                  + " ELSE FALSE END")
+
+
+def total_edges(ring_map: dict[int, list[list[np.ndarray]]]) -> int:
+    return sum(max(r.shape[0] - 1, 0)
+               for pgs in ring_map.values()
+               for rings in pgs for r in rings)
+
+
 def make_refine_udf(ring_map: dict[int, list[list[np.ndarray]]]):
     """(poly_id, lon, lat) -> bool pandas UDF. The ring map travels in
     the closure (pickled once, reused per executor); the batch is grouped
@@ -134,7 +163,7 @@ def spatial_join(points, polys_df, *, res: int | None = None,
                  lat_col: str = "lat", lon_col: str = "lon",
                  poly_id_col: str = "zone_id", geom_col: str = "geom_wkb",
                  how: str = "inner", broadcast_cover: bool = True,
-                 salt: int = 0):
+                 salt: int = 0, refine_mode: str = "auto"):
     """Point-in-polygon join.
 
     points: DataFrame with lat/lon double columns.
@@ -174,11 +203,23 @@ def spatial_join(points, polys_df, *, res: int | None = None,
         else:
             joined = pts.join(cover_df, "_cell", "inner")
 
-    refine = make_refine_udf(ring_map)
-    matched = joined.filter(
-        F.col("_full") | refine(F.col(poly_id_col), F.col(lon_col),
-                                F.col(lat_col))
-    ).drop("_cell", "_full")
+    # split full-cell rows from boundary rows BEFORE the refine: Spark
+    # does not short-circuit `_full OR udf(...)` per row, so a single
+    # filter would ray-cast interior points too (most of a big
+    # polygon's area)
+    interior = joined.filter(F.col("_full"))
+    if refine_mode == "auto":
+        refine_mode = "expr" if total_edges(ring_map) <= 4096 else "udf"
+    if refine_mode == "expr":
+        # small dim: unroll the ray cast into a JVM expression — the
+        # entire join runs without Python (whole-stage codegen)
+        boundary = joined.filter(~F.col("_full")).filter(
+            refine_expr_col(ring_map, poly_id_col, lon_col, lat_col))
+    else:
+        refine = make_refine_udf(ring_map)
+        boundary = joined.filter(~F.col("_full")).filter(
+            refine(F.col(poly_id_col), F.col(lon_col), F.col(lat_col)))
+    matched = interior.unionByName(boundary).drop("_cell", "_full")
 
     if how == "inner":
         return matched
@@ -215,6 +256,9 @@ def knn_join(queries, points, k: int, *, res: int = 8,
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
+    # contract: one row per query id — duplicate query rows would fan
+    # out into duplicated candidates and corrupt row_number ranks
+    queries = queries.dropDuplicates([query_id_col])
     pts = points.withColumn("_pcell", cell_encode(p_lat, p_lon, res))
     # guarantee radius of a ring r (degrees): r cells in the *narrower*
     # axis; lat cells are 180/2^res deg, lon cells 360/2^res deg — a
@@ -222,11 +266,12 @@ def knn_join(queries, points, k: int, *, res: int = 8,
     cell_h = 180.0 / (1 << res)
     guard_deg = cell_h  # min(180/2^r, 360/2^r) = 180/2^r
 
-    remaining = queries
+    remaining = queries.persist()
+    n_remaining = remaining.count()
     results = []
     ring = 1
     for _ in range(max_iters):
-        if remaining.isEmpty():
+        if n_remaining == 0:
             break
         # neighbor-cell fanout as pure column ops: explode dx, dy ranges
         d = list(range(-ring, ring + 1))
@@ -256,7 +301,7 @@ def knn_join(queries, points, k: int, *, res: int = 8,
             dist.asc(), F.col(point_id_col).asc())
         topk = (j.withColumn("_sqdist", dist)
                  .withColumn("_rn", F.row_number().over(w))
-                 .filter(F.col("_rn") <= k))
+                 .filter(F.col("_rn") <= k)).persist()
         # satisfied: found k candidates AND kth distance within guarantee
         guard = (ring * guard_deg) ** 2
         stats = (topk.groupBy(query_id_col)
@@ -264,11 +309,15 @@ def knn_join(queries, points, k: int, *, res: int = 8,
                       F.max("_sqdist").alias("_kth")))
         sat_ids = stats.filter((F.col("_n") >= k)
                                & (F.col("_kth") <= F.lit(guard))) \
-            .select(query_id_col)
+            .select(query_id_col).persist()
         results.append(topk.join(sat_ids, query_id_col, "left_semi"))
-        remaining = remaining.join(sat_ids, query_id_col, "left_anti")
+        # materialize the shrunken query set once per iteration — chained
+        # anti-joins otherwise recompute the whole history every pass
+        remaining = remaining.join(sat_ids, query_id_col, "left_anti") \
+            .persist()
+        n_remaining = remaining.count()
         ring *= 2
-    if not remaining.isEmpty():
+    if n_remaining > 0:
         # brute-force fallback for stragglers (exactness floor)
         j = remaining.crossJoin(F.broadcast(pts.drop("_pcell")))
         dist = ((F.col(q_lat) - F.col(p_lat)) * (F.col(q_lat) - F.col(p_lat))

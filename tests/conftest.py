@@ -13,6 +13,7 @@ def spark():
          .config("spark.ui.showConsoleProgress", "false")
          .config("spark.sql.session.timeZone", "UTC")
          .config("spark.sql.adaptive.enabled", "true")
+         .config("spark.driver.memory", "16g")
          .getOrCreate())
     s.sparkContext.setLogLevel("ERROR")
     yield s

@@ -37,6 +37,17 @@ def test_text_extraction_invariant(spark, pages):
     assert bad.count() == 0
 
 
+def test_extract_jvm_equals_pandas(spark, pages):
+    """The single-pass JVM extractor and the pandas twin produce the
+    same multiset of geotag rows."""
+    from geospark.operators.extract import extract_pages, \
+        extract_pages_pandas
+    key = lambda r: (r.url, round(r.lat, 9), round(r.lon, 9), r.kind)  # noqa
+    a = sorted(map(key, extract_pages(pages).collect()))
+    b = sorted(map(key, extract_pages_pandas(pages).collect()))
+    assert a == b
+
+
 def test_synth_parallelism_invariant(spark):
     from geospark.sources.synth import pages_df
     a = pages_df(spark, 400).repartition(1).orderBy("url").toPandas()
@@ -108,6 +119,19 @@ def test_spatial_join_salted_shuffle_path(spark, geo):
     assert a == b
 
 
+def test_spatial_join_refine_modes_agree(spark, geo):
+    """The codegen'd expression refine and the pandas-UDF refine are the
+    same arithmetic — outputs must be identical."""
+    from geospark.operators.joins import spatial_join
+    from geospark.sources.synth import zones_df
+    zones = zones_df(spark)
+    a = set((r.url, r.zone_id) for r in
+            spatial_join(geo, zones, res=8, refine_mode="expr").collect())
+    b = set((r.url, r.zone_id) for r in
+            spatial_join(geo, zones, res=8, refine_mode="udf").collect())
+    assert a == b
+
+
 def test_spatial_join_semi_anti_partition(spark, geo):
     from geospark.operators.joins import spatial_join
     from geospark.sources.synth import zones_df
@@ -119,9 +143,11 @@ def test_spatial_join_semi_anti_partition(spark, geo):
 
 def test_knn_exact_vs_bruteforce(spark, geo):
     from geospark.operators.joins import knn_join
-    q = (geo.limit(30)
-         .select(F.col("url").alias("query_id"),
-                 F.col("lat").alias("q_lat"), F.col("lon").alias("q_lon")))
+    q = (geo.select(F.col("url").alias("query_id"),
+                    F.col("lat").alias("q_lat"),
+                    F.col("lon").alias("q_lon"))
+         .dropDuplicates(["query_id"]).orderBy("query_id").limit(30)
+         .cache())
     p = geo.select(F.xxhash64("url", "lat", "lon").alias("point_id"),
                    "lat", "lon").distinct().cache()
     got = knn_join(q, p, 4, res=7).toPandas()
