@@ -232,6 +232,44 @@ def spatial_join(points, polys_df, *, res: int | None = None,
     raise ValueError(f"how={how!r}")
 
 
+def bbox_join(points, boxes, res: int, *,
+              lat_col: str = "lat", lon_col: str = "lon",
+              box_cols: tuple = ("xmin", "ymin", "xmax", "ymax"),
+              box_id_col: str = "box_id"):
+    """Point-in-bbox join as a pure column-expression rewrite: each box
+    explodes into its covering cells via sequence() over the x/y cell
+    ranges (no UDF, no driver collect — the box side can be a full
+    table, not just a broadcastable dim), equi-join on cell, then the
+    exact bbox compare. A point has exactly one cell, so no dedup is
+    needed. This is the range-join -> equi-join rewrite of SURVEY.md
+    §2.2 with Catalyst free to pick broadcast vs shuffle."""
+    from pyspark.sql import functions as F
+    xmin, ymin, xmax, ymax = (F.col(c) for c in box_cols)
+    n = 1 << res
+
+    def cx(lon):
+        return F.least(F.lit(n - 1).cast("long"), F.greatest(
+            F.lit(0).cast("long"),
+            F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(n))))
+
+    def cy(lat):
+        return F.least(F.lit(n - 1).cast("long"), F.greatest(
+            F.lit(0).cast("long"),
+            F.floor((lat + F.lit(90.0)) / F.lit(180.0) * F.lit(n))))
+
+    b = (boxes
+         .withColumn("_x", F.explode(F.sequence(cx(xmin), cx(xmax))))
+         .withColumn("_y", F.explode(F.sequence(cy(ymin), cy(ymax))))
+         .withColumn("_cell", F.shiftleft(F.lit(res).cast("long"), 56)
+                     + F.shiftleft(F.col("_y"), res) + F.col("_x"))
+         .drop("_x", "_y"))
+    p = points.withColumn("_cell", cell_encode(lat_col, lon_col, res))
+    out = p.join(b, "_cell").filter(
+        (F.col(lon_col) >= xmin) & (F.col(lon_col) <= xmax)
+        & (F.col(lat_col) >= ymin) & (F.col(lat_col) <= ymax))
+    return out.drop("_cell")
+
+
 # ---------------------------------------------------------------------------
 # kNN join with candidate-cell expansion
 # ---------------------------------------------------------------------------

@@ -304,6 +304,86 @@ def q_rolling_fp(spark, sf_dir):
     return rolling_fingerprint(d)
 
 
+# box dimension derived from part (deterministic, SQL-reproducible)
+PART_BOX_SQL = (
+    "SELECT p_partkey AS box_id, "
+    "CAST((p_partkey * 3) % 300 AS DOUBLE) - 150.0 AS xmin_c, "
+    "CAST((p_partkey * 7) % 150 AS DOUBLE) - 75.0 AS ymin_c, "
+    "0.5 + CAST(p_size % 5 AS DOUBLE) * 0.3 AS half FROM part")
+
+
+def _part_boxes(spark, sf_dir):
+    from pyspark.sql import functions as F
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    cx = ((F.col("p_partkey") * 3) % 300).cast("double") - 150.0
+    cy = ((F.col("p_partkey") * 7) % 150).cast("double") - 75.0
+    half = 0.5 + (F.col("p_size") % 5).cast("double") * 0.3
+    return p.select(F.col("p_partkey").alias("box_id"),
+                    (cx - half).alias("xmin"), (cy - half).alias("ymin"),
+                    (cx + half).alias("xmax"), (cy + half).alias("ymax"))
+
+
+def q_bbox_join(spark, sf_dir):
+    from .operators.joins import bbox_join
+    pts = _cust_points(spark, sf_dir)
+    out = bbox_join(pts, _part_boxes(spark, sf_dir), res=RES_COARSE)
+    return out.select("c_custkey", "box_id")
+
+
+def q_tile_cube(spark, sf_dir):
+    from pyspark.sql import functions as F
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    pts = c.select(
+        "c_mktsegment",
+        ((F.col("c_custkey") % 180).cast("double") - 90.0).alias("lat"),
+        (((F.col("c_acctbal") % 360.0) + 360.0) % 360.0 - 180.0)
+        .alias("lon"))
+    return (pts.withColumn("cell", cell_encode("lat", "lon", RES_COARSE))
+            .cube("cell", "c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n_pts")))
+
+
+def q_top3_cells_per_zone(spark, sf_dir):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    pip = q_pip_join(spark, sf_dir)
+    pts = _cust_points(spark, sf_dir)
+    t = (pip.join(pts, "c_custkey")
+         .withColumn("cell", cell_encode("lat", "lon", RES_COARSE))
+         .groupBy("zone_id", "cell")
+         .agg(F.count(F.lit(1)).alias("n_pts")))
+    w = Window.partitionBy("zone_id").orderBy(
+        F.col("n_pts").desc(), F.col("cell").asc())
+    return (t.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 3)
+            .select("zone_id", "cell", "n_pts",
+                    F.col("rk").cast("int").alias("rk")))
+
+
+def q_cell_centroids(spark, sf_dir):
+    from pyspark.sql import functions as F
+    pts = _cust_points(spark, sf_dir)
+    return (pts.withColumn("cell", cell_encode("lat", "lon", RES_COARSE))
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n_pts"),
+                 F.round(F.avg("lat"), 6).alias("c_lat"),
+                 F.round(F.avg("lon"), 6).alias("c_lon")))
+
+
+def q_haversine_pairs(spark, sf_dir):
+    """Deterministic supplier->customer pairing, great-circle meters —
+    pins the transcendental-rounding policy across engines."""
+    from pyspark.sql import functions as F
+    from .functions.geometry import haversine_m
+    s = _supp_queries(spark, sf_dir)
+    c = _cust_points(spark, sf_dir)
+    j = s.join(c, s["query_id"] * 7 == c["c_custkey"])
+    hav = haversine_m(F.col("q_lat"), F.col("q_lon"),
+                      F.col("lat"), F.col("lon"))
+    return j.select("query_id", "c_custkey",
+                    F.round(hav, 0).alias("dist_m"))
+
+
 QUERIES = {
     "cell_assign": q_cell_assign,
     "cell_counts": q_cell_counts,
@@ -330,6 +410,11 @@ QUERIES = {
     "lang_guess": q_lang_guess,
     "quality_features": q_quality_features,
     "rolling_fp": q_rolling_fp,
+    "bbox_join": q_bbox_join,
+    "tile_cube": q_tile_cube,
+    "top3_cells_per_zone": q_top3_cells_per_zone,
+    "cell_centroids": q_cell_centroids,
+    "haversine_pairs": q_haversine_pairs,
 }
 
 
@@ -413,6 +498,40 @@ def oracle_sql() -> dict[str, str]:
     from .operators.textstats import (lang_guess_sql,
                                       quality_features_sql,
                                       rolling_fingerprint_sql)
+    out["bbox_join"] = (
+        f"WITH pts AS ({_CUST_PTS_CTE}), "
+        f"b AS (SELECT box_id, xmin_c - half AS xmin, ymin_c - half AS "
+        f"ymin, xmin_c + half AS xmax, ymin_c + half AS ymax FROM "
+        f"({PART_BOX_SQL})) "
+        f"SELECT c_custkey, box_id FROM pts JOIN b ON "
+        f"lon >= xmin AND lon <= xmax AND lat >= ymin AND lat <= ymax")
+    out["tile_cube"] = (
+        f"SELECT {cell6} AS cell, c_mktsegment, COUNT(*) AS n_pts "
+        f"FROM (SELECT c_mktsegment, {CUST_LAT_SQL} AS lat, "
+        f"{CUST_LON_SQL} AS lon FROM customer) "
+        f"GROUP BY CUBE (1, 2)")
+    out["top3_cells_per_zone"] = (
+        f"WITH pip AS ({_pip_union_sql(_CUST_PTS_CTE, 'c_custkey')}), "
+        f"pts AS ({_CUST_PTS_CTE}), "
+        f"t AS (SELECT zone_id, {cell6} AS cell, COUNT(*) AS n_pts "
+        f"FROM pip JOIN pts USING (c_custkey) GROUP BY 1, 2), "
+        f"r AS (SELECT zone_id, cell, n_pts, CAST(ROW_NUMBER() OVER ("
+        f"PARTITION BY zone_id ORDER BY n_pts DESC, cell ASC) AS "
+        f"INTEGER) AS rk FROM t) "
+        f"SELECT * FROM r WHERE rk <= 3")
+    out["cell_centroids"] = (
+        f"SELECT {cell6} AS cell, COUNT(*) AS n_pts, "
+        f"ROUND(AVG(lat), 6) AS c_lat, ROUND(AVG(lon), 6) AS c_lon "
+        f"FROM ({_CUST_PTS_CTE}) GROUP BY 1")
+    out["haversine_pairs"] = (
+        f"WITH q AS (SELECT s_suppkey AS query_id, {SUPP_LAT_SQL} AS "
+        f"q_lat, {SUPP_LON_SQL} AS q_lon FROM supplier), "
+        f"c AS ({_CUST_PTS_CTE}) "
+        f"SELECT query_id, c_custkey, ROUND(2.0 * 6371008.8 * ASIN(SQRT("
+        f"POWER(SIN(RADIANS(lat - q_lat) / 2), 2) + COS(RADIANS(q_lat)) "
+        f"* COS(RADIANS(lat)) * POWER(SIN(RADIANS(lon - q_lon) / 2), 2)"
+        f")), 0) AS dist_m "
+        f"FROM q JOIN c ON q.query_id * 7 = c.c_custkey")
     out["minhash_pairs"] = minhash_pairs_sql()
     out["simhash"] = simhash_sql()
     out["ngram_pairs"] = ngram_pairs_sql()

@@ -1,0 +1,107 @@
+"""Plan-shape assertions: the engine's scale claims, checked against
+the actual physical plans (SURVEY.md §4.2). These are the properties
+that survive a 100x scale-up: filters reach the parquet scan, small
+dims broadcast, hot paths stay JVM-side (no Python eval nodes), and
+aggregates are partial (map-side combine)."""
+
+from __future__ import annotations
+
+import pytest
+
+pytestmark = pytest.mark.spark
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(spark, df, mode: str = "formatted") -> str:
+    jm = spark._jvm.org.apache.spark.sql.execution.ExplainMode
+    return df._jdf.queryExecution().explainString(jm.fromString(mode))
+
+
+def test_bbox_filter_pushes_down(spark):
+    import geospark.queries as q
+    df = q.q_bbox_filter(spark, SF)
+    p = _plan(spark, df)
+    assert "PushedFilters" in p
+    # the acctbal-derived lon can't push (expression), but the scan must
+    # prune columns: only the two source columns are read
+    assert "ReadSchema" in p
+    rs = [ln for ln in p.splitlines() if "ReadSchema" in ln][0]
+    assert "c_custkey" in rs and "c_acctbal" in rs
+    assert "c_name" not in rs and "c_mktsegment" not in rs
+
+
+def test_pushdown_on_raw_column(spark):
+    from pyspark.sql import functions as F
+    df = spark.read.parquet(f"{SF}/customer.parquet") \
+        .filter(F.col("c_acctbal") > 0).select("c_custkey")
+    p = _plan(spark, df)
+    assert "GreaterThan(c_acctbal" in p
+
+
+def test_pip_join_is_broadcast_and_jvm_only(spark):
+    import geospark.queries as q
+    df = q.q_pip_join(spark, SF)
+    p = _plan(spark, df)
+    assert "BroadcastHashJoin" in p
+    # expression refine: NO Python evaluation nodes anywhere in the plan
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert "MapInPandas" not in p
+
+
+def test_pip_join_udf_mode_uses_python_only_on_boundary(spark):
+    from geospark.operators.joins import spatial_join
+    import geospark.queries as q
+    pts = q._cust_points(spark, SF)
+    df = spatial_join(pts, q.fixed_zones_df(spark), res=q.RES_COARSE,
+                      refine_mode="udf")
+    p = _plan(spark, df)
+    assert "BroadcastHashJoin" in p
+    assert "ArrowEvalPython" in p  # the refine, boundary branch only
+
+
+def test_flagship_pipeline_is_python_free(spark):
+    import __spark_entry__ as e
+    p = _plan(spark, e.entry(spark))
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert "MapInPandas" not in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_extraction_is_python_free(spark):
+    from geospark.operators.extract import extract_pages
+    from geospark.sources.synth import pages_df
+    p = _plan(spark, extract_pages(pages_df(spark, 10)))
+    # the synth source itself is mapInPandas; extraction must add no
+    # Python nodes beyond it
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    # extraction itself is Generate/Project/Filter over the generator's
+    # single MapInPandas node (formatted plans mention a node in both
+    # the tree and the details section)
+    tree = p.split("\n\n")[0]
+    assert tree.count("MapInPandas") == 1
+
+
+def test_tile_counts_partial_aggregation(spark):
+    import geospark.queries as q
+    df = q.q_cell_counts(spark, SF)
+    p = _plan(spark, df)
+    # partial (map-side) agg before the exchange, final after
+    assert "partial_count" in p or p.count("HashAggregate") >= 2
+    assert "ArrowEvalPython" not in p
+
+
+def test_minhash_is_python_free(spark):
+    from geospark.operators.dedup import minhash_pairs
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    p = _plan(spark, minhash_pairs(d))
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_knn_candidate_join_shape(spark):
+    import geospark.queries as q
+    df = q.q_knn(spark, SF)
+    p = _plan(spark, df)
+    # ranking is windowed per query, join side keyed by cell
+    assert "Window" in p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
