@@ -223,6 +223,14 @@ def _lazy_udfs():
         return s.map(lambda w: None if w is None
                      else write_wkb(parse_wkt(w)), na_action="ignore")
 
+    @pandas_udf(T.BinaryType())
+    def st_geomfromwkb_u(s: pd.Series) -> pd.Series:
+        """Validate + normalize foreign WKB (big-endian / EWKB flags)
+        into the engine's canonical little-endian ISO form. Identity on
+        already-canonical input."""
+        return s.map(lambda b: None if b is None
+                     else write_wkb(parse_wkb(b)), na_action="ignore")
+
     @pandas_udf(T.StringType())
     def st_astext_u(s: pd.Series) -> pd.Series:
         return s.map(lambda b: None if b is None
@@ -259,7 +267,8 @@ def _lazy_udfs():
 
     _UDF_CACHE.update(
         st_point=st_point_u, st_x=st_x_u, st_y=st_y_u,
-        st_geomfromtext=st_geomfromtext_u, st_astext=st_astext_u,
+        st_geomfromtext=st_geomfromtext_u,
+        st_geomfromwkb=st_geomfromwkb_u, st_astext=st_astext_u,
         st_geometrytype=st_geometrytype_u, st_typecode=st_typecode_u,
         st_isempty=st_isempty_u, st_envelope=st_envelope_u)
     return _UDF_CACHE
@@ -279,6 +288,10 @@ def st_y(c):
 
 def st_geomfromtext(c):
     return _lazy_udfs()["st_geomfromtext"](c)
+
+
+def st_geomfromwkb(c):
+    return _lazy_udfs()["st_geomfromwkb"](c)
 
 
 def st_astext(c):

@@ -136,6 +136,13 @@ class CheckpointStore:
         return out, manifest, False
 
 
+def diff_pending(current, done, keys: list[str]):
+    """Set-op resume primitive (SURVEY.md §2.2): rows of ``current``
+    whose keys are not in ``done`` — the still-pending work items.
+    Plain left_anti; Catalyst broadcasts the done side when small."""
+    return current.join(done.select(keys).distinct(), keys, "left_anti")
+
+
 class Pipeline:
     """Stage DAG runner over a CheckpointStore: each stage's fingerprint
     chains the previous one's snapshot id, so editing an upstream stage

@@ -68,6 +68,27 @@ def test_checkpoint_lineage_and_manifest(spark, tmp_path):
     assert not skipped2
 
 
+def test_diff_pending(spark):
+    from geospark.sources.checkpoint import diff_pending
+    cur = spark.range(10).withColumnRenamed("id", "k")
+    done = spark.createDataFrame([(1,), (3,), (7,)], "k long")
+    left = sorted(r.k for r in diff_pending(cur, done, ["k"]).collect())
+    assert left == [0, 2, 4, 5, 6, 8, 9]
+
+
+def test_st_geomfromwkb_normalizes_foreign_wkb(spark):
+    import struct
+    from pyspark.sql import functions as F
+    from geospark.functions.geometry import st_geomfromwkb, st_x, st_y
+    big_endian = struct.pack(">BIdd", 0, 1, 30.0, 10.0)
+    df = spark.createDataFrame([(big_endian,)], "wkb binary")
+    out = df.select(st_geomfromwkb(F.col("wkb")).alias("g")) \
+        .select(st_x(F.col("g")).alias("x"), st_y(F.col("g")).alias("y"),
+                F.col("g")).collect()[0]
+    assert (out.x, out.y) == (30.0, 10.0)
+    assert out.g[0] == 1  # canonical little-endian
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing
 # ---------------------------------------------------------------------------

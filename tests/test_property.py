@@ -1,0 +1,122 @@
+"""Property tests (hypothesis): extend the reference's roundtrip
+property style (geoarrow_geos_test.cc:117-166) from the fixed corpus to
+randomized geometries, and cross-check the ray-cast against an
+independent crossing-number implementation."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from geospark.kernels.garrow import ALL_ENCODINGS, decode, encode
+from geospark.kernels.geom import Geom, format_wkt, parse_wkt
+from geospark.kernels.ops import point_in_rings
+from geospark.kernels.wkb import parse_wkb, write_wkb
+
+coord = st.floats(min_value=-1e6, max_value=1e6, allow_nan=False,
+                  allow_subnormal=False).map(lambda v: round(v, 6))
+
+
+def _coords(ndim, min_k, max_k):
+    return st.lists(st.tuples(*[coord] * ndim), min_size=min_k,
+                    max_size=max_k)
+
+
+@st.composite
+def geoms(draw, ndim=2):
+    has_z = ndim == 3
+    t = draw(st.sampled_from([1, 2, 3, 4, 5, 6]))
+    if t == 1:
+        if draw(st.booleans()):
+            return Geom(1, has_z)
+        return Geom(1, has_z, coords=[draw(st.tuples(*[coord] * ndim))])
+    if t == 2:
+        pts = draw(_coords(ndim, 0, 6))
+        return Geom(2, has_z, coords=pts if pts else None)
+
+    def ring():
+        k = draw(st.integers(min_value=3, max_value=6))
+        pts = draw(_coords(ndim, k, k))
+        return np.array(pts + [pts[0]])
+    if t == 3:
+        n = draw(st.integers(min_value=0, max_value=3))
+        return Geom(3, has_z, rings=[ring() for _ in range(n)] or None)
+    if t == 4:
+        n = draw(st.integers(min_value=0, max_value=4))
+        return Geom(4, has_z, parts=[
+            Geom(1, has_z, coords=[draw(st.tuples(*[coord] * ndim))])
+            for _ in range(n)])
+    if t == 5:
+        n = draw(st.integers(min_value=0, max_value=3))
+        return Geom(5, has_z, parts=[
+            Geom(2, has_z, coords=draw(_coords(ndim, 2, 5)))
+            for _ in range(n)])
+    n = draw(st.integers(min_value=0, max_value=3))
+    return Geom(6, has_z, parts=[
+        Geom(3, has_z, rings=[ring() for _ in range(
+            draw(st.integers(min_value=1, max_value=2)))])
+        for _ in range(n)])
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.one_of(st.none(), geoms()), max_size=6))
+def test_wkb_wkt_roundtrip_property(batch):
+    for g in batch:
+        if g is None:
+            continue
+        assert parse_wkb(write_wkb(g)).equals_exact(g)
+        assert parse_wkt(format_wkt(g)).equals_exact(g)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(geoms(), min_size=0, max_size=5),
+       st.sampled_from([1, 2, 3, 4, 5, 6]), st.booleans())
+def test_native_encoding_roundtrip_property(batch, type_id, interleaved):
+    # native encodings need single-type batches: coerce by filtering
+    batch = [g for g in batch if g.type_id == type_id]
+    from geospark.kernels.garrow import NATIVE_EXTENSIONS
+    ext = NATIVE_EXTENSIONS[type_id - 1]
+    enc = "geoarrow_interleaved" if interleaved else "geoarrow"
+    arr, _ = encode(batch, enc, extension=ext, dims="xy")
+    back = decode(arr, f"geoarrow.{ext}")
+    assert len(back) == len(batch)
+    for g, b in zip(batch, back):
+        assert b is not None and g.equals_exact(b)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(geoms(ndim=3), min_size=1, max_size=4))
+def test_z_roundtrip_property(batch):
+    for g in batch:
+        assert parse_wkb(write_wkb(g)).equals_exact(g)
+
+
+def _crossing_number(px, py, rings):
+    """Independent scalar crossing-number implementation (different
+    formulation from ops.point_in_rings: edge-direction split instead of
+    the single xint comparison)."""
+    inside = False
+    for ring in rings:
+        for i in range(len(ring) - 1):
+            x1, y1 = ring[i][0], ring[i][1]
+            x2, y2 = ring[i + 1][0], ring[i + 1][1]
+            if (y1 <= py < y2) or (y2 <= py < y1):
+                t = (py - y1) / (y2 - y1)
+                xi = x1 + t * (x2 - x1)
+                if px < xi:
+                    inside = not inside
+    return inside
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.tuples(coord, coord), min_size=3, max_size=7),
+       st.tuples(coord, coord))
+def test_ray_cast_matches_independent_impl(ring_pts, pt):
+    ring = np.array(ring_pts + [ring_pts[0]], dtype=np.float64)
+    px, py = float(pt[0]), float(pt[1])
+    got = bool(point_in_rings(np.array([px]), np.array([py]),
+                              [ring])[0])
+    exp = _crossing_number(px, py, [ring])
+    assert got == exp
