@@ -31,6 +31,39 @@ def stream_tile_counts(spark, src_dir: str, schema: str, *,
                     F.col("w.end").alias("win_end"), "cell", "n_docs"))
 
 
+def stream_dedup_first(stream_df, key_col: str, schema: str):
+    """Custom stateful operator (applyInPandasWithState): emit only the
+    FIRST occurrence of each key across the whole stream — streaming
+    exact-dedup, the stream-side twin of operators.dedup.exact_dedup.
+
+    State per key = one long (occurrences seen). Grouping shuffles by
+    key once; state lives in the state store, so re-occurrences at any
+    later microbatch are suppressed. Scale: state size is O(distinct
+    keys) — for web-scale urls swap the key for a 64-bit hash column
+    (hash collisions then drop ~2^-64 of docs; acceptable for dedup)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key, pdfs, state):
+        seen = state.get[0] if state.exists else 0
+        first = None
+        n = 0
+        for pdf in pdfs:
+            n += len(pdf)
+            if seen == 0 and first is None and len(pdf):
+                first = pdf.iloc[[0]]
+        state.update((seen + n,))
+        if seen == 0 and first is not None:
+            yield first
+
+    return (stream_df.groupBy(key_col)
+            .applyInPandasWithState(
+                fn, outputStructType=schema,
+                stateStructType="n long",
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout))
+
+
 def run_available_now(stream_df, checkpoint_dir: str, out_table: str,
                       output_mode: str = "append"):
     """Drain everything currently in the source (test/batch-replay mode)

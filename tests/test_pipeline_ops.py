@@ -169,6 +169,35 @@ def test_stream_tile_counts_matches_batch(spark, tmp_path):
     assert all(k in eb and ga[k] <= eb[k] for k in ga)
 
 
+def test_stream_dedup_first(spark, tmp_path):
+    """applyInPandasWithState stateful dedup: each url emitted once even
+    when re-crawled in later microbatches."""
+    from geospark.sources.synth import pages_df
+    from geospark.streaming.stream import (run_available_now,
+                                           stream_dedup_first)
+    src = str(tmp_path / "dups_src")
+    pages = pages_df(spark, 200).select("url", "warc_ts", "lang")
+    # same 200 urls written twice -> two input files, re-crawl shape
+    pages.coalesce(1).write.mode("overwrite").parquet(src)
+    pages.coalesce(1).write.mode("append").parquet(src)
+
+    sdf = (spark.readStream
+           .schema("url string, warc_ts timestamp, lang string")
+           .option("maxFilesPerTrigger", 1).parquet(src))
+    out = stream_dedup_first(
+        sdf, "url", "url string, warc_ts timestamp, lang string")
+    q = (out.writeStream.format("memory").queryName("dedup_stream")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = spark.sql("SELECT url, COUNT(*) AS c FROM dedup_stream "
+                    "GROUP BY url")
+    rows = got.collect()
+    assert len(rows) == 200
+    assert all(r.c == 1 for r in rows)
+
+
 # ---------------------------------------------------------------------------
 # dedup / similarity properties
 # ---------------------------------------------------------------------------

@@ -110,12 +110,33 @@ def _crossing_number(px, py, rings):
     return inside
 
 
+def _dist_to_segments(px, py, ring):
+    d = np.inf
+    for i in range(len(ring) - 1):
+        ax, ay = ring[i]
+        bx, by = ring[i + 1]
+        vx, vy = bx - ax, by - ay
+        L2 = vx * vx + vy * vy
+        t = 0.0 if L2 == 0 else max(
+            0.0, min(1.0, ((px - ax) * vx + (py - ay) * vy) / L2))
+        qx, qy = ax + t * vx, ay + t * vy
+        d = min(d, ((px - qx) ** 2 + (py - qy) ** 2) ** 0.5)
+    return d
+
+
 @settings(max_examples=100, deadline=None)
 @given(st.lists(st.tuples(coord, coord), min_size=3, max_size=7),
        st.tuples(coord, coord))
 def test_ray_cast_matches_independent_impl(ring_pts, pt):
+    from hypothesis import assume
     ring = np.array(ring_pts + [ring_pts[0]], dtype=np.float64)
     px, py = float(pt[0]), float(pt[1])
+    # exclude points on/near the boundary: the two formulations round
+    # the edge-intersection differently there (what matters for the
+    # engine is that the NumPy kernel and its SQL twin share the SAME
+    # formulation — that identity is exercised by the oracle suite)
+    scale = 1.0 + float(np.abs(ring).max()) + abs(px) + abs(py)
+    assume(_dist_to_segments(px, py, ring) > 1e-9 * scale)
     got = bool(point_in_rings(np.array([px]), np.array([py]),
                               [ring])[0])
     exp = _crossing_number(px, py, [ring])
