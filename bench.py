@@ -72,7 +72,9 @@ def bench_queries(spark, sf_dir):
 
     def pip_lineitem():
         pts = _lineitem_points(spark, sf_dir)
-        out = spatial_join(pts, q.fixed_zones_df(spark), res=q.RES_COARSE)
+        # res=8 measured best for these zone extents (covering granular
+        # enough that most candidates hit full cells, explode still small)
+        out = spatial_join(pts, q.fixed_zones_df(spark), res=8)
         return out.groupBy("zone_id").count().count()
 
     def cell_counts_lineitem():
