@@ -307,30 +307,55 @@ def knn_join(queries, points, k: int, *, res: int = 8,
     remaining = queries.persist()
     n_remaining = remaining.count()
     results = []
-    ring = 1
+    # initial ring from data density: aim for ~4k candidates per query
+    # in the first pass ((2r+1)^2 * avg_pts_per_cell >= 4k), so typical
+    # queries satisfy in one iteration instead of walking 1,2,4,...
+    # (pure perf: the guarantee loop below keeps exactness regardless)
+    stats = pts.agg(F.count(F.lit(1)).alias("n"),
+                    F.countDistinct("_pcell").alias("c")).collect()[0]
+    avg = max(float(stats["n"]) / max(int(stats["c"]), 1), 1e-9)
+    import math
+    ring = max(1, min(1 << (res - 1),
+                      math.ceil((math.sqrt(4.0 * k / avg) - 1) / 2)))
     for _ in range(max_iters):
         if n_remaining == 0:
             break
-        # neighbor-cell fanout as pure column ops: explode dx, dy ranges
-        d = list(range(-ring, ring + 1))
+        # neighbor-cell fanout as pure column ops: explode dx, dy ranges.
+        # Longitude wraps; once 2*ring+1 >= grid width the relative
+        # pmod fanout would map two dx offsets to the SAME cell —
+        # duplicate candidates then fill the top-k with repeats and
+        # falsely satisfy the guarantee (caught by a k~dataset-size
+        # probe). At that threshold switch to absolute full-lon
+        # coverage: every x column exactly once.
+        n_cells = 1 << res
+        dy_vals = list(range(-ring, ring + 1))
         cand = (remaining
-                .withColumn("_dx", F.explode(F.array(*[F.lit(i) for i in d])))
-                .withColumn("_dy", F.explode(F.array(*[F.lit(i) for i in d])))
+                .withColumn("_dy", F.explode(F.array(
+                    *[F.lit(i) for i in dy_vals])))
                 .withColumn("_qx", F.least(
-                    F.lit((1 << res) - 1), F.greatest(F.lit(0), F.floor(
-                        (F.col(q_lon) + 180.0) / 360.0 * (1 << res)))))
+                    F.lit(n_cells - 1), F.greatest(F.lit(0), F.floor(
+                        (F.col(q_lon) + 180.0) / 360.0 * n_cells))))
                 .withColumn("_qy", F.least(
-                    F.lit((1 << res) - 1), F.greatest(F.lit(0), F.floor(
-                        (F.col(q_lat) + 90.0) / 180.0 * (1 << res)))))
-                .withColumn("_nx", F.pmod(F.col("_qx") + F.col("_dx"),
-                                          F.lit(1 << res)))
+                    F.lit(n_cells - 1), F.greatest(F.lit(0), F.floor(
+                        (F.col(q_lat) + 90.0) / 180.0 * n_cells)))))
+        if 2 * ring + 1 >= n_cells:
+            cand = cand.withColumn("_nx", F.explode(F.array(
+                *[F.lit(i) for i in range(n_cells)])))
+        else:
+            cand = (cand
+                    .withColumn("_dx", F.explode(F.array(
+                        *[F.lit(i) for i in range(-ring, ring + 1)])))
+                    .withColumn("_nx", F.pmod(F.col("_qx") + F.col("_dx"),
+                                              F.lit(n_cells)))
+                    .drop("_dx"))
+        cand = (cand
                 .withColumn("_ny", F.col("_qy") + F.col("_dy"))
-                .filter((F.col("_ny") >= 0) & (F.col("_ny") < (1 << res)))
+                .filter((F.col("_ny") >= 0) & (F.col("_ny") < n_cells))
                 .withColumn("_pcell",
                             F.shiftleft(F.lit(res).cast("long"), 56)
                             + F.shiftleft(F.col("_ny").cast("long"), res)
                             + F.col("_nx").cast("long"))
-                .drop("_dx", "_dy", "_qx", "_qy", "_nx", "_ny"))
+                .drop("_dy", "_qx", "_qy", "_nx", "_ny"))
         j = cand.join(pts, "_pcell", "inner").drop("_pcell")
         dist = ((F.col(q_lat) - F.col(p_lat)) * (F.col(q_lat) - F.col(p_lat))
                 + (F.col(q_lon) - F.col(p_lon))
@@ -354,7 +379,9 @@ def knn_join(queries, points, k: int, *, res: int = 8,
         remaining = remaining.join(sat_ids, query_id_col, "left_anti") \
             .persist()
         n_remaining = remaining.count()
-        ring *= 2
+        # cap: at ring >= n_cells the fanout already covers the whole
+        # grid; further doubling only grows the guarantee radius
+        ring = min(ring * 2, 1 << res)
     if n_remaining > 0:
         # brute-force fallback for stragglers (exactness floor)
         j = remaining.crossJoin(F.broadcast(pts.drop("_pcell")))

@@ -160,6 +160,30 @@ def test_knn_exact_vs_bruteforce(spark, geo):
         assert sub["point_id"].tolist() == exp
 
 
+def test_knn_sparse_large_k_exact(spark):
+    """Regression: with k near the dataset size the expansion ring grows
+    past half the grid width; the longitude-wrap fanout must not emit
+    duplicate candidate cells (duplicates filled top-k with repeats and
+    falsely satisfied the distance guarantee)."""
+    import geospark.queries as q
+    from geospark.operators.joins import knn_join
+    pts = q._cust_points(spark, "/root/testdata/sf0.001").limit(50) \
+        .withColumnRenamed("c_custkey", "point_id").cache()
+    pts.count()
+    qs = q._supp_queries(spark, "/root/testdata/sf0.001").limit(10) \
+        .cache()
+    qs.count()
+    got = knn_join(qs, pts, 20, res=6).toPandas()
+    pp = pts.toPandas()
+    assert not got.duplicated(["query_id", "point_id"]).any()
+    for qr in qs.collect():
+        d = (pp["lat"] - qr.q_lat) ** 2 + (pp["lon"] - qr.q_lon) ** 2
+        exp = [pid for _, pid in
+               sorted(zip(d.to_numpy(), pp["point_id"].to_numpy()))[:20]]
+        sub = got[got.query_id == qr.query_id].sort_values("rank")
+        assert sub["point_id"].tolist() == exp
+
+
 def test_cell_cover_refine_consistency(spark):
     """Every point the refine accepts lies in a covered cell (covering
     is a superset — the join can never miss by construction)."""
