@@ -91,8 +91,14 @@ def to_geoarrow(df, wkb_col: str, extension: str, dims: str = "xy",
 
 
 def from_geoarrow(df, geom_col: str, extension: str,
-                  out_col: str = "wkb"):
-    """Native GeoArrow nested column -> WKB binary column (EP2)."""
+                  out_col: str = "wkb", dims: str | None = None):
+    """Native GeoArrow nested column -> WKB binary column (EP2).
+
+    ``dims`` is required to disambiguate 3-wide interleaved coords:
+    Spark's list<double> spelling carries no dims metadata, so a width-3
+    coord could be XYZ or XYM — inferring XYZ would silently relabel M
+    values as Z. Separate-coord (struct) input carries the dims in its
+    field names and ignores the parameter."""
     out_ddl = ", ".join(
         [f"`{f}` {t}" for f, t in _passthrough_fields(df, geom_col)]
         + [f"`{out_col}` binary"])
@@ -101,7 +107,7 @@ def from_geoarrow(df, geom_col: str, extension: str,
         for b in batches:
             cols = {n: b.column(n) for n in b.schema.names}
             nested = cols.pop(geom_col)
-            arr = _geoarrow_from_spark_arrow(nested, extension)
+            arr = _geoarrow_from_spark_arrow(nested, extension, dims=dims)
             geoms = geoarrow_to_geoms(arr)
             wkb = pa.array([write_wkb(g) for g in geoms],
                            type=pa.binary())
@@ -112,9 +118,12 @@ def from_geoarrow(df, geom_col: str, extension: str,
     return df.mapInArrow(fn, schema=out_ddl)
 
 
-def _geoarrow_from_spark_arrow(a: pa.Array, extension: str):
+def _geoarrow_from_spark_arrow(a: pa.Array, extension: str,
+                               dims: str | None = None):
     """Spark's arrow spelling back to a kernels GeoArrowArray. Handles
-    both coord spellings (struct / list<double>)."""
+    both coord spellings (struct / list<double>). For interleaved input
+    ``dims`` resolves width-3 ambiguity (xyz vs xym); when omitted, a
+    3-wide column raises rather than silently guessing xyz."""
     import numpy as np
     if isinstance(a, pa.ChunkedArray):
         a = a.combine_chunks()
@@ -141,10 +150,21 @@ def _geoarrow_from_spark_arrow(a: pa.Array, extension: str):
     # innermost list = one coord per entry; width from first non-empty
     co = np.asarray(cur.offsets, dtype=np.int64)
     widths = np.diff(co)
-    nd = int(widths[widths > 0][0]) if (widths > 0).any() else 2
+    nd = int(widths[widths > 0][0]) if (widths > 0).any() else \
+        (len(dims) if dims else 2)
+    if dims is not None:
+        if len(dims) != nd:
+            raise ValueError(
+                f"declared dims {dims!r} (width {len(dims)}) but coord "
+                f"width is {nd}")
+    elif nd == 3:
+        raise ValueError(
+            "3-wide interleaved coords are ambiguous (xyz vs xym): pass "
+            "dims='xyz' or dims='xym' to from_geoarrow")
+    else:
+        dims = {2: "xy", 4: "xyzm"}[nd]
     flat = np.asarray(cur.values, dtype=np.float64)
     coords = flat.reshape(-1, nd)
-    dims = {2: "xy", 3: "xyz", 4: "xyzm"}[nd]
     return garrow.GeoArrowArray(extension, dims=dims, length=len(a),
                                 validity=validity, offsets=offsets,
                                 coords=coords)

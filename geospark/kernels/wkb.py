@@ -221,7 +221,12 @@ def parse_point_wkb_buffer(data: np.ndarray, offsets: np.ndarray,
             | (data[starts + 3].astype(np.uint32) << 16)
             | (data[starts + 4].astype(np.uint32) << 24))
     base = traw & np.uint32(0x1FFFFFFF)
-    is_pt = (bo == 1) & (base % np.uint32(1000) == 1)
+    # EWKB SRID flag (0x20000000) inserts 4 SRID bytes between the
+    # header and the coords — reading bytes 5..21 would consume them as
+    # coordinate data. Exclude those rows so they fall back to the
+    # general codec (parse_wkb handles SRID correctly).
+    is_pt = ((bo == 1) & (base % np.uint32(1000) == 1)
+             & ((traw & np.uint32(0x20000000)) == 0))
     idx = idx[is_pt]
     if idx.size == 0:
         return x, y, ok

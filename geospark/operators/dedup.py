@@ -164,7 +164,7 @@ def jaccard_verify(pairs, shashes, id_col: str = "doc_id",
 
 def minhash_pairs(df, *, text_col: str = "text", id_col: str = "doc_id",
                   n_hashes: int = 16, k: int = 4, bands: int = 4,
-                  threshold: float = 0.2):
+                  threshold: float = 0.2, max_bucket: int = 1000):
     from pyspark.sql import functions as F
     consts = perm_constants(n_hashes)
     sh = shingle_hashes(df, text_col, id_col, k).persist()
@@ -174,14 +174,19 @@ def minhash_pairs(df, *, text_col: str = "text", id_col: str = "doc_id",
            .select(F.col(id_col),
                    F.array(*[F.col(f"_m{i}")
                              for i in range(n_hashes)]).alias("sig")))
-    cand = lsh_candidate_pairs(sig, id_col, bands, n_hashes // bands)
+    cand = lsh_candidate_pairs(sig, id_col, bands, n_hashes // bands,
+                               max_bucket=max_bucket)
     return jaccard_verify(cand, sh, id_col, threshold)
 
 
 def minhash_pairs_sql(n_hashes: int = 16, k: int = 4, bands: int = 4,
                       threshold: float = 0.2,
-                      table: str = "documents") -> str:
-    """DuckDB twin of minhash_pairs (identical hashes, bands, verify)."""
+                      table: str = "documents",
+                      max_bucket: int = 1000) -> str:
+    """DuckDB twin of minhash_pairs (identical hashes, bands, verify,
+    and the same ``max_bucket`` bucket-size cap — without it the Spark
+    result would silently diverge from the oracle on data with a
+    pathological bucket)."""
     consts = perm_constants(n_hashes)
     rpb = n_hashes // bands
     sig_exprs = ", ".join(
@@ -206,9 +211,15 @@ WITH sh AS (
 ), sigs AS (
   SELECT doc_id, n, {sig_exprs} FROM hsh
 ), bandt AS ( {band_rows} ),
+bok AS (
+  SELECT band, bh FROM bandt GROUP BY band, bh
+  HAVING COUNT(*) > 1 AND COUNT(*) <= {max_bucket}
+), bf AS (
+  SELECT bandt.* FROM bandt JOIN bok USING (band, bh)
+),
 cand AS (
   SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-  FROM bandt l JOIN bandt r ON l.band = r.band AND l.bh = r.bh
+  FROM bf l JOIN bf r ON l.band = r.band AND l.bh = r.bh
   WHERE l.doc_id < r.doc_id
 ), ex AS (
   SELECT doc_id, n, unnest(hs) AS h FROM hsh
@@ -278,10 +289,20 @@ SELECT doc_id, ({' + '.join(terms)}) AS simhash FROM h GROUP BY doc_id
 
 def ngram_pairs(df, *, n: int = 3, block_col: str = "source",
                 id_col: str = "doc_id", text_col: str = "text",
-                threshold: float = 0.35):
+                threshold: float = 0.35, max_df: int = 100,
+                log_drops: bool = False):
     """Char-n-gram Jaccard near-dup pairs, blocked by ``block_col``
     (at web scale the block is a cheap partition key — domain, language,
-    length bucket — keeping the pair space linear-ish)."""
+    length bucket — keeping the pair space linear-ish).
+
+    ``max_df`` is the stopword-gram guard: a gram shared by more than
+    ``max_df`` docs within a block (boilerplate — nav text, footers)
+    would fan the (blk, g) self-join out quadratically on one key, so
+    high-df grams are dropped from the gram universe (per-doc gram
+    counts are recomputed over kept grams; the Jaccard is exact over
+    that universe). ``log_drops=True`` runs one extra counting job and
+    logs how many (blk, gram) keys were dropped — coverage caps are
+    never silent."""
     from pyspark.sql import functions as F
     # F.substring needs a literal pos; bind the lambda var via expr
     grams = F.array_distinct(F.expr(
@@ -289,12 +310,22 @@ def ngram_pairs(df, *, n: int = 3, block_col: str = "source",
         f"- {n - 1}, 0)), i -> substring(lower({text_col}), i, {n}))"))
     g = df.select(F.col(id_col), F.col(block_col).alias("blk"),
                   grams.alias("grams"))
-    g = g.withColumn("ng", F.size("grams"))
-    ex = g.select(id_col, "blk", "ng", F.explode("grams").alias("g"))
-    a = ex.select(F.col(id_col).alias("doc_a"), F.col("ng").alias("na"),
-                  "blk", "g")
-    b = ex.select(F.col(id_col).alias("doc_b"), F.col("ng").alias("nb"),
-                  "blk", "g")
+    ex = g.select(id_col, "blk", F.explode("grams").alias("g"))
+    dfreq = ex.groupBy("blk", "g").agg(F.count(F.lit(1)).alias("_df"))
+    if log_drops:
+        import logging
+        n_drop = dfreq.filter(F.col("_df") > max_df).count()
+        logging.getLogger(__name__).warning(
+            "ngram_pairs: dropped %d (block, gram) keys with df > %d",
+            n_drop, max_df)
+    kept = ex.join(dfreq.filter(F.col("_df") <= max_df)
+                   .select("blk", "g"), ["blk", "g"])
+    sizes = kept.groupBy(id_col).agg(F.count(F.lit(1)).alias("ng"))
+    kept = kept.join(sizes, id_col)
+    a = kept.select(F.col(id_col).alias("doc_a"), F.col("ng").alias("na"),
+                    "blk", "g")
+    b = kept.select(F.col(id_col).alias("doc_b"), F.col("ng").alias("nb"),
+                    "blk", "g")
     inter = (a.join(b, ["blk", "g"])
              .filter(F.col("doc_a") < F.col("doc_b"))
              .groupBy("doc_a", "doc_b", "na", "nb")
@@ -306,7 +337,9 @@ def ngram_pairs(df, *, n: int = 3, block_col: str = "source",
 
 
 def ngram_pairs_sql(n: int = 3, threshold: float = 0.35,
-                    table: str = "documents") -> str:
+                    table: str = "documents", max_df: int = 100) -> str:
+    """DuckDB twin of ngram_pairs, including the ``max_df`` gram cap
+    (kept-gram universe, per-doc counts recomputed over kept grams)."""
     return f"""
 WITH g AS (
   SELECT doc_id, source AS blk,
@@ -315,11 +348,19 @@ WITH g AS (
              i -> substring(lower(text), i, {n}))) AS grams
   FROM {table}
 ), ex AS (
-  SELECT doc_id, blk, len(grams) AS ng, unnest(grams) AS g FROM g
+  SELECT doc_id, blk, unnest(grams) AS g FROM g
+), kept AS (
+  SELECT ex.* FROM ex JOIN (
+    SELECT blk, g FROM ex GROUP BY blk, g HAVING COUNT(*) <= {max_df}
+  ) ok USING (blk, g)
+), sized AS (
+  SELECT kept.*, ng FROM kept JOIN (
+    SELECT doc_id, COUNT(*) AS ng FROM kept GROUP BY doc_id
+  ) s USING (doc_id)
 ), inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.ng AS na, b.ng AS nb,
          COUNT(*) AS ni
-  FROM ex a JOIN ex b ON a.blk = b.blk AND a.g = b.g
+  FROM sized a JOIN sized b ON a.blk = b.blk AND a.g = b.g
   WHERE a.doc_id < b.doc_id
   GROUP BY 1, 2, 3, 4
 )

@@ -159,11 +159,88 @@ def make_refine_udf(ring_map: dict[int, list[list[np.ndarray]]]):
     return refine
 
 
+def distributed_polygon_cover(polys_df, res: int,
+                              poly_id_col: str = "zone_id",
+                              geom_col: str = "geom_wkb"):
+    """Covering computed ON EXECUTORS (mapInPandas over the polygon
+    table): -> DataFrame(poly_id, _cell long, _full boolean). The
+    polygon side stays a DataFrame end to end — the driver never
+    collects geometry, so a million-polygon side scales out instead of
+    OOMing the driver (round-1 gap: polygon_cover ran driver-side)."""
+    schema = f"{poly_id_col} long, _cell long, _full boolean"
+
+    def fn(it):
+        for pdf in it:
+            rows, _ = polygon_cover(
+                [(int(p), bytes(w) if w is not None else None)
+                 for p, w in zip(pdf[poly_id_col], pdf[geom_col])], res)
+            yield pd.DataFrame(rows,
+                               columns=[poly_id_col, "_cell", "_full"]) \
+                if rows else pd.DataFrame(
+                    {poly_id_col: pd.Series([], dtype="int64"),
+                     "_cell": pd.Series([], dtype="int64"),
+                     "_full": pd.Series([], dtype="bool")})
+
+    return polys_df.select(poly_id_col, geom_col).mapInPandas(
+        fn, schema=schema)
+
+
+def make_wkb_refine_udf():
+    """(geom_wkb, lon, lat) -> bool pandas UDF for the distributed
+    path: the polygon geometry arrives as a column (joined on poly_id),
+    not a driver-pickled closure. Each batch groups rows by identical
+    WKB bytes so every polygon's ray-cast runs vectorized over its
+    points (one parse per distinct polygon per batch)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("boolean")
+    def refine(wkb: pd.Series, lon: pd.Series, lat: pd.Series) -> pd.Series:
+        out = np.zeros(len(wkb), dtype=bool)
+        x = lon.to_numpy(dtype=np.float64, na_value=np.nan)
+        y = lat.to_numpy(dtype=np.float64, na_value=np.nan)
+        codes, uniq = pd.factorize(wkb, use_na_sentinel=True)
+        for ci, w in enumerate(uniq):
+            sel = codes == ci
+            g = parse_wkb(bytes(w)) if w is not None else None
+            pgs = _geom_rings(g) if g is not None else []
+            hit = np.zeros(int(sel.sum()), dtype=bool)
+            for rings in pgs:
+                hit |= point_in_rings(x[sel], y[sel], rings)
+            out[sel] = hit
+        return pd.Series(out)
+
+    return refine
+
+
+def _pick_resolution_distributed(polys_df, geom_col: str,
+                                 min_res: int = 4, max_res: int = 12,
+                                 target_cells_per_poly: int = 64) -> int:
+    """pick_resolution without collecting geometry: one agg job over
+    envelope areas (median via percentile_approx)."""
+    from pyspark.sql import functions as F
+
+    from ..functions.geometry import st_envelope
+    env = polys_df.select(st_envelope(geom_col).alias("e"))
+    area = ((F.col("e.xmax") - F.col("e.xmin"))
+            * (F.col("e.ymax") - F.col("e.ymin")))
+    row = env.select(area.alias("a")).filter(F.col("a") > 0) \
+        .agg(F.percentile_approx("a", 0.5).alias("med")).collect()[0]
+    med = float(row["med"]) if row["med"] is not None else None
+    if med is None:
+        return min_res
+    for res in range(min_res, max_res + 1):
+        cell = (360.0 / (1 << res)) * (180.0 / (1 << res))
+        if med / cell >= target_cells_per_poly:
+            return res
+    return max_res
+
+
 def spatial_join(points, polys_df, *, res: int | None = None,
                  lat_col: str = "lat", lon_col: str = "lon",
                  poly_id_col: str = "zone_id", geom_col: str = "geom_wkb",
                  how: str = "inner", broadcast_cover: bool = True,
-                 salt: int = 0, refine_mode: str = "auto"):
+                 salt: int = 0, refine_mode: str = "auto",
+                 distributed: bool = False):
     """Point-in-polygon join.
 
     points: DataFrame with lat/lon double columns.
@@ -173,10 +250,46 @@ def spatial_join(points, polys_df, *, res: int | None = None,
     Plan shape: points -> [cell expr] -> equi-join broadcast(cover) ->
     refine filter (UDF only on boundary cells). With ``salt>0`` and
     ``broadcast_cover=False``: cover replicated x salt, probe side salted
-    by a hash — the explicit skew treatment for the shuffle path."""
+    by a hash — the explicit skew treatment for the shuffle path.
+
+    ``distributed=True`` keeps the polygon side a DataFrame end to end
+    (covering via mapInPandas on executors; refine reads the geometry
+    as a joined column) — use for large polygon sides (parcels, not
+    countries) where a driver collect would OOM. ``salt``/
+    ``refine_mode`` apply to the driver path only; the distributed path
+    relies on AQE skew handling."""
     from pyspark.sql import functions as F
 
     spark = points.sparkSession
+    # semi/anti need a per-row identity: re-joining on all point columns
+    # is null-unsafe (a matched row with a null passthrough column never
+    # equals itself and wrongly reappears in the anti output) and
+    # distinct() collapses legitimately duplicated input rows
+    if how in ("left_semi", "left_anti"):
+        points = points.withColumn("_rid", F.monotonically_increasing_id())
+
+    if distributed:
+        # large polygon side: covering on executors, geometry delivered
+        # to the refine as a joined column — no driver collect anywhere
+        if res is None:
+            res = _pick_resolution_distributed(polys_df, geom_col)
+        cover_df = distributed_polygon_cover(polys_df, res,
+                                             poly_id_col, geom_col)
+        pts = points.withColumn("_cell",
+                                cell_encode(lat_col, lon_col, res))
+        cov = F.broadcast(cover_df) if broadcast_cover else cover_df
+        joined = pts.join(cov, "_cell", "inner")
+        interior = joined.filter(F.col("_full"))
+        refine = make_wkb_refine_udf()
+        boundary = (joined.filter(~F.col("_full"))
+                    .join(polys_df.select(poly_id_col, geom_col),
+                          poly_id_col)
+                    .filter(refine(F.col(geom_col), F.col(lon_col),
+                                   F.col(lat_col)))
+                    .drop(geom_col))
+        matched = interior.unionByName(boundary).drop("_cell", "_full")
+        return _spatial_join_how(points, matched, how)
+
     polys = [(r[poly_id_col], r[geom_col])
              for r in polys_df.select(poly_id_col, geom_col).collect()]
     if res is None:
@@ -220,15 +333,18 @@ def spatial_join(points, polys_df, *, res: int | None = None,
         boundary = joined.filter(~F.col("_full")).filter(
             refine(F.col(poly_id_col), F.col(lon_col), F.col(lat_col)))
     matched = interior.unionByName(boundary).drop("_cell", "_full")
+    return _spatial_join_how(points, matched, how)
 
+
+def _spatial_join_how(points, matched, how: str):
     if how == "inner":
         return matched
-    point_cols = [c for c in points.columns]
+    out_cols = [c for c in points.columns if c != "_rid"]
+    rids = matched.select("_rid").distinct()
     if how == "left_semi":
-        return matched.select(point_cols).distinct()
+        return points.join(rids, "_rid", "left_semi").select(out_cols)
     if how == "left_anti":
-        return points.join(matched.select(point_cols).distinct(),
-                           point_cols, "left_anti")
+        return points.join(rids, "_rid", "left_anti").select(out_cols)
     raise ValueError(f"how={how!r}")
 
 
@@ -278,9 +394,9 @@ def knn_join(queries, points, k: int, *, res: int = 8,
              query_id_col: str = "query_id", point_id_col: str = "point_id",
              q_lat: str = "q_lat", q_lon: str = "q_lon",
              p_lat: str = "lat", p_lon: str = "lon",
-             max_iters: int = 5):
-    """Exact k nearest neighbors (squared-euclidean-degrees metric, id
-    tiebreak) per query point.
+             max_iters: int = 5, metric: str = "planar"):
+    """Exact k nearest neighbors (squared-degrees metric, id tiebreak)
+    per query point.
 
     Grid algorithm: candidates from a Chebyshev ring of cells around the
     query; per-query exactness guarantee = kth distance must fit inside
@@ -289,10 +405,32 @@ def knn_join(queries, points, k: int, *, res: int = 8,
     unsatisfied after ``max_iters`` fall back to a brute-force broadcast
     cross join (exactness is never sacrificed).
 
-    Metric note: squared euclidean over raw degrees — IEEE-exact in
-    NumPy, Spark and the DuckDB oracle (kernels.ops docstring)."""
+    ``metric``:
+      * "planar"  — dlat^2 + dlon^2 over raw degrees. Documented
+        contract: longitude does NOT wrap in the distance (a neighbor
+        across the antimeridian ranks by its unwrapped delta), though
+        the candidate fanout does wrap — candidates are a superset, so
+        the top-k under this metric is still exact.
+      * "lonwrap" — dlat^2 + min(|dlon|, 360-|dlon|)^2: geodesically
+        correct ordering near the antimeridian. Same ring guarantee: a
+        point outside the wrapped Chebyshev ring has wrapped |dlon| >=
+        ring*cell_w or |dlat| >= ring*cell_h, both >= ring*cell_h.
+    Both metrics are IEEE-exact (+,-,*,abs,least only) in NumPy, Spark
+    and the DuckDB oracle (kernels.ops docstring)."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
+
+    if metric not in ("planar", "lonwrap"):
+        raise ValueError(f"metric={metric!r}")
+
+    def dist_expr():
+        dlat = F.col(q_lat) - F.col(p_lat)
+        if metric == "lonwrap":
+            adlon = F.abs(F.col(q_lon) - F.col(p_lon))
+            dlon = F.least(adlon, F.lit(360.0) - adlon)
+        else:
+            dlon = F.col(q_lon) - F.col(p_lon)
+        return dlat * dlat + dlon * dlon
 
     # contract: one row per query id — duplicate query rows would fan
     # out into duplicated candidates and corrupt row_number ranks
@@ -327,11 +465,12 @@ def knn_join(queries, points, k: int, *, res: int = 8,
         # falsely satisfy the guarantee (caught by a k~dataset-size
         # probe). At that threshold switch to absolute full-lon
         # coverage: every x column exactly once.
+        # F.sequence keeps the plan O(1): explode(array(lit...)) would
+        # materialize 2*ring+1 (or 2^res) literals in the plan tree
         n_cells = 1 << res
-        dy_vals = list(range(-ring, ring + 1))
         cand = (remaining
-                .withColumn("_dy", F.explode(F.array(
-                    *[F.lit(i) for i in dy_vals])))
+                .withColumn("_dy", F.explode(F.sequence(
+                    F.lit(-ring), F.lit(ring))))
                 .withColumn("_qx", F.least(
                     F.lit(n_cells - 1), F.greatest(F.lit(0), F.floor(
                         (F.col(q_lon) + 180.0) / 360.0 * n_cells))))
@@ -339,12 +478,12 @@ def knn_join(queries, points, k: int, *, res: int = 8,
                     F.lit(n_cells - 1), F.greatest(F.lit(0), F.floor(
                         (F.col(q_lat) + 90.0) / 180.0 * n_cells)))))
         if 2 * ring + 1 >= n_cells:
-            cand = cand.withColumn("_nx", F.explode(F.array(
-                *[F.lit(i) for i in range(n_cells)])))
+            cand = cand.withColumn("_nx", F.explode(F.sequence(
+                F.lit(0), F.lit(n_cells - 1))))
         else:
             cand = (cand
-                    .withColumn("_dx", F.explode(F.array(
-                        *[F.lit(i) for i in range(-ring, ring + 1)])))
+                    .withColumn("_dx", F.explode(F.sequence(
+                        F.lit(-ring), F.lit(ring))))
                     .withColumn("_nx", F.pmod(F.col("_qx") + F.col("_dx"),
                                               F.lit(n_cells)))
                     .drop("_dx"))
@@ -357,9 +496,7 @@ def knn_join(queries, points, k: int, *, res: int = 8,
                             + F.col("_nx").cast("long"))
                 .drop("_dy", "_qx", "_qy", "_nx", "_ny"))
         j = cand.join(pts, "_pcell", "inner").drop("_pcell")
-        dist = ((F.col(q_lat) - F.col(p_lat)) * (F.col(q_lat) - F.col(p_lat))
-                + (F.col(q_lon) - F.col(p_lon))
-                * (F.col(q_lon) - F.col(p_lon)))
+        dist = dist_expr()
         w = Window.partitionBy(query_id_col).orderBy(
             dist.asc(), F.col(point_id_col).asc())
         topk = (j.withColumn("_sqdist", dist)
@@ -370,8 +507,13 @@ def knn_join(queries, points, k: int, *, res: int = 8,
         stats = (topk.groupBy(query_id_col)
                  .agg(F.count("*").alias("_n"),
                       F.max("_sqdist").alias("_kth")))
+        # strict inequality: a point at exactly distance ring*guard_deg
+        # can sit on a cell boundary assigned (via floor) to the first
+        # uncovered cell; an equal-distance neighbor with a smaller id
+        # would then be missed despite the (dist, id) tiebreak — ties at
+        # the guarantee radius force another expansion instead
         sat_ids = stats.filter((F.col("_n") >= k)
-                               & (F.col("_kth") <= F.lit(guard))) \
+                               & (F.col("_kth") < F.lit(guard))) \
             .select(query_id_col).persist()
         results.append(topk.join(sat_ids, query_id_col, "left_semi"))
         # materialize the shrunken query set once per iteration — chained
@@ -385,9 +527,7 @@ def knn_join(queries, points, k: int, *, res: int = 8,
     if n_remaining > 0:
         # brute-force fallback for stragglers (exactness floor)
         j = remaining.crossJoin(F.broadcast(pts.drop("_pcell")))
-        dist = ((F.col(q_lat) - F.col(p_lat)) * (F.col(q_lat) - F.col(p_lat))
-                + (F.col(q_lon) - F.col(p_lon))
-                * (F.col(q_lon) - F.col(p_lon)))
+        dist = dist_expr()
         from pyspark.sql import Window as W2
         w = W2.partitionBy(query_id_col).orderBy(
             dist.asc(), F.col(point_id_col).asc())

@@ -4,11 +4,14 @@ as Arrow-batched transforms.
 
 The container has no image/audio libs (sandbox constraint), so the
 codec boundary is explicit:
-  * REAL and tested: the Spark-side plumbing — schemas, mapInPandas
-    batch shapes, metadata extraction from a deterministic container
-    header, partition-count preservation, null handling;
-  * STUBBED: the actual pixel/sample decode (``decode_image`` raises
-    NotImplementedError unless the deterministic fake codec is chosen).
+  * REAL and tested: the Spark-side plumbing (schemas, mapInPandas
+    batch shapes, header metadata, null handling) AND the lib-free
+    codecs — 24-bit BMP and PCM16 WAV decode in pure NumPy
+    (``decode_bmp``/``decode_wav``), with feature extraction over the
+    decoded pixels/samples (``image_features``/``audio_features``);
+  * STUBBED: compressed formats (JPEG/PNG/MP3/H.264) — those need
+    codec libraries; ``decode_image`` raises NotImplementedError for
+    them unless the deterministic fake codec is chosen.
 
 Fake container format (self-describing, 16-byte header, used by the
 synthesizer and tests):
@@ -87,12 +90,15 @@ def parse_meta_batch(assets: pd.Series) -> pd.DataFrame:
 
 
 def decode_image(asset: bytes, *, allow_fake: bool = False) -> np.ndarray:
-    """STUB: real image decode needs PIL/libjpeg (absent). The fake
-    codec hashes the payload into a deterministic (h, w) uint8 array so
-    downstream feature plumbing is testable."""
+    """Image decode. REAL for BMP (24-bit uncompressed — header+payload
+    decodable in pure NumPy, no codec lib needed); compressed formats
+    (JPEG/PNG) still need a library absent from this container. The
+    GSMM fake codec remains for plumbing tests."""
+    if asset[:2] == b"BM":
+        return decode_bmp(asset)
     if not allow_fake:
         raise NotImplementedError(
-            "image decode requires an image library not present in this "
+            "only BMP decodes without an image library in this "
             "container; pass allow_fake=True for the deterministic stub")
     meta = parse_meta_batch(pd.Series([asset])).iloc[0]
     if not meta.valid or meta.kind != KIND_IMAGE:
@@ -101,6 +107,150 @@ def decode_image(asset: bytes, *, allow_fake: bool = False) -> np.ndarray:
     h, w = int(meta.height), int(meta.width)
     reps = (h * w) // max(len(rng), 1) + 1
     return np.tile(rng, reps)[:h * w].reshape(h, w)
+
+
+# ---------------------------------------------------------------------------
+# real lib-free codecs: BMP (24-bit) and WAV (PCM16)
+# ---------------------------------------------------------------------------
+
+def make_bmp(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> 24-bit bottom-up BMP bytes (BITMAPINFO-
+    HEADER, rows padded to 4 bytes) — the standard uncompressed layout."""
+    import struct
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    row_len = (w * 3 + 3) & ~3
+    img = np.zeros((h, row_len), dtype=np.uint8)
+    bgr = px[::-1, :, ::-1]  # bottom-up rows, BGR channel order
+    img[:, :w * 3] = bgr.reshape(h, w * 3)
+    data = img.tobytes()
+    off = 14 + 40
+    hdr = (b"BM" + struct.pack("<IHHI", off + len(data), 0, 0, off)
+           + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                         len(data), 2835, 2835, 0, 0))
+    return hdr + data
+
+
+def decode_bmp(b: bytes) -> np.ndarray:
+    """24-bit uncompressed BMP -> (h, w, 3) uint8 RGB. Pure NumPy: one
+    frombuffer + strided reshape; handles bottom-up and top-down rows
+    and 4-byte row padding."""
+    import struct
+    if b[:2] != b"BM":
+        raise ValueError("not a BMP")
+    off = struct.unpack_from("<I", b, 10)[0]
+    hsz, w, h = struct.unpack_from("<Iii", b, 14)
+    planes, bpp, comp = struct.unpack_from("<HHI", b, 26)
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(f"only 24-bit uncompressed BMP "
+                                  f"(got bpp={bpp}, compression={comp})")
+    bottom_up = h > 0
+    h = abs(h)
+    row_len = (w * 3 + 3) & ~3
+    raw = np.frombuffer(b, dtype=np.uint8, count=h * row_len, offset=off)
+    rows = raw.reshape(h, row_len)[:, :w * 3].reshape(h, w, 3)
+    if bottom_up:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR -> RGB
+
+
+def make_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """int16 mono samples -> RIFF/WAVE PCM bytes."""
+    import struct
+    s = np.asarray(samples, dtype="<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    return (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(s))
+            + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(s)) + s)
+
+
+def decode_wav(b: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM16 mono -> (int16 samples, sample_rate). Walks the
+    chunk list (fmt /data may be preceded by LIST etc.)."""
+    import struct
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    pos, rate, data = 12, None, None
+    while pos + 8 <= len(b):
+        cid = b[pos:pos + 4]
+        sz = struct.unpack_from("<I", b, pos + 4)[0]
+        body = b[pos + 8:pos + 8 + sz]
+        if cid == b"fmt ":
+            audio_fmt, ch, rate = struct.unpack_from("<HHI", body, 0)
+            bits = struct.unpack_from("<H", body, 14)[0]
+            if audio_fmt != 1 or ch != 1 or bits != 16:
+                raise NotImplementedError("only PCM16 mono WAV")
+        elif cid == b"data":
+            data = np.frombuffer(body, dtype="<i2")
+        pos += 8 + sz + (sz & 1)
+    if rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    return data, rate
+
+
+def decode_audio(asset: bytes) -> tuple[np.ndarray, int]:
+    """Audio decode: REAL for WAV PCM16; other containers need libs."""
+    if asset[:4] == b"RIFF":
+        return decode_wav(asset)
+    raise NotImplementedError(
+        "only WAV decodes without an audio library in this container")
+
+
+def image_features(df, asset_col: str = "asset",
+                   id_col: str = "asset_id"):
+    """Feature extraction over REAL decoded pixels (BMP path): per-image
+    mean/std/luma-histogram(8) -> (asset_id, features array<double>).
+    mapInPandas batches; non-BMP rows are skipped (the coverage drop is
+    visible as missing ids, never wrong values)."""
+    schema = f"{id_col} long, features array<double>"
+
+    def fn(it):
+        for pdf in it:
+            ids, feats = [], []
+            for aid, b in zip(pdf[id_col], pdf[asset_col]):
+                if b is None or bytes(b[:2]) != b"BM":
+                    continue
+                px = decode_bmp(bytes(b)).astype(np.float64)
+                luma = px.mean(axis=2)
+                hist = np.histogram(luma, bins=8, range=(0, 256))[0]
+                tot = hist.sum()
+                feats.append([float(px.mean()), float(px.std())]
+                             + (hist / (tot if tot else 1)).tolist())
+                ids.append(aid)
+            yield pd.DataFrame(
+                {id_col: pd.Series(ids, dtype="int64"),
+                 "features": pd.Series(feats, dtype="object")})
+    return df.mapInPandas(fn, schema=schema)
+
+
+def audio_features(df, asset_col: str = "asset",
+                   id_col: str = "asset_id"):
+    """Per-clip features over REAL decoded samples (WAV path): duration,
+    RMS, zero-crossing rate."""
+    schema = (f"{id_col} long, duration_s double, rms double, "
+              f"zcr double")
+
+    def fn(it):
+        for pdf in it:
+            rows = []
+            for aid, b in zip(pdf[id_col], pdf[asset_col]):
+                if b is None or bytes(b[:4]) != b"RIFF":
+                    continue
+                s, rate = decode_wav(bytes(b))
+                x = s.astype(np.float64) / 32768.0
+                zc = float(np.mean(np.abs(np.diff(np.sign(x))) > 0)) \
+                    if len(x) > 1 else 0.0
+                rows.append((aid, len(x) / rate,
+                             float(np.sqrt(np.mean(x * x)))
+                             if len(x) else 0.0, zc))
+            yield pd.DataFrame(rows, columns=[id_col, "duration_s",
+                                              "rms", "zcr"]) \
+                if rows else pd.DataFrame(
+                    {id_col: pd.Series([], dtype="int64"),
+                     "duration_s": pd.Series([], dtype="float64"),
+                     "rms": pd.Series([], dtype="float64"),
+                     "zcr": pd.Series([], dtype="float64")})
+    return df.mapInPandas(fn, schema=schema)
 
 
 def with_asset_meta(df, asset_col: str = "asset", id_col: str = "asset_id"):

@@ -13,6 +13,9 @@ rounded similarities agree cross-engine).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 
 def _emb_double(col):
     from pyspark.sql import functions as F
@@ -50,38 +53,140 @@ def sign_bucket_sql(emb_expr: str, n_bits: int) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+# ---------------------------------------------------------------------------
+# banded multi-table hyperplane LSH (the scale path for near-dup)
+# ---------------------------------------------------------------------------
+
+def hyperplane_signs(n_proj: int, dim: int) -> list[list[int]]:
+    """Deterministic ±1 Rademacher hyperplanes, one row per projection:
+    sign(j, i) = parity of the first md5('hp{j}d{i}') nibble. Rademacher
+    projections are within a constant of Gaussian ones for sign-LSH and
+    are reproducible as plain +/- terms in both Spark and DuckDB (the
+    sum is emitted in a fixed left-to-right order, so the double
+    arithmetic is bit-identical cross-engine; only the sign crosses the
+    boundary)."""
+    import hashlib
+    return [[1 if int(hashlib.md5(f"hp{j}d{i}".encode())
+                      .hexdigest()[0], 16) % 2 == 0 else -1
+             for i in range(dim)]
+            for j in range(n_proj)]
+
+
+def _proj_sql(emb_expr: str, signs: list[int]) -> str:
+    parts = [f"{'+' if s > 0 else '-'} {emb_expr}[{i + 1}]"
+             for i, s in enumerate(signs)]
+    return "(" + " ".join(parts).lstrip("+ ") + ")" \
+        if signs and signs[0] > 0 else "(0 " + " ".join(parts) + ")"
+
+
 def lsh_near_dup(emb_df, *, id_col: str = "vec_id",
-                 emb_col: str = "embedding", n_bits: int = 8,
-                 threshold: float = 0.9):
-    """Embedding near-dup pairs: same sign bucket + cosine >= threshold.
-    -> (vec_a, vec_b, sim rounded 6)."""
+                 emb_col: str = "embedding", dim: int = 64,
+                 bands: int = 8, rows_per_band: int = 4,
+                 max_bucket: int = 1000, threshold: float = 0.9):
+    """Embedding near-dup pairs via banded multi-table hyperplane LSH:
+    band b's bucket id packs the signs of ``rows_per_band`` Rademacher
+    projections; candidates share a (band, bucket); exact cosine >=
+    threshold verifies. -> (vec_a, vec_b, sim rounded 6).
+
+    Scale design (the round-1 version self-joined a FIXED 2^8-bucket
+    table with no cap — O(n^2/256) pairs at 10^12 rows):
+      * bucket count per band = 2^rows_per_band and bands are
+        independent — selectivity and bucket count scale with the
+        parameters, not a constant (raise rows_per_band as n grows;
+        recall is recovered by adding bands);
+      * ``max_bucket`` caps pathological buckets exactly as in
+        dedup.lsh_candidate_pairs — a degenerate bucket (zero vectors,
+        mass duplicates) is dropped, never self-joined quadratically;
+      * the only shuffles are the (band, bkt) groupBy/join, keyed by a
+        hash-uniform-ish id; AQE skew-join covers the residue."""
     from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+    signs = hyperplane_signs(bands * rows_per_band, dim)
     e = emb_df.select(F.col(id_col),
                       _emb_double(F.col(emb_col)).alias("v"))
-    e = e.withColumn("bkt", sign_bucket_col(F.col("v"), n_bits))
-    a = e.select(F.col(id_col).alias("vec_a"), F.col("v").alias("va"),
-                 "bkt")
-    b = e.select(F.col(id_col).alias("vec_b"), F.col("v").alias("vb"),
-                 "bkt")
+
+    # bucket ids via ONE Arrow-vectorized pandas UDF: unrolling the
+    # bands*rows_per_band*dim signed sum into column expressions blows
+    # the JVM 64KB codegen method limit (janino falls back to
+    # interpreted eval — a scale-killer). The UDF accumulates each
+    # projection SEQUENTIALLY over dims (acc += ±v[:, i]), so the
+    # double arithmetic is bit-identical to the SQL twin's fixed
+    # left-to-right sum; only the sign crosses the engine boundary.
+    smat = np.array(signs, dtype=np.float64)  # (n_proj, dim)
+
+    @pandas_udf("array<long>")
+    def _buckets(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        m = np.stack(v.to_numpy()).astype(np.float64, copy=False)
+        n = m.shape[0]
+        out = np.zeros((n, bands), dtype=np.int64)
+        for b in range(bands):
+            for j in range(rows_per_band):
+                s = smat[b * rows_per_band + j]
+                acc = np.zeros(n, dtype=np.float64)
+                for i in range(m.shape[1]):
+                    acc = acc + s[i] * m[:, i] if s[i] > 0 else \
+                        acc - m[:, i]
+                out[:, b] |= (acc > 0).astype(np.int64) << j
+        return pd.Series(list(out))
+
+    bt = (e.withColumn("_bkts", _buckets(F.col("v")))
+          .select(id_col, F.posexplode("_bkts").alias("band", "bkt")))
+    ok = bt.groupBy("band", "bkt").count().filter(
+        (F.col("count") > 1) & (F.col("count") <= max_bucket))
+    bt = bt.join(ok.select("band", "bkt"), ["band", "bkt"])
+    cand = (bt.alias("l").join(bt.alias("r"), ["band", "bkt"])
+            .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+            .select(F.col(f"l.{id_col}").alias("vec_a"),
+                    F.col(f"r.{id_col}").alias("vec_b"))
+            .distinct())
+    a = e.select(F.col(id_col).alias("vec_a"), F.col("v").alias("va"))
+    b = e.select(F.col(id_col).alias("vec_b"), F.col("v").alias("vb"))
     sim = F.round(cosine_col(F.col("va"), F.col("vb")), 6)
-    return (a.join(b, "bkt").filter(F.col("vec_a") < F.col("vec_b"))
+    return (cand.join(a, "vec_a").join(b, "vec_b")
             .select("vec_a", "vec_b", sim.alias("sim"))
             .filter(F.col("sim") >= threshold))
 
 
-def lsh_near_dup_sql(n_bits: int = 8, threshold: float = 0.9,
-                     table: str = "embeddings") -> str:
-    bkt = sign_bucket_sql("CAST(embedding AS DOUBLE[])", n_bits)
-    cos = ("list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v))"
-           " * sqrt(list_dot_product(b.v, b.v)))")
+def lsh_near_dup_sql(threshold: float = 0.9, table: str = "embeddings",
+                     dim: int = 64, bands: int = 8,
+                     rows_per_band: int = 4,
+                     max_bucket: int = 1000) -> str:
+    """DuckDB twin of lsh_near_dup — identical hyperplanes (same md5
+    derivation), identical fixed-order sums, identical bucket cap."""
+    signs = hyperplane_signs(bands * rows_per_band, dim)
+    band_rows = []
+    for b in range(bands):
+        terms = []
+        for j in range(rows_per_band):
+            p = _proj_sql("v", signs[b * rows_per_band + j])
+            terms.append(f"CASE WHEN {p} > 0 THEN CAST({1 << j} AS "
+                         f"BIGINT) ELSE 0 END")
+        band_rows.append(f"SELECT vec_id, {b} AS band, "
+                         f"({' + '.join(terms)}) AS bkt FROM e")
+    bandt = " UNION ALL ".join(band_rows)
+    cos = ("list_dot_product(av.v, bv.v) / "
+           "(sqrt(list_dot_product(av.v, av.v)) * "
+           "sqrt(list_dot_product(bv.v, bv.v)))")
     return f"""
 WITH e AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, {bkt} AS bkt
-  FROM {table}
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {table}
+), bandt AS ( {bandt} ),
+bok AS (
+  SELECT band, bkt FROM bandt GROUP BY band, bkt
+  HAVING COUNT(*) > 1 AND COUNT(*) <= {max_bucket}
+), bf AS (
+  SELECT bandt.* FROM bandt JOIN bok USING (band, bkt)
+), cand AS (
+  SELECT DISTINCT l.vec_id AS vec_a, r.vec_id AS vec_b
+  FROM bf l JOIN bf r ON l.band = r.band AND l.bkt = r.bkt
+  WHERE l.vec_id < r.vec_id
 )
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ROUND({cos}, 6) AS sim
-FROM e a JOIN e b ON a.bkt = b.bkt
-WHERE a.vec_id < b.vec_id AND ROUND({cos}, 6) >= {threshold}
+SELECT c.vec_a, c.vec_b, ROUND({cos}, 6) AS sim
+FROM cand c JOIN e av ON av.vec_id = c.vec_a
+            JOIN e bv ON bv.vec_id = c.vec_b
+WHERE ROUND({cos}, 6) >= {threshold}
 """
 
 

@@ -330,6 +330,105 @@ def q_bbox_join(spark, sf_dir):
     return out.select("c_custkey", "box_id")
 
 
+# box-POLYGON dimension for the distributed-covering join: same part
+# derivation as PART_BOX_SQL but with 3-decimal edges (x.xx5) so no
+# point coordinate (lat integer, lon 2-decimal) can sit exactly on an
+# edge — the ray-cast (open/closed boundary) and the oracle's closed
+# bbox compare then agree everywhere
+PART_POLY_SQL = (
+    "SELECT p_partkey AS box_id, "
+    "CAST((p_partkey * 3) % 300 AS DOUBLE) - 150.0 AS cx, "
+    "CAST((p_partkey * 7) % 150 AS DOUBLE) - 75.0 AS cy, "
+    "0.505 + CAST(p_size % 5 AS DOUBLE) * 0.3 AS half FROM part")
+
+
+def _part_box_polys(spark, sf_dir):
+    """Part-derived rectangles as real WKB polygons (the ~10^4-row
+    polygon side for the distributed-covering path)."""
+    from pyspark.sql import functions as F
+    from .functions.geometry import st_geomfromtext
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    cx = ((F.col("p_partkey") * 3) % 300).cast("double") - 150.0
+    cy = ((F.col("p_partkey") * 7) % 150).cast("double") - 75.0
+    half = 0.505 + (F.col("p_size") % 5).cast("double") * 0.3
+    x0, y0 = (cx - half).cast("string"), (cy - half).cast("string")
+    x1, y1 = (cx + half).cast("string"), (cy + half).cast("string")
+    wkt = F.concat(F.lit("POLYGON (("),
+                   x0, F.lit(" "), y0, F.lit(", "),
+                   x1, F.lit(" "), y0, F.lit(", "),
+                   x1, F.lit(" "), y1, F.lit(", "),
+                   x0, F.lit(" "), y1, F.lit(", "),
+                   x0, F.lit(" "), y0, F.lit("))"))
+    return p.select(F.col("p_partkey").alias("box_id"),
+                    st_geomfromtext(wkt).alias("geom_wkb"))
+
+
+def q_pip_join_many(spark, sf_dir):
+    """PIP join against a LARGE polygon side (part-derived rectangles)
+    through the fully distributed path: covering via mapInPandas,
+    refine reads geometry as a joined column — the driver never
+    touches a polygon."""
+    from .operators.joins import spatial_join
+    pts = _cust_points(spark, sf_dir)
+    out = spatial_join(pts, _part_box_polys(spark, sf_dir), res=7,
+                       poly_id_col="box_id", distributed=True)
+    return out.select("c_custkey", "box_id")
+
+
+def q_knn_wrap(spark, sf_dir):
+    """kNN with the lon-wrapped metric, query points hugging the
+    antimeridian (lon in ±[179, 179.9)) — candidates across the wrap
+    must WIN, not just appear (round-1 gap: planar metric never let
+    wrapped candidates rank)."""
+    from pyspark.sql import functions as F
+    from .operators.joins import knn_join
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    side = (F.col("s_suppkey") % 2).cast("double") * 2.0 - 1.0
+    mag = 179.0 + (F.col("s_acctbal") % 90.0) / 100.0
+    q = s.select(F.col("s_suppkey").alias("query_id"),
+                 ((F.col("s_suppkey") % 160).cast("double") - 80.0)
+                 .alias("q_lat"),
+                 (side * mag).alias("q_lon"))
+    pts = _cust_points(spark, sf_dir) \
+        .withColumnRenamed("c_custkey", "point_id")
+    out = knn_join(q, pts, 3, res=RES_COARSE, metric="lonwrap")
+    return out.select("query_id", "point_id",
+                      F.col("rank").cast("int").alias("rank"))
+
+
+def q_wkt_roundtrip(spark, sf_dir):
+    """Encoding surface end-to-end: integer coords -> WKB (vectorized
+    writer) -> WKT (kernel formatter) + type/empty predicates, exact
+    string compare vs the oracle's composed text (reference test style:
+    geoarrow_geos_test.cc:117-166 exact-WKT roundtrips)."""
+    from pyspark.sql import functions as F
+    from .functions.geometry import (st_astext, st_geometrytype,
+                                     st_isempty, st_point)
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    lon_i = ((F.col("c_custkey") * 7) % 360 - 180).cast("double")
+    lat_i = (F.col("c_custkey") % 180 - 90).cast("double")
+    wkb = st_point(lon_i, lat_i)
+    return c.select("c_custkey", st_astext(wkb).alias("wkt"),
+                    st_geometrytype(wkb).alias("gtype"),
+                    st_isempty(wkb).alias("is_empty"))
+
+
+def q_geoarrow_roundtrip(spark, sf_dir):
+    """EP1+EP2 at DataFrame scale: WKB -> native GeoArrow (separate
+    coords, mapInArrow) -> WKB -> st_x/st_y. Coordinates must survive
+    bit-exactly (pure buffer copies, no arithmetic)."""
+    from pyspark.sql import functions as F
+    from .functions.encoding import from_geoarrow, to_geoarrow
+    from .functions.geometry import st_point, st_x, st_y
+    pts = _cust_points(spark, sf_dir)
+    df = pts.select("c_custkey",
+                    st_point(F.col("lon"), F.col("lat")).alias("wkb"))
+    nested = to_geoarrow(df, "wkb", "point", coord_type="separate")
+    back = from_geoarrow(nested, "geom", "point", out_col="wkb2")
+    return back.select("c_custkey", st_x(F.col("wkb2")).alias("x"),
+                       st_y(F.col("wkb2")).alias("y"))
+
+
 def q_tile_cube(spark, sf_dir):
     from pyspark.sql import functions as F
     c = spark.read.parquet(f"{sf_dir}/customer.parquet")
@@ -415,6 +514,10 @@ QUERIES = {
     "top3_cells_per_zone": q_top3_cells_per_zone,
     "cell_centroids": q_cell_centroids,
     "haversine_pairs": q_haversine_pairs,
+    "pip_join_many": q_pip_join_many,
+    "knn_wrap": q_knn_wrap,
+    "wkt_roundtrip": q_wkt_roundtrip,
+    "geoarrow_roundtrip": q_geoarrow_roundtrip,
 }
 
 
@@ -532,6 +635,34 @@ def oracle_sql() -> dict[str, str]:
         f"* COS(RADIANS(lat)) * POWER(SIN(RADIANS(lon - q_lon) / 2), 2)"
         f")), 0) AS dist_m "
         f"FROM q JOIN c ON q.query_id * 7 = c.c_custkey")
+    out["pip_join_many"] = (
+        f"WITH pts AS ({_CUST_PTS_CTE}), "
+        f"b AS (SELECT box_id, cx - half AS xmin, cy - half AS ymin, "
+        f"cx + half AS xmax, cy + half AS ymax FROM ({PART_POLY_SQL})) "
+        f"SELECT c_custkey, box_id FROM pts JOIN b ON "
+        f"lon >= xmin AND lon <= xmax AND lat >= ymin AND lat <= ymax")
+    out["knn_wrap"] = (
+        f"WITH q AS (SELECT s_suppkey AS query_id, "
+        f"CAST(s_suppkey % 160 AS DOUBLE) - 80.0 AS q_lat, "
+        f"(CAST(s_suppkey % 2 AS DOUBLE) * 2.0 - 1.0) * "
+        f"(179.0 + (s_acctbal % 90.0) / 100.0) AS q_lon FROM supplier), "
+        f"p AS (SELECT c_custkey AS point_id, {CUST_LAT_SQL} AS lat, "
+        f"{CUST_LON_SQL} AS lon FROM customer) "
+        f"SELECT query_id, point_id, CAST(rank AS INTEGER) AS rank "
+        f"FROM (SELECT q.query_id, p.point_id, ROW_NUMBER() OVER ("
+        f"PARTITION BY q.query_id ORDER BY "
+        f"(q.q_lat - p.lat) * (q.q_lat - p.lat) "
+        f"+ LEAST(ABS(q.q_lon - p.lon), 360.0 - ABS(q.q_lon - p.lon)) "
+        f"* LEAST(ABS(q.q_lon - p.lon), 360.0 - ABS(q.q_lon - p.lon)) "
+        f"ASC, p.point_id ASC) AS rank FROM q CROSS JOIN p) "
+        f"WHERE rank <= 3")
+    out["wkt_roundtrip"] = (
+        "SELECT c_custkey, 'POINT (' || "
+        "CAST((c_custkey * 7) % 360 - 180 AS VARCHAR) || ' ' || "
+        "CAST(c_custkey % 180 - 90 AS VARCHAR) || ')' AS wkt, "
+        "'POINT' AS gtype, FALSE AS is_empty FROM customer")
+    out["geoarrow_roundtrip"] = (
+        f"SELECT c_custkey, lon AS x, lat AS y FROM ({_CUST_PTS_CTE})")
     out["minhash_pairs"] = minhash_pairs_sql()
     out["simhash"] = simhash_sql()
     out["ngram_pairs"] = ngram_pairs_sql()

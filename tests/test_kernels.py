@@ -261,3 +261,50 @@ def test_point_fast_path_nulls_and_nonpoints():
                                       validity)
     assert list(ok) == [True, False, False, False]
     assert x[0] == 1 and y[0] == 2
+
+
+# ---------------------------------------------------------------------------
+# XYM / XYZM corpus roundtrips (round 2): the reference pins xym/xyzm in
+# its schema matrix (geoarrow_geos_test.cc:485-572); these fixtures pin
+# actual M-coordinate roundtrips through all four encodings.
+# ---------------------------------------------------------------------------
+
+M_CORPUS = [
+    (2001, "POINT M (30 10 300)"),
+    (3001, "POINT ZM (30 10 40 300)"),
+    (2002, "LINESTRING M (30 10 1, 10 30 2, 40 40 3)"),
+    (3002, "LINESTRING ZM (30 10 40 1, 10 30 40 2)"),
+    (2003, "POLYGON M ((30 10 1, 40 40 2, 20 40 3, 30 10 1))"),
+    (3003, "POLYGON ZM ((30 10 40 1, 40 40 80 2, 20 40 60 3, "
+            "30 10 40 1))"),
+    (2004, "MULTIPOINT M (30 10 1, 10 30 2)"),
+    (3005, "MULTILINESTRING ZM ((30 10 40 1, 10 30 40 2), "
+            "(35 15 45 5, 15 35 45 6))"),
+    (2006, "MULTIPOLYGON M (((30 10 1, 40 40 2, 20 40 3, 30 10 1)))"),
+    (3006, "MULTIPOLYGON ZM (((30 10 40 1, 40 40 80 2, 20 40 60 3, "
+            "30 10 40 1)))"),
+]
+
+
+@pytest.mark.parametrize("encoding", ALL_ENCODINGS)
+@pytest.mark.parametrize("wkb_type,wkt", M_CORPUS)
+def test_m_corpus_roundtrip(wkb_type, wkt, encoding):
+    _roundtrip([wkt], wkb_type, encoding)
+
+
+@pytest.mark.parametrize("encoding", ALL_ENCODINGS)
+def test_m_corpus_batch_with_nulls(encoding):
+    # mixed batch: M geometries adjacent to nulls and EMPTY (the
+    # null-vs-empty distinction of SURVEY.md §1.3, now in XYM)
+    wkts = ["POINT M (1 2 3)", None, "POINT M EMPTY", "POINT M (4 5 6)"]
+    geoms = [parse_wkt(w) if w is not None else None for w in wkts]
+    if encoding in (ENC_GEOARROW, ENC_GEOARROW_INTERLEAVED):
+        arr, _ = encode(geoms, encoding, extension="point", dims="xym")
+        back = decode(arr, "geoarrow.point")
+    else:
+        arr, _ = encode(geoms, encoding)
+        back = decode(arr)
+    assert back[1] is None
+    assert back[2] is not None and back[2].is_empty and back[2].has_m
+    for i in (0, 3):
+        assert back[i].equals_exact(geoms[i]) and back[i].has_m

@@ -260,3 +260,71 @@ def test_lsh_ann_isotropic_sanity(spark):
     approx = lsh_ann_topk(e, qv, 10, n_bits=6, n_tables=4).toPandas()
     assert approx.vec_id.iloc[0] == 0 and approx.sim.iloc[0] == 1.0
     assert approx.sim.is_monotonic_decreasing
+
+
+# ---------------------------------------------------------------------------
+# round 2: real lib-free codecs (BMP / WAV) + feature extraction
+# ---------------------------------------------------------------------------
+
+def test_bmp_roundtrip_exact():
+    import numpy as np
+    from geospark.operators.multimodal import decode_bmp, make_bmp
+    rng = np.random.default_rng(3)
+    # width 3 exercises the 4-byte row-padding path (3*3=9 -> pad 12)
+    for h, w in ((5, 3), (4, 4), (1, 7), (16, 9)):
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        back = decode_bmp(make_bmp(px))
+        assert back.shape == (h, w, 3)
+        assert np.array_equal(back, px)
+
+
+def test_decode_image_dispatch():
+    import numpy as np
+    import pytest
+    from geospark.operators.multimodal import (decode_image, make_asset,
+                                               make_bmp)
+    px = np.zeros((2, 2, 3), dtype=np.uint8)
+    assert decode_image(make_bmp(px)).shape == (2, 2, 3)
+    # non-BMP without allow_fake still raises (compressed formats)
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG\r\n" + b"\x00" * 32)
+    # GSMM fake path unchanged
+    a = make_asset(1, 1, 4, 3)
+    assert decode_image(a, allow_fake=True).shape == (3, 4)
+
+
+def test_wav_roundtrip_exact():
+    import numpy as np
+    from geospark.operators.multimodal import decode_wav, make_wav
+    s = (np.sin(np.linspace(0, 20, 800)) * 20000).astype(np.int16)
+    back, rate = decode_wav(make_wav(s, 8000))
+    assert rate == 8000
+    assert np.array_equal(back, s)
+
+
+def test_image_audio_features_spark(spark):
+    import numpy as np
+    from geospark.operators.multimodal import (audio_features,
+                                               image_features, make_bmp,
+                                               make_wav)
+    rng = np.random.default_rng(5)
+    img_rows = [(i, make_bmp(rng.integers(0, 256, size=(8, 6, 3),
+                                          dtype=np.uint8)))
+                for i in range(4)]
+    img_rows.append((99, b"not an image"))
+    df = spark.createDataFrame(img_rows, "asset_id long, asset binary")
+    feats = {r.asset_id: r.features
+             for r in image_features(df).collect()}
+    assert set(feats) == {0, 1, 2, 3}      # non-BMP skipped
+    assert all(len(v) == 10 for v in feats.values())
+    assert all(0.0 <= v[0] <= 255.0 for v in feats.values())
+
+    wav_rows = [(i, make_wav((np.sin(np.linspace(0, 9 + i, 400))
+                              * 15000).astype(np.int16), 4000))
+                for i in range(3)]
+    adf = spark.createDataFrame(wav_rows, "asset_id long, asset binary")
+    arows = {r.asset_id: r for r in audio_features(adf).collect()}
+    assert set(arows) == {0, 1, 2}
+    for r in arows.values():
+        assert abs(r.duration_s - 0.1) < 1e-9
+        assert 0.0 < r.rms < 1.0 and 0.0 < r.zcr < 1.0

@@ -24,17 +24,28 @@ def _coords(ndim, min_k, max_k):
                     max_size=max_k)
 
 
+_DIMS_FLAGS = {"xy": (False, False), "xyz": (True, False),
+               "xym": (False, True), "xyzm": (True, True)}
+
+
 @st.composite
-def geoms(draw, ndim=2):
-    has_z = ndim == 3
+def geoms(draw, ndim=2, dims=None):
+    """Random geometry of any type in the given dimensionality —
+    XY/XYZ via ``ndim`` (legacy) or any of xy/xyz/xym/xyzm via ``dims``
+    (reference pins xym/xyzm at geoarrow_geos_test.cc:485-572)."""
+    if dims is None:
+        dims = "xyz" if ndim == 3 else "xy"
+    has_z, has_m = _DIMS_FLAGS[dims]
+    ndim = 2 + has_z + has_m
     t = draw(st.sampled_from([1, 2, 3, 4, 5, 6]))
     if t == 1:
         if draw(st.booleans()):
-            return Geom(1, has_z)
-        return Geom(1, has_z, coords=[draw(st.tuples(*[coord] * ndim))])
+            return Geom(1, has_z, has_m)
+        return Geom(1, has_z, has_m,
+                    coords=[draw(st.tuples(*[coord] * ndim))])
     if t == 2:
         pts = draw(_coords(ndim, 0, 6))
-        return Geom(2, has_z, coords=pts if pts else None)
+        return Geom(2, has_z, has_m, coords=pts if pts else None)
 
     def ring():
         k = draw(st.integers(min_value=3, max_value=6))
@@ -42,20 +53,22 @@ def geoms(draw, ndim=2):
         return np.array(pts + [pts[0]])
     if t == 3:
         n = draw(st.integers(min_value=0, max_value=3))
-        return Geom(3, has_z, rings=[ring() for _ in range(n)] or None)
+        return Geom(3, has_z, has_m,
+                    rings=[ring() for _ in range(n)] or None)
     if t == 4:
         n = draw(st.integers(min_value=0, max_value=4))
-        return Geom(4, has_z, parts=[
-            Geom(1, has_z, coords=[draw(st.tuples(*[coord] * ndim))])
+        return Geom(4, has_z, has_m, parts=[
+            Geom(1, has_z, has_m,
+                 coords=[draw(st.tuples(*[coord] * ndim))])
             for _ in range(n)])
     if t == 5:
         n = draw(st.integers(min_value=0, max_value=3))
-        return Geom(5, has_z, parts=[
-            Geom(2, has_z, coords=draw(_coords(ndim, 2, 5)))
+        return Geom(5, has_z, has_m, parts=[
+            Geom(2, has_z, has_m, coords=draw(_coords(ndim, 2, 5)))
             for _ in range(n)])
     n = draw(st.integers(min_value=0, max_value=3))
-    return Geom(6, has_z, parts=[
-        Geom(3, has_z, rings=[ring() for _ in range(
+    return Geom(6, has_z, has_m, parts=[
+        Geom(3, has_z, has_m, rings=[ring() for _ in range(
             draw(st.integers(min_value=1, max_value=2)))])
         for _ in range(n)])
 
@@ -91,6 +104,42 @@ def test_native_encoding_roundtrip_property(batch, type_id, interleaved):
 def test_z_roundtrip_property(batch):
     for g in batch:
         assert parse_wkb(write_wkb(g)).equals_exact(g)
+
+
+@pytest.mark.parametrize("dims", ["xym", "xyzm"])
+@settings(max_examples=50, deadline=None)
+@given(data=st.data())
+def test_m_roundtrip_property(dims, data):
+    """XYM/XYZM geometries through WKB and WKT (round-1 gap: M carried
+    by the kernels but never property-roundtripped)."""
+    batch = data.draw(st.lists(geoms(dims=dims), min_size=1, max_size=4))
+    for g in batch:
+        b = parse_wkb(write_wkb(g))
+        assert (b.has_z, b.has_m) == (g.has_z, g.has_m)
+        assert b.equals_exact(g)
+        w = parse_wkt(format_wkt(g))
+        assert (w.has_z, w.has_m) == (g.has_z, g.has_m)
+        assert w.equals_exact(g)
+
+
+@pytest.mark.parametrize("dims", ["xy", "xyz", "xym", "xyzm"])
+@settings(max_examples=40, deadline=None)
+@given(data=st.data())
+def test_native_encoding_m_roundtrip_property(dims, data):
+    """All four dims through BOTH native coord layouts."""
+    from geospark.kernels.garrow import NATIVE_EXTENSIONS
+    type_id = data.draw(st.sampled_from([1, 2, 3, 4, 5, 6]))
+    batch = [g for g in data.draw(
+        st.lists(geoms(dims=dims), min_size=0, max_size=5))
+        if g.type_id == type_id]
+    ext = NATIVE_EXTENSIONS[type_id - 1]
+    for enc in ("geoarrow", "geoarrow_interleaved"):
+        arr, _ = encode(batch, enc, extension=ext, dims=dims)
+        back = decode(arr, f"geoarrow.{ext}")
+        assert len(back) == len(batch)
+        for g, b in zip(batch, back):
+            assert b is not None and (b.has_z, b.has_m) == \
+                (g.has_z, g.has_m) and g.equals_exact(b)
 
 
 def _crossing_number(px, py, rings):

@@ -1,0 +1,192 @@
+"""Round-2 scale-path tests: banded hyperplane LSH (recall + bucket
+cap), ngram document-frequency cap, distributed polygon covering
+(driver-path parity + plan shape), and the lon-wrapped kNN metric.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.spark
+
+
+def _plan(spark, df, mode: str = "formatted") -> str:
+    jm = spark._jvm.org.apache.spark.sql.execution.ExplainMode
+    return df._jdf.queryExecution().explainString(jm.fromString(mode))
+
+
+# ---------------------------------------------------------------------------
+# banded multi-table hyperplane LSH
+# ---------------------------------------------------------------------------
+
+def _planted_embeddings(spark, n_base: int = 30, n_noise: int = 140,
+                        dim: int = 64):
+    """(df, planted_pairs): pairs (2i, 2i+1) are near-dups with cosine
+    >= ~0.99; the rest is isotropic noise."""
+    rng = np.random.default_rng(7)
+    rows = []
+    pairs = []
+    vid = 0
+    for _ in range(n_base):
+        v = rng.normal(size=dim)
+        v /= np.linalg.norm(v)
+        w = v + rng.normal(size=dim) * 0.02
+        w /= np.linalg.norm(w)
+        rows.append((vid, [float(x) for x in v]))
+        rows.append((vid + 1, [float(x) for x in w]))
+        pairs.append((vid, vid + 1))
+        vid += 2
+    for _ in range(n_noise):
+        v = rng.normal(size=dim)
+        v /= np.linalg.norm(v)
+        rows.append((vid, [float(x) for x in v]))
+        vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    return df, pairs
+
+
+def test_lsh_near_dup_planted_recall(spark):
+    from geospark.operators.similarity import lsh_near_dup
+    df, pairs = _planted_embeddings(spark)
+    got = {(r.vec_a, r.vec_b)
+           for r in lsh_near_dup(df, threshold=0.9).collect()}
+    hit = sum(1 for p in pairs if p in got)
+    assert hit / len(pairs) >= 0.9
+    # and no false positives below the cosine threshold by construction
+    for a, b in got:
+        assert (a, b) in pairs or abs(a - b) <= 1  # planted ids adjacent
+
+
+def test_lsh_near_dup_bucket_cap_active(spark):
+    """max_bucket=1 drops every pair-capable bucket -> empty result:
+    the cap is live in the plan, not decorative (the round-1 version
+    self-joined buckets uncapped)."""
+    from geospark.operators.similarity import lsh_near_dup
+    df, _ = _planted_embeddings(spark, n_base=5, n_noise=10)
+    assert lsh_near_dup(df, threshold=0.0, max_bucket=1).count() == 0
+
+
+def test_lsh_matches_duckdb_twin(spark):
+    """Spark result == DuckDB twin on the planted table (the hyperplane
+    sums must be bit-identical cross-engine)."""
+    import duckdb
+    from geospark.operators.similarity import lsh_near_dup, lsh_near_dup_sql
+    df, _ = _planted_embeddings(spark, n_base=10, n_noise=40)
+    got = {(r.vec_a, r.vec_b, r.sim)
+           for r in lsh_near_dup(df, threshold=0.5).collect()}
+    pdf = df.toPandas()
+    con = duckdb.connect()
+    con.register("embeddings", pdf)
+    exp = {(int(a), int(b), float(s)) for a, b, s in
+           con.execute(lsh_near_dup_sql(threshold=0.5)).fetchall()}
+    assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# ngram document-frequency cap
+# ---------------------------------------------------------------------------
+
+def test_ngram_pairs_df_cap(spark):
+    from geospark.operators.dedup import ngram_pairs
+    # A/B are near-identical; every doc shares the boilerplate "zqx"
+    docs = [(1, "s", "zqx alpha beta gamma delta"),
+            (2, "s", "zqx alpha beta gamma delt"),
+            (3, "s", "zqx completely different text one"),
+            (4, "s", "zqx unrelated words entirely two")]
+    df = spark.createDataFrame(docs, "doc_id long, source string, "
+                                     "text string")
+    # no cap: A/B found
+    uncapped = ngram_pairs(df, threshold=0.5, max_df=10**6)
+    assert {(r.doc_a, r.doc_b) for r in uncapped.collect()} == {(1, 2)}
+    # cap at df<=1: every shared gram dropped -> no pairs at all
+    assert ngram_pairs(df, threshold=0.0, max_df=1,
+                       log_drops=True).count() == 0
+    # cap at df<=2: grams shared by 3+ docs (boilerplate) dropped, the
+    # A/B pair survives on its private grams
+    capped = ngram_pairs(df, threshold=0.5, max_df=2)
+    assert {(r.doc_a, r.doc_b) for r in capped.collect()} == {(1, 2)}
+
+
+# ---------------------------------------------------------------------------
+# distributed polygon covering
+# ---------------------------------------------------------------------------
+
+def _pts(spark):
+    import geospark.queries as q
+    return q._cust_points(spark, "/root/testdata/sf0.001")
+
+
+def test_distributed_join_matches_driver_path(spark):
+    import geospark.queries as q
+    from geospark.operators.joins import spatial_join
+    pts = _pts(spark)
+    zones = q.fixed_zones_df(spark)
+    a = spatial_join(pts, zones, res=6)
+    b = spatial_join(pts, zones, res=6, distributed=True)
+    ra = sorted((r.c_custkey, r.zone_id) for r in
+                a.select("c_custkey", "zone_id").collect())
+    rb = sorted((r.c_custkey, r.zone_id) for r in
+                b.select("c_custkey", "zone_id").collect())
+    assert ra == rb
+
+
+def test_distributed_join_plan_has_no_driver_covering(spark):
+    """Plan proof: covering runs as MapInPandas (executors), and the
+    polygon side never appears as a driver-materialized local table."""
+    import geospark.queries as q
+    from geospark.operators.joins import spatial_join
+    pts = _pts(spark)
+    q.fixed_zones_df(spark).write.mode("overwrite") \
+        .parquet("/tmp/geospark_test_zones")
+    zdf = pts.sparkSession.read.parquet("/tmp/geospark_test_zones")
+    out = spatial_join(pts, zdf, res=6, distributed=True)
+    p = _plan(pts.sparkSession, out)
+    assert "MapInPandas" in p            # covering on executors
+    # the polygon source stays a parquet scan, not a collected local
+    # relation (the driver path materializes cover via createDataFrame)
+    assert p.count("LocalTableScan") == 0
+
+
+def test_distributed_semi_anti(spark):
+    import geospark.queries as q
+    from geospark.operators.joins import spatial_join
+    pts = _pts(spark)
+    zones = q.fixed_zones_df(spark)
+    semi = spatial_join(pts, zones, res=6, how="left_semi",
+                        distributed=True).count()
+    anti = spatial_join(pts, zones, res=6, how="left_anti",
+                        distributed=True).count()
+    assert semi + anti == pts.count()
+    assert semi == spatial_join(pts, zones, res=6,
+                                how="left_semi").count()
+
+
+def test_pick_resolution_distributed_no_collect(spark):
+    import geospark.queries as q
+    from geospark.operators.joins import (_pick_resolution_distributed,
+                                          pick_resolution)
+    zones = q.fixed_zones_df(spark)
+    res_d = _pick_resolution_distributed(zones, "geom_wkb")
+    polys = [(r.zone_id, r.geom_wkb) for r in zones.collect()]
+    assert res_d == pick_resolution(polys)
+
+
+# ---------------------------------------------------------------------------
+# lon-wrapped kNN metric
+# ---------------------------------------------------------------------------
+
+def test_knn_lonwrap_crosses_antimeridian(spark):
+    from geospark.operators.joins import knn_join
+    q = spark.createDataFrame([(1, 0.0, 179.5)],
+                              "query_id long, q_lat double, q_lon double")
+    pts = spark.createDataFrame(
+        [(10, 0.0, -179.9),   # wrapped dist 0.6 deg
+         (20, 0.0, 170.0),    # dist 9.5 deg
+         (30, 0.0, 150.0)],
+        "point_id long, lat double, lon double")
+    planar = knn_join(q, pts, 1, res=4, metric="planar").collect()[0]
+    wrapped = knn_join(q, pts, 1, res=4, metric="lonwrap").collect()[0]
+    assert planar.point_id == 20      # documented planar contract
+    assert wrapped.point_id == 10     # wrap-aware winner
+    assert abs(wrapped.sqdist - 0.6 ** 2) < 1e-9
