@@ -111,7 +111,14 @@ def bench_queries(spark, sf_dir):
     }
 
 
-def run_suite(spark, sf_dir, warmup: bool = True):
+def run_suite(spark, sf_dir, warmup: bool = True, reps: int | None = None):
+    """Per query: one untimed warmup pass, then min-of-``reps`` timed
+    runs (default $SPARK_GRAFT_BENCH_REPS or 3). Min-of-N de-noises the
+    sandbox's CPU-steal variance (round-1 measured a 1.3x swing between
+    identical runs of the same commit); the minimum is the best
+    estimate of the engine's own cost on a noisy host."""
+    if reps is None:
+        reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     qs = bench_queries(spark, sf_dir)
     if warmup:
         # untimed warmup pass: fresh-JVM JIT/classload/heap-fault costs
@@ -122,9 +129,13 @@ def run_suite(spark, sf_dir, warmup: bool = True):
     timings = {}
     counts = {}
     for name, fn in qs.items():
-        t0 = time.monotonic()
-        counts[name] = fn()
-        timings[name] = round(time.monotonic() - t0, 3)
+        best = None
+        for _ in range(max(reps, 1)):
+            t0 = time.monotonic()
+            counts[name] = fn()
+            dt = time.monotonic() - t0
+            best = dt if best is None or dt < best else best
+        timings[name] = round(best, 3)
     return timings, counts
 
 
@@ -142,8 +153,10 @@ def main() -> None:
     timings, counts = run_suite(spark, sf_dir)
     total = round(sum(timings.values()), 3)
 
-    # throughput figures for the north rule
-    n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "150000"))
+    # throughput figures for the north rule — both numerators MEASURED
+    # from the actual inputs (the env constant would silently drift if
+    # the generator changed)
+    n_pages = spark.read.parquet(_pages_src(spark)).count()
     n_points = _lineitem_points(spark, sf_dir).count()
     docs_per_sec = round(n_pages / timings["pages_pipeline"], 1)
     cells_per_sec = round(n_points / (timings["pip_lineitem"]

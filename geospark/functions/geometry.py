@@ -265,12 +265,94 @@ def _lazy_udfs():
         Parquet because they never touch a UDF afterwards."""
         return _st_envelope_batch(s)
 
+    @pandas_udf(T.BinaryType())
+    def st_pointz_u(lon: pd.Series, lat: pd.Series,
+                    z: pd.Series) -> pd.Series:
+        """(lon, lat, z) -> XYZ WKB point (iso 1001), vectorized."""
+        xv = lon.to_numpy(dtype=np.float64, na_value=np.nan)
+        yv = lat.to_numpy(dtype=np.float64, na_value=np.nan)
+        zv = z.to_numpy(dtype=np.float64, na_value=np.nan)
+        n = xv.shape[0]
+        rec = np.empty(n, dtype=np.dtype(
+            [("bo", "u1"), ("typ", "<u4"),
+             ("x", "<f8"), ("y", "<f8"), ("z", "<f8")]))
+        rec["bo"], rec["typ"] = 1, 1001
+        rec["x"], rec["y"], rec["z"] = xv, yv, zv
+        data = rec.view(np.uint8)
+        offs = np.arange(0, (n + 1) * 29, 29, dtype=np.int32)
+        nulls = np.isnan(xv) | np.isnan(yv) | np.isnan(zv)
+        return _wkb_buffer_to_bytes_series(
+            data, offs, nulls if nulls.any() else None)
+
+    @pandas_udf(T.DoubleType())
+    def st_z_u(s: pd.Series) -> pd.Series:
+        """Z coordinate of a point (NaN for XY/XYM points, non-points,
+        empties). Vectorized fast path for little-endian iso-1001/3001
+        headers; general parse for the rest."""
+        data, offsets, validity = _series_to_wkb_buffers(s)
+        n = len(offsets) - 1
+        out = np.full(n, np.nan)
+        if n == 0:
+            return pd.Series(out)
+        lens = np.diff(offsets)
+        cand = lens >= 29
+        if validity is not None:
+            cand &= validity
+        idx = np.nonzero(cand)[0]
+        if idx.size:
+            st = offsets[idx].astype(np.int64)
+            bo = data[st]
+            traw = (data[st + 1].astype(np.uint32)
+                    | (data[st + 2].astype(np.uint32) << 8)
+                    | (data[st + 3].astype(np.uint32) << 16)
+                    | (data[st + 4].astype(np.uint32) << 24))
+            base = traw & np.uint32(0x1FFFFFFF)
+            has_z = ((base // 1000) % 2 == 1) \
+                | ((traw & np.uint32(0x80000000)) != 0)
+            fast = (bo == 1) & (base % np.uint32(1000) == 1) & has_z \
+                & ((traw & np.uint32(0x20000000)) == 0)
+            fi = idx[fast]
+            if fi.size:
+                g = offsets[fi].astype(np.int64)[:, None] \
+                    + np.arange(21, 29, dtype=np.int64)[None]
+                out[fi] = data[g].copy().view("<f8").ravel()
+            # slow path only for rows that could carry z (big-endian
+            # headers or z-flagged non-fast rows); LE xy rows stay NaN
+            # without any per-row work
+            for i in idx[~fast & (has_z | (bo != 1))]:
+                gg = parse_wkb(data[offsets[i]:offsets[i + 1]].tobytes())
+                if gg is not None and gg.type_id == 1 and gg.has_z \
+                        and not gg.is_empty:
+                    out[i] = gg.coords[0, 2]
+        return pd.Series(out)
+
+    @pandas_udf(T.StringType())
+    def st_dims_u(s: pd.Series) -> pd.Series:
+        """Dimensions string ('xy'/'xyz'/'xym'/'xyzm') from the WKB
+        header — works for EMPTY too (unlike the calculator code,
+        which collapses empties to 0)."""
+        return s.map(lambda b: None if b is None
+                     else parse_wkb(b).dims, na_action="ignore")
+
+    @pandas_udf(T.DoubleType())
+    def st_distance_u(a: pd.Series, b: pd.Series) -> pd.Series:
+        """Planar euclidean distance in coordinate units between two
+        POINT columns (NaN for non-points/empties; geodesic meters are
+        the Column-expression haversine_m). np.sqrt is correctly
+        rounded, so the result is cross-engine deterministic."""
+        ax, ay, aok = wkb_batch_xy(a)
+        bx, by, bok = wkb_batch_xy(b)
+        d = np.sqrt((ax - bx) ** 2 + (ay - by) ** 2)
+        return pd.Series(np.where(aok & bok, d, np.nan))
+
     _UDF_CACHE.update(
         st_point=st_point_u, st_x=st_x_u, st_y=st_y_u,
         st_geomfromtext=st_geomfromtext_u,
         st_geomfromwkb=st_geomfromwkb_u, st_astext=st_astext_u,
         st_geometrytype=st_geometrytype_u, st_typecode=st_typecode_u,
-        st_isempty=st_isempty_u, st_envelope=st_envelope_u)
+        st_isempty=st_isempty_u, st_envelope=st_envelope_u,
+        st_pointz=st_pointz_u, st_z=st_z_u, st_dims=st_dims_u,
+        st_distance=st_distance_u)
     return _UDF_CACHE
 
 
@@ -312,6 +394,29 @@ def st_isempty(c):
 
 def st_envelope(c):
     return _lazy_udfs()["st_envelope"](c)
+
+
+def st_pointz(lon, lat, z):
+    return _lazy_udfs()["st_pointz"](lon, lat, z)
+
+
+def st_z(c):
+    return _lazy_udfs()["st_z"](c)
+
+
+def st_dims(c):
+    return _lazy_udfs()["st_dims"](c)
+
+
+def st_aswkb(c):
+    """Canonical ISO little-endian WKB writer (normalizes foreign
+    byte order / EWKB flags) — same kernel as st_geomfromwkb, exposed
+    under the reference's builder-surface name."""
+    return _lazy_udfs()["st_geomfromwkb"](c)
+
+
+def st_distance(a, b):
+    return _lazy_udfs()["st_distance"](a, b)
 
 
 def make_st_contains(rings: list[np.ndarray]):

@@ -429,6 +429,35 @@ def q_geoarrow_roundtrip(spark, sf_dir):
                        st_y(F.col("wkb2")).alias("y"))
 
 
+def q_st_zm(spark, sf_dir):
+    """XYZ surface end-to-end: build an XYZ WKB point (vectorized
+    writer), read back z (fast-path header parse), dims string, and x —
+    the st_z/st_dims/st_pointz functions under oracle."""
+    from pyspark.sql import functions as F
+    from .functions.geometry import st_dims, st_pointz, st_x, st_z
+    pts = _cust_points(spark, sf_dir)
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet") \
+        .select("c_custkey", "c_nationkey")
+    df = pts.join(c, "c_custkey")
+    z = (F.col("c_nationkey") % 25).cast("double") / 10.0
+    wkb = st_pointz(F.col("lon"), F.col("lat"), z)
+    return df.select("c_custkey", st_x(wkb).alias("x"),
+                     st_z(wkb).alias("z"), st_dims(wkb).alias("dims"))
+
+
+def q_st_distance(spark, sf_dir):
+    """Planar point-point distance (np.sqrt is correctly rounded, so
+    the unrounded double crosses engines bit-exactly)."""
+    from pyspark.sql import functions as F
+    from .functions.geometry import st_distance, st_point
+    s = _supp_queries(spark, sf_dir)
+    c = _cust_points(spark, sf_dir)
+    j = s.join(c, s["query_id"] * 7 == c["c_custkey"])
+    d = st_distance(st_point(F.col("q_lon"), F.col("q_lat")),
+                    st_point(F.col("lon"), F.col("lat")))
+    return j.select("query_id", "c_custkey", d.alias("dist_deg"))
+
+
 def q_tile_cube(spark, sf_dir):
     from pyspark.sql import functions as F
     c = spark.read.parquet(f"{sf_dir}/customer.parquet")
@@ -518,6 +547,8 @@ QUERIES = {
     "knn_wrap": q_knn_wrap,
     "wkt_roundtrip": q_wkt_roundtrip,
     "geoarrow_roundtrip": q_geoarrow_roundtrip,
+    "st_zm": q_st_zm,
+    "st_distance": q_st_distance,
 }
 
 
@@ -663,6 +694,18 @@ def oracle_sql() -> dict[str, str]:
         "'POINT' AS gtype, FALSE AS is_empty FROM customer")
     out["geoarrow_roundtrip"] = (
         f"SELECT c_custkey, lon AS x, lat AS y FROM ({_CUST_PTS_CTE})")
+    out["st_zm"] = (
+        f"SELECT c_custkey, lon AS x, "
+        f"CAST(c_nationkey % 25 AS DOUBLE) / 10.0 AS z, 'xyz' AS dims "
+        f"FROM (SELECT c_custkey, c_nationkey, {CUST_LON_SQL} AS lon "
+        f"FROM customer)")
+    out["st_distance"] = (
+        f"WITH q AS (SELECT s_suppkey AS query_id, {SUPP_LAT_SQL} AS "
+        f"q_lat, {SUPP_LON_SQL} AS q_lon FROM supplier), "
+        f"c AS ({_CUST_PTS_CTE}) "
+        f"SELECT query_id, c_custkey, SQRT((q_lon - lon) * (q_lon - lon) "
+        f"+ (q_lat - lat) * (q_lat - lat)) AS dist_deg "
+        f"FROM q JOIN c ON q.query_id * 7 = c.c_custkey")
     out["minhash_pairs"] = minhash_pairs_sql()
     out["simhash"] = simhash_sql()
     out["ngram_pairs"] = ngram_pairs_sql()

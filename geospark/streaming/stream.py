@@ -64,6 +64,59 @@ def stream_dedup_first(stream_df, key_col: str, schema: str):
                 timeoutConf=GroupStateTimeout.NoTimeout))
 
 
+def stream_flagship(spark, src_dir: str, zones_df, out_dir: str,
+                    checkpoint_dir: str, *, res: int = 6,
+                    max_files_per_trigger: int = 8):
+    """Streaming twin of the EP-RULE flagship pipeline: readStream pages
+    -> geometry extraction -> broadcast-then-refine PIP join -> per
+    (zone, cell) PARTIAL counts appended per microbatch.
+
+    foreachBatch reuses the exact batch operators (extract_pages,
+    spatial_join, cell_encode) — one code path, two execution modes.
+    Partials are append-only (no unbounded streaming state; the
+    microbatch groupBy is bounded by the batch size), and the exact
+    running totals are a cheap rollup over the partials
+    (``flagship_totals``) — the classic streaming-lambda shape without
+    the second codebase. Runs with availableNow (drain-everything) for
+    batch-replay / tests; drop the trigger for continuous tailing.
+    Returns the finished StreamingQuery."""
+    from pyspark.sql import functions as F
+
+    from ..operators.extract import extract_pages
+    from ..operators.joins import spatial_join
+    from ..functions.cells import cell_encode
+    from ..sources.synth import PAGES_SCHEMA
+
+    def process_batch(batch_df, batch_id: int):
+        geo = extract_pages(batch_df)
+        joined = spatial_join(geo, zones_df, res=res)
+        counts = (joined
+                  .withColumn("cell", cell_encode("lat", "lon", res))
+                  .groupBy("zone_id", "cell")
+                  .agg(F.count(F.lit(1)).alias("n_pts"))
+                  .withColumn("batch_id", F.lit(batch_id)))
+        counts.write.mode("append").parquet(out_dir)
+
+    src = (spark.readStream.schema(PAGES_SCHEMA)
+           .option("maxFilesPerTrigger", max_files_per_trigger)
+           .parquet(src_dir))
+    q = (src.writeStream
+         .foreachBatch(process_batch)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return q
+
+
+def flagship_totals(spark, out_dir: str):
+    """Exact running totals over the streaming partials."""
+    from pyspark.sql import functions as F
+    return (spark.read.parquet(out_dir)
+            .groupBy("zone_id", "cell")
+            .agg(F.sum("n_pts").alias("n_pts")))
+
+
 def run_available_now(stream_df, checkpoint_dir: str, out_table: str,
                       output_mode: str = "append"):
     """Drain everything currently in the source (test/batch-replay mode)

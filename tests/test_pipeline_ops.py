@@ -328,3 +328,39 @@ def test_image_audio_features_spark(spark):
     for r in arows.values():
         assert abs(r.duration_s - 0.1) < 1e-9
         assert 0.0 < r.rms < 1.0 and 0.0 < r.zcr < 1.0
+
+
+def test_stream_flagship_converges_to_batch(spark, tmp_path):
+    """Streaming twin of the EP-RULE flagship: multiple microbatches of
+    pages through extract -> PIP join -> per-(zone, cell) partials; the
+    rolled-up totals equal the batch pipeline exactly."""
+    from pyspark.sql import functions as F
+    from geospark.functions.cells import cell_encode
+    from geospark.operators.extract import extract_pages
+    from geospark.operators.joins import spatial_join
+    from geospark.sources.synth import pages_df, zones_df
+    from geospark.streaming.stream import flagship_totals, stream_flagship
+
+    src = str(tmp_path / "pages_src")
+    pages_df(spark, 1200).repartition(6).write \
+        .mode("overwrite").parquet(src)
+    zones = zones_df(spark)
+
+    out_dir = str(tmp_path / "partials")
+    stream_flagship(spark, src, zones, out_dir,
+                    str(tmp_path / "ck_flag"), res=6,
+                    max_files_per_trigger=2)  # forces >=3 microbatches
+
+    got = {(r.zone_id, r.cell, r.n_pts)
+           for r in flagship_totals(spark, out_dir).collect()}
+    batch = (spatial_join(extract_pages(spark.read.parquet(src)),
+                          zones, res=6)
+             .withColumn("cell", cell_encode("lat", "lon", 6))
+             .groupBy("zone_id", "cell")
+             .agg(F.count(F.lit(1)).alias("n_pts")))
+    exp = {(r.zone_id, r.cell, r.n_pts) for r in batch.collect()}
+    assert got == exp
+    # partials really were appended across >1 microbatch
+    n_batches = (spark.read.parquet(out_dir)
+                 .select("batch_id").distinct().count())
+    assert n_batches >= 2

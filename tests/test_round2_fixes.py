@@ -117,3 +117,45 @@ def test_from_geoarrow_3wide_requires_dims(spark):
         g = parse_wkb(back.collect()[0].wkb)
         assert (g.has_z, g.has_m) == (dims == "xyz", dims == "xym")
         assert g.coords[0].tolist() == [1.0, 2.0, 3.0]
+
+
+# ---------------------------------------------------------------------------
+# round-2 st_* surface additions
+# ---------------------------------------------------------------------------
+
+def test_st_z_dims_distance(spark):
+    from pyspark.sql import functions as F
+    from geospark.functions.geometry import (st_aswkb, st_dims,
+                                             st_distance, st_point,
+                                             st_pointz, st_x, st_z)
+    from geospark.kernels.geom import parse_wkt
+    from geospark.kernels.wkb import write_wkb
+    df = spark.createDataFrame([(1, 3.0, 4.0, 7.5)],
+                               "id long, lon double, lat double, z double")
+    w3 = st_pointz(F.col("lon"), F.col("lat"), F.col("z"))
+    w2 = st_point(F.col("lon"), F.col("lat"))
+    row = df.select(st_z(w3).alias("z3"), st_dims(w3).alias("d3"),
+                    st_z(w2).alias("z2"), st_dims(w2).alias("d2"),
+                    st_x(w3).alias("x3"),
+                    st_distance(w2, st_point(F.lit(0.0), F.lit(0.0)))
+                    .alias("dist")).collect()[0]
+    assert row.z3 == 7.5 and row.d3 == "xyz"
+    assert row.z2 is None  # NaN -> null for xy point (Arrow mapping)
+    assert row.d2 == "xy" and row.x3 == 3.0
+    assert row.dist == 5.0
+
+    # st_z on XYM must stay NaN (m is not z); on XYZM returns z
+    gm = write_wkb(parse_wkt("POINT M (1 2 9)"))
+    gzm = write_wkb(parse_wkt("POINT ZM (1 2 3 9)"))
+    d2 = spark.createDataFrame([(gm, gzm)], "a binary, b binary")
+    r = d2.select(st_z(F.col("a")).alias("zm"),
+                  st_z(F.col("b")).alias("zzm"),
+                  st_dims(F.col("a")).alias("dm"),
+                  st_dims(F.col("b")).alias("dzm")).collect()[0]
+    assert r.zm is None and r.zzm == 3.0
+    assert r.dm == "xym" and r.dzm == "xyzm"
+
+    # st_aswkb canonicalizes EWKB (SRID flag) to ISO little-endian
+    ew = spark.createDataFrame([(_ewkb_point(5.0, 6.0),)], "w binary")
+    out = ew.select(st_aswkb(F.col("w")).alias("c")).collect()[0].c
+    assert bytes(out) == write_wkb(parse_wkt("POINT (5 6)"))
