@@ -190,6 +190,149 @@ WHERE ROUND({cos}, 6) >= {threshold}
 """
 
 
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the second scale path the mandate names
+# ---------------------------------------------------------------------------
+
+def ivf_train(sample: "np.ndarray", k: int = 8, iters: int = 5
+              ) -> "np.ndarray":
+    """Deterministic Lloyd k-means on a DRIVER-SIDE SAMPLE (the standard
+    IVF recipe: the coarse quantizer trains on a bounded sample, only
+    the assignment is distributed). Init = first k sample rows (sample
+    order is deterministic by vec_id), so the same input always yields
+    the same centroids — they are then baked as LITERALS into both the
+    Spark plan and the DuckDB twin, which sidesteps the cross-engine
+    float-summation-order problem entirely (distributed float SUM is
+    partition-order dependent; literals are not)."""
+    x = np.asarray(sample, dtype=np.float64)
+    cent = x[:k].copy()
+    for _ in range(iters):
+        d = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)
+        for j in range(k):
+            sel = x[a == j]
+            if len(sel):
+                cent[j] = sel.mean(axis=0)
+    return cent
+
+
+def _sq_dist_seq(m: "np.ndarray", c: "np.ndarray") -> "np.ndarray":
+    """Squared distance accumulated SEQUENTIALLY over dims — the same
+    left-to-right order the SQL twin's explicit sum uses, so the
+    doubles (and hence the argmin) are bit-identical cross-engine."""
+    acc = np.zeros(m.shape[0], dtype=np.float64)
+    for i in range(m.shape[1]):
+        t = m[:, i] - c[i]
+        acc = acc + t * t
+    return acc
+
+
+def ivf_assign_udf(centroids: "np.ndarray"):
+    """array<double> -> nearest-centroid id (Arrow-vectorized)."""
+    from pyspark.sql.functions import pandas_udf
+    cent = np.asarray(centroids, dtype=np.float64)
+
+    @pandas_udf("int")
+    def assign(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="int32")
+        m = np.stack(v.to_numpy()).astype(np.float64, copy=False)
+        d = np.empty((m.shape[0], cent.shape[0]))
+        for j in range(cent.shape[0]):
+            d[:, j] = _sq_dist_seq(m, cent[j])
+        return pd.Series(d.argmin(axis=1).astype(np.int32))
+
+    return assign
+
+
+def _sq_dist_sql(vexpr: str, c: "np.ndarray") -> str:
+    terms = [f"({vexpr}[{i + 1}] - {c[i]!r}) * "
+             f"({vexpr}[{i + 1}] - {c[i]!r})"
+             for i in range(len(c))]
+    return "(" + " + ".join(terms) + ")"
+
+
+def ivf_assign_sql(vexpr: str, centroids: "np.ndarray") -> str:
+    """SQL twin of ivf_assign_udf: explicit per-centroid distance sums
+    (same order) + argmin via a LEAST comparison chain. Strict-< argmin
+    with lowest-index tiebreak matches numpy argmin."""
+    k = len(centroids)
+    ds = [_sq_dist_sql(vexpr, centroids[j]) for j in range(k)]
+    least = "LEAST(" + ", ".join(ds) + ")"
+    whens = " ".join(f"WHEN {ds[j]} = {least} THEN {j}"
+                     for j in range(k))
+    return f"(CASE {whens} END)"
+
+
+def ivf_ann_topk(emb_df, query_vec, centroids: "np.ndarray",
+                 k: int = 10, nprobe: int = 2, *,
+                 id_col: str = "vec_id", emb_col: str = "embedding"):
+    """IVF approximate top-k: vectors are bucketed by nearest centroid
+    (one map-side pandas UDF, no shuffle); the query probes its
+    ``nprobe`` nearest lists and ranks candidates by exact cosine.
+
+    Scale shape: list count k grows with n (k ~ sqrt(n) is the usual
+    rule); the probe filter is a scan predicate over a tiny IN-set, so
+    the whole query is a pruned scan + local top-k — no join at all.
+    Assignment is embarrassingly parallel; at ingest time the
+    assignment column is materialized once and the table is bucketed/
+    partitioned by it, making later probes partition-pruned scans."""
+    from pyspark.sql import functions as F
+    cent = np.asarray(centroids, dtype=np.float64)
+    qv = np.asarray([float(x) for x in query_vec], dtype=np.float64)
+    qd = np.array([_sq_dist_seq(qv[None, :], cent[j])[0]
+                   for j in range(len(cent))])
+    probe = [int(j) for j in np.argsort(qd, kind="stable")[:nprobe]]
+    e = emb_df.select(F.col(id_col),
+                      _emb_double(F.col(emb_col)).alias("v"))
+    assign = ivf_assign_udf(cent)
+    e = e.withColumn("_list", assign(F.col("v"))) \
+         .filter(F.col("_list").isin(probe))
+    qlit = F.array(*[F.lit(float(x)) for x in qv])
+    qn = float(np.sqrt(np.sum(qv * qv)))
+    dot = F.aggregate(F.zip_with(F.col("v"), qlit, lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    nv = F.sqrt(F.aggregate(F.transform(F.col("v"), lambda x: x * x),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    sim = F.round(dot / (nv * F.lit(qn)), 6)
+    return (e.select(id_col, sim.alias("sim"))
+            .orderBy(F.col("sim").desc(), F.col(id_col).asc())
+            .limit(k))
+
+
+def ivf_ann_topk_sql(centroids: "np.ndarray", k: int = 10,
+                     nprobe: int = 2, table: str = "embeddings",
+                     query_id: int = 0) -> str:
+    """DuckDB twin: identical centroid literals, identical sequential
+    distance sums, identical probe-list derivation."""
+    cent = np.asarray(centroids, dtype=np.float64)
+    assign = ivf_assign_sql("CAST(embedding AS DOUBLE[])", cent)
+    qv = (f"(SELECT CAST(embedding AS DOUBLE[]) FROM {table} "
+          f"WHERE vec_id = {query_id})")
+    qassign_d = [f"{_sq_dist_sql(qv, cent[j])}" for j in range(len(cent))]
+    # probe list computed the same way (argsort of query-centroid dists)
+    # but as SQL we inline it via a rank over the same expressions
+    probe_cte = " UNION ALL ".join(
+        f"SELECT {j} AS list_id, {qassign_d[j]} AS d"
+        for j in range(len(cent)))
+    cos = (f"list_dot_product(CAST(embedding AS DOUBLE[]), {qv}) / "
+           f"(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), "
+           f"CAST(embedding AS DOUBLE[]))) * "
+           f"sqrt(list_dot_product({qv}, {qv})))")
+    return f"""
+WITH qd AS ( {probe_cte} ),
+probe AS (
+  SELECT list_id FROM (
+    SELECT list_id, ROW_NUMBER() OVER (ORDER BY d ASC, list_id ASC)
+      AS rn FROM qd) WHERE rn <= {nprobe}
+)
+SELECT vec_id, ROUND({cos}, 6) AS sim
+FROM {table}
+WHERE {assign} IN (SELECT list_id FROM probe)
+ORDER BY sim DESC, vec_id ASC LIMIT {k}
+"""
+
+
 def sign_bucket_col_offset(emb, n_bits: int, offset: int):
     """Sign bucket over dims [offset, offset + n_bits)."""
     from pyspark.sql import functions as F

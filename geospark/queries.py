@@ -205,6 +205,30 @@ def q_dedup_exact(spark, sf_dir):
             .filter(F.col("n_dups") > 1))
 
 
+def q_dedup_exact_planted(spark, sf_dir):
+    """dedup_exact with guaranteed duplicates: the documents table
+    unioned with itself (every text appears twice) — the round-1
+    dedup_exact row was green but returned 0 rows at sf0.01 (no exact
+    dups in the synthetic corpus), which proves little. This row
+    exercises the group-count path with non-trivial output."""
+    from pyspark.sql import functions as F
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    u = d.unionAll(d)
+    return (u.groupBy(F.md5(F.col("text")).alias("text_md5"))
+            .agg(F.count(F.lit(1)).alias("n_dups"))
+            .filter(F.col("n_dups") > 1))
+
+
+def q_dedup_keep_first(spark, sf_dir):
+    """The exact_dedup OPERATOR itself (keep lowest-id representative
+    per text group) under oracle: run it on the self-unioned corpus,
+    emit the kept ids."""
+    from .operators.dedup import exact_dedup
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    u = d.unionAll(d)
+    return exact_dedup(u).select("doc_id").distinct()
+
+
 def q_doc_tokens(spark, sf_dir):
     from pyspark.sql import functions as F
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -212,6 +236,25 @@ def q_doc_tokens(spark, sf_dir):
         "doc_id",
         F.regexp_count(F.col("text"), F.lit("[A-Za-z0-9]+"))
         .cast("long").alias("n_tokens"))
+
+
+# GPT2-style pre-tokenizer, ASCII-simplified: contractions, space-
+# prefixed word/number/punct runs. Ordered alternation — leftmost-first
+# in both Java regex (Spark) and RE2 (DuckDB).
+BPE_RX = r"'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+
+def q_token_stats(spark, sf_dir):
+    """Token counting both ways the mandate names: whitespace tokens
+    and a BPE-ish pre-tokenizer regex."""
+    from pyspark.sql import functions as F
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(r"\S+"))
+        .cast("long").alias("ws_tokens"),
+        F.regexp_count(F.col("text"), F.lit(BPE_RX))
+        .cast("long").alias("bpe_tokens"))
 
 
 def q_doc_quality(spark, sf_dir):
@@ -284,6 +327,35 @@ def q_lsh_ann_topk(spark, sf_dir):
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qv = e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
     return lsh_ann_topk(e, qv, 10)
+
+
+IVF_K, IVF_ITERS, IVF_NPROBE, IVF_SAMPLE = 8, 5, 2, 256
+
+
+def _ivf_centroids(spark, sf_dir):
+    """Coarse quantizer trained on a deterministic bounded sample (the
+    first IVF_SAMPLE vectors by vec_id) — driver-side numpy k-means;
+    the centroids become literals in BOTH engines' queries."""
+    from pyspark.sql import functions as F
+    import numpy as np
+    from .operators.similarity import ivf_train
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = (e.filter(F.col("vec_id") < IVF_SAMPLE)
+            .orderBy("vec_id").select("embedding").collect())
+    sample = np.array([r.embedding for r in rows], dtype=np.float64)
+    return ivf_train(sample, k=IVF_K, iters=IVF_ITERS)
+
+
+def q_ivf_ann_topk(spark, sf_dir):
+    """IVF ANN top-10: sample-trained coarse quantizer, map-side list
+    assignment, nprobe-pruned scan + exact cosine rank (the second
+    mandated ANN scale path, next to the LSH one)."""
+    from pyspark.sql import functions as F
+    from .operators.similarity import ivf_ann_topk
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cent = _ivf_centroids(spark, sf_dir)
+    qv = e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return ivf_ann_topk(e, qv, cent, 10, nprobe=IVF_NPROBE)
 
 
 def q_lang_guess(spark, sf_dir):
@@ -549,6 +621,10 @@ QUERIES = {
     "geoarrow_roundtrip": q_geoarrow_roundtrip,
     "st_zm": q_st_zm,
     "st_distance": q_st_distance,
+    "dedup_exact_planted": q_dedup_exact_planted,
+    "dedup_keep_first": q_dedup_keep_first,
+    "ivf_ann_topk": q_ivf_ann_topk,
+    "token_stats": q_token_stats,
 }
 
 
@@ -606,9 +682,23 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact":
             "SELECT md5(text) AS text_md5, COUNT(*) AS n_dups "
             "FROM documents GROUP BY 1 HAVING COUNT(*) > 1",
+        "dedup_exact_planted":
+            "SELECT md5(text) AS text_md5, COUNT(*) AS n_dups FROM "
+            "(SELECT text FROM documents UNION ALL "
+            "SELECT text FROM documents) GROUP BY 1 HAVING COUNT(*) > 1",
+        "dedup_keep_first":
+            "SELECT DISTINCT MIN(doc_id) AS doc_id FROM "
+            "(SELECT doc_id, text FROM documents UNION ALL "
+            "SELECT doc_id, text FROM documents) GROUP BY md5(text)",
         "doc_tokens":
             "SELECT doc_id, CAST(length(regexp_extract_all(text, "
             "'[A-Za-z0-9]+')) AS BIGINT) AS n_tokens FROM documents",
+        "token_stats":
+            "SELECT doc_id, CAST(length(regexp_extract_all(text, "
+            r"'\S+')) AS BIGINT) AS ws_tokens, "
+            "CAST(length(regexp_extract_all(text, "
+            "'''[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+'"
+            ")) AS BIGINT) AS bpe_tokens FROM documents",
         "doc_quality":
             "SELECT doc_id, ROUND(CAST(length(regexp_extract_all(text, "
             "'[A-Za-z0-9]+')) AS DOUBLE) / (CAST(length(text) AS DOUBLE) "
@@ -694,6 +784,23 @@ def oracle_sql() -> dict[str, str]:
         "'POINT' AS gtype, FALSE AS is_empty FROM customer")
     out["geoarrow_roundtrip"] = (
         f"SELECT c_custkey, lon AS x, lat AS y FROM ({_CUST_PTS_CTE})")
+    # IVF centroids for the oracle twin: re-derived from the same
+    # sf0.01 sample with the same deterministic ivf_train — identical
+    # literals to what the Spark query computes at run time (the driver
+    # compares at sf0.01 by contract)
+    import duckdb as _dd
+    import numpy as _np
+    from .operators.similarity import ivf_ann_topk_sql, ivf_train
+    _con = _dd.connect()
+    _rows = _con.execute(
+        "SELECT CAST(embedding AS DOUBLE[]) FROM read_parquet("
+        "'/root/testdata/sf0.01/embeddings.parquet') "
+        f"WHERE vec_id < {IVF_SAMPLE} ORDER BY vec_id").fetchall()
+    _cent = ivf_train(_np.array([r[0] for r in _rows]),
+                      k=IVF_K, iters=IVF_ITERS)
+    out["ivf_ann_topk"] = ivf_ann_topk_sql(_cent, 10,
+                                           nprobe=IVF_NPROBE)
+    _con.close()
     out["st_zm"] = (
         f"SELECT c_custkey, lon AS x, "
         f"CAST(c_nationkey % 25 AS DOUBLE) / 10.0 AS z, 'xyz' AS dims "

@@ -190,3 +190,58 @@ def test_knn_lonwrap_crosses_antimeridian(spark):
     assert planar.point_id == 20      # documented planar contract
     assert wrapped.point_id == 10     # wrap-aware winner
     assert abs(wrapped.sqdist - 0.6 ** 2) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN
+# ---------------------------------------------------------------------------
+
+def test_ivf_recall_on_clustered_data(spark):
+    """IVF with nprobe=2 on clustered vectors: the true top-10 live in
+    the query's cluster, so recall vs the exact baseline must be high."""
+    from geospark.operators.similarity import ivf_ann_topk, ivf_train
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(4, 64)) * 3
+    rows = []
+    for i in range(400):
+        v = centers[i % 4] + rng.normal(size=64) * 0.3
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    sample = np.array([r[1] for r in rows[:128]], dtype=np.float64)
+    cent = ivf_train(sample, k=4, iters=5)
+    qv = rows[0][1]
+    got = [r.vec_id for r in ivf_ann_topk(df, qv, cent, 10,
+                                          nprobe=2).collect()]
+    # exact baseline: brute-force cosine in numpy
+    m = np.array([r[1] for r in rows], dtype=np.float64)
+    q = np.array(qv, dtype=np.float64)
+    sims = (m @ q) / (np.linalg.norm(m, axis=1) * np.linalg.norm(q))
+    exact = list(np.argsort(-np.round(sims, 6), kind="stable")[:10])
+    recall = len(set(got) & set(int(i) for i in exact)) / 10
+    assert recall >= 0.9
+
+
+def test_ivf_assign_matches_sql_argmin(spark):
+    """The pandas-UDF assignment and the SQL CASE/LEAST argmin agree on
+    every vector (bit-identical sequential distance sums)."""
+    import duckdb
+    from geospark.operators.similarity import (ivf_assign_sql,
+                                               ivf_assign_udf, ivf_train)
+    from pyspark.sql import functions as F
+    rng = np.random.default_rng(13)
+    rows = [(i, [float(x) for x in rng.normal(size=16)])
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cent = ivf_train(np.array([r[1] for r in rows[:64]]), k=5, iters=3)
+    assign = ivf_assign_udf(cent)
+    e = df.select("vec_id", F.transform(
+        "embedding", lambda x: x.cast("double")).alias("v"))
+    got = {r.vec_id: r.a for r in
+           e.select("vec_id", assign(F.col("v")).alias("a")).collect()}
+    con = duckdb.connect()
+    con.register("embeddings", df.toPandas())
+    exp = {int(i): int(a) for i, a in con.execute(
+        "SELECT vec_id, "
+        + ivf_assign_sql("CAST(embedding AS DOUBLE[])", cent)
+        + " AS a FROM embeddings").fetchall()}
+    assert got == exp
