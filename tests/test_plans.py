@@ -105,3 +105,49 @@ def test_knn_candidate_join_shape(spark):
     # ranking is windowed per query, join side keyed by cell
     assert "Window" in p
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+# ---------------------------------------------------------------------------
+# round-2 plan shapes
+# ---------------------------------------------------------------------------
+
+def test_embed_near_dup_single_python_stage(spark):
+    """The banded-LSH bucketing is exactly ONE Arrow-vectorized UDF;
+    everything downstream (cap, pair join, cosine verify) stays JVM-side.
+    (An unrolled column-expression bucketing blew the 64KB janino method
+    limit and silently fell back to interpreted eval — this pins the
+    UDF formulation.)"""
+    import geospark.queries as q
+    df = q.q_embed_near_dup(spark, SF)
+    p = _plan(spark, df)
+    # Arrow-vectorized bucket UDF present (the subtree appears several
+    # times pre-AQE; ReusedExchange dedups it at runtime), nothing
+    # row-at-a-time anywhere
+    assert "ArrowEvalPython" in p
+    assert "BatchEvalPython" not in p
+    # bucketing result feeds plain JVM ops: cap via join on (band, bkt)
+    assert "posexplode" in p or "PosExplode" in p
+
+
+def test_knn_plan_has_no_literal_fanout(spark):
+    """Ring fanout is sequence(lit, lit) — Catalyst constant-folds it
+    to ONE compact array literal (fine); what must never appear is the
+    full-longitude fanout as 2^res explicit values (the round-1 shape:
+    explode(array(lit x 64)) at res 6, 4096 at res 12)."""
+    import geospark.queries as q
+    df = q.q_knn(spark, SF)
+    p = _plan(spark, df)
+    # full-lon fanout (0..63 at res 6) must not be materialized
+    assert "[0,1,2,3,4,5,6,7,8,9,10" not in p
+    # ring fanout present, folded to a compact UnsafeArrayData literal
+    assert "Generate" in p and "UnsafeArrayData" in p
+
+
+def test_ivf_probe_is_scan_side_filter(spark):
+    """IVF: no join anywhere — assignment UDF + IN-probe filter +
+    local top-k over a single scan."""
+    import geospark.queries as q
+    df = q.q_ivf_ann_topk(spark, SF)
+    p = _plan(spark, df)
+    assert "Join" not in p
+    assert "TakeOrderedAndProject" in p        # top-k, not full sort
