@@ -237,6 +237,75 @@ WHERE ROUND(CAST(ni AS DOUBLE) / (na + nb - ni), 6) >= {threshold}
 
 
 # ---------------------------------------------------------------------------
+# duplicate clustering: connected components over near-dup pairs
+# ---------------------------------------------------------------------------
+
+def connected_components(pairs, *, a_col: str = "doc_a",
+                         b_col: str = "doc_b", max_iters: int = 20):
+    """Near-dup pairs -> (doc_id, cluster_id) with cluster_id = the
+    minimum doc id in the component — the step that turns pairwise
+    near-dup output into dedup groups (keep cluster_id, drop the rest).
+
+    Algorithm: min-label propagation — each round every node takes the
+    minimum label among itself and its neighbors; converges in
+    diameter(component) rounds. Near-dup clusters are shallow (near-dup
+    is close to transitive), so this is 2-4 rounds in practice; each
+    round is one equi-join + one groupBy (both keyed by node id —
+    Catalyst/AQE handle skew), and the driver only checks a converged
+    count per round. For adversarial long-chain graphs swap in
+    large-star/small-star (same join primitives, O(log n) rounds);
+    the convergence contract here is checked per round, never assumed.
+    """
+    from pyspark.sql import functions as F
+    e = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+    edges = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))).persist()
+    labels = (edges.select("u").distinct()
+              .select(F.col("u").alias("id"), F.col("u").alias("lbl"))
+              .persist())
+    for _ in range(max_iters):
+        nbr_min = (edges.join(labels, edges["v"] == labels["id"])
+                   .groupBy("u").agg(F.min("lbl").alias("nlbl")))
+        new_labels = (labels.join(nbr_min,
+                                  labels["id"] == nbr_min["u"], "left")
+                      .select(F.col("id"),
+                              F.least(F.col("lbl"),
+                                      F.coalesce(F.col("nlbl"),
+                                                 F.col("lbl")))
+                              .alias("lbl"))
+                      .persist())
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
+                   .filter(F.col("n.lbl") != F.col("o.lbl")).count())
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("id").alias("doc_id"),
+                         F.col("lbl").alias("cluster_id"))
+
+
+def dup_clusters_sql(pairs_sql: str) -> str:
+    """DuckDB twin: transitive closure via recursive CTE, component id
+    = min reachable node (including self)."""
+    return f"""
+WITH RECURSIVE pairs AS ({pairs_sql}),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+)
+SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
+FROM reach GROUP BY u
+"""
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

@@ -301,6 +301,59 @@ def q_minhash_pairs(spark, sf_dir):
     return minhash_pairs(d)
 
 
+def q_doc_sample(spark, sf_dir):
+    """Deterministic hash sampling (the curation primitive: reproducible
+    subsets without a shuffle — the filter is a scan predicate). Keeps
+    ~1/8 of docs by a stable md5 bucket of doc_id."""
+    from pyspark.sql import functions as F
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")),
+                                1, 15), 16, 10).cast("long") % 8
+    return d.filter(bucket == 0).select("doc_id", "source")
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Per-source quota sampling: top-5 docs per source ordered by a
+    stable hash — the standard stratified-curation shape (window
+    row_number over the strata key; one shuffle keyed by source)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+               16, 10).cast("long")
+    w = Window.partitionBy("source").orderBy(h.asc(),
+                                             F.col("doc_id").asc())
+    return (d.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 5)
+            .select("doc_id", "source", F.col("rk").cast("int")
+                    .alias("rk")))
+
+
+def q_curation_filter(spark, sf_dir):
+    """Quality-gate filter: keep docs inside token-count and
+    alnum-ratio bounds — the compose-several-signals shape every
+    training-data pipeline ends with (all scan-side column predicates,
+    no UDF, fully pushdown-friendly)."""
+    from pyspark.sql import functions as F
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ntok = F.regexp_count(F.col("text"), F.lit("[A-Za-z0-9]+")) \
+        .cast("double")
+    nchr = F.length("text").cast("double")
+    quality = ntok / (nchr + 1.0)
+    return (d.filter((ntok >= 20) & (ntok <= 5000)
+                     & (quality >= 0.1) & (quality <= 0.25))
+            .select("doc_id", ntok.cast("long").alias("n_tokens")))
+
+
+def q_dup_clusters(spark, sf_dir):
+    """MinHash near-dup pairs -> connected components -> (doc_id,
+    cluster_id): the grouping step a dedup pipeline runs after pair
+    generation (keep min-id per cluster, drop the rest)."""
+    from .operators.dedup import connected_components, minhash_pairs
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return connected_components(minhash_pairs(d))
+
+
 def q_simhash(spark, sf_dir):
     from .operators.dedup import simhash
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -625,6 +678,10 @@ QUERIES = {
     "dedup_keep_first": q_dedup_keep_first,
     "ivf_ann_topk": q_ivf_ann_topk,
     "token_stats": q_token_stats,
+    "dup_clusters": q_dup_clusters,
+    "doc_sample": q_doc_sample,
+    "stratified_sample": q_stratified_sample,
+    "curation_filter": q_curation_filter,
 }
 
 
@@ -814,6 +871,25 @@ def oracle_sql() -> dict[str, str]:
         f"+ (q_lat - lat) * (q_lat - lat)) AS dist_deg "
         f"FROM q JOIN c ON q.query_id * 7 = c.c_custkey")
     out["minhash_pairs"] = minhash_pairs_sql()
+    from .operators.dedup import dup_clusters_sql
+    out["dup_clusters"] = dup_clusters_sql(
+        f"SELECT doc_a, doc_b FROM ({minhash_pairs_sql()})")
+    _h64 = ("CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) "
+            "AS BIGINT)")
+    out["doc_sample"] = (
+        f"SELECT doc_id, source FROM documents WHERE {_h64} % 8 = 0")
+    out["stratified_sample"] = (
+        f"SELECT doc_id, source, CAST(rk AS INTEGER) AS rk FROM ("
+        f"SELECT doc_id, source, ROW_NUMBER() OVER (PARTITION BY source "
+        f"ORDER BY {_h64} ASC, doc_id ASC) AS rk FROM documents) "
+        f"WHERE rk <= 5")
+    out["curation_filter"] = (
+        "SELECT doc_id, CAST(ntok AS BIGINT) AS n_tokens FROM ("
+        "SELECT doc_id, CAST(length(regexp_extract_all(text, "
+        "'[A-Za-z0-9]+')) AS DOUBLE) AS ntok, "
+        "CAST(length(text) AS DOUBLE) AS nchr FROM documents) "
+        "WHERE ntok >= 20 AND ntok <= 5000 "
+        "AND ntok / (nchr + 1.0) >= 0.1 AND ntok / (nchr + 1.0) <= 0.25")
     out["simhash"] = simhash_sql()
     out["ngram_pairs"] = ngram_pairs_sql()
     out["embed_near_dup"] = lsh_near_dup_sql(threshold=0.3)

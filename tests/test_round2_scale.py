@@ -245,3 +245,22 @@ def test_ivf_assign_matches_sql_argmin(spark):
         + ivf_assign_sql("CAST(embedding AS DOUBLE[])", cent)
         + " AS a FROM embeddings").fetchall()}
     assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# duplicate clustering (connected components)
+# ---------------------------------------------------------------------------
+
+def test_connected_components_chain_and_islands(spark):
+    from geospark.operators.dedup import connected_components
+    # chain 1-2-3-4-5 (diameter 4 -> multiple propagation rounds),
+    # triangle 10-11-12, isolated pair 20-21
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5),
+         (10, 11), (11, 12), (10, 12),
+         (20, 21)],
+        "doc_a long, doc_b long")
+    got = {r.doc_id: r.cluster_id
+           for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
