@@ -119,6 +119,10 @@ def lsh_near_dup(emb_df, *, id_col: str = "vec_id",
         if len(v) == 0:
             return pd.Series([], dtype=object)
         m = np.stack(v.to_numpy()).astype(np.float64, copy=False)
+        if m.shape[1] != smat.shape[1]:
+            raise ValueError(
+                f"embedding width {m.shape[1]} != declared dim "
+                f"{smat.shape[1]} (pass dim= to lsh_near_dup)")
         n = m.shape[0]
         out = np.zeros((n, bands), dtype=np.int64)
         for b in range(bands):
@@ -205,6 +209,10 @@ def ivf_train(sample: "np.ndarray", k: int = 8, iters: int = 5
     float-summation-order problem entirely (distributed float SUM is
     partition-order dependent; literals are not)."""
     x = np.asarray(sample, dtype=np.float64)
+    if x.ndim != 2 or x.shape[0] < k:
+        raise ValueError(
+            f"ivf_train needs a (n>=k, dim) sample, got shape {x.shape} "
+            f"for k={k}")
     cent = x[:k].copy()
     for _ in range(iters):
         d = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)

@@ -264,3 +264,35 @@ def test_connected_components_chain_and_islands(spark):
            for r in connected_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
                    10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_random_graph_parity(spark):
+    """Random seeded graph vs an independent union-find reference."""
+    from geospark.operators.dedup import connected_components
+    rng = np.random.default_rng(21)
+    n, m = 120, 150
+    edges = [(int(a), int(b)) for a, b in
+             rng.integers(0, n, size=(m, 2)) if a != b]
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    # reference label = min node id in each component, for nodes
+    # that appear in at least one edge (pairs define the node set)
+    in_graph = {x for e in edges for x in e}
+    comp = {}
+    for x in in_graph:
+        comp.setdefault(find(x), []).append(x)
+    exp = {x: min(v) for v in comp.values() for x in v}
+
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {r.doc_id: r.cluster_id
+           for r in connected_components(df).collect()}
+    assert got == exp
