@@ -27,7 +27,6 @@ from ..kernels import garrow
 from ..kernels.garrow import (DEPTH, NATIVE_EXTENSIONS, from_pyarrow,
                               geoarrow_to_geoms, geoms_to_geoarrow,
                               to_pyarrow)
-from ..kernels.geom import format_wkt, parse_wkt
 from ..kernels.wkb import parse_wkb, write_wkb
 
 

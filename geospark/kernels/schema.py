@@ -16,7 +16,6 @@ by a driver-side fold — the reference's one inherently two-pass operator
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import reduce
 
 # geometry types (geoarrow enum: GEOMETRY=0, POINT=1 .. GEOMETRYCOLLECTION=7)
 GEOMETRY, POINT, LINESTRING, POLYGON = 0, 1, 2, 3
@@ -93,7 +92,7 @@ class SchemaCalculator:
         WKT/WKB short-circuit; GEOMETRYCOLLECTION / mixed / all-empty ->
         geoarrow.wkb fallback; unknown dims -> xy. Raises ValueError for
         an unknown encoding (reference: EINVAL)."""
-        from .garrow import (ALL_ENCODINGS, ENC_GEOARROW,
+        from .garrow import (ENC_GEOARROW,
                              ENC_GEOARROW_INTERLEAVED, ENC_WKB, ENC_WKT)
         if encoding == ENC_WKT:
             return "geoarrow.wkt", None

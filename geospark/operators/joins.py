@@ -25,8 +25,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from ..functions.cells import (MAX_RES, cell_bounds_np, cell_encode,
-                               cover_polygon_np, encode_np)
+from ..functions.cells import (cell_bounds_np, cell_encode,
+                               cover_polygon_np)
 from ..kernels.geom import Geom
 from ..kernels.ops import point_in_rings
 from ..kernels.wkb import parse_wkb

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .functions.cells import cell_encode, cell_encode_sql, cell_parent_sql
+from .functions.cells import cell_encode, cell_encode_sql
 from .kernels.geom import parse_wkt
 from .kernels.ops import point_in_rings_sql
 from .kernels.wkb import write_wkb

@@ -41,7 +41,6 @@ def stream_dedup_first(stream_df, key_col: str, schema: str):
     later microbatch are suppressed. Scale: state size is O(distinct
     keys) — for web-scale urls swap the key for a 64-bit hash column
     (hash collisions then drop ~2^-64 of docs; acceptable for dedup)."""
-    import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     def fn(key, pdfs, state):

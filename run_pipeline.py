@@ -31,8 +31,6 @@ def build_session(parallelism: int | None = None):
 
 
 def run(spark, out_dir: str, n_rows: int, res: int, force: bool = False):
-    from pyspark.sql import functions as F
-
     from geospark.operators.extract import extract_pages
     from geospark.operators.joins import spatial_join
     from geospark.operators.tiles import tile_counts

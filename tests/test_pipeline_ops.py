@@ -364,3 +364,44 @@ def test_stream_flagship_converges_to_batch(spark, tmp_path):
     n_batches = (spark.read.parquet(out_dir)
                  .select("batch_id").distinct().count())
     assert n_batches >= 2
+
+
+def test_stream_flagship_restart_exactly_once(spark, tmp_path):
+    """Restart semantics: after draining, new source files arrive and a
+    SECOND stream_flagship run with the SAME checkpoint processes ONLY
+    the new files — totals still equal the batch result over everything
+    (foreachBatch + checkpointLocation = no double counting)."""
+    from pyspark.sql import functions as F
+    from geospark.functions.cells import cell_encode
+    from geospark.operators.extract import extract_pages
+    from geospark.operators.joins import spatial_join
+    from geospark.sources.synth import pages_df, zones_df
+    from geospark.streaming.stream import flagship_totals, stream_flagship
+
+    src = str(tmp_path / "pages_src")
+    out = str(tmp_path / "partials")
+    ck = str(tmp_path / "ck")
+    zones = zones_df(spark)
+
+    all_pages = pages_df(spark, 800)
+    first = all_pages.filter(F.col("url") < "https://m")  # ~half
+    second = all_pages.subtract(first)
+    first.coalesce(2).write.mode("overwrite").parquet(src)
+    stream_flagship(spark, src, zones, out, ck, res=6)
+    n_partials_1 = spark.read.parquet(out).count()
+
+    second.coalesce(2).write.mode("append").parquet(src)
+    stream_flagship(spark, src, zones, out, ck, res=6)
+
+    got = {(r.zone_id, r.cell, r.n_pts)
+           for r in flagship_totals(spark, out).collect()}
+    batch = (spatial_join(extract_pages(spark.read.parquet(src)),
+                          zones, res=6)
+             .withColumn("cell", cell_encode("lat", "lon", 6))
+             .groupBy("zone_id", "cell")
+             .agg(F.count(F.lit(1)).alias("n_pts")))
+    exp = {(r.zone_id, r.cell, r.n_pts) for r in batch.collect()}
+    assert got == exp
+    # the restart appended new partials (processed something) but did
+    # not reprocess the first batch (totals would then exceed batch)
+    assert spark.read.parquet(out).count() > n_partials_1
