@@ -499,23 +499,27 @@ def knn_join(queries, points, k: int, *, res: int = 8,
         dist = dist_expr()
         w = Window.partitionBy(query_id_col).orderBy(
             dist.asc(), F.col(point_id_col).asc())
-        topk = (j.withColumn("_sqdist", dist)
-                 .withColumn("_rn", F.row_number().over(w))
-                 .filter(F.col("_rn") <= k)).persist()
-        # satisfied: found k candidates AND kth distance within guarantee
-        guard = (ring * guard_deg) ** 2
-        stats = (topk.groupBy(query_id_col)
-                 .agg(F.count("*").alias("_n"),
-                      F.max("_sqdist").alias("_kth")))
-        # strict inequality: a point at exactly distance ring*guard_deg
+        # satisfied = found k candidates AND kth distance inside the
+        # guarantee radius — computed as window aggregates over the SAME
+        # partition key as row_number, so the check rides the top-k's
+        # existing shuffle instead of adding a groupBy + semi-join.
+        # Strict inequality: a point at exactly distance ring*guard_deg
         # can sit on a cell boundary assigned (via floor) to the first
         # uncovered cell; an equal-distance neighbor with a smaller id
         # would then be missed despite the (dist, id) tiebreak — ties at
-        # the guarantee radius force another expansion instead
-        sat_ids = stats.filter((F.col("_n") >= k)
-                               & (F.col("_kth") < F.lit(guard))) \
-            .select(query_id_col).persist()
-        results.append(topk.join(sat_ids, query_id_col, "left_semi"))
+        # the guarantee radius force another expansion instead.
+        guard = (ring * guard_deg) ** 2
+        wq = Window.partitionBy(query_id_col)
+        topk = (j.withColumn("_sqdist", dist)
+                 .withColumn("_rn", F.row_number().over(w))
+                 .filter(F.col("_rn") <= k)
+                 .withColumn("_sat",
+                             (F.count(F.lit(1)).over(wq) >= k)
+                             & (F.max("_sqdist").over(wq)
+                                < F.lit(guard)))).persist()
+        results.append(topk.filter(F.col("_sat")).drop("_sat"))
+        sat_ids = topk.filter(F.col("_sat")).select(query_id_col) \
+            .distinct()
         # materialize the shrunken query set once per iteration — chained
         # anti-joins otherwise recompute the whole history every pass
         remaining = remaining.join(sat_ids, query_id_col, "left_anti") \
