@@ -345,7 +345,32 @@ def _lazy_udfs():
         d = np.sqrt((ax - bx) ** 2 + (ay - by) ** 2)
         return pd.Series(np.where(aok & bok, d, np.nan))
 
+    @pandas_udf(T.DoubleType())
+    def st_area_u(s: pd.Series) -> pd.Series:
+        from ..kernels.ops import geom_area
+        return s.map(lambda b: None if b is None
+                     else geom_area(parse_wkb(b)), na_action="ignore") \
+            .astype("float64")
+
+    cen_t = T.StructType([T.StructField("x", T.DoubleType()),
+                          T.StructField("y", T.DoubleType())])
+
+    @pandas_udf(cen_t)
+    def st_centroid_u(s: pd.Series) -> pd.DataFrame:
+        from ..kernels.ops import geom_centroid
+        xs, ys = [], []
+        for b in s:
+            if b is None:
+                xs.append(np.nan)
+                ys.append(np.nan)
+            else:
+                cx, cy = geom_centroid(parse_wkb(b))
+                xs.append(cx)
+                ys.append(cy)
+        return pd.DataFrame({"x": xs, "y": ys})
+
     _UDF_CACHE.update(
+        st_area=st_area_u, st_centroid=st_centroid_u,
         st_point=st_point_u, st_x=st_x_u, st_y=st_y_u,
         st_geomfromtext=st_geomfromtext_u,
         st_geomfromwkb=st_geomfromwkb_u, st_astext=st_astext_u,
@@ -394,6 +419,14 @@ def st_isempty(c):
 
 def st_envelope(c):
     return _lazy_udfs()["st_envelope"](c)
+
+
+def st_area(c):
+    return _lazy_udfs()["st_area"](c)
+
+
+def st_centroid(c):
+    return _lazy_udfs()["st_centroid"](c)
 
 
 def st_pointz(lon, lat, z):

@@ -127,3 +127,68 @@ def sqdist_deg_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
 
 def sqdist_deg_col(lat1, lon1, lat2, lon2):
     return (lat1 - lat2) * (lat1 - lat2) + (lon1 - lon2) * (lon1 - lon2)
+
+
+def ring_signed_area(ring: np.ndarray) -> float:
+    """Shoelace signed area of one closed ring (first == last row).
+    Positive for counter-clockwise."""
+    x, y = ring[:, 0], ring[:, 1]
+    return float(np.sum(x[:-1] * y[1:] - x[1:] * y[:-1]) / 2.0)
+
+
+def geom_area(g) -> float:
+    """Planar area in coordinate units²: polygons = |exterior| minus
+    |holes| (WKT ring-role convention, orientation-agnostic);
+    multipolygons sum their parts; points/linestrings = 0.0; null/EMPTY
+    = 0.0. (The reference has no measures — this is engine surface the
+    RULE tier adds on top of the §2.1 kernels.)"""
+    if g is None or g.is_empty:
+        return 0.0
+    if g.type_id == 3:
+        rs = g.rings
+        return (abs(ring_signed_area(rs[0][:, :2]))
+                - sum(abs(ring_signed_area(r[:, :2])) for r in rs[1:]))
+    if g.type_id in (6, 7):
+        return sum(geom_area(p) for p in g.parts)
+    return 0.0
+
+
+def geom_centroid(g) -> tuple[float, float]:
+    """Area-weighted centroid of polygons/multipolygons (holes
+    subtract); a point returns itself; other/empty -> (nan, nan)."""
+    if g is None or g.is_empty:
+        return (float("nan"), float("nan"))
+    if g.type_id == 1:
+        return (float(g.coords[0, 0]), float(g.coords[0, 1]))
+
+    def ring_terms(ring, sign):
+        x, y = ring[:, 0], ring[:, 1]
+        cross = x[:-1] * y[1:] - x[1:] * y[:-1]
+        a = float(np.sum(cross) / 2.0)
+        w = sign * abs(a)
+        if a == 0.0:
+            return 0.0, 0.0, 0.0
+        # shoelace centroid (dividing by the SIGNED area makes the
+        # result orientation-independent)
+        cx = float(np.sum((x[:-1] + x[1:]) * cross) / (6.0 * a))
+        cy = float(np.sum((y[:-1] + y[1:]) * cross) / (6.0 * a))
+        return w, cx * w, cy * w
+
+    def poly_terms(poly):
+        out = [ring_terms(poly.rings[0][:, :2], +1.0)]
+        out += [ring_terms(r[:, :2], -1.0) for r in poly.rings[1:]]
+        return out
+
+    terms = []
+    if g.type_id == 3:
+        terms = poly_terms(g)
+    elif g.type_id == 6:
+        for p in g.parts:
+            if not p.is_empty:
+                terms += poly_terms(p)
+    else:
+        return (float("nan"), float("nan"))
+    tw = sum(t[0] for t in terms)
+    if tw == 0.0:
+        return (float("nan"), float("nan"))
+    return (sum(t[1] for t in terms) / tw, sum(t[2] for t in terms) / tw)

@@ -500,6 +500,20 @@ def q_pip_join_many(spark, sf_dir):
     return out.select("c_custkey", "box_id")
 
 
+def q_box_geom_stats(spark, sf_dir):
+    """st_area / st_centroid over real polygon WKB (part-derived boxes)
+    vs the oracle's closed-form width*height and center — shoelace
+    vs direct arithmetic agree to <1e-12, pinned at 6dp rounding."""
+    from pyspark.sql import functions as F
+    from .functions.geometry import st_area, st_centroid
+    p = _part_box_polys(spark, sf_dir)
+    cen = st_centroid(F.col("geom_wkb"))
+    return p.select("box_id",
+                    F.round(st_area(F.col("geom_wkb")), 6).alias("area"),
+                    F.round(cen["x"], 6).alias("cx"),
+                    F.round(cen["y"], 6).alias("cy"))
+
+
 def q_knn_wrap(spark, sf_dir):
     """kNN with the lon-wrapped metric, query points hugging the
     antimeridian (lon in ±[179, 179.9)) — candidates across the wrap
@@ -682,6 +696,7 @@ QUERIES = {
     "doc_sample": q_doc_sample,
     "stratified_sample": q_stratified_sample,
     "curation_filter": q_curation_filter,
+    "box_geom_stats": q_box_geom_stats,
 }
 
 
@@ -819,6 +834,9 @@ def oracle_sql() -> dict[str, str]:
         f"cx + half AS xmax, cy + half AS ymax FROM ({PART_POLY_SQL})) "
         f"SELECT c_custkey, box_id FROM pts JOIN b ON "
         f"lon >= xmin AND lon <= xmax AND lat >= ymin AND lat <= ymax")
+    out["box_geom_stats"] = (
+        f"SELECT box_id, ROUND((2.0 * half) * (2.0 * half), 6) AS area, "
+        f"ROUND(cx, 6) AS cx, ROUND(cy, 6) AS cy FROM ({PART_POLY_SQL})")
     out["knn_wrap"] = (
         f"WITH q AS (SELECT s_suppkey AS query_id, "
         f"CAST(s_suppkey % 160 AS DOUBLE) - 80.0 AS q_lat, "

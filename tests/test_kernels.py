@@ -308,3 +308,38 @@ def test_m_corpus_batch_with_nulls(encoding):
     assert back[2] is not None and back[2].is_empty and back[2].has_m
     for i in (0, 3):
         assert back[i].equals_exact(geoms[i]) and back[i].has_m
+
+
+# ---------------------------------------------------------------------------
+# planar measures: st_area / st_centroid kernels
+# ---------------------------------------------------------------------------
+
+def test_geom_area_centroid():
+    from geospark.kernels.ops import geom_area, geom_centroid
+    sq = parse_wkt("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
+    assert geom_area(sq) == 16.0
+    assert geom_centroid(sq) == (2.0, 2.0)
+    # orientation-independent (reversed ring)
+    sq_cw = parse_wkt("POLYGON ((0 0, 0 4, 4 4, 4 0, 0 0))")
+    assert geom_area(sq_cw) == 16.0
+    assert geom_centroid(sq_cw) == (2.0, 2.0)
+    # hole subtracts; centroid shifts away from the hole
+    holed = parse_wkt("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), "
+                      "(2 1, 3 1, 3 2, 2 2, 2 1))")
+    assert geom_area(holed) == 15.0
+    cx, cy = geom_centroid(holed)
+    assert cx < 2.0 and cy > 2.0 - 1e-9
+    # multipolygon sums; empty/none/zero-area behave
+    mp = parse_wkt("MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), "
+                   "((10 10, 12 10, 12 11, 10 11, 10 10)))")
+    assert geom_area(mp) == 3.0
+    cx, cy = geom_centroid(mp)
+    # area-weighted: (0.5,0.5)*1 + (11,10.5)*2 over 3
+    assert abs(cx - (0.5 + 22.0) / 3.0) < 1e-12
+    assert abs(cy - (0.5 + 21.0) / 3.0) < 1e-12
+    assert geom_area(parse_wkt("POLYGON EMPTY")) == 0.0
+    assert geom_area(None) == 0.0
+    assert geom_area(parse_wkt("POINT (1 2)")) == 0.0
+    assert geom_centroid(parse_wkt("POINT (1 2)")) == (1.0, 2.0)
+    import numpy as np
+    assert np.isnan(geom_centroid(parse_wkt("POLYGON EMPTY"))[0])
