@@ -197,6 +197,33 @@ def q_events_cell_stats(spark, sf_dir):
                  F.round(F.max("lat"), 6).alias("max_lat")))
 
 
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity splits a user's
+    events): lag + running-sum-of-new-session-flags — the standard
+    batch shape; per-user shuffle only. Timestamps compared in exact
+    integer microseconds since a fixed NTZ epoch (timestampdiff — no
+    timezone enters on either engine; the parquet column is
+    TIMESTAMP_NTZ) so session boundaries are bit-identical
+    cross-engine."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(),
+                                              F.col("event_id").asc())
+    us = F.expr("timestampdiff(MICROSECOND, "
+                "TIMESTAMP_NTZ '2024-01-01 00:00:00', ts)")
+    prev = F.lag(us).over(w)
+    new_sess = F.when(prev.isNull()
+                      | (us - prev > 30 * 60 * 1_000_000), 1) \
+        .otherwise(0)
+    sess = (e.withColumn("_sess", F.sum(new_sess).over(w))
+            .withColumn("_us", us))
+    return (sess.groupBy("user_id", F.col("_sess").alias("session_no"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round((F.max("_us") - F.min("_us")) / 1_000_000.0, 3)
+                 .alias("dur_s")))
+
+
 def q_dedup_exact(spark, sf_dir):
     from pyspark.sql import functions as F
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -697,6 +724,7 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "curation_filter": q_curation_filter,
     "box_geom_stats": q_box_geom_stats,
+    "sessionize": q_sessionize,
 }
 
 
@@ -751,6 +779,23 @@ def oracle_sql() -> dict[str, str]:
             f"ROUND(MIN(lat), 6) AS min_lat, ROUND(MAX(lat), 6) AS max_lat "
             f"FROM (SELECT event_type, {EVT_LAT_SQL} AS lat, "
             f"{EVT_LON_SQL} AS lon FROM events) GROUP BY 1, 2",
+        "sessionize":
+            "WITH flagged AS (SELECT user_id, datediff('microseconds', "
+            "TIMESTAMP '2024-01-01 00:00:00', ts) AS us, "
+            "CASE WHEN LAG(ts) OVER (PARTITION BY user_id "
+            "ORDER BY ts ASC, event_id ASC) IS NULL OR datediff("
+            "'microseconds', LAG(ts) OVER (PARTITION BY user_id ORDER "
+            "BY ts ASC, event_id ASC), ts) > 1800000000 THEN 1 ELSE 0 "
+            "END AS nf, "
+            "ts, event_id FROM events), "
+            "sess AS (SELECT user_id, us, CAST(SUM(nf) OVER ("
+            "PARTITION BY user_id ORDER BY ts ASC, event_id ASC ROWS "
+            "BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
+            "AS session_no "
+            "FROM flagged) "
+            "SELECT user_id, session_no, COUNT(*) AS n_events, "
+            "ROUND((MAX(us) - MIN(us)) / 1000000.0, 3) AS dur_s "
+            "FROM sess GROUP BY 1, 2",
         "dedup_exact":
             "SELECT md5(text) AS text_md5, COUNT(*) AS n_dups "
             "FROM documents GROUP BY 1 HAVING COUNT(*) > 1",

@@ -63,6 +63,61 @@ def stream_dedup_first(stream_df, key_col: str, schema: str):
                 timeoutConf=GroupStateTimeout.NoTimeout))
 
 
+def stream_sessionize(stream_df, *, user_col: str = "user_id",
+                      ts_col: str = "ts", id_col: str = "event_id",
+                      gap_s: int = 1800):
+    """Custom stateful streaming operator (applyInPandasWithState):
+    gap-based sessionization — the streaming twin of
+    queries.q_sessionize. Emits a row per CLOSED session (a newer event
+    arrived more than ``gap_s`` after it ended); each user's open
+    session lives in the state store across microbatches and is emitted
+    only when a later event closes it.
+
+    Contract (documented, tested): within-user event-time order must be
+    non-decreasing across microbatches (true for replay/append sources
+    like WARC dumps; for out-of-order streams put a watermarked sort in
+    front). State per user = (session_start_us, last_us, n_events) —
+    O(active users), independent of history length."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_us = gap_s * 1_000_000
+    out_schema = (f"{user_col} long, session_start_us long, "
+                  f"n_events long, dur_s double")
+
+    def fn(key, pdfs, state):
+        (uid,) = key
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start, last, n = None, None, 0
+        closed = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values([ts_col, id_col])
+            for t in pdf[ts_col]:
+                us = int(pd.Timestamp(t).value // 1000)
+                if last is not None and us - last > gap_us:
+                    closed.append((uid, start, n,
+                                   round((last - start) / 1e6, 3)))
+                    start, n = us, 0
+                if start is None:
+                    start = us
+                last = us
+                n += 1
+        state.update((start, last, n))
+        if closed:
+            yield pd.DataFrame(closed, columns=[
+                user_col, "session_start_us", "n_events", "dur_s"])
+
+    return (stream_df.groupBy(user_col)
+            .applyInPandasWithState(
+                fn, outputStructType=out_schema,
+                stateStructType=("session_start_us long, last_us long, "
+                                 "n_events long"),
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout))
+
+
 def stream_flagship(spark, src_dir: str, zones_df, out_dir: str,
                     checkpoint_dir: str, *, res: int = 6,
                     max_files_per_trigger: int = 8):

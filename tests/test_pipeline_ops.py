@@ -405,3 +405,66 @@ def test_stream_flagship_restart_exactly_once(spark, tmp_path):
     # the restart appended new partials (processed something) but did
     # not reprocess the first batch (totals would then exceed batch)
     assert spark.read.parquet(out).count() > n_partials_1
+
+
+def test_stream_sessionize_matches_batch(spark, tmp_path):
+    """Stateful streaming sessionization: closed sessions emitted
+    across microbatches equal the batch sessionizer's output minus each
+    user's final (still-open) session."""
+    import datetime as dt
+    from pyspark.sql import functions as F
+    from geospark.streaming.stream import stream_sessionize
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # 3 users, sessions split by >30min gaps, spread over two files
+    for uid in (1, 2, 3):
+        t = base + dt.timedelta(minutes=uid)
+        for sess in range(3):
+            for k in range(2 + (uid + sess) % 3):
+                rows.append((eid, t, uid))
+                eid += 1
+                t += dt.timedelta(minutes=5)
+            t += dt.timedelta(minutes=45)   # close the session
+    half = len(rows) // 2
+    src = str(tmp_path / "events_src")
+    schema = "event_id long, ts timestamp_ntz, user_id long"
+    spark.createDataFrame(rows[:half], schema).coalesce(1) \
+        .write.mode("overwrite").parquet(src)
+    spark.createDataFrame(rows[half:], schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    sdf = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", 1).parquet(src))
+    out = stream_sessionize(sdf)
+    q = (out.writeStream.format("memory").queryName("sess_stream")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    from collections import Counter
+    got = Counter((r.user_id, r.n_events, r.dur_s) for r in
+                  spark.sql("SELECT * FROM sess_stream").collect())
+
+    # batch reference: same lag/sum sessionizer, drop each user's last
+    # (open) session
+    from pyspark.sql import Window
+    e = spark.read.parquet(src)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.expr("timestampdiff(MICROSECOND, "
+                "TIMESTAMP_NTZ '2024-01-01 00:00:00', ts)")
+    prev = F.lag(us).over(w)
+    nf = F.when(prev.isNull() | (us - prev > 1800 * 1_000_000), 1) \
+        .otherwise(0)
+    sess = (e.withColumn("_sess", F.sum(nf).over(w)).withColumn("_us", us)
+            .groupBy("user_id", "_sess")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round((F.max("_us") - F.min("_us")) / 1e6, 3)
+                 .alias("dur_s")))
+    wmax = Window.partitionBy("user_id")
+    closed = (sess.withColumn("_mx", F.max("_sess").over(wmax))
+              .filter(F.col("_sess") < F.col("_mx")))
+    exp = Counter((r.user_id, r.n_events, r.dur_s)
+                  for r in closed.collect())
+    assert got == exp and sum(got.values()) == 6  # 2 closed x 3 users
