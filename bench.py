@@ -92,6 +92,21 @@ def bench_queries(spark, sf_dir):
     def ann_topk():
         return q.q_ann_topk(spark, sf_dir).count()
 
+    def pip_many_boxes():
+        # distributed-covering join: 20k-box polygon side (stored
+        # parquet dim — materialized once as untimed setup) vs the
+        # lineitem point table; rect fast path keeps refine JVM-only
+        import geospark.queries as gq
+        src = f"/tmp/geospark_bench_boxes_{sf_dir.replace('/', '_')}"
+        if not os.path.exists(os.path.join(src, "_SUCCESS")):
+            gq._part_box_polys(spark, sf_dir).repartition(8) \
+                .write.mode("overwrite").parquet(src)
+        boxes = spark.read.parquet(src)
+        pts = _lineitem_points(spark, sf_dir)
+        out = spatial_join(pts, boxes, res=8, poly_id_col="box_id",
+                           distributed=True)
+        return out.groupBy("box_id").count().count()
+
     def pages_pipeline():
         # timed path = read stored pages -> extract -> tile agg (the
         # synthesis itself is bench setup, materialized once per size)
@@ -103,6 +118,7 @@ def bench_queries(spark, sf_dir):
 
     return {
         "pip_lineitem": pip_lineitem,
+        "pip_many_boxes": pip_many_boxes,
         "cell_counts_lineitem": cell_counts_lineitem,
         "knn": knn,
         "minhash_docs": minhash_docs,

@@ -159,27 +159,60 @@ def make_refine_udf(ring_map: dict[int, list[list[np.ndarray]]]):
     return refine
 
 
+def _rect_of(pgs: list[list[np.ndarray]]
+             ) -> tuple[bool, float, float, float, float]:
+    """(is_axis_aligned_rectangle, x0, y0, x1, y1) of a parsed polygon.
+    Structural check (1 ring, 5 rows, 2 distinct x, 2 distinct y, every
+    edge axis-aligned) — exact, no float tolerance games."""
+    if len(pgs) != 1 or len(pgs[0]) != 1:
+        return False, 0.0, 0.0, 0.0, 0.0
+    r = pgs[0][0]
+    if r.shape[0] != 5:
+        return False, 0.0, 0.0, 0.0, 0.0
+    xs, ys = np.unique(r[:4, 0]), np.unique(r[:4, 1])
+    if xs.size != 2 or ys.size != 2:
+        return False, 0.0, 0.0, 0.0, 0.0
+    dx, dy = np.diff(r[:, 0]), np.diff(r[:, 1])
+    if not bool(np.all((dx == 0) | (dy == 0))):
+        return False, 0.0, 0.0, 0.0, 0.0
+    return (True, float(xs[0]), float(ys[0]), float(xs[1]), float(ys[1]))
+
+
 def distributed_polygon_cover(polys_df, res: int,
                               poly_id_col: str = "zone_id",
                               geom_col: str = "geom_wkb"):
     """Covering computed ON EXECUTORS (mapInPandas over the polygon
-    table): -> DataFrame(poly_id, _cell long, _full boolean). The
+    table): -> DataFrame(poly_id, _cell, _full, _rect, _bx0.._by1). The
     polygon side stays a DataFrame end to end — the driver never
     collects geometry, so a million-polygon side scales out instead of
-    OOMing the driver (round-1 gap: polygon_cover ran driver-side)."""
-    schema = f"{poly_id_col} long, _cell long, _full boolean"
+    OOMing the driver (round-1 gap: polygon_cover ran driver-side).
+
+    Axis-aligned rectangles (parcels, tiles, boxes — the typical LARGE
+    polygon side) are flagged with their corners carried on the cover
+    rows, so the refine runs as a pure JVM comparison instead of the
+    geometry UDF (zero Python for a fully rectangular side)."""
+    schema = (f"{poly_id_col} long, _cell long, _full boolean, "
+              f"_rect boolean, _bx0 double, _by0 double, "
+              f"_bx1 double, _by1 double")
+    cols = [poly_id_col, "_cell", "_full", "_rect",
+            "_bx0", "_by0", "_bx1", "_by1"]
 
     def fn(it):
         for pdf in it:
-            rows, _ = polygon_cover(
+            rows, ring_map = polygon_cover(
                 [(int(p), bytes(w) if w is not None else None)
                  for p, w in zip(pdf[poly_id_col], pdf[geom_col])], res)
-            yield pd.DataFrame(rows,
-                               columns=[poly_id_col, "_cell", "_full"]) \
-                if rows else pd.DataFrame(
-                    {poly_id_col: pd.Series([], dtype="int64"),
-                     "_cell": pd.Series([], dtype="int64"),
-                     "_full": pd.Series([], dtype="bool")})
+            rects = {pid: _rect_of(pgs) for pid, pgs in ring_map.items()}
+            out = [(pid, c, f) + rects[pid] for pid, c, f in rows]
+            yield pd.DataFrame(out, columns=cols) if out else \
+                pd.DataFrame({poly_id_col: pd.Series([], dtype="int64"),
+                              "_cell": pd.Series([], dtype="int64"),
+                              "_full": pd.Series([], dtype="bool"),
+                              "_rect": pd.Series([], dtype="bool"),
+                              "_bx0": pd.Series([], dtype="float64"),
+                              "_by0": pd.Series([], dtype="float64"),
+                              "_bx1": pd.Series([], dtype="float64"),
+                              "_by1": pd.Series([], dtype="float64")})
 
     return polys_df.select(poly_id_col, geom_col).mapInPandas(
         fn, schema=schema)
@@ -280,14 +313,27 @@ def spatial_join(points, polys_df, *, res: int | None = None,
         cov = F.broadcast(cover_df) if broadcast_cover else cover_df
         joined = pts.join(cov, "_cell", "inner")
         interior = joined.filter(F.col("_full"))
+        # rectangle fast path: [x0, x1) x [y0, y1) replicates the
+        # even-odd ray cast EXACTLY for an axis-aligned rectangle
+        # (left/bottom edges inside, right/top outside) — pure JVM, so
+        # a fully rectangular polygon side never touches Python
+        bnd = joined.filter(~F.col("_full"))
+        rect_hit = (bnd.filter(F.col("_rect"))
+                    .filter((F.col(lon_col) >= F.col("_bx0"))
+                            & (F.col(lon_col) < F.col("_bx1"))
+                            & (F.col(lat_col) >= F.col("_by0"))
+                            & (F.col(lat_col) < F.col("_by1"))))
         refine = make_wkb_refine_udf()
-        boundary = (joined.filter(~F.col("_full"))
-                    .join(polys_df.select(poly_id_col, geom_col),
-                          poly_id_col)
-                    .filter(refine(F.col(geom_col), F.col(lon_col),
-                                   F.col(lat_col)))
-                    .drop(geom_col))
-        matched = interior.unionByName(boundary).drop("_cell", "_full")
+        gen_hit = (bnd.filter(~F.col("_rect"))
+                   .join(polys_df.select(poly_id_col, geom_col),
+                         poly_id_col)
+                   .filter(refine(F.col(geom_col), F.col(lon_col),
+                                  F.col(lat_col)))
+                   .drop(geom_col))
+        drop_cols = ["_cell", "_full", "_rect",
+                     "_bx0", "_by0", "_bx1", "_by1"]
+        matched = interior.unionByName(rect_hit).unionByName(gen_hit) \
+            .drop(*drop_cols)
         return _spatial_join_how(points, matched, how)
 
     polys = [(r[poly_id_col], r[geom_col])
