@@ -190,3 +190,38 @@ def test_ray_cast_matches_independent_impl(ring_pts, pt):
                               [ring])[0])
     exp = _crossing_number(px, py, [ring])
     assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# point-WKB fast path == general codec (round-2: mixed SRID/endian rows)
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=80, deadline=None)
+@given(st.lists(st.tuples(coord, coord,
+                          st.sampled_from(["iso", "ewkb_srid", "be"])),
+                min_size=1, max_size=12))
+def test_point_fast_path_matches_general_codec(rows):
+    """wkb_batch_xy (vectorized fast path + fallback) must agree with
+    per-row parse_wkb for every header variant: plain ISO LE, EWKB with
+    SRID flag, big-endian."""
+    import struct
+    import pandas as pd
+    from geospark.functions.geometry import wkb_batch_xy
+
+    def make(x, y, kind):
+        if kind == "iso":
+            return (b"\x01" + struct.pack("<I", 1)
+                    + struct.pack("<dd", x, y))
+        if kind == "ewkb_srid":
+            return (b"\x01" + struct.pack("<I", 1 | 0x20000000)
+                    + struct.pack("<I", 4326) + struct.pack("<dd", x, y))
+        return (b"\x00" + struct.pack(">I", 1)
+                + struct.pack(">dd", x, y))
+
+    bufs = [make(x, y, k) for x, y, k in rows]
+    xs, ys, ok = wkb_batch_xy(pd.Series(bufs))
+    for i, (x, y, _) in enumerate(rows):
+        g = parse_wkb(bufs[i])
+        assert ok[i]
+        assert xs[i] == g.coords[0, 0] == x
+        assert ys[i] == g.coords[0, 1] == y

@@ -296,3 +296,57 @@ def test_connected_components_random_graph_parity(spark):
     got = {r.doc_id: r.cluster_id
            for r in connected_components(df).collect()}
     assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# batch sessionizer vs pure-Python reference on random seeded events
+# ---------------------------------------------------------------------------
+
+def test_sessionize_matches_python_reference(spark, tmp_path):
+    import datetime as dt
+    import geospark.queries as q
+    rng = np.random.default_rng(31)
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for eid in range(600):
+        uid = int(rng.integers(0, 12))
+        # minutes drawn so some gaps exceed 30min and some don't
+        t = base + dt.timedelta(minutes=float(rng.uniform(0, 3000)),
+                                microseconds=int(rng.integers(0, 10**6)))
+        rows.append((eid, t, uid))
+    src = str(tmp_path / "ev")
+    spark.createDataFrame(rows, "event_id long, ts timestamp_ntz, "
+                                "user_id long") \
+        .write.mode("overwrite").parquet(src)
+
+    # pure-Python reference
+    from collections import defaultdict, Counter
+    by_user = defaultdict(list)
+    for eid, t, uid in rows:
+        by_user[uid].append((t, eid))
+    exp = Counter()
+    for uid, evs in by_user.items():
+        evs.sort()
+        start = last = None
+        n = 0
+        sessions = []
+        for t, _ in evs:
+            if last is not None and (t - last).total_seconds() > 1800:
+                sessions.append((n, (last - start).total_seconds()))
+                start, n = t, 0
+            if start is None:
+                start = t
+            last = t
+            n += 1
+        sessions.append((n, (last - start).total_seconds()))
+        for n_ev, dur in sessions:
+            exp[(uid, n_ev, round(dur, 3))] += 1
+
+    # run the catalog query against a dir shaped like a testdata dir
+    import os
+    os.makedirs(str(tmp_path / "sf"), exist_ok=True)
+    os.rename(src, str(tmp_path / "sf" / "events.parquet"))
+    out = q.q_sessionize(spark, str(tmp_path / "sf"))
+    got = Counter((r.user_id, r.n_events, r.dur_s)
+                  for r in out.collect())
+    assert got == exp
