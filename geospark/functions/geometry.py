@@ -231,6 +231,19 @@ def _lazy_udfs():
         return s.map(lambda b: None if b is None
                      else write_wkb(parse_wkb(b)), na_action="ignore")
 
+    @pandas_udf(T.BinaryType())
+    def st_trygeomfromwkb_u(s: pd.Series) -> pd.Series:
+        """Permissive twin of st_geomfromwkb: malformed bytes -> null
+        instead of a task-killing exception. At web scale a handful of
+        corrupt WKB rows must not fail a 100 TB job — filter the nulls,
+        count them, move on."""
+        def tryparse(b):
+            try:
+                return write_wkb(parse_wkb(b))
+            except Exception:
+                return None
+        return s.map(tryparse, na_action="ignore")
+
     @pandas_udf(T.StringType())
     def st_astext_u(s: pd.Series) -> pd.Series:
         return s.map(lambda b: None if b is None
@@ -373,7 +386,9 @@ def _lazy_udfs():
         st_area=st_area_u, st_centroid=st_centroid_u,
         st_point=st_point_u, st_x=st_x_u, st_y=st_y_u,
         st_geomfromtext=st_geomfromtext_u,
-        st_geomfromwkb=st_geomfromwkb_u, st_astext=st_astext_u,
+        st_geomfromwkb=st_geomfromwkb_u,
+        st_trygeomfromwkb=st_trygeomfromwkb_u,
+        st_astext=st_astext_u,
         st_geometrytype=st_geometrytype_u, st_typecode=st_typecode_u,
         st_isempty=st_isempty_u, st_envelope=st_envelope_u,
         st_pointz=st_pointz_u, st_z=st_z_u, st_dims=st_dims_u,
@@ -399,6 +414,10 @@ def st_geomfromtext(c):
 
 def st_geomfromwkb(c):
     return _lazy_udfs()["st_geomfromwkb"](c)
+
+
+def st_trygeomfromwkb(c):
+    return _lazy_udfs()["st_trygeomfromwkb"](c)
 
 
 def st_astext(c):

@@ -159,3 +159,23 @@ def test_st_z_dims_distance(spark):
     ew = spark.createDataFrame([(_ewkb_point(5.0, 6.0),)], "w binary")
     out = ew.select(st_aswkb(F.col("w")).alias("c")).collect()[0].c
     assert bytes(out) == write_wkb(parse_wkt("POINT (5 6)"))
+
+
+def test_st_trygeomfromwkb_null_on_garbage(spark):
+    from pyspark.sql import functions as F
+    from geospark.functions.geometry import (st_geomfromwkb,
+                                             st_trygeomfromwkb)
+    from geospark.kernels.geom import parse_wkt
+    from geospark.kernels.wkb import write_wkb
+    good = write_wkb(parse_wkt("POINT (1 2)"))
+    df = spark.createDataFrame(
+        [(1, good), (2, b"\x01\x99\x99"), (3, b""), (4, None)],
+        "id long, w binary")
+    rows = {r.id: r.c for r in df.select(
+        "id", st_trygeomfromwkb(F.col("w")).alias("c")).collect()}
+    assert bytes(rows[1]) == good
+    assert rows[2] is None and rows[3] is None and rows[4] is None
+    # the strict variant raises on the same input (documented contract)
+    import pytest
+    with pytest.raises(Exception):
+        df.select(st_geomfromwkb(F.col("w"))).collect()
