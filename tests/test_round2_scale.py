@@ -350,3 +350,47 @@ def test_sessionize_matches_python_reference(spark, tmp_path):
     got = Counter((r.user_id, r.n_events, r.dur_s)
                   for r in out.collect())
     assert got == exp
+
+
+def test_distributed_covering_100k_polygons(spark):
+    """Scale proof for the driver-collect-free path: a 100k-polygon
+    side (the shape that would OOM/serialize through the driver in the
+    round-1 implementation) covers, joins and refines; spot-check the
+    result against closed-form box containment."""
+    from pyspark.sql import functions as F
+    from geospark.functions.geometry import st_geomfromtext
+    from geospark.operators.joins import spatial_join
+    n = 100_000
+    b = spark.range(n).select(
+        F.col("id").alias("box_id"),
+        (((F.col("id") * 13) % 340).cast("double") - 170.0).alias("cx"),
+        (((F.col("id") * 29) % 160).cast("double") - 80.0).alias("cy"),
+        (0.205 + (F.col("id") % 4).cast("double") * 0.1).alias("half"))
+    x0, y0 = (F.col("cx") - F.col("half")).cast("string"), \
+             (F.col("cy") - F.col("half")).cast("string")
+    x1, y1 = (F.col("cx") + F.col("half")).cast("string"), \
+             (F.col("cy") + F.col("half")).cast("string")
+    wkt = F.concat(F.lit("POLYGON (("), x0, F.lit(" "), y0, F.lit(", "),
+                   x1, F.lit(" "), y0, F.lit(", "), x1, F.lit(" "), y1,
+                   F.lit(", "), x0, F.lit(" "), y1, F.lit(", "),
+                   x0, F.lit(" "), y0, F.lit("))"))
+    boxes = b.select("box_id", st_geomfromtext(wkt).alias("geom_wkb"))
+    pts = spark.range(2000).select(
+        F.col("id").alias("pid"),
+        (((F.col("id") * 7) % 160).cast("double") - 80.0 + 0.31)
+        .alias("lat"),
+        (((F.col("id") * 11) % 340).cast("double") - 170.0 + 0.27)
+        .alias("lon"))
+    out = spatial_join(pts, boxes, res=9, poly_id_col="box_id",
+                       distributed=True)
+    got = {(r.pid, r.box_id) for r in
+           out.select("pid", "box_id").collect()}
+    # closed-form reference via a plain JVM bbox join
+    ref = (pts.crossJoin(F.broadcast(b))
+           .filter((F.col("lon") >= F.col("cx") - F.col("half"))
+                   & (F.col("lon") < F.col("cx") + F.col("half"))
+                   & (F.col("lat") >= F.col("cy") - F.col("half"))
+                   & (F.col("lat") < F.col("cy") + F.col("half"))))
+    exp = {(r.pid, r.box_id) for r in
+           ref.select("pid", "box_id").collect()}
+    assert got == exp and len(got) > 0
