@@ -241,20 +241,29 @@ WHERE ROUND(CAST(ni AS DOUBLE) / (na + nb - ni), 6) >= {threshold}
 # ---------------------------------------------------------------------------
 
 def connected_components(pairs, *, a_col: str = "doc_a",
-                         b_col: str = "doc_b", max_iters: int = 20):
+                         b_col: str = "doc_b", max_iters: int = 20,
+                         algorithm: str = "minlabel"):
     """Near-dup pairs -> (doc_id, cluster_id) with cluster_id = the
     minimum doc id in the component — the step that turns pairwise
     near-dup output into dedup groups (keep cluster_id, drop the rest).
 
-    Algorithm: min-label propagation — each round every node takes the
-    minimum label among itself and its neighbors; converges in
-    diameter(component) rounds. Near-dup clusters are shallow (near-dup
-    is close to transitive), so this is 2-4 rounds in practice; each
-    round is one equi-join + one groupBy (both keyed by node id —
-    Catalyst/AQE handle skew), and the driver only checks a converged
-    count per round. For adversarial long-chain graphs swap in
-    large-star/small-star (same join primitives, O(log n) rounds);
-    the convergence contract here is checked per round, never assumed.
+    ``algorithm``:
+      * "minlabel" (default) — each round every node takes the minimum
+        label among itself and its neighbors; converges in
+        diameter(component) rounds. Near-dup clusters are shallow
+        (near-dup is close to transitive), so this is 2-4 rounds in
+        practice; each round is one equi-join + one groupBy (both keyed
+        by node id — Catalyst/AQE handle skew).
+      * "star" — alternating large-star/small-star (Kiveris et al.,
+        "Connected Components in MapReduce and Beyond", 2014):
+        O(log n) rounds regardless of diameter — the slot-in for
+        adversarial long-chain graphs where minlabel's
+        rounds=diameter blows the iteration budget.
+
+    Both paths RAISE on non-convergence within ``max_iters`` instead of
+    silently returning partial (wrong) labels — an unconverged
+    minlabel run on a >max_iters-hop chain would otherwise diverge
+    from the transitive-closure oracle with no signal.
     """
     from pyspark.sql import functions as F
     e = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
@@ -264,12 +273,17 @@ def connected_components(pairs, *, a_col: str = "doc_a",
     # truncation (measured: a 15-round graph went from minutes to
     # seconds). On a cluster use reliable checkpoint() to survive
     # executor loss; localCheckpoint is the single-node/test form.
+    if algorithm == "star":
+        return _cc_star(e, max_iters)
+    if algorithm != "minlabel":
+        raise ValueError(f"algorithm={algorithm!r}")
     edges = e.unionByName(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))) \
         .localCheckpoint(eager=True)
     labels = (edges.select("u").distinct()
               .select(F.col("u").alias("id"), F.col("u").alias("lbl"))
               .localCheckpoint(eager=True))
+    changed = -1
     for _ in range(max_iters):
         nbr_min = (edges.join(labels, edges["v"] == labels["id"])
                    .groupBy("u").agg(F.min("lbl").alias("nlbl")))
@@ -287,8 +301,81 @@ def connected_components(pairs, *, a_col: str = "doc_a",
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components(minlabel) did not converge in "
+            f"{max_iters} rounds (graph diameter > max_iters); rerun "
+            f"with algorithm='star' (O(log n) rounds) or a larger "
+            f"max_iters")
     return labels.select(F.col("id").alias("doc_id"),
                          F.col("lbl").alias("cluster_id"))
+
+
+def _cc_star(e, max_iters: int):
+    """Alternating large-star/small-star connected components.
+
+    One round = large-star then small-star, each a groupBy(min) + join
+    over the edge set; the edge set contracts toward a star forest
+    rooted at each component's minimum node in O(log n) rounds. Edges
+    are kept canonically directed (u > v) between rounds; convergence =
+    the canonical edge set is unchanged by a round (checked with two
+    anti-joins, not assumed)."""
+    from pyspark.sql import functions as F
+
+    def canon(df):
+        return df.select(
+            F.greatest("u", "v").alias("u"),
+            F.least("u", "v").alias("v")).filter(
+                F.col("u") != F.col("v")).distinct()
+
+    def large_star(edges):
+        # neighborhoods of the undirected graph; for each u emit
+        # (v, min(N(u) ∪ {u})) for strictly larger neighbors v
+        sym = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mn = (sym.groupBy("u")
+              .agg(F.least(F.min("v"), F.first("u")).alias("m")))
+        return (sym.join(mn, "u")
+                .filter(F.col("v") > F.col("u"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v")))
+
+    def small_star(edges):
+        # edges arrive canonical (u > v): group the smaller neighbors
+        # under u; emit (x, m) for x in N(u) ∪ {u}, x != m
+        mn = (edges.groupBy("u")
+              .agg(F.least(F.min("v"), F.first("u")).alias("m")))
+        nbr = (edges.join(mn, "u")
+               .select(F.col("v").alias("x"), F.col("m")))
+        slf = mn.select(F.col("u").alias("x"), F.col("m"))
+        return (nbr.unionByName(slf)
+                .filter(F.col("x") != F.col("m"))
+                .select(F.col("x").alias("u"), F.col("m").alias("v")))
+
+    edges = canon(e).localCheckpoint(eager=True)
+    nodes = (e.select("u").unionByName(e.select(F.col("v").alias("u")))
+             .distinct().localCheckpoint(eager=True))
+    converged = False
+    for _ in range(max_iters):
+        new_edges = canon(small_star(canon(large_star(edges)))) \
+            .localCheckpoint(eager=True)
+        grew = new_edges.join(edges, ["u", "v"], "left_anti").count()
+        shrank = edges.join(new_edges, ["u", "v"], "left_anti").count()
+        edges = new_edges
+        if grew == 0 and shrank == 0:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components(star) did not converge in "
+            f"{max_iters} rounds")
+    # star forest: every non-root points at its component min (the
+    # trailing groupBy is a no-op on a true star; it guards against a
+    # node carrying two edges so output row-identity is unconditional)
+    return (nodes.join(edges, "u", "left")
+            .select(F.col("u").alias("doc_id"),
+                    F.coalesce("v", "u").alias("cluster_id"))
+            .groupBy("doc_id")
+            .agg(F.min("cluster_id").alias("cluster_id")))
 
 
 def dup_clusters_sql(pairs_sql: str) -> str:

@@ -271,7 +271,7 @@ def _pick_resolution_distributed(polys_df, geom_col: str,
 def spatial_join(points, polys_df, *, res: int | None = None,
                  lat_col: str = "lat", lon_col: str = "lon",
                  poly_id_col: str = "zone_id", geom_col: str = "geom_wkb",
-                 how: str = "inner", broadcast_cover: bool = True,
+                 how: str = "inner", broadcast_cover: bool | None = None,
                  salt: int = 0, refine_mode: str = "auto",
                  distributed: bool = False):
     """Point-in-polygon join.
@@ -290,7 +290,10 @@ def spatial_join(points, polys_df, *, res: int | None = None,
     as a joined column) — use for large polygon sides (parcels, not
     countries) where a driver collect would OOM. ``salt``/
     ``refine_mode`` apply to the driver path only; the distributed path
-    relies on AQE skew handling."""
+    relies on AQE skew handling. ``broadcast_cover=None`` (default)
+    picks automatically: always broadcast on the driver path; on the
+    distributed path broadcast only while the estimated cover stays
+    driver-safe (~10^6 rows), else shuffle equi-join."""
     from pyspark.sql import functions as F
 
     spark = points.sparkSession
@@ -299,7 +302,17 @@ def spatial_join(points, polys_df, *, res: int | None = None,
     # equals itself and wrongly reappears in the anti output) and
     # distinct() collapses legitimately duplicated input rows
     if how in ("left_semi", "left_anti"):
-        points = points.withColumn("_rid", F.monotonically_increasing_id())
+        # monotonically_increasing_id is nondeterministic (partition- and
+        # order-dependent): the points subtree is evaluated twice (once
+        # under `matched`, once as the probe side of _spatial_join_how),
+        # and a recompute downstream of a shuffle could assign DIFFERENT
+        # ids to the two evaluations — silently corrupting semi/anti
+        # output. Materialize the ids once (eager localCheckpoint) so
+        # both branches read the same frozen rows. On a real cluster
+        # swap for reliable checkpoint() to survive executor loss.
+        points = points.withColumn(
+            "_rid", F.monotonically_increasing_id()) \
+            .localCheckpoint(eager=True)
 
     if distributed:
         # large polygon side: covering on executors, geometry delivered
@@ -310,6 +323,15 @@ def spatial_join(points, polys_df, *, res: int | None = None,
                                              poly_id_col, geom_col)
         pts = points.withColumn("_cell",
                                 cell_encode(lat_col, lon_col, res))
+        if broadcast_cover is None:
+            # size-based choice: broadcasting the cover collects
+            # (cells x polygons) rows through the driver — fine for a
+            # 10^4-polygon side, GBs at 10^7. Estimate cover rows as
+            # n_polys * target cells/poly (the resolution picker aims
+            # for ~64) from one cheap narrow count, and fall back to a
+            # shuffle equi-join (AQE skew-handled) above the cap.
+            n_polys = polys_df.select(poly_id_col).count()
+            broadcast_cover = n_polys * 64 <= 1_000_000
         cov = F.broadcast(cover_df) if broadcast_cover else cover_df
         joined = pts.join(cov, "_cell", "inner")
         interior = joined.filter(F.col("_full"))
@@ -347,6 +369,8 @@ def spatial_join(points, polys_df, *, res: int | None = None,
 
     pts = points.withColumn("_cell", cell_encode(lat_col, lon_col, res))
 
+    if broadcast_cover is None:
+        broadcast_cover = True  # driver path: cover is small by contract
     if broadcast_cover:
         joined = pts.join(F.broadcast(cover_df), "_cell", "inner")
     else:
@@ -563,19 +587,28 @@ def knn_join(queries, points, k: int, *, res: int = 8,
                              (F.count(F.lit(1)).over(wq) >= k)
                              & (F.max("_sqdist").over(wq)
                                 < F.lit(guard)))).persist()
-        results.append(topk.filter(F.col("_sat")).drop("_sat"))
+        # satisfied rows are final output — materialize them eagerly
+        # (localCheckpoint truncates lineage; the set is bounded by the
+        # result size) so this iteration's topk/remaining caches can be
+        # dropped immediately instead of accumulating across iterations
+        results.append(topk.filter(F.col("_sat")).drop("_sat")
+                       .localCheckpoint(eager=True))
         sat_ids = topk.filter(F.col("_sat")).select(query_id_col) \
             .distinct()
         # materialize the shrunken query set once per iteration — chained
         # anti-joins otherwise recompute the whole history every pass
+        prev_remaining = remaining
         remaining = remaining.join(sat_ids, query_id_col, "left_anti") \
             .persist()
         n_remaining = remaining.count()
+        topk.unpersist()
+        prev_remaining.unpersist()
         # cap: at ring >= n_cells the fanout already covers the whole
         # grid; further doubling only grows the guarantee radius
         ring = min(ring * 2, 1 << res)
     if n_remaining > 0:
-        # brute-force fallback for stragglers (exactness floor)
+        # brute-force fallback for stragglers (exactness floor);
+        # materialized eagerly so the last remaining cache can drop
         j = remaining.crossJoin(F.broadcast(pts.drop("_pcell")))
         dist = dist_expr()
         from pyspark.sql import Window as W2
@@ -583,7 +616,9 @@ def knn_join(queries, points, k: int, *, res: int = 8,
             dist.asc(), F.col(point_id_col).asc())
         results.append(j.withColumn("_sqdist", dist)
                        .withColumn("_rn", F.row_number().over(w))
-                       .filter(F.col("_rn") <= k))
+                       .filter(F.col("_rn") <= k)
+                       .localCheckpoint(eager=True))
+    remaining.unpersist()
     out = results[0]
     for r in results[1:]:
         out = out.unionByName(r)

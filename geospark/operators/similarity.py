@@ -297,7 +297,12 @@ def ivf_ann_topk(emb_df, query_vec, centroids: "np.ndarray",
     e = e.withColumn("_list", assign(F.col("v"))) \
          .filter(F.col("_list").isin(probe))
     qlit = F.array(*[F.lit(float(x)) for x in qv])
-    qn = float(np.sqrt(np.sum(qv * qv)))
+    # query norm accumulated SEQUENTIALLY (not numpy pairwise summation):
+    # the DuckDB twin's list_dot_product sums left-to-right, and a
+    # last-ulp difference could flip the 6dp-rounded cosine at a
+    # rounding boundary (same reason _sq_dist_seq exists)
+    qn = float(np.sqrt(_sq_dist_seq(qv[None, :],
+                                    np.zeros(qv.shape[0]))[0]))
     dot = F.aggregate(F.zip_with(F.col("v"), qlit, lambda x, y: x * y),
                       F.lit(0.0), lambda acc, x: acc + x)
     nv = F.sqrt(F.aggregate(F.transform(F.col("v"), lambda x: x * x),
