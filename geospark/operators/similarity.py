@@ -272,35 +272,28 @@ def ivf_assign_sql(vexpr: str, centroids: "np.ndarray") -> str:
     return f"(CASE {whens} END)"
 
 
-def ivf_ann_topk(emb_df, query_vec, centroids: "np.ndarray",
-                 k: int = 10, nprobe: int = 2, *,
-                 id_col: str = "vec_id", emb_col: str = "embedding"):
-    """IVF approximate top-k: vectors are bucketed by nearest centroid
-    (one map-side pandas UDF, no shuffle); the query probes its
-    ``nprobe`` nearest lists and ranks candidates by exact cosine.
-
-    Scale shape: list count k grows with n (k ~ sqrt(n) is the usual
-    rule); the probe filter is a scan predicate over a tiny IN-set, so
-    the whole query is a pruned scan + local top-k — no join at all.
-    Assignment is embarrassingly parallel; at ingest time the
-    assignment column is materialized once and the table is bucketed/
-    partitioned by it, making later probes partition-pruned scans."""
-    from pyspark.sql import functions as F
+def _probe_lists(query_vec, centroids: "np.ndarray",
+                 nprobe: int) -> list[int]:
+    """nprobe nearest centroid ids for a query (sequential-sum
+    distances; stable argsort — the same derivation the SQL twin
+    inlines)."""
     cent = np.asarray(centroids, dtype=np.float64)
     qv = np.asarray([float(x) for x in query_vec], dtype=np.float64)
     qd = np.array([_sq_dist_seq(qv[None, :], cent[j])[0]
                    for j in range(len(cent))])
-    probe = [int(j) for j in np.argsort(qd, kind="stable")[:nprobe]]
-    e = emb_df.select(F.col(id_col),
-                      _emb_double(F.col(emb_col)).alias("v"))
-    assign = ivf_assign_udf(cent)
-    e = e.withColumn("_list", assign(F.col("v"))) \
-         .filter(F.col("_list").isin(probe))
+    return [int(j) for j in np.argsort(qd, kind="stable")[:nprobe]]
+
+
+def _cosine_topk(e, query_vec, k: int, id_col: str):
+    """Rank a candidate DataFrame (id, v: array<double>) by exact
+    cosine vs the query literal -> (id, sim rounded 6) top-k."""
+    from pyspark.sql import functions as F
+    qv = np.asarray([float(x) for x in query_vec], dtype=np.float64)
     qlit = F.array(*[F.lit(float(x)) for x in qv])
-    # query norm accumulated SEQUENTIALLY (not numpy pairwise summation):
-    # the DuckDB twin's list_dot_product sums left-to-right, and a
-    # last-ulp difference could flip the 6dp-rounded cosine at a
-    # rounding boundary (same reason _sq_dist_seq exists)
+    # query norm accumulated SEQUENTIALLY (not numpy pairwise
+    # summation): the DuckDB twin's list_dot_product sums
+    # left-to-right, and a last-ulp difference could flip the
+    # 6dp-rounded cosine at a rounding boundary
     qn = float(np.sqrt(_sq_dist_seq(qv[None, :],
                                     np.zeros(qv.shape[0]))[0]))
     dot = F.aggregate(F.zip_with(F.col("v"), qlit, lambda x, y: x * y),
@@ -311,6 +304,63 @@ def ivf_ann_topk(emb_df, query_vec, centroids: "np.ndarray",
     return (e.select(id_col, sim.alias("sim"))
             .orderBy(F.col("sim").desc(), F.col(id_col).asc())
             .limit(k))
+
+
+def ivf_index(emb_df, centroids: "np.ndarray", path: str, *,
+              id_col: str = "vec_id", emb_col: str = "embedding"):
+    """Materialize the IVF inverted file: compute each vector's coarse
+    list assignment ONCE (map-side pandas UDF, embarrassingly parallel)
+    and write the table PARTITIONED BY the list id. Probes
+    (:func:`ivf_probe_topk`) then read only their ``nprobe``
+    partitions — a partition-pruned parquet scan with no assignment
+    UDF anywhere in the query plan.
+
+    This is the 100 TB shape: assignment cost is paid once at ingest,
+    amortized over every subsequent query; at k ~ sqrt(n) lists each
+    partition stays a bounded slice of the table, and a query touches
+    nprobe/k of the data."""
+    from pyspark.sql import functions as F
+    cent = np.asarray(centroids, dtype=np.float64)
+    assign = ivf_assign_udf(cent)
+    e = emb_df.select(F.col(id_col),
+                      _emb_double(F.col(emb_col)).alias("v"))
+    (e.withColumn("_list", assign(F.col("v")))
+     .write.mode("overwrite").partitionBy("_list").parquet(path))
+    return path
+
+
+def ivf_probe_topk(spark, index_path: str, query_vec,
+                   centroids: "np.ndarray", k: int = 10,
+                   nprobe: int = 2, *, id_col: str = "vec_id"):
+    """IVF ANN probe over a materialized :func:`ivf_index` table: the
+    ``_list IN (probe)`` predicate is a PARTITION filter (the scan
+    never opens non-probed partitions), candidates are ranked by exact
+    cosine. Zero Python in the plan — assignment happened at ingest."""
+    from pyspark.sql import functions as F
+    probe = _probe_lists(query_vec, centroids, nprobe)
+    e = (spark.read.parquet(index_path)
+         .filter(F.col("_list").isin(probe)))
+    return _cosine_topk(e, query_vec, k, id_col)
+
+
+def ivf_ann_topk(emb_df, query_vec, centroids: "np.ndarray",
+                 k: int = 10, nprobe: int = 2, *,
+                 id_col: str = "vec_id", emb_col: str = "embedding"):
+    """IVF approximate top-k WITHOUT a materialized index: assignment
+    runs inline (one map-side pandas UDF over the table) before the
+    probe filter. One-shot/ad-hoc form — for repeated queries build
+    the inverted file once with :func:`ivf_index` and probe through
+    :func:`ivf_probe_topk`, which turns this full-table assignment
+    scan into a partition-pruned read."""
+    from pyspark.sql import functions as F
+    cent = np.asarray(centroids, dtype=np.float64)
+    probe = _probe_lists(query_vec, centroids, nprobe)
+    e = emb_df.select(F.col(id_col),
+                      _emb_double(F.col(emb_col)).alias("v"))
+    assign = ivf_assign_udf(cent)
+    e = e.withColumn("_list", assign(F.col("v"))) \
+         .filter(F.col("_list").isin(probe))
+    return _cosine_topk(e, query_vec, k, id_col)
 
 
 def ivf_ann_topk_sql(centroids: "np.ndarray", k: int = 10,
