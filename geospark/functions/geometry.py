@@ -24,9 +24,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from ..kernels.geom import GEOM_TYPES, format_wkt, parse_wkt
-from ..kernels.ops import geom_envelope, point_in_rings
-from ..kernels.wkb import (parse_point_wkb_buffer, parse_wkb,
-                           points_to_wkb_buffer, write_wkb)
+from ..kernels.ops import (geom_area, geom_centroid, geom_envelope,
+                           point_in_rings, polygon_batch_area_centroid)
+from ..kernels.wkb import (parse_point_wkb_buffer, parse_polygon_wkb_buffer,
+                           parse_wkb, points_to_wkb_buffer, write_wkb)
 
 # ---------------------------------------------------------------------------
 # batch plumbing
@@ -170,6 +171,139 @@ def _typecode_batch(s: pd.Series) -> np.ndarray:
     return out
 
 
+def _wkb_headers(data: np.ndarray, offsets: np.ndarray,
+                 validity: np.ndarray | None
+                 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized per-row WKB header fields: (le, traw, t). ``le`` is
+    False for null/too-short rows; ``t`` = base geometry type 1-7 (0
+    where not readable little-endian)."""
+    n = len(offsets) - 1
+    le = np.zeros(n, dtype=bool)
+    traw = np.zeros(n, dtype=np.uint32)
+    t = np.zeros(n, dtype=np.int64)
+    lens = np.diff(offsets)
+    cand = lens >= 5
+    if validity is not None:
+        cand &= validity
+    ci = np.nonzero(cand)[0]
+    if ci.size:
+        si = offsets[ci].astype(np.int64)
+        le[ci] = data[si] == 1
+        li = ci[le[ci]]
+        si = offsets[li].astype(np.int64)
+        traw[li] = (data[si + 1].astype(np.uint32)
+                    | (data[si + 2].astype(np.uint32) << 8)
+                    | (data[si + 3].astype(np.uint32) << 16)
+                    | (data[si + 4].astype(np.uint32) << 24))
+        t[li] = (traw[li] & np.uint32(0x1FFFFFFF)) % np.uint32(1000)
+    return le, traw, t
+
+
+def _measures_batch(s: pd.Series) -> tuple[np.ndarray, np.ndarray,
+                                           np.ndarray]:
+    """(area, cx, cy) for a WKB batch: vectorized shoelace over the
+    whole batch for little-endian polygons (PolygonBatch ragged decode
+    + one reduceat — the §7.3 batch path, replacing the round-2
+    per-row ``Series.map(parse_wkb)`` loops), vectorized point decode
+    for point centroids, per-geometry fallback only for multis /
+    big-endian / malformed rows."""
+    data, offsets, validity = _series_to_wkb_buffers(s)
+    n = len(offsets) - 1
+    pb = parse_polygon_wkb_buffer(data, offsets, validity)
+    area, cx, cy = polygon_batch_area_centroid(pb, n)
+    px, py, pok = parse_point_wkb_buffer(data, offsets, validity)
+    cx = np.where(pok, px, cx)
+    cy = np.where(pok, py, cy)
+    le, _, t = _wkb_headers(data, offsets, validity)
+    # LE linestrings / multipoints / multilinestrings: area 0 and NaN
+    # centroid are already the defaults — nothing to decode
+    handled = pb.ok | pok | (le & np.isin(t, (2, 4, 5)))
+    isnull = (~validity if validity is not None
+              else np.zeros(n, dtype=bool))
+    todo = ~handled & ~isnull & (np.diff(offsets) > 0)
+    for i in np.nonzero(todo)[0]:
+        g = parse_wkb(data[offsets[i]:offsets[i + 1]].tobytes())
+        area[i] = geom_area(g)
+        cx[i], cy[i] = geom_centroid(g)
+    area[isnull] = np.nan
+    return area, cx, cy
+
+
+def _st_dims_batch(s: pd.Series) -> pd.Series:
+    """Dims string from the 5 header bytes only — no coordinate decode
+    (round-2 st_dims full-parsed a potentially huge geometry to read
+    them). Per-row fallback only for big-endian headers."""
+    data, offsets, validity = _series_to_wkb_buffers(s)
+    n = len(offsets) - 1
+    out = np.full(n, None, dtype=object)
+    le, traw, t = _wkb_headers(data, offsets, validity)
+    base = traw & np.uint32(0x1FFFFFFF)
+    k = base // np.uint32(1000)
+    has_z = (k == 1) | (k == 3) | ((traw & np.uint32(0x80000000)) != 0)
+    has_m = (k == 2) | (k == 3) | ((traw & np.uint32(0x40000000)) != 0)
+    ok = le & (t >= 1) & (t <= 7)
+    for mask, val in (((ok & has_z & has_m), "xyzm"),
+                      ((ok & has_z & ~has_m), "xyz"),
+                      ((ok & ~has_z & has_m), "xym"),
+                      ((ok & ~has_z & ~has_m), "xy")):
+        out[mask] = val
+    isnull = (~validity if validity is not None
+              else np.zeros(n, dtype=bool))
+    todo = ~ok & ~isnull & (np.diff(offsets) > 0)
+    for i in np.nonzero(todo)[0]:
+        out[i] = parse_wkb(data[offsets[i]:offsets[i + 1]].tobytes()).dims
+    return pd.Series(out)
+
+
+def _format_coord_array(v: np.ndarray) -> np.ndarray:
+    """float64[] -> str[] matching kernels.geom._fmt_num exactly:
+    integral values print as integers, the rest via
+    format_float_positional (per-element Python only for the
+    non-integral minority)."""
+    out = np.empty(v.shape[0], dtype=object)
+    isint = (v == np.floor(v)) & (np.abs(v) < 1e15) & np.isfinite(v)
+    if isint.any():
+        out[isint] = v[isint].astype(np.int64).astype(str).astype(object)
+    rest = ~isint
+    if rest.any():
+        out[rest] = [np.format_float_positional(x, trim="-")
+                     if np.isfinite(x) else "nan" for x in v[rest]]
+    return out
+
+
+def _st_astext_batch(s: pd.Series) -> pd.Series:
+    """WKT text: vectorized for plain little-endian XY points (the
+    web-scale shape), general formatter fallback for everything else."""
+    data, offsets, validity = _series_to_wkb_buffers(s)
+    n = len(offsets) - 1
+    out = np.full(n, None, dtype=object)
+    le, traw, _ = _wkb_headers(data, offsets, validity)
+    lens = np.diff(offsets)
+    fast = le & (traw == np.uint32(1)) & (lens == 21)
+    fi = np.nonzero(fast)[0]
+    if fi.size:
+        si = offsets[fi].astype(np.int64)
+        g = si[:, None] + np.arange(5, 21, dtype=np.int64)[None, :]
+        wins = data[g]
+        x = wins[:, :8].copy().view("<f8").ravel()
+        y = wins[:, 8:].copy().view("<f8").ravel()
+        nonempty = ~(np.isnan(x) | np.isnan(y))
+        fj = fi[nonempty]
+        if fj.size:
+            xs = _format_coord_array(x[nonempty])
+            ys = _format_coord_array(y[nonempty])
+            out[fj] = ["POINT (" + a + " " + b + ")"
+                       for a, b in zip(xs, ys)]
+        fast[fi[~nonempty]] = False  # POINT EMPTY -> formatter
+    isnull = (~validity if validity is not None
+              else np.zeros(n, dtype=bool))
+    todo = ~fast & ~isnull & (lens > 0)
+    for i in np.nonzero(todo)[0]:
+        out[i] = format_wkt(parse_wkb(data[offsets[i]:offsets[i + 1]]
+                                      .tobytes()))
+    return pd.Series(out)
+
+
 def _st_envelope_batch(s: pd.Series) -> pd.DataFrame:
     x, y, ok = wkb_batch_xy(s)
     xmin = np.where(ok, x, np.nan)
@@ -246,8 +380,7 @@ def _lazy_udfs():
 
     @pandas_udf(T.StringType())
     def st_astext_u(s: pd.Series) -> pd.Series:
-        return s.map(lambda b: None if b is None
-                     else format_wkt(parse_wkb(b)), na_action="ignore")
+        return _st_astext_batch(s)
 
     @pandas_udf(T.StringType())
     def st_geometrytype_u(s: pd.Series) -> pd.Series:
@@ -343,9 +476,8 @@ def _lazy_udfs():
     def st_dims_u(s: pd.Series) -> pd.Series:
         """Dimensions string ('xy'/'xyz'/'xym'/'xyzm') from the WKB
         header — works for EMPTY too (unlike the calculator code,
-        which collapses empties to 0)."""
-        return s.map(lambda b: None if b is None
-                     else parse_wkb(b).dims, na_action="ignore")
+        which collapses empties to 0). Header bytes only, vectorized."""
+        return _st_dims_batch(s)
 
     @pandas_udf(T.DoubleType())
     def st_distance_u(a: pd.Series, b: pd.Series) -> pd.Series:
@@ -360,27 +492,16 @@ def _lazy_udfs():
 
     @pandas_udf(T.DoubleType())
     def st_area_u(s: pd.Series) -> pd.Series:
-        from ..kernels.ops import geom_area
-        return s.map(lambda b: None if b is None
-                     else geom_area(parse_wkb(b)), na_action="ignore") \
-            .astype("float64")
+        area, _, _ = _measures_batch(s)
+        return pd.Series(area)
 
     cen_t = T.StructType([T.StructField("x", T.DoubleType()),
                           T.StructField("y", T.DoubleType())])
 
     @pandas_udf(cen_t)
     def st_centroid_u(s: pd.Series) -> pd.DataFrame:
-        from ..kernels.ops import geom_centroid
-        xs, ys = [], []
-        for b in s:
-            if b is None:
-                xs.append(np.nan)
-                ys.append(np.nan)
-            else:
-                cx, cy = geom_centroid(parse_wkb(b))
-                xs.append(cx)
-                ys.append(cy)
-        return pd.DataFrame({"x": xs, "y": ys})
+        _, cx, cy = _measures_batch(s)
+        return pd.DataFrame({"x": cx, "y": cy})
 
     _UDF_CACHE.update(
         st_area=st_area_u, st_centroid=st_centroid_u,

@@ -153,6 +153,68 @@ def geom_area(g) -> float:
     return 0.0
 
 
+def polygon_batch_area_centroid(pb, n: int
+                                ) -> tuple[np.ndarray, np.ndarray,
+                                           np.ndarray]:
+    """Shoelace area + area-weighted centroid over a whole decoded
+    polygon batch (wkb.PolygonBatch) at once — the vectorized twin of
+    ``geom_area``/``geom_centroid`` for the rows ``pb.ok`` covers.
+
+    Returns (area[n], cx[n], cy[n]); rows not decoded by the batch (or
+    with zero total ring weight) get area 0.0 and NaN centroids — the
+    caller overrides them from its fallback path. All per-ring sums are
+    one ``np.add.reduceat`` over the flat coord arrays; per-polygon
+    accumulation is ``np.add.at`` keyed by ring->polygon index. Ring
+    role follows the WKT convention exactly as the scalar kernels do:
+    ring 0 adds, later rings (holes) subtract, orientation-agnostic."""
+    area = np.zeros(n)
+    wsum = np.zeros(n)
+    cxw = np.zeros(n)
+    cyw = np.zeros(n)
+    rc = pb.ring_rows
+    x, y = pb.xs, pb.ys
+    C = x.size
+    if rc.size and C >= 2:
+        cross = x[:-1] * y[1:] - x[1:] * y[:-1]
+        cxe = (x[:-1] + x[1:]) * cross
+        cye = (y[:-1] + y[1:]) * cross
+        # rings are adjacent in the flat arrays, so ring i's shoelace
+        # terms are cross[start_i : start_{i+1}-1]; zeroing each ring's
+        # LAST flat element removes the inter-ring seam terms and makes
+        # one reduceat over ring starts produce exact per-ring sums
+        ring_last = pb.ring_row_start + rc - 1
+        seam = ring_last[ring_last < C - 1]
+        cross[seam] = 0.0
+        cxe[seam] = 0.0
+        cye[seam] = 0.0
+        starts = np.minimum(pb.ring_row_start, C - 2)
+        a2 = np.add.reduceat(cross, starts)
+        sx = np.add.reduceat(cxe, starts)
+        sy = np.add.reduceat(cye, starts)
+        # reduceat returns arr[i] (not 0) for empty segments; rings
+        # with <3 distinct rows have no area anyway — zero them
+        degen = rc < 3
+        a2[degen] = 0.0
+        a = a2 / 2.0
+        sign = np.where(pb.ring_ordinal == 0, 1.0, -1.0)
+        w = sign * np.abs(a)
+        np.add.at(area, pb.poly_of_ring, w)
+        nz = a != 0.0
+        cx_r = np.zeros_like(a)
+        cy_r = np.zeros_like(a)
+        cx_r[nz] = sx[nz] / (6.0 * a[nz])
+        cy_r[nz] = sy[nz] / (6.0 * a[nz])
+        np.add.at(wsum, pb.poly_of_ring, w)
+        np.add.at(cxw, pb.poly_of_ring, cx_r * w)
+        np.add.at(cyw, pb.poly_of_ring, cy_r * w)
+    cx = np.full(n, np.nan)
+    cy = np.full(n, np.nan)
+    nzp = wsum != 0.0
+    cx[nzp] = cxw[nzp] / wsum[nzp]
+    cy[nzp] = cyw[nzp] / wsum[nzp]
+    return area, cx, cy
+
+
 def geom_centroid(g) -> tuple[float, float]:
     """Area-weighted centroid of polygons/multipolygons (holes
     subtract); a point returns itself; other/empty -> (nan, nan)."""

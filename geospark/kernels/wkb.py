@@ -188,6 +188,153 @@ def points_to_wkb_buffer(x: np.ndarray, y: np.ndarray
     return data, offsets
 
 
+class PolygonBatch:
+    """Ragged columnar view of a batch of decoded polygons (SURVEY §7.3
+    type-homogeneous grouping, realized): all rings of all polygons in
+    the batch live in ONE flat (x, y) pair of float64 arrays, with
+    ring->polygon and coord->ring index arrays — the shape NumPy batch
+    kernels (shoelace area/centroid, ray casts) consume directly with
+    reduceat/add.at, zero per-row Python."""
+
+    __slots__ = ("ok", "poly_of_ring", "ring_ordinal", "ring_row_start",
+                 "ring_rows", "xs", "ys")
+
+    def __init__(self, ok, poly_of_ring, ring_ordinal, ring_row_start,
+                 ring_rows, xs, ys):
+        self.ok = ok                        # bool[n] decoded here
+        self.poly_of_ring = poly_of_ring    # int64[R] geometry index
+        self.ring_ordinal = ring_ordinal    # int64[R] 0=exterior
+        self.ring_row_start = ring_row_start  # int64[R] into xs/ys
+        self.ring_rows = ring_rows          # int64[R] rows per ring
+        self.xs = xs                        # float64[C]
+        self.ys = ys                        # float64[C]
+
+
+def parse_polygon_wkb_buffer(data: np.ndarray, offsets: np.ndarray,
+                             validity: np.ndarray | None) -> PolygonBatch:
+    """Vectorized batch decode of little-endian POLYGON WKBs straight
+    from pyarrow Binary buffers.
+
+    Per-batch work is O(max_rings_per_polygon) vectorized passes (the
+    ring headers of ring ordinal r across ALL polygons are read in one
+    gather), then one flat coordinate gather — no per-geometry Python.
+    Rows that are not LE polygons (points, multis, big-endian, or any
+    row failing a bounds sanity check) come back ``ok=False`` and the
+    caller falls back to the general per-geometry codec. EMPTY
+    polygons (zero rings) decode here with ok=True and no rings.
+    EWKB-SRID headers are handled (the 4 SRID bytes are skipped)."""
+    n = offsets.shape[0] - 1
+    ok = np.zeros(n, dtype=bool)
+    empty = (np.empty(0, dtype=np.int64),) * 4
+    none = PolygonBatch(ok, *empty, np.empty(0), np.empty(0))
+    if n == 0:
+        return none
+    offsets = offsets.astype(np.int64, copy=False)
+    lens = np.diff(offsets)
+    cand = lens >= 9
+    if validity is not None:
+        cand &= validity
+    starts = np.where(cand, offsets[:-1], 0)
+    bo_ok = np.zeros(n, dtype=bool)
+    bo_ok[cand] = data[starts[cand]] == 1
+    cand &= bo_ok
+    if not cand.any():
+        return none
+    si = starts
+    traw = np.zeros(n, dtype=np.uint32)
+    ci = np.nonzero(cand)[0]
+    traw[ci] = (data[si[ci] + 1].astype(np.uint32)
+                | (data[si[ci] + 2].astype(np.uint32) << 8)
+                | (data[si[ci] + 3].astype(np.uint32) << 16)
+                | (data[si[ci] + 4].astype(np.uint32) << 24))
+    base = traw & np.uint32(0x1FFFFFFF)
+    is_poly = cand & (base % np.uint32(1000) == 3)
+    if not is_poly.any():
+        return none
+    k = base // np.uint32(1000)
+    has_z = (k == 1) | (k == 3) | ((traw & np.uint32(_EWKB_Z)) != 0)
+    has_m = (k == 2) | (k == 3) | ((traw & np.uint32(_EWKB_M)) != 0)
+    nd = 2 + has_z.astype(np.int64) + has_m.astype(np.int64)
+    srid = ((traw & np.uint32(_EWKB_SRID)) != 0).astype(np.int64) * 4
+
+    def read_u32(pos: np.ndarray) -> np.ndarray:
+        return (data[pos].astype(np.int64)
+                | (data[pos + 1].astype(np.int64) << 8)
+                | (data[pos + 2].astype(np.int64) << 16)
+                | (data[pos + 3].astype(np.int64) << 24))
+
+    end = offsets[1:]
+    cur = si + 5 + srid
+    live = is_poly & (cur + 4 <= end)
+    nrings = np.zeros(n, dtype=np.int64)
+    nrings[live] = read_u32(cur[live])
+    # sanity: a ring count beyond what the byte length could hold marks
+    # the row malformed -> fallback path (which raises, as parse_wkb
+    # does today)
+    sane = live & (nrings <= lens // 4)
+    ok_rows = sane.copy()
+    cur = cur + 4
+    ring_poly: list[np.ndarray] = []
+    ring_ord: list[np.ndarray] = []
+    ring_cnt: list[np.ndarray] = []
+    ring_cpos: list[np.ndarray] = []
+    active = sane & (nrings > 0)
+    r = 0
+    max_r = int(nrings[sane].max()) if sane.any() else 0
+    while active.any() and r < max_r:
+        ai = np.nonzero(active)[0]
+        bounds_ok = cur[ai] + 4 <= end[ai]
+        cnt = np.zeros(ai.size, dtype=np.int64)
+        cnt[bounds_ok] = read_u32(cur[ai[bounds_ok]])
+        nbytes = 4 + cnt * nd[ai] * 8
+        fits = bounds_ok & (cur[ai] + nbytes <= end[ai])
+        bad = ai[~fits]
+        ok_rows[bad] = False
+        active[bad] = False
+        good = ai[fits]
+        ring_poly.append(good)
+        ring_ord.append(np.full(good.size, r, dtype=np.int64))
+        ring_cnt.append(cnt[fits])
+        ring_cpos.append(cur[good] + 4)
+        cur[good] = cur[good] + nbytes[fits]
+        r += 1
+        done = good[nrings[good] <= r]
+        active[done] = False
+    ok[:] = ok_rows
+    # drop rings that belong to rows later marked not-ok (a row can
+    # fail at ring j after rings < j were already collected)
+    if ring_poly:
+        rp = np.concatenate(ring_poly)
+        ro = np.concatenate(ring_ord)
+        rc = np.concatenate(ring_cnt)
+        cp = np.concatenate(ring_cpos)
+        keep = ok[rp]
+        rp, ro, rc, cp = rp[keep], ro[keep], rc[keep], cp[keep]
+        # stable order: group rings by polygon, exterior first
+        order = np.lexsort((ro, rp))
+        rp, ro, rc, cp = rp[order], ro[order], rc[order], cp[order]
+    else:
+        rp = ro = rc = cp = np.empty(0, dtype=np.int64)
+    total = int(rc.sum())
+    if total:
+        row_ring = np.repeat(np.arange(rc.size, dtype=np.int64), rc)
+        excl = np.concatenate(([0], np.cumsum(rc)[:-1]))
+        within = np.arange(total, dtype=np.int64) - excl[row_ring]
+        nd8 = nd[rp] * 8
+        xpos = cp[row_ring] + within * nd8[row_ring]
+        xs = data[xpos[:, None]
+                  + np.arange(8, dtype=np.int64)[None, :]] \
+            .copy().view("<f8").ravel()
+        ys = data[(xpos + 8)[:, None]
+                  + np.arange(8, dtype=np.int64)[None, :]] \
+            .copy().view("<f8").ravel()
+        ring_row_start = excl
+    else:
+        xs = ys = np.empty(0)
+        ring_row_start = np.empty(0, dtype=np.int64)
+    return PolygonBatch(ok, rp, ro, ring_row_start, rc, xs, ys)
+
+
 def parse_point_wkb_buffer(data: np.ndarray, offsets: np.ndarray,
                            validity: np.ndarray | None
                            ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

@@ -228,17 +228,39 @@ def make_wkb_refine_udf():
 
     @pandas_udf("boolean")
     def refine(wkb: pd.Series, lon: pd.Series, lat: pd.Series) -> pd.Series:
+        from ..functions.geometry import _series_to_wkb_buffers
+        from ..kernels.wkb import parse_polygon_wkb_buffer
         out = np.zeros(len(wkb), dtype=bool)
         x = lon.to_numpy(dtype=np.float64, na_value=np.nan)
         y = lat.to_numpy(dtype=np.float64, na_value=np.nan)
         codes, uniq = pd.factorize(wkb, use_na_sentinel=True)
+        # decode ALL distinct polygons in one vectorized batch pass
+        # (ragged ring views into two flat coord arrays); the per-
+        # distinct loop below only slices views and ray-casts
+        useries = pd.Series(list(uniq), dtype=object)
+        data, offs, val = _series_to_wkb_buffers(useries)
+        pbatch = parse_polygon_wkb_buffer(data, offs, val)
+        ring_lo = np.searchsorted(pbatch.poly_of_ring,
+                                  np.arange(len(uniq)))
+        ring_hi = np.searchsorted(pbatch.poly_of_ring,
+                                  np.arange(len(uniq)) + 1)
         for ci, w in enumerate(uniq):
             sel = codes == ci
-            g = parse_wkb(bytes(w)) if w is not None else None
-            pgs = _geom_rings(g) if g is not None else []
             hit = np.zeros(int(sel.sum()), dtype=bool)
-            for rings in pgs:
-                hit |= point_in_rings(x[sel], y[sel], rings)
+            if pbatch.ok[ci]:
+                rings = []
+                for ri in range(ring_lo[ci], ring_hi[ci]):
+                    st = pbatch.ring_row_start[ri]
+                    en = st + pbatch.ring_rows[ri]
+                    rings.append(np.column_stack((pbatch.xs[st:en],
+                                                  pbatch.ys[st:en])))
+                if rings:
+                    hit = point_in_rings(x[sel], y[sel], rings)
+            else:  # multipolygon / big-endian / null: general codec
+                g = parse_wkb(bytes(w)) if w is not None else None
+                pgs = _geom_rings(g) if g is not None else []
+                for rings in pgs:
+                    hit |= point_in_rings(x[sel], y[sel], rings)
             out[sel] = hit
         return pd.Series(out)
 
