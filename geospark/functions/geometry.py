@@ -490,6 +490,33 @@ def _lazy_udfs():
         d = np.sqrt((ax - bx) ** 2 + (ay - by) ** 2)
         return pd.Series(np.where(aok & bok, d, np.nan))
 
+    @pandas_udf(T.BooleanType())
+    def st_intersects_u(a: pd.Series, b: pd.Series) -> pd.Series:
+        """Exact ST_Intersects over two WKB columns, any geometry
+        types (closed semantics — shared boundaries count; null or
+        EMPTY intersects nothing -> False). Both sides are factorized
+        per batch and results cached per distinct PAIR, so a join
+        refine batch with few distinct polygons parses each geometry
+        once (kernels.ops.geom_intersects does the dispatch)."""
+        from ..kernels.ops import geom_intersects
+        ca, ua = pd.factorize(a, use_na_sentinel=True)
+        cb, ub = pd.factorize(b, use_na_sentinel=True)
+        ga = [parse_wkb(bytes(w)) for w in ua]
+        gb = [parse_wkb(bytes(w)) for w in ub]
+        cache: dict[tuple[int, int], bool] = {}
+        out = np.zeros(len(a), dtype=bool)
+        for i in range(len(a)):
+            ia, ib = ca[i], cb[i]
+            if ia < 0 or ib < 0:
+                continue
+            key = (ia, ib)
+            v = cache.get(key)
+            if v is None:
+                v = geom_intersects(ga[ia], gb[ib])
+                cache[key] = v
+            out[i] = v
+        return pd.Series(out)
+
     @pandas_udf(T.DoubleType())
     def st_area_u(s: pd.Series) -> pd.Series:
         area, _, _ = _measures_batch(s)
@@ -513,7 +540,7 @@ def _lazy_udfs():
         st_geometrytype=st_geometrytype_u, st_typecode=st_typecode_u,
         st_isempty=st_isempty_u, st_envelope=st_envelope_u,
         st_pointz=st_pointz_u, st_z=st_z_u, st_dims=st_dims_u,
-        st_distance=st_distance_u)
+        st_distance=st_distance_u, st_intersects=st_intersects_u)
     return _UDF_CACHE
 
 
@@ -590,6 +617,12 @@ def st_aswkb(c):
 
 def st_distance(a, b):
     return _lazy_udfs()["st_distance"](a, b)
+
+
+def st_intersects(a, b):
+    """Exact geometry-geometry intersection predicate (closed
+    semantics) over two WKB columns."""
+    return _lazy_udfs()["st_intersects"](a, b)
 
 
 def make_st_contains(rings: list[np.ndarray]):

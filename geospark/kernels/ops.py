@@ -153,6 +153,185 @@ def geom_area(g) -> float:
     return 0.0
 
 
+def _orient(ax, ay, bx, by, cx, cy):
+    """Sign of the cross product (b-a) x (c-a) — broadcastable."""
+    return (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+
+
+def segments_intersect_any(a: np.ndarray, b: np.ndarray) -> bool:
+    """True if ANY segment of polyline ``a`` intersects ANY segment of
+    polyline ``b`` (proper crossings, endpoint touches, and collinear
+    overlaps all count — closed ST_Intersects semantics). Vectorized
+    E_a x E_b orientation tests; exact for all configurations where the
+    orientation signs are exact (+,-,* IEEE arithmetic)."""
+    if a.shape[0] < 2 or b.shape[0] < 2:
+        return False
+    ax1, ay1 = a[:-1, 0][:, None], a[:-1, 1][:, None]
+    ax2, ay2 = a[1:, 0][:, None], a[1:, 1][:, None]
+    bx1, by1 = b[:-1, 0][None, :], b[:-1, 1][None, :]
+    bx2, by2 = b[1:, 0][None, :], b[1:, 1][None, :]
+    d1 = _orient(bx1, by1, bx2, by2, ax1, ay1)
+    d2 = _orient(bx1, by1, bx2, by2, ax2, ay2)
+    d3 = _orient(ax1, ay1, ax2, ay2, bx1, by1)
+    d4 = _orient(ax1, ay1, ax2, ay2, bx2, by2)
+    proper = (((d1 > 0) & (d2 < 0)) | ((d1 < 0) & (d2 > 0))) \
+        & (((d3 > 0) & (d4 < 0)) | ((d3 < 0) & (d4 > 0)))
+    if proper.any():
+        return True
+
+    def on_seg(px, py, qx, qy, rx, ry):
+        # collinearity established by caller; r within bbox of pq
+        return (np.minimum(px, qx) <= rx) & (rx <= np.maximum(px, qx)) \
+            & (np.minimum(py, qy) <= ry) & (ry <= np.maximum(py, qy))
+
+    touch = ((d1 == 0) & on_seg(bx1, by1, bx2, by2, ax1, ay1)) \
+        | ((d2 == 0) & on_seg(bx1, by1, bx2, by2, ax2, ay2)) \
+        | ((d3 == 0) & on_seg(ax1, ay1, ax2, ay2, bx1, by1)) \
+        | ((d4 == 0) & on_seg(ax1, ay1, ax2, ay2, bx2, by2))
+    return bool(touch.any())
+
+
+def point_on_boundary(px: np.ndarray, py: np.ndarray,
+                      rings: list[np.ndarray]) -> np.ndarray:
+    """True where (px,py) lies ON a ring edge (collinear + within the
+    edge bbox) — the closed-boundary complement to the half-open
+    even-odd ray cast."""
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    out = np.zeros(px.shape[0], dtype=bool)
+    for ring in rings:
+        if ring.shape[0] < 2:
+            continue
+        x1, y1 = ring[:-1, 0][:, None], ring[:-1, 1][:, None]
+        x2, y2 = ring[1:, 0][:, None], ring[1:, 1][:, None]
+        d = _orient(x1, y1, x2, y2, px[None, :], py[None, :])
+        hit = (d == 0) \
+            & (np.minimum(x1, x2) <= px[None, :]) \
+            & (px[None, :] <= np.maximum(x1, x2)) \
+            & (np.minimum(y1, y2) <= py[None, :]) \
+            & (py[None, :] <= np.maximum(y1, y2))
+        out |= hit.any(axis=0)
+    return out
+
+
+def point_in_rings_closed(px, py, rings: list[np.ndarray]) -> np.ndarray:
+    """Closed containment: even-odd interior OR exactly on the
+    boundary (ST_Intersects point-vs-areal semantics; the half-open
+    ray cast alone drops right/top-edge points)."""
+    return point_in_rings(px, py, rings) | point_on_boundary(px, py, rings)
+
+
+def polys_intersect(pgs_a: list[list[np.ndarray]],
+                    pgs_b: list[list[np.ndarray]]) -> bool:
+    """Exact areal-areal intersection test (closed semantics: shared
+    boundary counts). Each argument is a list of polygons, each a list
+    of closed rings (exterior first). True iff:
+      * any vertex of one lies inside (even-odd, holes honored) or on
+        the boundary of the other, or
+      * any pair of ring edges intersects (covers all crossing
+        configurations with no contained vertex).
+    Cost: O(E_a * E_b) vectorized orientation tests per polygon pair —
+    the refine step AFTER cell-cover candidate pruning, so E_a/E_b are
+    per-feature edge counts, not table sizes."""
+    for ra in pgs_a:
+        for rb in pgs_b:
+            va = ra[0]
+            vb = rb[0]
+            if point_in_rings_closed(va[:, 0], va[:, 1], rb).any():
+                return True
+            if point_in_rings_closed(vb[:, 0], vb[:, 1], ra).any():
+                return True
+            for ring_a in ra:
+                for ring_b in rb:
+                    if segments_intersect_any(ring_a[:, :2],
+                                              ring_b[:, :2]):
+                        return True
+    return False
+
+
+def _decompose(g, pts: list, lines: list, areals: list) -> None:
+    """Split any Geom into point coords, polylines, and areal
+    ring-lists (collections recurse)."""
+    if g is None or g.is_empty:
+        return
+    t = g.type_id
+    if t == 1:
+        pts.append(g.coords[:, :2])
+    elif t == 2:
+        lines.append(g.coords[:, :2])
+    elif t == 3:
+        areals.append([r[:, :2] for r in g.rings])
+    else:
+        for p in g.parts:
+            _decompose(p, pts, lines, areals)
+
+
+def geom_intersects(ga, gb) -> bool:
+    """Exact ST_Intersects for any pair of geometry types (closed
+    semantics: shared boundaries/vertices count; null or EMPTY
+    intersects nothing). Engine surface the RULE tier adds on top of
+    the §2.1 kernels — the reference has no predicates at all
+    (geoarrow_geos.c is pure encode/decode).
+
+    Dispatch: envelope reject, then decompose both sides into
+    point/line/areal components and test every cross-dimension pair
+    with the vectorized primitives above."""
+    if ga is None or gb is None or ga.is_empty or gb.is_empty:
+        return False
+    ea, eb = geom_envelope(ga), geom_envelope(gb)
+    if not (ea[0] <= eb[2] and eb[0] <= ea[2]
+            and ea[1] <= eb[3] and eb[1] <= ea[3]):
+        return False
+    pa: list = []
+    la: list = []
+    aa: list = []
+    pb_: list = []
+    lb: list = []
+    ab: list = []
+    _decompose(ga, pa, la, aa)
+    _decompose(gb, pb_, lb, ab)
+    for A in aa:
+        for B in ab:
+            if polys_intersect([A], [B]):
+                return True
+    for P in pa:
+        for B in ab:
+            if point_in_rings_closed(P[:, 0], P[:, 1], B).any():
+                return True
+        for L in lb:
+            if point_on_boundary(P[:, 0], P[:, 1], [L]).any():
+                return True
+        for Q in pb_:
+            if ((P[:, None, 0] == Q[None, :, 0])
+                    & (P[:, None, 1] == Q[None, :, 1])).any():
+                return True
+    for Q in pb_:
+        for A in aa:
+            if point_in_rings_closed(Q[:, 0], Q[:, 1], A).any():
+                return True
+        for L in la:
+            if point_on_boundary(Q[:, 0], Q[:, 1], [L]).any():
+                return True
+    for L in la:
+        for A in ab:
+            if point_in_rings_closed(L[:, 0], L[:, 1], A).any():
+                return True
+            for ring in A:
+                if segments_intersect_any(L, ring):
+                    return True
+        for M in lb:
+            if segments_intersect_any(L, M):
+                return True
+    for M in lb:
+        for A in aa:
+            if point_in_rings_closed(M[:, 0], M[:, 1], A).any():
+                return True
+            for ring in A:
+                if segments_intersect_any(M, ring):
+                    return True
+    return False
+
+
 def polygon_batch_area_centroid(pb, n: int
                                 ) -> tuple[np.ndarray, np.ndarray,
                                            np.ndarray]:

@@ -440,6 +440,84 @@ def _spatial_join_how(points, matched, how: str):
     raise ValueError(f"how={how!r}")
 
 
+def spatial_join_polygons(left, right, *, res: int | None = None,
+                          l_id: str = "l_id", l_geom: str = "geom_wkb",
+                          r_id: str = "r_id", r_geom: str = "geom_wkb",
+                          how: str = "inner"):
+    """Areal-areal join (parcels x flood zones): which polygons of
+    ``left`` intersect which polygons of ``right``. Closed
+    ST_Intersects semantics (shared boundary counts).
+
+    Plan shape — both sides stay DataFrames end to end:
+      1. cover BOTH sides into cells on executors
+         (distributed_polygon_cover — same machinery as the PIP join,
+         with per-cell full flags and rectangle corners);
+      2. equi-join the covers on cell, dedup to candidate (l, r) pairs
+         (one groupBy keyed by the pair);
+      3. refine tiers: rect x rect pairs = pure-JVM closed interval
+         overlap (exact for axis-aligned rectangles); pairs sharing a
+         cell that is FULL in both polygons are true without any
+         geometry work (cell interior is inside both); the residue
+         joins both geometries by id and runs the exact
+         kernels.ops-backed st_intersects refine.
+    At scale the only shuffles are the cell equi-join and the pair
+    dedup, both equi-keyed; AQE skew-join covers hot cells."""
+    from pyspark.sql import functions as F
+
+    if res is None:
+        res = min(_pick_resolution_distributed(left, l_geom),
+                  _pick_resolution_distributed(right, r_geom))
+    lcov = (distributed_polygon_cover(left, res, l_id, l_geom)
+            .select(l_id, "_cell",
+                    F.col("_full").alias("_lf"),
+                    F.col("_rect").alias("_lr"),
+                    F.col("_bx0").alias("_lx0"),
+                    F.col("_by0").alias("_ly0"),
+                    F.col("_bx1").alias("_lx1"),
+                    F.col("_by1").alias("_ly1")))
+    rcov = (distributed_polygon_cover(right, res, r_id, r_geom)
+            .select(r_id, "_cell",
+                    F.col("_full").alias("_rf"),
+                    F.col("_rect").alias("_rr"),
+                    F.col("_bx0").alias("_rx0"),
+                    F.col("_by0").alias("_ry0"),
+                    F.col("_bx1").alias("_rx1"),
+                    F.col("_by1").alias("_ry1")))
+    pairs = (lcov.join(rcov, "_cell")
+             .groupBy(l_id, r_id)
+             .agg(F.max(F.col("_lf") & F.col("_rf")).alias("_bothfull"),
+                  F.first("_lr").alias("_lr"),
+                  F.first("_rr").alias("_rr"),
+                  F.first("_lx0").alias("_lx0"),
+                  F.first("_ly0").alias("_ly0"),
+                  F.first("_lx1").alias("_lx1"),
+                  F.first("_ly1").alias("_ly1"),
+                  F.first("_rx0").alias("_rx0"),
+                  F.first("_ry0").alias("_ry0"),
+                  F.first("_rx1").alias("_rx1"),
+                  F.first("_ry1").alias("_ry1")))
+    rects = F.col("_lr") & F.col("_rr")
+    # closed interval overlap == exact rect x rect ST_Intersects
+    rect_hit = pairs.filter(rects).filter(
+        (F.col("_lx0") <= F.col("_rx1")) & (F.col("_rx0") <= F.col("_lx1"))
+        & (F.col("_ly0") <= F.col("_ry1"))
+        & (F.col("_ry0") <= F.col("_ly1")))
+    full_hit = pairs.filter(~rects & F.col("_bothfull"))
+    from ..functions.geometry import st_intersects
+    gen = (pairs.filter(~rects & ~F.col("_bothfull"))
+           .join(left.select(l_id, F.col(l_geom).alias("_lg")), l_id)
+           .join(right.select(r_id, F.col(r_geom).alias("_rg")), r_id)
+           .filter(st_intersects(F.col("_lg"), F.col("_rg")))
+           .drop("_lg", "_rg"))
+    matched = (rect_hit.unionByName(full_hit).unionByName(gen)
+               .select(l_id, r_id))
+    if how == "inner":
+        return matched
+    if how in ("left_semi", "left_anti"):
+        return left.join(matched.select(l_id).distinct(), l_id, how)
+    raise ValueError(f"how={how!r}")
+
+
 def bbox_join(points, boxes, res: int, *,
               lat_col: str = "lat", lon_col: str = "lon",
               box_cols: tuple = ("xmin", "ymin", "xmax", "ymax"),

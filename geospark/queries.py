@@ -563,6 +563,50 @@ def q_box_geom_stats(spark, sf_dir):
                     F.round(cen["y"], 6).alias("cy"))
 
 
+# supplier-derived box polygons for the areal-areal join. Edge grids
+# deliberately never align with PART_POLY_SQL's: supplier edges are
+# center(int)+0.25 ± half(2dp) -> 2-decimal values; part edges are
+# int ± (0.505 + 0.3k) -> 3-decimal values ending in 5 — so no pair of
+# boxes can touch exactly and open/closed boundary conventions agree
+SUPP_POLY_SQL = (
+    "SELECT s_suppkey AS supp_box_id, "
+    "CAST((s_suppkey * 11) % 340 AS DOUBLE) - 170.0 + 0.25 AS cx, "
+    "CAST((s_suppkey * 17) % 160 AS DOUBLE) - 80.0 + 0.25 AS cy, "
+    "2.52 + CAST(s_suppkey % 4 AS DOUBLE) * 0.11 AS half FROM supplier")
+
+
+def _supp_box_polys(spark, sf_dir):
+    from pyspark.sql import functions as F
+    from .functions.geometry import st_geomfromtext
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    cx = ((F.col("s_suppkey") * 11) % 340).cast("double") - 170.0 + 0.25
+    cy = ((F.col("s_suppkey") * 17) % 160).cast("double") - 80.0 + 0.25
+    half = 2.52 + (F.col("s_suppkey") % 4).cast("double") * 0.11
+    x0, y0 = (cx - half).cast("string"), (cy - half).cast("string")
+    x1, y1 = (cx + half).cast("string"), (cy + half).cast("string")
+    wkt = F.concat(F.lit("POLYGON (("),
+                   x0, F.lit(" "), y0, F.lit(", "),
+                   x1, F.lit(" "), y0, F.lit(", "),
+                   x1, F.lit(" "), y1, F.lit(", "),
+                   x0, F.lit(" "), y1, F.lit(", "),
+                   x0, F.lit(" "), y0, F.lit("))"))
+    return s.select(F.col("s_suppkey").alias("supp_box_id"),
+                    st_geomfromtext(wkt).alias("geom_wkb"))
+
+
+def q_poly_join(spark, sf_dir):
+    """Areal-areal join: supplier boxes x part boxes through the
+    double-sided distributed covering path (cover both sides ->
+    cell equi-join -> pair dedup -> tiered refine). Boxes make the
+    oracle a closed-form interval-overlap join while the engine runs
+    its general polygon machinery."""
+    from .operators.joins import spatial_join_polygons
+    out = spatial_join_polygons(
+        _supp_box_polys(spark, sf_dir), _part_box_polys(spark, sf_dir),
+        res=RES_COARSE, l_id="supp_box_id", r_id="box_id")
+    return out.select("supp_box_id", "box_id")
+
+
 def q_knn_wrap(spark, sf_dir):
     """kNN with the lon-wrapped metric, query points hugging the
     antimeridian (lon in ±[179, 179.9)) — candidates across the wrap
@@ -732,6 +776,7 @@ QUERIES = {
     "cell_centroids": q_cell_centroids,
     "haversine_pairs": q_haversine_pairs,
     "pip_join_many": q_pip_join_many,
+    "poly_join": q_poly_join,
     "knn_wrap": q_knn_wrap,
     "wkt_roundtrip": q_wkt_roundtrip,
     "geoarrow_roundtrip": q_geoarrow_roundtrip,
@@ -901,6 +946,14 @@ def oracle_sql() -> dict[str, str]:
         f"cx + half AS xmax, cy + half AS ymax FROM ({PART_POLY_SQL})) "
         f"SELECT c_custkey, box_id FROM pts JOIN b ON "
         f"lon >= xmin AND lon <= xmax AND lat >= ymin AND lat <= ymax")
+    out["poly_join"] = (
+        f"WITH l AS (SELECT supp_box_id, cx - half AS lx0, "
+        f"cy - half AS ly0, cx + half AS lx1, cy + half AS ly1 "
+        f"FROM ({SUPP_POLY_SQL})), "
+        f"r AS (SELECT box_id, cx - half AS rx0, cy - half AS ry0, "
+        f"cx + half AS rx1, cy + half AS ry1 FROM ({PART_POLY_SQL})) "
+        f"SELECT supp_box_id, box_id FROM l JOIN r ON "
+        f"lx0 <= rx1 AND rx0 <= lx1 AND ly0 <= ry1 AND ry0 <= ly1")
     out["box_geom_stats"] = (
         f"SELECT box_id, ROUND((2.0 * half) * (2.0 * half), 6) AS area, "
         f"ROUND(cx, 6) AS cx, ROUND(cy, 6) AS cy FROM ({PART_POLY_SQL})")

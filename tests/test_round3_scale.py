@@ -73,3 +73,133 @@ class TestIvfIndex:
         assert "PartitionFilters" in plan
         assert "ArrowEvalPython" not in plan
         assert df.count() == 10
+
+
+class TestGeomIntersects:
+    def _g(self, wkt):
+        from geospark.kernels.geom import parse_wkt
+        return parse_wkt(wkt)
+
+    @pytest.mark.parametrize("a,b,want", [
+        # disjoint
+        ("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))",
+         "POLYGON ((5 5, 7 5, 7 7, 5 7, 5 5))", False),
+        # proper crossing
+        ("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))",
+         "POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))", True),
+        # containment (no edge crossings)
+        ("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))",
+         "POLYGON ((2 2, 4 2, 4 4, 2 4, 2 2))", True),
+        # B entirely inside A's hole -> empty intersection
+        ("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), "
+         "(2 2, 8 2, 8 8, 2 8, 2 2))",
+         "POLYGON ((4 4, 6 4, 6 6, 4 6, 4 4))", False),
+        # B overlaps the hole boundary -> intersects the shell
+        ("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), "
+         "(2 2, 8 2, 8 8, 2 8, 2 2))",
+         "POLYGON ((1 1, 5 1, 5 5, 1 5, 1 1))", True),
+        # shared edge only (closed semantics)
+        ("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))",
+         "POLYGON ((2 0, 4 0, 4 2, 2 2, 2 0))", True),
+        # shared single vertex
+        ("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))",
+         "POLYGON ((2 2, 4 2, 4 4, 2 4, 2 2))", True),
+        # point in polygon / on edge / outside
+        ("POINT (1 1)", "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))", True),
+        ("POINT (2 1)", "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))", True),
+        ("POINT (3 3)", "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))", False),
+        # line crossing polygon with both endpoints outside
+        ("LINESTRING (-1 1, 3 1)",
+         "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))", True),
+        # line entirely inside the hole
+        ("LINESTRING (4.5 4.5, 5.5 5.5)",
+         "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), "
+         "(2 2, 8 2, 8 8, 2 8, 2 2))", False),
+        # line-line crossing / disjoint
+        ("LINESTRING (0 0, 2 2)", "LINESTRING (0 2, 2 0)", True),
+        ("LINESTRING (0 0, 1 0)", "LINESTRING (0 1, 1 1)", False),
+        # point-point
+        ("POINT (1 1)", "POINT (1 1)", True),
+        ("POINT (1 1)", "POINT (1 2)", False),
+        # multipolygon dispatch
+        ("MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), "
+         "((5 5, 6 5, 6 6, 5 6, 5 5)))",
+         "POLYGON ((5.5 5.5, 7 5.5, 7 7, 5.5 7, 5.5 5.5))", True),
+        # empties never intersect
+        ("POLYGON EMPTY", "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))", False),
+    ])
+    def test_pairs(self, a, b, want):
+        from geospark.kernels.ops import geom_intersects
+        ga, gb = self._g(a), self._g(b)
+        assert geom_intersects(ga, gb) is want
+        assert geom_intersects(gb, ga) is want  # symmetric
+
+
+class TestPolyJoin:
+    def test_brute_force_parity_random_triangles(self, spark):
+        from geospark.kernels.geom import parse_wkt
+        from geospark.kernels.ops import geom_intersects
+        from geospark.kernels.wkb import parse_wkb, write_wkb
+        from geospark.operators.joins import spatial_join_polygons
+        rng = np.random.default_rng(17)
+
+        def tri_rows(n, seed_off):
+            rows = []
+            for i in range(n):
+                cx = float(rng.uniform(-150, 150))
+                cy = float(rng.uniform(-70, 70))
+                p = rng.uniform(-3, 3, (3, 2)) + np.array([cx, cy])
+                ring = np.vstack([p, p[:1]])
+                body = ", ".join(f"{a!r} {b!r}" for a, b in ring)
+                rows.append((i + seed_off,
+                             write_wkb(parse_wkt(f"POLYGON (({body}))"))))
+            return rows
+
+        lrows = tri_rows(40, 0)
+        rrows = tri_rows(40, 1000)
+        l = spark.createDataFrame(lrows, "l_id long, geom_wkb binary")
+        r = spark.createDataFrame(rrows, "r_id long, geom_wkb binary")
+        got = {(row.l_id, row.r_id) for row in
+               spatial_join_polygons(l, r, res=5).collect()}
+        want = set()
+        for lid, lw in lrows:
+            gl = parse_wkb(lw)
+            for rid, rw in rrows:
+                if geom_intersects(gl, parse_wkb(rw)):
+                    want.add((lid, rid))
+        assert got == want and len(want) > 0
+
+    def test_rect_fast_path_equals_general(self, spark):
+        """Force the general refine (degenerate 6-point 'rects' evade
+        _rect_of) and compare to the rect fast path on the same boxes."""
+        from pyspark.sql import functions as F
+        from geospark.functions.geometry import st_geomfromtext
+        from geospark.operators.joins import spatial_join_polygons
+
+        def boxes(n, off, extra_pt):
+            cx = ((F.col("id") * 7) % 200).cast("double") - 100.0
+            cy = ((F.col("id") * 11) % 120).cast("double") - 60.0
+            h = F.lit(1.75)
+            x0, y0 = (cx - h).cast("string"), (cy - h).cast("string")
+            x1, y1 = (cx + h).cast("string"), (cy + h).cast("string")
+            xm = cx.cast("string")
+            parts = [F.lit("POLYGON (("), x0, F.lit(" "), y0, F.lit(", ")]
+            if extra_pt:  # extra collinear vertex: same shape, 6 rows
+                parts += [xm, F.lit(" "), y0, F.lit(", ")]
+            parts += [x1, F.lit(" "), y0, F.lit(", "),
+                      x1, F.lit(" "), y1, F.lit(", "),
+                      x0, F.lit(" "), y1, F.lit(", "),
+                      x0, F.lit(" "), y0, F.lit("))")]
+            return spark.range(n).select(
+                (F.col("id") + off).alias(f"{'l' if off == 0 else 'r'}_id"),
+                st_geomfromtext(F.concat(*parts)).alias("geom_wkb"))
+
+        l_rect = boxes(60, 0, False)
+        r_rect = boxes(60, 7, False)
+        l_gen = boxes(60, 0, True)
+        r_gen = boxes(60, 7, True)
+        fast = {(x.l_id, x.r_id) for x in
+                spatial_join_polygons(l_rect, r_rect, res=5).collect()}
+        gen = {(x.l_id, x.r_id) for x in
+               spatial_join_polygons(l_gen, r_gen, res=5).collect()}
+        assert fast == gen and len(fast) > 0
