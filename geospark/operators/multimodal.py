@@ -6,12 +6,14 @@ The container has no image/audio libs (sandbox constraint), so the
 codec boundary is explicit:
   * REAL and tested: the Spark-side plumbing (schemas, mapInPandas
     batch shapes, header metadata, null handling) AND the lib-free
-    codecs — 24-bit BMP and PCM16 WAV decode in pure NumPy
-    (``decode_bmp``/``decode_wav``), with feature extraction over the
-    decoded pixels/samples (``image_features``/``audio_features``);
-  * STUBBED: compressed formats (JPEG/PNG/MP3/H.264) — those need
-    codec libraries; ``decode_image`` raises NotImplementedError for
-    them unless the deterministic fake codec is chosen.
+    codecs — 24-bit BMP, 8-bit PNG (stdlib zlib inflate + NumPy
+    scanline unfiltering, all five filter types) and PCM16 WAV
+    (``decode_bmp``/``decode_png``/``decode_wav``), with feature
+    extraction over the decoded pixels/samples
+    (``image_features``/``audio_features``);
+  * STUBBED: formats that genuinely need codec libraries (JPEG, MP3,
+    H.264) — ``decode_image`` raises NotImplementedError for them
+    unless the deterministic fake codec is chosen.
 
 Fake container format (self-describing, 16-byte header, used by the
 synthesizer and tests):
@@ -90,15 +92,17 @@ def parse_meta_batch(assets: pd.Series) -> pd.DataFrame:
 
 
 def decode_image(asset: bytes, *, allow_fake: bool = False) -> np.ndarray:
-    """Image decode. REAL for BMP (24-bit uncompressed — header+payload
-    decodable in pure NumPy, no codec lib needed); compressed formats
-    (JPEG/PNG) still need a library absent from this container. The
-    GSMM fake codec remains for plumbing tests."""
+    """Image decode. REAL for BMP (24-bit uncompressed) and PNG
+    (8-bit, stdlib zlib + NumPy unfilter — see decode_png); JPEG still
+    needs a codec library absent from this container. The GSMM fake
+    codec remains for plumbing tests."""
     if asset[:2] == b"BM":
         return decode_bmp(asset)
+    if asset[:8] == PNG_SIG:
+        return decode_png(asset)
     if not allow_fake:
         raise NotImplementedError(
-            "only BMP decodes without an image library in this "
+            "only BMP and PNG decode without an image library in this "
             "container; pass allow_fake=True for the deterministic stub")
     meta = parse_meta_batch(pd.Series([asset])).iloc[0]
     if not meta.valid or meta.kind != KIND_IMAGE:
@@ -154,6 +158,113 @@ def decode_bmp(b: bytes) -> np.ndarray:
     return rows[:, :, ::-1].copy()  # BGR -> RGB
 
 
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, RGB, gray+A, RGBA
+
+
+def make_png(pixels: np.ndarray) -> bytes:
+    """(h, w) gray / (h, w, 3) RGB / (h, w, 4) RGBA uint8 -> PNG bytes
+    (8-bit, filter 0 per scanline, no interlace). stdlib zlib only."""
+    import struct
+    import zlib
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, c = px.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    raw = np.zeros((h, 1 + w * c), dtype=np.uint8)
+    raw[:, 1:] = px.reshape(h, w * c)
+    idat = zlib.compress(raw.tobytes(), 6)
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat)
+            + chunk(b"IEND", b""))
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def decode_png(b: bytes) -> np.ndarray:
+    """PNG -> (h, w, channels) uint8. Lib-free: stdlib zlib inflate +
+    NumPy per-scanline unfiltering (all five filter types; Sub/Up are
+    fully vectorized, Average/Paeth walk pixels only on rows that use
+    them). 8-bit depth, no interlace — the shapes a data pipeline
+    writes itself; JPEG remains the genuine library boundary."""
+    import struct
+    import zlib
+    if b[:8] != PNG_SIG:
+        raise ValueError("not a PNG")
+    pos = 8
+    w = h = None
+    ctype = depth = interlace = None
+    idat = bytearray()
+    while pos + 8 <= len(b):
+        (ln,) = struct.unpack_from(">I", b, pos)
+        tag = b[pos + 4:pos + 8]
+        body = b[pos + 8:pos + 8 + ln]
+        if tag == b"IHDR":
+            w, h, depth, ctype, _, _, interlace = \
+                struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None or ctype not in _PNG_CHANNELS:
+        raise ValueError("bad PNG header")
+    if depth != 8 or interlace != 0:
+        raise NotImplementedError(
+            f"only 8-bit non-interlaced PNG (depth={depth}, "
+            f"interlace={interlace})")
+    c = _PNG_CHANNELS[ctype]
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    stride = 1 + w * c
+    if raw.size != h * stride:
+        raise ValueError("PNG scanline size mismatch")
+    raw = raw.reshape(h, stride)
+    filters = raw[:, 0]
+    out = np.zeros((h, w * c), dtype=np.uint8)
+    prev = np.zeros(w * c, dtype=np.uint8)
+    for y in range(h):
+        row = raw[y, 1:].copy()
+        f = filters[y]
+        if f == 0:
+            rec = row
+        elif f == 1:  # Sub: wrap-add accumulate per channel column
+            rec = np.add.accumulate(
+                row.reshape(w, c), axis=0, dtype=np.uint8).reshape(-1)
+        elif f == 2:  # Up
+            rec = row + prev
+        elif f == 3:  # Average
+            rec = row
+            for i in range(w * c):
+                a = int(rec[i - c]) if i >= c else 0
+                rec[i] = (int(row[i]) + ((a + int(prev[i])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            rec = row
+            for i in range(w * c):
+                a = int(rec[i - c]) if i >= c else 0
+                cc = int(prev[i - c]) if i >= c else 0
+                rec[i] = (int(row[i]) + _paeth(a, int(prev[i]), cc)) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter {f}")
+        out[y] = rec
+        prev = rec
+    px = out.reshape(h, w, c)
+    return px[:, :, 0] if c == 1 else px
+
+
 def make_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
     """int16 mono samples -> RIFF/WAVE PCM bytes."""
     import struct
@@ -198,19 +309,29 @@ def decode_audio(asset: bytes) -> tuple[np.ndarray, int]:
 
 def image_features(df, asset_col: str = "asset",
                    id_col: str = "asset_id"):
-    """Feature extraction over REAL decoded pixels (BMP path): per-image
-    mean/std/luma-histogram(8) -> (asset_id, features array<double>).
-    mapInPandas batches; non-BMP rows are skipped (the coverage drop is
-    visible as missing ids, never wrong values)."""
+    """Feature extraction over REAL decoded pixels (BMP + PNG paths):
+    per-image mean/std/luma-histogram(8) -> (asset_id, features
+    array<double>). mapInPandas batches; undecodable rows are skipped
+    (the coverage drop is visible as missing ids, never wrong
+    values)."""
     schema = f"{id_col} long, features array<double>"
 
     def fn(it):
         for pdf in it:
             ids, feats = [], []
             for aid, b in zip(pdf[id_col], pdf[asset_col]):
-                if b is None or bytes(b[:2]) != b"BM":
+                if b is None:
                     continue
-                px = decode_bmp(bytes(b)).astype(np.float64)
+                hb = bytes(b[:8])
+                if hb[:2] == b"BM":
+                    px = decode_bmp(bytes(b)).astype(np.float64)
+                elif hb == PNG_SIG:
+                    px = decode_png(bytes(b)).astype(np.float64)
+                    if px.ndim == 2:
+                        px = px[:, :, None]
+                    px = px[:, :, :3]
+                else:
+                    continue
                 luma = px.mean(axis=2)
                 hist = np.histogram(luma, bins=8, range=(0, 256))[0]
                 tot = hist.sum()

@@ -645,6 +645,47 @@ def q_wkt_roundtrip(spark, sf_dir):
                     st_isempty(wkb).alias("is_empty"))
 
 
+def q_wkt_poly_roundtrip(spark, sf_dir):
+    """General (non-point) writer under oracle: integer-coordinate box
+    POLYGONs and two-part MULTIPOLYGONs composed as WKT text, parsed to
+    WKB (general reader), formatted back (general writer), measured
+    (batch shoelace) — exact string + exact integer-area compare
+    against the oracle's directly-composed text. Round-2 gap: only
+    POINT WKT was oracle-pinned; goldens covered the rest."""
+    from pyspark.sql import functions as F
+    from .functions.geometry import (st_area, st_astext, st_geometrytype,
+                                     st_geomfromtext, st_isempty)
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    cx = ((F.col("p_partkey") * 3) % 300 - 150).cast("long")
+    cy = ((F.col("p_partkey") * 7) % 150 - 75).cast("long")
+    h = (1 + F.col("p_size") % 3).cast("long")
+
+    def box_body(x0, y0, x1, y1):
+        s = [c.cast("string") for c in (x0, y0, x1, y1)]
+        return F.concat(
+            s[0], F.lit(" "), s[1], F.lit(", "),
+            s[2], F.lit(" "), s[1], F.lit(", "),
+            s[2], F.lit(" "), s[3], F.lit(", "),
+            s[0], F.lit(" "), s[3], F.lit(", "),
+            s[0], F.lit(" "), s[1])
+
+    b1 = box_body(cx - h, cy - h, cx + h, cy + h)
+    b2 = box_body(cx - h + 400, cy - h, cx + h + 400, cy + h)
+    poly_wkt = F.concat(F.lit("POLYGON (("), b1, F.lit("))"))
+    mpoly_wkt = F.concat(F.lit("MULTIPOLYGON ((("), b1,
+                         F.lit(")), (("), b2, F.lit(")))"))
+    gpoly = st_geomfromtext(poly_wkt)
+    gmpoly = st_geomfromtext(mpoly_wkt)
+    return p.select(
+        "p_partkey",
+        st_astext(gpoly).alias("poly_wkt"),
+        st_astext(gmpoly).alias("mpoly_wkt"),
+        st_geometrytype(gmpoly).alias("gtype"),
+        st_isempty(gpoly).alias("is_empty"),
+        F.round(st_area(gpoly), 6).alias("poly_area"),
+        F.round(st_area(gmpoly), 6).alias("mpoly_area"))
+
+
 def q_geoarrow_roundtrip(spark, sf_dir):
     """EP1+EP2 at DataFrame scale: WKB -> native GeoArrow (separate
     coords, mapInArrow) -> WKB -> st_x/st_y. Coordinates must survive
@@ -779,6 +820,7 @@ QUERIES = {
     "poly_join": q_poly_join,
     "knn_wrap": q_knn_wrap,
     "wkt_roundtrip": q_wkt_roundtrip,
+    "wkt_poly_roundtrip": q_wkt_poly_roundtrip,
     "geoarrow_roundtrip": q_geoarrow_roundtrip,
     "st_zm": q_st_zm,
     "st_distance": q_st_distance,
@@ -977,6 +1019,32 @@ def oracle_sql() -> dict[str, str]:
         "CAST((c_custkey * 7) % 360 - 180 AS VARCHAR) || ' ' || "
         "CAST(c_custkey % 180 - 90 AS VARCHAR) || ')' AS wkt, "
         "'POINT' AS gtype, FALSE AS is_empty FROM customer")
+    _pw = ("CAST(x0 AS VARCHAR) || ' ' || CAST(y0 AS VARCHAR) || ', ' || "
+           "CAST(x1 AS VARCHAR) || ' ' || CAST(y0 AS VARCHAR) || ', ' || "
+           "CAST(x1 AS VARCHAR) || ' ' || CAST(y1 AS VARCHAR) || ', ' || "
+           "CAST(x0 AS VARCHAR) || ' ' || CAST(y1 AS VARCHAR) || ', ' || "
+           "CAST(x0 AS VARCHAR) || ' ' || CAST(y0 AS VARCHAR)")
+    _pw2 = _pw.replace("x0", "x2").replace("x1", "x3")
+    out["wkt_poly_roundtrip"] = (
+        "WITH b AS (SELECT p_partkey, "
+        "CAST((p_partkey * 3) % 300 - 150 - (1 + p_size % 3) AS BIGINT) "
+        "AS x0, "
+        "CAST((p_partkey * 7) % 150 - 75 - (1 + p_size % 3) AS BIGINT) "
+        "AS y0, "
+        "CAST((p_partkey * 3) % 300 - 150 + (1 + p_size % 3) AS BIGINT) "
+        "AS x1, "
+        "CAST((p_partkey * 7) % 150 - 75 + (1 + p_size % 3) AS BIGINT) "
+        "AS y1, "
+        "CAST(1 + p_size % 3 AS BIGINT) AS h FROM part) "
+        "SELECT p_partkey, "
+        f"'POLYGON ((' || {_pw} || '))' AS poly_wkt, "
+        f"'MULTIPOLYGON (((' || {_pw} || ')), ((' || {_pw2} || ')))' "
+        "AS mpoly_wkt, "
+        "'MULTIPOLYGON' AS gtype, FALSE AS is_empty, "
+        "ROUND(CAST(4 * h * h AS DOUBLE), 6) AS poly_area, "
+        "ROUND(CAST(8 * h * h AS DOUBLE), 6) AS mpoly_area "
+        "FROM (SELECT p_partkey, x0, y0, x1, y1, h, "
+        "x0 + 400 AS x2, x1 + 400 AS x3 FROM b)")
     out["geoarrow_roundtrip"] = (
         f"SELECT c_custkey, lon AS x, lat AS y FROM ({_CUST_PTS_CTE})")
     # IVF centroids for the oracle twin: re-derived from the comparator
