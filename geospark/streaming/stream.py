@@ -75,9 +75,11 @@ def stream_sessionize(stream_df, *, user_col: str = "user_id",
 
     Contract (documented, tested): within-user event-time order must be
     non-decreasing across microbatches (true for replay/append sources
-    like WARC dumps; for out-of-order streams put a watermarked sort in
-    front). State per user = (session_start_us, last_us, n_events) —
-    O(active users), independent of history length."""
+    like WARC dumps). For arbitrary out-of-order streams use
+    :func:`stream_sessionize_ooo`, which buffers against the watermark
+    and has no ordering contract. State per user here =
+    (session_start_us, last_us, n_events) — O(active users),
+    independent of history length."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -116,6 +118,93 @@ def stream_sessionize(stream_df, *, user_col: str = "user_id",
                                  "n_events long"),
                 outputMode="append",
                 timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def stream_sessionize_ooo(stream_df, *, user_col: str = "user_id",
+                          ts_col: str = "ts", id_col: str = "event_id",
+                          gap_s: int = 1800, watermark: str = "1 hour"):
+    """Out-of-order-tolerant streaming sessionization: a
+    watermark-buffered reorder in front of the gap logic removes
+    ``stream_sessionize``'s in-order-per-user contract.
+
+    Per user the state holds (a) a buffer of events not yet final —
+    event time still ahead of the watermark, so an earlier event could
+    in principle arrive — and (b) the open session. Each invocation:
+    append new events to the buffer, then drain every buffered event
+    with ts <= watermark in (ts, id) order through the same gap rules
+    as the batch/in-order paths; sessions also CLOSE when the
+    watermark passes their end by more than the gap (no newer event
+    needed). An event-time timeout re-invokes idle users as the
+    watermark advances, so buffers drain without new data.
+
+    Scale: state per user = open session + O(events inside the
+    watermark delay) buffer — bounded by the disorder window, not by
+    history. Events later than the watermark delay are dropped by
+    Spark's pre-state watermark filter (standard late-data policy)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_us = gap_s * 1_000_000
+    out_schema = (f"{user_col} long, session_start_us long, "
+                  f"n_events long, dur_s double")
+    state_schema = ("buf_us array<long>, buf_id array<long>, "
+                    "start long, last long, n long")
+
+    def fn(key, pdfs, state):
+        (uid,) = key
+        if state.exists:
+            buf_us, buf_id, start, last, n = state.get
+            buf_us = list(buf_us) if buf_us is not None else []
+            buf_id = list(buf_id) if buf_id is not None else []
+        else:
+            buf_us, buf_id, start, last, n = [], [], None, None, 0
+        for pdf in pdfs:
+            for t, eid in zip(pdf[ts_col], pdf[id_col]):
+                buf_us.append(int(pd.Timestamp(t).value // 1000))
+                buf_id.append(int(eid))
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        order = sorted(range(len(buf_us)),
+                       key=lambda i: (buf_us[i], buf_id[i]))
+        closed = []
+        keep_us: list[int] = []
+        keep_id: list[int] = []
+        for i in order:
+            us = buf_us[i]
+            if us > wm_us:  # not final yet — an earlier event may come
+                keep_us.append(us)
+                keep_id.append(buf_id[i])
+                continue
+            if last is not None and us - last > gap_us:
+                closed.append((uid, start, n,
+                               round((last - start) / 1e6, 3)))
+                start, n = None, 0
+            if start is None:
+                start = us
+            last = us
+            n += 1
+        # watermark alone can close the open session: nothing at or
+        # before last + gap can still arrive
+        if last is not None and wm_us - last > gap_us:
+            closed.append((uid, start, n, round((last - start) / 1e6, 3)))
+            start, last, n = None, None, 0
+        if keep_us or last is not None:
+            state.update((keep_us, keep_id, start, last, n))
+            # re-invoke when the watermark moves, to drain the buffer /
+            # close by gap without requiring new data for this user
+            state.setTimeoutTimestamp(wm_us // 1000 + 1)
+        else:
+            state.remove()
+        if closed:
+            yield pd.DataFrame(closed, columns=[
+                user_col, "session_start_us", "n_events", "dur_s"])
+
+    return (stream_df.withWatermark(ts_col, watermark)
+            .groupBy(user_col)
+            .applyInPandasWithState(
+                fn, outputStructType=out_schema,
+                stateStructType=state_schema,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.EventTimeTimeout))
 
 
 def stream_flagship(spark, src_dir: str, zones_df, out_dir: str,

@@ -283,3 +283,78 @@ class TestPngCodec:
         out = image_features(df).collect()
         assert sorted(r.asset_id for r in out) == list(range(20))
         assert all(len(r.features) == 10 for r in out)
+
+
+def test_stream_sessionize_ooo_shuffled_microbatches(spark, tmp_path):
+    """Out-of-order streaming sessionization: events are randomly
+    SHUFFLED across microbatch files (the configuration the in-order
+    operator's contract forbids); with a watermark covering the
+    disorder, emitted sessions must equal the batch sessionizer's
+    full output once the watermark passes everything."""
+    import datetime as dt
+    from collections import Counter
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from geospark.streaming.stream import stream_sessionize_ooo
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for uid in (1, 2, 3):
+        t = base + dt.timedelta(minutes=uid)
+        for sess in range(3):
+            for _ in range(2 + (uid + sess) % 3):
+                rows.append((eid, t, uid))
+                eid += 1
+                t += dt.timedelta(minutes=5)
+            t += dt.timedelta(minutes=45)
+    rng = np.random.default_rng(23)
+    order = rng.permutation(len(rows))
+    files = [[] for _ in range(4)]
+    for j, i in enumerate(order):  # global shuffle across 4 files
+        files[j % 4].append(rows[i])
+    # two watermark-driver dummies: advance the watermark past all real
+    # events (file 5), then trigger one more batch so timeouts fire and
+    # every buffer drains (file 6)
+    files.append([(10_000, base + dt.timedelta(days=1), 99)])
+    files.append([(10_001, base + dt.timedelta(days=2), 99)])
+    src = str(tmp_path / "ooo_src")
+    # TIMESTAMP (not NTZ): withWatermark requires a zoned event-time
+    # column; session tz is pinned UTC in conftest
+    schema = "event_id long, ts timestamp, user_id long"
+    for i, chunk in enumerate(files):
+        spark.createDataFrame(chunk, schema).coalesce(1) \
+            .write.mode("overwrite" if i == 0 else "append").parquet(src)
+
+    sdf = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", 1).parquet(src))
+    out = stream_sessionize_ooo(sdf, watermark="5 hours")
+    q = (out.writeStream.format("memory").queryName("sess_ooo")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck_ooo"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = Counter((r.user_id, r.session_start_us, r.n_events, r.dur_s)
+                  for r in spark.sql("SELECT * FROM sess_ooo").collect()
+                  if r.user_id < 99)  # drop the watermark-driver user
+
+    # batch reference over the real events: ALL sessions close (the
+    # watermark passed everything), so no minus-open-session carve-out
+    e = spark.read.parquet(src).filter(F.col("user_id") < 99)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    abs_us = F.expr("timestampdiff(MICROSECOND, "
+                    "TIMESTAMP '1970-01-01 00:00:00', ts)")
+    prev = F.lag(abs_us).over(w)
+    nf = F.when(prev.isNull() | (abs_us - prev > 1800 * 1_000_000), 1) \
+        .otherwise(0)
+    sess = (e.withColumn("_sess", F.sum(nf).over(w))
+            .withColumn("_us", abs_us)
+            .groupBy("user_id", "_sess")
+            .agg(F.min("_us").alias("session_start_us"),
+                 F.count(F.lit(1)).alias("n_events"),
+                 F.round((F.max("_us") - F.min("_us")) / 1e6, 3)
+                 .alias("dur_s")))
+    exp = Counter((r.user_id, r.session_start_us, r.n_events, r.dur_s)
+                  for r in sess.collect())
+    assert got == exp
+    assert sum(got.values()) == 9  # 3 users x 3 sessions, all closed
