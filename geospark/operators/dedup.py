@@ -237,6 +237,93 @@ WHERE ROUND(CAST(ni AS DOUBLE) / (na + nb - ni), 6) >= {threshold}
 
 
 # ---------------------------------------------------------------------------
+# passage-level (chunk) dedup: boilerplate detection
+# ---------------------------------------------------------------------------
+
+def chunks_col(text_col: str, k: int):
+    """Column expr: non-overlapping k-word passages (lowercased) — the
+    passage unit for cross-document boilerplate detection. Pure
+    built-ins, same slice trick as shingles_col."""
+    from pyspark.sql import functions as F
+    w = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RX), 0)
+    n_chunks = F.floor(F.size(w) / k).cast("int")
+    return F.when(n_chunks >= 1, F.transform(
+        F.sequence(F.lit(1), n_chunks),
+        lambda i: F.concat_ws(" ", F.slice(w, (i - 1) * k + 1, k))
+    )).otherwise(F.array().cast("array<string>"))
+
+
+def chunks_sql(text_expr: str, k: int) -> str:
+    words = f"regexp_extract_all(lower({text_expr}), '{TOKEN_RX}')"
+    return (f"list_transform(generate_series(1, "
+            f"CAST(floor(len({words}) / {k}) AS BIGINT)), "
+            f"i -> array_to_string({words}"
+            f"[(i - 1) * {k} + 1:(i - 1) * {k} + {k}], ' '))")
+
+
+def boilerplate_stats(df, text_col: str = "text", id_col: str = "doc_id",
+                      k: int = 8):
+    """Cross-document passage dedup -> per-doc boilerplate signal:
+    (doc_id, n_chunks, n_dup_chunks, boiler_frac) where a chunk is
+    'dup' if the identical k-word passage occurs in MORE THAN ONE
+    distinct document — the curation feature that catches shared
+    headers/footers/templated text that document-level dedup misses.
+
+    Shape at scale: explode chunks (map-side), one groupBy keyed by
+    chunk md5 (uniform) to count distinct docs per passage, join back,
+    one per-doc aggregate — all codegen'd built-ins, no UDF."""
+    from pyspark.sql import functions as F
+    ch = (df.select(F.col(id_col),
+                    F.explode(chunks_col(text_col, k)).alias("_c"))
+          .select(id_col, F.md5(F.col("_c")).alias("_h"))
+          .distinct())
+    df_counts = ch.groupBy("_h").agg(
+        F.countDistinct(id_col).alias("_nd"))
+    per_doc = (ch.join(df_counts, "_h")
+               .groupBy(id_col)
+               .agg(F.count(F.lit(1)).alias("n_chunks"),
+                    F.sum(F.when(F.col("_nd") > 1, 1).otherwise(0))
+                    .alias("n_dup_chunks")))
+    # docs too short to have any chunk still appear, with zeros
+    base = df.select(F.col(id_col)).distinct()
+    return (base.join(per_doc, id_col, "left")
+            .select(id_col,
+                    F.coalesce("n_chunks", F.lit(0)).cast("long")
+                    .alias("n_chunks"),
+                    F.coalesce("n_dup_chunks", F.lit(0)).cast("long")
+                    .alias("n_dup_chunks"),
+                    F.round(F.coalesce("n_dup_chunks", F.lit(0))
+                            / F.greatest(F.coalesce("n_chunks",
+                                                    F.lit(0)),
+                                         F.lit(1)), 6)
+                    .alias("boiler_frac")))
+
+
+def boilerplate_stats_sql(docs_sql: str, k: int = 8) -> str:
+    """DuckDB twin of boilerplate_stats over ``docs_sql`` (a SELECT
+    producing doc_id, text)."""
+    return f"""
+WITH docs AS ({docs_sql}),
+ch AS (
+  SELECT DISTINCT doc_id, md5(c) AS h
+  FROM (SELECT doc_id, unnest({chunks_sql('text', k)}) AS c FROM docs)
+),
+dc AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM ch GROUP BY h),
+per_doc AS (
+  SELECT ch.doc_id, COUNT(*) AS n_chunks,
+         SUM(CASE WHEN dc.nd > 1 THEN 1 ELSE 0 END) AS n_dup_chunks
+  FROM ch JOIN dc USING (h) GROUP BY ch.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(n_chunks, 0) AS BIGINT) AS n_chunks,
+       CAST(COALESCE(n_dup_chunks, 0) AS BIGINT) AS n_dup_chunks,
+       ROUND(COALESCE(n_dup_chunks, 0)
+             / GREATEST(COALESCE(n_chunks, 0), 1), 6) AS boiler_frac
+FROM (SELECT DISTINCT doc_id FROM docs) d LEFT JOIN per_doc USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
 # duplicate clustering: connected components over near-dup pairs
 # ---------------------------------------------------------------------------
 

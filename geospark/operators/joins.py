@@ -341,8 +341,18 @@ def spatial_join(points, polys_df, *, res: int | None = None,
         # to the refine as a joined column — no driver collect anywhere
         if res is None:
             res = _pick_resolution_distributed(polys_df, geom_col)
+        # materialize the covering ONCE: the matched union references
+        # the cover in three branches (interior / rect / general), and
+        # Spark does not reuse exchanges across Python-bearing subtrees
+        # (measured: 3 MapInPandas executions of the same covering) —
+        # an eager localCheckpoint makes the branches scan the computed
+        # cover instead of re-running the Python covering per branch.
+        # On a cluster use reliable checkpoint() to survive executor
+        # loss; the cover is cells x polygons rows, far smaller than
+        # the geometry table it summarizes.
         cover_df = distributed_polygon_cover(polys_df, res,
-                                             poly_id_col, geom_col)
+                                             poly_id_col, geom_col) \
+            .localCheckpoint(eager=True)
         pts = points.withColumn("_cell",
                                 cell_encode(lat_col, lon_col, res))
         if broadcast_cover is None:
@@ -483,6 +493,8 @@ def spatial_join_polygons(left, right, *, res: int | None = None,
                     F.col("_by0").alias("_ry0"),
                     F.col("_bx1").alias("_rx1"),
                     F.col("_by1").alias("_ry1")))
+    # one groupBy feeds three refine branches: checkpoint the deduped
+    # pair table so the Python coverings run once, not once per branch
     pairs = (lcov.join(rcov, "_cell")
              .groupBy(l_id, r_id)
              .agg(F.max(F.col("_lf") & F.col("_rf")).alias("_bothfull"),
@@ -495,7 +507,8 @@ def spatial_join_polygons(left, right, *, res: int | None = None,
                   F.first("_rx0").alias("_rx0"),
                   F.first("_ry0").alias("_ry0"),
                   F.first("_rx1").alias("_rx1"),
-                  F.first("_ry1").alias("_ry1")))
+                  F.first("_ry1").alias("_ry1"))
+             .localCheckpoint(eager=True))
     rects = F.col("_lr") & F.col("_rr")
     # closed interval overlap == exact rect x rect ST_Intersects
     rect_hit = pairs.filter(rects).filter(
@@ -556,6 +569,54 @@ def bbox_join(points, boxes, res: int, *,
     return out.drop("_cell")
 
 
+def distance_join(left, right, radius_deg: float, *, res: int = 6,
+                  l_id: str = "l_id", r_id: str = "r_id",
+                  l_lat: str = "l_lat", l_lon: str = "l_lon",
+                  r_lat: str = "lat", r_lon: str = "lon"):
+    """Epsilon range join: all (left, right) point pairs within
+    ``radius_deg`` euclidean degrees (squared-distance compare — exact
+    IEEE arithmetic, closed boundary: dist == radius matches).
+
+    Rewrite (the range-join -> equi-join shape of SURVEY §2.2, same as
+    bbox_join): each LEFT point explodes into the cells its radius-box
+    covers via sequence() over x/y cell ranges — pure column
+    expressions, no UDF, no driver collect, both sides can be full
+    tables; equi-join on cell (Catalyst picks broadcast vs shuffle,
+    AQE handles skew); exact squared-distance refine. A right point
+    has exactly one cell, so no pair dedup is needed. Explode factor
+    is (radius/cell)^2-ish — pick ``res`` so the radius spans a few
+    cells."""
+    from pyspark.sql import functions as F
+    n = 1 << res
+
+    def cx(lon):
+        return F.least(F.lit(n - 1).cast("long"), F.greatest(
+            F.lit(0).cast("long"),
+            F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(n))))
+
+    def cy(lat):
+        return F.least(F.lit(n - 1).cast("long"), F.greatest(
+            F.lit(0).cast("long"),
+            F.floor((lat + F.lit(90.0)) / F.lit(180.0) * F.lit(n))))
+
+    r = F.lit(float(radius_deg))
+    lft = (left
+           .withColumn("_x", F.explode(F.sequence(
+               cx(F.col(l_lon) - r), cx(F.col(l_lon) + r))))
+           .withColumn("_y", F.explode(F.sequence(
+               cy(F.col(l_lat) - r), cy(F.col(l_lat) + r))))
+           .withColumn("_cell", F.shiftleft(F.lit(res).cast("long"), 56)
+                       + F.shiftleft(F.col("_y"), res) + F.col("_x"))
+           .drop("_x", "_y"))
+    rgt = right.withColumn("_cell", cell_encode(r_lat, r_lon, res))
+    dlat = F.col(l_lat) - F.col(r_lat)
+    dlon = F.col(l_lon) - F.col(r_lon)
+    sq = dlat * dlat + dlon * dlon
+    return (lft.join(rgt, "_cell")
+            .filter(sq <= r * r)
+            .drop("_cell"))
+
+
 # ---------------------------------------------------------------------------
 # kNN join with candidate-cell expansion
 # ---------------------------------------------------------------------------
@@ -564,7 +625,8 @@ def knn_join(queries, points, k: int, *, res: int = 8,
              query_id_col: str = "query_id", point_id_col: str = "point_id",
              q_lat: str = "q_lat", q_lon: str = "q_lon",
              p_lat: str = "lat", p_lon: str = "lon",
-             max_iters: int = 5, metric: str = "planar"):
+             max_iters: int = 5, metric: str = "planar",
+             debug_plans: list | None = None):
     """Exact k nearest neighbors (squared-degrees metric, id tiebreak)
     per query point.
 
@@ -690,7 +752,12 @@ def knn_join(queries, points, k: int, *, res: int = 8,
         # satisfied rows are final output — materialize them eagerly
         # (localCheckpoint truncates lineage; the set is bounded by the
         # result size) so this iteration's topk/remaining caches can be
-        # dropped immediately instead of accumulating across iterations
+        # dropped immediately instead of accumulating across iterations.
+        # debug_plans captures the PRE-checkpoint frame: the returned
+        # union scans checkpointed RDDs, so plan-shape tests must look
+        # here to see the candidate-join/window structure
+        if debug_plans is not None:
+            debug_plans.append(topk)
         results.append(topk.filter(F.col("_sat")).drop("_sat")
                        .localCheckpoint(eager=True))
         sat_ids = topk.filter(F.col("_sat")).select(query_id_col) \

@@ -375,6 +375,40 @@ def q_curation_filter(spark, sf_dir):
             .select("doc_id", ntok.cast("long").alias("n_tokens")))
 
 
+def q_distance_join(spark, sf_dir):
+    """Epsilon range join (the query shape next to kNN): all
+    supplier-customer point pairs within 2 degrees, via the
+    cell-explode equi-join rewrite with an exact squared-distance
+    refine (closed boundary, IEEE-exact arithmetic both engines)."""
+    from pyspark.sql import functions as F
+    from .operators.joins import distance_join
+    q = _supp_queries(spark, sf_dir)
+    pts = _cust_points(spark, sf_dir)
+    out = distance_join(q, pts, 2.0, res=RES_COARSE,
+                        l_lat="q_lat", l_lon="q_lon")
+    dlat = F.col("q_lat") - F.col("lat")
+    dlon = F.col("q_lon") - F.col("lon")
+    return out.select("query_id", "c_custkey",
+                      (dlat * dlat + dlon * dlon).alias("sq_dist"))
+
+
+def q_boilerplate(spark, sf_dir):
+    """Passage-level (8-word chunk) cross-document dedup signal. The
+    corpus is augmented with prefix-derived docs (first 24 words of
+    each original under a new id) so shared passages EXIST and the
+    dup-chunk counting path is exercised non-vacuously — both engines
+    derive the same augmented corpus."""
+    from pyspark.sql import functions as F
+    from .operators.dedup import TOKEN_RX, boilerplate_stats
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    w = F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RX), 0)
+    derived = d.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(w, 1, 24)).alias("text"))
+    return boilerplate_stats(d.unionByName(derived))
+
+
 def q_dup_clusters(spark, sf_dir):
     """MinHash near-dup pairs -> connected components -> (doc_id,
     cluster_id): the grouping step a dedup pipeline runs after pair
@@ -834,6 +868,8 @@ QUERIES = {
     "curation_filter": q_curation_filter,
     "box_geom_stats": q_box_geom_stats,
     "sessionize": q_sessionize,
+    "distance_join": q_distance_join,
+    "boilerplate": q_boilerplate,
 }
 
 
@@ -1104,6 +1140,22 @@ def oracle_sql() -> dict[str, str]:
         "CAST(length(text) AS DOUBLE) AS nchr FROM documents) "
         "WHERE ntok >= 20 AND ntok <= 5000 "
         "AND ntok / (nchr + 1.0) >= 0.1 AND ntok / (nchr + 1.0) <= 0.25")
+    out["distance_join"] = (
+        f"WITH q AS (SELECT s_suppkey AS query_id, {SUPP_LAT_SQL} AS "
+        f"q_lat, {SUPP_LON_SQL} AS q_lon FROM supplier), "
+        f"c AS ({_CUST_PTS_CTE}) "
+        f"SELECT query_id, c_custkey, "
+        f"(q_lat - lat) * (q_lat - lat) + (q_lon - lon) * (q_lon - lon) "
+        f"AS sq_dist FROM q JOIN c ON "
+        f"(q_lat - lat) * (q_lat - lat) + (q_lon - lon) * (q_lon - lon) "
+        f"<= 4.0")
+    from .operators.dedup import boilerplate_stats_sql
+    _words24 = ("array_to_string(regexp_extract_all(lower(text), "
+                "'[a-z0-9]+')[1:24], ' ')")
+    out["boilerplate"] = boilerplate_stats_sql(
+        "SELECT doc_id, text FROM documents UNION ALL "
+        f"SELECT doc_id + 1000000 AS doc_id, {_words24} AS text "
+        "FROM documents")
     out["simhash"] = simhash_sql()
     out["ngram_pairs"] = ngram_pairs_sql()
     out["embed_near_dup"] = lsh_near_dup_sql(threshold=0.3)

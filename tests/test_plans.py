@@ -98,13 +98,27 @@ def test_minhash_is_python_free(spark):
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
 
 
-def test_knn_candidate_join_shape(spark):
+def _knn_iteration_plans(spark):
+    """kNN now eagerly checkpoints satisfied results (cache hygiene),
+    so the RETURNED frame scans checkpointed RDDs; the candidate-join
+    shape lives in the pre-checkpoint per-iteration frames captured
+    via debug_plans."""
     import geospark.queries as q
-    df = q.q_knn(spark, SF)
-    p = _plan(spark, df)
-    # ranking is windowed per query, join side keyed by cell
-    assert "Window" in p
-    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    from geospark.operators.joins import knn_join
+    pts = q._cust_points(spark, SF) \
+        .withColumnRenamed("c_custkey", "point_id")
+    captured: list = []
+    knn_join(q._supp_queries(spark, SF), pts, 3, res=q.RES_COARSE,
+             debug_plans=captured)
+    assert captured
+    return [_plan(spark, d) for d in captured]
+
+
+def test_knn_candidate_join_shape(spark):
+    for p in _knn_iteration_plans(spark):
+        # ranking is windowed per query, join side keyed by cell
+        assert "Window" in p
+        assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
 
 
 # ---------------------------------------------------------------------------
@@ -134,13 +148,12 @@ def test_knn_plan_has_no_literal_fanout(spark):
     to ONE compact array literal (fine); what must never appear is the
     full-longitude fanout as 2^res explicit values (the round-1 shape:
     explode(array(lit x 64)) at res 6, 4096 at res 12)."""
-    import geospark.queries as q
-    df = q.q_knn(spark, SF)
-    p = _plan(spark, df)
-    # full-lon fanout (0..63 at res 6) must not be materialized
-    assert "[0,1,2,3,4,5,6,7,8,9,10" not in p
-    # ring fanout present, folded to a compact UnsafeArrayData literal
-    assert "Generate" in p and "UnsafeArrayData" in p
+    for p in _knn_iteration_plans(spark):
+        # full-lon fanout (0..63 at res 6) must not be materialized
+        assert "[0,1,2,3,4,5,6,7,8,9,10" not in p
+        # ring fanout present, folded to a compact UnsafeArrayData
+        # literal
+        assert "Generate" in p and "UnsafeArrayData" in p
 
 
 def test_ivf_probe_is_scan_side_filter(spark):

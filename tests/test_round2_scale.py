@@ -133,18 +133,27 @@ def test_distributed_join_matches_driver_path(spark):
 
 def test_distributed_join_plan_has_no_driver_covering(spark):
     """Plan proof: covering runs as MapInPandas (executors), and the
-    polygon side never appears as a driver-materialized local table."""
+    polygon side never appears as a driver-materialized local table.
+    Round-3: the join checkpoints the cover once (the union's three
+    branches otherwise re-ran the Python covering), so the covering
+    plan is asserted on the cover frame itself and the join plan must
+    scan the checkpointed RDD — still zero LocalTableScan."""
     import geospark.queries as q
-    from geospark.operators.joins import spatial_join
+    from geospark.operators.joins import (distributed_polygon_cover,
+                                          spatial_join)
     pts = _pts(spark)
     q.fixed_zones_df(spark).write.mode("overwrite") \
         .parquet("/tmp/geospark_test_zones")
     zdf = pts.sparkSession.read.parquet("/tmp/geospark_test_zones")
+    pc = _plan(pts.sparkSession,
+               distributed_polygon_cover(zdf, 6, "zone_id", "geom_wkb"))
+    assert "MapInPandas" in pc           # covering on executors
     out = spatial_join(pts, zdf, res=6, distributed=True)
     p = _plan(pts.sparkSession, out)
-    assert "MapInPandas" in p            # covering on executors
-    # the polygon source stays a parquet scan, not a collected local
-    # relation (the driver path materializes cover via createDataFrame)
+    # the polygon source stays executor-side: checkpointed-RDD scan,
+    # never a collected local relation (the driver path materializes
+    # cover via createDataFrame)
+    assert "Scan ExistingRDD" in p
     assert p.count("LocalTableScan") == 0
 
 

@@ -358,3 +358,65 @@ def test_stream_sessionize_ooo_shuffled_microbatches(spark, tmp_path):
                   for r in sess.collect())
     assert got == exp
     assert sum(got.values()) == 9  # 3 users x 3 sessions, all closed
+
+
+class TestDistanceJoin:
+    def test_brute_force_parity_with_boundary(self, spark):
+        from geospark.operators.joins import distance_join
+        rng = np.random.default_rng(31)
+        lrows = [(int(i), float(a), float(b)) for i, (a, b) in enumerate(
+            zip(rng.uniform(-80, 80, 80), rng.uniform(-170, 170, 80)))]
+        rrows = [(int(i), float(a), float(b)) for i, (a, b) in enumerate(
+            zip(rng.uniform(-80, 80, 300), rng.uniform(-170, 170, 300)))]
+        # plant an exact-boundary pair: dist == radius must MATCH
+        lrows.append((900, 10.0, 20.0))
+        rrows.append((900, 10.0, 23.0))  # dlon=3.0 == radius
+        l = spark.createDataFrame(
+            lrows, "l_id long, l_lat double, l_lon double")
+        r = spark.createDataFrame(
+            rrows, "r_id long, lat double, lon double")
+        got = {(x.l_id, x.r_id) for x in
+               distance_join(l, r, 3.0, res=6).select("l_id", "r_id")
+               .collect()}
+        want = {(li, ri) for li, la, lo in lrows
+                for ri, ra, ro in rrows
+                if (la - ra) ** 2 + (lo - ro) ** 2 <= 9.0}
+        assert got == want
+        assert (900, 900) in got  # closed boundary
+
+    def test_no_duplicate_pairs(self, spark):
+        from pyspark.sql import functions as F
+        from geospark.operators.joins import distance_join
+        l = spark.createDataFrame([(1, 0.0, 0.0)],
+                                  "l_id long, l_lat double, l_lon double")
+        r = spark.createDataFrame([(7, 0.5, 0.5)],
+                                  "r_id long, lat double, lon double")
+        # radius spanning many cells: right point must appear ONCE
+        out = distance_join(l, r, 20.0, res=6)
+        assert out.count() == 1
+
+
+class TestBoilerplate:
+    def test_hand_computed(self, spark):
+        from geospark.operators.dedup import boilerplate_stats
+        w = " ".join  # 8-word chunks
+        a = w([f"a{i}" for i in range(16)])            # chunks A1 A2
+        b = w([f"a{i}" for i in range(8)] + [f"b{i}" for i in range(8)])
+        c = w([f"c{i}" for i in range(10)])            # chunk C1 only
+        d = "short text"                               # no chunks
+        df = spark.createDataFrame(
+            [(1, a), (2, b), (3, c), (4, d)], "doc_id long, text string")
+        out = {r.doc_id: (r.n_chunks, r.n_dup_chunks, r.boiler_frac)
+               for r in boilerplate_stats(df).collect()}
+        assert out[1] == (2, 1, 0.5)   # A1 shared with doc 2
+        assert out[2] == (2, 1, 0.5)
+        assert out[3] == (1, 0, 0.0)
+        assert out[4] == (0, 0, 0.0)
+
+    def test_repeated_chunk_within_one_doc_not_dup(self, spark):
+        from geospark.operators.dedup import boilerplate_stats
+        t = " ".join([f"x{i}" for i in range(8)] * 2)  # same chunk twice
+        df = spark.createDataFrame([(1, t)], "doc_id long, text string")
+        r = boilerplate_stats(df).collect()[0]
+        # distinct-per-doc chunking: self-repetition is NOT boilerplate
+        assert (r.n_chunks, r.n_dup_chunks) == (1, 0)
