@@ -107,6 +107,33 @@ def bench_queries(spark, sf_dir):
                            distributed=True)
         return out.groupBy("box_id").count().count()
 
+    def poly_join():
+        # areal-areal join: supplier boxes x part boxes, both sides
+        # stored parquet dims (setup untimed), double-sided covering
+        import geospark.queries as gq
+        tag = sf_dir.replace('/', '_')
+        lsrc = f"/tmp/geospark_bench_suppboxes_{tag}"
+        rsrc = f"/tmp/geospark_bench_boxes_{tag}"
+        if not os.path.exists(os.path.join(lsrc, "_SUCCESS")):
+            gq._supp_box_polys(spark, sf_dir).repartition(8) \
+                .write.mode("overwrite").parquet(lsrc)
+        if not os.path.exists(os.path.join(rsrc, "_SUCCESS")):
+            gq._part_box_polys(spark, sf_dir).repartition(8) \
+                .write.mode("overwrite").parquet(rsrc)
+        from geospark.operators.joins import spatial_join_polygons
+        out = spatial_join_polygons(
+            spark.read.parquet(lsrc), spark.read.parquet(rsrc),
+            res=6, l_id="supp_box_id", r_id="box_id")
+        return out.count()
+
+    def distance_join():
+        from geospark.operators.joins import distance_join as dj
+        import geospark.queries as gq
+        q = gq._supp_queries(spark, sf_dir)
+        pts = _lineitem_points(spark, sf_dir)
+        out = dj(q, pts, 2.0, res=6, l_lat="q_lat", l_lon="q_lon")
+        return out.count()
+
     def pages_pipeline():
         # timed path = read stored pages -> extract -> tile agg (the
         # synthesis itself is bench setup, materialized once per size)
@@ -123,6 +150,8 @@ def bench_queries(spark, sf_dir):
         "knn": knn,
         "minhash_docs": minhash_docs,
         "ann_topk": ann_topk,
+        "poly_join": poly_join,
+        "distance_join": distance_join,
         "pages_pipeline": pages_pipeline,
     }
 

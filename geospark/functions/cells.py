@@ -202,3 +202,81 @@ def cell_parent_sql(cell_expr: str, res: int, steps: int = 1) -> str:
     y = f"((({cell_expr}) // {n}) & {mask})"
     return (f"(cast({r2} as bigint) * {1 << _RES_SHIFT} "
             f"+ ({y} // {1 << steps}) * {1 << r2} + ({x} // {1 << steps}))")
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) keys: spatial data layout
+# ---------------------------------------------------------------------------
+# At 100 TB the cheapest spatial filter is the one the scan never reads:
+# sorting/clustering files by an interleaved-bit key gives every parquet
+# row group a tight lat/lon envelope, so min/max row-group statistics
+# prune bbox predicates before any cell or geometry work (the same trick
+# Delta/Iceberg OPTIMIZE ZORDER applies). The key is pure bit math —
+# Column expr, NumPy and SQL twins kept in lockstep like cell ids.
+
+def zorder_np(lat: np.ndarray, lon: np.ndarray, res: int) -> np.ndarray:
+    """NumPy twin: interleave res bits of x (even positions) and y
+    (odd positions)."""
+    x, y = xy_np(lat, lon, res)
+    out = np.zeros(x.shape[0], dtype=np.int64)
+    for i in range(res):
+        out |= ((x >> i) & 1) << (2 * i)
+        out |= ((y >> i) & 1) << (2 * i + 1)
+    return out
+
+
+def zorder_key(lat, lon, res: int = 12):
+    """Column expr: Morton key at ``res`` bits/axis (default 12 ->
+    24-bit key, ~10km cells — enough locality for row-group pruning;
+    the key is a SORT key, not an identity, so coarseness only affects
+    clustering quality). Pure shifts/masks, whole-stage codegen."""
+    F = _F()
+    n = 1 << res
+    lonc = F.col(lon) if isinstance(lon, str) else lon
+    latc = F.col(lat) if isinstance(lat, str) else lat
+    x = F.least(F.lit(n - 1).cast("long"), F.greatest(
+        F.lit(0).cast("long"),
+        F.floor((lonc + F.lit(180.0)) / F.lit(360.0) * F.lit(n))))
+    y = F.least(F.lit(n - 1).cast("long"), F.greatest(
+        F.lit(0).cast("long"),
+        F.floor((latc + F.lit(90.0)) / F.lit(180.0) * F.lit(n))))
+    out = F.lit(0).cast("long")
+    for i in range(res):
+        out = out + F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)),
+                                2 * i)
+        out = out + F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)),
+                                2 * i + 1)
+    return out
+
+
+def zorder_key_sql(lat_expr: str, lon_expr: str, res: int = 12) -> str:
+    """DuckDB twin of zorder_key (same clamp, same interleave)."""
+    n = 1 << res
+    x = (f"least({n - 1}, greatest(0, "
+         f"cast(floor((({lon_expr}) + 180.0) / 360.0 * {n}) as bigint)))")
+    y = (f"least({n - 1}, greatest(0, "
+         f"cast(floor((({lat_expr}) + 90.0) / 180.0 * {n}) as bigint)))")
+    terms = []
+    for i in range(res):
+        terms.append(f"((({x}) // {1 << i}) % 2) * {1 << (2 * i)}")
+        terms.append(f"((({y}) // {1 << i}) % 2) * {1 << (2 * i + 1)}")
+    return "(" + " + ".join(terms) + ")"
+
+
+def write_zordered(df, path: str, *, lat_col: str = "lat",
+                   lon_col: str = "lon", res: int = 12,
+                   n_files: int | None = None):
+    """Write ``df`` as parquet clustered by Morton key:
+    repartitionByRange on the key (range partitioner -> each output
+    file owns a contiguous key span) + sortWithinPartitions (-> row
+    groups inside a file are tight envelopes). After this, any bbox
+    predicate over lat/lon prunes at BOTH the file level (partition
+    range) and the row-group level (column min/max stats)."""
+    F = _F()
+    zk = zorder_key(lat_col, lon_col, res).alias("_zkey")
+    out = df.withColumn("_zkey", zk)
+    parts = [F.col("_zkey")]
+    w = (out.repartitionByRange(*([n_files] if n_files else []), *parts)
+         .sortWithinPartitions("_zkey"))
+    w.write.mode("overwrite").parquet(path)
+    return path

@@ -22,9 +22,42 @@ def _emb_double(col):
     return F.transform(col, lambda x: x.cast("double"))
 
 
-def cosine_col(a, b):
-    """Column expr: cosine similarity of two array<double> columns."""
+def dot_cols_expr(a, b, dim: int):
+    """Codegen'd left-to-right dot product of two array<double>
+    columns with a KNOWN width: unrolled element_at sum. Spark's
+    higher-order aggregate/zip_with lambdas are interpreted per
+    element (10-30x slower than codegen — the round-1 MinHash lesson);
+    64 unrolled terms stay far under the janino 64KB method limit and
+    ride whole-stage codegen. The fold order is the same sequential
+    left-to-right as the DuckDB twin's list_dot_product, so the
+    doubles match bit-for-bit."""
     from pyspark.sql import functions as F
+    out = F.element_at(a, 1) * F.element_at(b, 1)
+    for i in range(2, dim + 1):
+        out = out + F.element_at(a, i) * F.element_at(b, i)
+    return out
+
+
+def dot_lit_expr(col, qv):
+    """Codegen'd dot product of an array<double> column with a literal
+    query vector (same unrolled, sequential shape)."""
+    from pyspark.sql import functions as F
+    out = F.element_at(col, 1) * F.lit(float(qv[0]))
+    for i in range(1, len(qv)):
+        out = out + F.element_at(col, i + 1) * F.lit(float(qv[i]))
+    return out
+
+
+def cosine_col(a, b, dim: int | None = None):
+    """Column expr: cosine similarity of two array<double> columns.
+    Pass ``dim`` (the embedding width) to unroll into whole-stage
+    codegen; without it the interpreted higher-order fold is used."""
+    from pyspark.sql import functions as F
+    if dim is not None:
+        dot = dot_cols_expr(a, b, dim)
+        na = F.sqrt(dot_cols_expr(a, a, dim))
+        nb = F.sqrt(dot_cols_expr(b, b, dim))
+        return dot / (na * nb)
     dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0),
                       lambda acc, x: acc + x)
     na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0),
@@ -147,6 +180,10 @@ def lsh_near_dup(emb_df, *, id_col: str = "vec_id",
             .distinct())
     a = e.select(F.col(id_col).alias("vec_a"), F.col("v").alias("va"))
     b = e.select(F.col(id_col).alias("vec_b"), F.col("v").alias("vb"))
+    # interpreted fold here on purpose: the verify stage runs on the
+    # small candidate-pair set, and the unrolled 3*dim-term cosine
+    # fused into the distinct+join WSCG stage crosses the janino 64KB
+    # method limit (observed), losing codegen for the WHOLE stage
     sim = F.round(cosine_col(F.col("va"), F.col("vb")), 6)
     return (cand.join(a, "vec_a").join(b, "vec_b")
             .select("vec_a", "vec_b", sim.alias("sim"))
@@ -289,17 +326,14 @@ def _cosine_topk(e, query_vec, k: int, id_col: str):
     cosine vs the query literal -> (id, sim rounded 6) top-k."""
     from pyspark.sql import functions as F
     qv = np.asarray([float(x) for x in query_vec], dtype=np.float64)
-    qlit = F.array(*[F.lit(float(x)) for x in qv])
     # query norm accumulated SEQUENTIALLY (not numpy pairwise
     # summation): the DuckDB twin's list_dot_product sums
     # left-to-right, and a last-ulp difference could flip the
     # 6dp-rounded cosine at a rounding boundary
     qn = float(np.sqrt(_sq_dist_seq(qv[None, :],
                                     np.zeros(qv.shape[0]))[0]))
-    dot = F.aggregate(F.zip_with(F.col("v"), qlit, lambda x, y: x * y),
-                      F.lit(0.0), lambda acc, x: acc + x)
-    nv = F.sqrt(F.aggregate(F.transform(F.col("v"), lambda x: x * x),
-                            F.lit(0.0), lambda acc, x: acc + x))
+    dot = dot_lit_expr(F.col("v"), qv)
+    nv = F.sqrt(dot_cols_expr(F.col("v"), F.col("v"), len(qv)))
     sim = F.round(dot / (nv * F.lit(qn)), 6)
     return (e.select(id_col, sim.alias("sim"))
             .orderBy(F.col("sim").desc(), F.col(id_col).asc())
@@ -425,7 +459,6 @@ def lsh_ann_topk(emb_df, query_vec, k: int = 10, *,
     import numpy as np
     from pyspark.sql import functions as F
     qv = [float(x) for x in query_vec]
-    qlit = F.array(*[F.lit(v) for v in qv])
     qn = float(np.sqrt(sum(v * v for v in qv)))
     e = emb_df.select(F.col(id_col),
                       _emb_double(F.col(emb_col)).alias("v"))
@@ -440,10 +473,8 @@ def lsh_ann_topk(emb_df, query_vec, k: int = 10, *,
              == F.lit(qb))
         cond = c if cond is None else (cond | c)
     e = e.filter(cond)
-    dot = F.aggregate(F.zip_with(F.col("v"), qlit, lambda x, y: x * y),
-                      F.lit(0.0), lambda acc, x: acc + x)
-    nv = F.sqrt(F.aggregate(F.transform(F.col("v"), lambda x: x * x),
-                            F.lit(0.0), lambda acc, x: acc + x))
+    dot = dot_lit_expr(F.col("v"), qv)
+    nv = F.sqrt(dot_cols_expr(F.col("v"), F.col("v"), len(qv)))
     sim = F.round(dot / (nv * F.lit(qn)), 6)
     return (e.select(id_col, sim.alias("sim"))
             .orderBy(F.col("sim").desc(), F.col(id_col).asc())

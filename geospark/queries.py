@@ -307,20 +307,23 @@ def q_ann_topk(spark, sf_dir):
     baseline for ANN; the LSH-bucketed scale path lives in
     operators/similarity)."""
     from pyspark.sql import functions as F
+    from .operators.similarity import dot_cols_expr, dot_lit_expr
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qv = e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
-    qlit = F.array(*[F.lit(float(v)) for v in qv])
-    emb = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    dot = F.aggregate(F.zip_with(emb, qlit, lambda a, b: a * b),
-                      F.lit(0.0), lambda acc, x: acc + x)
-    nrm = F.sqrt(F.aggregate(F.transform(emb, lambda x: x * x),
-                             F.lit(0.0), lambda acc, x: acc + x))
-    # sequential left-to-right accumulation, matching the oracle's
-    # list_dot_product fold order (numpy pairwise summation can differ
-    # in the last ulp and flip the 6dp rounding)
+    # project the double-cast array ONCE (an unbound transform expr
+    # under 2*dim element_at references could re-evaluate per term),
+    # then unrolled codegen'd dot products — higher-order folds are
+    # interpreted per element. Fold order stays the oracle's
+    # sequential left-to-right, incl. the driver-side query norm
+    # (numpy pairwise summation can differ in the last ulp and flip
+    # the 6dp rounding).
+    ev = e.select("vec_id", F.transform(
+        F.col("embedding"), lambda x: x.cast("double")).alias("v"))
+    dot = dot_lit_expr(F.col("v"), [float(v) for v in qv])
+    nrm = F.sqrt(dot_cols_expr(F.col("v"), F.col("v"), len(qv)))
     qn = float(np.sqrt(sum(float(v) * float(v) for v in qv)))
     sim = F.round(dot / (nrm * F.lit(qn)), 6)
-    return (e.select("vec_id", sim.alias("sim"))
+    return (ev.select("vec_id", sim.alias("sim"))
             .orderBy(F.col("sim").desc(), F.col("vec_id").asc())
             .limit(10))
 
@@ -407,6 +410,17 @@ def q_boilerplate(spark, sf_dir):
         (F.col("doc_id") + 1_000_000).alias("doc_id"),
         F.concat_ws(" ", F.slice(w, 1, 24)).alias("text"))
     return boilerplate_stats(d.unionByName(derived))
+
+
+def q_zorder_keys(spark, sf_dir):
+    """Morton (Z-order) layout keys over the customer points — the
+    data-layout primitive behind write_zordered (cluster files/row
+    groups by interleaved-bit key so bbox predicates prune via
+    min/max statistics). Pure bit math, oracle-twinned."""
+    from .functions.cells import zorder_key
+    pts = _cust_points(spark, sf_dir)
+    return pts.select("c_custkey",
+                      zorder_key("lat", "lon", 12).alias("zkey"))
 
 
 def q_dup_clusters(spark, sf_dir):
@@ -870,6 +884,7 @@ QUERIES = {
     "sessionize": q_sessionize,
     "distance_join": q_distance_join,
     "boilerplate": q_boilerplate,
+    "zorder_keys": q_zorder_keys,
 }
 
 
@@ -1156,6 +1171,10 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id, text FROM documents UNION ALL "
         f"SELECT doc_id + 1000000 AS doc_id, {_words24} AS text "
         "FROM documents")
+    from .functions.cells import zorder_key_sql
+    out["zorder_keys"] = (
+        f"SELECT c_custkey, {zorder_key_sql('lat', 'lon', 12)} AS zkey "
+        f"FROM ({_CUST_PTS_CTE})")
     out["simhash"] = simhash_sql()
     out["ngram_pairs"] = ngram_pairs_sql()
     out["embed_near_dup"] = lsh_near_dup_sql(threshold=0.3)
