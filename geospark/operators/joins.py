@@ -677,6 +677,7 @@ def knn_join(queries, points, k: int, *, res: int = 8,
     remaining = queries.persist()
     n_remaining = remaining.count()
     results = []
+    to_unpersist: list = []
     # initial ring from data density: aim for ~4k candidates per query
     # in the first pass ((2r+1)^2 * avg_pts_per_cell >= 4k), so typical
     # queries satisfy in one iteration instead of walking 1,2,4,...
@@ -749,17 +750,13 @@ def knn_join(queries, points, k: int, *, res: int = 8,
                              (F.count(F.lit(1)).over(wq) >= k)
                              & (F.max("_sqdist").over(wq)
                                 < F.lit(guard)))).persist()
-        # satisfied rows are final output — materialize them eagerly
-        # (localCheckpoint truncates lineage; the set is bounded by the
-        # result size) so this iteration's topk/remaining caches can be
-        # dropped immediately instead of accumulating across iterations.
         # debug_plans captures the PRE-checkpoint frame: the returned
-        # union scans checkpointed RDDs, so plan-shape tests must look
-        # here to see the candidate-join/window structure
+        # result scans a checkpointed RDD, so plan-shape tests must
+        # look here to see the candidate-join/window structure
         if debug_plans is not None:
             debug_plans.append(topk)
-        results.append(topk.filter(F.col("_sat")).drop("_sat")
-                       .localCheckpoint(eager=True))
+        results.append(topk.filter(F.col("_sat")).drop("_sat"))
+        to_unpersist.append(topk)
         sat_ids = topk.filter(F.col("_sat")).select(query_id_col) \
             .distinct()
         # materialize the shrunken query set once per iteration — chained
@@ -768,14 +765,12 @@ def knn_join(queries, points, k: int, *, res: int = 8,
         remaining = remaining.join(sat_ids, query_id_col, "left_anti") \
             .persist()
         n_remaining = remaining.count()
-        topk.unpersist()
         prev_remaining.unpersist()
         # cap: at ring >= n_cells the fanout already covers the whole
         # grid; further doubling only grows the guarantee radius
         ring = min(ring * 2, 1 << res)
     if n_remaining > 0:
-        # brute-force fallback for stragglers (exactness floor);
-        # materialized eagerly so the last remaining cache can drop
+        # brute-force fallback for stragglers (exactness floor)
         j = remaining.crossJoin(F.broadcast(pts.drop("_pcell")))
         dist = dist_expr()
         from pyspark.sql import Window as W2
@@ -783,11 +778,18 @@ def knn_join(queries, points, k: int, *, res: int = 8,
             dist.asc(), F.col(point_id_col).asc())
         results.append(j.withColumn("_sqdist", dist)
                        .withColumn("_rn", F.row_number().over(w))
-                       .filter(F.col("_rn") <= k)
-                       .localCheckpoint(eager=True))
-    remaining.unpersist()
+                       .filter(F.col("_rn") <= k))
     out = results[0]
     for r in results[1:]:
         out = out.unionByName(r)
-    return out.withColumnRenamed("_sqdist", "sqdist") \
-              .withColumnRenamed("_rn", "rank")
+    # ONE final materialization (result-sized, lineage-truncating),
+    # after which every per-iteration topk/remaining cache is dropped —
+    # the cache population after knn_join returns is exactly the
+    # checkpointed result, regardless of iteration count
+    out = out.withColumnRenamed("_sqdist", "sqdist") \
+             .withColumnRenamed("_rn", "rank") \
+             .localCheckpoint(eager=True)
+    for df in to_unpersist:
+        df.unpersist()
+    remaining.unpersist()
+    return out

@@ -67,6 +67,63 @@ def tile_boundaries(tiles, res: int):
                  .withColumn("boundary_wkt", wkt))
 
 
+def compact_cells(cells_df, res: int, *, cell_col: str = "cell",
+                  min_res: int = 0, max_steps: int | None = None):
+    """Minimal covering: iteratively replace every COMPLETE sibling
+    quartet (all 4 children of a parent present) by the parent cell —
+    the H3 `compactCells` analog. Input: distinct cell ids at
+    resolution ``res``; output: distinct cells at mixed resolutions
+    covering exactly the same area with the fewest cells (shrinks
+    coverings before broadcast/storage).
+
+    Shape per round: one groupBy keyed by parent id + one equi-join —
+    both integer-keyed, partial-aggregated; at most ``res - min_res``
+    rounds, each over a strictly smaller promoted set
+    (localCheckpoint-truncated like the other iterative operators).
+    ``max_steps=1`` is the single-level form the SQL oracle mirrors."""
+    from pyspark.sql import functions as F
+    out_levels = []
+    cur = cells_df.select(F.col(cell_col).alias("cell")).distinct() \
+        .localCheckpoint(eager=True)
+    r = res
+    steps = 0
+    while r > min_res and (max_steps is None or steps < max_steps):
+        par = cell_parent("cell", r)
+        g = (cur.withColumn("_p", par)
+             .groupBy("_p").agg(F.count(F.lit(1)).alias("_c")))
+        promoted = g.filter(F.col("_c") == 4) \
+            .select(F.col("_p").alias("cell")) \
+            .localCheckpoint(eager=True)
+        kept = (cur.withColumn("_p", par)
+                .join(g.filter(F.col("_c") < 4).select("_p"), "_p")
+                .select("cell"))
+        out_levels.append(kept.localCheckpoint(eager=True))
+        n_promoted = promoted.count()
+        cur = promoted
+        r -= 1
+        steps += 1
+        if n_promoted == 0:
+            break
+    out = cur
+    for lvl in out_levels:
+        out = out.unionByName(lvl)
+    return out
+
+
+def compact_cells_sql(cells_sql: str, res: int) -> str:
+    """DuckDB twin of compact_cells(max_steps=1) over ``cells_sql``
+    (a SELECT producing a `cell` column of distinct res-``res`` ids)."""
+    from ..functions.cells import cell_parent_sql
+    p = cell_parent_sql("cell", res)
+    return f"""
+WITH cells AS (SELECT DISTINCT cell FROM ({cells_sql})),
+g AS (SELECT {p} AS p, COUNT(*) AS c FROM cells GROUP BY 1)
+SELECT p AS cell FROM g WHERE c = 4
+UNION ALL
+SELECT cell FROM cells WHERE ({p}) IN (SELECT p FROM g WHERE c < 4)
+"""
+
+
 def top_k_cells(tiles, k: int, count_col: str = "n_docs"):
     """Densest cells, deterministic tiebreak on cell id."""
     from pyspark.sql import functions as F

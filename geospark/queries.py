@@ -412,6 +412,19 @@ def q_boilerplate(spark, sf_dir):
     return boilerplate_stats(d.unionByName(derived))
 
 
+def q_cell_compact(spark, sf_dir):
+    """Single-level cell compaction (H3 compactCells analog): complete
+    sibling quartets of the customer res-6 covering collapse to their
+    parent — the covering-minimization primitive (smaller broadcasts,
+    fewer cover rows). One-step form so the DuckDB twin is closed-form;
+    the full iterative operator is pinned by a NumPy-reference test."""
+    from .operators.tiles import compact_cells
+    pts = _cust_points(spark, sf_dir)
+    cells = pts.select(cell_encode("lat", "lon", RES_COARSE)
+                       .alias("cell"))
+    return compact_cells(cells, RES_COARSE, max_steps=1)
+
+
 def q_zorder_keys(spark, sf_dir):
     """Morton (Z-order) layout keys over the customer points — the
     data-layout primitive behind write_zordered (cluster files/row
@@ -885,6 +898,7 @@ QUERIES = {
     "distance_join": q_distance_join,
     "boilerplate": q_boilerplate,
     "zorder_keys": q_zorder_keys,
+    "cell_compact": q_cell_compact,
 }
 
 
@@ -1171,6 +1185,9 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id, text FROM documents UNION ALL "
         f"SELECT doc_id + 1000000 AS doc_id, {_words24} AS text "
         "FROM documents")
+    from .operators.tiles import compact_cells_sql
+    out["cell_compact"] = compact_cells_sql(
+        f"SELECT {cell6} AS cell FROM ({_CUST_PTS_CTE})", RES_COARSE)
     from .functions.cells import zorder_key_sql
     out["zorder_keys"] = (
         f"SELECT c_custkey, {zorder_key_sql('lat', 'lon', 12)} AS zkey "

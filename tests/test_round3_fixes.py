@@ -150,11 +150,10 @@ class TestKnnPersistHygiene:
         n = out.count()
         assert n == 60 * 5
         after = jsc.getPersistentRDDs().size()
-        # superseded per-iteration topk/remaining caches are unpersisted;
-        # what may remain: localCheckpointed result blocks (bounded by
-        # output size, one per iteration + fallback) — NOT one
-        # persist+one topk per iteration as before
-        assert after - before <= 7
+        # every per-iteration topk/remaining cache is unpersisted before
+        # knn_join returns; the only surviving block is the single
+        # checkpointed result (result-sized)
+        assert after - before <= 2
 
     def test_knn_still_exact_after_hygiene(self, spark):
         from geospark.operators.joins import knn_join

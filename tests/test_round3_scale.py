@@ -515,3 +515,74 @@ class TestZorder:
         # strict subset of files via the zkey range implied by sorting
         n_total = spark.read.parquet(path).count()
         assert n_total == 20000
+
+
+class TestCompactCells:
+    @staticmethod
+    def _compact_ref(cells, res, min_res=0):
+        """Pure-Python reference: iterative quartet collapse."""
+        cur = set(int(c) for c in cells)
+        out = set()
+        r = res
+        while r > min_res and cur:
+            from collections import defaultdict
+            groups = defaultdict(set)
+            mask = (1 << r) - 1
+            for c in cur:
+                x, y = c & mask, (c >> r) & mask
+                p = ((r - 1) << 56) | ((y >> 1) << (r - 1)) | (x >> 1)
+                groups[p].add(c)
+            nxt = set()
+            for p, kids in groups.items():
+                if len(kids) == 4:
+                    nxt.add(p)
+                else:
+                    out |= kids
+            cur = nxt
+            r -= 1
+        return out | cur
+
+    def test_full_iterative_matches_reference(self, spark):
+        from geospark.functions.cells import encode_np
+        from geospark.operators.tiles import compact_cells
+        rng = np.random.default_rng(47)
+        # clustered points so complete quartets exist at several levels
+        lat = np.concatenate([rng.uniform(9, 12, 3000),
+                              rng.uniform(-60, 60, 500)])
+        lon = np.concatenate([rng.uniform(19, 23, 3000),
+                              rng.uniform(-170, 170, 500)])
+        res = 8
+        cells = np.unique(encode_np(lat, lon, res))
+        df = spark.createDataFrame([(int(c),) for c in cells],
+                                   "cell long")
+        got = {r.cell for r in compact_cells(df, res).collect()}
+        want = self._compact_ref(cells, res)
+        assert got == want
+        assert len(got) < len(cells)  # it actually compacted
+
+    def test_compaction_preserves_coverage(self, spark):
+        """Every original cell must be covered by exactly one output
+        cell (itself or an ancestor)."""
+        from geospark.functions.cells import encode_np
+        from geospark.operators.tiles import compact_cells
+        rng = np.random.default_rng(48)
+        lat = rng.uniform(30, 33, 2000)
+        lon = rng.uniform(50, 53, 2000)
+        res = 9
+        cells = np.unique(encode_np(lat, lon, res))
+        df = spark.createDataFrame([(int(c),) for c in cells],
+                                   "cell long")
+        out = {r.cell for r in compact_cells(df, res).collect()}
+
+        def ancestors(c):
+            r = c >> 56
+            mask = (1 << r) - 1
+            x, y = c & mask, (c >> r) & mask
+            while r >= 0:
+                yield (r << 56) | (y << r) | x
+                r -= 1
+                x, y = x >> 1, y >> 1
+
+        for c in cells:
+            hits = [a for a in ancestors(int(c)) if a in out]
+            assert len(hits) == 1, hex(c)
