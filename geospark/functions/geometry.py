@@ -20,6 +20,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
@@ -490,6 +491,20 @@ def _lazy_udfs():
         d = np.sqrt((ax - bx) ** 2 + (ay - by) ** 2)
         return pd.Series(np.where(aok & bok, d, np.nan))
 
+    @pandas_udf(T.BinaryType())
+    def st_simplify_u(s: pd.Series, tol: pd.Series) -> pd.Series:
+        """Douglas-Peucker simplification (kernels.ops.geom_simplify):
+        rings never drop below 4 points (original coords kept instead
+        — no invalid output). Cold-path per-geometry codec; the hot
+        web-scale columns are points, which pass through unchanged."""
+        from ..kernels.ops import geom_simplify
+        tv = tol.to_numpy(dtype=np.float64, na_value=np.nan)
+        out = [None if b is None
+               else write_wkb(geom_simplify(parse_wkb(bytes(b)),
+                                            float(t)))
+               for b, t in zip(s, tv)]
+        return pd.Series(out, dtype=object)
+
     @pandas_udf(T.BooleanType())
     def st_intersects_u(a: pd.Series, b: pd.Series) -> pd.Series:
         """Exact ST_Intersects over two WKB columns, any geometry
@@ -540,7 +555,8 @@ def _lazy_udfs():
         st_geometrytype=st_geometrytype_u, st_typecode=st_typecode_u,
         st_isempty=st_isempty_u, st_envelope=st_envelope_u,
         st_pointz=st_pointz_u, st_z=st_z_u, st_dims=st_dims_u,
-        st_distance=st_distance_u, st_intersects=st_intersects_u)
+        st_distance=st_distance_u, st_intersects=st_intersects_u,
+        st_simplify=st_simplify_u)
     return _UDF_CACHE
 
 
@@ -623,6 +639,13 @@ def st_intersects(a, b):
     """Exact geometry-geometry intersection predicate (closed
     semantics) over two WKB columns."""
     return _lazy_udfs()["st_intersects"](a, b)
+
+
+def st_simplify(c, tol):
+    """Douglas-Peucker simplification of a WKB column at tolerance
+    ``tol`` (Column or numeric literal)."""
+    tc = tol if isinstance(tol, Column) else F.lit(float(tol))
+    return _lazy_udfs()["st_simplify"](c, tc)
 
 
 def make_st_contains(rings: list[np.ndarray]):

@@ -249,6 +249,77 @@ def polys_intersect(pgs_a: list[list[np.ndarray]],
     return False
 
 
+def simplify_coords(pts: np.ndarray, tol: float) -> np.ndarray:
+    """Douglas-Peucker polyline simplification (iterative stack, NumPy
+    span distances): keep both endpoints, recursively keep the point
+    farthest from the current chord while that distance exceeds
+    ``tol``. Distance = perpendicular distance to the chord line
+    (point distance when the chord is degenerate — the closed-ring
+    start==end case, where the first split keys off the farthest
+    vertex)."""
+    p = np.asarray(pts, dtype=np.float64)
+    return p[_simplify_keepmask(p, tol)]
+
+
+def geom_simplify(g, tol: float):
+    """Douglas-Peucker over any geometry: linestrings simplified;
+    polygon rings simplified independently (a ring whose simplification
+    would drop below 4 points keeps its original coords — conservative,
+    never produces an invalid ring); points unchanged; multis/
+    collections recurse. Extra dims (Z/M) of dropped vertices drop with
+    them; retained vertices keep their full coordinates."""
+    if g is None or g.is_empty:
+        return g
+    from .geom import Geom
+    t = g.type_id
+    if t == 1:
+        return g
+    if t == 2:
+        keep = _simplify_keepmask(g.coords, tol)
+        return Geom(2, g.has_z, g.has_m, coords=g.coords[keep])
+    if t == 3:
+        rings = []
+        for r in g.rings:
+            keep = _simplify_keepmask(r, tol)
+            rings.append(r[keep] if int(keep.sum()) >= 4 else r)
+        return Geom(3, g.has_z, g.has_m, rings=rings)
+    return Geom(t, g.has_z, g.has_m,
+                parts=[geom_simplify(p, tol) for p in g.parts])
+
+
+def _simplify_keepmask(coords: np.ndarray, tol: float) -> np.ndarray:
+    """Boolean keep mask of simplify_coords over the XY of ``coords``
+    (so Z/M columns travel with their retained rows)."""
+    p = coords[:, :2]
+    n = p.shape[0]
+    if n <= 2:
+        return np.ones(n, dtype=bool)
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[n - 1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        i, j = stack.pop()
+        if j <= i + 1:
+            continue
+        sub = p[i + 1:j]
+        dx = p[j, 0] - p[i, 0]
+        dy = p[j, 1] - p[i, 1]
+        l2 = dx * dx + dy * dy
+        if l2 == 0.0:
+            d = np.sqrt((sub[:, 0] - p[i, 0]) ** 2
+                        + (sub[:, 1] - p[i, 1]) ** 2)
+        else:
+            d = np.abs(dx * (sub[:, 1] - p[i, 1])
+                       - dy * (sub[:, 0] - p[i, 0])) / np.sqrt(l2)
+        k = int(np.argmax(d))
+        if d[k] > tol:
+            m = i + 1 + k
+            keep[m] = True
+            stack.append((i, m))
+            stack.append((m, j))
+    return keep
+
+
 def _decompose(g, pts: list, lines: list, areals: list) -> None:
     """Split any Geom into point coords, polylines, and areal
     ring-lists (collections recurse)."""

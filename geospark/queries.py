@@ -224,6 +224,16 @@ def q_sessionize(spark, sf_dir):
                  .alias("dur_s")))
 
 
+def q_funnel(spark, sf_dir):
+    """3-step funnel view -> click -> purchase over the events table:
+    per user, earliest step times with strict ordering, completed-stage
+    count, first-to-last duration. Exact integer-microsecond
+    comparisons; per-step MIN aggregates + user-keyed joins only."""
+    from .operators.events import funnel_steps
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return funnel_steps(e, ["view", "click", "purchase"])
+
+
 def q_dedup_exact(spark, sf_dir):
     from pyspark.sql import functions as F
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -423,6 +433,41 @@ def q_cell_compact(spark, sf_dir):
     cells = pts.select(cell_encode("lat", "lon", RES_COARSE)
                        .alias("cell"))
     return compact_cells(cells, RES_COARSE, max_steps=1)
+
+
+def q_simplify_boxes(spark, sf_dir):
+    """st_simplify (Douglas-Peucker) under an EXACT oracle: boxes with
+    a redundant collinear midpoint on every edge (9-point rings,
+    integer coords, even edge lengths so midpoints stay integral).
+    Simplification at any tolerance must drop exactly the midpoints —
+    the output WKT equals the plain 5-point box the oracle composes
+    directly, and the area is unchanged."""
+    from pyspark.sql import functions as F
+    from .functions.geometry import (st_area, st_astext, st_geomfromtext,
+                                     st_simplify)
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    cx = ((F.col("p_partkey") * 3) % 300 - 150).cast("long")
+    cy = ((F.col("p_partkey") * 7) % 150 - 75).cast("long")
+    h = (1 + F.col("p_size") % 3).cast("long")
+    x0, x1, xm = cx - h, cx + h, cx
+    y0, y1, ym = cy - h, cy + h, cy
+    s = {k: v.cast("string") for k, v in
+         dict(x0=x0, x1=x1, xm=xm, y0=y0, y1=y1, ym=ym).items()}
+    wkt9 = F.concat(
+        F.lit("POLYGON (("),
+        s["x0"], F.lit(" "), s["y0"], F.lit(", "),
+        s["xm"], F.lit(" "), s["y0"], F.lit(", "),
+        s["x1"], F.lit(" "), s["y0"], F.lit(", "),
+        s["x1"], F.lit(" "), s["ym"], F.lit(", "),
+        s["x1"], F.lit(" "), s["y1"], F.lit(", "),
+        s["xm"], F.lit(" "), s["y1"], F.lit(", "),
+        s["x0"], F.lit(" "), s["y1"], F.lit(", "),
+        s["x0"], F.lit(" "), s["ym"], F.lit(", "),
+        s["x0"], F.lit(" "), s["y0"], F.lit("))"))
+    simp = st_simplify(st_geomfromtext(wkt9), 0.25)
+    return p.select("p_partkey",
+                    st_astext(simp).alias("simplified_wkt"),
+                    F.round(st_area(simp), 6).alias("area"))
 
 
 def q_zorder_keys(spark, sf_dir):
@@ -899,6 +944,8 @@ QUERIES = {
     "boilerplate": q_boilerplate,
     "zorder_keys": q_zorder_keys,
     "cell_compact": q_cell_compact,
+    "funnel": q_funnel,
+    "simplify_boxes": q_simplify_boxes,
 }
 
 
@@ -1185,6 +1232,27 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id, text FROM documents UNION ALL "
         f"SELECT doc_id + 1000000 AS doc_id, {_words24} AS text "
         "FROM documents")
+    _sb = ("CAST(x0 AS VARCHAR) || ' ' || CAST(y0 AS VARCHAR) || ', ' || "
+           "CAST(x1 AS VARCHAR) || ' ' || CAST(y0 AS VARCHAR) || ', ' || "
+           "CAST(x1 AS VARCHAR) || ' ' || CAST(y1 AS VARCHAR) || ', ' || "
+           "CAST(x0 AS VARCHAR) || ' ' || CAST(y1 AS VARCHAR) || ', ' || "
+           "CAST(x0 AS VARCHAR) || ' ' || CAST(y0 AS VARCHAR)")
+    out["simplify_boxes"] = (
+        "WITH b AS (SELECT p_partkey, "
+        "CAST((p_partkey * 3) % 300 - 150 - (1 + p_size % 3) AS BIGINT) "
+        "AS x0, "
+        "CAST((p_partkey * 7) % 150 - 75 - (1 + p_size % 3) AS BIGINT) "
+        "AS y0, "
+        "CAST((p_partkey * 3) % 300 - 150 + (1 + p_size % 3) AS BIGINT) "
+        "AS x1, "
+        "CAST((p_partkey * 7) % 150 - 75 + (1 + p_size % 3) AS BIGINT) "
+        "AS y1, "
+        "CAST(1 + p_size % 3 AS BIGINT) AS h FROM part) "
+        f"SELECT p_partkey, 'POLYGON ((' || {_sb} || '))' AS "
+        "simplified_wkt, ROUND(CAST(4 * h * h AS DOUBLE), 6) AS area "
+        "FROM b")
+    from .operators.events import funnel_steps_sql
+    out["funnel"] = funnel_steps_sql(["view", "click", "purchase"])
     from .operators.tiles import compact_cells_sql
     out["cell_compact"] = compact_cells_sql(
         f"SELECT {cell6} AS cell FROM ({_CUST_PTS_CTE})", RES_COARSE)

@@ -586,3 +586,92 @@ class TestCompactCells:
         for c in cells:
             hits = [a for a in ancestors(int(c)) if a in out]
             assert len(hits) == 1, hex(c)
+
+
+class TestSimplify:
+    @staticmethod
+    def _dp_ref(pts, tol):
+        """Recursive textbook Douglas-Peucker (independent reference)."""
+        pts = [tuple(p) for p in pts]
+
+        def rec(lo, hi):
+            if hi <= lo + 1:
+                return []
+            (x1, y1), (x2, y2) = pts[lo], pts[hi]
+            dx, dy = x2 - x1, y2 - y1
+            l2 = dx * dx + dy * dy
+            best, bi = -1.0, None
+            for i in range(lo + 1, hi):
+                px, py = pts[i]
+                if l2 == 0:
+                    d = ((px - x1) ** 2 + (py - y1) ** 2) ** 0.5
+                else:
+                    d = abs(dx * (py - y1) - dy * (px - x1)) / l2 ** 0.5
+                if d > best:
+                    best, bi = d, i
+            if best > tol:
+                return rec(lo, bi) + [bi] + rec(bi, hi)
+            return []
+
+        keep = [0] + rec(0, len(pts) - 1) + [len(pts) - 1]
+        return [pts[i] for i in sorted(set(keep))]
+
+    def test_matches_reference_on_random_polylines(self):
+        from geospark.kernels.ops import simplify_coords
+        rng = np.random.default_rng(53)
+        for trial in range(30):
+            n = int(rng.integers(3, 40))
+            pts = rng.uniform(-100, 100, (n, 2))
+            tol = float(rng.uniform(0.1, 30))
+            got = [tuple(p) for p in simplify_coords(pts, tol)]
+            assert got == self._dp_ref(pts, tol), (trial, tol)
+
+    def test_ring_never_drops_below_four_points(self):
+        from geospark.kernels.geom import parse_wkt
+        from geospark.kernels.ops import geom_simplify
+        g = parse_wkt("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))")
+        out = geom_simplify(g, 1000.0)  # would collapse everything
+        assert out.rings[0].shape[0] == 5  # original kept
+
+    def test_z_travels_with_retained_vertices(self):
+        from geospark.kernels.geom import parse_wkt
+        from geospark.kernels.ops import geom_simplify
+        g = parse_wkt("LINESTRING Z (0 0 7, 5 0.001 8, 10 0 9)")
+        out = geom_simplify(g, 0.5)
+        assert out.coords.shape == (2, 3)
+        assert out.coords[:, 2].tolist() == [7.0, 9.0]
+        out2 = geom_simplify(g, 0.0001)
+        assert out2.coords[:, 2].tolist() == [7.0, 8.0, 9.0]
+
+
+class TestFunnel:
+    def test_hand_computed(self, spark):
+        import datetime as dt
+        from geospark.operators.events import funnel_steps
+        b = dt.datetime(2024, 1, 1)
+
+        def t(minutes):
+            return b + dt.timedelta(minutes=minutes)
+
+        rows = [
+            # user 1 completes in order
+            (1, t(0), 1, "view"), (2, t(5), 1, "click"),
+            (3, t(9), 1, "purchase"),
+            # user 2: click BEFORE view -> click doesn't count; a later
+            # click exists, purchase before that click -> stages 2
+            (4, t(1), 2, "click"), (5, t(2), 2, "view"),
+            (6, t(3), 2, "purchase"), (7, t(8), 2, "click"),
+            # user 3: view only
+            (8, t(0), 3, "view"),
+            # user 4: never views -> absent
+            (9, t(0), 4, "purchase"),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp_ntz, user_id long, "
+                  "event_type string")
+        out = {r.user_id: (r.stages, r.dur_s) for r in
+               funnel_steps(df, ["view", "click", "purchase"]).collect()}
+        assert set(out) == {1, 2, 3}
+        assert out[1] == (3, 540.0)
+        assert out[2] == (2, None)
+        assert out[3] == (1, None)
