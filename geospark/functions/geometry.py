@@ -272,6 +272,47 @@ def _format_coord_array(v: np.ndarray) -> np.ndarray:
     return out
 
 
+def _st_npoints_batch(s: pd.Series) -> pd.Series:
+    """Total coordinate count, batch: LE points/linestrings read the
+    header + count word only, LE polygons ride the ragged batch decode,
+    everything else falls back per row."""
+    data, offsets, validity = _series_to_wkb_buffers(s)
+    n = len(offsets) - 1
+    out = np.zeros(n, dtype=np.int64)
+    le, traw, t = _wkb_headers(data, offsets, validity)
+    lens = np.diff(offsets)
+    no_srid = (traw & np.uint32(0x20000000)) == 0
+    pt = le & (t == 1) & no_srid & (lens >= 21)
+    if pt.any():
+        # POINT: 1 unless EMPTY (NaN coords)
+        si = offsets[np.nonzero(pt)[0]].astype(np.int64)
+        g = si[:, None] + np.arange(5, 13, dtype=np.int64)[None, :]
+        x = data[g].copy().view("<f8").ravel()
+        out[np.nonzero(pt)[0]] = np.where(np.isnan(x), 0, 1)
+    ls = le & (t == 2) & no_srid & (lens >= 9)
+    if ls.any():
+        si = offsets[np.nonzero(ls)[0]].astype(np.int64)
+        cnt = (data[si + 5].astype(np.int64)
+               | (data[si + 6].astype(np.int64) << 8)
+               | (data[si + 7].astype(np.int64) << 16)
+               | (data[si + 8].astype(np.int64) << 24))
+        out[np.nonzero(ls)[0]] = cnt
+    pb = parse_polygon_wkb_buffer(data, offsets, validity)
+    if pb.ok.any():
+        np.add.at(out, pb.poly_of_ring, pb.ring_rows)
+    isnull = (~validity if validity is not None
+              else np.zeros(n, dtype=bool))
+    todo = ~(pt | ls | pb.ok) & ~isnull & (lens > 0)
+    for i in np.nonzero(todo)[0]:
+        g = parse_wkb(data[offsets[i]:offsets[i + 1]].tobytes())
+        out[i] = g.num_coordinates()
+    res = pd.Series(out.astype(np.int32))
+    if isnull.any():
+        res = res.astype(object)
+        res[isnull] = None
+    return res
+
+
 def _st_astext_batch(s: pd.Series) -> pd.Series:
     """WKT text: vectorized for plain little-endian XY points (the
     web-scale shape), general formatter fallback for everything else."""
@@ -491,6 +532,22 @@ def _lazy_udfs():
         d = np.sqrt((ax - bx) ** 2 + (ay - by) ** 2)
         return pd.Series(np.where(aok & bok, d, np.nan))
 
+    @pandas_udf(T.DoubleType())
+    def st_length_u(s: pd.Series) -> pd.Series:
+        """Planar length of lineal parts (polygons/points -> 0.0,
+        PostGIS ST_Length semantics)."""
+        from ..kernels.ops import geom_length
+        return s.map(lambda b: None if b is None
+                     else geom_length(parse_wkb(b)),
+                     na_action="ignore").astype("float64")
+
+    @pandas_udf(T.IntegerType())
+    def st_npoints_u(s: pd.Series) -> pd.Series:
+        """Total coordinate count. Vectorized for little-endian points
+        and linestrings (header + count word only); ragged batch decode
+        for LE polygons; per-row parse for multis/big-endian."""
+        return _st_npoints_batch(s)
+
     @pandas_udf(T.BinaryType())
     def st_simplify_u(s: pd.Series, tol: pd.Series) -> pd.Series:
         """Douglas-Peucker simplification (kernels.ops.geom_simplify):
@@ -556,7 +613,8 @@ def _lazy_udfs():
         st_isempty=st_isempty_u, st_envelope=st_envelope_u,
         st_pointz=st_pointz_u, st_z=st_z_u, st_dims=st_dims_u,
         st_distance=st_distance_u, st_intersects=st_intersects_u,
-        st_simplify=st_simplify_u)
+        st_simplify=st_simplify_u, st_length=st_length_u,
+        st_npoints=st_npoints_u)
     return _UDF_CACHE
 
 
@@ -646,6 +704,16 @@ def st_simplify(c, tol):
     ``tol`` (Column or numeric literal)."""
     tc = tol if isinstance(tol, Column) else F.lit(float(tol))
     return _lazy_udfs()["st_simplify"](c, tc)
+
+
+def st_length(c):
+    """Planar length of lineal parts (0.0 for points/polygons)."""
+    return _lazy_udfs()["st_length"](c)
+
+
+def st_npoints(c):
+    """Total coordinate count of a WKB geometry."""
+    return _lazy_udfs()["st_npoints"](c)
 
 
 def make_st_contains(rings: list[np.ndarray]):

@@ -249,6 +249,22 @@ def polys_intersect(pgs_a: list[list[np.ndarray]],
     return False
 
 
+def geom_length(g) -> float:
+    """Planar length in coordinate units of the LINEAL parts of a
+    geometry (PostGIS ST_Length semantics: polygons and points
+    contribute 0; multilinestrings sum; collections recurse).
+    Segment norms via np.sqrt (correctly rounded -> cross-engine
+    deterministic for exactly-representable inputs)."""
+    if g is None or g.is_empty:
+        return 0.0
+    if g.type_id == 2:
+        d = np.diff(g.coords[:, :2], axis=0)
+        return float(np.sum(np.sqrt(d[:, 0] ** 2 + d[:, 1] ** 2)))
+    if g.type_id in (5, 7):
+        return sum(geom_length(p) for p in g.parts)
+    return 0.0
+
+
 def simplify_coords(pts: np.ndarray, tol: float) -> np.ndarray:
     """Douglas-Peucker polyline simplification (iterative stack, NumPy
     span distances): keep both endpoints, recursively keep the point

@@ -470,6 +470,42 @@ def q_simplify_boxes(spark, sf_dir):
                     F.round(st_area(simp), 6).alias("area"))
 
 
+def q_line_metrics(spark, sf_dir):
+    """st_length / st_npoints under oracle: integer-coordinate
+    staircase linestrings with a part-derived step count (1-3 steps ->
+    3/5/7 vertices, axis-aligned segments so every segment norm is an
+    exact integer and length = steps * 4h exactly)."""
+    from pyspark.sql import functions as F
+    from .functions.geometry import (st_geomfromtext, st_length,
+                                     st_npoints)
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    x0 = ((F.col("p_partkey") * 3) % 300 - 150).cast("long")
+    y0 = ((F.col("p_partkey") * 7) % 150 - 75).cast("long")
+    h = (1 + F.col("p_size") % 3).cast("long")
+    steps = (1 + F.col("p_partkey") % 3).cast("int")
+
+    def stair(n_steps):
+        parts = [F.lit("LINESTRING (")]
+        x, y = x0, y0
+        parts += [x.cast("string"), F.lit(" "), y.cast("string")]
+        for _ in range(n_steps):
+            x = x + 2 * h
+            parts += [F.lit(", "), x.cast("string"), F.lit(" "),
+                      y.cast("string")]
+            y = y + 2 * h
+            parts += [F.lit(", "), x.cast("string"), F.lit(" "),
+                      y.cast("string")]
+        parts.append(F.lit(")"))
+        return F.concat(*parts)
+
+    wkt = F.when(steps == 1, stair(1)) \
+        .when(steps == 2, stair(2)).otherwise(stair(3))
+    g = st_geomfromtext(wkt)
+    return p.select("p_partkey",
+                    F.round(st_length(g), 6).alias("length"),
+                    st_npoints(g).alias("n_points"))
+
+
 def q_zorder_keys(spark, sf_dir):
     """Morton (Z-order) layout keys over the customer points — the
     data-layout primitive behind write_zordered (cluster files/row
@@ -946,6 +982,7 @@ QUERIES = {
     "cell_compact": q_cell_compact,
     "funnel": q_funnel,
     "simplify_boxes": q_simplify_boxes,
+    "line_metrics": q_line_metrics,
 }
 
 
@@ -1251,6 +1288,12 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT p_partkey, 'POLYGON ((' || {_sb} || '))' AS "
         "simplified_wkt, ROUND(CAST(4 * h * h AS DOUBLE), 6) AS area "
         "FROM b")
+    out["line_metrics"] = (
+        "SELECT p_partkey, "
+        "ROUND(CAST(steps * 4 * h AS DOUBLE), 6) AS length, "
+        "CAST(2 * steps + 1 AS INTEGER) AS n_points "
+        "FROM (SELECT p_partkey, CAST(1 + p_size % 3 AS BIGINT) AS h, "
+        "CAST(1 + p_partkey % 3 AS BIGINT) AS steps FROM part)")
     from .operators.events import funnel_steps_sql
     out["funnel"] = funnel_steps_sql(["view", "click", "purchase"])
     from .operators.tiles import compact_cells_sql

@@ -147,3 +147,28 @@ class TestBatchRefineParity:
             g = parse_wkb(w)
             want = point_in_rings(px, py, [r[:, :2] for r in g.rings])
             assert np.array_equal(got, want)
+
+
+class TestLengthNpoints:
+    def test_npoints_batch_matches_num_coordinates(self):
+        from geospark.functions.geometry import _st_npoints_batch
+        from geospark.kernels.wkb import parse_wkb
+        wkbs = _mixed_batch()
+        out = _st_npoints_batch(pd.Series(wkbs, dtype=object))
+        for i, b in enumerate(wkbs):
+            if b is None:
+                assert out[i] is None
+            else:
+                assert out[i] == parse_wkb(b).num_coordinates(), i
+
+    def test_geom_length_semantics(self):
+        from geospark.kernels.geom import parse_wkt
+        from geospark.kernels.ops import geom_length
+        assert geom_length(parse_wkt("LINESTRING (0 0, 3 4)")) == 5.0
+        assert geom_length(parse_wkt(
+            "MULTILINESTRING ((0 0, 1 0), (0 0, 0 2))")) == 3.0
+        assert geom_length(parse_wkt(
+            "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))")) == 0.0
+        assert geom_length(parse_wkt("POINT (1 1)")) == 0.0
+        assert geom_length(parse_wkt("LINESTRING EMPTY")) == 0.0
+        assert geom_length(None) == 0.0
