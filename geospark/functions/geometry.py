@@ -221,7 +221,10 @@ def _measures_batch(s: pd.Series) -> tuple[np.ndarray, np.ndarray,
     handled = pb.ok | pok | (le & np.isin(t, (2, 4, 5)))
     isnull = (~validity if validity is not None
               else np.zeros(n, dtype=bool))
-    todo = ~handled & ~isnull & (np.diff(offsets) > 0)
+    # zero-length non-null rows fall through too: parse_wkb raises on
+    # them exactly as the round-2 per-row path did (malformed input is
+    # an error, not a silent zero)
+    todo = ~handled & ~isnull
     for i in np.nonzero(todo)[0]:
         g = parse_wkb(data[offsets[i]:offsets[i + 1]].tobytes())
         area[i] = geom_area(g)
@@ -250,7 +253,7 @@ def _st_dims_batch(s: pd.Series) -> pd.Series:
         out[mask] = val
     isnull = (~validity if validity is not None
               else np.zeros(n, dtype=bool))
-    todo = ~ok & ~isnull & (np.diff(offsets) > 0)
+    todo = ~ok & ~isnull  # zero-length rows raise via parse_wkb
     for i in np.nonzero(todo)[0]:
         out[i] = parse_wkb(data[offsets[i]:offsets[i + 1]].tobytes()).dims
     return pd.Series(out)
@@ -302,7 +305,7 @@ def _st_npoints_batch(s: pd.Series) -> pd.Series:
         np.add.at(out, pb.poly_of_ring, pb.ring_rows)
     isnull = (~validity if validity is not None
               else np.zeros(n, dtype=bool))
-    todo = ~(pt | ls | pb.ok) & ~isnull & (lens > 0)
+    todo = ~(pt | ls | pb.ok) & ~isnull  # zero-length rows raise
     for i in np.nonzero(todo)[0]:
         g = parse_wkb(data[offsets[i]:offsets[i + 1]].tobytes())
         out[i] = g.num_coordinates()
@@ -339,7 +342,7 @@ def _st_astext_batch(s: pd.Series) -> pd.Series:
         fast[fi[~nonempty]] = False  # POINT EMPTY -> formatter
     isnull = (~validity if validity is not None
               else np.zeros(n, dtype=bool))
-    todo = ~fast & ~isnull & (lens > 0)
+    todo = ~fast & ~isnull  # zero-length rows raise via parse_wkb
     for i in np.nonzero(todo)[0]:
         out[i] = format_wkt(parse_wkb(data[offsets[i]:offsets[i + 1]]
                                       .tobytes()))

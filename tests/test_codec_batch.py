@@ -107,6 +107,9 @@ class TestBatchMeasures:
         bad = good[:-16]
         with pytest.raises(Exception):
             _measures_batch(pd.Series([bad], dtype=object))
+        # zero-length non-null bytes are malformed too (null is fine)
+        with pytest.raises(Exception):
+            _measures_batch(pd.Series([b""], dtype=object))
 
     def test_empty_batch(self):
         area, cx, cy = _measures_batch(pd.Series([], dtype=object))
