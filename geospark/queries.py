@@ -234,6 +234,64 @@ def q_funnel(spark, sf_dir):
     return funnel_steps(e, ["view", "click", "purchase"])
 
 
+def q_stream_sessionize(spark, sf_dir):
+    """The STATEFUL STREAMING sessionizer under a full value-hash
+    oracle (round-2 exempted streaming ops from the SQL gate; this
+    closes that). The events table is replayed as a file stream in
+    several microbatches through stream_sessionize_ooo
+    (applyInPandasWithState + watermark buffer); two far-future
+    sentinel events for a reserved user drive the watermark past
+    every real event, so ALL real sessions close and are emitted —
+    making the batch gap-sessionizer SQL the exact oracle.
+    Deterministic: same input files, same watermark schedule, same
+    emitted rows every run."""
+    import datetime as dt
+    import os
+    import shutil
+    import tempfile
+    import uuid
+    from pyspark.sql import functions as F
+    from .streaming.stream import stream_sessionize_ooo
+
+    e = (spark.read.parquet(f"{sf_dir}/events.parquet")
+         .select("event_id", F.col("ts").cast("timestamp").alias("ts"),
+                 "user_id"))
+    row = e.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")) \
+        .collect()[0]
+    span_s = int((row["hi"] - row["lo"]).total_seconds()) + 1
+    delay_s = span_s + 3600
+    gap_s = 1800
+    work = tempfile.mkdtemp(prefix="geospark_stream_sess_")
+    src = os.path.join(work, "src")
+    # 4 sequential microbatch files + 2 watermark-driver files
+    e.repartitionByRange(4, "event_id").write \
+        .mode("overwrite").parquet(src)
+    sent1 = row["hi"] + dt.timedelta(seconds=delay_s + gap_s + 3600)
+    sent2 = sent1 + dt.timedelta(seconds=delay_s + gap_s + 3600)
+    spark.createDataFrame(
+        [(10 ** 12, sent1, -1), (10 ** 12 + 1, sent2, -1)],
+        "event_id long, ts timestamp, user_id long") \
+        .coalesce(1).write.mode("append").parquet(src)
+    sdf = (spark.readStream
+           .schema("event_id long, ts timestamp, user_id long")
+           .option("maxFilesPerTrigger", 1).parquet(src))
+    out = stream_sessionize_ooo(sdf, gap_s=gap_s,
+                                watermark=f"{delay_s} seconds")
+    name = f"gs_stream_sess_{uuid.uuid4().hex[:8]}"
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("append")
+         .option("checkpointLocation", os.path.join(work, "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    res = (spark.table(name)
+           .filter(F.col("user_id") >= 0)
+           .select("user_id", "session_start_us", "n_events", "dur_s")
+           .localCheckpoint(eager=True))
+    spark.catalog.dropTempView(name)
+    shutil.rmtree(work, ignore_errors=True)
+    return res
+
+
 def q_dedup_exact(spark, sf_dir):
     from pyspark.sql import functions as F
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -983,6 +1041,7 @@ QUERIES = {
     "funnel": q_funnel,
     "simplify_boxes": q_simplify_boxes,
     "line_metrics": q_line_metrics,
+    "stream_sessionize": q_stream_sessionize,
 }
 
 
@@ -1054,6 +1113,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, session_no, COUNT(*) AS n_events, "
             "ROUND((MAX(us) - MIN(us)) / 1000000.0, 3) AS dur_s "
             "FROM sess GROUP BY 1, 2",
+        "stream_sessionize":
+            # exact batch twin of the streaming sessionizer's FULL
+            # output (sentinel-driven watermark closes every session):
+            # same gap rule, same (ts, event_id) ordering, epoch-us
+            "WITH flagged AS (SELECT user_id, event_id, ts, "
+            "datediff('microseconds', TIMESTAMP '1970-01-01 00:00:00', "
+            "ts) AS us, "
+            "CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts "
+            "ASC, event_id ASC) IS NULL OR datediff('microseconds', "
+            "LAG(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, "
+            "event_id ASC), ts) > 1800000000 THEN 1 ELSE 0 END AS nf "
+            "FROM events), "
+            "sess AS (SELECT user_id, us, SUM(nf) OVER (PARTITION BY "
+            "user_id ORDER BY ts ASC, event_id ASC ROWS BETWEEN "
+            "UNBOUNDED PRECEDING AND CURRENT ROW) AS sno FROM flagged) "
+            "SELECT user_id, MIN(us) AS session_start_us, "
+            "COUNT(*) AS n_events, "
+            "ROUND((MAX(us) - MIN(us)) / 1000000.0, 3) AS dur_s "
+            "FROM sess GROUP BY user_id, sno",
         "dedup_exact":
             "SELECT md5(text) AS text_md5, COUNT(*) AS n_dups "
             "FROM documents GROUP BY 1 HAVING COUNT(*) > 1",
