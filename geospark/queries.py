@@ -245,6 +245,20 @@ def q_stream_sessionize(spark, sf_dir):
     making the batch gap-sessionizer SQL the exact oracle.
     Deterministic: same input files, same watermark schedule, same
     emitted rows every run."""
+    # the NTZ -> TIMESTAMP cast (withWatermark requires a zoned event
+    # time) must interpret wall times as UTC or the emitted epoch-us
+    # values shift by the session-tz offset vs the oracle's naive
+    # datediff — pin UTC for this query (result is materialized before
+    # the finally restores the previous zone)
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        return _stream_sessionize_utc(spark, sf_dir)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
+def _stream_sessionize_utc(spark, sf_dir):
     import datetime as dt
     import os
     import shutil
