@@ -164,3 +164,45 @@ def test_ivf_probe_is_scan_side_filter(spark):
     p = _plan(spark, df)
     assert "Join" not in p
     assert "TakeOrderedAndProject" in p        # top-k, not full sort
+
+
+# ---------------------------------------------------------------------------
+# round-3 plan shapes
+# ---------------------------------------------------------------------------
+
+def test_distance_join_is_pure_jvm_equi_join(spark):
+    """Epsilon range join: the rewrite must land as ONE equi-join with
+    zero Python and no cartesian/nested-loop anywhere."""
+    import geospark.queries as q
+    df = q.q_distance_join(spark, SF)
+    p = _plan(spark, df)
+    tree = p.split("\n\n")[0]
+    assert "ArrowEvalPython" not in tree and "MapInPandas" not in tree
+    assert "Cartesian" not in tree and "NestedLoop" not in tree
+    assert tree.count("HashJoin") + tree.count("SortMergeJoin") == 1
+
+
+def test_poly_join_refine_structure(spark):
+    """Areal-areal join: candidate pairs come from the checkpointed
+    double-sided covering (Scan ExistingRDD per refine branch — the
+    Python covering ran ONCE, eagerly), never a driver-collected local
+    table; no cartesian products. The 3 Python nodes are the exact
+    st_intersects refine plus the two st_geomfromtext dim builders of
+    this synthetic query (parquet-backed sides drop the latter two)."""
+    import geospark.queries as q
+    df = q.q_poly_join(spark, SF)
+    p = _plan(spark, df)
+    tree = p.split("\n\n")[0]
+    assert tree.count("Scan ExistingRDD") == 3
+    assert "LocalTableScan" not in tree
+    assert "Cartesian" not in tree and "NestedLoop" not in tree
+    assert tree.count("ArrowEvalPython") <= 3
+
+
+def test_zorder_key_is_codegen_bit_math(spark):
+    import geospark.queries as q
+    df = q.q_zorder_keys(spark, SF)
+    p = _plan(spark, df)
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    # '*' prefixes mark whole-stage-codegen'd nodes in formatted plans
+    assert "* Project" in p
