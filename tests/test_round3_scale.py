@@ -675,3 +675,35 @@ class TestFunnel:
         assert out[1] == (3, 540.0)
         assert out[2] == (2, None)
         assert out[3] == (1, None)
+
+
+class TestIntersectsProperties:
+    def test_every_nonempty_geometry_intersects_itself(self):
+        from geospark.kernels.geom import parse_wkt
+        from geospark.kernels.ops import geom_intersects
+        rng = np.random.default_rng(61)
+        geoms = []
+        for _ in range(20):
+            nv = int(rng.integers(3, 8))
+            p = rng.uniform(-40, 40, (nv, 2))
+            ring = np.vstack([p, p[:1]])
+            body = ", ".join(f"{a!r} {b!r}" for a, b in ring)
+            geoms.append(parse_wkt(f"POLYGON (({body}))"))
+            geoms.append(parse_wkt(
+                f"LINESTRING ({body})"))
+            geoms.append(parse_wkt(f"POINT ({p[0, 0]!r} {p[0, 1]!r})"))
+        for g in geoms:
+            assert geom_intersects(g, g) is True
+
+    def test_far_translated_copies_never_intersect(self):
+        from geospark.kernels.geom import Geom, parse_wkt
+        from geospark.kernels.ops import geom_intersects
+        rng = np.random.default_rng(62)
+        for _ in range(20):
+            nv = int(rng.integers(3, 8))
+            p = rng.uniform(-40, 40, (nv, 2))
+            ring = np.vstack([p, p[:1]])
+            body = ", ".join(f"{a!r} {b!r}" for a, b in ring)
+            g = parse_wkt(f"POLYGON (({body}))")
+            shifted = Geom(3, rings=[ring + np.array([500.0, 0.0])])
+            assert geom_intersects(g, shifted) is False
