@@ -135,6 +135,25 @@ def q_pip_agg(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_pts"))
 
 
+def q_pip_semi(spark, sf_dir):
+    """Semi-join variant of the PIP join under the hash gate (round-3:
+    previously pytest-only): customers inside AT LEAST one zone, full
+    point rows, each exactly once (null-safe row identity via frozen
+    _rid — the round-3 determinism fix this row now pins)."""
+    from .operators.joins import spatial_join
+    pts = _cust_points(spark, sf_dir)
+    return spatial_join(pts, fixed_zones_df(spark), res=RES_COARSE,
+                        how="left_semi")
+
+
+def q_pip_anti(spark, sf_dir):
+    """Anti-join variant: customers in NO zone."""
+    from .operators.joins import spatial_join
+    pts = _cust_points(spark, sf_dir)
+    return spatial_join(pts, fixed_zones_df(spark), res=RES_COARSE,
+                        how="left_anti")
+
+
 def q_knn(spark, sf_dir):
     from pyspark.sql import functions as F
     from .operators.joins import knn_join
@@ -143,6 +162,20 @@ def q_knn(spark, sf_dir):
     out = knn_join(_supp_queries(spark, sf_dir), pts, 3, res=RES_COARSE)
     return out.select("query_id", "point_id",
                       F.col("rank").cast("int").alias("rank"))
+
+
+def q_tile_bounds(spark, sf_dir):
+    """Vector-tile boundary materialization (tiles.tile_boundaries)
+    under the hash gate: per-cell numeric envelope from pure inverse
+    cell arithmetic. x/2^r * 360 - 180 is IEEE-exact (power-of-two
+    divide, small-int multiply), so the doubles cross engines
+    bit-for-bit. The WKT string column is exercised by goldens; the
+    numeric columns are the join/pushdown surface."""
+    from .operators.tiles import tile_boundaries, tile_counts
+    t = tile_counts(_cust_points(spark, sf_dir), RES_COARSE) \
+        .withColumnRenamed("n_docs", "n_pts")
+    return tile_boundaries(t, RES_COARSE).select(
+        "cell", "n_pts", "lon_min", "lat_min", "lon_max", "lat_max")
 
 
 def q_topk_cells(spark, sf_dir):
@@ -1006,8 +1039,11 @@ QUERIES = {
     "bbox_filter": q_bbox_filter,
     "pip_join": q_pip_join,
     "pip_agg": q_pip_agg,
+    "pip_semi": q_pip_semi,
+    "pip_anti": q_pip_anti,
     "knn": q_knn,
     "topk_cells": q_topk_cells,
+    "tile_bounds": q_tile_bounds,
     "st_roundtrip": q_st_roundtrip,
     "envelope_agg": q_envelope_agg,
     "schema_infer": q_schema_infer,
@@ -1077,6 +1113,16 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT * FROM ({_CUST_PTS_CTE}) WHERE lon >= -60.0 "
             f"AND lon <= 20.0 AND lat >= -30.0 AND lat <= 45.0",
         "pip_join": _pip_union_sql(_CUST_PTS_CTE, "c_custkey"),
+        "pip_semi":
+            f"WITH pts AS ({_CUST_PTS_CTE}) SELECT * FROM pts WHERE "
+            + " OR ".join(
+                f"({point_in_rings_sql('lon', 'lat', _zone_rings(w))})"
+                for _, w in FIXED_ZONES),
+        "pip_anti":
+            f"WITH pts AS ({_CUST_PTS_CTE}) SELECT * FROM pts WHERE "
+            "NOT (" + " OR ".join(
+                f"({point_in_rings_sql('lon', 'lat', _zone_rings(w))})"
+                for _, w in FIXED_ZONES) + ")",
         "pip_agg":
             f"SELECT zone_id, COUNT(*) AS n_pts FROM ("
             f"{_pip_union_sql(_CUST_PTS_CTE, 'c_custkey')}) GROUP BY 1",
@@ -1093,6 +1139,14 @@ def oracle_sql() -> dict[str, str]:
             f"+ (q.q_lon - p.lon) * (q.q_lon - p.lon) ASC, "
             f"p.point_id ASC) AS rank FROM q CROSS JOIN p) "
             f"WHERE rank <= 3",
+        "tile_bounds":
+            f"SELECT cell, n_pts, "
+            f"(cell % 64) / 64.0 * 360.0 - 180.0 AS lon_min, "
+            f"((cell // 64) % 64) / 64.0 * 180.0 - 90.0 AS lat_min, "
+            f"((cell % 64) + 1) / 64.0 * 360.0 - 180.0 AS lon_max, "
+            f"(((cell // 64) % 64) + 1) / 64.0 * 180.0 - 90.0 AS lat_max "
+            f"FROM (SELECT {cell6} AS cell, COUNT(*) AS n_pts "
+            f"FROM ({_CUST_PTS_CTE}) GROUP BY 1)",
         "topk_cells":
             f"SELECT {cell8} AS cell, COUNT(*) AS n_pts "
             f"FROM ({_CUST_PTS_CTE}) GROUP BY 1 "
