@@ -280,3 +280,50 @@ def write_zordered(df, path: str, *, lat_col: str = "lat",
          .sortWithinPartitions("_zkey"))
     w.write.mode("overwrite").parquet(path)
     return path
+
+
+def cell_neighbors_explode(df, res: int, *, cell_col: str = "cell",
+                           ring: int = 1):
+    """Explode each cell into its Chebyshev ``ring`` neighborhood
+    (incl. self) as a `_neighbor` column — longitude wraps, latitude
+    edges clamp (no polar wrap), exactly neighbors_np's contract.
+    Pure column expressions (sequence + pmod bit math, whole-stage
+    codegen); the k-ring primitive under kNN fanout and cover
+    expansion, exposed as a standalone operator."""
+    F = _F()
+    n = 1 << res
+    mask = n - 1
+    c = F.col(cell_col)
+    x = c.bitwiseAND(F.lit(mask))
+    y = F.shiftright(c, res).bitwiseAND(F.lit(mask))
+    out = (df
+           .withColumn("_dx", F.explode(F.sequence(F.lit(-ring),
+                                                   F.lit(ring))))
+           .withColumn("_dy", F.explode(F.sequence(F.lit(-ring),
+                                                   F.lit(ring))))
+           .withColumn("_nx", F.pmod(x + F.col("_dx"), F.lit(n)))
+           .withColumn("_ny", y + F.col("_dy"))
+           .filter((F.col("_ny") >= 0) & (F.col("_ny") < n))
+           .withColumn("_neighbor",
+                       F.shiftleft(F.lit(res).cast("long"), _RES_SHIFT)
+                       + F.shiftleft(F.col("_ny").cast("long"), res)
+                       + F.col("_nx").cast("long"))
+           .drop("_dx", "_dy", "_nx", "_ny"))
+    return out
+
+
+def cell_neighbors_sql(cell_expr: str, res: int, ring: int = 1) -> str:
+    """DuckDB twin of cell_neighbors_explode for a single cell column:
+    a FROM-clause fragment producing `neighbor` via generate_series
+    cross joins (same wrap/clamp arithmetic)."""
+    n = 1 << res
+    mask = n - 1
+    x = f"(({cell_expr}) & {mask})"
+    y = f"((({cell_expr}) // {n}) & {mask})"
+    return (
+        f"SELECT cast({res} as bigint) * {1 << _RES_SHIFT} "
+        f"+ (({y}) + dy.g) * {n} "
+        f"+ ((({x}) + dx.g) % {n} + {n}) % {n} AS neighbor "
+        f"FROM generate_series(-{ring}, {ring}) dx(g), "
+        f"generate_series(-{ring}, {ring}) dy(g) "
+        f"WHERE ({y}) + dy.g >= 0 AND ({y}) + dy.g < {n}")

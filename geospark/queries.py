@@ -115,6 +115,39 @@ def q_cell_rollup(spark, sf_dir):
         .withColumnRenamed("n_docs", "n_pts")
 
 
+def q_cell_neighbors(spark, sf_dir):
+    """k-ring neighborhood explode (the grid-algebra primitive under
+    kNN fanout / cover expansion) under the hash gate: distinct
+    (cell, neighbor) pairs of the customer res-6 cells with longitude
+    wrap and latitude clamp."""
+    from .functions.cells import cell_neighbors_explode
+    pts = _cust_points(spark, sf_dir)
+    cells = pts.select(cell_encode("lat", "lon", RES_COARSE)
+                       .alias("cell")).distinct()
+    return cell_neighbors_explode(cells, RES_COARSE) \
+        .select("cell", "_neighbor").withColumnRenamed(
+            "_neighbor", "neighbor").distinct()
+
+
+def q_events_daily_cells(spark, sf_dir):
+    """Time x space rollup (the hypertable shape): per-day per-cell
+    event counts — date_trunc riding the same shuffle as the cell
+    key."""
+    from pyspark.sql import functions as F
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pts = e.select(
+        F.col("ts"),
+        ((F.col("user_id") % 180).cast("double") - 90.0).alias("lat"),
+        (((F.col("value") % 360.0) + 360.0) % 360.0 - 180.0).alias("lon"))
+    # day as a STRING: Spark DateType and DuckDB DATE stringify
+    # differently through pandas (date vs datetime64), which breaks
+    # the comparator's canonicalization — format identically instead
+    return (pts.withColumn("cell", cell_encode("lat", "lon", RES_COARSE))
+            .withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+            .groupBy("day", "cell")
+            .agg(F.count(F.lit(1)).alias("n_events")))
+
+
 def q_bbox_filter(spark, sf_dir):
     from pyspark.sql import functions as F
     return _cust_points(spark, sf_dir).filter(
@@ -1037,6 +1070,8 @@ QUERIES = {
     "cell_counts": q_cell_counts,
     "cell_rollup": q_cell_rollup,
     "bbox_filter": q_bbox_filter,
+    "cell_neighbors": q_cell_neighbors,
+    "events_daily_cells": q_events_daily_cells,
     "pip_join": q_pip_join,
     "pip_agg": q_pip_agg,
     "pip_semi": q_pip_semi,
@@ -1440,6 +1475,17 @@ def oracle_sql() -> dict[str, str]:
         "CAST(2 * steps + 1 AS INTEGER) AS n_points "
         "FROM (SELECT p_partkey, CAST(1 + p_size % 3 AS BIGINT) AS h, "
         "CAST(1 + p_partkey % 3 AS BIGINT) AS steps FROM part)")
+    from .functions.cells import cell_neighbors_sql
+    out["cell_neighbors"] = (
+        f"WITH cells AS (SELECT DISTINCT {cell6} AS cell "
+        f"FROM ({_CUST_PTS_CTE})) "
+        f"SELECT DISTINCT cell, neighbor FROM cells, "
+        f"LATERAL ({cell_neighbors_sql('cell', RES_COARSE)}) nb")
+    out["events_daily_cells"] = (
+        f"SELECT strftime(ts, '%Y-%m-%d') AS day, "
+        f"{cell6} AS cell, COUNT(*) AS n_events "
+        f"FROM (SELECT ts, {EVT_LAT_SQL} AS lat, {EVT_LON_SQL} AS lon "
+        f"FROM events) GROUP BY 1, 2")
     from .operators.events import funnel_steps_sql
     out["funnel"] = funnel_steps_sql(["view", "click", "purchase"])
     from .operators.tiles import compact_cells_sql

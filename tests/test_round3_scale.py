@@ -707,3 +707,21 @@ class TestIntersectsProperties:
             g = parse_wkt(f"POLYGON (({body}))")
             shifted = Geom(3, rings=[ring + np.array([500.0, 0.0])])
             assert geom_intersects(g, shifted) is False
+
+
+def test_cell_neighbors_explode_matches_numpy(spark):
+    """Column-expression k-ring == neighbors_np on edge cells (lon
+    wrap at the antimeridian, lat clamp at the poles) and interior."""
+    from geospark.functions.cells import (cell_neighbors_explode,
+                                          encode_np, neighbors_np)
+    res = 5
+    cells = [int(encode_np(np.array([la]), np.array([lo]), res)[0])
+             for la, lo in [(0.0, 0.0), (89.9, 10.0), (-89.9, -10.0),
+                            (45.0, 179.9), (45.0, -179.9)]]
+    df = spark.createDataFrame([(c,) for c in cells], "cell long")
+    out = cell_neighbors_explode(df, res)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.cell, set()).add(r._neighbor)
+    for c in cells:
+        assert got[c] == set(neighbors_np(c).tolist()), hex(c)
