@@ -286,19 +286,30 @@ def cell_neighbors_explode(df, res: int, *, cell_col: str = "cell",
                            ring: int = 1):
     """Explode each cell into its Chebyshev ``ring`` neighborhood
     (incl. self) as a `_neighbor` column — longitude wraps, latitude
-    edges clamp (no polar wrap), exactly neighbors_np's contract.
+    edges clamp (no polar wrap), exactly neighbors_np's contract
+    including its np.unique dedup: when the ring spans the whole grid
+    width (2*ring+1 >= 2^res, coarse resolutions) the x-offsets are
+    emitted once per residue instead of once per dx, so wrap
+    collisions never produce duplicate neighbor rows (ADVICE r3).
     Pure column expressions (sequence + pmod bit math, whole-stage
     codegen); the k-ring primitive under kNN fanout and cover
     expansion, exposed as a standalone operator."""
     F = _F()
     n = 1 << res
     mask = n - 1
+    # x wraps mod n: offsets beyond a full grid width would revisit
+    # residues, so cap the dx range to one full sweep (each residue
+    # exactly once). y clamps, so dy can never collide.
+    if 2 * ring + 1 >= n:
+        dx_lo, dx_hi = 0, n - 1
+    else:
+        dx_lo, dx_hi = -ring, ring
     c = F.col(cell_col)
     x = c.bitwiseAND(F.lit(mask))
     y = F.shiftright(c, res).bitwiseAND(F.lit(mask))
     out = (df
-           .withColumn("_dx", F.explode(F.sequence(F.lit(-ring),
-                                                   F.lit(ring))))
+           .withColumn("_dx", F.explode(F.sequence(F.lit(dx_lo),
+                                                   F.lit(dx_hi))))
            .withColumn("_dy", F.explode(F.sequence(F.lit(-ring),
                                                    F.lit(ring))))
            .withColumn("_nx", F.pmod(x + F.col("_dx"), F.lit(n)))
@@ -315,15 +326,16 @@ def cell_neighbors_explode(df, res: int, *, cell_col: str = "cell",
 def cell_neighbors_sql(cell_expr: str, res: int, ring: int = 1) -> str:
     """DuckDB twin of cell_neighbors_explode for a single cell column:
     a FROM-clause fragment producing `neighbor` via generate_series
-    cross joins (same wrap/clamp arithmetic)."""
+    cross joins (same wrap/clamp/residue-dedup arithmetic)."""
     n = 1 << res
     mask = n - 1
+    dx_lo, dx_hi = (0, n - 1) if 2 * ring + 1 >= n else (-ring, ring)
     x = f"(({cell_expr}) & {mask})"
     y = f"((({cell_expr}) // {n}) & {mask})"
     return (
         f"SELECT cast({res} as bigint) * {1 << _RES_SHIFT} "
         f"+ (({y}) + dy.g) * {n} "
         f"+ ((({x}) + dx.g) % {n} + {n}) % {n} AS neighbor "
-        f"FROM generate_series(-{ring}, {ring}) dx(g), "
+        f"FROM generate_series({dx_lo}, {dx_hi}) dx(g), "
         f"generate_series(-{ring}, {ring}) dy(g) "
         f"WHERE ({y}) + dy.g >= 0 AND ({y}) + dy.g < {n}")

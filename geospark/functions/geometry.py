@@ -270,8 +270,11 @@ def _format_coord_array(v: np.ndarray) -> np.ndarray:
         out[isint] = v[isint].astype(np.int64).astype(str).astype(object)
     rest = ~isint
     if rest.any():
+        # format_float_positional handles non-finite itself
+        # ('nan'/'inf'/'-inf') — the same policy as _fmt_num, so the
+        # vectorized and scalar WKT writers agree on every value
         out[rest] = [np.format_float_positional(x, trim="-")
-                     if np.isfinite(x) else "nan" for x in v[rest]]
+                     for x in v[rest]]
     return out
 
 
@@ -294,12 +297,27 @@ def _st_npoints_batch(s: pd.Series) -> pd.Series:
         out[np.nonzero(pt)[0]] = np.where(np.isnan(x), 0, 1)
     ls = le & (t == 2) & no_srid & (lens >= 9)
     if ls.any():
-        si = offsets[np.nonzero(ls)[0]].astype(np.int64)
+        li = np.nonzero(ls)[0]
+        si = offsets[li].astype(np.int64)
         cnt = (data[si + 5].astype(np.int64)
                | (data[si + 6].astype(np.int64) << 8)
                | (data[si + 7].astype(np.int64) << 16)
                | (data[si + 8].astype(np.int64) << 24))
-        out[np.nonzero(ls)[0]] = cnt
+        # validate the count word against the buffer length (using the
+        # header's Z/M flags for coords-per-point) — a truncated or
+        # inflated linestring must route to parse_wkb and raise, not
+        # silently return the claimed count (ADVICE r3)
+        lraw = traw[li]
+        base = lraw & np.uint32(0x1FFFFFFF)
+        k = base // np.uint32(1000)
+        nd = (2
+              + ((k == 1) | (k == 3)
+                 | ((lraw & np.uint32(0x80000000)) != 0)).astype(np.int64)
+              + ((k == 2) | (k == 3)
+                 | ((lraw & np.uint32(0x40000000)) != 0)).astype(np.int64))
+        good = lens[li] >= 9 + cnt * nd * 8
+        out[li[good]] = cnt[good]
+        ls[li[~good]] = False
     pb = parse_polygon_wkb_buffer(data, offsets, validity)
     if pb.ok.any():
         np.add.at(out, pb.poly_of_ring, pb.ring_rows)

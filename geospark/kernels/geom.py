@@ -148,8 +148,12 @@ class Geom:
 # ---------------------------------------------------------------------------
 
 def _fmt_num(v: float) -> str:
-    if np.isnan(v):
-        return "nan"
+    # non-finite first: int(inf) would raise, and this pins one policy
+    # ('nan'/'inf'/'-inf') shared with the vectorized writer's
+    # _format_coord_array so fast-path and fallback rows format
+    # identically (ADVICE r3)
+    if not np.isfinite(v):
+        return np.format_float_positional(v, trim="-")
     if v == int(v) and abs(v) < 1e15:
         return str(int(v))
     return np.format_float_positional(v, trim="-")

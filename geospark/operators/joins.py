@@ -25,7 +25,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from ..functions.cells import (cell_bounds_np, cell_encode,
+from ..functions.cells import (_RES_SHIFT, cell_bounds_np, cell_encode,
                                cover_polygon_np)
 from ..kernels.geom import Geom
 from ..kernels.ops import point_in_rings
@@ -605,7 +605,8 @@ def distance_join(left, right, radius_deg: float, *, res: int = 6,
                cx(F.col(l_lon) - r), cx(F.col(l_lon) + r))))
            .withColumn("_y", F.explode(F.sequence(
                cy(F.col(l_lat) - r), cy(F.col(l_lat) + r))))
-           .withColumn("_cell", F.shiftleft(F.lit(res).cast("long"), 56)
+           .withColumn("_cell",
+                       F.shiftleft(F.lit(res).cast("long"), _RES_SHIFT)
                        + F.shiftleft(F.col("_y"), res) + F.col("_x"))
            .drop("_x", "_y"))
     rgt = right.withColumn("_cell", cell_encode(r_lat, r_lon, res))

@@ -22,36 +22,46 @@ def _emb_double(col):
     return F.transform(col, lambda x: x.cast("double"))
 
 
-def dot_cols_expr(a, b, dim: int):
+def dot_cols_expr(a: str, b: str, dim: int):
     """Codegen'd left-to-right dot product of two array<double>
     columns with a KNOWN width: unrolled element_at sum. Spark's
     higher-order aggregate/zip_with lambdas are interpreted per
     element (10-30x slower than codegen — the round-1 MinHash lesson);
     64 unrolled terms stay far under the janino 64KB method limit and
     ride whole-stage codegen. The fold order is the same sequential
-    left-to-right as the DuckDB twin's list_dot_product, so the
-    doubles match bit-for-bit."""
+    left-to-right as the DuckDB twin's list_dot_product (SQL `+` is
+    left-associative), so the doubles match bit-for-bit.
+
+    ``a``/``b`` are SQL column references, not Column objects: the
+    whole sum is built as ONE string handed to a single F.expr call.
+    Building it Column-by-Column cost ~2*dim py4j round-trips
+    (~0.5-1 s of driver latency per query at dim=64 — the round-3
+    ann_topk bench regression); one parse on the JVM side is ~free."""
     from pyspark.sql import functions as F
-    out = F.element_at(a, 1) * F.element_at(b, 1)
-    for i in range(2, dim + 1):
-        out = out + F.element_at(a, i) * F.element_at(b, i)
-    return out
+    return F.expr(" + ".join(
+        f"element_at({a}, {i}) * element_at({b}, {i})"
+        for i in range(1, dim + 1)))
 
 
-def dot_lit_expr(col, qv):
-    """Codegen'd dot product of an array<double> column with a literal
-    query vector (same unrolled, sequential shape)."""
+def dot_lit_expr(col: str, qv):
+    """Codegen'd dot product of an array<double> column (SQL reference
+    string) with a literal query vector — same single-F.expr unrolled,
+    sequential shape as :func:`dot_cols_expr`. Literals go through
+    CAST('<repr>' AS DOUBLE): repr round-trips the exact double and
+    string->double casting is correctly rounded, so the JVM sees the
+    same bits the driver held."""
     from pyspark.sql import functions as F
-    out = F.element_at(col, 1) * F.lit(float(qv[0]))
-    for i in range(1, len(qv)):
-        out = out + F.element_at(col, i + 1) * F.lit(float(qv[i]))
-    return out
+    return F.expr(" + ".join(
+        f"element_at({col}, {i + 1}) * CAST('{float(v)!r}' AS DOUBLE)"
+        for i, v in enumerate(qv)))
 
 
 def cosine_col(a, b, dim: int | None = None):
     """Column expr: cosine similarity of two array<double> columns.
     Pass ``dim`` (the embedding width) to unroll into whole-stage
-    codegen; without it the interpreted higher-order fold is used."""
+    codegen — ``a``/``b`` must then be SQL column reference STRINGS
+    (see dot_cols_expr); without it the interpreted higher-order fold
+    is used and ``a``/``b`` are Column objects."""
     from pyspark.sql import functions as F
     if dim is not None:
         dot = dot_cols_expr(a, b, dim)
@@ -65,6 +75,77 @@ def cosine_col(a, b, dim: int | None = None):
     nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0),
                             lambda acc, x: acc + x))
     return dot / (na * nb)
+
+
+# Below this many input rows the fixed cost of unrolled-expression
+# codegen (janino compile of a 3*dim-term method; observed 0.3 s
+# typical, multi-second worst-case first run) exceeds what the
+# interpreted higher-order fold spends evaluating every row — so
+# interactive/small scans take the cheap-plan path and only genuinely
+# large scans pay the compile to go 1.3x faster per row (SURVEY §8).
+# Both folds are sequential left-to-right, so results are bit-equal.
+ANN_UNROLL_MIN_ROWS = 2_000_000
+
+
+def dot_lit_fold(col, qv):
+    """Interpreted (no-codegen) dot product of an array<double> Column
+    with a literal query vector: zip_with + sequential aggregate fold.
+    Bit-identical to dot_lit_expr — same left-to-right double adds —
+    with a tiny plan instead of a 2*dim-term codegen method."""
+    from pyspark.sql import functions as F
+    arr = F.expr("array(" + ",".join(
+        f"CAST('{float(v)!r}' AS DOUBLE)" for v in qv) + ")")
+    return F.aggregate(F.zip_with(col, arr, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm_fold(col):
+    """Interpreted sequential sum-of-squares -> sqrt (bit-equal twin of
+    sqrt(dot_cols_expr(c, c, dim)))."""
+    from pyspark.sql import functions as F
+    return F.sqrt(F.aggregate(F.transform(col, lambda x: x * x),
+                              F.lit(0.0), lambda acc, x: acc + x))
+
+
+def ann_topk(emb_df, query_vec, k: int = 10, *, id_col: str = "vec_id",
+             emb_col: str = "embedding", unroll: bool | None = None,
+             expected_rows: int | None = None):
+    """Exact brute-force cosine top-k vs a literal query vector — the
+    ANN baseline tier. One map-side scan + TakeOrderedAndProject (per-
+    partition top-k, k rows to the driver); no shuffle of the table.
+
+    Strategy choice (the round-3 regression fix): ``unroll=True``
+    compiles the dot products into whole-stage codegen — right when the
+    scan is large enough to amortize the janino compile; ``False`` uses
+    the interpreted higher-order fold — right for interactive queries
+    and small inputs. Default: decided by ``expected_rows`` (e.g. from
+    parquet footer metadata) against ANN_UNROLL_MIN_ROWS. The two paths
+    execute the same left-to-right double arithmetic, so they are
+    bit-equal and hash-equal under the oracle."""
+    from pyspark.sql import functions as F
+    import numpy as np
+    qv = [float(v) for v in query_vec]
+    if unroll is None:
+        unroll = (expected_rows is not None
+                  and expected_rows >= ANN_UNROLL_MIN_ROWS)
+    # project the double-cast array ONCE (an unbound transform expr
+    # under 2*dim element_at references could re-evaluate per term)
+    ev = emb_df.select(F.col(id_col),
+                       _emb_double(F.col(emb_col)).alias("v"))
+    # query norm accumulated SEQUENTIALLY (not numpy pairwise): the
+    # DuckDB twin sums left-to-right and a last-ulp difference could
+    # flip the 6dp rounding
+    qn = float(np.sqrt(sum(v * v for v in qv)))
+    if unroll:
+        dot = dot_lit_expr("v", qv)
+        nv = F.sqrt(dot_cols_expr("v", "v", len(qv)))
+    else:
+        dot = dot_lit_fold(F.col("v"), qv)
+        nv = norm_fold(F.col("v"))
+    sim = F.round(dot / (nv * F.lit(qn)), 6)
+    return (ev.select(id_col, sim.alias("sim"))
+            .orderBy(F.col("sim").desc(), F.col(id_col).asc())
+            .limit(k))
 
 
 def sign_bucket_col(emb, n_bits: int):
@@ -332,8 +413,8 @@ def _cosine_topk(e, query_vec, k: int, id_col: str):
     # 6dp-rounded cosine at a rounding boundary
     qn = float(np.sqrt(_sq_dist_seq(qv[None, :],
                                     np.zeros(qv.shape[0]))[0]))
-    dot = dot_lit_expr(F.col("v"), qv)
-    nv = F.sqrt(dot_cols_expr(F.col("v"), F.col("v"), len(qv)))
+    dot = dot_lit_expr("v", qv)
+    nv = F.sqrt(dot_cols_expr("v", "v", len(qv)))
     sim = F.round(dot / (nv * F.lit(qn)), 6)
     return (e.select(id_col, sim.alias("sim"))
             .orderBy(F.col("sim").desc(), F.col(id_col).asc())
@@ -473,8 +554,8 @@ def lsh_ann_topk(emb_df, query_vec, k: int = 10, *,
              == F.lit(qb))
         cond = c if cond is None else (cond | c)
     e = e.filter(cond)
-    dot = dot_lit_expr(F.col("v"), qv)
-    nv = F.sqrt(dot_cols_expr(F.col("v"), F.col("v"), len(qv)))
+    dot = dot_lit_expr("v", qv)
+    nv = F.sqrt(dot_cols_expr("v", "v", len(qv)))
     sim = F.round(dot / (nv * F.lit(qn)), 6)
     return (e.select(id_col, sim.alias("sim"))
             .orderBy(F.col("sim").desc(), F.col(id_col).asc())

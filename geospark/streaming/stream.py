@@ -12,6 +12,16 @@ from __future__ import annotations
 from ..functions.cells import cell_encode
 
 
+def _dur_s(start_us: int, last_us: int) -> float:
+    """Session duration in seconds at ms precision, decimal HALF_UP on
+    the exact integer-microsecond difference — the same value the batch
+    sessionizer's ``F.round((max_us-min_us)/1e6, 3)`` and the DuckDB
+    oracle's ``ROUND(.., 3)`` produce. Python's built-in ``round`` is
+    banker's (HALF_EVEN) and flips the cross-engine hash when the
+    duration lands on a .0005 s boundary (ADVICE r3)."""
+    return ((last_us - start_us + 500) // 1000) / 1000.0
+
+
 def stream_tile_counts(spark, src_dir: str, schema: str, *,
                        ts_col: str = "warc_ts", lat_col: str = "lat",
                        lon_col: str = "lon", res: int = 6,
@@ -100,7 +110,7 @@ def stream_sessionize(stream_df, *, user_col: str = "user_id",
                 us = int(pd.Timestamp(t).value // 1000)
                 if last is not None and us - last > gap_us:
                     closed.append((uid, start, n,
-                                   round((last - start) / 1e6, 3)))
+                                   _dur_s(start, last)))
                     start, n = us, 0
                 if start is None:
                     start = us
@@ -176,7 +186,7 @@ def stream_sessionize_ooo(stream_df, *, user_col: str = "user_id",
                 continue
             if last is not None and us - last > gap_us:
                 closed.append((uid, start, n,
-                               round((last - start) / 1e6, 3)))
+                               _dur_s(start, last)))
                 start, n = None, 0
             if start is None:
                 start = us
@@ -185,7 +195,7 @@ def stream_sessionize_ooo(stream_df, *, user_col: str = "user_id",
         # watermark alone can close the open session: nothing at or
         # before last + gap can still arrive
         if last is not None and wm_us - last > gap_us:
-            closed.append((uid, start, n, round((last - start) / 1e6, 3)))
+            closed.append((uid, start, n, _dur_s(start, last)))
             start, last, n = None, None, 0
         if keep_us or last is not None:
             state.update((keep_us, keep_id, start, last, n))

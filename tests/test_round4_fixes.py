@@ -1,0 +1,166 @@
+"""Round-4 ADVICE fixes: linestring count-word validation in the
+npoints fast path, HALF_UP session durations, k-ring wrap-collision
+dedup at coarse resolutions, shared _RES_SHIFT in distance_join,
+non-finite coordinate formatting parity between the vectorized and
+scalar WKT writers."""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _le_linestring(coords, claimed=None, dims=2, trailing=b""):
+    """Hand-rolled little-endian LINESTRING WKB with a forgeable count
+    word (ISO type codes: 2 / 1002 Z / 2002 M / 3002 ZM)."""
+    type_code = {2: 2, 3: 1002, 4: 3002}[dims]
+    cnt = len(coords) if claimed is None else claimed
+    buf = struct.pack("<BII", 1, type_code, cnt)
+    for c in coords:
+        buf += struct.pack(f"<{dims}d", *c)
+    return buf + trailing
+
+
+class TestNpointsCountWordValidation:
+    def _batch(self, rows):
+        from geospark.functions.geometry import _st_npoints_batch
+        return _st_npoints_batch(pd.Series(rows))
+
+    def test_valid_linestring_still_fast(self):
+        wkb = _le_linestring([(0.0, 0.0), (1.0, 1.0), (2.0, 0.0)])
+        assert list(self._batch([wkb])) == [3]
+
+    def test_truncated_count_word_raises(self):
+        # claims 3 points, contains 1 — must be an error, not 3
+        wkb = _le_linestring([(0.0, 0.0)], claimed=3)
+        with pytest.raises(ValueError):
+            self._batch([wkb])
+
+    def test_inflated_count_word_raises(self):
+        # claims 2**20 points, contains 2 — must not be returned verbatim
+        wkb = _le_linestring([(0.0, 0.0), (1.0, 1.0)], claimed=1 << 20)
+        with pytest.raises(ValueError):
+            self._batch([wkb])
+
+    def test_z_linestring_dims_in_bound(self):
+        # 2 XYZ points = 9 + 2*3*8 bytes; the same byte length would
+        # fit 3 XY points, so the bound must use the header's dims
+        wkb = _le_linestring([(0.0, 0.0, 5.0), (1.0, 1.0, 6.0)], dims=3)
+        assert list(self._batch([wkb])) == [2]
+        short = _le_linestring([(0.0, 0.0, 5.0), (1.0, 1.0, 6.0)],
+                               dims=3, claimed=3)
+        with pytest.raises(ValueError):
+            self._batch([short])
+
+
+class TestDurSHalfUp:
+    def test_half_up_not_bankers(self):
+        from geospark.streaming.stream import _dur_s
+        # 1500 us -> 0.0015 s: nearest double is just below .0015, so
+        # Python round() returns 0.001; decimal HALF_UP (and Spark
+        # F.round / DuckDB ROUND) return 0.002
+        assert _dur_s(0, 1500) == 0.002
+        assert _dur_s(0, 2500) == 0.003
+        assert _dur_s(0, 1_234_499) == 1.234
+        assert _dur_s(0, 1_234_500) == 1.235
+        assert _dur_s(1000, 1000) == 0.0
+
+    def test_matches_decimal_half_up_sweep(self):
+        from decimal import ROUND_HALF_UP, Decimal
+        from geospark.streaming.stream import _dur_s
+        for d_us in list(range(0, 5000, 37)) + [10 ** 9 + 500,
+                                                123_456_789]:
+            exp = float((Decimal(d_us) / Decimal(1_000_000))
+                        .quantize(Decimal("0.001"),
+                                  rounding=ROUND_HALF_UP))
+            assert _dur_s(0, d_us) == exp, d_us
+
+
+class TestNeighborsWrapDedup:
+    def test_coarse_res_no_duplicate_rows(self, spark):
+        from geospark.functions.cells import (cell_neighbors_explode,
+                                              encode_np, neighbors_np)
+        # res=1 -> 2x2 grid: ring 1 spans the whole width, so naive
+        # [-1,1] dx offsets revisit every x-residue twice
+        cell = int(encode_np(np.asarray([10.0]), np.asarray([20.0]), 1)[0])
+        df = spark.createDataFrame([(cell,)], "cell long")
+        rows = cell_neighbors_explode(df, 1, ring=1).collect()
+        got = sorted(r._neighbor for r in rows)
+        exp = sorted(neighbors_np(cell, 1).tolist())
+        assert got == exp  # equality of MULTISETS: no dup rows emitted
+
+    def test_fine_res_unchanged(self, spark):
+        from geospark.functions.cells import (cell_neighbors_explode,
+                                              encode_np, neighbors_np)
+        cell = int(encode_np(np.asarray([10.0]), np.asarray([20.0]), 8)[0])
+        df = spark.createDataFrame([(cell,)], "cell long")
+        rows = cell_neighbors_explode(df, 8, ring=2).collect()
+        got = sorted(r._neighbor for r in rows)
+        exp = sorted(neighbors_np(cell, 2).tolist())
+        assert got == exp
+
+    def test_sql_twin_matches_coarse(self):
+        import duckdb
+        from geospark.functions.cells import (cell_neighbors_sql,
+                                              encode_np, neighbors_np)
+        cell = int(encode_np(np.asarray([-40.0]), np.asarray([170.0]),
+                             1)[0])
+        sql = cell_neighbors_sql(str(cell), 1, ring=1)
+        got = sorted(r[0] for r in duckdb.sql(sql).fetchall())
+        exp = sorted(neighbors_np(cell, 1).tolist())
+        assert got == exp
+
+
+class TestDistanceJoinResShift:
+    def test_no_hardcoded_shift(self):
+        import inspect
+        from geospark.operators import joins
+        src = inspect.getsource(joins.distance_join)
+        assert "_RES_SHIFT" in src
+        assert ", 56)" not in src
+
+
+class TestNonFiniteWktParity:
+    def test_fmt_num_inf(self):
+        from geospark.kernels.geom import _fmt_num
+        assert _fmt_num(float("inf")) == "inf"
+        assert _fmt_num(float("-inf")) == "-inf"
+        assert _fmt_num(float("nan")) == "nan"
+
+    def test_fast_and_fallback_agree_on_inf_point(self):
+        from geospark.functions.geometry import _st_astext_batch
+        le = struct.pack("<BIdd", 1, 1, math.inf, 1.0)   # fast path
+        be = struct.pack(">BIdd", 0, 1, math.inf, 1.0)   # fallback
+        out = _st_astext_batch(pd.Series([le, be]))
+        assert out[0] == out[1] == "POINT (inf 1)"
+
+    def test_fast_and_fallback_agree_on_neg_inf(self):
+        from geospark.functions.geometry import _st_astext_batch
+        le = struct.pack("<BIdd", 1, 1, 2.0, -math.inf)
+        be = struct.pack(">BIdd", 0, 1, 2.0, -math.inf)
+        out = _st_astext_batch(pd.Series([le, be]))
+        assert out[0] == out[1] == "POINT (2 -inf)"
+
+
+class TestAnnStrategyGate:
+    def test_unrolled_and_fold_bit_equal(self, spark):
+        """The size-gated strategy choice must never change results:
+        codegen'd unrolled vs interpreted fold execute the same
+        left-to-right double arithmetic."""
+        from geospark.operators.similarity import ann_topk
+        e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        qv = (e.limit(1).collect()[0]["embedding"])
+        a = ann_topk(e, qv, 25, unroll=True).toPandas()
+        b = ann_topk(e, qv, 25, unroll=False).toPandas()
+        assert list(a.vec_id) == list(b.vec_id)
+        assert list(a.sim) == list(b.sim)  # exact, not approx
+
+    def test_gate_picks_fold_for_small(self):
+        from geospark.operators.similarity import ANN_UNROLL_MIN_ROWS
+        from geospark.queries import _parquet_rows
+        n = _parquet_rows("/root/testdata/sf0.01/embeddings.parquet")
+        assert 0 < n < ANN_UNROLL_MIN_ROWS
