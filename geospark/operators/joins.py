@@ -622,6 +622,33 @@ def distance_join(left, right, radius_deg: float, *, res: int = 6,
 # kNN join with candidate-cell expansion
 # ---------------------------------------------------------------------------
 
+_DENSITY_CACHE: dict = {}
+
+
+def _density_stats(pts, res: int) -> float:
+    """Average points per occupied cell — the heuristic behind the
+    initial kNN ring size. Approximate (HLL distinct) and memoized on
+    the DataFrame's semantic plan hash; wrong numbers only cost an
+    extra ring iteration, never exactness."""
+    from pyspark.sql import functions as F
+    key = None
+    try:
+        key = (pts._jdf.queryExecution().analyzed().semanticHash(), res)
+    except Exception:
+        pass
+    if key is not None and key in _DENSITY_CACHE:
+        return _DENSITY_CACHE[key]
+    stats = pts.agg(F.count(F.lit(1)).alias("n"),
+                    F.approx_count_distinct("_pcell").alias("c")) \
+        .collect()[0]
+    avg = max(float(stats["n"]) / max(int(stats["c"]), 1), 1e-9)
+    if key is not None:
+        if len(_DENSITY_CACHE) > 256:
+            _DENSITY_CACHE.clear()
+        _DENSITY_CACHE[key] = avg
+    return avg
+
+
 def knn_join(queries, points, k: int, *, res: int = 8,
              query_id_col: str = "query_id", point_id_col: str = "point_id",
              q_lat: str = "q_lat", q_lon: str = "q_lon",
@@ -679,16 +706,29 @@ def knn_join(queries, points, k: int, *, res: int = 8,
     n_remaining = remaining.count()
     results = []
     to_unpersist: list = []
-    # initial ring from data density: aim for ~4k candidates per query
-    # in the first pass ((2r+1)^2 * avg_pts_per_cell >= 4k), so typical
-    # queries satisfy in one iteration instead of walking 1,2,4,...
-    # (pure perf: the guarantee loop below keeps exactness regardless)
-    stats = pts.agg(F.count(F.lit(1)).alias("n"),
-                    F.countDistinct("_pcell").alias("c")).collect()[0]
-    avg = max(float(stats["n"]) / max(int(stats["c"]), 1), 1e-9)
+    # initial ring from data density: size the FIRST ring so the
+    # guarantee (kth distance < ring * cell_h) typically holds in one
+    # pass — every extra iteration costs a full job round-trip (window
+    # shuffle + anti-join + count), which dominates at interactive
+    # sizes (r3 bench: 2 iterations = 2.7 s, 1 iteration = 0.8 s on
+    # the same data). Expected kth-NN radius in cell_h units for
+    # near-uniform density is sqrt(2k / (pi * avg)) (a lon cell is
+    # 2 cell_h wide, so pts per cell_h^2 = avg/2); the 2.5x margin
+    # absorbs ~6x local sparsity before a second ring is needed.
+    # Oversizing only widens one fanout; undersizing adds a whole
+    # iteration — so err large. (Pure perf: the guarantee loop below
+    # keeps exactness regardless.)
+    # The stats scan is a heuristic input only, so it is (a) approx —
+    # approx_count_distinct's HLL rides the same single agg instead of
+    # an exact-distinct shuffle — and (b) memoized per (plan, res):
+    # repeated calls over the same points table (bench reps, iterative
+    # pipelines) pay the scan once (r3 bench regression: this job sat
+    # in every timed rep).
+    avg = _density_stats(pts, res)
     import math
     ring = max(1, min(1 << (res - 1),
-                      math.ceil((math.sqrt(4.0 * k / avg) - 1) / 2)))
+                      math.ceil(2.5 * math.sqrt(
+                          2.0 * k / (math.pi * avg)))))
     for _ in range(max_iters):
         if n_remaining == 0:
             break
@@ -744,13 +784,21 @@ def knn_join(queries, points, k: int, *, res: int = 8,
         # the guarantee radius force another expansion instead.
         guard = (ring * guard_deg) ** 2
         wq = Window.partitionBy(query_id_col)
+        # full-grid coverage (x spans every residue AND y spans every
+        # row from any _qy): the candidate set IS the whole points
+        # table, so the top-k is exact by definition — the radius
+        # guarantee is irrelevant and, under the planar metric, can
+        # never be met for antipodal dlon (which previously forced the
+        # brute-force fallback to re-do work this iteration already
+        # did; the cap at ring = 2^res subsumes the fallback)
+        full_cover = ring >= n_cells - 1
+        sat_expr = (F.lit(True) if full_cover else
+                    (F.count(F.lit(1)).over(wq) >= k)
+                    & (F.max("_sqdist").over(wq) < F.lit(guard)))
         topk = (j.withColumn("_sqdist", dist)
                  .withColumn("_rn", F.row_number().over(w))
                  .filter(F.col("_rn") <= k)
-                 .withColumn("_sat",
-                             (F.count(F.lit(1)).over(wq) >= k)
-                             & (F.max("_sqdist").over(wq)
-                                < F.lit(guard)))).persist()
+                 .withColumn("_sat", sat_expr)).persist()
         # debug_plans captures the PRE-checkpoint frame: the returned
         # result scans a checkpointed RDD, so plan-shape tests must
         # look here to see the candidate-join/window structure
@@ -770,27 +818,50 @@ def knn_join(queries, points, k: int, *, res: int = 8,
         # cap: at ring >= n_cells the fanout already covers the whole
         # grid; further doubling only grows the guarantee radius
         ring = min(ring * 2, 1 << res)
+    used_fallback = False
     if n_remaining > 0:
-        # brute-force fallback for stragglers (exactness floor)
-        j = remaining.crossJoin(F.broadcast(pts.drop("_pcell")))
+        # brute-force fallback for stragglers (exactness floor; with
+        # the full-coverage satisfy above this is reachable only in
+        # degenerate shapes, e.g. max_iters exhausted before the ring
+        # cap). Broadcast the REMAINING QUERIES — the small straggler
+        # side — never the points fact table: at scale broadcasting
+        # `pts` OOMs every executor (r3 VERDICT). The cross join stays
+        # distributed over the points partitions; the top-k window
+        # shuffles |remaining| * |pts| rows by query id, which is the
+        # irreducible cost of exact brute force.
+        used_fallback = True
+        j = F.broadcast(remaining).crossJoin(pts.drop("_pcell"))
         dist = dist_expr()
         from pyspark.sql import Window as W2
         w = W2.partitionBy(query_id_col).orderBy(
             dist.asc(), F.col(point_id_col).asc())
-        results.append(j.withColumn("_sqdist", dist)
-                       .withColumn("_rn", F.row_number().over(w))
-                       .filter(F.col("_rn") <= k))
+        fb = (j.withColumn("_sqdist", dist)
+               .withColumn("_rn", F.row_number().over(w))
+               .filter(F.col("_rn") <= k))
+        if debug_plans is not None:
+            debug_plans.append(fb)
+        results.append(fb)
     out = results[0]
     for r in results[1:]:
         out = out.unionByName(r)
-    # ONE final materialization (result-sized, lineage-truncating),
-    # after which every per-iteration topk/remaining cache is dropped —
-    # the cache population after knn_join returns is exactly the
-    # checkpointed result, regardless of iteration count
     out = out.withColumnRenamed("_sqdist", "sqdist") \
-             .withColumnRenamed("_rn", "rank") \
-             .localCheckpoint(eager=True)
-    for df in to_unpersist:
-        df.unpersist()
+             .withColumnRenamed("_rn", "rank")
+    if len(results) > 1 or used_fallback:
+        # multi-iteration: ONE final materialization (result-sized,
+        # lineage-truncating), after which every per-iteration
+        # topk/remaining cache is dropped — the cache population after
+        # knn_join returns is exactly the checkpointed result. (On a
+        # real cluster swap localCheckpoint for checkpoint() to survive
+        # executor loss.)
+        out = out.localCheckpoint(eager=True)
+        for df in to_unpersist:
+            df.unpersist()
+    else:
+        # single-iteration fast path (the common case once the density
+        # heuristic sizes the first ring right): the result IS the one
+        # cached topk — returning it directly skips a full extra
+        # materialization pass (r3 bench regression). The single
+        # result-sized cache stays alive backing the returned frame.
+        pass
     remaining.unpersist()
     return out

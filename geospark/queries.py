@@ -721,14 +721,37 @@ def _ivf_centroids(spark, sf_dir):
     return ivf_train(sample, k=IVF_K, iters=IVF_ITERS)
 
 
+def _source_fingerprint(path: str) -> str:
+    """Content fingerprint of a parquet source: file names + sizes +
+    mtimes (O(stat), no data read). Any rewrite of the source changes
+    it — the invalidation key for derived artifacts like the IVF
+    index (r3 VERDICT: a path keyed on the sf_dir STRING alone served
+    stale probes after the source changed, silently)."""
+    import hashlib
+    import os
+    parts = []
+    if os.path.isdir(path):
+        for f in sorted(os.listdir(path)):
+            st = os.stat(os.path.join(path, f))
+            parts.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
+    else:
+        st = os.stat(path)
+        parts.append(f"{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.md5("|".join(parts).encode()).hexdigest()[:16]
+
+
 def _ivf_index_path(spark, sf_dir):
     """Materialize the IVF inverted file for ``sf_dir`` once per
-    process (deterministic content: sample-trained centroids +
-    assignment are pure functions of the table), return its path."""
+    SOURCE CONTENT (deterministic: sample-trained centroids +
+    assignment are pure functions of the table), return its path.
+    The path embeds a fingerprint of the source parquet, so rewriting
+    embeddings.parquet forces a rebuild — a stale probe is impossible
+    (at worst an orphaned old index dir lingers in /tmp)."""
     import os
     from .operators.similarity import ivf_index
     key = sf_dir.strip("/").replace("/", "_")
-    path = f"/tmp/geospark_ivf_index_{key}"
+    fp = _source_fingerprint(f"{sf_dir}/embeddings.parquet")
+    path = f"/tmp/geospark_ivf_index_{key}_{fp}"
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         ivf_index(e, _ivf_centroids(spark, sf_dir), path)

@@ -164,3 +164,100 @@ class TestAnnStrategyGate:
         from geospark.queries import _parquet_rows
         n = _parquet_rows("/root/testdata/sf0.01/embeddings.parquet")
         assert 0 < n < ANN_UNROLL_MIN_ROWS
+
+
+def _rand_pts(spark, n, seed, schema):
+    rng = np.random.default_rng(seed)
+    rows = [(int(i), float(la), float(lo)) for i, (la, lo) in
+            enumerate(zip(rng.uniform(-85, 85, n),
+                          rng.uniform(-178, 178, n)))]
+    return rows, spark.createDataFrame(rows, schema)
+
+
+class TestKnnFallbackAndCoverage:
+    def test_fallback_broadcasts_queries_not_points(self, spark):
+        """max_iters=0 forces the brute-force fallback; the broadcast
+        side must be the (small) query set — BuildLeft — never the
+        points fact table."""
+        from geospark.operators.joins import knn_join
+        _, pts = _rand_pts(spark, 200, 5,
+                           "point_id long, lat double, lon double")
+        _, qs = _rand_pts(spark, 10, 6,
+                          "query_id long, q_lat double, q_lon double")
+        plans = []
+        out = knn_join(qs, pts, 3, res=5, max_iters=0,
+                       debug_plans=plans)
+        assert out.count() == 30
+        assert len(plans) == 1
+        s = plans[0]._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin BuildLeft" in s
+        assert "BuildRight" not in s
+
+    def test_full_coverage_satisfies_without_fallback(self, spark):
+        """Antipodal-longitude points under the planar metric: the
+        radius guarantee can never be met, but once the ring covers the
+        whole grid the candidate set is the whole table and the top-k
+        is exact by definition — no brute-force fallback pass."""
+        from geospark.operators.joins import knn_join
+        pts_rows = [(0, 0.0, 179.5), (1, 0.0, 179.0), (2, 10.0, 178.0)]
+        qs_rows = [(0, 0.0, -179.5)]
+        pts = spark.createDataFrame(
+            pts_rows, "point_id long, lat double, lon double")
+        qs = spark.createDataFrame(
+            qs_rows, "query_id long, q_lat double, q_lon double")
+        plans = []
+        got = knn_join(qs, pts, 2, res=2, max_iters=8,
+                       debug_plans=plans).collect()
+        for p in plans:
+            s = p._jdf.queryExecution().executedPlan().toString()
+            assert "BroadcastNestedLoopJoin" not in s  # no fallback ran
+        # planar metric does NOT wrap: nearest by unwrapped dlon is the
+        # one with smallest |(-179.5) - lon|... all ~359 apart; ranks by
+        # dlat^2+dlon^2
+        exp = sorted(pts_rows, key=lambda r: (
+            (0.0 - r[1]) ** 2 + (-179.5 - r[2]) ** 2, r[0]))[:2]
+        assert [r.point_id for r in sorted(got, key=lambda r: r.rank)] \
+            == [r[0] for r in exp]
+
+    def test_density_stats_memoized(self, spark):
+        from geospark.operators import joins
+        from geospark.functions.cells import cell_encode
+        _, pts = _rand_pts(spark, 300, 7,
+                           "point_id long, lat double, lon double")
+        p = pts.withColumn("_pcell", cell_encode("lat", "lon", 6))
+        joins._DENSITY_CACHE.clear()
+        a = joins._density_stats(p, 6)
+        assert len(joins._DENSITY_CACHE) == 1
+        # second call with an equivalent plan: served from cache
+        p2 = pts.withColumn("_pcell", cell_encode("lat", "lon", 6))
+        b = joins._density_stats(p2, 6)
+        assert a == b
+        assert len(joins._DENSITY_CACHE) == 1
+
+
+class TestIvfIndexInvalidation:
+    def test_rewritten_source_forces_rebuild(self, spark, tmp_path):
+        """Rewriting embeddings.parquet must invalidate the
+        materialized IVF index: the probe reflects the new rows."""
+        import shutil
+        from pyspark.sql import functions as F
+        from geospark import queries as q
+        sf = str(tmp_path / "sf")
+        (tmp_path / "sf").mkdir()
+        src = spark.read.parquet(
+            "/root/testdata/sf0.01/embeddings.parquet")
+        src.write.mode("overwrite").parquet(f"{sf}/embeddings.parquet")
+        p1 = q._ivf_index_path(spark, sf)
+        r1 = {r.vec_id for r in q.q_ivf_ann_topk(spark, sf).collect()}
+        # rewrite with HALF the rows (drop every even vec_id except 0)
+        sub = src.filter((F.col("vec_id") % 2 == 1)
+                         | (F.col("vec_id") == 0))
+        sub.write.mode("overwrite").parquet(f"{sf}/embeddings.parquet")
+        p2 = q._ivf_index_path(spark, sf)
+        assert p2 != p1  # new fingerprint -> new index path
+        r2 = {r.vec_id for r in q.q_ivf_ann_topk(spark, sf).collect()}
+        # every probe hit must exist in the NEW table (no stale rows)
+        live = {r.vec_id for r in sub.select("vec_id").collect()}
+        assert r2 <= live
+        shutil.rmtree(p1, ignore_errors=True)
+        shutil.rmtree(p2, ignore_errors=True)
