@@ -617,3 +617,70 @@ SELECT doc_a, doc_b,
 FROM inter
 WHERE ROUND(CAST(ni AS DOUBLE) / (na + nb - ni), 6) >= {threshold}
 """
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization dedup (web-curation tier)
+# ---------------------------------------------------------------------------
+
+# canonicalization policy, applied in order (documented contract):
+#   1. strip fragment, then query string (tracking params live there)
+#   2. lowercase the scheme://host prefix (path case is preserved)
+#   3. http -> https, strip a leading www.
+#   4. strip trailing slashes
+# Every regexp is ANCHORED so it matches at most once: Spark's
+# regexp_replace replaces ALL matches while DuckDB's 3-arg form
+# replaces the FIRST — anchoring makes the two semantics coincide, and
+# no backreferences are used (Spark writes $1, DuckDB \1).
+_URL_PRE = (("#.*$", ""), ("\\?.*$", ""))
+_URL_POST = (("^http://", "https://"),
+             ("^https://www\\.", "https://"),
+             ("/+$", ""))
+_URL_HEAD_RX = "^[A-Za-z][A-Za-z0-9+.-]*://[^/]*"
+
+
+def canonical_url(col):
+    """Column expr: canonical form of a URL column (policy above).
+    Pure built-ins — rides whole-stage codegen, no UDF."""
+    from pyspark.sql import functions as F
+    c = col
+    for p, r in _URL_PRE:
+        c = F.regexp_replace(c, p, r)
+    head = F.lower(F.regexp_extract(c, _URL_HEAD_RX, 0))
+    tail = c.substr(F.length(F.regexp_extract(c, _URL_HEAD_RX, 0))
+                    + F.lit(1), F.lit(1 << 20))
+    c = F.concat(head, tail)
+    for p, r in _URL_POST:
+        c = F.regexp_replace(c, p, r)
+    return c
+
+
+def canonical_url_sql(expr: str) -> str:
+    """DuckDB twin of canonical_url over SQL fragment ``expr`` —
+    generated from the SAME step tables, so the two engines transform
+    identically by construction."""
+    c = expr
+    for p, r in _URL_PRE:
+        c = f"regexp_replace({c}, '{p}', '{r}')"
+    head = f"lower(regexp_extract({c}, '{_URL_HEAD_RX}', 0))"
+    tail = (f"substr({c}, length(regexp_extract({c}, "
+            f"'{_URL_HEAD_RX}', 0)) + 1)")
+    c = f"concat({head}, {tail})"
+    for p, r in _URL_POST:
+        c = f"regexp_replace({c}, '{p}', '{r}')"
+    return c
+
+
+def url_dedup(df, *, url_col: str = "url", id_col: str = "doc_id"):
+    """Exact dedup on the CANONICAL url: one row per canonical key with
+    the kept (lowest) id and the duplicate count. The web-pipeline
+    complement of text-hash dedup — catches http/https, www, query-
+    string and trailing-slash variants of the same page. One uniform
+    string-keyed shuffle; at 10^12 rows swap the groupBy key for
+    xxhash64(canon) to cut shuffle bytes (same contract as
+    exact_dedup)."""
+    from pyspark.sql import functions as F
+    return (df.withColumn("_canon", canonical_url(F.col(url_col)))
+            .groupBy(F.col("_canon").alias("url"))
+            .agg(F.min(id_col).alias("keep_id"),
+                 F.count(F.lit(1)).alias("n_dups")))

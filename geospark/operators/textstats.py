@@ -144,3 +144,50 @@ SELECT doc_id,
                  1, 15)) AS BIGINT))) AS fp
 FROM {table}
 """
+
+
+def top_terms(df, k: int = 3, *, text_col: str = "text",
+              id_col: str = "doc_id"):
+    """Per-document top-``k`` distinguishing terms: rank by term
+    frequency in the doc (desc), then corpus document frequency (asc —
+    rarer wins), then the term itself — an INTEGER-EXACT tf-idf
+    surrogate (classic tf*ln(N/df) ranks identically for fixed tf
+    ties broken by df, but ln() is engine-libm-dependent and would
+    risk last-ulp rank flips under the cross-engine hash gate).
+    -> (doc_id, term, rank).
+
+    Scale: tf agg shuffles (doc, term) once; df is a term-keyed agg of
+    the DISTINCT (doc, term) pairs riding the same exploded data
+    (map-side combine on both); the df side joins back term-keyed.
+    At web scale cap the explode with a length guard upstream."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    w = words_col(text_col)
+    tok = df.select(F.col(id_col), F.explode(w).alias("term"))
+    tf = tok.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"))
+    win = Window.partitionBy(id_col).orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc())
+    return (tf.join(dfreq, "term")
+            .withColumn("rank", F.row_number().over(win))
+            .filter(F.col("rank") <= k)
+            .select(id_col, "term", F.col("rank").cast("int")
+                    .alias("rank")))
+
+
+def top_terms_sql(k: int = 3, table: str = "documents") -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text),
+         '{TOKEN_RX}')) AS term FROM {table}),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1)
+SELECT doc_id, term, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT tf.doc_id, tf.term,
+         ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+             ORDER BY tf.tf DESC, dfreq.df ASC, tf.term ASC) AS rank
+  FROM tf JOIN dfreq USING (term))
+WHERE rank <= {k}
+"""

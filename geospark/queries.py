@@ -1104,6 +1104,45 @@ def q_haversine_pairs(spark, sf_dir):
 # with multiple prior green driver rounds (r1-r3 redundant near-dupes
 # such as cell_rollup/tile_cube) are rotated past position 50.  Rotate
 # again each round until every row has appeared in a driver file.
+_DOC_URL_CASE_SQL = ("CASE doc_id % 3 WHEN 0 THEN '?utm_source=feed' "
+                     "WHEN 1 THEN '/' ELSE '#frag' END")
+
+
+def _doc_urls(spark, sf_dir):
+    """Deterministic synthetic URL per document (mixed case + scheme +
+    query/fragment/trailing-slash variants), derived from the driver
+    tables so the canonicalization operator has a cross-engine
+    oracle."""
+    from pyspark.sql import functions as F
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    url = F.concat(
+        F.lit("HTTP://"), F.upper(F.col("source")),
+        F.lit(".Example.COM/page/"),
+        (F.col("doc_id") % 700).cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("?utm_source=feed"))
+         .when(F.col("doc_id") % 3 == 1, F.lit("/"))
+         .otherwise(F.lit("#frag")))
+    return d.select("doc_id", url.alias("url"))
+
+
+def q_url_dedup(spark, sf_dir):
+    """URL-canonicalization dedup (r4): http/https + www + query +
+    fragment + trailing-slash variants collapse to one canonical key;
+    keep-lowest id + duplicate count per key. Pure anchored-regexp
+    column exprs (no UDF), one string-keyed shuffle."""
+    from .operators.dedup import url_dedup
+    return url_dedup(_doc_urls(spark, sf_dir))
+
+
+def q_top_terms(spark, sf_dir):
+    """Per-doc top-3 distinguishing terms (r4): tf desc, corpus df asc,
+    term asc — an integer-exact tf-idf surrogate (ln() is libm-
+    dependent and could flip ranks cross-engine)."""
+    from .operators.textstats import top_terms
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return top_terms(d, 3)
+
+
 QUERIES = {
     # -- round-3 additions, driver-verified for the first time in r4 --
     "curation_filter": q_curation_filter,
@@ -1170,6 +1209,10 @@ QUERIES = {
     "haversine_pairs": q_haversine_pairs,
     "dedup_keep_first": q_dedup_keep_first,
     "token_stats": q_token_stats,
+    # -- round-4 additions (replica-verified this round; rotate into
+    #    the driver window next round) --
+    "url_dedup": q_url_dedup,
+    "top_terms": q_top_terms,
 }
 
 
@@ -1545,6 +1588,17 @@ def oracle_sql() -> dict[str, str]:
     out["lang_guess"] = lang_guess_sql()
     out["quality_features"] = quality_features_sql()
     out["rolling_fp"] = rolling_fingerprint_sql()
+    from .operators.dedup import canonical_url_sql
+    from .operators.textstats import top_terms_sql
+    _url_expr = ("concat('HTTP://', upper(source), '.Example.COM/page/',"
+                 " CAST(doc_id % 700 AS VARCHAR), "
+                 + _DOC_URL_CASE_SQL + ")")
+    out["url_dedup"] = (
+        f"SELECT canon AS url, MIN(doc_id) AS keep_id, "
+        f"COUNT(*) AS n_dups FROM (SELECT doc_id, "
+        f"{canonical_url_sql(_url_expr)} AS canon FROM documents) "
+        f"GROUP BY 1")
+    out["top_terms"] = top_terms_sql(3)
     return out
 
 

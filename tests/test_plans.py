@@ -206,3 +206,30 @@ def test_zorder_key_is_codegen_bit_math(spark):
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
     # '*' prefixes mark whole-stage-codegen'd nodes in formatted plans
     assert "* Project" in p
+
+
+def test_salted_join_partitions_on_cell_and_salt(spark):
+    """salt>0 on the non-broadcast path must replicate the cover S ways
+    and key BOTH shuffle sides by (_cell, _salt) — the hot-cell rows
+    then spread over S reducers instead of one."""
+    import geospark.queries as q
+    from geospark.operators.joins import spatial_join
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # the tiny test cover would auto-broadcast (no shuffle at all);
+    # at the scale the salted path exists for, the cover exceeds the
+    # threshold — force the shuffle shape the test is about
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        pts = q._cust_points(spark, SF)
+        out = spatial_join(pts, q.fixed_zones_df(spark), res=6,
+                           broadcast_cover=False, salt=8)
+        p = _plan(spark, out)
+        assert "_salt" in p
+        # both join inputs hash-partition on the composite key
+        assert p.count("hashpartitioning(_cell") >= 2
+        assert p.count("_salt") >= 4  # key on probe + build exchanges
+        unsalted = spatial_join(pts, q.fixed_zones_df(spark), res=6,
+                                broadcast_cover=False, salt=0)
+        assert "_salt" not in _plan(spark, unsalted)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

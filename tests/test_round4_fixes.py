@@ -261,3 +261,64 @@ class TestIvfIndexInvalidation:
         assert r2 <= live
         shutil.rmtree(p1, ignore_errors=True)
         shutil.rmtree(p2, ignore_errors=True)
+
+
+class TestUrlCanonicalization:
+    CASES = [
+        ("HTTP://WWW.Example.COM/Path/?utm_source=x#frag",
+         "https://example.com/Path"),
+        ("https://example.com/Path", "https://example.com/Path"),
+        ("http://example.com//", "https://example.com"),
+        ("https://www.Sub.Host.org/a/b#x", "https://sub.host.org/a/b"),
+        ("ftp://Files.Example.com/Data/", "ftp://files.example.com/Data"),
+        ("https://example.com", "https://example.com"),
+    ]
+
+    def test_policy_cases_spark(self, spark):
+        from pyspark.sql import functions as F
+        from geospark.operators.dedup import canonical_url
+        df = spark.createDataFrame([(u,) for u, _ in self.CASES],
+                                   "url string")
+        got = [r.c for r in
+               df.select(canonical_url(F.col("url")).alias("c"))
+               .collect()]
+        assert got == [e for _, e in self.CASES]
+
+    def test_sql_twin_matches(self):
+        import duckdb
+        from geospark.operators.dedup import canonical_url_sql
+        for u, e in self.CASES:
+            got = duckdb.sql(
+                f"SELECT {canonical_url_sql(repr(u))} AS c").fetchone()[0]
+            assert got == e, u
+
+    def test_dedup_collapses_variants(self, spark):
+        from geospark.operators.dedup import url_dedup
+        df = spark.createDataFrame(
+            [(1, "http://www.ex.com/a?q=1"),
+             (2, "https://EX.com/a/"),
+             (3, "https://ex.com/a#top"),
+             (4, "https://ex.com/b")],
+            "doc_id long, url string")
+        out = {r.url: (r.keep_id, r.n_dups)
+               for r in url_dedup(df).collect()}
+        assert out == {"https://ex.com/a": (1, 3),
+                       "https://ex.com/b": (4, 1)}
+
+
+class TestTopTerms:
+    def test_rank_order_exact(self, spark):
+        from geospark.operators.textstats import top_terms
+        df = spark.createDataFrame(
+            [(1, "apple apple banana cherry"),
+             (2, "banana banana cherry"),
+             (3, "cherry date")],
+            "doc_id long, text string")
+        out = {(r.doc_id, r.rank): r.term
+               for r in top_terms(df, 2).collect()}
+        # doc1: apple tf=2 -> rank1; banana/cherry tf=1, banana df=2 <
+        # cherry df=3 -> banana rank2
+        assert out[(1, 1)] == "apple"
+        assert out[(1, 2)] == "banana"
+        assert out[(2, 1)] == "banana"
+        assert out[(3, 2)] == "date" or out[(3, 1)] == "date"
