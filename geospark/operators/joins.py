@@ -854,14 +854,16 @@ def knn_join(queries, points, k: int, *, res: int = 8,
         # real cluster swap localCheckpoint for checkpoint() to survive
         # executor loss.)
         out = out.localCheckpoint(eager=True)
-        for df in to_unpersist:
-            df.unpersist()
     else:
         # single-iteration fast path (the common case once the density
-        # heuristic sizes the first ring right): the result IS the one
-        # cached topk — returning it directly skips a full extra
-        # materialization pass (r3 bench regression). The single
-        # result-sized cache stays alive backing the returned frame.
+        # heuristic sizes the first ring right): skip the checkpoint's
+        # extra materialization pass (r3 bench regression) and return
+        # the plain plan. The consumer's first action recomputes the
+        # one candidate join — cheaper than checkpoint write+read —
+        # and nothing stays persisted (r3 hygiene contract: caches do
+        # not accumulate across calls).
         pass
+    for df in to_unpersist:
+        df.unpersist()
     remaining.unpersist()
     return out
