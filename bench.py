@@ -33,6 +33,13 @@ def build_session(cpus: int):
             .config("spark.ui.showConsoleProgress", "false")
             .config("spark.sql.session.timeZone", "UTC")
             .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+            # local-bench split sizing: the default 128MB packs the
+            # ~0.5GB bench inputs into ~16 splits, idling half of
+            # local[32] through the heaviest scan stage (measured r4).
+            # 16MB yields one split per input file here; on a real
+            # cluster the default is right — splits should track
+            # executor memory, not core count.
+            .config("spark.sql.files.maxPartitionBytes", "16777216")
             .config("spark.driver.memory",
                     os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
             .getOrCreate())

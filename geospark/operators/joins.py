@@ -366,28 +366,44 @@ def spatial_join(points, polys_df, *, res: int | None = None,
             broadcast_cover = n_polys * 64 <= 1_000_000
         cov = F.broadcast(cover_df) if broadcast_cover else cover_df
         joined = pts.join(cov, "_cell", "inner")
-        interior = joined.filter(F.col("_full"))
         # rectangle fast path: [x0, x1) x [y0, y1) replicates the
         # even-odd ray cast EXACTLY for an axis-aligned rectangle
-        # (left/bottom edges inside, right/top outside) — pure JVM, so
-        # a fully rectangular polygon side never touches Python
-        bnd = joined.filter(~F.col("_full"))
-        rect_hit = (bnd.filter(F.col("_rect"))
-                    .filter((F.col(lon_col) >= F.col("_bx0"))
-                            & (F.col(lon_col) < F.col("_bx1"))
-                            & (F.col(lat_col) >= F.col("_by0"))
-                            & (F.col(lat_col) < F.col("_by1"))))
-        refine = make_wkb_refine_udf()
-        gen_hit = (bnd.filter(~F.col("_rect"))
-                   .join(polys_df.select(poly_id_col, geom_col),
-                         poly_id_col)
-                   .filter(refine(F.col(geom_col), F.col(lon_col),
-                                  F.col(lat_col)))
-                   .drop(geom_col))
+        # (left/bottom edges inside, right/top outside) — pure JVM.
+        # Interior + rect-boundary are decided in ONE pass
+        # (`_full OR (_rect AND bounds)`): a union of per-tier filters
+        # re-executes the whole upstream scan once per tier (r4 —
+        # measured as duplicated heavy stages; the probe-side scan is
+        # the expensive part at web scale, the bounds compare is not).
+        jvm_hit = joined.filter(
+            F.col("_full")
+            | (F.col("_rect")
+               & (F.col(lon_col) >= F.col("_bx0"))
+               & (F.col(lon_col) < F.col("_bx1"))
+               & (F.col(lat_col) >= F.col("_by0"))
+               & (F.col(lat_col) < F.col("_by1"))))
         drop_cols = ["_cell", "_full", "_rect",
                      "_bx0", "_by0", "_bx1", "_by1"]
-        matched = interior.unionByName(rect_hit).unionByName(gen_hit) \
-            .drop(*drop_cols)
+        # the general (non-rectangle) residue needs the exact geometry
+        # joined in and a Python ray-cast — a second upstream pass. The
+        # cover is checkpointed, so asking it whether ANY non-rect
+        # boundary cell exists is a tiny local scan; an all-rectangle
+        # polygon side (the common storage shape for tiles/boxes) then
+        # skips the residue branch — and its upstream re-scan — at plan
+        # time instead of executing an always-empty branch.
+        has_general = (cover_df.filter(~F.col("_rect")
+                                       & ~F.col("_full"))
+                       .limit(1).count() > 0)
+        if has_general:
+            refine = make_wkb_refine_udf()
+            gen_hit = (joined.filter(~F.col("_full") & ~F.col("_rect"))
+                       .join(polys_df.select(poly_id_col, geom_col),
+                             poly_id_col)
+                       .filter(refine(F.col(geom_col), F.col(lon_col),
+                                      F.col(lat_col)))
+                       .drop(geom_col))
+            matched = jvm_hit.unionByName(gen_hit).drop(*drop_cols)
+        else:
+            matched = jvm_hit.drop(*drop_cols)
         return _spatial_join_how(points, matched, how)
 
     polys = [(r[poly_id_col], r[geom_col])
@@ -418,23 +434,34 @@ def spatial_join(points, polys_df, *, res: int | None = None,
         else:
             joined = pts.join(cover_df, "_cell", "inner")
 
-    # split full-cell rows from boundary rows BEFORE the refine: Spark
-    # does not short-circuit `_full OR udf(...)` per row, so a single
-    # filter would ray-cast interior points too (most of a big
-    # polygon's area)
-    interior = joined.filter(F.col("_full"))
     if refine_mode == "auto":
         refine_mode = "expr" if total_edges(ring_map) <= 4096 else "udf"
     if refine_mode == "expr":
-        # small dim: unroll the ray cast into a JVM expression — the
-        # entire join runs without Python (whole-stage codegen)
-        boundary = joined.filter(~F.col("_full")).filter(
-            refine_expr_col(ring_map, poly_id_col, lon_col, lat_col))
+        # small dim: unroll the ray cast into a JVM expression and keep
+        # the join a SINGLE PASS — `_full OR ray_cast` in one filter.
+        # The union-of-two-filters alternative re-executes the whole
+        # upstream (scan -> extract -> cell -> broadcast join) once per
+        # branch: measured as a duplicated 16-task heavy stage in the
+        # flagship pipeline (r4) — the upstream scan is the expensive
+        # part at web scale, not the ray-cast, so evaluating the
+        # expression on interior rows too is the cheap side of the
+        # trade. Whole-stage codegen, zero Python either way.
+        matched = joined.filter(
+            F.col("_full")
+            | refine_expr_col(ring_map, poly_id_col, lon_col, lat_col)) \
+            .drop("_cell", "_full")
     else:
+        # udf mode: keep the two-pass split — Spark pulls Python UDFs
+        # out of the plan unconditionally (no per-row short-circuit,
+        # even under when/otherwise), so a single `_full OR udf` filter
+        # would ray-cast interior points too (most of a big polygon's
+        # area). Double upstream scan traded for Python on the small
+        # boundary subset only.
+        interior = joined.filter(F.col("_full"))
         refine = make_refine_udf(ring_map)
         boundary = joined.filter(~F.col("_full")).filter(
             refine(F.col(poly_id_col), F.col(lon_col), F.col(lat_col)))
-    matched = interior.unionByName(boundary).drop("_cell", "_full")
+        matched = interior.unionByName(boundary).drop("_cell", "_full")
     return _spatial_join_how(points, matched, how)
 
 

@@ -39,6 +39,11 @@ spark = (SparkSession.builder.master(f"local[{cpus}]")
          .config("spark.ui.showConsoleProgress", "false")
          .config("spark.sql.session.timeZone", "UTC")
          .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+         # one split per input file (~4MB each): the 128MB default
+         # packed the 543MB input into 16 splits, idling half of
+         # local[32] through the scan+extract stage (measured r4) and
+         # biasing the N->4N ratio against the larger level
+         .config("spark.sql.files.maxPartitionBytes", "16777216")
          .config("spark.driver.memory", "32g")
          .config("spark.driver.extraJavaOptions", "-Xms32g -XX:+AlwaysPreTouch")
          .getOrCreate())
@@ -197,8 +202,17 @@ Reference publishes no benchmark numbers (README "Work in progress!",
 CI = correctness + memcheck only) — see BASELINE.md. These figures are
 the engine's own baseline, to beat in later rounds.
 """
-    with open("/root/repo/BENCH/BASELINE.md", "w") as f:
-        f.write(md)
+    # preserve the hand-maintained round-over-round history (and any
+    # other trailing sections) across regenerations
+    path = "/root/repo/BENCH/BASELINE.md"
+    tail = ""
+    if os.path.exists(path):
+        prev = open(path).read()
+        idx = prev.find("## Round-over-round")
+        if idx >= 0:
+            tail = "\n" + prev[idx:]
+    with open(path, "w") as f:
+        f.write(md + tail)
     print(json.dumps(result))
 
 
