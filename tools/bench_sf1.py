@@ -15,6 +15,9 @@ Appends BENCH/SF1.md and prints one JSON line.
 
 from __future__ import annotations
 
+import sys
+sys.path.insert(0, "/root/repo")
+
 import json
 import os
 import time

@@ -14,6 +14,9 @@ one JSON line.
 
 from __future__ import annotations
 
+import sys
+sys.path.insert(0, "/root/repo")
+
 import json
 import os
 import time
