@@ -1143,6 +1143,41 @@ def q_top_terms(spark, sf_dir):
     return top_terms(d, 3)
 
 
+def q_host_stats(spark, sf_dir):
+    """Per-host curation rollup (r4): host extracted from the canonical
+    url, doc count + total chars + language breadth per host — the
+    per-domain quality dashboard shape of a web-curation pipeline.
+    Pure regexp/groupBy; one host-keyed shuffle (hosts are far fewer
+    than docs, map-side combine carries it)."""
+    from pyspark.sql import functions as F
+    from .operators.dedup import canonical_url
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    u = _doc_urls(spark, sf_dir).select("doc_id", canonical_url(
+        F.col("url")).alias("canon"))
+    host = F.regexp_extract(F.col("canon"), "^[a-z]+://([^/]+)", 1)
+    j = d.join(u, "doc_id")
+    return (j.groupBy(host.alias("host"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").alias("total_chars"),
+                 F.countDistinct("lang").alias("n_langs")))
+
+
+def q_cell_distinct_users(spark, sf_dir):
+    """Exact per-cell distinct-user counts over events (r4): the
+    distinct-aggregate operator row. Spark plans count(distinct) as a
+    two-phase expand + partial agg (map-side dedup before the
+    shuffle); at 10^12 rows swap for approx_count_distinct (HLL) —
+    same plan shape, bounded state."""
+    from pyspark.sql import functions as F
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    lat = (F.col("user_id") % 180).cast("double") - 90.0
+    lon = ((F.col("value") % 360.0) + 360.0) % 360.0 - 180.0
+    return (e.withColumn("cell", cell_encode(lat, lon, RES_COARSE))
+            .groupBy("cell")
+            .agg(F.countDistinct("user_id").alias("n_users"),
+                 F.count(F.lit(1)).alias("n_events")))
+
+
 QUERIES = {
     # -- round-3 additions, driver-verified for the first time in r4 --
     "curation_filter": q_curation_filter,
@@ -1191,13 +1226,16 @@ QUERIES = {
     "geoarrow_roundtrip": q_geoarrow_roundtrip,
     "st_zm": q_st_zm,
     "st_distance": q_st_distance,
-    "dedup_exact_planted": q_dedup_exact_planted,
     "ivf_ann_topk": q_ivf_ann_topk,
     "dup_clusters": q_dup_clusters,
-    "doc_sample": q_doc_sample,
     "stratified_sample": q_stratified_sample,
+    # -- round-4 additions, inside the window for their first driver row --
+    "url_dedup": q_url_dedup,
+    "top_terms": q_top_terms,
     # -- rotated past the 50-row window this round (each driver-green in
     #    r1-r3; see CORRECTNESS_r0{1,2,3}.json) --
+    "dedup_exact_planted": q_dedup_exact_planted,
+    "doc_sample": q_doc_sample,
     "cell_rollup": q_cell_rollup,
     "tile_cube": q_tile_cube,
     "topk_cells": q_topk_cells,
@@ -1209,10 +1247,10 @@ QUERIES = {
     "haversine_pairs": q_haversine_pairs,
     "dedup_keep_first": q_dedup_keep_first,
     "token_stats": q_token_stats,
-    # -- round-4 additions (replica-verified this round; rotate into
-    #    the driver window next round) --
-    "url_dedup": q_url_dedup,
-    "top_terms": q_top_terms,
+    # -- round-4 additions outside the window (replica-verified this
+    #    round; rotate in next round) --
+    "host_stats": q_host_stats,
+    "cell_distinct_users": q_cell_distinct_users,
 }
 
 
@@ -1599,6 +1637,19 @@ def oracle_sql() -> dict[str, str]:
         f"{canonical_url_sql(_url_expr)} AS canon FROM documents) "
         f"GROUP BY 1")
     out["top_terms"] = top_terms_sql(3)
+    out["host_stats"] = (
+        f"SELECT regexp_extract(canon, '^[a-z]+://([^/]+)', 1) AS host, "
+        f"COUNT(*) AS n_docs, "
+        f"CAST(SUM(n_chars) AS BIGINT) AS total_chars, "
+        f"COUNT(DISTINCT lang) AS n_langs "
+        f"FROM (SELECT doc_id, n_chars, lang, "
+        f"{canonical_url_sql(_url_expr)} AS canon FROM documents) "
+        f"GROUP BY 1")
+    evt_cell6 = cell_encode_sql(EVT_LAT_SQL, EVT_LON_SQL, RES_COARSE)
+    out["cell_distinct_users"] = (
+        f"SELECT {evt_cell6} AS cell, "
+        f"COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events "
+        f"FROM events GROUP BY 1")
     return out
 
 
