@@ -233,3 +233,26 @@ def test_salted_join_partitions_on_cell_and_salt(spark):
         assert "_salt" not in _plan(spark, unsalted)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_pip_join_single_pass_one_scan(spark):
+    """r4: expr-mode PIP join decides interior OR ray-cast in ONE
+    filter — exactly one scan of the probe table, no Union (the old
+    union-of-filters shape re-executed the whole upstream per tier)."""
+    import geospark.queries as q
+    p = _plan(spark, q.q_pip_join(spark, SF))
+    tree = p.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1
+    assert "Union" not in tree
+
+
+def test_pip_join_many_rect_skips_residue_branch(spark):
+    """r4 distributed path: an all-rectangle polygon side skips the
+    general-geometry residue branch at plan time — one probe scan,
+    zero Python eval nodes, no Union in the executed plan."""
+    import geospark.queries as q
+    p = _plan(spark, q.q_pip_join_many(spark, SF))
+    tree = p.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1
+    assert "ArrowEvalPython" not in tree and "BatchEvalPython" not in tree
+    assert "Union" not in tree
