@@ -1152,11 +1152,18 @@ def q_host_stats(spark, sf_dir):
     from pyspark.sql import functions as F
     from .operators.dedup import canonical_url
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    u = _doc_urls(spark, sf_dir).select("doc_id", canonical_url(
-        F.col("url")).alias("canon"))
-    host = F.regexp_extract(F.col("canon"), "^[a-z]+://([^/]+)", 1)
-    j = d.join(u, "doc_id")
-    return (j.groupBy(host.alias("host"))
+    url = F.concat(
+        F.lit("HTTP://"), F.upper(F.col("source")),
+        F.lit(".Example.COM/page/"),
+        (F.col("doc_id") % 700).cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("?utm_source=feed"))
+         .when(F.col("doc_id") % 3 == 1, F.lit("/"))
+         .otherwise(F.lit("#frag")))
+    host = F.regexp_extract(canonical_url(url),
+                            "^[a-z]+://([^/]+)", 1)
+    # url derived in the SAME scan as the metrics (a doc_id self-join
+    # against _doc_urls would read the table twice)
+    return (d.groupBy(host.alias("host"))
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("n_chars").alias("total_chars"),
                  F.countDistinct("lang").alias("n_langs")))
