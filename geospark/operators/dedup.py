@@ -20,6 +20,8 @@ from __future__ import annotations
 
 import hashlib
 
+from ..materialize import materialize
+
 TOKEN_RX = "[a-z0-9]+"
 
 
@@ -354,22 +356,21 @@ def connected_components(pairs, *, a_col: str = "doc_a",
     """
     from pyspark.sql import functions as F
     e = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
-    # localCheckpoint (eager) rather than persist: iterative algorithms
+    # materialize() (eager) rather than persist: iterative algorithms
     # grow the logical plan one join per round, and Catalyst re-analyzes
     # the WHOLE lineage each iteration — O(rounds^2) driver time without
     # truncation (measured: a 15-round graph went from minutes to
-    # seconds). On a cluster use reliable checkpoint() to survive
-    # executor loss; localCheckpoint is the single-node/test form.
+    # seconds). spark.geospark.reliableCheckpoint=true swaps every site
+    # to checkpoint() so a cluster run survives executor loss.
     if algorithm == "star":
         return _cc_star(e, max_iters)
     if algorithm != "minlabel":
         raise ValueError(f"algorithm={algorithm!r}")
-    edges = e.unionByName(
-        e.select(F.col("v").alias("u"), F.col("u").alias("v"))) \
-        .localCheckpoint(eager=True)
-    labels = (edges.select("u").distinct()
-              .select(F.col("u").alias("id"), F.col("u").alias("lbl"))
-              .localCheckpoint(eager=True))
+    edges = materialize(e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))))
+    labels = materialize(
+        edges.select("u").distinct()
+        .select(F.col("u").alias("id"), F.col("u").alias("lbl")))
     changed = -1
     for _ in range(max_iters):
         nbr_min = (edges.join(labels, edges["v"] == labels["id"])
@@ -380,8 +381,8 @@ def connected_components(pairs, *, a_col: str = "doc_a",
                               F.least(F.col("lbl"),
                                       F.coalesce(F.col("nlbl"),
                                                  F.col("lbl")))
-                              .alias("lbl"))
-                      .localCheckpoint(eager=True))
+                              .alias("lbl")))
+        new_labels = materialize(new_labels)
         changed = (new_labels.alias("n")
                    .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
                    .filter(F.col("n.lbl") != F.col("o.lbl")).count())
@@ -438,13 +439,14 @@ def _cc_star(e, max_iters: int):
                 .filter(F.col("x") != F.col("m"))
                 .select(F.col("x").alias("u"), F.col("m").alias("v")))
 
-    edges = canon(e).localCheckpoint(eager=True)
-    nodes = (e.select("u").unionByName(e.select(F.col("v").alias("u")))
-             .distinct().localCheckpoint(eager=True))
+    edges = materialize(canon(e))
+    nodes = materialize(
+        e.select("u").unionByName(e.select(F.col("v").alias("u")))
+        .distinct())
     converged = False
     for _ in range(max_iters):
-        new_edges = canon(small_star(canon(large_star(edges)))) \
-            .localCheckpoint(eager=True)
+        new_edges = materialize(
+            canon(small_star(canon(large_star(edges)))))
         grew = new_edges.join(edges, ["u", "v"], "left_anti").count()
         shrank = edges.join(new_edges, ["u", "v"], "left_anti").count()
         edges = new_edges

@@ -30,6 +30,7 @@ from ..functions.cells import (_RES_SHIFT, cell_bounds_np, cell_encode,
 from ..kernels.geom import Geom
 from ..kernels.ops import point_in_rings
 from ..kernels.wkb import parse_wkb
+from ..materialize import materialize
 
 
 def _geom_rings(g: Geom) -> list[list[np.ndarray]]:
@@ -329,12 +330,11 @@ def spatial_join(points, polys_df, *, res: int | None = None,
         # under `matched`, once as the probe side of _spatial_join_how),
         # and a recompute downstream of a shuffle could assign DIFFERENT
         # ids to the two evaluations — silently corrupting semi/anti
-        # output. Materialize the ids once (eager localCheckpoint) so
-        # both branches read the same frozen rows. On a real cluster
-        # swap for reliable checkpoint() to survive executor loss.
-        points = points.withColumn(
-            "_rid", F.monotonically_increasing_id()) \
-            .localCheckpoint(eager=True)
+        # output. Materialize the ids once so both branches read the
+        # same frozen rows (materialize(): localCheckpoint by default,
+        # reliable checkpoint() under spark.geospark.reliableCheckpoint).
+        points = materialize(points.withColumn(
+            "_rid", F.monotonically_increasing_id()))
 
     if distributed:
         # large polygon side: covering on executors, geometry delivered
@@ -345,14 +345,12 @@ def spatial_join(points, polys_df, *, res: int | None = None,
         # the cover in three branches (interior / rect / general), and
         # Spark does not reuse exchanges across Python-bearing subtrees
         # (measured: 3 MapInPandas executions of the same covering) —
-        # an eager localCheckpoint makes the branches scan the computed
+        # an eager materialize makes the branches scan the computed
         # cover instead of re-running the Python covering per branch.
-        # On a cluster use reliable checkpoint() to survive executor
-        # loss; the cover is cells x polygons rows, far smaller than
-        # the geometry table it summarizes.
-        cover_df = distributed_polygon_cover(polys_df, res,
-                                             poly_id_col, geom_col) \
-            .localCheckpoint(eager=True)
+        # The cover is cells x polygons rows, far smaller than the
+        # geometry table it summarizes.
+        cover_df = materialize(distributed_polygon_cover(
+            polys_df, res, poly_id_col, geom_col))
         pts = points.withColumn("_cell",
                                 cell_encode(lat_col, lon_col, res))
         if broadcast_cover is None:
@@ -534,8 +532,8 @@ def spatial_join_polygons(left, right, *, res: int | None = None,
                   F.first("_rx0").alias("_rx0"),
                   F.first("_ry0").alias("_ry0"),
                   F.first("_rx1").alias("_rx1"),
-                  F.first("_ry1").alias("_ry1"))
-             .localCheckpoint(eager=True))
+                  F.first("_ry1").alias("_ry1")))
+    pairs = materialize(pairs)
     rects = F.col("_lr") & F.col("_rr")
     # closed interval overlap == exact rect x rect ST_Intersects
     rect_hit = pairs.filter(rects).filter(
@@ -586,7 +584,7 @@ def bbox_join(points, boxes, res: int, *,
     b = (boxes
          .withColumn("_x", F.explode(F.sequence(cx(xmin), cx(xmax))))
          .withColumn("_y", F.explode(F.sequence(cy(ymin), cy(ymax))))
-         .withColumn("_cell", F.shiftleft(F.lit(res).cast("long"), 56)
+         .withColumn("_cell", F.shiftleft(F.lit(res).cast("long"), _RES_SHIFT)
                      + F.shiftleft(F.col("_y"), res) + F.col("_x"))
          .drop("_x", "_y"))
     p = points.withColumn("_cell", cell_encode(lat_col, lon_col, res))
@@ -681,6 +679,7 @@ def knn_join(queries, points, k: int, *, res: int = 8,
              q_lat: str = "q_lat", q_lon: str = "q_lon",
              p_lat: str = "lat", p_lon: str = "lon",
              max_iters: int = 5, metric: str = "planar",
+             checkpoint: bool = False,
              debug_plans: list | None = None):
     """Exact k nearest neighbors (squared-degrees metric, id tiebreak)
     per query point.
@@ -703,7 +702,15 @@ def knn_join(queries, points, k: int, *, res: int = 8,
         point outside the wrapped Chebyshev ring has wrapped |dlon| >=
         ring*cell_w or |dlat| >= ring*cell_h, both >= ring*cell_h.
     Both metrics are IEEE-exact (+,-,*,abs,least only) in NumPy, Spark
-    and the DuckDB oracle (kernels.ops docstring)."""
+    and the DuckDB oracle (kernels.ops docstring).
+
+    Determinism contract (ADVICE r4): on the single-iteration fast
+    path the returned DataFrame is a PLAIN PLAN — each downstream
+    action recomputes the candidate join, so ``queries``/``points``
+    must be deterministic (parquet scans, not unseeded samples), or
+    repeated actions can disagree. Pass ``checkpoint=True`` to freeze
+    the result via materialize() on every path (the multi-iteration
+    path always freezes)."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -792,7 +799,7 @@ def knn_join(queries, points, k: int, *, res: int = 8,
                 .withColumn("_ny", F.col("_qy") + F.col("_dy"))
                 .filter((F.col("_ny") >= 0) & (F.col("_ny") < n_cells))
                 .withColumn("_pcell",
-                            F.shiftleft(F.lit(res).cast("long"), 56)
+                            F.shiftleft(F.lit(res).cast("long"), _RES_SHIFT)
                             + F.shiftleft(F.col("_ny").cast("long"), res)
                             + F.col("_nx").cast("long"))
                 .drop("_dy", "_qx", "_qy", "_nx", "_ny"))
@@ -873,14 +880,12 @@ def knn_join(queries, points, k: int, *, res: int = 8,
         out = out.unionByName(r)
     out = out.withColumnRenamed("_sqdist", "sqdist") \
              .withColumnRenamed("_rn", "rank")
-    if len(results) > 1 or used_fallback:
+    if len(results) > 1 or used_fallback or checkpoint:
         # multi-iteration: ONE final materialization (result-sized,
         # lineage-truncating), after which every per-iteration
         # topk/remaining cache is dropped — the cache population after
-        # knn_join returns is exactly the checkpointed result. (On a
-        # real cluster swap localCheckpoint for checkpoint() to survive
-        # executor loss.)
-        out = out.localCheckpoint(eager=True)
+        # knn_join returns is exactly the checkpointed result.
+        out = materialize(out)
     else:
         # single-iteration fast path (the common case once the density
         # heuristic sizes the first ring right): skip the checkpoint's

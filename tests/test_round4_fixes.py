@@ -117,11 +117,14 @@ class TestNeighborsWrapDedup:
 
 class TestDistanceJoinResShift:
     def test_no_hardcoded_shift(self):
+        # r5 (VERDICT r4 "What's wrong" #1): scan the WHOLE module, not
+        # just distance_join — bbox_join and knn_join also build cell ids.
         import inspect
         from geospark.operators import joins
-        src = inspect.getsource(joins.distance_join)
+        src = inspect.getsource(joins)
         assert "_RES_SHIFT" in src
         assert ", 56)" not in src
+        assert " 56)" not in src.replace("_RES_SHIFT", "")
 
 
 class TestNonFiniteWktParity:

@@ -1,0 +1,197 @@
+"""Round-5 fix tests (VERDICT r4 "Next round" + ADVICE r4 items).
+
+Each test pins one r5 change:
+  * reliable checkpointing plumbed through materialize()  (#6)
+  * distinct_per_cell operator with an exact/HLL tier     (#5)
+  * _parquet_rows recurses into hive-partitioned layouts  (ADVICE low)
+  * knn_join checkpoint=True escape hatch                 (ADVICE low)
+  * shared _doc_url_col/_doc_url_sql builder parity       (ADVICE low)
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+SF = os.environ.get("SPARK_GRAFT_SF_TEST", "/root/testdata/sf0.001")
+
+
+def _rows(df, cols=None):
+    cols = cols or df.columns
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+class TestReliableCheckpoint:
+    def test_reliable_flag_writes_checkpoint_files_and_matches(
+            self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from geospark.operators.dedup import connected_components
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (5, 6), (9, 9)], ["doc_a", "doc_b"])
+        base = _rows(connected_components(pairs))
+
+        ck = str(tmp_path / "ckdir")
+        spark.conf.set("spark.geospark.reliableCheckpoint", "true")
+        spark.conf.set("spark.geospark.checkpointDir", ck)
+        try:
+            rel = _rows(connected_components(pairs))
+            # a join through materialize() under the flag too
+            from geospark.operators.joins import spatial_join
+            from geospark.kernels.wkb import write_wkb
+            from geospark.kernels.geom import parse_wkt
+            poly = spark.createDataFrame(
+                [(1, bytes(write_wkb(parse_wkt(
+                    "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"))))],
+                ["zone_id", "geom_wkb"])
+            pts = spark.createDataFrame(
+                [(1, 5.0, 5.0), (2, 20.0, 20.0)], ["pid", "lat", "lon"])
+            semi = spatial_join(pts, poly, how="left_semi")
+            assert [r["pid"] for r in semi.collect()] == [1]
+        finally:
+            spark.conf.set("spark.geospark.reliableCheckpoint", "false")
+        assert rel == base
+        # reliable checkpoints actually landed on disk
+        found = [f for _r, _d, fs in os.walk(ck) for f in fs]
+        assert found, "no checkpoint files written under the configured dir"
+
+    def test_reliable_without_dir_raises(self, spark):
+        from geospark.materialize import materialize
+        df = spark.range(3)
+        spark.conf.set("spark.geospark.reliableCheckpoint", "true")
+        spark.conf.unset("spark.geospark.checkpointDir")
+        try:
+            if spark.sparkContext.getCheckpointDir() is None:
+                with pytest.raises(ValueError, match="checkpoint dir"):
+                    materialize(df)
+            else:
+                # a prior test already set the context dir; the helper
+                # must then just use it
+                assert materialize(df).count() == 3
+        finally:
+            spark.conf.set("spark.geospark.reliableCheckpoint", "false")
+
+    def test_default_is_local_checkpoint(self, spark):
+        from geospark.materialize import materialize, reliable_enabled
+        assert not reliable_enabled(spark)
+        out = materialize(spark.range(5))
+        assert out.count() == 5
+
+
+class TestDistinctPerCell:
+    def _pts(self, spark, n=5000, n_users=700):
+        from pyspark.sql import functions as F
+        return (spark.range(n)
+                .withColumn("user_id", F.col("id") % n_users)
+                .withColumn("lat", (F.col("id") % 37).cast("double"))
+                .withColumn("lon", (F.col("id") % 91).cast("double")))
+
+    def test_exact_tier(self, spark):
+        from geospark.operators.tiles import distinct_per_cell
+        d = distinct_per_cell(self._pts(spark), 4, "user_id", exact=True)
+        rows = d.collect()
+        assert rows and all(r["n_distinct"] <= r["n_rows"] for r in rows)
+        assert sum(r["n_rows"] for r in rows) == 5000
+
+    def test_approx_within_rsd_and_same_schema(self, spark):
+        from geospark.operators.tiles import distinct_per_cell
+        pts = self._pts(spark)
+        exact = {r["cell"]: r["n_distinct"] for r in distinct_per_cell(
+            pts, 4, "user_id", exact=True).collect()}
+        approx_df = distinct_per_cell(pts, 4, "user_id", exact=False,
+                                      rsd=0.05)
+        exact_df = distinct_per_cell(pts, 4, "user_id", exact=True)
+        assert approx_df.schema == exact_df.schema
+        for r in approx_df.collect():
+            rel = abs(r["n_distinct"] - exact[r["cell"]]) / exact[r["cell"]]
+            # HLL++ rsd=0.05 — allow 4 sigma
+            assert rel <= 0.20, (r["cell"], r["n_distinct"], exact[r["cell"]])
+
+    def test_plan_shapes(self, spark):
+        from geospark.operators.tiles import distinct_per_cell
+        pts = self._pts(spark)
+        exact_plan = distinct_per_cell(
+            pts, 4, "user_id", exact=True)._jdf.queryExecution() \
+            .executedPlan().toString()
+        approx_plan = distinct_per_cell(
+            pts, 4, "user_id", exact=False)._jdf.queryExecution() \
+            .executedPlan().toString()
+        # exact: a real distinct aggregate — 4-phase with an extra
+        # (cell, user_id)-keyed exchange for the map-side pair dedup;
+        # approx: ONE ordinary partial agg over HLL sketches, single
+        # cell-keyed exchange, no distinct machinery
+        assert "count(distinct user_id" in exact_plan
+        assert exact_plan.count("Exchange hashpartitioning") == 2
+        assert "count(distinct" not in approx_plan
+        assert "Expand" not in approx_plan
+        assert "approx_count_distinct" in approx_plan
+        assert approx_plan.count("Exchange hashpartitioning") == 1
+
+
+class TestParquetRowsRecursive:
+    def test_hive_partitioned_dataset(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from geospark.queries import _parquet_rows
+        path = str(tmp_path / "part_ds")
+        (spark.range(1000)
+         .withColumn("p", F.col("id") % 4)
+         .write.partitionBy("p").mode("overwrite").parquet(path))
+        assert _parquet_rows(path) == 1000
+
+    def test_flat_dir_and_single_file(self, spark, tmp_path):
+        from geospark.queries import _parquet_rows
+        path = str(tmp_path / "flat")
+        spark.range(123).coalesce(1).write.mode("overwrite").parquet(path)
+        assert _parquet_rows(path) == 123
+        f = [os.path.join(path, x) for x in os.listdir(path)
+             if x.endswith(".parquet")][0]
+        assert _parquet_rows(f) == 123
+
+
+class TestKnnCheckpointHatch:
+    def test_checkpoint_true_freezes_single_iteration(self, spark):
+        from geospark.operators.joins import knn_join
+        q = spark.createDataFrame(
+            [(1, 0.0, 0.0), (2, 10.0, 10.0)],
+            ["query_id", "q_lat", "q_lon"])
+        p = spark.createDataFrame(
+            [(i, float(i % 30) - 15.0, float((i * 7) % 40) - 20.0)
+             for i in range(300)], ["point_id", "lat", "lon"])
+        out = knn_join(q, p, 3, checkpoint=True)
+        # frozen plan: repeated actions agree AND the plan is a scan of
+        # materialized rows (no candidate re-join on each action)
+        a = _rows(out)
+        b = _rows(out)
+        assert a == b and len(a) == 6
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Scan ExistingRDD" in plan
+
+
+class TestSharedDocUrlBuilder:
+    def test_single_source_of_truth(self):
+        import inspect
+
+        import geospark.queries as qmod
+        src = inspect.getsource(qmod)
+        # the literal suffix strings exist exactly once (the step table)
+        assert src.count("utm_source=feed") == 1
+        assert src.count("#frag") == 1
+
+    def test_col_and_sql_agree(self, spark):
+        import duckdb
+        from pyspark.sql import functions as F
+
+        from geospark.queries import _doc_url_col, _doc_url_sql
+        d = spark.read.parquet(f"{SF}/documents.parquet")
+        spark_urls = sorted(
+            r[0] for r in d.select(_doc_url_col().alias("u")).collect())
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS "
+            f"SELECT * FROM read_parquet('{SF}/documents.parquet')")
+        duck_urls = sorted(
+            r[0] for r in con.execute(
+                f"SELECT {_doc_url_sql()} FROM documents").fetchall())
+        assert spark_urls == duck_urls
