@@ -83,13 +83,19 @@ def materialize(spark) -> str:
 
 def main() -> None:
     import bench
+    # pages_pipeline's 10x point: 1.5M synth pages instead of the sf0.1
+    # default 150k (synthesis is untimed setup, cached per size)
+    os.environ.setdefault("SPARK_GRAFT_BENCH_PAGES", "1500000")
     spark = bench.build_session(
         int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     spark.sparkContext.setLogLevel("ERROR")
     materialize(spark)
     qs = bench.bench_queries(spark, DST)
+    # all NINE headline queries (r5 closes the r4 gap: poly_join,
+    # distance_join, pages_pipeline had no 10x point)
     names = ["pip_lineitem", "pip_many_boxes", "cell_counts_lineitem",
-             "knn", "minhash_docs", "ann_topk"]
+             "knn", "minhash_docs", "ann_topk",
+             "poly_join", "distance_join", "pages_pipeline"]
     qs = {n: qs[n] for n in names}
     for fn in qs.values():  # untimed warmup
         fn()
