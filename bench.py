@@ -23,15 +23,13 @@ import time
 
 def build_session(cpus: int):
     from pyspark.sql import SparkSession
-    return (SparkSession.builder.master(f"local[{cpus}]")
+
+    from geospark.conf import apply_tuned
+    return (apply_tuned(SparkSession.builder.master(f"local[{cpus}]"))
             .appName("geospark-bench")
             .config("spark.sql.shuffle.partitions", str(cpus))
-            .config("spark.sql.adaptive.enabled", "true")
-            .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-            .config("spark.sql.adaptive.skewJoin.enabled", "true")
             .config("spark.ui.enabled", "false")
             .config("spark.ui.showConsoleProgress", "false")
-            .config("spark.sql.session.timeZone", "UTC")
             .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
             # local-bench split sizing: the default 128MB packs the
             # ~0.5GB bench inputs into ~16 splits, idling half of

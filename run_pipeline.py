@@ -19,12 +19,11 @@ import json
 
 def build_session(parallelism: int | None = None):
     from pyspark.sql import SparkSession
-    b = (SparkSession.builder.appName("geospark-pipeline")
+
+    from geospark.conf import apply_tuned
+    b = (apply_tuned(SparkSession.builder.appName("geospark-pipeline"))
          .config("spark.sql.shuffle.partitions", "32")
-         .config("spark.sql.adaptive.enabled", "true")
-         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-         .config("spark.ui.showConsoleProgress", "false")
-         .config("spark.sql.session.timeZone", "UTC"))
+         .config("spark.ui.showConsoleProgress", "false"))
     if parallelism is not None:
         b = b.master(f"local[{parallelism}]")
     return b.getOrCreate()

@@ -6,13 +6,13 @@ import pytest
 @pytest.fixture(scope="session")
 def spark():
     from pyspark.sql import SparkSession
-    s = (SparkSession.builder.master("local[8]")
+
+    from geospark.conf import apply_tuned
+    s = (apply_tuned(SparkSession.builder.master("local[8]"))
          .appName("geospark-tests")
          .config("spark.sql.shuffle.partitions", "8")
          .config("spark.ui.enabled", "false")
          .config("spark.ui.showConsoleProgress", "false")
-         .config("spark.sql.session.timeZone", "UTC")
-         .config("spark.sql.adaptive.enabled", "true")
          .config("spark.driver.memory", "16g")
          .getOrCreate())
     s.sparkContext.setLogLevel("ERROR")

@@ -252,3 +252,39 @@ class TestSharedDocUrlBuilder:
             r[0] for r in con.execute(
                 f"SELECT {_doc_url_sql()} FROM documents").fetchall())
         assert spark_urls == duck_urls
+
+
+class TestTunedConf:
+    """The hugeMethodLimit=8000 session default (r5 scaling root cause).
+
+    WSCG fused scan+join+(70-term unrolled ray-cast) into one generated
+    method over HotSpot's 8000-bytecode JIT threshold: janino compiled
+    it, HotSpot refused to JIT it, and the whole flagship join stage ran
+    in the bytecode interpreter (measured 9.6s vs 1.4s on 10M rows).
+    spark.sql.codegen.hugeMethodLimit=8000 makes Spark itself fall back
+    to small per-operator methods for exactly those stages."""
+
+    def test_tuned_conf_pins_huge_method_limit(self):
+        from geospark.conf import TUNED_CONF
+        assert TUNED_CONF["spark.sql.codegen.hugeMethodLimit"] == "8000"
+
+    def test_session_fixture_carries_tuned_conf(self, spark):
+        assert spark.conf.get(
+            "spark.sql.codegen.hugeMethodLimit") == "8000"
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+    def test_apply_tuned_lets_caller_override(self):
+        from geospark.conf import TUNED_CONF, apply_tuned
+
+        class FakeBuilder:
+            def __init__(self):
+                self.conf = {}
+
+            def config(self, k, v):
+                self.conf[k] = v
+                return self
+
+        b = apply_tuned(FakeBuilder())
+        assert b.conf == TUNED_CONF
+        b.config("spark.sql.codegen.hugeMethodLimit", "65535")
+        assert b.conf["spark.sql.codegen.hugeMethodLimit"] == "65535"

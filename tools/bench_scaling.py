@@ -30,11 +30,10 @@ _WORKER = r"""
 import json, sys, time
 rows, cpus, src = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
 from pyspark.sql import SparkSession
-spark = (SparkSession.builder.master(f"local[{cpus}]")
+from geospark.conf import apply_tuned
+spark = (apply_tuned(SparkSession.builder.master(f"local[{cpus}]"))
          .appName(f"geospark-scale-{cpus}")
          .config("spark.sql.shuffle.partitions", str(cpus))
-         .config("spark.sql.adaptive.enabled", "true")
-         .config("spark.sql.adaptive.skewJoin.enabled", "true")
          .config("spark.ui.enabled", "false")
          .config("spark.ui.showConsoleProgress", "false")
          .config("spark.sql.session.timeZone", "UTC")

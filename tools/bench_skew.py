@@ -28,16 +28,13 @@ SALT = 8
 
 def build_session(cpus: int = 32):
     from pyspark.sql import SparkSession
-    return (SparkSession.builder.master(f"local[{cpus}]")
+
+    from geospark.conf import apply_tuned
+    return (apply_tuned(SparkSession.builder.master(f"local[{cpus}]"))
             .appName("geospark-skew-bench")
             .config("spark.sql.shuffle.partitions", str(cpus))
-            .config("spark.sql.adaptive.enabled", "true")
-            .config("spark.sql.adaptive.coalescePartitions.enabled",
-                    "true")
-            .config("spark.sql.adaptive.skewJoin.enabled", "true")
             .config("spark.ui.enabled", "false")
             .config("spark.ui.showConsoleProgress", "false")
-            .config("spark.sql.session.timeZone", "UTC")
             .config("spark.driver.memory", "24g")
             .getOrCreate())
 

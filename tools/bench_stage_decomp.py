@@ -32,13 +32,12 @@ _WORKER = r"""
 import json, sys, time
 variant, cpus, geo_src = sys.argv[1], int(sys.argv[2]), sys.argv[3]
 from pyspark.sql import SparkSession, functions as F
-spark = (SparkSession.builder.master(f"local[{cpus}]")
+from geospark.conf import apply_tuned
+spark = (apply_tuned(SparkSession.builder.master(f"local[{cpus}]"))
      .appName(f"geospark-decomp-{variant}-{cpus}")
      .config("spark.sql.shuffle.partitions", str(cpus))
-     .config("spark.sql.adaptive.enabled", "true")
      .config("spark.ui.enabled", "false")
      .config("spark.ui.showConsoleProgress", "false")
-     .config("spark.sql.session.timeZone", "UTC")
      .config("spark.sql.files.maxPartitionBytes", "16777216")
      .config("spark.driver.memory", "32g")
      .config("spark.driver.extraJavaOptions",

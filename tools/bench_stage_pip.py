@@ -34,13 +34,12 @@ import json, sys, time
 variant, cpus, geo_src = sys.argv[1], int(sys.argv[2]), sys.argv[3]
 extra_conf = json.loads(sys.argv[4]) if len(sys.argv) > 4 else {}
 from pyspark.sql import SparkSession
-b = (SparkSession.builder.master(f"local[{cpus}]")
+from geospark.conf import apply_tuned
+b = (apply_tuned(SparkSession.builder.master(f"local[{cpus}]"))
      .appName(f"geospark-stage-{variant}-{cpus}")
      .config("spark.sql.shuffle.partitions", str(cpus))
-     .config("spark.sql.adaptive.enabled", "true")
      .config("spark.ui.enabled", "false")
      .config("spark.ui.showConsoleProgress", "false")
-     .config("spark.sql.session.timeZone", "UTC")
      .config("spark.sql.files.maxPartitionBytes", "16777216")
      .config("spark.driver.memory", "32g")
      .config("spark.driver.extraJavaOptions",
