@@ -179,19 +179,92 @@ def _rect_of(pgs: list[list[np.ndarray]]
     return (True, float(xs[0]), float(ys[0]), float(xs[1]), float(ys[1]))
 
 
+def _make_rect_info_udf():
+    """geom_wkb -> struct(rect, x0, y0, x1, y1): fully vectorized
+    axis-aligned-rectangle detection over the batch WKB buffers (same
+    structural criteria as :func:`_rect_of` — 1 ring, 5 rows, closed,
+    2 distinct x, 2 distinct y, every edge axis-aligned — no float
+    tolerance). One cheap Arrow pass over the polygon side replaces
+    per-polygon Python covering for the rectangle-dominant case.
+    Big-endian / EWKB-exotic rectangles fall outside the LE fast
+    parser and are reported rect=False — they take the (exact, slower)
+    general covering tier instead; output is unchanged.
+
+    Created lazily per call: module-level pandas_udf crashes on worker
+    re-import (see functions/geometry.py)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<rect:boolean,x0:double,y0:double,"
+                "x1:double,y1:double>")
+    def info(wkb: pd.Series) -> pd.DataFrame:
+        from ..functions.geometry import _series_to_wkb_buffers
+        from ..kernels.wkb import parse_polygon_wkb_buffer
+        n = len(wkb)
+        rect = np.zeros(n, dtype=bool)
+        x0 = np.zeros(n); y0 = np.zeros(n)
+        x1 = np.zeros(n); y1 = np.zeros(n)
+        data, offs, val = _series_to_wkb_buffers(wkb)
+        pb = parse_polygon_wkb_buffer(data, offs, val)
+        lo = np.searchsorted(pb.poly_of_ring, np.arange(n))
+        hi = np.searchsorted(pb.poly_of_ring, np.arange(n) + 1)
+        cand = np.where(pb.ok & (hi - lo == 1))[0]
+        if cand.size:
+            ring = lo[cand]
+            five = pb.ring_rows[ring] == 5
+            cand, ring = cand[five], ring[five]
+        if cand.size:
+            st = pb.ring_row_start[ring]
+            gather = st[:, None] + np.arange(5)[None, :]
+            X = pb.xs[gather]  # (k, 5)
+            Y = pb.ys[gather]
+            closed = (X[:, 0] == X[:, 4]) & (Y[:, 0] == Y[:, 4])
+            xmin = X[:, :4].min(axis=1); xmax = X[:, :4].max(axis=1)
+            ymin = Y[:, :4].min(axis=1); ymax = Y[:, :4].max(axis=1)
+            two_x = ((xmin != xmax)
+                     & ((X[:, :4] == xmin[:, None])
+                        | (X[:, :4] == xmax[:, None])).all(axis=1))
+            two_y = ((ymin != ymax)
+                     & ((Y[:, :4] == ymin[:, None])
+                        | (Y[:, :4] == ymax[:, None])).all(axis=1))
+            dx = np.diff(X, axis=1); dy = np.diff(Y, axis=1)
+            axis_aligned = ((dx == 0) | (dy == 0)).all(axis=1)
+            good = closed & two_x & two_y & axis_aligned
+            sel = cand[good]
+            rect[sel] = True
+            x0[sel] = xmin[good]; x1[sel] = xmax[good]
+            y0[sel] = ymin[good]; y1[sel] = ymax[good]
+        return pd.DataFrame({"rect": rect, "x0": x0, "y0": y0,
+                             "x1": x1, "y1": y1})
+
+    return info
+
+
 def distributed_polygon_cover(polys_df, res: int,
                               poly_id_col: str = "zone_id",
                               geom_col: str = "geom_wkb"):
-    """Covering computed ON EXECUTORS (mapInPandas over the polygon
-    table): -> DataFrame(poly_id, _cell, _full, _rect, _bx0.._by1). The
-    polygon side stays a DataFrame end to end — the driver never
-    collects geometry, so a million-polygon side scales out instead of
-    OOMing the driver (round-1 gap: polygon_cover ran driver-side).
+    """Covering computed ON EXECUTORS: -> DataFrame(poly_id, _cell,
+    _full, _rect, _bx0.._by1). The polygon side stays a DataFrame end
+    to end — the driver never collects geometry, so a million-polygon
+    side scales out instead of OOMing the driver (round-1 gap:
+    polygon_cover ran driver-side).
 
-    Axis-aligned rectangles (parcels, tiles, boxes — the typical LARGE
-    polygon side) are flagged with their corners carried on the cover
-    rows, so the refine runs as a pure JVM comparison instead of the
-    geometry UDF (zero Python for a fully rectangular side)."""
+    Two tiers (r5): axis-aligned rectangles — the typical LARGE
+    polygon side (parcels, tiles, boxes) — are detected by one
+    vectorized Arrow pass and covered with PURE JVM column expressions
+    (sequence + explode over the closed-intersect cell index ranges,
+    exact integer cell-id arithmetic identical to cells.cell_encode);
+    only the non-rectangular residue pays the per-polygon Python
+    covering (mapInPandas, repartitioned to the full core budget — a
+    polygon table stored as k files otherwise caps covering
+    parallelism at k). Measured at sf1 (200k boxes, 6M points): the
+    all-Python covering was 9.7 s of the join's 10.3 s wall; the JVM
+    tier removes it. Cell ranges are closed-intersect (a rect touching
+    a cell only on its boundary still covers it) — matching the
+    Python covering's closed bbox overlap, which poly_join's
+    shared-boundary semantics relies on. ``_full`` is the exact
+    cell-inside-rect test (left/bottom closed, right/top open, the
+    same convention as the rect refine tier)."""
+    from pyspark.sql import functions as F
     schema = (f"{poly_id_col} long, _cell long, _full boolean, "
               f"_rect boolean, _bx0 double, _by0 double, "
               f"_bx1 double, _by1 double")
@@ -200,11 +273,11 @@ def distributed_polygon_cover(polys_df, res: int,
 
     def fn(it):
         for pdf in it:
-            rows, ring_map = polygon_cover(
+            rows, _ring_map = polygon_cover(
                 [(int(p), bytes(w) if w is not None else None)
                  for p, w in zip(pdf[poly_id_col], pdf[geom_col])], res)
-            rects = {pid: _rect_of(pgs) for pid, pgs in ring_map.items()}
-            out = [(pid, c, f) + rects[pid] for pid, c, f in rows]
+            out = [(pid, c, f, False, 0.0, 0.0, 0.0, 0.0)
+                   for pid, c, f in rows]
             yield pd.DataFrame(out, columns=cols) if out else \
                 pd.DataFrame({poly_id_col: pd.Series([], dtype="int64"),
                               "_cell": pd.Series([], dtype="int64"),
@@ -215,8 +288,58 @@ def distributed_polygon_cover(polys_df, res: int,
                               "_bx1": pd.Series([], dtype="float64"),
                               "_by1": pd.Series([], dtype="float64")})
 
-    return polys_df.select(poly_id_col, geom_col).mapInPandas(
-        fn, schema=schema)
+    info = polys_df.select(
+        poly_id_col, geom_col,
+        _make_rect_info_udf()(F.col(geom_col)).alias("_ri"))
+
+    from ..functions.cells import _RES_SHIFT
+    n = 1 << res
+    x0, y0 = F.col("_bx0"), F.col("_by0")
+    x1, y1 = F.col("_bx1"), F.col("_by1")
+    zero, nmax = F.lit(0).cast("long"), F.lit(n - 1).cast("long")
+    # closed-intersect index range: cell i intersects [x0, x1] iff
+    # (i+1)*step > x0-ish — exactly i >= ceil((x0+180)/360*n) - 1 and
+    # i <= floor((x1+180)/360*n); the ceil-1 form includes the cell
+    # whose RIGHT edge merely touches x0 (and floor the one whose left
+    # edge touches x1), mirroring the Python covering's closed bbox
+    # overlap
+    ix0 = F.greatest(zero, F.ceil((x0 + 180.0) / 360.0 * n)
+                     .cast("long") - 1)
+    ix1 = F.least(nmax, F.floor((x1 + 180.0) / 360.0 * n).cast("long"))
+    iy0 = F.greatest(zero, F.ceil((y0 + 90.0) / 180.0 * n)
+                     .cast("long") - 1)
+    iy1 = F.least(nmax, F.floor((y1 + 90.0) / 180.0 * n).cast("long"))
+    cx0 = F.col("_ix") * (360.0 / n) - 180.0
+    cx1 = (F.col("_ix") + 1) * (360.0 / n) - 180.0
+    cy0 = F.col("_iy") * (180.0 / n) - 90.0
+    cy1 = (F.col("_iy") + 1) * (180.0 / n) - 90.0
+    rcov = (info.filter(F.col("_ri.rect"))
+            .select(poly_id_col,
+                    F.col("_ri.x0").alias("_bx0"),
+                    F.col("_ri.y0").alias("_by0"),
+                    F.col("_ri.x1").alias("_bx1"),
+                    F.col("_ri.y1").alias("_by1"))
+            .withColumn("_ix0", ix0).withColumn("_ix1", ix1)
+            .withColumn("_iy0", iy0).withColumn("_iy1", iy1)
+            # entirely off-grid side (sequence() would run DESCENDING
+            # for inverted bounds): covers nothing, like the Python tier
+            .filter((F.col("_ix0") <= F.col("_ix1"))
+                    & (F.col("_iy0") <= F.col("_iy1")))
+            .withColumn("_ix", F.explode(F.sequence("_ix0", "_ix1")))
+            .withColumn("_iy", F.explode(F.sequence("_iy0", "_iy1")))
+            .select(F.col(poly_id_col).cast("long").alias(poly_id_col),
+                    (F.shiftleft(F.lit(res).cast("long"), _RES_SHIFT)
+                     + F.shiftleft(F.col("_iy"), res)
+                     + F.col("_ix")).alias("_cell"),
+                    ((cx0 >= x0) & (cx1 <= x1)
+                     & (cy0 >= y0) & (cy1 <= y1)).alias("_full"),
+                    F.lit(True).alias("_rect"),
+                    "_bx0", "_by0", "_bx1", "_by1"))
+
+    gen = info.filter(~F.col("_ri.rect")).select(poly_id_col, geom_col)
+    par = polys_df.sparkSession.sparkContext.defaultParallelism
+    gcov = gen.repartition(par).mapInPandas(fn, schema=schema)
+    return rcov.unionByName(gcov)
 
 
 def make_wkb_refine_udf():

@@ -288,3 +288,100 @@ class TestTunedConf:
         assert b.conf == TUNED_CONF
         b.config("spark.sql.codegen.hugeMethodLimit", "65535")
         assert b.conf["spark.sql.codegen.hugeMethodLimit"] == "65535"
+
+
+class TestJvmRectCovering:
+    """r5: distributed_polygon_cover's rectangle tier runs as pure JVM
+    sequence/explode (the per-polygon Python covering was 9.7s of the
+    sf1 pip_many_boxes join's 10.3s wall). The JVM tier must produce
+    the SAME cell set as the Python covering and an equal-or-tighter
+    _full flag (Python's center+edge test is conservative; the JVM
+    rect test is exact)."""
+
+    def _boxes(self, spark, n=40):
+        from pyspark.sql import functions as F
+
+        from geospark.functions.geometry import st_geomfromtext
+        cx = ((F.col("id") * 13) % 300).cast("double") / 2.0 - 75.0
+        cy = ((F.col("id") * 17) % 160).cast("double") / 2.0 - 40.0
+        w = ((F.col("id") % 5) + 1).cast("double") * 0.8
+        x0, y0 = (cx - w).cast("string"), (cy - w).cast("string")
+        x1, y1 = (cx + w).cast("string"), (cy + w).cast("string")
+        wkt = F.concat(F.lit("POLYGON (("), x0, F.lit(" "), y0,
+                       F.lit(", "), x1, F.lit(" "), y0, F.lit(", "),
+                       x1, F.lit(" "), y1, F.lit(", "), x0, F.lit(" "),
+                       y1, F.lit(", "), x0, F.lit(" "), y0, F.lit("))"))
+        return spark.range(n).select(
+            F.col("id").alias("box_id"),
+            st_geomfromtext(wkt).alias("geom_wkb"))
+
+    def test_rect_cover_cells_match_python_covering(self, spark):
+        from geospark.operators.joins import (distributed_polygon_cover,
+                                              polygon_cover)
+        boxes = self._boxes(spark)
+        res = 7
+        got = distributed_polygon_cover(boxes, res, "box_id").collect()
+        assert all(r["_rect"] for r in got)
+        jvm_cells = {(r["box_id"], r["_cell"]) for r in got}
+        jvm_full = {(r["box_id"], r["_cell"]) for r in got if r["_full"]}
+        polys = [(r["box_id"], bytes(r["geom_wkb"]))
+                 for r in boxes.collect()]
+        rows, _ = polygon_cover(polys, res)
+        py_cells = {(p, c) for p, c, _f in rows}
+        py_full = {(p, c) for p, c, f in rows if f}
+        # the JVM closed-intersect ranges are a SUPERSET: they keep the
+        # cells a rect touches only on a shared cell boundary, which
+        # the Python covering drops (a latent shared-boundary miss —
+        # see test_touching_rects_still_share_a_cell). The refine
+        # discards the extras, so join output is identical.
+        assert py_cells <= jvm_cells
+        assert py_full <= jvm_full  # exact test is at least as tight
+        # every extra cell is touching-only: never marked full
+        assert not (jvm_full - py_cells)
+
+    def test_non_rects_fall_to_general_tier(self, spark):
+        from pyspark.sql import functions as F
+
+        from geospark.functions.geometry import st_geomfromtext
+        from geospark.operators.joins import distributed_polygon_cover
+        rows = [
+            (1, "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"),          # rect
+            (2, "POLYGON ((0 0, 2 0, 4 0, 4 4, 0 4, 0 0))"),      # 6-pt
+            (3, "POLYGON ((0 0, 4 1, 3 4, 0 0))"),                # tri
+            (4, None),                                            # null
+        ]
+        df = spark.createDataFrame(rows, "pid long, wkt string") \
+            .select("pid", st_geomfromtext("wkt").alias("geom_wkb"))
+        cov = distributed_polygon_cover(df, 6, "pid").collect()
+        by_pid = {}
+        for r in cov:
+            by_pid.setdefault(r["pid"], set()).add(r["_rect"])
+        assert by_pid[1] == {True}
+        assert by_pid[2] == {False}   # collinear 6-pt evades _rect_of
+        assert by_pid[3] == {False}
+        assert 4 not in by_pid        # null covers nothing
+        # rect corners carried for the JVM refine tier
+        rect_rows = [r for r in cov if r["pid"] == 1]
+        assert all((r["_bx0"], r["_by0"], r["_bx1"], r["_by1"])
+                   == (0.0, 0.0, 4.0, 4.0) for r in rect_rows)
+
+    def test_touching_rects_still_share_a_cell(self, spark):
+        """Closed-intersect ranges: a rect whose edge lies ON a cell
+        boundary must still cover the touching cell, or poly_join
+        misses shared-boundary pairs."""
+        from geospark.operators.joins import spatial_join_polygons
+        from pyspark.sql import functions as F
+
+        from geospark.functions.geometry import st_geomfromtext
+        res = 5  # cell width 360/32 = 11.25, height 180/32 = 5.625
+        # left box ends exactly on the cell boundary x = 0.0
+        l = spark.createDataFrame(
+            [(1, "POLYGON ((-11.25 0, 0 0, 0 5.625, -11.25 5.625,"
+                 " -11.25 0))")], "l_id long, wkt string") \
+            .select("l_id", st_geomfromtext("wkt").alias("geom_wkb"))
+        r = spark.createDataFrame(
+            [(2, "POLYGON ((0 0, 11.25 0, 11.25 5.625, 0 5.625,"
+                 " 0 0))")], "r_id long, wkt string") \
+            .select("r_id", st_geomfromtext("wkt").alias("geom_wkb"))
+        got = spatial_join_polygons(l, r, res=res).collect()
+        assert {(x["l_id"], x["r_id"]) for x in got} == {(1, 2)}
