@@ -585,3 +585,100 @@ def lsh_ann_topk_sql(k: int = 10, n_bits: int = 6, n_tables: int = 4,
     return (f"SELECT vec_id, ROUND({cos}, 6) AS sim FROM {table} "
             f"WHERE {where} "
             f"ORDER BY sim DESC, vec_id ASC LIMIT {k}")
+
+
+def semantic_dedup(emb_df, *, n_clusters: int = 8,
+                   threshold: float = 0.95, dim: int = 64,
+                   id_col: str = "vec_id", emb_col: str = "embedding"):
+    """SemDeDup-style semantic dedup (Abbas et al. 2023 shape):
+    coarse-cluster the embeddings, then drop every row whose cosine to
+    a LOWER-id member of the same cluster reaches ``threshold``
+    (greedy keep-lowest — one self-join, no iteration; the
+    chain-transitive variant is dedup.dup_clusters' connected
+    components). Returns the survivors as (id, cluster).
+
+    Centroids are the ``n_clusters`` lowest-id embeddings —
+    deterministic and oracle-expressible; production swaps in
+    ivf_train's k-means centroids (same assign/dedup plan). Cosines
+    are ROUND(.., 6) like lsh_near_dup so the threshold compare is
+    stable under the cross-engine hash gate; assignment ties break on
+    the lower centroid id.
+
+    Plan shape at scale: assign = one broadcast nested-loop against
+    n_clusters tiny centroid rows + a per-row row_number window (both
+    map-side after one id-keyed shuffle); dedup = ONE cluster-bucketed
+    self-join — never all-pairs across clusters. The self-join is
+    O(sum cluster_size^2) worst case: at 10^12 rows raise n_clusters
+    (real SemDeDup uses ~10^5) so cluster sizes stay bounded."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    # the row norm is computed ONCE scan-side and carried through the
+    # joins: a cosine inlined at each use is 3 unrolled dot products
+    # (3*dim terms) — fused into the self-join stage that blew the
+    # janino 64KB class limit (whole stage fell back to interpreted,
+    # the r3 lesson); carrying the norm keeps every stage at one
+    # dim-term dot. Bit-parity with the twin is unaffected: the float
+    # ops are identical, only where they run changes.
+    e = emb_df.select(F.col(id_col).cast("long").alias("_id"),
+                      _emb_double(F.col(emb_col)).alias("_v")) \
+        .withColumn("_n", F.sqrt(dot_cols_expr("_v", "_v", dim)))
+    cents = (e.orderBy("_id").limit(n_clusters)
+             .select(F.col("_id").alias("_cid"),
+                     F.col("_v").alias("_cv"),
+                     F.col("_n").alias("_cn")))
+    cos_assign = F.round(dot_cols_expr("_v", "_cv", dim)
+                         / (F.col("_n") * F.col("_cn")), 6)
+    win = Window.partitionBy("_id").orderBy(
+        F.col("_cos").desc(), F.col("_cid").asc())
+    assigned = (e.crossJoin(F.broadcast(cents))
+                .withColumn("_cos", cos_assign)
+                .withColumn("_rn", F.row_number().over(win))
+                .filter(F.col("_rn") == 1)
+                .select("_id", "_cid", "_v", "_n"))
+    a = assigned.select(F.col("_cid"), F.col("_id").alias("_ida"),
+                        F.col("_v").alias("_va"),
+                        F.col("_n").alias("_na"))
+    b = assigned.select(F.col("_cid"), F.col("_id").alias("_idb"),
+                        F.col("_v").alias("_vb"),
+                        F.col("_n").alias("_nb"))
+    cos_pair = F.round(dot_cols_expr("_va", "_vb", dim)
+                       / (F.col("_na") * F.col("_nb")), 6)
+    dropped = (a.join(b, "_cid")
+               .filter(F.col("_ida") < F.col("_idb"))
+               .filter(cos_pair >= threshold)
+               .select(F.col("_idb").alias("_id")).distinct())
+    return (assigned.join(dropped, "_id", "left_anti")
+            .select(F.col("_id").alias(id_col),
+                    F.col("_cid").alias("cluster")))
+
+
+def semantic_dedup_sql(n_clusters: int = 8, threshold: float = 0.95,
+                       table: str = "embeddings") -> str:
+    """DuckDB twin of semantic_dedup — same centroid rule, same
+    ROUND(cos, 6), same tie-break, same greedy lower-id drop."""
+    cos = ("ROUND(list_dot_product({l}.v, {r}) / "
+           "(sqrt(list_dot_product({l}.v, {l}.v)) * "
+           "sqrt(list_dot_product({r}, {r}))), 6)")
+    cos_assign = cos.format(l="e", r="c.cv")
+    cos_pair = cos.format(l="x", r="b.v")
+    return f"""
+WITH e AS (
+  SELECT CAST(vec_id AS BIGINT) AS id, CAST(embedding AS DOUBLE[]) AS v
+  FROM {table}),
+c AS (
+  SELECT id AS cid, v AS cv FROM e ORDER BY id LIMIT {n_clusters}),
+a AS (
+  SELECT id, cid, v FROM (
+    SELECT e.id, c.cid, e.v,
+           ROW_NUMBER() OVER (PARTITION BY e.id
+               ORDER BY {cos_assign} DESC, c.cid ASC) AS rn
+    FROM e CROSS JOIN c)
+  WHERE rn = 1),
+dup AS (
+  SELECT DISTINCT b.id FROM a x JOIN a b ON x.cid = b.cid
+  WHERE x.id < b.id
+    AND {cos_pair} >= {threshold})
+SELECT a.id AS vec_id, a.cid AS cluster FROM a
+WHERE NOT EXISTS (SELECT 1 FROM dup WHERE dup.id = a.id)
+"""

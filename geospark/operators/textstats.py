@@ -191,3 +191,107 @@ SELECT doc_id, term, CAST(rank AS INTEGER) AS rank FROM (
   FROM tf JOIN dfreq USING (term))
 WHERE rank <= {k}
 """
+
+
+def repetition_stats(df, *, text_col: str = "text",
+                     id_col: str = "doc_id"):
+    """Gopher-style intra-document repetition features (Rae et al.
+    2021 §A1.1 shape): LLM corpora drop documents whose content is
+    dominated by repeated lines/n-grams. Per doc, over the same
+    lowercase token stream as top_terms:
+
+      n_words / n_distinct_words / dup_word_frac — token repetition;
+      top_word_frac — most-frequent-token mass (boilerplate tell);
+      n_trigrams / n_distinct_trigrams / dup_trigram_frac — repeated
+      3-gram mass (the "duplicate n-gram fraction" filter).
+
+    All counts integer-exact; the fractions are single double
+    divisions of exact integers (bit-identical cross-engine — no libm
+    in any column). -> one row per doc.
+
+    Scale: one (doc, token) agg and one (doc, trigram) agg, both with
+    map-side combine; the trigram stream rides a lead() window over
+    the exploded tokens (one doc-keyed shuffle). Never collects; at
+    web scale cap the explode with an upstream length guard like
+    top_terms."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    words = df.select(
+        F.col(id_col),
+        F.posexplode(words_col(text_col)).alias("_pos", "_w"))
+    wstats = (words.groupBy(id_col, "_w")
+              .agg(F.count(F.lit(1)).alias("_c"))
+              .groupBy(id_col)
+              .agg(F.sum("_c").alias("n_words"),
+                   F.count(F.lit(1)).alias("n_distinct_words"),
+                   F.max("_c").alias("_top_n")))
+    win = Window.partitionBy(id_col).orderBy("_pos")
+    tri = (words
+           .withColumn("_w2", F.lead("_w", 1).over(win))
+           .withColumn("_w3", F.lead("_w", 2).over(win))
+           .filter(F.col("_w3").isNotNull())
+           .select(F.col(id_col),
+                   F.concat_ws(" ", "_w", "_w2", "_w3").alias("_tri")))
+    tstats = (tri.groupBy(id_col, "_tri")
+              .agg(F.count(F.lit(1)).alias("_c"))
+              .groupBy(id_col)
+              .agg(F.sum("_c").alias("n_trigrams"),
+                   F.count(F.lit(1)).alias("n_distinct_trigrams")))
+    nw = F.col("n_words")
+    nt = F.col("n_trigrams")
+    return (wstats.join(tstats, id_col, "left")
+            .select(F.col(id_col),
+                    nw, F.col("n_distinct_words"),
+                    ((nw - F.col("n_distinct_words")).cast("double")
+                     / nw).alias("dup_word_frac"),
+                    (F.col("_top_n").cast("double") / nw)
+                    .alias("top_word_frac"),
+                    F.coalesce(nt, F.lit(0)).alias("n_trigrams"),
+                    F.coalesce(F.col("n_distinct_trigrams"), F.lit(0))
+                    .alias("n_distinct_trigrams"),
+                    F.when(nt > 0,
+                           (nt - F.col("n_distinct_trigrams"))
+                           .cast("double") / nt)
+                    .otherwise(F.lit(0.0)).alias("dup_trigram_frac")))
+
+
+def repetition_stats_sql(table: str = "documents") -> str:
+    """DuckDB twin of repetition_stats: same tokenizer, same trigram
+    stream (zipped-unnest positions + lead window), same exact-integer
+    counts and double divisions."""
+    return f"""
+WITH words AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RX}'))
+             AS w,
+         unnest(range(1, len(regexp_extract_all(lower(text),
+             '{TOKEN_RX}')) + 1)) AS pos
+  FROM {table}),
+wstats AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+         COUNT(*) AS n_distinct_words, MAX(c) AS top_n
+  FROM (SELECT doc_id, w, COUNT(*) AS c FROM words GROUP BY 1, 2)
+  GROUP BY 1),
+tri AS (
+  SELECT doc_id, w || ' ' || w2 || ' ' || w3 AS tri FROM (
+    SELECT doc_id, w,
+           LEAD(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2,
+           LEAD(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w3
+    FROM words)
+  WHERE w3 IS NOT NULL),
+tstats AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_trigrams,
+         COUNT(*) AS n_distinct_trigrams
+  FROM (SELECT doc_id, tri, COUNT(*) AS c FROM tri GROUP BY 1, 2)
+  GROUP BY 1)
+SELECT w.doc_id, w.n_words, w.n_distinct_words,
+       CAST(w.n_words - w.n_distinct_words AS DOUBLE) / w.n_words
+           AS dup_word_frac,
+       CAST(w.top_n AS DOUBLE) / w.n_words AS top_word_frac,
+       COALESCE(t.n_trigrams, 0) AS n_trigrams,
+       COALESCE(t.n_distinct_trigrams, 0) AS n_distinct_trigrams,
+       CASE WHEN t.n_trigrams > 0
+            THEN CAST(t.n_trigrams - t.n_distinct_trigrams AS DOUBLE)
+                 / t.n_trigrams
+            ELSE 0.0 END AS dup_trigram_frac
+FROM wstats w LEFT JOIN tstats t USING (doc_id)
+"""

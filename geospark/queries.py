@@ -1230,6 +1230,27 @@ def q_cell_distinct_users(spark, sf_dir):
                     F.col("n_rows").alias("n_events"))
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style intra-doc repetition features (r5): duplicate
+    word/trigram fractions + top-word mass per document — the
+    repetition quality filters an LLM corpus drops documents on.
+    Integer-exact counts, single double divisions (no libm)."""
+    from .operators.textstats import repetition_stats
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return repetition_stats(d)
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style embedding dedup (r5): cluster to the nearest of
+    the 8 lowest-id centroid embeddings, greedily drop rows with a
+    ROUND(cos,6) >= 0.3 lower-id neighbor in the same cluster (0.3 is
+    meaningful on the synthetic embeddings — real corpora use ~0.95),
+    return the survivors with their cluster."""
+    from .operators.similarity import semantic_dedup
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return semantic_dedup(e, n_clusters=8, threshold=0.3)
+
+
 QUERIES = {
     # -- round-3 additions, driver-verified for the first time in r4 --
     "curation_filter": q_curation_filter,
@@ -1270,8 +1291,12 @@ QUERIES = {
     "embed_near_dup": q_embed_near_dup,
     "lsh_ann_topk": q_lsh_ann_topk,
     "lang_guess": q_lang_guess,
-    "quality_features": q_quality_features,
-    "rolling_fp": q_rolling_fp,
+    # -- round-5 additions, inside the window for their first driver
+    #    row (quality_features/rolling_fp rotate out to make room:
+    #    both driver-green in r4, near-dupes of doc_quality/
+    #    fingerprint which are driver-green r1-r4) --
+    "repetition_stats": q_repetition_stats,
+    "semantic_dedup": q_semantic_dedup,
     "bbox_join": q_bbox_join,
     "pip_join_many": q_pip_join_many,
     "poly_join": q_poly_join,
@@ -1310,6 +1335,11 @@ QUERIES = {
     "doc_quality": q_doc_quality,
     "fingerprint": q_fingerprint,
     "doc_tokens": q_doc_tokens,
+    # -- rotated out in r5.2 for repetition_stats/semantic_dedup
+    #    (driver-green r4; near-dupes of doc_quality/fingerprint
+    #    directly above) --
+    "quality_features": q_quality_features,
+    "rolling_fp": q_rolling_fp,
 }
 
 
@@ -1689,6 +1719,11 @@ def oracle_sql() -> dict[str, str]:
     out["lang_guess"] = lang_guess_sql()
     out["quality_features"] = quality_features_sql()
     out["rolling_fp"] = rolling_fingerprint_sql()
+    from .operators.textstats import repetition_stats_sql
+    out["repetition_stats"] = repetition_stats_sql()
+    from .operators.similarity import semantic_dedup_sql
+    out["semantic_dedup"] = semantic_dedup_sql(n_clusters=8,
+                                               threshold=0.3)
     from .operators.dedup import canonical_url_sql
     from .operators.textstats import top_terms_sql
     _url_expr = _doc_url_sql()

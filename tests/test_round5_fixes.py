@@ -385,3 +385,88 @@ class TestJvmRectCovering:
             .select("r_id", st_geomfromtext("wkt").alias("geom_wkb"))
         got = spatial_join_polygons(l, r, res=res).collect()
         assert {(x["l_id"], x["r_id"]) for x in got} == {(1, 2)}
+
+
+class TestRepetitionStats:
+    def test_hand_computed(self, spark):
+        from geospark.operators.textstats import repetition_stats
+        rows = [
+            # "a b a b a": words 5, distinct 2; trigrams: "a b a",
+            # "b a b", "a b a" -> 3 total, 2 distinct
+            (1, "a b a b a"),
+            # all distinct, one trigram
+            (2, "x y z"),
+            # too short for trigrams
+            (3, "p q"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r.asDict()
+               for r in repetition_stats(df).collect()}
+        r1 = got[1]
+        assert (r1["n_words"], r1["n_distinct_words"]) == (5, 2)
+        assert r1["dup_word_frac"] == (5 - 2) / 5
+        assert r1["top_word_frac"] == 3 / 5
+        assert (r1["n_trigrams"], r1["n_distinct_trigrams"]) == (3, 2)
+        assert r1["dup_trigram_frac"] == (3 - 2) / 3
+        r2 = got[2]
+        assert (r2["n_words"], r2["n_distinct_words"]) == (3, 3)
+        assert r2["dup_word_frac"] == 0.0
+        assert (r2["n_trigrams"], r2["n_distinct_trigrams"]) == (1, 1)
+        r3 = got[3]
+        assert (r3["n_trigrams"], r3["dup_trigram_frac"]) == (0, 0.0)
+
+    def test_tokenizer_matches_top_terms(self, spark):
+        """Same lowercase [a-z0-9]+ stream as top_terms: punctuation
+        and case don't create distinct tokens."""
+        from geospark.operators.textstats import repetition_stats
+        df = spark.createDataFrame(
+            [(1, "Foo, foo! FOO bar")], "doc_id long, text string")
+        r = repetition_stats(df).collect()[0]
+        assert (r["n_words"], r["n_distinct_words"]) == (4, 2)
+        assert r["top_word_frac"] == 3 / 4
+
+
+class TestSemanticDedup:
+    def _df(self, spark, vecs):
+        return spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<float>")
+
+    def test_greedy_keep_lowest_within_cluster(self, spark):
+        from geospark.operators.similarity import semantic_dedup
+        d = 4
+        e1 = [1.0, 0.0, 0.0, 0.0]
+        e2 = [0.0, 1.0, 0.0, 0.0]
+        near1 = [0.999, 0.01, 0.0, 0.0]     # ~cos 1 with e1
+        far = [0.7, 0.7, 0.0, 0.0]          # between clusters
+        df = self._df(spark, [e1, e2, near1, far])
+        got = semantic_dedup(df, n_clusters=2, threshold=0.95, dim=d)
+        kept = {(r["vec_id"], r["cluster"]) for r in got.collect()}
+        # id2 (near1) is dropped against id0; id3 assigns to cluster 0
+        # (tie on rounded cos broken by lower cid) but is not near any
+        assert kept == {(0, 0), (1, 1), (3, 0)}
+
+    def test_survivor_of_dropped_chain(self, spark):
+        """Greedy (not transitive): a row is dropped if ANY lower-id
+        neighbor is close, even one that was itself dropped."""
+        from geospark.operators.similarity import semantic_dedup
+        base = [1.0, 0.0, 0.0, 0.0]
+        df = self._df(spark, [base, base, base])
+        got = semantic_dedup(df, n_clusters=1, threshold=0.95, dim=4)
+        assert {r["vec_id"] for r in got.collect()} == {0}
+
+    def test_spark_matches_duckdb_on_testdata(self, spark):
+        import duckdb
+
+        from geospark.operators.similarity import (semantic_dedup,
+                                                   semantic_dedup_sql)
+        e = spark.read.parquet(f"{SF}/embeddings.parquet")
+        got = sorted((r["vec_id"], r["cluster"]) for r in
+                     semantic_dedup(e, n_clusters=8, threshold=0.3)
+                     .collect())
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                    f"read_parquet('{SF}/embeddings.parquet')")
+        want = sorted((int(a), int(b)) for a, b in con.execute(
+            semantic_dedup_sql(8, 0.3)).fetchall())
+        assert got == want and len(got) > 0
