@@ -288,9 +288,16 @@ def distributed_polygon_cover(polys_df, res: int,
                               "_bx1": pd.Series([], dtype="float64"),
                               "_by1": pd.Series([], dtype="float64")})
 
-    info = polys_df.select(
+    # Freeze the DETECTION output (200k rows for a 200k-polygon side),
+    # not the exploded cover (2.3M rows): the Python detect pass then
+    # runs exactly once however many branches reference the cover, the
+    # tiny one-row-per-polygon checkpoint replaces the cover-sized one,
+    # and the pure-JVM explode below stays INLINE in the consumer's
+    # plan — for an all-rect side the scan->explode->join fuses into
+    # one codegen stage with no Python and no cover materialization.
+    info = materialize(polys_df.select(
         poly_id_col, geom_col,
-        _make_rect_info_udf()(F.col(geom_col)).alias("_ri"))
+        _make_rect_info_udf()(F.col(geom_col)).alias("_ri")))
 
     from ..functions.cells import _RES_SHIFT
     n = 1 << res
@@ -337,6 +344,15 @@ def distributed_polygon_cover(polys_df, res: int,
                     "_bx0", "_by0", "_bx1", "_by1"))
 
     gen = info.filter(~F.col("_ri.rect")).select(poly_id_col, geom_col)
+    # all-rect side (tiles/boxes/parcels — the common storage shape):
+    # skip the general union branch AT PLAN TIME, so the returned cover
+    # is a pure column-expression subtree. The count is a tiny job over
+    # the frozen info.
+    if gen.limit(1).count() == 0:
+        # consumers key on this: a pure-JVM cover needs no cover-sized
+        # materialization to be referenced from multiple branches
+        rcov._geospark_pure_jvm = True
+        return rcov
     par = polys_df.sparkSession.sparkContext.defaultParallelism
     gcov = gen.repartition(par).mapInPandas(fn, schema=schema)
     return rcov.unionByName(gcov)
@@ -464,16 +480,19 @@ def spatial_join(points, polys_df, *, res: int | None = None,
         # to the refine as a joined column — no driver collect anywhere
         if res is None:
             res = _pick_resolution_distributed(polys_df, geom_col)
-        # materialize the covering ONCE: the matched union references
-        # the cover in three branches (interior / rect / general), and
-        # Spark does not reuse exchanges across Python-bearing subtrees
-        # (measured: 3 MapInPandas executions of the same covering) —
-        # an eager materialize makes the branches scan the computed
-        # cover instead of re-running the Python covering per branch.
-        # The cover is cells x polygons rows, far smaller than the
-        # geometry table it summarizes.
-        cover_df = materialize(distributed_polygon_cover(
-            polys_df, res, poly_id_col, geom_col))
+        # the cover arrives with its Python DETECTION pass already
+        # frozen inside distributed_polygon_cover (r5) — for an
+        # all-rect side the cover is a pure column-expression subtree
+        # that can be referenced from several branches for free, so no
+        # cover-sized materialization is needed; a cover WITH a
+        # general (mapInPandas) tier is materialized below, because
+        # Spark does not reuse exchanges across Python-bearing
+        # subtrees (measured r2: 3 MapInPandas executions of one
+        # covering under the matched union's three branches).
+        cover_df = distributed_polygon_cover(
+            polys_df, res, poly_id_col, geom_col)
+        if not getattr(cover_df, "_geospark_pure_jvm", False):
+            cover_df = materialize(cover_df)
         pts = points.withColumn("_cell",
                                 cell_encode(lat_col, lon_col, res))
         if broadcast_cover is None:
