@@ -295,3 +295,47 @@ SELECT w.doc_id, w.n_words, w.n_distinct_words,
             ELSE 0.0 END AS dup_trigram_frac
 FROM wstats w LEFT JOIN tstats t USING (doc_id)
 """
+
+
+# PII scrubbing patterns — deliberately restricted to the regex subset
+# with IDENTICAL semantics in Java regex (Spark) and RE2 (DuckDB):
+# char classes, bounded repeats, \d, \b word boundaries; no lookaround,
+# no backrefs. Order matters (email first: its local part can contain
+# digits a later pattern might nibble) and is applied identically in
+# both engines.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+     "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d{8,15}", "<PHONE>"),
+]
+
+
+def redact_pii(df, *, text_col: str = "text", id_col: str = "doc_id"):
+    """Training-corpus PII scrubbing: replace emails / IPv4s / intl
+    phone numbers with typed placeholders and count what was removed
+    (the audit trail a curation pipeline keeps). Pure regexp_replace /
+    regexp_count column expressions — map-only, no shuffle, no UDF.
+    -> (id, clean_text, n_emails, n_ips, n_phones)."""
+    from pyspark.sql import functions as F
+    txt = F.col(text_col)
+    counts = [F.regexp_count(txt, F.lit(rx)).alias(f"n_{name}s")
+              for name, rx, _ in PII_PATTERNS]
+    clean = txt
+    for _name, rx, repl in PII_PATTERNS:
+        clean = F.regexp_replace(clean, rx, repl)
+    return df.select(F.col(id_col), clean.alias("clean_text"), *counts)
+
+
+def redact_pii_sql(text_expr: str = "text",
+                   table: str = "documents") -> str:
+    """DuckDB twin of redact_pii — same patterns from the same step
+    table, same replacement order, global-replace flag."""
+    counts = ", ".join(
+        f"len(regexp_extract_all({text_expr}, '{rx}')) AS n_{name}s"
+        for name, rx, _ in PII_PATTERNS)
+    clean = text_expr
+    for _name, rx, repl in PII_PATTERNS:
+        clean = f"regexp_replace({clean}, '{rx}', '{repl}', 'g')"
+    return (f"SELECT doc_id, {clean} AS clean_text, {counts} "
+            f"FROM {table}")

@@ -1240,6 +1240,53 @@ def q_repetition_stats(spark, sf_dir):
     return repetition_stats(d)
 
 
+# planted-PII step table (shared by the Spark Column and the oracle
+# SQL builders below, so the two engines cannot drift on the literals;
+# doc_id % 3 picks which PII kinds a doc carries so counts vary)
+_PII_EMAIL_PRE, _PII_EMAIL_POST = " contact user", "@Example.COM now"
+_PII_IP_PRE = " from 10.0."
+_PII_PHONE_PRE = " tel +14155550"
+
+
+def _pii_text_col():
+    from pyspark.sql import functions as F
+    d = F.col("doc_id")
+    email = F.when(d % 3 != 0, F.concat(
+        F.lit(_PII_EMAIL_PRE), d.cast("string"),
+        F.lit(_PII_EMAIL_POST))).otherwise(F.lit(""))
+    ip = F.when(d % 3 != 1, F.concat(
+        F.lit(_PII_IP_PRE), (d % 256).cast("string"),
+        F.lit(".1"))).otherwise(F.lit(""))
+    phone = F.when(d % 3 != 2, F.concat(
+        F.lit(_PII_PHONE_PRE),
+        F.lpad((d % 1000).cast("string"), 3, "0"))).otherwise(F.lit(""))
+    return F.concat(F.col("text"), email, ip, phone)
+
+
+def _pii_text_sql() -> str:
+    email = (f"CASE WHEN doc_id % 3 != 0 THEN '{_PII_EMAIL_PRE}' || "
+             f"CAST(doc_id AS VARCHAR) || '{_PII_EMAIL_POST}' "
+             f"ELSE '' END")
+    ip = (f"CASE WHEN doc_id % 3 != 1 THEN '{_PII_IP_PRE}' || "
+          f"CAST(doc_id % 256 AS VARCHAR) || '.1' ELSE '' END")
+    phone = (f"CASE WHEN doc_id % 3 != 2 THEN '{_PII_PHONE_PRE}' || "
+             f"lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') "
+             f"ELSE '' END")
+    return f"text || {email} || {ip} || {phone}"
+
+
+def q_redact_pii(spark, sf_dir):
+    """PII scrubbing audit (r5): emails/IPv4s/phones replaced with
+    typed placeholders + per-kind removal counts, over documents with
+    deterministically planted PII (the raw synth text has none — the
+    plant makes the oracle non-vacuous, boilerplate's prefix-corpus
+    recipe). Map-only regexp column expressions."""
+    from .operators.textstats import redact_pii
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return redact_pii(
+        d.select("doc_id", _pii_text_col().alias("text")))
+
+
 def q_semantic_dedup(spark, sf_dir):
     """SemDeDup-style embedding dedup (r5): cluster to the nearest of
     the 8 lowest-id centroid embeddings, greedily drop rows with a
@@ -1297,6 +1344,7 @@ QUERIES = {
     #    fingerprint which are driver-green r1-r4) --
     "repetition_stats": q_repetition_stats,
     "semantic_dedup": q_semantic_dedup,
+    "redact_pii": q_redact_pii,
     "bbox_join": q_bbox_join,
     "pip_join_many": q_pip_join_many,
     "poly_join": q_poly_join,
@@ -1309,7 +1357,9 @@ QUERIES = {
     "ivf_ann_topk": q_ivf_ann_topk,
     "dup_clusters": q_dup_clusters,
     "stratified_sample": q_stratified_sample,
-    # -- round-4 additions, inside the window for their first driver row --
+    # -- round-4 additions, driver-green since r4 (url_dedup holds the
+    #    50th slot; top_terms rotates just past the window to make room
+    #    for redact_pii above) --
     "url_dedup": q_url_dedup,
     "top_terms": q_top_terms,
     # -- rotated past the 50-row window this round (each driver-green in
@@ -1724,6 +1774,10 @@ def oracle_sql() -> dict[str, str]:
     from .operators.similarity import semantic_dedup_sql
     out["semantic_dedup"] = semantic_dedup_sql(n_clusters=8,
                                                threshold=0.3)
+    from .operators.textstats import redact_pii_sql
+    out["redact_pii"] = redact_pii_sql(
+        text_expr=f"({_pii_text_sql()})",
+        table="documents")
     from .operators.dedup import canonical_url_sql
     from .operators.textstats import top_terms_sql
     _url_expr = _doc_url_sql()

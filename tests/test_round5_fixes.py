@@ -470,3 +470,74 @@ class TestSemanticDedup:
         want = sorted((int(a), int(b)) for a, b in con.execute(
             semantic_dedup_sql(8, 0.3)).fetchall())
         assert got == want and len(got) > 0
+
+
+class TestAllRectCoverPlanIsPythonFree:
+    def test_distributed_join_all_rect_has_no_python_nodes(self, spark):
+        """r5.2: with the detection pass frozen at build time and the
+        rect covering a pure JVM explode, the EXECUTED plan of a
+        distributed PIP join against an all-rect side contains zero
+        Python nodes (no MapInPandas covering, no ArrowEvalPython
+        detect) — scan -> explode -> join fuses into codegen."""
+        import re
+
+        from pyspark.sql import functions as F
+
+        from geospark.functions.geometry import st_geomfromtext
+        from geospark.operators.joins import spatial_join
+        cx = ((F.col("id") * 7) % 200).cast("double") - 100.0
+        cy = ((F.col("id") * 11) % 120).cast("double") - 60.0
+        x0, y0 = (cx - 2.0).cast("string"), (cy - 2.0).cast("string")
+        x1, y1 = (cx + 2.0).cast("string"), (cy + 2.0).cast("string")
+        wkt = F.concat(
+            F.lit("POLYGON (("), x0, F.lit(" "), y0, F.lit(", "),
+            x1, F.lit(" "), y0, F.lit(", "), x1, F.lit(" "), y1,
+            F.lit(", "), x0, F.lit(" "), y1, F.lit(", "), x0,
+            F.lit(" "), y0, F.lit("))"))
+        boxes = spark.range(100).select(
+            F.col("id").alias("box_id"),
+            st_geomfromtext(wkt).alias("geom_wkb"))
+        pts = spark.range(2000).select(
+            (F.rand(3) * 160 - 80).alias("lat"),
+            (F.rand(5) * 320 - 160).alias("lon"))
+        out = spatial_join(pts, boxes, res=6, poly_id_col="box_id",
+                           distributed=True)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert not re.search("Python|MapInPandas|ArrowEval", plan)
+        assert out.count() > 0
+
+
+class TestRedactPii:
+    def test_hand_computed(self, spark):
+        from geospark.operators.textstats import redact_pii
+        rows = [
+            (1, "mail me at jo.doe+x@ex-ample.org or call +141555501234"),
+            (2, "server 192.168.0.1 and 10.0.0.255 no mail"),
+            (3, "clean text only"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r.asDict() for r in redact_pii(df).collect()}
+        assert got[1]["clean_text"] == "mail me at <EMAIL> or call <PHONE>"
+        assert (got[1]["n_emails"], got[1]["n_phones"]) == (1, 1)
+        assert got[2]["clean_text"] == "server <IP> and <IP> no mail"
+        assert got[2]["n_ips"] == 2
+        assert got[3]["clean_text"] == "clean text only"
+        assert (got[3]["n_emails"], got[3]["n_ips"],
+                got[3]["n_phones"]) == (0, 0, 0)
+
+    def test_spark_matches_duckdb_planted(self, spark):
+        import duckdb
+
+        from geospark.queries import oracle_sql, q_redact_pii
+        got = sorted(tuple(r) for r in
+                     q_redact_pii(spark, SF).collect())
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{SF}/documents.parquet')")
+        want = sorted(tuple(r) for r in
+                      con.execute(oracle_sql()["redact_pii"]).fetchall())
+        assert len(got) > 0 and got == want
+        # the plant is non-vacuous: every kind occurs somewhere
+        assert any(r[2] > 0 for r in got)   # n_emails
+        assert any(r[3] > 0 for r in got)   # n_ips
+        assert any(r[4] > 0 for r in got)   # n_phones
