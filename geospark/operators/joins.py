@@ -575,7 +575,17 @@ def spatial_join(points, polys_df, *, res: int | None = None,
             joined = pts.join(cover_df, "_cell", "inner")
 
     if refine_mode == "auto":
-        refine_mode = "expr" if total_edges(ring_map) <= 4096 else "udf"
+        # measured crossover (r5, 2M points, local[8], hugeMethodLimit
+        # 8000): expr vs udf walls — 72 edges 1.3/1.0 s, 576 edges
+        # 3.0/1.1, 2048 edges 8.6/1.2, 4096 edges 29.7/1.2; at 8192
+        # building the expression OOMs the driver. The unrolled CASE's
+        # per-row cost grows with the dimension's edge count (the
+        # generated code leaves JIT-able territory) while the
+        # vectorized-pandas udf is flat. expr's real edge is the
+        # SINGLE upstream pass (udf mode re-executes the scan once per
+        # tier), which only outweighs the per-row cost for small dims
+        # — countries/zones, not parcel tables.
+        refine_mode = "expr" if total_edges(ring_map) <= 128 else "udf"
     if refine_mode == "expr":
         # small dim: unroll the ray cast into a JVM expression and keep
         # the join a SINGLE PASS — `_full OR ray_cast` in one filter.
