@@ -64,7 +64,19 @@ def point_in_rings_sql(px_expr: str, py_expr: str,
                 f"/ ({y2} - {y1}) + {x1}) THEN 1 ELSE 0 END)")
     if not terms:
         return "FALSE"
-    return f"((({' + '.join(terms)}) % 2) = 1)"
+    # balanced sum tree, NOT a flat join: a left-deep `t1 + ... + tn`
+    # chain parses/compiles with O(n) recursion depth — janino dies
+    # with a fatal (non-recoverable: StackOverflowError bypasses the
+    # WSCG interpreted fallback) stack overflow near ~300 edges, and
+    # Catalyst's own TreeNode recursion is O(depth) too. Balancing
+    # makes depth O(log n); integer addition is associative so the
+    # value (and the DuckDB twin, which reads the same string) is
+    # unchanged.
+    while len(terms) > 1:
+        terms = [f"({terms[i]} + {terms[i + 1]})"
+                 if i + 1 < len(terms) else terms[i]
+                 for i in range(0, len(terms), 2)]
+    return f"((({terms[0]}) % 2) = 1)"
 
 
 def seg_rect_intersect(ring: np.ndarray, rx0: np.ndarray, ry0: np.ndarray,

@@ -140,16 +140,22 @@ def make_refine_udf(ring_map: dict[int, list[list[np.ndarray]]]):
     """(poly_id, lon, lat) -> bool pandas UDF. The ring map travels in
     the closure (pickled once, reused per executor); the batch is grouped
     by poly_id so each polygon's ray-cast runs vectorized over its
-    points."""
+    points.
+
+    NULL poly_id rows return False at O(1) cost — the caller gates the
+    udf input with ``when(~_full, pid)`` so interior rows ride the same
+    single filter pass without paying a ray-cast (Spark extracts Python
+    UDFs from the plan unconditionally, so per-row short-circuit is
+    impossible; per-row CHEAPNESS is the next best thing)."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("boolean")
     def refine(pid: pd.Series, lon: pd.Series, lat: pd.Series) -> pd.Series:
         out = np.zeros(len(pid), dtype=bool)
-        pids = pid.to_numpy()
+        pids = pid.to_numpy(dtype=np.float64, na_value=np.nan)
         x = lon.to_numpy(dtype=np.float64, na_value=np.nan)
         y = lat.to_numpy(dtype=np.float64, na_value=np.nan)
-        for p in np.unique(pids):
+        for p in np.unique(pids[~np.isnan(pids)]):
             sel = pids == p
             hit = np.zeros(int(sel.sum()), dtype=bool)
             for rings in ring_map.get(int(p), []):
@@ -443,7 +449,8 @@ def spatial_join(points, polys_df, *, res: int | None = None,
     Returns points columns + poly_id (inner), or semi/anti projections.
 
     Plan shape: points -> [cell expr] -> equi-join broadcast(cover) ->
-    refine filter (UDF only on boundary cells). With ``salt>0`` and
+    ONE refine filter (``_full OR ray_cast``; the udf tier NULL-gates
+    the poly_id so interior cells skip the ray-cast). With ``salt>0`` and
     ``broadcast_cover=False``: cover replicated x salt, probe side salted
     by a hash — the explicit skew treatment for the shuffle path.
 
@@ -601,17 +608,24 @@ def spatial_join(points, polys_df, *, res: int | None = None,
             | refine_expr_col(ring_map, poly_id_col, lon_col, lat_col)) \
             .drop("_cell", "_full")
     else:
-        # udf mode: keep the two-pass split — Spark pulls Python UDFs
-        # out of the plan unconditionally (no per-row short-circuit,
-        # even under when/otherwise), so a single `_full OR udf` filter
-        # would ray-cast interior points too (most of a big polygon's
-        # area). Double upstream scan traded for Python on the small
-        # boundary subset only.
-        interior = joined.filter(F.col("_full"))
+        # udf mode, single pass: Spark extracts Python UDFs from the
+        # plan unconditionally (no per-row short-circuit even under
+        # when/otherwise), so the udf DOES evaluate on interior rows —
+        # but the NULL-gate makes those rows O(1) inside the batch
+        # (NaN-masked before any ray-cast); the only interior cost is
+        # the Arrow transfer of (NULL, lon, lat). Measured vs the old
+        # two-pass interior/boundary union (r5, 2M cached + 6M parquet
+        # points, 4096/8192-edge dims, local[8]): single pass 1.6-2.6x
+        # faster in every case — the union re-executes the whole
+        # upstream (scan -> extract -> cell -> broadcast join) once
+        # per tier, and the upstream is the expensive side at web
+        # scale.
         refine = make_refine_udf(ring_map)
-        boundary = joined.filter(~F.col("_full")).filter(
-            refine(F.col(poly_id_col), F.col(lon_col), F.col(lat_col)))
-        matched = interior.unionByName(boundary).drop("_cell", "_full")
+        matched = joined.filter(
+            F.col("_full")
+            | refine(F.when(~F.col("_full"), F.col(poly_id_col)),
+                     F.col(lon_col), F.col(lat_col))) \
+            .drop("_cell", "_full")
     return _spatial_join_how(points, matched, how)
 
 

@@ -49,7 +49,10 @@ def test_pip_join_is_broadcast_and_jvm_only(spark):
     assert "MapInPandas" not in p
 
 
-def test_pip_join_udf_mode_uses_python_only_on_boundary(spark):
+def test_pip_join_udf_mode_is_single_pass(spark):
+    # r5: the udf tier is a SINGLE `_full OR udf` filter (NULL-gated
+    # poly_id makes interior rows O(1) in the batch) — no
+    # interior/boundary Union re-executing the upstream per tier
     from geospark.operators.joins import spatial_join
     import geospark.queries as q
     pts = q._cust_points(spark, SF)
@@ -57,7 +60,10 @@ def test_pip_join_udf_mode_uses_python_only_on_boundary(spark):
                       refine_mode="udf")
     p = _plan(spark, df)
     assert "BroadcastHashJoin" in p
-    assert "ArrowEvalPython" in p  # the refine, boundary branch only
+    assert "ArrowEvalPython" in p  # the refine
+    tree = p.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1
+    assert "Union" not in tree
 
 
 def test_flagship_pipeline_is_python_free(spark):
