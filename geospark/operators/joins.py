@@ -583,15 +583,16 @@ def spatial_join(points, polys_df, *, res: int | None = None,
 
     if refine_mode == "auto":
         # measured crossover (r5, 2M points, local[8], hugeMethodLimit
-        # 8000): expr vs udf walls — 72 edges 1.3/1.0 s, 576 edges
-        # 3.0/1.1, 2048 edges 8.6/1.2, 4096 edges 29.7/1.2; at 8192
-        # building the expression OOMs the driver. The unrolled CASE's
-        # per-row cost grows with the dimension's edge count (the
-        # generated code leaves JIT-able territory) while the
-        # vectorized-pandas udf is flat. expr's real edge is the
-        # SINGLE upstream pass (udf mode re-executes the scan once per
-        # tier), which only outweighs the per-row cost for small dims
-        # — countries/zones, not parcel tables.
+        # 8000, both modes single-pass): expr vs udf walls — 72 edges
+        # 1.0/0.8 s, 288 edges 3.5/1.0, 576 edges 4.3/0.9, 4096 edges
+        # 23.6/1.1 (the unrolled CASE blows janino's 64 KB method cap
+        # past a few hundred edges: whole stage drops to interpreted;
+        # at 8192 building the expression OOMs the driver). The
+        # vectorized-pandas udf is flat in edge count. expr's
+        # remaining edge is a Python-free plan (no Arrow transfer, no
+        # python workers — and bit-identical DuckDB-twin semantics for
+        # the oracle queries), worth it only for small dims —
+        # countries/zones, not parcel tables.
         refine_mode = "expr" if total_edges(ring_map) <= 128 else "udf"
     if refine_mode == "expr":
         # small dim: unroll the ray cast into a JVM expression and keep
