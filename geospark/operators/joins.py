@@ -273,16 +273,22 @@ def distributed_polygon_cover(polys_df, res: int,
     from pyspark.sql import functions as F
     schema = (f"{poly_id_col} long, _cell long, _full boolean, "
               f"_rect boolean, _bx0 double, _by0 double, "
-              f"_bx1 double, _by1 double")
+              f"_bx1 double, _by1 double, _gwkb binary")
     cols = [poly_id_col, "_cell", "_full", "_rect",
-            "_bx0", "_by0", "_bx1", "_by1"]
+            "_bx0", "_by0", "_bx1", "_by1", "_gwkb"]
 
     def fn(it):
         for pdf in it:
-            rows, _ring_map = polygon_cover(
-                [(int(p), bytes(w) if w is not None else None)
-                 for p, w in zip(pdf[poly_id_col], pdf[geom_col])], res)
-            out = [(pid, c, f, False, 0.0, 0.0, 0.0, 0.0)
+            pairs = [(int(p), bytes(w) if w is not None else None)
+                     for p, w in zip(pdf[poly_id_col], pdf[geom_col])]
+            wkb_of = dict(pairs)
+            rows, _ring_map = polygon_cover(pairs, res)
+            # _gwkb NULL-gate: boundary cells carry the polygon wkb so
+            # the join's refine reads the geometry from the cover row
+            # itself — no second polys join, no second probe scan.
+            # Full cells stay NULL (no refine, no payload).
+            out = [(pid, c, f, False, 0.0, 0.0, 0.0, 0.0,
+                    None if f else wkb_of[pid])
                    for pid, c, f in rows]
             yield pd.DataFrame(out, columns=cols) if out else \
                 pd.DataFrame({poly_id_col: pd.Series([], dtype="int64"),
@@ -292,7 +298,8 @@ def distributed_polygon_cover(polys_df, res: int,
                               "_bx0": pd.Series([], dtype="float64"),
                               "_by0": pd.Series([], dtype="float64"),
                               "_bx1": pd.Series([], dtype="float64"),
-                              "_by1": pd.Series([], dtype="float64")})
+                              "_by1": pd.Series([], dtype="float64"),
+                              "_gwkb": pd.Series([], dtype="object")})
 
     # Freeze the DETECTION output (200k rows for a 200k-polygon side),
     # not the exploded cover (2.3M rows): the Python detect pass then
@@ -347,7 +354,8 @@ def distributed_polygon_cover(polys_df, res: int,
                     ((cx0 >= x0) & (cx1 <= x1)
                      & (cy0 >= y0) & (cy1 <= y1)).alias("_full"),
                     F.lit(True).alias("_rect"),
-                    "_bx0", "_by0", "_bx1", "_by1"))
+                    "_bx0", "_by0", "_bx1", "_by1",
+                    F.lit(None).cast("binary").alias("_gwkb")))
 
     gen = info.filter(~F.col("_ri.rect")).select(poly_id_col, geom_col)
     # all-rect side (tiles/boxes/parcels — the common storage shape):
@@ -488,18 +496,19 @@ def spatial_join(points, polys_df, *, res: int | None = None,
         if res is None:
             res = _pick_resolution_distributed(polys_df, geom_col)
         # the cover arrives with its Python DETECTION pass already
-        # frozen inside distributed_polygon_cover (r5) — for an
-        # all-rect side the cover is a pure column-expression subtree
-        # that can be referenced from several branches for free, so no
-        # cover-sized materialization is needed; a cover WITH a
-        # general (mapInPandas) tier is materialized below, because
-        # Spark does not reuse exchanges across Python-bearing
-        # subtrees (measured r2: 3 MapInPandas executions of one
-        # covering under the matched union's three branches).
+        # frozen inside distributed_polygon_cover (r5); the cover
+        # itself stays inline in every case.
         cover_df = distributed_polygon_cover(
             polys_df, res, poly_id_col, geom_col)
-        if not getattr(cover_df, "_geospark_pure_jvm", False):
-            cover_df = materialize(cover_df)
+        # the builder tags an all-rect cover; a general tier exists
+        # exactly when the tag is absent (replaces the r4 probe JOB
+        # that re-ran the covering just to ask). Since the matched set
+        # is now ONE filter pass (below), the cover has a single
+        # consumer and needs no cover-sized materialization — the
+        # per-polygon detection pass is frozen inside the builder, and
+        # the small per-poly covering re-runs per action, not the
+        # exploded cover.
+        has_general = not getattr(cover_df, "_geospark_pure_jvm", False)
         pts = points.withColumn("_cell",
                                 cell_encode(lat_col, lon_col, res))
         if broadcast_cover is None:
@@ -521,7 +530,7 @@ def spatial_join(points, polys_df, *, res: int | None = None,
         # re-executes the whole upstream scan once per tier (r4 —
         # measured as duplicated heavy stages; the probe-side scan is
         # the expensive part at web scale, the bounds compare is not).
-        jvm_hit = joined.filter(
+        jvm_pred = (
             F.col("_full")
             | (F.col("_rect")
                & (F.col(lon_col) >= F.col("_bx0"))
@@ -529,28 +538,24 @@ def spatial_join(points, polys_df, *, res: int | None = None,
                & (F.col(lat_col) >= F.col("_by0"))
                & (F.col(lat_col) < F.col("_by1"))))
         drop_cols = ["_cell", "_full", "_rect",
-                     "_bx0", "_by0", "_bx1", "_by1"]
-        # the general (non-rectangle) residue needs the exact geometry
-        # joined in and a Python ray-cast — a second upstream pass. The
-        # cover is checkpointed, so asking it whether ANY non-rect
-        # boundary cell exists is a tiny local scan; an all-rectangle
-        # polygon side (the common storage shape for tiles/boxes) then
-        # skips the residue branch — and its upstream re-scan — at plan
-        # time instead of executing an always-empty branch.
-        has_general = (cover_df.filter(~F.col("_rect")
-                                       & ~F.col("_full"))
-                       .limit(1).count() > 0)
+                     "_bx0", "_by0", "_bx1", "_by1", "_gwkb"]
         if has_general:
+            # general (non-rectangle) residue, SAME single pass: the
+            # cover row carries the polygon wkb on general boundary
+            # cells (_gwkb, NULL everywhere else — see
+            # distributed_polygon_cover), so the refine reads the
+            # geometry from the joined row. The r4 shape re-joined
+            # polys_df and unioned per-tier filters — a second probe
+            # scan plus a second join; the probe scan is the expensive
+            # side at web scale. NULL rows cost O(1) in the udf batch.
             refine = make_wkb_refine_udf()
-            gen_hit = (joined.filter(~F.col("_full") & ~F.col("_rect"))
-                       .join(polys_df.select(poly_id_col, geom_col),
-                             poly_id_col)
-                       .filter(refine(F.col(geom_col), F.col(lon_col),
-                                      F.col(lat_col)))
-                       .drop(geom_col))
-            matched = jvm_hit.unionByName(gen_hit).drop(*drop_cols)
+            matched = joined.filter(
+                jvm_pred | refine(F.col("_gwkb"), F.col(lon_col),
+                                  F.col(lat_col))).drop(*drop_cols)
         else:
-            matched = jvm_hit.drop(*drop_cols)
+            # all-rectangle side (tiles/boxes/parcels — the common
+            # storage shape): pure-JVM plan, no Python eval nodes
+            matched = joined.filter(jvm_pred).drop(*drop_cols)
         return _spatial_join_how(points, matched, how)
 
     polys = [(r[poly_id_col], r[geom_col])

@@ -252,6 +252,25 @@ def test_pip_join_single_pass_one_scan(spark):
     assert "Union" not in tree
 
 
+def test_distributed_general_join_is_single_pass(spark):
+    """r5: a distributed join with a GENERAL (non-rect) polygon side
+    runs as ONE filter pass — the cover carries the boundary-cell wkb
+    (_gwkb), so there is no polys re-join, no Union, and exactly one
+    probe scan (the r4 shape re-executed the probe once per tier)."""
+    from geospark.operators.joins import spatial_join
+    import geospark.queries as q
+    pts = q._cust_points(spark, SF)
+    out = spatial_join(pts, q.fixed_zones_df(spark), res=6,
+                       distributed=True)
+    p = _plan(spark, out)
+    tree = p.split("\n\n")[0]
+    assert tree.count("ArrowEvalPython") == 1   # ONE wkb refine
+    assert tree.count("Scan parquet") == 1      # ONE probe scan
+    # the only Union allowed is the cover's internal rect|general tier
+    # (polys side); the probe subtree must not fan out into per-tier
+    # branches — one scan + one refine above proves it
+
+
 def test_pip_join_many_rect_skips_residue_branch(spark):
     """r4 distributed path: an all-rectangle polygon side skips the
     general-geometry residue branch at plan time — one probe scan,
