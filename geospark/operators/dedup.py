@@ -686,3 +686,74 @@ def url_dedup(df, *, url_col: str = "url", id_col: str = "doc_id"):
             .groupBy(F.col("_canon").alias("url"))
             .agg(F.min(id_col).alias("keep_id"),
                  F.count(F.lit(1)).alias("n_dups")))
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (train/test overlap)
+# ---------------------------------------------------------------------------
+
+def _word_ngrams_expr(words_col: str, n: int) -> str:
+    """Distinct word-``n``-grams (space-joined) over an ALREADY
+    extracted words-array column — the shared shingle definition for
+    decontaminate (Spark side). The short-doc guard matters: Spark's
+    ``sequence(1, 0)`` is the DESCENDING ``[1, 0]`` (DuckDB's
+    ``generate_series(1, 0)`` is empty) and ``slice(w, 0, n)``
+    throws, so fewer-than-``n``-word docs must short-circuit to an
+    empty array explicitly."""
+    w = words_col
+    return (f"array_distinct(if(size({w}) < {n}, "
+            f"array() , "
+            f"transform(sequence(1, size({w}) - {n - 1}), "
+            f"i -> concat_ws(' ', slice({w}, i, {n})))))")
+
+
+def decontaminate(docs, bench, *, n: int = 4, id_col: str = "doc_id",
+                  text_col: str = "text"):
+    """Benchmark n-gram decontamination: flag training documents that
+    contain any word-``n``-gram appearing in the (small) benchmark
+    set — the standard train/test-overlap filter in LLM data pipelines
+    (GPT-3 used 13-grams, Llama-style filters 8-grams; the default 4
+    suits the short synthetic corpus and is a parameter, not policy).
+
+    -> (doc_id, n_hits): one row per CONTAMINATED doc with the number
+    of DISTINCT benchmark n-grams it contains; clean docs are absent
+    (anti-join against this result to keep the clean set).
+
+    Scale: the benchmark gram universe is tiny by definition
+    (benchmarks are ~10^5 docs, not 10^12) — broadcast it; the corpus
+    side is one explode + map-side-combined count, no shuffle of text
+    bytes, no UDF anywhere. Words are extracted ONCE per row into an
+    array column; the gram transform reuses it."""
+    from pyspark.sql import functions as F
+
+    def grams(frame, *cols):
+        words = F.regexp_extract_all(
+            F.lower(F.col(text_col)), F.lit(TOKEN_RX), 0)
+        return (frame.select(*cols, words.alias("_w"))
+                .select(*cols,
+                        F.explode(F.expr(_word_ngrams_expr("_w", n)))
+                        .alias("g")))
+
+    bg = grams(bench).distinct()
+    dg = grams(docs, id_col)
+    return (dg.join(F.broadcast(bg), "g")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_hits")))
+
+
+def decontaminate_sql(n: int = 4, bench_pred: str = "doc_id % 41 = 0",
+                      table: str = "documents") -> str:
+    """DuckDB twin of decontaminate with the benchmark set carved out
+    of the same table by ``bench_pred`` (the query wrapper uses the
+    complement as the corpus)."""
+    wl = f"regexp_extract_all(lower(text), '{TOKEN_RX}')"
+    grams = (f"list_distinct(list_transform(generate_series(1, "
+             f"greatest(len({wl}) - {n - 1}, 0)), "
+             f"i -> array_to_string(list_slice({wl}, i, i + {n - 1}), ' ')))")
+    return f"""
+WITH g AS (SELECT doc_id, {grams} AS grams FROM {table}),
+bg AS (SELECT DISTINCT unnest(grams) AS g FROM g WHERE {bench_pred}),
+dg AS (SELECT doc_id, unnest(grams) AS g FROM g
+       WHERE NOT ({bench_pred}))
+SELECT doc_id, COUNT(*) AS n_hits FROM dg JOIN bg USING (g) GROUP BY 1
+"""

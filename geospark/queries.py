@@ -1287,6 +1287,18 @@ def q_redact_pii(spark, sf_dir):
         d.select("doc_id", _pii_text_col().alias("text")))
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark n-gram decontamination (r5): docs with doc_id % 41
+    == 0 play the held-out benchmark set; every other doc is flagged
+    with its count of distinct benchmark 4-grams. Benchmark grams
+    broadcast (benchmarks are small by definition); corpus side is
+    one explode + map-side-combined count, no UDF."""
+    from .operators.dedup import decontaminate
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return decontaminate(d.filter("NOT (doc_id % 41 = 0)"),
+                         d.filter("doc_id % 41 = 0"), n=4)
+
+
 def q_semantic_dedup(spark, sf_dir):
     """SemDeDup-style embedding dedup (r5): cluster to the nearest of
     the 8 lowest-id centroid embeddings, greedily drop rows with a
@@ -1345,6 +1357,7 @@ QUERIES = {
     "repetition_stats": q_repetition_stats,
     "semantic_dedup": q_semantic_dedup,
     "redact_pii": q_redact_pii,
+    "decontaminate": q_decontaminate,
     "bbox_join": q_bbox_join,
     "pip_join_many": q_pip_join_many,
     "poly_join": q_poly_join,
@@ -1357,9 +1370,8 @@ QUERIES = {
     "ivf_ann_topk": q_ivf_ann_topk,
     "dup_clusters": q_dup_clusters,
     "stratified_sample": q_stratified_sample,
-    # -- round-4 additions, driver-green since r4 (url_dedup holds the
-    #    50th slot; top_terms rotates just past the window to make room
-    #    for redact_pii above) --
+    # -- round-4 additions, rotated just past the window in r5.3 to
+    #    make room for decontaminate above (both driver-green in r4) --
     "url_dedup": q_url_dedup,
     "top_terms": q_top_terms,
     # -- rotated past the 50-row window this round (each driver-green in
@@ -1787,6 +1799,9 @@ def oracle_sql() -> dict[str, str]:
         f"{canonical_url_sql(_url_expr)} AS canon FROM documents) "
         f"GROUP BY 1")
     out["top_terms"] = top_terms_sql(3)
+    from .operators.dedup import decontaminate_sql
+    out["decontaminate"] = decontaminate_sql(
+        4, bench_pred="doc_id % 41 = 0", table="documents")
     out["host_stats"] = (
         f"SELECT regexp_extract(canon, '^[a-z]+://([^/]+)', 1) AS host, "
         f"COUNT(*) AS n_docs, "

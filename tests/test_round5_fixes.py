@@ -541,3 +541,56 @@ class TestRedactPii:
         assert any(r[2] > 0 for r in got)   # n_emails
         assert any(r[3] > 0 for r in got)   # n_ips
         assert any(r[4] > 0 for r in got)   # n_phones
+
+
+class TestDecontaminate:
+    def test_planted_overlap_and_short_doc_guard(self, spark):
+        from geospark.operators.dedup import decontaminate
+        rows = [
+            (0, "alpha beta gamma delta epsilon zeta"),   # bench
+            (2, "alpha beta gamma delta is contaminated"),
+            (3, "short doc"),                             # < n words: no crash
+            (4, ""),                                      # empty: no crash
+            (5, "epsilon zeta only two shared words"),    # 2-word run: clean
+            (6, "Alpha, BETA gamma: delta!"),             # case/punct folded
+            (7, "fresh words entirely unrelated here"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r["n_hits"] for r in decontaminate(
+            df.filter("doc_id % 41 != 0"),
+            df.filter("doc_id % 41 = 0"), n=4).collect()}
+        # docs 2 and 6 each contain exactly one distinct bench 4-gram;
+        # 3/4/5/7 are clean and therefore absent
+        assert got == {2: 1, 6: 1}
+
+    def test_distinct_grams_counted_once(self, spark):
+        from geospark.operators.dedup import decontaminate
+        rows = [(0, "a b c d"), (1, "a b c d and a b c d again a b c d")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = decontaminate(df.filter("doc_id = 1"),
+                            df.filter("doc_id = 0")).collect()
+        assert [(r["doc_id"], r["n_hits"]) for r in got] == [(1, 1)]
+
+    def test_spark_matches_duckdb_testdata(self, spark):
+        import duckdb
+
+        from geospark.queries import oracle_sql, q_decontaminate
+        got = sorted(tuple(r) for r in
+                     q_decontaminate(spark, SF).collect())
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{SF}/documents.parquet')")
+        want = sorted(tuple(r) for r in
+                      con.execute(oracle_sql()["decontaminate"]).fetchall())
+        assert len(got) > 0 and got == want
+
+    def test_bench_side_is_broadcast(self, spark):
+        from geospark.operators.dedup import decontaminate
+        rows = [(i, f"w{i} w{i+1} w{i+2} w{i+3} w{i+4}")
+                for i in range(100)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = decontaminate(df.filter("doc_id % 41 != 0"),
+                            df.filter("doc_id % 41 = 0"))
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
