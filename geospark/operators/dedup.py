@@ -757,3 +757,79 @@ dg AS (SELECT doc_id, unnest(grams) AS g FROM g
        WHERE NOT ({bench_pred}))
 SELECT doc_id, COUNT(*) AS n_hits FROM dg JOIN bg USING (g) GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# cross-document repeated-substring spans (exact substring dedup)
+# ---------------------------------------------------------------------------
+
+def dup_spans(df, *, k: int = 8, id_col: str = "doc_id",
+              text_col: str = "text"):
+    """Exact-substring duplicate SPANS: maximal word runs that appear
+    at two or more (doc, position) sites corpus-wide — the span-level
+    output of suffix-array substring dedup (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better"), re-expressed for
+    Spark as overlapping-shingle marking + gaps-and-islands merging
+    instead of a suffix array (which needs a global sort over every
+    byte of the corpus).
+
+    -> (doc_id, span_start, span_words): 1-based word index of each
+    maximal duplicated run and its length in words; a position is
+    duplicated when its k-word shingle occurs at >= 2 sites anywhere
+    (cross- OR within-document), and consecutive duplicated starts
+    merge into one span covering run + k - 1 words.
+
+    Shape at scale: the shingle explode is map-side (k-word window,
+    stride 1); ONE md5-keyed groupBy finds repeated shingles (uniform
+    key, no skew); the dup-set join back is hash-keyed on the digest —
+    NOT broadcast, the dup universe grows with the corpus; the island
+    merge is a per-document window (no global ordering anywhere).
+    Text bytes never shuffle: positions travel with a 15-hex-digit
+    digest only."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    w = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RX), 0)
+    n = F.size(w)
+    sh = F.when(n >= k, F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.struct(
+            i.cast("long").alias("pos"),
+            F.md5(F.concat_ws(" ", F.slice(w, i, k))).alias("h"))
+    )).otherwise(F.array().cast("array<struct<pos:bigint,h:string>>"))
+
+    pos = (df.select(F.col(id_col), F.explode(sh).alias("s"))
+           .select(id_col, F.col("s.pos").alias("pos"),
+                   F.col("s.h").alias("h")))
+    dup = (pos.groupBy("h").agg(F.count(F.lit(1)).alias("_n"))
+           .filter(F.col("_n") > 1).select("h"))
+    marked = pos.join(dup, "h").select(id_col, "pos")
+    rn = F.row_number().over(
+        Window.partitionBy(id_col).orderBy("pos"))
+    isl = marked.withColumn("_grp", F.col("pos") - rn)
+    return (isl.groupBy(id_col, "_grp")
+            .agg(F.min("pos").alias("span_start"),
+                 (F.count(F.lit(1)) + F.lit(k - 1)).alias("span_words"))
+            .select(id_col, "span_start", "span_words"))
+
+
+def dup_spans_sql(k: int = 8, table: str = "documents") -> str:
+    """DuckDB twin of dup_spans (same shingle/merge definitions)."""
+    return f"""
+WITH docs AS (SELECT doc_id,
+              regexp_extract_all(lower(text), '{TOKEN_RX}') AS w
+              FROM {table}),
+sh AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+              md5(array_to_string(w[i:i + {k - 1}], ' ')) AS h
+       FROM docs,
+            UNNEST(generate_series(1, greatest(len(w) - {k - 1}, 0)))
+            AS t(i)),
+dup AS (SELECT h FROM sh GROUP BY h HAVING COUNT(*) > 1),
+m AS (SELECT doc_id, pos FROM sh JOIN dup USING (h)),
+isl AS (SELECT doc_id, pos,
+        pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+        AS grp FROM m)
+SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+       COUNT(*) + {k - 1} AS span_words
+FROM isl GROUP BY doc_id, grp
+"""

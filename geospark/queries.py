@@ -1299,6 +1299,26 @@ def q_decontaminate(spark, sf_dir):
                          d.filter("doc_id % 41 = 0"), n=4)
 
 
+def q_dup_spans(spark, sf_dir):
+    """Cross-document repeated-substring spans (r5): maximal word
+    runs whose 8-word shingles occur at >=2 sites corpus-wide —
+    Lee-et-al-style exact substring dedup as shingle marking +
+    gaps-and-islands merge. One md5-keyed groupBy, per-doc island
+    window, no text bytes in any shuffle."""
+    from .operators.dedup import dup_spans
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dup_spans(d, k=8)
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Sequence packing (r5): concatenate docs in doc_id order and
+    chunk into 512-token bins via the two-phase distributed prefix
+    sum (never a single-partition window)."""
+    from .operators.pack import pack_sequences
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pack_sequences(d, budget=512)
+
+
 def q_semantic_dedup(spark, sf_dir):
     """SemDeDup-style embedding dedup (r5): cluster to the nearest of
     the 8 lowest-id centroid embeddings, greedily drop rows with a
@@ -1358,6 +1378,8 @@ QUERIES = {
     "semantic_dedup": q_semantic_dedup,
     "redact_pii": q_redact_pii,
     "decontaminate": q_decontaminate,
+    "dup_spans": q_dup_spans,
+    "pack_sequences": q_pack_sequences,
     "bbox_join": q_bbox_join,
     "pip_join_many": q_pip_join_many,
     "poly_join": q_poly_join,
@@ -1368,10 +1390,11 @@ QUERIES = {
     "st_zm": q_st_zm,
     "st_distance": q_st_distance,
     "ivf_ann_topk": q_ivf_ann_topk,
+    # -- rotated just past the window in r5.3/r5.4 to make room for
+    #    decontaminate / dup_spans / pack_sequences above (all four
+    #    rotated rows are driver-green in r4) --
     "dup_clusters": q_dup_clusters,
     "stratified_sample": q_stratified_sample,
-    # -- round-4 additions, rotated just past the window in r5.3 to
-    #    make room for decontaminate above (both driver-green in r4) --
     "url_dedup": q_url_dedup,
     "top_terms": q_top_terms,
     # -- rotated past the 50-row window this round (each driver-green in
@@ -1802,6 +1825,10 @@ def oracle_sql() -> dict[str, str]:
     from .operators.dedup import decontaminate_sql
     out["decontaminate"] = decontaminate_sql(
         4, bench_pred="doc_id % 41 = 0", table="documents")
+    from .operators.dedup import dup_spans_sql
+    out["dup_spans"] = dup_spans_sql(8, table="documents")
+    from .operators.pack import pack_sequences_sql
+    out["pack_sequences"] = pack_sequences_sql(512, table="documents")
     out["host_stats"] = (
         f"SELECT regexp_extract(canon, '^[a-z]+://([^/]+)', 1) AS host, "
         f"COUNT(*) AS n_docs, "

@@ -594,3 +594,91 @@ class TestDecontaminate:
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
+
+
+class TestDupSpans:
+    def test_hand_computed_spans(self, spark):
+        from geospark.operators.dedup import dup_spans
+        rows = [
+            (1, "zero one two three four five six seven COMMON A B C D "
+                "E F G H tail words here"),
+            (2, "prefix COMMON a b c d e f g h and more unrelated talk"),
+            (3, "too short"),
+            (4, ""),
+            (5, "x x x x x x x x x x x x"),  # within-doc repetition
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = sorted(tuple(r) for r in dup_spans(df, k=8).collect())
+        # docs 1/2 share the 9-word run "common a..h" (two consecutive
+        # dup 8-shingle starts merge -> span_words 9); doc 5's five
+        # identical shingles merge into one 12-word span
+        assert got == [(1, 9, 9), (2, 2, 9), (5, 1, 12)]
+
+    def test_spark_matches_duckdb_testdata(self, spark):
+        import duckdb
+
+        from geospark.queries import oracle_sql, q_dup_spans
+        got = sorted(tuple(r) for r in q_dup_spans(spark, SF).collect())
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{SF}/documents.parquet')")
+        want = sorted(tuple(r) for r in
+                      con.execute(oracle_sql()["dup_spans"]).fetchall())
+        assert len(got) > 0 and got == want
+
+    def test_dup_set_join_not_broadcast(self, spark):
+        # the repeated-shingle set grows with the corpus: the join
+        # back must stay a shuffled hash join, never a broadcast
+        from geospark.operators.dedup import dup_spans
+        rows = [(i, f"a b c d e f g h tail{i}") for i in range(50)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = dup_spans(df, k=8)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert out.count() == 50
+
+
+class TestPackSequences:
+    def test_matches_duckdb_and_partition_invariant(self, spark):
+        import duckdb
+        import pandas as pd
+
+        from geospark.operators.pack import (pack_sequences,
+                                             pack_sequences_sql)
+        rows = [(i, " ".join(f"w{j}" for j in range(1 + (i * 7) % 23)))
+                for i in range(100)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = sorted(tuple(r) for r in
+                     pack_sequences(df, budget=16).collect())
+        con = duckdb.connect()
+        con.register("documents",
+                     pd.DataFrame(rows, columns=["doc_id", "text"]))
+        want = sorted(tuple(r) for r in
+                      con.sql(pack_sequences_sql(16)).fetchall())
+        assert got == want
+        for n in (1, 7, 32):
+            again = sorted(tuple(r) for r in pack_sequences(
+                df.repartition(n), budget=16).collect())
+            assert again == got, n
+
+    def test_no_single_partition_window(self, spark):
+        # the whole point: the prefix sum must never plan the naive
+        # ORDER BY-only window (Exchange SinglePartition)
+        from geospark.operators.pack import pack_sequences
+        rows = [(i, "a b c") for i in range(10)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        plan = (pack_sequences(df, budget=8)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "SinglePartition" not in plan
+        assert "Window" in plan
+
+    def test_bins_pack_exactly(self, spark):
+        from geospark.operators.pack import pack_sequences
+        # 5 docs x 4 tokens, budget 8 -> starts 0,4,8,12,16
+        rows = [(i, "t1 t2 t3 t4") for i in range(5)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: (r["start_tok"], r["bin_id"],
+                             r["offset_in_bin"])
+               for r in pack_sequences(df, budget=8).collect()}
+        assert got == {0: (0, 0, 0), 1: (4, 0, 4), 2: (8, 1, 0),
+                       3: (12, 1, 4), 4: (16, 2, 0)}
