@@ -682,3 +682,95 @@ dup AS (
 SELECT a.id AS vec_id, a.cid AS cluster FROM a
 WHERE NOT EXISTS (SELECT 1 FROM dup WHERE dup.id = a.id)
 """
+
+
+# ---------------------------------------------------------------------------
+# int8-quantized ANN: integer-dot candidate scan + exact rescore
+# ---------------------------------------------------------------------------
+
+def _int_dot_expr(v_ref: str, s_ref: str, qv) -> str:
+    """Unrolled integer dot product between the int8-quantized row
+    vector and the int8-quantized literal query: per dimension,
+    code = floor(x / scale * 127 + 0.5) — floor-based half-up
+    rounding, identical on every engine (ROUND() half-mode varies
+    across engines; floor does not). All literals go through
+    CAST('...' AS DOUBLE): a bare ``127.0`` parses as DECIMAL in
+    Spark SQL and decimal promotion would diverge from DuckDB."""
+    c127 = "CAST('127.0' AS DOUBLE)"
+    half = "CAST('0.5' AS DOUBLE)"
+    terms = []
+    for i, q in enumerate(qv, start=1):
+        d = (f"CAST(floor(element_at({v_ref}, {i}) / {s_ref} * {c127} "
+             f"+ {half}) AS BIGINT)")
+        ql = (f"CAST(floor(CAST('{float(q)!r}' AS DOUBLE) / {s_ref} "
+              f"* {c127} + {half}) AS BIGINT)")
+        terms.append(f"{d} * {ql}")
+    return " + ".join(terms)
+
+
+def qann_topk(emb_df, query_vec, k: int = 10, *, rescore_mult: int = 4,
+              id_col: str = "vec_id", emb_col: str = "embedding"):
+    """Scalar-quantized ANN: symmetric int8 codes (one global maxabs
+    scale), integer-dot-product candidate scan, exact float rescore of
+    the top ``k * rescore_mult`` candidates. The 100 TB story: int8
+    codes are 4x smaller than float32 — the candidate scan reads a
+    quarter of the bytes and the arithmetic is integer (exact, so the
+    candidate ORDER is engine-independent: no float-comparison
+    ambiguity until the tiny rescore set). At ingest the codes and the
+    scale would be MATERIALIZED next to the table (the ivf_index
+    pattern); here the scale is computed in-plan (one aggregate,
+    broadcast back as a scalar) so the operator is self-contained.
+
+    -> (vec_id, sim): same schema/ordering contract as ann_topk
+    (round(cos,6) desc, id asc)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    qv = [float(x) for x in query_vec]
+    ev = emb_df.select(F.col(id_col),
+                       _emb_double(F.col(emb_col)).alias("v"))
+    s_df = ev.select(F.expr(
+        "max(array_max(transform(v, x -> abs(x))))").alias("_s"))
+    cand = (ev.crossJoin(F.broadcast(s_df))
+            .select(id_col, "v",
+                    F.expr(_int_dot_expr("v", "_s", qv)).alias("iscore"))
+            .orderBy(F.col("iscore").desc(), F.col(id_col).asc())
+            .limit(k * rescore_mult))
+    qn = float(np.sqrt(sum(v * v for v in qv)))
+    sim = F.round(dot_lit_fold(F.col("v"), qv)
+                  / (norm_fold(F.col("v")) * F.lit(qn)), 6)
+    return (cand.select(id_col, sim.alias("sim"))
+            .orderBy(F.col("sim").desc(), F.col(id_col).asc())
+            .limit(k))
+
+
+def qann_topk_sql(k: int = 10, rescore_mult: int = 4,
+                  table: str = "embeddings") -> str:
+    """DuckDB twin of qann_topk: same scale aggregate, same unrolled
+    floor-quantized integer dot, same exact rescore — the query vector
+    is vec_id=0's embedding, spelled as a scalar subquery."""
+    c127 = "CAST('127.0' AS DOUBLE)"
+    half = "CAST('0.5' AS DOUBLE)"
+    # the twin can't unroll against literal floats (the query vector
+    # lives in the table) — element-wise list ops give the identical
+    # arithmetic: floor per element, BIGINT multiply, sequential sum
+    return f"""
+WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM {table}),
+s AS (SELECT MAX(list_max(list_transform(v, x -> abs(x)))) AS s
+      FROM ev),
+q AS (SELECT v AS qv FROM ev WHERE vec_id = 0),
+coded AS (SELECT vec_id, v,
+       list_sum(list_transform(generate_series(1, len(v)), i ->
+         CAST(floor(v[i] / s * {c127} + {half}) AS BIGINT)
+         * CAST(floor(qv[i] / s * {c127} + {half}) AS BIGINT)))
+       AS iscore
+       FROM ev, s, q),
+cand AS (SELECT vec_id, v FROM coded
+         ORDER BY iscore DESC, vec_id ASC LIMIT {k * rescore_mult})
+SELECT vec_id, ROUND(list_dot_product(v, (SELECT qv FROM q))
+       / (sqrt(list_dot_product(v, v))
+          * sqrt(list_dot_product((SELECT qv FROM q),
+                                  (SELECT qv FROM q)))), 6) AS sim
+FROM cand ORDER BY sim DESC, vec_id ASC LIMIT {k}
+"""

@@ -1299,6 +1299,16 @@ def q_decontaminate(spark, sf_dir):
                          d.filter("doc_id % 41 = 0"), n=4)
 
 
+def q_qann_topk(spark, sf_dir):
+    """int8-quantized ANN top-10 (r5): integer-dot candidate scan at
+    4x k, exact cosine rescore — the 4x-smaller-bytes scale tier
+    between brute force and LSH/IVF. Candidate ordering is integer
+    (engine-exact); only the tiny rescore set touches floats."""
+    from .operators.similarity import qann_topk
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return qann_topk(e, _query_vec(sf_dir), 10, rescore_mult=4)
+
+
 def q_dup_spans(spark, sf_dir):
     """Cross-document repeated-substring spans (r5): maximal word
     runs whose 8-word shingles occur at >=2 sites corpus-wide —
@@ -1365,8 +1375,9 @@ QUERIES = {
     "cell_distinct_users": q_cell_distinct_users,
     "ann_topk": q_ann_topk,
     "minhash_pairs": q_minhash_pairs,
-    "simhash": q_simhash,
     "ngram_pairs": q_ngram_pairs,
+    # (simhash, driver-green r4, rotates just past the window in r5.5
+    #  to make room for qann_topk above)
     "embed_near_dup": q_embed_near_dup,
     "lsh_ann_topk": q_lsh_ann_topk,
     "lang_guess": q_lang_guess,
@@ -1380,6 +1391,7 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "dup_spans": q_dup_spans,
     "pack_sequences": q_pack_sequences,
+    "qann_topk": q_qann_topk,
     "bbox_join": q_bbox_join,
     "pip_join_many": q_pip_join_many,
     "poly_join": q_poly_join,
@@ -1393,6 +1405,7 @@ QUERIES = {
     # -- rotated just past the window in r5.3/r5.4 to make room for
     #    decontaminate / dup_spans / pack_sequences above (all four
     #    rotated rows are driver-green in r4) --
+    "simhash": q_simhash,
     "dup_clusters": q_dup_clusters,
     "stratified_sample": q_stratified_sample,
     "url_dedup": q_url_dedup,
@@ -1829,6 +1842,9 @@ def oracle_sql() -> dict[str, str]:
     out["dup_spans"] = dup_spans_sql(8, table="documents")
     from .operators.pack import pack_sequences_sql
     out["pack_sequences"] = pack_sequences_sql(512, table="documents")
+    from .operators.similarity import qann_topk_sql
+    out["qann_topk"] = qann_topk_sql(10, rescore_mult=4,
+                                     table="embeddings")
     out["host_stats"] = (
         f"SELECT regexp_extract(canon, '^[a-z]+://([^/]+)', 1) AS host, "
         f"COUNT(*) AS n_docs, "

@@ -682,3 +682,42 @@ class TestPackSequences:
                for r in pack_sequences(df, budget=8).collect()}
         assert got == {0: (0, 0, 0), 1: (4, 0, 4), 2: (8, 1, 0),
                        3: (12, 1, 4), 4: (16, 2, 0)}
+
+
+class TestQannTopk:
+    def test_matches_duckdb_and_full_recall_on_testdata(self, spark):
+        import duckdb
+
+        from geospark.queries import oracle_sql, q_qann_topk, q_ann_topk
+        got = [(r["vec_id"], r["sim"])
+               for r in q_qann_topk(spark, SF).collect()]
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                    f"read_parquet('{SF}/embeddings.parquet')")
+        want = [(int(a), float(b)) for a, b in
+                con.execute(oracle_sql()["qann_topk"]).fetchall()]
+        assert got == want
+        exact = [(r["vec_id"], r["sim"])
+                 for r in q_ann_topk(spark, SF).collect()]
+        # 4x-candidate rescore recovers the exact top-10 here
+        assert got == exact
+
+    def test_candidate_scores_are_integers(self, spark):
+        # the quantized candidate ordering must be integer arithmetic
+        # (engine-exact); floats appear only in the rescore
+        from geospark.operators.similarity import _int_dot_expr
+        e = _int_dot_expr("v", "_s", [0.5, -0.25])
+        assert "AS BIGINT" in e and "floor" in e
+        assert "ROUND" not in e.upper().replace("FLOOR", "")
+
+    def test_quantization_rounding_is_floor_half_up(self, spark):
+        from pyspark.sql import functions as F
+
+        from geospark.operators.similarity import _int_dot_expr
+        # scale 1.0, query [1.0]: code(0.996..) = floor(126.5+.5) = 127
+        df = spark.createDataFrame(
+            [([0.9960629921259843],)], "v array<double>")
+        out = (df.withColumn("_s", F.lit(1.0))
+               .select(F.expr(_int_dot_expr("v", "_s", [1.0]))
+                       .alias("i")).collect())
+        assert out[0]["i"] == 127 * 127
