@@ -83,3 +83,100 @@ def funnel_steps_sql(steps: list[str], table: str = "events",
             f"CASE WHEN t{n} IS NOT NULL THEN "
             f"ROUND((t{n} - t1) / 1000000.0, 3) END AS dur_s "
             f"FROM {joins}")
+
+
+def asof_join(left, right, *, on, payload, left_ts: str = "ts",
+              right_ts: str = "ts", tie_col: str | None = None,
+              tolerance_us: int | None = None, how: str = "inner"):
+    """Backward as-of join: for each left row, the single right row
+    with the greatest ``right_ts`` <= ``left_ts`` within the same
+    ``on`` key (ties on the timestamp broken by the greatest
+    ``tie_col``).  Spark has no ASOF JOIN operator; the naive
+    emulation (range join + per-left-row max) explodes to O(left x
+    right-per-key) pairs before pruning.  This is the scalable shape:
+    tag both sides, union, ONE hash exchange on the key, and a
+    running ``last(payload, ignorenulls)`` window carries the most
+    recent right payload forward onto each left row — O(n log n) per
+    key, no join node in the plan at all, skew bounded by per-key
+    event volume exactly like sessionization.
+
+    ``payload`` maps right-side column -> output name. Output = all
+    left columns + the renamed payload columns + ``gap_us`` (left_ts
+    - matched right_ts, integer microseconds; the timestamps
+    themselves are compared as exact integer microseconds from the
+    fixed NTZ epoch).  ``how='inner'`` drops unmatched left rows;
+    ``'left'`` keeps them with NULL payload/gap.  ``tolerance_us``
+    additionally drops (or NULLs, under ``'left'``) matches older
+    than the tolerance."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left, got {how!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+    lcols = [c for c in left.columns if c not in keys]
+    pay = dict(payload)
+    rtypes = dict(right.dtypes)
+    lus, rus = _us_expr(left_ts), _us_expr(right_ts)
+    tie = (F.col(tie_col).cast("long") if tie_col
+           else F.lit(0).cast("long"))
+    probe = left.select(
+        *keys, lus.alias("_aj_us"), F.lit(1).alias("_aj_tag"),
+        F.lit(None).cast("long").alias("_aj_tie"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(rtypes[rc]).alias(f"_aj_{out}")
+          for rc, out in pay.items()],
+        F.lit(None).cast("long").alias("_aj_rts"))
+    build = right.select(
+        *keys, rus.alias("_aj_us"), F.lit(0).alias("_aj_tag"),
+        tie.alias("_aj_tie"),
+        *[F.lit(None).cast(t).alias(c) for c, t in left.dtypes
+          if c in lcols],
+        *[F.col(rc).alias(f"_aj_{out}") for rc, out in pay.items()],
+        rus.alias("_aj_rts"))
+    # equal timestamps: build (tag 0) sorts before probe (tag 1) ->
+    # "at or before" semantics; among equal-ts builds, tie asc makes
+    # last() pick the greatest tie_col deterministically
+    w = (Window.partitionBy(*keys)
+         .orderBy(F.col("_aj_us").asc(), F.col("_aj_tag").asc(),
+                  F.col("_aj_tie").asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    carried = [F.last(f"_aj_{out}", ignorenulls=True).over(w)
+               .alias(f"_c_{out}") for out in pay.values()]
+    u = (probe.unionByName(build)
+         .select("*", F.last("_aj_rts", ignorenulls=True).over(w)
+                 .alias("_c_rts"), *carried)
+         .filter(F.col("_aj_tag") == 1))
+    gap = F.col("_aj_us") - F.col("_c_rts")
+    ok = F.col("_c_rts").isNotNull()
+    if tolerance_us is not None:
+        ok = ok & (gap <= F.lit(int(tolerance_us)))
+    if how == "inner":
+        u = u.filter(ok)
+        sel_gap = gap
+        sel_pay = {out: F.col(f"_c_{out}") for out in pay.values()}
+    else:
+        sel_gap = F.when(ok, gap)
+        sel_pay = {out: F.when(ok, F.col(f"_c_{out}"))
+                   for out in pay.values()}
+    return u.select(
+        *keys, *lcols,
+        *[c.alias(out) for out, c in sel_pay.items()],
+        sel_gap.alias("gap_us"))
+
+
+def asof_join_sql(left_type: str, right_type: str,
+                  table: str = "events") -> str:
+    """DuckDB twin of the catalog as-of query — deliberately a
+    DIFFERENT algorithm (DuckDB's native ASOF JOIN operator, a
+    per-key binary search) than the Spark union+window carry, so
+    agreement checks the semantics rather than the implementation."""
+    return f"""
+WITH l AS (SELECT event_id, user_id, ts, value FROM {table}
+           WHERE event_type = '{left_type}'),
+     r AS (SELECT user_id, ts, event_id, value FROM {table}
+           WHERE event_type = '{right_type}')
+SELECT l.event_id, l.user_id, l.value,
+       r.event_id AS m_event_id, r.value AS m_value,
+       date_diff('microsecond', r.ts, l.ts) AS gap_us
+FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""

@@ -1309,6 +1309,26 @@ def q_qann_topk(spark, sf_dir):
     return qann_topk(e, _query_vec(sf_dir), 10, rescore_mult=4)
 
 
+def q_asof_events(spark, sf_dir):
+    """Backward as-of join (r5): each purchase picks the user's most
+    recent click at-or-before it. Spark lacks ASOF JOIN; the operator
+    is the union+window carry (ONE key exchange, no join node) — the
+    oracle is DuckDB's NATIVE ASOF JOIN operator, a different
+    algorithm entirely, so the hash check pins the semantics."""
+    from pyspark.sql import functions as F
+    from .operators.events import asof_join
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = asof_join(
+        e.filter(F.col("event_type") == "purchase")
+         .select("event_id", "user_id", "ts", "value"),
+        e.filter(F.col("event_type") == "click")
+         .select("event_id", "user_id", "ts", "value"),
+        on="user_id", tie_col="event_id",
+        payload={"event_id": "m_event_id", "value": "m_value"})
+    return out.select("event_id", "user_id", "value",
+                      "m_event_id", "m_value", "gap_us")
+
+
 def q_dup_spans(spark, sf_dir):
     """Cross-document repeated-substring spans (r5): maximal word
     runs whose 8-word shingles occur at >=2 sites corpus-wide —
@@ -1392,6 +1412,7 @@ QUERIES = {
     "dup_spans": q_dup_spans,
     "pack_sequences": q_pack_sequences,
     "qann_topk": q_qann_topk,
+    "asof_events": q_asof_events,
     "bbox_join": q_bbox_join,
     "pip_join_many": q_pip_join_many,
     "poly_join": q_poly_join,
@@ -1402,9 +1423,11 @@ QUERIES = {
     "st_zm": q_st_zm,
     "st_distance": q_st_distance,
     "ivf_ann_topk": q_ivf_ann_topk,
-    # -- rotated just past the window in r5.3/r5.4 to make room for
-    #    decontaminate / dup_spans / pack_sequences above (all four
-    #    rotated rows are driver-green in r4) --
+    # -- rotated just past the window in r5.3-r5.6 to make room for
+    #    decontaminate / dup_spans / pack_sequences / qann_topk /
+    #    asof_events above (all rotated rows are driver-green in r4,
+    #    ivf_ann_topk included — it slid to position 51 when
+    #    asof_events landed) --
     "simhash": q_simhash,
     "dup_clusters": q_dup_clusters,
     "stratified_sample": q_stratified_sample,
@@ -1843,6 +1866,9 @@ def oracle_sql() -> dict[str, str]:
     from .operators.pack import pack_sequences_sql
     out["pack_sequences"] = pack_sequences_sql(512, table="documents")
     from .operators.similarity import qann_topk_sql
+    from .operators.events import asof_join_sql
+    out["asof_events"] = asof_join_sql("purchase", "click",
+                                       table="events")
     out["qann_topk"] = qann_topk_sql(10, rescore_mult=4,
                                      table="embeddings")
     out["host_stats"] = (

@@ -721,3 +721,70 @@ class TestQannTopk:
                .select(F.expr(_int_dot_expr("v", "_s", [1.0]))
                        .alias("i")).collect())
         assert out[0]["i"] == 127 * 127
+
+
+class TestAsofJoin:
+    def _frames(self, spark):
+        # left probes at t=10, 20, 30; right builds at t=5, 20, 20, 25
+        from datetime import datetime as dt
+        L = spark.createDataFrame(
+            [(1, 1, dt(2024, 1, 1, 0, 0, 10)),
+             (2, 1, dt(2024, 1, 1, 0, 0, 20)),
+             (3, 1, dt(2024, 1, 1, 0, 0, 30)),
+             (4, 2, dt(2024, 1, 1, 0, 0, 1))],
+            "lid long, user_id long, ts timestamp")
+        R = spark.createDataFrame(
+            [(100, 1, dt(2024, 1, 1, 0, 0, 5), 1.0),
+             (101, 1, dt(2024, 1, 1, 0, 0, 20), 2.0),
+             (102, 1, dt(2024, 1, 1, 0, 0, 20), 3.0),
+             (103, 1, dt(2024, 1, 1, 0, 0, 25), 4.0)],
+            "rid long, user_id long, ts timestamp, v double")
+        return L, R
+
+    def test_backward_match_tie_break_and_inner(self, spark):
+        from geospark.operators.events import asof_join
+        L, R = self._frames(spark)
+        got = _rows(asof_join(L, R, on="user_id", tie_col="rid",
+                              payload={"rid": "m_rid", "v": "m_v"})
+                    .select("lid", "m_rid", "m_v", "gap_us"))
+        # t=20 probe sees BOTH t=20 builds (at-or-before); greatest
+        # rid (102) wins the tie; user 2 has no build -> dropped
+        assert got == [(1, 100, 1.0, 5_000_000),
+                       (2, 102, 3.0, 0),
+                       (3, 103, 4.0, 5_000_000)]
+
+    def test_left_outer_and_tolerance(self, spark):
+        from geospark.operators.events import asof_join
+        L, R = self._frames(spark)
+        got = _rows(asof_join(L, R, on="user_id", tie_col="rid",
+                              payload={"rid": "m_rid"},
+                              tolerance_us=4_000_000, how="left")
+                    .select("lid", "m_rid", "gap_us"))
+        # gap 5s > 4s tolerance -> NULLed under how='left'
+        assert got == [(1, None, None), (2, 102, 0),
+                       (3, None, None), (4, None, None)]
+
+    def test_plan_has_no_join_node(self, spark):
+        from geospark.operators.events import asof_join
+        L, R = self._frames(spark)
+        out = asof_join(L, R, on="user_id", tie_col="rid",
+                        payload={"v": "m_v"})
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "SinglePartition" not in plan
+
+    def test_matches_duckdb_native_asof_on_testdata(self, spark):
+        import duckdb
+
+        from geospark.queries import oracle_sql, q_asof_events
+        got = _rows(q_asof_events(spark, SF))
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                    f"read_parquet('{SF}/events.parquet')")
+        cols = ["event_id", "user_id", "value", "m_event_id",
+                "m_value", "gap_us"]
+        want = sorted(tuple(r) for r in
+                      con.execute(oracle_sql()["asof_events"])
+                      .fetchall())
+        assert [tuple(r) for r in got] == want
