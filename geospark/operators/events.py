@@ -180,3 +180,65 @@ SELECT l.event_id, l.user_id, l.value,
        date_diff('microsecond', r.ts, l.ts) AS gap_us
 FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
 """
+
+
+def trajectory_stats(events, lat_col="lat", lon_col="lon", *,
+                     user_col: str = "user_id", ts_col: str = "ts",
+                     order_col: str = "event_id"):
+    """Per-user trajectory rollup: order each user's events by
+    (ts, order_col), measure consecutive-event great-circle legs,
+    aggregate path length. The geo x event-stream staple (GPS traces,
+    check-in streams). One per-user exchange carries BOTH the lag
+    window and the aggregate — no join, no second shuffle.
+
+    Each leg is rounded to integer meters BEFORE the sum: SUM over
+    doubles is accumulation-order-dependent (Spark partial aggs vs
+    any single-node engine), SUM over BIGINT legs is exact on every
+    engine. -> (user, n_events, n_legs, total_m, max_leg_m)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from ..functions.geometry import haversine_m
+    w = (Window.partitionBy(user_col)
+         .orderBy(F.col(ts_col).asc(), F.col(order_col).asc()))
+    plat, plon = F.lag(lat_col).over(w), F.lag(lon_col).over(w)
+    leg = F.when(plat.isNotNull(),
+                 F.round(haversine_m(plat, plon,
+                                     F.col(lat_col), F.col(lon_col)),
+                         0).cast("long"))
+    return (events.withColumn("_leg_m", leg)
+            .groupBy(user_col)
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.count("_leg_m").alias("n_legs"),
+                 F.coalesce(F.sum("_leg_m"), F.lit(0))
+                 .alias("total_m"),
+                 F.max("_leg_m").alias("max_leg_m")))
+
+
+def trajectory_stats_sql(lat_sql: str, lon_sql: str,
+                         table: str = "events",
+                         user_col: str = "user_id",
+                         ts_col: str = "ts",
+                         order_col: str = "event_id") -> str:
+    """DuckDB twin of trajectory_stats: identical lag window, the
+    haversine_pairs transcendental-rounding policy, BIGINT legs."""
+    hav = ("2.0 * 6371008.8 * ASIN(SQRT("
+           "POWER(SIN(RADIANS(lat - plat) / 2), 2) + COS(RADIANS(plat)) "
+           "* COS(RADIANS(lat)) * POWER(SIN(RADIANS(lon - plon) / 2), 2)"
+           "))")
+    return f"""
+WITH pts AS (SELECT {user_col}, {ts_col}, {order_col},
+             {lat_sql} AS lat, {lon_sql} AS lon FROM {table}),
+lagged AS (SELECT {user_col}, lat, lon,
+           LAG(lat) OVER w AS plat, LAG(lon) OVER w AS plon
+           FROM pts
+           WINDOW w AS (PARTITION BY {user_col}
+                        ORDER BY {ts_col} ASC, {order_col} ASC)),
+legs AS (SELECT {user_col},
+         CASE WHEN plat IS NOT NULL THEN
+           CAST(ROUND({hav}, 0) AS BIGINT) END AS leg_m
+         FROM lagged)
+SELECT {user_col}, COUNT(*) AS n_events, COUNT(leg_m) AS n_legs,
+       CAST(COALESCE(SUM(leg_m), 0) AS BIGINT) AS total_m,
+       MAX(leg_m) AS max_leg_m
+FROM legs GROUP BY {user_col}
+"""

@@ -1329,6 +1329,24 @@ def q_asof_events(spark, sf_dir):
                       "m_event_id", "m_value", "gap_us")
 
 
+def q_trajectories(spark, sf_dir):
+    """Per-user trajectory rollup (r5): consecutive-event great-circle
+    legs over the synthetic per-event positions (lat from event_id,
+    lon from value — the events_cell_stats modulo conventions), legs
+    rounded to integer meters BEFORE the sum so the aggregate is
+    accumulation-order-independent. One per-user shuffle carries lag
+    window + agg."""
+    from pyspark.sql import functions as F
+    from .operators.events import trajectory_stats
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pts = e.select(
+        "user_id", "ts", "event_id",
+        ((F.col("event_id") % 170).cast("double") - 85.0).alias("lat"),
+        (((F.col("value") % 360.0) + 360.0) % 360.0 - 180.0)
+        .alias("lon"))
+    return trajectory_stats(pts)
+
+
 def q_dup_spans(spark, sf_dir):
     """Cross-document repeated-substring spans (r5): maximal word
     runs whose 8-word shingles occur at >=2 sites corpus-wide —
@@ -1413,6 +1431,7 @@ QUERIES = {
     "pack_sequences": q_pack_sequences,
     "qann_topk": q_qann_topk,
     "asof_events": q_asof_events,
+    "trajectories": q_trajectories,
     "bbox_join": q_bbox_join,
     "pip_join_many": q_pip_join_many,
     "poly_join": q_poly_join,
@@ -1425,9 +1444,9 @@ QUERIES = {
     "ivf_ann_topk": q_ivf_ann_topk,
     # -- rotated just past the window in r5.3-r5.6 to make room for
     #    decontaminate / dup_spans / pack_sequences / qann_topk /
-    #    asof_events above (all rotated rows are driver-green in r4,
-    #    ivf_ann_topk included — it slid to position 51 when
-    #    asof_events landed) --
+    #    asof_events / trajectories above (all rotated rows are
+    #    driver-green in r4, ivf_ann_topk + st_distance included —
+    #    they slid past 50 as the r5 rows landed) --
     "simhash": q_simhash,
     "dup_clusters": q_dup_clusters,
     "stratified_sample": q_stratified_sample,
@@ -1866,9 +1885,13 @@ def oracle_sql() -> dict[str, str]:
     from .operators.pack import pack_sequences_sql
     out["pack_sequences"] = pack_sequences_sql(512, table="documents")
     from .operators.similarity import qann_topk_sql
-    from .operators.events import asof_join_sql
+    from .operators.events import asof_join_sql, trajectory_stats_sql
     out["asof_events"] = asof_join_sql("purchase", "click",
                                        table="events")
+    out["trajectories"] = trajectory_stats_sql(
+        "CAST(event_id % 170 AS DOUBLE) - 85.0",
+        "((value % 360.0) + 360.0) % 360.0 - 180.0",
+        table="events")
     out["qann_topk"] = qann_topk_sql(10, rescore_mult=4,
                                      table="embeddings")
     out["host_stats"] = (

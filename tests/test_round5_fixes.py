@@ -788,3 +788,46 @@ class TestAsofJoin:
                       con.execute(oracle_sql()["asof_events"])
                       .fetchall())
         assert [tuple(r) for r in got] == want
+
+
+class TestTrajectoryStats:
+    def test_hand_computed_legs_and_single_event_user(self, spark):
+        from datetime import datetime as dt
+
+        from geospark.operators.events import trajectory_stats
+        # user 1: equator walk 0->1->3 degrees lon (1 deg equator
+        # ~= 111195 m); user 2: a single event (no legs)
+        df = spark.createDataFrame(
+            [(1, 1, dt(2024, 1, 1, 0, 0, 1), 0.0, 0.0),
+             (2, 1, dt(2024, 1, 1, 0, 0, 2), 0.0, 1.0),
+             (3, 1, dt(2024, 1, 1, 0, 0, 3), 0.0, 3.0),
+             (4, 2, dt(2024, 1, 1, 0, 0, 1), 10.0, 10.0)],
+            "event_id long, user_id long, ts timestamp, "
+            "lat double, lon double")
+        got = {r["user_id"]: (r["n_events"], r["n_legs"], r["total_m"],
+                              r["max_leg_m"])
+               for r in trajectory_stats(df).collect()}
+        one_deg = 111195  # round(2*6371008.8*asin(sin(rad(0.5))))
+        assert got[1] == (3, 2, 3 * one_deg, 2 * one_deg)
+        assert got[2] == (1, 0, 0, None)
+
+    def test_out_of_order_input_sorted_by_ts(self, spark):
+        from datetime import datetime as dt
+
+        from geospark.operators.events import trajectory_stats
+        rows = [(2, 1, dt(2024, 1, 1, 0, 0, 2), 0.0, 1.0),
+                (1, 1, dt(2024, 1, 1, 0, 0, 1), 0.0, 0.0),
+                (3, 1, dt(2024, 1, 1, 0, 0, 3), 0.0, 0.0)]
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, ts timestamp, "
+            "lat double, lon double")
+        r = trajectory_stats(df).collect()[0]
+        # 0 -> 1 -> 0 degrees: two equal legs, not one 0-length pair
+        assert (r["n_legs"], r["total_m"]) == (2, 2 * 111195)
+
+    def test_single_exchange_plan(self, spark):
+        from geospark.queries import q_trajectories
+        plan = (q_trajectories(spark, SF)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "Join" not in plan and "SinglePartition" not in plan
