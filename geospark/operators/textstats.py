@@ -339,3 +339,42 @@ def redact_pii_sql(text_expr: str = "text",
         clean = f"regexp_replace({clean}, '{rx}', '{repl}', 'g')"
     return (f"SELECT doc_id, {clean} AS clean_text, {counts} "
             f"FROM {table}")
+
+
+def top_pairs(df, n: int = 20, *, text_col: str = "text"):
+    """Corpus-wide top-``n`` adjacent token pairs — the BPE
+    first-merge candidate table (vocabulary induction's inner loop is
+    exactly "count adjacent pairs, take the most frequent").  Pairs
+    are built ARRAY-SIDE with an indexed transform over the same
+    lowercase token stream as top_terms — no posexplode+lead window,
+    so nothing shuffles by doc at all: the only exchange is the
+    (pair, count) aggregate with map-side combine, and the global
+    top-n is a TakeOrderedAndProject (no SinglePartition sort).
+    Ordering (count desc, pair asc) is a total order -> deterministic
+    cut. -> (pair, cnt)."""
+    from pyspark.sql import functions as F
+    toks = df.select(words_col(text_col).alias("_w"))
+    # slice length is clamped at 0: size=0 docs would make slice(..,
+    # 1, -1) raise; the i+2 element_at is 1-based (i is 0-based)
+    pairs = F.expr(
+        "transform(slice(_w, 1, greatest(size(_w) - 1, 0)), "
+        "(x, i) -> concat(x, ' ', element_at(_w, i + 2)))")
+    return (toks.select(F.explode(pairs).alias("pair"))
+            .groupBy("pair").agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("pair").asc())
+            .limit(n))
+
+
+def top_pairs_sql(n: int = 20, table: str = "documents") -> str:
+    """DuckDB twin: generate_series pair construction (empty when the
+    doc has <2 tokens — no guard needed; DuckDB's series is empty
+    where Spark's sequence(1,0) would DESCEND, hence the Spark-side
+    clamped slice instead)."""
+    return f"""
+WITH ws AS (SELECT regexp_extract_all(lower(text), '{TOKEN_RX}') AS w
+            FROM {table}),
+p AS (SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+             i -> w[i] || ' ' || w[i + 1])) AS pair FROM ws)
+SELECT pair, COUNT(*) AS cnt FROM p GROUP BY pair
+ORDER BY cnt DESC, pair ASC LIMIT {n}
+"""

@@ -1347,6 +1347,16 @@ def q_trajectories(spark, sf_dir):
     return trajectory_stats(pts)
 
 
+def q_top_pairs(spark, sf_dir):
+    """Corpus-wide top-20 adjacent token pairs (r5): the BPE
+    first-merge candidate table. Pairs built array-side (no doc-keyed
+    window shuffle); one map-side-combined (pair, cnt) agg; global
+    top-n is TakeOrderedAndProject."""
+    from .operators.textstats import top_pairs
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return top_pairs(d, 20)
+
+
 def q_dup_spans(spark, sf_dir):
     """Cross-document repeated-substring spans (r5): maximal word
     runs whose 8-word shingles occur at >=2 sites corpus-wide —
@@ -1432,6 +1442,7 @@ QUERIES = {
     "qann_topk": q_qann_topk,
     "asof_events": q_asof_events,
     "trajectories": q_trajectories,
+    "top_pairs": q_top_pairs,
     "bbox_join": q_bbox_join,
     "pip_join_many": q_pip_join_many,
     "poly_join": q_poly_join,
@@ -1444,9 +1455,10 @@ QUERIES = {
     "ivf_ann_topk": q_ivf_ann_topk,
     # -- rotated just past the window in r5.3-r5.6 to make room for
     #    decontaminate / dup_spans / pack_sequences / qann_topk /
-    #    asof_events / trajectories above (all rotated rows are
-    #    driver-green in r4, ivf_ann_topk + st_distance included —
-    #    they slid past 50 as the r5 rows landed) --
+    #    asof_events / trajectories / top_pairs above (all rotated
+    #    rows are driver-green in r4, st_zm + st_distance +
+    #    ivf_ann_topk included — they slid past 50 as the r5 rows
+    #    landed) --
     "simhash": q_simhash,
     "dup_clusters": q_dup_clusters,
     "stratified_sample": q_stratified_sample,
@@ -1877,6 +1889,8 @@ def oracle_sql() -> dict[str, str]:
         f"{canonical_url_sql(_url_expr)} AS canon FROM documents) "
         f"GROUP BY 1")
     out["top_terms"] = top_terms_sql(3)
+    from .operators.textstats import top_pairs_sql
+    out["top_pairs"] = top_pairs_sql(20)
     from .operators.dedup import decontaminate_sql
     out["decontaminate"] = decontaminate_sql(
         4, bench_pred="doc_id % 41 = 0", table="documents")

@@ -831,3 +831,25 @@ class TestTrajectoryStats:
                 ._jdf.queryExecution().executedPlan().toString())
         assert plan.count("Exchange hashpartitioning") == 1
         assert "Join" not in plan and "SinglePartition" not in plan
+
+
+class TestTopPairs:
+    def test_hand_computed_pairs_and_edge_docs(self, spark):
+        from geospark.operators.textstats import top_pairs
+        df = spark.createDataFrame(
+            [("the cat sat the cat ran",),  # 'the cat' x2
+             ("cat",),                      # single token: no pairs
+             ("",),                         # empty: no pairs
+             ("THE cat!",)],                # lowercased, punct split
+            "text string")
+        got = [(r["pair"], r["cnt"])
+               for r in top_pairs(df, 3).collect()]
+        assert got == [("the cat", 3), ("cat ran", 1), ("cat sat", 1)]
+
+    def test_plan_no_single_partition_sort(self, spark):
+        from geospark.queries import q_top_pairs
+        plan = (q_top_pairs(spark, SF)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "TakeOrderedAndProject" in plan
+        assert "SinglePartition" not in plan
+        assert plan.count("Exchange hashpartitioning") == 1
