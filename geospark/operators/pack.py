@@ -27,43 +27,62 @@ from ..materialize import materialize
 PACK_TOKEN_RX = "[A-Za-z0-9]+"
 
 
-def prefix_sum(df, value_col: str, order_col: str, *,
-               num_partitions: int | None = None,
+def prefix_sum(df, value_col: str, order_col, *,
+               group_cols=None, num_partitions: int | None = None,
                out_col: str = "prefix"):
     """EXCLUSIVE prefix sum of ``value_col`` over the global
-    ``order_col`` order, computed with the two-phase scan above —
-    never a single-partition window. ``order_col`` must be unique
-    (add a tiebreak column upstream otherwise; range partitioning can
+    ``order_col`` order (a column name or a list of them), computed
+    with the two-phase scan above — never a single-partition window.
+    The combined order key must be unique (range partitioning can
     split equal keys across partitions).
 
+    ``group_cols`` makes it a GROUPED prefix sum: an independent scan
+    per group, still two-phase — the range partitioner keys on
+    (groups, order) so a dominant group (English at 50% of a web
+    corpus) spreads over many partitions instead of serializing into
+    one window partition; the driver sees P x G offset rows (P =
+    partitions, G = DISTINCT GROUPS — use for low-cardinality strata
+    like language/domain, not per-user keys). Group columns must be
+    non-null (null never equi-joins its offset back — coalesce
+    upstream).
+
     Returns ``df``'s selected columns plus ``out_col``. Triggers one
-    job for the per-partition totals (P rows to the driver — partition
-    METADATA, not data; the frame is materialized first so the totals
-    and the output read the same frozen rows).
+    job for the per-partition totals (P x G rows to the driver —
+    partition METADATA, not data; the frame is materialized first so
+    the totals and the output read the same frozen rows).
     """
     from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StructField, StructType
     from pyspark.sql.window import Window
 
+    ocols = [order_col] if isinstance(order_col, str) else list(order_col)
+    gcols = list(group_cols or [])
     spark = df.sparkSession
     p = num_partitions or spark.sparkContext.defaultParallelism
     part = materialize(
-        df.repartitionByRange(p, F.col(order_col))
+        df.repartitionByRange(p, *[F.col(c) for c in gcols + ocols])
         .withColumn("_pid", F.spark_partition_id()))
 
-    w = (Window.partitionBy("_pid").orderBy(order_col)
+    w = (Window.partitionBy("_pid", *gcols).orderBy(*ocols)
          .rowsBetween(Window.unboundedPreceding, -1))
     local = part.withColumn(
         "_local", F.coalesce(F.sum(value_col).over(w), F.lit(0)))
 
-    totals = part.groupBy("_pid").agg(
+    totals = part.groupBy("_pid", *gcols).agg(
         F.sum(value_col).alias("_t")).collect()
-    offsets, running = [], 0
+    # ascending pid IS the global (group, order) range order, so a
+    # per-group running total over pids is that group's base offset
+    offsets, running = [], {}
     for row in sorted(totals, key=lambda r: r["_pid"]):
-        offsets.append((row["_pid"], running))
-        running += row["_t"] or 0
-    off_df = spark.createDataFrame(offsets, "_pid int, _off long")
+        gkey = tuple(row[g] for g in gcols)
+        offsets.append((row["_pid"], *gkey, running.get(gkey, 0)))
+        running[gkey] = running.get(gkey, 0) + (row["_t"] or 0)
+    off_schema = StructType(
+        [part.schema["_pid"]] + [part.schema[g] for g in gcols]
+        + [StructField("_off", LongType())])
+    off_df = spark.createDataFrame(offsets, off_schema)
 
-    return (local.join(F.broadcast(off_df), "_pid")
+    return (local.join(F.broadcast(off_df), ["_pid"] + gcols)
             .withColumn(out_col,
                         (F.col("_off") + F.col("_local")).cast("long"))
             .drop("_pid", "_local", "_off"))
@@ -114,4 +133,73 @@ FROM (
                CAST(len(regexp_extract_all(text, '{PACK_TOKEN_RX}'))
                     AS BIGINT) AS n_tokens
         FROM {table}))
+"""
+
+
+def budget_sample(df, budgets: dict[str, int], *,
+                  group_col: str = "lang", id_col: str = "doc_id",
+                  text_col: str = "text", default_budget: int = 0,
+                  num_partitions: int | None = None):
+    """Token-budget corpus mixer: fill each group's target token
+    budget greedily with whole documents in a deterministic
+    pseudo-random order (the md5 priority used by every sampling
+    operator here) — the curation step that turns "we want a 30%-en /
+    10%-zh mix" into an actual document subset. A doc is kept iff it
+    fits ENTIRELY in its group's remaining budget when its turn
+    comes; groups absent from ``budgets`` get ``default_budget``.
+
+    Built on the GROUPED two-phase prefix sum, so a dominant group
+    never serializes into one window partition.
+    -> (group, id, n_tokens, cum_tokens), all integer-exact."""
+    from pyspark.sql import functions as F
+
+    n_tok = (F.regexp_count(F.col(text_col), F.lit(PACK_TOKEN_RX))
+             .cast("long"))
+    prio = F.conv(F.substring(F.md5(F.col(id_col).cast("string")),
+                              1, 15), 16, 10).cast("long")
+    base = df.select(
+        F.col(id_col),
+        F.coalesce(F.col(group_col), F.lit("")).alias("_grp"),
+        n_tok.alias("n_tokens"), prio.alias("_prio"))
+    summed = prefix_sum(base, "n_tokens", ["_prio", id_col],
+                        group_cols=["_grp"],
+                        num_partitions=num_partitions,
+                        out_col="_start")
+    b = None
+    for k, v in sorted(budgets.items()):
+        cond = F.col("_grp") == k
+        b = F.when(cond, v) if b is None else b.when(cond, v)
+    b = (F.lit(int(default_budget)) if b is None
+         else b.otherwise(int(default_budget))).cast("long")
+    cum = F.col("_start") + F.col("n_tokens")
+    return (summed.filter(cum <= b)
+            .select(F.col("_grp").alias(group_col), id_col,
+                    "n_tokens", cum.alias("cum_tokens")))
+
+
+def budget_sample_sql(budgets: dict[str, int],
+                      group_col: str = "lang",
+                      default_budget: int = 0,
+                      table: str = "documents") -> str:
+    """DuckDB twin of budget_sample (single-node grouped window — the
+    oracle needs only the same order, arithmetic, and budget CASE)."""
+    h64 = ("CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) "
+           "AS BIGINT)")
+    case = " ".join(f"WHEN '{k}' THEN {int(v)}"
+                    for k, v in sorted(budgets.items()))
+    return f"""
+WITH base AS (SELECT doc_id, COALESCE({group_col}, '') AS grp,
+       CAST(len(regexp_extract_all(text, '{PACK_TOKEN_RX}'))
+            AS BIGINT) AS n_tokens,
+       {h64} AS prio FROM {table}),
+s AS (SELECT doc_id, grp, n_tokens,
+       CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY grp
+            ORDER BY prio ASC, doc_id ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS start_tok FROM base)
+SELECT grp AS {group_col}, doc_id, n_tokens,
+       CAST(start_tok + n_tokens AS BIGINT) AS cum_tokens
+FROM s
+WHERE start_tok + n_tokens <=
+      CASE grp {case} ELSE {int(default_budget)} END
 """

@@ -1347,6 +1347,19 @@ def q_trajectories(spark, sf_dir):
     return trajectory_stats(pts)
 
 
+def q_budget_sample(spark, sf_dir):
+    """Token-budget corpus mixer (r5): greedily fill per-language
+    token budgets with whole docs in the standard md5 priority order.
+    Grouped two-phase prefix sum — a dominant language spreads over
+    the range partitioner instead of serializing into one window
+    partition; 'de' is absent from the budget map (default 0), so it
+    must vanish from the output entirely."""
+    from .operators.pack import budget_sample
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return budget_sample(
+        d, {"en": 6000, "es": 2000, "fr": 2000, "zh": 2000})
+
+
 def q_top_pairs(spark, sf_dir):
     """Corpus-wide top-20 adjacent token pairs (r5): the BPE
     first-merge candidate table. Pairs built array-side (no doc-keyed
@@ -1443,6 +1456,7 @@ QUERIES = {
     "asof_events": q_asof_events,
     "trajectories": q_trajectories,
     "top_pairs": q_top_pairs,
+    "budget_sample": q_budget_sample,
     "bbox_join": q_bbox_join,
     "pip_join_many": q_pip_join_many,
     "poly_join": q_poly_join,
@@ -1455,10 +1469,10 @@ QUERIES = {
     "ivf_ann_topk": q_ivf_ann_topk,
     # -- rotated just past the window in r5.3-r5.6 to make room for
     #    decontaminate / dup_spans / pack_sequences / qann_topk /
-    #    asof_events / trajectories / top_pairs above (all rotated
-    #    rows are driver-green in r4, st_zm + st_distance +
-    #    ivf_ann_topk included — they slid past 50 as the r5 rows
-    #    landed) --
+    #    asof_events / trajectories / top_pairs / budget_sample above
+    #    (all rotated rows are driver-green in r4,
+    #    geoarrow_roundtrip + st_zm + st_distance + ivf_ann_topk
+    #    included — they slid past 50 as the r5 rows landed) --
     "simhash": q_simhash,
     "dup_clusters": q_dup_clusters,
     "stratified_sample": q_stratified_sample,
@@ -1898,6 +1912,9 @@ def oracle_sql() -> dict[str, str]:
     out["dup_spans"] = dup_spans_sql(8, table="documents")
     from .operators.pack import pack_sequences_sql
     out["pack_sequences"] = pack_sequences_sql(512, table="documents")
+    from .operators.pack import budget_sample_sql
+    out["budget_sample"] = budget_sample_sql(
+        {"en": 6000, "es": 2000, "fr": 2000, "zh": 2000})
     from .operators.similarity import qann_topk_sql
     from .operators.events import asof_join_sql, trajectory_stats_sql
     out["asof_events"] = asof_join_sql("purchase", "click",

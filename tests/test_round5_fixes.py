@@ -853,3 +853,43 @@ class TestTopPairs:
         assert "TakeOrderedAndProject" in plan
         assert "SinglePartition" not in plan
         assert plan.count("Exchange hashpartitioning") == 1
+
+
+class TestBudgetSample:
+    def test_grouped_prefix_sum_partition_invariance(self, spark):
+        from geospark.operators.pack import prefix_sum
+        rows = [(i, "ab"[i % 2], (i * 7) % 13 + 1) for i in range(40)]
+        df = spark.createDataFrame(rows, "id long, g string, n long")
+        # per-group exclusive cumsum in id order, computed locally
+        want = {}
+        run = {"a": 0, "b": 0}
+        for i, g, n in sorted(rows):
+            want[i] = run[g]
+            run[g] += n
+        for p in (1, 7, 32):
+            got = {r["id"]: r["prefix"]
+                   for r in prefix_sum(df, "n", "id", group_cols=["g"],
+                                       num_partitions=p).collect()}
+            assert got == want, f"partitions={p}"
+
+    def test_budget_boundary_and_absent_group(self, spark):
+        from geospark.operators.pack import budget_sample
+        # texts of 2 tokens each; md5 priority fixes the visit order
+        df = spark.createDataFrame(
+            [(i, "en" if i < 6 else "xx", "tok tok") for i in range(9)],
+            "doc_id long, lang string, text string")
+        # en budget 5: 2-token docs fill 2,4 -> the 3rd doc would hit
+        # 6 > 5 and is dropped whole (no truncation); xx -> default 0
+        out = budget_sample(df, {"en": 5}).collect()
+        assert {r["lang"] for r in out} == {"en"}
+        assert len(out) == 2
+        assert sorted(r["cum_tokens"] for r in out) == [2, 4]
+        # exact fill is kept (<=)
+        out6 = budget_sample(df, {"en": 6}).collect()
+        assert sorted(r["cum_tokens"] for r in out6) == [2, 4, 6]
+
+    def test_no_single_partition_exchange(self, spark):
+        from geospark.queries import q_budget_sample
+        plan = (q_budget_sample(spark, SF)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "SinglePartition" not in plan
