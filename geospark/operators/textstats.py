@@ -378,3 +378,93 @@ p AS (SELECT unnest(list_transform(generate_series(1, len(w) - 1),
 SELECT pair, COUNT(*) AS cnt FROM p GROUP BY pair
 ORDER BY cnt DESC, pair ASC LIMIT {n}
 """
+
+
+def inverted_index(df, *, text_col: str = "text",
+                   id_col: str = "doc_id", min_df: int = 2,
+                   max_postings: int = 20):
+    """Search-index export: one row per term with its document
+    frequency and a capped, ascending posting list — the classic
+    inverted index a retrieval layer consumes. Postings are emitted
+    as a comma-joined STRING (deterministic, engine-hashable; an
+    array column would ride each engine's own list canonicalization).
+
+    Scale: explode -> DISTINCT (term, doc) -> term-keyed agg, all
+    map-side-combinable; the posting cap bounds row width so a
+    stopword's row cannot balloon (the full list for hot terms is
+    exactly what the df count summarizes). -> (term, df, postings)."""
+    from pyspark.sql import functions as F
+    tok = (df.select(F.col(id_col).alias("_d"),
+                     F.explode(words_col(text_col)).alias("term"))
+           .distinct())
+    return (tok.groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df"),
+                 F.array_join(
+                     F.slice(F.array_sort(F.collect_list("_d")),
+                             1, max_postings), ",").alias("postings"))
+            .filter(F.col("df") >= min_df))
+
+
+def inverted_index_sql(min_df: int = 2, max_postings: int = 20,
+                       table: str = "documents") -> str:
+    """DuckDB twin of inverted_index (same distinct/sort/cap/join)."""
+    return f"""
+WITH tok AS (SELECT DISTINCT doc_id,
+       unnest(regexp_extract_all(lower(text), '{TOKEN_RX}')) AS term
+       FROM {table})
+SELECT term, COUNT(*) AS df,
+       array_to_string(list_sort(list(doc_id))[1:{max_postings}], ',')
+       AS postings
+FROM tok GROUP BY term HAVING COUNT(*) >= {min_df}
+"""
+
+
+def group_quantiles(df, value_col: str, group_col: str, *,
+                    ps: tuple[int, ...] = (50, 90, 99),
+                    tie_col: str | None = None):
+    """Discrete (type-1) quantiles of ``value_col`` per group — the
+    distribution snapshot a curation dashboard wants (p50/p90/p99 doc
+    length per language). DISCRETE on purpose: interpolated quantiles
+    ((1-f)*a + f*b) hinge on float rounding; the rank-select value is
+    a row's actual value, and the target rank ceil(p*n/100) is
+    computed in pure integers ((p*n + 99) div 100) — engine-exact.
+
+    Scale: one group-keyed exchange carries both the rank window and
+    the conditional aggregate. -> (group, n, q<p>...)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    order = [F.col(value_col).asc()]
+    if tie_col:
+        order.append(F.col(tie_col).asc())
+    w = Window.partitionBy(group_col).orderBy(*order)
+    wall = (Window.partitionBy(group_col)
+            .rowsBetween(Window.unboundedPreceding,
+                         Window.unboundedFollowing))
+    t = (df.withColumn("_rn", F.row_number().over(w))
+         .withColumn("_n", F.count(F.lit(1)).over(wall)))
+    aggs = [F.max("_n").alias("n")]
+    for p in ps:
+        target = F.expr(f"({p} * _n + 99) div 100")
+        aggs.append(F.max(F.when(F.col("_rn") == target,
+                                 F.col(value_col))).alias(f"q{p}"))
+    return t.groupBy(group_col).agg(*aggs)
+
+
+def group_quantiles_sql(value_sql: str, group_col: str,
+                        ps: tuple[int, ...] = (50, 90, 99),
+                        tie_col: str = "doc_id",
+                        table: str = "documents") -> str:
+    """DuckDB twin of group_quantiles (same integer rank select)."""
+    qs = ", ".join(
+        f"MAX(CASE WHEN rn = ({p} * n + 99) // 100 THEN v END) AS q{p}"
+        for p in ps)
+    return f"""
+WITH t AS (SELECT {group_col}, {value_sql} AS v, {tie_col} AS tb
+           FROM {table}),
+r AS (SELECT {group_col}, v,
+      ROW_NUMBER() OVER (PARTITION BY {group_col}
+                         ORDER BY v ASC, tb ASC) AS rn,
+      COUNT(*) OVER (PARTITION BY {group_col}) AS n FROM t)
+SELECT {group_col}, CAST(MAX(n) AS BIGINT) AS n, {qs}
+FROM r GROUP BY {group_col}
+"""

@@ -1347,6 +1347,31 @@ def q_trajectories(spark, sf_dir):
     return trajectory_stats(pts)
 
 
+def q_inverted_index(spark, sf_dir):
+    """Inverted-index export (r5): per term, document frequency and a
+    capped ascending posting list as a comma-joined string (arrays
+    would ride each engine's own list canonicalization through the
+    hash gate). distinct -> term-keyed agg, both map-side-combined."""
+    from .operators.textstats import inverted_index
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return inverted_index(d, min_df=2, max_postings=20)
+
+
+def q_len_quantiles(spark, sf_dir):
+    """Per-language discrete token-count quantiles (r5): p50/p90/p99
+    by integer rank-select — no interpolation floats anywhere; one
+    lang-keyed exchange carries window + agg."""
+    from pyspark.sql import functions as F
+    from .operators.pack import PACK_TOKEN_RX
+    from .operators.textstats import group_quantiles
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = d.select(
+        "lang", "doc_id",
+        F.regexp_count(F.col("text"), F.lit(PACK_TOKEN_RX))
+        .cast("long").alias("n_tokens"))
+    return group_quantiles(base, "n_tokens", "lang", tie_col="doc_id")
+
+
 def q_budget_sample(spark, sf_dir):
     """Token-budget corpus mixer (r5): greedily fill per-language
     token budgets with whole docs in the standard md5 priority order.
@@ -1457,6 +1482,8 @@ QUERIES = {
     "trajectories": q_trajectories,
     "top_pairs": q_top_pairs,
     "budget_sample": q_budget_sample,
+    "inverted_index": q_inverted_index,
+    "len_quantiles": q_len_quantiles,
     "bbox_join": q_bbox_join,
     "pip_join_many": q_pip_join_many,
     "poly_join": q_poly_join,
@@ -1469,10 +1496,11 @@ QUERIES = {
     "ivf_ann_topk": q_ivf_ann_topk,
     # -- rotated just past the window in r5.3-r5.6 to make room for
     #    decontaminate / dup_spans / pack_sequences / qann_topk /
-    #    asof_events / trajectories / top_pairs / budget_sample above
-    #    (all rotated rows are driver-green in r4,
-    #    geoarrow_roundtrip + st_zm + st_distance + ivf_ann_topk
-    #    included — they slid past 50 as the r5 rows landed) --
+    #    asof_events / trajectories / top_pairs / budget_sample /
+    #    inverted_index / len_quantiles above (all rotated rows are
+    #    driver-green in r4: wkt_roundtrip, wkt_poly_roundtrip,
+    #    geoarrow_roundtrip, st_zm, st_distance, ivf_ann_topk slid
+    #    past 50 as the r5 rows landed) --
     "simhash": q_simhash,
     "dup_clusters": q_dup_clusters,
     "stratified_sample": q_stratified_sample,
@@ -1903,8 +1931,15 @@ def oracle_sql() -> dict[str, str]:
         f"{canonical_url_sql(_url_expr)} AS canon FROM documents) "
         f"GROUP BY 1")
     out["top_terms"] = top_terms_sql(3)
-    from .operators.textstats import top_pairs_sql
+    from .operators.textstats import inverted_index_sql, top_pairs_sql
     out["top_pairs"] = top_pairs_sql(20)
+    out["inverted_index"] = inverted_index_sql(min_df=2,
+                                               max_postings=20)
+    from .operators.pack import PACK_TOKEN_RX as _ptrx
+    from .operators.textstats import group_quantiles_sql
+    out["len_quantiles"] = group_quantiles_sql(
+        f"CAST(len(regexp_extract_all(text, '{_ptrx}')) AS BIGINT)",
+        "lang")
     from .operators.dedup import decontaminate_sql
     out["decontaminate"] = decontaminate_sql(
         4, bench_pred="doc_id % 41 = 0", table="documents")

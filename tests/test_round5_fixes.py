@@ -893,3 +893,50 @@ class TestBudgetSample:
         plan = (q_budget_sample(spark, SF)
                 ._jdf.queryExecution().executedPlan().toString())
         assert "SinglePartition" not in plan
+
+
+class TestInvertedIndex:
+    def test_postings_sorted_capped_distinct(self, spark):
+        from geospark.operators.textstats import inverted_index
+        df = spark.createDataFrame(
+            [(3, "zz aa zz"), (1, "aa bb"), (2, "aa! BB")],
+            "doc_id long, text string")
+        got = {r["term"]: (r["df"], r["postings"])
+               for r in inverted_index(df, min_df=1,
+                                       max_postings=2).collect()}
+        # 'aa' in all three docs: df counts all, postings cap at 2,
+        # ascending; 'zz' twice in doc 3 counts ONCE
+        assert got["aa"] == (3, "1,2")
+        assert got["bb"] == (2, "1,2")
+        assert got["zz"] == (1, "3")
+
+    def test_min_df_filter(self, spark):
+        from geospark.operators.textstats import inverted_index
+        df = spark.createDataFrame(
+            [(1, "rare common"), (2, "common")],
+            "doc_id long, text string")
+        got = {r["term"] for r in inverted_index(df, min_df=2)
+               .collect()}
+        assert got == {"common"}
+
+
+class TestGroupQuantiles:
+    def test_integer_rank_select(self, spark):
+        from geospark.operators.textstats import group_quantiles
+        # group a: values 1..10 -> integer ranks (p*n + 99) div 100:
+        # p50 -> 5, p90 -> 9, p99 -> 10 (never an ieee 0.9*n in
+        # sight); group b: single value repeats at every p
+        rows = [(i, "a", i) for i in range(1, 11)] + [(99, "b", 7)]
+        df = spark.createDataFrame(rows, "doc_id long, g string, v long")
+        got = {r["g"]: (r["n"], r["q50"], r["q90"], r["q99"])
+               for r in group_quantiles(df, "v", "g",
+                                        tie_col="doc_id").collect()}
+        assert got["a"] == (10, 5, 9, 10)
+        assert got["b"] == (1, 7, 7, 7)
+
+    def test_single_exchange_plan(self, spark):
+        from geospark.queries import q_len_quantiles
+        plan = (q_len_quantiles(spark, SF)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "SinglePartition" not in plan
