@@ -242,3 +242,57 @@ SELECT {user_col}, COUNT(*) AS n_events, COUNT(leg_m) AS n_legs,
        MAX(leg_m) AS max_leg_m
 FROM legs GROUP BY {user_col}
 """
+
+
+def retention_cohorts(events, *, user_col: str = "user_id",
+                      ts_col: str = "ts"):
+    """Cohort retention matrix — for each signup-day cohort (a user's
+    first active day), how many of its users were active again N days
+    later. Day indices are exact integer microseconds-since-the-fixed-
+    NTZ-epoch divided by 86_400_000_000 (the sessionizer's timestamp
+    convention), so both engines bucket identically with no timezone
+    or DATE-stringification surface.
+
+    Scale: ONE user-keyed exchange carries the whole per-user
+    reduction — collect_set(active day) is map-side combinable and its
+    width is bounded by the observation window in DAYS, not by event
+    volume; cohort (array_min) and the offsets (array transform) are
+    computed array-side with no second window or join. The only other
+    exchange carries (cohort_day, day_offset) aggregate rows. Each
+    (user, offset) pair appears exactly once because days is a set, so
+    COUNT(*) is exactly distinct users. -> (cohort_day, day_offset,
+    n_users)."""
+    from pyspark.sql import functions as F
+    # integer `div`, not float `/`+cast: a double quotient can land an
+    # ulp below a day boundary and truncate into the previous day
+    day = F.expr(f"timestampdiff(MICROSECOND, "
+                 f"TIMESTAMP_NTZ '{EPOCH}', {ts_col}) "
+                 f"div 86400000000")
+    per_user = (events
+                .select(F.col(user_col).alias("_u"), day.alias("_day"))
+                .groupBy("_u")
+                .agg(F.collect_set("_day").alias("_days")))
+    return (per_user
+            .withColumn("cohort_day", F.array_min("_days"))
+            .select("cohort_day",
+                    F.explode(F.transform(
+                        "_days",
+                        lambda d: d - F.col("cohort_day")))
+                    .alias("day_offset"))
+            .groupBy("cohort_day", "day_offset")
+            .agg(F.count(F.lit(1)).alias("n_users")))
+
+
+def retention_sql(table: str = "events", user_col: str = "user_id",
+                  ts_col: str = "ts") -> str:
+    """DuckDB twin of retention_cohorts (distinct active days + window
+    min; same integer-µs day bucketing)."""
+    day = (f"datediff('microseconds', TIMESTAMP '{EPOCH}', {ts_col}) "
+           f"// 86400000000")
+    return (
+        f"WITH d AS (SELECT DISTINCT {user_col} AS u, {day} AS day "
+        f"FROM {table}), "
+        f"c AS (SELECT u, day, MIN(day) OVER (PARTITION BY u) AS cohort "
+        f"FROM d) "
+        f"SELECT cohort AS cohort_day, day - cohort AS day_offset, "
+        f"COUNT(*) AS n_users FROM c GROUP BY 1, 2")

@@ -158,3 +158,47 @@ def top_k_cells(tiles, k: int, count_col: str = "n_docs"):
     from pyspark.sql import functions as F
     return tiles.orderBy(F.col(count_col).desc(), F.col("cell").asc()) \
                 .limit(k)
+
+
+def focal_sum(tiles, res: int, *, cell_col: str = "cell",
+              count_col: str = "n_docs", ring: int = 1):
+    """Neighborhood (focal) sum over a per-cell aggregate grid — the
+    raster-algebra smoothing pass under hotspot detection: each
+    occupied cell gets the total count of its Chebyshev ``ring``
+    neighborhood (self included). Implemented as SCATTER (each cell
+    contributes its count to every neighbor) which equals the gather
+    semantics because the ring relation with longitude wrap and
+    latitude clamp is symmetric (dx symmetric mod the grid width, dy
+    clamp only removes out-of-grid rows on both sides alike).
+
+    Scale: one (2*ring+1)^2-way explode of AGGREGATE rows (|cells|,
+    not |points|) -> one cell-keyed map-side-combinable sum -> one
+    cell-keyed join back to the input; the agg and the join hash on
+    the same key so the exchange is reused. -> tiles columns +
+    focal_<count_col>."""
+    from pyspark.sql import functions as F
+
+    from ..functions.cells import cell_neighbors_explode
+    contrib = (cell_neighbors_explode(
+        tiles.select(cell_col, count_col), res,
+        cell_col=cell_col, ring=ring)
+        .groupBy("_neighbor")
+        .agg(F.sum(count_col).alias(f"focal_{count_col}"))
+        .withColumnRenamed("_neighbor", cell_col))
+    return tiles.join(contrib, cell_col, "inner")
+
+
+def focal_sum_sql(counts_sql: str, res: int, *, ring: int = 1,
+                  count_col: str = "n_docs") -> str:
+    """DuckDB twin of focal_sum: the same scatter + cell-keyed sum +
+    join over a counts subquery (columns cell, ``count_col``)."""
+    from ..functions.cells import cell_neighbors_sql
+    nb = cell_neighbors_sql("c.cell", res, ring)
+    return (
+        f"WITH counts AS ({counts_sql}), "
+        f"contrib AS (SELECT nb.neighbor AS cell, "
+        f"SUM({count_col}) AS focal_{count_col} "
+        f"FROM counts c, LATERAL ({nb}) nb GROUP BY 1) "
+        f"SELECT counts.*, CAST(contrib.focal_{count_col} AS BIGINT) "
+        f"AS focal_{count_col} "
+        f"FROM counts JOIN contrib USING (cell)")

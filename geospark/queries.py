@@ -1372,6 +1372,29 @@ def q_len_quantiles(spark, sf_dir):
     return group_quantiles(base, "n_tokens", "lang", tie_col="doc_id")
 
 
+def q_retention(spark, sf_dir):
+    """Cohort retention matrix (r5): per signup-day cohort, how many
+    users were active again N days later. ONE user-keyed exchange
+    carries the whole per-user reduction (collect_set of active days,
+    map-side combined); cohort and offsets are computed array-side —
+    no second window, no join."""
+    from .operators.events import retention_cohorts
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return retention_cohorts(e)
+
+
+def q_hotspot_cells(spark, sf_dir):
+    """k-ring focal sum over the customer res-6 cell counts (r5):
+    the raster-algebra smoothing pass under hotspot detection.
+    Scatter==gather (the ring relation is symmetric under wrap and
+    clamp); the explode runs over aggregate rows, not points, and the
+    focal agg + join hash on the same cell key."""
+    from .operators.tiles import focal_sum, tile_counts
+    t = tile_counts(_cust_points(spark, sf_dir), RES_COARSE) \
+        .withColumnRenamed("n_docs", "n_pts")
+    return focal_sum(t, RES_COARSE, count_col="n_pts")
+
+
 def q_budget_sample(spark, sf_dir):
     """Token-budget corpus mixer (r5): greedily fill per-language
     token budgets with whole docs in the standard md5 priority order.
@@ -1484,6 +1507,8 @@ QUERIES = {
     "budget_sample": q_budget_sample,
     "inverted_index": q_inverted_index,
     "len_quantiles": q_len_quantiles,
+    "retention": q_retention,
+    "hotspot_cells": q_hotspot_cells,
     "bbox_join": q_bbox_join,
     "pip_join_many": q_pip_join_many,
     "poly_join": q_poly_join,
@@ -1497,9 +1522,10 @@ QUERIES = {
     # -- rotated just past the window in r5.3-r5.6 to make room for
     #    decontaminate / dup_spans / pack_sequences / qann_topk /
     #    asof_events / trajectories / top_pairs / budget_sample /
-    #    inverted_index / len_quantiles above (all rotated rows are
-    #    driver-green in r4: wkt_roundtrip, wkt_poly_roundtrip,
-    #    geoarrow_roundtrip, st_zm, st_distance, ivf_ann_topk slid
+    #    inverted_index / len_quantiles / retention / hotspot_cells
+    #    above (all rotated rows are driver-green in r4:
+    #    wkt_roundtrip, wkt_poly_roundtrip, geoarrow_roundtrip,
+    #    st_zm, st_distance, ivf_ann_topk, poly_join, knn_wrap slid
     #    past 50 as the r5 rows landed) --
     "simhash": q_simhash,
     "dup_clusters": q_dup_clusters,
@@ -1940,6 +1966,13 @@ def oracle_sql() -> dict[str, str]:
     out["len_quantiles"] = group_quantiles_sql(
         f"CAST(len(regexp_extract_all(text, '{_ptrx}')) AS BIGINT)",
         "lang")
+    from .operators.events import retention_sql
+    out["retention"] = retention_sql()
+    from .operators.tiles import focal_sum_sql
+    out["hotspot_cells"] = focal_sum_sql(
+        f"SELECT {cell6} AS cell, COUNT(*) AS n_pts "
+        f"FROM ({_CUST_PTS_CTE}) GROUP BY 1",
+        RES_COARSE, count_col="n_pts")
     from .operators.dedup import decontaminate_sql
     out["decontaminate"] = decontaminate_sql(
         4, bench_pred="doc_id % 41 = 0", table="documents")

@@ -940,3 +940,69 @@ class TestGroupQuantiles:
                 ._jdf.queryExecution().executedPlan().toString())
         assert plan.count("Exchange hashpartitioning") == 1
         assert "SinglePartition" not in plan
+
+
+class TestRetention:
+    def test_hand_matrix(self, spark):
+        import datetime as dt
+
+        from geospark.operators.events import retention_cohorts
+        base = dt.datetime(2024, 1, 1)
+        rows = [(1, base), (1, base + dt.timedelta(days=1, hours=5)),
+                (1, base + dt.timedelta(days=3)),
+                (2, base + dt.timedelta(days=1)),
+                (2, base + dt.timedelta(days=1, minutes=9)),
+                (3, base + dt.timedelta(days=3, hours=23))]
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+        got = {(r["cohort_day"], r["day_offset"]): r["n_users"]
+               for r in retention_cohorts(df).collect()}
+        # user 2's two same-day events collapse (set) into cohort 1
+        # offset 0; 23h59 stays in day 3 (integer div, not
+        # float-divide-then-truncate)
+        assert got == {(0, 0): 1, (0, 1): 1, (0, 3): 1,
+                       (1, 0): 1, (3, 0): 1}
+
+    def test_single_user_exchange_no_join(self, spark):
+        from geospark.queries import q_retention
+        plan = (q_retention(spark, SF)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert plan.count("Exchange hashpartitioning") == 2
+        assert "SinglePartition" not in plan
+        assert "Join" not in plan
+
+
+class TestFocalSum:
+    def test_scatter_equals_bruteforce_gather(self, spark):
+        from geospark.functions.cells import _RES_SHIFT
+        from geospark.operators.tiles import focal_sum
+        res, n = 2, 4
+        cells = {(0, 0): 3, (0, 3): 5, (1, 1): 7, (3, 2): 11,
+                 (2, 0): 13}
+
+        def cid(y, x):
+            return (res << _RES_SHIFT) + (y << res) + x
+
+        df = spark.createDataFrame(
+            [(cid(y, x), c) for (y, x), c in cells.items()],
+            "cell long, n_pts long")
+        got = {r["cell"]: (r["n_pts"], r["focal_n_pts"])
+               for r in focal_sum(df, res, count_col="n_pts").collect()}
+        exp = {}
+        for (y, x), own in cells.items():
+            s = 0
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    ny, nx = y + dy, (x + dx) % n
+                    if 0 <= ny < n:
+                        s += cells.get((ny, nx), 0)
+            exp[cid(y, x)] = (own, s)
+        # (0,0) and (0,3) see each other through the x wrap; y edges
+        # clamp (row 0 has no row -1 contribution)
+        assert got == exp
+
+    def test_no_cartesian_no_single_partition(self, spark):
+        from geospark.queries import q_hotspot_cells
+        plan = (q_hotspot_cells(spark, SF)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "SinglePartition" not in plan
+        assert "CartesianProduct" not in plan
