@@ -833,3 +833,24 @@ SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
        COUNT(*) + {k - 1} AS span_words
 FROM isl GROUP BY doc_id, grp
 """
+
+
+def split_assign(id_col: str, train_pct: int = 90):
+    """Deterministic train/val split assignment Column: 'train' iff
+    md5(id) mod 100 < train_pct — the standard random holdout, keyed
+    on the stable cross-engine md5-prefix hash (same convention as
+    doc_sample/stratified_sample) so both engines and every rerun
+    agree. Map-only; no shuffle."""
+    from pyspark.sql import functions as F
+    h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15),
+               16, 10).cast("long")
+    return (F.when(h % 100 < train_pct, F.lit("train"))
+            .otherwise(F.lit("val")))
+
+
+def split_assign_sql(id_expr: str, train_pct: int = 90) -> str:
+    """DuckDB twin of split_assign (identical md5-prefix arithmetic)."""
+    h = (f"CAST(('0x' || substr(md5(CAST({id_expr} AS VARCHAR)), 1, 15))"
+         f" AS BIGINT)")
+    return (f"CASE WHEN {h} % 100 < {train_pct} "
+            f"THEN 'train' ELSE 'val' END")

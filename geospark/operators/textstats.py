@@ -468,3 +468,28 @@ r AS (SELECT {group_col}, v,
 SELECT {group_col}, CAST(MAX(n) AS BIGINT) AS n, {qs}
 FROM r GROUP BY {group_col}
 """
+
+
+def group_histogram(df, value_col: str, group_col: str, *,
+                    width: int = 64):
+    """Fixed-width histogram of a nonnegative integer metric per group
+    — the distribution plot behind every curation dashboard (doc
+    lengths per language). Bin floor is integer arithmetic
+    ((v div w) * w): no float binning, so a value exactly on a bin
+    edge lands identically in both engines.
+
+    Scale: map-only bin expression + one (group, bin)-keyed
+    map-side-combinable count. -> (group, bin_lo, n)."""
+    from pyspark.sql import functions as F
+    bin_lo = F.expr(f"({value_col} div {width}) * {width}")
+    return (df.groupBy(F.col(group_col), bin_lo.alias("bin_lo"))
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+def group_histogram_sql(value_sql: str, group_col: str,
+                        width: int = 64,
+                        table: str = "documents") -> str:
+    """DuckDB twin of group_histogram (same integer bin floor)."""
+    return (
+        f"SELECT {group_col}, (({value_sql}) // {width}) * {width} "
+        f"AS bin_lo, COUNT(*) AS n FROM {table} GROUP BY 1, 2")

@@ -1395,6 +1395,39 @@ def q_hotspot_cells(spark, sf_dir):
     return focal_sum(t, RES_COARSE, count_col="n_pts")
 
 
+def q_split_leakage(spark, sf_dir):
+    """Train/val leakage audit (r5): near-duplicate pairs (MinHash+LSH
+    verified Jaccard) whose endpoints land in different halves of a
+    deterministic md5 holdout split — the pairs a random split would
+    leak between train and eval. Split is a map-only expression on the
+    PAIR rows (no join back to the corpus); the heavy lifting rides
+    minhash_pairs' bucketed/capped machinery."""
+    from pyspark.sql import functions as F
+
+    from .operators.dedup import minhash_pairs, split_assign
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (minhash_pairs(d)
+            .withColumn("split_a", split_assign("doc_a"))
+            .withColumn("split_b", split_assign("doc_b"))
+            .filter(F.col("split_a") != F.col("split_b"))
+            .select("doc_a", "doc_b", "jaccard", "split_a", "split_b"))
+
+
+def q_len_histogram(spark, sf_dir):
+    """Per-language fixed-width doc-length histogram (r5): integer bin
+    floors, map-only bin expression, one map-side-combined agg."""
+    from pyspark.sql import functions as F
+
+    from .operators.pack import PACK_TOKEN_RX
+    from .operators.textstats import group_histogram
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = d.select(
+        "lang",
+        F.regexp_count(F.col("text"), F.lit(PACK_TOKEN_RX))
+        .cast("long").alias("n_tokens"))
+    return group_histogram(base, "n_tokens", "lang", width=64)
+
+
 def q_budget_sample(spark, sf_dir):
     """Token-budget corpus mixer (r5): greedily fill per-language
     token budgets with whole docs in the standard md5 priority order.
@@ -1509,6 +1542,8 @@ QUERIES = {
     "len_quantiles": q_len_quantiles,
     "retention": q_retention,
     "hotspot_cells": q_hotspot_cells,
+    "split_leakage": q_split_leakage,
+    "len_histogram": q_len_histogram,
     "bbox_join": q_bbox_join,
     "pip_join_many": q_pip_join_many,
     "poly_join": q_poly_join,
@@ -1973,6 +2008,18 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT {cell6} AS cell, COUNT(*) AS n_pts "
         f"FROM ({_CUST_PTS_CTE}) GROUP BY 1",
         RES_COARSE, count_col="n_pts")
+    from .operators.dedup import split_assign_sql
+    out["split_leakage"] = (
+        f"SELECT doc_a, doc_b, jaccard, "
+        f"{split_assign_sql('doc_a')} AS split_a, "
+        f"{split_assign_sql('doc_b')} AS split_b "
+        f"FROM ({minhash_pairs_sql()}) "
+        f"WHERE {split_assign_sql('doc_a')} <> "
+        f"{split_assign_sql('doc_b')}")
+    from .operators.textstats import group_histogram_sql
+    out["len_histogram"] = group_histogram_sql(
+        f"CAST(len(regexp_extract_all(text, '{_ptrx}')) AS BIGINT)",
+        "lang", width=64)
     from .operators.dedup import decontaminate_sql
     out["decontaminate"] = decontaminate_sql(
         4, bench_pred="doc_id % 41 = 0", table="documents")

@@ -1006,3 +1006,46 @@ class TestFocalSum:
                 ._jdf.queryExecution().executedPlan().toString())
         assert "SinglePartition" not in plan
         assert "CartesianProduct" not in plan
+
+
+class TestSplitLeakage:
+    def test_split_deterministic_and_calibrated(self, spark):
+        from geospark.operators.dedup import split_assign
+        import pyspark.sql.functions as F
+        df = spark.range(1, 2001).select(
+            F.col("id").alias("doc_id"),
+            split_assign("doc_id").alias("split"))
+        counts = {r["split"]: r["n"] for r in
+                  df.groupBy("split").agg(
+                      F.count(F.lit(1)).alias("n")).collect()}
+        assert set(counts) == {"train", "val"}
+        # md5 is uniform: 90/10 split lands within a loose band
+        assert 0.85 <= counts["train"] / 2000 <= 0.95
+        # deterministic across runs
+        assert df.collect() == df.collect()
+
+    def test_cross_split_rows_only(self, spark):
+        from geospark.queries import q_split_leakage
+        rows = q_split_leakage(spark, SF).collect()
+        assert len(rows) > 0
+        assert all(r["split_a"] != r["split_b"] for r in rows)
+
+
+class TestGroupHistogram:
+    def test_integer_bin_edges(self, spark):
+        from geospark.operators.textstats import group_histogram
+        # 63 -> bin 0, 64 -> bin 64 (exact edge), 129 -> bin 128
+        df = spark.createDataFrame(
+            [("a", 0), ("a", 63), ("a", 64), ("a", 129), ("b", 64)],
+            "g string, v long")
+        got = {(r["g"], r["bin_lo"]): r["n"] for r in
+               group_histogram(df, "v", "g", width=64).collect()}
+        assert got == {("a", 0): 2, ("a", 64): 1, ("a", 128): 1,
+                       ("b", 64): 1}
+
+    def test_map_side_single_exchange(self, spark):
+        from geospark.queries import q_len_histogram
+        plan = (q_len_histogram(spark, SF)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "SinglePartition" not in plan
