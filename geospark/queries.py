@@ -1428,6 +1428,43 @@ def q_len_histogram(spark, sf_dir):
     return group_histogram(base, "n_tokens", "lang", width=64)
 
 
+_RING_N = 6
+
+
+def _ring_vertex(k: int, axis: int) -> str:
+    """Deterministic pseudo-random integer hexagon vertex from
+    p_partkey — ONE formula string evaluated verbatim by both engines
+    (operands stay positive so %'s sign convention never differs).
+    Coordinates land in [-1000, 1000]."""
+    mult = (2654435761, 1779033703)[axis]
+    step = (982451653, 122949829)[axis]
+    # k*step precomputed in Python: an inline `k * step` literal pair
+    # would constant-fold as int32 x int32 and overflow under ANSI
+    return (f"((p_partkey * {mult} + {k * step}) "
+            f"% 1000003) % 2001 - 1000")
+
+
+def q_ring_valid(spark, sf_dir):
+    """Ring validity audit (r5): exact integer self-intersection
+    counts for pseudo-random hexagons — the ST_IsSimple family as a
+    map-only unrolled projection (no UDF, no shuffle; a pure scan at
+    100 TB). Simplicity here is decided by the geometry, not by a
+    planted flag: whether the fixed vertex order self-crosses emerges
+    from the hash coordinates."""
+    from pyspark.sql import functions as F
+
+    from .operators.validity import ring_stats
+    p = spark.read.parquet(f"{sf_dir}/part.parquet") \
+        .select("p_partkey")
+    xs = "array(" + ",".join(_ring_vertex(k, 0)
+                             for k in range(_RING_N)) + ")"
+    ys = "array(" + ",".join(_ring_vertex(k, 1)
+                             for k in range(_RING_N)) + ")"
+    r = p.select("p_partkey", F.expr(xs).alias("xs"),
+                 F.expr(ys).alias("ys"))
+    return ring_stats(r, "xs", "ys", _RING_N, id_cols=["p_partkey"])
+
+
 def q_budget_sample(spark, sf_dir):
     """Token-budget corpus mixer (r5): greedily fill per-language
     token budgets with whole docs in the standard md5 priority order.
@@ -1544,6 +1581,7 @@ QUERIES = {
     "hotspot_cells": q_hotspot_cells,
     "split_leakage": q_split_leakage,
     "len_histogram": q_len_histogram,
+    "ring_valid": q_ring_valid,
     "bbox_join": q_bbox_join,
     "pip_join_many": q_pip_join_many,
     "poly_join": q_poly_join,
@@ -2020,6 +2058,14 @@ def oracle_sql() -> dict[str, str]:
     out["len_histogram"] = group_histogram_sql(
         f"CAST(len(regexp_extract_all(text, '{_ptrx}')) AS BIGINT)",
         "lang", width=64)
+    from .operators.validity import ring_stats_sql
+    _rxs = "[" + ",".join(_ring_vertex(k, 0)
+                          for k in range(_RING_N)) + "]"
+    _rys = "[" + ",".join(_ring_vertex(k, 1)
+                          for k in range(_RING_N)) + "]"
+    out["ring_valid"] = ring_stats_sql(
+        f"SELECT p_partkey, {_rxs} AS xs, {_rys} AS ys FROM part",
+        _RING_N, "p_partkey")
     from .operators.dedup import decontaminate_sql
     out["decontaminate"] = decontaminate_sql(
         4, bench_pred="doc_id % 41 = 0", table="documents")

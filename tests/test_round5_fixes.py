@@ -1049,3 +1049,46 @@ class TestGroupHistogram:
                 ._jdf.queryExecution().executedPlan().toString())
         assert plan.count("Exchange hashpartitioning") == 1
         assert "SinglePartition" not in plan
+
+
+class TestRingValid:
+    def _stats(self, spark, xs, ys):
+        from geospark.operators.validity import ring_stats
+        df = spark.createDataFrame(
+            [(1, xs, ys)], "rid long, xs array<long>, ys array<long>")
+        return ring_stats(df, "xs", "ys", len(xs),
+                          id_cols=["rid"]).collect()[0]
+
+    def test_square_simple(self, spark):
+        r = self._stats(spark, [0, 10, 10, 0], [0, 0, 10, 10])
+        assert (r["n_crossings"], r["is_simple"]) == (0, True)
+
+    def test_bowtie_one_crossing(self, spark):
+        # 0-1 and 2-3 cross; the wrap-adjacent (0,3) pair is excluded
+        r = self._stats(spark, [0, 10, 10, 0], [0, 10, 0, 10])
+        assert (r["n_crossings"], r["is_simple"]) == (1, False)
+
+    def test_spike_touch_detected(self, spark):
+        # vertex 3 = (5,0) sits ON segment 0 ((0,0)-(10,0)): improper
+        # intersection via the collinear/on-segment branch
+        r = self._stats(spark, [0, 10, 10, 5, 0], [0, 0, 10, 0, 10])
+        assert r["n_crossings"] > 0 and not r["is_simple"]
+
+    def test_convex_hexagon_simple(self, spark):
+        r = self._stats(spark, [10, 5, -5, -10, -5, 5],
+                        [0, 9, 9, 0, -9, -9])
+        assert (r["n_crossings"], r["is_simple"]) == (0, True)
+
+    def test_organic_mix_and_map_only_plan(self, spark):
+        from pyspark.sql import functions as F
+
+        from geospark.queries import q_ring_valid
+        df = q_ring_valid(spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan  # a pure scan: map-only
+        counts = {r["is_simple"]: r["n"] for r in
+                  df.groupBy("is_simple")
+                  .agg(F.count(F.lit(1)).alias("n")).collect()}
+        # simplicity emerges from the hash geometry, not a planted
+        # flag: both classes must be present
+        assert counts.get(True, 0) > 0 and counts.get(False, 0) > 0
