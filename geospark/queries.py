@@ -1559,7 +1559,8 @@ QUERIES = {
     #  to make room for qann_topk above)
     "embed_near_dup": q_embed_near_dup,
     "lsh_ann_topk": q_lsh_ann_topk,
-    "lang_guess": q_lang_guess,
+    # (lang_guess, driver-green r4, rotates just past the window in
+    #  r5.7 to keep ring_valid — brand-new this round — inside it)
     # -- round-5 additions, inside the window for their first driver
     #    row (quality_features/rolling_fp rotate out to make room:
     #    both driver-green in r4, near-dupes of doc_quality/
@@ -1582,6 +1583,7 @@ QUERIES = {
     "split_leakage": q_split_leakage,
     "len_histogram": q_len_histogram,
     "ring_valid": q_ring_valid,
+    "lang_guess": q_lang_guess,
     "bbox_join": q_bbox_join,
     "pip_join_many": q_pip_join_many,
     "poly_join": q_poly_join,
