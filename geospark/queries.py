@@ -1465,6 +1465,27 @@ def q_ring_valid(spark, sf_dir):
     return ring_stats(r, "xs", "ys", _RING_N, id_cols=["p_partkey"])
 
 
+def q_idw_interp(spark, sf_dir):
+    """IDW spatial interpolation (r5): estimate a value surface at the
+    supplier query points from the 3 nearest customers, entirely in
+    integer arithmetic (floor-scaled weights from the kNN join's
+    IEEE-exact sqdist; BIGINT sums are accumulation-order independent
+    where float IDW is not). The value is shift-scaled nonnegative so
+    truncating div == flooring div across engines."""
+    from pyspark.sql import functions as F
+
+    from .operators.interp import idw_estimate
+    from .operators.joins import knn_join
+    pts = _cust_points(spark, sf_dir) \
+        .withColumnRenamed("c_custkey", "point_id")
+    knn = knn_join(_supp_queries(spark, sf_dir), pts, 3, res=RES_COARSE)
+    vals = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("point_id"),
+        F.expr("CAST(floor((c_acctbal + 1000.0) * 100.0) AS BIGINT)")
+        .alias("v_int"))
+    return idw_estimate(knn.join(vals, "point_id"))
+
+
 def q_budget_sample(spark, sf_dir):
     """Token-budget corpus mixer (r5): greedily fill per-language
     token budgets with whole docs in the standard md5 priority order.
@@ -1558,9 +1579,9 @@ QUERIES = {
     # (simhash, driver-green r4, rotates just past the window in r5.5
     #  to make room for qann_topk above)
     "embed_near_dup": q_embed_near_dup,
-    "lsh_ann_topk": q_lsh_ann_topk,
-    # (lang_guess, driver-green r4, rotates just past the window in
-    #  r5.7 to keep ring_valid — brand-new this round — inside it)
+    # (lang_guess and lsh_ann_topk, driver-green r4, rotate just past
+    #  the window in r5.7 to keep ring_valid and idw_interp —
+    #  brand-new this round — inside it)
     # -- round-5 additions, inside the window for their first driver
     #    row (quality_features/rolling_fp rotate out to make room:
     #    both driver-green in r4, near-dupes of doc_quality/
@@ -1583,7 +1604,9 @@ QUERIES = {
     "split_leakage": q_split_leakage,
     "len_histogram": q_len_histogram,
     "ring_valid": q_ring_valid,
+    "idw_interp": q_idw_interp,
     "lang_guess": q_lang_guess,
+    "lsh_ann_topk": q_lsh_ann_topk,
     "bbox_join": q_bbox_join,
     "pip_join_many": q_pip_join_many,
     "poly_join": q_poly_join,
@@ -2060,6 +2083,21 @@ def oracle_sql() -> dict[str, str]:
     out["len_histogram"] = group_histogram_sql(
         f"CAST(len(regexp_extract_all(text, '{_ptrx}')) AS BIGINT)",
         "lang", width=64)
+    from .operators.interp import idw_estimate_sql
+    _v_int = "CAST(floor((c_acctbal + 1000.0) * 100.0) AS BIGINT)"
+    _sqd = ("(q.q_lat - p.lat) * (q.q_lat - p.lat) "
+            "+ (q.q_lon - p.lon) * (q.q_lon - p.lon)")
+    out["idw_interp"] = idw_estimate_sql(
+        f"WITH q AS (SELECT s_suppkey AS query_id, "
+        f"{SUPP_LAT_SQL} AS q_lat, {SUPP_LON_SQL} AS q_lon "
+        f"FROM supplier), "
+        f"p AS (SELECT c_custkey AS point_id, {CUST_LAT_SQL} AS lat, "
+        f"{CUST_LON_SQL} AS lon, {_v_int} AS v_int FROM customer) "
+        f"SELECT query_id, v_int, sqdist FROM ("
+        f"SELECT q.query_id, p.v_int, {_sqd} AS sqdist, "
+        f"ROW_NUMBER() OVER (PARTITION BY q.query_id "
+        f"ORDER BY {_sqd} ASC, p.point_id ASC) AS rank "
+        f"FROM q CROSS JOIN p) WHERE rank <= 3")
     from .operators.validity import ring_stats_sql
     _rxs = "[" + ",".join(_ring_vertex(k, 0)
                           for k in range(_RING_N)) + "]"

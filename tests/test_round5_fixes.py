@@ -1092,3 +1092,36 @@ class TestRingValid:
         # simplicity emerges from the hash geometry, not a planted
         # flag: both classes must be present
         assert counts.get(True, 0) > 0 and counts.get(False, 0) > 0
+
+
+class TestIdwInterp:
+    def test_hand_weights(self, spark):
+        from geospark.operators.interp import (D_SCALE, W_SCALE,
+                                               idw_estimate)
+        # two neighbors: sqdist 0 (w = W_SCALE) and sqdist 1.0
+        # (d_int = 2^20, w = W_SCALE div (2^20+1))
+        df = spark.createDataFrame(
+            [(1, 100, 0.0), (1, 200, 1.0)],
+            "query_id long, v_int long, sqdist double")
+        r = idw_estimate(df).collect()[0]
+        w0, w1 = W_SCALE, W_SCALE // (D_SCALE + 1)
+        assert r["w_sum"] == w0 + w1
+        assert r["idw_v"] == (w0 * 100 + w1 * 200) // (w0 + w1)
+
+    def test_zero_distance_dominates(self, spark):
+        from geospark.operators.interp import idw_estimate
+        df = spark.createDataFrame(
+            [(1, 500, 0.0), (1, 10_000, 900.0), (1, 20_000, 900.0)],
+            "query_id long, v_int long, sqdist double")
+        r = idw_estimate(df).collect()[0]
+        # the coincident point carries ~1e9/1e6 ~ 1000x the weight
+        assert abs(r["idw_v"] - 500) < 50
+
+    def test_map_side_combinable_single_exchange(self, spark):
+        from geospark.operators.interp import idw_estimate
+        df = spark.createDataFrame(
+            [(1, 100, 0.5)], "query_id long, v_int long, sqdist double")
+        plan = (idw_estimate(df)._jdf.queryExecution()
+                .executedPlan().toString())
+        assert "partial_sum" in plan.lower() or "Partial" in plan
+        assert "SinglePartition" not in plan
