@@ -97,3 +97,46 @@ def ring_stats_sql(ring_sql: str, n: int, id_cols: str,
     expr = crossings_expr(n, xs, ys, dialect="duckdb")
     return (f"SELECT {id_cols}, CAST({expr} AS BIGINT) AS n_crossings, "
             f"({expr}) = 0 AS is_simple FROM ({ring_sql})")
+
+
+def shoelace_expr(n: int, xs: str, ys: str, *,
+                  dialect: str = "spark") -> str:
+    """Unrolled signed doubled-area (shoelace) expression for a closed
+    integer ring of exactly ``n`` vertices: sum of x_i*y_{i+1} -
+    x_{i+1}*y_i with the wrap term included. Positive = counter-
+    clockwise. Every term is exact BIGINT — no float area anywhere."""
+    def v(k):
+        k = k % n
+        if dialect == "spark":
+            return (f"element_at({xs},{k + 1})",
+                    f"element_at({ys},{k + 1})")
+        return f"{xs}[{k + 1}]", f"{ys}[{k + 1}]"
+
+    terms = []
+    for i in range(n):
+        (x0, y0), (x1, y1) = v(i), v(i + 1)
+        terms.append(f"({x0}*{y1}-{x1}*{y0})")
+    return "(" + "+".join(terms) + ")"
+
+
+def ring_area(df, xs_col: str, ys_col: str, n: int, *,
+              id_cols: list[str] | None = None):
+    """-> (id_cols..., area2, is_ccw): exact signed doubled area and
+    winding orientation for fixed-size integer rings. area2 keeps the
+    doubled integer (halving would need a fraction); orientation is
+    its sign. Map-only projection like ring_stats."""
+    from pyspark.sql import functions as F
+    expr = shoelace_expr(n, xs_col, ys_col, dialect="spark")
+    out = df.select(
+        *(id_cols or [c for c in df.columns
+                      if c not in (xs_col, ys_col)]),
+        F.expr(expr).cast("long").alias("area2"))
+    return out.withColumn("is_ccw", F.col("area2") > 0)
+
+
+def ring_area_sql(ring_sql: str, n: int, id_cols: str,
+                  xs: str = "xs", ys: str = "ys") -> str:
+    """DuckDB twin of ring_area (identical unrolled shoelace)."""
+    expr = shoelace_expr(n, xs, ys, dialect="duckdb")
+    return (f"SELECT {id_cols}, CAST({expr} AS BIGINT) AS area2, "
+            f"({expr}) > 0 AS is_ccw FROM ({ring_sql})")

@@ -1444,6 +1444,31 @@ def _ring_vertex(k: int, axis: int) -> str:
             f"% 1000003) % 2001 - 1000")
 
 
+def _hex_rings(spark, sf_dir):
+    """(p_partkey, xs, ys) deterministic integer hexagons — shared by
+    ring_valid and ring_orient so both engines and both queries build
+    the identical vertex arrays from the one formula."""
+    from pyspark.sql import functions as F
+    p = spark.read.parquet(f"{sf_dir}/part.parquet") \
+        .select("p_partkey")
+    xs = "array(" + ",".join(_ring_vertex(k, 0)
+                             for k in range(_RING_N)) + ")"
+    ys = "array(" + ",".join(_ring_vertex(k, 1)
+                             for k in range(_RING_N)) + ")"
+    return p.select("p_partkey", F.expr(xs).alias("xs"),
+                    F.expr(ys).alias("ys"))
+
+
+def q_ring_orient(spark, sf_dir):
+    """Exact signed doubled area + winding orientation (r5): unrolled
+    integer shoelace over the same hexagons as ring_valid — the
+    ST_Area/ST_IsCCW family with zero float arithmetic; a map-only
+    scan at any scale."""
+    from .operators.validity import ring_area
+    return ring_area(_hex_rings(spark, sf_dir), "xs", "ys", _RING_N,
+                     id_cols=["p_partkey"])
+
+
 def q_ring_valid(spark, sf_dir):
     """Ring validity audit (r5): exact integer self-intersection
     counts for pseudo-random hexagons — the ST_IsSimple family as a
@@ -1451,18 +1476,9 @@ def q_ring_valid(spark, sf_dir):
     100 TB). Simplicity here is decided by the geometry, not by a
     planted flag: whether the fixed vertex order self-crosses emerges
     from the hash coordinates."""
-    from pyspark.sql import functions as F
-
     from .operators.validity import ring_stats
-    p = spark.read.parquet(f"{sf_dir}/part.parquet") \
-        .select("p_partkey")
-    xs = "array(" + ",".join(_ring_vertex(k, 0)
-                             for k in range(_RING_N)) + ")"
-    ys = "array(" + ",".join(_ring_vertex(k, 1)
-                             for k in range(_RING_N)) + ")"
-    r = p.select("p_partkey", F.expr(xs).alias("xs"),
-                 F.expr(ys).alias("ys"))
-    return ring_stats(r, "xs", "ys", _RING_N, id_cols=["p_partkey"])
+    return ring_stats(_hex_rings(spark, sf_dir), "xs", "ys", _RING_N,
+                      id_cols=["p_partkey"])
 
 
 def q_idw_interp(spark, sf_dir):
@@ -1578,10 +1594,9 @@ QUERIES = {
     "ngram_pairs": q_ngram_pairs,
     # (simhash, driver-green r4, rotates just past the window in r5.5
     #  to make room for qann_topk above)
-    "embed_near_dup": q_embed_near_dup,
-    # (lang_guess and lsh_ann_topk, driver-green r4, rotate just past
-    #  the window in r5.7 to keep ring_valid and idw_interp —
-    #  brand-new this round — inside it)
+    # (lang_guess, lsh_ann_topk and embed_near_dup, driver-green r4,
+    #  rotate just past the window in r5.7 to keep ring_valid,
+    #  ring_orient and idw_interp — brand-new this round — inside it)
     # -- round-5 additions, inside the window for their first driver
     #    row (quality_features/rolling_fp rotate out to make room:
     #    both driver-green in r4, near-dupes of doc_quality/
@@ -1604,9 +1619,11 @@ QUERIES = {
     "split_leakage": q_split_leakage,
     "len_histogram": q_len_histogram,
     "ring_valid": q_ring_valid,
+    "ring_orient": q_ring_orient,
     "idw_interp": q_idw_interp,
     "lang_guess": q_lang_guess,
     "lsh_ann_topk": q_lsh_ann_topk,
+    "embed_near_dup": q_embed_near_dup,
     "bbox_join": q_bbox_join,
     "pip_join_many": q_pip_join_many,
     "poly_join": q_poly_join,
@@ -2104,6 +2121,10 @@ def oracle_sql() -> dict[str, str]:
     _rys = "[" + ",".join(_ring_vertex(k, 1)
                           for k in range(_RING_N)) + "]"
     out["ring_valid"] = ring_stats_sql(
+        f"SELECT p_partkey, {_rxs} AS xs, {_rys} AS ys FROM part",
+        _RING_N, "p_partkey")
+    from .operators.validity import ring_area_sql
+    out["ring_orient"] = ring_area_sql(
         f"SELECT p_partkey, {_rxs} AS xs, {_rys} AS ys FROM part",
         _RING_N, "p_partkey")
     from .operators.dedup import decontaminate_sql

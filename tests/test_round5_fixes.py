@@ -1125,3 +1125,28 @@ class TestIdwInterp:
                 .executedPlan().toString())
         assert "partial_sum" in plan.lower() or "Partial" in plan
         assert "SinglePartition" not in plan
+
+
+class TestRingOrient:
+    def test_unit_square_both_windings(self, spark):
+        from geospark.operators.validity import ring_area
+        df = spark.createDataFrame(
+            [(1, [0, 1, 1, 0], [0, 0, 1, 1]),    # CCW
+             (2, [0, 0, 1, 1], [0, 1, 1, 0])],   # CW
+            "rid long, xs array<long>, ys array<long>")
+        got = {r["rid"]: (r["area2"], r["is_ccw"])
+               for r in ring_area(df, "xs", "ys", 4,
+                                  id_cols=["rid"]).collect()}
+        assert got == {1: (2, True), 2: (-2, False)}
+
+    def test_organic_mix_map_only(self, spark):
+        from pyspark.sql import functions as F
+
+        from geospark.queries import q_ring_orient
+        df = q_ring_orient(spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        counts = {r["is_ccw"]: r["n"] for r in
+                  df.groupBy("is_ccw")
+                  .agg(F.count(F.lit(1)).alias("n")).collect()}
+        assert counts.get(True, 0) > 0 and counts.get(False, 0) > 0
