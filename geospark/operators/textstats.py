@@ -493,3 +493,57 @@ def group_histogram_sql(value_sql: str, group_col: str,
     return (
         f"SELECT {group_col}, (({value_sql}) // {width}) * {width} "
         f"AS bin_lo, COUNT(*) AS n FROM {table} GROUP BY 1, 2")
+
+
+def chunk_docs(df, *, text_col: str = "text", id_col: str = "doc_id",
+               chunk_words: int = 64, overlap: int = 16):
+    """RAG-style chunking: split each document into overlapping
+    token windows of ``chunk_words`` words with ``overlap`` words of
+    context carried between consecutive chunks (stride = chunk_words
+    - overlap). Chunk text is the space-joined canonical token form
+    (words_col's tokenizer) — engine-identical by construction, unlike
+    raw-whitespace splitting whose edge behavior differs. Documents
+    with zero tokens emit nothing; the final partial chunk is kept.
+
+    Scale: tokenize + sequence + explode + slice — map-only, NO
+    shuffle; a pure scan that fans each doc into ~n/stride rows.
+    -> (id_col, chunk_idx, n_words, chunk_text)."""
+    from pyspark.sql import functions as F
+    stride = chunk_words - overlap
+    if stride <= 0:
+        raise ValueError("overlap must be < chunk_words")
+    toks = (df.select(F.col(id_col), words_col(text_col).alias("_w"))
+            .withColumn("_n", F.size("_w"))
+            .filter(F.col("_n") > 0))
+    return (toks
+            .withColumn("_s", F.explode(F.expr(
+                f"sequence(0, _n - 1, {stride})")))
+            .select(
+                F.col(id_col),
+                F.expr(f"_s div {stride}").alias("chunk_idx"),
+                F.least(F.lit(chunk_words),
+                        F.col("_n") - F.col("_s"))
+                .cast("long").alias("n_words"),
+                F.array_join(F.expr(
+                    f"slice(_w, _s + 1, {chunk_words})"), " ")
+                .alias("chunk_text")))
+
+
+def chunk_docs_sql(chunk_words: int = 64, overlap: int = 16,
+                   table: str = "documents") -> str:
+    """DuckDB twin of chunk_docs (same tokenizer/stride/slice; range()
+    end-exclusive == Spark sequence(0, n-1) end-inclusive for n>0)."""
+    stride = chunk_words - overlap
+    return f"""
+WITH t AS (SELECT doc_id,
+       regexp_extract_all(lower(text), '{TOKEN_RX}') AS w
+       FROM {table}),
+s AS (SELECT doc_id, w, len(w) AS n,
+      unnest(range(0, len(w), {stride})) AS st
+      FROM t WHERE len(w) > 0)
+SELECT doc_id, st // {stride} AS chunk_idx,
+       least({chunk_words}, n - st) AS n_words,
+       array_to_string(w[st + 1 : st + {chunk_words}], ' ')
+       AS chunk_text
+FROM s
+"""

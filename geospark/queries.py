@@ -1481,6 +1481,15 @@ def q_ring_valid(spark, sf_dir):
                       id_cols=["p_partkey"])
 
 
+def q_chunk_docs(spark, sf_dir):
+    """RAG chunk export (r5): overlapping 64-token windows with
+    16-token carryover, canonical token text. Map-only — tokenize,
+    sequence, explode, slice; no shuffle anywhere."""
+    from .operators.textstats import chunk_docs
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return chunk_docs(d, chunk_words=64, overlap=16)
+
+
 def q_idw_interp(spark, sf_dir):
     """IDW spatial interpolation (r5): estimate a value surface at the
     supplier query points from the 3 nearest customers, entirely in
@@ -1591,12 +1600,12 @@ QUERIES = {
     "cell_distinct_users": q_cell_distinct_users,
     "ann_topk": q_ann_topk,
     "minhash_pairs": q_minhash_pairs,
-    "ngram_pairs": q_ngram_pairs,
     # (simhash, driver-green r4, rotates just past the window in r5.5
     #  to make room for qann_topk above)
-    # (lang_guess, lsh_ann_topk and embed_near_dup, driver-green r4,
-    #  rotate just past the window in r5.7 to keep ring_valid,
-    #  ring_orient and idw_interp — brand-new this round — inside it)
+    # (lang_guess, lsh_ann_topk, embed_near_dup and ngram_pairs,
+    #  driver-green r4, rotate just past the window in r5.7 to keep
+    #  ring_valid, ring_orient, idw_interp and chunk_docs —
+    #  brand-new this round — inside it)
     # -- round-5 additions, inside the window for their first driver
     #    row (quality_features/rolling_fp rotate out to make room:
     #    both driver-green in r4, near-dupes of doc_quality/
@@ -1621,9 +1630,11 @@ QUERIES = {
     "ring_valid": q_ring_valid,
     "ring_orient": q_ring_orient,
     "idw_interp": q_idw_interp,
+    "chunk_docs": q_chunk_docs,
     "lang_guess": q_lang_guess,
     "lsh_ann_topk": q_lsh_ann_topk,
     "embed_near_dup": q_embed_near_dup,
+    "ngram_pairs": q_ngram_pairs,
     "bbox_join": q_bbox_join,
     "pip_join_many": q_pip_join_many,
     "poly_join": q_poly_join,
@@ -2083,6 +2094,8 @@ def oracle_sql() -> dict[str, str]:
         "lang")
     from .operators.events import retention_sql
     out["retention"] = retention_sql()
+    from .operators.textstats import chunk_docs_sql
+    out["chunk_docs"] = chunk_docs_sql(chunk_words=64, overlap=16)
     from .operators.tiles import focal_sum_sql
     out["hotspot_cells"] = focal_sum_sql(
         f"SELECT {cell6} AS cell, COUNT(*) AS n_pts "

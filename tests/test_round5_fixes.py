@@ -1150,3 +1150,37 @@ class TestRingOrient:
                   df.groupBy("is_ccw")
                   .agg(F.count(F.lit(1)).alias("n")).collect()}
         assert counts.get(True, 0) > 0 and counts.get(False, 0) > 0
+
+
+class TestChunkDocs:
+    def test_windows_stride_and_final_partial(self, spark):
+        from geospark.operators.textstats import chunk_docs
+        # 10 tokens, chunks of 4 with overlap 2 (stride 2):
+        # starts 0,2,4,6,8 -> last chunk is the 2-word tail
+        text = " ".join(f"w{i}" for i in range(10))
+        df = spark.createDataFrame([(1, text), (2, "!!!")],
+                                   "doc_id long, text string")
+        rows = sorted(
+            (r["chunk_idx"], r["n_words"], r["chunk_text"])
+            for r in chunk_docs(df, chunk_words=4, overlap=2).collect())
+        assert [r[0] for r in rows] == [0, 1, 2, 3, 4]
+        assert [r[1] for r in rows] == [4, 4, 4, 4, 2]
+        assert rows[0][2] == "w0 w1 w2 w3"
+        assert rows[1][2] == "w2 w3 w4 w5"
+        assert rows[4][2] == "w8 w9"
+        # doc 2 has zero tokens -> no chunks at all
+
+    def test_overlap_ge_chunk_raises(self, spark):
+        import pytest as _pt
+
+        from geospark.operators.textstats import chunk_docs
+        df = spark.createDataFrame([(1, "a b")],
+                                   "doc_id long, text string")
+        with _pt.raises(ValueError):
+            chunk_docs(df, chunk_words=4, overlap=4)
+
+    def test_map_only_plan(self, spark):
+        from geospark.queries import q_chunk_docs
+        plan = (q_chunk_docs(spark, SF)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "Exchange" not in plan
