@@ -854,3 +854,44 @@ def split_assign_sql(id_expr: str, train_pct: int = 90) -> str:
          f" AS BIGINT)")
     return (f"CASE WHEN {h} % 100 < {train_pct} "
             f"THEN 'train' ELSE 'val' END")
+
+
+def host_dup_stats(df, host, *, text_col: str = "text", k: int = 8):
+    """Cross-host passage duplication per host — the mirror-site /
+    shared-template detector: a k-word chunk is 'shared' when the
+    identical passage appears on MORE THAN ONE distinct host, and each
+    host reports how much of its distinct-chunk inventory is shared.
+    ``host`` is a Column computing the host key in the same scan as
+    the text (no self-join).
+
+    Scale: distinct (host, digest) after the chunk explode -> one
+    digest-keyed countDistinct(host) -> digest join back -> host agg;
+    text bytes never cross a shuffle (16-byte digests do).
+    -> (host, n_chunks, n_shared_chunks)."""
+    from pyspark.sql import functions as F
+    ch = (df.select(host.alias("host"),
+                    F.explode(chunks_col(text_col, k)).alias("_c"))
+          .select("host", F.md5(F.col("_c")).alias("_h"))
+          .distinct())
+    hc = ch.groupBy("_h").agg(F.countDistinct("host").alias("_nh"))
+    return (ch.join(hc, "_h").groupBy("host")
+            .agg(F.count(F.lit(1)).alias("n_chunks"),
+                 F.sum(F.when(F.col("_nh") > 1, 1).otherwise(0))
+                 .cast("long").alias("n_shared_chunks")))
+
+
+def host_dup_stats_sql(docs_sql: str, k: int = 8) -> str:
+    """DuckDB twin of host_dup_stats over ``docs_sql`` (a SELECT
+    producing host, text)."""
+    return f"""
+WITH docs AS ({docs_sql}),
+ch AS (
+  SELECT DISTINCT host, md5(c) AS h
+  FROM (SELECT host, unnest({chunks_sql('text', k)}) AS c FROM docs)
+),
+hc AS (SELECT h, COUNT(DISTINCT host) AS nh FROM ch GROUP BY h)
+SELECT host, COUNT(*) AS n_chunks,
+       CAST(SUM(CASE WHEN nh > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       AS n_shared_chunks
+FROM ch JOIN hc USING (h) GROUP BY host
+"""

@@ -547,3 +547,42 @@ SELECT doc_id, st // {stride} AS chunk_idx,
        AS chunk_text
 FROM s
 """
+
+
+def vocab_index(df, *, text_col: str = "text", id_col: str = "doc_id",
+                min_df: int = 1):
+    """Vocabulary export with dense integer ids — the string-indexer
+    step in front of any token-id training pipeline. term_id is the
+    EXCLUSIVE prefix count of terms in (df desc, term asc) order,
+    computed with pack.prefix_sum's two-phase scan: the naive
+    row_number() over a global ORDER BY collapses the whole vocabulary
+    into one SinglePartition window; the two-phase scan range-
+    partitions on (-df, term) and ships only P offset rows through the
+    driver. -> (term, df, term_id)."""
+    from pyspark.sql import functions as F
+
+    from .pack import prefix_sum
+    tok = (df.select(F.col(id_col).alias("_d"),
+                     F.explode(words_col(text_col)).alias("term"))
+           .distinct())
+    tdf = (tok.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+           .filter(F.col("df") >= min_df)
+           .withColumn("_negdf", -F.col("df"))
+           .withColumn("_one", F.lit(1).cast("long")))
+    out = prefix_sum(tdf, "_one", ["_negdf", "term"])
+    return out.select("term", "df", F.col("prefix").alias("term_id"))
+
+
+def vocab_index_sql(min_df: int = 1, table: str = "documents") -> str:
+    """DuckDB twin of vocab_index (row_number - 1 == the exclusive
+    prefix count of ones in the same unique total order)."""
+    return f"""
+WITH tok AS (SELECT DISTINCT doc_id,
+       unnest(regexp_extract_all(lower(text), '{TOKEN_RX}')) AS term
+       FROM {table}),
+t AS (SELECT term, COUNT(*) AS df FROM tok GROUP BY term
+      HAVING COUNT(*) >= {min_df})
+SELECT term, df,
+       ROW_NUMBER() OVER (ORDER BY df DESC, term ASC) - 1 AS term_id
+FROM t
+"""

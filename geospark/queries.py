@@ -1490,6 +1490,30 @@ def q_chunk_docs(spark, sf_dir):
     return chunk_docs(d, chunk_words=64, overlap=16)
 
 
+def q_host_dup(spark, sf_dir):
+    """Cross-host passage duplication per host (r5): the mirror-site /
+    shared-template detector. Host from the same canonical-url builder
+    as host_stats (one scan, no self-join); text bytes never shuffle —
+    only 16-byte chunk digests do."""
+    from pyspark.sql import functions as F
+
+    from .operators.dedup import canonical_url, host_dup_stats
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    host = F.regexp_extract(canonical_url(_doc_url_col()),
+                            "^[a-z]+://([^/]+)", 1)
+    return host_dup_stats(d, host)
+
+
+def q_vocab(spark, sf_dir):
+    """Dense-id vocabulary export (r5): (term, df, term_id) with ids
+    assigned in (df desc, term) order through the two-phase prefix
+    sum — the naive global row_number window would serialize the
+    whole vocabulary into one partition."""
+    from .operators.textstats import vocab_index
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return vocab_index(d, min_df=2)
+
+
 def q_idw_interp(spark, sf_dir):
     """IDW spatial interpolation (r5): estimate a value surface at the
     supplier query points from the 3 nearest customers, entirely in
@@ -1598,14 +1622,13 @@ QUERIES = {
     #    driver row (r5; VERDICT r4 Next-round #1 / ADVICE r4 medium) --
     "host_stats": q_host_stats,
     "cell_distinct_users": q_cell_distinct_users,
-    "ann_topk": q_ann_topk,
-    "minhash_pairs": q_minhash_pairs,
     # (simhash, driver-green r4, rotates just past the window in r5.5
     #  to make room for qann_topk above)
-    # (lang_guess, lsh_ann_topk, embed_near_dup and ngram_pairs,
-    #  driver-green r4, rotate just past the window in r5.7 to keep
-    #  ring_valid, ring_orient, idw_interp and chunk_docs —
-    #  brand-new this round — inside it)
+    # (lang_guess, lsh_ann_topk, embed_near_dup, ngram_pairs,
+    #  ann_topk and minhash_pairs, driver-green r4, rotate just past
+    #  the window in r5.7 to keep ring_valid, ring_orient,
+    #  idw_interp, chunk_docs, host_dup and vocab — brand-new this
+    #  round — inside it)
     # -- round-5 additions, inside the window for their first driver
     #    row (quality_features/rolling_fp rotate out to make room:
     #    both driver-green in r4, near-dupes of doc_quality/
@@ -1631,6 +1654,10 @@ QUERIES = {
     "ring_orient": q_ring_orient,
     "idw_interp": q_idw_interp,
     "chunk_docs": q_chunk_docs,
+    "host_dup": q_host_dup,
+    "vocab": q_vocab,
+    "ann_topk": q_ann_topk,
+    "minhash_pairs": q_minhash_pairs,
     "lang_guess": q_lang_guess,
     "lsh_ann_topk": q_lsh_ann_topk,
     "embed_near_dup": q_embed_near_dup,
@@ -2096,6 +2123,14 @@ def oracle_sql() -> dict[str, str]:
     out["retention"] = retention_sql()
     from .operators.textstats import chunk_docs_sql
     out["chunk_docs"] = chunk_docs_sql(chunk_words=64, overlap=16)
+    from .operators.dedup import host_dup_stats_sql
+    out["host_dup"] = host_dup_stats_sql(
+        f"SELECT regexp_extract(canon, '^[a-z]+://([^/]+)', 1) "
+        f"AS host, text FROM (SELECT text, "
+        f"{canonical_url_sql(_doc_url_sql())} AS canon "
+        f"FROM documents)")
+    from .operators.textstats import vocab_index_sql
+    out["vocab"] = vocab_index_sql(min_df=2)
     from .operators.tiles import focal_sum_sql
     out["hotspot_cells"] = focal_sum_sql(
         f"SELECT {cell6} AS cell, COUNT(*) AS n_pts "

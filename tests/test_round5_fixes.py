@@ -1184,3 +1184,53 @@ class TestChunkDocs:
         plan = (q_chunk_docs(spark, SF)
                 ._jdf.queryExecution().executedPlan().toString())
         assert "Exchange" not in plan
+
+
+class TestHostDup:
+    def test_shared_template_counts(self, spark):
+        from pyspark.sql import functions as F
+
+        from geospark.operators.dedup import host_dup_stats
+        tmpl = "one two three four five six seven eight"
+        rows = [("a.com", tmpl + " alpha beta gamma delta " + tmpl),
+                ("b.com", tmpl + " epsilon zeta eta theta iota kappa"),
+                ("c.com", "lambda mu nu xi omicron pi rho sigma")]
+        df = spark.createDataFrame(rows, "host string, text string")
+        got = {r["host"]: (r["n_chunks"], r["n_shared_chunks"])
+               for r in host_dup_stats(df, F.col("host"),
+                                       k=8).collect()}
+        # the 8-word template chunk is on a.com AND b.com -> shared
+        # for both; c.com shares nothing
+        assert got["a.com"][1] >= 1 and got["b.com"][1] >= 1
+        assert got["c.com"][1] == 0
+        # distinct digests per host: a.com's repeated template chunk
+        # counts once
+        assert all(s <= n for n, s in got.values())
+
+    def test_driver_query_runs(self, spark):
+        from geospark.queries import q_host_dup
+        rows = q_host_dup(spark, SF).collect()
+        assert rows and all(r["n_chunks"] >= r["n_shared_chunks"]
+                            for r in rows)
+
+
+class TestVocabIndex:
+    def test_dense_ids_df_order(self, spark):
+        from geospark.operators.textstats import vocab_index
+        df = spark.createDataFrame(
+            [(1, "apple banana apple"), (2, "banana cherry"),
+             (3, "banana date")],
+            "doc_id long, text string")
+        got = {r["term"]: (r["df"], r["term_id"])
+               for r in vocab_index(df).collect()}
+        # banana df=3 -> id 0; apple/cherry/date df=1 tie -> term asc
+        assert got["banana"] == (3, 0)
+        assert got["apple"] == (1, 1)
+        assert got["cherry"] == (1, 2)
+        assert got["date"] == (1, 3)
+
+    def test_no_single_partition_window(self, spark):
+        from geospark.queries import q_vocab
+        plan = (q_vocab(spark, SF)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "SinglePartition" not in plan
