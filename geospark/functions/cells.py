@@ -339,3 +339,75 @@ def cell_neighbors_sql(cell_expr: str, res: int, ring: int = 1) -> str:
         f"FROM generate_series({dx_lo}, {dx_hi}) dx(g), "
         f"generate_series(-{ring}, {ring}) dy(g) "
         f"WHERE ({y}) + dy.g >= 0 AND ({y}) + dy.g < {n}")
+
+
+_GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _geohash_char_exprs(lx: str, ly: str, precision: int,
+                        dialect: str) -> list[str]:
+    """One base32-char expression per geohash position, generated for
+    both dialects from the same interleaving: stream bit i is a
+    LONGITUDE bit for even i, latitude for odd (the geohash standard),
+    MSB first. ``lx``/``ly`` are integer cell indices with
+    ceil(5p/2) / floor(5p/2) bits respectively."""
+    lonb = (5 * precision + 1) // 2
+    latb = (5 * precision) // 2
+
+    def bit(src, shift):
+        if dialect == "spark":
+            return f"(shiftright({src},{shift}) & 1)"
+        return f"(({src} >> {shift}) & 1)"
+
+    chars = []
+    for j in range(precision):
+        terms = []
+        for b in range(5):
+            i = 5 * j + b
+            src, nbits = (lx, lonb) if i % 2 == 0 else (ly, latb)
+            expr = bit(src, nbits - 1 - i // 2)
+            weight = 1 << (4 - b)
+            terms.append(f"{expr}*{weight}" if weight > 1 else expr)
+        code = "(" + "+".join(terms) + ")"
+        chars.append(f"substr('{_GEOHASH32}', CAST({code} AS INT) + 1, 1)")
+    return chars
+
+
+def geohash_encode(df, lat_col: str, lon_col: str, *,
+                   precision: int = 6, out_col: str = "geohash"):
+    """Standard geohash (base32, lon-first bit interleave) as pure
+    generated bit arithmetic — engine-exact because the only float ops
+    are (x+off)/span*2^bits then floor, each IEEE-deterministic for
+    identical input doubles (the tile_bounds precedent). Map-only; at
+    100 TB this is a scan-side projection like cell_encode, and the
+    string key prefix-ranges exactly like the integer Z-order key."""
+    from pyspark.sql import functions as F
+    lonb = (5 * precision + 1) // 2
+    latb = (5 * precision) // 2
+    lx = (f"CAST(floor(least(greatest(({lon_col} + 180.0) / 360.0 "
+          f"* {1 << lonb}.0, 0.0), {(1 << lonb) - 1}.0)) AS BIGINT)")
+    ly = (f"CAST(floor(least(greatest(({lat_col} + 90.0) / 180.0 "
+          f"* {1 << latb}.0, 0.0), {(1 << latb) - 1}.0)) AS BIGINT)")
+    t = df.withColumn("_ghx", F.expr(lx)).withColumn("_ghy", F.expr(ly))
+    chars = _geohash_char_exprs("_ghx", "_ghy", precision, "spark")
+    return (t.withColumn(out_col, F.expr("concat(" + ",".join(chars)
+                                         + ")"))
+            .drop("_ghx", "_ghy"))
+
+
+def geohash_sql(lat_expr: str, lon_expr: str, precision: int = 6,
+                from_sql: str = "") -> str:
+    """DuckDB twin of geohash_encode: SELECT-fragment builder — returns
+    a full SELECT over ``from_sql`` producing every input column plus
+    `geohash`, computing lx/ly once in a subquery."""
+    lonb = (5 * precision + 1) // 2
+    latb = (5 * precision) // 2
+    lx = (f"CAST(floor(least(greatest(({lon_expr} + 180.0) / 360.0 "
+          f"* {1 << lonb}.0, 0.0), {(1 << lonb) - 1}.0)) AS BIGINT)")
+    ly = (f"CAST(floor(least(greatest(({lat_expr} + 90.0) / 180.0 "
+          f"* {1 << latb}.0, 0.0), {(1 << latb) - 1}.0)) AS BIGINT)")
+    chars = _geohash_char_exprs("_ghx", "_ghy", precision, "duckdb")
+    return (f"SELECT * EXCLUDE (_ghx, _ghy), "
+            f"concat({', '.join(chars)}) AS geohash "
+            f"FROM (SELECT *, {lx} AS _ghx, {ly} AS _ghy "
+            f"FROM ({from_sql}))")

@@ -1514,6 +1514,16 @@ def q_vocab(spark, sf_dir):
     return vocab_index(d, min_df=2)
 
 
+def q_geohash(spark, sf_dir):
+    """Geohash keys for the customer points (r5): standard base32
+    lon-first interleave as generated bit arithmetic — map-only
+    scan-side projection; the string key prefix-ranges like the
+    integer Z-order key."""
+    from .functions.cells import geohash_encode
+    return geohash_encode(_cust_points(spark, sf_dir), "lat", "lon",
+                          precision=6)
+
+
 def q_idw_interp(spark, sf_dir):
     """IDW spatial interpolation (r5): estimate a value surface at the
     supplier query points from the 3 nearest customers, entirely in
@@ -1617,7 +1627,8 @@ QUERIES = {
     "knn": q_knn,
     "st_roundtrip": q_st_roundtrip,
     "schema_infer": q_schema_infer,
-    "dedup_exact": q_dedup_exact,
+    # (dedup_exact, driver-green r4, rotates just past the window in
+    #  r5.7 to keep geohash — brand-new this round — inside it)
     # -- round-4 additions rotated INSIDE the window for their first
     #    driver row (r5; VERDICT r4 Next-round #1 / ADVICE r4 medium) --
     "host_stats": q_host_stats,
@@ -1656,6 +1667,8 @@ QUERIES = {
     "chunk_docs": q_chunk_docs,
     "host_dup": q_host_dup,
     "vocab": q_vocab,
+    "geohash": q_geohash,
+    "dedup_exact": q_dedup_exact,
     "ann_topk": q_ann_topk,
     "minhash_pairs": q_minhash_pairs,
     "lang_guess": q_lang_guess,
@@ -2131,6 +2144,8 @@ def oracle_sql() -> dict[str, str]:
         f"FROM documents)")
     from .operators.textstats import vocab_index_sql
     out["vocab"] = vocab_index_sql(min_df=2)
+    from .functions.cells import geohash_sql
+    out["geohash"] = geohash_sql("lat", "lon", 6, _CUST_PTS_CTE)
     from .operators.tiles import focal_sum_sql
     out["hotspot_cells"] = focal_sum_sql(
         f"SELECT {cell6} AS cell, COUNT(*) AS n_pts "

@@ -1234,3 +1234,44 @@ class TestVocabIndex:
         plan = (q_vocab(spark, SF)
                 ._jdf.queryExecution().executedPlan().toString())
         assert "SinglePartition" not in plan
+
+
+class TestGeohash:
+    def test_known_vectors(self, spark):
+        from geospark.functions.cells import geohash_encode
+        df = spark.createDataFrame(
+            [(1, 57.64911, 10.40744),      # classic example
+             (2, 40.689247, -74.044502),   # Statue of Liberty
+             (3, -33.8568, 151.2153)],     # Sydney Opera House
+            "pid long, lat double, lon double")
+        got = {r["pid"]: r["geohash"] for r in
+               geohash_encode(df, "lat", "lon", precision=6).collect()}
+        assert got == {1: "u4pruy", 2: "dr5r7p", 3: "r3gx2u"}
+
+    def test_edge_clamps(self, spark):
+        from geospark.functions.cells import geohash_encode
+        df = spark.createDataFrame(
+            [(1, 90.0, 180.0), (2, -90.0, -180.0)],
+            "pid long, lat double, lon double")
+        got = {r["pid"]: r["geohash"] for r in
+               geohash_encode(df, "lat", "lon", precision=6).collect()}
+        # the +90/+180 corner clamps to the last cell instead of
+        # overflowing to 2^bits
+        assert got[1] == "z" * 6 or got[1][0] == "z"
+        assert got[2] == "0" * 6
+
+    def test_odd_precision_and_prefix_nesting(self, spark):
+        from geospark.functions.cells import geohash_encode
+        df = spark.createDataFrame([(1, 57.64911, 10.40744)],
+                                   "pid long, lat double, lon double")
+        g5 = geohash_encode(df, "lat", "lon",
+                            precision=5).collect()[0]["geohash"]
+        g7 = geohash_encode(df, "lat", "lon",
+                            precision=7).collect()[0]["geohash"]
+        assert g5 == "u4pru" and g7.startswith("u4pruy")
+
+    def test_map_only_plan(self, spark):
+        from geospark.queries import q_geohash
+        plan = (q_geohash(spark, SF)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "Exchange" not in plan
