@@ -1514,6 +1514,38 @@ def q_vocab(spark, sf_dir):
     return vocab_index(d, min_df=2)
 
 
+def q_funnel_by_cell(spark, sf_dir):
+    """Funnel conversion by geography (r5): per res-6 cell of each
+    user's FIRST event, how many users started the view->click->
+    purchase funnel and how many completed it — the cross-axis rollup
+    (event-sequence analytics x spatial grid) a geo growth dashboard
+    wants. First-event cell via min(struct(us, event_id, cell)) — a
+    map-side-combinable agg, ONE user-keyed exchange, no window;
+    deterministic because (us, event_id) is unique per user."""
+    from pyspark.sql import functions as F
+
+    from .operators.events import EPOCH, funnel_steps
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    us = F.expr(f"timestampdiff(MICROSECOND, "
+                f"TIMESTAMP_NTZ '{EPOCH}', ts)")
+    lat = ((F.col("user_id") % 180).cast("double") - 90.0)
+    lon = (((F.col("value") % 360.0) + 360.0) % 360.0 - 180.0)
+    cell = cell_encode(lat, lon, RES_COARSE)
+    first_cell = (e.select(
+        "user_id",
+        F.struct(us.alias("us"), F.col("event_id"),
+                 cell.alias("cell")).alias("_m"))
+        .groupBy("user_id").agg(F.min("_m").alias("_m"))
+        .select("user_id", F.col("_m.cell").alias("cell")))
+    fun = funnel_steps(e, ["view", "click", "purchase"]) \
+        .select("user_id", "stages")
+    return (fun.join(first_cell, "user_id")
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n_starters"),
+                 F.sum(F.when(F.col("stages") == 3, 1).otherwise(0))
+                 .cast("long").alias("n_full")))
+
+
 def q_geohash(spark, sf_dir):
     """Geohash keys for the customer points (r5): standard base32
     lon-first interleave as generated bit arithmetic — map-only
@@ -1609,7 +1641,8 @@ QUERIES = {
     "zorder_keys": q_zorder_keys,
     "cell_compact": q_cell_compact,
     "funnel": q_funnel,
-    "simplify_boxes": q_simplify_boxes,
+    # (simplify_boxes, driver-green r4, rotates just past the window
+    #  in r5.7 to keep funnel_by_cell — brand-new this round — inside)
     "line_metrics": q_line_metrics,
     "stream_sessionize": q_stream_sessionize,
     # -- core rows kept inside the window --
@@ -1668,6 +1701,8 @@ QUERIES = {
     "host_dup": q_host_dup,
     "vocab": q_vocab,
     "geohash": q_geohash,
+    "funnel_by_cell": q_funnel_by_cell,
+    "simplify_boxes": q_simplify_boxes,
     "dedup_exact": q_dedup_exact,
     "ann_topk": q_ann_topk,
     "minhash_pairs": q_minhash_pairs,
@@ -2146,6 +2181,21 @@ def oracle_sql() -> dict[str, str]:
     out["vocab"] = vocab_index_sql(min_df=2)
     from .functions.cells import geohash_sql
     out["geohash"] = geohash_sql("lat", "lon", 6, _CUST_PTS_CTE)
+    from .operators.events import EPOCH as _EV_EPOCH
+    _ev_us = (f"datediff('microseconds', "
+              f"TIMESTAMP '{_EV_EPOCH}', ts)")
+    out["funnel_by_cell"] = (
+        f"WITH f AS ({funnel_steps_sql(['view', 'click', 'purchase'])}), "
+        f"c AS (SELECT user_id, cell FROM ("
+        f"SELECT user_id, "
+        f"{cell_encode_sql(EVT_LAT_SQL, EVT_LON_SQL, RES_COARSE)} "
+        f"AS cell, ROW_NUMBER() OVER (PARTITION BY user_id "
+        f"ORDER BY {_ev_us} ASC, event_id ASC) AS rn FROM events) "
+        f"WHERE rn = 1) "
+        f"SELECT c.cell, COUNT(*) AS n_starters, "
+        f"CAST(SUM(CASE WHEN stages = 3 THEN 1 ELSE 0 END) AS BIGINT) "
+        f"AS n_full "
+        f"FROM f JOIN c USING (user_id) GROUP BY 1")
     from .operators.tiles import focal_sum_sql
     out["hotspot_cells"] = focal_sum_sql(
         f"SELECT {cell6} AS cell, COUNT(*) AS n_pts "

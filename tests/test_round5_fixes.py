@@ -1275,3 +1275,52 @@ class TestGeohash:
         plan = (q_geohash(spark, SF)
                 ._jdf.queryExecution().executedPlan().toString())
         assert "Exchange" not in plan
+
+
+class TestFunnelByCell:
+    def test_hand_conversion(self, spark):
+        import datetime as dt
+
+        from geospark.queries import q_funnel_by_cell  # noqa: F401
+        from pyspark.sql import functions as F
+
+        from geospark.functions.cells import cell_encode
+        from geospark.operators.events import funnel_steps
+        base = dt.datetime(2024, 1, 1)
+
+        def ev(eid, uid, typ, mins, val):
+            return (eid, base + dt.timedelta(minutes=mins), uid, typ,
+                    float(val), "")
+        rows = [ev(1, 10, "view", 0, 5.0), ev(2, 10, "click", 1, 99.0),
+                ev(3, 10, "purchase", 2, 99.0),
+                ev(4, 20, "view", 0, 5.0), ev(5, 20, "click", 1, 5.0),
+                ev(6, 30, "click", 0, 5.0)]  # never viewed: no start
+        e = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+                  "event_type string, value double, props string")
+        lat = ((F.col("user_id") % 180).cast("double") - 90.0)
+        lon = (((F.col("value") % 360.0) + 360.0) % 360.0 - 180.0)
+        cell = cell_encode(lat, lon, 6)
+        first = (e.select("user_id", F.struct(
+            F.col("ts").cast("long").alias("us"), "event_id",
+            cell.alias("cell")).alias("_m"))
+            .groupBy("user_id").agg(F.min("_m").alias("_m"))
+            .select("user_id", F.col("_m.cell").alias("cell")))
+        fun = funnel_steps(e, ["view", "click", "purchase"]) \
+            .select("user_id", "stages")
+        out = (fun.join(first, "user_id").groupBy("cell")
+               .agg(F.count(F.lit(1)).alias("n_starters"),
+                    F.sum(F.when(F.col("stages") == 3, 1).otherwise(0))
+                    .cast("long").alias("n_full")).collect())
+        got = {r["cell"]: (r["n_starters"], r["n_full"]) for r in out}
+        # users 10 and 20 share the first-event cell (same uid-lat
+        # band? no — different uid => different cells); user 30 absent
+        assert sum(n for n, _f in got.values()) == 2
+        assert sum(f for _n, f in got.values()) == 1
+
+    def test_no_cartesian_or_single_partition(self, spark):
+        from geospark.queries import q_funnel_by_cell
+        plan = (q_funnel_by_cell(spark, SF)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "CartesianProduct" not in plan
+        assert "SinglePartition" not in plan
