@@ -202,3 +202,45 @@ def focal_sum_sql(counts_sql: str, res: int, *, ring: int = 1,
         f"SELECT counts.*, CAST(contrib.focal_{count_col} AS BIGINT) "
         f"AS focal_{count_col} "
         f"FROM counts JOIN contrib USING (cell)")
+
+
+def cell_moments(points, res: int, value_int, *,
+                 lat_col: str = "lat", lon_col: str = "lon",
+                 val_name: str = "v"):
+    """Per-cell exact first and second moments of an integer-scaled
+    metric: (cell, n, sum_v, sum_v2). Mean and variance derive from
+    these downstream (mean = sum_v/n, var = sum_v2/n - mean^2) — the
+    sums are BIGINT so the aggregate is accumulation-order independent
+    and combines exactly across partitions, unlike a float
+    mean/variance pushdown. ``value_int`` is a Column producing a
+    nonnegative BIGINT (scale upstream: floor(v * 10^s)).
+
+    Overflow headroom: sum_v2 <= n * max_v^2 — with max_v ~ 10^6 a
+    single cell holds ~9·10^6 rows before BIGINT pressure; rescale or
+    pre-aggregate for hotter cells.
+
+    Scale: one map-side-combinable cell-keyed agg riding the same
+    shuffle as tile_counts. -> (cell, n, sum_{val_name},
+    sum_{val_name}2)."""
+    from pyspark.sql import functions as F
+    d = (points.withColumn("cell", cell_encode(lat_col, lon_col, res))
+         .withColumn("_v", value_int))
+    return (d.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("_v").alias(f"sum_{val_name}"),
+                 F.sum(F.col("_v") * F.col("_v"))
+                 .alias(f"sum_{val_name}2")))
+
+
+def cell_moments_sql(pts_sql: str, res: int, value_sql: str, *,
+                     val_name: str = "v") -> str:
+    """DuckDB twin of cell_moments over a subquery producing
+    (lat, lon, ...) — identical integer sums, cast back to BIGINT
+    (DuckDB SUM widens to HUGEINT)."""
+    from ..functions.cells import cell_encode_sql
+    cell = cell_encode_sql("lat", "lon", res)
+    return (f"SELECT {cell} AS cell, COUNT(*) AS n, "
+            f"CAST(SUM(v) AS BIGINT) AS sum_{val_name}, "
+            f"CAST(SUM(v * v) AS BIGINT) AS sum_{val_name}2 "
+            f"FROM (SELECT lat, lon, {value_sql} AS v "
+            f"FROM ({pts_sql})) GROUP BY 1")

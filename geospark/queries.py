@@ -1546,6 +1546,24 @@ def q_funnel_by_cell(spark, sf_dir):
                  .cast("long").alias("n_full")))
 
 
+def q_cell_moments(spark, sf_dir):
+    """Per-cell exact value moments over events (r5): BIGINT n /
+    sum(v) / sum(v^2) at milli-scale — mean and variance derive
+    downstream; integer sums combine exactly across partitions where
+    a float variance pushdown would be accumulation-order dependent."""
+    from pyspark.sql import functions as F
+
+    from .operators.tiles import cell_moments
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pts = e.select(
+        "value",
+        ((F.col("user_id") % 180).cast("double") - 90.0).alias("lat"),
+        (((F.col("value") % 360.0) + 360.0) % 360.0 - 180.0)
+        .alias("lon"))
+    v = F.expr("CAST(floor(value * 1000.0) AS BIGINT)")
+    return cell_moments(pts, RES_COARSE, v)
+
+
 def q_geohash(spark, sf_dir):
     """Geohash keys for the customer points (r5): standard base32
     lon-first interleave as generated bit arithmetic — map-only
@@ -1641,9 +1659,9 @@ QUERIES = {
     "zorder_keys": q_zorder_keys,
     "cell_compact": q_cell_compact,
     "funnel": q_funnel,
-    # (simplify_boxes, driver-green r4, rotates just past the window
-    #  in r5.7 to keep funnel_by_cell — brand-new this round — inside)
-    "line_metrics": q_line_metrics,
+    # (simplify_boxes and line_metrics, driver-green r4, rotate just
+    #  past the window in r5.7 to keep funnel_by_cell and cell_moments
+    #  — brand-new this round — inside it)
     "stream_sessionize": q_stream_sessionize,
     # -- core rows kept inside the window --
     "cell_assign": q_cell_assign,
@@ -1702,7 +1720,9 @@ QUERIES = {
     "vocab": q_vocab,
     "geohash": q_geohash,
     "funnel_by_cell": q_funnel_by_cell,
+    "cell_moments": q_cell_moments,
     "simplify_boxes": q_simplify_boxes,
+    "line_metrics": q_line_metrics,
     "dedup_exact": q_dedup_exact,
     "ann_topk": q_ann_topk,
     "minhash_pairs": q_minhash_pairs,
@@ -2196,6 +2216,11 @@ def oracle_sql() -> dict[str, str]:
         f"CAST(SUM(CASE WHEN stages = 3 THEN 1 ELSE 0 END) AS BIGINT) "
         f"AS n_full "
         f"FROM f JOIN c USING (user_id) GROUP BY 1")
+    from .operators.tiles import cell_moments_sql
+    out["cell_moments"] = cell_moments_sql(
+        f"SELECT value, {EVT_LAT_SQL} AS lat, {EVT_LON_SQL} AS lon "
+        f"FROM events",
+        RES_COARSE, "CAST(floor(value * 1000.0) AS BIGINT)")
     from .operators.tiles import focal_sum_sql
     out["hotspot_cells"] = focal_sum_sql(
         f"SELECT {cell6} AS cell, COUNT(*) AS n_pts "

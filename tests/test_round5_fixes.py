@@ -1324,3 +1324,24 @@ class TestFunnelByCell:
                 ._jdf.queryExecution().executedPlan().toString())
         assert "CartesianProduct" not in plan
         assert "SinglePartition" not in plan
+
+
+class TestCellMoments:
+    def test_hand_moments(self, spark):
+        from pyspark.sql import functions as F
+
+        from geospark.operators.tiles import cell_moments
+        # all four points land in distinct cells except two sharing
+        df = spark.createDataFrame(
+            [(10.0, 10.0, 3), (10.0, 10.0, 5), (50.0, 50.0, 7)],
+            "lat double, lon double, v long")
+        got = {r["cell"]: (r["n"], r["sum_v"], r["sum_v2"]) for r in
+               cell_moments(df, 4, F.col("v")).collect()}
+        assert sorted(got.values()) == [(1, 7, 49), (2, 8, 34)]
+
+    def test_single_exchange_partial_agg(self, spark):
+        from geospark.queries import q_cell_moments
+        plan = (q_cell_moments(spark, SF)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "SinglePartition" not in plan
