@@ -895,3 +895,54 @@ SELECT host, COUNT(*) AS n_chunks,
        AS n_shared_chunks
 FROM ch JOIN hc USING (h) GROUP BY host
 """
+
+
+def best_of_cluster(clusters, scored, *, id_col: str = "doc_id",
+                    cluster_col: str = "cluster_id",
+                    score_col: str = "quality"):
+    """Collapse near-dup clusters to their best representative — the
+    curation step after pair generation + connected components: keep
+    the HIGHEST-``score_col`` member of each cluster (tie -> lowest
+    id), not the arbitrary lowest-id one, so dedup preserves the best
+    copy of each duplicated page (canonical mirror, least-truncated
+    crawl) instead of whichever was crawled first.
+
+    ``clusters`` is (id, cluster) — connected_components output;
+    ``scored`` carries (id, score).  -> (cluster_id, keep_id,
+    keep_<score>, n_members).
+
+    Scale: one id-keyed equi-join (both sides narrow), then ONE
+    cluster-keyed aggregate whose argmax rides ``max(struct(score,
+    -id))`` — partial aggregation map-side, no window, no second
+    shuffle; at 10^12 docs the cluster table is the small post-dedup
+    fraction and AQE handles the skewed giant-cluster tail."""
+    from pyspark.sql import functions as F
+    j = clusters.select(F.col(id_col), F.col(cluster_col)).join(
+        scored.select(F.col(id_col), F.col(score_col)), id_col)
+    m = F.max(F.struct(F.col(score_col).alias("s"),
+                       (-F.col(id_col)).alias("negid")))
+    return (j.groupBy(cluster_col)
+            .agg(F.count(F.lit(1)).alias("n_members"), m.alias("_m"))
+            .select(cluster_col,
+                    (-F.col("_m.negid")).cast("long").alias("keep_id"),
+                    F.col("_m.s").alias(f"keep_{score_col}"),
+                    "n_members"))
+
+
+def best_of_cluster_sql(clusters_sql: str, scored_sql: str, *,
+                        score_col: str = "quality") -> str:
+    """DuckDB twin of best_of_cluster: same join, argmax expressed as
+    the rk=1 row of a (score DESC, id ASC) window — different
+    algorithm, same total order, hash-equal output."""
+    return f"""
+WITH cl AS ({clusters_sql}), q AS ({scored_sql}),
+j AS (SELECT cl.cluster_id, cl.doc_id, q.{score_col}
+      FROM cl JOIN q USING (doc_id))
+SELECT cluster_id, keep_id, keep_{score_col}, n_members FROM (
+  SELECT cluster_id, doc_id AS keep_id,
+         {score_col} AS keep_{score_col},
+         COUNT(*) OVER (PARTITION BY cluster_id) AS n_members,
+         ROW_NUMBER() OVER (PARTITION BY cluster_id
+             ORDER BY {score_col} DESC, doc_id ASC) AS rk
+  FROM j) WHERE rk = 1
+"""

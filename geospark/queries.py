@@ -706,6 +706,20 @@ def q_dup_clusters(spark, sf_dir):
     return connected_components(minhash_pairs(d))
 
 
+def q_best_of_cluster(spark, sf_dir):
+    """Quality-ranked duplicate-cluster collapse (r5): near-dup pairs
+    -> connected components -> keep the HIGHEST-quality member of
+    each cluster (tie -> lowest id) — the curation step that keeps
+    the best copy of a duplicated page instead of the first-crawled
+    one. One id-keyed join + one cluster-keyed max(struct) agg."""
+    from .operators.dedup import (best_of_cluster, connected_components,
+                                  minhash_pairs)
+    from .operators.textstats import quality_features
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    clusters = connected_components(minhash_pairs(d))
+    return best_of_cluster(clusters, quality_features(d))
+
+
 def q_simhash(spark, sf_dir):
     from .operators.dedup import simhash
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -1663,8 +1677,13 @@ QUERIES = {
     #  past the window in r5.7 to keep funnel_by_cell and cell_moments
     #  — brand-new this round — inside it)
     "stream_sessionize": q_stream_sessionize,
+    # -- round-5.8 addition, inside the window for its first driver
+    #    row (cell_assign rotates just past the window to make room:
+    #    driver-green r1-r4 and redundant with the cell rows still
+    #    inside — cell_counts, cell_distinct_users, cell_moments,
+    #    hotspot_cells, geohash) --
+    "best_of_cluster": q_best_of_cluster,
     # -- core rows kept inside the window --
-    "cell_assign": q_cell_assign,
     "cell_counts": q_cell_counts,
     "bbox_filter": q_bbox_filter,
     "cell_neighbors": q_cell_neighbors,
@@ -1723,6 +1742,9 @@ QUERIES = {
     "cell_moments": q_cell_moments,
     "simplify_boxes": q_simplify_boxes,
     "line_metrics": q_line_metrics,
+    # (cell_assign rotated out in r5.8 for best_of_cluster above;
+    #  driver-green r1-r4)
+    "cell_assign": q_cell_assign,
     "dedup_exact": q_dedup_exact,
     "ann_topk": q_ann_topk,
     "minhash_pairs": q_minhash_pairs,
@@ -2076,6 +2098,12 @@ def oracle_sql() -> dict[str, str]:
     from .operators.dedup import dup_clusters_sql
     out["dup_clusters"] = dup_clusters_sql(
         f"SELECT doc_a, doc_b FROM ({minhash_pairs_sql()})")
+    from .operators.dedup import best_of_cluster_sql
+    from .operators.textstats import quality_features_sql
+    out["best_of_cluster"] = best_of_cluster_sql(
+        dup_clusters_sql(
+            f"SELECT doc_a, doc_b FROM ({minhash_pairs_sql()})"),
+        quality_features_sql())
     _h64 = ("CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) "
             "AS BIGINT)")
     out["doc_sample"] = (
