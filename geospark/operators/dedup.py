@@ -112,14 +112,11 @@ def minhash_signature(df, text_col: str = "text", id_col: str = "doc_id",
                               for i in range(n_hashes)]).alias("sig"))
 
 
-def lsh_candidate_pairs(sig_df, id_col: str = "doc_id", bands: int = 4,
-                        rows_per_band: int = 4,
-                        max_bucket: int = 1000):
-    """Signature table -> distinct candidate pairs (a < b) sharing at
-    least one LSH band. ``max_bucket`` caps pathological buckets (mass
-    boilerplate) so one bucket can't produce O(n^2) pairs on a single
-    task — capped buckets are dropped and logged in the plan via a
-    filter, the standard scale guard."""
+def band_rows(sig_df, id_col: str = "doc_id", bands: int = 4,
+              rows_per_band: int = 4):
+    """Signature table -> exploded (id, band, bh) LSH band rows — the
+    shared building block of pair generation (lsh_candidate_pairs)
+    and incremental membership probes (batch_dedup_status)."""
     from pyspark.sql import functions as F
     b = sig_df.select(
         id_col,
@@ -130,7 +127,19 @@ def lsh_candidate_pairs(sig_df, id_col: str = "doc_id", bands: int = 4,
                          .cast("string")
                          for j in range(rows_per_band)])).alias("bh"))
             for i in range(bands)])).alias("band_key"))
-    b = b.select(id_col, "band_key.band", "band_key.bh")
+    return b.select(id_col, "band_key.band", "band_key.bh")
+
+
+def lsh_candidate_pairs(sig_df, id_col: str = "doc_id", bands: int = 4,
+                        rows_per_band: int = 4,
+                        max_bucket: int = 1000):
+    """Signature table -> distinct candidate pairs (a < b) sharing at
+    least one LSH band. ``max_bucket`` caps pathological buckets (mass
+    boilerplate) so one bucket can't produce O(n^2) pairs on a single
+    task — capped buckets are dropped and logged in the plan via a
+    filter, the standard scale guard."""
+    from pyspark.sql import functions as F
+    b = band_rows(sig_df, id_col, bands, rows_per_band)
     sizes = b.groupBy("band", "bh").count().filter(
         (F.col("count") > 1) & (F.col("count") <= max_bucket))
     b = b.join(sizes.select("band", "bh"), ["band", "bh"])
@@ -945,4 +954,98 @@ SELECT cluster_id, keep_id, keep_{score_col}, n_members FROM (
          ROW_NUMBER() OVER (PARTITION BY cluster_id
              ORDER BY {score_col} DESC, doc_id ASC) AS rk
   FROM j) WHERE rk = 1
+"""
+
+
+def batch_dedup_status(incoming, existing, *, text_col: str = "text",
+                       id_col: str = "doc_id", n_hashes: int = 16,
+                       k: int = 4, bands: int = 4):
+    """Incremental (continuous-crawl) dedup: classify each INCOMING
+    document against an EXISTING corpus without re-clustering the
+    corpus — 'exact_dup' when md5(text) already exists, else
+    'near_dup' when it shares at least one MinHash LSH band bucket
+    with an existing doc, else 'new'.  -> (id, status).
+
+    Scale: both probes are LEFT SEMI joins keyed by a digest (exact:
+    16-byte md5; near: (band, band-hash)) — presence marks, so unlike
+    pair generation a pathological hot bucket costs one boolean, not
+    O(n^2) pairs (no max_bucket cap needed).  The corpus side reduces
+    to DISTINCT digests, computed once and reusable across batches
+    (materialize as the corpus's dedup index); the incoming batch is
+    typically orders smaller than the corpus, so AQE broadcasts it.
+    Docs shorter than one k-shingle have no bands and can only be
+    exact dups — same rule in both engines."""
+    from pyspark.sql import functions as F
+    rpb = n_hashes // bands
+    ex_h = existing.select(F.md5(F.col(text_col)).alias("_h")).distinct()
+    inc_h = incoming.select(F.col(id_col),
+                            F.md5(F.col(text_col)).alias("_h"))
+    exact = (inc_h.join(ex_h, "_h", "left_semi")
+             .select(id_col).withColumn("_exact", F.lit(1)))
+    inc_b = band_rows(
+        minhash_signature(incoming, text_col, id_col, n_hashes, k),
+        id_col, bands, rpb)
+    ex_b = (band_rows(
+        minhash_signature(existing, text_col, id_col, n_hashes, k),
+        id_col, bands, rpb).select("band", "bh").distinct())
+    near = (inc_b.join(ex_b, ["band", "bh"], "left_semi")
+            .select(id_col).distinct().withColumn("_near", F.lit(1)))
+    return (incoming.select(id_col)
+            .join(exact, id_col, "left").join(near, id_col, "left")
+            .select(F.col(id_col),
+                    F.when(F.col("_exact") == 1, F.lit("exact_dup"))
+                    .when(F.col("_near") == 1, F.lit("near_dup"))
+                    .otherwise(F.lit("new")).alias("status")))
+
+
+def band_rows_sql(docs_sql: str, *, n_hashes: int = 16, k: int = 4,
+                  bands: int = 4) -> str:
+    """DuckDB twin of minhash_signature + band_rows over ``docs_sql``
+    (a SELECT producing doc_id, text): (doc_id, band, bh) rows, built
+    from the same perm_constants/shingles/_hash64 single-source pieces
+    as the Spark side and minhash_pairs_sql."""
+    consts = perm_constants(n_hashes)
+    rpb = n_hashes // bands
+    sig_exprs = ", ".join(
+        f"list_min(list_transform(hs, h -> xor(h, {c}))) AS s{i}"
+        for i, c in enumerate(consts))
+    band_union = " UNION ALL ".join(
+        f"SELECT doc_id, {i} AS band, md5(concat_ws(',', "
+        + ", ".join(f"CAST(s{i * rpb + j} AS VARCHAR)"
+                    for j in range(rpb))
+        + ")) AS bh FROM sigs"
+        for i in range(bands))
+    return f"""
+WITH d AS ({docs_sql}),
+sh AS (SELECT doc_id, {shingles_sql('text', k)} AS shingles FROM d),
+shf AS (SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0),
+hsh AS (SELECT doc_id,
+        list_transform(shingles, s -> {_hash64_sql('s')}) AS hs
+        FROM shf),
+sigs AS (SELECT doc_id, {sig_exprs} FROM hsh)
+SELECT doc_id, band, bh FROM ({band_union})
+"""
+
+
+def batch_dedup_status_sql(incoming_sql: str, existing_sql: str, *,
+                           n_hashes: int = 16, k: int = 4,
+                           bands: int = 4) -> str:
+    """DuckDB twin of batch_dedup_status (same probes as EXISTS
+    subqueries — different plan, same classification)."""
+    inc_bands = band_rows_sql(incoming_sql, n_hashes=n_hashes, k=k,
+                              bands=bands)
+    ex_bands = band_rows_sql(existing_sql, n_hashes=n_hashes, k=k,
+                             bands=bands)
+    return f"""
+WITH inc AS ({incoming_sql}),
+exh AS (SELECT DISTINCT md5(text) AS h FROM ({existing_sql})),
+incb AS ({inc_bands}),
+exb AS (SELECT DISTINCT band, bh FROM ({ex_bands})),
+near AS (SELECT DISTINCT incb.doc_id
+         FROM incb JOIN exb USING (band, bh))
+SELECT doc_id,
+       CASE WHEN md5(text) IN (SELECT h FROM exh) THEN 'exact_dup'
+            WHEN doc_id IN (SELECT doc_id FROM near) THEN 'near_dup'
+            ELSE 'new' END AS status
+FROM inc
 """

@@ -720,6 +720,31 @@ def q_best_of_cluster(spark, sf_dir):
     return best_of_cluster(clusters, quality_features(d))
 
 
+def q_batch_dedup(spark, sf_dir):
+    """Incremental batch-vs-corpus dedup (r5): the doc_id%5==0 slice
+    plays the newly-crawled batch, the rest the existing corpus; each
+    incoming doc is classified 'exact_dup' / 'near_dup' (shared LSH
+    band bucket) / 'new' with digest-keyed semi-join probes only —
+    the continuous-crawl shape where re-clustering the corpus per
+    batch is unaffordable."""
+    from pyspark.sql import functions as F
+    from .operators.dedup import batch_dedup_status
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # the raw %5 split yields no cross-split EXACT dups in the synth
+    # corpus (the tier would be vacuous, dedup_exact_planted's r1
+    # lesson), so the batch also re-crawls every 97th existing page
+    # under a fresh id — guaranteeing all three statuses appear
+    incoming = (d.filter(F.col("doc_id") % 5 == 0)
+                .select("doc_id", "text")
+                .unionAll(
+                    d.filter((F.col("doc_id") % 5 != 0)
+                             & (F.col("doc_id") % 97 == 1))
+                    .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                            "text")))
+    existing = d.filter(F.col("doc_id") % 5 != 0).select("doc_id", "text")
+    return batch_dedup_status(incoming, existing)
+
+
 def q_simhash(spark, sf_dir):
     from .operators.dedup import simhash
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -1683,9 +1708,12 @@ QUERIES = {
     #    inside — cell_counts, cell_distinct_users, cell_moments,
     #    hotspot_cells, geohash) --
     "best_of_cluster": q_best_of_cluster,
+    # -- round-5.8 addition, inside the window for its first driver
+    #    row (bbox_filter rotates just past the window: driver-green
+    #    r1-r4 and subsumed by bbox_join's predicate machinery) --
+    "batch_dedup": q_batch_dedup,
     # -- core rows kept inside the window --
     "cell_counts": q_cell_counts,
-    "bbox_filter": q_bbox_filter,
     "cell_neighbors": q_cell_neighbors,
     "events_daily_cells": q_events_daily_cells,
     "pip_join": q_pip_join,
@@ -1742,9 +1770,10 @@ QUERIES = {
     "cell_moments": q_cell_moments,
     "simplify_boxes": q_simplify_boxes,
     "line_metrics": q_line_metrics,
-    # (cell_assign rotated out in r5.8 for best_of_cluster above;
-    #  driver-green r1-r4)
+    # (cell_assign/bbox_filter rotated out in r5.8 for best_of_cluster
+    #  and batch_dedup above; both driver-green r1-r4)
     "cell_assign": q_cell_assign,
+    "bbox_filter": q_bbox_filter,
     "dedup_exact": q_dedup_exact,
     "ann_topk": q_ann_topk,
     "minhash_pairs": q_minhash_pairs,
@@ -2104,6 +2133,12 @@ def oracle_sql() -> dict[str, str]:
         dup_clusters_sql(
             f"SELECT doc_a, doc_b FROM ({minhash_pairs_sql()})"),
         quality_features_sql())
+    from .operators.dedup import batch_dedup_status_sql
+    out["batch_dedup"] = batch_dedup_status_sql(
+        "SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0 "
+        "UNION ALL SELECT doc_id + 1000000 AS doc_id, text "
+        "FROM documents WHERE doc_id % 5 <> 0 AND doc_id % 97 = 1",
+        "SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0")
     _h64 = ("CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) "
             "AS BIGINT)")
     out["doc_sample"] = (

@@ -36,3 +36,49 @@ class TestBestOfCluster:
                 ._jdf.queryExecution().executedPlan().toString())
         assert "Window" not in plan
         assert "partial_max" in plan or "HashAggregate" in plan
+
+
+class TestBatchDedupStatus:
+    def _mk(self, spark):
+        base = ("the quick brown fox jumps over the lazy dog and then "
+                "runs far away into the deep dark woods tonight")
+        near = ("the quick brown fox jumps over the lazy dog and then "
+                "runs far away into the deep dark woods tomorrow")
+        existing = spark.createDataFrame(
+            [(1, base), (2, "completely unrelated corpus text about "
+                            "spark engines and parquet column pruning "
+                            "at petabyte scale every day")],
+            ["doc_id", "text"])
+        incoming = spark.createDataFrame(
+            [(10, base),                        # exact dup of 1
+             (11, near),                        # near dup of 1
+             (12, "nothing like anything else in the corpus at all "
+                  "zebra quantum volcano umbrella seventeen")],
+            ["doc_id", "text"])
+        return incoming, existing
+
+    def test_statuses_and_precedence(self, spark):
+        from geospark.operators.dedup import batch_dedup_status
+        incoming, existing = self._mk(spark)
+        got = dict(_rows(batch_dedup_status(incoming, existing)))
+        # exact beats near: doc 10 also shares every band with doc 1
+        assert got == {10: "exact_dup", 11: "near_dup", 12: "new"}
+
+    def test_short_doc_exact_only(self, spark):
+        """A doc below one k-shingle has no bands: it can be an exact
+        dup but never a near dup — the documented engine-shared rule."""
+        from geospark.operators.dedup import batch_dedup_status
+        existing = spark.createDataFrame(
+            [(1, "tiny doc")], ["doc_id", "text"])
+        incoming = spark.createDataFrame(
+            [(10, "tiny doc"), (11, "tiny dog")], ["doc_id", "text"])
+        got = dict(_rows(batch_dedup_status(incoming, existing)))
+        assert got == {10: "exact_dup", 11: "new"}
+
+    def test_plan_semi_joins_no_cartesian(self, spark):
+        from geospark.operators.dedup import batch_dedup_status
+        incoming, existing = self._mk(spark)
+        plan = (batch_dedup_status(incoming, existing)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "LeftSemi" in plan
+        assert "Cartesian" not in plan and "NestedLoop" not in plan
