@@ -411,3 +411,100 @@ def geohash_sql(lat_expr: str, lon_expr: str, precision: int = 6,
             f"concat({', '.join(chars)}) AS geohash "
             f"FROM (SELECT *, {lx} AS _ghx, {ly} AS _ghy "
             f"FROM ({from_sql}))")
+
+
+# ---------------------------------------------------------------------------
+# Hilbert curve layout keys
+# ---------------------------------------------------------------------------
+
+def _hilbert_step(bit: int, n: int, dialect: str):
+    """One Hilbert xy2d round (classic quadrant fold: d += s^2 *
+    gray(rx,ry), then flip/swap) as (d', x', y') formula strings over
+    the running _hx/_hy/_hd names — ONE template rendered for both
+    dialects (only the bit-test syntax differs), so the engines cannot
+    drift on the rotation arithmetic."""
+    s = 1 << bit
+    if dialect == "spark":
+        rx, ry = (f"(shiftright(_hx, {bit}) & 1)",
+                  f"(shiftright(_hy, {bit}) & 1)")
+    else:
+        rx, ry = f"((_hx >> {bit}) & 1)", f"((_hy >> {bit}) & 1)"
+    dstep = (f"_hd + {s * s} * (CASE WHEN {rx} = 0 AND {ry} = 0 THEN 0 "
+             f"WHEN {rx} = 0 THEN 1 WHEN {ry} = 1 THEN 2 ELSE 3 END)")
+    nx = (f"(CASE WHEN {ry} = 1 THEN _hx WHEN {rx} = 0 THEN _hy "
+          f"ELSE {n - 1} - _hy END)")
+    ny = (f"(CASE WHEN {ry} = 1 THEN _hy WHEN {rx} = 0 THEN _hx "
+          f"ELSE {n - 1} - _hx END)")
+    return dstep, nx, ny
+
+
+def _hilbert_quant(lat_expr: str, lon_expr: str, order: int):
+    """(x, y) integer-cell quantization strings — identical text in
+    both dialects (floor/least/greatest/CAST exist in each), the
+    geohash/zorder clamp convention incl. +90/+180 to the last cell."""
+    n = 1 << order
+    ix = (f"CAST(floor(least(greatest((({lon_expr}) + 180.0) / 360.0 "
+          f"* {n}.0, 0.0), {n - 1}.0)) AS BIGINT)")
+    iy = (f"CAST(floor(least(greatest((({lat_expr}) + 90.0) / 180.0 "
+          f"* {n}.0, 0.0), {n - 1}.0)) AS BIGINT)")
+    return ix, iy
+
+
+def hilbert_encode(df, lat_col: str, lon_col: str, *, order: int = 8,
+                   out_col: str = "hkey"):
+    """Hilbert-curve layout key at ``order`` bits/axis — the
+    locality-preserving upgrade over the Morton key (every curve step
+    is a grid NEIGHBOR, so equal-count key ranges cover tighter
+    bounding boxes than Z-order's quadrant jumps; this is the
+    cluster-by key Delta/Iceberg OPTIMIZE uses for multi-dimensional
+    layout). Rendered as ``order`` chained projections (one quadrant
+    fold each) — all integer CASE/shift arithmetic, one map-only
+    whole-stage-codegen stage, no shuffle."""
+    from pyspark.sql import functions as F
+    n = 1 << order
+    ix, iy = _hilbert_quant(lat_col, lon_col, order)
+    t = df.select("*", F.expr(ix).alias("_hx"), F.expr(iy).alias("_hy"),
+                  F.expr("CAST(0 AS BIGINT)").alias("_hd"))
+    keep = df.columns
+    for bit in range(order - 1, -1, -1):
+        dstep, nx, ny = _hilbert_step(bit, n, "spark")
+        t = t.select(*keep, F.expr(nx).alias("_hx"),
+                     F.expr(ny).alias("_hy"), F.expr(dstep).alias("_hd"))
+    return t.select(*keep, F.col("_hd").alias(out_col))
+
+
+def hilbert_sql(lat_expr: str, lon_expr: str, from_sql: str, *,
+                order: int = 8, out_col: str = "hkey") -> str:
+    """DuckDB twin of hilbert_encode: the same quantization and the
+    same per-round fold templates, nested one subselect per round."""
+    n = 1 << order
+    ix, iy = _hilbert_quant(lat_expr, lon_expr, order)
+    sql = (f"SELECT *, {ix} AS _hx, {iy} AS _hy, "
+           f"CAST(0 AS BIGINT) AS _hd FROM ({from_sql})")
+    for bit in range(order - 1, -1, -1):
+        dstep, nx, ny = _hilbert_step(bit, n, "duckdb")
+        sql = (f"SELECT * EXCLUDE (_hx, _hy, _hd), {nx} AS _hx, "
+               f"{ny} AS _hy, {dstep} AS _hd FROM ({sql})")
+    return (f"SELECT * EXCLUDE (_hx, _hy, _hd), _hd AS {out_col} "
+            f"FROM ({sql})")
+
+
+def hilbert_d_np(x, y, order: int):
+    """Vectorized NumPy reference of the same xy2d fold (the test
+    ground truth, zorder_np's role)."""
+    x = np.asarray(x, dtype=np.int64).copy()
+    y = np.asarray(y, dtype=np.int64).copy()
+    n = 1 << order
+    d = np.zeros_like(x)
+    for bit in range(order - 1, -1, -1):
+        s = np.int64(1) << bit
+        rx = ((x >> bit) & 1).astype(np.int64)
+        ry = ((y >> bit) & 1).astype(np.int64)
+        d += s * s * ((3 * rx) ^ ry)
+        # rotate: ry==0 -> (rx==1 ? flip both with n-1 : id) then swap
+        flip = (ry == 0) & (rx == 1)
+        x2 = np.where(flip, n - 1 - x, x)
+        y2 = np.where(flip, n - 1 - y, y)
+        x, y = (np.where(ry == 0, y2, x2).astype(np.int64),
+                np.where(ry == 0, x2, y2).astype(np.int64))
+    return d

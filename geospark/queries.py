@@ -697,6 +697,43 @@ def q_zorder_keys(spark, sf_dir):
                       zorder_key("lat", "lon", 12).alias("zkey"))
 
 
+def q_hilbert_keys(spark, sf_dir):
+    """Hilbert-curve layout keys over the customer points (r5): the
+    locality-preserving sort key for file/row-group clustering —
+    every curve step is a grid neighbor, so equal-count key ranges
+    cover tighter bboxes than Morton's quadrant jumps. Map-only."""
+    from .functions.cells import hilbert_encode
+    pts = _cust_points(spark, sf_dir)
+    return (hilbert_encode(pts, "lat", "lon", order=8)
+            .select("c_custkey", "hkey"))
+
+
+def q_hilbert_pack(spark, sf_dir):
+    """Hilbert page packing (r5): sort by the Hilbert key, pack into
+    fixed-capacity pages (the maxRecordsPerFile writer model), report
+    per-page bbox + area — the min/max statistics a scan prunes on;
+    tighter pages = fewer false-positive file reads at 100 TB. The
+    global rank rides the two-phase distributed prefix sum (never a
+    single-partition window)."""
+    from pyspark.sql import functions as F
+    from .functions.cells import hilbert_encode
+    from .operators.pack import prefix_sum
+    pts = _cust_points(spark, sf_dir)
+    hk = hilbert_encode(pts, "lat", "lon", order=8)
+    r = prefix_sum(hk.withColumn("_one", F.lit(1)), "_one",
+                   ["hkey", "c_custkey"])
+    pg = r.select(F.expr("prefix div 100").alias("page"), "lat", "lon")
+    return (pg.groupBy("page")
+            .agg(F.count(F.lit(1)).alias("n_pts"),
+                 F.min("lat").alias("lat_min"),
+                 F.max("lat").alias("lat_max"),
+                 F.min("lon").alias("lon_min"),
+                 F.max("lon").alias("lon_max"),
+                 F.round((F.max("lat") - F.min("lat"))
+                         * (F.max("lon") - F.min("lon")), 6)
+                 .alias("bbox_area")))
+
+
 def q_dup_clusters(spark, sf_dir):
     """MinHash near-dup pairs -> connected components -> (doc_id,
     cluster_id): the grouping step a dedup pipeline runs after pair
@@ -1712,10 +1749,15 @@ QUERIES = {
     #    row (bbox_filter rotates just past the window: driver-green
     #    r1-r4 and subsumed by bbox_join's predicate machinery) --
     "batch_dedup": q_batch_dedup,
+    # -- round-5.9 additions, inside the window for their first driver
+    #    rows (cell_neighbors and events_daily_cells rotate just past
+    #    the window: both driver-green r4, and their machinery is still
+    #    exercised inside by hotspot_cells — the same
+    #    cell_neighbors_explode — and retention/funnel_by_cell) --
+    "hilbert_keys": q_hilbert_keys,
+    "hilbert_pack": q_hilbert_pack,
     # -- core rows kept inside the window --
     "cell_counts": q_cell_counts,
-    "cell_neighbors": q_cell_neighbors,
-    "events_daily_cells": q_events_daily_cells,
     "pip_join": q_pip_join,
     "pip_agg": q_pip_agg,
     # -- round-5 addition, inside the window for its first driver row --
@@ -1771,9 +1813,12 @@ QUERIES = {
     "simplify_boxes": q_simplify_boxes,
     "line_metrics": q_line_metrics,
     # (cell_assign/bbox_filter rotated out in r5.8 for best_of_cluster
-    #  and batch_dedup above; both driver-green r1-r4)
+    #  and batch_dedup, cell_neighbors/events_daily_cells in r5.9 for
+    #  hilbert_keys/hilbert_pack; all four driver-green r4 or earlier)
     "cell_assign": q_cell_assign,
     "bbox_filter": q_bbox_filter,
+    "cell_neighbors": q_cell_neighbors,
+    "events_daily_cells": q_events_daily_cells,
     "dedup_exact": q_dedup_exact,
     "ann_topk": q_ann_topk,
     "minhash_pairs": q_minhash_pairs,
@@ -2216,6 +2261,19 @@ def oracle_sql() -> dict[str, str]:
     out["zorder_keys"] = (
         f"SELECT c_custkey, {zorder_key_sql('lat', 'lon', 12)} AS zkey "
         f"FROM ({_CUST_PTS_CTE})")
+    from .functions.cells import hilbert_sql
+    out["hilbert_keys"] = (
+        f"SELECT c_custkey, hkey FROM ("
+        f"{hilbert_sql('lat', 'lon', _CUST_PTS_CTE, order=8)})")
+    out["hilbert_pack"] = (
+        f"WITH hk AS ({hilbert_sql('lat', 'lon', _CUST_PTS_CTE, order=8)}), "
+        f"rk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY hkey ASC, "
+        f"c_custkey ASC) - 1 AS r FROM hk) "
+        f"SELECT r // 100 AS page, COUNT(*) AS n_pts, "
+        f"MIN(lat) AS lat_min, MAX(lat) AS lat_max, "
+        f"MIN(lon) AS lon_min, MAX(lon) AS lon_max, "
+        f"ROUND((MAX(lat) - MIN(lat)) * (MAX(lon) - MIN(lon)), 6) "
+        f"AS bbox_area FROM rk GROUP BY 1")
     out["simhash"] = simhash_sql()
     out["ngram_pairs"] = ngram_pairs_sql()
     out["embed_near_dup"] = lsh_near_dup_sql(threshold=0.3)

@@ -82,3 +82,85 @@ class TestBatchDedupStatus:
                 ._jdf.queryExecution().executedPlan().toString())
         assert "LeftSemi" in plan
         assert "Cartesian" not in plan and "NestedLoop" not in plan
+
+
+class TestHilbert:
+    def test_known_vectors_and_full_curve_adjacency(self):
+        import numpy as np
+
+        from geospark.functions.cells import hilbert_d_np
+        # classic order-1 quadrant order: (0,0)->0 (0,1)->1 (1,1)->2 (1,0)->3
+        assert list(hilbert_d_np([0, 0, 1, 1], [0, 1, 1, 0], 1)) == \
+            [0, 1, 2, 3]
+        # a Hilbert curve visits every cell once and every step is a
+        # GRID NEIGHBOR (the property Morton lacks) — full order-4 grid
+        order, n = 4, 16
+        xs, ys = np.meshgrid(np.arange(n), np.arange(n))
+        d = hilbert_d_np(xs.ravel(), ys.ravel(), order)
+        assert sorted(d) == list(range(n * n))
+        pos = np.empty((n * n, 2), dtype=np.int64)
+        pos[d] = np.stack([xs.ravel(), ys.ravel()], 1)
+        assert (np.abs(np.diff(pos, axis=0)).sum(1) == 1).all()
+
+    def test_spark_matches_numpy_and_duckdb(self, spark):
+        import duckdb
+        import numpy as np
+
+        from geospark.functions.cells import (hilbert_d_np,
+                                              hilbert_encode, hilbert_sql)
+        pts = [(i, float((i * 37) % 180 - 90), float((i * 91) % 360 - 180))
+               for i in range(500)]
+        # include the +90/+180 corner clamp
+        pts += [(9001, 90.0, 180.0), (9002, -90.0, -180.0)]
+        df = spark.createDataFrame(pts, ["id", "lat", "lon"])
+        got = {r["id"]: r["hkey"]
+               for r in hilbert_encode(df, "lat", "lon", order=8).collect()}
+        n = 1 << 8
+        ids = np.array([p[0] for p in pts])
+        lat = np.array([p[1] for p in pts])
+        lon = np.array([p[2] for p in pts])
+        x = np.clip(np.floor((lon + 180) / 360 * n), 0, n - 1).astype("int64")
+        y = np.clip(np.floor((lat + 90) / 180 * n), 0, n - 1).astype("int64")
+        ref = hilbert_d_np(x, y, 8)
+        assert got == {int(i): int(v) for i, v in zip(ids, ref)}
+        con = duckdb.connect()
+        con.execute("CREATE TABLE pts (id INT, lat DOUBLE, lon DOUBLE)")
+        con.executemany("INSERT INTO pts VALUES (?, ?, ?)", pts)
+        dd = con.execute(
+            hilbert_sql("lat", "lon", "SELECT * FROM pts", order=8)
+        ).fetchall()
+        assert {r[0]: r[3] for r in dd} == got
+
+    def test_map_only_plan(self, spark):
+        from geospark.functions.cells import hilbert_encode
+        df = spark.createDataFrame([(1, 0.0, 0.0)], ["id", "lat", "lon"])
+        plan = (hilbert_encode(df, "lat", "lon")
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "Exchange" not in plan
+
+    def test_hilbert_pages_tighter_than_morton(self, spark):
+        """The reason Hilbert exists in the engine: equal-count pages
+        cover smaller bboxes than Morton order on the same points
+        (measured 5725 vs 9073 avg deg^2 at sf0.01) -> fewer
+        false-positive file reads under min/max pruning."""
+        from pyspark.sql import functions as F
+
+        from geospark.functions.cells import hilbert_encode, zorder_key
+        from geospark.queries import _cust_points
+
+        def avg_area(keyed):
+            from pyspark.sql import Window
+            w = Window.orderBy("hkey", "c_custkey")
+            pg = (keyed.withColumn("r", F.row_number().over(w) - 1)
+                  .withColumn("page", F.expr("r div 100")))
+            a = (pg.groupBy("page")
+                 .agg(((F.max("lat") - F.min("lat"))
+                       * (F.max("lon") - F.min("lon"))).alias("area")))
+            return a.agg(F.avg("area")).collect()[0][0]
+
+        pts = _cust_points(spark, "/root/testdata/sf0.01")
+        hil = avg_area(hilbert_encode(pts, "lat", "lon", order=8))
+        mor = avg_area(pts.select(
+            "c_custkey", "lat", "lon",
+            zorder_key("lat", "lon", 8).alias("hkey")))
+        assert hil < mor * 0.75, (hil, mor)
