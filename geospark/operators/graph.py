@@ -1,0 +1,92 @@
+"""Link-graph operators for web-corpus curation.
+
+PageRank-family link scoring is a first-class curation signal for web
+training data (spam demotion, crawl prioritization, quality-weighted
+sampling).  The recurrence here is INTEGER-EXACT: ranks are BIGINT
+micro-units and every step is floor division / integer sums —
+commutative and engine-identical, so a DuckDB twin hash-matches where
+a floating-point PageRank would drift with partial-sum order.
+
+Scale notes (10^10 nodes): one iteration = one src-keyed equi-join
+(rank × out-degree, both narrow) + one dst-keyed groupBy SUM with
+map-side combine — the classic Pregel-as-relational layout.  Hub skew
+(a node with 10^6 in-links) is an AQE skew-join case, not a custom
+path.  Lineage is truncated per iteration through materialize() (the
+CC convention; reliable tier via spark.geospark.reliableCheckpoint).
+"""
+
+from __future__ import annotations
+
+from ..materialize import materialize
+
+# 10^12 micro-units of total rank mass; BIGINT headroom: the total mass
+# is conserved (sums of floors only shrink), so no intermediate can
+# exceed SCALE < 2^63 even on a single-node star graph.
+SCALE = 10**12
+
+
+def pagerank(edges, n_nodes: int, *, iters: int = 5,
+             damping_pct: int = 85, src_col: str = "src",
+             dst_col: str = "dst", id_col: str = "doc_id",
+             rank_col: str = "rank_micro"):
+    """Integer PageRank over ``edges`` (src, dst); every node 0..n-1
+    is ranked even with no in-links.  r_0 = SCALE // n; one step:
+
+        r'(v) = (100 - d) * (SCALE // n) // 100
+                + d * SUM over in-edges u->v of (r(u) // outdeg(u)) // 100
+
+    All floor arithmetic on BIGINT micro-units -> bit-identical on any
+    engine and any partitioning.  Dangling nodes (outdeg 0) simply
+    leak their mass — the convention DuckDB's twin mirrors; redistribute
+    upstream by adding sink edges if conservation matters.
+    -> (id, rank_micro) for all n nodes."""
+    from pyspark.sql import functions as F
+    spark = edges.sparkSession
+    base_all = SCALE // n_nodes
+    base = (100 - damping_pct) * base_all // 100
+    nodes = spark.range(n_nodes).select(F.col("id").alias(id_col))
+    deg = edges.groupBy(src_col).agg(F.count(F.lit(1)).alias("_deg"))
+    ed = materialize(edges.join(deg, src_col))
+    r = nodes.select(id_col, F.lit(base_all).cast("long").alias("_r"))
+    for _ in range(iters):
+        contrib = (ed.join(r, ed[src_col] == r[id_col])
+                   .select(F.col(dst_col).alias("_v"),
+                           F.expr("_r div _deg").alias("_c")))
+        s = contrib.groupBy("_v").agg(F.sum("_c").alias("_s"))
+        r = (nodes.join(s, nodes[id_col] == s["_v"], "left")
+             .select(id_col,
+                     (F.lit(base) + F.expr(
+                         f"({damping_pct} * coalesce(_s, 0)) div 100"))
+                     .cast("long").alias("_r")))
+        r = materialize(r)
+    return r.select(id_col, F.col("_r").alias(rank_col))
+
+
+def pagerank_sql(edges_sql: str, nodes_sql: str, n_nodes_sql: str, *,
+                 iters: int = 5, damping_pct: int = 85,
+                 rank_col: str = "rank_micro") -> str:
+    """DuckDB twin: the same integer recurrence unrolled as one CTE
+    per iteration (generated here, so the arithmetic exists once).
+    ``nodes_sql`` is a SELECT producing the node ids as ``id`` (DuckDB's
+    range() table function rejects subquery bounds, so the node set is
+    passed explicitly); ``n_nodes_sql`` a scalar subquery/literal for n."""
+    base_all = f"(({SCALE}) // ({n_nodes_sql}))"
+    base = f"((100 - {damping_pct}) * {base_all} // 100)"
+    ctes = [
+        f"edges AS ({edges_sql})",
+        ("deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src)"),
+        ("ed AS (SELECT e.src, e.dst, d.deg FROM edges e "
+         "JOIN deg d USING (src))"),
+        f"nodes AS ({nodes_sql})",
+        f"r0 AS (SELECT id, CAST({base_all} AS BIGINT) AS r FROM nodes)",
+    ]
+    for i in range(iters):
+        ctes.append(
+            f"r{i + 1} AS (SELECT n.id, CAST({base} + "
+            f"({damping_pct} * COALESCE(s.s, 0)) // 100 AS BIGINT) AS r "
+            f"FROM nodes n LEFT JOIN ("
+            f"SELECT ed.dst AS v, SUM(p.r // ed.deg) AS s "
+            f"FROM ed JOIN r{i} p ON ed.src = p.id GROUP BY ed.dst"
+            f") s ON n.id = s.v)")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT id AS doc_id, r AS {rank_col} FROM r{iters}")

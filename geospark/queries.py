@@ -697,6 +697,25 @@ def q_zorder_keys(spark, sf_dir):
                       zorder_key("lat", "lon", 12).alias("zkey"))
 
 
+def q_link_rank(spark, sf_dir):
+    """Integer-exact PageRank over a deterministic synthetic link
+    graph (r5): doc u links to (7u + 13j + 1) mod N for j in 0..2 —
+    the link-graph quality signal web-curation pipelines use for spam
+    demotion and crawl prioritization. BIGINT micro-unit ranks, floor
+    arithmetic only, so the 5-iteration recurrence is bit-identical
+    to the unrolled DuckDB twin under any partitioning."""
+    from pyspark.sql import functions as F
+    from .operators.graph import pagerank
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    n = d.count()
+    edges = (d.select(F.col("doc_id").alias("src"),
+                      F.explode(F.array(*[
+                          (F.col("doc_id") * 7 + 13 * j + 1) % n
+                          for j in range(3)])).alias("dst"))
+             .filter(F.col("src") != F.col("dst")).distinct())
+    return pagerank(edges, n)
+
+
 def q_hilbert_keys(spark, sf_dir):
     """Hilbert-curve layout keys over the customer points (r5): the
     locality-preserving sort key for file/row-group clustering —
@@ -1756,13 +1775,18 @@ QUERIES = {
     #    cell_neighbors_explode — and retention/funnel_by_cell) --
     "hilbert_keys": q_hilbert_keys,
     "hilbert_pack": q_hilbert_pack,
+    # -- round-5.10 addition, inside the window for its first driver
+    #    row (pip_semi rotates just past the window: driver-green r4,
+    #    machinery fully covered by pip_join/pip_anti/pip_agg inside) --
+    "link_rank": q_link_rank,
     # -- core rows kept inside the window --
     "cell_counts": q_cell_counts,
     "pip_join": q_pip_join,
     "pip_agg": q_pip_agg,
     # -- round-5 addition, inside the window for its first driver row --
     "pip_tile_agg": q_pip_tile_agg,
-    "pip_semi": q_pip_semi,
+    # (pip_semi rotated just past the window in r5.10 for link_rank;
+    #  driver-green r4)
     "pip_anti": q_pip_anti,
     "knn": q_knn,
     "st_roundtrip": q_st_roundtrip,
@@ -1819,6 +1843,8 @@ QUERIES = {
     "bbox_filter": q_bbox_filter,
     "cell_neighbors": q_cell_neighbors,
     "events_daily_cells": q_events_daily_cells,
+    # (pip_semi rotated out in r5.10 for link_rank; driver-green r4)
+    "pip_semi": q_pip_semi,
     "dedup_exact": q_dedup_exact,
     "ann_topk": q_ann_topk,
     "minhash_pairs": q_minhash_pairs,
@@ -2261,6 +2287,16 @@ def oracle_sql() -> dict[str, str]:
     out["zorder_keys"] = (
         f"SELECT c_custkey, {zorder_key_sql('lat', 'lon', 12)} AS zkey "
         f"FROM ({_CUST_PTS_CTE})")
+    from .operators.graph import pagerank_sql
+    _n_docs = "(SELECT COUNT(*) FROM documents)"
+    out["link_rank"] = pagerank_sql(
+        f"SELECT DISTINCT src, dst FROM ("
+        f"SELECT doc_id AS src, "
+        f"(doc_id * 7 + 13 * j + 1) % {_n_docs} AS dst "
+        f"FROM documents CROSS JOIN (SELECT unnest([0, 1, 2]) AS j)"
+        f") WHERE src <> dst",
+        "SELECT CAST(doc_id AS BIGINT) AS id FROM documents",
+        _n_docs)
     from .functions.cells import hilbert_sql
     out["hilbert_keys"] = (
         f"SELECT c_custkey, hkey FROM ("

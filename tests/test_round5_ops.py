@@ -164,3 +164,51 @@ class TestHilbert:
             "c_custkey", "lat", "lon",
             zorder_key("lat", "lon", 8).alias("hkey")))
         assert hil < mor * 0.75, (hil, mor)
+
+
+class TestPagerank:
+    def _ref(self, edges, n, iters=5, d=85):
+        """Plain-Python mirror of the integer recurrence."""
+        from collections import defaultdict
+        from geospark.operators.graph import SCALE
+        deg = defaultdict(int)
+        for u, _v in edges:
+            deg[u] += 1
+        base_all = SCALE // n
+        base = (100 - d) * base_all // 100
+        r = {v: base_all for v in range(n)}
+        for _ in range(iters):
+            s = defaultdict(int)
+            for u, v in edges:
+                s[v] += r[u] // deg[u]
+            r = {v: base + (d * s[v]) // 100 for v in range(n)}
+        return r
+
+    def test_matches_python_reference(self, spark):
+        from geospark.operators.graph import SCALE, pagerank
+        edges = [(0, 1), (1, 2), (2, 0), (3, 0), (3, 1), (4, 0)]
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        got = dict(_rows(pagerank(df, 5)))
+        assert got == self._ref(edges, 5)
+        # a node with in-links outranks the pure-sink nodes 3 and 4
+        assert got[0] > got[3] == got[4]
+        # integer mass only leaks (floors), never grows
+        assert sum(got.values()) <= SCALE
+
+    def test_no_in_links_gets_base_only(self, spark):
+        from geospark.operators.graph import SCALE, pagerank
+        df = spark.createDataFrame([(0, 1)], ["src", "dst"])
+        got = dict(_rows(pagerank(df, 2, iters=1)))
+        base_all = SCALE // 2
+        assert got[0] == (100 - 85) * base_all // 100
+        assert got[1] == got[0] + (85 * base_all) // 100
+
+    def test_iteration_lineage_truncated(self, spark):
+        """Each iteration materializes: the final plan scans a frozen
+        RDD instead of replaying 5 joins of lineage (the CC rule)."""
+        from geospark.operators.graph import pagerank
+        df = spark.createDataFrame([(0, 1), (1, 0)], ["src", "dst"])
+        plan = (pagerank(df, 2)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "Scan ExistingRDD" in plan
+        assert "Cartesian" not in plan
