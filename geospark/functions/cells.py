@@ -265,16 +265,27 @@ def zorder_key_sql(lat_expr: str, lon_expr: str, res: int = 12) -> str:
 
 def write_zordered(df, path: str, *, lat_col: str = "lat",
                    lon_col: str = "lon", res: int = 12,
-                   n_files: int | None = None):
-    """Write ``df`` as parquet clustered by Morton key:
+                   n_files: int | None = None, curve: str = "morton"):
+    """Write ``df`` as parquet clustered by a space-filling-curve key:
     repartitionByRange on the key (range partitioner -> each output
     file owns a contiguous key span) + sortWithinPartitions (-> row
     groups inside a file are tight envelopes). After this, any bbox
     predicate over lat/lon prunes at BOTH the file level (partition
-    range) and the row-group level (column min/max stats)."""
+    range) and the row-group level (column min/max stats).
+
+    ``curve``: "morton" (Z-order, default) or "hilbert" — Hilbert
+    ranges cover tighter bboxes (every curve step is a grid neighbor),
+    so the same bbox query touches fewer files; measured at sf0.01 the
+    avg 100-row page bbox is 5725 vs 9073 deg^2 (test-pinned)."""
     F = _F()
-    zk = zorder_key(lat_col, lon_col, res).alias("_zkey")
-    out = df.withColumn("_zkey", zk)
+    if curve == "hilbert":
+        out = (hilbert_encode(df, lat_col, lon_col, order=min(res, 16),
+                              out_col="_zkey"))
+    elif curve == "morton":
+        zk = zorder_key(lat_col, lon_col, res).alias("_zkey")
+        out = df.withColumn("_zkey", zk)
+    else:
+        raise ValueError(f"curve={curve!r} (want 'morton' or 'hilbert')")
     parts = [F.col("_zkey")]
     w = (out.repartitionByRange(*([n_files] if n_files else []), *parts)
          .sortWithinPartitions("_zkey"))

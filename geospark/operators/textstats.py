@@ -421,7 +421,8 @@ FROM tok GROUP BY term HAVING COUNT(*) >= {min_df}
 
 def group_quantiles(df, value_col: str, group_col: str, *,
                     ps: tuple[int, ...] = (50, 90, 99),
-                    tie_col: str | None = None):
+                    tie_col: str | None = None, exact: bool = True,
+                    accuracy: int = 10000):
     """Discrete (type-1) quantiles of ``value_col`` per group — the
     distribution snapshot a curation dashboard wants (p50/p90/p99 doc
     length per language). DISCRETE on purpose: interpolated quantiles
@@ -429,10 +430,22 @@ def group_quantiles(df, value_col: str, group_col: str, *,
     a row's actual value, and the target rank ceil(p*n/100) is
     computed in pure integers ((p*n + 99) div 100) — engine-exact.
 
-    Scale: one group-keyed exchange carries both the rank window and
-    the conditional aggregate. -> (group, n, q<p>...)."""
+    ``exact=True`` (the oracle-gated tier): one group-keyed exchange
+    carries both the rank window and the conditional aggregate — the
+    window sorts every group's rows, the right trade below ~10^8 rows
+    per group.  ``exact=False``: percentile_approx (Greenwald-Khanna
+    sketch, rank error <= n/accuracy) as a plain aggregate — partial
+    sketches merge map-side, nothing sorts, the distinct_per_cell
+    exact/HLL convention for the 10^12-row tier.  Same output schema
+    either way. -> (group, n, q<p>...)."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
+    if not exact:
+        aggs = [F.count(F.lit(1)).alias("n")]
+        for p in ps:
+            aggs.append(F.percentile_approx(
+                value_col, p / 100.0, accuracy).alias(f"q{p}"))
+        return df.groupBy(group_col).agg(*aggs)
     order = [F.col(value_col).asc()]
     if tie_col:
         order.append(F.col(tie_col).asc())

@@ -212,3 +212,114 @@ class TestPagerank:
                 ._jdf.queryExecution().executedPlan().toString())
         assert "Scan ExistingRDD" in plan
         assert "Cartesian" not in plan
+
+
+class TestApproxQuantileTier:
+    def _base(self, spark):
+        from pyspark.sql import functions as F
+
+        from geospark.operators.pack import PACK_TOKEN_RX
+        d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        return d.select(
+            "lang", "doc_id",
+            F.regexp_count(F.col("text"), F.lit(PACK_TOKEN_RX))
+            .cast("long").alias("n_tokens"))
+
+    def test_approx_within_rank_error_of_exact(self, spark):
+        from geospark.operators.textstats import group_quantiles
+        base = self._base(spark)
+        acc = 1000
+        exact = {r["lang"]: r.asDict() for r in group_quantiles(
+            base, "n_tokens", "lang", tie_col="doc_id").collect()}
+        approx = {r["lang"]: r.asDict() for r in group_quantiles(
+            base, "n_tokens", "lang", exact=False,
+            accuracy=acc).collect()}
+        assert set(exact) == set(approx)
+        vals = {g: sorted(
+            r["n_tokens"] for r in base.filter(base.lang == g).collect())
+            for g in exact}
+        for g, ex in exact.items():
+            n = ex["n"]
+            assert approx[g]["n"] == n
+            for p in (50, 90, 99):
+                got = approx[g][f"q{p}"]
+                # GK guarantee: the returned value's rank is within
+                # n/accuracy of the target rank
+                target = (p * n + 99) // 100
+                lo = max(0, target - n // acc - 1)
+                hi = min(n - 1, target + n // acc)
+                assert vals[g][lo] <= got <= vals[g][hi], (g, p, got)
+
+    def test_schemas_match_and_plans_differ(self, spark):
+        from geospark.operators.textstats import group_quantiles
+        base = self._base(spark)
+        ex = group_quantiles(base, "n_tokens", "lang", tie_col="doc_id")
+        ap = group_quantiles(base, "n_tokens", "lang", exact=False)
+        assert ex.columns == ap.columns
+        exp = ex._jdf.queryExecution().executedPlan().toString()
+        app = ap._jdf.queryExecution().executedPlan().toString()
+        assert "Window" in exp
+        # approx tier: plain aggregate, no per-group sort anywhere
+        assert "Window" not in app and "Sort" not in app
+
+
+class TestWriteClustered:
+    def _files_touched(self, path, bbox):
+        """Files whose footer lat/lon min/max intersect bbox — exactly
+        the file-level pruning a scan performs on the statistics."""
+        import os
+
+        import pyarrow.parquet as pq
+        lat0, lat1, lon0, lon1 = bbox
+        touched, total = 0, 0
+        for f in os.listdir(path):
+            if not f.endswith(".parquet"):
+                continue
+            total += 1
+            md = pq.read_metadata(os.path.join(path, f))
+            mins = {"lat": [], "lon": []}
+            maxs = {"lat": [], "lon": []}
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    col = md.row_group(rg).column(ci)
+                    name = col.path_in_schema
+                    if name in mins and col.statistics is not None:
+                        mins[name].append(col.statistics.min)
+                        maxs[name].append(col.statistics.max)
+            if (min(mins["lat"]) <= lat1 and max(maxs["lat"]) >= lat0
+                    and min(mins["lon"]) <= lon1
+                    and max(maxs["lon"]) >= lon0):
+                touched += 1
+        return touched, total
+
+    def test_hilbert_curve_prunes_at_least_as_well(self, spark, tmp_path):
+        from geospark.functions.cells import write_zordered
+        from geospark.queries import _cust_points
+        pts = _cust_points(spark, "/root/testdata/sf0.01")
+        pm = str(tmp_path / "morton")
+        ph = str(tmp_path / "hilbert")
+        write_zordered(pts, pm, res=8, n_files=16)
+        write_zordered(pts, ph, res=8, n_files=16, curve="hilbert")
+        bbox = (10.0, 30.0, -40.0, -10.0)
+        tm, nm = self._files_touched(pm, bbox)
+        th, nh = self._files_touched(ph, bbox)
+        assert nm == nh == 16
+        # both layouts prune, and hilbert never touches more files
+        assert tm < nm and th < nh
+        assert th <= tm, (th, tm)
+        # correctness: both layouts return identical filtered rows
+        q = ("lat >= 10.0 AND lat <= 30.0 AND "
+             "lon >= -40.0 AND lon <= -10.0")
+        a = sorted(r["c_custkey"] for r in
+                   spark.read.parquet(pm).filter(q).collect())
+        b = sorted(r["c_custkey"] for r in
+                   spark.read.parquet(ph).filter(q).collect())
+        assert a == b and a
+
+    def test_bad_curve_raises(self, spark, tmp_path):
+        import pytest
+
+        from geospark.functions.cells import write_zordered
+        df = spark.createDataFrame([(0.0, 0.0)], ["lat", "lon"])
+        with pytest.raises(ValueError):
+            write_zordered(df, str(tmp_path / "x"), curve="peano")
