@@ -801,6 +801,48 @@ def q_batch_dedup(spark, sf_dir):
     return batch_dedup_status(incoming, existing)
 
 
+def q_stream_batch_dedup(spark, sf_dir):
+    """The STREAMING incremental-dedup tier under the full value-hash
+    oracle (the stream_sessionize convention): the q_batch_dedup
+    incoming batch is replayed as a file stream in several
+    microbatches through stream_batch_dedup — map-only per-row MinHash
+    signature + stream-static digest joins, zero streaming state, so
+    the batch operator's SQL twin is the exact oracle. Deterministic:
+    append mode, no watermark, same rows every run."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+    from pyspark.sql import functions as F
+    from .streaming.stream import stream_batch_dedup
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    incoming = (d.filter(F.col("doc_id") % 5 == 0)
+                .select("doc_id", "text")
+                .unionAll(
+                    d.filter((F.col("doc_id") % 5 != 0)
+                             & (F.col("doc_id") % 97 == 1))
+                    .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                            "text")))
+    existing = d.filter(F.col("doc_id") % 5 != 0).select("doc_id", "text")
+    work = tempfile.mkdtemp(prefix="geospark_stream_bd_")
+    src = os.path.join(work, "src")
+    incoming.repartitionByRange(4, "doc_id").write \
+        .mode("overwrite").parquet(src)
+    sdf = (spark.readStream.schema("doc_id bigint, text string")
+           .option("maxFilesPerTrigger", 1).parquet(src))
+    out = stream_batch_dedup(sdf, existing)
+    name = f"gs_stream_bd_{uuid.uuid4().hex[:8]}"
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("append")
+         .option("checkpointLocation", os.path.join(work, "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    res = materialize(spark.table(name).select("doc_id", "status"))
+    spark.catalog.dropTempView(name)
+    shutil.rmtree(work, ignore_errors=True)
+    return res
+
+
 def q_simhash(spark, sf_dir):
     from .operators.dedup import simhash
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -1750,7 +1792,10 @@ QUERIES = {
     "box_geom_stats": q_box_geom_stats,
     "sessionize": q_sessionize,
     "distance_join": q_distance_join,
-    "boilerplate": q_boilerplate,
+    # -- round-5.11 addition, inside the window for its first driver
+    #    row (boilerplate rotates just past the window: driver-green
+    #    r4, chunks machinery still inside via host_dup) --
+    "stream_batch_dedup": q_stream_batch_dedup,
     "zorder_keys": q_zorder_keys,
     "cell_compact": q_cell_compact,
     "funnel": q_funnel,
@@ -1843,8 +1888,10 @@ QUERIES = {
     "bbox_filter": q_bbox_filter,
     "cell_neighbors": q_cell_neighbors,
     "events_daily_cells": q_events_daily_cells,
-    # (pip_semi rotated out in r5.10 for link_rank; driver-green r4)
+    # (pip_semi rotated out in r5.10 for link_rank, boilerplate in
+    #  r5.11 for stream_batch_dedup; both driver-green r4)
     "pip_semi": q_pip_semi,
+    "boilerplate": q_boilerplate,
     "dedup_exact": q_dedup_exact,
     "ann_topk": q_ann_topk,
     "minhash_pairs": q_minhash_pairs,
@@ -2210,6 +2257,9 @@ def oracle_sql() -> dict[str, str]:
         "UNION ALL SELECT doc_id + 1000000 AS doc_id, text "
         "FROM documents WHERE doc_id % 5 <> 0 AND doc_id % 97 = 1",
         "SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0")
+    # the streaming tier computes the same classification, so the batch
+    # twin is its exact oracle (the stream_sessionize convention)
+    out["stream_batch_dedup"] = out["batch_dedup"]
     _h64 = ("CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) "
             "AS BIGINT)")
     out["doc_sample"] = (

@@ -291,3 +291,76 @@ def run_available_now(stream_df, checkpoint_dir: str, out_table: str,
          .start())
     q.awaitTermination()
     return q
+
+
+def stream_batch_dedup(stream_df, existing, *, text_col: str = "text",
+                       id_col: str = "doc_id", n_hashes: int = 16,
+                       k: int = 4, bands: int = 4):
+    """Streaming tier of batch_dedup_status (operators/dedup.py): each
+    arriving document is classified 'exact_dup' / 'near_dup' / 'new'
+    against a STATIC existing corpus — the online admission check a
+    continuous crawl runs before paying storage for a page.
+
+    Same answers as the batch operator (test-pinned equality), but a
+    streaming-legal plan: the per-doc MinHash signature is computed
+    MAP-ONLY (one md5 pass over the shingle array, then n_hashes
+    array_min folds — no groupBy, so no watermark/state), and every
+    probe is a stream-static LEFT join against the corpus's digest
+    tables (exact md5 + one table per LSH band), marker columns in
+    place of the batch semi-joins.  Append mode, zero streaming state;
+    the static digest tables are computed once with the batch
+    machinery and persist across micro-batches.  Shingle-less docs get
+    NULL band keys (never match) — the batch rule."""
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import (_hash64_col, band_rows,
+                                   minhash_signature, perm_constants,
+                                   shingles_col)
+    rpb = n_hashes // bands
+    consts = perm_constants(n_hashes)
+
+    # --- static side (batch machinery, one-time) ---
+    exh = (existing.select(F.md5(F.col(text_col)).alias("_h"))
+           .distinct()
+           .withColumn("_exact", F.lit(1)).persist())
+    ex_bands = (band_rows(
+        minhash_signature(existing, text_col, id_col, n_hashes, k),
+        id_col, bands, rpb)
+        .select("band", "bh").distinct().persist())
+    band_tables = [
+        ex_bands.filter(F.col("band") == i)
+        .select(F.col("bh").alias(f"_exbh{i}"),
+                F.lit(1).alias(f"_near{i}"))
+        for i in range(bands)]
+
+    # --- stream side: map-only signature + bands ---
+    s = stream_df.withColumn("_hs", F.transform(
+        shingles_col(text_col, k), lambda x: _hash64_col(x)))
+
+    def _xored(c):
+        # single-arg lambda on purpose: a `lambda h, c=c:` two-parameter
+        # signature makes F.transform pass the ELEMENT INDEX as c
+        return lambda h: h.bitwiseXOR(F.lit(c))
+
+    sigs = [F.array_min(F.transform("_hs", _xored(c))).alias(f"_m{i}")
+            for i, c in enumerate(consts)]
+    s = s.select(F.col(id_col), F.md5(F.col(text_col)).alias("_h"),
+                 F.size("_hs").alias("_nsh"), *sigs)
+    for i in range(bands):
+        bh = F.md5(F.concat_ws(",", *[
+            F.col(f"_m{i * rpb + j}").cast("string")
+            for j in range(rpb)]))
+        s = s.withColumn(f"_bh{i}",
+                         F.when(F.col("_nsh") > 0, bh))
+
+    # --- stream-static probes (left joins, marker columns) ---
+    out = s.join(exh, "_h", "left")
+    for i, bt in enumerate(band_tables):
+        out = out.join(bt, out[f"_bh{i}"] == bt[f"_exbh{i}"], "left")
+    near_any = F.greatest(*[F.coalesce(F.col(f"_near{i}"), F.lit(0))
+                            for i in range(bands)])
+    return out.select(
+        F.col(id_col),
+        F.when(F.col("_exact") == 1, F.lit("exact_dup"))
+        .when(near_any == 1, F.lit("near_dup"))
+        .otherwise(F.lit("new")).alias("status"))

@@ -323,3 +323,44 @@ class TestWriteClustered:
         df = spark.createDataFrame([(0.0, 0.0)], ["lat", "lon"])
         with pytest.raises(ValueError):
             write_zordered(df, str(tmp_path / "x"), curve="peano")
+
+
+class TestStreamBatchDedup:
+    def test_stream_matches_batch_classification(self, spark, tmp_path):
+        """The streaming tier (map-only signature + stream-static
+        joins) classifies every doc exactly as the batch operator."""
+        from geospark.operators.dedup import batch_dedup_status
+        from geospark.streaming.stream import (run_available_now,
+                                               stream_batch_dedup)
+        base = ("the quick brown fox jumps over the lazy dog and then "
+                "runs far away into the deep dark woods tonight")
+        near = ("the quick brown fox jumps over the lazy dog and then "
+                "runs far away into the deep dark woods tomorrow")
+        existing = spark.createDataFrame(
+            [(1, base),
+             (2, "completely unrelated corpus text about spark engines "
+                 "and parquet column pruning at petabyte scale daily"),
+             (3, "tiny doc")],
+            ["doc_id", "text"])
+        incoming = spark.createDataFrame(
+            [(10, base), (11, near),
+             (12, "nothing like anything else in the corpus at all "
+                  "zebra quantum volcano umbrella seventeen"),
+             (13, "tiny doc"), (14, "tiny dog")],
+            ["doc_id", "text"])
+        src = str(tmp_path / "incoming")
+        incoming.coalesce(2).write.parquet(src)
+
+        stream = (spark.readStream
+                  .schema("doc_id bigint, text string").parquet(src))
+        classified = stream_batch_dedup(stream, existing)
+        assert classified.isStreaming
+        run_available_now(classified, str(tmp_path / "ck"),
+                          "stream_bd_out")
+        got = sorted(tuple(r) for r in
+                     spark.sql("SELECT * FROM stream_bd_out").collect())
+        want = sorted(tuple(r) for r in
+                      batch_dedup_status(incoming, existing).collect())
+        assert got == want
+        assert dict(got) == {10: "exact_dup", 11: "near_dup", 12: "new",
+                             13: "exact_dup", 14: "new"}
