@@ -244,3 +244,130 @@ def cell_moments_sql(pts_sql: str, res: int, value_sql: str, *,
             f"CAST(SUM(v * v) AS BIGINT) AS sum_{val_name}2 "
             f"FROM (SELECT lat, lon, {value_sql} AS v "
             f"FROM ({pts_sql})) GROUP BY 1")
+
+
+def _traverse_crossing(axis: str, n: int):
+    """Shared formula strings for one crossing family of the segment
+    supercover (identical text in both dialects; u/v are cell-space
+    doubles, legs carry _u0/_v0/_u1/_v1).  ``axis`` = 'x' (vertical
+    gridlines -> k is the entered cell's x) or 'y' (symmetric).
+
+    Convention (engine-shared, so the hash gate sees one answer):
+    cells = endpoint cells of every point, plus the cell entered after
+    each gridline crossing strictly inside the leg's span; a crossing
+    exactly on a lattice corner counts once per axis."""
+    a0, a1, b0, b1 = (("_u0", "_u1", "_v0", "_v1") if axis == "x"
+                      else ("_v0", "_v1", "_u0", "_u1"))
+    lo = f"CAST(floor(least({a0}, {a1})) AS BIGINT) + 1"
+    hi = f"CAST(floor(greatest({a0}, {a1})) AS BIGINT)"
+    # entered cell index along the crossing axis: k when moving up
+    # (a1 > a0), k-1 when moving down
+    ca = f"(CASE WHEN {a1} > {a0} THEN k ELSE k - 1 END)"
+    # other coordinate at the crossing instant (same double formula
+    # text both engines -> identical IEEE result)
+    cb = (f"CAST(floor({b0} + (CAST(k AS DOUBLE) - {a0}) "
+          f"/ ({a1} - {a0}) * ({b1} - {b0})) AS BIGINT)")
+    return lo, hi, ca, cb
+
+
+def traverse_cells(points, res: int, *, user_col: str = "user_id",
+                   order_cols=("ts", "event_id"),
+                   lat_col: str = "lat", lon_col: str = "lon"):
+    """Cells visited by each user's trajectory — the exact segment
+    supercover (map-matching precursor / coverage analytics): every
+    grid cell a leg passes through, not just the cells the sample
+    points land in.  Crossing-based: a leg from cell A to cell B
+    contributes one cell per gridline it crosses, generated with
+    ``sequence`` + ``explode`` — no iteration, no UDF.
+
+    Scale: one user-keyed lag window builds legs; the crossing explode
+    is map-side (output rows ~= cells crossed, bounded by leg length
+    in cells); one distinct + count agg keyed by user.  Long legs
+    (teleporting users) explode proportionally — cap leg length
+    upstream if the source has GPS glitches. -> (user, n_cells)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..functions.cells import _RES_SHIFT
+    n = 1 << res
+    u = (f"least(greatest(({lon_col} + 180.0) / 360.0 * {n}.0, 0.0), "
+         f"{n}.0)")
+    v = (f"least(greatest(({lat_col} + 90.0) / 180.0 * {n}.0, 0.0), "
+         f"{n}.0)")
+    pts = points.select(
+        F.col(user_col).alias("_user"),
+        *[F.col(c) for c in order_cols],
+        F.expr(u).alias("_u1"), F.expr(v).alias("_v1"))
+    # endpoint cells (covers single-event users and both leg ends)
+    end_cells = pts.select(
+        "_user",
+        F.expr(f"least(CAST(floor(_u1) AS BIGINT), {n - 1})").alias("_cx"),
+        F.expr(f"least(CAST(floor(_v1) AS BIGINT), {n - 1})").alias("_cy"))
+    w = Window.partitionBy("_user").orderBy(
+        *[F.col(c).asc() for c in order_cols])
+    legs = (pts
+            .withColumn("_u0", F.lag("_u1").over(w))
+            .withColumn("_v0", F.lag("_v1").over(w))
+            .filter(F.col("_u0").isNotNull()))
+    parts = [end_cells]
+    for axis in ("x", "y"):
+        lo, hi, ca, cb = _traverse_crossing(axis, n)
+        ks = (f"CASE WHEN {hi} >= {lo} THEN sequence({lo}, {hi}) "
+              f"ELSE array() END")  # Spark sequence DESCENDS when hi<lo
+        cross = (legs.select("_user", "_u0", "_v0", "_u1", "_v1",
+                             F.explode(F.expr(ks)).alias("k"))
+                 .select("_user",
+                         F.expr(ca if axis == "x" else cb).alias("_cx"),
+                         F.expr(cb if axis == "x" else ca).alias("_cy")))
+        parts.append(cross)
+    allc = parts[0]
+    for p in parts[1:]:
+        allc = allc.unionByName(p)
+    cell = F.expr(f"shiftleft(CAST({res} AS BIGINT), {_RES_SHIFT}) "
+                  f"+ shiftleft(_cy, {res}) + _cx")
+    return (allc.select("_user", cell.alias("cell")).distinct()
+            .groupBy(F.col("_user").alias(user_col))
+            .agg(F.count(F.lit(1)).alias("n_cells")))
+
+
+def traverse_cells_sql(pts_sql: str, res: int, *,
+                       user_col: str = "user_id",
+                       order_sql: str = "ts, event_id") -> str:
+    """DuckDB twin of traverse_cells over a subquery producing
+    (user_id, <order cols>, lat, lon) — same quantization, the same
+    _traverse_crossing formula strings, same distinct+count."""
+    from ..functions.cells import _RES_SHIFT
+    n = 1 << res
+    u = f"least(greatest((lon + 180.0) / 360.0 * {n}.0, 0.0), {n}.0)"
+    v = f"least(greatest((lat + 90.0) / 180.0 * {n}.0, 0.0), {n}.0)"
+    crossings = []
+    for axis in ("x", "y"):
+        lo, hi, ca, cb = _traverse_crossing(axis, n)
+        cx, cy = (ca, cb) if axis == "x" else (cb, ca)
+        crossings.append(
+            f"SELECT _user, {cx} AS _cx, {cy} AS _cy FROM ("
+            f"SELECT _user, _u0, _v0, _u1, _v1, "
+            f"unnest(CASE WHEN {hi} >= {lo} "
+            f"THEN generate_series({lo}, {hi}) "
+            f"ELSE [] END) AS k FROM legs)")
+    return f"""
+WITH pts AS (SELECT {user_col} AS _user, {order_sql},
+             {u} AS _u1, {v} AS _v1 FROM ({pts_sql})),
+legs AS (SELECT _user, _u1, _v1,
+         LAG(_u1) OVER (PARTITION BY _user ORDER BY {order_sql})
+           AS _u0,
+         LAG(_v1) OVER (PARTITION BY _user ORDER BY {order_sql})
+           AS _v0
+         FROM pts
+         QUALIFY _u0 IS NOT NULL),
+cells AS (
+  SELECT _user, least(CAST(floor(_u1) AS BIGINT), {n - 1}) AS _cx,
+         least(CAST(floor(_v1) AS BIGINT), {n - 1}) AS _cy FROM pts
+  UNION ALL {' UNION ALL '.join(crossings)}
+),
+dcells AS (SELECT DISTINCT _user,
+           (CAST({res} AS BIGINT) << {_RES_SHIFT}) | (_cy << {res}) | _cx
+             AS cell FROM cells)
+SELECT _user AS {user_col}, COUNT(*) AS n_cells
+FROM dcells GROUP BY 1
+"""

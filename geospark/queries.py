@@ -801,6 +801,27 @@ def q_batch_dedup(spark, sf_dir):
     return batch_dedup_status(incoming, existing)
 
 
+_TRAJ_LAT = "((value % 170.0) + 170.0) % 170.0 - 85.0"
+_TRAJ_LON = "(((value * 3.0) % 350.0) + 350.0) % 350.0 - 175.0"
+
+
+def q_traj_cells(spark, sf_dir):
+    """Trajectory segment supercover (r5): every grid cell each
+    user's trajectory PASSES THROUGH (not just the cells the sample
+    points land in) — the map-matching / coverage-analytics
+    rasterization, via crossing-generation (sequence+explode, no
+    iteration, no UDF). Coordinates here vary per event (the
+    events_cell_stats lat is constant per user, which would make
+    traversal degenerate)."""
+    from pyspark.sql import functions as F
+    from .operators.tiles import traverse_cells
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pts = e.select("user_id", "ts", "event_id",
+                   F.expr(_TRAJ_LAT).alias("lat"),
+                   F.expr(_TRAJ_LON).alias("lon"))
+    return traverse_cells(pts, 6)
+
+
 def q_stream_batch_dedup(spark, sf_dir):
     """The STREAMING incremental-dedup tier under the full value-hash
     oracle (the stream_sessionize convention): the q_batch_dedup
@@ -1798,7 +1819,10 @@ QUERIES = {
     "stream_batch_dedup": q_stream_batch_dedup,
     "zorder_keys": q_zorder_keys,
     "cell_compact": q_cell_compact,
-    "funnel": q_funnel,
+    # -- round-5.12 addition, inside the window for its first driver
+    #    row (funnel rotates just past the window: driver-green r4,
+    #    funnel machinery still inside via funnel_by_cell) --
+    "traj_cells": q_traj_cells,
     # (simplify_boxes and line_metrics, driver-green r4, rotate just
     #  past the window in r5.7 to keep funnel_by_cell and cell_moments
     #  — brand-new this round — inside it)
@@ -2337,6 +2361,10 @@ def oracle_sql() -> dict[str, str]:
     out["zorder_keys"] = (
         f"SELECT c_custkey, {zorder_key_sql('lat', 'lon', 12)} AS zkey "
         f"FROM ({_CUST_PTS_CTE})")
+    from .operators.tiles import traverse_cells_sql
+    out["traj_cells"] = traverse_cells_sql(
+        f"SELECT user_id, ts, event_id, {_TRAJ_LAT} AS lat, "
+        f"{_TRAJ_LON} AS lon FROM events", 6)
     from .operators.graph import pagerank_sql
     _n_docs = "(SELECT COUNT(*) FROM documents)"
     out["link_rank"] = pagerank_sql(

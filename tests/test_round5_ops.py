@@ -364,3 +364,59 @@ class TestStreamBatchDedup:
         assert got == want
         assert dict(got) == {10: "exact_dup", 11: "near_dup", 12: "new",
                              13: "exact_dup", 14: "new"}
+
+
+class TestTraverseCells:
+    RES = 2  # 4x4 world grid: u = (lon+180)/360*4, v = (lat+90)/180*4
+
+    def _pt(self, u, v):
+        return (u / 4.0 * 360.0 - 180.0, v / 4.0 * 180.0 - 90.0)
+
+    def _run(self, spark, rows):
+        from geospark.operators.tiles import traverse_cells
+        df = spark.createDataFrame(
+            rows, ["user_id", "ts", "event_id", "lat", "lon"])
+        return {r["user_id"]: r["n_cells"]
+                for r in traverse_cells(df, self.RES).collect()}
+
+    def test_hand_supercover(self, spark):
+        """Leg (0.5,0.5)->(2.5,1.5) in cell space: endpoints (0,0) and
+        (2,1), x-crossings enter (1,0) and (2,1), y-crossing enters
+        (1,1) -> the 4-cell supercover path (0,0),(1,0),(1,1),(2,1)."""
+        lon0, lat0 = self._pt(0.5, 0.5)
+        lon1, lat1 = self._pt(2.5, 1.5)
+        got = self._run(spark, [(1, 1, 1, lat0, lon0),
+                                (1, 2, 2, lat1, lon1)])
+        assert got == {1: 4}
+
+    def test_single_event_and_vertical_leg(self, spark):
+        lon, lat = self._pt(3.5, 3.5)
+        # user 2: straight up from (1.5,0.5) to (1.5,2.5): cells
+        # (1,0),(1,1),(1,2) — no x-crossings on a vertical leg
+        la0, lo0 = self._pt(1.5, 0.5)[1], self._pt(1.5, 0.5)[0]
+        la1, lo1 = self._pt(1.5, 2.5)[1], self._pt(1.5, 2.5)[0]
+        got = self._run(spark, [(1, 1, 1, lat, lon),
+                                (2, 1, 2, la0, lo0),
+                                (2, 2, 3, la1, lo1)])
+        assert got == {1: 1, 2: 3}
+
+    def test_descending_leg_symmetric(self, spark):
+        """Reversing a leg visits the SAME cell set (the k-1
+        entered-cell rule for downward crossings)."""
+        lon0, lat0 = self._pt(0.5, 0.5)
+        lon1, lat1 = self._pt(2.5, 1.5)
+        up = self._run(spark, [(1, 1, 1, lat0, lon0),
+                               (1, 2, 2, lat1, lon1)])
+        dn = self._run(spark, [(1, 1, 1, lat1, lon1),
+                               (1, 2, 2, lat0, lon0)])
+        assert up == dn == {1: 4}
+
+    def test_plan_no_cartesian_no_single_partition(self, spark):
+        from geospark.operators.tiles import traverse_cells
+        df = spark.createDataFrame(
+            [(1, 1, 1, 0.0, 0.0)], ["user_id", "ts", "event_id",
+                                    "lat", "lon"])
+        plan = (traverse_cells(df, 6)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "Cartesian" not in plan
+        assert "SinglePartition" not in plan
