@@ -1913,9 +1913,11 @@ QUERIES = {
     "cell_neighbors": q_cell_neighbors,
     "events_daily_cells": q_events_daily_cells,
     # (pip_semi rotated out in r5.10 for link_rank, boilerplate in
-    #  r5.11 for stream_batch_dedup; both driver-green r4)
+    #  r5.11 for stream_batch_dedup, funnel in r5.12 for traj_cells;
+    #  all driver-green r4)
     "pip_semi": q_pip_semi,
     "boilerplate": q_boilerplate,
+    "funnel": q_funnel,
     "dedup_exact": q_dedup_exact,
     "ann_topk": q_ann_topk,
     "minhash_pairs": q_minhash_pairs,
