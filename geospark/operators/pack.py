@@ -203,3 +203,63 @@ FROM s
 WHERE start_tok + n_tokens <=
       CASE grp {case} ELSE {int(default_budget)} END
 """
+
+
+def apportion_budget(df, weight_col: str, key_col: str, budget: int, *,
+                     num_partitions: int | None = None):
+    """Largest-remainder (Hamilton) apportionment of an integer
+    ``budget`` across keys proportional to ``weight_col`` — the crawl
+    scheduler's shape: split tomorrow's N-page fetch budget across
+    hosts by quality mass so that SUM(alloc) == budget EXACTLY (float
+    proportional shares + rounding can be off by several units and
+    drift per engine; every step here is BIGINT floor arithmetic).
+
+    alloc(k) = (w_k * B) div W  plus +1 for the L keys with the
+    largest remainder (w_k * B) mod W, ties by key asc, where
+    L = B - SUM(floors).  The remainder rank rides prefix_sum (range
+    partition + per-partition window) — never a single-partition
+    global window, so the key universe can be 10^8 hosts.  Headroom:
+    w_k * B must fit int64 — at web scale pre-scale weights (w div
+    2^20) first; allocation only depends on weight RATIOS.
+
+    Two scalar actions (total mass, floor sum) — aggregate metadata,
+    not data. -> (key, weight, alloc)."""
+    from pyspark.sql import functions as F
+    w = df.select(F.col(key_col), F.col(weight_col).cast("long")
+                  .alias("_w"))
+    total = w.agg(F.sum("_w")).collect()[0][0]
+    base = w.select(
+        key_col, "_w",
+        F.expr(f"(_w * {budget}) div {total}").alias("_q"),
+        F.expr(f"(_w * {budget}) % {total}").alias("_rem"))
+    leftover = budget - base.agg(F.sum("_q")).collect()[0][0]
+    ranked = prefix_sum(
+        base.withColumn("_one", F.lit(1))
+        .withColumn("_negrem", -F.col("_rem")),
+        "_one", ["_negrem", key_col], num_partitions=num_partitions)
+    return ranked.select(
+        key_col, F.col("_w").alias(weight_col),
+        (F.col("_q") + F.when(F.col("prefix") < leftover, 1)
+         .otherwise(0)).cast("long").alias("alloc"))
+
+
+def apportion_budget_sql(weights_sql: str, budget: int, *,
+                         key_col: str = "host",
+                         weight_col: str = "weight") -> str:
+    """DuckDB twin of apportion_budget over a subquery producing
+    (key, weight) — same floor quotas, same (rem DESC, key ASC)
+    largest-remainder rank."""
+    return f"""
+WITH w AS (SELECT {key_col}, CAST({weight_col} AS BIGINT) AS _w
+           FROM ({weights_sql})),
+t AS (SELECT SUM(_w) AS total FROM w),
+b AS (SELECT {key_col}, _w, (_w * {budget}) // total AS q,
+             (_w * {budget}) % total AS rem FROM w, t),
+l AS (SELECT {budget} - SUM(q) AS leftover FROM b),
+r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, {key_col} ASC)
+             - 1 AS rk FROM b)
+SELECT {key_col}, _w AS {weight_col},
+       CAST(q + CASE WHEN rk < (SELECT leftover FROM l)
+                THEN 1 ELSE 0 END AS BIGINT) AS alloc
+FROM r
+"""

@@ -1370,6 +1370,23 @@ def q_host_stats(spark, sf_dir):
                  F.countDistinct("lang").alias("n_langs")))
 
 
+def q_crawl_budget(spark, sf_dir):
+    """Largest-remainder crawl-budget apportionment (r5): split an
+    integer fetch budget across hosts proportional to per-host char
+    mass, SUM(alloc) == budget exactly — the crawler-scheduling step
+    downstream of host_stats. All BIGINT floor arithmetic; remainder
+    rank via the two-phase prefix sum."""
+    from pyspark.sql import functions as F
+    from .operators.dedup import canonical_url
+    from .operators.pack import apportion_budget
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    host = F.regexp_extract(canonical_url(_doc_url_col()),
+                            "^[a-z]+://([^/]+)", 1)
+    hw = d.groupBy(host.alias("host")).agg(
+        F.sum("n_chars").alias("weight"))
+    return apportion_budget(hw, "weight", "host", 10007)
+
+
 def q_cell_distinct_users(spark, sf_dir):
     """Exact per-cell distinct-user counts over events (r4; r5:
     routed through the tiered `distinct_per_cell` operator, exact
@@ -1808,8 +1825,11 @@ def q_semantic_dedup(spark, sf_dir):
 
 
 QUERIES = {
+    # -- round-5.13 addition, inside the window for its first driver
+    #    row (curation_filter rotates just past the window:
+    #    driver-green r4, a plain token-count filter) --
+    "crawl_budget": q_crawl_budget,
     # -- round-3 additions, driver-verified for the first time in r4 --
-    "curation_filter": q_curation_filter,
     "box_geom_stats": q_box_geom_stats,
     "sessionize": q_sessionize,
     "distance_join": q_distance_join,
@@ -1918,6 +1938,9 @@ QUERIES = {
     "pip_semi": q_pip_semi,
     "boilerplate": q_boilerplate,
     "funnel": q_funnel,
+    # (curation_filter rotated out in r5.13 for crawl_budget;
+    #  driver-green r4)
+    "curation_filter": q_curation_filter,
     "dedup_exact": q_dedup_exact,
     "ann_topk": q_ann_topk,
     "minhash_pairs": q_minhash_pairs,
@@ -2530,6 +2553,13 @@ def oracle_sql() -> dict[str, str]:
         f"FROM (SELECT doc_id, n_chars, lang, "
         f"{canonical_url_sql(_url_expr)} AS canon FROM documents) "
         f"GROUP BY 1")
+    from .operators.pack import apportion_budget_sql
+    out["crawl_budget"] = apportion_budget_sql(
+        f"SELECT regexp_extract(canon, '^[a-z]+://([^/]+)', 1) AS host, "
+        f"CAST(SUM(n_chars) AS BIGINT) AS weight "
+        f"FROM (SELECT n_chars, {canonical_url_sql(_url_expr)} AS canon "
+        f"FROM documents) GROUP BY 1",
+        10007)
     evt_cell6 = cell_encode_sql(EVT_LAT_SQL, EVT_LON_SQL, RES_COARSE)
     out["cell_distinct_users"] = (
         f"SELECT {evt_cell6} AS cell, "

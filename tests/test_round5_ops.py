@@ -420,3 +420,48 @@ class TestTraverseCells:
                 ._jdf.queryExecution().executedPlan().toString())
         assert "Cartesian" not in plan
         assert "SinglePartition" not in plan
+
+
+class TestApportionBudget:
+    def _alloc(self, spark, weights, budget, **kw):
+        from geospark.operators.pack import apportion_budget
+        df = spark.createDataFrame(list(weights.items()),
+                                   ["host", "weight"])
+        return {r["host"]: r["alloc"] for r in
+                apportion_budget(df, "weight", "host", budget,
+                                 **kw).collect()}
+
+    def test_hand_remainders(self, spark):
+        # total 10, budget 7: floors 3/2/1 (rems 5/1/4), leftover 1
+        # -> largest remainder a gets the extra unit
+        got = self._alloc(spark, {"a": 5, "b": 3, "c": 2}, 7)
+        assert got == {"a": 4, "b": 2, "c": 1}
+
+    def test_tie_goes_to_lowest_key(self, spark):
+        got = self._alloc(spark, {"a": 1, "b": 1, "c": 1}, 10)
+        assert got == {"a": 4, "b": 3, "c": 3}
+
+    def test_exact_sum_and_partition_invariance(self, spark):
+        from pyspark.sql import functions as F
+
+        from geospark.queries import q_crawl_budget
+        out = q_crawl_budget(spark, "/root/testdata/sf0.01")
+        rows = out.collect()
+        assert sum(r["alloc"] for r in rows) == 10007
+        base = sorted((r["host"], r["alloc"]) for r in rows)
+        # the remainder rank must not depend on the partition count
+        weights = {"h%02d" % i: 997 * i + 13 for i in range(40)}
+        ref = self._alloc(spark, weights, 5003, num_partitions=1)
+        for p in (7, 32):
+            assert self._alloc(spark, weights, 5003,
+                               num_partitions=p) == ref
+        assert sum(ref.values()) == 5003
+        assert base  # non-degenerate
+
+    def test_plan_no_single_partition(self, spark):
+        from geospark.operators.pack import apportion_budget
+        df = spark.createDataFrame([("a", 5), ("b", 3)],
+                                   ["host", "weight"])
+        plan = (apportion_budget(df, "weight", "host", 7)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "SinglePartition" not in plan
