@@ -1049,3 +1049,65 @@ SELECT doc_id,
             ELSE 'new' END AS status
 FROM inc
 """
+
+
+def source_overlap(df, *, source_col: str = "source",
+                   text_col: str = "text", id_col: str = "doc_id",
+                   k: int = 8, max_df: int = 50):
+    """Pairwise cross-source duplication matrix — the snapshot-overlap
+    analysis a CommonCrawl-style pipeline runs before mixing dumps:
+    for every source pair (a < b), how many of each side's distinct
+    k-word passages also appear in the other.  -> (source_a, source_b,
+    n_shared, n_a, n_b) for pairs with n_shared > 0.
+
+    Scale: distinct (source, digest) after the chunk explode (text
+    bytes never shuffle — 16-byte digests do); a digest occurring in
+    more than ``max_df`` sources is dropped before the pair join
+    (boilerplate chrome would otherwise emit C(max_df, 2) pairs per
+    digest — the lsh max_bucket convention); the pair join keys on the
+    digest, and the per-source totals ride a broadcast back."""
+    from pyspark.sql import functions as F
+    ch = (df.select(F.col(source_col).alias("_src"),
+                    F.explode(chunks_col(text_col, k)).alias("_c"))
+          .select("_src", F.md5(F.col("_c")).alias("_h"))
+          .distinct())
+    totals = ch.groupBy("_src").agg(F.count(F.lit(1)).alias("_n"))
+    hc = ch.groupBy("_h").agg(F.count(F.lit(1)).alias("_nh"))
+    chf = ch.join(hc.filter(F.col("_nh") <= max_df).select("_h"), "_h")
+    l = chf.select(F.col("_src").alias("source_a"), "_h")
+    r = chf.select(F.col("_src").alias("source_b"), "_h")
+    pairs = (l.join(r, "_h")
+             .filter(F.col("source_a") < F.col("source_b"))
+             .groupBy("source_a", "source_b")
+             .agg(F.count(F.lit(1)).alias("n_shared")))
+    ta = totals.select(F.col("_src").alias("source_a"),
+                       F.col("_n").alias("n_a"))
+    tb = totals.select(F.col("_src").alias("source_b"),
+                       F.col("_n").alias("n_b"))
+    return (pairs.join(F.broadcast(ta), "source_a")
+            .join(F.broadcast(tb), "source_b")
+            .select("source_a", "source_b", "n_shared", "n_a", "n_b"))
+
+
+def source_overlap_sql(k: int = 8, max_df: int = 50,
+                       table: str = "documents") -> str:
+    """DuckDB twin of source_overlap (same chunks, same max_df cap)."""
+    return f"""
+WITH ch AS (
+  SELECT DISTINCT source AS src, md5(c) AS h
+  FROM (SELECT source, unnest({chunks_sql('text', k)}) AS c
+        FROM {table})
+),
+totals AS (SELECT src, COUNT(*) AS n FROM ch GROUP BY src),
+hok AS (SELECT h FROM ch GROUP BY h HAVING COUNT(*) <= {max_df}),
+chf AS (SELECT ch.* FROM ch JOIN hok USING (h)),
+pairs AS (
+  SELECT l.src AS source_a, r.src AS source_b, COUNT(*) AS n_shared
+  FROM chf l JOIN chf r ON l.h = r.h AND l.src < r.src
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, n_shared, ta.n AS n_a, tb.n AS n_b
+FROM pairs
+JOIN totals ta ON ta.src = source_a
+JOIN totals tb ON tb.src = source_b
+"""

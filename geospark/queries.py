@@ -716,6 +716,17 @@ def q_link_rank(spark, sf_dir):
     return pagerank(edges, n)
 
 
+def q_source_overlap(spark, sf_dir):
+    """Cross-source duplication matrix (r5): for every source pair,
+    how many distinct 8-word passages they share — the
+    snapshot-overlap analysis run before mixing crawl dumps (adjacent
+    CommonCrawl snapshots overlap heavily; mixing without measuring
+    double-counts the shared mass). Digest-keyed, df-capped."""
+    from .operators.dedup import source_overlap
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return source_overlap(d)
+
+
 def q_hilbert_keys(spark, sf_dir):
     """Hilbert-curve layout keys over the customer points (r5): the
     locality-preserving sort key for file/row-group clustering —
@@ -1829,8 +1840,12 @@ QUERIES = {
     #    row (curation_filter rotates just past the window:
     #    driver-green r4, a plain token-count filter) --
     "crawl_budget": q_crawl_budget,
+    # -- round-5.13 addition, inside the window for its first driver
+    #    row (box_geom_stats rotates just past the window:
+    #    driver-green r4; the vectorized batch-measure codec it
+    #    exercises stays covered by the r4 driver row and tests) --
+    "source_overlap": q_source_overlap,
     # -- round-3 additions, driver-verified for the first time in r4 --
-    "box_geom_stats": q_box_geom_stats,
     "sessionize": q_sessionize,
     "distance_join": q_distance_join,
     # -- round-5.11 addition, inside the window for its first driver
@@ -1941,6 +1956,9 @@ QUERIES = {
     # (curation_filter rotated out in r5.13 for crawl_budget;
     #  driver-green r4)
     "curation_filter": q_curation_filter,
+    # (box_geom_stats rotated out in r5.13 for source_overlap;
+    #  driver-green r4)
+    "box_geom_stats": q_box_geom_stats,
     "dedup_exact": q_dedup_exact,
     "ann_topk": q_ann_topk,
     "minhash_pairs": q_minhash_pairs,
@@ -2386,6 +2404,8 @@ def oracle_sql() -> dict[str, str]:
     out["zorder_keys"] = (
         f"SELECT c_custkey, {zorder_key_sql('lat', 'lon', 12)} AS zkey "
         f"FROM ({_CUST_PTS_CTE})")
+    from .operators.dedup import source_overlap_sql
+    out["source_overlap"] = source_overlap_sql()
     from .operators.tiles import traverse_cells_sql
     out["traj_cells"] = traverse_cells_sql(
         f"SELECT user_id, ts, event_id, {_TRAJ_LAT} AS lat, "

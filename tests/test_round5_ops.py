@@ -465,3 +465,40 @@ class TestApportionBudget:
         plan = (apportion_budget(df, "weight", "host", 7)
                 ._jdf.queryExecution().executedPlan().toString())
         assert "SinglePartition" not in plan
+
+
+class TestSourceOverlap:
+    def test_hand_overlap_and_within_source_repeat(self, spark):
+        from geospark.operators.dedup import source_overlap
+        shared = ("alpha beta gamma delta epsilon zeta eta theta")
+        df = spark.createDataFrame(
+            [(1, "a", shared + " one two three four five six seven eight"),
+             (2, "a", shared),  # repeat WITHIN a: counts once per source
+             (3, "b", shared),
+             (4, "c", "nine ten eleven twelve thirteen fourteen "
+                      "fifteen sixteen")],
+            ["doc_id", "source", "text"])
+        got = {(r["source_a"], r["source_b"]):
+               (r["n_shared"], r["n_a"], r["n_b"])
+               for r in source_overlap(df).collect()}
+        # a has 2 distinct chunks (shared + the tail), b has 1, c has 1;
+        # only (a, b) share — c never appears (n_shared > 0 pairs only)
+        assert got == {("a", "b"): (1, 2, 1)}
+
+    def test_max_df_cap_drops_boilerplate_chunk(self, spark):
+        from geospark.operators.dedup import source_overlap
+        chrome = "click here to accept all cookies on this site today"
+        rows = [(i, f"s{i}", chrome) for i in range(4)]
+        df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+        # cap below the chunk's source-df: every pair is suppressed
+        assert source_overlap(df, max_df=3).count() == 0
+        assert source_overlap(df, max_df=4).count() == 6  # C(4,2)
+
+    def test_totals_ride_broadcast(self, spark):
+        from geospark.operators.dedup import source_overlap
+        df = spark.createDataFrame(
+            [(1, "a", "one two three four five six seven eight")],
+            ["doc_id", "source", "text"])
+        plan = (source_overlap(df)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "BroadcastHashJoin" in plan
