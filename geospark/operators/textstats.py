@@ -599,3 +599,75 @@ SELECT term, df,
        ROW_NUMBER() OVER (ORDER BY df DESC, term ASC) - 1 AS term_id
 FROM t
 """
+
+
+def score_pr_curve(df, score_col: str, label_col: str, *,
+                   id_col: str = "doc_id", deciles: int = 10,
+                   num_partitions: int | None = None):
+    """Precision/recall table for a ranking score against binary
+    labels — the eval sheet a curation filter ships with: rank docs by
+    ``score_col`` ASC (lowest quality first), and at each decile
+    cutoff k report how many flagged docs are truly bad (precision)
+    and what fraction of all bad docs were caught (recall).
+
+    Distributed: BOTH running counters (rank and cumulative true
+    positives) ride ONE two-phase prefix sum by packing them into a
+    single BIGINT (label + 2^40 per row: high 23 bits = row count, low
+    40 = positive count; exact below 2^40 rows — beyond that, run two
+    prefix passes).  No SinglePartition window, no collect of data —
+    two scalar actions for n and total positives.  Ratios are exact
+    integer quotients rounded at the boundary (the engine convention).
+    -> (pct, k, tp, precision, recall) x deciles."""
+    from pyspark.sql import functions as F
+
+    from .pack import prefix_sum
+    packed = df.select(
+        F.col(id_col), F.col(score_col).alias("_s"),
+        F.col(label_col).cast("long").alias("_y")).withColumn(
+        "_packed", F.col("_y") + F.lit(1 << 40))
+    totals = packed.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_y").alias("npos")).collect()[0]
+    n, npos = totals["n"], totals["npos"]
+    pre = prefix_sum(packed, "_packed", ["_s", id_col],
+                     num_partitions=num_partitions)
+    # inclusive counters for THIS row's rank
+    rank = (F.col("prefix") / F.lit(1 << 40)).cast("long") + 1
+    tp = F.col("prefix") % F.lit(1 << 40) + F.col("_y")
+    cutoffs = sorted({(i * n + deciles - 1) // deciles
+                      for i in range(1, deciles + 1)})
+    t = pre.select(rank.alias("_k"), tp.alias("_tp"))
+    return (t.filter(F.col("_k").isin(cutoffs))
+            .select(
+                F.expr(f"CAST(round(_k * 100.0 / {n}, 0) AS INT)")
+                .alias("pct"),
+                F.col("_k").alias("k"),
+                F.col("_tp").alias("tp"),
+                F.round(F.col("_tp").cast("double") / F.col("_k"), 6)
+                .alias("precision"),
+                F.round(F.col("_tp").cast("double") / F.lit(npos), 6)
+                .alias("recall")))
+
+
+def score_pr_curve_sql(scored_sql: str, *, deciles: int = 10) -> str:
+    """DuckDB twin of score_pr_curve over a subquery producing
+    (doc_id, score, label) — single-node windows in place of the
+    packed prefix sum, same cutoffs, same rounding."""
+    return f"""
+WITH s AS (SELECT doc_id, score, CAST(label AS BIGINT) AS y
+           FROM ({scored_sql})),
+t AS (SELECT COUNT(*) AS n, SUM(y) AS npos FROM s),
+r AS (SELECT y,
+      ROW_NUMBER() OVER (ORDER BY score ASC, doc_id ASC) AS k,
+      SUM(y) OVER (ORDER BY score ASC, doc_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        AS tp
+      FROM s),
+c AS (SELECT DISTINCT (i * n + {deciles} - 1) // {deciles} AS k
+      FROM t, unnest(generate_series(1, {deciles})) AS u(i))
+SELECT CAST(round(r.k * 100.0 / t.n, 0) AS INT) AS pct,
+       r.k AS k, CAST(r.tp AS BIGINT) AS tp,
+       ROUND(CAST(r.tp AS DOUBLE) / r.k, 6) AS precision,
+       ROUND(CAST(r.tp AS DOUBLE) / t.npos, 6) AS recall
+FROM r JOIN c USING (k), t
+"""

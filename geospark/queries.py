@@ -716,6 +716,20 @@ def q_link_rank(spark, sf_dir):
     return pagerank(edges, n)
 
 
+def q_quality_pr(spark, sf_dir):
+    """Precision/recall decile table for the quality score against
+    deterministically planted bad-doc labels (doc_id%7==0) — the eval
+    sheet a curation filter ships with (r5). Both running counters
+    ride ONE packed two-phase prefix sum; no SinglePartition."""
+    from pyspark.sql import functions as F
+    from .operators.textstats import quality_features, score_pr_curve
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = quality_features(d).select(
+        "doc_id", F.col("quality").alias("score"),
+        (F.col("doc_id") % 7 == 0).cast("int").alias("label"))
+    return score_pr_curve(scored, "score", "label")
+
+
 def q_source_overlap(spark, sf_dir):
     """Cross-source duplication matrix (r5): for every source pair,
     how many distinct 8-word passages they share — the
@@ -1845,8 +1859,12 @@ QUERIES = {
     #    driver-green r4; the vectorized batch-measure codec it
     #    exercises stays covered by the r4 driver row and tests) --
     "source_overlap": q_source_overlap,
+    # -- round-5.14 addition, inside the window for its first driver
+    #    row (sessionize rotates just past the window: driver-green
+    #    r4, and stream_sessionize — the value-hash-gated streaming
+    #    twin of the same gap rule — stays inside) --
+    "quality_pr": q_quality_pr,
     # -- round-3 additions, driver-verified for the first time in r4 --
-    "sessionize": q_sessionize,
     "distance_join": q_distance_join,
     # -- round-5.11 addition, inside the window for its first driver
     #    row (boilerplate rotates just past the window: driver-green
@@ -1959,6 +1977,9 @@ QUERIES = {
     # (box_geom_stats rotated out in r5.13 for source_overlap;
     #  driver-green r4)
     "box_geom_stats": q_box_geom_stats,
+    # (sessionize rotated out in r5.14 for quality_pr; driver-green r4,
+    #  same gap rule still inside via stream_sessionize)
+    "sessionize": q_sessionize,
     "dedup_exact": q_dedup_exact,
     "ann_topk": q_ann_topk,
     "minhash_pairs": q_minhash_pairs,
@@ -2406,6 +2427,11 @@ def oracle_sql() -> dict[str, str]:
         f"FROM ({_CUST_PTS_CTE})")
     from .operators.dedup import source_overlap_sql
     out["source_overlap"] = source_overlap_sql()
+    from .operators.textstats import score_pr_curve_sql
+    out["quality_pr"] = score_pr_curve_sql(
+        f"SELECT doc_id, quality AS score, "
+        f"CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS label "
+        f"FROM ({quality_features_sql()})")
     from .operators.tiles import traverse_cells_sql
     out["traj_cells"] = traverse_cells_sql(
         f"SELECT user_id, ts, event_id, {_TRAJ_LAT} AS lat, "

@@ -502,3 +502,40 @@ class TestSourceOverlap:
         plan = (source_overlap(df)
                 ._jdf.queryExecution().executedPlan().toString())
         assert "BroadcastHashJoin" in plan
+
+
+class TestScorePrCurve:
+    def test_hand_curve(self, spark):
+        """10 docs ranked by score asc, 4 true-bad planted at the
+        bottom 3 ranks + rank 6: every decile cutoff checked by hand."""
+        from geospark.operators.textstats import score_pr_curve
+        rows = [(i, float(i), 1 if i in (0, 1, 2, 5) else 0)
+                for i in range(10)]
+        df = spark.createDataFrame(rows, ["doc_id", "score", "label"])
+        got = {r["k"]: (r["tp"], r["precision"], r["recall"])
+               for r in score_pr_curve(df, "score", "label").collect()}
+        assert got[1] == (1, 1.0, 0.25)
+        assert got[3] == (3, 1.0, 0.75)
+        assert got[6] == (4, round(4 / 6, 6), 1.0)
+        assert got[10] == (4, 0.4, 1.0)
+        assert len(got) == 10
+
+    def test_packed_counters_partition_invariant(self, spark):
+        from geospark.operators.textstats import score_pr_curve
+        rows = [(i, float((i * 37) % 101), int(i % 3 == 0))
+                for i in range(200)]
+        df = spark.createDataFrame(rows, ["doc_id", "score", "label"])
+        ref = sorted(tuple(r) for r in score_pr_curve(
+            df, "score", "label", num_partitions=1).collect())
+        for p in (7, 32):
+            got = sorted(tuple(r) for r in score_pr_curve(
+                df, "score", "label", num_partitions=p).collect())
+            assert got == ref
+
+    def test_plan_no_single_partition(self, spark):
+        from geospark.operators.textstats import score_pr_curve
+        df = spark.createDataFrame([(1, 1.0, 0), (2, 2.0, 1)],
+                                   ["doc_id", "score", "label"])
+        plan = (score_pr_curve(df, "score", "label")
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "SinglePartition" not in plan
