@@ -296,3 +296,35 @@ def retention_sql(table: str = "events", user_col: str = "user_id",
         f"FROM d) "
         f"SELECT cohort AS cohort_day, day - cohort AS day_offset, "
         f"COUNT(*) AS n_users FROM c GROUP BY 1, 2")
+
+
+def interval_join(events, intervals, *, ts_col: str = "us",
+                  start_col: str = "start_us", end_col: str = "end_us",
+                  bucket_us: int = 86_400_000_000):
+    """Interval-containment join: event rows matched to every interval
+    with ``start <= ts < end`` (half-open) — campaign attribution,
+    maintenance-window tagging, session-overlap queries.  Spark plans
+    a naive non-equi join as BroadcastNestedLoop (quadratic work, no
+    shuffle partitioning); this is the standard range-join
+    decomposition instead: intervals explode to every time BUCKET they
+    overlap, events carry their single bucket, ONE bucket-keyed
+    equi-join + a residual bound filter.  Each (event, interval) pair
+    appears exactly once (an event owns one bucket), so no dedup pass.
+
+    Scale: shuffle keyed by the bucket id — time-uniform by
+    construction; a hot bucket (flash-sale hour) is an AQE skew case.
+    Pick ``bucket_us`` near the median interval length: shorter
+    buckets multiply the exploded interval rows, longer ones multiply
+    the residual filter's false candidates.  Empty/inverted intervals
+    produce no buckets (Spark's descending-sequence trap guarded)."""
+    from pyspark.sql import functions as F
+    b_ev = events.withColumn("_b", F.expr(f"{ts_col} div {bucket_us}"))
+    span = (f"CASE WHEN {end_col} > {start_col} THEN "
+            f"sequence({start_col} div {bucket_us}, "
+            f"({end_col} - 1) div {bucket_us}) "
+            f"ELSE array() END")
+    b_iv = intervals.withColumn("_b", F.explode(F.expr(span)))
+    return (b_ev.join(b_iv, "_b")
+            .filter((F.col(ts_col) >= F.col(start_col))
+                    & (F.col(ts_col) < F.col(end_col)))
+            .drop("_b"))

@@ -716,6 +716,32 @@ def q_link_rank(spark, sf_dir):
     return pagerank(edges, n)
 
 
+def q_campaign_attrib(spark, sf_dir):
+    """Interval-containment join (r5): events attributed to synthetic
+    campaign windows (supplier j runs day j%28 for j%4+1 days) via the
+    bucket-decomposed range join — a naive ts-between-bounds join
+    plans BroadcastNestedLoop; this one shuffles on the day bucket.
+    Integer-µs epoch (the sessionize convention)."""
+    from pyspark.sql import functions as F
+    from .operators.events import interval_join
+    day_us = 86_400_000_000
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "event_id",
+        F.expr("timestampdiff(MICROSECOND, "
+               "TIMESTAMP_NTZ '2024-01-01 00:00:00', ts)").alias("us"))
+    camps = (spark.read.parquet(f"{sf_dir}/supplier.parquet")
+             .select(F.col("s_suppkey").alias("campaign_id"),
+                     ((F.col("s_suppkey") % 28) * day_us)
+                     .alias("start_us"))
+             .withColumn("end_us",
+                         F.col("start_us")
+                         + (F.col("campaign_id") % 4 + 1) * day_us))
+    j = interval_join(e, camps)
+    return (j.groupBy("campaign_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.countDistinct("user_id").alias("n_users")))
+
+
 def q_quality_pr(spark, sf_dir):
     """Precision/recall decile table for the quality score against
     deterministically planted bad-doc labels (doc_id%7==0) — the eval
@@ -1864,13 +1890,17 @@ QUERIES = {
     #    r4, and stream_sessionize — the value-hash-gated streaming
     #    twin of the same gap rule — stays inside) --
     "quality_pr": q_quality_pr,
+    # -- round-5.15 addition, inside the window for its first driver
+    #    row (zorder_keys rotates just past the window: driver-green
+    #    r4; layout-key coverage stays inside via hilbert_keys,
+    #    hilbert_pack and geohash) --
+    "campaign_attrib": q_campaign_attrib,
     # -- round-3 additions, driver-verified for the first time in r4 --
     "distance_join": q_distance_join,
     # -- round-5.11 addition, inside the window for its first driver
     #    row (boilerplate rotates just past the window: driver-green
     #    r4, chunks machinery still inside via host_dup) --
     "stream_batch_dedup": q_stream_batch_dedup,
-    "zorder_keys": q_zorder_keys,
     "cell_compact": q_cell_compact,
     # -- round-5.12 addition, inside the window for its first driver
     #    row (funnel rotates just past the window: driver-green r4,
@@ -1980,6 +2010,9 @@ QUERIES = {
     # (sessionize rotated out in r5.14 for quality_pr; driver-green r4,
     #  same gap rule still inside via stream_sessionize)
     "sessionize": q_sessionize,
+    # (zorder_keys rotated out in r5.15 for campaign_attrib;
+    #  driver-green r4)
+    "zorder_keys": q_zorder_keys,
     "dedup_exact": q_dedup_exact,
     "ann_topk": q_ann_topk,
     "minhash_pairs": q_minhash_pairs,
@@ -2427,6 +2460,18 @@ def oracle_sql() -> dict[str, str]:
         f"FROM ({_CUST_PTS_CTE})")
     from .operators.dedup import source_overlap_sql
     out["source_overlap"] = source_overlap_sql()
+    _day_us = 86_400_000_000
+    out["campaign_attrib"] = (
+        f"WITH e AS (SELECT user_id, event_id, datediff('microseconds', "
+        f"TIMESTAMP '2024-01-01 00:00:00', ts) AS us FROM events), "
+        f"c AS (SELECT s_suppkey AS campaign_id, "
+        f"(s_suppkey % 28) * {_day_us} AS start_us, "
+        f"(s_suppkey % 28) * {_day_us} "
+        f"+ (s_suppkey % 4 + 1) * {_day_us} AS end_us FROM supplier) "
+        f"SELECT campaign_id, COUNT(*) AS n_events, "
+        f"COUNT(DISTINCT user_id) AS n_users "
+        f"FROM e JOIN c ON e.us >= c.start_us AND e.us < c.end_us "
+        f"GROUP BY 1")
     from .operators.textstats import score_pr_curve_sql
     out["quality_pr"] = score_pr_curve_sql(
         f"SELECT doc_id, quality AS score, "

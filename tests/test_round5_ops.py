@@ -539,3 +539,46 @@ class TestScorePrCurve:
         plan = (score_pr_curve(df, "score", "label")
                 ._jdf.queryExecution().executedPlan().toString())
         assert "SinglePartition" not in plan
+
+
+class TestIntervalJoin:
+    def _run(self, spark, events, intervals):
+        from geospark.operators.events import interval_join
+        e = spark.createDataFrame(events, ["event_id", "us"])
+        iv = spark.createDataFrame(intervals,
+                                   ["iv_id", "start_us", "end_us"])
+        return sorted((r["event_id"], r["iv_id"]) for r in
+                      interval_join(e, iv, bucket_us=10).collect())
+
+    def test_hand_containment_half_open(self, spark):
+        # interval [5, 25) spans buckets 0,1,2 at bucket=10
+        got = self._run(spark, [(1, 4), (2, 5), (3, 24), (4, 25)],
+                        [(100, 5, 25)])
+        assert got == [(2, 100), (3, 100)]  # start inclusive, end not
+
+    def test_overlapping_intervals_and_no_dup_pairs(self, spark):
+        got = self._run(spark,
+                        [(1, 12)],
+                        [(100, 5, 25), (200, 10, 13), (300, 13, 20)])
+        assert got == [(1, 100), (1, 200)]
+
+    def test_empty_and_inverted_intervals(self, spark):
+        got = self._run(spark, [(1, 12)],
+                        [(100, 12, 12), (200, 20, 10)])
+        assert got == []
+
+    def test_plan_equi_join_not_nested_loop(self, spark):
+        from pyspark.sql import functions as F
+
+        from geospark.operators.events import interval_join
+        e = spark.createDataFrame([(1, 12)], ["event_id", "us"])
+        iv = spark.createDataFrame([(100, 5, 25)],
+                                   ["iv_id", "start_us", "end_us"])
+        plan = (interval_join(e, iv, bucket_us=10)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "NestedLoop" not in plan and "Cartesian" not in plan
+        # the naive shape Spark would otherwise pick:
+        naive = (e.join(iv, (F.col("us") >= F.col("start_us"))
+                        & (F.col("us") < F.col("end_us")))
+                 ._jdf.queryExecution().executedPlan().toString())
+        assert "NestedLoop" in naive or "Cartesian" in naive
