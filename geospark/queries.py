@@ -724,18 +724,19 @@ def q_campaign_attrib(spark, sf_dir):
     Integer-µs epoch (the sessionize convention)."""
     from pyspark.sql import functions as F
     from .operators.events import interval_join
-    day_us = 86_400_000_000
+    day_us = _DAY_US
     e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
         "user_id", "event_id",
         F.expr("timestampdiff(MICROSECOND, "
                "TIMESTAMP_NTZ '2024-01-01 00:00:00', ts)").alias("us"))
     camps = (spark.read.parquet(f"{sf_dir}/supplier.parquet")
              .select(F.col("s_suppkey").alias("campaign_id"),
-                     ((F.col("s_suppkey") % 28) * day_us)
+                     ((F.col("s_suppkey") % _CAMP_START_MOD) * day_us)
                      .alias("start_us"))
              .withColumn("end_us",
                          F.col("start_us")
-                         + (F.col("campaign_id") % 4 + 1) * day_us))
+                         + (F.col("campaign_id") % _CAMP_DUR_MOD + 1)
+                         * day_us))
     j = interval_join(e, camps)
     return (j.groupBy("campaign_id")
             .agg(F.count(F.lit(1)).alias("n_events"),
@@ -752,7 +753,8 @@ def q_quality_pr(spark, sf_dir):
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     scored = quality_features(d).select(
         "doc_id", F.col("quality").alias("score"),
-        (F.col("doc_id") % 7 == 0).cast("int").alias("label"))
+        (F.col("doc_id") % _QPR_BAD_MOD == 0).cast("int")
+        .alias("label"))
     return score_pr_curve(scored, "score", "label")
 
 
@@ -841,19 +843,31 @@ def q_batch_dedup(spark, sf_dir):
     # corpus (the tier would be vacuous, dedup_exact_planted's r1
     # lesson), so the batch also re-crawls every 97th existing page
     # under a fresh id — guaranteeing all three statuses appear
-    incoming = (d.filter(F.col("doc_id") % 5 == 0)
+    incoming = (d.filter(F.col("doc_id") % _BD_INC_MOD == 0)
                 .select("doc_id", "text")
                 .unionAll(
-                    d.filter((F.col("doc_id") % 5 != 0)
-                             & (F.col("doc_id") % 97 == 1))
-                    .select((F.col("doc_id") + 1000000).alias("doc_id"),
-                            "text")))
-    existing = d.filter(F.col("doc_id") % 5 != 0).select("doc_id", "text")
+                    d.filter((F.col("doc_id") % _BD_INC_MOD != 0)
+                             & (F.col("doc_id") % _BD_RECRAWL_MOD == 1))
+                    .select((F.col("doc_id") + _BD_ID_SHIFT)
+                            .alias("doc_id"), "text")))
+    existing = (d.filter(F.col("doc_id") % _BD_INC_MOD != 0)
+                .select("doc_id", "text"))
     return batch_dedup_status(incoming, existing)
 
 
 _TRAJ_LAT = "((value % 170.0) + 170.0) % 170.0 - 85.0"
 _TRAJ_LON = "(((value * 3.0) % 350.0) + 350.0) % 350.0 - 175.0"
+_TRAJ_RES = 6
+
+# shared step-table literals for the r5 planted/synthetic inputs (one
+# Python source feeding BOTH engine builders — the ADVICE r4
+# single-source convention; inlining them twice invites silent drift)
+_BD_INC_MOD = 5        # doc_id % _BD_INC_MOD == 0 -> the incoming batch
+_BD_RECRAWL_MOD = 97   # every 97th existing page re-crawled (exact dups)
+_BD_ID_SHIFT = 1_000_000
+_QPR_BAD_MOD = 7       # doc_id % _QPR_BAD_MOD == 0 -> planted bad label
+_CAMP_START_MOD, _CAMP_DUR_MOD = 28, 4
+_DAY_US = 86_400_000_000
 
 
 def q_traj_cells(spark, sf_dir):
@@ -870,7 +884,7 @@ def q_traj_cells(spark, sf_dir):
     pts = e.select("user_id", "ts", "event_id",
                    F.expr(_TRAJ_LAT).alias("lat"),
                    F.expr(_TRAJ_LON).alias("lon"))
-    return traverse_cells(pts, 6)
+    return traverse_cells(pts, _TRAJ_RES)
 
 
 def q_stream_batch_dedup(spark, sf_dir):
@@ -888,14 +902,15 @@ def q_stream_batch_dedup(spark, sf_dir):
     from pyspark.sql import functions as F
     from .streaming.stream import stream_batch_dedup
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    incoming = (d.filter(F.col("doc_id") % 5 == 0)
+    incoming = (d.filter(F.col("doc_id") % _BD_INC_MOD == 0)
                 .select("doc_id", "text")
                 .unionAll(
-                    d.filter((F.col("doc_id") % 5 != 0)
-                             & (F.col("doc_id") % 97 == 1))
-                    .select((F.col("doc_id") + 1000000).alias("doc_id"),
-                            "text")))
-    existing = d.filter(F.col("doc_id") % 5 != 0).select("doc_id", "text")
+                    d.filter((F.col("doc_id") % _BD_INC_MOD != 0)
+                             & (F.col("doc_id") % _BD_RECRAWL_MOD == 1))
+                    .select((F.col("doc_id") + _BD_ID_SHIFT)
+                            .alias("doc_id"), "text")))
+    existing = (d.filter(F.col("doc_id") % _BD_INC_MOD != 0)
+                .select("doc_id", "text"))
     work = tempfile.mkdtemp(prefix="geospark_stream_bd_")
     src = os.path.join(work, "src")
     incoming.repartitionByRange(4, "doc_id").write \
@@ -2374,10 +2389,13 @@ def oracle_sql() -> dict[str, str]:
         quality_features_sql())
     from .operators.dedup import batch_dedup_status_sql
     out["batch_dedup"] = batch_dedup_status_sql(
-        "SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0 "
-        "UNION ALL SELECT doc_id + 1000000 AS doc_id, text "
-        "FROM documents WHERE doc_id % 5 <> 0 AND doc_id % 97 = 1",
-        "SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0")
+        f"SELECT doc_id, text FROM documents "
+        f"WHERE doc_id % {_BD_INC_MOD} = 0 "
+        f"UNION ALL SELECT doc_id + {_BD_ID_SHIFT} AS doc_id, text "
+        f"FROM documents WHERE doc_id % {_BD_INC_MOD} <> 0 "
+        f"AND doc_id % {_BD_RECRAWL_MOD} = 1",
+        f"SELECT doc_id, text FROM documents "
+        f"WHERE doc_id % {_BD_INC_MOD} <> 0")
     # the streaming tier computes the same classification, so the batch
     # twin is its exact oracle (the stream_sessionize convention)
     out["stream_batch_dedup"] = out["batch_dedup"]
@@ -2460,14 +2478,15 @@ def oracle_sql() -> dict[str, str]:
         f"FROM ({_CUST_PTS_CTE})")
     from .operators.dedup import source_overlap_sql
     out["source_overlap"] = source_overlap_sql()
-    _day_us = 86_400_000_000
+    _day_us = _DAY_US
     out["campaign_attrib"] = (
         f"WITH e AS (SELECT user_id, event_id, datediff('microseconds', "
         f"TIMESTAMP '2024-01-01 00:00:00', ts) AS us FROM events), "
         f"c AS (SELECT s_suppkey AS campaign_id, "
-        f"(s_suppkey % 28) * {_day_us} AS start_us, "
-        f"(s_suppkey % 28) * {_day_us} "
-        f"+ (s_suppkey % 4 + 1) * {_day_us} AS end_us FROM supplier) "
+        f"(s_suppkey % {_CAMP_START_MOD}) * {_day_us} AS start_us, "
+        f"(s_suppkey % {_CAMP_START_MOD}) * {_day_us} "
+        f"+ (s_suppkey % {_CAMP_DUR_MOD} + 1) * {_day_us} "
+        f"AS end_us FROM supplier) "
         f"SELECT campaign_id, COUNT(*) AS n_events, "
         f"COUNT(DISTINCT user_id) AS n_users "
         f"FROM e JOIN c ON e.us >= c.start_us AND e.us < c.end_us "
@@ -2475,12 +2494,13 @@ def oracle_sql() -> dict[str, str]:
     from .operators.textstats import score_pr_curve_sql
     out["quality_pr"] = score_pr_curve_sql(
         f"SELECT doc_id, quality AS score, "
-        f"CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS label "
+        f"CASE WHEN doc_id % {_QPR_BAD_MOD} = 0 THEN 1 ELSE 0 END "
+        f"AS label "
         f"FROM ({quality_features_sql()})")
     from .operators.tiles import traverse_cells_sql
     out["traj_cells"] = traverse_cells_sql(
         f"SELECT user_id, ts, event_id, {_TRAJ_LAT} AS lat, "
-        f"{_TRAJ_LON} AS lon FROM events", 6)
+        f"{_TRAJ_LON} AS lon FROM events", _TRAJ_RES)
     from .operators.graph import pagerank_sql
     _n_docs = "(SELECT COUNT(*) FROM documents)"
     out["link_rank"] = pagerank_sql(
