@@ -328,3 +328,65 @@ def interval_join(events, intervals, *, ts_col: str = "us",
             .filter((F.col(ts_col) >= F.col(start_col))
                     & (F.col(ts_col) < F.col(end_col)))
             .drop("_b"))
+
+
+def colocation_pairs(events, res: int, *, user_col: str = "user_id",
+                     lat_col: str = "lat", lon_col: str = "lon",
+                     us_col: str = "us", day_us: int = 86_400_000_000,
+                     max_bucket: int = 1000, min_codays: int = 1):
+    """Co-location pair graph: user pairs observed in the SAME grid
+    cell on the SAME day, with the number of distinct co-located
+    (cell, day) buckets per pair — the contact-graph / co-visitation
+    primitive behind place recommendations and exposure analytics.
+
+    Scale: the pair explosion is bucketed exactly like LSH candidate
+    generation — distinct (cell, day, user) first (a user's repeat
+    visits collapse), buckets larger than ``max_bucket`` users dropped
+    whole (a stadium cell would emit C(n,2) pairs; the cap is the
+    documented recall trade, mirrored in the oracle), then one
+    bucket-keyed self-join with u_a < u_b. -> (user_a, user_b,
+    n_codays)."""
+    from pyspark.sql import functions as F
+
+    from ..functions.cells import cell_encode
+    d = (events.select(
+        F.col(user_col).alias("_u"),
+        cell_encode(lat_col, lon_col, res).alias("_cell"),
+        F.expr(f"{us_col} div {day_us}").alias("_day"))
+        .distinct())
+    sizes = (d.groupBy("_cell", "_day").count()
+             .filter((F.col("count") > 1)
+                     & (F.col("count") <= max_bucket))
+             .select("_cell", "_day"))
+    db = d.join(sizes, ["_cell", "_day"])
+    l = db.alias("l")
+    r = db.alias("r")
+    pairs = (l.join(r, ["_cell", "_day"])
+             .filter(F.col("l._u") < F.col("r._u"))
+             .select(F.col("l._u").alias("user_a"),
+                     F.col("r._u").alias("user_b")))
+    return (pairs.groupBy("user_a", "user_b")
+            .agg(F.count(F.lit(1)).alias("n_codays"))
+            .filter(F.col("n_codays") >= min_codays))
+
+
+def colocation_pairs_sql(pts_sql: str, res: int, *,
+                         day_us: int = 86_400_000_000,
+                         max_bucket: int = 1000,
+                         min_codays: int = 1) -> str:
+    """DuckDB twin of colocation_pairs over a subquery producing
+    (user_id, lat, lon, us) — same cell/day bucketing, same cap."""
+    from ..functions.cells import cell_encode_sql
+    cell = cell_encode_sql("lat", "lon", res)
+    return f"""
+WITH d AS (SELECT DISTINCT user_id AS u, {cell} AS cell,
+           us // {day_us} AS day FROM ({pts_sql})),
+ok AS (SELECT cell, day FROM d GROUP BY cell, day
+       HAVING COUNT(*) > 1 AND COUNT(*) <= {max_bucket}),
+db AS (SELECT d.* FROM d JOIN ok USING (cell, day)),
+pairs AS (SELECT l.u AS user_a, r.u AS user_b
+          FROM db l JOIN db r ON l.cell = r.cell AND l.day = r.day
+          WHERE l.u < r.u)
+SELECT user_a, user_b, COUNT(*) AS n_codays
+FROM pairs GROUP BY 1, 2 HAVING COUNT(*) >= {min_codays}
+"""

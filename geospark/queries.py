@@ -743,6 +743,27 @@ def q_campaign_attrib(spark, sf_dir):
                  F.countDistinct("user_id").alias("n_users")))
 
 
+_COLOC_RES, _COLOC_MIN = 8, 2
+
+
+def q_colocation(spark, sf_dir):
+    """Co-location pair graph (r5): user pairs seen in the same cell
+    on the same day, >= _COLOC_MIN distinct co-days — the
+    contact-graph primitive. Bucketed like LSH candidate pairs (cap
+    on stadium cells), per-event varied coords (the traj_cells
+    derivation). Integer-µs day bucketing."""
+    from pyspark.sql import functions as F
+    from .operators.events import colocation_pairs
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pts = e.select("user_id",
+                   F.expr(_TRAJ_LAT).alias("lat"),
+                   F.expr(_TRAJ_LON).alias("lon"),
+                   F.expr("timestampdiff(MICROSECOND, "
+                          "TIMESTAMP_NTZ '2024-01-01 00:00:00', ts)")
+                   .alias("us"))
+    return colocation_pairs(pts, _COLOC_RES, min_codays=_COLOC_MIN)
+
+
 def q_quality_pr(spark, sf_dir):
     """Precision/recall decile table for the quality score against
     deterministically planted bad-doc labels (doc_id%7==0) — the eval
@@ -1905,6 +1926,11 @@ QUERIES = {
     #    r4, and stream_sessionize — the value-hash-gated streaming
     #    twin of the same gap rule — stays inside) --
     "quality_pr": q_quality_pr,
+    # -- round-5.16 addition, inside the window for its first driver
+    #    row (st_roundtrip rotates just past the window: driver-green
+    #    r4; the EP1/EP2 encode path keeps schema_infer inside plus
+    #    the full kernel-corpus test tier) --
+    "colocation": q_colocation,
     # -- round-5.15 addition, inside the window for its first driver
     #    row (zorder_keys rotates just past the window: driver-green
     #    r4; layout-key coverage stays inside via hilbert_keys,
@@ -1956,7 +1982,6 @@ QUERIES = {
     #  driver-green r4)
     "pip_anti": q_pip_anti,
     "knn": q_knn,
-    "st_roundtrip": q_st_roundtrip,
     "schema_infer": q_schema_infer,
     # (dedup_exact, driver-green r4, rotates just past the window in
     #  r5.7 to keep geohash — brand-new this round — inside it)
@@ -2028,6 +2053,8 @@ QUERIES = {
     # (zorder_keys rotated out in r5.15 for campaign_attrib;
     #  driver-green r4)
     "zorder_keys": q_zorder_keys,
+    # (st_roundtrip rotated out in r5.16 for colocation; driver-green r4)
+    "st_roundtrip": q_st_roundtrip,
     "dedup_exact": q_dedup_exact,
     "ann_topk": q_ann_topk,
     "minhash_pairs": q_minhash_pairs,
@@ -2478,6 +2505,12 @@ def oracle_sql() -> dict[str, str]:
         f"FROM ({_CUST_PTS_CTE})")
     from .operators.dedup import source_overlap_sql
     out["source_overlap"] = source_overlap_sql()
+    from .operators.events import colocation_pairs_sql
+    out["colocation"] = colocation_pairs_sql(
+        f"SELECT user_id, {_TRAJ_LAT} AS lat, {_TRAJ_LON} AS lon, "
+        f"datediff('microseconds', TIMESTAMP '2024-01-01 00:00:00', ts) "
+        f"AS us FROM events",
+        _COLOC_RES, min_codays=_COLOC_MIN)
     _day_us = _DAY_US
     out["campaign_attrib"] = (
         f"WITH e AS (SELECT user_id, event_id, datediff('microseconds', "

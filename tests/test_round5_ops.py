@@ -582,3 +582,37 @@ class TestIntervalJoin:
                         & (F.col("us") < F.col("end_us")))
                  ._jdf.queryExecution().executedPlan().toString())
         assert "NestedLoop" in naive or "Cartesian" in naive
+
+
+class TestColocationPairs:
+    DAY = 86_400_000_000
+
+    def _run(self, spark, rows, **kw):
+        from geospark.operators.events import colocation_pairs
+        df = spark.createDataFrame(rows, ["user_id", "lat", "lon", "us"])
+        return {(r["user_a"], r["user_b"]): r["n_codays"]
+                for r in colocation_pairs(df, 4, **kw).collect()}
+
+    def test_hand_pairs_same_cell_same_day(self, spark):
+        d = self.DAY
+        rows = [
+            (1, 10.0, 10.0, 0), (2, 10.0, 10.0, d // 2),   # day 0 co-loc
+            (1, 10.0, 10.0, d + 1), (2, 10.0, 10.0, d + 2),  # day 1 too
+            (3, 10.0, 10.0, 2 * d),     # alone that day
+            (4, -80.0, -170.0, 0),      # different cell on day 0
+            (1, 10.0, 10.0, 5),         # repeat visit: counts once
+        ]
+        got = self._run(spark, rows)
+        assert got == {(1, 2): 2}
+
+    def test_max_bucket_cap_drops_stadium_cell(self, spark):
+        rows = [(u, 10.0, 10.0, 0) for u in range(6)]
+        assert self._run(spark, rows, max_bucket=5) == {}
+        assert len(self._run(spark, rows, max_bucket=6)) == 15  # C(6,2)
+
+    def test_min_codays_threshold(self, spark):
+        d = self.DAY
+        rows = [(1, 10.0, 10.0, 0), (2, 10.0, 10.0, 1),
+                (1, 10.0, 10.0, d), (2, 10.0, 10.0, d + 1)]
+        assert self._run(spark, rows, min_codays=3) == {}
+        assert self._run(spark, rows, min_codays=2) == {(1, 2): 2}
