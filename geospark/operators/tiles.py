@@ -371,3 +371,66 @@ dcells AS (SELECT DISTINCT _user,
 SELECT _user AS {user_col}, COUNT(*) AS n_cells
 FROM dcells GROUP BY 1
 """
+
+
+def cell_rolling_counts(points, res: int, *, us_col: str = "us",
+                        lat_col: str = "lat", lon_col: str = "lon",
+                        window_days: int = 7,
+                        day_us: int = 86_400_000_000):
+    """Per-cell daily event counts on a GAP-FILLED calendar plus a
+    trailing ``window_days`` rolling sum — the hypertable dashboard
+    shape (a sparse rollup silently skips zero days, which makes a
+    rows-window rolling sum WRONG; densify first, then window).
+
+    Scale: the dense frame is cells x days — explicit, bounded
+    densification (one sequence-explode per distinct cell, days from
+    one scalar agg action); the rolling window partitions by cell with
+    a bounded rows frame, riding the same cell-keyed exchange as the
+    fill join. -> (cell, day, n_events, n_<w>d)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..functions.cells import cell_encode
+    d = points.select(
+        cell_encode(lat_col, lon_col, res).alias("cell"),
+        F.expr(f"{us_col} div {day_us}").alias("day"))
+    counts = d.groupBy("cell", "day").agg(F.count(F.lit(1)).alias("_n"))
+    span = counts.agg(F.min("day").alias("lo"),
+                      F.max("day").alias("hi")).collect()[0]
+    lo, hi = int(span["lo"]), int(span["hi"])
+    dense = (counts.select("cell").distinct()
+             .select("cell", F.explode(
+                 F.expr(f"sequence({lo}L, {hi}L)")).alias("day")))
+    filled = (dense.join(counts, ["cell", "day"], "left")
+              .select("cell", "day",
+                      F.coalesce("_n", F.lit(0)).cast("long")
+                      .alias("n_events")))
+    w = (Window.partitionBy("cell").orderBy("day")
+         .rowsBetween(-(window_days - 1), 0))
+    return filled.withColumn(f"n_{window_days}d",
+                             F.sum("n_events").over(w))
+
+
+def cell_rolling_counts_sql(pts_sql: str, res: int, *,
+                            window_days: int = 7,
+                            day_us: int = 86_400_000_000) -> str:
+    """DuckDB twin of cell_rolling_counts over a subquery producing
+    (lat, lon, us)."""
+    from ..functions.cells import cell_encode_sql
+    cell = cell_encode_sql("lat", "lon", res)
+    return f"""
+WITH d AS (SELECT {cell} AS cell, us // {day_us} AS day
+           FROM ({pts_sql})),
+counts AS (SELECT cell, day, COUNT(*) AS n FROM d GROUP BY 1, 2),
+span AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM counts),
+dense AS (SELECT cell, unnest(generate_series(lo, hi)) AS day
+          FROM (SELECT DISTINCT cell FROM counts), span),
+filled AS (SELECT dense.cell, dense.day,
+           CAST(COALESCE(counts.n, 0) AS BIGINT) AS n_events
+           FROM dense LEFT JOIN counts USING (cell, day))
+SELECT cell, day, n_events,
+       CAST(SUM(n_events) OVER (PARTITION BY cell ORDER BY day
+            ROWS BETWEEN {window_days - 1} PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS n_{window_days}d
+FROM filled
+"""

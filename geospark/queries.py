@@ -744,6 +744,24 @@ def q_campaign_attrib(spark, sf_dir):
 
 
 _COLOC_RES, _COLOC_MIN = 8, 2
+_ROLL_RES, _ROLL_DAYS = 4, 7
+
+
+def q_cell_rolling(spark, sf_dir):
+    """Per-cell daily counts on a gap-filled calendar + trailing 7-day
+    rolling sum (r5): the hypertable dashboard series — a sparse
+    rollup skips zero days, which silently breaks a rows-window
+    rolling sum; densify first (sequence-explode per cell), then
+    window. Integer day buckets from integer-µs epoch."""
+    from pyspark.sql import functions as F
+    from .operators.tiles import cell_rolling_counts
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pts = e.select(F.expr(_TRAJ_LAT).alias("lat"),
+                   F.expr(_TRAJ_LON).alias("lon"),
+                   F.expr("timestampdiff(MICROSECOND, "
+                          "TIMESTAMP_NTZ '2024-01-01 00:00:00', ts)")
+                   .alias("us"))
+    return cell_rolling_counts(pts, _ROLL_RES, window_days=_ROLL_DAYS)
 
 
 def q_colocation(spark, sf_dir):
@@ -1931,13 +1949,18 @@ QUERIES = {
     #    r4; the EP1/EP2 encode path keeps schema_infer inside plus
     #    the full kernel-corpus test tier) --
     "colocation": q_colocation,
+    # -- round-5.17 addition, inside the window for its first driver
+    #    row (distance_join rotates just past the window: driver-green
+    #    r4 AND re-measured in the r5 headline bench — the epsilon-join
+    #    machinery keeps its bench row; correctness stays covered by
+    #    the r4 driver green + replica) --
+    "cell_rolling": q_cell_rolling,
     # -- round-5.15 addition, inside the window for its first driver
     #    row (zorder_keys rotates just past the window: driver-green
     #    r4; layout-key coverage stays inside via hilbert_keys,
     #    hilbert_pack and geohash) --
     "campaign_attrib": q_campaign_attrib,
     # -- round-3 additions, driver-verified for the first time in r4 --
-    "distance_join": q_distance_join,
     # -- round-5.11 addition, inside the window for its first driver
     #    row (boilerplate rotates just past the window: driver-green
     #    r4, chunks machinery still inside via host_dup) --
@@ -2053,6 +2076,9 @@ QUERIES = {
     # (zorder_keys rotated out in r5.15 for campaign_attrib;
     #  driver-green r4)
     "zorder_keys": q_zorder_keys,
+    # (distance_join rotated out in r5.17 for cell_rolling;
+    #  driver-green r4, still in the headline bench suite)
+    "distance_join": q_distance_join,
     # (st_roundtrip rotated out in r5.16 for colocation; driver-green r4)
     "st_roundtrip": q_st_roundtrip,
     "dedup_exact": q_dedup_exact,
@@ -2505,6 +2531,12 @@ def oracle_sql() -> dict[str, str]:
         f"FROM ({_CUST_PTS_CTE})")
     from .operators.dedup import source_overlap_sql
     out["source_overlap"] = source_overlap_sql()
+    from .operators.tiles import cell_rolling_counts_sql
+    out["cell_rolling"] = cell_rolling_counts_sql(
+        f"SELECT {_TRAJ_LAT} AS lat, {_TRAJ_LON} AS lon, "
+        f"datediff('microseconds', TIMESTAMP '2024-01-01 00:00:00', ts) "
+        f"AS us FROM events",
+        _ROLL_RES, window_days=_ROLL_DAYS)
     from .operators.events import colocation_pairs_sql
     out["colocation"] = colocation_pairs_sql(
         f"SELECT user_id, {_TRAJ_LAT} AS lat, {_TRAJ_LON} AS lon, "

@@ -616,3 +616,42 @@ class TestColocationPairs:
                 (1, 10.0, 10.0, d), (2, 10.0, 10.0, d + 1)]
         assert self._run(spark, rows, min_codays=3) == {}
         assert self._run(spark, rows, min_codays=2) == {(1, 2): 2}
+
+
+class TestCellRollingCounts:
+    DAY = 86_400_000_000
+
+    def test_gap_fill_and_rolling_sum(self, spark):
+        """One cell with events on days 0 and 3 of a 0..3 span: days
+        1-2 must EXIST with zero counts, and the 7-day trailing sum on
+        day 3 must see day 0 through the filled gap."""
+        from geospark.operators.tiles import cell_rolling_counts
+        d = self.DAY
+        rows = [(10.0, 10.0, 1), (10.0, 10.0, 2),       # day 0 x2
+                (10.0, 10.0, 3 * d + 5),                # day 3
+                (-80.0, -170.0, 3 * d + 9)]             # other cell day 3
+        df = spark.createDataFrame(rows, ["lat", "lon", "us"])
+        out = cell_rolling_counts(df, 2)
+        got = {(r["cell"], r["day"]): (r["n_events"], r["n_7d"])
+               for r in out.collect()}
+        cells = {c for c, _ in got}
+        assert len(cells) == 2 and len(got) == 8  # 2 cells x 4 days
+        hot = next(c for c in cells
+                   if got[(c, 0)][0] == 2)
+        assert got[(hot, 0)] == (2, 2)
+        assert got[(hot, 1)] == (0, 2)
+        assert got[(hot, 2)] == (0, 2)
+        assert got[(hot, 3)] == (1, 3)   # rolling sees day 0
+        cold = (cells - {hot}).pop()
+        assert got[(cold, 0)] == (0, 0)
+        assert got[(cold, 3)] == (1, 1)
+
+    def test_window_trails_off(self, spark):
+        """With window_days=2 the day-0 events leave the sum on day 2."""
+        from geospark.operators.tiles import cell_rolling_counts
+        d = self.DAY
+        rows = [(10.0, 10.0, 1), (10.0, 10.0, 2 * d + 1)]
+        df = spark.createDataFrame(rows, ["lat", "lon", "us"])
+        got = {r["day"]: (r["n_events"], r["n_2d"]) for r in
+               cell_rolling_counts(df, 2, window_days=2).collect()}
+        assert got == {0: (1, 1), 1: (0, 1), 2: (1, 1)}
