@@ -263,3 +263,61 @@ SELECT {key_col}, _w AS {weight_col},
                 THEN 1 ELSE 0 END AS BIGINT) AS alloc
 FROM r
 """
+
+
+# target mixture step table (ppm of total tokens) — ONE Python source
+# feeding both engine builders; langs absent here get 0 (dropped)
+MIX_TARGET_PPM = {"en": 500_000, "de": 150_000, "es": 150_000,
+                  "fr": 100_000, "zh": 100_000}
+
+
+def mixture_report(df, targets_ppm: dict[str, int] | None = None, *,
+                   group_col: str = "lang", text_col: str = "text"):
+    """Corpus-mixture report + reweighting factors — the data-mixing
+    calculation before training: per group, its token mass, actual
+    share, and the sampling factor that moves the mix to the target
+    (factor = target_share / actual_share; >1e6 ppm means upsample).
+    Shares and factors are INTEGER parts-per-million (floor) — a float
+    share drifts per engine and a factor is only ever consumed as a
+    sampling rate, where ppm resolution is plenty.
+
+    Scale: one map-side-combined group agg (groups = languages, tiny)
+    + one scalar action for the total. -> (group, n_tokens, share_ppm,
+    factor_ppm)."""
+    from pyspark.sql import functions as F
+    targets = targets_ppm or MIX_TARGET_PPM
+    g = df.groupBy(group_col).agg(
+        F.sum(F.regexp_count(F.col(text_col), F.lit(PACK_TOKEN_RX)))
+        .cast("long").alias("n_tokens"))
+    total = g.agg(F.sum("n_tokens")).collect()[0][0]
+    tgt = F.lit(0)
+    for k, v in sorted(targets.items()):
+        tgt = F.when(F.col(group_col) == k, F.lit(v)).otherwise(tgt)
+    return g.select(
+        group_col, "n_tokens",
+        F.expr(f"(n_tokens * 1000000) div {total}").alias("share_ppm"),
+        (tgt.cast("long") * F.lit(int(total)))
+        .cast("long").alias("_t")
+    ).select(group_col, "n_tokens", "share_ppm",
+             F.expr("_t div n_tokens").alias("factor_ppm"))
+
+
+def mixture_report_sql(targets_ppm: dict[str, int] | None = None, *,
+                       group_col: str = "lang",
+                       table: str = "documents") -> str:
+    """DuckDB twin of mixture_report (same step table, same floors)."""
+    targets = targets_ppm or MIX_TARGET_PPM
+    case = " ".join(f"WHEN '{k}' THEN {int(v)}"
+                    for k, v in sorted(targets.items()))
+    return f"""
+WITH g AS (SELECT {group_col},
+           CAST(SUM(len(regexp_extract_all(text, '{PACK_TOKEN_RX}')))
+                AS BIGINT) AS n_tokens
+           FROM {table} GROUP BY 1),
+t AS (SELECT SUM(n_tokens) AS total FROM g)
+SELECT {group_col}, n_tokens,
+       CAST((n_tokens * 1000000) // total AS BIGINT) AS share_ppm,
+       CAST((CASE {group_col} {case} ELSE 0 END * total) // n_tokens
+            AS BIGINT) AS factor_ppm
+FROM g, t
+"""

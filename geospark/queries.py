@@ -747,6 +747,16 @@ _COLOC_RES, _COLOC_MIN = 8, 2
 _ROLL_RES, _ROLL_DAYS = 4, 7
 
 
+def q_mixture(spark, sf_dir):
+    """Corpus-mixture report (r5): per-language token mass, actual
+    share, and the integer-ppm reweighting factor toward the target
+    mixture step table — the data-mixing calculation before
+    training. One group agg + one scalar action."""
+    from .operators.pack import mixture_report
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return mixture_report(d)
+
+
 def q_cell_rolling(spark, sf_dir):
     """Per-cell daily counts on a gap-filled calendar + trailing 7-day
     rolling sum (r5): the hypertable dashboard series — a sparse
@@ -1955,6 +1965,10 @@ QUERIES = {
     #    machinery keeps its bench row; correctness stays covered by
     #    the r4 driver green + replica) --
     "cell_rolling": q_cell_rolling,
+    # -- round-5.18 addition, inside the window for its first driver
+    #    row (pip_anti rotates just past the window: driver-green r4;
+    #    the PIP machinery keeps pip_join/pip_agg/pip_tile_agg inside) --
+    "mixture": q_mixture,
     # -- round-5.15 addition, inside the window for its first driver
     #    row (zorder_keys rotates just past the window: driver-green
     #    r4; layout-key coverage stays inside via hilbert_keys,
@@ -2003,7 +2017,6 @@ QUERIES = {
     "pip_tile_agg": q_pip_tile_agg,
     # (pip_semi rotated just past the window in r5.10 for link_rank;
     #  driver-green r4)
-    "pip_anti": q_pip_anti,
     "knn": q_knn,
     "schema_infer": q_schema_infer,
     # (dedup_exact, driver-green r4, rotates just past the window in
@@ -2062,6 +2075,8 @@ QUERIES = {
     #  r5.11 for stream_batch_dedup, funnel in r5.12 for traj_cells;
     #  all driver-green r4)
     "pip_semi": q_pip_semi,
+    # (pip_anti rotated out in r5.18 for mixture; driver-green r4)
+    "pip_anti": q_pip_anti,
     "boilerplate": q_boilerplate,
     "funnel": q_funnel,
     # (curation_filter rotated out in r5.13 for crawl_budget;
@@ -2531,6 +2546,8 @@ def oracle_sql() -> dict[str, str]:
         f"FROM ({_CUST_PTS_CTE})")
     from .operators.dedup import source_overlap_sql
     out["source_overlap"] = source_overlap_sql()
+    from .operators.pack import mixture_report_sql
+    out["mixture"] = mixture_report_sql()
     from .operators.tiles import cell_rolling_counts_sql
     out["cell_rolling"] = cell_rolling_counts_sql(
         f"SELECT {_TRAJ_LAT} AS lat, {_TRAJ_LON} AS lon, "

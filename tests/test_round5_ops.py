@@ -655,3 +655,29 @@ class TestCellRollingCounts:
         got = {r["day"]: (r["n_events"], r["n_2d"]) for r in
                cell_rolling_counts(df, 2, window_days=2).collect()}
         assert got == {0: (1, 1), 1: (0, 1), 2: (1, 1)}
+
+
+class TestMixtureReport:
+    def test_hand_shares_and_factors(self, spark):
+        from geospark.operators.pack import mixture_report
+        df = spark.createDataFrame(
+            [(1, "en", "one two three four"),        # 4 tokens
+             (2, "en", "five six"),                  # 2
+             (3, "de", "ein zwei drei vier")],       # 4 -> total 10
+            ["doc_id", "lang", "text"])
+        got = {r["lang"]: (r["n_tokens"], r["share_ppm"], r["factor_ppm"])
+               for r in mixture_report(
+                   df, {"en": 700_000, "de": 300_000}).collect()}
+        # en: 6/10 -> 600000 ppm; factor 0.7/0.6 -> 1166666 (floor)
+        assert got["en"] == (6, 600_000, 700_000 * 10 // 6)
+        # de: 4/10 -> 400000 ppm; factor 0.3/0.4 -> 750000
+        assert got["de"] == (4, 400_000, 750_000)
+
+    def test_absent_target_lang_gets_zero_factor(self, spark):
+        from geospark.operators.pack import mixture_report
+        df = spark.createDataFrame(
+            [(1, "xx", "a b c"), (2, "en", "d e f")],
+            ["doc_id", "lang", "text"])
+        got = {r["lang"]: r["factor_ppm"] for r in mixture_report(
+            df, {"en": 1_000_000}).collect()}
+        assert got["xx"] == 0 and got["en"] == 2_000_000
