@@ -390,3 +390,77 @@ pairs AS (SELECT l.u AS user_a, r.u AS user_b
 SELECT user_a, user_b, COUNT(*) AS n_codays
 FROM pairs GROUP BY 1, 2 HAVING COUNT(*) >= {min_codays}
 """
+
+
+def stay_points(points, res: int, *, user_col: str = "user_id",
+                us_col: str = "us", lat_col: str = "lat",
+                lon_col: str = "lon",
+                order_cols=("us", "event_id"),
+                min_dwell_us: int = 3_600_000_000,
+                min_events: int = 2):
+    """Stay-point (dwell) detection — the trajectory-mining step that
+    turns a GPS stream into visits: maximal runs of CONSECUTIVE events
+    of a user inside the same grid cell, kept when the run spans at
+    least ``min_dwell_us`` and ``min_events``.  Gaps-and-islands: a
+    run id is the running count of cell CHANGES (lag + conditional
+    sum), so one user-keyed window pass builds segments without a
+    self-join; the segment agg rides the same exchange.  Integer-µs
+    throughout. -> (user, cell, n_events, start_us, end_us,
+    dwell_s)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..functions.cells import cell_encode
+    ocols = list(order_cols)
+    d = points.select(
+        F.col(user_col).alias("_user"), *[F.col(c) for c in ocols],
+        cell_encode(lat_col, lon_col, res).alias("_cell"))
+    w = Window.partitionBy("_user").orderBy(
+        *[F.col(c).asc() for c in ocols])
+    changed = F.when(
+        F.lag("_cell").over(w).isNull()
+        | (F.lag("_cell").over(w) != F.col("_cell")), 1).otherwise(0)
+    seg = d.withColumn("_seg", F.sum(changed).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+    g = (seg.groupBy("_user", "_seg", "_cell")
+         .agg(F.count(F.lit(1)).alias("n_events"),
+              F.min(us_col).alias("start_us"),
+              F.max(us_col).alias("end_us")))
+    return (g.filter((F.col("end_us") - F.col("start_us")
+                      >= min_dwell_us)
+                     & (F.col("n_events") >= min_events))
+            .select(F.col("_user").alias(user_col),
+                    F.col("_cell").alias("cell"),
+                    "n_events", "start_us", "end_us",
+                    F.round((F.col("end_us") - F.col("start_us"))
+                            / 1_000_000.0, 3).alias("dwell_s")))
+
+
+def stay_points_sql(pts_sql: str, res: int, *,
+                    min_dwell_us: int = 3_600_000_000,
+                    min_events: int = 2,
+                    order_sql: str = "us, event_id") -> str:
+    """DuckDB twin of stay_points over a subquery producing
+    (user_id, us, event_id, lat, lon)."""
+    from ..functions.cells import cell_encode_sql
+    cell = cell_encode_sql("lat", "lon", res)
+    return f"""
+WITH d AS (SELECT user_id AS u, us, event_id, {cell} AS cell
+           FROM ({pts_sql})),
+f AS (SELECT u, us, event_id, cell,
+      CASE WHEN LAG(cell) OVER (PARTITION BY u ORDER BY {order_sql})
+                IS DISTINCT FROM cell THEN 1 ELSE 0 END AS chg
+      FROM d),
+s AS (SELECT u, us, cell,
+      SUM(chg) OVER (PARTITION BY u ORDER BY {order_sql}
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        AS seg
+      FROM f),
+g AS (SELECT u, seg, cell, COUNT(*) AS n_events,
+      MIN(us) AS start_us, MAX(us) AS end_us
+      FROM s GROUP BY 1, 2, 3)
+SELECT u AS user_id, cell, n_events, start_us, end_us,
+       ROUND((end_us - start_us) / 1000000.0, 3) AS dwell_s
+FROM g
+WHERE end_us - start_us >= {min_dwell_us} AND n_events >= {min_events}
+"""

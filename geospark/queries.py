@@ -747,6 +747,27 @@ _COLOC_RES, _COLOC_MIN = 8, 2
 _ROLL_RES, _ROLL_DAYS = 4, 7
 
 
+_STAY_RES = 2
+
+
+def q_stay_points(spark, sf_dir):
+    """Stay-point detection (r5): maximal same-cell runs per user with
+    dwell/min-event thresholds — the trajectory-mining step that turns
+    an event stream into visits. Gaps-and-islands on one user-keyed
+    window; per-event varied coords (the traj_cells derivation) at a
+    coarse resolution so multi-event dwells exist."""
+    from pyspark.sql import functions as F
+    from .operators.events import stay_points
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pts = e.select("user_id", "event_id",
+                   F.expr(_TRAJ_LAT).alias("lat"),
+                   F.expr(_TRAJ_LON).alias("lon"),
+                   F.expr("timestampdiff(MICROSECOND, "
+                          "TIMESTAMP_NTZ '2024-01-01 00:00:00', ts)")
+                   .alias("us"))
+    return stay_points(pts, _STAY_RES)
+
+
 def q_mixture(spark, sf_dir):
     """Corpus-mixture report (r5): per-language token mass, actual
     share, and the integer-ppm reweighting factor toward the target
@@ -1969,6 +1990,10 @@ QUERIES = {
     #    row (pip_anti rotates just past the window: driver-green r4;
     #    the PIP machinery keeps pip_join/pip_agg/pip_tile_agg inside) --
     "mixture": q_mixture,
+    # -- round-5.19 addition, inside the window for its first driver
+    #    row (cell_compact rotates just past the window: driver-green
+    #    r4; the compaction quartet algebra keeps its unit tier) --
+    "stay_points": q_stay_points,
     # -- round-5.15 addition, inside the window for its first driver
     #    row (zorder_keys rotates just past the window: driver-green
     #    r4; layout-key coverage stays inside via hilbert_keys,
@@ -1979,7 +2004,6 @@ QUERIES = {
     #    row (boilerplate rotates just past the window: driver-green
     #    r4, chunks machinery still inside via host_dup) --
     "stream_batch_dedup": q_stream_batch_dedup,
-    "cell_compact": q_cell_compact,
     # -- round-5.12 addition, inside the window for its first driver
     #    row (funnel rotates just past the window: driver-green r4,
     #    funnel machinery still inside via funnel_by_cell) --
@@ -2077,6 +2101,8 @@ QUERIES = {
     "pip_semi": q_pip_semi,
     # (pip_anti rotated out in r5.18 for mixture; driver-green r4)
     "pip_anti": q_pip_anti,
+    # (cell_compact rotated out in r5.19 for stay_points; driver-green r4)
+    "cell_compact": q_cell_compact,
     "boilerplate": q_boilerplate,
     "funnel": q_funnel,
     # (curation_filter rotated out in r5.13 for crawl_budget;
@@ -2548,6 +2574,12 @@ def oracle_sql() -> dict[str, str]:
     out["source_overlap"] = source_overlap_sql()
     from .operators.pack import mixture_report_sql
     out["mixture"] = mixture_report_sql()
+    from .operators.events import stay_points_sql
+    out["stay_points"] = stay_points_sql(
+        f"SELECT user_id, event_id, {_TRAJ_LAT} AS lat, "
+        f"{_TRAJ_LON} AS lon, datediff('microseconds', "
+        f"TIMESTAMP '2024-01-01 00:00:00', ts) AS us FROM events",
+        _STAY_RES)
     from .operators.tiles import cell_rolling_counts_sql
     out["cell_rolling"] = cell_rolling_counts_sql(
         f"SELECT {_TRAJ_LAT} AS lat, {_TRAJ_LON} AS lon, "

@@ -681,3 +681,47 @@ class TestMixtureReport:
         got = {r["lang"]: r["factor_ppm"] for r in mixture_report(
             df, {"en": 1_000_000}).collect()}
         assert got["xx"] == 0 and got["en"] == 2_000_000
+
+
+class TestStayPoints:
+    HOUR = 3_600_000_000
+
+    def _run(self, spark, rows, **kw):
+        from geospark.operators.events import stay_points
+        df = spark.createDataFrame(
+            rows, ["user_id", "event_id", "lat", "lon", "us"])
+        return sorted(
+            ((r["user_id"], r["start_us"], r["cell"] & 0xFFFF,
+              r["n_events"], r["end_us"])
+             for r in stay_points(df, 2, **kw).collect()),
+            key=lambda t: (t[0], t[1]))
+
+    def test_hand_runs_split_on_cell_change(self, spark):
+        h = self.HOUR
+        rows = [
+            # user 1: 3 events in cell A over 2h, then cell B, then
+            # BACK to A — the return is a NEW segment (islands, not
+            # a groupBy on (user, cell))
+            (1, 1, 10.0, 10.0, 0),
+            (1, 2, 11.0, 11.0, h),
+            (1, 3, 12.0, 10.5, 2 * h),
+            (1, 4, -80.0, -170.0, 3 * h),
+            (1, 5, 10.0, 10.0, 4 * h),
+            (1, 6, 10.0, 10.0, 4 * h + 30 * 60 * 1_000_000),
+        ]
+        got = self._run(spark, rows, min_dwell_us=self.HOUR // 2)
+        assert len(got) == 2
+        (u1, s1, c1, n1, e1), (u2, s2, c2, n2, e2) = got
+        assert (n1, s1, e1) == (3, 0, 2 * h)
+        assert (n2, s2, e2) == (2, 4 * h, 4 * h + 30 * 60 * 1_000_000)
+        assert c1 == c2  # both dwells in the same cell, split by B
+
+    def test_thresholds(self, spark):
+        h = self.HOUR
+        rows = [(1, 1, 10.0, 10.0, 0), (1, 2, 10.0, 10.0, h // 4)]
+        # dwell 15 min < 1h default -> dropped
+        assert self._run(spark, rows) == []
+        # single event can never pass min_events=2
+        assert self._run(spark, [(1, 1, 10.0, 10.0, 0)],
+                         min_dwell_us=0) == []
+        assert len(self._run(spark, rows, min_dwell_us=h // 4)) == 1
