@@ -464,3 +464,61 @@ SELECT u AS user_id, cell, n_events, start_us, end_us,
 FROM g
 WHERE end_us - start_us >= {min_dwell_us} AND n_events >= {min_events}
 """
+
+
+def od_matrix(points, res: int, *, user_col: str = "user_id",
+              us_col: str = "us", lat_col: str = "lat",
+              lon_col: str = "lon", tie_col: str = "event_id",
+              day_us: int = 86_400_000_000, min_trips: int = 1):
+    """Origin-destination matrix — the mobility-analytics staple: per
+    (user, day), the day's FIRST event cell is the origin and the LAST
+    the destination (ties on the timestamp broken by ``tie_col``);
+    trips aggregate to (origin, destination, n_trips).  Same-cell days
+    count as stationary trips (o == d rows kept — filter downstream).
+
+    Scale: first/last are ONE (user, day)-keyed aggregate via
+    min/max(struct(us, tie, cell)) — map-side partial, no window, no
+    sort; the trip agg is a second small map-side-combined groupBy.
+    -> (o_cell, d_cell, n_trips)."""
+    from pyspark.sql import functions as F
+
+    from ..functions.cells import cell_encode
+    d = points.select(
+        F.col(user_col).alias("_u"),
+        F.expr(f"{us_col} div {day_us}").alias("_day"),
+        F.col(us_col).alias("_us"), F.col(tie_col).alias("_tie"),
+        cell_encode(lat_col, lon_col, res).alias("_cell"))
+    s = F.struct(F.col("_us"), F.col("_tie"), F.col("_cell"))
+    g = (d.groupBy("_u", "_day")
+         .agg(F.min(s).alias("_first"), F.max(s).alias("_last")))
+    return (g.select(F.col("_first._cell").alias("o_cell"),
+                     F.col("_last._cell").alias("d_cell"))
+            .groupBy("o_cell", "d_cell")
+            .agg(F.count(F.lit(1)).alias("n_trips"))
+            .filter(F.col("n_trips") >= min_trips))
+
+
+def od_matrix_sql(pts_sql: str, res: int, *,
+                  day_us: int = 86_400_000_000,
+                  min_trips: int = 1) -> str:
+    """DuckDB twin of od_matrix over a subquery producing (user_id,
+    us, event_id, lat, lon) — arg-min/max expressed as rn=1 windows
+    over the same (us, tie) total order."""
+    from ..functions.cells import cell_encode_sql
+    cell = cell_encode_sql("lat", "lon", res)
+    return f"""
+WITH d AS (SELECT user_id AS u, us // {day_us} AS day, us, event_id,
+           {cell} AS cell FROM ({pts_sql})),
+r AS (SELECT u, day, cell,
+      ROW_NUMBER() OVER (PARTITION BY u, day
+                         ORDER BY us ASC, event_id ASC) AS rf,
+      ROW_NUMBER() OVER (PARTITION BY u, day
+                         ORDER BY us DESC, event_id DESC) AS rl
+      FROM d),
+g AS (SELECT u, day,
+      MAX(CASE WHEN rf = 1 THEN cell END) AS o_cell,
+      MAX(CASE WHEN rl = 1 THEN cell END) AS d_cell
+      FROM r GROUP BY 1, 2)
+SELECT o_cell, d_cell, COUNT(*) AS n_trips
+FROM g GROUP BY 1, 2 HAVING COUNT(*) >= {min_trips}
+"""

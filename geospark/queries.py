@@ -748,6 +748,25 @@ _ROLL_RES, _ROLL_DAYS = 4, 7
 
 
 _STAY_RES = 2
+_OD_RES = 3
+
+
+def q_od_matrix(spark, sf_dir):
+    """Origin-destination trip matrix (r5): per (user, day) the first
+    event's cell -> the last event's cell, aggregated to (o, d,
+    n_trips) — the mobility-analytics staple. One min/max(struct)
+    agg, no window; per-event varied coords (the traj_cells
+    derivation)."""
+    from pyspark.sql import functions as F
+    from .operators.events import od_matrix
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pts = e.select("user_id", "event_id",
+                   F.expr(_TRAJ_LAT).alias("lat"),
+                   F.expr(_TRAJ_LON).alias("lon"),
+                   F.expr("timestampdiff(MICROSECOND, "
+                          "TIMESTAMP_NTZ '2024-01-01 00:00:00', ts)")
+                   .alias("us"))
+    return od_matrix(pts, _OD_RES)
 
 
 def q_stay_points(spark, sf_dir):
@@ -1994,6 +2013,11 @@ QUERIES = {
     #    row (cell_compact rotates just past the window: driver-green
     #    r4; the compaction quartet algebra keeps its unit tier) --
     "stay_points": q_stay_points,
+    # -- round-5.20 addition, inside the window for its first driver
+    #    row (pip_agg rotates just past the window: driver-green
+    #    r1-r4; pip_join and pip_tile_agg keep the PIP machinery
+    #    inside) --
+    "od_matrix": q_od_matrix,
     # -- round-5.15 addition, inside the window for its first driver
     #    row (zorder_keys rotates just past the window: driver-green
     #    r4; layout-key coverage stays inside via hilbert_keys,
@@ -2036,7 +2060,6 @@ QUERIES = {
     # -- core rows kept inside the window --
     "cell_counts": q_cell_counts,
     "pip_join": q_pip_join,
-    "pip_agg": q_pip_agg,
     # -- round-5 addition, inside the window for its first driver row --
     "pip_tile_agg": q_pip_tile_agg,
     # (pip_semi rotated just past the window in r5.10 for link_rank;
@@ -2101,6 +2124,8 @@ QUERIES = {
     "pip_semi": q_pip_semi,
     # (pip_anti rotated out in r5.18 for mixture; driver-green r4)
     "pip_anti": q_pip_anti,
+    # (pip_agg rotated out in r5.20 for od_matrix; driver-green r1-r4)
+    "pip_agg": q_pip_agg,
     # (cell_compact rotated out in r5.19 for stay_points; driver-green r4)
     "cell_compact": q_cell_compact,
     "boilerplate": q_boilerplate,
@@ -2574,6 +2599,12 @@ def oracle_sql() -> dict[str, str]:
     out["source_overlap"] = source_overlap_sql()
     from .operators.pack import mixture_report_sql
     out["mixture"] = mixture_report_sql()
+    from .operators.events import od_matrix_sql
+    out["od_matrix"] = od_matrix_sql(
+        f"SELECT user_id, event_id, {_TRAJ_LAT} AS lat, "
+        f"{_TRAJ_LON} AS lon, datediff('microseconds', "
+        f"TIMESTAMP '2024-01-01 00:00:00', ts) AS us FROM events",
+        _OD_RES)
     from .operators.events import stay_points_sql
     out["stay_points"] = stay_points_sql(
         f"SELECT user_id, event_id, {_TRAJ_LAT} AS lat, "

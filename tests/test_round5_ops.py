@@ -741,3 +741,54 @@ class TestStayPoints:
         # endpoints (0,0),(1,1) + corner crossings: x-axis enters
         # (1, floor(v@1)=1), y-axis enters (floor(u@1)=1, 1) -> 3 cells
         assert got == {1: 3}
+
+
+class TestOdMatrix:
+    DAY = 86_400_000_000
+
+    def _run(self, spark, rows, **kw):
+        from geospark.operators.events import od_matrix
+        df = spark.createDataFrame(
+            rows, ["user_id", "event_id", "lat", "lon", "us"])
+        return {(r["o_cell"] & 0xFF, r["d_cell"] & 0xFF): r["n_trips"]
+                for r in od_matrix(df, 2, **kw).collect()}
+
+    def test_first_last_per_user_day(self, spark):
+        d = self.DAY
+        a_lat, a_lon = 10.0, 10.0       # cell A
+        b_lat, b_lon = -80.0, -170.0    # cell B
+        rows = [
+            # user 1 day 0: A (first) -> mid B -> last A? order by us:
+            (1, 1, a_lat, a_lon, 0),
+            (1, 2, b_lat, b_lon, 100),
+            (1, 3, a_lat, a_lon, 200),      # trip A->A (stationary)
+            # user 1 day 1: A -> B
+            (1, 4, a_lat, a_lon, d + 1),
+            (1, 5, b_lat, b_lon, d + 2),
+            # user 2 day 0: single event in B -> stationary B->B
+            (2, 6, b_lat, b_lon, 50),
+        ]
+        got = self._run(spark, rows)
+        a = self._run(spark, [(1, 1, a_lat, a_lon, 0)])
+        acell = next(iter(a))[0]
+        bcell = ({k[0] for k in got} | {k[1] for k in got}
+                 ) - {acell}
+        b = bcell.pop()
+        assert got == {(acell, acell): 1, (acell, b): 1, (b, b): 1}
+
+    def test_equal_ts_tiebreak_by_event_id(self, spark):
+        rows = [(1, 2, -80.0, -170.0, 100),   # same us, higher id: last
+                (1, 1, 10.0, 10.0, 100)]
+        got = self._run(spark, rows)
+        a = next(iter(self._run(spark, [(1, 1, 10.0, 10.0, 0)])))[0]
+        (o, d), n = next(iter(got.items()))
+        assert o == a and d != a and n == 1
+
+    def test_plan_no_window_no_cartesian(self, spark):
+        from geospark.operators.events import od_matrix
+        df = spark.createDataFrame(
+            [(1, 1, 0.0, 0.0, 0)],
+            ["user_id", "event_id", "lat", "lon", "us"])
+        plan = (od_matrix(df, 2)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "Window" not in plan and "Cartesian" not in plan
