@@ -411,6 +411,25 @@ class TestTraverseCells:
                                (1, 2, 2, lat0, lon0)])
         assert up == dn == {1: 4}
 
+
+    def test_lattice_exact_crossing_is_deterministic(self, spark):
+        """A leg whose crossing lands EXACTLY on a lattice corner:
+        the engine-shared convention (each axis contributes its
+        entered cell once) still yields a connected cover including
+        both endpoint cells — and, because both dialects share the
+        formula text, the same rows on every engine (the oracle gate
+        re-checks that cross-engine)."""
+        # diagonal through the corner of cells (0,0)->(1,1) at res 2
+        lon0, lat0 = self._pt(0.5, 0.5)
+        lon1, lat1 = self._pt(1.5, 1.5)
+        got = self._run(spark, [(1, 1, 1, lat0, lon0),
+                                (1, 2, 2, lat1, lon1)])
+        # endpoints (0,0),(1,1); BOTH axis crossings at the exact
+        # corner enter the same cell (1, 1) — the convention resolves
+        # a lattice-corner hit as a clean diagonal hop, 2 cells total
+        assert got == {1: 2}
+
+
     def test_plan_no_cartesian_no_single_partition(self, spark):
         from geospark.operators.tiles import traverse_cells
         df = spark.createDataFrame(
@@ -725,24 +744,6 @@ class TestStayPoints:
         assert self._run(spark, [(1, 1, 10.0, 10.0, 0)],
                          min_dwell_us=0) == []
         assert len(self._run(spark, rows, min_dwell_us=h // 4)) == 1
-
-    def test_lattice_exact_crossing_is_deterministic(self, spark):
-        """A leg whose crossing lands EXACTLY on a lattice corner:
-        the engine-shared convention (each axis contributes its
-        entered cell once) still yields a connected cover including
-        both endpoint cells — and, because both dialects share the
-        formula text, the same rows on every engine (the oracle gate
-        re-checks that cross-engine)."""
-        # diagonal through the corner of cells (0,0)->(1,1) at res 2
-        lon0, lat0 = self._pt(0.5, 0.5)
-        lon1, lat1 = self._pt(1.5, 1.5)
-        got = self._run(spark, [(1, 1, 1, lat0, lon0),
-                                (1, 2, 2, lat1, lon1)])
-        # endpoints (0,0),(1,1) + corner crossings: x-axis enters
-        # (1, floor(v@1)=1), y-axis enters (floor(u@1)=1, 1) -> 3 cells
-        assert got == {1: 3}
-
-
 class TestOdMatrix:
     DAY = 86_400_000_000
 
