@@ -330,6 +330,89 @@ def interval_join(events, intervals, *, ts_col: str = "us",
             .drop("_b"))
 
 
+def _bucket_span_expr(start_col: str, end_col: str,
+                      bucket_us: int) -> str:
+    """Every bucket a half-open [start, end) interval touches;
+    empty/inverted intervals touch none (descending-sequence guard,
+    same as interval_join)."""
+    return (f"CASE WHEN {end_col} > {start_col} THEN "
+            f"sequence({start_col} div {bucket_us}, "
+            f"({end_col} - 1) div {bucket_us}) "
+            f"ELSE array() END")
+
+
+def overlap_join(left, right, *, l_start: str = "l_start_us",
+                 l_end: str = "l_end_us",
+                 r_start: str = "r_start_us",
+                 r_end: str = "r_end_us",
+                 bucket_us: int = 86_400_000_000):
+    """Interval-OVERLAP join: every (left, right) pair of half-open
+    intervals with a non-empty intersection, with the intersection
+    duration attached as ``overlap_us`` — the period-intersection
+    sibling of :func:`interval_join` (which matches a POINT to
+    containing intervals). Powers exposure attribution (user activity
+    span x campaign window), downtime blame, co-occurrence windows.
+
+    Decomposition: BOTH sides explode to the buckets they span, the
+    join is ONE bucket-keyed equi-join, and each overlapping pair is
+    kept exactly once with no dedup shuffle: if two intervals overlap,
+    the later-starting one's first bucket m = greatest of the two
+    start buckets is spanned by both (the other side's end exceeds
+    the later start by overlap > 0), so the pair is emitted only
+    where ``_b = m``. Non-overlapping bucket-mates are dropped by the
+    residual ``overlap_us > 0`` filter.
+
+    Scale: the shuffle key is the time bucket — uniform for
+    calendar-dense intervals; exploded row count is
+    sum(ceil(len/bucket)) per side, so pick ``bucket_us`` near the
+    median interval length. A hot bucket (everyone's intervals cross
+    new-year) is an AQE skew case like interval_join's."""
+    from pyspark.sql import functions as F
+    lb = left.withColumn(
+        "_b", F.explode(F.expr(_bucket_span_expr(l_start, l_end,
+                                                 bucket_us))))
+    rb = right.withColumn(
+        "_b", F.explode(F.expr(_bucket_span_expr(r_start, r_end,
+                                                 bucket_us))))
+    first_shared = F.greatest(F.expr(f"{l_start} div {bucket_us}"),
+                              F.expr(f"{r_start} div {bucket_us}"))
+    overlap = (F.least(F.col(l_end), F.col(r_end))
+               - F.greatest(F.col(l_start), F.col(r_start)))
+    return (lb.join(rb, "_b")
+            .filter(F.col("_b") == first_shared)
+            .withColumn("overlap_us", overlap)
+            .filter(F.col("overlap_us") > 0)
+            .drop("_b"))
+
+
+def overlap_join_sql(left_sql: str, right_sql: str, *,
+                     l_start: str = "l_start_us",
+                     l_end: str = "l_end_us",
+                     r_start: str = "r_start_us",
+                     r_end: str = "r_end_us",
+                     bucket_us: int = 86_400_000_000) -> str:
+    """DuckDB twin of :func:`overlap_join`: identical bucket
+    decomposition (generate_series is inclusive like Spark's
+    sequence), identical first-shared-bucket dedup, identical
+    residual filter. Yields left.* , right.* , overlap_us."""
+    return f"""
+WITH lraw AS ({left_sql}), rraw AS ({right_sql}),
+lb AS (SELECT *, unnest(generate_series({l_start} // {bucket_us},
+                        ({l_end} - 1) // {bucket_us})) AS _b
+       FROM lraw WHERE {l_end} > {l_start}),
+rb AS (SELECT *, unnest(generate_series({r_start} // {bucket_us},
+                        ({r_end} - 1) // {bucket_us})) AS _b
+       FROM rraw WHERE {r_end} > {r_start})
+SELECT lb.* EXCLUDE (_b), rb.* EXCLUDE (_b),
+       least({l_end}, {r_end}) - greatest({l_start}, {r_start})
+         AS overlap_us
+FROM lb JOIN rb USING (_b)
+WHERE _b = greatest({l_start} // {bucket_us},
+                    {r_start} // {bucket_us})
+  AND least({l_end}, {r_end}) - greatest({l_start}, {r_start}) > 0
+"""
+
+
 def colocation_pairs(events, res: int, *, user_col: str = "user_id",
                      lat_col: str = "lat", lon_col: str = "lon",
                      us_col: str = "us", day_us: int = 86_400_000_000,

@@ -774,3 +774,110 @@ SELECT vec_id, ROUND(list_dot_product(v, (SELECT qv FROM q))
                                   (SELECT qv FROM q)))), 6) AS sim
 FROM cand ORDER BY sim DESC, vec_id ASC LIMIT {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# kNN graph (all-vectors top-k) — the similarity-graph input for
+# graph-based dedup/curation (SemDeDup clustering, NN-descent seeds)
+# ---------------------------------------------------------------------------
+
+def knn_graph(emb_df, k: int = 5, *, id_col: str = "vec_id",
+              emb_col: str = "embedding", dim: int = 64,
+              n_bits: int = 6, n_tables: int = 4,
+              max_bucket: int = 1000):
+    """Approximate kNN GRAPH: for every vector, its top-``k``
+    most-cosine-similar neighbours among the vectors sharing at least
+    one of ``n_tables`` sign-LSH buckets (table t buckets on dims
+    [t*n_bits, (t+1)*n_bits)). -> (vec_id, nbr_id, sim, rank).
+
+    This is the all-pairs sibling of lsh_ann_topk (one query vector)
+    and lsh_near_dup (threshold pairs): the candidate structure is the
+    same multi-table bucket self-join, but ranking is per-SOURCE
+    top-k, so the output is the directed similarity graph
+    curation pipelines feed into clustering/NN-descent.
+
+    Scale shape: the only shuffles are (a) the (table, bkt) groupBy +
+    self-join — bucket-count scales as 2^n_bits per table and
+    ``max_bucket`` drops degenerate buckets (zero vectors, mass dups)
+    before they go quadratic, exactly as in lsh_near_dup — and (b) the
+    src-keyed row_number window that rides the final top-k. No
+    all-pairs stage anywhere; recall grows with n_tables, selectivity
+    with n_bits, both free of driver-side state. Exact cosine uses the
+    interpreted sequential fold (bit-equal to the unrolled twin and to
+    DuckDB's list_dot_product) because the candidate set is small
+    relative to n^2 — the codegen-unroll tier only pays off on
+    full-table scans (ANN_UNROLL_MIN_ROWS)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    e = emb_df.select(F.col(id_col),
+                      _emb_double(F.col(emb_col)).alias("v"))
+    bt = None
+    for t in range(n_tables):
+        part = e.select(
+            id_col,
+            F.lit(t).alias("tbl"),
+            sign_bucket_col_offset(F.col("v"), n_bits,
+                                   t * n_bits).alias("bkt"))
+        bt = part if bt is None else bt.unionByName(part)
+    ok = bt.groupBy("tbl", "bkt").count().filter(
+        (F.col("count") > 1) & (F.col("count") <= max_bucket))
+    bt = bt.join(ok.select("tbl", "bkt"), ["tbl", "bkt"])
+    cand = (bt.alias("l").join(bt.alias("r"), ["tbl", "bkt"])
+            .filter(F.col(f"l.{id_col}") != F.col(f"r.{id_col}"))
+            .select(F.col(f"l.{id_col}").alias("src"),
+                    F.col(f"r.{id_col}").alias("nbr"))
+            .distinct())
+    a = e.select(F.col(id_col).alias("src"), F.col("v").alias("va"))
+    b = e.select(F.col(id_col).alias("nbr"), F.col("v").alias("vb"))
+    sim = F.round(cosine_col(F.col("va"), F.col("vb")), 6)
+    scored = (cand.join(a, "src").join(b, "nbr")
+              .select("src", "nbr", sim.alias("sim")))
+    w = Window.partitionBy("src").orderBy(F.col("sim").desc(),
+                                          F.col("nbr").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(F.col("src").alias("vec_id"),
+                    F.col("nbr").alias("nbr_id"), "sim",
+                    F.col("rank").cast("int").alias("rank")))
+
+
+def knn_graph_sql(k: int = 5, *, table: str = "embeddings",
+                  n_bits: int = 6, n_tables: int = 4,
+                  max_bucket: int = 1000) -> str:
+    """DuckDB twin of knn_graph — identical sign buckets (same dims
+    per table), identical bucket cap, identical rounded-cosine +
+    nbr-asc ranking, so rows and ranks hash-match."""
+    band_rows = []
+    for t in range(n_tables):
+        bkt = sign_bucket_sql_offset("v", n_bits, t * n_bits)
+        band_rows.append(f"SELECT vec_id, {t} AS tbl, {bkt} AS bkt "
+                         f"FROM e")
+    bandt = " UNION ALL ".join(band_rows)
+    cos = ("list_dot_product(av.v, bv.v) / "
+           "(sqrt(list_dot_product(av.v, av.v)) * "
+           "sqrt(list_dot_product(bv.v, bv.v)))")
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {table}
+), bandt AS ( {bandt} ),
+bok AS (
+  SELECT tbl, bkt FROM bandt GROUP BY tbl, bkt
+  HAVING COUNT(*) > 1 AND COUNT(*) <= {max_bucket}
+), bf AS (
+  SELECT bandt.* FROM bandt JOIN bok USING (tbl, bkt)
+), cand AS (
+  SELECT DISTINCT l.vec_id AS src, r.vec_id AS nbr
+  FROM bf l JOIN bf r ON l.tbl = r.tbl AND l.bkt = r.bkt
+  WHERE l.vec_id <> r.vec_id
+), scored AS (
+  SELECT c.src, c.nbr, ROUND({cos}, 6) AS sim
+  FROM cand c JOIN e av ON av.vec_id = c.src
+              JOIN e bv ON bv.vec_id = c.nbr
+), ranked AS (
+  SELECT src, nbr, sim, ROW_NUMBER() OVER (
+    PARTITION BY src ORDER BY sim DESC, nbr ASC) AS rank
+  FROM scored
+)
+SELECT src AS vec_id, nbr AS nbr_id, sim, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {k}
+"""

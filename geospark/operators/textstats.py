@@ -671,3 +671,72 @@ SELECT CAST(round(r.k * 100.0 / t.n, 0) AS INT) AS pct,
        ROUND(CAST(r.tp AS DOUBLE) / t.npos, 6) AS recall
 FROM r JOIN c USING (k), t
 """
+
+
+# ---------------------------------------------------------------------------
+# dense-calendar per-source freshness decay — crawl-scheduling signal
+# ---------------------------------------------------------------------------
+
+def freshness_decay(df, *, source_col: str = "source",
+                    day_col: str = "day", n_days: int = 64,
+                    horizon: int = 8):
+    """Per-source exponentially-decayed arrival freshness over a DENSE
+    day calendar: score(d) = sum_{j=0..horizon-1} n(d-j) * 2^-j — the
+    crawl-scheduler signal that ranks sources by how recently and how
+    heavily they've been producing documents. Input: one row per doc
+    with (source, day); output one row per (source, day) for EVERY day
+    in [0, n_days), including days with zero arrivals (the dense
+    calendar is the point — a gap must decay the score, which a
+    sparse groupBy alone can't express).
+
+    Cross-engine exactness: the decay base is 1/2 and the horizon is
+    short, so every term n(d-j)*2^-j is a dyadic rational far inside
+    double precision — the sum is IEEE-exact in any order, and the
+    DuckDB twin hash-matches without rounding.
+
+    Scale shape: one (source, day)-keyed count agg (map-side partial),
+    a broadcast-able dense grid (distinct sources x ``n_days`` —
+    sources number ~10^6 at web scale, days ~10^3; explode the
+    smaller range() side), one left join back, and one source-keyed
+    window with ``horizon`` lag taps. No iteration, no self-join; the
+    window state is O(horizon) per source."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    counts = (df.groupBy(F.col(source_col).alias("source"),
+                         F.col(day_col).cast("long").alias("day"))
+              .agg(F.count(F.lit(1)).alias("n_docs")))
+    sources = df.select(F.col(source_col).alias("source")).distinct()
+    cal = sources.crossJoin(
+        df.sparkSession.range(n_days).select(F.col("id").alias("day")))
+    g = (cal.join(counts, ["source", "day"], "left")
+         .withColumn("n_docs", F.coalesce(F.col("n_docs"), F.lit(0))))
+    w = Window.partitionBy("source").orderBy("day")
+    score = F.col("n_docs").cast("double")
+    for j in range(1, horizon):
+        score = score + F.lag("n_docs", j, 0).over(w) / float(1 << j)
+    return g.select("source", "day", "n_docs",
+                    score.alias("freshness"))
+
+
+def freshness_decay_sql(src_sql: str, *, n_days: int = 64,
+                        horizon: int = 8) -> str:
+    """DuckDB twin of freshness_decay: same dense source x day grid,
+    same lag taps, same dyadic 2^-j weights (exact in both engines).
+    ``src_sql`` yields one (source, day) row per document."""
+    taps = ["CAST(n_docs AS DOUBLE)"]
+    for j in range(1, horizon):
+        taps.append(f"lag(n_docs, {j}, 0) OVER w / {float(1 << j)!r}")
+    score = " + ".join(taps)
+    return f"""
+WITH src AS ({src_sql}),
+c AS (SELECT source, CAST(day AS BIGINT) AS day, COUNT(*) AS n_docs
+      FROM src GROUP BY 1, 2),
+s AS (SELECT DISTINCT source FROM src),
+cal AS (SELECT s.source, t.day FROM s
+        CROSS JOIN range(0, {n_days}) t(day)),
+g AS (SELECT cal.source, cal.day,
+             COALESCE(c.n_docs, 0) AS n_docs
+      FROM cal LEFT JOIN c USING (source, day))
+SELECT source, day, n_docs, ({score}) AS freshness
+FROM g WINDOW w AS (PARTITION BY source ORDER BY day)
+"""

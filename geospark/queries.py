@@ -1979,6 +1979,66 @@ def q_semantic_dedup(spark, sf_dir):
     return semantic_dedup(e, n_clusters=8, threshold=0.3)
 
 
+def q_knn_graph(spark, sf_dir):
+    """Approximate kNN similarity graph (r5.21): per-vector top-5
+    cosine neighbours among multi-table sign-LSH bucket mates — the
+    all-pairs graph SemDeDup-style clustering and NN-descent start
+    from. Bucket self-join + one src-keyed top-k window; no all-pairs
+    stage (operators/similarity.knn_graph docstring)."""
+    from .operators.similarity import knn_graph
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return knn_graph(e, k=5)
+
+
+_FRESH_DAYS, _FRESH_HORIZON = 64, 8
+
+
+def q_freshness(spark, sf_dir):
+    """Dense-calendar per-source freshness decay (r5.21): arrival day
+    derived doc_id % 64, score(d) = sum n(d-j)/2^j over an 8-day
+    horizon — every (source, day) cell present including zero-arrival
+    days. Dyadic weights keep the doubles IEEE-exact cross-engine."""
+    from pyspark.sql import functions as F
+    from .operators.textstats import freshness_decay
+    d = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+         .select("source",
+                 (F.col("doc_id") % _FRESH_DAYS).alias("day")))
+    return freshness_decay(d, n_days=_FRESH_DAYS,
+                           horizon=_FRESH_HORIZON)
+
+
+def q_interval_overlap(spark, sf_dir):
+    """Interval-OVERLAP join (r5.21): per-(user, day) activity spans
+    intersected with the synthetic campaign windows (the
+    campaign_attrib dims), aggregated to exposure duration per
+    (campaign, user). Bucket-decomposed on the day bucket with the
+    first-shared-bucket dedup — no BroadcastNestedLoop, no distinct
+    (operators/events.overlap_join docstring)."""
+    from pyspark.sql import functions as F
+    from .operators.events import overlap_join
+    day_us = _DAY_US
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        F.expr("timestampdiff(MICROSECOND, "
+               "TIMESTAMP_NTZ '2024-01-01 00:00:00', ts)").alias("us"))
+    spans = (e.groupBy("user_id",
+                       F.expr(f"us div {day_us}").alias("day"))
+             .agg(F.min("us").alias("l_start_us"),
+                  (F.max("us") + F.lit(1)).alias("l_end_us")))
+    camps = (spark.read.parquet(f"{sf_dir}/supplier.parquet")
+             .select(F.col("s_suppkey").alias("campaign_id"),
+                     ((F.col("s_suppkey") % _CAMP_START_MOD) * day_us)
+                     .alias("r_start_us"))
+             .withColumn("r_end_us",
+                         F.col("r_start_us")
+                         + (F.col("campaign_id") % _CAMP_DUR_MOD + 1)
+                         * day_us))
+    j = overlap_join(spans, camps)
+    return (j.groupBy("campaign_id", "user_id")
+            .agg(F.sum("overlap_us").alias("total_overlap_us"),
+                 F.count(F.lit(1)).alias("n_spans")))
+
+
 QUERIES = {
     # -- round-5.13 addition, inside the window for its first driver
     #    row (curation_filter rotates just past the window:
@@ -2205,6 +2265,13 @@ QUERIES = {
     #    directly above) --
     "quality_features": q_quality_features,
     "rolling_fp": q_rolling_fp,
+    # -- round-5.21 additions (post-window by design: the first-50
+    #    anchors this round are the 45 r5 rows taking their first
+    #    driver pass; these three are replica-verified via
+    #    tools/check_oracle.py and queue for the next rotation) --
+    "knn_graph": q_knn_graph,
+    "freshness": q_freshness,
+    "interval_overlap": q_interval_overlap,
 }
 
 
@@ -2821,6 +2888,30 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT {evt_cell6} AS cell, "
         f"COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events "
         f"FROM events GROUP BY 1")
+    from .operators.similarity import knn_graph_sql
+    out["knn_graph"] = knn_graph_sql(5)
+    from .operators.textstats import freshness_decay_sql
+    out["freshness"] = freshness_decay_sql(
+        f"SELECT source, doc_id % {_FRESH_DAYS} AS day FROM documents",
+        n_days=_FRESH_DAYS, horizon=_FRESH_HORIZON)
+    from .operators.events import overlap_join_sql
+    _ev_us_expr = ("datediff('microseconds', "
+                   "TIMESTAMP '2024-01-01 00:00:00', ts)")
+    out["interval_overlap"] = (
+        f"SELECT campaign_id, user_id, "
+        f"CAST(SUM(overlap_us) AS BIGINT) AS total_overlap_us, "
+        f"COUNT(*) AS n_spans FROM ("
+        + overlap_join_sql(
+            f"SELECT user_id, {_ev_us_expr} // {_DAY_US} AS day, "
+            f"MIN({_ev_us_expr}) AS l_start_us, "
+            f"MAX({_ev_us_expr}) + 1 AS l_end_us "
+            f"FROM events GROUP BY 1, 2",
+            f"SELECT s_suppkey AS campaign_id, "
+            f"(s_suppkey % {_CAMP_START_MOD}) * {_DAY_US} AS r_start_us, "
+            f"(s_suppkey % {_CAMP_START_MOD}) * {_DAY_US} "
+            f"+ (s_suppkey % {_CAMP_DUR_MOD} + 1) * {_DAY_US} "
+            f"AS r_end_us FROM supplier")
+        + ") GROUP BY 1, 2")
     return out
 
 

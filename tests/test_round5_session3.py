@@ -1,0 +1,192 @@
+"""Round-5 session-3 operator tests: interval-overlap join, kNN
+similarity graph, dense-calendar freshness decay."""
+
+from __future__ import annotations
+
+import math
+
+
+def _rows(df, cols=None):
+    cols = cols or df.columns
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+class TestOverlapJoin:
+    def _left(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "lid long, l_start_us long, l_end_us long")
+
+    def _right(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "rid long, r_start_us long, r_end_us long")
+
+    def test_hand_cases(self, spark):
+        """Overlap semantics on half-open intervals, bucket_us=10:
+        partial overlap, containment, touching (NOT overlapping),
+        disjoint, and a pair sharing multiple buckets (must appear
+        exactly once)."""
+        from geospark.operators.events import overlap_join
+        left = self._left(spark, [
+            (1, 0, 25),     # spans buckets 0-2
+            (2, 30, 35),
+            (3, 40, 50),
+        ])
+        right = self._right(spark, [
+            (10, 5, 100),   # overlaps 1 (20us), 2 (5us), 3 (10us)
+            (11, 25, 30),   # touches 1 at 25 and 2 at 30 -> neither
+            (12, 200, 300),  # disjoint
+        ])
+        got = _rows(overlap_join(left, right, bucket_us=10),
+                    ["lid", "rid", "overlap_us"])
+        assert got == [(1, 10, 20), (2, 10, 5), (3, 10, 10)]
+
+    def test_multibucket_pair_once(self, spark):
+        """Two long intervals sharing 10 buckets join in exactly the
+        first shared bucket — one output row, no distinct needed."""
+        from geospark.operators.events import overlap_join
+        left = self._left(spark, [(1, 0, 100)])
+        right = self._right(spark, [(10, 5, 105)])
+        out = overlap_join(left, right, bucket_us=10)
+        assert _rows(out, ["lid", "rid", "overlap_us"]) == [(1, 10, 95)]
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Deduplicate" not in plan and "Distinct" not in plan
+
+    def test_empty_and_inverted_intervals(self, spark):
+        from geospark.operators.events import overlap_join
+        left = self._left(spark, [(1, 10, 10), (2, 20, 5)])
+        right = self._right(spark, [(10, 0, 100)])
+        assert overlap_join(left, right, bucket_us=10).count() == 0
+
+    def test_no_nested_loop_join(self, spark):
+        """The decomposition's point: the physical plan is a bucket
+        equi-join, never BroadcastNestedLoop/Cartesian."""
+        from geospark.operators.events import overlap_join
+        left = self._left(spark, [(1, 0, 25)])
+        right = self._right(spark, [(10, 5, 100)])
+        plan = (overlap_join(left, right, bucket_us=10)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "NestedLoop" not in plan
+        assert "Cartesian" not in plan
+
+    def test_matches_brute_force_random(self, spark):
+        import random
+        from pyspark.sql import functions as F
+        from geospark.operators.events import overlap_join
+        rng = random.Random(7)
+        lrows = [(i, s, s + rng.randrange(1, 40))
+                 for i, s in ((i, rng.randrange(0, 200))
+                              for i in range(60))]
+        rrows = [(i, s, s + rng.randrange(1, 60))
+                 for i, s in ((i, rng.randrange(0, 200))
+                              for i in range(40))]
+        got = _rows(overlap_join(self._left(spark, lrows),
+                                 self._right(spark, rrows),
+                                 bucket_us=16),
+                    ["lid", "rid", "overlap_us"])
+        want = sorted(
+            (li, ri, min(le, re_) - max(ls, rs))
+            for (li, ls, le) in lrows for (ri, rs, re_) in rrows
+            if min(le, re_) - max(ls, rs) > 0)
+        assert got == want
+
+
+class TestFreshnessDecay:
+    def test_dense_calendar_and_decay(self, spark):
+        """Zero-arrival days are present and decay the score by
+        exactly half per day over the horizon."""
+        from geospark.operators.textstats import freshness_decay
+        df = spark.createDataFrame(
+            [("a", 0), ("a", 0), ("a", 2), ("b", 1)],
+            "source string, day long")
+        out = _rows(freshness_decay(df, n_days=4, horizon=3),
+                    ["source", "day", "n_docs", "freshness"])
+        # a: n = [2, 0, 1, 0]; score = n(d) + n(d-1)/2 + n(d-2)/4
+        # b: n = [0, 1, 0, 0]
+        assert out == [
+            ("a", 0, 2, 2.0), ("a", 1, 0, 1.0),
+            ("a", 2, 1, 1.5), ("a", 3, 0, 0.5),
+            ("b", 0, 0, 0.0), ("b", 1, 1, 1.0),
+            ("b", 2, 0, 0.5), ("b", 3, 0, 0.25),
+        ]
+
+    def test_grid_is_sources_times_days(self, spark):
+        from geospark.operators.textstats import freshness_decay
+        df = spark.createDataFrame(
+            [("a", 5), ("b", 0), ("c", 63)], "source string, day long")
+        assert freshness_decay(df, n_days=64).count() == 3 * 64
+
+    def test_dyadic_exactness(self, spark):
+        """Every freshness value is a dyadic rational k/2^(horizon-1)
+        — the property that makes the cross-engine hash safe."""
+        from geospark.operators.textstats import freshness_decay
+        df = spark.createDataFrame(
+            [("s", i % 8) for i in range(100)], "source string, day long")
+        for r in freshness_decay(df, n_days=8, horizon=8).collect():
+            scaled = r.freshness * 128.0
+            assert scaled == math.floor(scaled)
+
+
+class TestKnnGraph:
+    def _emb(self, spark, vecs):
+        return spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<float>")
+
+    def test_topk_within_buckets(self, spark):
+        """On vectors engineered into one shared bucket, the graph is
+        the exact brute-force top-k with nbr-asc tiebreaks."""
+        from geospark.operators.similarity import knn_graph
+        # all-positive 8-dim vectors -> identical sign buckets
+        vecs = [[1, 1, 1, 1, 1, 1, 1, 1],
+                [2, 2, 2, 2, 2, 2, 2, 2],   # sim 1.0 with vec 0
+                [1, 2, 1, 2, 1, 2, 1, 2],
+                [2, 1, 2, 1, 2, 1, 2, 1]]
+        out = knn_graph(self._emb(spark, vecs), k=2, dim=8,
+                        n_bits=4, n_tables=2)
+        rows = {(r.vec_id, r.rank): (r.nbr_id, r.sim)
+                for r in out.collect()}
+        # vec 0's best is vec 1 (cos 1.0); tie between 2 and 3 at the
+        # same rounded sim resolves to the lower id
+        assert rows[(0, 1)][0] == 1 and rows[(0, 1)][1] == 1.0
+        assert rows[(0, 2)][0] == 2
+        assert all(rank <= 2 for (_, rank) in rows)
+
+    def test_k_bounds_outdegree(self, spark):
+        from geospark.operators.similarity import knn_graph
+        import random
+        rng = random.Random(3)
+        vecs = [[rng.uniform(-1, 1) for _ in range(8)]
+                for _ in range(30)]
+        out = knn_graph(self._emb(spark, vecs), k=3, dim=8,
+                        n_bits=3, n_tables=2).collect()
+        from collections import Counter
+        deg = Counter(r.vec_id for r in out)
+        assert deg and max(deg.values()) <= 3
+        for r in out:
+            assert r.vec_id != r.nbr_id
+
+    def test_max_bucket_drops_degenerate(self, spark):
+        """A degenerate bucket larger than max_bucket is dropped
+        entirely rather than self-joined quadratically."""
+        from geospark.operators.similarity import knn_graph
+        vecs = [[1.0] * 8 for _ in range(12)]
+        out = knn_graph(self._emb(spark, vecs), k=2, dim=8,
+                        n_bits=4, n_tables=2, max_bucket=10)
+        assert out.count() == 0
+
+    def test_oracle_parity_small(self, spark):
+        """Cross-engine hash parity on a real slice (the check_oracle
+        protocol, inline)."""
+        import duckdb
+        from geospark.operators.similarity import knn_graph, \
+            knn_graph_sql
+        e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        got = _rows(knn_graph(e, k=3),
+                    ["vec_id", "nbr_id", "sim", "rank"])
+        con = duckdb.connect()
+        con.execute("CREATE VIEW embeddings AS SELECT * FROM "
+                    "'/root/testdata/sf0.001/embeddings.parquet'")
+        want = sorted(tuple(r) for r in
+                      con.execute(knn_graph_sql(3)).fetchall())
+        assert [(a, b, round(s, 9), r) for a, b, s, r in got] == \
+            [(a, b, round(s, 9), r) for a, b, s, r in want]
