@@ -1111,3 +1111,63 @@ FROM pairs
 JOIN totals ta ON ta.src = source_a
 JOIN totals tb ON tb.src = source_b
 """
+
+
+def robots_filter(docs, rules, *, url_col: str = "url",
+                  host_col: str = "host",
+                  prefix_col: str = "path_prefix"):
+    """robots.txt-style URL filtering: drop every document whose
+    canonical URL's path starts with any disallow ``path_prefix``
+    registered for its host — the crawl-hygiene gate every web corpus
+    passes through before dedup/curation. Returns the SURVIVORS with
+    their (host, path) split attached.
+
+    ``rules`` is (host, path_prefix) — one row per disallow line.
+    Matching is per-host prefix match exactly like robots.txt
+    Disallow: a rule '/page/1' blocks /page/1, /page/10, /page/199...
+    (prefix, not path-segment, semantics — the robots.txt standard).
+
+    Plan shape: host/path come from ONE canonical_url pass (pure
+    regexp exprs, codegen); the filter is a LEFT ANTI join on host
+    equality + a startswith residual — Spark plans the equi-part as a
+    broadcast hash anti join when the rule table is small (robots
+    rules are ~10^1 per host, ~10^7 total at web scale — broadcast-
+    able after per-host aggregation; if not, it shuffles on host,
+    which is also the docs' natural key). No UDF, no explode, no
+    second scan of the docs."""
+    from pyspark.sql import functions as F
+    d = (docs.withColumn("_canon", canonical_url(F.col(url_col)))
+         .withColumn("_host",
+                     F.regexp_extract("_canon", "^[a-z]+://([^/]+)", 1))
+         .withColumn("_path",
+                     F.regexp_extract("_canon", "^[a-z]+://[^/]*(/.*)?$",
+                                      1)))
+    r = rules.select(F.col(host_col).alias("_r_host"),
+                     F.col(prefix_col).alias("_r_prefix"))
+    cond = ((F.col("_host") == F.col("_r_host"))
+            & F.col("_path").startswith(F.col("_r_prefix")))
+    return (d.join(r, cond, "left_anti")
+            .drop("_canon")
+            .withColumnRenamed("_host", "host")
+            .withColumnRenamed("_path", "path"))
+
+
+def robots_filter_sql(docs_sql: str, rules_sql: str,
+                      url_expr: str = "url") -> str:
+    """DuckDB twin of :func:`robots_filter`: same canonical pass (the
+    shared step tables), same host/path regexes, NOT EXISTS in place
+    of the anti join. Yields docs.* (minus url) + host + path."""
+    canon = canonical_url_sql(url_expr)
+    return f"""
+WITH d0 AS (SELECT *, {canon} AS _canon FROM ({docs_sql})),
+d AS (SELECT * EXCLUDE (_canon),
+             regexp_extract(_canon, '^[a-z]+://([^/]+)', 1) AS host,
+             regexp_extract(_canon, '^[a-z]+://[^/]*(/.*)?$', 1)
+               AS path
+      FROM d0),
+r AS ({rules_sql})
+SELECT * FROM d
+WHERE NOT EXISTS (SELECT 1 FROM r
+                  WHERE r.host = d.host
+                    AND starts_with(d.path, r.path_prefix))
+"""

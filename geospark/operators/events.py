@@ -605,3 +605,72 @@ g AS (SELECT u, day,
 SELECT o_cell, d_cell, COUNT(*) AS n_trips
 FROM g GROUP BY 1, 2 HAVING COUNT(*) >= {min_trips}
 """
+
+
+def peak_concurrency(intervals, *, key_col: str = "day",
+                     start_col: str = "start_us",
+                     end_col: str = "end_us"):
+    """Sweep-line peak concurrency: per ``key_col`` bucket, the
+    maximum number of half-open [start, end) intervals active at any
+    instant — peak simultaneous sessions/users/connections, the
+    capacity-planning staple. -> (key, peak, n_intervals).
+
+    Classic sweep: every interval contributes a +1 event at start and
+    a -1 at end; the running sum ordered by (us, delta) is the live
+    count, and its max is the peak. delta ASC puts the -1 before the
+    +1 at equal timestamps, so back-to-back intervals (a ends at t, b
+    starts at t) never double-count — the half-open convention.
+    Simultaneous starts collapse into one RANGE-frame step (both
+    engines' default window frame), so the running value after a tie
+    group is the true instantaneous count.
+
+    Scale: intervals must not cross key buckets (clip upstream —
+    day-bounded sessions are by construction); the sweep is then one
+    key-keyed exchange + one window sort per bucket. A single hot
+    bucket at 10^12 rows is the two-phase prefix-sum case
+    (pack.prefix_sum): sub-bucket local sweeps + carry-in offsets —
+    this direct form is correct at any scale and optimal while a
+    bucket fits a partition."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    iv = intervals.filter(F.col(end_col) > F.col(start_col))
+    starts = iv.select(F.col(key_col).alias("key"),
+                       F.col(start_col).alias("us"),
+                       F.lit(1).alias("delta"))
+    ends = iv.select(F.col(key_col).alias("key"),
+                     F.col(end_col).alias("us"),
+                     F.lit(-1).alias("delta"))
+    w = Window.partitionBy("key").orderBy("us", "delta")
+    return (starts.unionByName(ends)
+            .withColumn("live", F.sum("delta").over(w))
+            .groupBy("key")
+            .agg(F.max("live").cast("int").alias("peak"),
+                 (F.count(F.lit(1)) / 2).cast("long")
+                 .alias("n_intervals"))
+            .select(F.col("key").alias(key_col), "peak",
+                    "n_intervals"))
+
+
+def peak_concurrency_sql(intervals_sql: str, *, key_col: str = "day",
+                         start_col: str = "start_us",
+                         end_col: str = "end_us") -> str:
+    """DuckDB twin of :func:`peak_concurrency` — same +-1 event
+    stream, same (us, delta) order, same default RANGE frame, so tie
+    groups step identically."""
+    return f"""
+WITH iv AS (SELECT * FROM ({intervals_sql})
+            WHERE {end_col} > {start_col}),
+ev AS (
+  SELECT {key_col} AS key, {start_col} AS us, 1 AS delta FROM iv
+  UNION ALL
+  SELECT {key_col} AS key, {end_col} AS us, -1 AS delta FROM iv
+),
+sw AS (
+  SELECT key, SUM(delta) OVER (PARTITION BY key
+                               ORDER BY us, delta) AS live
+  FROM ev
+)
+SELECT key AS {key_col}, CAST(MAX(live) AS INTEGER) AS peak,
+       CAST(COUNT(*) / 2 AS BIGINT) AS n_intervals
+FROM sw GROUP BY 1
+"""

@@ -2017,14 +2017,7 @@ def q_interval_overlap(spark, sf_dir):
     from pyspark.sql import functions as F
     from .operators.events import overlap_join
     day_us = _DAY_US
-    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
-        "user_id",
-        F.expr("timestampdiff(MICROSECOND, "
-               "TIMESTAMP_NTZ '2024-01-01 00:00:00', ts)").alias("us"))
-    spans = (e.groupBy("user_id",
-                       F.expr(f"us div {day_us}").alias("day"))
-             .agg(F.min("us").alias("l_start_us"),
-                  (F.max("us") + F.lit(1)).alias("l_end_us")))
+    spans = _user_day_spans(spark, sf_dir)
     camps = (spark.read.parquet(f"{sf_dir}/supplier.parquet")
              .select(F.col("s_suppkey").alias("campaign_id"),
                      ((F.col("s_suppkey") % _CAMP_START_MOD) * day_us)
@@ -2037,6 +2030,64 @@ def q_interval_overlap(spark, sf_dir):
     return (j.groupBy("campaign_id", "user_id")
             .agg(F.sum("overlap_us").alias("total_overlap_us"),
                  F.count(F.lit(1)).alias("n_spans")))
+
+
+def _user_day_spans(spark, sf_dir):
+    """Per-(user, day) activity spans from events — the shared
+    interval source for interval_overlap and peak_sessions."""
+    from pyspark.sql import functions as F
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        F.expr("timestampdiff(MICROSECOND, "
+               "TIMESTAMP_NTZ '2024-01-01 00:00:00', ts)").alias("us"))
+    return (e.groupBy("user_id",
+                      F.expr(f"us div {_DAY_US}").alias("day"))
+            .agg(F.min("us").alias("l_start_us"),
+                 (F.max("us") + F.lit(1)).alias("l_end_us")))
+
+
+_SPANS_SQL = (f"SELECT user_id, "
+              f"datediff('microseconds', "
+              f"TIMESTAMP '2024-01-01 00:00:00', ts) // {_DAY_US} "
+              f"AS day, "
+              f"MIN(datediff('microseconds', "
+              f"TIMESTAMP '2024-01-01 00:00:00', ts)) AS l_start_us, "
+              f"MAX(datediff('microseconds', "
+              f"TIMESTAMP '2024-01-01 00:00:00', ts)) + 1 AS l_end_us "
+              f"FROM events GROUP BY 1, 2")
+
+
+def q_peak_sessions(spark, sf_dir):
+    """Sweep-line peak concurrency (r5.21): per day, the max number of
+    simultaneously-active users (their daily activity spans as
+    half-open intervals) — +-1 endpoint events, one day-keyed running
+    sum, max per day (operators/events.peak_concurrency docstring)."""
+    from .operators.events import peak_concurrency
+    return peak_concurrency(_user_day_spans(spark, sf_dir),
+                            key_col="day", start_col="l_start_us",
+                            end_col="l_end_us")
+
+
+def q_robots_gate(spark, sf_dir):
+    """robots.txt-style URL gate (r5.21): synthetic per-host disallow
+    rules (a per-host digit prefix from the host's last char + a global
+    '/page/2' prefix per host) filter the canonical doc URLs via a broadcast anti join
+    with prefix residual — the crawl-hygiene pass upstream of dedup
+    (operators/dedup.robots_filter docstring)."""
+    from pyspark.sql import functions as F
+    from .operators.dedup import robots_filter
+    s = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+         .select("source").distinct())
+    host = F.concat(F.lower("source"), F.lit(".example.com"))
+    digit = (F.expr("ascii(substr(source, length(source), 1))") % 10
+             ).cast("string")
+    rules = (s.select(host.alias("host"),
+                      F.concat(F.lit("/page/"), digit)
+                      .alias("path_prefix"))
+             .unionByName(
+                 s.select(host.alias("host"),
+                          F.lit("/page/2").alias("path_prefix"))))
+    return robots_filter(_doc_urls(spark, sf_dir), rules)
 
 
 QUERIES = {
@@ -2272,6 +2323,8 @@ QUERIES = {
     "knn_graph": q_knn_graph,
     "freshness": q_freshness,
     "interval_overlap": q_interval_overlap,
+    "peak_sessions": q_peak_sessions,
+    "robots_gate": q_robots_gate,
 }
 
 
@@ -2902,16 +2955,29 @@ def oracle_sql() -> dict[str, str]:
         f"CAST(SUM(overlap_us) AS BIGINT) AS total_overlap_us, "
         f"COUNT(*) AS n_spans FROM ("
         + overlap_join_sql(
-            f"SELECT user_id, {_ev_us_expr} // {_DAY_US} AS day, "
-            f"MIN({_ev_us_expr}) AS l_start_us, "
-            f"MAX({_ev_us_expr}) + 1 AS l_end_us "
-            f"FROM events GROUP BY 1, 2",
+            _SPANS_SQL,
             f"SELECT s_suppkey AS campaign_id, "
             f"(s_suppkey % {_CAMP_START_MOD}) * {_DAY_US} AS r_start_us, "
             f"(s_suppkey % {_CAMP_START_MOD}) * {_DAY_US} "
             f"+ (s_suppkey % {_CAMP_DUR_MOD} + 1) * {_DAY_US} "
             f"AS r_end_us FROM supplier")
         + ") GROUP BY 1, 2")
+    from .operators.events import peak_concurrency_sql
+    out["peak_sessions"] = peak_concurrency_sql(
+        _SPANS_SQL, key_col="day", start_col="l_start_us",
+        end_col="l_end_us")
+    from .operators.dedup import robots_filter_sql
+    _hosts_sql = ("SELECT DISTINCT "
+                  "concat(lower(source), '.example.com') AS host, "
+                  "concat('/page/', CAST(ascii(substr(source, "
+                  "length(source), 1)) % 10 AS VARCHAR)) "
+                  "AS path_prefix FROM documents "
+                  "UNION ALL SELECT DISTINCT "
+                  "concat(lower(source), '.example.com') AS host, "
+                  "'/page/2' AS path_prefix FROM documents")
+    out["robots_gate"] = robots_filter_sql(
+        f"SELECT doc_id, {_doc_url_sql()} AS url FROM documents",
+        _hosts_sql)
     return out
 
 

@@ -190,3 +190,96 @@ class TestKnnGraph:
                       con.execute(knn_graph_sql(3)).fetchall())
         assert [(a, b, round(s, 9), r) for a, b, s, r in got] == \
             [(a, b, round(s, 9), r) for a, b, s, r in want]
+
+
+class TestPeakConcurrency:
+    def _iv(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "day long, start_us long, end_us long")
+
+    def test_hand_sweep(self, spark):
+        """Peak of overlapping spans; back-to-back half-open intervals
+        (a ends at t, b starts at t) never double-count."""
+        from geospark.operators.events import peak_concurrency
+        iv = self._iv(spark, [
+            (0, 0, 10), (0, 5, 15), (0, 8, 12),   # 3 live at [8,10)
+            (0, 10, 20),                          # starts AS the 1st ends
+            (1, 0, 5), (1, 5, 10),                # back-to-back: peak 1
+            (2, 3, 3),                            # empty: excluded
+            (2, 1, 4),
+        ])
+        got = _rows(peak_concurrency(iv, key_col="day",
+                                     start_col="start_us",
+                                     end_col="end_us"))
+        assert got == [(0, 3, 4), (1, 1, 2), (2, 1, 1)]
+
+    def test_simultaneous_starts_tie_group(self, spark):
+        """Three intervals starting at the same instant count as 3
+        (the RANGE tie-group step) — not 1, not order-dependent."""
+        from geospark.operators.events import peak_concurrency
+        iv = self._iv(spark, [(0, 5, 9), (0, 5, 8), (0, 5, 7)])
+        got = _rows(peak_concurrency(iv, key_col="day",
+                                     start_col="start_us",
+                                     end_col="end_us"))
+        assert got == [(0, 3, 3)]
+
+    def test_matches_brute_force_random(self, spark):
+        import random
+        from geospark.operators.events import peak_concurrency
+        rng = random.Random(11)
+        rows = [(rng.randrange(3), s, s + rng.randrange(1, 30))
+                for s in (rng.randrange(0, 100) for _ in range(120))]
+        got = {r[0]: r[1] for r in _rows(
+            peak_concurrency(self._iv(spark, rows), key_col="day",
+                             start_col="start_us", end_col="end_us"),
+            ["day", "peak"])}
+        for day in (0, 1, 2):
+            spans = [(s, e) for d, s, e in rows if d == day]
+            want = max(sum(1 for s, e in spans if s <= t < e)
+                       for t in range(0, 135))
+            assert got[day] == want
+
+
+class TestRobotsFilter:
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, url string")
+
+    def _rules(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "host string, path_prefix string")
+
+    def test_prefix_and_host_scoping(self, spark):
+        """A rule blocks by PREFIX on its own host only; other hosts
+        keep matching paths."""
+        from geospark.operators.dedup import robots_filter
+        docs = self._docs(spark, [
+            (1, "http://a.com/page/1"),     # blocked: /page/1 on a.com
+            (2, "http://a.com/page/10"),    # blocked: prefix semantics
+            (3, "http://a.com/page/2"),     # kept
+            (4, "http://b.com/page/1"),     # kept: rule is a.com-only
+        ])
+        rules = self._rules(spark, [("a.com", "/page/1")])
+        got = _rows(robots_filter(docs, rules), ["doc_id"])
+        assert got == [(3,), (4,)]
+
+    def test_canonicalization_feeds_the_match(self, spark):
+        """Mixed-case scheme/host variants canonicalize BEFORE the
+        host/prefix match — the raw string never reaches the rules."""
+        from geospark.operators.dedup import robots_filter
+        docs = self._docs(spark, [
+            (1, "HTTP://A.com/page/7"),
+            (2, "https://www.a.com/page/7"),
+            (3, "http://a.com/other"),
+        ])
+        rules = self._rules(spark, [("a.com", "/page/")])
+        got = _rows(robots_filter(docs, rules), ["doc_id", "host"])
+        assert got == [(3, "a.com")]
+
+    def test_anti_join_is_broadcast_no_udf(self, spark):
+        from geospark.operators.dedup import robots_filter
+        docs = self._docs(spark, [(1, "http://a.com/x")])
+        rules = self._rules(spark, [("a.com", "/y")])
+        plan = (robots_filter(docs, rules)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "LeftAnti" in plan
+        assert "Python" not in plan and "Cartesian" not in plan
