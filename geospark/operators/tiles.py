@@ -434,3 +434,102 @@ SELECT cell, day, n_events,
             AS BIGINT) AS n_{window_days}d
 FROM filled
 """
+
+
+def cell_anomalies(points, res: int, *, us_col: str = "us",
+                   lat_col: str = "lat", lon_col: str = "lon",
+                   window_days: int = 7, k: int = 3,
+                   day_us: int = 86_400_000_000):
+    """Spatio-temporal spike detection: per (cell, day), flag days
+    whose event count exceeds the trailing ``window_days``-day
+    baseline by more than ``k`` standard deviations — the emerging-
+    hotspot / traffic-burst monitor over the tile stream.
+
+    INTEGER-EXACT z-score: with x = today's count, s/q = the
+    baseline's sum / sum of squares over exactly n = window_days dense
+    days (gap-filled like cell_rolling_counts — a sparse rollup would
+    silently shrink the baseline), z > k iff
+
+        n*x > s  AND  (n*x - s)^2 > k^2 * (n*q - s^2)
+
+    (multiply z = (x - s/n) / sqrt((n*q - s^2)/n^2) through by n and
+    square) — every quantity BIGINT, so the flag is bit-identical
+    cross-engine where a float mean/stddev pipeline could flip on the
+    last ulp right at the threshold. A zero-variance baseline flags
+    ANY exceedance (z is infinite there). Overflow headroom: n*q ~
+    n^2 * C^2 for per-(cell, day) counts C — safe below C ~ 10^8 at
+    n = 7, far above any real tile-day.
+
+    Output only days with a FULL baseline window (day >= lo + n).
+    Scale shape: one (cell, day) count agg, bounded densification,
+    two window sums riding ONE cell-keyed exchange — no self-join,
+    no float aggregation. -> (cell, day, n_events, base_sum,
+    base_sumsq, is_spike)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..functions.cells import cell_encode
+    d = points.select(
+        cell_encode(lat_col, lon_col, res).alias("cell"),
+        F.expr(f"{us_col} div {day_us}").alias("day"))
+    counts = d.groupBy("cell", "day").agg(F.count(F.lit(1)).alias("_n"))
+    span = counts.agg(F.min("day").alias("lo"),
+                      F.max("day").alias("hi")).collect()[0]
+    lo, hi = int(span["lo"]), int(span["hi"])
+    dense = (counts.select("cell").distinct()
+             .select("cell", F.explode(
+                 F.expr(f"sequence({lo}L, {hi}L)")).alias("day")))
+    filled = (dense.join(counts, ["cell", "day"], "left")
+              .select("cell", "day",
+                      F.coalesce("_n", F.lit(0)).cast("long")
+                      .alias("n_events")))
+    n = window_days
+    w = (Window.partitionBy("cell").orderBy("day")
+         .rowsBetween(-n, -1))
+    base = (filled
+            .withColumn("base_sum", F.sum("n_events").over(w))
+            .withColumn("base_sumsq",
+                        F.sum(F.col("n_events") * F.col("n_events"))
+                        .over(w))
+            .filter(F.col("day") >= F.lit(lo + n)))
+    dev = F.lit(n) * F.col("n_events") - F.col("base_sum")
+    var_n2 = (F.lit(n) * F.col("base_sumsq")
+              - F.col("base_sum") * F.col("base_sum"))
+    return base.select(
+        "cell", "day", "n_events", "base_sum", "base_sumsq",
+        ((dev > 0) & (dev * dev > F.lit(k * k) * var_n2))
+        .alias("is_spike"))
+
+
+def cell_anomalies_sql(pts_sql: str, res: int, *,
+                       window_days: int = 7, k: int = 3,
+                       day_us: int = 86_400_000_000) -> str:
+    """DuckDB twin of cell_anomalies — same dense fill, same bounded
+    frames, same all-BIGINT threshold algebra."""
+    from ..functions.cells import cell_encode_sql
+    cell = cell_encode_sql("lat", "lon", res)
+    n = window_days
+    return f"""
+WITH d AS (SELECT {cell} AS cell, us // {day_us} AS day
+           FROM ({pts_sql})),
+counts AS (SELECT cell, day, COUNT(*) AS n FROM d GROUP BY 1, 2),
+span AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM counts),
+dense AS (SELECT cell, unnest(generate_series(lo, hi)) AS day
+          FROM (SELECT DISTINCT cell FROM counts), span),
+filled AS (SELECT dense.cell, dense.day,
+           CAST(COALESCE(counts.n, 0) AS BIGINT) AS n_events
+           FROM dense LEFT JOIN counts USING (cell, day)),
+base AS (SELECT cell, day, n_events,
+         CAST(SUM(n_events) OVER w AS BIGINT) AS base_sum,
+         CAST(SUM(n_events * n_events) OVER w AS BIGINT)
+           AS base_sumsq
+         FROM filled
+         WINDOW w AS (PARTITION BY cell ORDER BY day
+                      ROWS BETWEEN {n} PRECEDING AND 1 PRECEDING))
+SELECT cell, day, n_events, base_sum, base_sumsq,
+       ({n} * n_events - base_sum > 0 AND
+        ({n} * n_events - base_sum) * ({n} * n_events - base_sum)
+          > {k * k} * ({n} * base_sumsq - base_sum * base_sum))
+         AS is_spike
+FROM base, span WHERE day >= lo + {n}
+"""

@@ -2057,6 +2057,27 @@ _SPANS_SQL = (f"SELECT user_id, "
               f"FROM events GROUP BY 1, 2")
 
 
+_ANOM_RES, _ANOM_K = 2, 2
+
+
+def q_cell_anomaly(spark, sf_dir):
+    """Spatio-temporal spike flags (r5.21): per (cell, day), is the
+    count > k sigma above the trailing 7-day dense baseline —
+    integer-exact threshold algebra ((n*x-s)^2 > k^2*(n*q-s^2), all
+    BIGINT) so the flag can't ulp-flip cross-engine
+    (operators/tiles.cell_anomalies docstring)."""
+    from pyspark.sql import functions as F
+    from .operators.tiles import cell_anomalies
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pts = e.select(F.expr(_TRAJ_LAT).alias("lat"),
+                   F.expr(_TRAJ_LON).alias("lon"),
+                   F.expr("timestampdiff(MICROSECOND, "
+                          "TIMESTAMP_NTZ '2024-01-01 00:00:00', ts)")
+                   .alias("us"))
+    return cell_anomalies(pts, _ANOM_RES, window_days=_ROLL_DAYS,
+                          k=_ANOM_K)
+
+
 def q_peak_sessions(spark, sf_dir):
     """Sweep-line peak concurrency (r5.21): per day, the max number of
     simultaneously-active users (their daily activity spans as
@@ -2325,6 +2346,7 @@ QUERIES = {
     "interval_overlap": q_interval_overlap,
     "peak_sessions": q_peak_sessions,
     "robots_gate": q_robots_gate,
+    "cell_anomaly": q_cell_anomaly,
 }
 
 
@@ -2978,6 +3000,12 @@ def oracle_sql() -> dict[str, str]:
     out["robots_gate"] = robots_filter_sql(
         f"SELECT doc_id, {_doc_url_sql()} AS url FROM documents",
         _hosts_sql)
+    from .operators.tiles import cell_anomalies_sql
+    out["cell_anomaly"] = cell_anomalies_sql(
+        f"SELECT {_TRAJ_LAT} AS lat, {_TRAJ_LON} AS lon, "
+        f"datediff('microseconds', TIMESTAMP '2024-01-01 00:00:00', "
+        f"ts) AS us FROM events",
+        _ANOM_RES, window_days=_ROLL_DAYS, k=_ANOM_K)
     return out
 
 

@@ -283,3 +283,66 @@ class TestRobotsFilter:
                 ._jdf.queryExecution().executedPlan().toString())
         assert "LeftAnti" in plan
         assert "Python" not in plan and "Cartesian" not in plan
+
+
+class TestCellAnomalies:
+    def _pts(self, spark, day_counts, lat=10.3, lon=20.7):
+        """One fixed cell; day_counts[i] events on day i (us in-day)."""
+        rows = [(float(lat), float(lon), d * 100 + j)
+                for d, c in enumerate(day_counts) for j in range(c)]
+        return spark.createDataFrame(
+            rows, "lat double, lon double, us long")
+
+    def test_hand_spike_and_threshold(self, spark):
+        """Baseline [1,1,1,1,1,1,1] (s=7, q=7, var=0): any exceedance
+        flags; a quiet day doesn't; output starts only at the first
+        full-window day."""
+        from geospark.operators.tiles import cell_anomalies
+        # days 0-6 baseline of 1s; day 7 spike of 9; day 8 quiet 1
+        out = cell_anomalies(self._pts(spark, [1] * 7 + [9, 1]),
+                             2, window_days=7, k=3, day_us=100)
+        rows = {r.day: r for r in out.collect()}
+        assert sorted(rows) == [7, 8]          # full windows only
+        assert rows[7].is_spike is True        # 9 > 1, var 0
+        assert rows[7].base_sum == 7 and rows[7].base_sumsq == 7
+        assert rows[8].is_spike is False       # 1 == mean
+
+    def test_threshold_strictness(self, spark):
+        """Sub-threshold deviation is NOT a spike, above-threshold is
+        — decided by the integer algebra, not float rounding. The
+        calendar is data-driven (lo = first day WITH events), so day 0
+        is made non-empty. Baseline [2,0,2,0,2,0,0]: s=6, q=12, n=7;
+        n*q-s^2=48. x=2: dev=8, 64 < k^2*48=192 -> no. Day 14 over
+        baseline [2,0,0,0,0,0,0] (s=2, q=4, n*q-s^2=24): x=4, dev=26,
+        676 > 96 -> yes."""
+        from geospark.operators.tiles import cell_anomalies
+        base = [2, 0, 2, 0, 2, 0, 0]
+        out = cell_anomalies(self._pts(spark, base + [2, 0, 0, 0, 0, 0,
+                                                      0, 4]),
+                             2, window_days=7, k=2, day_us=100)
+        rows = {r.day: r.is_spike for r in out.collect()}
+        assert rows[7] is False
+        assert rows[14] is True
+
+    def test_zero_days_enter_baseline(self, spark):
+        """Gap days count as 0 in the baseline — a sparse rollup
+        would shrink the window and miss the spike."""
+        from geospark.operators.tiles import cell_anomalies
+        # one event on day 0, nothing on 1-6, burst on day 7
+        out = cell_anomalies(self._pts(spark, [1, 0, 0, 0, 0, 0, 0, 5]),
+                             2, window_days=7, k=2, day_us=100)
+        r7 = [r for r in out.collect() if r.day == 7][0]
+        assert r7.base_sum == 1 and r7.base_sumsq == 1
+        assert r7.is_spike is True
+
+    def test_single_exchange_no_join_after_fill(self, spark):
+        """Both window sums ride ONE cell-keyed exchange; no
+        self-join anywhere."""
+        from geospark.operators.tiles import cell_anomalies
+        plan = (cell_anomalies(self._pts(spark, [1] * 9), 2,
+                               window_days=7, day_us=100)
+                ._jdf.queryExecution().executedPlan().toString())
+        # the only join is the dense-calendar left fill
+        assert plan.count("SortMergeJoin") + plan.count(
+            "BroadcastHashJoin") <= 1
+        assert "Cartesian" not in plan
