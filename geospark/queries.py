@@ -2339,8 +2339,9 @@ QUERIES = {
     "rolling_fp": q_rolling_fp,
     # -- round-5.21 additions (post-window by design: the first-50
     #    anchors this round are the 45 r5 rows taking their first
-    #    driver pass; these three are replica-verified via
-    #    tools/check_oracle.py and queue for the next rotation) --
+    #    driver pass; these six are replica-verified via
+    #    tools/check_oracle.py — full 114-query sweep hash-green —
+    #    and queue for the next rotation) --
     "knn_graph": q_knn_graph,
     "freshness": q_freshness,
     "interval_overlap": q_interval_overlap,
