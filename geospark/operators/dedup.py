@@ -1156,7 +1156,7 @@ def robots_filter_sql(docs_sql: str, rules_sql: str,
                       url_expr: str = "url") -> str:
     """DuckDB twin of :func:`robots_filter`: same canonical pass (the
     shared step tables), same host/path regexes, NOT EXISTS in place
-    of the anti join. Yields docs.* (minus url) + host + path."""
+    of the anti join. Yields docs.* + host + path."""
     canon = canonical_url_sql(url_expr)
     return f"""
 WITH d0 AS (SELECT *, {canon} AS _canon FROM ({docs_sql})),

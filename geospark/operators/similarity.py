@@ -809,16 +809,25 @@ def knn_graph(emb_df, k: int = 5, *, id_col: str = "vec_id",
     full-table scans (ANN_UNROLL_MIN_ROWS)."""
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
+    if n_tables * n_bits > dim:
+        # past-the-end element_at returns NULL and the sign test
+        # silently folds to bit 0 — every vector would share one
+        # degenerate bucket per overflowing table (recall loss with
+        # no error), so reject the config up front
+        raise ValueError(
+            f"n_tables*n_bits = {n_tables * n_bits} sign bits exceed "
+            f"the declared embedding dim {dim} (pass dim= to "
+            f"knn_graph)")
     e = emb_df.select(F.col(id_col),
                       _emb_double(F.col(emb_col)).alias("v"))
-    bt = None
-    for t in range(n_tables):
-        part = e.select(
-            id_col,
-            F.lit(t).alias("tbl"),
-            sign_bucket_col_offset(F.col("v"), n_bits,
-                                   t * n_bits).alias("bkt"))
-        bt = part if bt is None else bt.unionByName(part)
+    # ONE scan emits every (table, bucket) id via posexplode — the
+    # lsh_near_dup idiom; a per-table unionByName would re-scan the
+    # source n_tables times
+    bt = e.select(
+        id_col,
+        F.posexplode(F.array(*[
+            sign_bucket_col_offset(F.col("v"), n_bits, t * n_bits)
+            for t in range(n_tables)])).alias("tbl", "bkt"))
     ok = bt.groupBy("tbl", "bkt").count().filter(
         (F.col("count") > 1) & (F.col("count") <= max_bucket))
     bt = bt.join(ok.select("tbl", "bkt"), ["tbl", "bkt"])

@@ -373,6 +373,55 @@ FROM dcells GROUP BY 1
 """
 
 
+def _dense_daily_counts(points, res, *, us_col, lat_col, lon_col,
+                        day_us):
+    """Shared dense-fill prologue for the calendar-window operators:
+    (cell, day) counts gap-filled onto the full [lo, hi] day span.
+    Returns (filled_df, lo, hi); lo/hi are None on EMPTY input, with
+    filled_df an empty frame of the right schema (callers must not
+    crash on a fully-filtered source)."""
+    from pyspark.sql import functions as F
+
+    from ..functions.cells import cell_encode
+    d = points.select(
+        cell_encode(lat_col, lon_col, res).alias("cell"),
+        F.expr(f"{us_col} div {day_us}").alias("day"))
+    counts = d.groupBy("cell", "day").agg(F.count(F.lit(1)).alias("_n"))
+    span = counts.agg(F.min("day").alias("lo"),
+                      F.max("day").alias("hi")).collect()[0]
+    if span["lo"] is None:
+        empty = counts.select(
+            "cell", "day",
+            F.col("_n").cast("long").alias("n_events")).limit(0)
+        return empty, None, None
+    lo, hi = int(span["lo"]), int(span["hi"])
+    dense = (counts.select("cell").distinct()
+             .select("cell", F.explode(
+                 F.expr(f"sequence({lo}L, {hi}L)")).alias("day")))
+    filled = (dense.join(counts, ["cell", "day"], "left")
+              .select("cell", "day",
+                      F.coalesce("_n", F.lit(0)).cast("long")
+                      .alias("n_events")))
+    return filled, lo, hi
+
+
+def _dense_daily_counts_sql(pts_sql: str, res: int,
+                            day_us: int) -> str:
+    """The SQL twin of _dense_daily_counts as a WITH-clause prefix
+    defining `span(lo, hi)` and `filled(cell, day, n_events)`."""
+    from ..functions.cells import cell_encode_sql
+    cell = cell_encode_sql("lat", "lon", res)
+    return f"""d AS (SELECT {cell} AS cell, us // {day_us} AS day
+           FROM ({pts_sql})),
+counts AS (SELECT cell, day, COUNT(*) AS n FROM d GROUP BY 1, 2),
+span AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM counts),
+dense AS (SELECT cell, unnest(generate_series(lo, hi)) AS day
+          FROM (SELECT DISTINCT cell FROM counts), span),
+filled AS (SELECT dense.cell, dense.day,
+           CAST(COALESCE(counts.n, 0) AS BIGINT) AS n_events
+           FROM dense LEFT JOIN counts USING (cell, day))"""
+
+
 def cell_rolling_counts(points, res: int, *, us_col: str = "us",
                         lat_col: str = "lat", lon_col: str = "lon",
                         window_days: int = 7,
@@ -389,22 +438,9 @@ def cell_rolling_counts(points, res: int, *, us_col: str = "us",
     fill join. -> (cell, day, n_events, n_<w>d)."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
-
-    from ..functions.cells import cell_encode
-    d = points.select(
-        cell_encode(lat_col, lon_col, res).alias("cell"),
-        F.expr(f"{us_col} div {day_us}").alias("day"))
-    counts = d.groupBy("cell", "day").agg(F.count(F.lit(1)).alias("_n"))
-    span = counts.agg(F.min("day").alias("lo"),
-                      F.max("day").alias("hi")).collect()[0]
-    lo, hi = int(span["lo"]), int(span["hi"])
-    dense = (counts.select("cell").distinct()
-             .select("cell", F.explode(
-                 F.expr(f"sequence({lo}L, {hi}L)")).alias("day")))
-    filled = (dense.join(counts, ["cell", "day"], "left")
-              .select("cell", "day",
-                      F.coalesce("_n", F.lit(0)).cast("long")
-                      .alias("n_events")))
+    filled, _lo, _hi = _dense_daily_counts(
+        points, res, us_col=us_col, lat_col=lat_col, lon_col=lon_col,
+        day_us=day_us)
     w = (Window.partitionBy("cell").orderBy("day")
          .rowsBetween(-(window_days - 1), 0))
     return filled.withColumn(f"n_{window_days}d",
@@ -416,18 +452,8 @@ def cell_rolling_counts_sql(pts_sql: str, res: int, *,
                             day_us: int = 86_400_000_000) -> str:
     """DuckDB twin of cell_rolling_counts over a subquery producing
     (lat, lon, us)."""
-    from ..functions.cells import cell_encode_sql
-    cell = cell_encode_sql("lat", "lon", res)
     return f"""
-WITH d AS (SELECT {cell} AS cell, us // {day_us} AS day
-           FROM ({pts_sql})),
-counts AS (SELECT cell, day, COUNT(*) AS n FROM d GROUP BY 1, 2),
-span AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM counts),
-dense AS (SELECT cell, unnest(generate_series(lo, hi)) AS day
-          FROM (SELECT DISTINCT cell FROM counts), span),
-filled AS (SELECT dense.cell, dense.day,
-           CAST(COALESCE(counts.n, 0) AS BIGINT) AS n_events
-           FROM dense LEFT JOIN counts USING (cell, day))
+WITH {_dense_daily_counts_sql(pts_sql, res, day_us)}
 SELECT cell, day, n_events,
        CAST(SUM(n_events) OVER (PARTITION BY cell ORDER BY day
             ROWS BETWEEN {window_days - 1} PRECEDING AND CURRENT ROW)
@@ -467,23 +493,16 @@ def cell_anomalies(points, res: int, *, us_col: str = "us",
     base_sumsq, is_spike)."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
-
-    from ..functions.cells import cell_encode
-    d = points.select(
-        cell_encode(lat_col, lon_col, res).alias("cell"),
-        F.expr(f"{us_col} div {day_us}").alias("day"))
-    counts = d.groupBy("cell", "day").agg(F.count(F.lit(1)).alias("_n"))
-    span = counts.agg(F.min("day").alias("lo"),
-                      F.max("day").alias("hi")).collect()[0]
-    lo, hi = int(span["lo"]), int(span["hi"])
-    dense = (counts.select("cell").distinct()
-             .select("cell", F.explode(
-                 F.expr(f"sequence({lo}L, {hi}L)")).alias("day")))
-    filled = (dense.join(counts, ["cell", "day"], "left")
-              .select("cell", "day",
-                      F.coalesce("_n", F.lit(0)).cast("long")
-                      .alias("n_events")))
+    filled, lo, _hi = _dense_daily_counts(
+        points, res, us_col=us_col, lat_col=lat_col, lon_col=lon_col,
+        day_us=day_us)
     n = window_days
+    if lo is None:   # empty input: empty output, full schema
+        return filled.select(
+            "cell", "day", "n_events",
+            F.lit(None).cast("long").alias("base_sum"),
+            F.lit(None).cast("long").alias("base_sumsq"),
+            F.lit(None).cast("boolean").alias("is_spike"))
     w = (Window.partitionBy("cell").orderBy("day")
          .rowsBetween(-n, -1))
     base = (filled
@@ -506,19 +525,9 @@ def cell_anomalies_sql(pts_sql: str, res: int, *,
                        day_us: int = 86_400_000_000) -> str:
     """DuckDB twin of cell_anomalies — same dense fill, same bounded
     frames, same all-BIGINT threshold algebra."""
-    from ..functions.cells import cell_encode_sql
-    cell = cell_encode_sql("lat", "lon", res)
     n = window_days
     return f"""
-WITH d AS (SELECT {cell} AS cell, us // {day_us} AS day
-           FROM ({pts_sql})),
-counts AS (SELECT cell, day, COUNT(*) AS n FROM d GROUP BY 1, 2),
-span AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM counts),
-dense AS (SELECT cell, unnest(generate_series(lo, hi)) AS day
-          FROM (SELECT DISTINCT cell FROM counts), span),
-filled AS (SELECT dense.cell, dense.day,
-           CAST(COALESCE(counts.n, 0) AS BIGINT) AS n_events
-           FROM dense LEFT JOIN counts USING (cell, day)),
+WITH {_dense_daily_counts_sql(pts_sql, res, day_us)},
 base AS (SELECT cell, day, n_events,
          CAST(SUM(n_events) OVER w AS BIGINT) AS base_sum,
          CAST(SUM(n_events * n_events) OVER w AS BIGINT)

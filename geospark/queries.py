@@ -2971,8 +2971,6 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT source, doc_id % {_FRESH_DAYS} AS day FROM documents",
         n_days=_FRESH_DAYS, horizon=_FRESH_HORIZON)
     from .operators.events import overlap_join_sql
-    _ev_us_expr = ("datediff('microseconds', "
-                   "TIMESTAMP '2024-01-01 00:00:00', ts)")
     out["interval_overlap"] = (
         f"SELECT campaign_id, user_id, "
         f"CAST(SUM(overlap_us) AS BIGINT) AS total_overlap_us, "

@@ -346,3 +346,53 @@ class TestCellAnomalies:
         assert plan.count("SortMergeJoin") + plan.count(
             "BroadcastHashJoin") <= 1
         assert "Cartesian" not in plan
+
+
+class TestReviewFixes:
+    """Round-5.21 inline-review findings, each pinned by a test."""
+
+    def test_knn_graph_rejects_overflowing_sign_bits(self, spark):
+        """n_tables*n_bits > dim would silently fold past-the-end
+        element_at NULLs to bit 0 (degenerate buckets, recall loss);
+        the config is rejected up front instead."""
+        import pytest
+        from geospark.operators.similarity import knn_graph
+        e = spark.createDataFrame([(0, [1.0] * 8)],
+                                  "vec_id long, embedding array<float>")
+        with pytest.raises(ValueError, match="sign bits exceed"):
+            knn_graph(e, k=2, dim=8, n_bits=6, n_tables=4)
+
+    def test_knn_graph_single_source_scan(self, spark):
+        """The bucket table comes from ONE posexplode pass, not an
+        n_tables-way union re-scanning the embeddings source."""
+        from geospark.operators.similarity import knn_graph
+        e = spark.createDataFrame(
+            [(i, [float(i + j) for j in range(8)]) for i in range(4)],
+            "vec_id long, embedding array<float>")
+        plan = (knn_graph(e, k=2, dim=8, n_bits=4, n_tables=2)
+                ._jdf.queryExecution().optimizedPlan().toString())
+        assert "Union" not in plan
+
+    def test_cell_anomalies_empty_input(self, spark):
+        """A fully-filtered source yields an EMPTY result with the
+        full schema, not a driver TypeError on the span collect."""
+        from geospark.operators.tiles import cell_anomalies
+        pts = spark.createDataFrame(
+            [], "lat double, lon double, us long")
+        out = cell_anomalies(pts, 2, window_days=7, day_us=100)
+        assert out.columns == ["cell", "day", "n_events", "base_sum",
+                               "base_sumsq", "is_spike"]
+        assert out.count() == 0
+
+    def test_rolling_and_anomaly_share_one_fill(self, spark):
+        """The dense-fill prologue exists once (_dense_daily_counts);
+        both calendar operators consume it — drift-proof by
+        construction."""
+        import inspect
+        from geospark.operators import tiles
+        src_roll = inspect.getsource(tiles.cell_rolling_counts)
+        src_anom = inspect.getsource(tiles.cell_anomalies)
+        assert "_dense_daily_counts(" in src_roll
+        assert "_dense_daily_counts(" in src_anom
+        assert "groupBy" not in src_roll  # the fill owns the agg
+        assert "groupBy" not in src_anom
