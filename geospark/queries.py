@@ -2111,6 +2111,25 @@ def q_robots_gate(spark, sf_dir):
     return robots_filter(_doc_urls(spark, sf_dir), rules)
 
 
+# grid-DBSCAN over the customer points: res 5 / minpts 3 yields a mix
+# of singleton clusters and multi-cell runs (88 clusters over 173 core
+# cells at sf0.01, largest 11 cells) — enough structure to catch an
+# adjacency or CC bug, sparse enough that the oracle's transitive
+# closure stays small
+_DBSCAN_RES = 5
+_DBSCAN_MINPTS = 3
+
+
+def q_dbscan_cells(spark, sf_dir):
+    """Grid-density clustering (r5.22): DBSCAN over the cell raster —
+    core cells (count >= minpts) labeled by connected 8-adjacency runs,
+    cluster id = min cell id in the component; the ST_ClusterDBSCAN
+    surface, distributed (operators/cluster.dbscan_cells docstring)."""
+    from .operators.cluster import dbscan_cells
+    return dbscan_cells(_cust_points(spark, sf_dir),
+                        _DBSCAN_RES, _DBSCAN_MINPTS)
+
+
 QUERIES = {
     # -- round-5.13 addition, inside the window for its first driver
     #    row (curation_filter rotates just past the window:
@@ -2348,6 +2367,8 @@ QUERIES = {
     "peak_sessions": q_peak_sessions,
     "robots_gate": q_robots_gate,
     "cell_anomaly": q_cell_anomaly,
+    # -- round-5.22 additions (post-window, same rationale) --
+    "dbscan_cells": q_dbscan_cells,
 }
 
 
@@ -3005,6 +3026,9 @@ def oracle_sql() -> dict[str, str]:
         f"datediff('microseconds', TIMESTAMP '2024-01-01 00:00:00', "
         f"ts) AS us FROM events",
         _ANOM_RES, window_days=_ROLL_DAYS, k=_ANOM_K)
+    from .operators.cluster import dbscan_cells_sql
+    out["dbscan_cells"] = dbscan_cells_sql(
+        _CUST_PTS_CTE, _DBSCAN_RES, _DBSCAN_MINPTS)
     return out
 
 

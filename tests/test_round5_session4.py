@@ -1,0 +1,125 @@
+"""Round-5 session-4 operator tests: grid-DBSCAN clustering."""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _rows(df, cols=None):
+    cols = cols or df.columns
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def _center(y, x, res):
+    """(lat, lon) of cell (y, x) center at ``res``."""
+    n = 1 << res
+    return (-90.0 + (y + 0.5) * 180.0 / n,
+            -180.0 + (x + 0.5) * 360.0 / n)
+
+
+def _cell(y, x, res):
+    return (res << 56) | (y << res) | x
+
+
+def _pts(spark, cells, res, counts):
+    """DataFrame of ``counts[i]`` points at the center of cells[i]."""
+    rows = []
+    for (y, x), c in zip(cells, counts):
+        lat, lon = _center(y, x, res)
+        rows += [(lat, lon)] * c
+    return spark.createDataFrame(rows, "lat double, lon double")
+
+
+class TestDbscanCells:
+    RES = 4
+
+    def test_two_clusters_and_noise(self, spark):
+        """Two 8-adjacent core runs separated by a >1-cell gap get two
+        distinct labels (min cell id each); a below-minpts cell is
+        noise and absent even though it touches a core cell."""
+        from geospark.operators.cluster import dbscan_cells
+        cells = [(4, 4), (4, 5), (5, 5),   # cluster A (edge+diagonal)
+                 (10, 10), (10, 11),       # cluster B
+                 (4, 6)]                   # noise: count 2 < minpts 3
+        pts = _pts(spark, cells, self.RES, [3, 3, 4, 3, 5, 2])
+        got = _rows(dbscan_cells(pts, self.RES, 3),
+                    ["cell", "n_pts", "cluster_id"])
+        r = self.RES
+        a = min(_cell(4, 4, r), _cell(4, 5, r), _cell(5, 5, r))
+        b = min(_cell(10, 10, r), _cell(10, 11, r))
+        assert got == sorted([
+            (_cell(4, 4, r), 3, a), (_cell(4, 5, r), 3, a),
+            (_cell(5, 5, r), 4, a),
+            (_cell(10, 10, r), 3, b), (_cell(10, 11, r), 5, b)])
+
+    def test_antimeridian_wrap_merges(self, spark):
+        """Core cells at x=0 and x=n-1 on the same row are adjacent
+        (longitude wraps) -> one cluster."""
+        from geospark.operators.cluster import dbscan_cells
+        n = 1 << self.RES
+        pts = _pts(spark, [(7, 0), (7, n - 1)], self.RES, [3, 3])
+        got = _rows(dbscan_cells(pts, self.RES, 3), ["cell", "cluster_id"])
+        lbl = _cell(7, 0, self.RES)
+        assert got == sorted([(_cell(7, 0, self.RES), lbl),
+                              (_cell(7, n - 1, self.RES), lbl)])
+
+    def test_no_polar_wrap(self, spark):
+        """y=0 and y=n-1 (poles) do NOT merge — latitude clamps, it
+        never wraps."""
+        from geospark.operators.cluster import dbscan_cells
+        n = 1 << self.RES
+        pts = _pts(spark, [(0, 3), (n - 1, 3)], self.RES, [3, 3])
+        got = _rows(dbscan_cells(pts, self.RES, 3), ["cell", "cluster_id"])
+        assert got == sorted([
+            (_cell(0, 3, self.RES), _cell(0, 3, self.RES)),
+            (_cell(n - 1, 3, self.RES), _cell(n - 1, 3, self.RES))])
+
+    def test_singleton_core_is_own_cluster(self, spark):
+        from geospark.operators.cluster import dbscan_cells
+        pts = _pts(spark, [(8, 8)], self.RES, [5])
+        assert _rows(dbscan_cells(pts, self.RES, 3)) == [
+            (_cell(8, 8, self.RES), 5, _cell(8, 8, self.RES))]
+
+    def test_empty_when_all_below_minpts(self, spark):
+        from geospark.operators.cluster import dbscan_cells
+        pts = _pts(spark, [(1, 1), (2, 2)], self.RES, [2, 2])
+        assert dbscan_cells(pts, self.RES, 3).count() == 0
+
+    def test_duckdb_twin_parity_random(self, spark):
+        """300 seeded random points: Spark operator == recursive-CTE
+        oracle, row for row."""
+        import duckdb
+
+        from geospark.operators.cluster import dbscan_cells, \
+            dbscan_cells_sql
+        rng = np.random.default_rng(7)
+        lat = rng.uniform(-89, 89, 300).round(3)
+        lon = rng.uniform(-179, 179, 300).round(3)
+        rows = [(float(a), float(b)) for a, b in zip(lat, lon)]
+        pts = spark.createDataFrame(rows, "lat double, lon double")
+        got = _rows(dbscan_cells(pts, 3, 2),
+                    ["cell", "n_pts", "cluster_id"])
+        con = duckdb.connect()
+        con.execute("CREATE TABLE p (lat DOUBLE, lon DOUBLE)")
+        con.executemany("INSERT INTO p VALUES (?, ?)", rows)
+        want = sorted(tuple(r) for r in con.execute(
+            dbscan_cells_sql("SELECT lat, lon FROM p", 3, 2)).fetchall())
+        assert got == want
+
+    def test_star_algorithm_matches_minlabel(self, spark):
+        from geospark.operators.cluster import dbscan_cells
+        cells = [(4, 4), (4, 5), (5, 6), (6, 7), (9, 9)]
+        pts = _pts(spark, cells, self.RES, [3] * 5)
+        a = _rows(dbscan_cells(pts, self.RES, 3))
+        b = _rows(dbscan_cells(pts, self.RES, 3, algorithm="star"))
+        assert a == b
+
+    def test_plan_no_cartesian(self, spark):
+        """The adjacency join is keyed (neighbor id == cell id) — no
+        nested-loop/cartesian product anywhere in the plan."""
+        from geospark.operators.cluster import dbscan_cells
+        pts = _pts(spark, [(4, 4), (4, 5)], self.RES, [3, 3])
+        plan = dbscan_cells(pts, self.RES, 3) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
