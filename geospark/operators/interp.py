@@ -64,3 +64,98 @@ def idw_estimate_sql(neighbors_sql: str, *, query_col: str = "query_id",
             f"// CAST(SUM({w}) AS BIGINT) AS BIGINT) AS idw_v, "
             f"CAST(SUM({w}) AS BIGINT) AS w_sum "
             f"FROM ({neighbors_sql}) GROUP BY {query_col}")
+
+
+# ---------------------------------------------------------------------------
+# areal interpolation: envelope-weighted measure reapportionment
+# ---------------------------------------------------------------------------
+#
+# The classic GIS re-aggregation step (population on census zones ->
+# population on grid tiles): each source polygon's measure is split
+# across the target polygons it intersects in proportion to
+# overlap_area / source_area. Weights come from the ENVELOPES of the
+# two geometries — exact for axis-aligned boxes (the synthetic-zone
+# case and most web-geo tiling), the standard first-moment
+# approximation for general polygons (swap the weight kernel for exact
+# polygon clipping where GEOS is available).
+#
+# Integer-exactness: the weight is a double, but it is derived from
+# envelope bounds that both engines compute bit-identically (WKT
+# encodes shortest-roundtrip decimal strings; IEEE ops on the parsed
+# doubles are deterministic), and each pair's contribution is floored
+# to parts-per-million BEFORE the sum — so the aggregate is a BIGINT
+# sum, independent of accumulation order, and hash-exact cross-engine.
+#
+# Scale shape: candidate pairs come from spatial_join_polygons (cell
+# equi-join + pair dedup, both equi-keyed); envelopes are computed in
+# one vectorized pass per side table (aggregate-sized for zones);
+# the final agg is keyed by target id and map-side combinable.
+
+PPM = 1_000_000
+
+
+def areal_interp(src, tgt, *, res: int | None = None,
+                 src_id: str = "src_id", tgt_id: str = "tgt_id",
+                 val_col: str = "v_int",
+                 src_geom: str = "geom_wkb", tgt_geom: str = "geom_wkb"):
+    """Apportion ``src``'s integer measure onto ``tgt`` polygons by
+    envelope-overlap fraction -> (tgt_id, v_ppm, n_src). ``v_ppm`` is
+    the apportioned measure in millionths (floor per contribution)."""
+    from pyspark.sql import functions as F
+
+    from ..functions.geometry import st_envelope
+    from .joins import spatial_join_polygons
+
+    pairs = spatial_join_polygons(src, tgt, res=res,
+                                  l_id=src_id, l_geom=src_geom,
+                                  r_id=tgt_id, r_geom=tgt_geom)
+    se = src.select(
+        F.col(src_id),
+        F.col(val_col).alias("_v"),
+        st_envelope(F.col(src_geom)).alias("_se"))
+    se = se.select(src_id, "_v",
+                   F.col("_se.xmin").alias("_sx0"),
+                   F.col("_se.ymin").alias("_sy0"),
+                   F.col("_se.xmax").alias("_sx1"),
+                   F.col("_se.ymax").alias("_sy1"))
+    te = tgt.select(
+        F.col(tgt_id),
+        st_envelope(F.col(tgt_geom)).alias("_te"))
+    te = te.select(tgt_id,
+                   F.col("_te.xmin").alias("_tx0"),
+                   F.col("_te.ymin").alias("_ty0"),
+                   F.col("_te.xmax").alias("_tx1"),
+                   F.col("_te.ymax").alias("_ty1"))
+    j = pairs.join(se, src_id).join(te, tgt_id)
+    # expression order mirrors areal_interp_sql token for token: the
+    # doubles must be bit-identical cross-engine before the floor
+    ow = F.greatest(F.lit(0.0),
+                    F.least("_sx1", "_tx1") - F.greatest("_sx0", "_tx0"))
+    oh = F.greatest(F.lit(0.0),
+                    F.least("_sy1", "_ty1") - F.greatest("_sy0", "_ty0"))
+    frac = (ow * oh) / ((F.col("_sx1") - F.col("_sx0"))
+                        * (F.col("_sy1") - F.col("_sy0")))
+    contrib = F.floor(F.col("_v") * frac * F.lit(float(PPM))).cast("long")
+    return (j.groupBy(tgt_id)
+            .agg(F.sum(contrib).alias("v_ppm"),
+                 F.count(F.lit(1)).alias("n_src")))
+
+
+def areal_interp_sql(pairs_sql: str, src_sql: str, tgt_sql: str, *,
+                     src_id: str = "src_id", tgt_id: str = "tgt_id",
+                     val_col: str = "v_int") -> str:
+    """DuckDB twin. ``pairs_sql`` -> (src_id, tgt_id); ``src_sql`` ->
+    (src_id, val_col, sx0, sy0, sx1, sy1); ``tgt_sql`` -> (tgt_id,
+    tx0, ty0, tx1, ty1). Identical weight arithmetic, floored to ppm
+    per pair before the BIGINT sum."""
+    ow = "greatest(0.0, least(sx1, tx1) - greatest(sx0, tx0))"
+    oh = "greatest(0.0, least(sy1, ty1) - greatest(sy0, ty0))"
+    frac = f"({ow} * {oh}) / ((sx1 - sx0) * (sy1 - sy0))"
+    return (f"SELECT {tgt_id}, "
+            f"CAST(SUM(CAST(floor({val_col} * {frac} * {float(PPM)}) "
+            f"AS BIGINT)) AS BIGINT) AS v_ppm, "
+            f"COUNT(*) AS n_src "
+            f"FROM ({pairs_sql}) "
+            f"JOIN ({src_sql}) USING ({src_id}) "
+            f"JOIN ({tgt_sql}) USING ({tgt_id}) "
+            f"GROUP BY {tgt_id}")

@@ -2130,6 +2130,28 @@ def q_dbscan_cells(spark, sf_dir):
                         _DBSCAN_RES, _DBSCAN_MINPTS)
 
 
+# supplier measure for areal interpolation — the idw shift-scale trick
+# (nonnegative BIGINT from acctbal)
+_AREAL_V_SQL = "CAST(floor((s_acctbal + 1000.0) * 100.0) AS BIGINT)"
+
+
+def q_areal_interp(spark, sf_dir):
+    """Envelope-weighted areal interpolation (r5.22): supplier-box
+    measures apportioned onto the part boxes they intersect by
+    overlap-area / source-area, each contribution floored to ppm
+    before a BIGINT sum — the census-zone -> grid-tile re-aggregation
+    step (operators/interp.areal_interp docstring)."""
+    from pyspark.sql import functions as F
+    from .operators.interp import areal_interp
+    v = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        F.col("s_suppkey").alias("supp_box_id"),
+        F.expr(_AREAL_V_SQL).alias("v_int"))
+    src = _supp_box_polys(spark, sf_dir).join(v, "supp_box_id")
+    return areal_interp(src, _part_box_polys(spark, sf_dir),
+                        res=RES_COARSE,
+                        src_id="supp_box_id", tgt_id="box_id")
+
+
 QUERIES = {
     # -- round-5.13 addition, inside the window for its first driver
     #    row (curation_filter rotates just past the window:
@@ -2369,6 +2391,7 @@ QUERIES = {
     "cell_anomaly": q_cell_anomaly,
     # -- round-5.22 additions (post-window, same rationale) --
     "dbscan_cells": q_dbscan_cells,
+    "areal_interp": q_areal_interp,
 }
 
 
@@ -3029,6 +3052,17 @@ def oracle_sql() -> dict[str, str]:
     from .operators.cluster import dbscan_cells_sql
     out["dbscan_cells"] = dbscan_cells_sql(
         _CUST_PTS_CTE, _DBSCAN_RES, _DBSCAN_MINPTS)
+    from .operators.interp import areal_interp_sql
+    out["areal_interp"] = areal_interp_sql(
+        out["poly_join"],
+        f"SELECT p.supp_box_id, v.v_int, cx - half AS sx0, "
+        f"cy - half AS sy0, cx + half AS sx1, cy + half AS sy1 "
+        f"FROM ({SUPP_POLY_SQL}) p JOIN (SELECT s_suppkey AS "
+        f"supp_box_id, {_AREAL_V_SQL} AS v_int FROM supplier) v "
+        f"USING (supp_box_id)",
+        f"SELECT box_id, cx - half AS tx0, cy - half AS ty0, "
+        f"cx + half AS tx1, cy + half AS ty1 FROM ({PART_POLY_SQL})",
+        src_id="supp_box_id", tgt_id="box_id")
     return out
 
 

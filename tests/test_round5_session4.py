@@ -123,3 +123,98 @@ class TestDbscanCells:
             ._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+def _box_df(spark, rows, id_col):
+    """rows: (id, x0, y0, x1, y1[, v]) -> (id[, v_int], geom_wkb)."""
+    from pyspark.sql import functions as F
+
+    from geospark.functions.geometry import st_geomfromtext
+    has_v = len(rows[0]) == 6
+    schema = f"{id_col} long, x0 double, y0 double, x1 double, y1 double"
+    if has_v:
+        schema += ", v_int long"
+    df = spark.createDataFrame(rows, schema)
+    wkt = F.concat(
+        F.lit("POLYGON (("),
+        F.col("x0").cast("string"), F.lit(" "), F.col("y0").cast("string"),
+        F.lit(", "),
+        F.col("x1").cast("string"), F.lit(" "), F.col("y0").cast("string"),
+        F.lit(", "),
+        F.col("x1").cast("string"), F.lit(" "), F.col("y1").cast("string"),
+        F.lit(", "),
+        F.col("x0").cast("string"), F.lit(" "), F.col("y1").cast("string"),
+        F.lit(", "),
+        F.col("x0").cast("string"), F.lit(" "), F.col("y0").cast("string"),
+        F.lit("))"))
+    cols = [id_col] + (["v_int"] if has_v else [])
+    return df.select(*cols, st_geomfromtext(wkt).alias("geom_wkb"))
+
+
+class TestArealInterp:
+    def test_containment_and_split(self, spark):
+        """Source A sits fully inside target 1 (frac exactly 1.0);
+        source B straddles targets 1|2 half-and-half with a quarter
+        hanging outside both — exact binary fractions, so the floored
+        ppm values are closed-form."""
+        from geospark.operators.interp import areal_interp
+        src = _box_df(spark, [
+            (100, 2.0, 2.0, 3.0, 3.0, 1000),   # inside tgt 1
+            (200, 7.0, 0.0, 9.0, 1.0, 400),    # x 7-8 in tgt1, 8-9 in tgt2
+        ], "src_id")
+        tgt = _box_df(spark, [
+            (1, 0.0, 0.0, 8.0, 8.0),
+            (2, 8.0, 0.0, 16.0, 8.0),
+        ], "tgt_id")
+        got = _rows(areal_interp(src, tgt, res=4),
+                    ["tgt_id", "v_ppm", "n_src"])
+        # B: area 2, overlap 1 with each target -> frac 0.5 each
+        assert got == [(1, 1000 * 1_000_000 + 200 * 1_000_000, 2),
+                       (2, 200 * 1_000_000, 1)]
+
+    def test_touching_contributes_zero(self, spark):
+        """Closed ST_Intersects keeps a shared-edge pair, but its
+        overlap area (and thus contribution) is exactly 0."""
+        from geospark.operators.interp import areal_interp
+        src = _box_df(spark, [(1, 0.0, 0.0, 2.0, 2.0, 100)], "src_id")
+        tgt = _box_df(spark, [(9, 2.0, 0.0, 4.0, 2.0)], "tgt_id")
+        got = _rows(areal_interp(src, tgt, res=4),
+                    ["tgt_id", "v_ppm", "n_src"])
+        assert got == [(9, 0, 1)]
+
+    def test_duckdb_twin_parity_random(self, spark):
+        """Seeded random boxes on a 0.25 lattice: operator == SQL twin
+        row for row (bit-exact doubles through the floor)."""
+        import duckdb
+
+        from geospark.operators.interp import areal_interp, \
+            areal_interp_sql
+        rng = np.random.default_rng(11)
+        def boxes(n, base):
+            out = []
+            for i in range(n):
+                x0 = float(rng.integers(-600, 560)) * 0.25
+                y0 = float(rng.integers(-340, 300)) * 0.25
+                w = float(rng.integers(1, 40)) * 0.25
+                h = float(rng.integers(1, 40)) * 0.25
+                out.append((base + i, x0, y0, x0 + w, y0 + h,
+                            int(rng.integers(1, 10000))))
+            return out
+        s_rows, t_rows = boxes(60, 0), [r[:5] for r in boxes(40, 1000)]
+        src = _box_df(spark, s_rows, "src_id")
+        tgt = _box_df(spark, t_rows, "tgt_id")
+        got = _rows(areal_interp(src, tgt, res=4),
+                    ["tgt_id", "v_ppm", "n_src"])
+        con = duckdb.connect()
+        con.execute("CREATE TABLE s (src_id BIGINT, sx0 DOUBLE, "
+                    "sy0 DOUBLE, sx1 DOUBLE, sy1 DOUBLE, v_int BIGINT)")
+        con.executemany("INSERT INTO s VALUES (?,?,?,?,?,?)", s_rows)
+        con.execute("CREATE TABLE t (tgt_id BIGINT, tx0 DOUBLE, "
+                    "ty0 DOUBLE, tx1 DOUBLE, ty1 DOUBLE)")
+        con.executemany("INSERT INTO t VALUES (?,?,?,?,?)", t_rows)
+        pairs = ("SELECT src_id, tgt_id FROM s JOIN t ON "
+                 "sx0 <= tx1 AND tx0 <= sx1 AND sy0 <= ty1 "
+                 "AND ty0 <= sy1")
+        want = sorted(tuple(r) for r in con.execute(areal_interp_sql(
+            pairs, "SELECT * FROM s", "SELECT * FROM t")).fetchall())
+        assert got == want
