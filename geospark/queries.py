@@ -2152,6 +2152,44 @@ def q_areal_interp(spark, sf_dir):
                         src_id="supp_box_id", tgt_id="box_id")
 
 
+# synthetic road segments from the nation table (25 rows — the
+# broadcast side). nation 20 is deliberately degenerate (both deltas
+# hit 20-20=0), exercising the zero-length guard on real data.
+_SEG_SQL = ("SELECT n_nationkey AS seg_id, "
+            "CAST((n_nationkey * 37) % 340 AS DOUBLE) - 170.0 AS x0, "
+            "CAST((n_nationkey * 53) % 160 AS DOUBLE) - 80.0 AS y0, "
+            "CAST((n_nationkey * 37) % 340 AS DOUBLE) - 170.0 "
+            "+ CAST((n_nationkey * 7) % 40 AS DOUBLE) - 20.0 AS x1, "
+            "CAST((n_nationkey * 53) % 160 AS DOUBLE) - 80.0 "
+            "+ CAST((n_nationkey * 11) % 40 AS DOUBLE) - 20.0 AS y1 "
+            "FROM nation")
+
+
+def q_snap_points(spark, sf_dir):
+    """Map-matching lite (r5.22): snap every customer point to its
+    nearest synthetic road segment — broadcast segments, closed-form
+    clamped projection, per-point argmin as ONE struct-MIN aggregate
+    (ties break on the lower seg_id); the oracle twin uses
+    ROW_NUMBER (operators/snap.snap_points docstring)."""
+    from pyspark.sql import functions as F
+    from .operators.snap import snap_points
+    segs = spark.read.parquet(f"{sf_dir}/nation.parquet") \
+        .selectExpr("n_nationkey AS seg_id",
+                    "CAST((n_nationkey * 37) % 340 AS DOUBLE) - 170.0 "
+                    "AS x0",
+                    "CAST((n_nationkey * 53) % 160 AS DOUBLE) - 80.0 "
+                    "AS y0",
+                    "CAST((n_nationkey * 37) % 340 AS DOUBLE) - 170.0 "
+                    "+ CAST((n_nationkey * 7) % 40 AS DOUBLE) - 20.0 "
+                    "AS x1",
+                    "CAST((n_nationkey * 53) % 160 AS DOUBLE) - 80.0 "
+                    "+ CAST((n_nationkey * 11) % 40 AS DOUBLE) - 20.0 "
+                    "AS y1")
+    pts = _cust_points(spark, sf_dir).select(
+        "c_custkey", F.col("lon").alias("x"), F.col("lat").alias("y"))
+    return snap_points(pts, segs, pt_id="c_custkey")
+
+
 QUERIES = {
     # -- round-5.13 addition, inside the window for its first driver
     #    row (curation_filter rotates just past the window:
@@ -2392,6 +2430,7 @@ QUERIES = {
     # -- round-5.22 additions (post-window, same rationale) --
     "dbscan_cells": q_dbscan_cells,
     "areal_interp": q_areal_interp,
+    "snap_points": q_snap_points,
 }
 
 
@@ -3063,6 +3102,10 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT box_id, cx - half AS tx0, cy - half AS ty0, "
         f"cx + half AS tx1, cy + half AS ty1 FROM ({PART_POLY_SQL})",
         src_id="supp_box_id", tgt_id="box_id")
+    from .operators.snap import snap_points_sql
+    out["snap_points"] = snap_points_sql(
+        f"SELECT c_custkey, lon AS x, lat AS y FROM ({_CUST_PTS_CTE})",
+        _SEG_SQL, pt_id="c_custkey")
     return out
 
 

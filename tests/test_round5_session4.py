@@ -218,3 +218,80 @@ class TestArealInterp:
         want = sorted(tuple(r) for r in con.execute(areal_interp_sql(
             pairs, "SELECT * FROM s", "SELECT * FROM t")).fetchall())
         assert got == want
+
+
+class TestSnapPoints:
+    def _segs(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "seg_id long, x0 double, y0 double, "
+                  "x1 double, y1 double")
+
+    def _pts(self, spark, rows):
+        return spark.createDataFrame(rows, "pt_id long, x double, y double")
+
+    def test_interior_endpoint_and_degenerate(self, spark):
+        """Interior projection (t=0.5), clamp past the end (t=1),
+        and a zero-length segment treated as a point (t=0)."""
+        from geospark.operators.snap import snap_points
+        segs = self._segs(spark, [(1, 0.0, 0.0, 4.0, 0.0),
+                                  (2, 100.0, 100.0, 100.0, 100.0)])
+        pts = self._pts(spark, [(10, 2.0, 1.0),    # above seg 1 middle
+                                (11, 6.0, 0.0),    # past seg 1 end
+                                (12, 101.0, 100.0)])  # near degenerate
+        got = {r["pt_id"]: r for r in snap_points(pts, segs).collect()}
+        assert (got[10]["seg_id"], got[10]["t"], got[10]["sx"],
+                got[10]["sy"], got[10]["d2"]) == (1, 0.5, 2.0, 0.0, 1.0)
+        assert (got[11]["seg_id"], got[11]["t"], got[11]["d2"]) == \
+            (1, 1.0, 4.0)
+        assert (got[12]["seg_id"], got[12]["t"], got[12]["d2"]) == \
+            (2, 0.0, 1.0)
+
+    def test_tie_breaks_on_lower_seg_id(self, spark):
+        """A point exactly between two parallel segments snaps to the
+        lower id."""
+        from geospark.operators.snap import snap_points
+        segs = self._segs(spark, [(5, 0.0, 2.0, 4.0, 2.0),
+                                  (3, 0.0, -2.0, 4.0, -2.0)])
+        pts = self._pts(spark, [(1, 2.0, 0.0)])
+        [r] = snap_points(pts, segs).collect()
+        assert (r["seg_id"], r["d2"]) == (3, 4.0)
+
+    def test_plan_broadcast_no_window(self, spark):
+        """The expansion is a broadcast nested-loop cross join (the
+        intended plan for a small segment table) and the argmin is an
+        aggregate, not a Window over the expansion."""
+        from geospark.operators.snap import snap_points
+        segs = self._segs(spark, [(1, 0.0, 0.0, 1.0, 1.0)])
+        pts = self._pts(spark, [(1, 0.0, 0.0)])
+        plan = snap_points(pts, segs) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" in plan
+        assert "Window" not in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_duckdb_twin_parity_random(self, spark):
+        import duckdb
+
+        from geospark.operators.snap import snap_points, snap_points_sql
+        rng = np.random.default_rng(13)
+        seg_rows = [(i,
+                     float(rng.integers(-160, 160)),
+                     float(rng.integers(-70, 70)),
+                     float(rng.integers(-160, 160)),
+                     float(rng.integers(-70, 70))) for i in range(20)]
+        seg_rows.append((20, 5.0, 5.0, 5.0, 5.0))  # degenerate
+        pt_rows = [(i,
+                    float(rng.integers(-7200, 7200)) * 0.025,
+                    float(rng.integers(-3600, 3600)) * 0.025)
+                   for i in range(200)]
+        got = _rows(snap_points(self._pts(spark, pt_rows),
+                                self._segs(spark, seg_rows)))
+        con = duckdb.connect()
+        con.execute("CREATE TABLE p (pt_id BIGINT, x DOUBLE, y DOUBLE)")
+        con.executemany("INSERT INTO p VALUES (?,?,?)", pt_rows)
+        con.execute("CREATE TABLE s (seg_id BIGINT, x0 DOUBLE, "
+                    "y0 DOUBLE, x1 DOUBLE, y1 DOUBLE)")
+        con.executemany("INSERT INTO s VALUES (?,?,?,?,?)", seg_rows)
+        want = sorted(tuple(r) for r in con.execute(snap_points_sql(
+            "SELECT * FROM p", "SELECT * FROM s")).fetchall())
+        assert got == want
