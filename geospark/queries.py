@@ -2190,6 +2190,25 @@ def q_snap_points(spark, sf_dir):
     return snap_points(pts, segs, pt_id="c_custkey")
 
 
+# adaptive tiling knobs: the event cloud at res 3 is heavily skewed
+# (max 945 / median 28 per cell at sf0.01) — cap 100 splits the hot
+# fifth of the coarse cells two levels down
+_ADAPT_COARSE, _ADAPT_FINE, _ADAPT_CAP = 3, 5, 100
+
+
+def q_adaptive_tiles(spark, sf_dir):
+    """Quadtree refinement (r5.22): coarse event cells above the cap
+    are replaced by their fine-res children — one fine-grain scan, a
+    rollup for the coarse layer, broadcast semi/anti splits
+    (operators/tiles.adaptive_tiles docstring)."""
+    from pyspark.sql import functions as F
+    from .operators.tiles import adaptive_tiles
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pts = e.select(F.expr(EVT_LAT_SQL).alias("lat"),
+                   F.expr(EVT_LON_SQL).alias("lon"))
+    return adaptive_tiles(pts, _ADAPT_COARSE, _ADAPT_FINE, _ADAPT_CAP)
+
+
 QUERIES = {
     # -- round-5.13 addition, inside the window for its first driver
     #    row (curation_filter rotates just past the window:
@@ -2431,6 +2450,7 @@ QUERIES = {
     "dbscan_cells": q_dbscan_cells,
     "areal_interp": q_areal_interp,
     "snap_points": q_snap_points,
+    "adaptive_tiles": q_adaptive_tiles,
 }
 
 
@@ -3106,6 +3126,10 @@ def oracle_sql() -> dict[str, str]:
     out["snap_points"] = snap_points_sql(
         f"SELECT c_custkey, lon AS x, lat AS y FROM ({_CUST_PTS_CTE})",
         _SEG_SQL, pt_id="c_custkey")
+    from .operators.tiles import adaptive_tiles_sql
+    out["adaptive_tiles"] = adaptive_tiles_sql(
+        f"SELECT {EVT_LAT_SQL} AS lat, {EVT_LON_SQL} AS lon FROM events",
+        _ADAPT_COARSE, _ADAPT_FINE, _ADAPT_CAP)
     return out
 
 

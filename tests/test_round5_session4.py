@@ -295,3 +295,59 @@ class TestSnapPoints:
         want = sorted(tuple(r) for r in con.execute(snap_points_sql(
             "SELECT * FROM p", "SELECT * FROM s")).fetchall())
         assert got == want
+
+
+class TestAdaptiveTiles:
+    def _pts_at(self, spark, cells, res, counts):
+        return _pts(spark, cells, res, counts)
+
+    def test_split_and_keep(self, spark):
+        """A coarse cell over the cap is replaced by exactly its
+        occupied fine children (counts preserved); a cold cell stays
+        at coarse res."""
+        from geospark.operators.tiles import adaptive_tiles
+        # fine res 4 cells: (8,8) and (8,9) share coarse (res 2) parent
+        # (2,2); (0,0) is alone under coarse (0,0)
+        pts = self._pts_at(spark, [(8, 8), (8, 9), (0, 0)], 4,
+                           [6, 5, 3])
+        got = _rows(adaptive_tiles(pts, 2, 4, cap=10),
+                    ["cell", "res", "n_pts"])
+        assert got == sorted([
+            (_cell(8, 8, 4), 4, 6), (_cell(8, 9, 4), 4, 5),
+            (_cell(0, 0, 2), 2, 3)])
+
+    def test_boundary_cap_not_split(self, spark):
+        """count == cap stays coarse (strict > splits)."""
+        from geospark.operators.tiles import adaptive_tiles
+        pts = self._pts_at(spark, [(8, 8)], 4, [10])
+        got = _rows(adaptive_tiles(pts, 2, 4, cap=10),
+                    ["cell", "res", "n_pts"])
+        assert got == [(_cell(2, 2, 2), 2, 10)]
+
+    def test_counts_conserved(self, spark):
+        """Total n_pts across the adaptive layer == input row count."""
+        from pyspark.sql import functions as F
+
+        from geospark.operators.tiles import adaptive_tiles
+        rng = np.random.default_rng(3)
+        rows = [(float(a), float(b)) for a, b in zip(
+            rng.uniform(-89, 89, 500).round(2),
+            rng.uniform(-179, 179, 500).round(2))]
+        pts = spark.createDataFrame(rows, "lat double, lon double")
+        out = adaptive_tiles(pts, 2, 4, cap=20)
+        assert out.agg(F.sum("n_pts")).collect()[0][0] == 500
+
+    def test_one_scan_plan(self, spark):
+        """The fine/coarse aggregate layers are materialized once, so
+        the keep/hot/split branches never re-scan the raw input: the
+        final plan reads only the frozen aggregates (zero parquet
+        scans; the single real scan happened inside the eager
+        materialize)."""
+        from geospark.operators.tiles import adaptive_tiles
+        self._pts_at(spark, [(8, 8)], 4, [3]) \
+            .write.mode("overwrite").parquet("/tmp/_adapt_pts")
+        df = spark.read.parquet("/tmp/_adapt_pts")
+        plan = adaptive_tiles(df, 2, 4, cap=10) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Scan parquet") == 0
+        assert "Scan ExistingRDD" in plan
