@@ -2124,10 +2124,17 @@ def q_dbscan_cells(spark, sf_dir):
     """Grid-density clustering (r5.22): DBSCAN over the cell raster —
     core cells (count >= minpts) labeled by connected 8-adjacency runs,
     cluster id = min cell id in the component; the ST_ClusterDBSCAN
-    surface, distributed (operators/cluster.dbscan_cells docstring)."""
+    surface, distributed (operators/cluster.dbscan_cells docstring).
+
+    algorithm="star": the core-cell graph's diameter grows with point
+    density (at sf0.1 connected urban runs exceed minlabel's default
+    20-round budget — measured non-convergence), and star's
+    large/small-star rounds are O(log n) regardless of diameter with
+    the same min-label-per-component fixpoint, so the oracle hash is
+    unchanged."""
     from .operators.cluster import dbscan_cells
     return dbscan_cells(_cust_points(spark, sf_dir),
-                        _DBSCAN_RES, _DBSCAN_MINPTS)
+                        _DBSCAN_RES, _DBSCAN_MINPTS, algorithm="star")
 
 
 # supplier measure for areal interpolation — the idw shift-scale trick
