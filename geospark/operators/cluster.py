@@ -128,3 +128,124 @@ lbl AS (SELECT u AS cell, LEAST(u, MIN(v)) AS cluster_id
 SELECT c.cell, c.n_pts, COALESCE(l.cluster_id, c.cell) AS cluster_id
 FROM core c LEFT JOIN lbl l USING (cell)
 """
+
+
+# ---------------------------------------------------------------------------
+# multi-source BFS hop labeling (discrete isochrone / coverage assignment)
+# ---------------------------------------------------------------------------
+
+def grid_reach(pts, res: int, max_hops: int, *,
+               min_seed_pts: int | None = None, seeds=None,
+               lat_col: str = "lat", lon_col: str = "lon"):
+    """Hop-distance labeling over the OCCUPIED cell raster from a set
+    of seed cells -> (cell, seed, hops): for every occupied cell
+    reachable within ``max_hops`` 8-adjacency steps that never leave
+    occupied cells, the shortest hop count to a seed and the winning
+    seed (ties at equal hops -> MIN seed id). The discrete
+    isochrone / nearest-facility primitive: closed-form Chebyshev
+    distance does NOT apply because paths are constrained to occupied
+    cells (coverage holes are obstacles), so this is true multi-source
+    BFS shortest path over the cell graph.
+
+    Seeds: either ``min_seed_pts`` (seeds = cells with count >= it,
+    dbscan_core_cells' density rule — keeps the seed choice identical
+    in the SQL twin) or an explicit ``seeds`` DataFrame with a `cell`
+    column. Seeds that are not occupied cells are dropped (a path
+    must start on the raster).
+
+    Scale shape: ONE point-level shuffle (the distinct-cell count);
+    every BFS round runs on aggregate-sized cell tables — frontier
+    neighbor explode (9x frontier), equi-join against the occupied
+    set, anti-join against visited (cell, seed) pairs. State is
+    O(occupied_cells x seeds_within_range) pairs worst case; the
+    bounds are ``max_hops`` (radius) and the seed density — both
+    caller-owned knobs, and rounds are ``max_hops`` regardless of
+    graph size. Per-round materialize() is the CC lesson: without
+    lineage truncation Catalyst re-analyzes O(rounds^2) plans.
+
+    Determinism: integer bit math end to end — hop levels are exact
+    BFS distances per (cell, seed) pair (a pair is anti-joined out
+    after first reach; longer rediscoveries can't lower its level),
+    so the recursive-CTE twin's MIN(hops) per pair is hash-exact.
+    """
+    from pyspark.sql import functions as F
+
+    from ..functions.cells import cell_encode, cell_neighbors_explode
+    from ..materialize import materialize
+    if (min_seed_pts is None) == (seeds is None):
+        raise ValueError("exactly one of min_seed_pts / seeds")
+    counts = (pts
+              .select(cell_encode(lat_col, lon_col, res).alias("cell"))
+              .groupBy("cell").agg(F.count("*").alias("n_pts")))
+    occ = materialize(counts.select("cell"))
+    if seeds is None:
+        seeds = counts.filter(F.col("n_pts") >= min_seed_pts) \
+                      .select("cell")
+    pairs = materialize(
+        seeds.join(occ, "cell")
+             .select("cell", F.col("cell").alias("seed"),
+                     F.lit(0).cast("int").alias("hops")))
+    front = pairs
+    for h in range(1, max_hops + 1):
+        nbr = (cell_neighbors_explode(front.select("cell", "seed"),
+                                      res, ring=1)
+               .select(F.col("_neighbor").alias("cell"), "seed")
+               .distinct())
+        cand = (nbr.join(occ, "cell")
+                .join(pairs.select("cell", "seed"),
+                      ["cell", "seed"], "left_anti")
+                .select("cell", "seed",
+                        F.lit(h).cast("int").alias("hops")))
+        cand = materialize(cand)
+        if cand.isEmpty():
+            break
+        pairs = materialize(pairs.unionByName(cand))
+        front = cand
+    best = pairs.groupBy("cell").agg(
+        F.min(F.struct("hops", "seed")).alias("_b"))
+    return best.select("cell", F.col("_b.seed").alias("seed"),
+                       F.col("_b.hops").alias("hops"))
+
+
+def grid_reach_sql(pts_cte: str, res: int, max_hops: int,
+                   min_seed_pts: int) -> str:
+    """DuckDB twin of grid_reach (density-rule seeds): recursive-CTE
+    multi-source BFS over (cell, seed, hops) triples — UNION dedups
+    triples and ``hops < max_hops`` bounds the walk, MIN(hops) per
+    pair recovers the BFS distance, then a min-hops/min-seed argmin.
+    Neighbor arithmetic matches cell_neighbors_sql (x wraps mod 2^res,
+    y clamps by range filter)."""
+    n = 1 << res
+    mask = n - 1
+    cell = (f"(CAST({res} AS BIGINT) << {_RES_SHIFT}) "
+            f"| (CAST(least(greatest(floor((lat + 90.0) / 180.0 * {n}), "
+            f"0), {n - 1}) AS BIGINT) << {res}) "
+            f"| CAST(least(greatest(floor((lon + 180.0) / 360.0 * {n}), "
+            f"0), {n - 1}) AS BIGINT)")
+    wx = f"((w.cell & {mask}) + dx.g)"
+    wy = f"(((w.cell >> {res}) & {mask}) + dy.g)"
+    nbr = (f"(CAST({res} AS BIGINT) << {_RES_SHIFT}) "
+           f"| (CAST({wy} AS BIGINT) << {res}) "
+           f"| CAST((({wx}) % {n} + {n}) % {n} AS BIGINT)")
+    return f"""
+WITH RECURSIVE counts AS (
+  SELECT {cell} AS cell, COUNT(*) AS n_pts
+  FROM ({pts_cte}) GROUP BY 1),
+occ AS (SELECT cell FROM counts),
+walk(cell, seed, hops) AS (
+  SELECT cell, cell, 0 FROM counts WHERE n_pts >= {min_seed_pts}
+  UNION
+  SELECT o.cell, w.seed, w.hops + 1
+  FROM walk w,
+       generate_series(-1, 1) dx(g), generate_series(-1, 1) dy(g),
+       occ o
+  WHERE w.hops < {max_hops}
+    AND {wy} >= 0 AND {wy} < {n}
+    AND o.cell = {nbr}),
+dist AS (SELECT cell, seed, MIN(hops) AS hops
+         FROM walk GROUP BY cell, seed),
+best AS (SELECT cell, MIN(hops) AS hops FROM dist GROUP BY cell)
+SELECT d.cell, MIN(d.seed) AS seed, CAST(d.hops AS INTEGER) AS hops
+FROM dist d JOIN best b ON d.cell = b.cell AND d.hops = b.hops
+GROUP BY d.cell, d.hops
+"""

@@ -2203,6 +2203,23 @@ def q_snap_points(spark, sf_dir):
 _ADAPT_COARSE, _ADAPT_FINE, _ADAPT_CAP = 3, 5, 100
 
 
+# grid_reach radius: 4 hops covers the sf0.01 occupied raster's
+# reachable fringe (hops histogram 0:173 / 1:501 / 2:125 / 3:3 — the
+# level-4 frontier is empty and the loop early-breaks)
+_REACH_HOPS = 4
+
+
+def q_grid_reach(spark, sf_dir):
+    """Multi-source BFS hop labeling (r5.22): every occupied customer
+    cell within 4 hops of a dense seed cell, labeled with its nearest
+    seed and exact hop distance — paths constrained to occupied cells
+    (operators/cluster.grid_reach docstring). Seeds reuse the dbscan
+    density rule so both engines derive them identically."""
+    from .operators.cluster import grid_reach
+    return grid_reach(_cust_points(spark, sf_dir), _DBSCAN_RES,
+                      _REACH_HOPS, min_seed_pts=_DBSCAN_MINPTS)
+
+
 def q_adaptive_tiles(spark, sf_dir):
     """Quadtree refinement (r5.22): coarse event cells above the cap
     are replaced by their fine-res children — one fine-grain scan, a
@@ -2458,6 +2475,7 @@ QUERIES = {
     "areal_interp": q_areal_interp,
     "snap_points": q_snap_points,
     "adaptive_tiles": q_adaptive_tiles,
+    "grid_reach": q_grid_reach,
 }
 
 
@@ -3133,6 +3151,10 @@ def oracle_sql() -> dict[str, str]:
     out["snap_points"] = snap_points_sql(
         f"SELECT c_custkey, lon AS x, lat AS y FROM ({_CUST_PTS_CTE})",
         _SEG_SQL, pt_id="c_custkey")
+    from .operators.cluster import grid_reach_sql
+    out["grid_reach"] = grid_reach_sql(
+        f"SELECT lat, lon FROM ({_CUST_PTS_CTE})",
+        _DBSCAN_RES, _REACH_HOPS, _DBSCAN_MINPTS)
     from .operators.tiles import adaptive_tiles_sql
     out["adaptive_tiles"] = adaptive_tiles_sql(
         f"SELECT {EVT_LAT_SQL} AS lat, {EVT_LON_SQL} AS lon FROM events",

@@ -1,0 +1,147 @@
+"""Round-5 session-5 operator tests: grid_reach multi-source BFS."""
+
+from __future__ import annotations
+
+
+def _rows(df, cols=None):
+    cols = cols or df.columns
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def _center(y, x, res):
+    n = 1 << res
+    return (-90.0 + (y + 0.5) * 180.0 / n,
+            -180.0 + (x + 0.5) * 360.0 / n)
+
+
+def _cell(y, x, res):
+    return (res << 56) | (y << res) | x
+
+
+def _pts(spark, cells, res, counts):
+    rows = []
+    for (y, x), c in zip(cells, counts):
+        lat, lon = _center(y, x, res)
+        rows += [(lat, lon)] * c
+    return spark.createDataFrame(rows, "lat double, lon double")
+
+
+class TestGridReach:
+    RES = 4
+
+    def test_obstacle_lengthens_path(self, spark):
+        """Paths are constrained to OCCUPIED cells: with the direct
+        corridor missing, the hop count is the detour length, not the
+        Chebyshev distance. Seed (4,4); target (4,7) is Chebyshev 3
+        away but the straight cells (4,5)/(4,6) are unoccupied — the
+        occupied detour via row 5 gives hops 3 only because diagonals
+        count ((5,5),(5,6) then up); remove one detour cell and the
+        target drops out entirely."""
+        from geospark.operators.cluster import grid_reach
+        cells = [(4, 4), (5, 5), (5, 6), (4, 7)]
+        pts = _pts(spark, cells, self.RES, [3, 1, 1, 1])
+        got = _rows(grid_reach(pts, self.RES, 5, min_seed_pts=3),
+                    ["cell", "seed", "hops"])
+        r = self.RES
+        s = _cell(4, 4, r)
+        assert got == sorted([
+            (s, s, 0),
+            (_cell(5, 5, r), s, 1),
+            (_cell(5, 6, r), s, 2),
+            (_cell(4, 7, r), s, 3)])
+        # sever the detour: the target is unreachable at any budget
+        pts2 = _pts(spark, [(4, 4), (5, 5), (4, 7)], self.RES,
+                    [3, 1, 1])
+        got2 = _rows(grid_reach(pts2, self.RES, 5, min_seed_pts=3),
+                     ["cell", "seed", "hops"])
+        assert got2 == sorted([
+            (s, s, 0), (_cell(5, 5, r), s, 1)])
+
+    def test_equal_hops_min_seed_wins(self, spark):
+        """A cell at the same hop distance from two seeds gets the
+        numerically smaller seed id."""
+        from geospark.operators.cluster import grid_reach
+        # seeds (4,4) and (4,6); middle (4,5) is 1 hop from both
+        cells = [(4, 4), (4, 5), (4, 6)]
+        pts = _pts(spark, cells, self.RES, [3, 1, 3])
+        got = _rows(grid_reach(pts, self.RES, 2, min_seed_pts=3),
+                    ["cell", "seed", "hops"])
+        r = self.RES
+        a, b = _cell(4, 4, r), _cell(4, 6, r)
+        assert a < b
+        assert got == sorted([
+            (a, a, 0), (b, b, 0), (_cell(4, 5, r), a, 1)])
+
+    def test_max_hops_cutoff_and_early_break(self, spark):
+        """Cells past the hop budget are absent; a budget larger than
+        the graph's eccentricity early-breaks to the same answer."""
+        from geospark.operators.cluster import grid_reach
+        chain = [(4, 4), (4, 5), (4, 6), (4, 7)]
+        pts = _pts(spark, chain, self.RES, [3, 1, 1, 1])
+        r = self.RES
+        s = _cell(4, 4, r)
+        got1 = _rows(grid_reach(pts, self.RES, 2, min_seed_pts=3),
+                     ["cell", "seed", "hops"])
+        assert got1 == sorted([
+            (s, s, 0), (_cell(4, 5, r), s, 1), (_cell(4, 6, r), s, 2)])
+        got2 = _rows(grid_reach(pts, self.RES, 20, min_seed_pts=3),
+                     ["cell", "seed", "hops"])
+        assert got2 == sorted(got1 + [(_cell(4, 7, r), s, 3)])
+
+    def test_antimeridian_wrap(self, spark):
+        """x wraps: a seed at x=0 reaches x=n-1 in one hop."""
+        from geospark.operators.cluster import grid_reach
+        n = 1 << self.RES
+        pts = _pts(spark, [(7, 0), (7, n - 1)], self.RES, [3, 1])
+        r = self.RES
+        s = _cell(7, 0, r)
+        got = _rows(grid_reach(pts, self.RES, 3, min_seed_pts=3),
+                    ["cell", "seed", "hops"])
+        assert got == sorted([(s, s, 0), (_cell(7, n - 1, r), s, 1)])
+
+    def test_explicit_seeds_and_unoccupied_seed_dropped(self, spark):
+        """An explicit seed on an unoccupied cell contributes nothing
+        (paths must start on the raster); an occupied one labels its
+        component."""
+        from geospark.operators.cluster import grid_reach
+        r = self.RES
+        pts = _pts(spark, [(4, 4), (4, 5)], self.RES, [1, 1])
+        seeds = spark.createDataFrame(
+            [(_cell(4, 4, r),), (_cell(10, 10, r),)], "cell long")
+        got = _rows(grid_reach(pts, self.RES, 2, seeds=seeds),
+                    ["cell", "seed", "hops"])
+        s = _cell(4, 4, r)
+        assert got == sorted([(s, s, 0), (_cell(4, 5, r), s, 1)])
+
+    def test_seed_arg_validation(self, spark):
+        import pytest
+
+        from geospark.operators.cluster import grid_reach
+        pts = _pts(spark, [(4, 4)], self.RES, [1])
+        with pytest.raises(ValueError):
+            grid_reach(pts, self.RES, 2)
+        with pytest.raises(ValueError):
+            grid_reach(pts, self.RES, 2, min_seed_pts=1,
+                       seeds=pts.limit(0))
+
+    def test_inline_oracle_parity(self, spark, tmp_path):
+        """Cross-engine hash parity on a small random cloud (the
+        sf0.01 catalog row is the full-size version of this)."""
+        import duckdb
+        import numpy as np
+
+        from geospark.operators.cluster import grid_reach, grid_reach_sql
+        rng = np.random.default_rng(7)
+        rows = [(float(a), float(b)) for a, b in zip(
+            rng.uniform(-89, 89, 300).round(2),
+            rng.uniform(-179, 179, 300).round(2))]
+        pts = spark.createDataFrame(rows, "lat double, lon double")
+        got = _rows(grid_reach(pts, 3, 3, min_seed_pts=2),
+                    ["cell", "seed", "hops"])
+        con = duckdb.connect()
+        con.execute("CREATE TABLE p (lat DOUBLE, lon DOUBLE)")
+        con.executemany("INSERT INTO p VALUES (?, ?)", rows)
+        want = sorted(tuple(r) for r in con.execute(
+            grid_reach_sql("SELECT lat, lon FROM p", 3, 3, 2))
+            .fetchall())
+        assert got == want
