@@ -674,3 +674,83 @@ SELECT key AS {key_col}, CAST(MAX(live) AS INTEGER) AS peak,
        CAST(COUNT(*) / 2 AS BIGINT) AS n_intervals
 FROM sw GROUP BY 1
 """
+
+
+def traj_similarity(events, res: int, *, user_col: str = "user_id",
+                    lat_col: str = "lat", lon_col: str = "lon",
+                    max_bucket: int = 1000, min_shared: int = 2,
+                    min_jacc_ppm: int = 0):
+    """Trajectory similarity pairs: users whose visited-cell SETS
+    overlap — Jaccard over distinct cells at ``res``, the
+    mobility-mining companion to colocation_pairs (which needs
+    same-day co-presence; this matches users who trace the same
+    places at ANY time — commute-twin / account-linking analytics).
+
+    Scale shape is the LSH candidate convention: DISTINCT
+    (user, cell) first (repeat visits collapse — one point-level
+    shuffle), cells hotter than ``max_bucket`` users dropped WHOLE
+    from the universe (a stadium cell fans the self-join out
+    quadratically; ngram_pairs' kept-universe rule: per-user set
+    sizes are recomputed over kept cells, so the Jaccard is EXACT
+    over that universe and the cap is a documented recall trade
+    mirrored in the oracle), then one cell-keyed self-join with
+    u_a < u_b and a pair-keyed count.
+
+    ``jacc_ppm = (1e6 * shared) div (na + nb - shared)`` — BIGINT
+    floor division end to end, no float ulp to flip cross-engine.
+    -> (user_a, user_b, n_shared, jacc_ppm)."""
+    from pyspark.sql import functions as F
+
+    from ..functions.cells import cell_encode
+    d = (events.select(
+        F.col(user_col).alias("_u"),
+        cell_encode(lat_col, lon_col, res).alias("_cell"))
+        .distinct())
+    ok = (d.groupBy("_cell").count()
+          .filter(F.col("count") <= max_bucket).select("_cell"))
+    kept = d.join(ok, "_cell")
+    sizes = kept.groupBy("_u").agg(F.count(F.lit(1)).alias("_nc"))
+    kept = kept.join(sizes, "_u")
+    l = kept.select(F.col("_u").alias("user_a"),
+                    F.col("_nc").alias("_na"), "_cell")
+    r = kept.select(F.col("_u").alias("user_b"),
+                    F.col("_nc").alias("_nb"), "_cell")
+    inter = (l.join(r, "_cell")
+             .filter(F.col("user_a") < F.col("user_b"))
+             .groupBy("user_a", "user_b", "_na", "_nb")
+             .agg(F.count(F.lit(1)).alias("n_shared")))
+    jacc = F.expr("(1000000 * n_shared) div (_na + _nb - n_shared)")
+    return (inter
+            .filter(F.col("n_shared") >= min_shared)
+            .select("user_a", "user_b", "n_shared",
+                    jacc.alias("jacc_ppm"))
+            .filter(F.col("jacc_ppm") >= min_jacc_ppm))
+
+
+def traj_similarity_sql(pts_sql: str, res: int, *,
+                        max_bucket: int = 1000, min_shared: int = 2,
+                        min_jacc_ppm: int = 0) -> str:
+    """DuckDB twin of traj_similarity over a subquery producing
+    (user_id, lat, lon) — same kept-universe cap, same BIGINT floor
+    Jaccard."""
+    from ..functions.cells import cell_encode_sql
+    cell = cell_encode_sql("lat", "lon", res)
+    return f"""
+WITH d AS (SELECT DISTINCT user_id AS u, {cell} AS cell
+           FROM ({pts_sql})),
+ok AS (SELECT cell FROM d GROUP BY cell
+       HAVING COUNT(*) <= {max_bucket}),
+kept AS (SELECT d.* FROM d JOIN ok USING (cell)),
+sized AS (SELECT kept.*, nc FROM kept JOIN (
+    SELECT u, COUNT(*) AS nc FROM kept GROUP BY u) s USING (u)),
+inter AS (
+  SELECT a.u AS user_a, b.u AS user_b, a.nc AS na, b.nc AS nb,
+         COUNT(*) AS n_shared
+  FROM sized a JOIN sized b ON a.cell = b.cell AND a.u < b.u
+  GROUP BY 1, 2, 3, 4)
+SELECT user_a, user_b, n_shared,
+       (1000000 * n_shared) // (na + nb - n_shared) AS jacc_ppm
+FROM inter
+WHERE n_shared >= {min_shared}
+  AND (1000000 * n_shared) // (na + nb - n_shared) >= {min_jacc_ppm}
+"""

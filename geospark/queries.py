@@ -2203,6 +2203,29 @@ def q_snap_points(spark, sf_dir):
 _ADAPT_COARSE, _ADAPT_FINE, _ADAPT_CAP = 3, 5, 100
 
 
+# traj_similarity knobs: at res 8 (256x256 grid) the sf0.01 per-user
+# cell sets are sparse enough to discriminate — the 150k-ppm Jaccard
+# gate keeps 989 of the 11,175 candidate pairs (p95 is ~160k), so
+# both the kept and dropped classes are live in the oracle
+_TRAJSIM_RES, _TRAJSIM_MIN_SHARED, _TRAJSIM_MIN_PPM = 8, 2, 150_000
+
+
+def q_traj_similarity(spark, sf_dir):
+    """Trajectory-similarity pairs (r5.22): users whose distinct
+    visited-cell sets overlap with Jaccard >= 0.15 at res 8 —
+    commute-twin analytics over ANY-time place overlap, vs
+    colocation's same-day co-presence (operators/events.
+    traj_similarity docstring: kept-universe cap, BIGINT ppm floor)."""
+    from pyspark.sql import functions as F
+    from .operators.events import traj_similarity
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pts = e.select("user_id", F.expr(_TRAJ_LAT).alias("lat"),
+                   F.expr(_TRAJ_LON).alias("lon"))
+    return traj_similarity(pts, _TRAJSIM_RES,
+                           min_shared=_TRAJSIM_MIN_SHARED,
+                           min_jacc_ppm=_TRAJSIM_MIN_PPM)
+
+
 # grid_reach radius: 4 hops covers the sf0.01 occupied raster's
 # reachable fringe (hops histogram 0:173 / 1:501 / 2:125 / 3:3 — the
 # level-4 frontier is empty and the loop early-breaks)
@@ -2476,6 +2499,7 @@ QUERIES = {
     "snap_points": q_snap_points,
     "adaptive_tiles": q_adaptive_tiles,
     "grid_reach": q_grid_reach,
+    "traj_similarity": q_traj_similarity,
 }
 
 
@@ -3151,6 +3175,12 @@ def oracle_sql() -> dict[str, str]:
     out["snap_points"] = snap_points_sql(
         f"SELECT c_custkey, lon AS x, lat AS y FROM ({_CUST_PTS_CTE})",
         _SEG_SQL, pt_id="c_custkey")
+    from .operators.events import traj_similarity_sql
+    out["traj_similarity"] = traj_similarity_sql(
+        f"SELECT user_id, {_TRAJ_LAT} AS lat, {_TRAJ_LON} AS lon "
+        "FROM events",
+        _TRAJSIM_RES, min_shared=_TRAJSIM_MIN_SHARED,
+        min_jacc_ppm=_TRAJSIM_MIN_PPM)
     from .operators.cluster import grid_reach_sql
     out["grid_reach"] = grid_reach_sql(
         f"SELECT lat, lon FROM ({_CUST_PTS_CTE})",

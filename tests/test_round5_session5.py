@@ -145,3 +145,92 @@ class TestGridReach:
             grid_reach_sql("SELECT lat, lon FROM p", 3, 3, 2))
             .fetchall())
         assert got == want
+
+
+class TestTrajSimilarity:
+    RES = 4
+
+    def _ev(self, spark, visits):
+        """visits: list of (user, (y, x)) -> events DataFrame."""
+        rows = [(u, *_center(y, x, self.RES)) for u, (y, x) in visits]
+        return spark.createDataFrame(
+            rows, "user_id long, lat double, lon double")
+
+    def test_jaccard_and_floor(self, spark):
+        """A={c1,c2,c3}, B={c2,c3,c4}: shared 2, union 4 -> exactly
+        500000 ppm; C={c1} vs A: shared 1, union 3 -> floor(1e6/3) =
+        333333 (the BIGINT floor, not a rounded float)."""
+        from geospark.operators.events import traj_similarity
+        c1, c2, c3, c4 = (1, 1), (2, 2), (3, 3), (4, 4)
+        ev = self._ev(spark, [(1, c1), (1, c2), (1, c3),
+                              (2, c2), (2, c3), (2, c4),
+                              (3, c1)])
+        got = _rows(traj_similarity(ev, self.RES, min_shared=1),
+                    ["user_a", "user_b", "n_shared", "jacc_ppm"])
+        assert got == sorted([(1, 2, 2, 500000), (1, 3, 1, 333333)])
+
+    def test_repeat_visits_collapse(self, spark):
+        """Revisiting the same cell 5 times counts once in both the
+        intersection and the set sizes."""
+        from geospark.operators.events import traj_similarity
+        c1, c2 = (1, 1), (2, 2)
+        ev = self._ev(spark, [(1, c1)] * 5 + [(1, c2),
+                                              (2, c1), (2, c2)])
+        got = _rows(traj_similarity(ev, self.RES, min_shared=1),
+                    ["user_a", "user_b", "n_shared", "jacc_ppm"])
+        assert got == [(1, 2, 2, 1000000)]
+
+    def test_hot_cell_dropped_from_universe(self, spark):
+        """A cell hotter than max_bucket is dropped WHOLE: it neither
+        produces pairs nor counts toward set sizes (the kept-universe
+        rule), so the Jaccard stays exact over kept cells."""
+        from geospark.operators.events import traj_similarity
+        hot, c1, c2 = (1, 1), (2, 2), (3, 3)
+        visits = [(u, hot) for u in range(1, 6)]          # 5 users
+        visits += [(1, c1), (1, c2), (2, c1), (2, c2)]
+        ev = self._ev(spark, visits)
+        got = _rows(traj_similarity(ev, self.RES, max_bucket=4,
+                                    min_shared=1),
+                    ["user_a", "user_b", "n_shared", "jacc_ppm"])
+        # hot cell gone: only users 1,2 share {c1,c2}, sizes 2 and 2
+        assert got == [(1, 2, 2, 1000000)]
+
+    def test_min_shared_and_min_jacc_gates(self, spark):
+        from geospark.operators.events import traj_similarity
+        c1, c2, c3, c4, c5 = [(i, i) for i in range(1, 6)]
+        ev = self._ev(spark, [(1, c1), (1, c2), (1, c3), (1, c4),
+                              (2, c1), (2, c2),
+                              (3, c1), (3, c5)])
+        # pair (1,2): shared 2 jacc 500000; (1,3): shared 1;
+        # (2,3): shared 1
+        got = _rows(traj_similarity(ev, self.RES, min_shared=2),
+                    ["user_a", "user_b"])
+        assert got == [(1, 2)]
+        got2 = _rows(traj_similarity(ev, self.RES, min_shared=1,
+                                     min_jacc_ppm=400000),
+                     ["user_a", "user_b"])
+        assert got2 == [(1, 2)]
+
+    def test_inline_oracle_parity(self, spark):
+        import duckdb
+        import numpy as np
+
+        from geospark.operators.events import (traj_similarity,
+                                               traj_similarity_sql)
+        rng = np.random.default_rng(11)
+        rows = [(int(u), float(a), float(b)) for u, a, b in zip(
+            rng.integers(1, 20, 400),
+            rng.uniform(-80, 80, 400).round(1),
+            rng.uniform(-170, 170, 400).round(1))]
+        ev = spark.createDataFrame(
+            rows, "user_id long, lat double, lon double")
+        got = _rows(traj_similarity(ev, 3, min_shared=2),
+                    ["user_a", "user_b", "n_shared", "jacc_ppm"])
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE e (user_id BIGINT, lat DOUBLE, lon DOUBLE)")
+        con.executemany("INSERT INTO e VALUES (?, ?, ?)", rows)
+        want = sorted(tuple(r) for r in con.execute(traj_similarity_sql(
+            "SELECT user_id, lat, lon FROM e", 3, min_shared=2))
+            .fetchall())
+        assert got == want
