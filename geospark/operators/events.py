@@ -754,3 +754,136 @@ FROM inter
 WHERE n_shared >= {min_shared}
   AND (1000000 * n_shared) // (na + nb - n_shared) >= {min_jacc_ppm}
 """
+
+
+def fence_events(points, fence, res: int, *, user_col: str = "user_id",
+                 us_col: str = "us", lat_col: str = "lat",
+                 lon_col: str = "lon", tie_col: str = "event_id"):
+    """Geofence transition detection — the alerting primitive on top
+    of a cell fence: per user, ordered by (us, tie), emit one row per
+    ENTER (previous event outside or no previous event, current
+    inside) and one per EXIT (previous inside, current outside),
+    stamped with the event that DETECTED the transition (an exit's
+    timestamp is the first event observed outside — the event-stream
+    convention; the fence was left somewhere in the unobserved gap).
+    A user who starts inside the fence enters at their first event;
+    a user never inside emits nothing.
+
+    ``fence`` is a DataFrame with a ``cell`` column at ``res`` —
+    aggregate-sized by construction (a fence is a geometry covering,
+    e.g. dbscan cores or adaptive_tiles hot set), so membership is a
+    broadcast LEFT join flag; the only exchange is the user-keyed
+    window, same as stay_points. -> (user, us, event 'enter'|'exit',
+    cell = the cell at the detecting event)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..functions.cells import cell_encode
+    d = points.select(
+        F.col(user_col).alias("_user"), F.col(us_col).alias("_us"),
+        F.col(tie_col).alias("_tie"),
+        cell_encode(lat_col, lon_col, res).alias("_cell"))
+    marks = F.broadcast(
+        fence.select(F.col("cell").alias("_cell")).distinct()
+             .withColumn("_m", F.lit(1)))
+    d = (d.join(marks, "_cell", "left")
+         .withColumn("_in", F.coalesce("_m", F.lit(0))))
+    w = Window.partitionBy("_user").orderBy("_us", "_tie")
+    d = d.withColumn("_prev", F.coalesce(F.lag("_in").over(w),
+                                         F.lit(0)))
+    return (d.filter(F.col("_in") != F.col("_prev"))
+            .select(F.col("_user").alias(user_col),
+                    F.col("_us").alias(us_col),
+                    F.when(F.col("_in") == 1, F.lit("enter"))
+                     .otherwise(F.lit("exit")).alias("event"),
+                    F.col("_cell").alias("cell")))
+
+
+def fence_events_sql(pts_sql: str, fence_sql: str, res: int) -> str:
+    """DuckDB twin of fence_events over subqueries producing
+    (user_id, us, event_id, lat, lon) and (cell)."""
+    from ..functions.cells import cell_encode_sql
+    cell = cell_encode_sql("lat", "lon", res)
+    return f"""
+WITH d AS (SELECT user_id AS u, us, event_id AS tie, {cell} AS cell
+           FROM ({pts_sql})),
+fc AS (SELECT DISTINCT cell FROM ({fence_sql})),
+m AS (SELECT d.*, CASE WHEN fc.cell IS NULL THEN 0 ELSE 1 END AS inf
+      FROM d LEFT JOIN fc ON d.cell = fc.cell),
+t AS (SELECT u, us, cell, inf,
+      COALESCE(LAG(inf) OVER (PARTITION BY u ORDER BY us, tie), 0)
+        AS prev
+      FROM m)
+SELECT u AS user_id, us,
+       CASE WHEN inf = 1 THEN 'enter' ELSE 'exit' END AS event, cell
+FROM t WHERE inf <> prev
+"""
+
+
+def speed_flags(points, *, vmax_udeg_s: int, user_col: str = "user_id",
+                us_col: str = "us", lat_col: str = "lat",
+                lon_col: str = "lon", tie_col: str = "event_id"):
+    """Implausible-speed hop detection — the GPS-noise / teleport
+    filter every trajectory pipeline runs before mining: per user,
+    consecutive event pairs (ordered by (us, tie)) whose implied
+    planar speed exceeds ``vmax_udeg_s`` micro-degrees/second
+    (~0.111 m per micro-degree at the equator; walking ≈ 14, plane
+    ≈ 2250).
+
+    Integer-exact flag: coords quantized to micro-degree BIGINTs,
+    d2 = dx² + dy² compared against lim² where
+    ``lim = least((vmax * dt_us) div 1e6, 6e8)`` — BIGINT floor end
+    to end, no float speed to ulp-flip cross-engine. The 6e8 clamp
+    is semantics-free overflow protection: d2 ≤ (3.6e8)² + (1.8e8)²
+    = 1.62e17 < (6e8)², so any lim at or past the clamp already
+    passes every possible hop, while an unclamped lim² overflows
+    BIGINT once dt_us exceeds ~6e14/vmax seconds-worth of gap.
+    A dt of 0 with any displacement is a
+    teleport (lim = 0 < d2). One user-keyed window is the only
+    exchange; map-side lattice math otherwise. -> flagged hops
+    (user, us = arrival event, dt_us, d2)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    d = points.select(
+        F.col(user_col).alias("_user"), F.col(us_col).alias("_us"),
+        F.col(tie_col).alias("_tie"),
+        F.expr(f"CAST(floor({lat_col} * 1000000.0) AS BIGINT)")
+         .alias("_iy"),
+        F.expr(f"CAST(floor({lon_col} * 1000000.0) AS BIGINT)")
+         .alias("_ix"))
+    w = Window.partitionBy("_user").orderBy("_us", "_tie")
+    d = (d.withColumn("_px", F.lag("_ix").over(w))
+          .withColumn("_py", F.lag("_iy").over(w))
+          .withColumn("_pus", F.lag("_us").over(w))
+          .filter(F.col("_pus").isNotNull()))
+    d = (d.withColumn("dt_us", F.col("_us") - F.col("_pus"))
+          .withColumn("d2", F.expr(
+              "(_ix - _px) * (_ix - _px) + (_iy - _py) * (_iy - _py)"))
+          .withColumn("_lim", F.expr(
+              f"least(({vmax_udeg_s} * dt_us) div 1000000, "
+              "600000000)")))
+    return (d.filter(F.col("d2") > F.col("_lim") * F.col("_lim"))
+            .select(F.col("_user").alias(user_col),
+                    F.col("_us").alias(us_col), "dt_us", "d2"))
+
+
+def speed_flags_sql(pts_sql: str, vmax_udeg_s: int) -> str:
+    """DuckDB twin of speed_flags over a subquery producing
+    (user_id, us, event_id, lat, lon) — identical micro-degree
+    quantization and BIGINT floor limit."""
+    return f"""
+WITH d AS (SELECT user_id AS u, us, event_id AS tie,
+           CAST(floor(lat * 1000000.0) AS BIGINT) AS iy,
+           CAST(floor(lon * 1000000.0) AS BIGINT) AS ix
+           FROM ({pts_sql})),
+h AS (SELECT u, us, ix, iy,
+      LAG(ix) OVER w AS px, LAG(iy) OVER w AS py,
+      LAG(us) OVER w AS pus
+      FROM d WINDOW w AS (PARTITION BY u ORDER BY us, tie)),
+p AS (SELECT u, us, us - pus AS dt_us,
+      (ix - px) * (ix - px) + (iy - py) * (iy - py) AS d2,
+      least(({vmax_udeg_s} * (us - pus)) // 1000000, 600000000)
+        AS lim
+      FROM h WHERE pus IS NOT NULL)
+SELECT u AS user_id, us, dt_us, d2 FROM p WHERE d2 > lim * lim
+"""

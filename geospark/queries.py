@@ -2256,6 +2256,65 @@ def q_adaptive_tiles(spark, sf_dir):
     return adaptive_tiles(pts, _ADAPT_COARSE, _ADAPT_FINE, _ADAPT_CAP)
 
 
+# shared (user, event, coords, µs) trajectory projection for the
+# r5.23 mobility queries — ONE Column builder and ONE SQL fragment so
+# the Spark/DuckDB twins can't drift (the host_stats lesson, ADVICE r4)
+_TRAJ_PTS_SQL = (f"SELECT user_id, event_id, {_TRAJ_LAT} AS lat, "
+                 f"{_TRAJ_LON} AS lon, datediff('microseconds', "
+                 "TIMESTAMP '2024-01-01 00:00:00', ts) AS us "
+                 "FROM events")
+
+
+def _traj_pts(spark, sf_dir):
+    from pyspark.sql import functions as F
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return e.select("user_id", "event_id",
+                    F.expr(_TRAJ_LAT).alias("lat"),
+                    F.expr(_TRAJ_LON).alias("lon"),
+                    F.expr("timestampdiff(MICROSECOND, "
+                           "TIMESTAMP_NTZ '2024-01-01 00:00:00', ts)")
+                    .alias("us"))
+
+
+# fence_events knobs: the density fence at res 4 (cells with >= 40
+# events, 32 cells at sf0.01) yields 908 transitions (525 enter /
+# 383 exit) — both event classes live in the oracle
+_FENCE_RES, _FENCE_MINPTS = 4, 40
+
+
+def q_fence_events(spark, sf_dir):
+    """Geofence transition stream (r5.23): enter/exit events per user
+    against the dense-cell fence — broadcast membership flag, one
+    user-keyed window (operators/events.fence_events docstring). The
+    fence reuses the dbscan density rule so both engines derive it
+    identically."""
+    from pyspark.sql import functions as F
+    from .functions.cells import cell_encode
+    from .operators.events import fence_events
+    pts = _traj_pts(spark, sf_dir)
+    fence = (pts.select(cell_encode("lat", "lon", _FENCE_RES)
+                        .alias("cell"))
+             .groupBy("cell").count()
+             .filter(F.col("count") >= _FENCE_MINPTS).select("cell"))
+    return fence_events(pts, fence, _FENCE_RES)
+
+
+# speed_flags knob: 25k µdeg/s (~2.8 km/s planar) flags 1,037 of the
+# 9,850 consecutive hops at sf0.01 — teleports and plausible hops
+# both live in the oracle
+_SPEED_VMAX = 25_000
+
+
+def q_speed_flags(spark, sf_dir):
+    """Implausible-speed hop filter (r5.23): consecutive same-user
+    event pairs whose integer micro-degree displacement beats the
+    BIGINT-floor speed limit — the GPS-noise gate before any
+    trajectory mining (operators/events.speed_flags docstring)."""
+    from .operators.events import speed_flags
+    return speed_flags(_traj_pts(spark, sf_dir),
+                       vmax_udeg_s=_SPEED_VMAX)
+
+
 QUERIES = {
     # -- round-5.13 addition, inside the window for its first driver
     #    row (curation_filter rotates just past the window:
@@ -2500,6 +2559,8 @@ QUERIES = {
     "adaptive_tiles": q_adaptive_tiles,
     "grid_reach": q_grid_reach,
     "traj_similarity": q_traj_similarity,
+    "fence_events": q_fence_events,
+    "speed_flags": q_speed_flags,
 }
 
 
@@ -3185,6 +3246,14 @@ def oracle_sql() -> dict[str, str]:
     out["grid_reach"] = grid_reach_sql(
         f"SELECT lat, lon FROM ({_CUST_PTS_CTE})",
         _DBSCAN_RES, _REACH_HOPS, _DBSCAN_MINPTS)
+    from .operators.events import fence_events_sql, speed_flags_sql
+    _fence_sql = (
+        f"SELECT {cell_encode_sql('lat', 'lon', _FENCE_RES)} AS cell "
+        f"FROM ({_TRAJ_PTS_SQL}) GROUP BY 1 "
+        f"HAVING COUNT(*) >= {_FENCE_MINPTS}")
+    out["fence_events"] = fence_events_sql(
+        _TRAJ_PTS_SQL, _fence_sql, _FENCE_RES)
+    out["speed_flags"] = speed_flags_sql(_TRAJ_PTS_SQL, _SPEED_VMAX)
     from .operators.tiles import adaptive_tiles_sql
     out["adaptive_tiles"] = adaptive_tiles_sql(
         f"SELECT {EVT_LAT_SQL} AS lat, {EVT_LON_SQL} AS lon FROM events",

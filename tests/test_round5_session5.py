@@ -234,3 +234,189 @@ class TestTrajSimilarity:
             "SELECT user_id, lat, lon FROM e", 3, min_shared=2))
             .fetchall())
         assert got == want
+
+
+class TestFenceEvents:
+    RES = 4
+
+    def _ev(self, spark, rows):
+        """rows: (user, us, event_id, (y, x))."""
+        data = [(u, us, e, *_center(y, x, self.RES))
+                for u, us, e, (y, x) in rows]
+        return spark.createDataFrame(
+            data, "user_id long, us long, event_id long, "
+                  "lat double, lon double")
+
+    def _fence(self, spark, cells):
+        return spark.createDataFrame(
+            [(_cell(y, x, self.RES),) for y, x in cells],
+            "cell long")
+
+    def test_enter_exit_sequence(self, spark):
+        """outside -> inside -> inside -> outside emits one enter (at
+        the first inside event) and one exit (at the first outside
+        event — the detection-time convention)."""
+        from geospark.operators.events import fence_events
+        f = self._fence(spark, [(5, 5), (5, 6)])
+        ev = self._ev(spark, [(1, 10, 1, (0, 0)), (1, 20, 2, (5, 5)),
+                              (1, 30, 3, (5, 6)), (1, 40, 4, (9, 9))])
+        got = _rows(fence_events(ev, f, self.RES),
+                    ["user_id", "us", "event", "cell"])
+        assert got == [(1, 20, "enter", _cell(5, 5, self.RES)),
+                       (1, 40, "exit", _cell(9, 9, self.RES))]
+
+    def test_starts_inside_enters_at_first_event(self, spark):
+        from geospark.operators.events import fence_events
+        f = self._fence(spark, [(5, 5)])
+        ev = self._ev(spark, [(1, 10, 1, (5, 5)), (1, 20, 2, (5, 5))])
+        got = _rows(fence_events(ev, f, self.RES),
+                    ["user_id", "us", "event"])
+        assert got == [(1, 10, "enter")]
+
+    def test_never_inside_emits_nothing(self, spark):
+        from geospark.operators.events import fence_events
+        f = self._fence(spark, [(5, 5)])
+        ev = self._ev(spark, [(1, 10, 1, (0, 0)), (1, 20, 2, (1, 1))])
+        assert fence_events(ev, f, self.RES).count() == 0
+
+    def test_moving_within_fence_no_event(self, spark):
+        """Hopping between two fence cells is not a transition."""
+        from geospark.operators.events import fence_events
+        f = self._fence(spark, [(5, 5), (6, 6)])
+        ev = self._ev(spark, [(1, 10, 1, (5, 5)), (1, 20, 2, (6, 6)),
+                              (1, 30, 3, (5, 5))])
+        got = _rows(fence_events(ev, f, self.RES),
+                    ["user_id", "us", "event"])
+        assert got == [(1, 10, "enter")]
+
+    def test_equal_ts_tiebreak_by_event_id(self, spark):
+        """Two events at the same us order by event_id: inside at
+        tie 1, outside at tie 2 -> enter then exit, both at us 10."""
+        from geospark.operators.events import fence_events
+        f = self._fence(spark, [(5, 5)])
+        ev = self._ev(spark, [(1, 10, 1, (5, 5)), (1, 10, 2, (0, 0))])
+        got = _rows(fence_events(ev, f, self.RES),
+                    ["user_id", "us", "event"])
+        assert got == [(1, 10, "enter"), (1, 10, "exit")]
+
+    def test_inline_oracle_parity(self, spark):
+        import duckdb
+        import numpy as np
+
+        from geospark.operators.events import (fence_events,
+                                               fence_events_sql)
+        rng = np.random.default_rng(7)
+        rows = [(int(u), int(us), int(e), float(a), float(b))
+                for e, (u, us, a, b) in enumerate(zip(
+                    rng.integers(1, 12, 300),
+                    rng.integers(0, 10**9, 300),
+                    rng.uniform(-80, 80, 300).round(1),
+                    rng.uniform(-170, 170, 300).round(1)))]
+        ev = spark.createDataFrame(
+            rows, "user_id long, us long, event_id long, "
+                  "lat double, lon double")
+        # fence = density rule over the same points (aggregate-sized)
+        from pyspark.sql import functions as F
+        from geospark.functions.cells import cell_encode
+        fence = (ev.select(cell_encode("lat", "lon", 2).alias("cell"))
+                 .groupBy("cell").count()
+                 .filter(F.col("count") >= 10).select("cell"))
+        got = _rows(fence_events(ev, fence, 2),
+                    ["user_id", "us", "event", "cell"])
+        con = duckdb.connect()
+        con.execute("CREATE TABLE e (user_id BIGINT, us BIGINT, "
+                    "event_id BIGINT, lat DOUBLE, lon DOUBLE)")
+        con.executemany("INSERT INTO e VALUES (?, ?, ?, ?, ?)", rows)
+        from geospark.functions.cells import cell_encode_sql
+        fsql = (f"SELECT {cell_encode_sql('lat', 'lon', 2)} AS cell "
+                "FROM e GROUP BY 1 HAVING COUNT(*) >= 10")
+        want = sorted(tuple(r) for r in con.execute(fence_events_sql(
+            "SELECT user_id, us, event_id, lat, lon FROM e", fsql, 2))
+            .fetchall())
+        assert len(got) > 0 and got == want
+
+
+class TestSpeedFlags:
+    def _ev(self, spark, rows):
+        """rows: (user, us, event_id, lat, lon)."""
+        return spark.createDataFrame(
+            rows, "user_id long, us long, event_id long, "
+                  "lat double, lon double")
+
+    def test_flags_only_fast_hops(self, spark):
+        """1 degree = 1e6 micro-deg. Hop of 1 deg lon in 1000 s =
+        1000 u/s: flagged at vmax 999, clean at vmax 1001."""
+        from geospark.operators.events import speed_flags
+        ev = self._ev(spark, [(1, 0, 1, 0.0, 0.0),
+                              (1, 10**9, 2, 0.0, 1.0)])
+        assert speed_flags(ev, vmax_udeg_s=999).count() == 1
+        assert speed_flags(ev, vmax_udeg_s=1001).count() == 0
+
+    def test_boundary_is_strict(self, spark):
+        """d2 == lim*lim is NOT flagged (strict >): 1000 u in 1 s at
+        vmax 1000 -> lim 1000, d2 = 1000^2."""
+        from geospark.operators.events import speed_flags
+        ev = self._ev(spark, [(1, 0, 1, 0.0, 0.0),
+                              (1, 10**6, 2, 0.0, 0.001)])
+        assert speed_flags(ev, vmax_udeg_s=1000).count() == 0
+        assert speed_flags(ev, vmax_udeg_s=999).count() == 1
+
+    def test_zero_dt_teleport(self, spark):
+        """Same timestamp, nonzero displacement: lim = 0, flagged at
+        any vmax; zero displacement at same ts is clean."""
+        from geospark.operators.events import speed_flags
+        ev = self._ev(spark, [(1, 5, 1, 0.0, 0.0),
+                              (1, 5, 2, 0.0, 2.0),
+                              (2, 5, 1, 1.0, 1.0),
+                              (2, 5, 2, 1.0, 1.0)])
+        got = _rows(speed_flags(ev, vmax_udeg_s=10**6),
+                    ["user_id", "us", "dt_us", "d2"])
+        assert got == [(1, 5, 0, 4 * 10**12)]
+
+    def test_per_user_windows_dont_cross(self, spark):
+        """The hop from user 1's last event to user 2's first event
+        does not exist."""
+        from geospark.operators.events import speed_flags
+        ev = self._ev(spark, [(1, 0, 1, 0.0, 0.0),
+                              (2, 1, 2, 50.0, 50.0)])
+        assert speed_flags(ev, vmax_udeg_s=1).count() == 0
+
+    def test_inline_oracle_parity(self, spark):
+        import duckdb
+        import numpy as np
+
+        from geospark.operators.events import (speed_flags,
+                                               speed_flags_sql)
+        rng = np.random.default_rng(13)
+        rows = [(int(u), int(us), int(e), float(a), float(b))
+                for e, (u, us, a, b) in enumerate(zip(
+                    rng.integers(1, 15, 400),
+                    rng.integers(0, 10**10, 400),
+                    rng.uniform(-80, 80, 400),
+                    rng.uniform(-170, 170, 400)))]
+        ev = spark.createDataFrame(
+            rows, "user_id long, us long, event_id long, "
+                  "lat double, lon double")
+        got = _rows(speed_flags(ev, vmax_udeg_s=25_000),
+                    ["user_id", "us", "dt_us", "d2"])
+        con = duckdb.connect()
+        con.execute("CREATE TABLE e (user_id BIGINT, us BIGINT, "
+                    "event_id BIGINT, lat DOUBLE, lon DOUBLE)")
+        con.executemany("INSERT INTO e VALUES (?, ?, ?, ?, ?)", rows)
+        want = sorted(tuple(r) for r in con.execute(speed_flags_sql(
+            "SELECT user_id, us, event_id, lat, lon FROM e", 25_000))
+            .fetchall())
+        # both classes live in the fixture
+        n_hops = con.execute(
+            "SELECT COUNT(*) - COUNT(DISTINCT user_id) FROM e"
+        ).fetchone()[0]
+        assert 0 < len(got) < n_hops
+        assert got == want
+
+    def test_long_gap_no_overflow(self, spark):
+        """A multi-year gap would overflow lim^2 unclamped; the 6e8
+        clamp keeps the hop computable and (correctly) unflagged."""
+        from geospark.operators.events import speed_flags
+        ev = self._ev(spark, [(1, 0, 1, 0.0, -170.0),
+                              (1, 10**14, 2, 0.0, 170.0)])
+        assert speed_flags(ev, vmax_udeg_s=25_000).count() == 0
