@@ -249,3 +249,104 @@ SELECT d.cell, MIN(d.seed) AS seed, CAST(d.hops AS INTEGER) AS hops
 FROM dist d JOIN best b ON d.cell = b.cell AND d.hops = b.hops
 GROUP BY d.cell, d.hops
 """
+
+
+# ---------------------------------------------------------------------------
+# Lloyd k-means over the cell histogram (centroid clustering)
+# ---------------------------------------------------------------------------
+
+def kmeans_cells(pts, res: int, k: int, iters: int, *,
+                 lat_col: str = "lat", lon_col: str = "lon"):
+    """Weighted Lloyd k-means over the OCCUPIED-cell histogram — the
+    centroid-clustering companion to dbscan_cells (density) and
+    grid_reach (reachability): points quantize to lattice cells once,
+    and every Lloyd round runs on the aggregate (cell, count) rows,
+    never the points. This is the standard scalable k-means shape: at
+    10^12 points the histogram at res 12 is <= occupancy-bounded
+    millions of rows, so each round is a broadcast join against k
+    centroid rows plus one k-keyed agg — the ONE point-level shuffle
+    is the initial count.
+
+    Deterministic and integer-exact end to end, no RNG and no floats:
+    seeds are the top-``k`` cells by (count DESC, cell ASC); distance
+    is squared lattice distance d2 = (x-cx)^2 + (y-cy)^2 with ties
+    broken by MIN centroid id (min(struct(d2, cid))); the update is
+    the FLOOR weighted mean ``sum(n*x) div sum(n)`` (headroom:
+    res + log2(points) < 63). A centroid whose cluster empties drops
+    out (standard Lloyd degeneracy; k shrinks). After ``iters``
+    update rounds the labels are re-derived against the FINAL
+    centroids -> (cell, n_pts, cid) with cid = the seed cell id the
+    centroid started from.
+    """
+    from pyspark.sql import functions as F
+
+    from ..functions.cells import _RES_SHIFT, cell_encode
+    from ..materialize import materialize
+    mask = (1 << res) - 1
+    cells = (pts
+             .select(cell_encode(lat_col, lon_col, res).alias("cell"))
+             .groupBy("cell").agg(F.count("*").alias("n_pts"))
+             .withColumn("x", F.expr(f"cell & {mask}"))
+             .withColumn("y", F.expr(f"(cell >> {res}) & {mask}")))
+    cells = materialize(cells)
+    cents = (cells.orderBy(F.col("n_pts").desc(), F.col("cell").asc())
+             .limit(k)
+             .select(F.col("cell").alias("cid"),
+                     F.col("x").alias("cx"), F.col("y").alias("cy")))
+    cents = materialize(cents)
+
+    def assign(cs):
+        j = cells.join(F.broadcast(cs))
+        d2 = F.expr("(x - cx) * (x - cx) + (y - cy) * (y - cy)")
+        return (j.withColumn("_d2", d2)
+                .groupBy("cell", "n_pts", "x", "y")
+                .agg(F.min(F.struct("_d2", "cid")).alias("_b"))
+                .select("cell", "n_pts", "x", "y",
+                        F.col("_b.cid").alias("cid")))
+
+    for _ in range(iters):
+        a = assign(cents)
+        cents = materialize(
+            a.groupBy("cid").agg(
+                F.expr("sum(n_pts * x) div sum(n_pts)").alias("cx"),
+                F.expr("sum(n_pts * y) div sum(n_pts)").alias("cy")))
+    return assign(cents).select("cell", "n_pts", "cid")
+
+
+def kmeans_cells_sql(pts_sql: str, res: int, k: int,
+                     iters: int) -> str:
+    """DuckDB twin of kmeans_cells: the Lloyd rounds are UNROLLED
+    textually (c0 -> a0 -> c1 -> ... -> c{iters} -> final labels) —
+    fixed iteration count means plain chained CTEs, no recursion;
+    argmin is ROW_NUMBER() OVER (ORDER BY d2, cid), the same total
+    order as the struct-MIN."""
+    from ..functions.cells import cell_encode_sql
+    mask = (1 << res) - 1
+    cell = cell_encode_sql("lat", "lon", res)
+    d2 = "(g.x - c.cx) * (g.x - c.cx) + (g.y - c.cy) * (g.y - c.cy)"
+    parts = [f"""
+WITH cells AS (
+  SELECT cell, COUNT(*) AS n_pts,
+         cell & {mask} AS x, (cell >> {res}) & {mask} AS y
+  FROM (SELECT {cell} AS cell FROM ({pts_sql})) GROUP BY 1),
+c0 AS (SELECT cell AS cid, x AS cx, y AS cy FROM cells
+       ORDER BY n_pts DESC, cell ASC LIMIT {k})"""]
+    for i in range(iters):
+        parts.append(f"""
+a{i} AS (
+  SELECT cell, n_pts, x, y, cid FROM (
+    SELECT g.cell, g.n_pts, g.x, g.y, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY g.cell
+                              ORDER BY {d2}, c.cid) AS rn
+    FROM cells g CROSS JOIN c{i} c) WHERE rn = 1),
+c{i + 1} AS (
+  SELECT cid, SUM(n_pts * x) // SUM(n_pts) AS cx,
+         SUM(n_pts * y) // SUM(n_pts) AS cy
+  FROM a{i} GROUP BY cid)""")
+    return (",".join(parts) + f"""
+SELECT cell, n_pts, cid FROM (
+  SELECT g.cell, g.n_pts, c.cid,
+         ROW_NUMBER() OVER (PARTITION BY g.cell
+                            ORDER BY {d2}, c.cid) AS rn
+  FROM cells g CROSS JOIN c{iters} c) WHERE rn = 1
+""")

@@ -2276,6 +2276,24 @@ def _traj_pts(spark, sf_dir):
                     .alias("us"))
 
 
+# kmeans knobs: res 6 / k 12 / 3 Lloyd rounds over the 1,243 occupied
+# customer cells at sf0.01 — all 12 clusters stay live with sizes
+# 19..275, so the label hash covers real geometry, not degeneracy
+_KMEANS_RES, _KMEANS_K, _KMEANS_ITERS = 6, 12, 3
+
+
+def q_kmeans_cells(spark, sf_dir):
+    """Lloyd k-means over the cell histogram (r5.23): 12 integer-exact
+    centroid clusters over occupied customer cells — every round is a
+    broadcast join vs k centroid rows + one k-keyed agg; the only
+    point-level shuffle is the initial count
+    (operators/cluster.kmeans_cells docstring: floor weighted mean,
+    struct-MIN tie break, deterministic top-k seeding)."""
+    from .operators.cluster import kmeans_cells
+    return kmeans_cells(_cust_points(spark, sf_dir), _KMEANS_RES,
+                        _KMEANS_K, _KMEANS_ITERS)
+
+
 # fence_events knobs: the density fence at res 4 (cells with >= 40
 # events, 32 cells at sf0.01) yields 908 transitions (525 enter /
 # 383 exit) — both event classes live in the oracle
@@ -2561,6 +2579,7 @@ QUERIES = {
     "traj_similarity": q_traj_similarity,
     "fence_events": q_fence_events,
     "speed_flags": q_speed_flags,
+    "kmeans_cells": q_kmeans_cells,
 }
 
 
@@ -3254,6 +3273,10 @@ def oracle_sql() -> dict[str, str]:
     out["fence_events"] = fence_events_sql(
         _TRAJ_PTS_SQL, _fence_sql, _FENCE_RES)
     out["speed_flags"] = speed_flags_sql(_TRAJ_PTS_SQL, _SPEED_VMAX)
+    from .operators.cluster import kmeans_cells_sql
+    out["kmeans_cells"] = kmeans_cells_sql(
+        f"SELECT lat, lon FROM ({_CUST_PTS_CTE})",
+        _KMEANS_RES, _KMEANS_K, _KMEANS_ITERS)
     from .operators.tiles import adaptive_tiles_sql
     out["adaptive_tiles"] = adaptive_tiles_sql(
         f"SELECT {EVT_LAT_SQL} AS lat, {EVT_LON_SQL} AS lon FROM events",

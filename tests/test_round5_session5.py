@@ -420,3 +420,91 @@ class TestSpeedFlags:
         ev = self._ev(spark, [(1, 0, 1, 0.0, -170.0),
                               (1, 10**14, 2, 0.0, 170.0)])
         assert speed_flags(ev, vmax_udeg_s=25_000).count() == 0
+
+
+class TestKmeansCells:
+    RES = 4
+
+    def test_two_obvious_clusters(self, spark):
+        """Two dense blobs far apart, k=2: every cell labels to the
+        seed inside its own blob after one round."""
+        from geospark.operators.cluster import kmeans_cells
+        pts = _pts(spark,
+                   [(1, 1), (1, 2), (2, 1),      # blob A
+                    (12, 12), (12, 13), (13, 12)],  # blob B
+                   self.RES, [5, 3, 3, 5, 3, 3])
+        got = _rows(kmeans_cells(pts, self.RES, 2, 1),
+                    ["cell", "cid"])
+        a_seed = _cell(1, 1, self.RES)
+        b_seed = _cell(12, 12, self.RES)
+        want = sorted([(_cell(1, 1, self.RES), a_seed),
+                       (_cell(1, 2, self.RES), a_seed),
+                       (_cell(2, 1, self.RES), a_seed),
+                       (_cell(12, 12, self.RES), b_seed),
+                       (_cell(12, 13, self.RES), b_seed),
+                       (_cell(13, 12, self.RES), b_seed)])
+        assert got == want
+
+    def test_weighted_floor_centroid_moves_label(self, spark):
+        """The update is the weighted FLOOR mean: a heavy cell drags
+        the centroid toward itself, flipping a boundary cell's label
+        between iters=0 (seed positions) and iters=1 (one update)."""
+        from geospark.operators.cluster import kmeans_cells
+        # seeds = top-2 by count: (0,0) n=20 and (0,8) n=15. Boundary
+        # cell (0,4) n=1 is d2=16 from BOTH seeds -> tie, broken by
+        # MIN cid = seed (0,0). Cell (0,6) n=10 joins B (d2 4 vs 36)
+        # and drags B's centroid to floor((8*15+6*10)/25) = 7 while
+        # A's stays at floor((0*20+4*1)/21) = 0; next round (0,4)
+        # sees d2 16 vs 9 and flips to B.
+        pts = _pts(spark, [(0, 0), (0, 8), (0, 4), (0, 6)],
+                   self.RES, [20, 15, 1, 10])
+        a, b = _cell(0, 0, self.RES), _cell(0, 8, self.RES)
+        got0 = dict((r[0], r[1]) for r in _rows(
+            kmeans_cells(pts, self.RES, 2, 0), ["cell", "cid"]))
+        assert got0[_cell(0, 4, self.RES)] == a  # tie d2=16 -> min cid
+        got1 = dict((r[0], r[1]) for r in _rows(
+            kmeans_cells(pts, self.RES, 2, 1), ["cell", "cid"]))
+        assert got1[_cell(0, 4, self.RES)] == b
+
+    def test_k_exceeds_cells(self, spark):
+        """k larger than the number of occupied cells degrades to one
+        centroid per cell (every cell is its own seed)."""
+        from geospark.operators.cluster import kmeans_cells
+        pts = _pts(spark, [(3, 3), (9, 9)], self.RES, [2, 1])
+        got = _rows(kmeans_cells(pts, self.RES, 5, 2),
+                    ["cell", "n_pts", "cid"])
+        assert got == sorted([
+            (_cell(3, 3, self.RES), 2, _cell(3, 3, self.RES)),
+            (_cell(9, 9, self.RES), 1, _cell(9, 9, self.RES))])
+
+    def test_empty_cluster_drops(self, spark):
+        """A seed whose every cell defects re-labels nothing: with
+        both points nearer seed A after A's centroid update, B keeps
+        only its own seed cell (it IS a cell)."""
+        from geospark.operators.cluster import kmeans_cells
+        pts = _pts(spark, [(0, 0), (0, 1)], self.RES, [5, 4])
+        got = _rows(kmeans_cells(pts, self.RES, 2, 3),
+                    ["cell", "cid"])
+        # both seeds are occupied cells, each stays its own cluster
+        assert len(got) == 2 and len({c for _, c in got}) == 2
+
+    def test_inline_oracle_parity(self, spark):
+        import duckdb
+        import numpy as np
+
+        from geospark.operators.cluster import (kmeans_cells,
+                                                kmeans_cells_sql)
+        rng = np.random.default_rng(23)
+        rows = [(float(a), float(b)) for a, b in zip(
+            rng.uniform(-80, 80, 500).round(2),
+            rng.uniform(-170, 170, 500).round(2))]
+        pts = spark.createDataFrame(rows, "lat double, lon double")
+        got = _rows(kmeans_cells(pts, 3, 5, 3),
+                    ["cell", "n_pts", "cid"])
+        con = duckdb.connect()
+        con.execute("CREATE TABLE p (lat DOUBLE, lon DOUBLE)")
+        con.executemany("INSERT INTO p VALUES (?, ?)", rows)
+        want = sorted(tuple(r) for r in con.execute(kmeans_cells_sql(
+            "SELECT lat, lon FROM p", 3, 5, 3)).fetchall())
+        assert len({c for *_, c in got}) > 1
+        assert got == want
