@@ -1171,3 +1171,59 @@ WHERE NOT EXISTS (SELECT 1 FROM r
                   WHERE r.host = d.host
                     AND starts_with(d.path, r.path_prefix))
 """
+
+
+def politeness_schedule(urls, delay_us: int, *, url_col: str = "url",
+                        start_us: int = 0):
+    """Per-host politeness scheduling — the crawl-frontier step after
+    robots_filter and crawl_budget: every URL gets a fetch slot in its
+    host's serial queue and a fetch timestamp ``start_us + slot *
+    delay_us`` (one fetch per host per delay, the crawl-delay
+    contract). Queue order within a host is md5(canonical_url) — a
+    fair deterministic shuffle, so one directory's pages don't
+    monopolize the head of the queue; ties (same canonical from raw
+    variants) break on the raw url, and identical raw rows are
+    interchangeable, so the output is deterministic as a multiset.
+
+    Scale shape: host extraction rides the canonical_url step tables
+    (zero UDF), then ONE host-keyed window. Per-host state is the
+    queue itself — inherently serial by the politeness contract, so
+    the hot-host partition is the semantics, not a skew accident; the
+    slot assignment is the cheap part, the crawl time it models is
+    the bound. -> (url, host, slot, fetch_at_us).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    c = canonical_url(F.col(url_col))
+    d = urls.select(F.col(url_col).alias("url"),
+                    c.alias("_canon"),
+                    F.regexp_extract(c, "^[a-z]+://([^/]+)", 1)
+                     .alias("host"))
+    w = Window.partitionBy("host").orderBy(
+        F.md5(F.col("_canon")), F.col("url"))
+    return (d.withColumn("slot",
+                         F.row_number().over(w) - F.lit(1))
+            .select("url", "host",
+                    F.col("slot").cast("long").alias("slot"),
+                    (F.lit(start_us)
+                     + F.col("slot") * F.lit(delay_us))
+                    .cast("long").alias("fetch_at_us")))
+
+
+def politeness_schedule_sql(urls_sql: str, delay_us: int, *,
+                            start_us: int = 0) -> str:
+    """DuckDB twin of politeness_schedule over a subquery producing
+    (url) — canonical step tables shared, same md5 queue order."""
+    canon = canonical_url_sql("url")
+    return f"""
+WITH d AS (SELECT url, {canon} AS canon,
+           regexp_extract({canon}, '^[a-z]+://([^/]+)', 1) AS host
+           FROM ({urls_sql})),
+s AS (SELECT url, host,
+      ROW_NUMBER() OVER (PARTITION BY host
+                         ORDER BY md5(canon), url) - 1 AS slot
+      FROM d)
+SELECT url, host, CAST(slot AS BIGINT) AS slot,
+       CAST({start_us} + slot * {delay_us} AS BIGINT) AS fetch_at_us
+FROM s
+"""

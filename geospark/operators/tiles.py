@@ -611,3 +611,50 @@ UNION ALL
 SELECT w.cell, CAST({fine_res} AS INTEGER) AS res, w.n_pts
 FROM withp w JOIN hot h ON w.parent = h.cell
 """
+
+
+def cell_downsample(points, res: int, cap: int, *,
+                    id_col: str = "id", lat_col: str = "lat",
+                    lon_col: str = "lon"):
+    """Spatial density cap — the training-data curation step that
+    stops dense metros from dominating a geo corpus: keep at most
+    ``cap`` rows per cell at ``res``, chosen by md5(id) order (a
+    deterministic uniform sample — every row has the same keep
+    probability within its cell, and reruns keep the SAME rows, so
+    downstream dedup/splits stay stable). Ties on the digest break on
+    the id itself.
+
+    Scale shape: ONE cell-keyed window. A hot cell sorts its own rows
+    only; at 10^12 rows pre-prune first — because the order key is a
+    uniform digest, rows with md5(id) above ~(cap/cell_count)-scaled
+    thresholds can be dropped by a broadcast-joined per-cell bound
+    before the window sort without changing the kept set (documented,
+    not plumbed: the threshold join is only worth it past ~10^6 rows
+    per hot cell). -> input columns + cell, filtered.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..functions.cells import cell_encode
+    d = points.withColumn(
+        "cell", cell_encode(lat_col, lon_col, res))
+    w = Window.partitionBy("cell").orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col))
+    return (d.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= cap).drop("_rn"))
+
+
+def cell_downsample_sql(pts_sql: str, res: int, cap: int, *,
+                        id_sql: str = "id") -> str:
+    """DuckDB twin of cell_downsample over a subquery producing
+    (id, lat, lon) — projects (id, cell) for the kept rows."""
+    from ..functions.cells import cell_encode_sql
+    cell = cell_encode_sql("lat", "lon", res)
+    return f"""
+WITH d AS (SELECT {id_sql} AS id, {cell} AS cell FROM ({pts_sql})),
+r AS (SELECT id, cell,
+      ROW_NUMBER() OVER (PARTITION BY cell
+                         ORDER BY md5(CAST(id AS VARCHAR)), id) AS rn
+      FROM d)
+SELECT id, cell FROM r WHERE rn <= {cap}
+"""

@@ -2276,6 +2276,42 @@ def _traj_pts(spark, sf_dir):
                     .alias("us"))
 
 
+# politeness: one fetch per host per 250 ms over the synthetic doc
+# urls (hosts = canonicalized source domains, so every host queue is
+# multi-url and the hash ordering is exercised)
+_POLITE_DELAY_US = 250_000
+
+
+def q_politeness(spark, sf_dir):
+    """Per-host politeness schedule (r5.23): fetch slot + timestamp
+    per url, one fetch per host per delay, md5-fair queue order —
+    the crawl-frontier step after robots_gate and crawl_budget
+    (operators/dedup.politeness_schedule docstring)."""
+    from .operators.dedup import politeness_schedule
+    return politeness_schedule(_doc_urls(spark, sf_dir),
+                               _POLITE_DELAY_US)
+
+
+# downsample knobs: res 4 (256 cells over the traj points) puts ~40
+# events in a mean cell; cap 25 trims the dense half and leaves the
+# sparse half whole — both classes live in the oracle
+_DOWNSAMPLE_RES, _DOWNSAMPLE_CAP = 4, 25
+
+
+def q_cell_downsample(spark, sf_dir):
+    """Spatial density cap (r5.23): at most 25 events kept per res-4
+    cell, chosen by deterministic md5(id) order — the curation step
+    that stops dense metros from dominating a geo training corpus
+    (operators/tiles.cell_downsample docstring)."""
+    from pyspark.sql import functions as F
+    from .operators.tiles import cell_downsample
+    pts = _traj_pts(spark, sf_dir).select(
+        F.col("event_id").alias("id"), "lat", "lon")
+    return (cell_downsample(pts, _DOWNSAMPLE_RES, _DOWNSAMPLE_CAP,
+                            id_col="id")
+            .select("id", "cell"))
+
+
 # kmeans knobs: res 6 / k 12 / 3 Lloyd rounds over the 1,243 occupied
 # customer cells at sf0.01 — all 12 clusters stay live with sizes
 # 19..275, so the label hash covers real geometry, not degeneracy
@@ -2580,6 +2616,8 @@ QUERIES = {
     "fence_events": q_fence_events,
     "speed_flags": q_speed_flags,
     "kmeans_cells": q_kmeans_cells,
+    "politeness": q_politeness,
+    "cell_downsample": q_cell_downsample,
 }
 
 
@@ -3277,6 +3315,14 @@ def oracle_sql() -> dict[str, str]:
     out["kmeans_cells"] = kmeans_cells_sql(
         f"SELECT lat, lon FROM ({_CUST_PTS_CTE})",
         _KMEANS_RES, _KMEANS_K, _KMEANS_ITERS)
+    from .operators.dedup import politeness_schedule_sql
+    out["politeness"] = politeness_schedule_sql(
+        f"SELECT {_doc_url_sql()} AS url FROM documents",
+        _POLITE_DELAY_US)
+    from .operators.tiles import cell_downsample_sql
+    out["cell_downsample"] = cell_downsample_sql(
+        f"SELECT event_id, lat, lon FROM ({_TRAJ_PTS_SQL})",
+        _DOWNSAMPLE_RES, _DOWNSAMPLE_CAP, id_sql="event_id")
     from .operators.tiles import adaptive_tiles_sql
     out["adaptive_tiles"] = adaptive_tiles_sql(
         f"SELECT {EVT_LAT_SQL} AS lat, {EVT_LON_SQL} AS lon FROM events",

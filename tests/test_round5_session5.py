@@ -508,3 +508,129 @@ class TestKmeansCells:
             "SELECT lat, lon FROM p", 3, 5, 3)).fetchall())
         assert len({c for *_, c in got}) > 1
         assert got == want
+
+
+class TestPolitenessSchedule:
+    def _urls(self, spark, urls):
+        return spark.createDataFrame([(u,) for u in urls],
+                                     "url string")
+
+    def test_slots_and_times_per_host(self, spark):
+        """Three urls on one host queue at slots 0,1,2 with fetch
+        times start + slot*delay; a second host starts back at 0."""
+        from geospark.operators.dedup import politeness_schedule
+        d = self._urls(spark, [
+            "http://a.com/x", "http://a.com/y", "http://a.com/z",
+            "http://b.com/only"])
+        got = _rows(politeness_schedule(d, 1000, start_us=50),
+                    ["host", "slot", "fetch_at_us"])
+        assert got == sorted([("a.com", 0, 50), ("a.com", 1, 1050),
+                              ("a.com", 2, 2050), ("b.com", 0, 50)])
+
+    def test_queue_order_is_hash_not_path(self, spark):
+        """Order within a host follows md5(canonical), not the path:
+        with 50 sequential paths the queue is NOT in path order (a
+        directory can't monopolize the queue head)."""
+        from geospark.operators.dedup import politeness_schedule
+        d = self._urls(spark, [f"http://a.com/p/{i:03d}"
+                               for i in range(50)])
+        rows = politeness_schedule(d, 10).orderBy("slot").collect()
+        paths = [r["url"] for r in rows]
+        assert sorted(paths) == [f"http://a.com/p/{i:03d}"
+                                 for i in range(50)]
+        assert paths != sorted(paths)
+
+    def test_canonical_variants_share_host(self, spark):
+        """HTTP://WWW.A.COM and https://a.com/ land on one host
+        queue (canonicalization runs before host extraction)."""
+        from geospark.operators.dedup import politeness_schedule
+        d = self._urls(spark, ["HTTP://WWW.A.COM/x",
+                               "https://a.com/y"])
+        got = _rows(politeness_schedule(d, 10), ["host", "slot"])
+        assert got == [("a.com", 0), ("a.com", 1)]
+
+    def test_inline_oracle_parity(self, spark):
+        import duckdb
+
+        from geospark.operators.dedup import (politeness_schedule,
+                                              politeness_schedule_sql)
+        urls = ([f"http://h{i % 7}.org/d{i % 3}/p{i}?utm_source=x"
+                 for i in range(200)]
+                + [f"HTTPS://WWW.H{i % 7}.ORG/d{i % 3}/p{i}#frag"
+                   for i in range(100)])
+        d = self._urls(spark, urls)
+        got = _rows(politeness_schedule(d, 250_000),
+                    ["url", "host", "slot", "fetch_at_us"])
+        con = duckdb.connect()
+        con.execute("CREATE TABLE u (url VARCHAR)")
+        con.executemany("INSERT INTO u VALUES (?)",
+                        [(u,) for u in urls])
+        want = sorted(tuple(r) for r in con.execute(
+            politeness_schedule_sql("SELECT url FROM u", 250_000))
+            .fetchall())
+        assert got == want
+
+
+class TestCellDownsample:
+    RES = 4
+
+    def test_cap_and_determinism(self, spark):
+        """12 points in one cell, cap 5: exactly 5 survive, and two
+        runs keep the SAME ids."""
+        from geospark.operators.tiles import cell_downsample
+        lat, lon = _center(3, 3, self.RES)
+        d = spark.createDataFrame(
+            [(i, lat, lon) for i in range(12)],
+            "id long, lat double, lon double")
+        a = _rows(cell_downsample(d, self.RES, 5, id_col="id"),
+                  ["id"])
+        b = _rows(cell_downsample(d, self.RES, 5, id_col="id"),
+                  ["id"])
+        assert len(a) == 5 and a == b
+
+    def test_under_cap_cell_untouched(self, spark):
+        from geospark.operators.tiles import cell_downsample
+        la1, lo1 = _center(1, 1, self.RES)
+        la2, lo2 = _center(9, 9, self.RES)
+        d = spark.createDataFrame(
+            [(1, la1, lo1), (2, la1, lo1)] + [(i, la2, lo2)
+                                              for i in range(10, 20)],
+            "id long, lat double, lon double")
+        got = cell_downsample(d, self.RES, 3, id_col="id")
+        per = dict((r["cell"], r["count"]) for r in
+                   got.groupBy("cell").count().collect())
+        assert per == {_cell(1, 1, self.RES): 2,
+                       _cell(9, 9, self.RES): 3}
+
+    def test_keeps_input_columns(self, spark):
+        from geospark.operators.tiles import cell_downsample
+        la, lo = _center(2, 2, self.RES)
+        d = spark.createDataFrame([(1, la, lo, "payload")],
+                                  "id long, lat double, lon double, "
+                                  "extra string")
+        row = cell_downsample(d, self.RES, 5, id_col="id").first()
+        assert row["extra"] == "payload"
+        assert row["cell"] == _cell(2, 2, self.RES)
+
+    def test_inline_oracle_parity(self, spark):
+        import duckdb
+        import numpy as np
+
+        from geospark.operators.tiles import (cell_downsample,
+                                              cell_downsample_sql)
+        rng = np.random.default_rng(31)
+        rows = [(int(i), float(a), float(b)) for i, (a, b) in
+                enumerate(zip(rng.uniform(-60, 60, 600).round(1),
+                              rng.uniform(-150, 150, 600).round(1)))]
+        d = spark.createDataFrame(rows,
+                                  "id long, lat double, lon double")
+        got = _rows(cell_downsample(d, 2, 7, id_col="id")
+                    .select("id", "cell"), ["id", "cell"])
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE p (id BIGINT, lat DOUBLE, lon DOUBLE)")
+        con.executemany("INSERT INTO p VALUES (?, ?, ?)", rows)
+        want = sorted(tuple(r) for r in con.execute(cell_downsample_sql(
+            "SELECT id, lat, lon FROM p", 2, 7)).fetchall())
+        assert 0 < len(got) < 600
+        assert got == want

@@ -1,0 +1,83 @@
+"""Scale evidence for the round-5 session-5 operators (grid_reach,
+traj_similarity, fence_events, speed_flags, kmeans_cells): warm+hot
+timings at sf0.1 (driver testdata) and 10x points at sf1 (the
+bench_sf1 replicated tables — customer for the point-raster ops,
+events for the trajectory ops).
+
+All five run with their catalog parameters: each operator's scale
+knob is a resolution or a cap, and the catalog values already hold
+the aggregate-side tables (cells, fences, centroids) at
+occupancy-bounded size, so 10x data exercises the intended shape —
+bigger point scans feeding same-order aggregate stages.
+
+Appends BENCH/R5OPS.md + BENCH/SF1.md and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import json
+import os
+import time
+
+import bench
+import bench_sf1
+import bench_sf1_ops
+
+SF01 = "/root/testdata/sf0.1"
+OPS = ("grid_reach", "traj_similarity", "fence_events",
+       "speed_flags", "kmeans_cells")
+
+
+def _time(fn, spark, sf_dir, runs):
+    out = []
+    count = None
+    for _ in range(runs):
+        t0 = time.monotonic()
+        count = fn(spark, sf_dir).count()
+        out.append(round(time.monotonic() - t0, 3))
+    return out, count
+
+
+def main() -> None:
+    spark = bench.build_session(
+        int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    spark.sparkContext.setLogLevel("ERROR")
+    bench_sf1.materialize(spark)
+    bench_sf1_ops.materialize_events(spark)
+    import __spark_entry__ as entry
+    qs = entry.queries()
+
+    res01, res1 = {}, {}
+    for name in OPS:
+        runs, n = _time(qs[name], spark, SF01, 2)
+        res01[name] = {"warm": runs[0], "hot": runs[-1], "rows": n}
+        runs, n = _time(qs[name], spark, bench_sf1.DST, 3)
+        res1[name] = {"min": min(runs), "max": max(runs),
+                      "runs": sorted(runs), "rows": n}
+
+    with open("/root/repo/BENCH/R5OPS.md", "a") as f:
+        f.write("\n## Session-5 operators (sf0.1, local[32], "
+                "warm + hot)\n\n")
+        f.write("| query | result rows | warm s | hot s |\n"
+                "|---|---|---|---|\n")
+        for n, t in res01.items():
+            f.write(f"| {n} | {t['rows']:,} | {t['warm']} "
+                    f"| {t['hot']} |\n")
+    with open("/root/repo/BENCH/SF1.md", "a") as f:
+        f.write("\n## Session-5 operators at sf1 "
+                f"({bench_sf1.COPIES}x {bench_sf1.SRC_SF})\n\n")
+        f.write("| query | min s | max s | result rows |\n"
+                "|---|---|---|---|\n")
+        for n, t in res1.items():
+            f.write(f"| {n} | {t['min']} | {t['max']} "
+                    f"| {t['rows']:,} |\n")
+    print(json.dumps({"sf01": res01, "sf1": res1}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
