@@ -658,3 +658,64 @@ r AS (SELECT id, cell,
       FROM d)
 SELECT id, cell FROM r WHERE rn <= {cap}
 """
+
+
+def cell_quota_sample(points, res: int, budget: int, *,
+                      id_col: str = "id", lat_col: str = "lat",
+                      lon_col: str = "lon"):
+    """EXACT-size spatial sample: keep exactly ``budget`` rows total,
+    apportioned across occupied cells proportional to their counts by
+    largest-remainder (pack.apportion_budget — SUM(quota) == budget
+    exactly, all BIGINT floor; probabilistic per-row sampling misses
+    the target by O(sqrt(n)) and drifts per engine), each cell's
+    quota filled in md5(id) order (cell_downsample's deterministic
+    uniform keep). The curation shape for "sample exactly N docs,
+    geography-faithful".
+
+    Requires ``budget <= total rows``: then every floor quota is
+    strictly below its cell's count for budget < total (and the +1
+    remainder bump cannot exceed it), so availability never truncates
+    and the output size is exactly ``budget``. Scale shape: one
+    cell-count shuffle, two scalar aggregate actions inside
+    apportion_budget (metadata, not data), a broadcast join of the
+    aggregate-sized quota table, ONE cell-keyed window.
+    -> (id, cell)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..functions.cells import cell_encode
+    from .pack import apportion_budget
+    d = points.select(F.col(id_col).alias("id"),
+                      cell_encode(lat_col, lon_col, res).alias("cell"))
+    cells = d.groupBy("cell").agg(F.count(F.lit(1)).alias("weight"))
+    quota = apportion_budget(cells, "weight", "cell", budget)
+    w = Window.partitionBy("cell").orderBy(
+        F.md5(F.col("id").cast("string")), F.col("id"))
+    return (d.join(F.broadcast(quota.select("cell", "alloc")), "cell")
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= F.col("alloc"))
+            .select("id", "cell"))
+
+
+def cell_quota_sample_sql(pts_sql: str, res: int, budget: int, *,
+                          id_sql: str = "id") -> str:
+    """DuckDB twin of cell_quota_sample over a subquery producing
+    (id, lat, lon) — composes apportion_budget_sql's quota query with
+    the md5 keep-order."""
+    from ..functions.cells import cell_encode_sql
+    from .pack import apportion_budget_sql
+    cell = cell_encode_sql("lat", "lon", res)
+    quota = apportion_budget_sql(
+        f"SELECT cell, COUNT(*) AS weight FROM "
+        f"(SELECT {cell} AS cell FROM ({pts_sql})) GROUP BY 1",
+        budget, key_col="cell", weight_col="weight")
+    return f"""
+WITH d AS (SELECT {id_sql} AS id, {cell} AS cell FROM ({pts_sql})),
+quota AS ({quota}),
+r AS (SELECT d.id, d.cell, quota.alloc,
+      ROW_NUMBER() OVER (PARTITION BY d.cell
+                         ORDER BY md5(CAST(d.id AS VARCHAR)), d.id)
+        AS rn
+      FROM d JOIN quota USING (cell))
+SELECT id, cell FROM r WHERE rn <= alloc
+"""

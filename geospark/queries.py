@@ -2312,6 +2312,25 @@ def q_cell_downsample(spark, sf_dir):
             .select("id", "cell"))
 
 
+# quota sample: exactly 1,500 of the 10,000 traj events, apportioned
+# across res-4 cells by largest remainder — the exact-size
+# geography-faithful curation sample
+_QUOTA_RES, _QUOTA_BUDGET = 4, 1_500
+
+
+def q_cell_quota_sample(spark, sf_dir):
+    """Exact-size spatial sample (r5.23): exactly 1,500 events kept,
+    cell quotas by largest-remainder apportionment, md5 keep order
+    (operators/tiles.cell_quota_sample docstring — SUM(quota) ==
+    budget exactly, all BIGINT floor)."""
+    from pyspark.sql import functions as F
+    from .operators.tiles import cell_quota_sample
+    pts = _traj_pts(spark, sf_dir).select(
+        F.col("event_id").alias("id"), "lat", "lon")
+    return cell_quota_sample(pts, _QUOTA_RES, _QUOTA_BUDGET,
+                             id_col="id")
+
+
 # kmeans knobs: res 6 / k 12 / 3 Lloyd rounds over the 1,243 occupied
 # customer cells at sf0.01 — all 12 clusters stay live with sizes
 # 19..275, so the label hash covers real geometry, not degeneracy
@@ -2618,6 +2637,7 @@ QUERIES = {
     "kmeans_cells": q_kmeans_cells,
     "politeness": q_politeness,
     "cell_downsample": q_cell_downsample,
+    "cell_quota_sample": q_cell_quota_sample,
 }
 
 
@@ -3323,6 +3343,10 @@ def oracle_sql() -> dict[str, str]:
     out["cell_downsample"] = cell_downsample_sql(
         f"SELECT event_id, lat, lon FROM ({_TRAJ_PTS_SQL})",
         _DOWNSAMPLE_RES, _DOWNSAMPLE_CAP, id_sql="event_id")
+    from .operators.tiles import cell_quota_sample_sql
+    out["cell_quota_sample"] = cell_quota_sample_sql(
+        f"SELECT event_id, lat, lon FROM ({_TRAJ_PTS_SQL})",
+        _QUOTA_RES, _QUOTA_BUDGET, id_sql="event_id")
     from .operators.tiles import adaptive_tiles_sql
     out["adaptive_tiles"] = adaptive_tiles_sql(
         f"SELECT {EVT_LAT_SQL} AS lat, {EVT_LON_SQL} AS lon FROM events",

@@ -634,3 +634,74 @@ class TestCellDownsample:
             "SELECT id, lat, lon FROM p", 2, 7)).fetchall())
         assert 0 < len(got) < 600
         assert got == want
+
+
+class TestCellQuotaSample:
+    RES = 4
+
+    def _pts_ids(self, spark, cells, counts):
+        rows, i = [], 0
+        for (y, x), c in zip(cells, counts):
+            lat, lon = _center(y, x, self.RES)
+            for _ in range(c):
+                rows.append((i, lat, lon))
+                i += 1
+        return spark.createDataFrame(
+            rows, "id long, lat double, lon double")
+
+    def test_exact_total_and_proportionality(self, spark):
+        """Counts 60/30/10, budget 10 -> quotas exactly 6/3/1 and
+        exactly 10 rows total."""
+        from geospark.operators.tiles import cell_quota_sample
+        d = self._pts_ids(spark, [(1, 1), (2, 2), (3, 3)],
+                          [60, 30, 10])
+        got = cell_quota_sample(d, self.RES, 10, id_col="id")
+        per = dict((r["cell"], r["count"]) for r in
+                   got.groupBy("cell").count().collect())
+        assert per == {_cell(1, 1, self.RES): 6,
+                       _cell(2, 2, self.RES): 3,
+                       _cell(3, 3, self.RES): 1}
+
+    def test_largest_remainder_exactness(self, spark):
+        """Counts 10/10/10, budget 10: floors are 3 each (9 total),
+        the +1 goes to ONE cell by (remainder, cell) order — total
+        still exactly 10."""
+        from geospark.operators.tiles import cell_quota_sample
+        d = self._pts_ids(spark, [(1, 1), (2, 2), (3, 3)],
+                          [10, 10, 10])
+        got = cell_quota_sample(d, self.RES, 10, id_col="id")
+        per = sorted(r["count"] for r in
+                     got.groupBy("cell").count().collect())
+        assert per == [3, 3, 4]
+        assert got.count() == 10
+
+    def test_deterministic_reruns(self, spark):
+        from geospark.operators.tiles import cell_quota_sample
+        d = self._pts_ids(spark, [(1, 1), (5, 5)], [40, 20])
+        a = _rows(cell_quota_sample(d, self.RES, 15, id_col="id"))
+        b = _rows(cell_quota_sample(d, self.RES, 15, id_col="id"))
+        assert a == b and len(a) == 15
+
+    def test_inline_oracle_parity(self, spark):
+        import duckdb
+        import numpy as np
+
+        from geospark.operators.tiles import (cell_quota_sample,
+                                              cell_quota_sample_sql)
+        rng = np.random.default_rng(41)
+        rows = [(int(i), float(a), float(b)) for i, (a, b) in
+                enumerate(zip(rng.uniform(-60, 60, 500).round(1),
+                              rng.uniform(-150, 150, 500).round(1)))]
+        d = spark.createDataFrame(rows,
+                                  "id long, lat double, lon double")
+        got = _rows(cell_quota_sample(d, 2, 123, id_col="id"),
+                    ["id", "cell"])
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE p (id BIGINT, lat DOUBLE, lon DOUBLE)")
+        con.executemany("INSERT INTO p VALUES (?, ?, ?)", rows)
+        want = sorted(tuple(r) for r in con.execute(
+            cell_quota_sample_sql("SELECT id, lat, lon FROM p",
+                                  2, 123)).fetchall())
+        assert len(got) == 123
+        assert got == want
