@@ -364,3 +364,64 @@ def stream_batch_dedup(stream_df, existing, *, text_col: str = "text",
         F.when(F.col("_exact") == 1, F.lit("exact_dup"))
         .when(near_any == 1, F.lit("near_dup"))
         .otherwise(F.lit("new")).alias("status"))
+
+
+def stream_fence_events(stream_df, fence_cells, res: int, *,
+                        user_col: str = "user_id",
+                        ts_col: str = "ts", id_col: str = "event_id",
+                        lat_col: str = "lat", lon_col: str = "lon"):
+    """Streaming geofence alerting (applyInPandasWithState) — the
+    real-time twin of operators/events.fence_events: emit an
+    enter/exit row the moment a user's event flips their fence
+    membership, with the per-user membership bit living in the state
+    store across microbatches (O(active users) state, independent of
+    history).
+
+    ``fence_cells`` is an iterable of cell ids at ``res`` — a fence is
+    aggregate-sized by construction (a covering / dbscan cores /
+    hot-tile set), so it ships in the function closure; at a real
+    cluster scale it is a few MB broadcast with the task, same cost
+    class as the batch operator's broadcast join. Cell assignment
+    happens JVM-side BEFORE the stateful step (cell_encode column
+    math), so the only Python is the Arrow-batched state function.
+
+    Contract (stream_sessionize's replay contract): within-user
+    event-time order non-decreasing across microbatches. Output
+    schema == batch fence_events -> (user, us, event, cell), and the
+    chunked replay equals the batch operator exactly (tested).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql import functions as F
+
+    from ..functions.cells import cell_encode
+    fence = frozenset(int(c) for c in fence_cells)
+    d = stream_df.withColumn(
+        "_cell", cell_encode(lat_col, lon_col, res))
+    out_schema = f"{user_col} long, us long, event string, cell long"
+
+    def fn(key, pdfs, state):
+        (uid,) = key
+        last = state.get[0] if state.exists else 0
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values([ts_col, id_col])
+            for t, cell in zip(pdf[ts_col], pdf["_cell"]):
+                inf = 1 if int(cell) in fence else 0
+                if inf != last:
+                    us = int(pd.Timestamp(t).value // 1000)
+                    rows.append((uid, us,
+                                 "enter" if inf else "exit",
+                                 int(cell)))
+                last = inf
+        state.update((last,))
+        if rows:
+            yield pd.DataFrame(
+                rows, columns=[user_col, "us", "event", "cell"])
+
+    return (d.groupBy(user_col)
+            .applyInPandasWithState(
+                fn, outputStructType=out_schema,
+                stateStructType="last_in integer",
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout))

@@ -705,3 +705,114 @@ class TestCellQuotaSample:
                                   2, 123)).fetchall())
         assert len(got) == 123
         assert got == want
+
+
+class TestStreamFenceEvents:
+    RES = 4
+
+    def test_matches_batch_across_microbatches(self, spark, tmp_path):
+        """Chunked replay through the state store equals the batch
+        fence_events operator exactly — including a membership bit
+        that must SURVIVE a microbatch boundary (user inside the
+        fence at the end of file 1, exits in file 2)."""
+        import datetime as dt
+
+        from pyspark.sql import functions as F
+
+        from geospark.operators.events import fence_events
+        from geospark.streaming.stream import stream_fence_events
+        base = dt.datetime(2024, 1, 1)
+        inside, outside = _center(5, 5, self.RES), _center(0, 0,
+                                                           self.RES)
+        rows, eid = [], 0
+        # user 1: out, in | in, out  (split across the file boundary
+        # mid-stay); user 2: in | in (no exit ever); user 3 never in
+        spots = {1: [outside, inside, inside, outside],
+                 2: [inside, inside],
+                 3: [outside, outside, outside]}
+        for uid, seq in spots.items():
+            t = base + dt.timedelta(minutes=uid)
+            for lat, lon in seq:
+                rows.append((eid, t, uid, lat, lon))
+                eid += 1
+                t += dt.timedelta(minutes=7)
+        # interleave users, split mid-way
+        rows.sort(key=lambda r: (r[1], r[0]))
+        half = len(rows) // 2
+        schema = ("event_id long, ts timestamp_ntz, user_id long, "
+                  "lat double, lon double")
+        src = str(tmp_path / "fence_src")
+        spark.createDataFrame(rows[:half], schema).coalesce(1) \
+            .write.mode("overwrite").parquet(src)
+        spark.createDataFrame(rows[half:], schema).coalesce(1) \
+            .write.mode("append").parquet(src)
+
+        fence = [_cell(5, 5, self.RES)]
+        sdf = (spark.readStream.schema(schema)
+               .option("maxFilesPerTrigger", 1).parquet(src))
+        out = stream_fence_events(sdf, fence, self.RES)
+        q = (out.writeStream.format("memory")
+             .queryName("fence_stream").outputMode("append")
+             .option("checkpointLocation", str(tmp_path / "ck"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        got = sorted(tuple(r) for r in spark.sql(
+            "SELECT user_id, us, event, cell FROM fence_stream")
+            .collect())
+
+        e = spark.read.parquet(src)
+        pts = e.select("user_id", "event_id", "lat", "lon",
+                       F.expr("timestampdiff(MICROSECOND, "
+                              "TIMESTAMP_NTZ '2024-01-01 00:00:00', "
+                              "ts)").alias("us"))
+        fdf = spark.createDataFrame([(c,) for c in fence],
+                                    "cell long")
+        want_df = fence_events(pts, fdf, self.RES)
+        # batch us is epoch-2024 µs; stream us is epoch-1970 µs
+        off = int(dt.datetime(2024, 1, 1,
+                              tzinfo=dt.timezone.utc).timestamp()
+                  * 1_000_000)
+        want = sorted((r["user_id"], r["us"] + off, r["event"],
+                       r["cell"]) for r in want_df.collect())
+        assert len(got) == 3  # u1 enter+exit, u2 enter, u3 nothing
+        assert got == want
+
+    def test_state_survives_restart(self, spark, tmp_path):
+        """Same checkpoint dir, new files appended after the first
+        run: the second run emits ONLY the new transition (the bit
+        was persisted, not recomputed)."""
+        import datetime as dt
+        from geospark.streaming.stream import stream_fence_events
+        base = dt.datetime(2024, 1, 1)
+        inside, outside = _center(5, 5, self.RES), _center(0, 0,
+                                                           self.RES)
+        schema = ("event_id long, ts timestamp_ntz, user_id long, "
+                  "lat double, lon double")
+        src = str(tmp_path / "src")
+        ck = str(tmp_path / "ck")
+        fence = [_cell(5, 5, self.RES)]
+
+        out = str(tmp_path / "out")
+
+        def run():
+            # file sink (memory sink can't recover from a checkpoint)
+            sdf = (spark.readStream.schema(schema)
+                   .option("maxFilesPerTrigger", 1).parquet(src))
+            q = (stream_fence_events(sdf, fence, self.RES)
+                 .writeStream.format("parquet")
+                 .option("path", out).outputMode("append")
+                 .option("checkpointLocation", ck)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination()
+            return sorted(tuple(r) for r in spark.read.parquet(out)
+                          .select("user_id", "event").collect())
+
+        spark.createDataFrame(
+            [(0, base, 1, *inside)], schema).coalesce(1) \
+            .write.mode("overwrite").parquet(src)
+        assert run() == [(1, "enter")]
+        spark.createDataFrame(
+            [(1, base + dt.timedelta(hours=1), 1, *outside)],
+            schema).coalesce(1).write.mode("append").parquet(src)
+        # cumulative file-sink contents: first run's enter + new exit
+        assert run() == [(1, "enter"), (1, "exit")]
