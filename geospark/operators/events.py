@@ -887,3 +887,50 @@ p AS (SELECT u, us, us - pus AS dt_us,
       FROM h WHERE pus IS NOT NULL)
 SELECT u AS user_id, us, dt_us, d2 FROM p WHERE d2 > lim * lim
 """
+
+
+def user_mobility(points, res: int, *, user_col: str = "user_id",
+                  lat_col: str = "lat", lon_col: str = "lon"):
+    """Per-user mobility profile — the feature block mobility mining
+    starts from (and the input to predictability / account-linking
+    models): event volume, spatial breadth (distinct cells at
+    ``res``), and concentration = the modal cell's share of the
+    user's events in ppm (``(1e6 * top_cnt) div n_events`` — a
+    commuter pinned to one cell scores 1e6, a tourist scores low;
+    BIGINT floor, no float share to drift cross-engine; modal ties
+    need no break — the SHARE is tie-invariant).
+
+    Scale shape: one (user, cell)-keyed count shuffle, then a
+    user-keyed agg over the aggregate-sized rows riding a second
+    (strictly smaller) exchange; both stages map-side combinable.
+    -> (user, n_events, n_cells, top_share_ppm)."""
+    from pyspark.sql import functions as F
+
+    from ..functions.cells import cell_encode
+    per = (points.select(
+        F.col(user_col).alias("_u"),
+        cell_encode(lat_col, lon_col, res).alias("_cell"))
+        .groupBy("_u", "_cell").agg(F.count(F.lit(1)).alias("_n")))
+    return (per.groupBy("_u")
+            .agg(F.sum("_n").alias("n_events"),
+                 F.count(F.lit(1)).alias("n_cells"),
+                 F.max("_n").alias("_top"))
+            .select(F.col("_u").alias(user_col), "n_events",
+                    "n_cells",
+                    F.expr("(1000000 * _top) div n_events")
+                    .alias("top_share_ppm")))
+
+
+def user_mobility_sql(pts_sql: str, res: int) -> str:
+    """DuckDB twin of user_mobility over a subquery producing
+    (user_id, lat, lon)."""
+    from ..functions.cells import cell_encode_sql
+    cell = cell_encode_sql("lat", "lon", res)
+    return f"""
+WITH per AS (SELECT user_id AS u, {cell} AS cell, COUNT(*) AS n
+             FROM ({pts_sql}) GROUP BY 1, 2)
+SELECT u AS user_id, CAST(SUM(n) AS BIGINT) AS n_events,
+       COUNT(*) AS n_cells,
+       CAST((1000000 * MAX(n)) // SUM(n) AS BIGINT) AS top_share_ppm
+FROM per GROUP BY 1
+"""

@@ -2331,6 +2331,18 @@ def q_cell_quota_sample(spark, sf_dir):
                              id_col="id")
 
 
+_MOBILITY_RES = 6
+
+
+def q_user_mobility(spark, sf_dir):
+    """Per-user mobility profile (r5.23): event volume, spatial
+    breadth, and modal-cell concentration in floor ppm — the feature
+    block predictability / account-linking models start from
+    (operators/events.user_mobility docstring)."""
+    from .operators.events import user_mobility
+    return user_mobility(_traj_pts(spark, sf_dir), _MOBILITY_RES)
+
+
 # kmeans knobs: res 6 / k 12 / 3 Lloyd rounds over the 1,243 occupied
 # customer cells at sf0.01 — all 12 clusters stay live with sizes
 # 19..275, so the label hash covers real geometry, not degeneracy
@@ -2638,6 +2650,7 @@ QUERIES = {
     "politeness": q_politeness,
     "cell_downsample": q_cell_downsample,
     "cell_quota_sample": q_cell_quota_sample,
+    "user_mobility": q_user_mobility,
 }
 
 
@@ -3347,6 +3360,9 @@ def oracle_sql() -> dict[str, str]:
     out["cell_quota_sample"] = cell_quota_sample_sql(
         f"SELECT event_id, lat, lon FROM ({_TRAJ_PTS_SQL})",
         _QUOTA_RES, _QUOTA_BUDGET, id_sql="event_id")
+    from .operators.events import user_mobility_sql
+    out["user_mobility"] = user_mobility_sql(_TRAJ_PTS_SQL,
+                                             _MOBILITY_RES)
     from .operators.tiles import adaptive_tiles_sql
     out["adaptive_tiles"] = adaptive_tiles_sql(
         f"SELECT {EVT_LAT_SQL} AS lat, {EVT_LON_SQL} AS lon FROM events",

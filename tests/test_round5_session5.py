@@ -816,3 +816,57 @@ class TestStreamFenceEvents:
             schema).coalesce(1).write.mode("append").parquet(src)
         # cumulative file-sink contents: first run's enter + new exit
         assert run() == [(1, "enter"), (1, "exit")]
+
+
+class TestUserMobility:
+    RES = 4
+
+    def _ev(self, spark, visits):
+        rows = [(u, *_center(y, x, self.RES)) for u, (y, x) in visits]
+        return spark.createDataFrame(
+            rows, "user_id long, lat double, lon double")
+
+    def test_profile_and_floor_share(self, spark):
+        """User 1: 3 events over 2 cells, modal 2/3 -> floor 666666
+        ppm. User 2: pinned to one cell -> exactly 1e6."""
+        from geospark.operators.events import user_mobility
+        ev = self._ev(spark, [(1, (1, 1)), (1, (1, 1)), (1, (2, 2)),
+                              (2, (5, 5)), (2, (5, 5))])
+        got = _rows(user_mobility(ev, self.RES),
+                    ["user_id", "n_events", "n_cells",
+                     "top_share_ppm"])
+        assert got == [(1, 3, 2, 666666), (2, 2, 1, 1000000)]
+
+    def test_modal_tie_is_share_invariant(self, spark):
+        """Two cells tied at 2 visits each: whichever is 'modal', the
+        share is the same (2/4 -> 500000)."""
+        from geospark.operators.events import user_mobility
+        ev = self._ev(spark, [(1, (1, 1)), (1, (1, 1)),
+                              (1, (2, 2)), (1, (2, 2))])
+        got = _rows(user_mobility(ev, self.RES),
+                    ["user_id", "top_share_ppm"])
+        assert got == [(1, 500000)]
+
+    def test_inline_oracle_parity(self, spark):
+        import duckdb
+        import numpy as np
+
+        from geospark.operators.events import (user_mobility,
+                                               user_mobility_sql)
+        rng = np.random.default_rng(43)
+        rows = [(int(u), float(a), float(b)) for u, a, b in zip(
+            rng.integers(1, 25, 500),
+            rng.uniform(-80, 80, 500).round(1),
+            rng.uniform(-170, 170, 500).round(1))]
+        ev = spark.createDataFrame(
+            rows, "user_id long, lat double, lon double")
+        got = _rows(user_mobility(ev, 3),
+                    ["user_id", "n_events", "n_cells",
+                     "top_share_ppm"])
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE e (user_id BIGINT, lat DOUBLE, lon DOUBLE)")
+        con.executemany("INSERT INTO e VALUES (?, ?, ?)", rows)
+        want = sorted(tuple(r) for r in con.execute(user_mobility_sql(
+            "SELECT user_id, lat, lon FROM e", 3)).fetchall())
+        assert got == want
