@@ -719,3 +719,73 @@ r AS (SELECT d.id, d.cell, quota.alloc,
       FROM d JOIN quota USING (cell))
 SELECT id, cell FROM r WHERE rn <= alloc
 """
+
+
+def cell_trend(points, res: int, *, us_col: str = "us",
+               lat_col: str = "lat", lon_col: str = "lon",
+               day_us: int = 86_400_000_000):
+    """Per-cell growth trend — the ordinary-least-squares slope of
+    each cell's DAILY event count over the observed span, in events/
+    day scaled to ppm: the "which tiles are heating up / cooling
+    down" dashboard query. Rides the dense calendar (zero-arrival
+    days must pull the slope DOWN, so the gap-fill is load-bearing —
+    cell_rolling's lesson), and because the dense span is identical
+    for every cell the regression denominator n*Sxx - Sx^2 is one
+    shared positive constant.
+
+    Integer-exact: with x = day - lo and y = n_events, slope_ppm =
+    trunc(1e6 * (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2)) — all-BIGINT sums,
+    and the final division is TRUNCATION TOWARD ZERO on a possibly
+    negative numerator (Spark's `div`); the DuckDB twin replicates
+    truncation explicitly via sign decomposition because `//` floors
+    negatives (-7//2 = -4 vs -7 div 2 = -3). Headroom: 1e6·|num| ≲
+    9.2e18 with |num| ≤ m^2·max_daily (m = span days) — at m = 3650
+    and 1e8 events/day pre-scale y.
+
+    Spans shorter than 2 days have no slope: returns an empty frame
+    (den would be 0). One (cell, day) count shuffle + one cell-keyed
+    agg over the dense rows. -> (cell, n_total, slope_ppm)."""
+    from pyspark.sql import functions as F
+    filled, lo, hi = _dense_daily_counts(
+        points, res, us_col=us_col, lat_col=lat_col, lon_col=lon_col,
+        day_us=day_us)
+    if lo is None or hi == lo:
+        return (filled.groupBy("cell")
+                .agg(F.sum("n_events").alias("n_total"),
+                     F.lit(0).cast("long").alias("slope_ppm"))
+                .limit(0))
+    x = F.col("day") - F.lit(lo)
+    g = (filled.groupBy("cell")
+         .agg(F.count(F.lit(1)).alias("_n"),
+              F.sum(x).alias("_sx"),
+              F.sum(x * x).alias("_sxx"),
+              F.sum("n_events").alias("n_total"),
+              F.sum(x * F.col("n_events")).alias("_sxy")))
+    return g.select(
+        "cell", "n_total",
+        F.expr("(1000000 * (_n * _sxy - _sx * n_total)) div "
+               "(_n * _sxx - _sx * _sx)").alias("slope_ppm"))
+
+
+def cell_trend_sql(pts_sql: str, res: int, *,
+                   day_us: int = 86_400_000_000) -> str:
+    """DuckDB twin of cell_trend over a subquery producing
+    (lat, lon, us) — same dense prologue; the signed division
+    truncates toward zero via sign decomposition to match Spark's
+    `div` (DuckDB's // floors negatives)."""
+    num = "(1000000 * (n * sxy - sx * n_total))"
+    den = "(n * sxx - sx * sx)"
+    return f"""
+WITH {_dense_daily_counts_sql(pts_sql, res, day_us)},
+g AS (SELECT cell, COUNT(*) AS n,
+      CAST(SUM(day - lo) AS BIGINT) AS sx,
+      CAST(SUM((day - lo) * (day - lo)) AS BIGINT) AS sxx,
+      CAST(SUM(n_events) AS BIGINT) AS n_total,
+      CAST(SUM((day - lo) * n_events) AS BIGINT) AS sxy
+      FROM filled, span GROUP BY cell
+      HAVING MAX(day) > MIN(day))
+SELECT cell, n_total,
+       CAST(CASE WHEN {num} >= 0 THEN {num} // {den}
+            ELSE -((-{num}) // {den}) END AS BIGINT) AS slope_ppm
+FROM g
+"""

@@ -2332,6 +2332,16 @@ def q_cell_quota_sample(spark, sf_dir):
 
 
 _MOBILITY_RES = 6
+_TREND_RES = 4
+
+
+def q_cell_trend(spark, sf_dir):
+    """Per-cell OLS growth trend (r5.23): the slope of each res-4
+    cell's dense daily count series in ppm/day — which tiles heat up
+    or cool down (operators/tiles.cell_trend docstring: shared
+    denominator, signed truncation toward zero)."""
+    from .operators.tiles import cell_trend
+    return cell_trend(_traj_pts(spark, sf_dir), _TREND_RES)
 
 
 def q_user_mobility(spark, sf_dir):
@@ -2651,6 +2661,7 @@ QUERIES = {
     "cell_downsample": q_cell_downsample,
     "cell_quota_sample": q_cell_quota_sample,
     "user_mobility": q_user_mobility,
+    "cell_trend": q_cell_trend,
 }
 
 
@@ -3363,6 +3374,8 @@ def oracle_sql() -> dict[str, str]:
     from .operators.events import user_mobility_sql
     out["user_mobility"] = user_mobility_sql(_TRAJ_PTS_SQL,
                                              _MOBILITY_RES)
+    from .operators.tiles import cell_trend_sql
+    out["cell_trend"] = cell_trend_sql(_TRAJ_PTS_SQL, _TREND_RES)
     from .operators.tiles import adaptive_tiles_sql
     out["adaptive_tiles"] = adaptive_tiles_sql(
         f"SELECT {EVT_LAT_SQL} AS lat, {EVT_LON_SQL} AS lon FROM events",

@@ -870,3 +870,88 @@ class TestUserMobility:
         want = sorted(tuple(r) for r in con.execute(user_mobility_sql(
             "SELECT user_id, lat, lon FROM e", 3)).fetchall())
         assert got == want
+
+
+class TestCellTrend:
+    RES = 4
+    DAY = 10  # tiny day_us so test us values stay readable
+
+    def _pts_days(self, spark, cells_days):
+        """cells_days: {(y, x): [count_day0, count_day1, ...]}."""
+        rows = []
+        for (y, x), series in cells_days.items():
+            lat, lon = _center(y, x, self.RES)
+            for day, c in enumerate(series):
+                rows += [(lat, lon, day * self.DAY)] * c
+        return spark.createDataFrame(
+            rows, "lat double, lon double, us long")
+
+    def test_unit_slopes(self, spark):
+        """Counts 1,2,3 -> slope exactly +1e6 ppm/day; 3,2,1 ->
+        -1e6; flat 2,2,2 -> 0."""
+        from geospark.operators.tiles import cell_trend
+        got = dict((r["cell"], r["slope_ppm"]) for r in cell_trend(
+            self._pts_days(spark, {(1, 1): [1, 2, 3],
+                                   (2, 2): [3, 2, 1],
+                                   (3, 3): [2, 2, 2]}),
+            self.RES, day_us=self.DAY).collect())
+        assert got == {_cell(1, 1, self.RES): 1_000_000,
+                       _cell(2, 2, self.RES): -1_000_000,
+                       _cell(3, 3, self.RES): 0}
+
+    def test_gap_days_pull_slope_down(self, spark):
+        """A cell seen only on the span's first day: its own series is
+        1,0,...,0 thanks to the dense fill (another cell extends the
+        calendar), so its slope is negative, not undefined."""
+        from geospark.operators.tiles import cell_trend
+        got = dict((r["cell"], r["slope_ppm"]) for r in cell_trend(
+            self._pts_days(spark, {(1, 1): [1],
+                                   (2, 2): [1, 1, 1]}),
+            self.RES, day_us=self.DAY).collect())
+        assert got[_cell(1, 1, self.RES)] < 0
+        assert got[_cell(2, 2, self.RES)] == 0
+
+    def test_negative_truncates_toward_zero(self, spark):
+        """6-day span, one event on day 2: num = -3, den = 105 ->
+        -3e6/105 = -28571.42..., truncated to -28571 (floor would be
+        -28572 — the Spark `div` semantics the SQL twin replicates)."""
+        from geospark.operators.tiles import cell_trend
+        # (9,9) stretches the calendar to days 0..5 (its own slope is
+        # 0 by symmetry); (1,1)'s dense series is 0,0,1,0,0,0
+        got = dict((r["cell"], (r["n_total"], r["slope_ppm"]))
+                   for r in cell_trend(
+            self._pts_days(spark, {(1, 1): [0, 0, 1],
+                                   (9, 9): [1, 0, 0, 0, 0, 1]}),
+            self.RES, day_us=self.DAY).collect())
+        assert got[_cell(1, 1, self.RES)] == (1, -28571)
+        assert got[_cell(9, 9, self.RES)] == (2, 0)
+
+    def test_single_day_span_empty(self, spark):
+        from geospark.operators.tiles import cell_trend
+        out = cell_trend(self._pts_days(spark, {(1, 1): [5]}),
+                         self.RES, day_us=self.DAY)
+        assert out.count() == 0
+        assert out.columns == ["cell", "n_total", "slope_ppm"]
+
+    def test_inline_oracle_parity(self, spark):
+        import duckdb
+        import numpy as np
+
+        from geospark.operators.tiles import cell_trend, cell_trend_sql
+        rng = np.random.default_rng(47)
+        rows = [(float(a), float(b), int(u)) for a, b, u in zip(
+            rng.uniform(-60, 60, 800).round(1),
+            rng.uniform(-150, 150, 800).round(1),
+            rng.integers(0, 200, 800))]
+        d = spark.createDataFrame(rows,
+                                  "lat double, lon double, us long")
+        got = _rows(cell_trend(d, 2, day_us=10),
+                    ["cell", "n_total", "slope_ppm"])
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE p (lat DOUBLE, lon DOUBLE, us BIGINT)")
+        con.executemany("INSERT INTO p VALUES (?, ?, ?)", rows)
+        want = sorted(tuple(r) for r in con.execute(cell_trend_sql(
+            "SELECT lat, lon, us FROM p", 2, day_us=10)).fetchall())
+        assert any(r[2] < 0 for r in got)   # negative slopes live
+        assert got == want
