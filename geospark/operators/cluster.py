@@ -350,3 +350,104 @@ SELECT cell, n_pts, cid FROM (
                             ORDER BY {d2}, c.cid) AS rn
   FROM cells g CROSS JOIN c{iters} c) WHERE rn = 1
 """)
+
+
+# ---------------------------------------------------------------------------
+# raster segmentation: contiguous same-label regions
+# ---------------------------------------------------------------------------
+
+def cell_regions(pts, res: int, *, label_col: str,
+                 lat_col: str = "lat", lon_col: str = "lon",
+                 max_iters: int = 20, algorithm: str = "minlabel"):
+    """Raster segmentation — dissolve the occupied cell raster into
+    contiguous SAME-LABEL regions: each cell takes its MODAL label
+    (most events; ties -> lexicographically smallest label, via one
+    struct-MIN over (-count, label)), then 8-adjacent cells sharing a
+    modal label merge into one region (region_id = MIN cell id, the
+    dbscan/CC convention; lon wraps, lat clamps). The vector-dissolve
+    answer a raster engine gives: dominant-language areas, dominant-
+    category zones, land-cover-style maps.
+
+    Scale shape: ONE (cell, label) count shuffle is the only
+    full-data pass; modal argmin, the ring-1 edge explode, and the CC
+    rounds all run on aggregate-sized cell tables. algorithm /
+    max_iters pass through to connected_components (raises on
+    non-convergence rather than returning partial labels).
+    -> (cell, label, n_pts, region_id) for every occupied cell
+    (isolated cells self-label)."""
+    from pyspark.sql import functions as F
+
+    from ..functions.cells import cell_encode, cell_neighbors_explode
+    from .dedup import connected_components
+    per = (pts.select(
+        cell_encode(lat_col, lon_col, res).alias("cell"),
+        F.col(label_col).alias("_lbl"))
+        .groupBy("cell", "_lbl").agg(F.count(F.lit(1)).alias("_n")))
+    modal = (per.groupBy("cell")
+             .agg(F.sum("_n").alias("n_pts"),
+                  F.min(F.struct((-F.col("_n")).alias("_neg"),
+                                 F.col("_lbl"))).alias("_b"))
+             .select("cell", F.col("_b._lbl").alias("label"),
+                     "n_pts"))
+    nbrs = (cell_neighbors_explode(modal.select("cell", "label"),
+                                   res, ring=1)
+            .filter(F.col("_neighbor") != F.col("cell"))
+            .select(F.col("cell").alias("u"), "label",
+                    F.col("_neighbor").alias("v")))
+    edges = nbrs.join(
+        modal.select(F.col("cell").alias("v"), "label"),
+        ["v", "label"]).select("u", "v")
+    labels = connected_components(edges, a_col="u", b_col="v",
+                                  max_iters=max_iters,
+                                  algorithm=algorithm) \
+        .select(F.col("doc_id").alias("cell"), F.col("cluster_id"))
+    return (modal.join(labels, "cell", "left")
+            .select("cell", "label", "n_pts",
+                    F.coalesce("cluster_id", "cell")
+                    .alias("region_id")))
+
+
+def cell_regions_sql(pts_cte: str, res: int, *,
+                     label_sql: str = "label") -> str:
+    """DuckDB twin of cell_regions over a CTE yielding
+    (lat, lon, <label_sql>): modal label via ROW_NUMBER over
+    (n DESC, label ASC) — the same total order as the struct-MIN —
+    then the dbscan recursive-closure convention with label equality
+    in the edge join."""
+    n = 1 << res
+    mask = n - 1
+    cell = (f"(CAST({res} AS BIGINT) << {_RES_SHIFT}) "
+            f"| (CAST(least(greatest(floor((lat + 90.0) / 180.0 * {n}), "
+            f"0), {n - 1}) AS BIGINT) << {res}) "
+            f"| CAST(least(greatest(floor((lon + 180.0) / 360.0 * {n}), "
+            f"0), {n - 1}) AS BIGINT)")
+    ax, bx = f"(a.cell & {mask})", f"(b.cell & {mask})"
+    ay, by = (f"((a.cell >> {res}) & {mask})",
+              f"((b.cell >> {res}) & {mask})")
+    return f"""
+WITH RECURSIVE per AS (
+  SELECT {cell} AS cell, {label_sql} AS lbl, COUNT(*) AS n
+  FROM ({pts_cte}) GROUP BY 1, 2),
+tot AS (SELECT cell, CAST(SUM(n) AS BIGINT) AS n_pts
+        FROM per GROUP BY 1),
+modal AS (
+  SELECT cell, lbl AS label FROM (
+    SELECT cell, lbl,
+           ROW_NUMBER() OVER (PARTITION BY cell
+                              ORDER BY n DESC, lbl ASC) AS rn
+    FROM per) WHERE rn = 1),
+edges AS (
+  SELECT a.cell AS u, b.cell AS v FROM modal a JOIN modal b
+  ON a.cell <> b.cell AND a.label = b.label
+  AND abs({ay} - {by}) <= 1
+  AND least(abs({ax} - {bx}), {n} - abs({ax} - {bx})) <= 1),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+lbl AS (SELECT u AS cell, LEAST(u, MIN(v)) AS region_id
+        FROM reach GROUP BY u)
+SELECT m.cell, m.label, t.n_pts,
+       COALESCE(l.region_id, m.cell) AS region_id
+FROM modal m JOIN tot t USING (cell) LEFT JOIN lbl l USING (cell)
+"""

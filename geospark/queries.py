@@ -2333,6 +2333,20 @@ def q_cell_quota_sample(spark, sf_dir):
 
 _MOBILITY_RES = 6
 _TREND_RES = 4
+_REGION_RES = 4
+
+
+def q_cell_regions(spark, sf_dir):
+    """Raster segmentation (r5.24): contiguous regions of cells
+    sharing a modal event_type — the dominant-category zone map
+    (operators/cluster.cell_regions docstring: struct-MIN modal
+    label, CC over same-label adjacency, MIN-cell region ids)."""
+    from pyspark.sql import functions as F
+    from .operators.cluster import cell_regions
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pts = e.select(F.expr(_TRAJ_LAT).alias("lat"),
+                   F.expr(_TRAJ_LON).alias("lon"), "event_type")
+    return cell_regions(pts, _REGION_RES, label_col="event_type")
 
 
 def q_cell_trend(spark, sf_dir):
@@ -2662,6 +2676,7 @@ QUERIES = {
     "cell_quota_sample": q_cell_quota_sample,
     "user_mobility": q_user_mobility,
     "cell_trend": q_cell_trend,
+    "cell_regions": q_cell_regions,
 }
 
 
@@ -3376,6 +3391,11 @@ def oracle_sql() -> dict[str, str]:
                                              _MOBILITY_RES)
     from .operators.tiles import cell_trend_sql
     out["cell_trend"] = cell_trend_sql(_TRAJ_PTS_SQL, _TREND_RES)
+    from .operators.cluster import cell_regions_sql
+    out["cell_regions"] = cell_regions_sql(
+        f"SELECT {_TRAJ_LAT} AS lat, {_TRAJ_LON} AS lon, event_type "
+        "FROM events",
+        _REGION_RES, label_sql="event_type")
     from .operators.tiles import adaptive_tiles_sql
     out["adaptive_tiles"] = adaptive_tiles_sql(
         f"SELECT {EVT_LAT_SQL} AS lat, {EVT_LON_SQL} AS lon FROM events",

@@ -955,3 +955,78 @@ class TestCellTrend:
             "SELECT lat, lon, us FROM p", 2, day_us=10)).fetchall())
         assert any(r[2] < 0 for r in got)   # negative slopes live
         assert got == want
+
+
+class TestCellRegions:
+    RES = 4
+
+    def _pts(self, spark, labeled):
+        """labeled: list of ((y, x), label) with repeats allowed."""
+        rows = [( *_center(y, x, self.RES), l) for (y, x), l in labeled]
+        return spark.createDataFrame(
+            rows, "lat double, lon double, label string")
+
+    def test_same_label_merges_different_splits(self, spark):
+        """Two adjacent 'a' cells form one region; the adjacent 'b'
+        cell is its own region despite touching both."""
+        from geospark.operators.cluster import cell_regions
+        d = self._pts(spark, [((1, 1), "a"), ((1, 2), "a"),
+                              ((1, 3), "b")])
+        got = _rows(cell_regions(d, self.RES, label_col="label"),
+                    ["cell", "label", "region_id"])
+        a1, a2, b = (_cell(1, 1, self.RES), _cell(1, 2, self.RES),
+                     _cell(1, 3, self.RES))
+        assert got == sorted([(a1, "a", a1), (a2, "a", a1),
+                              (b, "b", b)])
+
+    def test_modal_label_and_tie(self, spark):
+        """Cell with 2x'b' + 1x'a' is a 'b' cell; a 1-1 tie picks the
+        lexicographically smaller label."""
+        from geospark.operators.cluster import cell_regions
+        d = self._pts(spark, [((1, 1), "b"), ((1, 1), "b"),
+                              ((1, 1), "a"),
+                              ((5, 5), "b"), ((5, 5), "a")])
+        got = dict((r[0], r[1]) for r in _rows(
+            cell_regions(d, self.RES, label_col="label"),
+            ["cell", "label"]))
+        assert got[_cell(1, 1, self.RES)] == "b"
+        assert got[_cell(5, 5, self.RES)] == "a"
+
+    def test_diagonal_adjacency_and_gap(self, spark):
+        """Diagonal same-label cells merge (8-adjacency); a one-cell
+        gap does not."""
+        from geospark.operators.cluster import cell_regions
+        d = self._pts(spark, [((1, 1), "a"), ((2, 2), "a"),
+                              ((2, 4), "a")])
+        got = dict((r[0], r[1]) for r in _rows(
+            cell_regions(d, self.RES, label_col="label"),
+            ["cell", "region_id"]))
+        c11 = _cell(1, 1, self.RES)
+        assert got[_cell(2, 2, self.RES)] == c11
+        assert got[_cell(2, 4, self.RES)] == _cell(2, 4, self.RES)
+
+    def test_inline_oracle_parity(self, spark):
+        import duckdb
+        import numpy as np
+
+        from geospark.operators.cluster import (cell_regions,
+                                                cell_regions_sql)
+        rng = np.random.default_rng(53)
+        rows = [(float(a), float(b), f"t{int(t)}") for a, b, t in zip(
+            rng.uniform(-80, 80, 600).round(1),
+            rng.uniform(-170, 170, 600).round(1),
+            rng.integers(0, 3, 600))]
+        d = spark.createDataFrame(rows,
+                                  "lat double, lon double, "
+                                  "label string")
+        got = _rows(cell_regions(d, 3, label_col="label"),
+                    ["cell", "label", "n_pts", "region_id"])
+        con = duckdb.connect()
+        con.execute("CREATE TABLE p (lat DOUBLE, lon DOUBLE, "
+                    "label VARCHAR)")
+        con.executemany("INSERT INTO p VALUES (?, ?, ?)", rows)
+        want = sorted(tuple(r) for r in con.execute(cell_regions_sql(
+            "SELECT lat, lon, label FROM p", 3)).fetchall())
+        # non-trivial segmentation: fewer regions than cells
+        assert len({r[3] for r in got}) < len(got)
+        assert got == want
