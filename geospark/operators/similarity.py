@@ -890,3 +890,79 @@ bok AS (
 SELECT src AS vec_id, nbr AS nbr_id, sim, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= {k}
 """
+
+
+def semantic_clusters(emb_df, min_sim_ppm: int, *, k: int = 5,
+                      id_col: str = "vec_id",
+                      emb_col: str = "embedding", dim: int = 64,
+                      n_bits: int = 6, n_tables: int = 4,
+                      max_bucket: int = 1000, max_iters: int = 20,
+                      algorithm: str = "minlabel"):
+    """SemDeDup-shape semantic dedup: connected components over the
+    kNN similarity graph's edges at cosine >= ``min_sim_ppm``/1e6 —
+    vectors whose embeddings chain through high-similarity neighbours
+    collapse to one cluster, and ``keep = 1`` marks the
+    representative (minimum vec id), the row a curation pipeline
+    retains. Every input vector is emitted (no qualifying edge ->
+    its own singleton cluster, keep 1).
+
+    The threshold compares INTEGER micro-cosine: knn_graph's sim is
+    already rounded to 6 dp bit-identically in both engines, so
+    ``round(sim * 1e6)`` is the same BIGINT on both sides and the
+    gate can't ulp-flip. Scale shape: knn_graph's bucket self-join is
+    the only candidate stage (no all-pairs), CC runs on the
+    aggregate-sized edge list (<= k * n rows pre-filter) with the
+    usual materialize()/convergence-raise contract; the final left
+    join is id-keyed. -> (vec_id, cluster_id, keep)."""
+    from pyspark.sql import functions as F
+
+    from .dedup import connected_components
+    g = knn_graph(emb_df, k, id_col=id_col, emb_col=emb_col, dim=dim,
+                  n_bits=n_bits, n_tables=n_tables,
+                  max_bucket=max_bucket)
+    edges = (g.withColumn("_m", F.round(F.col("sim") * 1_000_000)
+                          .cast("long"))
+             .filter(F.col("_m") >= min_sim_ppm)
+             .select(F.col("vec_id").alias("a"),
+                     F.col("nbr_id").alias("b")))
+    labels = connected_components(edges, a_col="a", b_col="b",
+                                  max_iters=max_iters,
+                                  algorithm=algorithm) \
+        .select(F.col("doc_id").alias(id_col), F.col("cluster_id"))
+    ids = emb_df.select(F.col(id_col))
+    out = (ids.join(labels, id_col, "left")
+           .select(id_col,
+                   F.coalesce("cluster_id", F.col(id_col))
+                   .alias("cluster_id")))
+    return out.withColumn(
+        "keep", F.when(F.col(id_col) == F.col("cluster_id"), 1)
+        .otherwise(0).cast("int"))
+
+
+def semantic_clusters_sql(min_sim_ppm: int, *, k: int = 5,
+                          table: str = "embeddings",
+                          n_bits: int = 6, n_tables: int = 4,
+                          max_bucket: int = 1000) -> str:
+    """DuckDB twin of semantic_clusters: knn_graph_sql as the edge
+    source (identical buckets/rounding), symmetrized, recursive-CTE
+    closure with cluster = LEAST(self, MIN(reachable))."""
+    g = knn_graph_sql(k, table=table, n_bits=n_bits,
+                      n_tables=n_tables, max_bucket=max_bucket)
+    return f"""
+WITH RECURSIVE g AS ( {g} ),
+ed AS (SELECT vec_id AS a, nbr_id AS b FROM g
+       WHERE CAST(ROUND(sim * 1000000, 0) AS BIGINT)
+             >= {min_sim_ppm}),
+edges AS (SELECT a AS u, b AS v FROM ed
+          UNION SELECT b, a FROM ed),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+lbl AS (SELECT u AS vec_id, LEAST(u, MIN(v)) AS cluster_id
+        FROM reach GROUP BY u)
+SELECT t.vec_id, COALESCE(l.cluster_id, t.vec_id) AS cluster_id,
+       CAST(CASE WHEN COALESCE(l.cluster_id, t.vec_id) = t.vec_id
+            THEN 1 ELSE 0 END AS INT) AS keep
+FROM (SELECT vec_id FROM {table}) t LEFT JOIN lbl l USING (vec_id)
+"""

@@ -2336,6 +2336,24 @@ _TREND_RES = 4
 _REGION_RES = 4
 
 
+# SemDeDup gate: the driver embeddings are random unit vectors (no
+# planted near-dups), so a production-style 0.95 gate is vacuously
+# all-singletons; 0.35 sits in the cosine distribution's upper tail
+# and gives a LIVE clustering (402 clusters over 500 vectors, largest
+# 11) so the CC path is actually exercised by the oracle
+_SEMDEDUP_MIN_PPM = 330_000
+
+
+def q_semantic_clusters(spark, sf_dir):
+    """SemDeDup semantic dedup (r5.24): CC over the kNN similarity
+    graph at the ppm gate, keep = the min-id representative per
+    cluster (operators/similarity.semantic_clusters docstring:
+    integer micro-cosine gate, no all-pairs stage)."""
+    from .operators.similarity import semantic_clusters
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return semantic_clusters(e, _SEMDEDUP_MIN_PPM, k=5)
+
+
 def q_cell_regions(spark, sf_dir):
     """Raster segmentation (r5.24): contiguous regions of cells
     sharing a modal event_type — the dominant-category zone map
@@ -2677,6 +2695,7 @@ QUERIES = {
     "user_mobility": q_user_mobility,
     "cell_trend": q_cell_trend,
     "cell_regions": q_cell_regions,
+    "semantic_clusters": q_semantic_clusters,
 }
 
 
@@ -3391,6 +3410,9 @@ def oracle_sql() -> dict[str, str]:
                                              _MOBILITY_RES)
     from .operators.tiles import cell_trend_sql
     out["cell_trend"] = cell_trend_sql(_TRAJ_PTS_SQL, _TREND_RES)
+    from .operators.similarity import semantic_clusters_sql
+    out["semantic_clusters"] = semantic_clusters_sql(
+        _SEMDEDUP_MIN_PPM, k=5)
     from .operators.cluster import cell_regions_sql
     out["cell_regions"] = cell_regions_sql(
         f"SELECT {_TRAJ_LAT} AS lat, {_TRAJ_LON} AS lon, event_type "

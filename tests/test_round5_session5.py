@@ -1030,3 +1030,78 @@ class TestCellRegions:
         # non-trivial segmentation: fewer regions than cells
         assert len({r[3] for r in got}) < len(got)
         assert got == want
+
+
+class TestSemanticClusters:
+    def _emb(self, spark, vecs):
+        import numpy as np
+        rows = [(i, [float(x) for x in np.asarray(v) /
+                     np.linalg.norm(v)]) for i, v in vecs]
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>")
+
+    def test_chain_collapses_singletons_kept(self, spark):
+        """Vectors 1~2~3 (pairwise-chained above the threshold)
+        collapse to cluster 1 with only vec 1 kept; orthogonal vec 9
+        is a kept singleton."""
+        import numpy as np
+        from geospark.operators.similarity import semantic_clusters
+        rng = np.random.default_rng(3)
+        base = rng.normal(size=64)
+        near1 = base + rng.normal(scale=0.01, size=64)
+        near2 = near1 + rng.normal(scale=0.01, size=64)
+        ortho = rng.normal(size=64)
+        d = self._emb(spark, [(1, base), (2, near1), (3, near2),
+                              (9, ortho)])
+        got = _rows(semantic_clusters(d, 990_000, k=3,
+                                      n_tables=1, n_bits=2,
+                                      max_bucket=100),
+                    ["vec_id", "cluster_id", "keep"])
+        assert got == [(1, 1, 1), (2, 1, 0), (3, 1, 0), (9, 9, 1)]
+
+    def test_threshold_splits_clusters(self, spark):
+        """Raising min_sim_ppm above the 1-2 similarity separates
+        them into two kept singletons."""
+        import numpy as np
+        from geospark.operators.similarity import semantic_clusters
+        rng = np.random.default_rng(5)
+        base = rng.normal(size=64)
+        near = base + rng.normal(scale=0.2, size=64)  # sim ~0.98
+        d = self._emb(spark, [(1, base), (2, near)])
+        lo = semantic_clusters(d, 900_000, k=2, n_tables=1,
+                               n_bits=1, max_bucket=100)
+        hi = semantic_clusters(d, 999_999, k=2, n_tables=1,
+                               n_bits=1, max_bucket=100)
+        assert sorted(r["cluster_id"] for r in lo.collect()) == [1, 1]
+        assert sorted(r["cluster_id"] for r in hi.collect()) == [1, 2]
+        assert sum(r["keep"] for r in hi.collect()) == 2
+
+    def test_inline_oracle_parity(self, spark):
+        import duckdb
+        import numpy as np
+
+        from geospark.operators.similarity import (
+            semantic_clusters, semantic_clusters_sql)
+        rng = np.random.default_rng(59)
+        # planted near-dup pairs on top of noise
+        vecs = []
+        for i in range(40):
+            vecs.append((i, rng.normal(size=64)))
+        for i in range(40, 60):
+            b = vecs[i - 40][1]
+            vecs.append((i, b + rng.normal(scale=0.02, size=64)))
+        d = self._emb(spark, vecs)
+        got = _rows(semantic_clusters(d, 950_000, k=3),
+                    ["vec_id", "cluster_id", "keep"])
+        con = duckdb.connect()
+        con.execute("CREATE TABLE embeddings "
+                    "(vec_id BIGINT, embedding FLOAT[])")
+        norm = [(i, [float(x) for x in np.asarray(v) /
+                     np.linalg.norm(v)]) for i, v in vecs]
+        con.executemany("INSERT INTO embeddings VALUES (?, ?)", norm)
+        want = sorted(tuple(r) for r in con.execute(
+            semantic_clusters_sql(950_000, k=3)).fetchall())
+        n_clusters = len({c for _, c, _ in got})
+        assert n_clusters < 60          # planted dups collapsed
+        assert sum(k for *_, k in got) == n_clusters
+        assert got == want
