@@ -34,13 +34,18 @@ from __future__ import annotations
 
 def snap_points(pts, segs, *, pt_id: str = "pt_id",
                 x_col: str = "x", y_col: str = "y",
-                seg_id: str = "seg_id"):
-    """-> (pt_id, seg_id, t, sx, sy, d2): nearest segment per point.
-    ``segs`` must carry (seg_id, x0, y0, x1, y1) and be small enough
-    to broadcast (see module docstring for the bucketed alternative)."""
+                seg_id: str = "seg_id", carry: tuple = ()):
+    """-> (pt_id, *carry, seg_id, t, sx, sy, d2): nearest segment per
+    point. ``segs`` must carry (seg_id, x0, y0, x1, y1) and be small
+    enough to broadcast (see module docstring for the bucketed
+    alternative). ``carry`` columns are functionally dependent on
+    pt_id and ride the argmin group keys — cheaper than a join-back
+    against the fact table to recover them (route_legs uses this for
+    user/timestamp)."""
     from pyspark.sql import functions as F
 
-    j = pts.select(F.col(pt_id), F.col(x_col).alias("_px"),
+    j = pts.select(F.col(pt_id), *[F.col(c) for c in carry],
+                   F.col(x_col).alias("_px"),
                    F.col(y_col).alias("_py")) \
         .crossJoin(F.broadcast(segs.select(
             F.col(seg_id), F.col("x0"), F.col("y0"),
@@ -57,14 +62,14 @@ def snap_points(pts, segs, *, pt_id: str = "pt_id",
     ex = F.col("_px") - sx
     ey = F.col("_py") - sy
     d2 = ex * ex + ey * ey
-    cand = j.select(F.col(pt_id),
+    cand = j.select(F.col(pt_id), *[F.col(c) for c in carry],
                     F.struct(d2.alias("d2"),
                              F.col(seg_id).alias(seg_id),
                              t.alias("t"),
                              sx.alias("sx"),
                              sy.alias("sy")).alias("_c"))
-    best = cand.groupBy(pt_id).agg(F.min("_c").alias("_b"))
-    return best.select(pt_id,
+    best = cand.groupBy(pt_id, *carry).agg(F.min("_c").alias("_b"))
+    return best.select(pt_id, *carry,
                        F.col(f"_b.{seg_id}").alias(seg_id),
                        F.col("_b.t").alias("t"),
                        F.col("_b.sx").alias("sx"),
@@ -100,4 +105,59 @@ SELECT {pt_id}, {seg_id}, t, sx, sy, d2 FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY {pt_id}
             ORDER BY d2, {seg_id}) AS rk FROM scored)
 WHERE rk = 1
+"""
+
+
+def route_legs(pts, segs, *, user_col: str = "user_id",
+               us_col: str = "us", tie_col: str = "event_id",
+               x_col: str = "x", y_col: str = "y",
+               seg_id: str = "seg_id", min_trips: int = 1):
+    """Road-network transition matrix — the map-matching step after
+    snapping: each event snaps to its nearest segment (snap_points'
+    clamped projection, broadcast segs), each user's snapped stream
+    orders by (us, tie), and consecutive DIFFERENT-segment pairs
+    count as legs -> (seg_from, seg_to, n_trips). Self-transitions
+    (consecutive events on the same segment) are dwell, not movement,
+    and are dropped; the routing / congestion OD matrix over the road
+    graph, the segment-level sibling of od_matrix's cell trips.
+
+    Scale shape: the snap's argmin carries (user, us) in its group
+    keys (functionally dependent on the event id — no join-back
+    against the fact table), then ONE user-keyed window and ONE
+    (from, to)-keyed count with map-side combine."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    snapped = snap_points(
+        pts, segs, pt_id=tie_col, x_col=x_col, y_col=y_col,
+        seg_id=seg_id, carry=(user_col, us_col))
+    w = Window.partitionBy(user_col).orderBy(us_col, tie_col)
+    h = (snapped.withColumn("_prev", F.lag(seg_id).over(w))
+         .filter(F.col("_prev").isNotNull()
+                 & (F.col("_prev") != F.col(seg_id))))
+    return (h.groupBy(F.col("_prev").alias("seg_from"),
+                      F.col(seg_id).alias("seg_to"))
+            .agg(F.count(F.lit(1)).alias("n_trips"))
+            .filter(F.col("n_trips") >= min_trips))
+
+
+def route_legs_sql(pts_sql: str, segs_sql: str, *,
+                   seg_id: str = "seg_id",
+                   min_trips: int = 1) -> str:
+    """DuckDB twin of route_legs over subqueries producing
+    (user_id, us, event_id, x, y) and (seg_id, x0, y0, x1, y1) —
+    snap_points_sql's argmin, then the same lag/count."""
+    snap = snap_points_sql(
+        f"SELECT event_id AS pt_id, x, y FROM ({pts_sql})",
+        segs_sql, seg_id=seg_id)
+    return f"""
+WITH snapped AS (SELECT pt_id, {seg_id} FROM ({snap}) s),
+j AS (SELECT p.user_id, p.us, p.event_id, s.{seg_id}
+      FROM ({pts_sql}) p JOIN snapped s ON p.event_id = s.pt_id),
+h AS (SELECT user_id, {seg_id},
+      LAG({seg_id}) OVER (PARTITION BY user_id
+                          ORDER BY us, event_id) AS prev
+      FROM j)
+SELECT prev AS seg_from, {seg_id} AS seg_to, COUNT(*) AS n_trips
+FROM h WHERE prev IS NOT NULL AND prev <> {seg_id}
+GROUP BY 1, 2 HAVING COUNT(*) >= {min_trips}
 """

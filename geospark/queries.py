@@ -2336,6 +2336,33 @@ _TREND_RES = 4
 _REGION_RES = 4
 
 
+def q_route_legs(spark, sf_dir):
+    """Road-network transition matrix (r5.24): snap each trajectory
+    event to its nearest synthetic road segment, count consecutive
+    different-segment hops per user -> (seg_from, seg_to, n_trips) —
+    the map-matching OD the snap operator feeds
+    (operators/snap.route_legs docstring: carry-keyed argmin, no
+    fact-table join-back)."""
+    from pyspark.sql import functions as F
+    from .operators.snap import route_legs
+    pts = _traj_pts(spark, sf_dir).select(
+        "user_id", "us", "event_id",
+        F.col("lon").alias("x"), F.col("lat").alias("y"))
+    segs = spark.read.parquet(f"{sf_dir}/nation.parquet") \
+        .selectExpr("n_nationkey AS seg_id",
+                    "CAST((n_nationkey * 37) % 340 AS DOUBLE) - 170.0 "
+                    "AS x0",
+                    "CAST((n_nationkey * 53) % 160 AS DOUBLE) - 80.0 "
+                    "AS y0",
+                    "CAST((n_nationkey * 37) % 340 AS DOUBLE) - 170.0 "
+                    "+ CAST((n_nationkey * 7) % 40 AS DOUBLE) - 20.0 "
+                    "AS x1",
+                    "CAST((n_nationkey * 53) % 160 AS DOUBLE) - 80.0 "
+                    "+ CAST((n_nationkey * 11) % 40 AS DOUBLE) - 20.0 "
+                    "AS y1")
+    return route_legs(pts, segs)
+
+
 # SemDeDup gate: the driver embeddings are random unit vectors (no
 # planted near-dups), so a production-style 0.95 gate is vacuously
 # all-singletons; 0.35 sits in the cosine distribution's upper tail
@@ -2351,7 +2378,11 @@ def q_semantic_clusters(spark, sf_dir):
     integer micro-cosine gate, no all-pairs stage)."""
     from .operators.similarity import semantic_clusters
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return semantic_clusters(e, _SEMDEDUP_MIN_PPM, k=5)
+    # star CC: the upper-tail gate over random vectors builds one
+    # sparse giant component at sf>=0.1 whose diameter blows
+    # minlabel's 20-round budget (measured by the ops5 bench)
+    return semantic_clusters(e, _SEMDEDUP_MIN_PPM, k=5,
+                             algorithm="star")
 
 
 def q_cell_regions(spark, sf_dir):
@@ -2364,7 +2395,11 @@ def q_cell_regions(spark, sf_dir):
     e = spark.read.parquet(f"{sf_dir}/events.parquet")
     pts = e.select(F.expr(_TRAJ_LAT).alias("lat"),
                    F.expr(_TRAJ_LON).alias("lon"), "event_type")
-    return cell_regions(pts, _REGION_RES, label_col="event_type")
+    # star CC: at sf0.1 a same-label region's diameter exceeds
+    # minlabel's 20-round budget (the dbscan_cells lesson — measured
+    # by the ops5 bench, which raised the convergence error)
+    return cell_regions(pts, _REGION_RES, label_col="event_type",
+                        algorithm="star")
 
 
 def q_cell_trend(spark, sf_dir):
@@ -2696,6 +2731,7 @@ QUERIES = {
     "cell_trend": q_cell_trend,
     "cell_regions": q_cell_regions,
     "semantic_clusters": q_semantic_clusters,
+    "route_legs": q_route_legs,
 }
 
 
@@ -3410,6 +3446,10 @@ def oracle_sql() -> dict[str, str]:
                                              _MOBILITY_RES)
     from .operators.tiles import cell_trend_sql
     out["cell_trend"] = cell_trend_sql(_TRAJ_PTS_SQL, _TREND_RES)
+    from .operators.snap import route_legs_sql
+    out["route_legs"] = route_legs_sql(
+        f"SELECT user_id, us, event_id, lon AS x, lat AS y "
+        f"FROM ({_TRAJ_PTS_SQL})", _SEG_SQL)
     from .operators.similarity import semantic_clusters_sql
     out["semantic_clusters"] = semantic_clusters_sql(
         _SEMDEDUP_MIN_PPM, k=5)

@@ -1105,3 +1105,86 @@ class TestSemanticClusters:
         assert n_clusters < 60          # planted dups collapsed
         assert sum(k for *_, k in got) == n_clusters
         assert got == want
+
+
+class TestRouteLegs:
+    def _segs(self, spark):
+        """Three horizontal segments side by side on y=0, y=10, y=20."""
+        return spark.createDataFrame(
+            [(1, 0.0, 0.0, 10.0, 0.0),
+             (2, 0.0, 10.0, 10.0, 10.0),
+             (3, 0.0, 20.0, 10.0, 20.0)],
+            "seg_id long, x0 double, y0 double, "
+            "x1 double, y1 double")
+
+    def _pts(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "user_id long, us long, event_id long, "
+                  "x double, y double")
+
+    def test_transitions_counted_dwell_dropped(self, spark):
+        """User path seg1 -> seg1 -> seg2 -> seg3 -> seg2 gives legs
+        (1,2), (2,3), (3,2); the seg1->seg1 dwell is dropped."""
+        from geospark.operators.snap import route_legs
+        pts = self._pts(spark, [
+            (1, 0, 1, 1.0, 0.1), (1, 1, 2, 5.0, 0.2),
+            (1, 2, 3, 5.0, 9.8), (1, 3, 4, 5.0, 19.9),
+            (1, 4, 5, 5.0, 10.3)])
+        got = _rows(route_legs(pts, self._segs(spark)),
+                    ["seg_from", "seg_to", "n_trips"])
+        assert got == sorted([(1, 2, 1), (2, 3, 1), (3, 2, 1)])
+
+    def test_legs_aggregate_across_users(self, spark):
+        """Two users making the same 1->2 hop aggregate to n_trips=2;
+        min_trips=2 filters a single-occurrence leg."""
+        from geospark.operators.snap import route_legs
+        pts = self._pts(spark, [
+            (1, 0, 1, 1.0, 0.0), (1, 1, 2, 1.0, 10.0),
+            (2, 0, 3, 2.0, 0.0), (2, 1, 4, 2.0, 10.0),
+            (2, 2, 5, 2.0, 20.0)])
+        got = _rows(route_legs(pts, self._segs(spark), min_trips=2),
+                    ["seg_from", "seg_to", "n_trips"])
+        assert got == [(1, 2, 2)]
+
+    def test_no_cross_user_legs(self, spark):
+        from geospark.operators.snap import route_legs
+        pts = self._pts(spark, [(1, 0, 1, 1.0, 0.0),
+                                (2, 1, 2, 1.0, 10.0)])
+        assert route_legs(pts, self._segs(spark)).count() == 0
+
+    def test_inline_oracle_parity(self, spark):
+        import duckdb
+        import numpy as np
+
+        from geospark.operators.snap import route_legs, route_legs_sql
+        rng = np.random.default_rng(61)
+        pts_rows = [(int(u), int(us), int(e), float(a), float(b))
+                    for e, (u, us, a, b) in enumerate(zip(
+                        rng.integers(1, 10, 400),
+                        rng.integers(0, 10**6, 400),
+                        rng.uniform(-15.0, 25.0, 400).round(2),
+                        rng.uniform(-5.0, 25.0, 400).round(2)))]
+        seg_rows = [(int(i), float(x0), float(y0), float(x1),
+                     float(y1)) for i, (x0, y0, x1, y1) in enumerate(
+            zip(rng.uniform(-10, 20, 12), rng.uniform(-10, 20, 12),
+                rng.uniform(-10, 20, 12), rng.uniform(-10, 20, 12)))]
+        pts = self._pts(spark, pts_rows)
+        segs = spark.createDataFrame(
+            seg_rows, "seg_id long, x0 double, y0 double, "
+                      "x1 double, y1 double")
+        got = _rows(route_legs(pts, segs),
+                    ["seg_from", "seg_to", "n_trips"])
+        con = duckdb.connect()
+        con.execute("CREATE TABLE p (user_id BIGINT, us BIGINT, "
+                    "event_id BIGINT, x DOUBLE, y DOUBLE)")
+        con.executemany("INSERT INTO p VALUES (?, ?, ?, ?, ?)",
+                        pts_rows)
+        con.execute("CREATE TABLE s (seg_id BIGINT, x0 DOUBLE, "
+                    "y0 DOUBLE, x1 DOUBLE, y1 DOUBLE)")
+        con.executemany("INSERT INTO s VALUES (?, ?, ?, ?, ?)",
+                        seg_rows)
+        want = sorted(tuple(r) for r in con.execute(route_legs_sql(
+            "SELECT user_id, us, event_id, x, y FROM p",
+            "SELECT seg_id, x0, y0, x1, y1 FROM s")).fetchall())
+        assert len(got) > 0
+        assert got == want
