@@ -934,3 +934,73 @@ SELECT u AS user_id, CAST(SUM(n) AS BIGINT) AS n_events,
        CAST((1000000 * MAX(n)) // SUM(n) AS BIGINT) AS top_share_ppm
 FROM per GROUP BY 1
 """
+
+
+def home_work(points, res: int, *, user_col: str = "user_id",
+              us_col: str = "us", lat_col: str = "lat",
+              lon_col: str = "lon",
+              night: tuple = (0, 6), day: tuple = (9, 17),
+              hour_us: int = 3_600_000_000):
+    """Home/work location inference — the mobility-mining classic:
+    a user's HOME is the modal cell among events in the night window
+    [night[0], night[1]) hours-of-day, WORK the modal cell in the day
+    window; either is NULL when the user has no events in that
+    window. Hour-of-day is ``(us div hour_us) % 24`` — integer bit
+    math off the µs epoch (the synthetic tables carry no timezone;
+    shift ``us`` upstream for local-time semantics). Modal ties break
+    on the smaller cell id via one struct-MIN over (-count, cell).
+
+    Scale shape: one (user, window, cell) count shuffle, then two
+    aggregate-sized user-keyed aggs (argmin, pivot-by-CASE) riding
+    strictly smaller exchanges. -> (user, home_cell, work_cell)."""
+    from pyspark.sql import functions as F
+
+    from ..functions.cells import cell_encode
+    hr = F.expr(f"({us_col} div {hour_us}) % 24")
+    k = (F.when((hr >= night[0]) & (hr < night[1]), F.lit("h"))
+         .when((hr >= day[0]) & (hr < day[1]), F.lit("w")))
+    per = (points.select(
+        F.col(user_col).alias("_u"), k.alias("_k"),
+        cell_encode(lat_col, lon_col, res).alias("_cell"))
+        .filter(F.col("_k").isNotNull())
+        .groupBy("_u", "_k", "_cell")
+        .agg(F.count(F.lit(1)).alias("_n")))
+    best = (per.groupBy("_u", "_k")
+            .agg(F.min(F.struct((-F.col("_n")).alias("_neg"),
+                                F.col("_cell"))).alias("_b"))
+            .select("_u", "_k", F.col("_b._cell").alias("_best")))
+    return (best.groupBy("_u")
+            .agg(F.min(F.when(F.col("_k") == "h", F.col("_best")))
+                 .alias("home_cell"),
+                 F.min(F.when(F.col("_k") == "w", F.col("_best")))
+                 .alias("work_cell"))
+            .select(F.col("_u").alias(user_col), "home_cell",
+                    "work_cell"))
+
+
+def home_work_sql(pts_sql: str, res: int, *,
+                  night: tuple = (0, 6), day: tuple = (9, 17),
+                  hour_us: int = 3_600_000_000) -> str:
+    """DuckDB twin of home_work over a subquery producing
+    (user_id, us, lat, lon)."""
+    from ..functions.cells import cell_encode_sql
+    cell = cell_encode_sql("lat", "lon", res)
+    hr = f"((us // {hour_us}) % 24)"
+    k = (f"CASE WHEN {hr} >= {night[0]} AND {hr} < {night[1]} "
+         f"THEN 'h' WHEN {hr} >= {day[0]} AND {hr} < {day[1]} "
+         f"THEN 'w' END")
+    return f"""
+WITH per AS (
+  SELECT user_id AS u, {k} AS k, {cell} AS cell, COUNT(*) AS n
+  FROM ({pts_sql}) WHERE {k} IS NOT NULL GROUP BY 1, 2, 3),
+best AS (
+  SELECT u, k, cell AS best FROM (
+    SELECT u, k, cell,
+           ROW_NUMBER() OVER (PARTITION BY u, k
+                              ORDER BY n DESC, cell ASC) AS rn
+    FROM per) WHERE rn = 1)
+SELECT u AS user_id,
+       MIN(CASE WHEN k = 'h' THEN best END) AS home_cell,
+       MIN(CASE WHEN k = 'w' THEN best END) AS work_cell
+FROM best GROUP BY 1
+"""

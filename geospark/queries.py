@@ -2336,6 +2336,30 @@ _TREND_RES = 4
 _REGION_RES = 4
 
 
+_HOMEWORK_RES = 5
+
+
+def q_home_work(spark, sf_dir):
+    """Home/work inference (r5.25): modal night cell and modal day
+    cell per user (operators/events.home_work docstring: integer
+    hour-of-day buckets, struct-MIN modal ties)."""
+    from .operators.events import home_work
+    return home_work(_traj_pts(spark, sf_dir), _HOMEWORK_RES)
+
+
+def q_seg_rank(spark, sf_dir):
+    """Segment importance (r5.25): integer PageRank over the
+    map-matched route-leg graph — operator composition (route_legs
+    edges -> graph.pagerank), the 'which road segments matter'
+    ranking. Nation-keyed segments give a dense 25-node graph."""
+    from pyspark.sql import functions as F
+    from .operators.graph import pagerank
+    legs = q_route_legs(spark, sf_dir)
+    edges = legs.select(F.col("seg_from").alias("src"),
+                        F.col("seg_to").alias("dst"))
+    return pagerank(edges, 25)
+
+
 def q_route_legs(spark, sf_dir):
     """Road-network transition matrix (r5.24): snap each trajectory
     event to its nearest synthetic road segment, count consecutive
@@ -2732,6 +2756,8 @@ QUERIES = {
     "cell_regions": q_cell_regions,
     "semantic_clusters": q_semantic_clusters,
     "route_legs": q_route_legs,
+    "home_work": q_home_work,
+    "seg_rank": q_seg_rank,
 }
 
 
@@ -3450,6 +3476,13 @@ def oracle_sql() -> dict[str, str]:
     out["route_legs"] = route_legs_sql(
         f"SELECT user_id, us, event_id, lon AS x, lat AS y "
         f"FROM ({_TRAJ_PTS_SQL})", _SEG_SQL)
+    from .operators.events import home_work_sql
+    from .operators.graph import pagerank_sql
+    out["home_work"] = home_work_sql(_TRAJ_PTS_SQL, _HOMEWORK_RES)
+    out["seg_rank"] = pagerank_sql(
+        f"SELECT seg_from AS src, seg_to AS dst FROM "
+        f"({out['route_legs']})",
+        "SELECT CAST(range AS BIGINT) AS id FROM range(25)", "25")
     from .operators.similarity import semantic_clusters_sql
     out["semantic_clusters"] = semantic_clusters_sql(
         _SEMDEDUP_MIN_PPM, k=5)

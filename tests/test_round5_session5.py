@@ -1188,3 +1188,79 @@ class TestRouteLegs:
             "SELECT seg_id, x0, y0, x1, y1 FROM s")).fetchall())
         assert len(got) > 0
         assert got == want
+
+
+class TestHomeWork:
+    RES = 4
+    HR = 3_600_000_000
+
+    def _ev(self, spark, rows):
+        """rows: (user, hour, (y, x))."""
+        data = [(u, h * self.HR + 1, *_center(y, x, self.RES))
+                for u, h, (y, x) in rows]
+        return spark.createDataFrame(
+            data, "user_id long, us long, lat double, lon double")
+
+    def test_modal_night_and_day_cells(self, spark):
+        """Night events (hours 0-5) pick home, day events (9-16) pick
+        work; evening hour 20 counts toward neither."""
+        from geospark.operators.events import home_work
+        h, w, o = (1, 1), (5, 5), (9, 9)
+        ev = self._ev(spark, [
+            (1, 2, h), (1, 3, h), (1, 4, (2, 2)),   # night: h modal
+            (1, 10, w), (1, 11, w), (1, 12, (6, 6)),  # day: w modal
+            (1, 20, o)])                              # ignored
+        got = _rows(home_work(ev, self.RES),
+                    ["user_id", "home_cell", "work_cell"])
+        assert got == [(1, _cell(*h, self.RES), _cell(*w, self.RES))]
+
+    def test_missing_window_is_null(self, spark):
+        """A day-only user has home_cell NULL; night-only -> work
+        NULL."""
+        from geospark.operators.events import home_work
+        ev = self._ev(spark, [(1, 10, (5, 5)), (2, 3, (1, 1))])
+        got = _rows(home_work(ev, self.RES))
+        assert got == sorted([
+            (1, None, _cell(5, 5, self.RES)),
+            (2, _cell(1, 1, self.RES), None)])
+
+    def test_modal_tie_smaller_cell(self, spark):
+        from geospark.operators.events import home_work
+        ev = self._ev(spark, [(1, 2, (1, 1)), (1, 3, (2, 2))])
+        got = _rows(home_work(ev, self.RES),
+                    ["user_id", "home_cell"])
+        assert got == [(1, _cell(1, 1, self.RES))]
+
+    def test_hour_wraps_across_days(self, spark):
+        """us beyond day 1: hour-of-day is (us div hr) % 24 — an
+        event at day 3, hour 2 is still night."""
+        from geospark.operators.events import home_work
+        ev = self._ev(spark, [(1, 3 * 24 + 2, (1, 1))])
+        got = _rows(home_work(ev, self.RES),
+                    ["user_id", "home_cell"])
+        assert got == [(1, _cell(1, 1, self.RES))]
+
+    def test_inline_oracle_parity(self, spark):
+        import duckdb
+        import numpy as np
+
+        from geospark.operators.events import home_work, home_work_sql
+        rng = np.random.default_rng(67)
+        rows = [(int(u), int(us), float(a), float(b))
+                for u, us, a, b in zip(
+                    rng.integers(1, 20, 500),
+                    rng.integers(0, 10**13, 500),
+                    rng.uniform(-80, 80, 500).round(1),
+                    rng.uniform(-170, 170, 500).round(1))]
+        ev = spark.createDataFrame(
+            rows, "user_id long, us long, lat double, lon double")
+        got = _rows(home_work(ev, 3),
+                    ["user_id", "home_cell", "work_cell"])
+        con = duckdb.connect()
+        con.execute("CREATE TABLE e (user_id BIGINT, us BIGINT, "
+                    "lat DOUBLE, lon DOUBLE)")
+        con.executemany("INSERT INTO e VALUES (?, ?, ?, ?)", rows)
+        want = sorted(
+            tuple(r) for r in con.execute(home_work_sql(
+                "SELECT user_id, us, lat, lon FROM e", 3)).fetchall())
+        assert got == want
