@@ -789,3 +789,69 @@ SELECT cell, n_total,
             ELSE -((-{num}) // {den}) END AS BIGINT) AS slope_ppm
 FROM g
 """
+
+
+def cell_smooth(points, res: int, rounds: int, *,
+                lat_col: str = "lat", lon_col: str = "lon"):
+    """Iterated focal smoothing over the OCCUPIED raster — the
+    heatmap/KDE-lite step before rendering or hotspot thresholds:
+    each round replaces every occupied cell's value with the FLOOR
+    mean of its ring-1 neighborhood restricted to occupied cells
+    (unoccupied cells are not support: they neither receive nor
+    contribute, the grid_reach obstacle convention, so coastlines and
+    coverage holes don't bleed mass — and floor division keeps every
+    round integer-exact, no per-engine float kernel). Initial value =
+    the cell's point count.
+
+    Scale shape: the ONE point-level shuffle is the initial count;
+    every round is a 9x explode of the aggregate-sized raster, an
+    occupied equi-join, and one target-keyed SUM/COUNT agg —
+    per-round materialize() (the CC/grid_reach lesson).
+    -> (cell, value) after ``rounds`` rounds (rounds=0 = raw counts).
+    """
+    from pyspark.sql import functions as F
+
+    from ..functions.cells import cell_encode, cell_neighbors_explode
+    from ..materialize import materialize
+    cur = (points
+           .select(cell_encode(lat_col, lon_col, res).alias("cell"))
+           .groupBy("cell").agg(F.count(F.lit(1)).alias("value")))
+    cur = materialize(cur)
+    occ = cur.select("cell")
+    for _ in range(rounds):
+        contrib = (cell_neighbors_explode(cur, res, ring=1)
+                   .select(F.col("_neighbor").alias("cell"), "value"))
+        nxt = (contrib.join(occ, "cell")
+               .groupBy("cell")
+               .agg(F.expr("sum(value) div count(value)")
+                    .alias("value")))
+        cur = materialize(nxt)
+    return cur
+
+
+def cell_smooth_sql(pts_sql: str, res: int, rounds: int) -> str:
+    """DuckDB twin of cell_smooth — rounds UNROLLED textually
+    (v0 -> v1 -> ... -> v{rounds}, kmeans_cells' convention);
+    neighbor arithmetic matches cell_neighbors_sql (x wraps mod
+    2^res, y clamps via range filter)."""
+    from ..functions.cells import cell_encode_sql
+    n = 1 << res
+    mask = n - 1
+    cell = cell_encode_sql("lat", "lon", res)
+    ax, bx = f"(a.cell & {mask})", f"(b.cell & {mask})"
+    ay, by = (f"((a.cell >> {res}) & {mask})",
+              f"((b.cell >> {res}) & {mask})")
+    adj = (f"abs({ay} - {by}) <= 1 AND "
+           f"least(abs({ax} - {bx}), {n} - abs({ax} - {bx})) <= 1")
+    parts = [f"""
+WITH v0 AS (
+  SELECT cell, CAST(COUNT(*) AS BIGINT) AS value
+  FROM (SELECT {cell} AS cell FROM ({pts_sql})) GROUP BY 1)"""]
+    for i in range(rounds):
+        parts.append(f"""
+v{i + 1} AS (
+  SELECT b.cell, CAST(SUM(a.value) // COUNT(*) AS BIGINT) AS value
+  FROM v{i} a JOIN v0 b ON {adj}
+  GROUP BY b.cell)""")
+    return (",".join(parts)
+            + f"\nSELECT cell, value FROM v{rounds}\n")

@@ -2337,6 +2337,17 @@ _REGION_RES = 4
 
 
 _HOMEWORK_RES = 5
+_SMOOTH_RES, _SMOOTH_ROUNDS = 4, 2
+
+
+def q_cell_smooth(spark, sf_dir):
+    """Focal raster smoothing (r5.25): two rounds of occupied-support
+    floor-mean over the event raster — the KDE-lite heatmap pass
+    (operators/tiles.cell_smooth docstring: holes don't conduct,
+    integer-exact rounds)."""
+    from .operators.tiles import cell_smooth
+    return cell_smooth(_traj_pts(spark, sf_dir), _SMOOTH_RES,
+                       _SMOOTH_ROUNDS)
 
 
 def q_home_work(spark, sf_dir):
@@ -2758,6 +2769,7 @@ QUERIES = {
     "route_legs": q_route_legs,
     "home_work": q_home_work,
     "seg_rank": q_seg_rank,
+    "cell_smooth": q_cell_smooth,
 }
 
 
@@ -3479,6 +3491,9 @@ def oracle_sql() -> dict[str, str]:
     from .operators.events import home_work_sql
     from .operators.graph import pagerank_sql
     out["home_work"] = home_work_sql(_TRAJ_PTS_SQL, _HOMEWORK_RES)
+    from .operators.tiles import cell_smooth_sql
+    out["cell_smooth"] = cell_smooth_sql(_TRAJ_PTS_SQL, _SMOOTH_RES,
+                                         _SMOOTH_ROUNDS)
     out["seg_rank"] = pagerank_sql(
         f"SELECT seg_from AS src, seg_to AS dst FROM "
         f"({out['route_legs']})",

@@ -1264,3 +1264,67 @@ class TestHomeWork:
             tuple(r) for r in con.execute(home_work_sql(
                 "SELECT user_id, us, lat, lon FROM e", 3)).fetchall())
         assert got == want
+
+
+class TestCellSmooth:
+    RES = 4
+
+    def test_spike_spreads_with_floor(self, spark):
+        """3x3 occupied block, center count 90, others 1: after one
+        round the center is floor(98/9)=10 and each corner
+        floor(93/4)=23 — hand-checked floor means over the occupied
+        neighborhoods."""
+        from geospark.operators.tiles import cell_smooth
+        cells = [(y, x) for y in (4, 5, 6) for x in (4, 5, 6)]
+        counts = [90 if (y, x) == (5, 5) else 1 for y, x in cells]
+        pts = _pts(spark, cells, self.RES, counts)
+        got = dict((r["cell"], r["value"]) for r in
+                   cell_smooth(pts, self.RES, 1).collect())
+        # center: all 9 occupied -> (90 + 8) // 9 = 10
+        assert got[_cell(5, 5, self.RES)] == 10
+        # corner (4,4): occupied nbrs = itself,(4,5),(5,4),(5,5) ->
+        # (1+1+1+90) // 4 = 23
+        assert got[_cell(4, 4, self.RES)] == 23
+        # edge (4,5): 6 occupied nbrs -> (90 + 5) // 6 = 15
+        assert got[_cell(4, 5, self.RES)] == 15
+
+    def test_uniform_fixed_point(self, spark):
+        """A uniform block is a fixed point of the floor mean."""
+        from geospark.operators.tiles import cell_smooth
+        cells = [(y, x) for y in (1, 2) for x in (1, 2)]
+        pts = _pts(spark, cells, self.RES, [7] * 4)
+        got = {r["value"] for r in
+               cell_smooth(pts, self.RES, 3).collect()}
+        assert got == {7}
+
+    def test_holes_are_not_support(self, spark):
+        """An isolated far cell never receives mass from the block
+        (unoccupied cells don't conduct), and rounds=0 returns raw
+        counts."""
+        from geospark.operators.tiles import cell_smooth
+        pts = _pts(spark, [(1, 1), (9, 9)], self.RES, [64, 2])
+        got = dict((r["cell"], r["value"]) for r in
+                   cell_smooth(pts, self.RES, 2).collect())
+        assert got[_cell(9, 9, self.RES)] == 2   # isolated: own mean
+        got0 = dict((r["cell"], r["value"]) for r in
+                    cell_smooth(pts, self.RES, 0).collect())
+        assert got0 == {_cell(1, 1, self.RES): 64,
+                        _cell(9, 9, self.RES): 2}
+
+    def test_inline_oracle_parity(self, spark):
+        import duckdb
+        import numpy as np
+
+        from geospark.operators.tiles import cell_smooth, cell_smooth_sql
+        rng = np.random.default_rng(71)
+        rows = [(float(a), float(b)) for a, b in zip(
+            rng.uniform(-80, 80, 700).round(1),
+            rng.uniform(-170, 170, 700).round(1))]
+        pts = spark.createDataFrame(rows, "lat double, lon double")
+        got = _rows(cell_smooth(pts, 3, 2), ["cell", "value"])
+        con = duckdb.connect()
+        con.execute("CREATE TABLE p (lat DOUBLE, lon DOUBLE)")
+        con.executemany("INSERT INTO p VALUES (?, ?)", rows)
+        want = sorted(tuple(r) for r in con.execute(cell_smooth_sql(
+            "SELECT lat, lon FROM p", 3, 2)).fetchall())
+        assert got == want
