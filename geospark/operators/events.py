@@ -820,6 +820,33 @@ FROM t WHERE inf <> prev
 """
 
 
+def _user_hops(points, *, user_col, us_col, lat_col, lon_col,
+               tie_col):
+    """Shared hop derivation for speed_flags / jump_hist: per-user
+    consecutive event pairs (ordered by (us, tie)) with micro-degree
+    BIGINT coords, squared displacement d2 and dt_us — ONE user-keyed
+    window, identical expression text in both consumers so the SQL
+    twins can't drift."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    d = points.select(
+        F.col(user_col).alias("_user"), F.col(us_col).alias("_us"),
+        F.col(tie_col).alias("_tie"),
+        F.expr(f"CAST(floor({lat_col} * 1000000.0) AS BIGINT)")
+         .alias("_iy"),
+        F.expr(f"CAST(floor({lon_col} * 1000000.0) AS BIGINT)")
+         .alias("_ix"))
+    w = Window.partitionBy("_user").orderBy("_us", "_tie")
+    d = (d.withColumn("_px", F.lag("_ix").over(w))
+          .withColumn("_py", F.lag("_iy").over(w))
+          .withColumn("_pus", F.lag("_us").over(w))
+          .filter(F.col("_pus").isNotNull()))
+    return (d.withColumn("dt_us", F.col("_us") - F.col("_pus"))
+             .withColumn("d2", F.expr(
+                 "(_ix - _px) * (_ix - _px) "
+                 "+ (_iy - _py) * (_iy - _py)")))
+
+
 def speed_flags(points, *, vmax_udeg_s: int, user_col: str = "user_id",
                 us_col: str = "us", lat_col: str = "lat",
                 lon_col: str = "lon", tie_col: str = "event_id"):
@@ -842,26 +869,12 @@ def speed_flags(points, *, vmax_udeg_s: int, user_col: str = "user_id",
     teleport (lim = 0 < d2). One user-keyed window is the only
     exchange; map-side lattice math otherwise. -> flagged hops
     (user, us = arrival event, dt_us, d2)."""
-    from pyspark.sql import Window
     from pyspark.sql import functions as F
-    d = points.select(
-        F.col(user_col).alias("_user"), F.col(us_col).alias("_us"),
-        F.col(tie_col).alias("_tie"),
-        F.expr(f"CAST(floor({lat_col} * 1000000.0) AS BIGINT)")
-         .alias("_iy"),
-        F.expr(f"CAST(floor({lon_col} * 1000000.0) AS BIGINT)")
-         .alias("_ix"))
-    w = Window.partitionBy("_user").orderBy("_us", "_tie")
-    d = (d.withColumn("_px", F.lag("_ix").over(w))
-          .withColumn("_py", F.lag("_iy").over(w))
-          .withColumn("_pus", F.lag("_us").over(w))
-          .filter(F.col("_pus").isNotNull()))
-    d = (d.withColumn("dt_us", F.col("_us") - F.col("_pus"))
-          .withColumn("d2", F.expr(
-              "(_ix - _px) * (_ix - _px) + (_iy - _py) * (_iy - _py)"))
-          .withColumn("_lim", F.expr(
-              f"least(({vmax_udeg_s} * dt_us) div 1000000, "
-              "600000000)")))
+    d = _user_hops(points, user_col=user_col, us_col=us_col,
+                   lat_col=lat_col, lon_col=lon_col, tie_col=tie_col)
+    d = d.withColumn("_lim", F.expr(
+        f"least(({vmax_udeg_s} * dt_us) div 1000000, "
+        "600000000)"))
     return (d.filter(F.col("d2") > F.col("_lim") * F.col("_lim"))
             .select(F.col("_user").alias(user_col),
                     F.col("_us").alias(us_col), "dt_us", "d2"))
@@ -1003,4 +1016,47 @@ SELECT u AS user_id,
        MIN(CASE WHEN k = 'h' THEN best END) AS home_cell,
        MIN(CASE WHEN k = 'w' THEN best END) AS work_cell
 FROM best GROUP BY 1
+"""
+
+
+def jump_hist(points, *, user_col: str = "user_id",
+              us_col: str = "us", lat_col: str = "lat",
+              lon_col: str = "lon", tie_col: str = "event_id"):
+    """Displacement (jump-length) histogram — the mobility-science
+    fingerprint (human travel follows a truncated power law; a bot
+    swarm or synthetic GPS track doesn't): per-user consecutive hops
+    bucketed by squared micro-degree displacement into exact log2
+    bins, ``bucket = length(bin(d2))`` = floor(log2 d2) + 1 — the
+    binary-string length trick gives an INTEGER log2 with no float
+    log to ulp-flip at exact powers of two (bin() renders BIGINTs
+    identically in both engines, tested); stationary hops (d2 = 0)
+    get bucket 0. Shares _user_hops' window with speed_flags.
+    -> (bucket, n_hops), one aggregate-sized histogram."""
+    from pyspark.sql import functions as F
+    d = _user_hops(points, user_col=user_col, us_col=us_col,
+                   lat_col=lat_col, lon_col=lon_col, tie_col=tie_col)
+    bucket = F.expr(
+        "CASE WHEN d2 = 0 THEN 0 ELSE length(bin(d2)) END")
+    return (d.groupBy(bucket.cast("int").alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n_hops")))
+
+
+def jump_hist_sql(pts_sql: str) -> str:
+    """DuckDB twin of jump_hist over a subquery producing
+    (user_id, us, event_id, lat, lon)."""
+    return f"""
+WITH d AS (SELECT user_id AS u, us, event_id AS tie,
+           CAST(floor(lat * 1000000.0) AS BIGINT) AS iy,
+           CAST(floor(lon * 1000000.0) AS BIGINT) AS ix
+           FROM ({pts_sql})),
+h AS (SELECT u, us, ix, iy,
+      LAG(ix) OVER w AS px, LAG(iy) OVER w AS py,
+      LAG(us) OVER w AS pus
+      FROM d WINDOW w AS (PARTITION BY u ORDER BY us, tie)),
+p AS (SELECT (ix - px) * (ix - px) + (iy - py) * (iy - py) AS d2
+      FROM h WHERE pus IS NOT NULL)
+SELECT CAST(CASE WHEN d2 = 0 THEN 0
+            ELSE length(bin(d2)) END AS INT) AS bucket,
+       COUNT(*) AS n_hops
+FROM p GROUP BY 1
 """

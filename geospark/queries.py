@@ -2340,6 +2340,15 @@ _HOMEWORK_RES = 5
 _SMOOTH_RES, _SMOOTH_ROUNDS = 4, 2
 
 
+def q_jump_hist(spark, sf_dir):
+    """Jump-length histogram (r5.26): per-hop displacement in exact
+    integer log2 buckets — the truncated-power-law mobility
+    fingerprint (operators/events.jump_hist docstring: bin()-length
+    log2, no float log)."""
+    from .operators.events import jump_hist
+    return jump_hist(_traj_pts(spark, sf_dir))
+
+
 def q_cell_smooth(spark, sf_dir):
     """Focal raster smoothing (r5.25): two rounds of occupied-support
     floor-mean over the event raster — the KDE-lite heatmap pass
@@ -2770,6 +2779,7 @@ QUERIES = {
     "home_work": q_home_work,
     "seg_rank": q_seg_rank,
     "cell_smooth": q_cell_smooth,
+    "jump_hist": q_jump_hist,
 }
 
 
@@ -3494,6 +3504,8 @@ def oracle_sql() -> dict[str, str]:
     from .operators.tiles import cell_smooth_sql
     out["cell_smooth"] = cell_smooth_sql(_TRAJ_PTS_SQL, _SMOOTH_RES,
                                          _SMOOTH_ROUNDS)
+    from .operators.events import jump_hist_sql
+    out["jump_hist"] = jump_hist_sql(_TRAJ_PTS_SQL)
     out["seg_rank"] = pagerank_sql(
         f"SELECT seg_from AS src, seg_to AS dst FROM "
         f"({out['route_legs']})",

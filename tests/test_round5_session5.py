@@ -1328,3 +1328,59 @@ class TestCellSmooth:
         want = sorted(tuple(r) for r in con.execute(cell_smooth_sql(
             "SELECT lat, lon FROM p", 3, 2)).fetchall())
         assert got == want
+
+
+class TestJumpHist:
+    def _ev(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "user_id long, us long, event_id long, "
+                  "lat double, lon double")
+
+    def test_log2_buckets_exact(self, spark):
+        """d2 = 1 -> bucket 1; d2 = 4 (exact power) -> bucket 3 =
+        floor(log2 4)+1, where a float log could round either way;
+        d2 = 0 -> bucket 0."""
+        from geospark.operators.events import jump_hist
+        ev = self._ev(spark, [
+            # user 1: hop of exactly 1 microdeg east -> d2 = 1
+            (1, 0, 1, 0.0, 0.0), (1, 1, 2, 0.0, 0.000001),
+            # user 2: hop of exactly 2 microdeg -> d2 = 4
+            (2, 0, 3, 0.0, 0.0), (2, 1, 4, 0.0, 0.000002),
+            # user 3: stationary
+            (3, 0, 5, 1.0, 1.0), (3, 1, 6, 1.0, 1.0)])
+        got = _rows(jump_hist(ev), ["bucket", "n_hops"])
+        assert got == [(0, 1), (1, 1), (3, 1)]
+
+    def test_histogram_counts(self, spark):
+        from geospark.operators.events import jump_hist
+        rows = []
+        for i in range(5):  # five identical d2=1 hops
+            rows += [(10 + i, 0, 2 * i, 0.0, 0.0),
+                     (10 + i, 1, 2 * i + 1, 0.0, 0.000001)]
+        got = _rows(jump_hist(self._ev(spark, rows)),
+                    ["bucket", "n_hops"])
+        assert got == [(1, 5)]
+
+    def test_inline_oracle_parity(self, spark):
+        import duckdb
+        import numpy as np
+
+        from geospark.operators.events import jump_hist, jump_hist_sql
+        rng = np.random.default_rng(73)
+        rows = [(int(u), int(us), int(e), float(a), float(b))
+                for e, (u, us, a, b) in enumerate(zip(
+                    rng.integers(1, 15, 500),
+                    rng.integers(0, 10**10, 500),
+                    rng.uniform(-80, 80, 500),
+                    rng.uniform(-170, 170, 500)))]
+        ev = self._ev(spark, rows)
+        got = _rows(jump_hist(ev), ["bucket", "n_hops"])
+        con = duckdb.connect()
+        con.execute("CREATE TABLE e (user_id BIGINT, us BIGINT, "
+                    "event_id BIGINT, lat DOUBLE, lon DOUBLE)")
+        con.executemany("INSERT INTO e VALUES (?, ?, ?, ?, ?)", rows)
+        want = sorted(tuple(r) for r in con.execute(jump_hist_sql(
+            "SELECT user_id, us, event_id, lat, lon FROM e"))
+            .fetchall())
+        assert len(got) > 3
+        assert got == want
