@@ -855,3 +855,57 @@ v{i + 1} AS (
   GROUP BY b.cell)""")
     return (",".join(parts)
             + f"\nSELECT cell, value FROM v{rounds}\n")
+
+
+def cell_diversity(points, res: int, *, label_col: str,
+                   lat_col: str = "lat", lon_col: str = "lon"):
+    """Per-cell Simpson diversity — "how mixed is this tile":
+    ``1e6 - (1e6 * sum(n_i*(n_i-1))) div (N*(N-1))`` ppm, the
+    probability two draws without replacement differ in label. The
+    integer-exact diversity metric (Shannon entropy needs a log;
+    Simpson is pure BIGINT counts — headroom: 1e6·N² ≲ 9.2e18 → up
+    to ~3e6 events per cell before pre-scaling counts). A
+    single-label cell scores 0, a perfectly mixed one approaches
+    1e6; single-event cells (N = 1, the pair probability is
+    undefined) are dropped.
+
+    Scale shape: one (cell, label) count shuffle, one cell-keyed agg
+    over the aggregate rows; both map-side combinable.
+    -> (cell, n_pts, n_labels, simpson_ppm)."""
+    from pyspark.sql import functions as F
+
+    from ..functions.cells import cell_encode
+    per = (points.select(
+        cell_encode(lat_col, lon_col, res).alias("cell"),
+        F.col(label_col).alias("_lbl"))
+        .groupBy("cell", "_lbl").agg(F.count(F.lit(1)).alias("_n")))
+    g = (per.groupBy("cell")
+         .agg(F.sum("_n").alias("n_pts"),
+              F.count(F.lit(1)).alias("n_labels"),
+              F.sum(F.expr("_n * (_n - 1)")).alias("_s")))
+    return (g.filter(F.col("n_pts") >= 2)
+            .select("cell", "n_pts", "n_labels",
+                    F.expr("1000000 - (1000000 * _s) div "
+                           "(n_pts * (n_pts - 1))")
+                    .alias("simpson_ppm")))
+
+
+def cell_diversity_sql(pts_sql: str, res: int, *,
+                       label_sql: str = "label") -> str:
+    """DuckDB twin of cell_diversity over a subquery producing
+    (lat, lon, <label_sql>) — HUGEINT sums cast back to BIGINT."""
+    from ..functions.cells import cell_encode_sql
+    cell = cell_encode_sql("lat", "lon", res)
+    return f"""
+WITH per AS (
+  SELECT {cell} AS cell, {label_sql} AS lbl, COUNT(*) AS n
+  FROM ({pts_sql}) GROUP BY 1, 2),
+g AS (SELECT cell, CAST(SUM(n) AS BIGINT) AS n_pts,
+      COUNT(*) AS n_labels,
+      CAST(SUM(n * (n - 1)) AS BIGINT) AS s
+      FROM per GROUP BY 1)
+SELECT cell, n_pts, n_labels,
+       1000000 - (1000000 * s) // (n_pts * (n_pts - 1))
+         AS simpson_ppm
+FROM g WHERE n_pts >= 2
+"""

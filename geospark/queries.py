@@ -2340,6 +2340,22 @@ _HOMEWORK_RES = 5
 _SMOOTH_RES, _SMOOTH_ROUNDS = 4, 2
 
 
+_DIVERSITY_RES = 4
+
+
+def q_cell_diversity(spark, sf_dir):
+    """Per-cell Simpson diversity (r5.26): how mixed each tile's
+    event types are, in integer ppm — the entropy-free diversity
+    metric (operators/tiles.cell_diversity docstring)."""
+    from pyspark.sql import functions as F
+    from .operators.tiles import cell_diversity
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pts = e.select(F.expr(_TRAJ_LAT).alias("lat"),
+                   F.expr(_TRAJ_LON).alias("lon"), "event_type")
+    return cell_diversity(pts, _DIVERSITY_RES,
+                          label_col="event_type")
+
+
 def q_jump_hist(spark, sf_dir):
     """Jump-length histogram (r5.26): per-hop displacement in exact
     integer log2 buckets — the truncated-power-law mobility
@@ -2780,6 +2796,7 @@ QUERIES = {
     "seg_rank": q_seg_rank,
     "cell_smooth": q_cell_smooth,
     "jump_hist": q_jump_hist,
+    "cell_diversity": q_cell_diversity,
 }
 
 
@@ -3506,6 +3523,11 @@ def oracle_sql() -> dict[str, str]:
                                          _SMOOTH_ROUNDS)
     from .operators.events import jump_hist_sql
     out["jump_hist"] = jump_hist_sql(_TRAJ_PTS_SQL)
+    from .operators.tiles import cell_diversity_sql
+    out["cell_diversity"] = cell_diversity_sql(
+        f"SELECT {_TRAJ_LAT} AS lat, {_TRAJ_LON} AS lon, event_type "
+        "FROM events",
+        _DIVERSITY_RES, label_sql="event_type")
     out["seg_rank"] = pagerank_sql(
         f"SELECT seg_from AS src, seg_to AS dst FROM "
         f"({out['route_legs']})",

@@ -1384,3 +1384,58 @@ class TestJumpHist:
             .fetchall())
         assert len(got) > 3
         assert got == want
+
+
+class TestCellDiversity:
+    RES = 4
+
+    def _pts(self, spark, labeled):
+        rows = [(*_center(y, x, self.RES), l) for (y, x), l in labeled]
+        return spark.createDataFrame(
+            rows, "lat double, lon double, label string")
+
+    def test_pure_mixed_and_floor(self, spark):
+        """Single-label cell -> 0; 2+2 two-label cell -> 1e6 -
+        (1e6*4) div 12 = 666667? No: floor((1e6*4)/12) = 333333, so
+        simpson = 666667. 1+1 cell -> exactly 1e6."""
+        from geospark.operators.tiles import cell_diversity
+        d = self._pts(spark, [
+            ((1, 1), "a"), ((1, 1), "a"),                 # pure
+            ((2, 2), "a"), ((2, 2), "a"),
+            ((2, 2), "b"), ((2, 2), "b"),                 # 2+2
+            ((3, 3), "a"), ((3, 3), "b")])                # 1+1
+        got = dict((r["cell"], r["simpson_ppm"]) for r in
+                   cell_diversity(d, self.RES, label_col="label")
+                   .collect())
+        assert got[_cell(1, 1, self.RES)] == 0
+        assert got[_cell(2, 2, self.RES)] == 666667
+        assert got[_cell(3, 3, self.RES)] == 1_000_000
+
+    def test_singleton_cell_dropped(self, spark):
+        from geospark.operators.tiles import cell_diversity
+        d = self._pts(spark, [((1, 1), "a")])
+        assert cell_diversity(d, self.RES,
+                              label_col="label").count() == 0
+
+    def test_inline_oracle_parity(self, spark):
+        import duckdb
+        import numpy as np
+
+        from geospark.operators.tiles import (cell_diversity,
+                                              cell_diversity_sql)
+        rng = np.random.default_rng(79)
+        rows = [(float(a), float(b), f"t{int(t)}") for a, b, t in zip(
+            rng.uniform(-80, 80, 600).round(1),
+            rng.uniform(-170, 170, 600).round(1),
+            rng.integers(0, 4, 600))]
+        d = spark.createDataFrame(
+            rows, "lat double, lon double, label string")
+        got = _rows(cell_diversity(d, 3, label_col="label"),
+                    ["cell", "n_pts", "n_labels", "simpson_ppm"])
+        con = duckdb.connect()
+        con.execute("CREATE TABLE p (lat DOUBLE, lon DOUBLE, "
+                    "label VARCHAR)")
+        con.executemany("INSERT INTO p VALUES (?, ?, ?)", rows)
+        want = sorted(tuple(r) for r in con.execute(cell_diversity_sql(
+            "SELECT lat, lon, label FROM p", 3)).fetchall())
+        assert got == want
