@@ -2343,6 +2343,26 @@ _SMOOTH_RES, _SMOOTH_ROUNDS = 4, 2
 _DIVERSITY_RES = 4
 
 
+def q_hull_nation(spark, sf_dir):
+    """Per-nation convex hull (r5.26): the strict hull vertex set of
+    each nation's customer points on the micro-degree lattice —
+    exact int64 cross products, two-phase partial-hull merge
+    (operators/hull docstring; the Caratheodory triangle-test twin
+    is O(n^4) oracle-only, fine at ~60 points/nation)."""
+    from pyspark.sql import functions as F
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    # the shared CUST_*_SQL fragments parse in BOTH engines — one
+    # source for the coordinate derivation (the host_stats lesson)
+    pts = c.select(
+        F.col("c_nationkey").alias("g"),
+        F.expr(f"CAST(floor(({CUST_LON_SQL}) * 1000000.0) AS BIGINT)")
+         .alias("x"),
+        F.expr(f"CAST(floor(({CUST_LAT_SQL}) * 1000000.0) AS BIGINT)")
+         .alias("y"))
+    from .operators.hull import convex_hull
+    return convex_hull(pts)
+
+
 def q_cell_diversity(spark, sf_dir):
     """Per-cell Simpson diversity (r5.26): how mixed each tile's
     event types are, in integer ppm — the entropy-free diversity
@@ -2797,6 +2817,7 @@ QUERIES = {
     "cell_smooth": q_cell_smooth,
     "jump_hist": q_jump_hist,
     "cell_diversity": q_cell_diversity,
+    "hull_nation": q_hull_nation,
 }
 
 
@@ -3523,6 +3544,12 @@ def oracle_sql() -> dict[str, str]:
                                          _SMOOTH_ROUNDS)
     from .operators.events import jump_hist_sql
     out["jump_hist"] = jump_hist_sql(_TRAJ_PTS_SQL)
+    from .operators.hull import convex_hull_sql
+    out["hull_nation"] = convex_hull_sql(
+        f"SELECT c_nationkey AS g, "
+        f"CAST(floor(({CUST_LON_SQL}) * 1000000.0) AS BIGINT) AS x, "
+        f"CAST(floor(({CUST_LAT_SQL}) * 1000000.0) AS BIGINT) AS y "
+        "FROM customer")
     from .operators.tiles import cell_diversity_sql
     out["cell_diversity"] = cell_diversity_sql(
         f"SELECT {_TRAJ_LAT} AS lat, {_TRAJ_LON} AS lon, event_type "

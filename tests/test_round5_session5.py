@@ -1439,3 +1439,67 @@ class TestCellDiversity:
         want = sorted(tuple(r) for r in con.execute(cell_diversity_sql(
             "SELECT lat, lon, label FROM p", 3)).fetchall())
         assert got == want
+
+
+class TestConvexHull:
+    def _pts(self, spark, rows):
+        return spark.createDataFrame(rows, "g long, x long, y long")
+
+    def test_square_strict_vertices_only(self, spark):
+        """Square corners survive; mid-edge (collinear boundary) and
+        interior points are not strict vertices."""
+        from geospark.operators.hull import convex_hull
+        d = self._pts(spark, [
+            (1, 0, 0), (1, 10, 0), (1, 10, 10), (1, 0, 10),
+            (1, 5, 0),            # mid-edge
+            (1, 5, 5), (1, 3, 7)  # interior
+        ])
+        got = _rows(convex_hull(d), ["g", "x", "y"])
+        assert got == sorted([(1, 0, 0), (1, 10, 0),
+                              (1, 10, 10), (1, 0, 10)])
+
+    def test_collinear_endpoints_and_small_groups(self, spark):
+        from geospark.operators.hull import convex_hull
+        d = self._pts(spark, [
+            (1, 0, 0), (1, 5, 5), (1, 9, 9),   # collinear
+            (2, 7, 7),                          # singleton
+            (3, 1, 2), (3, 1, 2), (3, 4, 4)])   # dup + pair
+        got = _rows(convex_hull(d), ["g", "x", "y"])
+        assert got == sorted([(1, 0, 0), (1, 9, 9), (2, 7, 7),
+                              (3, 1, 2), (3, 4, 4)])
+
+    def test_partial_merge_equals_single_pass(self, spark):
+        """Many partitions (forcing real partial hulls) give the same
+        vertex set as a single-partition run."""
+        import numpy as np
+
+        from geospark.operators.hull import convex_hull
+        rng = np.random.default_rng(83)
+        rows = [(1, int(a), int(b)) for a, b in zip(
+            rng.integers(-1000, 1000, 400),
+            rng.integers(-1000, 1000, 400))]
+        many = convex_hull(self._pts(spark, rows).repartition(13))
+        one = convex_hull(self._pts(spark, rows).coalesce(1))
+        assert _rows(many) == _rows(one)
+
+    def test_inline_oracle_parity(self, spark):
+        import duckdb
+        import numpy as np
+
+        from geospark.operators.hull import convex_hull, convex_hull_sql
+        rng = np.random.default_rng(89)
+        rows = [(int(g), int(a), int(b)) for g, a, b in zip(
+            rng.integers(1, 7, 150),
+            rng.integers(-50, 50, 150),
+            rng.integers(-50, 50, 150))]
+        # add a deliberately collinear trio in one group
+        rows += [(9, 0, 0), (9, 2, 2), (9, 4, 4), (9, 0, 4)]
+        d = self._pts(spark, rows)
+        got = _rows(convex_hull(d), ["g", "x", "y"])
+        con = duckdb.connect()
+        con.execute("CREATE TABLE p (g BIGINT, x BIGINT, y BIGINT)")
+        con.executemany("INSERT INTO p VALUES (?, ?, ?)", rows)
+        want = sorted(tuple(r) for r in con.execute(convex_hull_sql(
+            "SELECT g, x, y FROM p")).fetchall())
+        assert len(got) > 10
+        assert got == want
