@@ -909,3 +909,101 @@ SELECT cell, n_pts, n_labels,
          AS simpson_ppm
 FROM g WHERE n_pts >= 2
 """
+
+
+def _interleave_expr(x: str, y: str, res: int) -> str:
+    """Spark/DuckDB-shared SQL text: Morton-interleave ``res`` bits of
+    integer exprs x (even positions) and y (odd) — generated from one
+    loop so the two engines can't drift."""
+    # every term fully parenthesized: DuckDB/Postgres give << and |
+    # EQUAL precedence (left-assoc), so an unwrapped `a << 2 | b`
+    # parses as `(a << 2) | b` only by luck of ordering — wrap all
+    terms = []
+    for i in range(res):
+        terms.append(f"(((({x}) >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((({y}) >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " | ".join(terms) + ")"
+
+
+def z_ranges(rects, res: int, *, id_col: str = "rect_id",
+             xmin: str = "xmin", ymin: str = "ymin",
+             xmax: str = "xmax", ymax: str = "ymax"):
+    """Z-order range decomposition — the INDEX-PRUNING primitive over
+    a Z-clustered table: for each query rectangle, the minimal set of
+    CONTIGUOUS Morton-key ranges covering its cell cover at ``res``,
+    i.e. exactly the key intervals a scan of zorder_key-sorted
+    parquet must touch (everything outside skips by min/max stats).
+    Computed for a whole WORKLOAD of rects at once — the batch planner
+    shape, not a driver-side loop.
+
+    Shape: lattice bounds per rect (the zorder clamp convention),
+    sequence-explode the covered (x, y) grid — bounded by
+    rect-size x 4^res, the caller matches res to rect size exactly as
+    in covering joins — Morton-interleave, then gaps-and-islands per
+    rect (key - row_number is constant within a run) and one
+    (rect, island) agg. -> (rect_id, z_lo, z_hi, n_cells), where
+    SUM(n_cells) == the rect's cover size (ranges partition the
+    cover). Antimeridian-crossing rects (xmin > xmax) are the
+    caller's split (two rects), same as bbox_join."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    n = 1 << res
+    def lat2y(c):
+        return (f"least({n - 1}L, greatest(0L, "
+                f"CAST(floor(({c} + 90.0) / 180.0 * {n}) AS BIGINT)))")
+    def lon2x(c):
+        return (f"least({n - 1}L, greatest(0L, "
+                f"CAST(floor(({c} + 180.0) / 360.0 * {n}) AS BIGINT)))")
+    d = rects.select(
+        F.col(id_col),
+        F.expr(lon2x(xmin)).alias("_x0"),
+        F.expr(lon2x(xmax)).alias("_x1"),
+        F.expr(lat2y(ymin)).alias("_y0"),
+        F.expr(lat2y(ymax)).alias("_y1"))
+    cells = (d.select(
+        id_col,
+        F.explode(F.expr("sequence(_x0, _x1)")).alias("_x"),
+        "_y0", "_y1")
+        .select(id_col, "_x",
+                F.explode(F.expr("sequence(_y0, _y1)")).alias("_y"))
+        .select(F.col(id_col),
+                F.expr(_interleave_expr("_x", "_y", res))
+                .alias("_z")))
+    w = Window.partitionBy(id_col).orderBy("_z")
+    isl = cells.withColumn(
+        "_grp", F.col("_z") - F.row_number().over(w))
+    return (isl.groupBy(id_col, "_grp")
+            .agg(F.min("_z").alias("z_lo"), F.max("_z").alias("z_hi"),
+                 F.count(F.lit(1)).alias("n_cells"))
+            .drop("_grp"))
+
+
+def z_ranges_sql(rects_sql: str, res: int, *,
+                 id_col: str = "rect_id") -> str:
+    """DuckDB twin of z_ranges over a subquery producing
+    (rect_id, xmin, ymin, xmax, ymax)."""
+    n = 1 << res
+    def lat2y(c):
+        return (f"least({n - 1}, greatest(0, "
+                f"CAST(floor(({c} + 90.0) / 180.0 * {n}) AS BIGINT)))")
+    def lon2x(c):
+        return (f"least({n - 1}, greatest(0, "
+                f"CAST(floor(({c} + 180.0) / 360.0 * {n}) AS BIGINT)))")
+    z = _interleave_expr("gx.g", "gy.g", res)
+    return f"""
+WITH d AS (SELECT {id_col},
+           {lon2x('xmin')} AS x0, {lon2x('xmax')} AS x1,
+           {lat2y('ymin')} AS y0, {lat2y('ymax')} AS y1
+           FROM ({rects_sql})),
+cells AS (
+  SELECT d.{id_col}, {z} AS z
+  FROM d, LATERAL unnest(generate_series(d.x0, d.x1)) AS gx(g),
+          LATERAL unnest(generate_series(d.y0, d.y1)) AS gy(g)),
+isl AS (SELECT {id_col}, z,
+        z - ROW_NUMBER() OVER (PARTITION BY {id_col} ORDER BY z)
+          AS grp
+        FROM cells)
+SELECT {id_col}, MIN(z) AS z_lo, MAX(z) AS z_hi,
+       COUNT(*) AS n_cells
+FROM isl GROUP BY {id_col}, grp
+"""

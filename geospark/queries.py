@@ -2341,6 +2341,17 @@ _SMOOTH_RES, _SMOOTH_ROUNDS = 4, 2
 
 
 _DIVERSITY_RES = 4
+_ZRANGE_RES = 8
+
+
+def q_z_ranges(spark, sf_dir):
+    """Z-range decomposition (r5.26): per part-box the minimal
+    contiguous Morton-key ranges its scan of a Z-clustered table
+    must touch — batch index pruning for a rect workload
+    (operators/tiles.z_ranges docstring)."""
+    from .operators.tiles import z_ranges
+    return z_ranges(_part_boxes(spark, sf_dir), _ZRANGE_RES,
+                    id_col="box_id")
 
 
 def q_hull_nation(spark, sf_dir):
@@ -2818,6 +2829,7 @@ QUERIES = {
     "jump_hist": q_jump_hist,
     "cell_diversity": q_cell_diversity,
     "hull_nation": q_hull_nation,
+    "z_ranges": q_z_ranges,
 }
 
 
@@ -3544,6 +3556,12 @@ def oracle_sql() -> dict[str, str]:
                                          _SMOOTH_ROUNDS)
     from .operators.events import jump_hist_sql
     out["jump_hist"] = jump_hist_sql(_TRAJ_PTS_SQL)
+    from .operators.tiles import z_ranges_sql
+    out["z_ranges"] = z_ranges_sql(
+        f"SELECT box_id, xmin_c - half AS xmin, ymin_c - half AS ymin,"
+        f" xmin_c + half AS xmax, ymin_c + half AS ymax "
+        f"FROM ({PART_BOX_SQL})",
+        _ZRANGE_RES, id_col="box_id")
     from .operators.hull import convex_hull_sql
     out["hull_nation"] = convex_hull_sql(
         f"SELECT c_nationkey AS g, "

@@ -1503,3 +1503,73 @@ class TestConvexHull:
             "SELECT g, x, y FROM p")).fetchall())
         assert len(got) > 10
         assert got == want
+
+
+class TestZRanges:
+    def _rects(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "rect_id long, xmin double, ymin double, "
+                  "xmax double, ymax double")
+
+    def test_single_quadrant_is_one_range(self, spark):
+        """A rect exactly covering one res-2 quadrant's 2x2 block of
+        res-2... at res 1 the whole west-south quadrant is one cell:
+        cover = 1 contiguous range of 1 cell."""
+        from geospark.operators.tiles import z_ranges
+        d = self._rects(spark, [(1, -170.0, -80.0, -100.0, -10.0)])
+        got = _rows(z_ranges(d, 1),
+                    ["rect_id", "z_lo", "z_hi", "n_cells"])
+        assert got == [(1, 0, 0, 1)]
+
+    def test_cover_partition_and_contiguity(self, spark):
+        """Ranges partition the cover: SUM(n_cells) == cover size,
+        ranges are disjoint, and each range's width equals its
+        count (contiguous keys)."""
+        from geospark.operators.tiles import z_ranges
+        d = self._rects(spark, [(1, -10.0, -10.0, 40.0, 30.0),
+                                (2, 100.0, 50.0, 160.0, 80.0)])
+        res = 5
+        rows = z_ranges(d, res).collect()
+        for r in rows:
+            assert r["z_hi"] - r["z_lo"] + 1 == r["n_cells"]
+        import collections
+        per = collections.defaultdict(list)
+        for r in rows:
+            per[r["rect_id"]].append((r["z_lo"], r["z_hi"]))
+        n = 1 << res
+        for rid, (x0, y0, x1, y1) in [(1, (-10, -10, 40, 30)),
+                                      (2, (100, 50, 160, 80))]:
+            xs = (int((x1 + 180) / 360 * n) - int((x0 + 180) / 360 * n)
+                  + 1)
+            ys = (int((y1 + 90) / 180 * n) - int((y0 + 90) / 180 * n)
+                  + 1)
+            spans = sorted(per[rid])
+            assert sum(b - a + 1 for a, b in spans) == xs * ys
+            for (a1, b1), (a2, b2) in zip(spans, spans[1:]):
+                assert a2 > b1 + 1   # maximal ranges: gaps between
+
+    def test_inline_oracle_parity(self, spark):
+        import duckdb
+        import numpy as np
+
+        from geospark.operators.tiles import z_ranges, z_ranges_sql
+        rng = np.random.default_rng(97)
+        rows = []
+        for i in range(40):
+            x0 = float(rng.uniform(-170, 150))
+            y0 = float(rng.uniform(-80, 60))
+            rows.append((i, round(x0, 1), round(y0, 1),
+                         round(x0 + float(rng.uniform(1, 25)), 1),
+                         round(y0 + float(rng.uniform(1, 15)), 1)))
+        d = self._rects(spark, rows)
+        got = _rows(z_ranges(d, 6),
+                    ["rect_id", "z_lo", "z_hi", "n_cells"])
+        con = duckdb.connect()
+        con.execute("CREATE TABLE r (rect_id BIGINT, xmin DOUBLE, "
+                    "ymin DOUBLE, xmax DOUBLE, ymax DOUBLE)")
+        con.executemany("INSERT INTO r VALUES (?, ?, ?, ?, ?)", rows)
+        want = sorted(tuple(r) for r in con.execute(z_ranges_sql(
+            "SELECT rect_id, xmin, ymin, xmax, ymax FROM r", 6))
+            .fetchall())
+        assert len(got) > 40    # fragmentation: more ranges than rects
+        assert got == want
