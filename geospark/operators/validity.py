@@ -140,3 +140,86 @@ def ring_area_sql(ring_sql: str, n: int, id_cols: str,
     expr = shoelace_expr(n, xs, ys, dialect="duckdb")
     return (f"SELECT {id_cols}, CAST({expr} AS BIGINT) AS area2, "
             f"({expr}) > 0 AS is_ccw FROM ({ring_sql})")
+
+
+def union_area(boxes, *, xmin: str = "xmin", ymin: str = "ymin",
+               xmax: str = "xmax", ymax: str = "ymax"):
+    """Exact union area of a rectangle set — "how much ground do all
+    our geofences/coverings actually cover", overlaps counted ONCE
+    (a plain SUM of widths*heights double-counts; at web scale box
+    dims overlap heavily by construction). Classic slab
+    decomposition, windowed: consecutive distinct x edges cut the
+    plane into vertical slabs; per slab the covered y length is the
+    interval-union sweep (sort by ymin, running max of ymax — covered
+    += max(0, ymax - max(run_max_prev, ymin)), a pure window);
+    area = sum(slab_width * covered_y). Integer coordinates in, so
+    every step is exact BIGINT (micro-degree areas fit: 3.6e8 *
+    1.8e8 = 6.5e16 < 2^63).
+
+    Scale shape: the box table is a DIM (a covering / fence / zone
+    set, aggregate-sized) — slabs are its own edges, the slab x box
+    overlap join is broadcast, and the per-slab sweep is one
+    slab-keyed window; nothing here touches a fact table. For 10^7+
+    boxes, pre-partition slabs by x-range so each partition sweeps
+    its own boxes. -> one row (area, n_slabs).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    b = boxes.select(F.col(xmin).cast("long").alias("x0"),
+                     F.col(ymin).cast("long").alias("y0"),
+                     F.col(xmax).cast("long").alias("x1"),
+                     F.col(ymax).cast("long").alias("y1")) \
+        .filter((F.col("x1") > F.col("x0"))
+                & (F.col("y1") > F.col("y0")))
+    edges = (b.select(F.col("x0").alias("e"))
+             .unionByName(b.select(F.col("x1").alias("e")))
+             .distinct())
+    we = Window.orderBy("e")
+    slabs = (edges.withColumn("_nx", F.lead("e").over(we))
+             .filter(F.col("_nx").isNotNull())
+             .select(F.col("e").alias("s0"),
+                     F.col("_nx").alias("s1")))
+    j = slabs.join(F.broadcast(b),
+                   (F.col("x0") <= F.col("s0"))
+                   & (F.col("x1") >= F.col("s1")))
+    ws = (Window.partitionBy("s0")
+          .orderBy(F.col("y0").asc(), F.col("y1").asc())
+          .rowsBetween(Window.unboundedPreceding, -1))
+    cov = (j.withColumn("_rm", F.max("y1").over(ws))
+           .withColumn("_c", F.greatest(
+               F.lit(0).cast("long"),
+               F.col("y1") - F.greatest(
+                   F.coalesce("_rm", F.col("y0")), F.col("y0")))))
+    per = (cov.groupBy("s0", "s1")
+           .agg(F.sum("_c").alias("_cy")))
+    return per.agg(
+        F.sum(F.expr("(s1 - s0) * _cy")).alias("area"),
+        F.count(F.lit(1)).cast("long").alias("n_slabs"))
+
+
+def union_area_sql(boxes_sql: str) -> str:
+    """DuckDB twin of union_area over a subquery producing integer
+    (xmin, ymin, xmax, ymax)."""
+    return f"""
+WITH b AS (SELECT CAST(xmin AS BIGINT) AS x0,
+           CAST(ymin AS BIGINT) AS y0,
+           CAST(xmax AS BIGINT) AS x1, CAST(ymax AS BIGINT) AS y1
+           FROM ({boxes_sql}) WHERE xmax > xmin AND ymax > ymin),
+edges AS (SELECT DISTINCT e FROM (
+  SELECT x0 AS e FROM b UNION ALL SELECT x1 FROM b)),
+slabs AS (SELECT e AS s0, LEAD(e) OVER (ORDER BY e) AS s1
+          FROM edges),
+j AS (SELECT s.s0, s.s1, b.y0, b.y1 FROM slabs s JOIN b
+      ON b.x0 <= s.s0 AND b.x1 >= s.s1 WHERE s.s1 IS NOT NULL),
+cov AS (SELECT s0, s1, y0, y1,
+        MAX(y1) OVER (PARTITION BY s0 ORDER BY y0, y1
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING) AS rm
+        FROM j),
+per AS (SELECT s0, s1,
+        SUM(greatest(0, y1 - greatest(COALESCE(rm, y0), y0))) AS cy
+        FROM cov GROUP BY 1, 2)
+SELECT CAST(SUM((s1 - s0) * cy) AS BIGINT) AS area,
+       COUNT(*) AS n_slabs
+FROM per
+"""

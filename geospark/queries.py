@@ -2354,6 +2354,18 @@ def q_z_ranges(spark, sf_dir):
                     id_col="box_id")
 
 
+def q_union_area(spark, sf_dir):
+    """Exact union area of the part boxes (r5.26): overlaps counted
+    once via slab decomposition + windowed interval union, integer
+    milli-degree units (operators/validity.union_area docstring)."""
+    from pyspark.sql import functions as F
+    from .operators.validity import union_area
+    b = _part_boxes(spark, sf_dir).select(
+        *[F.expr(f"CAST(floor({c} * 1000.0) AS BIGINT)").alias(c)
+          for c in ("xmin", "ymin", "xmax", "ymax")])
+    return union_area(b)
+
+
 def q_hull_nation(spark, sf_dir):
     """Per-nation convex hull (r5.26): the strict hull vertex set of
     each nation's customer points on the micro-degree lattice —
@@ -2830,6 +2842,7 @@ QUERIES = {
     "cell_diversity": q_cell_diversity,
     "hull_nation": q_hull_nation,
     "z_ranges": q_z_ranges,
+    "union_area": q_union_area,
 }
 
 
@@ -3562,6 +3575,13 @@ def oracle_sql() -> dict[str, str]:
         f" xmin_c + half AS xmax, ymin_c + half AS ymax "
         f"FROM ({PART_BOX_SQL})",
         _ZRANGE_RES, id_col="box_id")
+    from .operators.validity import union_area_sql
+    _mk = lambda c: f"CAST(floor(({c}) * 1000.0) AS BIGINT)"
+    out["union_area"] = union_area_sql(
+        f"SELECT {_mk('xmin_c - half')} AS xmin, "
+        f"{_mk('ymin_c - half')} AS ymin, "
+        f"{_mk('xmin_c + half')} AS xmax, "
+        f"{_mk('ymin_c + half')} AS ymax FROM ({PART_BOX_SQL})")
     from .operators.hull import convex_hull_sql
     out["hull_nation"] = convex_hull_sql(
         f"SELECT c_nationkey AS g, "

@@ -1573,3 +1573,60 @@ class TestZRanges:
             .fetchall())
         assert len(got) > 40    # fragmentation: more ranges than rects
         assert got == want
+
+
+class TestUnionArea:
+    def _boxes(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "xmin long, ymin long, xmax long, ymax long")
+
+    def test_overlap_counted_once(self, spark):
+        """Two 10x10 boxes overlapping in a 5x10 strip: union 150,
+        not 200; a third disjoint 2x2 adds 4."""
+        from geospark.operators.validity import union_area
+        d = self._boxes(spark, [(0, 0, 10, 10), (5, 0, 15, 10),
+                                (100, 100, 102, 102)])
+        row = union_area(d).collect()[0]
+        assert row["area"] == 150 + 4
+
+    def test_nested_and_degenerate(self, spark):
+        """A box inside another adds nothing; zero-width boxes are
+        dropped."""
+        from geospark.operators.validity import union_area
+        d = self._boxes(spark, [(0, 0, 10, 10), (2, 2, 5, 5),
+                                (3, 3, 3, 8)])
+        assert union_area(d).collect()[0]["area"] == 100
+
+    def test_vertical_split_coverage(self, spark):
+        """Boxes stacked with a y gap in one slab: per-slab interval
+        union, not bounding span: [0,2] and [5,9] in x [0,1] ->
+        area 2 + 4 = 6."""
+        from geospark.operators.validity import union_area
+        d = self._boxes(spark, [(0, 0, 1, 2), (0, 5, 1, 9)])
+        assert union_area(d).collect()[0]["area"] == 6
+
+    def test_inline_oracle_parity(self, spark):
+        import duckdb
+        import numpy as np
+
+        from geospark.operators.validity import (union_area,
+                                                 union_area_sql)
+        rng = np.random.default_rng(101)
+        rows = []
+        for _ in range(120):
+            x0 = int(rng.integers(-500, 450))
+            y0 = int(rng.integers(-500, 450))
+            rows.append((x0, y0, x0 + int(rng.integers(1, 80)),
+                         y0 + int(rng.integers(1, 60))))
+        d = self._boxes(spark, rows)
+        got = _rows(union_area(d), ["area", "n_slabs"])
+        con = duckdb.connect()
+        con.execute("CREATE TABLE bx (xmin BIGINT, ymin BIGINT, "
+                    "xmax BIGINT, ymax BIGINT)")
+        con.executemany("INSERT INTO bx VALUES (?, ?, ?, ?)", rows)
+        want = sorted(tuple(r) for r in con.execute(union_area_sql(
+            "SELECT xmin, ymin, xmax, ymax FROM bx")).fetchall())
+        # sanity: union strictly less than the naive double-counting
+        naive = sum((x1 - x0) * (y1 - y0) for x0, y0, x1, y1 in rows)
+        assert 0 < got[0][0] < naive
+        assert got == want
