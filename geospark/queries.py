@@ -2636,7 +2636,17 @@ QUERIES = {
     # (simplify_boxes and line_metrics, driver-green r4, rotate just
     #  past the window in r5.7 to keep funnel_by_cell and cell_moments
     #  — brand-new this round — inside it)
-    "stream_sessionize": q_stream_sessionize,
+    # -- r5-final rotation: the last five driver-green anchors
+    #    (stream_sessionize, cell_counts, pip_join, knn, schema_infer —
+    #    every one hash-green in CORRECTNESS_r04.json) rotate just past
+    #    the window so five never-windowed r5.21 rows take their first
+    #    driver pass; all five swap-ins are replica-green at sf0.01
+    #    under tools/check_oracle.py this session --
+    "knn_graph": q_knn_graph,
+    "freshness": q_freshness,
+    "interval_overlap": q_interval_overlap,
+    "peak_sessions": q_peak_sessions,
+    "robots_gate": q_robots_gate,
     # -- round-5.8 addition, inside the window for its first driver
     #    row (cell_assign rotates just past the window to make room:
     #    driver-green r1-r4 and redundant with the cell rows still
@@ -2658,15 +2668,13 @@ QUERIES = {
     #    row (pip_semi rotates just past the window: driver-green r4,
     #    machinery fully covered by pip_join/pip_anti/pip_agg inside) --
     "link_rank": q_link_rank,
-    # -- core rows kept inside the window --
-    "cell_counts": q_cell_counts,
-    "pip_join": q_pip_join,
     # -- round-5 addition, inside the window for its first driver row --
     "pip_tile_agg": q_pip_tile_agg,
     # (pip_semi rotated just past the window in r5.10 for link_rank;
-    #  driver-green r4)
-    "knn": q_knn,
-    "schema_infer": q_schema_infer,
+    #  driver-green r4; cell_counts/pip_join/knn/schema_infer —
+    #  driver-green r4 — rotated just past the window in the r5-final
+    #  swap for knn_graph/freshness/interval_overlap/peak_sessions/
+    #  robots_gate above)
     # (dedup_exact, driver-green r4, rotates just past the window in
     #  r5.7 to keep geohash — brand-new this round — inside it)
     # -- round-4 additions rotated INSIDE the window for their first
@@ -2806,16 +2814,16 @@ QUERIES = {
     #    directly above) --
     "quality_features": q_quality_features,
     "rolling_fp": q_rolling_fp,
-    # -- round-5.21 additions (post-window by design: the first-50
-    #    anchors this round are the 45 r5 rows taking their first
-    #    driver pass; these six are replica-verified via
-    #    tools/check_oracle.py — full 114-query sweep hash-green —
-    #    and queue for the next rotation) --
-    "knn_graph": q_knn_graph,
-    "freshness": q_freshness,
-    "interval_overlap": q_interval_overlap,
-    "peak_sessions": q_peak_sessions,
-    "robots_gate": q_robots_gate,
+    # -- r5-final swap: the five long-green anchors rotate here (all
+    #    driver-green r4) so the five r5.21 rows above take their
+    #    first driver pass --
+    "stream_sessionize": q_stream_sessionize,
+    "cell_counts": q_cell_counts,
+    "pip_join": q_pip_join,
+    "knn": q_knn,
+    "schema_infer": q_schema_infer,
+    # -- round-5.21 addition (post-window by design: replica-verified
+    #    via tools/check_oracle.py and queued for the next rotation) --
     "cell_anomaly": q_cell_anomaly,
     # -- round-5.22 additions (post-window, same rationale) --
     "dbscan_cells": q_dbscan_cells,
