@@ -1060,3 +1060,83 @@ SELECT CAST(CASE WHEN d2 = 0 THEN 0
        COUNT(*) AS n_hops
 FROM p GROUP BY 1
 """
+
+
+def _octant_case(dx: str, dy: str) -> str:
+    """Spark/DuckDB-shared SQL text: classify an integer displacement
+    (dx, dy) into one of 8 EQUAL 45-degree sectors whose boundaries
+    lie on the axes and exact diagonals (the Bresenham octants, each
+    half-open [k*45, (k+1)*45) counterclockwise from due east) — so
+    every boundary test is a pure integer comparison, no atan2 to
+    ulp-flip a hop sitting exactly on a sector edge. Sector names are
+    the 16-wind compass label of each sector's interior: ENE covers
+    [0,45) (due east inclusive), NNE [45,90) (the NE diagonal
+    inclusive), and so on around. Generated from one function so the
+    two engines can't drift. Callers exclude (0, 0) (the ELSE arm
+    would mislabel it ESE)."""
+    x, y = f"({dx})", f"({dy})"
+    return (f"CASE WHEN {y} >= 0 AND {x} > {y} THEN 'ENE' "
+            f"WHEN {x} > 0 AND {y} >= {x} THEN 'NNE' "
+            f"WHEN {x} <= 0 AND {y} > -{x} THEN 'NNW' "
+            f"WHEN {y} > 0 AND -{x} >= {y} THEN 'WNW' "
+            f"WHEN {y} <= 0 AND -{x} > -{y} THEN 'WSW' "
+            f"WHEN {x} < 0 AND -{y} >= -{x} THEN 'SSW' "
+            f"WHEN {x} >= 0 AND -{y} > {x} THEN 'SSE' "
+            f"ELSE 'ESE' END")
+
+
+def bearing_hist(points, *, user_col: str = "user_id",
+                 us_col: str = "us", lat_col: str = "lat",
+                 lon_col: str = "lon", tie_col: str = "event_id"):
+    """Heading-octant histogram — the movement ANISOTROPY fingerprint
+    (a road-grid city shows N/S/E/W spikes, open-water drift doesn't,
+    a uniform bot swarm is flat): per-user consecutive hops binned
+    into 8 EQUAL 45-degree direction sectors by integer comparisons
+    on the micro-degree displacement (_octant_case: the Bresenham
+    octants, boundaries on axes and exact diagonals — no atan2), with
+    hop count and TRUNCATED MEAN squared displacement per octant.
+    Stationary hops (dx = dy = 0) carry no direction and are dropped.
+    The d2 sum accumulates in DECIMAL(38,0) (DuckDB: HUGEINT — a
+    single antipodal hop is ~1.6e17 µdeg², so a BIGINT sum overflows
+    after ~57 such hops) but the OUTPUT is the mean, which always
+    fits BIGINT (mean <= max d2) — both engines' pandas bridges
+    narrow wide types to float64, so a wide column must never reach
+    the result schema. Shares _user_hops' window with
+    speed_flags/jump_hist; the histogram is one 8-row
+    map-side-combinable agg. -> (octant, n_hops, mean_d2)."""
+    from pyspark.sql import functions as F
+    d = _user_hops(points, user_col=user_col, us_col=us_col,
+                   lat_col=lat_col, lon_col=lon_col, tie_col=tie_col)
+    d = d.filter(F.col("d2") > 0)
+    oct_ = F.expr(_octant_case("_ix - _px", "_iy - _py"))
+    return (d.groupBy(oct_.alias("octant"))
+            .agg(F.count(F.lit(1)).alias("n_hops"),
+                 F.sum(F.col("d2").cast("decimal(38,0)"))
+                 .alias("_s"))
+            .select("octant", "n_hops",
+                    F.expr("_s div n_hops").alias("mean_d2")))
+
+
+def bearing_hist_sql(pts_sql: str) -> str:
+    """DuckDB twin of bearing_hist over a subquery producing
+    (user_id, us, event_id, lat, lon) — identical octant CASE text;
+    the sum runs in HUGEINT (BIGINT overflows, see bearing_hist) and
+    only the BIGINT-safe truncated mean reaches the output."""
+    oct_ = _octant_case("ix - px", "iy - py")
+    return f"""
+WITH d AS (SELECT user_id AS u, us, event_id AS tie,
+           CAST(floor(lat * 1000000.0) AS BIGINT) AS iy,
+           CAST(floor(lon * 1000000.0) AS BIGINT) AS ix
+           FROM ({pts_sql})),
+h AS (SELECT u, us, ix, iy,
+      LAG(ix) OVER w AS px, LAG(iy) OVER w AS py,
+      LAG(us) OVER w AS pus
+      FROM d WINDOW w AS (PARTITION BY u ORDER BY us, tie)),
+p AS (SELECT ix, iy, px, py,
+      (ix - px) * (ix - px) + (iy - py) * (iy - py) AS d2
+      FROM h WHERE pus IS NOT NULL)
+SELECT {oct_} AS octant, COUNT(*) AS n_hops,
+       CAST(SUM(CAST(d2 AS HUGEINT)) // COUNT(*) AS BIGINT)
+         AS mean_d2
+FROM p WHERE d2 > 0 GROUP BY 1
+"""

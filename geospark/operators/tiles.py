@@ -911,6 +911,176 @@ FROM g WHERE n_pts >= 2
 """
 
 
+def moran_i(points, res: int, *, lat_col: str = "lat",
+            lon_col: str = "lon"):
+    """Global Moran's I over the per-cell count raster — "is the
+    density surface spatially CLUSTERED, random, or dispersed", the
+    canonical spatial-autocorrelation statistic (binary queen
+    contiguity on OCCUPIED cells: ring-1 neighbors under the grid's
+    longitude-wrap / latitude-clamp convention, self excluded).
+    I = (N/W) * sum_ij w_ij (x_i-xbar)(x_j-xbar) / sum_i (x_i-xbar)^2;
+    +1 = hot tiles border hot tiles, ~0 = random, -1 = checkerboard.
+
+    Integer-exact: with dev_i = N*x_i - T (T = total count) the N^2
+    factors cancel, so moran_ppm = trunc(1e6 * N * S / (W * M2)) with
+    S = sum over ordered neighbor pairs of dev_i*dev_j and
+    M2 = sum dev_i^2 — dev is BIGINT (headroom N*max_count < 9.2e18),
+    the products and sums run in DECIMAL(38,0) (DuckDB: HUGEINT), and
+    the final division is Spark's decimal `div` = truncation toward
+    zero, replicated in the twin by sign decomposition over HUGEINT
+    floor division. W and S count BOTH orders of each pair (the
+    standard symmetric-weight accounting; the ratio is identical to
+    the once-per-pair convention). NULL moran_ppm when W = 0 (no two
+    occupied cells adjacent) or M2 = 0 (a constant surface has no
+    autocorrelation to measure).
+
+    Scale: one point-level cell count (map-side combinable), then
+    everything runs on AGGREGATE rows — a broadcast of the 1-row
+    (N, T) stats, a 9-way ring explode of |cells| rows, one
+    cell-keyed join, two scalar aggs. The point scan is the only
+    full-data pass. -> one row (n_cells, w_pairs, moran_ppm)."""
+    from pyspark.sql import functions as F
+
+    from ..functions.cells import cell_neighbors_explode
+    counts = tile_counts(points, res, lat_col=lat_col, lon_col=lon_col)
+    stats = counts.agg(F.count(F.lit(1)).alias("_nc"),
+                       F.sum("n_docs").alias("_t"))
+    d = (counts.crossJoin(F.broadcast(stats))
+         .select("cell",
+                 (F.col("_nc") * F.col("n_docs") - F.col("_t"))
+                 .alias("_dev"), "_nc"))
+    right = d.select(F.col("cell").alias("_neighbor"),
+                     F.col("_dev").alias("_dev_j"))
+    pairs = (cell_neighbors_explode(d.select("cell", "_dev"), res,
+                                    ring=1)
+             .filter(F.col("_neighbor") != F.col("cell"))
+             .join(right, "_neighbor", "inner"))
+    pr = pairs.agg(
+        F.count(F.lit(1)).alias("w_pairs"),
+        F.sum(F.col("_dev").cast("decimal(38,0)")
+              * F.col("_dev_j").cast("decimal(38,0)")).alias("_s"))
+    m = d.agg(F.max("_nc").alias("n_cells"),
+              F.sum(F.col("_dev").cast("decimal(38,0)")
+                    * F.col("_dev").cast("decimal(38,0)"))
+              .alias("_m2"))
+    return (m.crossJoin(pr)
+            .select(F.col("n_cells").cast("long").alias("n_cells"),
+                    F.col("w_pairs").cast("long").alias("w_pairs"),
+                    F.expr("CASE WHEN w_pairs = 0 OR _m2 = 0 "
+                           "THEN CAST(NULL AS BIGINT) ELSE "
+                           "(CAST(n_cells AS DECIMAL(38,0)) * _s "
+                           "* 1000000) div (CAST(w_pairs AS "
+                           "DECIMAL(38,0)) * _m2) END")
+                    .alias("moran_ppm")))
+
+
+def moran_i_sql(pts_sql: str, res: int) -> str:
+    """DuckDB twin of moran_i over a subquery producing (lat, lon) —
+    HUGEINT products, floor-division sign decomposition to match
+    Spark's truncation toward zero."""
+    from ..functions.cells import cell_encode_sql, cell_neighbors_sql
+    cell = cell_encode_sql("lat", "lon", res)
+    nb = cell_neighbors_sql("a.cell", res, 1)
+    num = "(st.nc * pr.s * 1000000)"
+    den = "(pr.w * m.m2)"
+    return f"""
+WITH counts AS (SELECT {cell} AS cell, COUNT(*) AS n
+                FROM ({pts_sql}) GROUP BY 1),
+st AS (SELECT COUNT(*) AS nc, CAST(SUM(n) AS BIGINT) AS t
+       FROM counts),
+d AS (SELECT cell, CAST(st.nc * counts.n - st.t AS BIGINT) AS dev
+      FROM counts, st),
+pr AS (SELECT COUNT(b.cell) AS w,
+       COALESCE(SUM(CAST(a.dev AS HUGEINT) * b.dev), 0) AS s
+       FROM d a, LATERAL ({nb}) nb, d b
+       WHERE nb.neighbor = b.cell AND nb.neighbor <> a.cell),
+m AS (SELECT CAST(SUM(CAST(dev AS HUGEINT) * dev) AS HUGEINT) AS m2
+      FROM d)
+SELECT CAST(st.nc AS BIGINT) AS n_cells,
+       CAST(pr.w AS BIGINT) AS w_pairs,
+       CAST(CASE WHEN pr.w = 0 OR m.m2 = 0 THEN NULL
+            WHEN {num} >= 0 THEN {num} // {den}
+            ELSE -((-{num}) // {den}) END AS BIGINT) AS moran_ppm
+FROM st, pr, m
+"""
+
+
+def cell_mk(points, res: int, *, us_col: str = "us",
+            lat_col: str = "lat", lon_col: str = "lon",
+            day_us: int = 86_400_000_000):
+    """Per-cell Mann-Kendall trend over the dense daily count series —
+    the RANK-based "is this tile monotonically heating up" test that
+    complements cell_trend's OLS slope (MK is insensitive to the
+    outlier spikes that yank a least-squares line): S = sum over day
+    pairs i<j of sign(y_j - y_i), tau_ppm = trunc(1e6 * S / P) with
+    P = m*(m-1)/2 pairs over the shared m-day dense span. Rides the
+    same gap-filled calendar as cell_trend (zero-arrival days must
+    count as decreases after a spike), so P is one shared constant
+    and S is pure BIGINT sign sums — no float anywhere; the signed
+    truncation toward zero matches Spark's `div`, replicated in the
+    twin by sign decomposition (DuckDB's // floors negatives).
+
+    Scale: the pairwise self-join runs over the DENSE AGGREGATE frame
+    — |cells| * m(m-1)/2 rows with m the analysis window (bounded by
+    policy at production: a 90-day window is 4,005 pairs/cell), never
+    the point table; the join key is the cell, so it rides the fill
+    join's exchange. Spans shorter than 2 days -> empty frame (P = 0).
+    -> (cell, n_total, s_mk, tau_ppm)."""
+    from pyspark.sql import functions as F
+    filled, lo, hi = _dense_daily_counts(
+        points, res, us_col=us_col, lat_col=lat_col, lon_col=lon_col,
+        day_us=day_us)
+    if lo is None or hi == lo:
+        return (filled.groupBy("cell")
+                .agg(F.sum("n_events").alias("n_total"),
+                     F.lit(0).cast("long").alias("s_mk"),
+                     F.lit(0).cast("long").alias("tau_ppm"))
+                .limit(0))
+    m_days = hi - lo + 1
+    p_pairs = m_days * (m_days - 1) // 2
+    a = filled.select("cell", F.col("day").alias("_di"),
+                      F.col("n_events").alias("_yi"))
+    b = filled.select("cell", F.col("day").alias("_dj"),
+                      F.col("n_events").alias("_yj"))
+    pairs = (a.join(b, "cell").filter(F.col("_di") < F.col("_dj"))
+             .withColumn("_sgn", F.expr(
+                 "CASE WHEN _yj > _yi THEN 1 "
+                 "WHEN _yj < _yi THEN -1 ELSE 0 END")))
+    tot = filled.groupBy("cell").agg(F.sum("n_events").alias("n_total"))
+    s = pairs.groupBy("cell").agg(F.sum("_sgn").alias("s_mk"))
+    return (tot.join(s, "cell")
+            .select("cell", "n_total", "s_mk",
+                    F.expr(f"(1000000 * s_mk) div {p_pairs}")
+                    .alias("tau_ppm")))
+
+
+def cell_mk_sql(pts_sql: str, res: int, *,
+                day_us: int = 86_400_000_000) -> str:
+    """DuckDB twin of cell_mk over a subquery producing
+    (lat, lon, us) — same dense prologue; P derives from the span CTE
+    and the signed division truncates toward zero via sign
+    decomposition."""
+    num = "(1000000 * s_mk)"
+    den = "((hi - lo + 1) * (hi - lo) // 2)"
+    return f"""
+WITH {_dense_daily_counts_sql(pts_sql, res, day_us)},
+pairs AS (SELECT a.cell,
+          CASE WHEN b.n_events > a.n_events THEN 1
+               WHEN b.n_events < a.n_events THEN -1 ELSE 0 END AS sgn
+          FROM filled a JOIN filled b
+          ON a.cell = b.cell AND a.day < b.day),
+s AS (SELECT cell, CAST(SUM(sgn) AS BIGINT) AS s_mk
+      FROM pairs GROUP BY 1),
+tot AS (SELECT cell, CAST(SUM(n_events) AS BIGINT) AS n_total
+        FROM filled GROUP BY 1)
+SELECT tot.cell, tot.n_total, s.s_mk,
+       CAST(CASE WHEN {num} >= 0 THEN {num} // {den}
+            ELSE -((-{num}) // {den}) END AS BIGINT) AS tau_ppm
+FROM tot JOIN s USING (cell), span
+WHERE hi > lo
+"""
+
+
 def _interleave_expr(x: str, y: str, res: int) -> str:
     """Spark/DuckDB-shared SQL text: Morton-interleave ``res`` bits of
     integer exprs x (even positions) and y (odd) — generated from one

@@ -2580,6 +2580,40 @@ def q_speed_flags(spark, sf_dir):
                        vmax_udeg_s=_SPEED_VMAX)
 
 
+_MORAN_RES = 4
+
+
+def q_moran_i(spark, sf_dir):
+    """Global Moran's I over the res-4 event raster (r5.27): is the
+    density surface spatially clustered, random, or dispersed — the
+    canonical autocorrelation statistic in exact integer ppm
+    (operators/tiles.moran_i docstring: scaled deviations cancel the
+    mean's rational, DECIMAL(38,0)/HUGEINT products, truncating
+    division)."""
+    from .operators.tiles import moran_i
+    return moran_i(_traj_pts(spark, sf_dir), _MORAN_RES)
+
+
+def q_cell_mk(spark, sf_dir):
+    """Per-cell Mann-Kendall trend (r5.27): the rank-based monotonic
+    heating/cooling test over each res-4 cell's dense daily series —
+    outlier-robust where cell_trend's OLS slope is not
+    (operators/tiles.cell_mk docstring: sign sums over the shared
+    dense span, truncation-exact tau ppm)."""
+    from .operators.tiles import cell_mk
+    return cell_mk(_traj_pts(spark, sf_dir), _TREND_RES)
+
+
+def q_bearing_hist(spark, sf_dir):
+    """Heading-octant histogram (r5.27): per-user hops binned into 8
+    equal 45-degree direction sectors with integer-exact boundaries
+    on axes and diagonals — the movement anisotropy fingerprint
+    (operators/events.bearing_hist docstring: Bresenham octants, no
+    atan2; DECIMAL(38,0) displacement sums)."""
+    from .operators.events import bearing_hist
+    return bearing_hist(_traj_pts(spark, sf_dir))
+
+
 QUERIES = {
     # -- round-5.13 addition, inside the window for its first driver
     #    row (curation_filter rotates just past the window:
@@ -2851,6 +2885,10 @@ QUERIES = {
     "hull_nation": q_hull_nation,
     "z_ranges": q_z_ranges,
     "union_area": q_union_area,
+    # -- round-5.27 additions (post-window, replica-verified) --
+    "moran_i": q_moran_i,
+    "cell_mk": q_cell_mk,
+    "bearing_hist": q_bearing_hist,
 }
 
 
@@ -3617,6 +3655,11 @@ def oracle_sql() -> dict[str, str]:
     out["adaptive_tiles"] = adaptive_tiles_sql(
         f"SELECT {EVT_LAT_SQL} AS lat, {EVT_LON_SQL} AS lon FROM events",
         _ADAPT_COARSE, _ADAPT_FINE, _ADAPT_CAP)
+    from .operators.tiles import cell_mk_sql, moran_i_sql
+    out["moran_i"] = moran_i_sql(_TRAJ_PTS_SQL, _MORAN_RES)
+    out["cell_mk"] = cell_mk_sql(_TRAJ_PTS_SQL, _TREND_RES)
+    from .operators.events import bearing_hist_sql
+    out["bearing_hist"] = bearing_hist_sql(_TRAJ_PTS_SQL)
     return out
 
 

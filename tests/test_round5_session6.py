@@ -1,0 +1,278 @@
+"""Round-5 session-6 operator tests: Moran's I spatial
+autocorrelation, per-cell Mann-Kendall trend, heading-octant
+histogram."""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+
+def _rows(df, cols=None):
+    cols = cols or df.columns
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def _center(y, x, res):
+    n = 1 << res
+    return (-90.0 + (y + 0.5) * 180.0 / n,
+            -180.0 + (x + 0.5) * 360.0 / n)
+
+
+def _pts(spark, cells, res, counts):
+    rows = []
+    for (y, x), c in zip(cells, counts):
+        lat, lon = _center(y, x, res)
+        rows += [(lat, lon)] * c
+    return spark.createDataFrame(rows, "lat double, lon double")
+
+
+def _moran_ppm_ref(cells, counts):
+    """Independent exact re-derivation of Moran's I (queen ring-1,
+    interior cells only — callers keep fixtures off the grid edges so
+    wrap/clamp never fires), truncated toward zero at ppm."""
+    n = len(cells)
+    t = sum(counts)
+    dev = {c: n * x - t for c, x in zip(cells, counts)}
+    s = w = 0
+    for (yi, xi) in cells:
+        for (yj, xj) in cells:
+            if (yi, xi) == (yj, xj):
+                continue
+            if max(abs(yi - yj), abs(xi - xj)) == 1:
+                w += 1
+                s += dev[(yi, xi)] * dev[(yj, xj)]
+    m2 = sum(d * d for d in dev.values())
+    if w == 0 or m2 == 0:
+        return None, w
+    q = Fraction(1_000_000 * n * s, w * m2)
+    ppm = int(q) if q >= 0 else -int(-q)
+    return ppm, w
+
+
+class TestMoranI:
+    RES = 4
+
+    def _run(self, spark, cells, counts):
+        from geospark.operators.tiles import moran_i
+        d = _pts(spark, cells, self.RES, counts)
+        row = moran_i(d, self.RES).collect()[0]
+        return row["n_cells"], row["w_pairs"], row["moran_ppm"]
+
+    def test_clustered_positive(self, spark):
+        """A hot 2x2 block beside a cold 2x2 block: like borders like,
+        I > 0; value matches the exact Fraction re-derivation."""
+        cells = [(5, 5), (5, 6), (6, 5), (6, 6),
+                 (5, 8), (5, 9), (6, 8), (6, 9)]
+        counts = [9, 9, 9, 9, 1, 1, 1, 1]
+        want, w = _moran_ppm_ref(cells, counts)
+        nc, wp, ppm = self._run(spark, cells, counts)
+        assert (nc, wp) == (8, w) and ppm == want and ppm > 0
+
+    def test_checkerboard_negative(self, spark):
+        """Alternating high/low on a 3x3 block: every neighbor differs
+        -> I < 0, exact value from the re-derivation."""
+        cells = [(y, x) for y in (5, 6, 7) for x in (5, 6, 7)]
+        counts = [9 if (y + x) % 2 == 0 else 1
+                  for (y, x) in cells]
+        want, w = _moran_ppm_ref(cells, counts)
+        nc, wp, ppm = self._run(spark, cells, counts)
+        assert (nc, wp) == (9, w) and ppm == want and ppm < 0
+
+    def test_constant_surface_null(self, spark):
+        """Equal counts everywhere: M2 = 0, no autocorrelation to
+        measure -> NULL (not 0, which would claim 'random')."""
+        cells = [(5, 5), (5, 6), (6, 5)]
+        nc, wp, ppm = self._run(spark, cells, [4, 4, 4])
+        assert nc == 3 and wp > 0 and ppm is None
+
+    def test_isolated_cells_null(self, spark):
+        """No two occupied cells adjacent: W = 0 -> NULL."""
+        cells = [(2, 2), (8, 8), (12, 4)]
+        nc, wp, ppm = self._run(spark, cells, [1, 5, 9])
+        assert nc == 3 and wp == 0 and ppm is None
+
+    def test_inline_oracle_parity(self, spark):
+        import duckdb
+        import numpy as np
+
+        from geospark.operators.tiles import moran_i, moran_i_sql
+        rng = np.random.default_rng(83)
+        rows = [(float(a), float(b)) for a, b in zip(
+            rng.uniform(-80, 80, 800).round(1),
+            rng.uniform(-170, 170, 800).round(1))]
+        d = spark.createDataFrame(rows, "lat double, lon double")
+        got = _rows(moran_i(d, 3))
+        con = duckdb.connect()
+        con.execute("CREATE TABLE p (lat DOUBLE, lon DOUBLE)")
+        con.executemany("INSERT INTO p VALUES (?, ?)", rows)
+        want = sorted(tuple(r) for r in con.execute(
+            moran_i_sql("SELECT lat, lon FROM p", 3)).fetchall())
+        assert got == want and got[0][2] is not None
+
+
+_DAY = 86_400_000_000
+
+
+def _day_pts(spark, series):
+    """series: {(y, x): [count_day0, count_day1, ...]} at res 4."""
+    rows = []
+    for (y, x), counts in series.items():
+        lat, lon = _center(y, x, 4)
+        for day, c in enumerate(counts):
+            rows += [(lat, lon, day * _DAY + 1)] * c
+    return spark.createDataFrame(rows,
+                                 "lat double, lon double, us long")
+
+
+class TestCellMK:
+    def _run(self, spark, series):
+        from geospark.operators.tiles import cell_mk
+        out = cell_mk(_day_pts(spark, series), 4)
+        return {r["cell"]: (r["n_total"], r["s_mk"], r["tau_ppm"])
+                for r in out.collect()}
+
+    def test_monotonic_and_flat(self, spark):
+        """Strictly increasing daily counts -> S = P, tau = 1e6;
+        a cell active on first and last day only (dense zeros
+        between) nets S = 0."""
+        got = self._run(spark, {(5, 5): [1, 2, 3, 4],
+                                (8, 8): [1, 0, 0, 1]})
+        assert got[(4 << 56) | (5 << 4) | 5] == (10, 6, 1_000_000)
+        # [1,0,0,1]: pairs 1>0 twice (-), 0<1 twice (+), ties 0
+        assert got[(4 << 56) | (8 << 4) | 8] == (2, 0, 0)
+
+    def test_negative_truncates_toward_zero(self, spark):
+        """S = -1 over P = 6 pairs: trunc(-1e6/6) = -166666 — a
+        floored division would give -166667."""
+        # [2, 1, 1, 2]: pairs (2,1)-, (2,1)-, (2,2)0, (1,1)0,
+        # (1,2)+, (1,2)+ -> S = 0... use [1, 0, 1, 1]:
+        # (1,0)-, (1,1)0, (1,1)0, (0,1)+, (0,1)+, (1,1)0 -> S = +1;
+        # mirror to [0, 1, 0, 0] for S = -1.
+        got = self._run(spark, {(5, 5): [0, 1, 0, 0],
+                                (8, 8): [1, 1, 1, 1]})
+        # the (5,5) cell has a zero day-0 count: only days 1..3 emit
+        # points, but the DENSE span still covers day 0 via (8,8)
+        assert got[(4 << 56) | (5 << 4) | 5] == (1, -1, -166666)
+        assert got[(4 << 56) | (8 << 4) | 8] == (4, 0, 0)
+
+    def test_single_day_span_empty(self, spark):
+        from geospark.operators.tiles import cell_mk
+        d = spark.createDataFrame([(10.0, 10.0, 5 * _DAY)],
+                                  "lat double, lon double, us long")
+        assert cell_mk(d, 4).count() == 0
+
+    def test_inline_oracle_parity(self, spark):
+        import duckdb
+        import numpy as np
+
+        from geospark.operators.tiles import cell_mk, cell_mk_sql
+        rng = np.random.default_rng(89)
+        rows = [(float(a), float(b), int(d) * _DAY + int(o))
+                for a, b, d, o in zip(
+                    rng.uniform(-80, 80, 900).round(1),
+                    rng.uniform(-170, 170, 900).round(1),
+                    rng.integers(0, 9, 900),
+                    rng.integers(0, 1000, 900))]
+        d = spark.createDataFrame(rows,
+                                  "lat double, lon double, us long")
+        got = _rows(cell_mk(d, 3))
+        con = duckdb.connect()
+        con.execute("CREATE TABLE p (lat DOUBLE, lon DOUBLE, "
+                    "us BIGINT)")
+        con.executemany("INSERT INTO p VALUES (?, ?, ?)", rows)
+        want = sorted(tuple(r) for r in con.execute(cell_mk_sql(
+            "SELECT lat, lon, us FROM p", 3)).fetchall())
+        assert got == want and len(got) > 10
+
+
+class TestBearingHist:
+    def _run(self, spark, hops):
+        """hops: list of (lat, lon) per-event positions for one
+        user, 1 second apart."""
+        from geospark.operators.events import bearing_hist
+        rows = [("u", i * 1_000_000, i, lat, lon)
+                for i, (lat, lon) in enumerate(hops)]
+        d = spark.createDataFrame(
+            rows, "user_id string, us long, event_id long, "
+                  "lat double, lon double")
+        return {r["octant"]: (r["n_hops"], r["mean_d2"])
+                for r in bearing_hist(d).collect()}
+
+    def test_sector_boundaries_and_stationary(self, spark):
+        """Due east (a sector LOWER boundary) lands in ENE, the exact
+        NE diagonal closes NNE's lower edge, interiors go where the
+        angle says, and a zero hop is dropped."""
+        got = self._run(spark, [
+            (0.0, 0.0), (0.0, 2.0),    # dy=0, dx=2e6: theta 0 -> ENE
+            (0.0, 2.0), (0.0, 2.0),    # stationary — dropped
+            (1.0, 3.0),                # dy = dx = 1e6: theta 45 -> NNE
+            (3.0, 3.5),                # dy 2e6 > dx .5e6: ~76deg -> NNE
+            (2.0, 1.0),                # dy -1e6, dx -2.5e6: ~202 -> WSW
+            (1.0, 0.0),                # dy = dx = -1e6: theta 225 -> SSW
+            (2.0, 0.0),                # dy 1e6, dx 0: theta 90 -> NNW
+            (0.0, 0.0),                # dy -2e6, dx 0: theta 270 -> SSE
+        ])
+        assert got["ENE"] == (1, 4_000_000_000_000)
+        # NNE holds d2 = 2e12 and 4.25e12 -> truncated mean 3.125e12
+        assert got["NNE"] == (2, 3_125_000_000_000)
+        assert got["WSW"][0] == 1
+        assert got["SSW"] == (1, 2_000_000_000_000)
+        assert got["NNW"] == (1, 1_000_000_000_000)
+        assert got["SSE"] == (1, 4_000_000_000_000)
+        assert set(got) == {"ENE", "NNE", "WSW", "SSW", "NNW", "SSE"}
+
+    def test_all_eight_sectors_partition_the_circle(self, spark):
+        """16 hops at 22.5-degree spacing: exactly 2 per sector —
+        the sectors are equal and exhaustive."""
+        import math
+        hops = [(0.0, 0.0)]
+        pos = (0.0, 0.0)
+        for k in range(16):
+            th = math.radians(22.5 * k + 10.0)
+            pos = (pos[0] + 2.0 * math.sin(th),
+                   pos[1] + 2.0 * math.cos(th))
+            hops.append(pos)
+        got = self._run(spark, hops)
+        assert sorted(got) == ["ENE", "ESE", "NNE", "NNW",
+                               "SSE", "SSW", "WNW", "WSW"]
+        assert all(v[0] == 2 for v in got.values())
+
+    def test_users_independent(self, spark):
+        """The lag window is per-user: the 'hop' between two users'
+        rows never appears."""
+        from geospark.operators.events import bearing_hist
+        rows = [("a", 0, 0, 0.0, 0.0), ("a", 1, 1, 0.0, 1.0),
+                ("b", 2, 2, 50.0, 50.0), ("b", 3, 3, 51.0, 50.0)]
+        d = spark.createDataFrame(
+            rows, "user_id string, us long, event_id long, "
+                  "lat double, lon double")
+        got = {r["octant"]: r["n_hops"]
+               for r in bearing_hist(d).collect()}
+        assert got == {"ENE": 1, "NNW": 1}
+
+    def test_inline_oracle_parity(self, spark):
+        import duckdb
+        import numpy as np
+
+        from geospark.operators.events import (bearing_hist,
+                                               bearing_hist_sql)
+        rng = np.random.default_rng(97)
+        rows = [(f"u{int(u)}", int(t), int(i), float(a), float(b))
+                for i, (u, t, a, b) in enumerate(zip(
+                    rng.integers(0, 40, 1200),
+                    rng.integers(0, 10**9, 1200),
+                    rng.uniform(-80, 80, 1200).round(2),
+                    rng.uniform(-170, 170, 1200).round(2)))]
+        d = spark.createDataFrame(
+            rows, "user_id string, us long, event_id long, "
+                  "lat double, lon double")
+        got = _rows(bearing_hist(d))
+        con = duckdb.connect()
+        con.execute("CREATE TABLE src (user_id VARCHAR, us BIGINT, "
+                    "event_id BIGINT, lat DOUBLE, lon DOUBLE)")
+        con.executemany("INSERT INTO src VALUES (?, ?, ?, ?, ?)",
+                        rows)
+        want = sorted(tuple(r) for r in con.execute(bearing_hist_sql(
+            "SELECT user_id, us, event_id, lat, lon FROM src"))
+            .fetchall())
+        assert got == want and 5 <= len(got) <= 8
