@@ -1005,6 +1005,95 @@ FROM st, pr, m
 """
 
 
+def lisa_cells(points, res: int, *, lat_col: str = "lat",
+               lon_col: str = "lon"):
+    """Local Moran's I (LISA) per occupied cell — WHERE the global
+    moran_i's signal lives: I_i = N * dev_i * L_i / M2 with dev_i =
+    N*x_i - T (moran_i's scaled deviation, same N^2 cancellation),
+    L_i = the sum of dev_j over i's occupied ring-1 neighbors, and
+    M2 = sum dev^2; quadrant labels the classic cluster taxonomy
+    (HH hot-in-hot-neighborhood, LL cold core, HL/LH the spatial
+    outliers; NULL when dev_i or L_i is exactly 0 — no sign to
+    classify). The identity sum_i I_i = W * I_global ties the map to
+    the statistic (pinned by test, modulo per-cell truncation).
+    Cells with NO occupied neighbor have no spatial lag and are
+    dropped (standard practice); a constant surface (M2 = 0) -> NULL
+    lisa_ppm. Products in DECIMAL(38,0) (HUGEINT twin), truncating
+    decimal `div`, like moran_i.
+
+    Scale: identical shape to moran_i — one point-level count, then
+    aggregate-row algebra (9-way ring explode, one cell-keyed join,
+    one cell agg). -> (cell, n_pts, quadrant, lisa_ppm)."""
+    from pyspark.sql import functions as F
+
+    from ..functions.cells import cell_neighbors_explode
+    counts = tile_counts(points, res, lat_col=lat_col, lon_col=lon_col)
+    stats = counts.agg(F.count(F.lit(1)).alias("_nc"),
+                       F.sum("n_docs").alias("_t"))
+    d = (counts.crossJoin(F.broadcast(stats))
+         .select("cell", F.col("n_docs").alias("n_pts"),
+                 (F.col("_nc") * F.col("n_docs") - F.col("_t"))
+                 .alias("_dev"), "_nc"))
+    right = d.select(F.col("cell").alias("_neighbor"),
+                     F.col("_dev").alias("_dev_j"))
+    lag = (cell_neighbors_explode(d.select("cell", "_dev"), res,
+                                  ring=1)
+           .filter(F.col("_neighbor") != F.col("cell"))
+           .join(right, "_neighbor", "inner")
+           .groupBy("cell").agg(F.sum("_dev_j").alias("_lag")))
+    m2 = d.agg(F.sum(F.col("_dev").cast("decimal(38,0)")
+                     * F.col("_dev").cast("decimal(38,0)"))
+               .alias("_m2"))
+    return (d.join(lag, "cell", "inner")
+            .crossJoin(F.broadcast(m2))
+            .select("cell", "n_pts",
+                    F.expr("CASE WHEN _dev = 0 OR _lag = 0 THEN "
+                           "CAST(NULL AS STRING) "
+                           "WHEN _dev > 0 AND _lag > 0 THEN 'HH' "
+                           "WHEN _dev < 0 AND _lag < 0 THEN 'LL' "
+                           "WHEN _dev > 0 THEN 'HL' ELSE 'LH' END")
+                    .alias("quadrant"),
+                    F.expr("CASE WHEN _m2 = 0 THEN "
+                           "CAST(NULL AS BIGINT) ELSE "
+                           "(CAST(_nc AS DECIMAL(38,0)) "
+                           "* _dev * _lag * 1000000) div _m2 END")
+                    .alias("lisa_ppm")))
+
+
+def lisa_cells_sql(pts_sql: str, res: int) -> str:
+    """DuckDB twin of lisa_cells over a subquery producing
+    (lat, lon) — HUGEINT products, sign-decomposed floor division to
+    match Spark's truncation toward zero."""
+    from ..functions.cells import cell_encode_sql, cell_neighbors_sql
+    cell = cell_encode_sql("lat", "lon", res)
+    nb = cell_neighbors_sql("a.cell", res, 1)
+    num = "(st.nc * CAST(d.dev AS HUGEINT) * lag.lag * 1000000)"
+    den = "m.m2"
+    return f"""
+WITH counts AS (SELECT {cell} AS cell, COUNT(*) AS n
+                FROM ({pts_sql}) GROUP BY 1),
+st AS (SELECT COUNT(*) AS nc, CAST(SUM(n) AS BIGINT) AS t
+       FROM counts),
+d AS (SELECT cell, n, CAST(st.nc * counts.n - st.t AS BIGINT) AS dev
+      FROM counts, st),
+lag AS (SELECT a.cell, CAST(SUM(b.dev) AS BIGINT) AS lag
+        FROM d a, LATERAL ({nb}) nb, d b
+        WHERE nb.neighbor = b.cell AND nb.neighbor <> a.cell
+        GROUP BY 1),
+m AS (SELECT CAST(SUM(CAST(dev AS HUGEINT) * dev) AS HUGEINT) AS m2
+      FROM d)
+SELECT d.cell, CAST(d.n AS BIGINT) AS n_pts,
+       CASE WHEN d.dev = 0 OR lag.lag = 0 THEN NULL
+            WHEN d.dev > 0 AND lag.lag > 0 THEN 'HH'
+            WHEN d.dev < 0 AND lag.lag < 0 THEN 'LL'
+            WHEN d.dev > 0 THEN 'HL' ELSE 'LH' END AS quadrant,
+       CAST(CASE WHEN m.m2 = 0 THEN NULL
+            WHEN {num} >= 0 THEN {num} // {den}
+            ELSE -((-{num}) // {den}) END AS BIGINT) AS lisa_ppm
+FROM d JOIN lag USING (cell), st, m
+"""
+
+
 def cell_mk(points, res: int, *, us_col: str = "us",
             lat_col: str = "lat", lon_col: str = "lon",
             day_us: int = 86_400_000_000):

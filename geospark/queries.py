@@ -2594,6 +2594,15 @@ def q_moran_i(spark, sf_dir):
     return moran_i(_traj_pts(spark, sf_dir), _MORAN_RES)
 
 
+def q_lisa_cells(spark, sf_dir):
+    """Local Moran's I / LISA map (r5.27): per-cell cluster quadrant
+    (HH/LL cores, HL/LH outliers) and integer-ppm local statistic
+    over the res-4 event raster — where q_moran_i's global signal
+    lives (operators/tiles.lisa_cells docstring)."""
+    from .operators.tiles import lisa_cells
+    return lisa_cells(_traj_pts(spark, sf_dir), _MORAN_RES)
+
+
 def q_cell_mk(spark, sf_dir):
     """Per-cell Mann-Kendall trend (r5.27): the rank-based monotonic
     heating/cooling test over each res-4 cell's dense daily series —
@@ -2887,6 +2896,7 @@ QUERIES = {
     "union_area": q_union_area,
     # -- round-5.27 additions (post-window, replica-verified) --
     "moran_i": q_moran_i,
+    "lisa_cells": q_lisa_cells,
     "cell_mk": q_cell_mk,
     "bearing_hist": q_bearing_hist,
 }
@@ -3655,8 +3665,10 @@ def oracle_sql() -> dict[str, str]:
     out["adaptive_tiles"] = adaptive_tiles_sql(
         f"SELECT {EVT_LAT_SQL} AS lat, {EVT_LON_SQL} AS lon FROM events",
         _ADAPT_COARSE, _ADAPT_FINE, _ADAPT_CAP)
-    from .operators.tiles import cell_mk_sql, moran_i_sql
+    from .operators.tiles import (cell_mk_sql, lisa_cells_sql,
+                                  moran_i_sql)
     out["moran_i"] = moran_i_sql(_TRAJ_PTS_SQL, _MORAN_RES)
+    out["lisa_cells"] = lisa_cells_sql(_TRAJ_PTS_SQL, _MORAN_RES)
     out["cell_mk"] = cell_mk_sql(_TRAJ_PTS_SQL, _TREND_RES)
     from .operators.events import bearing_hist_sql
     out["bearing_hist"] = bearing_hist_sql(_TRAJ_PTS_SQL)

@@ -276,3 +276,115 @@ class TestBearingHist:
             "SELECT user_id, us, event_id, lat, lon FROM src"))
             .fetchall())
         assert got == want and 5 <= len(got) <= 8
+
+
+def _lisa_ref(cells, counts):
+    """Independent exact LISA re-derivation (interior cells only)."""
+    n = len(cells)
+    t = sum(counts)
+    dev = {c: n * x - t for c, x in zip(cells, counts)}
+    m2 = sum(d * d for d in dev.values())
+    out = {}
+    for (yi, xi) in cells:
+        lag = sum(dev[(yj, xj)] for (yj, xj) in cells
+                  if (yj, xj) != (yi, xi)
+                  and max(abs(yi - yj), abs(xi - xj)) == 1)
+        has_nb = any((yj, xj) != (yi, xi)
+                     and max(abs(yi - yj), abs(xi - xj)) == 1
+                     for (yj, xj) in cells)
+        if not has_nb:
+            continue
+        di = dev[(yi, xi)]
+        if di == 0 or lag == 0:
+            quad = None
+        elif di > 0 and lag > 0:
+            quad = "HH"
+        elif di < 0 and lag < 0:
+            quad = "LL"
+        elif di > 0:
+            quad = "HL"
+        else:
+            quad = "LH"
+        if m2 == 0:
+            ppm = None
+        else:
+            q = Fraction(1_000_000 * n * di * lag, m2)
+            ppm = int(q) if q >= 0 else -int(-q)
+        out[(yi, xi)] = (quad, ppm)
+    return out
+
+
+class TestLisaCells:
+    RES = 4
+
+    def _run(self, spark, cells, counts):
+        from geospark.operators.tiles import lisa_cells
+        d = _pts(spark, cells, self.RES, counts)
+        return {r["cell"]: (r["quadrant"], r["lisa_ppm"])
+                for r in lisa_cells(d, self.RES).collect()}
+
+    def test_blocks_label_hh_ll_and_match_ref(self, spark):
+        """Hot block cells sit in hot neighborhoods (HH), cold block
+        cells in cold ones (LL); exact ppm values match the Fraction
+        re-derivation cell by cell."""
+        cells = [(5, 5), (5, 6), (6, 5), (6, 6),
+                 (5, 8), (5, 9), (6, 8), (6, 9)]
+        counts = [9, 9, 9, 9, 1, 1, 1, 1]
+        want = {(y, x): v for (y, x), v in
+                _lisa_ref(cells, counts).items()}
+        got = self._run(spark, cells, counts)
+        assert len(got) == 8
+        for (y, x), v in want.items():
+            assert got[(4 << 56) | (y << 4) | x] == v
+        quads = [v[0] for v in got.values()]
+        assert quads.count("HH") == 4 and quads.count("LL") == 4
+
+    def test_spatial_outlier_hl_lh(self, spark):
+        """A lone hot cell in a cold field is an HL outlier; its
+        immediate neighbors flag LH (cold next to hot)."""
+        cells = [(y, x) for y in (5, 6, 7) for x in (5, 6, 7)]
+        counts = [17 if (y, x) == (6, 6) else 1 for (y, x) in cells]
+        want = _lisa_ref(cells, counts)
+        got = self._run(spark, cells, counts)
+        assert got[(4 << 56) | (6 << 4) | 6][0] == "HL"
+        assert want[(6, 6)][0] == "HL"
+        for (y, x), v in want.items():
+            assert got[(4 << 56) | (y << 4) | x] == v
+
+    def test_isolated_cell_dropped(self, spark):
+        """A cell with no occupied neighbor has no spatial lag."""
+        cells = [(5, 5), (5, 6), (12, 12)]
+        got = self._run(spark, cells, [3, 1, 8])
+        assert (4 << 56) | (12 << 4) | 12 not in got
+        assert len(got) == 2
+
+    def test_sum_identity_with_global(self, spark):
+        """sum_i I_i == W * I_global exactly in rationals; with
+        per-cell truncation the BIGINT sums agree within n_cells."""
+        from geospark.operators.tiles import moran_i
+        cells = [(y, x) for y in (4, 5, 6) for x in (4, 5, 6, 7)]
+        counts = [((y * 7 + x * 3) % 5) + 1 for (y, x) in cells]
+        d = _pts(spark, cells, self.RES, counts)
+        g = moran_i(d, self.RES).collect()[0]
+        lisa_sum = sum(v[1] for v in
+                       self._run(spark, cells, counts).values())
+        assert abs(lisa_sum - g["w_pairs"] * g["moran_ppm"]) \
+            <= len(cells) * 1_000_000
+
+    def test_inline_oracle_parity(self, spark):
+        import duckdb
+        import numpy as np
+
+        from geospark.operators.tiles import lisa_cells, lisa_cells_sql
+        rng = np.random.default_rng(101)
+        rows = [(float(a), float(b)) for a, b in zip(
+            rng.uniform(-80, 80, 700).round(1),
+            rng.uniform(-170, 170, 700).round(1))]
+        d = spark.createDataFrame(rows, "lat double, lon double")
+        got = _rows(lisa_cells(d, 3))
+        con = duckdb.connect()
+        con.execute("CREATE TABLE src (lat DOUBLE, lon DOUBLE)")
+        con.executemany("INSERT INTO src VALUES (?, ?)", rows)
+        want = sorted(tuple(r) for r in con.execute(
+            lisa_cells_sql("SELECT lat, lon FROM src", 3)).fetchall())
+        assert got == want and len(got) > 20
