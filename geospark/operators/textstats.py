@@ -740,3 +740,54 @@ g AS (SELECT cal.source, cal.day,
 SELECT source, day, n_docs, ({score}) AS freshness
 FROM g WINDOW w AS (PARTITION BY source ORDER BY day)
 """
+
+
+def bigram_lm(df, *, text_col: str = "text", min_count: int = 1):
+    """Corpus bigram language model — global bigram counts with the
+    exact conditional probability P(w2 | w1) in floor ppm, the
+    count-based LM every data-quality heuristic sits on (perplexity
+    proxies, boilerplate phrase detection, MT-artifact spotting).
+    Bigrams come from the shared words_col tokenization via an
+    index-transform over each doc's token array (struct(w[i-1], w[i])
+    — no posexplode, no ordinality, no UDF); the conditioning
+    denominator is the bigram-start count sum_v n(w1, v), so each
+    w1's cond_ppm column sums to ~1e6 by construction (floor loss
+    only). ``min_count`` prunes the long tail AFTER the denominator
+    is fixed, so surviving probabilities are unchanged by the prune.
+
+    Scale: the explode is per-token (the corpus token count — the
+    same volume any tokenizing pass touches), then ONE (w1, w2)
+    groupBy with map-side combine; the denominator rides a w1-keyed
+    window over AGGREGATE rows (distinct bigrams), not tokens.
+    -> (w1, w2, n, cond_ppm)."""
+    from pyspark.sql import functions as F
+    toks = (df.select(words_col(text_col).alias("_w"))
+            .filter(F.size("_w") >= 2))
+    pairs = toks.select(F.explode(F.expr(
+        "transform(sequence(1, size(_w) - 1), "
+        "i -> struct(_w[i-1] AS w1, _w[i] AS w2))")).alias("_p"))
+    g = (pairs.select("_p.w1", "_p.w2")
+         .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n")))
+    return (g.withColumn("cond_ppm",
+                         F.expr("(1000000 * n) div "
+                                "sum(n) OVER (PARTITION BY w1)"))
+            .filter(F.col("n") >= min_count)
+            .select("w1", "w2", "n", "cond_ppm"))
+
+
+def bigram_lm_sql(min_count: int = 1, table: str = "documents") -> str:
+    """DuckDB twin of bigram_lm (1-based list indexing; the window
+    SUM widens to HUGEINT, floor // == Spark's div on these
+    nonnegative operands)."""
+    return f"""
+WITH toks AS (SELECT regexp_extract_all(lower(text), '{TOKEN_RX}')
+              AS w FROM {table}),
+pairs AS (SELECT w[i] AS w1, w[i + 1] AS w2
+          FROM toks, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+          WHERE len(w) >= 2),
+g AS (SELECT w1, w2, COUNT(*) AS n FROM pairs GROUP BY 1, 2)
+SELECT w1, w2, CAST(n AS BIGINT) AS n,
+       CAST((1000000 * n) // SUM(n) OVER (PARTITION BY w1)
+            AS BIGINT) AS cond_ppm
+FROM g QUALIFY n >= {min_count}
+"""

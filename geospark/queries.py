@@ -2613,6 +2613,20 @@ def q_cell_mk(spark, sf_dir):
     return cell_mk(_traj_pts(spark, sf_dir), _TREND_RES)
 
 
+_BIGRAM_MIN = 2
+
+
+def q_bigram_lm(spark, sf_dir):
+    """Corpus bigram LM (r5.27): global bigram counts with exact
+    floor-ppm conditional probabilities over the shared tokenization
+    — the count model under perplexity-proxy quality scoring
+    (operators/textstats.bigram_lm docstring: min_count prunes after
+    the denominator is fixed)."""
+    from .operators.textstats import bigram_lm
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bigram_lm(d, min_count=_BIGRAM_MIN)
+
+
 def q_bearing_hist(spark, sf_dir):
     """Heading-octant histogram (r5.27): per-user hops binned into 8
     equal 45-degree direction sectors with integer-exact boundaries
@@ -2899,6 +2913,7 @@ QUERIES = {
     "lisa_cells": q_lisa_cells,
     "cell_mk": q_cell_mk,
     "bearing_hist": q_bearing_hist,
+    "bigram_lm": q_bigram_lm,
 }
 
 
@@ -3672,6 +3687,8 @@ def oracle_sql() -> dict[str, str]:
     out["cell_mk"] = cell_mk_sql(_TRAJ_PTS_SQL, _TREND_RES)
     from .operators.events import bearing_hist_sql
     out["bearing_hist"] = bearing_hist_sql(_TRAJ_PTS_SQL)
+    from .operators.textstats import bigram_lm_sql
+    out["bigram_lm"] = bigram_lm_sql(min_count=_BIGRAM_MIN)
     return out
 
 

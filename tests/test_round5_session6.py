@@ -388,3 +388,55 @@ class TestLisaCells:
         want = sorted(tuple(r) for r in con.execute(
             lisa_cells_sql("SELECT lat, lon FROM src", 3)).fetchall())
         assert got == want and len(got) > 20
+
+
+class TestBigramLM:
+    def _d(self, spark, texts):
+        return spark.createDataFrame([(t,) for t in texts],
+                                     "text string")
+
+    def test_conditionals_and_floor(self, spark):
+        """P(w2|w1) in floor ppm; per-w1 rows sum to ~1e6."""
+        from geospark.operators.textstats import bigram_lm
+        d = self._d(spark, ["the cat the dog the cat",
+                            "a b", "solo"])
+        got = {(r["w1"], r["w2"]): (r["n"], r["cond_ppm"])
+               for r in bigram_lm(d).collect()}
+        # 'the' starts 3 bigrams: cat x2, dog x1
+        assert got[("the", "cat")] == (2, 666666)
+        assert got[("the", "dog")] == (1, 333333)
+        assert got[("cat", "the")] == (1, 1_000_000)
+        assert got[("a", "b")] == (1, 1_000_000)
+        # the single-token doc contributes nothing
+        assert not any(w1 == "solo" or w2 == "solo"
+                       for (w1, w2) in got)
+
+    def test_min_count_prunes_after_denominator(self, spark):
+        """Pruning the tail must NOT renormalize survivors."""
+        from geospark.operators.textstats import bigram_lm
+        d = self._d(spark, ["x a x a x b"])
+        got = {(r["w1"], r["w2"]): r["cond_ppm"]
+               for r in bigram_lm(d, min_count=2).collect()}
+        # x->a survives with its original 2/3, x->b (n=1) pruned
+        assert got == {("x", "a"): 666666, ("a", "x"): 1_000_000}
+
+    def test_inline_oracle_parity(self, spark):
+        import duckdb
+        import numpy as np
+
+        from geospark.operators.textstats import (bigram_lm,
+                                                  bigram_lm_sql)
+        rng = np.random.default_rng(103)
+        vocabulary = ["alpha", "beta", "gamma", "delta", "x9"]
+        texts = [" ".join(rng.choice(vocabulary,
+                                     size=rng.integers(0, 30)))
+                 for _ in range(120)]
+        d = self._d(spark, texts)
+        got = _rows(bigram_lm(d, min_count=2))
+        con = duckdb.connect()
+        con.execute("CREATE TABLE documents (text VARCHAR)")
+        con.executemany("INSERT INTO documents VALUES (?)",
+                        [(t,) for t in texts])
+        want = sorted(tuple(r) for r in con.execute(
+            bigram_lm_sql(min_count=2)).fetchall())
+        assert got == want and len(got) > 15
