@@ -1266,3 +1266,113 @@ SELECT {id_col}, MIN(z) AS z_lo, MAX(z) AS z_hi,
        COUNT(*) AS n_cells
 FROM isl GROUP BY {id_col}, grp
 """
+
+
+def pair_counts(points, radii_udeg, *, id_col: str = "id",
+                lat_col: str = "lat", lon_col: str = "lon",
+                res: int = 6):
+    """Ripley's-K numerator ladder — the multi-scale clustering
+    profile of a point pattern: for each radius r in ``radii_udeg``
+    (micro-degrees, ascending), the number of UNORDERED point pairs
+    with planar squared lattice distance d2 <= r^2. Against a CSR
+    (random) baseline the curve's shape says at WHICH scale the
+    pattern clusters — moran_i answers "is it clustered", this
+    answers "at what radius".
+
+    Integer-exact end to end: coords quantize to micro-degree BIGINTs
+    (the _user_hops convention), d2 and every r^2 compare in BIGINT,
+    and the CELL the blocking join keys on derives from the SAME
+    integer lattice on both sides — cx = clamp(ix + 180e6) * n div
+    360e6 — so a point can never fall outside a cover box that its
+    floored coordinates are inside (a float-degree cover box can
+    disagree with floored µdeg distance by one ulp at the rim).
+    No wrap: an antimeridian pair's LATTICE distance is ~360e6 µdeg,
+    far past any radius, consistently in both engines.
+
+    Scale: the self-join is blocked on the integer cell at ``res``
+    (pick it so max(radii) spans ~1-2 cells: explode factor stays
+    <= 9); `id_l < id_r` keeps each unordered pair exactly once with
+    no dedup shuffle (the right side has ONE cell per point, the
+    distance_join lesson). One equi-join + one k-counter agg; the
+    ladder unpivots from a single aggregate row via stack().
+    -> (r_udeg, n_pairs), cumulative in r."""
+    from pyspark.sql import functions as F
+    radii = sorted(int(r) for r in radii_udeg)
+    maxr = radii[-1]
+    n = 1 << res
+
+    def ix(c):
+        return F.expr(f"CAST(floor({c} * 1000000.0) AS BIGINT)")
+
+    def cellx(e_sql, off):
+        # clamp BEFORE the div: `div` truncates toward zero, which
+        # only equals floor on nonnegative operands
+        return (f"(greatest(0, least(359999999, "
+                f"({e_sql}) + {off + 180_000_000})) * {n}) "
+                f"div 360000000")
+
+    def celly(e_sql, off):
+        return (f"(greatest(0, least(179999999, "
+                f"({e_sql}) + {off + 90_000_000})) * {n}) "
+                f"div 180000000")
+
+    base = points.select(F.col(id_col).alias("_id"),
+                         ix(lon_col).alias("_ix"),
+                         ix(lat_col).alias("_iy"))
+    left = (base
+            .withColumn("_cx", F.explode(F.expr(
+                f"sequence({cellx('_ix', -maxr)}, "
+                f"{cellx('_ix', maxr)})")))
+            .withColumn("_cy", F.explode(F.expr(
+                f"sequence({celly('_iy', -maxr)}, "
+                f"{celly('_iy', maxr)})")))
+            .select(F.col("_id").alias("_l"),
+                    F.col("_ix").alias("_lx"),
+                    F.col("_iy").alias("_ly"),
+                    (F.col("_cx") * n + F.col("_cy")).alias("_cell")))
+    right = base.select(
+        F.col("_id").alias("_r"), F.col("_ix").alias("_rx"),
+        F.col("_iy").alias("_ry"),
+        F.expr(f"({cellx('_ix', 0)}) * {n} "
+               f"+ ({celly('_iy', 0)})").alias("_cell"))
+    pairs = (left.join(right, "_cell")
+             .filter(F.col("_l") < F.col("_r"))
+             .select(F.expr("(_lx - _rx) * (_lx - _rx) "
+                            "+ (_ly - _ry) * (_ly - _ry)")
+                     .alias("_d2"))
+             .filter(F.col("_d2") <= F.lit(maxr * maxr)))
+    aggs = [F.coalesce(F.sum(F.expr(
+        f"CASE WHEN _d2 <= {r * r} THEN 1 ELSE 0 END")),
+        F.lit(0)).cast("long").alias(f"_c{i}")
+        for i, r in enumerate(radii)]
+    one = pairs.agg(*aggs)
+    stack = ", ".join(f"CAST({r} AS BIGINT), _c{i}"
+                      for i, r in enumerate(radii))
+    return one.selectExpr(
+        f"stack({len(radii)}, {stack}) AS (r_udeg, n_pairs)")
+
+
+def pair_counts_sql(pts_sql: str, radii_udeg) -> str:
+    """DuckDB twin of pair_counts over a subquery producing
+    (id, lat, lon) — brute-force pair enumeration (the oracle runs at
+    sf0.01; the blocked join is the scale path), identical lattice
+    d2, UNION ALL ladder."""
+    radii = sorted(int(r) for r in radii_udeg)
+    maxr = radii[-1]
+    sums = ", ".join(
+        f"COALESCE(SUM(CASE WHEN d2 <= {r * r} THEN 1 ELSE 0 END), 0)"
+        f" AS c{i}" for i, r in enumerate(radii))
+    rungs = " UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS r_udeg, "
+        f"CAST(c{i} AS BIGINT) AS n_pairs FROM g"
+        for i, r in enumerate(radii))
+    return f"""
+WITH p AS (SELECT id, CAST(floor(lat * 1000000.0) AS BIGINT) AS iy,
+           CAST(floor(lon * 1000000.0) AS BIGINT) AS ix
+           FROM ({pts_sql})),
+pairs AS (SELECT (a.ix - b.ix) * (a.ix - b.ix)
+          + (a.iy - b.iy) * (a.iy - b.iy) AS d2
+          FROM p a JOIN p b ON a.id < b.id),
+g AS (SELECT {sums} FROM pairs WHERE d2 <= {maxr * maxr})
+{rungs}
+"""

@@ -2613,6 +2613,24 @@ def q_cell_mk(spark, sf_dir):
     return cell_mk(_traj_pts(spark, sf_dir), _TREND_RES)
 
 
+_PAIR_RADII = [1_000_000, 2_000_000, 5_000_000, 10_000_000]
+_PAIR_RES = 4
+
+
+def q_pair_counts(spark, sf_dir):
+    """Ripley's-K pair-count ladder (r5.27): cumulative customer
+    point pairs within 1/2/5/10 degrees — the multi-scale clustering
+    profile; moran_i says IF the surface clusters, this says at what
+    radius (operators/tiles.pair_counts docstring: integer-lattice
+    cover, blocked unordered self-join)."""
+    from pyspark.sql import functions as F
+    from .operators.tiles import pair_counts
+    return pair_counts(
+        _cust_points(spark, sf_dir).select(
+            F.col("c_custkey").alias("id"), "lat", "lon"),
+        _PAIR_RADII, res=_PAIR_RES)
+
+
 _BIGRAM_MIN = 2
 
 
@@ -2914,6 +2932,7 @@ QUERIES = {
     "cell_mk": q_cell_mk,
     "bearing_hist": q_bearing_hist,
     "bigram_lm": q_bigram_lm,
+    "pair_counts": q_pair_counts,
 }
 
 
@@ -3689,6 +3708,10 @@ def oracle_sql() -> dict[str, str]:
     out["bearing_hist"] = bearing_hist_sql(_TRAJ_PTS_SQL)
     from .operators.textstats import bigram_lm_sql
     out["bigram_lm"] = bigram_lm_sql(min_count=_BIGRAM_MIN)
+    from .operators.tiles import pair_counts_sql
+    out["pair_counts"] = pair_counts_sql(
+        f"SELECT c_custkey AS id, lat, lon FROM ({_CUST_PTS_CTE})",
+        _PAIR_RADII)
     return out
 
 

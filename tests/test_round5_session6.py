@@ -440,3 +440,70 @@ class TestBigramLM:
         want = sorted(tuple(r) for r in con.execute(
             bigram_lm_sql(min_count=2)).fetchall())
         assert got == want and len(got) > 15
+
+
+class TestPairCounts:
+    def _d(self, spark, pts):
+        return spark.createDataFrame(
+            [(i, la, lo) for i, (la, lo) in enumerate(pts)],
+            "id long, lat double, lon double")
+
+    def test_ladder_cumulative_exact(self, spark):
+        """Three points on a line 1 and 2 microdeg-millions apart:
+        the ladder counts pairs cumulatively."""
+        from geospark.operators.tiles import pair_counts
+        d = self._d(spark, [(0.0, 0.0), (0.0, 1.0), (0.0, 3.0)])
+        got = {r["r_udeg"]: r["n_pairs"] for r in pair_counts(
+            d, [1_000_000, 2_000_000, 3_000_000]).collect()}
+        # d(0,1)=1e6, d(1,2)=2e6, d(0,2)=3e6
+        assert got == {1_000_000: 1, 2_000_000: 2, 3_000_000: 3}
+
+    def test_closed_boundary_and_coincident(self, spark):
+        """dist == r matches (closed); coincident distinct ids pair
+        at every radius; self-pairs never count."""
+        from geospark.operators.tiles import pair_counts
+        d = self._d(spark, [(5.0, 5.0), (5.0, 5.0), (5.0, 6.0)])
+        got = {r["r_udeg"]: r["n_pairs"] for r in pair_counts(
+            d, [500_000, 1_000_000]).collect()}
+        assert got == {500_000: 1, 1_000_000: 3}
+
+    def test_blocking_res_invariance(self, spark):
+        """The blocked join finds exactly the brute-force pairs at
+        any res — including points straddling cell borders."""
+        import numpy as np
+
+        from geospark.operators.tiles import pair_counts
+        rng = np.random.default_rng(107)
+        pts = [(float(a), float(b)) for a, b in zip(
+            rng.uniform(-60, 60, 300).round(3),
+            rng.uniform(-120, 120, 300).round(3))]
+        d = self._d(spark, pts)
+        radii = [2_000_000, 5_000_000]
+        runs = [
+            {r["r_udeg"]: r["n_pairs"]
+             for r in pair_counts(d, radii, res=rr).collect()}
+            for rr in (4, 5, 6)]
+        assert runs[0] == runs[1] == runs[2]
+        assert runs[0][5_000_000] > 0
+
+    def test_inline_oracle_parity(self, spark):
+        import duckdb
+        import numpy as np
+
+        from geospark.operators.tiles import (pair_counts,
+                                              pair_counts_sql)
+        rng = np.random.default_rng(109)
+        rows = [(int(i), float(a), float(b)) for i, (a, b) in
+                enumerate(zip(rng.uniform(-85, 85, 400).round(2),
+                              rng.uniform(-175, 175, 400).round(2)))]
+        d = spark.createDataFrame(rows,
+                                  "id long, lat double, lon double")
+        radii = [1_000_000, 3_000_000, 8_000_000]
+        got = _rows(pair_counts(d, radii, res=5))
+        con = duckdb.connect()
+        con.execute("CREATE TABLE src (id BIGINT, lat DOUBLE, "
+                    "lon DOUBLE)")
+        con.executemany("INSERT INTO src VALUES (?, ?, ?)", rows)
+        want = sorted(tuple(r) for r in con.execute(pair_counts_sql(
+            "SELECT id, lat, lon FROM src", radii)).fetchall())
+        assert got == want and got[-1][1] > 0
