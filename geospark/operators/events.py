@@ -1140,3 +1140,65 @@ SELECT {oct_} AS octant, COUNT(*) AS n_hops,
          AS mean_d2
 FROM p WHERE d2 > 0 GROUP BY 1
 """
+
+
+def revisit_hist(points, res: int, *, user_col: str = "user_id",
+                 us_col: str = "us", lat_col: str = "lat",
+                 lon_col: str = "lon", tie_col: str = "event_id"):
+    """Revisit-interval histogram — the temporal twin of jump_hist:
+    gaps between a user's CONSECUTIVE visits to the SAME grid cell,
+    bucketed into exact log2 bins of whole seconds. Human place
+    revisitation is bursty (heavy-tailed inter-visit times); a
+    scripted poller revisits on a metronome — this one aggregate row
+    set separates them, and it is the dwell/recency feature behind
+    place-ranking models.
+
+    Integer-exact: the gap quantizes to whole seconds with BIGINT
+    ``div`` BEFORE bucketing, then ``bucket = length(bin(gap_s))``
+    = floor(log2 gap_s) + 1 (the jump_hist binary-string-length
+    trick — no float log to ulp-flip at exact powers of two);
+    same-second revisits (gap_s = 0) get bucket 0. Consecutive means
+    per (user, cell) ordered by (us, tie) — an interleaved visit to
+    ANOTHER cell does not break the pair (cell-keyed LAG, the
+    standard inter-visit-time definition).
+
+    Scale: one (user, cell)-keyed window over the event stream (same
+    shuffle class as sessionize), then an aggregate-sized groupBy of
+    ~60 buckets with map-side combine. -> (bucket, n_gaps)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..functions.cells import cell_encode
+    d = points.select(
+        F.col(user_col).alias("_user"), F.col(us_col).alias("_us"),
+        F.col(tie_col).alias("_tie"),
+        cell_encode(lat_col, lon_col, res).alias("_cell"))
+    w = Window.partitionBy("_user", "_cell").orderBy("_us", "_tie")
+    g = (d.withColumn("_pus", F.lag("_us").over(w))
+          .filter(F.col("_pus").isNotNull())
+          .select(F.expr("(_us - _pus) div 1000000").alias("_gap_s")))
+    bucket = F.expr(
+        "CASE WHEN _gap_s = 0 THEN 0 ELSE length(bin(_gap_s)) END")
+    return (g.groupBy(bucket.cast("int").alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n_gaps")))
+
+
+def revisit_hist_sql(pts_sql: str, res: int) -> str:
+    """DuckDB twin of revisit_hist over a subquery producing
+    (user_id, us, event_id, lat, lon) — same cell id, same
+    integer-second quantization, same bin()-length bucket."""
+    from ..functions.cells import cell_encode_sql
+    cell = cell_encode_sql("lat", "lon", res)
+    return f"""
+WITH d AS (SELECT user_id AS u, us, event_id AS tie,
+           {cell} AS cell FROM ({pts_sql})),
+h AS (SELECT u, cell, us,
+      LAG(us) OVER (PARTITION BY u, cell ORDER BY us, tie) AS pus
+      FROM d),
+g AS (SELECT (us - pus) // 1000000 AS gap_s
+      FROM h WHERE pus IS NOT NULL)
+SELECT CAST(CASE WHEN gap_s = 0 THEN 0
+            ELSE length(bin(gap_s)) END AS INT) AS bucket,
+       COUNT(*) AS n_gaps
+FROM g GROUP BY 1
+"""

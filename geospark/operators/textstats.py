@@ -791,3 +791,72 @@ SELECT w1, w2, CAST(n AS BIGINT) AS n,
             AS BIGINT) AS cond_ppm
 FROM g QUALIFY n >= {min_count}
 """
+
+
+def lm_novelty(df, *, text_col: str = "text", id_col: str = "doc_id",
+               min_count: int = 2):
+    """Per-doc bigram novelty under the corpus bigram LM — the
+    count-LM stand-in for a perplexity quality filter: for each doc
+    with at least one bigram, how many of its bigrams fall inside
+    the pruned corpus model (bigram_lm at the same ``min_count``)
+    and the exact floor-ppm share that do NOT. Boilerplate and
+    template farms sit near novelty 0 (every bigram is corpus-
+    frequent); OCR junk and lorem-noise sit near 1e6 — the standard
+    cheap proxy where a real neural-LM perplexity gate would slot in.
+
+    Integer-exact: counts in BIGINT, novelty_ppm =
+    (1e6 * (n_bigrams - n_known)) div n_bigrams — no float division,
+    no log (a true perplexity needs float logs that ulp-drift across
+    engines; the OOV RATE carries the same ranking signal exactly).
+
+    Scale: the pruned LM is vocabulary-sized (Zipf: min_count >= 2
+    drops the singleton tail, the surviving set is orders of
+    magnitude below corpus token volume) and BROADCAST, so the doc
+    bigram stream — the same volume any tokenizing pass touches —
+    map-side joins with no shuffle; one doc-keyed groupBy with
+    map-side combine ends it. -> (doc_id, n_bigrams, n_known,
+    novelty_ppm)."""
+    from pyspark.sql import functions as F
+    lm = (bigram_lm(df, text_col=text_col, min_count=min_count)
+          .select("w1", "w2", F.lit(1).alias("_k")))
+    toks = (df.select(F.col(id_col), words_col(text_col).alias("_w"))
+            .filter(F.size("_w") >= 2))
+    bg = (toks.select(id_col, F.explode(F.expr(
+        "transform(sequence(1, size(_w) - 1), "
+        "i -> struct(_w[i-1] AS w1, _w[i] AS w2))")).alias("_p"))
+        .select(id_col, "_p.w1", "_p.w2"))
+    per = (bg.join(F.broadcast(lm), ["w1", "w2"], "left")
+           .groupBy(id_col)
+           .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                F.coalesce(F.sum("_k"), F.lit(0)).cast("long")
+                .alias("n_known")))
+    return per.withColumn("novelty_ppm", F.expr(
+        "(1000000 * (n_bigrams - n_known)) div n_bigrams"))
+
+
+def lm_novelty_sql(min_count: int = 2,
+                   table: str = "documents") -> str:
+    """DuckDB twin of lm_novelty — same tokenization, same pruned
+    key set, same floor-ppm arithmetic (// == Spark div on these
+    nonnegative operands)."""
+    return f"""
+WITH toks AS (SELECT doc_id,
+              regexp_extract_all(lower(text), '{TOKEN_RX}') AS w
+              FROM {table}),
+pairs AS (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+          FROM toks, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+          WHERE len(w) >= 2),
+lm AS (SELECT w1, w2 FROM pairs GROUP BY w1, w2
+       HAVING COUNT(*) >= {min_count}),
+j AS (SELECT p.doc_id,
+      CASE WHEN lm.w1 IS NOT NULL THEN 1 END AS k
+      FROM pairs p LEFT JOIN lm
+      ON p.w1 = lm.w1 AND p.w2 = lm.w2),
+per AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+        COALESCE(SUM(k), 0) AS n_known FROM j GROUP BY 1)
+SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       CAST(n_known AS BIGINT) AS n_known,
+       CAST((1000000 * (n_bigrams - n_known)) // n_bigrams
+            AS BIGINT) AS novelty_ppm
+FROM per
+"""

@@ -1376,3 +1376,119 @@ pairs AS (SELECT (a.ix - b.ix) * (a.ix - b.ix)
 g AS (SELECT {sums} FROM pairs WHERE d2 <= {maxr * maxr})
 {rungs}
 """
+
+
+def nn_radius(points, radii_udeg, *, id_col: str = "id",
+              lat_col: str = "lat", lon_col: str = "lon",
+              res: int = 6):
+    """Nearest-neighbor-distance ladder (Clark-Evans complement to
+    pair_counts): for each radius r in ``radii_udeg`` (ascending),
+    how many points have their nearest OTHER point within r —
+    cumulative in r — plus a sentinel row ``r_udeg = -1`` counting
+    points ISOLATED past the last rung. pair_counts profiles
+    second-order clustering (pair density by scale); this profiles
+    first-order spacing — a dispersed/inhibited pattern (sensor
+    grids, synthetic jitter) and a clustered one separate here even
+    when their K-curves agree at coarse radii.
+
+    Same integer lattice as pair_counts: µdeg BIGINT coords, BIGINT
+    d2, and the blocking cell derived from the SAME lattice on both
+    sides, so the cover can never miss a neighbor the floored
+    distance admits. The query side explodes its cover ring; the
+    candidate side keys on its ONE home cell; `_l != _r` (both
+    directions — each point needs ITS OWN minimum, unlike the
+    unordered-pair count); duplicate candidates from overlapping
+    cover cells collapse under MIN with no dedup shuffle. One
+    equi-join, one id-keyed MIN agg, one left join back to the base
+    ids (isolated points fall out as NULL), one k-counter agg,
+    stack() unpivot. -> (r_udeg, n_points)."""
+    from pyspark.sql import functions as F
+    radii = sorted(int(r) for r in radii_udeg)
+    maxr = radii[-1]
+    n = 1 << res
+
+    def ix(c):
+        return F.expr(f"CAST(floor({c} * 1000000.0) AS BIGINT)")
+
+    def cellx(e_sql, off):
+        return (f"(greatest(0, least(359999999, "
+                f"({e_sql}) + {off + 180_000_000})) * {n}) "
+                f"div 360000000")
+
+    def celly(e_sql, off):
+        return (f"(greatest(0, least(179999999, "
+                f"({e_sql}) + {off + 90_000_000})) * {n}) "
+                f"div 180000000")
+
+    base = points.select(F.col(id_col).alias("_id"),
+                         ix(lon_col).alias("_ix"),
+                         ix(lat_col).alias("_iy"))
+    left = (base
+            .withColumn("_cx", F.explode(F.expr(
+                f"sequence({cellx('_ix', -maxr)}, "
+                f"{cellx('_ix', maxr)})")))
+            .withColumn("_cy", F.explode(F.expr(
+                f"sequence({celly('_iy', -maxr)}, "
+                f"{celly('_iy', maxr)})")))
+            .select(F.col("_id").alias("_l"),
+                    F.col("_ix").alias("_lx"),
+                    F.col("_iy").alias("_ly"),
+                    (F.col("_cx") * n + F.col("_cy")).alias("_cell")))
+    right = base.select(
+        F.col("_id").alias("_r"), F.col("_ix").alias("_rx"),
+        F.col("_iy").alias("_ry"),
+        F.expr(f"({cellx('_ix', 0)}) * {n} "
+               f"+ ({celly('_iy', 0)})").alias("_cell"))
+    nn = (left.join(right, "_cell")
+          .filter(F.col("_l") != F.col("_r"))
+          .select("_l", F.expr("(_lx - _rx) * (_lx - _rx) "
+                               "+ (_ly - _ry) * (_ly - _ry)")
+                  .alias("_d2"))
+          .filter(F.col("_d2") <= F.lit(maxr * maxr))
+          .groupBy("_l").agg(F.min("_d2").alias("_nnd2")))
+    j = base.select("_id").join(nn, base["_id"] == nn["_l"], "left")
+    aggs = [F.coalesce(F.sum(F.expr(
+        f"CASE WHEN _nnd2 <= {r * r} THEN 1 ELSE 0 END")),
+        F.lit(0)).cast("long").alias(f"_c{i}")
+        for i, r in enumerate(radii)]
+    aggs.append(F.coalesce(F.sum(F.expr(
+        "CASE WHEN _nnd2 IS NULL THEN 1 ELSE 0 END")),
+        F.lit(0)).cast("long").alias("_iso"))
+    one = j.agg(*aggs)
+    stack = ", ".join(f"CAST({r} AS BIGINT), _c{i}"
+                      for i, r in enumerate(radii))
+    stack += ", CAST(-1 AS BIGINT), _iso"
+    return one.selectExpr(
+        f"stack({len(radii) + 1}, {stack}) AS (r_udeg, n_points)")
+
+
+def nn_radius_sql(pts_sql: str, radii_udeg) -> str:
+    """DuckDB twin of nn_radius over a subquery producing
+    (id, lat, lon) — brute-force per-point MIN within the last rung,
+    identical lattice d2, UNION ALL ladder + isolated sentinel."""
+    radii = sorted(int(r) for r in radii_udeg)
+    maxr = radii[-1]
+    sums = ", ".join(
+        f"COALESCE(SUM(CASE WHEN d2 <= {r * r} THEN 1 ELSE 0 END), 0)"
+        f" AS c{i}" for i, r in enumerate(radii))
+    rungs = " UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS r_udeg, "
+        f"CAST(c{i} AS BIGINT) AS n_points FROM g"
+        for i, r in enumerate(radii))
+    return f"""
+WITH p AS (SELECT id, CAST(floor(lat * 1000000.0) AS BIGINT) AS iy,
+           CAST(floor(lon * 1000000.0) AS BIGINT) AS ix
+           FROM ({pts_sql})),
+nn AS (SELECT a.id, MIN((a.ix - b.ix) * (a.ix - b.ix)
+       + (a.iy - b.iy) * (a.iy - b.iy)) AS d2
+       FROM p a JOIN p b ON a.id <> b.id
+       WHERE (a.ix - b.ix) * (a.ix - b.ix)
+             + (a.iy - b.iy) * (a.iy - b.iy) <= {maxr * maxr}
+       GROUP BY a.id),
+j AS (SELECT p.id, nn.d2 FROM p LEFT JOIN nn USING (id)),
+g AS (SELECT {sums},
+      COALESCE(SUM(CASE WHEN d2 IS NULL THEN 1 ELSE 0 END), 0)
+        AS iso FROM j)
+{rungs}
+UNION ALL SELECT CAST(-1 AS BIGINT), CAST(iso AS BIGINT) FROM g
+"""

@@ -2631,6 +2631,53 @@ def q_pair_counts(spark, sf_dir):
         _PAIR_RADII, res=_PAIR_RES)
 
 
+# nn ladder: 1,500 customer points over the synthetic extent put the
+# mean nearest neighbor at a few degrees — the 0.5/1/2/5-degree rungs
+# straddle it, so the ladder AND the isolated sentinel both populate
+_NN_RADII = [500_000, 1_000_000, 2_000_000, 5_000_000]
+_NN_RES = 4
+
+
+def q_nn_radius(spark, sf_dir):
+    """Nearest-neighbor-distance ladder (r5.28): how many customer
+    points have their nearest other point within 0.5/1/2/5 degrees,
+    plus the isolated remainder — first-order spacing, the
+    Clark-Evans complement to pair_counts' second-order K profile
+    (operators/tiles.nn_radius docstring)."""
+    from pyspark.sql import functions as F
+    from .operators.tiles import nn_radius
+    return nn_radius(
+        _cust_points(spark, sf_dir).select(
+            F.col("c_custkey").alias("id"), "lat", "lon"),
+        _NN_RADII, res=_NN_RES)
+
+
+# revisit gaps need same-cell recurrence: res 2 (64 cells) gives each
+# user's ~7 events a real chance to land in one cell twice across the
+# year span, populating the high log2 buckets; same-second dups hit 0
+_REVISIT_RES = 2
+
+
+def q_revisit_hist(spark, sf_dir):
+    """Revisit-interval histogram (r5.28): log2-bucketed gaps between
+    a user's consecutive visits to the same res-2 cell — the bursty-
+    revisitation fingerprint, temporal twin of jump_hist
+    (operators/events.revisit_hist docstring)."""
+    from .operators.events import revisit_hist
+    return revisit_hist(_traj_pts(spark, sf_dir), _REVISIT_RES)
+
+
+def q_lm_novelty(spark, sf_dir):
+    """Per-doc bigram novelty (r5.28): exact floor-ppm share of each
+    doc's bigrams absent from the min_count-pruned corpus bigram LM —
+    the count-LM perplexity-proxy quality gate
+    (operators/textstats.lm_novelty docstring: broadcast LM,
+    map-side join)."""
+    from .operators.textstats import lm_novelty
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return lm_novelty(docs, min_count=_BIGRAM_MIN)
+
+
 _BIGRAM_MIN = 2
 
 
@@ -2933,6 +2980,9 @@ QUERIES = {
     "bearing_hist": q_bearing_hist,
     "bigram_lm": q_bigram_lm,
     "pair_counts": q_pair_counts,
+    "nn_radius": q_nn_radius,
+    "revisit_hist": q_revisit_hist,
+    "lm_novelty": q_lm_novelty,
 }
 
 
@@ -3712,6 +3762,15 @@ def oracle_sql() -> dict[str, str]:
     out["pair_counts"] = pair_counts_sql(
         f"SELECT c_custkey AS id, lat, lon FROM ({_CUST_PTS_CTE})",
         _PAIR_RADII)
+    from .operators.tiles import nn_radius_sql
+    out["nn_radius"] = nn_radius_sql(
+        f"SELECT c_custkey AS id, lat, lon FROM ({_CUST_PTS_CTE})",
+        _NN_RADII)
+    from .operators.events import revisit_hist_sql
+    out["revisit_hist"] = revisit_hist_sql(_TRAJ_PTS_SQL,
+                                           _REVISIT_RES)
+    from .operators.textstats import lm_novelty_sql
+    out["lm_novelty"] = lm_novelty_sql(min_count=_BIGRAM_MIN)
     return out
 
 
