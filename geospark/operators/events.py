@@ -1202,3 +1202,127 @@ SELECT CAST(CASE WHEN gap_s = 0 THEN 0
        COUNT(*) AS n_gaps
 FROM g GROUP BY 1
 """
+
+
+def gyration(points, *, user_col: str = "user_id",
+             lat_col: str = "lat", lon_col: str = "lon"):
+    """Radius of gyration — the mobility-science size-of-life scalar
+    (Gonzalez/Hidalgo/Barabasi 2008: human rg is heavy-tailed and
+    per-user stationary; a bot farm's is degenerate): per user, the
+    mean squared deviation of their µdeg lattice positions from
+    their own centroid, exactly — rg2 = (n·Σ(x²+y²) − (Σx)² − (Σy)²)
+    div n², the one-pass sufficient-statistics identity, so no
+    centroid join and no second scan.
+
+    Integer-exact: per-row x²+y² fits BIGINT (≤ ~4.1e16) but the SUMS
+    don't (57 antipodal rows overflow), so all three accumulate in
+    DECIMAL(38,0)/HUGEINT; the numerator is nonnegative by
+    Cauchy-Schwarz, div truncation == floor, and only the BIGINT-safe
+    quotient (≤ max d2) reaches the schema (the bearing_hist rule).
+
+    Scale: ONE user-keyed partial-aggregating groupBy — four
+    combinable sums, map-side combine does the volume work; no
+    window, no self-join. -> (user, n_pts, rg2)."""
+    from pyspark.sql import functions as F
+    d = points.select(
+        F.col(user_col).alias("_user"),
+        F.expr(f"CAST(floor({lon_col} * 1000000.0) AS BIGINT)")
+         .alias("_ix"),
+        F.expr(f"CAST(floor({lat_col} * 1000000.0) AS BIGINT)")
+         .alias("_iy"))
+    g = (d.groupBy("_user")
+         .agg(F.count(F.lit(1)).alias("n_pts"),
+              F.sum(F.col("_ix").cast("decimal(38,0)")).alias("_sx"),
+              F.sum(F.col("_iy").cast("decimal(38,0)")).alias("_sy"),
+              F.sum(F.expr("_ix * _ix + _iy * _iy")
+                    .cast("decimal(38,0)")).alias("_s2")))
+    return (g.select(
+        F.col("_user").alias(user_col), "n_pts",
+        F.expr("(CAST(n_pts AS DECIMAL(38,0)) * _s2 "
+               "- _sx * _sx - _sy * _sy) "
+               "div (CAST(n_pts AS DECIMAL(38,0)) * n_pts)")
+        .alias("rg2")))
+
+
+def gyration_sql(pts_sql: str) -> str:
+    """DuckDB twin of gyration over a subquery producing
+    (user_id, lat, lon) — HUGEINT sums, same one-pass identity."""
+    return f"""
+WITH d AS (SELECT user_id AS u,
+           CAST(floor(lat * 1000000.0) AS BIGINT) AS iy,
+           CAST(floor(lon * 1000000.0) AS BIGINT) AS ix
+           FROM ({pts_sql})),
+g AS (SELECT u, COUNT(*) AS n,
+      SUM(CAST(ix AS HUGEINT)) AS sx,
+      SUM(CAST(iy AS HUGEINT)) AS sy,
+      SUM(CAST(ix * ix + iy * iy AS HUGEINT)) AS s2
+      FROM d GROUP BY u)
+SELECT u AS user_id, CAST(n AS BIGINT) AS n_pts,
+       CAST((CAST(n AS HUGEINT) * s2 - sx * sx - sy * sy)
+            // (CAST(n AS HUGEINT) * n) AS BIGINT) AS rg2
+FROM g
+"""
+
+
+def path_motifs(points, res: int, *, min_count: int = 2,
+                user_col: str = "user_id", us_col: str = "us",
+                lat_col: str = "lat", lon_col: str = "lon",
+                tie_col: str = "event_id"):
+    """Path-motif mining — the sequential-pattern primitive over
+    trajectories: global counts of cell TRIGRAMS (a -> b -> c) in
+    user movement sequences after collapsing consecutive repeats (a
+    dwell is one step, so motifs are about MOVEMENT structure, not
+    sampling rate), kept when seen at least ``min_count`` times.
+    Recurrent trigrams are commute corridors / detour patterns; a
+    threshold (not top-k) keeps the result set deterministic under
+    count ties.
+
+    Scale: one user-keyed window to collapse repeats, a second lag
+    pass over the COLLAPSED rows (same exchange class — Spark reuses
+    the user partitioning), then ONE (c1,c2,c3) groupBy with map-side
+    combine. The collapsed stream is at most the event stream.
+    -> (c1, c2, c3, n)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..functions.cells import cell_encode
+    d = points.select(
+        F.col(user_col).alias("_user"), F.col(us_col).alias("_us"),
+        F.col(tie_col).alias("_tie"),
+        cell_encode(lat_col, lon_col, res).alias("_cell"))
+    w = Window.partitionBy("_user").orderBy("_us", "_tie")
+    d = (d.withColumn("_prev", F.lag("_cell").over(w))
+          .filter(F.col("_prev").isNull()
+                  | (F.col("_prev") != F.col("_cell"))))
+    tri = (d.withColumn("_c2", F.lag("_cell", 1).over(w))
+            .withColumn("_c1", F.lag("_cell", 2).over(w))
+            .filter(F.col("_c1").isNotNull()))
+    return (tri.groupBy(F.col("_c1").alias("c1"),
+                        F.col("_c2").alias("c2"),
+                        F.col("_cell").alias("c3"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") >= min_count))
+
+
+def path_motifs_sql(pts_sql: str, res: int, *,
+                    min_count: int = 2) -> str:
+    """DuckDB twin of path_motifs over a subquery producing
+    (user_id, us, event_id, lat, lon)."""
+    from ..functions.cells import cell_encode_sql
+    cell = cell_encode_sql("lat", "lon", res)
+    return f"""
+WITH d AS (SELECT user_id AS u, us, event_id AS tie, {cell} AS cell
+           FROM ({pts_sql})),
+f AS (SELECT u, us, tie, cell,
+      LAG(cell) OVER (PARTITION BY u ORDER BY us, tie) AS prev
+      FROM d),
+c AS (SELECT u, us, tie, cell FROM f
+      WHERE prev IS NULL OR prev <> cell),
+t AS (SELECT cell AS c3,
+      LAG(cell, 1) OVER (PARTITION BY u ORDER BY us, tie) AS c2,
+      LAG(cell, 2) OVER (PARTITION BY u ORDER BY us, tie) AS c1
+      FROM c)
+SELECT c1, c2, c3, COUNT(*) AS n
+FROM t WHERE c1 IS NOT NULL
+GROUP BY 1, 2, 3 HAVING COUNT(*) >= {min_count}
+"""

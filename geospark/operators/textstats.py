@@ -860,3 +860,81 @@ SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
             AS BIGINT) AS novelty_ppm
 FROM per
 """
+
+
+def vocab_growth(df, checkpoints, *, text_col: str = "text",
+                 id_col: str = "doc_id"):
+    """Heaps-law vocabulary-growth curve — corpus health telemetry:
+    at each doc-id checkpoint, how many docs / tokens the prefix
+    holds and how many DISTINCT terms have appeared by then. A clean
+    crawl grows vocab ~ tokens^beta (beta ~ 0.5); a template farm
+    flattens early, an OCR-junk batch bends it upward — the curve is
+    the cheapest corpus-drift alarm. The prefix order is canonical
+    (ascending doc id), so the curve is deterministic, not
+    ingest-order trivia.
+
+    Exact with no ordering pass: a term's contribution is fully
+    described by its FIRST doc id — vocab(c) = |{terms: first_doc <=
+    c}| — so one explode + term-keyed MIN agg replaces any running-
+    distinct scan; tokens/docs ride a second doc-level agg; each
+    frame collapses to ONE row of k counters and the ladder unpivots
+    via stack() (the pair_counts shape). Scale: the explode is the
+    corpus token volume (what any tokenizer touches once), the
+    groupBy is vocabulary-sized with map-side combine.
+    -> (checkpoint_doc, n_docs, n_tokens, vocab)."""
+    from pyspark.sql import functions as F
+    cps = sorted(int(c) for c in checkpoints)
+    toks = df.select(F.col(id_col).alias("_id"),
+                     words_col(text_col).alias("_w"))
+    first = (toks.select("_id", F.explode("_w").alias("_t"))
+             .groupBy("_t").agg(F.min("_id").alias("_fd")))
+    v = first.agg(*[
+        F.coalesce(F.sum(F.expr(
+            f"CASE WHEN _fd <= {c} THEN 1 ELSE 0 END")), F.lit(0))
+        .cast("long").alias(f"_v{i}") for i, c in enumerate(cps)])
+    t = toks.agg(*([
+        F.coalesce(F.sum(F.expr(
+            f"CASE WHEN _id <= {c} THEN 1 ELSE 0 END")), F.lit(0))
+        .cast("long").alias(f"_d{i}") for i, c in enumerate(cps)]
+        + [F.coalesce(F.sum(F.expr(
+            f"CASE WHEN _id <= {c} THEN size(_w) ELSE 0 END")),
+            F.lit(0)).cast("long").alias(f"_t{i}")
+           for i, c in enumerate(cps)]))
+    one = t.join(v)
+    stack = ", ".join(
+        f"CAST({c} AS BIGINT), _d{i}, _t{i}, _v{i}"
+        for i, c in enumerate(cps))
+    return one.selectExpr(
+        f"stack({len(cps)}, {stack}) "
+        "AS (checkpoint_doc, n_docs, n_tokens, vocab)")
+
+
+def vocab_growth_sql(checkpoints, table: str = "documents") -> str:
+    """DuckDB twin of vocab_growth — same tokenization, same
+    first-doc identity, UNION ALL ladder."""
+    cps = sorted(int(c) for c in checkpoints)
+    vsums = ", ".join(
+        f"COALESCE(SUM(CASE WHEN fd <= {c} THEN 1 ELSE 0 END), 0)"
+        f" AS v{i}" for i, c in enumerate(cps))
+    tsums = ", ".join(
+        f"COALESCE(SUM(CASE WHEN doc_id <= {c} THEN 1 ELSE 0 END), 0)"
+        f" AS d{i}, "
+        f"COALESCE(SUM(CASE WHEN doc_id <= {c} THEN len(w) "
+        f"ELSE 0 END), 0) AS t{i}" for i, c in enumerate(cps))
+    rungs = " UNION ALL ".join(
+        f"SELECT CAST({c} AS BIGINT) AS checkpoint_doc, "
+        f"CAST(d{i} AS BIGINT) AS n_docs, "
+        f"CAST(t{i} AS BIGINT) AS n_tokens, "
+        f"CAST(v{i} AS BIGINT) AS vocab FROM t, v"
+        for i, c in enumerate(cps))
+    return f"""
+WITH toks AS (SELECT doc_id,
+              regexp_extract_all(lower(text), '{TOKEN_RX}') AS w
+              FROM {table}),
+first AS (SELECT t.t, MIN(doc_id) AS fd
+          FROM (SELECT doc_id, UNNEST(w) AS t FROM toks) t
+          GROUP BY t.t),
+v AS (SELECT {vsums} FROM first),
+t AS (SELECT {tsums} FROM toks)
+{rungs}
+"""

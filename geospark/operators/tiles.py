@@ -1492,3 +1492,83 @@ g AS (SELECT {sums},
 {rungs}
 UNION ALL SELECT CAST(-1 AS BIGINT), CAST(iso AS BIGINT) FROM g
 """
+
+
+def voronoi_counts(points, seeds, *, seed_col: str = "seed_id",
+                   lat_col: str = "lat", lon_col: str = "lon",
+                   slat_col: str = "lat", slon_col: str = "lon"):
+    """Discrete Voronoi assignment — nearest-facility classification:
+    every point is assigned to its nearest seed (planar squared
+    lattice distance, ties to the SMALLEST seed id), then one
+    seed-keyed rollup of population and truncated mean squared
+    distance. The catchment/coverage primitive behind facility
+    planning, shard-by-geography routing, and label transfer from a
+    small anchor set.
+
+    Integer-exact: µdeg BIGINT coords on both sides, BIGINT d2, the
+    argmin is MIN over (d2, seed_id) structs — lexicographic, so the
+    tie rule is part of the ordering, no window needed — and the d2
+    sum accumulates in DECIMAL(38,0)/HUGEINT (an antipodal point is
+    ~1.6e17 µdeg²; BIGINT overflows after ~57 of them) with only the
+    BIGINT-safe truncated mean reaching the schema (the bearing_hist
+    rule: wide types never reach the result).
+
+    Scale: seeds are aggregate-sized by contract (facilities,
+    capitals, cluster centers — thousands at most), collected into
+    ONE array row and broadcast; the argmin is an `array_min` over a
+    per-row `transform` — MAP-ONLY, no point-keyed exchange ever
+    carries the k-fold expansion (the naive broadcast-join + groupBy
+    over point ids shuffles every point once for nothing). The only
+    exchange is the final seed-cardinality agg.
+    -> (seed_id, n_pts, mean_d2)."""
+    from pyspark.sql import functions as F
+
+    def ix(c):
+        return F.expr(f"CAST(floor({c} * 1000000.0) AS BIGINT)")
+
+    p = points.select(ix(lon_col).alias("_px"),
+                      ix(lat_col).alias("_py"))
+    sarr = (seeds.select(F.struct(
+        F.col(seed_col).alias("sid"), ix(slon_col).alias("sx"),
+        ix(slat_col).alias("sy")).alias("_s"))
+        .agg(F.collect_list("_s").alias("_seeds")))
+    near = (p.join(F.broadcast(sarr))
+            .select(F.expr(
+                "array_min(transform(_seeds, s -> struct("
+                "(_px - s.sx) * (_px - s.sx) "
+                "+ (_py - s.sy) * (_py - s.sy) AS d2, "
+                "s.sid AS sid)))").alias("_m")))
+    return (near.groupBy(F.col("_m.sid").alias(seed_col))
+            .agg(F.count(F.lit(1)).alias("n_pts"),
+                 F.sum(F.col("_m.d2").cast("decimal(38,0)"))
+                 .alias("_s"))
+            .select(seed_col, "n_pts",
+                    F.expr("_s div n_pts").alias("mean_d2")))
+
+
+def voronoi_counts_sql(pts_sql: str, seeds_sql: str) -> str:
+    """DuckDB twin of voronoi_counts over subqueries producing
+    (lat, lon) and (seed_id, lat, lon) — ROW_NUMBER argmin with the
+    same (d2, seed_id) order, HUGEINT sum, trunc mean."""
+    return f"""
+WITH vor_p AS (SELECT ROW_NUMBER() OVER () AS pid,
+           CAST(floor(lat * 1000000.0) AS BIGINT) AS py,
+           CAST(floor(lon * 1000000.0) AS BIGINT) AS px
+           FROM ({pts_sql})),
+vor_s AS (SELECT seed_id AS sid,
+      CAST(floor(lat * 1000000.0) AS BIGINT) AS sy,
+      CAST(floor(lon * 1000000.0) AS BIGINT) AS sx
+      FROM ({seeds_sql})),
+vor_c AS (SELECT p.pid, s.sid,
+      (p.px - s.sx) * (p.px - s.sx)
+      + (p.py - s.sy) * (p.py - s.sy) AS d2,
+      ROW_NUMBER() OVER (PARTITION BY p.pid
+                         ORDER BY (p.px - s.sx) * (p.px - s.sx)
+                         + (p.py - s.sy) * (p.py - s.sy), s.sid)
+        AS rn
+      FROM vor_p p CROSS JOIN vor_s s)
+SELECT sid AS seed_id, COUNT(*) AS n_pts,
+       CAST(SUM(CAST(d2 AS HUGEINT)) // COUNT(*) AS BIGINT)
+         AS mean_d2
+FROM vor_c WHERE rn = 1 GROUP BY 1
+"""

@@ -2678,6 +2678,68 @@ def q_lm_novelty(spark, sf_dir):
     return lm_novelty(docs, min_count=_BIGRAM_MIN)
 
 
+# voronoi seeds: one deterministic anchor per nation, spread over the
+# extent with coprime strides so no two seeds coincide — the same
+# synthetic-coordinate idiom as CUST/SUPP/EVT
+NATION_SEED_LAT_SQL = ("CAST((n_nationkey * 7) % 180 AS DOUBLE) "
+                       "- 90.0 + 0.5")
+NATION_SEED_LON_SQL = ("CAST((n_nationkey * 29) % 360 AS DOUBLE) "
+                       "- 180.0 + 0.5")
+
+
+def q_voronoi_counts(spark, sf_dir):
+    """Discrete Voronoi assignment (r5.29): every customer point
+    assigned to its nearest nation anchor (ties to the smallest
+    nation key), rolled up to per-seed population and truncated mean
+    squared distance (operators/tiles.voronoi_counts docstring:
+    collected-array broadcast argmin, map-only)."""
+    from pyspark.sql import functions as F
+    from .operators.tiles import voronoi_counts
+    seeds = (spark.read.parquet(f"{sf_dir}/nation.parquet")
+             .select(F.col("n_nationkey").alias("seed_id"),
+                     F.expr(NATION_SEED_LAT_SQL).alias("lat"),
+                     F.expr(NATION_SEED_LON_SQL).alias("lon")))
+    return voronoi_counts(_cust_points(spark, sf_dir), seeds)
+
+
+def q_gyration(spark, sf_dir):
+    """Radius of gyration (r5.29): per-user exact mean squared
+    deviation from the user's own centroid over the trajectory
+    stream — the size-of-life mobility scalar
+    (operators/events.gyration docstring: one-pass sufficient
+    statistics, DECIMAL(38,0)/HUGEINT sums)."""
+    from .operators.events import gyration
+    return gyration(_traj_pts(spark, sf_dir))
+
+
+_MOTIF_RES, _MOTIF_MIN = 2, 2
+
+
+def q_path_motifs(spark, sf_dir):
+    """Path-motif mining (r5.29): recurrent res-2 cell trigrams in
+    user movement sequences after collapsing consecutive repeats —
+    the commute-corridor / sequential-pattern primitive
+    (operators/events.path_motifs docstring)."""
+    from .operators.events import path_motifs
+    return path_motifs(_traj_pts(spark, sf_dir), _MOTIF_RES,
+                       min_count=_MOTIF_MIN)
+
+
+# Heaps-curve checkpoints: all four rungs live at sf0.01 (500 docs)
+# and are a strict prefix of every larger scale
+_VOCAB_CPS = [50, 100, 200, 400]
+
+
+def q_vocab_growth(spark, sf_dir):
+    """Heaps-law vocabulary-growth curve (r5.29): docs / tokens /
+    distinct-terms at ascending doc-id checkpoints — the corpus-drift
+    alarm (operators/textstats.vocab_growth docstring: first-doc
+    identity, no running-distinct scan)."""
+    from .operators.textstats import vocab_growth
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return vocab_growth(docs, _VOCAB_CPS)
+
+
 _BIGRAM_MIN = 2
 
 
@@ -2983,6 +3045,10 @@ QUERIES = {
     "nn_radius": q_nn_radius,
     "revisit_hist": q_revisit_hist,
     "lm_novelty": q_lm_novelty,
+    "voronoi_counts": q_voronoi_counts,
+    "gyration": q_gyration,
+    "path_motifs": q_path_motifs,
+    "vocab_growth": q_vocab_growth,
 }
 
 
@@ -3771,6 +3837,18 @@ def oracle_sql() -> dict[str, str]:
                                            _REVISIT_RES)
     from .operators.textstats import lm_novelty_sql
     out["lm_novelty"] = lm_novelty_sql(min_count=_BIGRAM_MIN)
+    from .operators.tiles import voronoi_counts_sql
+    out["voronoi_counts"] = voronoi_counts_sql(
+        _CUST_PTS_CTE,
+        f"SELECT n_nationkey AS seed_id, "
+        f"{NATION_SEED_LAT_SQL} AS lat, "
+        f"{NATION_SEED_LON_SQL} AS lon FROM nation")
+    from .operators.events import gyration_sql, path_motifs_sql
+    out["gyration"] = gyration_sql(_TRAJ_PTS_SQL)
+    out["path_motifs"] = path_motifs_sql(_TRAJ_PTS_SQL, _MOTIF_RES,
+                                         min_count=_MOTIF_MIN)
+    from .operators.textstats import vocab_growth_sql
+    out["vocab_growth"] = vocab_growth_sql(_VOCAB_CPS)
     return out
 
 

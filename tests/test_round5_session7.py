@@ -1,5 +1,6 @@
 """Round-5 session-7 operator tests: nearest-neighbor-distance
-ladder, revisit-interval histogram, per-doc bigram novelty."""
+ladder, revisit-interval histogram, per-doc bigram novelty, discrete
+Voronoi counts, radius of gyration, path motifs, vocab growth."""
 
 from __future__ import annotations
 
@@ -194,3 +195,251 @@ class TestLMNovelty:
             lm_novelty_sql(min_count=3)).fetchall())
         assert got == want and len(got) > 200
         assert any(r[3] > 0 for r in got)  # novelty populated
+
+
+class TestVoronoiCounts:
+    def _seeds(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "seed_id long, lat double, lon double")
+
+    def _pts(self, spark, pts):
+        return spark.createDataFrame(pts, "lat double, lon double")
+
+    def test_assignment_and_trunc_mean(self, spark):
+        """Two seeds on the equator; three points split 2/1; mean_d2
+        truncates toward zero."""
+        from geospark.operators.tiles import voronoi_counts
+        seeds = self._seeds(spark, [(1, 0.0, 0.0), (2, 0.0, 10.0)])
+        pts = self._pts(spark, [(0.0, 1.0), (0.0, 2.0), (0.0, 9.0)])
+        got = {r["seed_id"]: (r["n_pts"], r["mean_d2"])
+               for r in voronoi_counts(pts, seeds).collect()}
+        # seed1: d2 = 1e12, 4e12 -> mean 2.5e12 trunc
+        assert got[1] == (2, 2_500_000_000_000)
+        assert got[2] == (1, 1_000_000_000_000)
+
+    def test_tie_goes_to_smallest_seed(self, spark):
+        """Point equidistant from two seeds -> smaller seed_id."""
+        from geospark.operators.tiles import voronoi_counts
+        seeds = self._seeds(spark, [(7, 0.0, 0.0), (3, 0.0, 2.0)])
+        pts = self._pts(spark, [(0.0, 1.0)])
+        got = voronoi_counts(pts, seeds).collect()
+        assert len(got) == 1 and got[0]["seed_id"] == 3
+
+    def test_map_only_plan_no_point_shuffle(self, spark):
+        """The point stream must not hit an exchange before the
+        seed-cardinality agg: exactly ONE exchange in the plan (the
+        final groupBy), none keyed on a per-point id."""
+        from geospark.operators.tiles import voronoi_counts
+        seeds = self._seeds(spark, [(1, 0.0, 0.0), (2, 0.0, 10.0)])
+        pts = self._pts(spark, [(0.0, 1.0), (0.0, 9.0)])
+        plan = voronoi_counts(pts, seeds)._jdf.queryExecution() \
+            .executedPlan().toString()
+        n_ex = plan.count("Exchange hashpartitioning")
+        assert n_ex == 1, plan
+
+    def test_inline_oracle_parity(self, spark):
+        import duckdb
+        import numpy as np
+
+        from geospark.operators.tiles import (voronoi_counts,
+                                              voronoi_counts_sql)
+        rng = np.random.default_rng(503)
+        prow = [(round(float(a), 3), round(float(b), 3)) for a, b in
+                zip(rng.uniform(-80, 80, 500),
+                    rng.uniform(-170, 170, 500))]
+        srow = [(int(i), round(float(a), 2), round(float(b), 2))
+                for i, (a, b) in enumerate(zip(
+                    rng.uniform(-70, 70, 12),
+                    rng.uniform(-160, 160, 12)))]
+        got = _rows(voronoi_counts(self._pts(spark, prow),
+                                   self._seeds(spark, srow)))
+        con = duckdb.connect()
+        con.execute("CREATE TABLE p (lat DOUBLE, lon DOUBLE)")
+        con.executemany("INSERT INTO p VALUES (?, ?)", prow)
+        con.execute("CREATE TABLE s (seed_id BIGINT, lat DOUBLE, "
+                    "lon DOUBLE)")
+        con.executemany("INSERT INTO s VALUES (?, ?, ?)", srow)
+        want = sorted(tuple(r) for r in con.execute(
+            voronoi_counts_sql("SELECT lat, lon FROM p",
+                               "SELECT seed_id, lat, lon FROM s"))
+            .fetchall())
+        assert got == want and sum(r[1] for r in got) == 500
+
+
+class TestGyration:
+    def _d(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "user_id long, lat double, lon double")
+
+    def test_exact_identity(self, spark):
+        """Two points 2e6 µdeg apart: centroid at the midpoint, each
+        deviates 1e6 -> rg2 = 1e12 exactly; a stationary user -> 0."""
+        from geospark.operators.events import gyration
+        d = self._d(spark, [(1, 0.0, 0.0), (1, 0.0, 2.0),
+                            (2, 5.0, 5.0), (2, 5.0, 5.0)])
+        got = {r["user_id"]: (r["n_pts"], r["rg2"])
+               for r in gyration(d).collect()}
+        assert got[1] == (2, 1_000_000_000_000)
+        assert got[2] == (2, 0)
+
+    def test_floor_on_fractional_variance(self, spark):
+        """Three collinear points at 0, 1, 5 µdeg-millions: exact
+        rg2 = (3*26e12 - 36e12)/9 = 4.666...e12 -> floor."""
+        from geospark.operators.events import gyration
+        d = self._d(spark, [(1, 0.0, 0.0), (1, 0.0, 1.0),
+                            (1, 0.0, 5.0)])
+        got = gyration(d).collect()[0]
+        assert (got["n_pts"], got["rg2"]) == (3, 4_666_666_666_666)
+
+    def test_antipodal_sum_overflow_guard(self, spark):
+        """200 alternating near-antipodal points per user — the d2
+        sums overflow BIGINT; the DECIMAL path must stay exact (rg2
+        == the closed form for an even split of +/-x)."""
+        from geospark.operators.events import gyration
+        rows = [(1, 0.0, -179.9999999 if i % 2 else 179.9999999)
+                for i in range(200)]
+        d = self._d(spark, rows)
+        got = gyration(d).collect()[0]
+        # ix = +/-179999999 (floor of 179.9999999e6 and -180e6+1...)
+        import math
+        xs = [math.floor((-179.9999999 if i % 2 else 179.9999999)
+                         * 1e6) for i in range(200)]
+        n = len(xs)
+        rg2 = (n * sum(x * x for x in xs) - sum(xs) ** 2) // (n * n)
+        assert (got["n_pts"], got["rg2"]) == (n, rg2)
+
+    def test_inline_oracle_parity(self, spark):
+        import duckdb
+        import numpy as np
+
+        from geospark.operators.events import gyration, gyration_sql
+        rng = np.random.default_rng(509)
+        rows = [(int(rng.integers(1, 30)),
+                 round(float(rng.uniform(-85, 85)), 3),
+                 round(float(rng.uniform(-175, 175)), 3))
+                for _ in range(1_000)]
+        got = _rows(gyration(self._d(spark, rows)))
+        con = duckdb.connect()
+        con.execute("CREATE TABLE src (user_id BIGINT, lat DOUBLE, "
+                    "lon DOUBLE)")
+        con.executemany("INSERT INTO src VALUES (?, ?, ?)", rows)
+        want = sorted(tuple(r) for r in con.execute(gyration_sql(
+            "SELECT user_id, lat, lon FROM src")).fetchall())
+        assert got == want and len(got) == 29
+
+
+class TestPathMotifs:
+    def _d(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "user_id long, event_id long, lat double, "
+                  "lon double, us long")
+
+    def _cells(self, res):
+        # centers of three distinct res cells on one row
+        n = 1 << res
+        return [(-90.0 + 0.5 * 180.0 / n,
+                 -180.0 + (x + 0.5) * 360.0 / n) for x in range(n)]
+
+    def test_collapse_and_min_count(self, spark):
+        """A->A->B->C collapses to A->B->C; two users tracing the
+        same corridor push the motif past min_count=2, a one-off
+        detour stays out."""
+        from geospark.operators.events import path_motifs
+        c = self._cells(2)
+        a, b, cc, dd = c[0], c[1], c[2], c[3]
+        rows = []
+        for u in (1, 2):
+            for i, (la, lo) in enumerate([a, a, b, cc]):
+                rows.append((u, i, la, lo, i * 1_000_000))
+        rows += [(3, 0, dd[0], dd[1], 0), (3, 1, a[0], a[1], 1),
+                 (3, 2, b[0], b[1], 2)]  # D->A->B once: below min
+        got = path_motifs(self._d(spark, rows), 2,
+                          min_count=2).collect()
+        assert len(got) == 1 and got[0]["n"] == 2
+
+    def test_dwell_is_one_step(self, spark):
+        """A->B->B->B->A yields exactly the A->B->A motif (repeats
+        collapse), not zero and not B->B->*."""
+        from geospark.operators.events import path_motifs
+        c = self._cells(2)
+        a, b = c[0], c[1]
+        seq = [a, b, b, b, a]
+        rows = [(1, i, la, lo, i * 1_000_000)
+                for i, (la, lo) in enumerate(seq)]
+        got = path_motifs(self._d(spark, rows), 2,
+                          min_count=1).collect()
+        assert len(got) == 1
+        r = got[0]
+        assert r["c1"] != r["c2"] and r["c2"] != r["c3"]
+        assert r["c1"] == r["c3"] and r["n"] == 1
+
+    def test_inline_oracle_parity(self, spark):
+        import duckdb
+        import numpy as np
+
+        from geospark.operators.events import (path_motifs,
+                                               path_motifs_sql)
+        rng = np.random.default_rng(521)
+        rows = [(int(rng.integers(1, 25)), int(i),
+                 round(float(rng.uniform(-80, 80)), 1),
+                 round(float(rng.uniform(-170, 170)), 1),
+                 int(rng.integers(0, 10_000_000)))
+                for i in range(3_000)]
+        got = _rows(path_motifs(self._d(spark, rows), 1,
+                                min_count=2))
+        con = duckdb.connect()
+        con.execute("CREATE TABLE src (user_id BIGINT, "
+                    "event_id BIGINT, lat DOUBLE, lon DOUBLE, "
+                    "us BIGINT)")
+        con.executemany("INSERT INTO src VALUES (?, ?, ?, ?, ?)",
+                        rows)
+        want = sorted(tuple(r) for r in con.execute(path_motifs_sql(
+            "SELECT user_id, us, event_id, lat, lon FROM src", 1,
+            min_count=2)).fetchall())
+        assert got == want and len(got) > 10
+
+
+class TestVocabGrowth:
+    def _docs(self, spark, texts):
+        return spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id long, text string")
+
+    def test_first_doc_identity_exact(self, spark):
+        """Vocab counts a term at its FIRST doc only; tokens and
+        docs accumulate per checkpoint."""
+        from geospark.operators.textstats import vocab_growth
+        d = self._docs(spark, ["a b a", "b c", "c d e", ""])
+        got = {r["checkpoint_doc"]: (r["n_docs"], r["n_tokens"],
+                                     r["vocab"])
+               for r in vocab_growth(d, [0, 1, 3]).collect()}
+        assert got[0] == (1, 3, 2)        # a, b
+        assert got[1] == (2, 5, 3)        # + c
+        assert got[3] == (4, 8, 5)        # + d, e; empty doc counted
+    def test_inline_oracle_parity(self, spark):
+        import duckdb
+        import numpy as np
+
+        from geospark.operators.textstats import (vocab_growth,
+                                                  vocab_growth_sql)
+        rng = np.random.default_rng(601)
+        vocab = [f"t{i}" for i in range(200)]
+        texts = [" ".join(rng.choice(
+            vocab, size=rng.integers(0, 30),
+            p=np.arange(200, 0, -1) / np.arange(200, 0, -1).sum()))
+            for _ in range(400)]
+        d = self._docs(spark, texts)
+        cps = [10, 50, 150, 399]
+        got = _rows(vocab_growth(d, cps))
+        con = duckdb.connect()
+        con.execute("CREATE TABLE documents (doc_id BIGINT, "
+                    "text VARCHAR)")
+        con.executemany("INSERT INTO documents VALUES (?, ?)",
+                        [(i, t) for i, t in enumerate(texts)])
+        want = sorted(tuple(r) for r in con.execute(
+            vocab_growth_sql(cps)).fetchall())
+        assert got == want
+        # the curve is monotone in every component
+        by = sorted(got)
+        for a, b in zip(by, by[1:]):
+            assert a[1] <= b[1] and a[2] <= b[2] and a[3] <= b[3]
