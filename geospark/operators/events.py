@@ -1326,3 +1326,89 @@ SELECT c1, c2, c3, COUNT(*) AS n
 FROM t WHERE c1 IS NOT NULL
 GROUP BY 1, 2, 3 HAVING COUNT(*) >= {min_count}
 """
+
+
+def contact_graph(events, res: int, tau_us: int, *,
+                  user_col: str = "user_id", us_col: str = "us",
+                  lat_col: str = "lat", lon_col: str = "lon",
+                  tie_col: str = "event_id", max_bucket: int = 1000,
+                  min_contacts: int = 1):
+    """Proximity contact graph — the exposure/contact-tracing
+    primitive colocation_pairs coarsens away: user pairs whose events
+    land in the SAME grid cell within ``tau_us`` of each other, with
+    the exact number of qualifying event pairs per user pair. A
+    same-day bucket (colocation) calls an 8 a.m. and an 11 p.m. visit
+    a contact; this is the real |Δt| <= τ interval predicate.
+
+    Each qualifying event pair counts EXACTLY once with no dedup
+    shuffle: pairs are time-ordered by (us, tie), the earlier side
+    explodes to its τ-bucket and the next one, the later side keys on
+    its OWN bucket — since 0 <= Δt <= τ the later bucket is one of
+    those two, and the two exploded copies are distinct keys, so the
+    equi-join matches each ordered pair exactly once. Self-pairs
+    (same user) drop; the user pair is canonicalized least/greatest.
+
+    Scale: the same (cell, bucket)-keyed bucket-join discipline as
+    colocation_pairs/LSH — buckets larger than ``max_bucket`` events
+    drop whole (a stadium cell-minute would emit C(n,2) pairs; the
+    cap is the documented recall trade, mirrored in the oracle), one
+    equi-join, one pair-keyed groupBy with map-side combine.
+    -> (user_a, user_b, n_contacts)."""
+    from pyspark.sql import functions as F
+
+    from ..functions.cells import cell_encode
+    d = events.select(
+        F.col(user_col).alias("_u"), F.col(us_col).alias("_us"),
+        F.col(tie_col).alias("_tie"),
+        cell_encode(lat_col, lon_col, res).alias("_cell"),
+        F.expr(f"{us_col} div {tau_us}").alias("_b"))
+    sizes = (d.groupBy("_cell", "_b").count()
+             .filter(F.col("count") <= max_bucket)
+             .select("_cell", "_b"))
+    db = d.join(sizes, ["_cell", "_b"])
+    left = (db.withColumn("_bx", F.explode(F.array(
+        F.col("_b"), F.col("_b") + 1)))
+            .select(F.col("_u").alias("_ul"),
+                    F.col("_us").alias("_usl"),
+                    F.col("_tie").alias("_tl"),
+                    "_cell", F.col("_bx").alias("_b")))
+    right = db.select(F.col("_u").alias("_ur"),
+                      F.col("_us").alias("_usr"),
+                      F.col("_tie").alias("_tr"), "_cell", "_b")
+    pairs = (left.join(right, ["_cell", "_b"])
+             .filter((F.col("_usr") - F.col("_usl")
+                      <= F.lit(tau_us))
+                     & ((F.col("_usl") < F.col("_usr"))
+                        | ((F.col("_usl") == F.col("_usr"))
+                           & (F.col("_tl") < F.col("_tr"))))
+                     & (F.col("_ul") != F.col("_ur"))))
+    return (pairs.groupBy(
+        F.least("_ul", "_ur").alias("user_a"),
+        F.greatest("_ul", "_ur").alias("user_b"))
+        .agg(F.count(F.lit(1)).alias("n_contacts"))
+        .filter(F.col("n_contacts") >= min_contacts))
+
+
+def contact_graph_sql(pts_sql: str, res: int, tau_us: int, *,
+                      max_bucket: int = 1000,
+                      min_contacts: int = 1) -> str:
+    """DuckDB twin of contact_graph over a subquery producing
+    (user_id, us, event_id, lat, lon) — brute-force same-cell
+    time-ordered pair enumeration with the SAME τ-bucket cap."""
+    from ..functions.cells import cell_encode_sql
+    cell = cell_encode_sql("lat", "lon", res)
+    return f"""
+WITH d AS (SELECT user_id AS u, us, event_id AS tie, {cell} AS cell,
+           us // {tau_us} AS b FROM ({pts_sql})),
+ok AS (SELECT cell, b FROM d GROUP BY cell, b
+       HAVING COUNT(*) <= {max_bucket}),
+db AS (SELECT d.* FROM d JOIN ok USING (cell, b)),
+pairs AS (SELECT l.u AS ul, r.u AS ur
+          FROM db l JOIN db r ON l.cell = r.cell
+          WHERE r.us - l.us BETWEEN 0 AND {tau_us}
+            AND (l.us < r.us OR (l.us = r.us AND l.tie < r.tie))
+            AND l.u <> r.u)
+SELECT LEAST(ul, ur) AS user_a, GREATEST(ul, ur) AS user_b,
+       COUNT(*) AS n_contacts
+FROM pairs GROUP BY 1, 2 HAVING COUNT(*) >= {min_contacts}
+"""

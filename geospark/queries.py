@@ -2725,6 +2725,23 @@ def q_path_motifs(spark, sf_dir):
                        min_count=_MOTIF_MIN)
 
 
+# contact graph: res-3 cells, 1-hour proximity window — tight enough
+# that the day-bucket colocation pairs and these diverge, loose
+# enough that the sparse sf0.01 stream still yields pairs
+_CONTACT_RES, _CONTACT_TAU_US = 3, 3_600_000_000
+
+
+def q_contact_graph(spark, sf_dir):
+    """Proximity contact graph (r5.29): user pairs with same-cell
+    events within one hour of each other and their exact qualifying
+    event-pair counts — the exposure/contact-tracing join
+    (operators/events.contact_graph docstring: two-bucket explode,
+    each ordered pair joins exactly once, capped buckets)."""
+    from .operators.events import contact_graph
+    return contact_graph(_traj_pts(spark, sf_dir), _CONTACT_RES,
+                         _CONTACT_TAU_US)
+
+
 # Heaps-curve checkpoints: all four rungs live at sf0.01 (500 docs)
 # and are a strict prefix of every larger scale
 _VOCAB_CPS = [50, 100, 200, 400]
@@ -3049,6 +3066,7 @@ QUERIES = {
     "gyration": q_gyration,
     "path_motifs": q_path_motifs,
     "vocab_growth": q_vocab_growth,
+    "contact_graph": q_contact_graph,
 }
 
 
@@ -3849,6 +3867,9 @@ def oracle_sql() -> dict[str, str]:
                                          min_count=_MOTIF_MIN)
     from .operators.textstats import vocab_growth_sql
     out["vocab_growth"] = vocab_growth_sql(_VOCAB_CPS)
+    from .operators.events import contact_graph_sql
+    out["contact_graph"] = contact_graph_sql(
+        _TRAJ_PTS_SQL, _CONTACT_RES, _CONTACT_TAU_US)
     return out
 
 

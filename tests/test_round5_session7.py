@@ -443,3 +443,77 @@ class TestVocabGrowth:
         by = sorted(got)
         for a, b in zip(by, by[1:]):
             assert a[1] <= b[1] and a[2] <= b[2] and a[3] <= b[3]
+
+
+class TestContactGraph:
+    def _d(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "user_id long, event_id long, lat double, "
+                  "lon double, us long")
+
+    def test_tau_window_closed_and_counted_once(self, spark):
+        """Contacts at Δt = 0, τ, and τ+1: the first two qualify
+        (closed window), the third doesn't; each qualifying event
+        pair counts exactly once despite the two-bucket explode."""
+        from geospark.operators.events import contact_graph
+        tau = 1_000_000
+        d = self._d(spark, [
+            (1, 1, 10.0, 10.0, 0),
+            (2, 2, 10.0, 10.0, 0),            # Δt=0
+            (2, 3, 10.0, 10.0, tau),          # Δt=τ
+            (2, 4, 10.0, 10.0, tau + 1)])     # Δt=τ+1: out
+        got = contact_graph(d, 2, tau).collect()
+        assert len(got) == 1
+        r = got[0]
+        assert (r["user_a"], r["user_b"], r["n_contacts"]) == (1, 2, 2)
+
+    def test_cross_bucket_pair_found(self, spark):
+        """A pair straddling a τ-bucket boundary (l at 0.9τ, r at
+        1.1τ) is found via the exploded b+1 copy."""
+        from geospark.operators.events import contact_graph
+        tau = 1_000_000
+        d = self._d(spark, [
+            (1, 1, 10.0, 10.0, 900_000),
+            (2, 2, 10.0, 10.0, 1_100_000)])
+        got = contact_graph(d, 2, tau).collect()
+        assert len(got) == 1 and got[0]["n_contacts"] == 1
+
+    def test_self_and_cross_cell_excluded_cap(self, spark):
+        """Same-user pairs never count; different cells never pair;
+        an over-cap (cell, bucket) drops whole — mirrored semantics
+        with the oracle."""
+        from geospark.operators.events import contact_graph
+        tau = 1_000_000
+        rows = [(1, 1, 10.0, 10.0, 0), (1, 2, 10.0, 10.0, 10),
+                (2, 3, -40.0, 120.0, 0)]
+        # hot bucket: 5 users in one (cell, bucket) with cap 4
+        rows += [(10 + u, 10 + u, 60.0, 60.0, 100) for u in range(5)]
+        got = contact_graph(self._d(spark, rows), 2, tau,
+                            max_bucket=4).collect()
+        assert got == []
+
+    def test_inline_oracle_parity(self, spark):
+        import duckdb
+        import numpy as np
+
+        from geospark.operators.events import (contact_graph,
+                                               contact_graph_sql)
+        rng = np.random.default_rng(701)
+        rows = [(int(rng.integers(1, 30)), int(i),
+                 round(float(rng.uniform(-45, 45)), 1),
+                 round(float(rng.uniform(-90, 90)), 1),
+                 int(rng.integers(0, 50_000_000)))
+                for i in range(1_500)]
+        d = self._d(spark, rows)
+        tau = 5_000_000
+        got = _rows(contact_graph(d, 1, tau, max_bucket=200))
+        con = duckdb.connect()
+        con.execute("CREATE TABLE src (user_id BIGINT, "
+                    "event_id BIGINT, lat DOUBLE, lon DOUBLE, "
+                    "us BIGINT)")
+        con.executemany("INSERT INTO src VALUES (?, ?, ?, ?, ?)",
+                        rows)
+        want = sorted(tuple(r) for r in con.execute(contact_graph_sql(
+            "SELECT user_id, us, event_id, lat, lon FROM src", 1,
+            tau, max_bucket=200)).fetchall())
+        assert got == want and len(got) > 20
