@@ -1412,3 +1412,57 @@ SELECT LEAST(ul, ur) AS user_a, GREATEST(ul, ur) AS user_b,
        COUNT(*) AS n_contacts
 FROM pairs GROUP BY 1, 2 HAVING COUNT(*) >= {min_contacts}
 """
+
+
+def type_transitions(events, *, user_col: str = "user_id",
+                     us_col: str = "us", type_col: str = "event_type",
+                     tie_col: str = "event_id", min_count: int = 1):
+    """Behavioral Markov fingerprint — first-order transition counts
+    between a user's CONSECUTIVE event types, with the exact floor-ppm
+    conditional P(next | current) (the bigram_lm identity on event
+    streams instead of token streams): organic sessions have ragged
+    rows that sum to ~1e6 with a heavy self-loop diagonal; replayed
+    or scripted traffic shows near-deterministic rows — the cheapest
+    sequence-level bot screen after jump_hist (space) and
+    revisit_hist (time).
+
+    The conditioning denominator is the TRANSITION-start count (sum
+    over each t1 row), fixed BEFORE the ``min_count`` prune, so
+    surviving probabilities are unchanged by the prune (the bigram_lm
+    rule). Scale: one user-keyed window (the sessionize exchange
+    class), one (t1, t2) groupBy with map-side combine, and the
+    denominator rides a t1 window over AGGREGATE rows (the type
+    alphabet squared, not events). -> (t1, t2, n, cond_ppm)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    d = events.select(
+        F.col(user_col).alias("_user"), F.col(us_col).alias("_us"),
+        F.col(tie_col).alias("_tie"), F.col(type_col).alias("_t"))
+    w = Window.partitionBy("_user").orderBy("_us", "_tie")
+    d = (d.withColumn("_p", F.lag("_t").over(w))
+          .filter(F.col("_p").isNotNull()))
+    g = (d.groupBy(F.col("_p").alias("t1"), F.col("_t").alias("t2"))
+          .agg(F.count(F.lit(1)).alias("n")))
+    return (g.withColumn("cond_ppm",
+                         F.expr("(1000000 * n) div "
+                                "sum(n) OVER (PARTITION BY t1)"))
+            .filter(F.col("n") >= min_count)
+            .select("t1", "t2", "n", "cond_ppm"))
+
+
+def type_transitions_sql(pts_sql: str, *, min_count: int = 1) -> str:
+    """DuckDB twin of type_transitions over a subquery producing
+    (user_id, us, event_id, event_type)."""
+    return f"""
+WITH d AS (SELECT user_id AS u, us, event_id AS tie,
+           event_type AS t FROM ({pts_sql})),
+h AS (SELECT t,
+      LAG(t) OVER (PARTITION BY u ORDER BY us, tie) AS p
+      FROM d),
+g AS (SELECT p AS t1, t AS t2, COUNT(*) AS n FROM h
+      WHERE p IS NOT NULL GROUP BY 1, 2)
+SELECT t1, t2, CAST(n AS BIGINT) AS n,
+       CAST((1000000 * n) // SUM(n) OVER (PARTITION BY t1)
+            AS BIGINT) AS cond_ppm
+FROM g QUALIFY n >= {min_count}
+"""

@@ -1572,3 +1572,123 @@ SELECT sid AS seed_id, COUNT(*) AS n_pts,
          AS mean_d2
 FROM vor_c WHERE rn = 1 GROUP BY 1
 """
+
+
+def cell_fano(points, res: int, *, us_col: str = "us",
+              lat_col: str = "lat", lon_col: str = "lon",
+              day_us: int = 86_400_000_000):
+    """Per-cell burstiness (Fano factor) of the daily arrival count —
+    variance-to-mean in exact floor ppm over the DENSE day calendar:
+    a Poisson-stable cell sits at ~1e6, commuter/event cells run far
+    above, and a metronome bot sits near 0 — the temporal-anomaly
+    screen that complements cell_trend (drift) and cell_mk
+    (monotonicity) with DISPERSION. Gap days count as zeros via the
+    shared _dense_daily_counts fill (load-bearing: sparse cells are
+    exactly the bursty ones).
+
+    Exact: with n dense days, S = Σx, Q = Σx², fano = var/mean =
+    (nQ − S²) / ((n−1)S) — one fraction, so fano_ppm =
+    (1e6·(nQ − S²)) div ((n−1)·S) needs no intermediate rounding;
+    numerator nonnegative by Cauchy-Schwarz so div == floor. Sums
+    accumulate in DECIMAL(38,0)/HUGEINT (a 1e9-events/day cell
+    squares past BIGINT); only the ppm reaches the schema. Cells
+    with S = 0 drop; a single-day span (n = 1) yields no rows.
+
+    Scale: the (cell, day) groupBy is the same shuffle any daily
+    rollup pays; everything after runs on aggregate-sized frames.
+    -> (cell, n_days, total, fano_ppm)."""
+    from pyspark.sql import functions as F
+    filled, lo, hi = _dense_daily_counts(
+        points, res, us_col=us_col, lat_col=lat_col,
+        lon_col=lon_col, day_us=day_us)
+    g = (filled.groupBy("cell")
+         .agg(F.count(F.lit(1)).alias("n_days"),
+              F.sum(F.col("n_events").cast("decimal(38,0)"))
+              .alias("_s"),
+              F.sum(F.col("n_events").cast("decimal(38,0)")
+                    * F.col("n_events")).alias("_q")))
+    return (g.filter((F.col("_s") > 0) & (F.col("n_days") >= 2))
+            .select("cell", "n_days",
+                    F.col("_s").cast("long").alias("total"),
+                    F.expr("(1000000 * (CAST(n_days AS DECIMAL(38,0))"
+                           " * _q - _s * _s)) "
+                           "div ((n_days - 1) * _s)").alias("fano_ppm")))
+
+
+def cell_fano_sql(pts_sql: str, res: int, *,
+                  day_us: int = 86_400_000_000) -> str:
+    """DuckDB twin of cell_fano — shared dense-fill prefix, HUGEINT
+    sums, same single-fraction floor ppm."""
+    prefix = _dense_daily_counts_sql(pts_sql, res, day_us)
+    return f"""
+WITH {prefix},
+g AS (SELECT cell, COUNT(*) AS n,
+      SUM(CAST(n_events AS HUGEINT)) AS s,
+      SUM(CAST(n_events AS HUGEINT) * n_events) AS q
+      FROM filled GROUP BY cell)
+SELECT cell, CAST(n AS BIGINT) AS n_days, CAST(s AS BIGINT) AS total,
+       CAST((1000000 * (CAST(n AS HUGEINT) * q - s * s))
+            // ((n - 1) * s) AS BIGINT) AS fano_ppm
+FROM g WHERE s > 0 AND n >= 2
+"""
+
+
+def cell_gini(points, res: int, *, lat_col: str = "lat",
+              lon_col: str = "lon"):
+    """Spatial concentration of activity — the exact Gini coefficient
+    of the point count over OCCUPIED cells, in floor ppm: 0 = every
+    occupied cell carries the same load, ->1e6 = one cell carries
+    everything. The single-number skew telemetry a partitioner wants
+    BEFORE choosing salting/AQE thresholds (BENCH/SKEW.md measures
+    what skew costs; this measures how much the data has).
+
+    Exact rank identity: with counts x_1 <= ... <= x_n (ties in any
+    order — equal values make the rank sum permutation-invariant),
+    G = (2·Σ i·x_i − (n+1)·S) / (n·S), so gini_ppm =
+    (1e6·(2Σ i·x_i − (n+1)S)) div (nS); the numerator is nonnegative
+    for ascending ranks so div == floor. Rank sums accumulate in
+    DECIMAL(38,0)/HUGEINT.
+
+    Scale: ranks ride ONE window over the AGGREGATE (cell, count)
+    frame — bounded by the cell lattice (4^res), orders of magnitude
+    below the point volume; the single-partition window is the
+    documented trade at planet res (use the two-phase distributed
+    rank of seg_rank's family if 4^res ever approaches point counts).
+    -> one row (n_cells, total, gini_ppm)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..functions.cells import cell_encode
+    counts = (points.select(
+        cell_encode(lat_col, lon_col, res).alias("_cell"))
+        .groupBy("_cell").agg(F.count(F.lit(1)).alias("_x")))
+    w = Window.orderBy("_x", "_cell")
+    r = counts.withColumn("_i", F.row_number().over(w))
+    return (r.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("_x").alias("total"),
+        F.sum(F.col("_i").cast("decimal(38,0)") * F.col("_x"))
+        .alias("_ix"),
+        F.sum(F.col("_x").cast("decimal(38,0)")).alias("_s"))
+        .select("n_cells", "total",
+                F.expr("(1000000 * (2 * _ix - (n_cells + 1) * _s)) "
+                       "div (CAST(n_cells AS DECIMAL(38,0)) * _s)")
+                .alias("gini_ppm")))
+
+
+def cell_gini_sql(pts_sql: str, res: int) -> str:
+    """DuckDB twin of cell_gini — same cell id, same rank identity,
+    HUGEINT accumulation."""
+    from ..functions.cells import cell_encode_sql
+    cell = cell_encode_sql("lat", "lon", res)
+    return f"""
+WITH c AS (SELECT {cell} AS cell FROM ({pts_sql})),
+g AS (SELECT cell, COUNT(*) AS x FROM c GROUP BY cell),
+r AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x, cell) AS i FROM g),
+a AS (SELECT COUNT(*) AS n, SUM(CAST(x AS HUGEINT)) AS s,
+      SUM(CAST(i AS HUGEINT) * x) AS ix FROM r)
+SELECT CAST(n AS BIGINT) AS n_cells, CAST(s AS BIGINT) AS total,
+       CAST((1000000 * (2 * ix - (n + 1) * s))
+            // (CAST(n AS HUGEINT) * s) AS BIGINT) AS gini_ppm
+FROM a
+"""

@@ -2742,6 +2742,40 @@ def q_contact_graph(spark, sf_dir):
                          _CONTACT_TAU_US)
 
 
+def q_cell_fano(spark, sf_dir):
+    """Per-cell burstiness (r5.30): Fano factor of the daily arrival
+    count over the dense calendar in exact floor ppm — dispersion
+    telemetry next to cell_trend's drift and cell_mk's monotonicity
+    (operators/tiles.cell_fano docstring)."""
+    from .operators.tiles import cell_fano
+    return cell_fano(_traj_pts(spark, sf_dir), _TREND_RES)
+
+
+_GINI_RES = 5
+
+
+def q_cell_gini(spark, sf_dir):
+    """Spatial concentration (r5.30): exact Gini coefficient of the
+    event count over occupied res-5 cells — the one-number skew
+    telemetry a partitioner reads before picking salt factors
+    (operators/tiles.cell_gini docstring)."""
+    from .operators.tiles import cell_gini
+    return cell_gini(_traj_pts(spark, sf_dir), _GINI_RES)
+
+
+def q_type_transitions(spark, sf_dir):
+    """Event-type Markov fingerprint (r5.30): first-order transition
+    counts between consecutive event types per user with exact
+    floor-ppm conditionals — the sequence-level bot screen
+    (operators/events.type_transitions docstring)."""
+    from .operators.events import type_transitions
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from pyspark.sql import functions as F
+    return type_transitions(e.withColumn(
+        "us", F.expr("timestampdiff(MICROSECOND, "
+                     "TIMESTAMP_NTZ '2024-01-01 00:00:00', ts)")))
+
+
 # Heaps-curve checkpoints: all four rungs live at sf0.01 (500 docs)
 # and are a strict prefix of every larger scale
 _VOCAB_CPS = [50, 100, 200, 400]
@@ -3067,6 +3101,9 @@ QUERIES = {
     "path_motifs": q_path_motifs,
     "vocab_growth": q_vocab_growth,
     "contact_graph": q_contact_graph,
+    "cell_fano": q_cell_fano,
+    "cell_gini": q_cell_gini,
+    "type_transitions": q_type_transitions,
 }
 
 
@@ -3870,6 +3907,14 @@ def oracle_sql() -> dict[str, str]:
     from .operators.events import contact_graph_sql
     out["contact_graph"] = contact_graph_sql(
         _TRAJ_PTS_SQL, _CONTACT_RES, _CONTACT_TAU_US)
+    from .operators.tiles import cell_fano_sql, cell_gini_sql
+    out["cell_fano"] = cell_fano_sql(_TRAJ_PTS_SQL, _TREND_RES)
+    out["cell_gini"] = cell_gini_sql(_TRAJ_PTS_SQL, _GINI_RES)
+    from .operators.events import type_transitions_sql
+    out["type_transitions"] = type_transitions_sql(
+        "SELECT user_id, event_id, event_type, datediff("
+        "'microseconds', TIMESTAMP '2024-01-01 00:00:00', ts) AS us "
+        "FROM events")
     return out
 
 

@@ -517,3 +517,157 @@ class TestContactGraph:
             "SELECT user_id, us, event_id, lat, lon FROM src", 1,
             tau, max_bucket=200)).fetchall())
         assert got == want and len(got) > 20
+
+
+class TestCellFano:
+    def _d(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "lat double, lon double, us long")
+
+    def test_exact_fraction_and_gap_fill(self, spark):
+        """One cell with daily counts [3, 0, 3] over a 3-day span
+        (the middle day only exists via the dense fill):
+        S=6, Q=18, fano_ppm = 1e6*(3*18-36)//(2*6) = 1_500_000."""
+        from geospark.operators.tiles import cell_fano
+        day = 86_400_000_000
+        rows = ([(10.0, 10.0, 0)] * 3
+                + [(10.0, 10.0, 2 * day + 5)] * 3)
+        got = cell_fano(self._d(spark, rows), 2).collect()
+        assert len(got) == 1
+        r = got[0]
+        assert (r["n_days"], r["total"], r["fano_ppm"]) == \
+            (3, 6, 1_500_000)
+
+    def test_poisson_metronome_extremes(self, spark):
+        """A perfectly constant cell (1/day) has variance 0 ->
+        fano 0; the global span stretches every cell's calendar."""
+        from geospark.operators.tiles import cell_fano
+        day = 86_400_000_000
+        rows = [(10.0, 10.0, i * day) for i in range(5)]
+        # second cell active on day 0 only: counts [5,0,0,0,0]
+        rows += [(-40.0, 120.0, 10)] * 5
+        got = {r["cell"]: (r["n_days"], r["fano_ppm"])
+               for r in cell_fano(self._d(spark, rows), 2).collect()}
+        vals = sorted(got.values())
+        # constant cell: S=5,Q=5,n=5 -> (25-25)=0
+        # bursty cell: S=5,Q=25,n=5 -> 1e6*(125-25)//(4*5)=5e6
+        assert vals == [(5, 0), (5, 5_000_000)]
+
+    def test_inline_oracle_parity(self, spark):
+        import duckdb
+        import numpy as np
+
+        from geospark.operators.tiles import cell_fano, cell_fano_sql
+        rng = np.random.default_rng(811)
+        day = 86_400_000_000
+        rows = [(round(float(rng.uniform(-60, 60)), 1),
+                 round(float(rng.uniform(-120, 120)), 1),
+                 int(rng.integers(0, 30 * day)))
+                for _ in range(2_000)]
+        got = _rows(cell_fano(self._d(spark, rows), 2))
+        con = duckdb.connect()
+        con.execute("CREATE TABLE src (lat DOUBLE, lon DOUBLE, "
+                    "us BIGINT)")
+        con.executemany("INSERT INTO src VALUES (?, ?, ?)", rows)
+        want = sorted(tuple(r) for r in con.execute(cell_fano_sql(
+            "SELECT lat, lon, us FROM src", 2)).fetchall())
+        assert got == want and len(got) > 5
+
+
+class TestCellGini:
+    def _d(self, spark, rows):
+        return spark.createDataFrame(rows, "lat double, lon double")
+
+    def test_uniform_is_zero_concentrated_is_high(self, spark):
+        """Equal counts over 4 cells -> gini 0; all-but-one in a
+        single cell -> the exact rank-identity value."""
+        from geospark.operators.tiles import cell_gini
+
+        def centers(xs):
+            n = 1 << 2
+            return [(-90.0 + 0.5 * 180.0 / n,
+                     -180.0 + (x + 0.5) * 360.0 / n) for x in xs]
+        eq = [c for x in range(4) for c in [centers([x])[0]] * 5]
+        r0 = cell_gini(self._d(spark, eq), 2).collect()[0]
+        assert (r0["n_cells"], r0["total"], r0["gini_ppm"]) == \
+            (4, 20, 0)
+        # counts [1, 9] ascending: num = 2*(1*1+2*9)-3*10 = 8,
+        # den = 2*10 -> 400000
+        skew = [centers([0])[0]] + [centers([1])[0]] * 9
+        r1 = cell_gini(self._d(spark, skew), 2).collect()[0]
+        assert (r1["n_cells"], r1["total"], r1["gini_ppm"]) == \
+            (2, 10, 400_000)
+
+    def test_inline_oracle_parity(self, spark):
+        import duckdb
+        import numpy as np
+
+        from geospark.operators.tiles import cell_gini, cell_gini_sql
+        rng = np.random.default_rng(823)
+        rows = [(round(float(rng.normal(20, 15)), 2),
+                 round(float(rng.normal(-40, 30)), 2))
+                for _ in range(3_000)]
+        rows = [(max(-89.0, min(89.0, a)), max(-179.0, min(179.0, b)))
+                for a, b in rows]
+        got = _rows(cell_gini(self._d(spark, rows), 4))
+        con = duckdb.connect()
+        con.execute("CREATE TABLE src (lat DOUBLE, lon DOUBLE)")
+        con.executemany("INSERT INTO src VALUES (?, ?)", rows)
+        want = sorted(tuple(r) for r in con.execute(cell_gini_sql(
+            "SELECT lat, lon FROM src", 4)).fetchall())
+        assert got == want
+        assert 0 < got[0][2] < 1_000_000  # clustered normals
+
+
+class TestTypeTransitions:
+    def _d(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "user_id long, event_id long, event_type string, "
+                  "us long")
+
+    def test_conditionals_sum_and_prune_after(self, spark):
+        """a->b, a->b, a->c: P(b|a)=666666, P(c|a)=333333;
+        min_count=2 prunes a->c but leaves P(b|a) unchanged."""
+        from geospark.operators.events import type_transitions
+        rows = [(1, 1, "a", 0), (1, 2, "b", 1), (1, 3, "a", 2),
+                (1, 4, "b", 3), (2, 5, "a", 0), (2, 6, "c", 1)]
+        got = {(r["t1"], r["t2"]): (r["n"], r["cond_ppm"])
+               for r in type_transitions(self._d(spark, rows))
+               .collect()}
+        assert got[("a", "b")] == (2, 666666)
+        assert got[("a", "c")] == (1, 333333)
+        assert got[("b", "a")] == (1, 1_000_000)
+        pruned = {(r["t1"], r["t2"]): r["cond_ppm"]
+                  for r in type_transitions(self._d(spark, rows),
+                                            min_count=2).collect()}
+        assert pruned == {("a", "b"): 666666}
+
+    def test_user_isolation(self, spark):
+        """The last event of user 1 and the first of user 2 never
+        form a transition."""
+        from geospark.operators.events import type_transitions
+        rows = [(1, 1, "x", 0), (2, 2, "y", 1)]
+        assert type_transitions(self._d(spark, rows)).collect() == []
+
+    def test_inline_oracle_parity(self, spark):
+        import duckdb
+        import numpy as np
+
+        from geospark.operators.events import (type_transitions,
+                                               type_transitions_sql)
+        rng = np.random.default_rng(829)
+        types = ["view", "click", "buy", "idle"]
+        rows = [(int(rng.integers(1, 20)), int(i),
+                 str(rng.choice(types)),
+                 int(rng.integers(0, 10_000_000)))
+                for i in range(2_000)]
+        got = _rows(type_transitions(self._d(spark, rows)))
+        con = duckdb.connect()
+        con.execute("CREATE TABLE src (user_id BIGINT, "
+                    "event_id BIGINT, event_type VARCHAR, us BIGINT)")
+        con.executemany("INSERT INTO src VALUES (?, ?, ?, ?)", rows)
+        want = sorted(tuple(r) for r in con.execute(
+            type_transitions_sql(
+                "SELECT user_id, event_id, event_type, us FROM src"))
+            .fetchall())
+        assert got == want and len(got) == 16
