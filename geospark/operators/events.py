@@ -1466,3 +1466,85 @@ SELECT t1, t2, CAST(n AS BIGINT) AS n,
             AS BIGINT) AS cond_ppm
 FROM g QUALIFY n >= {min_count}
 """
+
+
+def triangles(edges, *, a_col: str = "user_a",
+              b_col: str = "user_b"):
+    """Per-node triangle count + exact local clustering coefficient
+    over an undirected graph — the triadic-closure primitive
+    (exposure triads on a contact graph, link-farm cliques on a host
+    graph): n_tri = triangles through the node, cc_ppm =
+    (1e6·2·n_tri) div (d·(d−1)) with d the node's degree; nodes with
+    d >= 2 report (cc_ppm = 0 when no wedge closes).
+
+    Degree-ordered orientation (Schank-Wagner): each undirected edge
+    points from its lexicographically smaller (degree, id) endpoint,
+    so every triangle has exactly ONE node with two out-edges — the
+    wedge join enumerates each triangle exactly once, and a node's
+    wedge work is bounded by its ORIENTED out-degree (O(sqrt(m)) on
+    any graph, the arboricity bound), which is what makes the
+    quadratic hub blow-up a non-event at scale: a 1e6-degree celebrity
+    node generates ~0 wedges because every edge points INTO it.
+
+    Scale: dedup groupBy, one node-keyed degree agg joined back to
+    both endpoints, one wedge self-join keyed on the pivot, one
+    closure equi-join against the canonical edge set, one explode +
+    node-keyed count. -> (node, degree, n_tri, cc_ppm)."""
+    from pyspark.sql import functions as F
+    e = (edges.select(F.least(a_col, b_col).alias("_a"),
+                      F.greatest(a_col, b_col).alias("_b"))
+         .filter(F.col("_a") != F.col("_b"))
+         .distinct())
+    deg = (e.select(F.explode(F.array("_a", "_b")).alias("_v"))
+           .groupBy("_v").agg(F.count(F.lit(1)).alias("_d")))
+    da = deg.select(F.col("_v").alias("_a"), F.col("_d").alias("_da"))
+    db = deg.select(F.col("_v").alias("_b"), F.col("_d").alias("_db"))
+    ed = e.join(da, "_a").join(db, "_b")
+    fwd = (F.col("_da") < F.col("_db")) | (
+        (F.col("_da") == F.col("_db")) & (F.col("_a") < F.col("_b")))
+    o = ed.select(
+        F.when(fwd, F.col("_a")).otherwise(F.col("_b")).alias("_u"),
+        F.when(fwd, F.col("_b")).otherwise(F.col("_a")).alias("_w"))
+    o1 = o.select(F.col("_u"), F.col("_w").alias("_x"))
+    o2 = o.select(F.col("_u"), F.col("_w").alias("_y"))
+    wedges = (o1.join(o2, "_u")
+              .filter(F.col("_x") < F.col("_y")))
+    tri = wedges.join(
+        e, (wedges["_x"] == e["_a"]) & (wedges["_y"] == e["_b"]))
+    per = (tri.select(F.explode(F.array("_u", "_x", "_y"))
+                      .alias("_v"))
+           .groupBy("_v").agg(F.count(F.lit(1)).alias("n_tri")))
+    return (deg.filter(F.col("_d") >= 2)
+            .join(per, "_v", "left")
+            .select(F.col("_v").alias("node"),
+                    F.col("_d").alias("degree"),
+                    F.coalesce("n_tri", F.lit(0)).cast("long")
+                    .alias("n_tri"))
+            .withColumn("cc_ppm", F.expr(
+                "(1000000 * 2 * n_tri) div (degree * (degree - 1))")))
+
+
+def triangles_sql(edges_sql: str) -> str:
+    """DuckDB twin of triangles over a subquery producing
+    (user_a, user_b) — brute-force closed-triple enumeration on the
+    canonical a<b edge set (the orientation trick is the scale path;
+    both count each triangle once per member node)."""
+    return f"""
+WITH tr_e AS (SELECT DISTINCT LEAST(user_a, user_b) AS a,
+              GREATEST(user_a, user_b) AS b
+              FROM ({edges_sql}) WHERE user_a <> user_b),
+tr_d AS (SELECT v, COUNT(*) AS d FROM
+         (SELECT a AS v FROM tr_e UNION ALL SELECT b FROM tr_e)
+         GROUP BY v),
+tr_t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         FROM tr_e e1 JOIN tr_e e2 ON e2.a = e1.b
+         JOIN tr_e e3 ON e3.a = e1.a AND e3.b = e2.b),
+tr_n AS (SELECT v, COUNT(*) AS n_tri FROM
+         (SELECT x AS v FROM tr_t UNION ALL SELECT y FROM tr_t
+          UNION ALL SELECT z FROM tr_t) GROUP BY v)
+SELECT d.v AS node, CAST(d.d AS BIGINT) AS degree,
+       CAST(COALESCE(n.n_tri, 0) AS BIGINT) AS n_tri,
+       CAST((1000000 * 2 * COALESCE(n.n_tri, 0))
+            // (d.d * (d.d - 1)) AS BIGINT) AS cc_ppm
+FROM tr_d d LEFT JOIN tr_n n USING (v) WHERE d.d >= 2
+"""

@@ -1692,3 +1692,77 @@ SELECT CAST(n AS BIGINT) AS n_cells, CAST(s AS BIGINT) AS total,
             // (CAST(n AS HUGEINT) * s) AS BIGINT) AS gini_ppm
 FROM a
 """
+
+
+def proximity_edges(points, r_udeg: int, *, id_col: str = "id",
+                    lat_col: str = "lat", lon_col: str = "lon",
+                    res: int = 6):
+    """Proximity graph edges — each unordered pair of points within
+    ``r_udeg`` (closed, squared-lattice metric) exactly once as
+    (id_a, id_b) with id_a < id_b: the geometric-graph constructor
+    under triadic-closure analysis (triangles), spatial CC, and
+    epsilon-graph visualization. Same integer lattice + cover-cell
+    blocking as pair_counts (which AGGREGATES the same pair stream
+    this operator EMITS); one-cell right side keeps each pair single
+    with no dedup shuffle. -> (id_a, id_b)."""
+    from pyspark.sql import functions as F
+    maxr = int(r_udeg)
+    n = 1 << res
+
+    def ix(c):
+        return F.expr(f"CAST(floor({c} * 1000000.0) AS BIGINT)")
+
+    def cellx(e_sql, off):
+        return (f"(greatest(0, least(359999999, "
+                f"({e_sql}) + {off + 180_000_000})) * {n}) "
+                f"div 360000000")
+
+    def celly(e_sql, off):
+        return (f"(greatest(0, least(179999999, "
+                f"({e_sql}) + {off + 90_000_000})) * {n}) "
+                f"div 180000000")
+
+    base = points.select(F.col(id_col).alias("_id"),
+                         ix(lon_col).alias("_ix"),
+                         ix(lat_col).alias("_iy"))
+    left = (base
+            .withColumn("_cx", F.explode(F.expr(
+                f"sequence({cellx('_ix', -maxr)}, "
+                f"{cellx('_ix', maxr)})")))
+            .withColumn("_cy", F.explode(F.expr(
+                f"sequence({celly('_iy', -maxr)}, "
+                f"{celly('_iy', maxr)})")))
+            .select(F.col("_id").alias("_l"),
+                    F.col("_ix").alias("_lx"),
+                    F.col("_iy").alias("_ly"),
+                    (F.col("_cx") * n + F.col("_cy")).alias("_cell")))
+    right = base.select(
+        F.col("_id").alias("_r"), F.col("_ix").alias("_rx"),
+        F.col("_iy").alias("_ry"),
+        F.expr(f"({cellx('_ix', 0)}) * {n} "
+               f"+ ({celly('_iy', 0)})").alias("_cell"))
+    return (left.join(right, "_cell")
+            .filter(F.col("_l") < F.col("_r"))
+            .filter(F.expr("(_lx - _rx) * (_lx - _rx) "
+                           "+ (_ly - _ry) * (_ly - _ry)")
+                    <= F.lit(maxr * maxr))
+            .select(F.col("_l").alias("id_a"),
+                    F.col("_r").alias("id_b")))
+
+
+def proximity_edges_sql(pts_sql: str, r_udeg: int) -> str:
+    """DuckDB twin of proximity_edges over a subquery producing
+    (id, lat, lon) — brute-force pair filter, identical lattice."""
+    maxr = int(r_udeg)
+    return f"""
+SELECT a.id AS id_a, b.id AS id_b
+FROM (SELECT id, CAST(floor(lat * 1000000.0) AS BIGINT) AS iy,
+      CAST(floor(lon * 1000000.0) AS BIGINT) AS ix
+      FROM ({pts_sql})) a
+JOIN (SELECT id, CAST(floor(lat * 1000000.0) AS BIGINT) AS iy,
+      CAST(floor(lon * 1000000.0) AS BIGINT) AS ix
+      FROM ({pts_sql})) b
+ON a.id < b.id
+AND (a.ix - b.ix) * (a.ix - b.ix)
+    + (a.iy - b.iy) * (a.iy - b.iy) <= {maxr * maxr}
+"""

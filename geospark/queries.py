@@ -2776,6 +2776,27 @@ def q_type_transitions(spark, sf_dir):
                      "TIMESTAMP_NTZ '2024-01-01 00:00:00', ts)")))
 
 
+# proximity graph: 5 degrees at blocking res 4 — sparse (avg degree
+# ~2 at sf0.01) yet triangle-bearing at every scale
+_PROX_R_UDEG, _PROX_RES = 5_000_000, 4
+
+
+def q_triangles(spark, sf_dir):
+    """Triangle census (r5.31): per-node triangle counts + exact
+    local clustering coefficient over the 5-degree customer proximity
+    graph — triadic closure of spatial neighborhoods, degree-ordered
+    orientation (operators/events.triangles docstring) over
+    operators/tiles.proximity_edges."""
+    from pyspark.sql import functions as F
+    from .operators.events import triangles
+    from .operators.tiles import proximity_edges
+    pts = _cust_points(spark, sf_dir).select(
+        F.col("c_custkey").alias("id"), "lat", "lon")
+    e = proximity_edges(pts, _PROX_R_UDEG, res=_PROX_RES)
+    return triangles(e.select(F.col("id_a").alias("user_a"),
+                              F.col("id_b").alias("user_b")))
+
+
 # Heaps-curve checkpoints: all four rungs live at sf0.01 (500 docs)
 # and are a strict prefix of every larger scale
 _VOCAB_CPS = [50, 100, 200, 400]
@@ -3104,6 +3125,7 @@ QUERIES = {
     "cell_fano": q_cell_fano,
     "cell_gini": q_cell_gini,
     "type_transitions": q_type_transitions,
+    "triangles": q_triangles,
 }
 
 
@@ -3915,6 +3937,13 @@ def oracle_sql() -> dict[str, str]:
         "SELECT user_id, event_id, event_type, datediff("
         "'microseconds', TIMESTAMP '2024-01-01 00:00:00', ts) AS us "
         "FROM events")
+    from .operators.events import triangles_sql
+    from .operators.tiles import proximity_edges_sql
+    out["triangles"] = triangles_sql(
+        "SELECT id_a AS user_a, id_b AS user_b FROM ("
+        + proximity_edges_sql(
+            f"SELECT c_custkey AS id, lat, lon FROM ({_CUST_PTS_CTE})",
+            _PROX_R_UDEG) + ")")
     return out
 
 

@@ -671,3 +671,85 @@ class TestTypeTransitions:
                 "SELECT user_id, event_id, event_type, us FROM src"))
             .fetchall())
         assert got == want and len(got) == 16
+
+
+class TestProximityEdgesTriangles:
+    def _pts(self, spark, pts):
+        return spark.createDataFrame(
+            [(i, la, lo) for i, (la, lo) in enumerate(pts)],
+            "id long, lat double, lon double")
+
+    def _edges(self, spark, pairs):
+        return spark.createDataFrame(
+            pairs, "user_a long, user_b long")
+
+    def test_edges_once_closed_boundary(self, spark):
+        """Each unordered pair once, dist == r included, the far
+        point isolated."""
+        from geospark.operators.tiles import proximity_edges
+        d = self._pts(spark, [(0.0, 0.0), (0.0, 1.0), (0.0, 2.0),
+                              (0.0, 50.0)])
+        got = sorted((r["id_a"], r["id_b"]) for r in proximity_edges(
+            d, 1_000_000).collect())
+        assert got == [(0, 1), (1, 2)]
+
+    def test_triangle_and_cc_exact(self, spark):
+        """K3 plus a pendant: the three clique nodes have one
+        triangle each; the hub (degree 3) has cc = 2*1/(3*2) ->
+        333333; the pendant (degree 1) emits no row."""
+        from geospark.operators.events import triangles
+        e = self._edges(spark, [(1, 2), (2, 3), (1, 3), (3, 4)])
+        got = {r["node"]: (r["degree"], r["n_tri"], r["cc_ppm"])
+               for r in triangles(e).collect()}
+        assert got[1] == (2, 1, 1_000_000)
+        assert got[2] == (2, 1, 1_000_000)
+        assert got[3] == (3, 1, 333_333)
+        assert 4 not in got
+
+    def test_duplicate_reversed_self_edges_collapse(self, spark):
+        """(a,b), (b,a), a second (a,b), and a self-loop must count
+        as ONE edge — K3 still yields one triangle per node."""
+        from geospark.operators.events import triangles
+        e = self._edges(spark, [(1, 2), (2, 1), (1, 2), (2, 3),
+                                (1, 3), (2, 2)])
+        got = {r["node"]: r["n_tri"] for r in triangles(e).collect()}
+        assert got == {1: 1, 2: 1, 3: 1}
+
+    def test_square_no_triangles(self, spark):
+        """C4 has wedges but no closures: every node degree 2,
+        n_tri 0, cc 0."""
+        from geospark.operators.events import triangles
+        e = self._edges(spark, [(1, 2), (2, 3), (3, 4), (1, 4)])
+        got = {r["node"]: (r["degree"], r["n_tri"], r["cc_ppm"])
+               for r in triangles(e).collect()}
+        assert got == {i: (2, 0, 0) for i in (1, 2, 3, 4)}
+
+    def test_inline_oracle_parity(self, spark):
+        import duckdb
+        import numpy as np
+
+        from geospark.operators.events import triangles, triangles_sql
+        from geospark.operators.tiles import (proximity_edges,
+                                              proximity_edges_sql)
+        rng = np.random.default_rng(907)
+        rows = [(int(i), round(float(a), 2), round(float(b), 2))
+                for i, (a, b) in enumerate(zip(
+                    rng.uniform(-40, 40, 300),
+                    rng.uniform(-80, 80, 300)))]
+        d = spark.createDataFrame(rows,
+                                  "id long, lat double, lon double")
+        from pyspark.sql import functions as F
+        e = proximity_edges(d, 6_000_000, res=4).select(
+            F.col("id_a").alias("user_a"),
+            F.col("id_b").alias("user_b"))
+        got = _rows(triangles(e))
+        con = duckdb.connect()
+        con.execute("CREATE TABLE src (id BIGINT, lat DOUBLE, "
+                    "lon DOUBLE)")
+        con.executemany("INSERT INTO src VALUES (?, ?, ?)", rows)
+        want = sorted(tuple(r) for r in con.execute(triangles_sql(
+            "SELECT id_a AS user_a, id_b AS user_b FROM ("
+            + proximity_edges_sql("SELECT id, lat, lon FROM src",
+                                  6_000_000) + ")")).fetchall())
+        assert got == want and len(got) > 50
+        assert any(r[2] > 0 for r in got)
