@@ -2776,6 +2776,74 @@ def q_type_transitions(spark, sf_dir):
                      "TIMESTAMP_NTZ '2024-01-01 00:00:00', ts)")))
 
 
+def q_stream_revisit(spark, sf_dir):
+    """STATEFUL STREAMING revisit gaps under a full value-hash oracle
+    (the stream_sessionize pattern): the events table replayed as
+    four TIME-SLICED microbatch files through stream_revisit_gaps
+    (applyInPandasWithState, last-visit timestamp per (user, cell) in
+    the state store), emitted gaps aggregated to the log2-bucket
+    histogram — which the batch revisit_hist SQL reproduces exactly.
+    Time-sliced files keep the within-key order contract (equal-ts
+    ties may split across slices but a tie's gap is 0 under ANY
+    order); gaps are ts DIFFERENCES so the epoch convention cancels.
+    Deterministic: slice boundaries from the data span, file order
+    pinned with explicit mtimes."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from .streaming.stream import stream_revisit_gaps
+    e = (spark.read.parquet(f"{sf_dir}/events.parquet")
+         .select("event_id", F.col("ts").cast("timestamp_ntz")
+                 .alias("ts"), "user_id",
+                 F.expr(_TRAJ_LAT).alias("lat"),
+                 F.expr(_TRAJ_LON).alias("lon")))
+    row = e.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")) \
+        .collect()[0]
+    lo, hi = row["lo"], row["hi"]
+    span = hi - lo
+    work = tempfile.mkdtemp(prefix="geospark_stream_revisit_")
+    src = os.path.join(work, "src")
+    cuts = [lo + span * i / 4 for i in range(1, 4)]
+    bounds = [(None, cuts[0]), (cuts[0], cuts[1]),
+              (cuts[1], cuts[2]), (cuts[2], None)]
+    for i, (a, b) in enumerate(bounds):
+        s = e
+        if a is not None:
+            s = s.filter(F.col("ts") >= a)
+        if b is not None:
+            s = s.filter(F.col("ts") < b)
+        s.coalesce(1).write.mode("append").parquet(src)
+        # pin replay order: the file source orders by mtime, and the
+        # i earlier slices already carry pinned mtimes below any real
+        # clock — so the [i:] tail of the mtime sort is exactly the
+        # file this iteration wrote
+        for p in sorted(glob.glob(os.path.join(src, "*.parquet")),
+                        key=os.path.getmtime)[i:]:
+            os.utime(p, (1_000_000 + i, 1_000_000 + i))
+    sdf = (spark.readStream
+           .schema("event_id long, ts timestamp_ntz, user_id long, "
+                   "lat double, lon double")
+           .option("maxFilesPerTrigger", 1).parquet(src))
+    out = stream_revisit_gaps(sdf, _REVISIT_RES)
+    name = f"gs_stream_revisit_{uuid.uuid4().hex[:8]}"
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("append")
+         .option("checkpointLocation", os.path.join(work, "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    res = materialize(
+        spark.table(name).groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_gaps")))
+    spark.catalog.dropTempView(name)
+    shutil.rmtree(work, ignore_errors=True)
+    return res
+
+
 # proximity graph: 5 degrees at blocking res 4 — sparse (avg degree
 # ~2 at sf0.01) yet triangle-bearing at every scale
 _PROX_R_UDEG, _PROX_RES = 5_000_000, 4
@@ -3126,6 +3194,7 @@ QUERIES = {
     "cell_gini": q_cell_gini,
     "type_transitions": q_type_transitions,
     "triangles": q_triangles,
+    "stream_revisit": q_stream_revisit,
 }
 
 
@@ -3944,6 +4013,10 @@ def oracle_sql() -> dict[str, str]:
         + proximity_edges_sql(
             f"SELECT c_custkey AS id, lat, lon FROM ({_CUST_PTS_CTE})",
             _PROX_R_UDEG) + ")")
+    # the streaming replay's aggregated gaps equal the batch
+    # histogram — the stream_sessionize closing-the-gate pattern
+    out["stream_revisit"] = revisit_hist_sql(_TRAJ_PTS_SQL,
+                                             _REVISIT_RES)
     return out
 
 

@@ -425,3 +425,59 @@ def stream_fence_events(stream_df, fence_cells, res: int, *,
                 stateStructType="last_in integer",
                 outputMode="append",
                 timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def stream_revisit_gaps(stream_df, res: int, *,
+                        user_col: str = "user_id",
+                        ts_col: str = "ts", id_col: str = "event_id",
+                        lat_col: str = "lat", lon_col: str = "lon"):
+    """Streaming revisit-gap emission (applyInPandasWithState) — the
+    real-time twin of operators/events.revisit_hist: the moment a
+    user revisits a cell, emit one row with the exact integer-second
+    gap since their previous visit and its log2 bucket
+    (bit_length == the batch operator's length(bin(gap_s)) on
+    positive BIGINTs). The per-(user, cell) last-visit timestamp
+    lives in the state store across microbatches — O(active
+    user-cells) state, independent of history length; aggregating
+    the emitted buckets reproduces the batch histogram exactly
+    (tested), so the same alerting/telemetry reads work on the live
+    stream.
+
+    Cell assignment happens JVM-side BEFORE the stateful step
+    (cell_encode column math); the only Python is the Arrow-batched
+    state function. Contract (stream_sessionize's replay contract):
+    within-(user, cell) event-time order non-decreasing across
+    microbatches. -> (user, cell, gap_s, bucket) per revisit."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..functions.cells import cell_encode
+    d = stream_df.withColumn(
+        "_cell", cell_encode(lat_col, lon_col, res))
+    out_schema = (f"{user_col} long, cell long, gap_s long, "
+                  "bucket int")
+
+    def fn(key, pdfs, state):
+        uid, cell = key
+        last = state.get[0] if state.exists else None
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values([ts_col, id_col])
+            for t in pdf[ts_col]:
+                us = int(pd.Timestamp(t).value // 1000)
+                if last is not None:
+                    gap_s = (us - last) // 1_000_000
+                    bucket = 0 if gap_s == 0 else gap_s.bit_length()
+                    rows.append((uid, int(cell), gap_s, bucket))
+                last = us
+        state.update((last,))
+        if rows:
+            yield pd.DataFrame(
+                rows, columns=[user_col, "cell", "gap_s", "bucket"])
+
+    return (d.groupBy(user_col, "_cell")
+            .applyInPandasWithState(
+                fn, outputStructType=out_schema,
+                stateStructType="last_us long",
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout))

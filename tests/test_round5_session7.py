@@ -753,3 +753,74 @@ class TestProximityEdgesTriangles:
                                   6_000_000) + ")")).fetchall())
         assert got == want and len(got) > 50
         assert any(r[2] > 0 for r in got)
+
+
+def _center7(y, x, res):
+    n = 1 << res
+    return (-90.0 + (y + 0.5) * 180.0 / n,
+            -180.0 + (x + 0.5) * 360.0 / n)
+
+
+class TestStreamRevisitGaps:
+    RES = 4
+
+    def test_matches_batch_across_microbatches(self, spark, tmp_path):
+        """Chunked replay through the state store equals the batch
+        revisit_hist histogram exactly — including a gap whose two
+        endpoints land in DIFFERENT microbatch files (the last-visit
+        timestamp must survive the boundary), an interleaved
+        other-cell visit that must not reset the gap, and a
+        same-second revisit (bucket 0)."""
+        import datetime as dt
+
+        from pyspark.sql import functions as F
+
+        from geospark.operators.events import revisit_hist
+        from geospark.streaming.stream import stream_revisit_gaps
+        base = dt.datetime(2024, 1, 1)
+        a, b = _center7(5, 5, self.RES), _center7(0, 0, self.RES)
+        # user 1: A at 0s, B at 30s, A at 90s (gap 90 across files),
+        #         A at 90s again via +0s dup (bucket 0)
+        # user 2: A at 10s | A at 74s (gap 64 -> bucket 7)
+        rows = [
+            (0, base, 1, *a),
+            (1, base + dt.timedelta(seconds=30), 1, *b),
+            (2, base + dt.timedelta(seconds=10), 2, *a),
+            # --- file boundary ---
+            (3, base + dt.timedelta(seconds=90), 1, *a),
+            (4, base + dt.timedelta(seconds=90), 1, *a),
+            (5, base + dt.timedelta(seconds=74), 2, *a),
+        ]
+        schema = ("event_id long, ts timestamp_ntz, user_id long, "
+                  "lat double, lon double")
+        src = str(tmp_path / "revisit_src")
+        spark.createDataFrame(rows[:3], schema).coalesce(1) \
+            .write.mode("overwrite").parquet(src)
+        spark.createDataFrame(rows[3:], schema).coalesce(1) \
+            .write.mode("append").parquet(src)
+
+        sdf = (spark.readStream.schema(schema)
+               .option("maxFilesPerTrigger", 1).parquet(src))
+        out = stream_revisit_gaps(sdf, self.RES)
+        q = (out.writeStream.format("memory")
+             .queryName("revisit_stream").outputMode("append")
+             .option("checkpointLocation", str(tmp_path / "ck"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        gaps = spark.sql("SELECT * FROM revisit_stream").collect()
+        got_hist = {}
+        for r in gaps:
+            got_hist[r["bucket"]] = got_hist.get(r["bucket"], 0) + 1
+
+        e = spark.read.parquet(src)
+        pts = e.select("user_id", "event_id", "lat", "lon",
+                       F.expr("timestampdiff(MICROSECOND, "
+                              "TIMESTAMP_NTZ '2024-01-01 00:00:00', "
+                              "ts)").alias("us"))
+        want_hist = {r["bucket"]: r["n_gaps"]
+                     for r in revisit_hist(pts, self.RES).collect()}
+        assert got_hist == want_hist
+        # gap 90 (bucket 7), gap 0 (bucket 0), gap 64 (bucket 7)
+        assert got_hist == {7: 2, 0: 1}
+        gs = sorted(r["gap_s"] for r in gaps)
+        assert gs == [0, 64, 90]
