@@ -90,3 +90,76 @@ def pagerank_sql(edges_sql: str, nodes_sql: str, n_nodes_sql: str, *,
             f") s ON n.id = s.v)")
     return ("WITH " + ",\n".join(ctes)
             + f"\nSELECT id AS doc_id, r AS {rank_col} FROM r{iters}")
+
+
+def bounded_paths(edges, seeds, k: int, *, a_col: str = "id_a",
+                  b_col: str = "id_b", w_col: str = "w",
+                  seed_col: str = "id"):
+    """Bounded min-plus shortest paths (k Bellman-Ford rounds) from a
+    seed set over an undirected nonnegative-weight graph: for every
+    node reachable within <= k hops, the EXACT cheapest path cost
+    using at most k edges — the weighted isochrone / nearest-depot
+    primitive grid_reach's unit-hop BFS can't express (a short
+    two-hop detour beats a long direct edge here). Fixing k makes the
+    semantics exact and terminating on ANY graph (cycles included):
+    "cheapest within k hops" is itself the product spec on road-ish
+    graphs, and both engines run the identical k relaxations — no
+    convergence race, so the SQL twin needs no recursion.
+
+    Integer-exact: BIGINT weights, cost sums bounded by k·max_w
+    (caller-owned; µdeg² edge weights at k<=8 stay far under BIGINT).
+    Seeds start at cost 0; a seed absent from the graph still reports
+    itself at 0 (distance to the set is defined on the set).
+
+    Scale: each round is ONE edge-keyed equi-join (frontier-sized
+    left, the round's relaxations) + ONE node-keyed MIN groupBy, all
+    map-side combinable; per-round materialize() is the CC/grid_reach
+    lineage-truncation lesson. Rounds are k regardless of graph size.
+    -> (node, cost)."""
+    from pyspark.sql import functions as F
+
+    from ..materialize import materialize
+    e = edges.select(F.col(a_col).alias("_a"),
+                     F.col(b_col).alias("_b"),
+                     F.col(w_col).alias("_w"))
+    sym = e.unionByName(
+        e.select(F.col("_b").alias("_a"), F.col("_a").alias("_b"),
+                 "_w"))
+    sym = materialize(sym)
+    dist = materialize(
+        seeds.select(F.col(seed_col).alias("_v"),
+                     F.lit(0).cast("long").alias("_c")).distinct())
+    for _ in range(int(k)):
+        relax = (dist.join(sym, dist["_v"] == sym["_a"])
+                 .select(F.col("_b").alias("_v"),
+                         (F.col("_c") + F.col("_w")).alias("_c")))
+        dist = materialize(
+            dist.unionByName(relax)
+                .groupBy("_v").agg(F.min("_c").alias("_c")))
+    return dist.select(F.col("_v").alias("node"),
+                       F.col("_c").alias("cost"))
+
+
+def bounded_paths_sql(edges_sql: str, seeds_sql: str, k: int) -> str:
+    """DuckDB twin of bounded_paths over subqueries producing
+    (id_a, id_b, w) and (id) — k chained relax/min CTE stages,
+    no recursion (identical round count to the Spark loop)."""
+    stages = []
+    for i in range(1, int(k) + 1):
+        stages.append(
+            f"d{i} AS (SELECT v, MIN(c) AS c FROM ("
+            f"SELECT v, c FROM d{i - 1} "
+            f"UNION ALL "
+            f"SELECT e.id_b AS v, p.c + e.w AS c "
+            f"FROM d{i - 1} p JOIN bp_e e ON e.id_a = p.v"
+            f") GROUP BY v)")
+    chain = ",\n".join(stages)
+    return f"""
+WITH bp_raw AS (SELECT id_a, id_b, w FROM ({edges_sql})),
+bp_e AS (SELECT id_a, id_b, w FROM bp_raw
+         UNION ALL SELECT id_b, id_a, w FROM bp_raw),
+d0 AS (SELECT DISTINCT id AS v, CAST(0 AS BIGINT) AS c
+       FROM ({seeds_sql})),
+{chain}
+SELECT v AS node, CAST(c AS BIGINT) AS cost FROM d{int(k)}
+"""

@@ -1696,7 +1696,7 @@ FROM a
 
 def proximity_edges(points, r_udeg: int, *, id_col: str = "id",
                     lat_col: str = "lat", lon_col: str = "lon",
-                    res: int = 6):
+                    res: int = 6, keep_d2: bool = False):
     """Proximity graph edges — each unordered pair of points within
     ``r_udeg`` (closed, squared-lattice metric) exactly once as
     (id_a, id_b) with id_a < id_b: the geometric-graph constructor
@@ -1704,7 +1704,9 @@ def proximity_edges(points, r_udeg: int, *, id_col: str = "id",
     epsilon-graph visualization. Same integer lattice + cover-cell
     blocking as pair_counts (which AGGREGATES the same pair stream
     this operator EMITS); one-cell right side keeps each pair single
-    with no dedup shuffle. -> (id_a, id_b)."""
+    with no dedup shuffle. ``keep_d2`` appends the exact squared
+    lattice distance as an edge weight (the bounded_paths feed).
+    -> (id_a, id_b[, d2])."""
     from pyspark.sql import functions as F
     maxr = int(r_udeg)
     n = 1 << res
@@ -1741,21 +1743,27 @@ def proximity_edges(points, r_udeg: int, *, id_col: str = "id",
         F.col("_iy").alias("_ry"),
         F.expr(f"({cellx('_ix', 0)}) * {n} "
                f"+ ({celly('_iy', 0)})").alias("_cell"))
-    return (left.join(right, "_cell")
-            .filter(F.col("_l") < F.col("_r"))
-            .filter(F.expr("(_lx - _rx) * (_lx - _rx) "
-                           "+ (_ly - _ry) * (_ly - _ry)")
-                    <= F.lit(maxr * maxr))
-            .select(F.col("_l").alias("id_a"),
-                    F.col("_r").alias("id_b")))
+    out = (left.join(right, "_cell")
+           .filter(F.col("_l") < F.col("_r"))
+           .withColumn("_d2", F.expr(
+               "(_lx - _rx) * (_lx - _rx) "
+               "+ (_ly - _ry) * (_ly - _ry)"))
+           .filter(F.col("_d2") <= F.lit(maxr * maxr)))
+    cols = [F.col("_l").alias("id_a"), F.col("_r").alias("id_b")]
+    if keep_d2:
+        cols.append(F.col("_d2").alias("d2"))
+    return out.select(*cols)
 
 
-def proximity_edges_sql(pts_sql: str, r_udeg: int) -> str:
+def proximity_edges_sql(pts_sql: str, r_udeg: int,
+                        keep_d2: bool = False) -> str:
     """DuckDB twin of proximity_edges over a subquery producing
     (id, lat, lon) — brute-force pair filter, identical lattice."""
     maxr = int(r_udeg)
+    d2 = (", (a.ix - b.ix) * (a.ix - b.ix) "
+          "+ (a.iy - b.iy) * (a.iy - b.iy) AS d2" if keep_d2 else "")
     return f"""
-SELECT a.id AS id_a, b.id AS id_b
+SELECT a.id AS id_a, b.id AS id_b{d2}
 FROM (SELECT id, CAST(floor(lat * 1000000.0) AS BIGINT) AS iy,
       CAST(floor(lon * 1000000.0) AS BIGINT) AS ix
       FROM ({pts_sql})) a

@@ -2865,6 +2865,28 @@ def q_triangles(spark, sf_dir):
                               F.col("id_b").alias("user_b")))
 
 
+# bounded min-plus: every 100th customer is a depot, 4 relaxation
+# rounds over the 5-degree proximity graph weighted by exact d2
+_BP_K, _BP_SEED_MOD = 4, 100
+
+
+def q_bounded_paths(spark, sf_dir):
+    """Weighted isochrone (r5.32): exact cheapest <=4-hop path cost
+    from the depot customers over the d2-weighted 5-degree proximity
+    graph — k Bellman-Ford rounds, identical in both engines, no
+    convergence race (operators/graph.bounded_paths docstring)."""
+    from pyspark.sql import functions as F
+
+    from .operators.graph import bounded_paths
+    from .operators.tiles import proximity_edges
+    pts = _cust_points(spark, sf_dir).select(
+        F.col("c_custkey").alias("id"), "lat", "lon")
+    e = proximity_edges(pts, _PROX_R_UDEG, res=_PROX_RES,
+                        keep_d2=True)
+    seeds = pts.filter(F.col("id") % _BP_SEED_MOD == 0).select("id")
+    return bounded_paths(e, seeds, _BP_K, w_col="d2")
+
+
 # Heaps-curve checkpoints: all four rungs live at sf0.01 (500 docs)
 # and are a strict prefix of every larger scale
 _VOCAB_CPS = [50, 100, 200, 400]
@@ -3195,6 +3217,7 @@ QUERIES = {
     "type_transitions": q_type_transitions,
     "triangles": q_triangles,
     "stream_revisit": q_stream_revisit,
+    "bounded_paths": q_bounded_paths,
 }
 
 
@@ -4017,6 +4040,14 @@ def oracle_sql() -> dict[str, str]:
     # histogram — the stream_sessionize closing-the-gate pattern
     out["stream_revisit"] = revisit_hist_sql(_TRAJ_PTS_SQL,
                                              _REVISIT_RES)
+    from .operators.graph import bounded_paths_sql
+    cust_ids = f"SELECT c_custkey AS id, lat, lon FROM ({_CUST_PTS_CTE})"
+    out["bounded_paths"] = bounded_paths_sql(
+        "SELECT id_a, id_b, d2 AS w FROM ("
+        + proximity_edges_sql(cust_ids, _PROX_R_UDEG, keep_d2=True)
+        + ")",
+        f"SELECT id FROM ({cust_ids}) WHERE id % {_BP_SEED_MOD} = 0",
+        _BP_K)
     return out
 
 

@@ -824,3 +824,72 @@ class TestStreamRevisitGaps:
         assert got_hist == {7: 2, 0: 1}
         gs = sorted(r["gap_s"] for r in gaps)
         assert gs == [0, 64, 90]
+
+
+class TestBoundedPaths:
+    def _e(self, spark, rows):
+        return spark.createDataFrame(rows,
+                                     "id_a long, id_b long, w long")
+
+    def _s(self, spark, ids):
+        return spark.createDataFrame([(i,) for i in ids], "id long")
+
+    def test_detour_beats_direct_edge(self, spark):
+        """1-2 direct costs 10; 1-3-2 costs 2+3=5: the 2-hop detour
+        wins — the case unit-hop BFS gets wrong."""
+        from geospark.operators.graph import bounded_paths
+        e = self._e(spark, [(1, 2, 10), (1, 3, 2), (3, 2, 3)])
+        got = {r["node"]: r["cost"] for r in bounded_paths(
+            e, self._s(spark, [1]), 2).collect()}
+        assert got == {1: 0, 2: 5, 3: 2}
+
+    def test_hop_bound_is_exact(self, spark):
+        """A 3-hop-only node is unreachable at k=2 and costed at
+        k=3; k=1 sees only direct neighbors."""
+        from geospark.operators.graph import bounded_paths
+        e = self._e(spark, [(1, 2, 1), (2, 3, 1), (3, 4, 1)])
+        s = self._s(spark, [1])
+        for k, want in ((1, {1: 0, 2: 1}),
+                        (2, {1: 0, 2: 1, 3: 2}),
+                        (3, {1: 0, 2: 1, 3: 2, 4: 3})):
+            got = {r["node"]: r["cost"]
+                   for r in bounded_paths(e, s, k).collect()}
+            assert got == want, k
+
+    def test_multi_seed_min_and_undirected(self, spark):
+        """Two seeds: each node takes the cheaper source; edges
+        relax in BOTH directions; an isolated seed reports 0."""
+        from geospark.operators.graph import bounded_paths
+        e = self._e(spark, [(1, 2, 4), (3, 2, 1)])
+        got = {r["node"]: r["cost"] for r in bounded_paths(
+            e, self._s(spark, [1, 3, 99]), 2).collect()}
+        assert got == {1: 0, 3: 0, 99: 0, 2: 1}
+
+    def test_inline_oracle_parity(self, spark):
+        import duckdb
+        import numpy as np
+
+        from geospark.operators.graph import (bounded_paths,
+                                              bounded_paths_sql)
+        rng = np.random.default_rng(1013)
+        edges = set()
+        while len(edges) < 400:
+            a, b = sorted(rng.integers(0, 120, 2).tolist())
+            if a != b:
+                edges.add((int(a), int(b)))
+        rows = [(a, b, int(rng.integers(1, 1000)))
+                for a, b in sorted(edges)]
+        seeds = [0, 17, 54]
+        got = _rows(bounded_paths(self._e(spark, rows),
+                                  self._s(spark, seeds), 3))
+        con = duckdb.connect()
+        con.execute("CREATE TABLE e (id_a BIGINT, id_b BIGINT, "
+                    "w BIGINT)")
+        con.executemany("INSERT INTO e VALUES (?, ?, ?)", rows)
+        con.execute("CREATE TABLE s (id BIGINT)")
+        con.executemany("INSERT INTO s VALUES (?)",
+                        [(i,) for i in seeds])
+        want = sorted(tuple(r) for r in con.execute(bounded_paths_sql(
+            "SELECT id_a, id_b, w FROM e", "SELECT id FROM s",
+            3)).fetchall())
+        assert got == want and len(got) > 100
