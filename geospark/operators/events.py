@@ -1548,3 +1548,43 @@ SELECT d.v AS node, CAST(d.d AS BIGINT) AS degree,
             // (d.d * (d.d - 1)) AS BIGINT) AS cc_ppm
 FROM tr_d d LEFT JOIN tr_n n USING (v) WHERE d.d >= 2
 """
+
+
+def user_segments(points, *, max_d2: int, user_col: str = "user_id",
+                  us_col: str = "us", lat_col: str = "lat",
+                  lon_col: str = "lon", tie_col: str = "event_id"):
+    """Per-user consecutive hops as integer-lattice LINE SEGMENTS —
+    the seg_crossings feed: (id = arrival tie, ax/ay = previous
+    point, bx/by = current point) for every hop with squared lattice
+    displacement <= ``max_d2`` (drops the data-gap teleports whose
+    "segments" span the globe and would quadratically dominate any
+    crossing join). Rides _user_hops' single user-keyed window —
+    identical ordering and lattice text as speed_flags/jump_hist so
+    the SQL twins can't drift. -> (id, ax, ay, bx, by)."""
+    from pyspark.sql import functions as F
+    d = _user_hops(points, user_col=user_col, us_col=us_col,
+                   lat_col=lat_col, lon_col=lon_col, tie_col=tie_col)
+    return (d.filter(F.col("d2") <= F.lit(int(max_d2)))
+            .select(F.col("_tie").alias("id"),
+                    F.col("_px").alias("ax"),
+                    F.col("_py").alias("ay"),
+                    F.col("_ix").alias("bx"),
+                    F.col("_iy").alias("by")))
+
+
+def user_segments_sql(pts_sql: str, max_d2: int) -> str:
+    """DuckDB twin of user_segments over a subquery producing
+    (user_id, us, event_id, lat, lon)."""
+    return f"""
+SELECT tie AS id, px AS ax, py AS ay, ix AS bx, iy AS by
+FROM (SELECT tie, ix, iy,
+      LAG(ix) OVER w AS px, LAG(iy) OVER w AS py,
+      LAG(us) OVER w AS pus
+      FROM (SELECT user_id AS u, us, event_id AS tie,
+            CAST(floor(lat * 1000000.0) AS BIGINT) AS iy,
+            CAST(floor(lon * 1000000.0) AS BIGINT) AS ix
+            FROM ({pts_sql}))
+      WINDOW w AS (PARTITION BY u ORDER BY us, tie))
+WHERE pus IS NOT NULL
+AND (ix - px) * (ix - px) + (iy - py) * (iy - py) <= {int(max_d2)}
+"""

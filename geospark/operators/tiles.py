@@ -1696,7 +1696,8 @@ FROM a
 
 def proximity_edges(points, r_udeg: int, *, id_col: str = "id",
                     lat_col: str = "lat", lon_col: str = "lon",
-                    res: int = 6, keep_d2: bool = False):
+                    res: int = 6, keep_d2: bool = False,
+                    carry: tuple = ()):
     """Proximity graph edges — each unordered pair of points within
     ``r_udeg`` (closed, squared-lattice metric) exactly once as
     (id_a, id_b) with id_a < id_b: the geometric-graph constructor
@@ -1706,7 +1707,11 @@ def proximity_edges(points, r_udeg: int, *, id_col: str = "id",
     this operator EMITS); one-cell right side keeps each pair single
     with no dedup shuffle. ``keep_d2`` appends the exact squared
     lattice distance as an edge weight (the bounded_paths feed).
-    -> (id_a, id_b[, d2])."""
+    ``carry`` names point attributes copied through the pair join as
+    ``{c}_a`` / ``{c}_b`` (the colocation_pi feed) — carrying beats
+    joining the attribute back onto the edge stream afterwards, which
+    at web scale is two extra point-sized shuffles.
+    -> (id_a, id_b[, d2][, carry_a..., carry_b...])."""
     from pyspark.sql import functions as F
     maxr = int(r_udeg)
     n = 1 << res
@@ -1726,7 +1731,8 @@ def proximity_edges(points, r_udeg: int, *, id_col: str = "id",
 
     base = points.select(F.col(id_col).alias("_id"),
                          ix(lon_col).alias("_ix"),
-                         ix(lat_col).alias("_iy"))
+                         ix(lat_col).alias("_iy"),
+                         *[F.col(c).alias(f"_k_{c}") for c in carry])
     left = (base
             .withColumn("_cx", F.explode(F.expr(
                 f"sequence({cellx('_ix', -maxr)}, "
@@ -1737,12 +1743,15 @@ def proximity_edges(points, r_udeg: int, *, id_col: str = "id",
             .select(F.col("_id").alias("_l"),
                     F.col("_ix").alias("_lx"),
                     F.col("_iy").alias("_ly"),
-                    (F.col("_cx") * n + F.col("_cy")).alias("_cell")))
+                    (F.col("_cx") * n + F.col("_cy")).alias("_cell"),
+                    *[F.col(f"_k_{c}").alias(f"{c}_a")
+                      for c in carry]))
     right = base.select(
         F.col("_id").alias("_r"), F.col("_ix").alias("_rx"),
         F.col("_iy").alias("_ry"),
         F.expr(f"({cellx('_ix', 0)}) * {n} "
-               f"+ ({celly('_iy', 0)})").alias("_cell"))
+               f"+ ({celly('_iy', 0)})").alias("_cell"),
+        *[F.col(f"_k_{c}").alias(f"{c}_b") for c in carry])
     out = (left.join(right, "_cell")
            .filter(F.col("_l") < F.col("_r"))
            .withColumn("_d2", F.expr(
@@ -1752,25 +1761,253 @@ def proximity_edges(points, r_udeg: int, *, id_col: str = "id",
     cols = [F.col("_l").alias("id_a"), F.col("_r").alias("id_b")]
     if keep_d2:
         cols.append(F.col("_d2").alias("d2"))
+    cols += [F.col(f"{c}_a") for c in carry]
+    cols += [F.col(f"{c}_b") for c in carry]
     return out.select(*cols)
 
 
 def proximity_edges_sql(pts_sql: str, r_udeg: int,
-                        keep_d2: bool = False) -> str:
+                        keep_d2: bool = False,
+                        carry: tuple = ()) -> str:
     """DuckDB twin of proximity_edges over a subquery producing
-    (id, lat, lon) — brute-force pair filter, identical lattice."""
+    (id, lat, lon[, carry...]) — brute-force pair filter, identical
+    lattice."""
     maxr = int(r_udeg)
     d2 = (", (a.ix - b.ix) * (a.ix - b.ix) "
           "+ (a.iy - b.iy) * (a.iy - b.iy) AS d2" if keep_d2 else "")
+    kcols = "".join(f", a.{c} AS {c}_a" for c in carry)
+    kcols += "".join(f", b.{c} AS {c}_b" for c in carry)
+    ksel = "".join(f", {c}" for c in carry)
     return f"""
-SELECT a.id AS id_a, b.id AS id_b{d2}
+SELECT a.id AS id_a, b.id AS id_b{d2}{kcols}
 FROM (SELECT id, CAST(floor(lat * 1000000.0) AS BIGINT) AS iy,
-      CAST(floor(lon * 1000000.0) AS BIGINT) AS ix
+      CAST(floor(lon * 1000000.0) AS BIGINT) AS ix{ksel}
       FROM ({pts_sql})) a
 JOIN (SELECT id, CAST(floor(lat * 1000000.0) AS BIGINT) AS iy,
-      CAST(floor(lon * 1000000.0) AS BIGINT) AS ix
+      CAST(floor(lon * 1000000.0) AS BIGINT) AS ix{ksel}
       FROM ({pts_sql})) b
 ON a.id < b.id
 AND (a.ix - b.ix) * (a.ix - b.ix)
     + (a.iy - b.iy) * (a.iy - b.iy) <= {maxr * maxr}
+"""
+
+
+def colocation_pi(points, r_udeg: int, *, id_col: str = "id",
+                  type_col: str = "ftype", lat_col: str = "lat",
+                  lon_col: str = "lon", res: int = 6):
+    """Spatial colocation pattern mining — the participation index of
+    Shekhar & Huang (KDD'01): for every unordered pair of feature
+    TYPES (A, B), how often do instances of each type have a neighbor
+    of the other within ``r_udeg``?  part_a = #distinct A-instances
+    with >=1 B-neighbor, pr(A->B) = part_a / n_a, and
+    pi_ppm = min(pr(A->B), pr(B->A)) in exact floor ppm — the
+    prevalence measure that is antimonotone (a high-PI pair is the
+    join key for mining larger colocation patterns). On web-event
+    data this surfaces event types that systematically co-occur in
+    space (e.g. 'signup' near 'purchase'), the spatial analogue of
+    the collocation-lift text operator.
+
+    Integer-exact: rides proximity_edges' closed squared-lattice
+    neighbor metric (carry=type), counts and floor-div ppm in BIGINT.
+    Only type pairs with >=1 cross-type neighbor pair appear (PI of
+    an absent pair is 0 by definition — emitting the zero rows would
+    need a type x type cross join).
+
+    Scale: ONE blocked pair join emits the neighbor stream with types
+    carried through (no attribute join-back); the directed mirror is
+    a single explode over that stream (NOT a self-union, which would
+    run the pair join twice — plan subtrees are recomputed, not
+    shared); the distinct-participant count groups on
+    (type_i, type_j, id_i) — partial-aggregating, keyed wider than
+    the type-pair space so no hot reducer — and the resulting
+    type-pair-sized aggregate is materialized once before the p1/p2
+    self-pairing (which would otherwise recompute the whole join per
+    branch); per-type totals are an aggregate-row broadcast.
+    -> (type_a, type_b, n_a, n_b, part_a, part_b, pi_ppm) with
+    type_a < type_b."""
+    from pyspark.sql import functions as F
+
+    from ..materialize import materialize
+    e = proximity_edges(points, r_udeg, id_col=id_col,
+                        lat_col=lat_col, lon_col=lon_col, res=res,
+                        carry=(type_col,))
+    ta, tb = f"{type_col}_a", f"{type_col}_b"
+    d = (e.filter(F.col(ta) != F.col(tb))
+         .select(F.explode(F.array(
+             F.struct(F.col(ta).alias("ti"), F.col(tb).alias("tj"),
+                      F.col("id_a").alias("ii")),
+             F.struct(F.col(tb).alias("ti"), F.col(ta).alias("tj"),
+                      F.col("id_b").alias("ii")))).alias("_m"))
+         .select(F.col("_m.ti").alias("_ti"),
+                 F.col("_m.tj").alias("_tj"),
+                 F.col("_m.ii").alias("_ii")))
+    part = materialize(
+        d.groupBy("_ti", "_tj").agg(F.countDistinct("_ii")
+                                    .alias("_np")))
+    tot = (points.groupBy(F.col(type_col).alias("_t"))
+           .agg(F.count(F.lit(1)).alias("_n")))
+    p1 = part.filter(F.col("_ti") < F.col("_tj"))
+    p2 = part.select(F.col("_tj").alias("_ti"),
+                     F.col("_ti").alias("_tj"),
+                     F.col("_np").alias("_np2"))
+    out = (p1.join(p2, ["_ti", "_tj"])
+           .join(F.broadcast(tot.select(F.col("_t").alias("_ti"),
+                                        F.col("_n").alias("n_a"))),
+                 "_ti")
+           .join(F.broadcast(tot.select(F.col("_t").alias("_tj"),
+                                        F.col("_n").alias("n_b"))),
+                 "_tj"))
+    return out.select(
+        F.col("_ti").alias("type_a"), F.col("_tj").alias("type_b"),
+        "n_a", "n_b",
+        F.col("_np").alias("part_a"), F.col("_np2").alias("part_b"),
+        F.expr("least((1000000 * _np) div n_a, "
+               "(1000000 * _np2) div n_b)").alias("pi_ppm"))
+
+
+def colocation_pi_sql(pts_sql: str, r_udeg: int,
+                      type_col: str = "ftype") -> str:
+    """DuckDB twin of colocation_pi over a subquery producing
+    (id, lat, lon, {type_col}) — brute-force neighbor pairs via
+    proximity_edges_sql(carry), identical aggregation."""
+    pe = proximity_edges_sql(pts_sql, r_udeg, carry=(type_col,))
+    ta, tb = f"{type_col}_a", f"{type_col}_b"
+    return f"""
+WITH pe AS ({pe}),
+dir AS (SELECT {ta} AS ti, {tb} AS tj, id_a AS ii FROM pe
+        WHERE {ta} <> {tb}
+        UNION ALL
+        SELECT {tb}, {ta}, id_b FROM pe WHERE {ta} <> {tb}),
+part AS (SELECT ti, tj, COUNT(DISTINCT ii) AS np
+         FROM dir GROUP BY 1, 2),
+tot AS (SELECT {type_col} AS t, COUNT(*) AS n
+        FROM ({pts_sql}) GROUP BY 1)
+SELECT p1.ti AS type_a, p1.tj AS type_b,
+       ta.n AS n_a, tb.n AS n_b,
+       p1.np AS part_a, p2.np AS part_b,
+       LEAST((1000000 * p1.np) // ta.n,
+             (1000000 * p2.np) // tb.n) AS pi_ppm
+FROM part p1
+JOIN part p2 ON p1.ti = p2.tj AND p1.tj = p2.ti
+JOIN tot ta ON ta.t = p1.ti
+JOIN tot tb ON tb.t = p1.tj
+WHERE p1.ti < p1.tj
+"""
+
+
+def _seg_cross(px, py, qx, qy, rx, ry) -> str:
+    """Shared Spark/DuckDB SQL text: the 2D cross product
+    (q - p) x (r - p) over integer micro-degree coordinates — sign
+    says which side of directed line p->q the point r lies on.
+    |coord| <= 3.6e8 so each product <= ~5.2e17 and the difference
+    <= ~1.1e18: comfortably BIGINT, no floats, no ulp. Generated from
+    one function so the two engines can't drift."""
+    return (f"(({qx}) - ({px})) * (({ry}) - ({py})) "
+            f"- (({qy}) - ({py})) * (({rx}) - ({px}))")
+
+
+def seg_crossings(segs, *, res: int = 3):
+    """Exact segment-crossing join — every unordered pair of line
+    segments that PROPERLY cross (interiors intersect at a single
+    point; touching at an endpoint or collinear overlap excluded) as
+    (id_a, id_b) with id_a < id_b: the planar-conflict primitive
+    under path-crossing analysis, road-network conflation, and
+    cadastral overlay QA. Input segments carry integer micro-degree
+    BIGINT endpoints (id, ax, ay, bx, by).
+
+    Proper crossing = two strict straddle tests over four integer
+    cross products (_seg_cross) — a segment pair sharing an endpoint,
+    merely touching, or collinear yields a zero product and is
+    excluded, so per-user consecutive hops never "cross" at their
+    shared vertex. Zero-length segments never cross anything.
+
+    Scale (PBSM, Patel & DeWitt '96): each segment replicates to
+    every lattice cell its bbox overlaps (both sides — segments are
+    extended objects, unlike pair_counts' one-cell right side); a
+    candidate pair shares >=1 cell but is REPORTED exactly once — in
+    the cell containing the reference point (max of the two bbox
+    minima per axis), the lower-left corner of the bbox intersection,
+    which lies in both covers and in exactly one cell. One equi-join
+    on the cell key, all predicates integer, no dedup shuffle. The
+    covered frame is explicitly repartitioned on the cell key to one
+    partition per core BEFORE the self-join: the candidate stage is
+    CPU-bound (four 64-bit products per pair) on byte-tiny rows, so
+    AQE's byte-based coalescing would otherwise collapse it to 1-2
+    tasks; pre-partitioning both (identical) sides also makes the
+    self-join exchange-free. -> (id_a, id_b)."""
+    from pyspark.sql import functions as F
+    n = 1 << res
+
+    def cellx(e_sql):
+        return (f"(greatest(0, least(359999999, "
+                f"({e_sql}) + 180000000)) * {n}) div 360000000")
+
+    def celly(e_sql):
+        return (f"(greatest(0, least(179999999, "
+                f"({e_sql}) + 90000000)) * {n}) div 180000000")
+
+    base = segs.select(
+        F.col("id").alias("_id"), F.col("ax").alias("_ax"),
+        F.col("ay").alias("_ay"), F.col("bx").alias("_bx"),
+        F.col("by").alias("_by"),
+        F.expr("least(ax, bx)").alias("_minx"),
+        F.expr("greatest(ax, bx)").alias("_maxx"),
+        F.expr("least(ay, by)").alias("_miny"),
+        F.expr("greatest(ay, by)").alias("_maxy"))
+    cov = (base
+           .withColumn("_cx", F.explode(F.expr(
+               f"sequence({cellx('_minx')}, {cellx('_maxx')})")))
+           .withColumn("_cy", F.explode(F.expr(
+               f"sequence({celly('_miny')}, {celly('_maxy')})")))
+           .withColumn("_cell", F.col("_cx") * n + F.col("_cy"))
+           .drop("_cx", "_cy"))
+    cov = cov.repartition(
+        segs.sparkSession.sparkContext.defaultParallelism, "_cell")
+    lcols = {c: f"_l{c[1:]}" for c in base.columns}
+    rcols = {c: f"_r{c[1:]}" for c in base.columns}
+    left = cov.select("_cell",
+                      *[F.col(c).alias(a) for c, a in lcols.items()])
+    right = cov.select("_cell",
+                       *[F.col(c).alias(a) for c, a in rcols.items()])
+    d1 = _seg_cross("_rax", "_ray", "_rbx", "_rby", "_lax", "_lay")
+    d2 = _seg_cross("_rax", "_ray", "_rbx", "_rby", "_lbx", "_lby")
+    d3 = _seg_cross("_lax", "_lay", "_lbx", "_lby", "_rax", "_ray")
+    d4 = _seg_cross("_lax", "_lay", "_lbx", "_lby", "_rbx", "_rby")
+    out = (left.join(right, "_cell")
+           .filter(F.col("_lid") < F.col("_rid"))
+           .filter(F.expr(
+               "_lminx <= _rmaxx AND _rminx <= _lmaxx "
+               "AND _lminy <= _rmaxy AND _rminy <= _lmaxy"))
+           .filter(F.expr(
+               f"({cellx('greatest(_lminx, _rminx)')}) * {n} "
+               f"+ ({celly('greatest(_lminy, _rminy)')}) = _cell"))
+           .filter(F.expr(
+               f"((({d1}) > 0 AND ({d2}) < 0) "
+               f"OR (({d1}) < 0 AND ({d2}) > 0)) "
+               f"AND ((({d3}) > 0 AND ({d4}) < 0) "
+               f"OR (({d3}) < 0 AND ({d4}) > 0))")))
+    return out.select(F.col("_lid").alias("id_a"),
+                      F.col("_rid").alias("id_b"))
+
+
+def seg_crossings_sql(segs_sql: str) -> str:
+    """DuckDB twin of seg_crossings over a subquery producing
+    (id, ax, ay, bx, by) — brute-force bbox-overlap pairs, the SAME
+    four _seg_cross products and strict straddle tests."""
+    d1 = _seg_cross("b.ax", "b.ay", "b.bx", "b.by", "a.ax", "a.ay")
+    d2 = _seg_cross("b.ax", "b.ay", "b.bx", "b.by", "a.bx", "a.by")
+    d3 = _seg_cross("a.ax", "a.ay", "a.bx", "a.by", "b.ax", "b.ay")
+    d4 = _seg_cross("a.ax", "a.ay", "a.bx", "a.by", "b.bx", "b.by")
+    return f"""
+WITH sx_segs AS (SELECT id, ax, ay, bx, by,
+           LEAST(ax, bx) AS minx, GREATEST(ax, bx) AS maxx,
+           LEAST(ay, by) AS miny, GREATEST(ay, by) AS maxy
+           FROM ({segs_sql}))
+SELECT a.id AS id_a, b.id AS id_b
+FROM sx_segs a JOIN sx_segs b
+ON a.id < b.id
+AND a.minx <= b.maxx AND b.minx <= a.maxx
+AND a.miny <= b.maxy AND b.miny <= a.maxy
+AND ((({d1}) > 0 AND ({d2}) < 0) OR (({d1}) < 0 AND ({d2}) > 0))
+AND ((({d3}) > 0 AND ({d4}) < 0) OR (({d3}) < 0 AND ({d4}) > 0))
 """

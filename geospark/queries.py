@@ -2887,6 +2887,50 @@ def q_bounded_paths(spark, sf_dir):
     return bounded_paths(e, seeds, _BP_K, w_col="d2")
 
 
+# colocation mining: every 3rd event as a typed feature instance
+# over the 2D EVT grid (the _TRAJ derivation is quasi-1D — lat and
+# lon are both functions of `value`, so a 3-degree band holds 13x
+# the pairs); res=6 keeps the cover explode at <= 3x3
+_CPI_R_UDEG, _CPI_RES, _CPI_MOD = 3_000_000, 6, 3
+_CPI_PTS_SQL = (f"SELECT event_id AS id, event_type AS ftype, "
+                f"{EVT_LAT_SQL} AS lat, {EVT_LON_SQL} AS lon "
+                f"FROM events WHERE event_id % {_CPI_MOD} = 0")
+
+
+def q_coloc_pi(spark, sf_dir):
+    """Colocation pattern mining (r5.33): participation index per
+    event-type pair over 3-degree neighborhoods — which event types
+    systematically co-occur in space
+    (operators/tiles.colocation_pi docstring)."""
+    from pyspark.sql import functions as F
+
+    from .operators.tiles import colocation_pi
+    e = (spark.read.parquet(f"{sf_dir}/events.parquet")
+         .filter(F.col("event_id") % _CPI_MOD == 0))
+    pts = e.select(F.col("event_id").alias("id"),
+                   F.col("event_type").alias("ftype"),
+                   F.expr(EVT_LAT_SQL).alias("lat"),
+                   F.expr(EVT_LON_SQL).alias("lon"))
+    return colocation_pi(pts, _CPI_R_UDEG, res=_CPI_RES)
+
+
+# path crossings: hops past 40 degrees are data-gap teleports, not
+# movement — excluded before the crossing join (user_segments)
+_XING_MAX_D2, _XING_RES = 40_000_000 ** 2, 3
+
+
+def q_path_crossings(spark, sf_dir):
+    """Exact path-crossing join (r5.33): every unordered pair of
+    user hop segments that properly cross — integer cross-product
+    straddle tests, PBSM cover blocking with reference-point
+    exactly-once dedup (operators/tiles.seg_crossings docstring)."""
+    from .operators.events import user_segments
+    from .operators.tiles import seg_crossings
+    segs = user_segments(_traj_pts(spark, sf_dir),
+                         max_d2=_XING_MAX_D2)
+    return seg_crossings(segs, res=_XING_RES)
+
+
 # Heaps-curve checkpoints: all four rungs live at sf0.01 (500 docs)
 # and are a strict prefix of every larger scale
 _VOCAB_CPS = [50, 100, 200, 400]
@@ -3218,6 +3262,8 @@ QUERIES = {
     "triangles": q_triangles,
     "stream_revisit": q_stream_revisit,
     "bounded_paths": q_bounded_paths,
+    "coloc_pi": q_coloc_pi,
+    "path_crossings": q_path_crossings,
 }
 
 
@@ -4048,6 +4094,11 @@ def oracle_sql() -> dict[str, str]:
         + ")",
         f"SELECT id FROM ({cust_ids}) WHERE id % {_BP_SEED_MOD} = 0",
         _BP_K)
+    from .operators.events import user_segments_sql
+    from .operators.tiles import colocation_pi_sql, seg_crossings_sql
+    out["coloc_pi"] = colocation_pi_sql(_CPI_PTS_SQL, _CPI_R_UDEG)
+    out["path_crossings"] = seg_crossings_sql(
+        user_segments_sql(_TRAJ_PTS_SQL, _XING_MAX_D2))
     return out
 
 

@@ -1,0 +1,159 @@
+"""Round-5 session-8 operator tests: colocation pattern mining
+(participation index), exact segment-crossing join, hop-segment
+derivation, proximity-edge attribute carry."""
+
+from __future__ import annotations
+
+
+def _rows(df, cols=None):
+    cols = cols or df.columns
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+class TestProximityEdgesCarry:
+    def test_carry_both_sides(self, spark):
+        """Carried attributes land as {c}_a for the smaller id and
+        {c}_b for the larger, matching the emitting points."""
+        from geospark.operators.tiles import proximity_edges
+        d = spark.createDataFrame(
+            [(1, 0.0, 0.0, "x"), (2, 0.0, 0.000003, "y"),
+             (3, 50.0, 50.0, "z")],
+            "id long, lat double, lon double, tag string")
+        got = _rows(proximity_edges(d, 10, res=6, carry=("tag",)))
+        assert got == [(1, 2, "x", "y")]
+
+
+class TestColocationPI:
+    def _d(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "id long, ftype string, lat double, lon double")
+
+    def test_participation_counts_exact(self, spark):
+        """3 As, 2 Bs on a line 1 µdeg apart at r=1: a1-b1, a2-b1,
+        a2-b2 are the cross pairs -> part(A)=2 of 3, part(B)=2 of 2,
+        pi = min(666666, 1000000) = 666666 ppm."""
+        from geospark.operators.tiles import colocation_pi
+        d = self._d(spark, [
+            (1, "A", 0.0, 0.000001), (2, "B", 0.0, 0.000002),
+            (3, "A", 0.0, 0.000003), (4, "B", 0.0, 0.000004),
+            (5, "A", 0.0, 0.000009)])
+        got = _rows(colocation_pi(d, 1, res=6))
+        assert got == [("A", "B", 3, 2, 2, 2, 666666)]
+
+    def test_same_type_pairs_ignored_absent_pair_omitted(self, spark):
+        """Two As adjacent, one C far away: no cross-type neighbor
+        pair exists at all -> empty result (absent pairs are not
+        zero-filled)."""
+        from geospark.operators.tiles import colocation_pi
+        d = self._d(spark, [(1, "A", 0.0, 0.0),
+                            (2, "A", 0.0, 0.000001),
+                            (3, "C", 40.0, 40.0)])
+        assert colocation_pi(d, 1, res=6).count() == 0
+
+    def test_distinct_participants_not_pair_count(self, spark):
+        """One A with TWO B neighbors participates once: part_a=1
+        (not 2), part_b=2."""
+        from geospark.operators.tiles import colocation_pi
+        d = self._d(spark, [(1, "A", 0.0, 0.000001),
+                            (2, "B", 0.0, 0.0),
+                            (3, "B", 0.0, 0.000002)])
+        got = _rows(colocation_pi(d, 1, res=6))
+        assert got == [("A", "B", 1, 2, 1, 2, 1000000)]
+
+    def test_inline_oracle_parity(self, spark):
+        import duckdb
+        import numpy as np
+
+        from geospark.operators.tiles import (colocation_pi,
+                                              colocation_pi_sql)
+        rng = np.random.default_rng(815)
+        rows = [(i, "TUVW"[int(rng.integers(0, 4))],
+                 float(rng.uniform(-5, 5)),
+                 float(rng.uniform(-5, 5)))
+                for i in range(400)]
+        got = _rows(colocation_pi(self._d(spark, rows), 500_000,
+                                  res=6))
+        con = duckdb.connect()
+        con.execute("CREATE TABLE p (id BIGINT, ftype VARCHAR, "
+                    "lat DOUBLE, lon DOUBLE)")
+        con.executemany("INSERT INTO p VALUES (?, ?, ?, ?)", rows)
+        want = sorted(tuple(r) for r in con.execute(
+            colocation_pi_sql("SELECT * FROM p", 500_000)
+        ).fetchall())
+        assert got == want and len(got) == 6
+
+
+class TestUserSegments:
+    def test_hops_and_gap_filter(self, spark):
+        """Per-user consecutive hops ordered by (us, tie); the
+        teleport hop past max_d2 is dropped; first event of a user
+        emits no segment."""
+        from geospark.operators.events import user_segments
+        d = spark.createDataFrame(
+            [(7, 100, 1, 0.0, 0.0), (7, 200, 2, 0.0, 0.000002),
+             (7, 300, 3, 50.0, 50.0), (9, 100, 4, 1.0, 1.0)],
+            "user_id long, us long, event_id long, "
+            "lat double, lon double")
+        got = _rows(user_segments(d, max_d2=100))
+        assert got == [(2, 0, 0, 2, 0)]
+
+
+class TestSegCrossings:
+    def _d(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "id long, ax long, ay long, bx long, by long")
+
+    def test_proper_cross_detected(self, spark):
+        """An X: diagonal up vs diagonal down cross at the middle."""
+        from geospark.operators.tiles import seg_crossings
+        d = self._d(spark, [(1, 0, 0, 10, 10), (2, 0, 10, 10, 0)])
+        assert _rows(seg_crossings(d)) == [(1, 2)]
+
+    def test_touch_collinear_zero_length_excluded(self, spark):
+        """Shared endpoint (consecutive hops), T-touch (endpoint on
+        interior), collinear overlap, and a zero-length segment on
+        another's interior are all NOT proper crossings."""
+        from geospark.operators.tiles import seg_crossings
+        d = self._d(spark, [
+            (1, 0, 0, 10, 0),     # base
+            (2, 10, 0, 20, 10),   # shares endpoint (10,0) with 1
+            (3, 5, 0, 5, 10),     # T: endpoint (5,0) ON 1's interior
+            (4, 2, 0, 8, 0),      # collinear overlap with 1
+            (5, 3, 0, 3, 0)])     # zero-length ON 1's interior
+        assert seg_crossings(d).count() == 0
+
+    def test_exactly_once_across_cells(self, spark):
+        """Two long segments whose bboxes share MANY lattice cells
+        still report their crossing exactly once (reference-point
+        dedup) — and at two different resolutions."""
+        from geospark.operators.tiles import seg_crossings
+        d = self._d(spark, [
+            (1, -60_000_000, -50_000_000, 60_000_000, 50_000_000),
+            (2, -60_000_000, 50_000_000, 60_000_000, -50_000_000)])
+        for res in (2, 3, 5):
+            assert _rows(seg_crossings(d, res=res)) == [(1, 2)], res
+
+    def test_inline_oracle_parity(self, spark):
+        import duckdb
+        import numpy as np
+
+        from geospark.operators.tiles import (seg_crossings,
+                                              seg_crossings_sql)
+        rng = np.random.default_rng(3001)
+        rows = []
+        for i in range(300):
+            ax, ay = (int(rng.integers(-170_000_000, 170_000_000)),
+                      int(rng.integers(-80_000_000, 80_000_000)))
+            rows.append((i, ax, ay,
+                         ax + int(rng.integers(-40_000_000,
+                                               40_000_000)),
+                         ay + int(rng.integers(-40_000_000,
+                                               40_000_000))))
+        got = _rows(seg_crossings(self._d(spark, rows), res=3))
+        con = duckdb.connect()
+        con.execute("CREATE TABLE s (id BIGINT, ax BIGINT, "
+                    "ay BIGINT, bx BIGINT, by BIGINT)")
+        con.executemany("INSERT INTO s VALUES (?, ?, ?, ?, ?)", rows)
+        want = sorted(tuple(r) for r in con.execute(
+            seg_crossings_sql("SELECT * FROM s")).fetchall())
+        assert got == want and len(got) > 200
