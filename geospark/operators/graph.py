@@ -163,3 +163,77 @@ d0 AS (SELECT DISTINCT id AS v, CAST(0 AS BIGINT) AS c
 {chain}
 SELECT v AS node, CAST(c AS BIGINT) AS cost FROM d{int(k)}
 """
+
+
+def kcore_peel(edges, k: int, rounds: int, *, a_col: str = "id_a",
+               b_col: str = "id_b"):
+    """Bounded k-core peeling — ``rounds`` synchronous rounds of
+    "drop every node with degree < k, then drop edges touching a
+    dropped node" over an undirected simple graph: the standard
+    dense-subgraph / spam-farm / core-community primitive. Fixing
+    the round count (like bounded_paths fixes the hop count) makes
+    the semantics exact and engine-identical with NO recursion: the
+    SQL twin chains the same ``rounds`` degree-filter stages, so
+    there is no convergence race to ulp- or order-flip. Peeling is
+    monotone (node sets only shrink), so once a round is a no-op
+    every later round is too — callers wanting the true k-core pick
+    rounds >= the peel depth (small in practice: each round strictly
+    shrinks the graph or finishes) and can verify convergence by
+    comparing rounds and rounds+1 outputs.
+
+    Degree = number of distinct neighbors: input edges are dedup'd
+    and self-loops dropped before round 1, mirrored to a symmetric
+    representation so one groupBy(src) IS the degree.
+
+    Scale: per round ONE map-side-combinable degree agg + ONE
+    node-filter join per endpoint (the survivor set is node-sized,
+    broadcast when small, shuffle otherwise — Spark's planner picks);
+    per-round materialize() truncates lineage exactly like
+    bounded_paths / connected components. -> (node, deg) of the
+    surviving subgraph (nodes isolated by the final edge filter
+    simply emit no row)."""
+    from pyspark.sql import functions as F
+
+    from ..materialize import materialize
+    e = edges.select(F.col(a_col).alias("_a"),
+                     F.col(b_col).alias("_b"))
+    e = e.filter(F.col("_a") != F.col("_b"))
+    sym = (e.unionByName(e.select(F.col("_b").alias("_a"),
+                                  F.col("_a").alias("_b")))
+           .distinct())
+    cur = materialize(sym)
+    for _ in range(int(rounds)):
+        keep = (cur.groupBy("_a").agg(F.count(F.lit(1)).alias("_d"))
+                .filter(F.col("_d") >= int(k))
+                .select(F.col("_a").alias("_v")))
+        cur = materialize(
+            cur.join(keep.withColumnRenamed("_v", "_a"), "_a")
+               .join(keep.withColumnRenamed("_v", "_b"), "_b")
+               .select("_a", "_b"))
+    return (cur.groupBy("_a").agg(F.count(F.lit(1)).alias("deg"))
+            .select(F.col("_a").alias("node"), "deg"))
+
+
+def kcore_peel_sql(edges_sql: str, k: int, rounds: int) -> str:
+    """DuckDB twin of kcore_peel over a subquery producing
+    (id_a, id_b) — the same fixed chain of degree-filter stages,
+    no recursion."""
+    stages = []
+    for i in range(1, int(rounds) + 1):
+        stages.append(
+            f"n{i} AS (SELECT a AS v FROM e{i - 1} "
+            f"GROUP BY a HAVING COUNT(*) >= {int(k)}),\n"
+            f"e{i} AS (SELECT e.a, e.b FROM e{i - 1} e "
+            f"JOIN n{i} x ON e.a = x.v "
+            f"JOIN n{i} y ON e.b = y.v)")
+    chain = ",\n".join(stages)
+    return f"""
+WITH kc_raw AS (SELECT id_a, id_b FROM ({edges_sql})
+                WHERE id_a <> id_b),
+e0 AS (SELECT DISTINCT a, b FROM (
+       SELECT id_a AS a, id_b AS b FROM kc_raw
+       UNION ALL SELECT id_b, id_a FROM kc_raw)),
+{chain}
+SELECT a AS node, COUNT(*) AS deg
+FROM e{int(rounds)} GROUP BY a
+"""

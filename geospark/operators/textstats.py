@@ -742,6 +742,33 @@ FROM g WINDOW w AS (PARTITION BY source ORDER BY day)
 """
 
 
+def _bigram_counts(df, text_col: str):
+    """Shared bigram-count aggregate for bigram_lm / collocations —
+    ONE extraction (words_col tokens, index-transform pairing, one
+    map-side-combinable groupBy) so the two consumers and their SQL
+    twins can't drift. -> (w1, w2, n)."""
+    from pyspark.sql import functions as F
+    toks = (df.select(words_col(text_col).alias("_w"))
+            .filter(F.size("_w") >= 2))
+    pairs = toks.select(F.explode(F.expr(
+        "transform(sequence(1, size(_w) - 1), "
+        "i -> struct(_w[i-1] AS w1, _w[i] AS w2))")).alias("_p"))
+    return (pairs.select("_p.w1", "_p.w2")
+            .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n")))
+
+
+def _bigram_counts_sql(table: str) -> str:
+    """DuckDB twin of _bigram_counts as a WITH-body fragment ending
+    in the aggregate `g(w1, w2, n)` — composed by bigram_lm_sql and
+    collocations_sql."""
+    return f"""toks AS (SELECT regexp_extract_all(lower(text), '{TOKEN_RX}')
+              AS w FROM {table}),
+pairs AS (SELECT w[i] AS w1, w[i + 1] AS w2
+          FROM toks, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+          WHERE len(w) >= 2),
+g AS (SELECT w1, w2, COUNT(*) AS n FROM pairs GROUP BY 1, 2)"""
+
+
 def bigram_lm(df, *, text_col: str = "text", min_count: int = 1):
     """Corpus bigram language model — global bigram counts with the
     exact conditional probability P(w2 | w1) in floor ppm, the
@@ -761,13 +788,7 @@ def bigram_lm(df, *, text_col: str = "text", min_count: int = 1):
     window over AGGREGATE rows (distinct bigrams), not tokens.
     -> (w1, w2, n, cond_ppm)."""
     from pyspark.sql import functions as F
-    toks = (df.select(words_col(text_col).alias("_w"))
-            .filter(F.size("_w") >= 2))
-    pairs = toks.select(F.explode(F.expr(
-        "transform(sequence(1, size(_w) - 1), "
-        "i -> struct(_w[i-1] AS w1, _w[i] AS w2))")).alias("_p"))
-    g = (pairs.select("_p.w1", "_p.w2")
-         .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n")))
+    g = _bigram_counts(df, text_col)
     return (g.withColumn("cond_ppm",
                          F.expr("(1000000 * n) div "
                                 "sum(n) OVER (PARTITION BY w1)"))
@@ -780,12 +801,7 @@ def bigram_lm_sql(min_count: int = 1, table: str = "documents") -> str:
     SUM widens to HUGEINT, floor // == Spark's div on these
     nonnegative operands)."""
     return f"""
-WITH toks AS (SELECT regexp_extract_all(lower(text), '{TOKEN_RX}')
-              AS w FROM {table}),
-pairs AS (SELECT w[i] AS w1, w[i + 1] AS w2
-          FROM toks, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
-          WHERE len(w) >= 2),
-g AS (SELECT w1, w2, COUNT(*) AS n FROM pairs GROUP BY 1, 2)
+WITH {_bigram_counts_sql(table)}
 SELECT w1, w2, CAST(n AS BIGINT) AS n,
        CAST((1000000 * n) // SUM(n) OVER (PARTITION BY w1)
             AS BIGINT) AS cond_ppm
@@ -937,4 +953,63 @@ first AS (SELECT t.t, MIN(doc_id) AS fd
 v AS (SELECT {vsums} FROM first),
 t AS (SELECT {tsums} FROM toks)
 {rungs}
+"""
+
+
+def collocations(df, *, text_col: str = "text", min_count: int = 2):
+    """Collocation detection via exact integer LIFT — the PMI signal
+    without the log: for each corpus bigram,
+    lift = P(w1, w2) / (P(w1, ·) · P(·, w2))
+         = (n12 · N) / (n1s · n2e)
+    in floor ppm, where N is the total bigram count, n1s the count
+    of bigrams STARTING with w1 and n2e the count ENDING with w2.
+    Lift > 1e6 means the pair co-occurs more than its marginals
+    predict — "los angeles", "http www" — the classic phrase-mining
+    / stopword-boilerplate discriminator (PMI = log(lift), monotone,
+    so ranking by exact integer lift IS ranking by PMI with no float
+    log to ulp-drift across engines). ``min_count`` prunes the noisy
+    singleton tail AFTER the marginals are fixed, so surviving lifts
+    are unchanged by the prune.
+
+    Integer-exact at any scale: n12 · N reaches N² — past BIGINT
+    once the corpus passes ~3e9 bigrams — so the product and the
+    floor division run in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB),
+    both exact, with only the final ppm (bounded by 1e6 · N / n1s /
+    n2e… far under 2^63 for any min_count >= 2) narrowed to BIGINT.
+
+    Scale: rides _bigram_counts' ONE token-volume explode + ONE
+    map-side-combinable (w1, w2) groupBy; every marginal is a window
+    over AGGREGATE rows (distinct bigrams — Zipf-small next to token
+    volume), the w1/w2 windows are vocabulary-keyed (no hot single
+    reducer), and only the global-N window funnels to one task — on
+    a dictionary-sized frame. -> (w1, w2, n, lift_ppm)."""
+    from pyspark.sql import functions as F
+    g = _bigram_counts(df, text_col)
+    m = (g.withColumn("_n1s", F.expr(
+            "sum(n) OVER (PARTITION BY w1)"))
+         .withColumn("_n2e", F.expr(
+            "sum(n) OVER (PARTITION BY w2)"))
+         .withColumn("_tot", F.expr("sum(n) OVER ()")))
+    return (m.filter(F.col("n") >= int(min_count))
+            .select("w1", "w2", "n",
+                    F.expr("(CAST(1000000 AS DECIMAL(38,0)) * n "
+                           "* _tot) div "
+                           "(CAST(_n1s AS DECIMAL(38,0)) * _n2e)")
+                    .alias("lift_ppm")))
+
+
+def collocations_sql(min_count: int = 2,
+                     table: str = "documents") -> str:
+    """DuckDB twin of collocations — same _bigram_counts_sql
+    fragment, HUGEINT product, floor //."""
+    return f"""
+WITH {_bigram_counts_sql(table)},
+m AS (SELECT w1, w2, n,
+      SUM(n) OVER (PARTITION BY w1) AS n1s,
+      SUM(n) OVER (PARTITION BY w2) AS n2e,
+      SUM(n) OVER () AS tot FROM g)
+SELECT w1, w2, CAST(n AS BIGINT) AS n,
+       CAST((CAST(1000000 AS HUGEINT) * n * tot)
+            // (CAST(n1s AS HUGEINT) * n2e) AS BIGINT) AS lift_ppm
+FROM m WHERE n >= {min_count}
 """

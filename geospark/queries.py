@@ -2931,6 +2931,37 @@ def q_path_crossings(spark, sf_dir):
     return seg_crossings(segs, res=_XING_RES)
 
 
+# bounded k-core peel over the 5-degree proximity graph: 3 rounds
+# at k=4 (converged at sf0.01 — round 4 output equals round 3)
+_KCORE_K, _KCORE_ROUNDS = 4, 3
+
+
+def q_kcore(spark, sf_dir):
+    """Bounded k-core peeling (r5.34): 3 synchronous drop-degree<4
+    rounds over the customer proximity graph — dense-subgraph
+    extraction with engine-identical round counts, no recursion
+    (operators/graph.kcore_peel docstring)."""
+    from pyspark.sql import functions as F
+
+    from .operators.graph import kcore_peel
+    from .operators.tiles import proximity_edges
+    pts = _cust_points(spark, sf_dir).select(
+        F.col("c_custkey").alias("id"), "lat", "lon")
+    e = proximity_edges(pts, _PROX_R_UDEG, res=_PROX_RES)
+    return kcore_peel(e, _KCORE_K, _KCORE_ROUNDS)
+
+
+def q_colloc_lift(spark, sf_dir):
+    """Collocation lift (r5.34): exact integer PMI-monotone lift per
+    corpus bigram over the shared tokenization — phrase mining
+    without the float log (operators/textstats.collocations
+    docstring: DECIMAL(38,0)/HUGEINT product, marginals fixed before
+    the min_count prune)."""
+    from .operators.textstats import collocations
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return collocations(d, min_count=_BIGRAM_MIN)
+
+
 # Heaps-curve checkpoints: all four rungs live at sf0.01 (500 docs)
 # and are a strict prefix of every larger scale
 _VOCAB_CPS = [50, 100, 200, 400]
@@ -3264,6 +3295,8 @@ QUERIES = {
     "bounded_paths": q_bounded_paths,
     "coloc_pi": q_coloc_pi,
     "path_crossings": q_path_crossings,
+    "kcore": q_kcore,
+    "colloc_lift": q_colloc_lift,
 }
 
 
@@ -4099,6 +4132,12 @@ def oracle_sql() -> dict[str, str]:
     out["coloc_pi"] = colocation_pi_sql(_CPI_PTS_SQL, _CPI_R_UDEG)
     out["path_crossings"] = seg_crossings_sql(
         user_segments_sql(_TRAJ_PTS_SQL, _XING_MAX_D2))
+    from .operators.graph import kcore_peel_sql
+    from .operators.textstats import collocations_sql
+    out["kcore"] = kcore_peel_sql(
+        proximity_edges_sql(cust_ids, _PROX_R_UDEG),
+        _KCORE_K, _KCORE_ROUNDS)
+    out["colloc_lift"] = collocations_sql(min_count=_BIGRAM_MIN)
     return out
 
 

@@ -157,3 +157,103 @@ class TestSegCrossings:
         want = sorted(tuple(r) for r in con.execute(
             seg_crossings_sql("SELECT * FROM s")).fetchall())
         assert got == want and len(got) > 200
+
+
+class TestKcorePeel:
+    def _e(self, spark, rows):
+        return spark.createDataFrame(rows, "id_a long, id_b long")
+
+    def test_triangle_keeps_pendant_drops(self, spark):
+        """K3 plus a pendant at k=2: the pendant (deg 1) peels in
+        round 1, the triangle survives with deg 2 each."""
+        from geospark.operators.graph import kcore_peel
+        e = self._e(spark, [(1, 2), (2, 3), (1, 3), (3, 4)])
+        got = _rows(kcore_peel(e, 2, 2))
+        assert got == [(1, 2), (2, 2), (3, 2)]
+
+    def test_star_collapses_round_one(self, spark):
+        """A star at k=2: leaves peel, every hub edge loses its
+        other endpoint — the edge filter empties the graph in ONE
+        round even though the hub's degree passed the test."""
+        from geospark.operators.graph import kcore_peel
+        e = self._e(spark, [(0, i) for i in range(1, 6)])
+        assert kcore_peel(e, 2, 1).count() == 0
+
+    def test_chain_peels_inward_per_round(self, spark):
+        """Path 1-2-3-4 at k=2: round 1 drops the endpoints leaving
+        edge (2,3); round 2 drops that too — the bounded round count
+        is observable."""
+        from geospark.operators.graph import kcore_peel
+        e = self._e(spark, [(1, 2), (2, 3), (3, 4)])
+        assert _rows(kcore_peel(e, 2, 1)) == [(2, 1), (3, 1)]
+        assert kcore_peel(e, 2, 2).count() == 0
+
+    def test_dup_reversed_self_edges_normalized(self, spark):
+        """Duplicate, reversed and self-loop edges collapse before
+        round 1: degree counts DISTINCT neighbors."""
+        from geospark.operators.graph import kcore_peel
+        e = self._e(spark, [(1, 2), (2, 1), (1, 2), (3, 3), (1, 1)])
+        got = _rows(kcore_peel(e, 1, 1))
+        assert got == [(1, 1), (2, 1)]
+
+    def test_inline_oracle_parity(self, spark):
+        import duckdb
+        import numpy as np
+
+        from geospark.operators.graph import kcore_peel, kcore_peel_sql
+        rng = np.random.default_rng(42)
+        rows = sorted({(int(a), int(b)) for a, b in
+                       rng.integers(0, 80, (500, 2)) if a != b})
+        got = _rows(kcore_peel(self._e(spark, rows), 5, 3))
+        con = duckdb.connect()
+        con.execute("CREATE TABLE g (id_a BIGINT, id_b BIGINT)")
+        con.executemany("INSERT INTO g VALUES (?, ?)", rows)
+        want = sorted(tuple(r) for r in con.execute(kcore_peel_sql(
+            "SELECT id_a, id_b FROM g", 5, 3)).fetchall())
+        assert got == want and 0 < len(got) < 80
+
+
+class TestCollocations:
+    def _d(self, spark, texts):
+        return spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id long, text string")
+
+    def test_lift_exact(self, spark):
+        """Marginal-normalized lift: (x,z) and (w,y) pair rare-with-
+        rare (lift 1.5e6), (x,y) pairs common-with-common (750k)."""
+        from geospark.operators.textstats import collocations
+        d = self._d(spark, ["x y", "x z", "w y"])
+        got = _rows(collocations(d, min_count=1))
+        assert got == [("w", "y", 1, 1500000),
+                       ("x", "y", 1, 750000),
+                       ("x", "z", 1, 1500000)]
+
+    def test_prune_after_marginals(self, spark):
+        """min_count=2 keeps only (a,b) but its lift still uses the
+        FULL corpus marginals (N=4, n1s(a)=3, n2e(b)=3 -> 888888),
+        not the post-prune ones (which would give 1e6)."""
+        from geospark.operators.textstats import collocations
+        d = self._d(spark, ["a b", "a b", "a c", "d b"])
+        got = _rows(collocations(d, min_count=2))
+        assert got == [("a", "b", 2, 888888)]
+
+    def test_inline_oracle_parity(self, spark):
+        import duckdb
+        import numpy as np
+
+        from geospark.operators.textstats import (collocations,
+                                                  collocations_sql)
+        rng = np.random.default_rng(77)
+        vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+        texts = [" ".join(vocab[i] for i in rng.integers(0, 6, 30))
+                 for _ in range(40)]
+        got = _rows(collocations(self._d(spark, texts), min_count=2))
+        con = duckdb.connect()
+        con.execute("CREATE TABLE documents (doc_id BIGINT, "
+                    "text VARCHAR)")
+        con.executemany("INSERT INTO documents VALUES (?, ?)",
+                        list(enumerate(texts)))
+        want = sorted(tuple(r) for r in con.execute(
+            collocations_sql(min_count=2)).fetchall())
+        assert got == want and len(got) > 20
