@@ -546,30 +546,38 @@ SELECT doc_id, ({' + '.join(terms)}) AS simhash FROM h GROUP BY doc_id
 # character n-gram Jaccard (within-source blocking)
 # ---------------------------------------------------------------------------
 
-def ngram_pairs(df, *, n: int = 3, block_col: str = "source",
-                id_col: str = "doc_id", text_col: str = "text",
-                threshold: float = 0.35, max_df: int = 100,
-                log_drops: bool = False):
-    """Char-n-gram Jaccard near-dup pairs, blocked by ``block_col``
-    (at web scale the block is a cheap partition key — domain, language,
-    length bucket — keeping the pair space linear-ish).
-
-    ``max_df`` is the stopword-gram guard: a gram shared by more than
-    ``max_df`` docs within a block (boilerplate — nav text, footers)
-    would fan the (blk, g) self-join out quadratically on one key, so
-    high-df grams are dropped from the gram universe (per-doc gram
-    counts are recomputed over kept grams; the Jaccard is exact over
-    that universe). ``log_drops=True`` runs one extra counting job and
-    logs how many (blk, gram) keys were dropped — coverage caps are
-    never silent."""
+def _gram_pair_counts(df, *, n: int, block_col: str, id_col: str,
+                      text_col: str, max_df: int,
+                      log_drops: bool = False):
+    """Shared blocked char-n-gram pair intersection for ngram_pairs /
+    containment_pairs — ONE gram extraction, ONE max_df stopword-gram
+    guard, ONE (blk, gram) self-join, so the two consumers and their
+    SQL twins can't drift. -> (doc_a, doc_b, na, nb, ni) with
+    doc_a < doc_b: per-doc kept-gram counts and the exact
+    intersection size over the kept-gram universe."""
     from pyspark.sql import functions as F
     # F.substring needs a literal pos; bind the lambda var via expr
     grams = F.array_distinct(F.expr(
         f"transform(sequence(1, greatest(length(lower({text_col})) "
         f"- {n - 1}, 0)), i -> substring(lower({text_col}), i, {n}))"))
-    g = df.select(F.col(id_col), F.col(block_col).alias("blk"),
-                  grams.alias("grams"))
+    base = df.select(F.col(id_col), F.col(block_col).alias("blk"),
+                     F.col(text_col))
+    # gram extraction is the heaviest NARROW op in the chain; a
+    # single-file local scan would run it on one core. Spreading the
+    # raw text is one small exchange; on a real many-file table the
+    # scan is already wider than the core count and this is skipped.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if base.rdd.getNumPartitions() < par:
+        base = base.repartition(par)
+    g = base.select(F.col(id_col), F.col("blk"), grams.alias("grams"))
     ex = g.select(id_col, "blk", F.explode("grams").alias("g"))
+    # ONE explicit (blk, g) exchange parallelizes the whole chain:
+    # dfreq's groupBy, the df-filter join and the final self-join all
+    # key on (blk, g) and reuse this partitioning exchange-free. The
+    # stream is CPU-bound on byte-tiny rows, so AQE's byte-based
+    # coalescing would otherwise run every stage 1-2 tasks wide.
+    ex = ex.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, "blk", "g")
     dfreq = ex.groupBy("blk", "g").agg(F.count(F.lit(1)).alias("_df"))
     if log_drops:
         import logging
@@ -579,28 +587,29 @@ def ngram_pairs(df, *, n: int = 3, block_col: str = "source",
             n_drop, max_df)
     kept = ex.join(dfreq.filter(F.col("_df") <= max_df)
                    .select("blk", "g"), ["blk", "g"])
+    # sizes is a doc-sized aggregate (map-side combine shrinks the
+    # gram stream before the exchange); BROADCASTING it back avoids
+    # re-shuffling the full gram stream by doc_id and keeps the
+    # (blk, g) partitioning intact for the self-join. At a scale
+    # where the doc catalog itself outgrows broadcast, swap this for
+    # a doc-keyed shuffle join per block.
     sizes = kept.groupBy(id_col).agg(F.count(F.lit(1)).alias("ng"))
-    kept = kept.join(sizes, id_col)
+    kept = kept.join(F.broadcast(sizes), id_col)
     a = kept.select(F.col(id_col).alias("doc_a"), F.col("ng").alias("na"),
                     "blk", "g")
     b = kept.select(F.col(id_col).alias("doc_b"), F.col("ng").alias("nb"),
                     "blk", "g")
-    inter = (a.join(b, ["blk", "g"])
-             .filter(F.col("doc_a") < F.col("doc_b"))
-             .groupBy("doc_a", "doc_b", "na", "nb")
-             .agg(F.count(F.lit(1)).alias("ni")))
-    jac = F.round(F.col("ni").cast("double")
-                  / (F.col("na") + F.col("nb") - F.col("ni")), 6)
-    return (inter.select("doc_a", "doc_b", jac.alias("jaccard"))
-            .filter(F.col("jaccard") >= threshold))
+    return (a.join(b, ["blk", "g"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b", "na", "nb")
+            .agg(F.count(F.lit(1)).alias("ni")))
 
 
-def ngram_pairs_sql(n: int = 3, threshold: float = 0.35,
-                    table: str = "documents", max_df: int = 100) -> str:
-    """DuckDB twin of ngram_pairs, including the ``max_df`` gram cap
-    (kept-gram universe, per-doc counts recomputed over kept grams)."""
-    return f"""
-WITH g AS (
+def _gram_pairs_body_sql(n: int, table: str, max_df: int) -> str:
+    """DuckDB twin of _gram_pair_counts as a WITH-body fragment
+    ending in `inter(doc_a, doc_b, na, nb, ni)` — composed by
+    ngram_pairs_sql and containment_pairs_sql."""
+    return f"""g AS (
   SELECT doc_id, source AS blk,
          list_distinct(list_transform(generate_series(1,
              greatest(length(lower(text)) - {n - 1}, 0)),
@@ -622,7 +631,41 @@ WITH g AS (
   FROM sized a JOIN sized b ON a.blk = b.blk AND a.g = b.g
   WHERE a.doc_id < b.doc_id
   GROUP BY 1, 2, 3, 4
-)
+)"""
+
+
+def ngram_pairs(df, *, n: int = 3, block_col: str = "source",
+                id_col: str = "doc_id", text_col: str = "text",
+                threshold: float = 0.35, max_df: int = 100,
+                log_drops: bool = False):
+    """Char-n-gram Jaccard near-dup pairs, blocked by ``block_col``
+    (at web scale the block is a cheap partition key — domain, language,
+    length bucket — keeping the pair space linear-ish).
+
+    ``max_df`` is the stopword-gram guard: a gram shared by more than
+    ``max_df`` docs within a block (boilerplate — nav text, footers)
+    would fan the (blk, g) self-join out quadratically on one key, so
+    high-df grams are dropped from the gram universe (per-doc gram
+    counts are recomputed over kept grams; the Jaccard is exact over
+    that universe). ``log_drops=True`` runs one extra counting job and
+    logs how many (blk, gram) keys were dropped — coverage caps are
+    never silent."""
+    from pyspark.sql import functions as F
+    inter = _gram_pair_counts(df, n=n, block_col=block_col,
+                              id_col=id_col, text_col=text_col,
+                              max_df=max_df, log_drops=log_drops)
+    jac = F.round(F.col("ni").cast("double")
+                  / (F.col("na") + F.col("nb") - F.col("ni")), 6)
+    return (inter.select("doc_a", "doc_b", jac.alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))
+
+
+def ngram_pairs_sql(n: int = 3, threshold: float = 0.35,
+                    table: str = "documents", max_df: int = 100) -> str:
+    """DuckDB twin of ngram_pairs, including the ``max_df`` gram cap
+    (kept-gram universe, per-doc counts recomputed over kept grams)."""
+    return f"""
+WITH {_gram_pairs_body_sql(n, table, max_df)}
 SELECT doc_a, doc_b,
        ROUND(CAST(ni AS DOUBLE) / (na + nb - ni), 6) AS jaccard
 FROM inter
@@ -1226,4 +1269,52 @@ s AS (SELECT url, host,
 SELECT url, host, CAST(slot AS BIGINT) AS slot,
        CAST({start_us} + slot * {delay_us} AS BIGINT) AS fetch_at_us
 FROM s
+"""
+
+
+def containment_pairs(df, *, n: int = 3, block_col: str = "source",
+                      id_col: str = "doc_id", text_col: str = "text",
+                      min_cont_ppm: int = 500_000,
+                      max_df: int = 100):
+    """Asymmetric near-dup detection by exact set CONTAINMENT — the
+    quote / excerpt / template-wrap case Jaccard misses: a short doc
+    fully embedded in a long one has tiny Jaccard (union is
+    long-doc-sized) but containment |A∩B| / |min(A,B)| ≈ 1. The
+    standard complement to ngram_pairs in a curation stack (Broder's
+    containment vs resemblance distinction): resemblance finds
+    mirrors, containment finds quotations and boilerplate wrapping.
+
+    Integer-exact where ngram_pairs is float: cont_ppm =
+    (1e6 · ni) div least(na, nb) in BIGINT floor ppm over the SAME
+    kept-gram universe (shared _gram_pair_counts — the max_df
+    stopword-gram guard applies identically, so the two operators'
+    pair streams are the same stream). Emits the raw (ni, na, nb)
+    so callers can re-derive either direction or Jaccard.
+
+    Scale: identical to ngram_pairs — the one (blk, gram) self-join
+    IS the cost; the containment arithmetic is a map-side expression
+    on aggregate rows. -> (doc_a, doc_b, ni, na, nb, cont_ppm)."""
+    from pyspark.sql import functions as F
+    inter = _gram_pair_counts(df, n=n, block_col=block_col,
+                              id_col=id_col, text_col=text_col,
+                              max_df=max_df)
+    return (inter.withColumn(
+                "cont_ppm",
+                F.expr("(1000000 * ni) div least(na, nb)"))
+            .filter(F.col("cont_ppm") >= int(min_cont_ppm))
+            .select("doc_a", "doc_b", "ni", "na", "nb", "cont_ppm"))
+
+
+def containment_pairs_sql(n: int = 3, min_cont_ppm: int = 500_000,
+                          table: str = "documents",
+                          max_df: int = 100) -> str:
+    """DuckDB twin of containment_pairs — same _gram_pairs_body_sql
+    fragment, BIGINT floor //."""
+    return f"""
+WITH {_gram_pairs_body_sql(n, table, max_df)}
+SELECT doc_a, doc_b, CAST(ni AS BIGINT) AS ni,
+       CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+       CAST((1000000 * ni) // LEAST(na, nb) AS BIGINT) AS cont_ppm
+FROM inter
+WHERE (1000000 * ni) // LEAST(na, nb) >= {int(min_cont_ppm)}
 """

@@ -1588,3 +1588,107 @@ FROM (SELECT tie, ix, iy,
 WHERE pus IS NOT NULL
 AND (ix - px) * (ix - px) + (iy - py) * (iy - py) <= {int(max_d2)}
 """
+
+
+def knox_stat(points, r_udeg: int, tau_us: int, *,
+              id_col: str = "id", lat_col: str = "lat",
+              lon_col: str = "lon", us_col: str = "us",
+              res: int = 6):
+    """Knox space-time interaction statistic (Knox 1964) — the
+    classic epidemiology / event-burst test: over all unordered
+    point pairs, how many are close in space (lattice d2 <= r²),
+    close in time (|Δt| <= τ), and close in BOTH, versus the
+    independence expectation n_space·n_time/n_pairs. Emits the four
+    exact BIGINT counts plus assoc_ppm = (1e6·n_both·n_pairs) div
+    (n_space·n_time) — 1e6 means space and time proximity are
+    independent, >1e6 means clusters MOVE TOGETHER in space-time
+    (contagion, flash events); NULL when a marginal is empty. The
+    product runs DECIMAL(38,0)/HUGEINT (n_both·n_pairs reaches
+    n⁴/4). Timestamps must be nonnegative (µs since a pre-data
+    epoch) — integer div bucketing truncates toward zero.
+
+    Scale — nothing touches the quadratic pair space:
+    * n_pairs = n(n-1)/2 off one count;
+    * n_space AND n_both ride ONE proximity_edges blocked pair join
+      (carry=us — the timestamps travel with the pair, no join-back)
+      as two conditional sums of a single aggregation;
+    * n_time rides contact_graph's exact-once two-bucket trick: the
+      earlier event explodes to its τ-bucket and the next, the later
+      keys its own bucket, (us, id)-ordering keeps each unordered
+      pair once — one 1D equi-join.
+    -> one row (n_pairs, n_space, n_time, n_both, assoc_ppm)."""
+    from pyspark.sql import functions as F
+
+    from .tiles import proximity_edges
+    pts = points.select(F.col(id_col).alias("id"),
+                        F.col(lat_col).alias("lat"),
+                        F.col(lon_col).alias("lon"),
+                        F.col(us_col).alias("_us"))
+    sp = proximity_edges(pts, r_udeg, res=res, carry=("_us",))
+    sagg = sp.agg(
+        F.count(F.lit(1)).alias("n_space"),
+        F.coalesce(F.sum(F.expr(
+            f"CASE WHEN abs(_us_a - _us_b) <= {int(tau_us)} "
+            "THEN 1 ELSE 0 END")), F.lit(0))
+        .cast("long").alias("n_both"))
+    d = pts.select("id", "_us",
+                   F.expr(f"_us div {int(tau_us)}").alias("_b"))
+    left = (d.withColumn("_bx", F.explode(F.array(
+        F.col("_b"), F.col("_b") + 1)))
+            .select(F.col("id").alias("_il"),
+                    F.col("_us").alias("_usl"),
+                    F.col("_bx").alias("_b")))
+    right = d.select(F.col("id").alias("_ir"),
+                     F.col("_us").alias("_usr"), "_b")
+    tagg = (left.join(right, "_b")
+            .filter((F.col("_usr") - F.col("_usl")
+                     <= F.lit(int(tau_us)))
+                    & ((F.col("_usl") < F.col("_usr"))
+                       | ((F.col("_usl") == F.col("_usr"))
+                          & (F.col("_il") < F.col("_ir")))))
+            .agg(F.count(F.lit(1)).alias("n_time")))
+    base = pts.agg(F.expr(
+        "(count(1) * (count(1) - 1)) div 2").alias("n_pairs"))
+    return (base.crossJoin(sagg).crossJoin(tagg)
+            .select("n_pairs", "n_space", "n_time", "n_both",
+                    F.expr(
+                        "CASE WHEN n_space = 0 OR n_time = 0 "
+                        "THEN NULL ELSE "
+                        "(CAST(1000000 AS DECIMAL(38,0)) * n_both "
+                        "* n_pairs) div "
+                        "(CAST(n_space AS DECIMAL(38,0)) * n_time) "
+                        "END").alias("assoc_ppm")))
+
+
+def knox_stat_sql(pts_sql: str, r_udeg: int, tau_us: int) -> str:
+    """DuckDB twin of knox_stat over a subquery producing
+    (id, lat, lon, us) — one brute-force pair scan, HUGEINT ratio."""
+    r2 = int(r_udeg) ** 2
+    return f"""
+WITH kx_p AS (SELECT id, us,
+              CAST(floor(lat * 1000000.0) AS BIGINT) AS iy,
+              CAST(floor(lon * 1000000.0) AS BIGINT) AS ix
+              FROM ({pts_sql})),
+kx_pr AS (SELECT (a.ix - b.ix) * (a.ix - b.ix)
+                 + (a.iy - b.iy) * (a.iy - b.iy) AS d2,
+                 ABS(a.us - b.us) AS adt
+          FROM kx_p a JOIN kx_p b ON a.id < b.id),
+kx_c AS (SELECT COUNT(*) AS n_pairs,
+         COALESCE(SUM(CASE WHEN d2 <= {r2} THEN 1 ELSE 0 END), 0)
+           AS n_space,
+         COALESCE(SUM(CASE WHEN adt <= {int(tau_us)}
+                      THEN 1 ELSE 0 END), 0) AS n_time,
+         COALESCE(SUM(CASE WHEN d2 <= {r2}
+                      AND adt <= {int(tau_us)}
+                      THEN 1 ELSE 0 END), 0) AS n_both
+         FROM kx_pr)
+SELECT CAST(n_pairs AS BIGINT) AS n_pairs,
+       CAST(n_space AS BIGINT) AS n_space,
+       CAST(n_time AS BIGINT) AS n_time,
+       CAST(n_both AS BIGINT) AS n_both,
+       CASE WHEN n_space = 0 OR n_time = 0 THEN NULL
+            ELSE CAST((CAST(1000000 AS HUGEINT) * n_both * n_pairs)
+                      // (CAST(n_space AS HUGEINT) * n_time)
+                      AS BIGINT) END AS assoc_ppm
+FROM kx_c
+"""

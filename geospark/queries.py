@@ -2962,6 +2962,45 @@ def q_colloc_lift(spark, sf_dir):
     return collocations(d, min_count=_BIGRAM_MIN)
 
 
+# Knox: 1-degree / 6-hour space-time proximity over the 2D EVT grid
+# (same subsample as coloc_pi; the 30-day event span gives ~120
+# tau-buckets)
+_KNOX_R_UDEG, _KNOX_TAU_US = 1_000_000, 6 * 3600 * 1_000_000
+_KNOX_PTS_SQL = (f"SELECT event_id AS id, {EVT_LAT_SQL} AS lat, "
+                 f"{EVT_LON_SQL} AS lon, datediff('microseconds', "
+                 "TIMESTAMP '2024-01-01 00:00:00', ts) AS us "
+                 f"FROM events WHERE event_id % {_CPI_MOD} = 0")
+
+
+def q_knox(spark, sf_dir):
+    """Knox space-time interaction (r5.35): exact pair counts close
+    in space, in time, and in both, plus the floor-ppm association
+    ratio — do event clusters move together
+    (operators/events.knox_stat docstring)."""
+    from pyspark.sql import functions as F
+
+    from .operators.events import knox_stat
+    e = (spark.read.parquet(f"{sf_dir}/events.parquet")
+         .filter(F.col("event_id") % _CPI_MOD == 0))
+    pts = e.select(F.col("event_id").alias("id"),
+                   F.expr(EVT_LAT_SQL).alias("lat"),
+                   F.expr(EVT_LON_SQL).alias("lon"),
+                   F.expr("timestampdiff(MICROSECOND, "
+                          "TIMESTAMP_NTZ '2024-01-01 00:00:00', ts)")
+                   .alias("us"))
+    return knox_stat(pts, _KNOX_R_UDEG, _KNOX_TAU_US, res=7)
+
+
+def q_containment(spark, sf_dir):
+    """Containment near-dup pairs (r5.35): integer-exact
+    |A∩B|/min(|A|,|B|) in floor ppm over the shared kept-gram
+    universe — the quote/excerpt case Jaccard misses
+    (operators/dedup.containment_pairs docstring)."""
+    from .operators.dedup import containment_pairs
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return containment_pairs(d)
+
+
 # Heaps-curve checkpoints: all four rungs live at sf0.01 (500 docs)
 # and are a strict prefix of every larger scale
 _VOCAB_CPS = [50, 100, 200, 400]
@@ -3297,6 +3336,8 @@ QUERIES = {
     "path_crossings": q_path_crossings,
     "kcore": q_kcore,
     "colloc_lift": q_colloc_lift,
+    "knox": q_knox,
+    "containment": q_containment,
 }
 
 
@@ -4138,6 +4179,11 @@ def oracle_sql() -> dict[str, str]:
         proximity_edges_sql(cust_ids, _PROX_R_UDEG),
         _KCORE_K, _KCORE_ROUNDS)
     out["colloc_lift"] = collocations_sql(min_count=_BIGRAM_MIN)
+    from .operators.dedup import containment_pairs_sql
+    from .operators.events import knox_stat_sql
+    out["knox"] = knox_stat_sql(_KNOX_PTS_SQL, _KNOX_R_UDEG,
+                                _KNOX_TAU_US)
+    out["containment"] = containment_pairs_sql()
     return out
 
 

@@ -257,3 +257,113 @@ class TestCollocations:
         want = sorted(tuple(r) for r in con.execute(
             collocations_sql(min_count=2)).fetchall())
         assert got == want and len(got) > 20
+
+
+class TestKnoxStat:
+    def _d(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "id long, lat double, lon double, us long")
+
+    def test_counts_exact_closed_boundaries(self, spark):
+        """4 points, tau=1000, r=2: (1,2) is close in BOTH (d2 at
+        the boundary counts, dt == tau counts, and crosses a
+        tau-bucket edge); 3 is time-close only; 4 space-close only.
+        n_space=3, n_time=3, n_both=1 -> assoc = 1e6*1*6/(3*3)."""
+        from geospark.operators.events import knox_stat
+        d = self._d(spark, [
+            (1, 0.0, 0.0, 0), (2, 0.0, 0.000001, 1000),
+            (3, 0.0, 50.0, 1), (4, 0.0, 0.000002, 10000)])
+        row = knox_stat(d, 2, 1000, res=6).collect()[0]
+        assert (row["n_pairs"], row["n_space"], row["n_time"],
+                row["n_both"]) == (6, 3, 3, 1)
+        assert row["assoc_ppm"] == 666666
+
+    def test_null_assoc_when_marginal_empty(self, spark):
+        """No space-close pair -> assoc_ppm NULL, counts still
+        exact."""
+        from geospark.operators.events import knox_stat
+        d = self._d(spark, [(1, 0.0, 0.0, 0), (2, 0.0, 90.0, 10)])
+        row = knox_stat(d, 1, 1000, res=6).collect()[0]
+        assert (row["n_pairs"], row["n_space"], row["n_time"],
+                row["n_both"]) == (1, 0, 1, 0)
+        assert row["assoc_ppm"] is None
+
+    def test_inline_oracle_parity(self, spark):
+        import duckdb
+        import numpy as np
+
+        from geospark.operators.events import knox_stat, knox_stat_sql
+        rng = np.random.default_rng(99)
+        rows = [(i, float(rng.uniform(-2, 2)),
+                 float(rng.uniform(-2, 2)),
+                 int(rng.integers(0, 10_000_000)))
+                for i in range(500)]
+        got = _rows(knox_stat(self._d(spark, rows), 300_000,
+                              500_000, res=7))
+        con = duckdb.connect()
+        con.execute("CREATE TABLE k (id BIGINT, lat DOUBLE, "
+                    "lon DOUBLE, us BIGINT)")
+        con.executemany("INSERT INTO k VALUES (?, ?, ?, ?)", rows)
+        want = sorted(tuple(r) for r in con.execute(knox_stat_sql(
+            "SELECT * FROM k", 300_000, 500_000)).fetchall())
+        assert got == want and got[0][3] > 0
+
+
+class TestContainmentPairs:
+    def _d(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "doc_id long, source string, text string")
+
+    def test_quote_full_containment(self, spark):
+        """A short doc fully embedded in a long one: containment is
+        exactly 1e6 even though Jaccard is far below the ngram_pairs
+        bar — the asymmetric case this operator exists for."""
+        from geospark.operators.dedup import (containment_pairs,
+                                              ngram_pairs)
+        quote = "the quick brown fox jumps"
+        rows = [(1, "s", quote),
+                (2, "s", "padding padding " + quote
+                 + " more totally different tail content here")]
+        got = _rows(containment_pairs(self._d(spark, rows),
+                                      min_cont_ppm=900_000))
+        assert len(got) == 1 and got[0][:2] == (1, 2)
+        assert got[0][5] == 1_000_000
+        assert ngram_pairs(self._d(spark, rows),
+                           threshold=0.9).count() == 0
+
+    def test_threshold_and_blocking(self, spark):
+        """Pairs below min_cont_ppm drop; docs in different blocks
+        never pair."""
+        from geospark.operators.dedup import containment_pairs
+        rows = [(1, "s", "aaaa bbbb cccc"),
+                (2, "s", "dddd eeee ffff"),
+                (3, "t", "aaaa bbbb cccc")]
+        assert containment_pairs(self._d(spark, rows),
+                                 min_cont_ppm=500_000).count() == 0
+
+    def test_inline_oracle_parity(self, spark):
+        import duckdb
+        import numpy as np
+
+        from geospark.operators.dedup import (containment_pairs,
+                                              containment_pairs_sql)
+        rng = np.random.default_rng(321)
+        base = ("lorem ipsum dolor sit amet consectetur adipiscing "
+                "elit sed do eiusmod tempor incididunt ut labore")
+        words = base.split()
+        texts = []
+        for i in range(60):
+            k = int(rng.integers(3, 10))
+            s = int(rng.integers(0, len(words) - k + 1))
+            texts.append(" ".join(words[s:s + k]))
+        rows = [(i, f"s{i % 2}", t) for i, t in enumerate(texts)]
+        got = _rows(containment_pairs(self._d(spark, rows),
+                                      min_cont_ppm=600_000))
+        con = duckdb.connect()
+        con.execute("CREATE TABLE documents (doc_id BIGINT, "
+                    "source VARCHAR, text VARCHAR)")
+        con.executemany("INSERT INTO documents VALUES (?, ?, ?)",
+                        rows)
+        want = sorted(tuple(r) for r in con.execute(
+            containment_pairs_sql(min_cont_ppm=600_000)).fetchall())
+        assert got == want and len(got) > 50
