@@ -2844,6 +2844,69 @@ def q_stream_revisit(spark, sf_dir):
     return res
 
 
+def q_stream_speed(spark, sf_dir):
+    """STATEFUL STREAMING implausible-speed alerting under a full
+    value-hash oracle: the events table replayed as four TIME-SLICED
+    microbatch files through stream_speed_flags (one last-position
+    row per user in the state store), flagged hops collected — which
+    the batch speed_flags SQL reproduces byte-identically. Slices
+    cut at ts boundaries, so equal-ts ties never split across
+    microbatches and the per-user (ts, tie) replay order is exact;
+    us is µs since the shared 2024-01-01 epoch so even the absolute
+    output column matches. Deterministic: slice boundaries from the
+    data span, file order pinned with explicit mtimes."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from .streaming.stream import stream_speed_flags
+    e = (spark.read.parquet(f"{sf_dir}/events.parquet")
+         .select("event_id", F.col("ts").cast("timestamp_ntz")
+                 .alias("ts"), "user_id",
+                 F.expr(_TRAJ_LAT).alias("lat"),
+                 F.expr(_TRAJ_LON).alias("lon")))
+    row = e.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")) \
+        .collect()[0]
+    lo, hi = row["lo"], row["hi"]
+    span = hi - lo
+    work = tempfile.mkdtemp(prefix="geospark_stream_speed_")
+    src = os.path.join(work, "src")
+    cuts = [lo + span * i / 4 for i in range(1, 4)]
+    bounds = [(None, cuts[0]), (cuts[0], cuts[1]),
+              (cuts[1], cuts[2]), (cuts[2], None)]
+    for i, (a, b) in enumerate(bounds):
+        s = e
+        if a is not None:
+            s = s.filter(F.col("ts") >= a)
+        if b is not None:
+            s = s.filter(F.col("ts") < b)
+        s.coalesce(1).write.mode("append").parquet(src)
+        # pin replay order (the q_stream_revisit mtime scheme)
+        for p in sorted(glob.glob(os.path.join(src, "*.parquet")),
+                        key=os.path.getmtime)[i:]:
+            os.utime(p, (1_000_000 + i, 1_000_000 + i))
+    sdf = (spark.readStream
+           .schema("event_id long, ts timestamp_ntz, user_id long, "
+                   "lat double, lon double")
+           .option("maxFilesPerTrigger", 1).parquet(src))
+    out = stream_speed_flags(sdf, _SPEED_VMAX)
+    name = f"gs_stream_speed_{uuid.uuid4().hex[:8]}"
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("append")
+         .option("checkpointLocation", os.path.join(work, "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    res = materialize(spark.table(name)
+                      .select("user_id", "us", "dt_us", "d2"))
+    spark.catalog.dropTempView(name)
+    shutil.rmtree(work, ignore_errors=True)
+    return res
+
+
 # proximity graph: 5 degrees at blocking res 4 — sparse (avg degree
 # ~2 at sf0.01) yet triangle-bearing at every scale
 _PROX_R_UDEG, _PROX_RES = 5_000_000, 4
@@ -3338,6 +3401,7 @@ QUERIES = {
     "colloc_lift": q_colloc_lift,
     "knox": q_knox,
     "containment": q_containment,
+    "stream_speed": q_stream_speed,
 }
 
 
@@ -4184,6 +4248,9 @@ def oracle_sql() -> dict[str, str]:
     out["knox"] = knox_stat_sql(_KNOX_PTS_SQL, _KNOX_R_UDEG,
                                 _KNOX_TAU_US)
     out["containment"] = containment_pairs_sql()
+    # streaming speed alerts == the BATCH speed_flags SQL, row for
+    # row (the stream_revisit closing-the-gate pattern)
+    out["stream_speed"] = speed_flags_sql(_TRAJ_PTS_SQL, _SPEED_VMAX)
     return out
 
 

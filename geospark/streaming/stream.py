@@ -481,3 +481,72 @@ def stream_revisit_gaps(stream_df, res: int, *,
                 stateStructType="last_us long",
                 outputMode="append",
                 timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def stream_speed_flags(stream_df, vmax_udeg_s: int, *,
+                       user_col: str = "user_id", ts_col: str = "ts",
+                       id_col: str = "event_id",
+                       lat_col: str = "lat", lon_col: str = "lon"):
+    """Streaming implausible-speed alerting (applyInPandasWithState)
+    — the real-time twin of operators/events.speed_flags: the moment
+    a user's hop implies a speed past ``vmax_udeg_s``, emit the
+    flagged arrival (user, us, dt_us, d2) — byte-identical to the
+    batch operator's output on the same events (tested under the
+    full value-hash replay gate). Per-user state is ONE row (last
+    event's µs timestamp + µdeg coords + tie) — O(active users),
+    history-independent.
+
+    Identical integer semantics to the batch twin: µdeg floor
+    quantization, lim = min((vmax·dt_us) div 1e6, 6e8) with d2 >
+    lim² (Python ints are exact at any width); us is µs since
+    2024-01-01 (the shared epoch convention) so the OUTPUT column —
+    not just the differences — matches the batch SQL. Contract:
+    per-user (ts, tie) order non-decreasing across microbatches, and
+    equal-ts ties never split across batches (time-sliced replay
+    cuts at ts boundaries, so they don't); within a batch the
+    function re-sorts, concatenating Arrow chunks first so a group
+    spanning chunks still sorts globally.
+    -> (user_id, us, dt_us, d2) per flagged hop."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    epoch_us = pd.Timestamp("2024-01-01").value // 1000
+    vmax = int(vmax_udeg_s)
+    out_schema = f"{user_col} long, us long, dt_us long, d2 long"
+
+    def fn(key, pdfs, state):
+        uid = key[0]
+        if state.exists:
+            last_us, last_ix, last_iy = state.get
+        else:
+            last_us = last_ix = last_iy = None
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf) == 0:
+            return
+        pdf = pdf.sort_values([ts_col, id_col])
+        rows = []
+        import math
+        for t, la, lo in zip(pdf[ts_col], pdf[lat_col],
+                             pdf[lon_col]):
+            us = int(pd.Timestamp(t).value // 1000) - epoch_us
+            ix = math.floor(lo * 1_000_000.0)
+            iy = math.floor(la * 1_000_000.0)
+            if last_us is not None:
+                dt_us = us - last_us
+                d2 = (ix - last_ix) ** 2 + (iy - last_iy) ** 2
+                lim = min((vmax * dt_us) // 1_000_000, 600_000_000)
+                if d2 > lim * lim:
+                    rows.append((uid, us, dt_us, d2))
+            last_us, last_ix, last_iy = us, ix, iy
+        state.update((last_us, last_ix, last_iy))
+        if rows:
+            yield pd.DataFrame(
+                rows, columns=[user_col, "us", "dt_us", "d2"])
+
+    return (stream_df.groupBy(user_col)
+            .applyInPandasWithState(
+                fn, outputStructType=out_schema,
+                stateStructType=("last_us long, last_ix long, "
+                                 "last_iy long"),
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout))

@@ -367,3 +367,63 @@ class TestContainmentPairs:
         want = sorted(tuple(r) for r in con.execute(
             containment_pairs_sql(min_cont_ppm=600_000)).fetchall())
         assert got == want and len(got) > 50
+
+
+class TestStreamSpeedFlags:
+    def test_matches_batch_across_microbatches(self, spark, tmp_path):
+        """Chunked replay through the per-user last-position state
+        equals the batch speed_flags output byte for byte — including
+        a teleport whose two endpoints land in DIFFERENT microbatch
+        files, a plausible slow hop that must NOT flag, and a dt=0
+        teleport (lim 0 < any displacement)."""
+        import datetime as dt
+
+        from pyspark.sql import functions as F
+
+        from geospark.operators.events import speed_flags
+        from geospark.streaming.stream import stream_speed_flags
+        base = dt.datetime(2024, 1, 1)
+        vmax = 25_000  # µdeg/s
+        rows = [
+            # user 1: slow crawl (no flag), then cross-file teleport
+            (0, base, 1, 0.0, 0.0),
+            (1, base + dt.timedelta(seconds=10), 1, 0.0, 0.001),
+            # user 2: two events same ts, 1 degree apart (dt=0 flag)
+            (2, base + dt.timedelta(seconds=5), 2, 10.0, 10.0),
+            (3, base + dt.timedelta(seconds=5), 2, 10.0, 11.0),
+            # --- file boundary ---
+            (4, base + dt.timedelta(seconds=20), 1, 40.0, 40.0),
+            (5, base + dt.timedelta(seconds=30), 2, 10.0, 11.001),
+        ]
+        schema = ("event_id long, ts timestamp_ntz, user_id long, "
+                  "lat double, lon double")
+        src = str(tmp_path / "speed_src")
+        spark.createDataFrame(rows[:4], schema).coalesce(1) \
+            .write.mode("overwrite").parquet(src)
+        spark.createDataFrame(rows[4:], schema).coalesce(1) \
+            .write.mode("append").parquet(src)
+
+        sdf = (spark.readStream.schema(schema)
+               .option("maxFilesPerTrigger", 1).parquet(src))
+        out = stream_speed_flags(sdf, vmax)
+        q = (out.writeStream.format("memory")
+             .queryName("speed_stream").outputMode("append")
+             .option("checkpointLocation", str(tmp_path / "ck"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        got = _rows(spark.sql(
+            "SELECT user_id, us, dt_us, d2 FROM speed_stream"))
+
+        e = spark.read.parquet(src)
+        pts = e.select("user_id", "event_id", "lat", "lon",
+                       F.expr("timestampdiff(MICROSECOND, "
+                              "TIMESTAMP_NTZ '2024-01-01 00:00:00', "
+                              "ts)").alias("us"))
+        want = _rows(speed_flags(pts, vmax_udeg_s=vmax))
+        assert got == want
+        # exactly: u2 dt=0 teleport, u1 cross-file 56-degree jump,
+        # u2 second flag after the boundary is NOT plausible either
+        # (1 mdeg in 25 s at vmax 25k µdeg/s is fine -> not flagged)
+        assert len(got) == 2
+        assert {(r[0], r[2]) for r in got} == {(2, 0),
+                                               (1, 10_000_000)}
