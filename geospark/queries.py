@@ -3186,7 +3186,6 @@ QUERIES = {
     #    exercised inside by hotspot_cells — the same
     #    cell_neighbors_explode — and retention/funnel_by_cell) --
     "hilbert_keys": q_hilbert_keys,
-    "hilbert_pack": q_hilbert_pack,
     # -- round-5.10 addition, inside the window for its first driver
     #    row (pip_semi rotates just past the window: driver-green r4,
     #    machinery fully covered by pip_join/pip_anti/pip_agg inside) --
@@ -3215,6 +3214,28 @@ QUERIES = {
     #    row (quality_features/rolling_fp rotate out to make room:
     #    both driver-green in r4, near-dupes of doc_quality/
     #    fingerprint which are driver-green r1-r4) --
+    # -- r5-session-8 final rotation (ADVICE r4 medium: newest
+    #    rows belong inside the gate window): the ten newest
+    #    operators take their first driver pass; ten rows whose
+    #    machinery stays covered inside rotate just past the
+    #    boundary (hilbert_pack rides hilbert_keys' curve math —
+    #    still inside; geohash/len_histogram/len_quantiles/
+    #    inverted_index/vocab/chunk_docs/host_dup are
+    #    compositions of token/length/url machinery driver-green
+    #    in r4 rows; funnel_by_cell rides funnel [driver r4] +
+    #    cell assign [driver r4]; ring_orient shares ring_valid's
+    #    ring parser — ring_valid stays inside). All twenty are
+    #    replica-green under tools/check_oracle.py this session --
+    "triangles": q_triangles,
+    "stream_revisit": q_stream_revisit,
+    "bounded_paths": q_bounded_paths,
+    "coloc_pi": q_coloc_pi,
+    "path_crossings": q_path_crossings,
+    "kcore": q_kcore,
+    "colloc_lift": q_colloc_lift,
+    "knox": q_knox,
+    "containment": q_containment,
+    "stream_speed": q_stream_speed,
     "repetition_stats": q_repetition_stats,
     "semantic_dedup": q_semantic_dedup,
     "redact_pii": q_redact_pii,
@@ -3226,21 +3247,24 @@ QUERIES = {
     "trajectories": q_trajectories,
     "top_pairs": q_top_pairs,
     "budget_sample": q_budget_sample,
-    "inverted_index": q_inverted_index,
-    "len_quantiles": q_len_quantiles,
     "retention": q_retention,
     "hotspot_cells": q_hotspot_cells,
     "split_leakage": q_split_leakage,
-    "len_histogram": q_len_histogram,
     "ring_valid": q_ring_valid,
-    "ring_orient": q_ring_orient,
     "idw_interp": q_idw_interp,
+    "cell_moments": q_cell_moments,
+    # (r5-session-8 rotation: the ten rows below moved just past
+    #  the window — see the rotation comment above)
+    "hilbert_pack": q_hilbert_pack,
+    "geohash": q_geohash,
+    "len_histogram": q_len_histogram,
+    "len_quantiles": q_len_quantiles,
+    "inverted_index": q_inverted_index,
+    "vocab": q_vocab,
     "chunk_docs": q_chunk_docs,
     "host_dup": q_host_dup,
-    "vocab": q_vocab,
-    "geohash": q_geohash,
     "funnel_by_cell": q_funnel_by_cell,
-    "cell_moments": q_cell_moments,
+    "ring_orient": q_ring_orient,
     "simplify_boxes": q_simplify_boxes,
     "line_metrics": q_line_metrics,
     # (cell_assign/bbox_filter rotated out in r5.8 for best_of_cluster
@@ -3392,16 +3416,6 @@ QUERIES = {
     "cell_fano": q_cell_fano,
     "cell_gini": q_cell_gini,
     "type_transitions": q_type_transitions,
-    "triangles": q_triangles,
-    "stream_revisit": q_stream_revisit,
-    "bounded_paths": q_bounded_paths,
-    "coloc_pi": q_coloc_pi,
-    "path_crossings": q_path_crossings,
-    "kcore": q_kcore,
-    "colloc_lift": q_colloc_lift,
-    "knox": q_knox,
-    "containment": q_containment,
-    "stream_speed": q_stream_speed,
 }
 
 
