@@ -1692,3 +1692,72 @@ SELECT CAST(n_pairs AS BIGINT) AS n_pairs,
                       AS BIGINT) END AS assoc_ppm
 FROM kx_c
 """
+
+
+def centroid_drift(points, *, us_col: str = "us",
+                   lat_col: str = "lat", lon_col: str = "lon",
+                   bucket_us: int = 86_400_000_000):
+    """Daily activity-centroid drift — the center-of-mass telemetry
+    under distribution-shift detection: per time bucket (default one
+    day), the exact integer centroid of all points and the squared
+    lattice displacement from the PREVIOUS OBSERVED bucket's centroid
+    (NULL for the first). A platform whose event mass migrates (a
+    regional outage, a launch, a bot farm) shows up as a d2 spike
+    before any per-cell test fires.
+
+    Exact cross-engine arithmetic: coordinate sums in BIGINT with a
+    +180e6/+90e6 SHIFT so the floor-mean runs on NONNEGATIVE operands
+    — Spark's `div` truncates toward zero while DuckDB's `//` floors,
+    and they only agree on nonnegative values; the shift is removed
+    after the division, so cx/cy are exact floor-mean µdeg.
+    Timestamps must be nonnegative (the shared pre-data epoch).
+
+    Scale: ONE bucket-keyed partial-aggregating groupBy over the
+    point stream (3 combinable sums), then a lag window over
+    AGGREGATE rows (one per bucket). -> (day, n, cx, cy, d2_prev)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    d = points.select(
+        F.expr(f"{us_col} div {int(bucket_us)}").alias("day"),
+        F.expr(f"CAST(floor({lat_col} * 1000000.0) AS BIGINT) "
+               "+ 90000000").alias("_sy"),
+        F.expr(f"CAST(floor({lon_col} * 1000000.0) AS BIGINT) "
+               "+ 180000000").alias("_sx"))
+    g = (d.groupBy("day")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum("_sx").alias("_tx"), F.sum("_sy").alias("_ty"))
+         .withColumn("cx", F.expr("_tx div n - 180000000"))
+         .withColumn("cy", F.expr("_ty div n - 90000000")))
+    w = Window.orderBy("day")
+    g = (g.withColumn("_px", F.lag("cx").over(w))
+          .withColumn("_py", F.lag("cy").over(w)))
+    return g.select(
+        "day", "n", "cx", "cy",
+        F.expr("(cx - _px) * (cx - _px) + (cy - _py) * (cy - _py)")
+        .alias("d2_prev"))
+
+
+def centroid_drift_sql(pts_sql: str,
+                       bucket_us: int = 86_400_000_000) -> str:
+    """DuckDB twin of centroid_drift over a subquery producing
+    (us, lat, lon) — same nonnegative-shift floor-mean."""
+    return f"""
+WITH cd_d AS (SELECT us // {int(bucket_us)} AS day,
+              CAST(floor(lat * 1000000.0) AS BIGINT) + 90000000
+                AS sy,
+              CAST(floor(lon * 1000000.0) AS BIGINT) + 180000000
+                AS sx
+              FROM ({pts_sql})),
+cd_g AS (SELECT day, COUNT(*) AS n,
+         CAST(SUM(sx) AS BIGINT) AS tx,
+         CAST(SUM(sy) AS BIGINT) AS ty FROM cd_d GROUP BY 1),
+cd_c AS (SELECT day, n, tx // n - 180000000 AS cx,
+         ty // n - 90000000 AS cy FROM cd_g),
+cd_w AS (SELECT *, LAG(cx) OVER (ORDER BY day) AS px,
+         LAG(cy) OVER (ORDER BY day) AS py FROM cd_c)
+SELECT day, CAST(n AS BIGINT) AS n, CAST(cx AS BIGINT) AS cx,
+       CAST(cy AS BIGINT) AS cy,
+       CAST((cx - px) * (cx - px) + (cy - py) * (cy - py) AS BIGINT)
+         AS d2_prev
+FROM cd_w
+"""

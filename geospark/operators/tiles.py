@@ -2011,3 +2011,130 @@ AND a.miny <= b.maxy AND b.miny <= a.maxy
 AND ((({d1}) > 0 AND ({d2}) < 0) OR (({d1}) < 0 AND ({d2}) > 0))
 AND ((({d3}) > 0 AND ({d4}) < 0) OR (({d3}) < 0 AND ({d4}) > 0))
 """
+
+
+def peak_cells(tiles, res: int, *, cell_col: str = "cell",
+               count_col: str = "n_docs", ring: int = 1):
+    """Local-maxima detection over the raster — the peak-extraction
+    pass after (or instead of) focal smoothing: cells whose count
+    STRICTLY exceeds every Chebyshev ``ring`` neighbor's count.
+    Absent neighbors hold 0, so an isolated occupied cell is a peak;
+    plateau ties are NOT peaks (every plateau cell fails the strict
+    test) — deterministic, no tie-break needed. Same
+    wrap/clamp/residue-dedup ring relation as focal_sum, and the
+    same scatter==gather symmetry argument: each occupied cell
+    SENDS its count to every neighbor except itself, the receiver
+    keeps the max, and a cell is a peak iff it received nothing or
+    beat the max.
+
+    Scale: one ring-explode of AGGREGATE rows -> one cell-keyed
+    map-side-combinable MAX -> one cell-keyed left join back (the
+    agg and join hash on the same key). -> (cell, count_col,
+    max_nbr) for the peaks only."""
+    from pyspark.sql import functions as F
+
+    from ..functions.cells import cell_neighbors_explode
+    contrib = (cell_neighbors_explode(
+        tiles.select(cell_col, count_col), res,
+        cell_col=cell_col, ring=ring)
+        .filter(F.col("_neighbor") != F.col(cell_col))
+        .groupBy("_neighbor")
+        .agg(F.max(count_col).alias("_mx"))
+        .withColumnRenamed("_neighbor", cell_col))
+    return (tiles.select(cell_col, count_col)
+            .join(contrib, cell_col, "left")
+            .withColumn("max_nbr",
+                        F.coalesce(F.col("_mx"), F.lit(0))
+                        .cast("long"))
+            .filter(F.col(count_col) > F.col("max_nbr"))
+            .select(cell_col, count_col, "max_nbr"))
+
+
+def peak_cells_sql(counts_sql: str, res: int, *, ring: int = 1,
+                   count_col: str = "n_docs") -> str:
+    """DuckDB twin of peak_cells over a counts subquery
+    (cell, ``count_col``) — same ring fragment, strict max test."""
+    from ..functions.cells import cell_neighbors_sql
+    nb = cell_neighbors_sql("c.cell", res, ring)
+    return (
+        f"WITH counts AS ({counts_sql}), "
+        f"contrib AS (SELECT nb.neighbor AS cell, "
+        f"MAX({count_col}) AS mx "
+        f"FROM counts c, LATERAL ({nb}) nb "
+        f"WHERE nb.neighbor <> c.cell GROUP BY 1) "
+        f"SELECT counts.cell, counts.{count_col}, "
+        f"CAST(COALESCE(contrib.mx, 0) AS BIGINT) AS max_nbr "
+        f"FROM counts LEFT JOIN contrib USING (cell) "
+        f"WHERE counts.{count_col} > COALESCE(contrib.mx, 0)")
+
+
+def d8_flow(tiles, res: int, *, cell_col: str = "cell",
+            count_col: str = "n_docs"):
+    """D8 steepest-descent assignment over the density raster — the
+    hydrology flow-direction primitive on the count surface: each
+    occupied cell points at its LOWEST ring-1 neighbor (unoccupied
+    neighbors hold 0, so boundary cells of the occupied region drain
+    outward — exactly elevation-0 ocean cells in the DEM analogy),
+    the first step of density-descent basin decomposition. A cell is
+    a SINK when no strict descent exists (min neighbor count >= its
+    own — a density local minimum or a 0-0 plateau edge... the
+    latter impossible: occupied cells hold >= 1 > 0).
+
+    Deterministic argmin with NO engine-specific min_by: stage 1
+    takes MIN(neighbor count) per center (a window over the 8-row
+    neighbor frame), stage 2 keeps rows AT the min and takes the
+    smallest neighbor cell id — the same two stages in both engines,
+    so ties can never order-flip. -> (cell, n, down_cell, down_n,
+    is_sink 0/1).
+
+    Scale: one 8-way explode of AGGREGATE rows, one cell-keyed left
+    join to fetch neighbor counts, one window + one groupBy on the
+    center key."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..functions.cells import cell_neighbors_explode
+    t = tiles.select(F.col(cell_col).alias("_c"),
+                     F.col(count_col).alias("_n"))
+    nb = (cell_neighbors_explode(t, res, cell_col="_c")
+          .filter(F.col("_neighbor") != F.col("_c")))
+    j = (nb.join(t.select(F.col("_c").alias("_neighbor"),
+                          F.col("_n").alias("_nn_raw")),
+                 "_neighbor", "left")
+         .withColumn("_nn", F.coalesce(F.col("_nn_raw"), F.lit(0))
+                     .cast("long")))
+    w = Window.partitionBy("_c")
+    j = j.withColumn("_min_n", F.min("_nn").over(w))
+    return (j.filter(F.col("_nn") == F.col("_min_n"))
+            .groupBy("_c", "_n")
+            .agg(F.min("_neighbor").alias("down_cell"),
+                 F.max("_min_n").alias("down_n"))
+            .select(F.col("_c").alias(cell_col),
+                    F.col("_n").alias("n"), "down_cell", "down_n",
+                    F.expr("CAST(CASE WHEN down_n >= _n THEN 1 "
+                           "ELSE 0 END AS BIGINT)").alias("is_sink")))
+
+
+def d8_flow_sql(counts_sql: str, res: int, *,
+                count_col: str = "n_docs") -> str:
+    """DuckDB twin of d8_flow over a counts subquery
+    (cell, ``count_col``) — same ring fragment, same two-stage
+    deterministic argmin."""
+    from ..functions.cells import cell_neighbors_sql
+    frag = cell_neighbors_sql("c.cell", res, 1)
+    return f"""
+WITH counts AS ({counts_sql}),
+nbx AS (SELECT c.cell, c.{count_col} AS n, nb.neighbor
+        FROM counts c, LATERAL ({frag}) nb
+        WHERE nb.neighbor <> c.cell),
+jx AS (SELECT nbx.cell, nbx.n, nbx.neighbor,
+       COALESCE(c2.{count_col}, 0) AS nn
+       FROM nbx LEFT JOIN counts c2 ON c2.cell = nbx.neighbor),
+wx AS (SELECT *, MIN(nn) OVER (PARTITION BY cell) AS min_n FROM jx)
+SELECT cell, CAST(n AS BIGINT) AS n,
+       CAST(MIN(neighbor) AS BIGINT) AS down_cell,
+       CAST(MAX(min_n) AS BIGINT) AS down_n,
+       CAST(CASE WHEN MAX(min_n) >= n THEN 1 ELSE 0 END AS BIGINT)
+         AS is_sink
+FROM wx WHERE nn = min_n GROUP BY cell, n
+"""

@@ -3064,6 +3064,38 @@ def q_containment(spark, sf_dir):
     return containment_pairs(d)
 
 
+def q_peak_cells(spark, sf_dir):
+    """Raster local maxima (r5.36): cells strictly denser than every
+    ring-1 neighbor over the customer res-6 raster — the peak-
+    extraction complement to hotspot_cells' focal smoothing
+    (operators/tiles.peak_cells docstring)."""
+    from .operators.tiles import peak_cells, tile_counts
+    t = tile_counts(_cust_points(spark, sf_dir), RES_COARSE) \
+        .withColumnRenamed("n_docs", "n_pts")
+    return peak_cells(t, RES_COARSE, count_col="n_pts")
+
+
+def q_d8_flow(spark, sf_dir):
+    """D8 density-descent assignment (r5.36): per occupied res-6
+    cell, the lowest ring-1 neighbor (two-stage deterministic
+    argmin) and the sink flag — hydrology flow direction on the
+    count surface (operators/tiles.d8_flow docstring)."""
+    from .operators.tiles import d8_flow, tile_counts
+    t = tile_counts(_cust_points(spark, sf_dir), RES_COARSE) \
+        .withColumnRenamed("n_docs", "n_pts")
+    return d8_flow(t, RES_COARSE, count_col="n_pts")
+
+
+def q_centroid_drift(spark, sf_dir):
+    """Daily activity-centroid drift (r5.36): per-day exact integer
+    centroid of the trajectory events plus the squared displacement
+    from the previous day's centroid
+    (operators/events.centroid_drift docstring: nonnegative-shift
+    floor-mean — div/// agree only on nonnegative operands)."""
+    from .operators.events import centroid_drift
+    return centroid_drift(_traj_pts(spark, sf_dir))
+
+
 # Heaps-curve checkpoints: all four rungs live at sf0.01 (500 docs)
 # and are a strict prefix of every larger scale
 _VOCAB_CPS = [50, 100, 200, 400]
@@ -3236,6 +3268,15 @@ QUERIES = {
     "knox": q_knox,
     "containment": q_containment,
     "stream_speed": q_stream_speed,
+    # -- r5.36 additions, newest-inside per the same rule:
+    #    split_leakage (minhash_pairs [driver r4] + split_assign),
+    #    retention (funnel/window machinery driver-green) and
+    #    hotspot_cells (its cell_neighbors ring fragment now gets
+    #    driver coverage via peak_cells AND d8_flow) rotate just
+    #    past the boundary to make room --
+    "peak_cells": q_peak_cells,
+    "d8_flow": q_d8_flow,
+    "centroid_drift": q_centroid_drift,
     "repetition_stats": q_repetition_stats,
     "semantic_dedup": q_semantic_dedup,
     "redact_pii": q_redact_pii,
@@ -3247,9 +3288,6 @@ QUERIES = {
     "trajectories": q_trajectories,
     "top_pairs": q_top_pairs,
     "budget_sample": q_budget_sample,
-    "retention": q_retention,
-    "hotspot_cells": q_hotspot_cells,
-    "split_leakage": q_split_leakage,
     "ring_valid": q_ring_valid,
     "idw_interp": q_idw_interp,
     "cell_moments": q_cell_moments,
@@ -3265,6 +3303,9 @@ QUERIES = {
     "host_dup": q_host_dup,
     "funnel_by_cell": q_funnel_by_cell,
     "ring_orient": q_ring_orient,
+    "split_leakage": q_split_leakage,
+    "retention": q_retention,
+    "hotspot_cells": q_hotspot_cells,
     "simplify_boxes": q_simplify_boxes,
     "line_metrics": q_line_metrics,
     # (cell_assign/bbox_filter rotated out in r5.8 for best_of_cluster
@@ -4265,6 +4306,15 @@ def oracle_sql() -> dict[str, str]:
     # streaming speed alerts == the BATCH speed_flags SQL, row for
     # row (the stream_revisit closing-the-gate pattern)
     out["stream_speed"] = speed_flags_sql(_TRAJ_PTS_SQL, _SPEED_VMAX)
+    from .operators.events import centroid_drift_sql
+    from .operators.tiles import d8_flow_sql, peak_cells_sql
+    _cust_tiles = (f"SELECT {cell6} AS cell, COUNT(*) AS n_pts "
+                   f"FROM ({_CUST_PTS_CTE}) GROUP BY 1")
+    out["peak_cells"] = peak_cells_sql(_cust_tiles, RES_COARSE,
+                                       count_col="n_pts")
+    out["d8_flow"] = d8_flow_sql(_cust_tiles, RES_COARSE,
+                                 count_col="n_pts")
+    out["centroid_drift"] = centroid_drift_sql(_TRAJ_PTS_SQL)
     return out
 
 

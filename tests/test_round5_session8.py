@@ -427,3 +427,157 @@ class TestStreamSpeedFlags:
         assert len(got) == 2
         assert {(r[0], r[2]) for r in got} == {(2, 0),
                                                (1, 10_000_000)}
+
+
+def _cell(spark, res, x, y):
+    from geospark.functions.cells import _RES_SHIFT
+    return (res << _RES_SHIFT) + (y << res) + x
+
+
+class TestPeakCells:
+    def _t(self, spark, res, cells):
+        return spark.createDataFrame(
+            [(_cell(spark, res, x, y), n) for x, y, n in cells],
+            "cell long, n_pts long")
+
+    def test_isolated_peak_and_strict_plateau(self, spark):
+        """An isolated cell is a peak (max_nbr 0); adjacent unequal
+        cells keep only the larger; an equal plateau keeps neither."""
+        from geospark.operators.tiles import peak_cells
+        res = 6
+        t = self._t(spark, res, [
+            (10, 10, 5),            # isolated -> peak
+            (20, 20, 7), (21, 20, 3),   # pair -> only the 7
+            (40, 40, 4), (41, 40, 4)])  # plateau -> neither
+        got = _rows(peak_cells(t, res, count_col="n_pts"))
+        assert got == sorted([
+            (_cell(spark, res, 10, 10), 5, 0),
+            (_cell(spark, res, 20, 20), 7, 3)])
+
+    def test_longitude_wrap_adjacency(self, spark):
+        """x=0 and x=2^res-1 are neighbors: the smaller loses its
+        peak even across the antimeridian."""
+        from geospark.operators.tiles import peak_cells
+        res = 4
+        t = self._t(spark, res, [(0, 5, 9), (15, 5, 2)])
+        got = _rows(peak_cells(t, res, count_col="n_pts"))
+        assert got == [(_cell(spark, res, 0, 5), 9, 2)]
+
+    def test_inline_oracle_parity(self, spark):
+        import duckdb
+        import numpy as np
+
+        from geospark.operators.tiles import peak_cells, peak_cells_sql
+        rng = np.random.default_rng(14)
+        res = 5
+        seen = {}
+        for _ in range(300):
+            x, y = int(rng.integers(0, 32)), int(rng.integers(0, 32))
+            seen[(x, y)] = int(rng.integers(1, 50))
+        rows = [(_cell(spark, res, x, y), n)
+                for (x, y), n in seen.items()]
+        got = _rows(peak_cells(
+            spark.createDataFrame(rows, "cell long, n_pts long"),
+            res, count_col="n_pts"))
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t (cell BIGINT, n_pts BIGINT)")
+        con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+        want = sorted(tuple(r) for r in con.execute(peak_cells_sql(
+            "SELECT * FROM t", res, count_col="n_pts")).fetchall())
+        assert got == want and 0 < len(got) < len(rows)
+
+
+class TestD8Flow:
+    def _t(self, spark, res, cells):
+        return spark.createDataFrame(
+            [(_cell(spark, res, x, y), n) for x, y, n in cells],
+            "cell long, n_pts long")
+
+    def test_sink_needs_full_occupied_ring(self, spark):
+        """3x3 block, center 1 surrounded by 2s: the center is a
+        SINK (no strict descent); every ring cell drains to an
+        unoccupied 0-neighbor."""
+        from geospark.operators.tiles import d8_flow
+        res = 6
+        cells = [(x, y, 2) for x in (10, 11, 12) for y in (10, 11, 12)
+                 if (x, y) != (11, 11)] + [(11, 11, 1)]
+        got = {r["cell"]: (r["down_n"], r["is_sink"]) for r in
+               d8_flow(self._t(spark, res, cells), res,
+                       count_col="n_pts").collect()}
+        center = _cell(spark, res, 11, 11)
+        assert got[center] == (2, 1)
+        assert all(v == (0, 0) for c, v in got.items() if c != center)
+
+    def test_deterministic_tiebreak_smallest_cell(self, spark):
+        """Two occupied neighbors at the same minimum: the smaller
+        CELL ID wins in both engines (two-stage argmin, no min_by)."""
+        from geospark.operators.tiles import d8_flow
+        res = 6
+        # isolated trio: center flows to an unoccupied neighbor; all
+        # 0-count neighbors tie, so down = smallest neighbor cell id
+        t = self._t(spark, res, [(30, 30, 5)])
+        row = d8_flow(t, res, count_col="n_pts").collect()[0]
+        assert row["down_n"] == 0 and row["is_sink"] == 0
+        assert row["down_cell"] == _cell(spark, res, 29, 29)
+
+    def test_inline_oracle_parity(self, spark):
+        import duckdb
+        import numpy as np
+
+        from geospark.operators.tiles import d8_flow, d8_flow_sql
+        rng = np.random.default_rng(27)
+        res = 5
+        seen = {}
+        for _ in range(250):
+            x, y = int(rng.integers(0, 32)), int(rng.integers(0, 32))
+            seen[(x, y)] = int(rng.integers(1, 9))
+        rows = [(_cell(spark, res, x, y), n)
+                for (x, y), n in seen.items()]
+        got = _rows(d8_flow(
+            spark.createDataFrame(rows, "cell long, n_pts long"),
+            res, count_col="n_pts"))
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t (cell BIGINT, n_pts BIGINT)")
+        con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+        want = sorted(tuple(r) for r in con.execute(d8_flow_sql(
+            "SELECT * FROM t", res, count_col="n_pts")).fetchall())
+        assert got == want and len(got) == len(rows)
+
+
+class TestCentroidDrift:
+    def test_floor_mean_negative_coords_and_gap_day(self, spark):
+        """Floor-mean semantics on NEGATIVE sums (the div-vs-//
+        trap): mean of iy {-1, 0} is -1 (floor), not 0 (trunc).
+        Day 0 -> NULL drift; day 2 (day 1 absent) measures from the
+        previous OBSERVED day."""
+        from geospark.operators.events import centroid_drift
+        day = 86_400_000_000
+        d = spark.createDataFrame(
+            [(0, -0.000001, 0.0), (1, 0.0, 0.0),
+             (2 * day, 0.0, 0.000002)],
+            "us long, lat double, lon double")
+        got = {r["day"]: (r["n"], r["cx"], r["cy"], r["d2_prev"])
+               for r in centroid_drift(d).collect()}
+        assert got[0] == (2, 0, -1, None)
+        assert got[2] == (1, 2, 0, 4 + 1)
+
+    def test_inline_oracle_parity(self, spark):
+        import duckdb
+        import numpy as np
+
+        from geospark.operators.events import (centroid_drift,
+                                               centroid_drift_sql)
+        rng = np.random.default_rng(55)
+        rows = [(int(rng.integers(0, 10 * 86_400_000_000)),
+                 float(rng.uniform(-80, 80)),
+                 float(rng.uniform(-170, 170))) for _ in range(2000)]
+        d = spark.createDataFrame(rows, "us long, lat double, "
+                                  "lon double")
+        got = _rows(centroid_drift(d))
+        con = duckdb.connect()
+        con.execute("CREATE TABLE p (us BIGINT, lat DOUBLE, "
+                    "lon DOUBLE)")
+        con.executemany("INSERT INTO p VALUES (?, ?, ?)", rows)
+        want = sorted(tuple(r) for r in con.execute(
+            centroid_drift_sql("SELECT * FROM p")).fetchall())
+        assert got == want and len(got) == 10
