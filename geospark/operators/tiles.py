@@ -2138,3 +2138,66 @@ SELECT cell, CAST(n AS BIGINT) AS n,
          AS is_sink
 FROM wx WHERE nn = min_n GROUP BY cell, n
 """
+
+
+def d8_basins(tiles, res: int, rounds: int, *,
+              cell_col: str = "cell", count_col: str = "n_docs"):
+    """Watershed (basin) labeling of the density raster — the
+    segmentation pass on top of d8_flow: every occupied cell is
+    labeled with the TERMINAL of its steepest-descent path (a sink
+    cell, or the unoccupied cell a region-boundary path drains
+    into), via ``rounds`` pointer-jumping rounds. The flow graph is
+    acyclic BY CONSTRUCTION (an edge exists only under strict count
+    descent, so counts strictly decrease along every path and no
+    cycle can close), and pointer jumping doubles resolved depth per
+    round — rounds=R covers descent chains up to 2^R long, and since
+    chain length is bounded by the number of DISTINCT count levels
+    (each hop strictly decreases the count), small R converges:
+    callers verify with the rounds vs rounds+1 equality check, the
+    bounded_paths/kcore discipline. Unoccupied terminals have no
+    pointer row; the jump coalesces a missing parent to itself, so
+    they behave as self-rooted — exactly sink semantics.
+
+    Scale: d8_flow's cost plus R self-joins of the cell-sized
+    pointer table (aggregate rows, not points), each
+    materialize()'d for lineage truncation. -> (cell, basin)."""
+    from pyspark.sql import functions as F
+
+    from ..materialize import materialize
+    f = d8_flow(tiles, res, cell_col=cell_col, count_col=count_col)
+    ptr = materialize(f.select(
+        F.col(cell_col).alias("_c"),
+        F.expr(f"CASE WHEN is_sink = 1 THEN {cell_col} "
+               "ELSE down_cell END").alias("_p")))
+    for _ in range(int(rounds)):
+        nxt = ptr.select(F.col("_c").alias("_pc"),
+                         F.col("_p").alias("_pp"))
+        ptr = materialize(
+            ptr.join(nxt, ptr["_p"] == nxt["_pc"], "left")
+               .select(F.col("_c"),
+                       F.coalesce(F.col("_pp"), F.col("_p"))
+                       .alias("_p")))
+    return ptr.select(F.col("_c").alias(cell_col),
+                      F.col("_p").alias("basin"))
+
+
+def d8_basins_sql(counts_sql: str, res: int, rounds: int, *,
+                  count_col: str = "n_docs") -> str:
+    """DuckDB twin of d8_basins — d8_flow_sql nested, then the same
+    fixed chain of pointer-jump stages (missing parent coalesces to
+    self)."""
+    stages = []
+    for i in range(1, int(rounds) + 1):
+        stages.append(
+            f"bp{i} AS (SELECT a.cell, COALESCE(b.p, a.p) AS p "
+            f"FROM bp{i - 1} a LEFT JOIN bp{i - 1} b "
+            f"ON b.cell = a.p)")
+    chain = ",\n".join(stages)
+    return f"""
+WITH d8f AS (SELECT * FROM ({d8_flow_sql(counts_sql, res,
+                                         count_col=count_col)})),
+bp0 AS (SELECT cell, CASE WHEN is_sink = 1 THEN cell
+        ELSE down_cell END AS p FROM d8f),
+{chain}
+SELECT cell, CAST(p AS BIGINT) AS basin FROM bp{int(rounds)}
+"""

@@ -3064,6 +3064,9 @@ def q_containment(spark, sf_dir):
     return containment_pairs(d)
 
 
+_BASIN_ROUNDS = 4
+
+
 def q_peak_cells(spark, sf_dir):
     """Raster local maxima (r5.36): cells strictly denser than every
     ring-1 neighbor over the customer res-6 raster — the peak-
@@ -3094,6 +3097,17 @@ def q_centroid_drift(spark, sf_dir):
     floor-mean — div/// agree only on nonnegative operands)."""
     from .operators.events import centroid_drift
     return centroid_drift(_traj_pts(spark, sf_dir))
+
+
+def q_d8_basins(spark, sf_dir):
+    """Watershed labeling (r5.36): terminal-of-descent basin label
+    per occupied res-6 cell via 4 pointer-jump rounds over the
+    acyclic d8 flow graph — converged at sf0.01 (rounds 5 output
+    equals rounds 4; operators/tiles.d8_basins docstring)."""
+    from .operators.tiles import d8_basins, tile_counts
+    t = tile_counts(_cust_points(spark, sf_dir), RES_COARSE) \
+        .withColumnRenamed("n_docs", "n_pts")
+    return d8_basins(t, RES_COARSE, _BASIN_ROUNDS, count_col="n_pts")
 
 
 # Heaps-curve checkpoints: all four rungs live at sf0.01 (500 docs)
@@ -3273,10 +3287,13 @@ QUERIES = {
     #    retention (funnel/window machinery driver-green) and
     #    hotspot_cells (its cell_neighbors ring fragment now gets
     #    driver coverage via peak_cells AND d8_flow) rotate just
-    #    past the boundary to make room --
+    #    past the boundary to make room; d8_basins joining the
+    #    wave pushes cell_moments (cell assign [driver r4] +
+    #    four combinable sums) just past as well --
     "peak_cells": q_peak_cells,
     "d8_flow": q_d8_flow,
     "centroid_drift": q_centroid_drift,
+    "d8_basins": q_d8_basins,
     "repetition_stats": q_repetition_stats,
     "semantic_dedup": q_semantic_dedup,
     "redact_pii": q_redact_pii,
@@ -4315,6 +4332,10 @@ def oracle_sql() -> dict[str, str]:
     out["d8_flow"] = d8_flow_sql(_cust_tiles, RES_COARSE,
                                  count_col="n_pts")
     out["centroid_drift"] = centroid_drift_sql(_TRAJ_PTS_SQL)
+    from .operators.tiles import d8_basins_sql
+    out["d8_basins"] = d8_basins_sql(_cust_tiles, RES_COARSE,
+                                     _BASIN_ROUNDS,
+                                     count_col="n_pts")
     return out
 
 

@@ -581,3 +581,84 @@ class TestCentroidDrift:
         want = sorted(tuple(r) for r in con.execute(
             centroid_drift_sql("SELECT * FROM p")).fetchall())
         assert got == want and len(got) == 10
+
+
+class TestD8Basins:
+    def _t(self, spark, res, cells):
+        return spark.createDataFrame(
+            [(_cell(spark, res, x, y), n) for x, y, n in cells],
+            "cell long, n_pts long")
+
+    def test_paths_follow_flow_and_sink_self_roots(self, spark):
+        """Basin labels equal the Python-side pointer walk over
+        d8_flow's edges for EVERY cell of a 5x5 count pyramid (the
+        center resolves a multi-hop interior chain: center -> ring1
+        -> ring2 -> unoccupied terminal); a surrounded local-minimum
+        sink labels to ITSELF."""
+        from geospark.operators.tiles import d8_basins, d8_flow
+        res = 6
+        pyramid = [(10 + dx, 10 + dy, 10 - max(abs(dx), abs(dy)))
+                   for dx in range(-2, 3) for dy in range(-2, 3)]
+        t = self._t(spark, res, pyramid)
+        flow = {r["cell"]: (r["down_cell"], r["is_sink"])
+                for r in d8_flow(t, res, count_col="n_pts").collect()}
+
+        def walk(c):
+            while c in flow and flow[c][1] == 0:
+                c = flow[c][0]
+            return c
+        got = {r["cell"]: r["basin"] for r in d8_basins(
+            t, res, 3, count_col="n_pts").collect()}
+        assert got == {c: walk(c) for c in flow}
+        center = _cell(spark, res, 10, 10)
+        assert got[center] not in flow  # resolves to unoccupied
+        assert flow[center][0] in flow  # via an occupied first hop
+        ring = [(x, y, 2) for x in (20, 21, 22) for y in (20, 21, 22)
+                if (x, y) != (21, 21)] + [(21, 21, 1)]
+        got2 = {r["cell"]: r["basin"] for r in d8_basins(
+            self._t(spark, res, ring), res, 3,
+            count_col="n_pts").collect()}
+        center2 = _cell(spark, res, 21, 21)
+        assert got2[center2] == center2
+
+    def test_rounds_convergence(self, spark):
+        """rounds=4 equals rounds=5 on a random raster (chains are
+        bounded by distinct count levels) — the bounded-round
+        convergence check."""
+        import numpy as np
+
+        from geospark.operators.tiles import d8_basins
+        rng = np.random.default_rng(8)
+        res = 5
+        seen = {}
+        for _ in range(200):
+            x, y = int(rng.integers(0, 32)), int(rng.integers(0, 32))
+            seen[(x, y)] = int(rng.integers(1, 30))
+        t = self._t(spark, res, [(x, y, n)
+                                 for (x, y), n in seen.items()])
+        r4 = _rows(d8_basins(t, res, 4, count_col="n_pts"))
+        r5 = _rows(d8_basins(t, res, 5, count_col="n_pts"))
+        assert r4 == r5 and len(r4) == len(seen)
+
+    def test_inline_oracle_parity(self, spark):
+        import duckdb
+        import numpy as np
+
+        from geospark.operators.tiles import d8_basins, d8_basins_sql
+        rng = np.random.default_rng(88)
+        res = 5
+        seen = {}
+        for _ in range(250):
+            x, y = int(rng.integers(0, 32)), int(rng.integers(0, 32))
+            seen[(x, y)] = int(rng.integers(1, 12))
+        rows = [(_cell(spark, res, x, y), n)
+                for (x, y), n in seen.items()]
+        got = _rows(d8_basins(
+            spark.createDataFrame(rows, "cell long, n_pts long"),
+            res, 3, count_col="n_pts"))
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t (cell BIGINT, n_pts BIGINT)")
+        con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+        want = sorted(tuple(r) for r in con.execute(d8_basins_sql(
+            "SELECT * FROM t", res, 3, count_col="n_pts")).fetchall())
+        assert got == want and len(got) == len(rows)
