@@ -548,7 +548,8 @@ SELECT doc_id, ({' + '.join(terms)}) AS simhash FROM h GROUP BY doc_id
 
 def _gram_pair_counts(df, *, n: int, block_col: str, id_col: str,
                       text_col: str, max_df: int,
-                      log_drops: bool = False):
+                      log_drops: bool = False,
+                      broadcast_sizes: bool = True):
     """Shared blocked char-n-gram pair intersection for ngram_pairs /
     containment_pairs — ONE gram extraction, ONE max_df stopword-gram
     guard, ONE (blk, gram) self-join, so the two consumers and their
@@ -590,11 +591,15 @@ def _gram_pair_counts(df, *, n: int, block_col: str, id_col: str,
     # sizes is a doc-sized aggregate (map-side combine shrinks the
     # gram stream before the exchange); BROADCASTING it back avoids
     # re-shuffling the full gram stream by doc_id and keeps the
-    # (blk, g) partitioning intact for the self-join. At a scale
-    # where the doc catalog itself outgrows broadcast, swap this for
-    # a doc-keyed shuffle join per block.
+    # (blk, g) partitioning intact for the self-join. Broadcast has
+    # a hard ceiling (Spark's 8GB broadcast-table limit / driver
+    # memory — roughly 10^8-10^9 docs): past it, pass
+    # broadcast_sizes=False to take the doc-keyed shuffle join
+    # instead of a runtime failure.
     sizes = kept.groupBy(id_col).agg(F.count(F.lit(1)).alias("ng"))
-    kept = kept.join(F.broadcast(sizes), id_col)
+    if broadcast_sizes:
+        sizes = F.broadcast(sizes)
+    kept = kept.join(sizes, id_col)
     a = kept.select(F.col(id_col).alias("doc_a"), F.col("ng").alias("na"),
                     "blk", "g")
     b = kept.select(F.col(id_col).alias("doc_b"), F.col("ng").alias("nb"),

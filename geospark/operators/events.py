@@ -1603,9 +1603,14 @@ def knox_stat(points, r_udeg: int, tau_us: int, *,
     (n_space·n_time) — 1e6 means space and time proximity are
     independent, >1e6 means clusters MOVE TOGETHER in space-time
     (contagion, flash events); NULL when a marginal is empty. The
-    product runs DECIMAL(38,0)/HUGEINT (n_both·n_pairs reaches
-    n⁴/4). Timestamps must be nonnegative (µs since a pre-data
-    epoch) — integer div bucketing truncates toward zero.
+    product runs DECIMAL(38,0)/HUGEINT — n_both·n_pairs reaches
+    n⁴/4, so 1e6·n_both·n_pairs fits the 38-digit/127-bit range
+    only up to n ≈ 1.6e8 points; past that bound the RATIO column
+    (never the four counts, which stay under BIGINT for n < 4e9)
+    needs a pre-aggregated or sampled input — overflow behavior
+    diverges across engines (Spark non-ANSI nulls, DuckDB errors),
+    so don't rely on it. Timestamps must be nonnegative (µs since a
+    pre-data epoch) — integer div bucketing truncates toward zero.
 
     Scale — nothing touches the quadratic pair space:
     * n_pairs = n(n-1)/2 off one count;

@@ -111,10 +111,16 @@ def bounded_paths(edges, seeds, k: int, *, a_col: str = "id_a",
     Seeds start at cost 0; a seed absent from the graph still reports
     itself at 0 (distance to the set is defined on the set).
 
-    Scale: each round is ONE edge-keyed equi-join (frontier-sized
-    left, the round's relaxations) + ONE node-keyed MIN groupBy, all
-    map-side combinable; per-round materialize() is the CC/grid_reach
-    lineage-truncation lesson. Rounds are k regardless of graph size.
+    Scale: each round relaxes only the FRONTIER — the nodes whose
+    cost changed last round (classic frontier Bellman-Ford / SPFA:
+    a node whose cost didn't change cannot improve any neighbor it
+    didn't already improve, so re-relaxing the settled set produces
+    only join rows the MIN discards) — via ONE edge-keyed equi-join
+    + ONE node-keyed MIN groupBy (map-side combinable) + ONE
+    (node, cost) anti-join to extract the next frontier; per-round
+    materialize() is the CC/grid_reach lineage-truncation lesson.
+    Rounds are k regardless of graph size, and on isochrone-shaped
+    workloads the frontier collapses to the expansion rim.
     -> (node, cost)."""
     from pyspark.sql import functions as F
 
@@ -129,13 +135,19 @@ def bounded_paths(edges, seeds, k: int, *, a_col: str = "id_a",
     dist = materialize(
         seeds.select(F.col(seed_col).alias("_v"),
                      F.lit(0).cast("long").alias("_c")).distinct())
+    frontier = dist
     for _ in range(int(k)):
-        relax = (dist.join(sym, dist["_v"] == sym["_a"])
+        relax = (frontier.join(sym, frontier["_v"] == sym["_a"])
                  .select(F.col("_b").alias("_v"),
                          (F.col("_c") + F.col("_w")).alias("_c")))
-        dist = materialize(
+        new = materialize(
             dist.unionByName(relax)
                 .groupBy("_v").agg(F.min("_c").alias("_c")))
+        # improved-or-new rows: their (node, cost) pair is absent
+        # from the previous dist
+        frontier = materialize(new.join(dist, ["_v", "_c"],
+                                        "left_anti"))
+        dist = new
     return dist.select(F.col("_v").alias("node"),
                        F.col("_c").alias("cost"))
 
@@ -154,14 +166,15 @@ def bounded_paths_sql(edges_sql: str, seeds_sql: str, k: int) -> str:
             f"FROM d{i - 1} p JOIN bp_e e ON e.id_a = p.v"
             f") GROUP BY v)")
     chain = ",\n".join(stages)
+    chain = (chain + "\n") if chain else ""  # k=0: no stages
+    comma = "," if stages else ""
     return f"""
 WITH bp_raw AS (SELECT id_a, id_b, w FROM ({edges_sql})),
 bp_e AS (SELECT id_a, id_b, w FROM bp_raw
          UNION ALL SELECT id_b, id_a, w FROM bp_raw),
 d0 AS (SELECT DISTINCT id AS v, CAST(0 AS BIGINT) AS c
-       FROM ({seeds_sql})),
-{chain}
-SELECT v AS node, CAST(c AS BIGINT) AS cost FROM d{int(k)}
+       FROM ({seeds_sql})){comma}
+{chain}SELECT v AS node, CAST(c AS BIGINT) AS cost FROM d{int(k)}
 """
 
 
@@ -227,13 +240,14 @@ def kcore_peel_sql(edges_sql: str, k: int, rounds: int) -> str:
             f"JOIN n{i} x ON e.a = x.v "
             f"JOIN n{i} y ON e.b = y.v)")
     chain = ",\n".join(stages)
+    chain = (chain + "\n") if chain else ""  # rounds=0: no stages
+    comma = "," if stages else ""
     return f"""
 WITH kc_raw AS (SELECT id_a, id_b FROM ({edges_sql})
                 WHERE id_a <> id_b),
 e0 AS (SELECT DISTINCT a, b FROM (
        SELECT id_a AS a, id_b AS b FROM kc_raw
-       UNION ALL SELECT id_b, id_a FROM kc_raw)),
-{chain}
-SELECT a AS node, COUNT(*) AS deg
+       UNION ALL SELECT id_b, id_a FROM kc_raw)){comma}
+{chain}SELECT a AS node, COUNT(*) AS deg
 FROM e{int(rounds)} GROUP BY a
 """

@@ -1844,8 +1844,11 @@ def colocation_pi(points, r_udeg: int, *, id_col: str = "id",
     part = materialize(
         d.groupBy("_ti", "_tj").agg(F.countDistinct("_ii")
                                     .alias("_np")))
-    tot = (points.groupBy(F.col(type_col).alias("_t"))
-           .agg(F.count(F.lit(1)).alias("_n")))
+    # tot is referenced twice below under different aliases (_ti /
+    # _tj) — ReuseExchange cannot match the two subtrees, so without
+    # this materialize the full point scan + agg would run twice
+    tot = materialize(points.groupBy(F.col(type_col).alias("_t"))
+                      .agg(F.count(F.lit(1)).alias("_n")))
     p1 = part.filter(F.col("_ti") < F.col("_tj"))
     p2 = part.select(F.col("_tj").alias("_ti"),
                      F.col("_ti").alias("_tj"),
@@ -2193,11 +2196,12 @@ def d8_basins_sql(counts_sql: str, res: int, rounds: int, *,
             f"FROM bp{i - 1} a LEFT JOIN bp{i - 1} b "
             f"ON b.cell = a.p)")
     chain = ",\n".join(stages)
+    chain = (chain + "\n") if chain else ""  # rounds=0: no stages
+    comma = "," if stages else ""
     return f"""
 WITH d8f AS (SELECT * FROM ({d8_flow_sql(counts_sql, res,
                                          count_col=count_col)})),
 bp0 AS (SELECT cell, CASE WHEN is_sink = 1 THEN cell
-        ELSE down_cell END AS p FROM d8f),
-{chain}
-SELECT cell, CAST(p AS BIGINT) AS basin FROM bp{int(rounds)}
+        ELSE down_cell END AS p FROM d8f){comma}
+{chain}SELECT cell, CAST(p AS BIGINT) AS basin FROM bp{int(rounds)}
 """

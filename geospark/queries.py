@@ -2776,18 +2776,16 @@ def q_type_transitions(spark, sf_dir):
                      "TIMESTAMP_NTZ '2024-01-01 00:00:00', ts)")))
 
 
-def q_stream_revisit(spark, sf_dir):
-    """STATEFUL STREAMING revisit gaps under a full value-hash oracle
-    (the stream_sessionize pattern): the events table replayed as
-    four TIME-SLICED microbatch files through stream_revisit_gaps
-    (applyInPandasWithState, last-visit timestamp per (user, cell) in
-    the state store), emitted gaps aggregated to the log2-bucket
-    histogram — which the batch revisit_hist SQL reproduces exactly.
-    Time-sliced files keep the within-key order contract (equal-ts
-    ties may split across slices but a tie's gap is 0 under ANY
-    order); gaps are ts DIFFERENCES so the epoch convention cancels.
-    Deterministic: slice boundaries from the data span, file order
-    pinned with explicit mtimes."""
+def _replay_time_sliced(spark, sf_dir, build_op, prefix):
+    """Shared time-sliced replay harness for the streaming value-hash
+    oracles (stream_revisit / stream_speed): the events table split
+    into four ts-sliced microbatch parquet files (slices cut at ts
+    boundaries so equal-ts ties never split; file replay order pinned
+    with explicit mtimes below any real clock), driven through
+    ``build_op(stream_df) -> stream_df`` with a memory sink, the
+    collected output materialized and returned. ONE copy of the
+    fragile mtime-pinning scheme — both streaming oracles ride it, so
+    a replay-contract fix cannot drift between them."""
     import glob
     import os
     import shutil
@@ -2796,7 +2794,6 @@ def q_stream_revisit(spark, sf_dir):
 
     from pyspark.sql import functions as F
 
-    from .streaming.stream import stream_revisit_gaps
     e = (spark.read.parquet(f"{sf_dir}/events.parquet")
          .select("event_id", F.col("ts").cast("timestamp_ntz")
                  .alias("ts"), "user_id",
@@ -2806,7 +2803,7 @@ def q_stream_revisit(spark, sf_dir):
         .collect()[0]
     lo, hi = row["lo"], row["hi"]
     span = hi - lo
-    work = tempfile.mkdtemp(prefix="geospark_stream_revisit_")
+    work = tempfile.mkdtemp(prefix=f"geospark_{prefix}_")
     src = os.path.join(work, "src")
     cuts = [lo + span * i / 4 for i in range(1, 4)]
     bounds = [(None, cuts[0]), (cuts[0], cuts[1]),
@@ -2822,26 +2819,46 @@ def q_stream_revisit(spark, sf_dir):
         # i earlier slices already carry pinned mtimes below any real
         # clock — so the [i:] tail of the mtime sort is exactly the
         # file this iteration wrote
-        for p in sorted(glob.glob(os.path.join(src, "*.parquet")),
-                        key=os.path.getmtime)[i:]:
-            os.utime(p, (1_000_000 + i, 1_000_000 + i))
+        for pth in sorted(glob.glob(os.path.join(src, "*.parquet")),
+                          key=os.path.getmtime)[i:]:
+            os.utime(pth, (1_000_000 + i, 1_000_000 + i))
     sdf = (spark.readStream
            .schema("event_id long, ts timestamp_ntz, user_id long, "
                    "lat double, lon double")
            .option("maxFilesPerTrigger", 1).parquet(src))
-    out = stream_revisit_gaps(sdf, _REVISIT_RES)
-    name = f"gs_stream_revisit_{uuid.uuid4().hex[:8]}"
+    out = build_op(sdf)
+    name = f"gs_{prefix}_{uuid.uuid4().hex[:8]}"
     q = (out.writeStream.format("memory").queryName(name)
          .outputMode("append")
          .option("checkpointLocation", os.path.join(work, "ck"))
          .trigger(availableNow=True).start())
     q.awaitTermination()
-    res = materialize(
-        spark.table(name).groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("n_gaps")))
+    res = materialize(spark.table(name))
     spark.catalog.dropTempView(name)
     shutil.rmtree(work, ignore_errors=True)
     return res
+
+
+def q_stream_revisit(spark, sf_dir):
+    """STATEFUL STREAMING revisit gaps under a full value-hash oracle
+    (the stream_sessionize pattern): the events table replayed as
+    four TIME-SLICED microbatch files through stream_revisit_gaps
+    (applyInPandasWithState, last-visit timestamp per (user, cell) in
+    the state store), emitted gaps aggregated to the log2-bucket
+    histogram — which the batch revisit_hist SQL reproduces exactly.
+    Time-sliced files keep the within-key order contract (equal-ts
+    ties may split across slices but a tie's gap is 0 under ANY
+    order); gaps are ts DIFFERENCES so the epoch convention cancels.
+    Deterministic: _replay_time_sliced (shared with stream_speed)."""
+    from pyspark.sql import functions as F
+
+    from .streaming.stream import stream_revisit_gaps
+    res = _replay_time_sliced(
+        spark, sf_dir,
+        lambda sdf: stream_revisit_gaps(sdf, _REVISIT_RES),
+        "stream_revisit")
+    return (res.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n_gaps")))
 
 
 def q_stream_speed(spark, sf_dir):
@@ -2853,58 +2870,14 @@ def q_stream_speed(spark, sf_dir):
     cut at ts boundaries, so equal-ts ties never split across
     microbatches and the per-user (ts, tie) replay order is exact;
     us is µs since the shared 2024-01-01 epoch so even the absolute
-    output column matches. Deterministic: slice boundaries from the
-    data span, file order pinned with explicit mtimes."""
-    import glob
-    import os
-    import shutil
-    import tempfile
-    import uuid
-
-    from pyspark.sql import functions as F
-
+    output column matches. Deterministic: _replay_time_sliced
+    (shared with stream_revisit)."""
     from .streaming.stream import stream_speed_flags
-    e = (spark.read.parquet(f"{sf_dir}/events.parquet")
-         .select("event_id", F.col("ts").cast("timestamp_ntz")
-                 .alias("ts"), "user_id",
-                 F.expr(_TRAJ_LAT).alias("lat"),
-                 F.expr(_TRAJ_LON).alias("lon")))
-    row = e.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")) \
-        .collect()[0]
-    lo, hi = row["lo"], row["hi"]
-    span = hi - lo
-    work = tempfile.mkdtemp(prefix="geospark_stream_speed_")
-    src = os.path.join(work, "src")
-    cuts = [lo + span * i / 4 for i in range(1, 4)]
-    bounds = [(None, cuts[0]), (cuts[0], cuts[1]),
-              (cuts[1], cuts[2]), (cuts[2], None)]
-    for i, (a, b) in enumerate(bounds):
-        s = e
-        if a is not None:
-            s = s.filter(F.col("ts") >= a)
-        if b is not None:
-            s = s.filter(F.col("ts") < b)
-        s.coalesce(1).write.mode("append").parquet(src)
-        # pin replay order (the q_stream_revisit mtime scheme)
-        for p in sorted(glob.glob(os.path.join(src, "*.parquet")),
-                        key=os.path.getmtime)[i:]:
-            os.utime(p, (1_000_000 + i, 1_000_000 + i))
-    sdf = (spark.readStream
-           .schema("event_id long, ts timestamp_ntz, user_id long, "
-                   "lat double, lon double")
-           .option("maxFilesPerTrigger", 1).parquet(src))
-    out = stream_speed_flags(sdf, _SPEED_VMAX)
-    name = f"gs_stream_speed_{uuid.uuid4().hex[:8]}"
-    q = (out.writeStream.format("memory").queryName(name)
-         .outputMode("append")
-         .option("checkpointLocation", os.path.join(work, "ck"))
-         .trigger(availableNow=True).start())
-    q.awaitTermination()
-    res = materialize(spark.table(name)
-                      .select("user_id", "us", "dt_us", "d2"))
-    spark.catalog.dropTempView(name)
-    shutil.rmtree(work, ignore_errors=True)
-    return res
+    res = _replay_time_sliced(
+        spark, sf_dir,
+        lambda sdf: stream_speed_flags(sdf, _SPEED_VMAX),
+        "stream_speed")
+    return res.select("user_id", "us", "dt_us", "d2")
 
 
 # proximity graph: 5 degrees at blocking res 4 — sparse (avg degree

@@ -662,3 +662,44 @@ class TestD8Basins:
         want = sorted(tuple(r) for r in con.execute(d8_basins_sql(
             "SELECT * FROM t", res, 3, count_col="n_pts")).fetchall())
         assert got == want and len(got) == len(rows)
+
+
+class TestZeroRoundBoundaries:
+    """Review fix: the chained-CTE SQL twins emitted a dangling comma
+    at k/rounds = 0 while the Spark loops handled 0 fine — the
+    engine-parity contract must hold at the boundary value too."""
+
+    def test_bounded_paths_k0(self, spark):
+        import duckdb
+
+        from geospark.operators.graph import (bounded_paths,
+                                              bounded_paths_sql)
+        e = spark.createDataFrame([(1, 2, 5)],
+                                  "id_a long, id_b long, w long")
+        s = spark.createDataFrame([(1,)], "id long")
+        got = _rows(bounded_paths(e, s, 0))
+        assert got == [(1, 0)]
+        con = duckdb.connect()
+        want = sorted(tuple(r) for r in con.execute(bounded_paths_sql(
+            "SELECT 1 AS id_a, 2 AS id_b, 5 AS w",
+            "SELECT 1 AS id", 0)).fetchall())
+        assert got == want
+
+    def test_kcore_rounds0_and_basins_rounds0(self, spark):
+        import duckdb
+
+        from geospark.operators.graph import kcore_peel, kcore_peel_sql
+        from geospark.operators.tiles import d8_basins, d8_basins_sql
+        e = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+        got = _rows(kcore_peel(e, 2, 0))
+        con = duckdb.connect()
+        want = sorted(tuple(r) for r in con.execute(kcore_peel_sql(
+            "SELECT 1 AS id_a, 2 AS id_b", 2, 0)).fetchall())
+        assert got == want == [(1, 1), (2, 1)]
+        t = spark.createDataFrame(
+            [(_cell(spark, 6, 10, 10), 3)], "cell long, n_pts long")
+        got2 = _rows(d8_basins(t, 6, 0, count_col="n_pts"))
+        want2 = sorted(tuple(r) for r in con.execute(d8_basins_sql(
+            f"SELECT {_cell(spark, 6, 10, 10)} AS cell, 3 AS n_pts",
+            6, 0, count_col="n_pts")).fetchall())
+        assert got2 == want2 and len(got2) == 1
