@@ -2205,3 +2205,71 @@ bp0 AS (SELECT cell, CASE WHEN is_sink = 1 THEN cell
         ELSE down_cell END AS p FROM d8f){comma}
 {chain}SELECT cell, CAST(p AS BIGINT) AS basin FROM bp{int(rounds)}
 """
+
+
+def cross_k(points, radii_udeg, *, id_col: str = "id",
+            type_col: str = "ftype", lat_col: str = "lat",
+            lon_col: str = "lon", res: int = 6):
+    """Bivariate (cross-type) Ripley's-K numerator ladder — the
+    multi-scale companion to colocation_pi's single-radius
+    participation index: for every unordered pair of feature TYPES
+    and every radius r in ``radii_udeg`` (ascending), the number of
+    unordered cross-type point pairs within r (closed, squared
+    lattice metric). Against the univariate pair_counts curve this
+    says whether two types ATTRACT (cross-K above independence) or
+    REPEL at each scale — the spatial-interaction fingerprint
+    colocation mining ranks by at one r.
+
+    Integer-exact and engine-identical: rides proximity_edges at the
+    LARGEST radius (carry=type), each smaller rung a conditional sum
+    over the same pair stream — one blocked join total, aggregate
+    work per extra rung is one combinable SUM. Only type pairs with
+    >= 1 pair at the largest radius appear; rungs fill with 0 for
+    those pairs (the ladder unpivots from one aggregate row per type
+    pair). -> (type_a, type_b, r_udeg, n_pairs), cumulative in r."""
+    from pyspark.sql import functions as F
+    radii = sorted(int(r) for r in radii_udeg)
+    e = proximity_edges(points, radii[-1], id_col=id_col,
+                        lat_col=lat_col, lon_col=lon_col, res=res,
+                        keep_d2=True, carry=(type_col,))
+    ta, tb = f"{type_col}_a", f"{type_col}_b"
+    x = (e.filter(F.col(ta) != F.col(tb))
+         .select(F.least(ta, tb).alias("_t1"),
+                 F.greatest(ta, tb).alias("_t2"), "d2"))
+    aggs = [F.coalesce(F.sum(F.expr(
+        f"CASE WHEN d2 <= {r * r} THEN 1 ELSE 0 END")),
+        F.lit(0)).cast("long").alias(f"_c{i}")
+        for i, r in enumerate(radii)]
+    one = x.groupBy("_t1", "_t2").agg(*aggs)
+    stack = ", ".join(f"CAST({r} AS BIGINT), _c{i}"
+                      for i, r in enumerate(radii))
+    return one.selectExpr(
+        "_t1 AS type_a", "_t2 AS type_b",
+        f"stack({len(radii)}, {stack}) AS (r_udeg, n_pairs)")
+
+
+def cross_k_sql(pts_sql: str, radii_udeg,
+                type_col: str = "ftype") -> str:
+    """DuckDB twin of cross_k over a subquery producing
+    (id, lat, lon, {type_col}) — proximity_edges_sql at the largest
+    radius, conditional sums, UNPIVOT via UNION ALL."""
+    radii = sorted(int(r) for r in radii_udeg)
+    pe = proximity_edges_sql(pts_sql, radii[-1], keep_d2=True,
+                             carry=(type_col,))
+    ta, tb = f"{type_col}_a", f"{type_col}_b"
+    sums = ", ".join(
+        f"COALESCE(SUM(CASE WHEN d2 <= {r * r} THEN 1 ELSE 0 END), 0)"
+        f" AS c{i}" for i, r in enumerate(radii))
+    rungs = "\nUNION ALL\n".join(
+        f"SELECT type_a, type_b, CAST({r} AS BIGINT) AS r_udeg, "
+        f"CAST(c{i} AS BIGINT) AS n_pairs FROM xk_one"
+        for i, r in enumerate(radii))
+    return f"""
+WITH xk_pe AS ({pe}),
+xk_x AS (SELECT LEAST({ta}, {tb}) AS type_a,
+         GREATEST({ta}, {tb}) AS type_b, d2
+         FROM xk_pe WHERE {ta} <> {tb}),
+xk_one AS (SELECT type_a, type_b, {sums}
+           FROM xk_x GROUP BY 1, 2)
+{rungs}
+"""

@@ -3083,6 +3083,27 @@ def q_d8_basins(spark, sf_dir):
     return d8_basins(t, RES_COARSE, _BASIN_ROUNDS, count_col="n_pts")
 
 
+_XK_RADII = [1_000_000, 2_000_000, 3_000_000]
+
+
+def q_cross_k(spark, sf_dir):
+    """Bivariate cross-K ladder (r5.37): cross-type pair counts at
+    1/2/3 degrees over the 2D EVT grid — does each event-type pair
+    attract or repel, and at what scale
+    (operators/tiles.cross_k docstring: one blocked join at the
+    largest radius, conditional sums per rung)."""
+    from pyspark.sql import functions as F
+
+    from .operators.tiles import cross_k
+    e = (spark.read.parquet(f"{sf_dir}/events.parquet")
+         .filter(F.col("event_id") % _CPI_MOD == 0))
+    pts = e.select(F.col("event_id").alias("id"),
+                   F.col("event_type").alias("ftype"),
+                   F.expr(EVT_LAT_SQL).alias("lat"),
+                   F.expr(EVT_LON_SQL).alias("lon"))
+    return cross_k(pts, _XK_RADII, res=_CPI_RES)
+
+
 # Heaps-curve checkpoints: all four rungs live at sf0.01 (500 docs)
 # and are a strict prefix of every larger scale
 _VOCAB_CPS = [50, 100, 200, 400]
@@ -3267,6 +3288,7 @@ QUERIES = {
     "d8_flow": q_d8_flow,
     "centroid_drift": q_centroid_drift,
     "d8_basins": q_d8_basins,
+    "cross_k": q_cross_k,
     "repetition_stats": q_repetition_stats,
     "semantic_dedup": q_semantic_dedup,
     "redact_pii": q_redact_pii,
@@ -3279,7 +3301,6 @@ QUERIES = {
     "top_pairs": q_top_pairs,
     "budget_sample": q_budget_sample,
     "ring_valid": q_ring_valid,
-    "idw_interp": q_idw_interp,
     "cell_moments": q_cell_moments,
     # (r5-session-8 rotation: the ten rows below moved just past
     #  the window — see the rotation comment above)
@@ -3293,6 +3314,7 @@ QUERIES = {
     "host_dup": q_host_dup,
     "funnel_by_cell": q_funnel_by_cell,
     "ring_orient": q_ring_orient,
+    "idw_interp": q_idw_interp,
     "split_leakage": q_split_leakage,
     "retention": q_retention,
     "hotspot_cells": q_hotspot_cells,
@@ -4309,6 +4331,8 @@ def oracle_sql() -> dict[str, str]:
     out["d8_basins"] = d8_basins_sql(_cust_tiles, RES_COARSE,
                                      _BASIN_ROUNDS,
                                      count_col="n_pts")
+    from .operators.tiles import cross_k_sql
+    out["cross_k"] = cross_k_sql(_CPI_PTS_SQL, _XK_RADII)
     return out
 
 

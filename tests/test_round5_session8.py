@@ -703,3 +703,46 @@ class TestZeroRoundBoundaries:
             f"SELECT {_cell(spark, 6, 10, 10)} AS cell, 3 AS n_pts",
             6, 0, count_col="n_pts")).fetchall())
         assert got2 == want2 and len(got2) == 1
+
+
+class TestCrossK:
+    def _d(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "id long, ftype string, lat double, lon double")
+
+    def test_ladder_cumulative_and_zero_rungs(self, spark):
+        """A-B pairs at lattice distances 1 and 3: rung r=1 counts
+        one pair, r=3 counts both (cumulative); a type pair with
+        pairs only at the LARGEST radius still emits ZERO rows for
+        the smaller rungs; same-type pairs never count."""
+        from geospark.operators.tiles import cross_k
+        d = self._d(spark, [
+            (1, "A", 0.0, 0.000000), (2, "B", 0.0, 0.000001),
+            (3, "B", 0.0, 0.000003),
+            (4, "A", 0.0, 0.000004),  # A-A with 1: same type
+            (5, "C", 10.0, 10.0), (6, "D", 10.0, 10.000003)])
+        got = _rows(cross_k(d, [1, 3], res=6))
+        assert (("A", "B", 1, 2) in got)  # pairs (1,2) d=1, (3,4) d=1
+        assert (("A", "B", 3, 4) in got)  # + (1,3) d=3, (2,4) d=3
+        assert (("C", "D", 1, 0) in got)  # zero rung below its pair
+        assert (("C", "D", 3, 1) in got)
+        assert all(r[0] != r[1] for r in got)
+
+    def test_inline_oracle_parity(self, spark):
+        import duckdb
+        import numpy as np
+
+        from geospark.operators.tiles import cross_k, cross_k_sql
+        rng = np.random.default_rng(4040)
+        rows = [(i, "PQ"[int(rng.integers(0, 2))],
+                 float(rng.uniform(-3, 3)), float(rng.uniform(-3, 3)))
+                for i in range(300)]
+        got = _rows(cross_k(self._d(spark, rows),
+                            [200_000, 600_000], res=6))
+        con = duckdb.connect()
+        con.execute("CREATE TABLE p (id BIGINT, ftype VARCHAR, "
+                    "lat DOUBLE, lon DOUBLE)")
+        con.executemany("INSERT INTO p VALUES (?, ?, ?, ?)", rows)
+        want = sorted(tuple(r) for r in con.execute(cross_k_sql(
+            "SELECT * FROM p", [200_000, 600_000])).fetchall())
+        assert got == want and len(got) == 2 and got[0][3] > 0
