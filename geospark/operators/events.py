@@ -1766,3 +1766,86 @@ SELECT day, CAST(n AS BIGINT) AS n, CAST(cx AS BIGINT) AS cx,
          AS d2_prev
 FROM cd_w
 """
+
+
+def threshold_alerts(points, res: int, window_us: int, hi: int,
+                     lo: int, *, us_col: str = "us",
+                     lat_col: str = "lat", lon_col: str = "lon"):
+    """Hysteresis threshold alerting over per-cell tumbling-window
+    counts — the monitoring primitive a plain `n >= T` filter
+    flaps on: an alert RAISES when a cell's window count reaches
+    ``hi`` and only CLEARS when a later window drops below ``lo``
+    (lo <= hi; counts in [lo, hi) hold the current state). Emits one
+    row per state TRANSITION: (cell, w, n, alert 1=raise/0=clear).
+
+    Exact fold-free formulation (the automaton is a fold, but with
+    two thresholds the state after any prefix equals "the most
+    recent DEFINING window was a raise": windows in [lo, hi) define
+    nothing, a window cannot be both, so state = last_hi > last_lo
+    over running maxima — two window-function MAXes, no recursion,
+    identical in both engines).
+
+    OBSERVED-window semantics: windows with zero events for a cell
+    are absent and neither clear nor raise (the streaming twin
+    cannot see them either); a transition is CONFIRMED at the cell's
+    next observed activity (the streaming twin can only evaluate a
+    window once a later event closes it), so each cell's final
+    observed window is never evaluated — LEAD(w) IS NOT NULL in
+    both engines.
+
+    Scale: one (cell, window) combinable count, then three window
+    functions over AGGREGATE rows. -> (cell, w, n, alert)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..functions.cells import cell_encode
+    d = points.select(
+        cell_encode(lat_col, lon_col, res).alias("cell"),
+        F.expr(f"{us_col} div {int(window_us)}").alias("w"))
+    c = d.groupBy("cell", "w").agg(F.count(F.lit(1)).alias("n"))
+    run = (Window.partitionBy("cell").orderBy("w")
+           .rowsBetween(Window.unboundedPreceding, 0))
+    seq = Window.partitionBy("cell").orderBy("w")
+    s = (c.withColumn("_lh", F.max(F.expr(
+            f"CASE WHEN n >= {int(hi)} THEN w END")).over(run))
+         .withColumn("_ll", F.max(F.expr(
+            f"CASE WHEN n < {int(lo)} THEN w END")).over(run))
+         .withColumn("_nxt", F.lead("w").over(seq)))
+    s = s.withColumn("_st", F.expr(
+        "CASE WHEN _lh IS NOT NULL AND (_ll IS NULL OR _lh > _ll) "
+        "THEN 1 ELSE 0 END"))
+    s = s.withColumn("_pst", F.coalesce(
+        F.lag("_st").over(seq), F.lit(0)))
+    return (s.filter((F.col("_st") != F.col("_pst"))
+                     & F.col("_nxt").isNotNull())
+            .select("cell", "w", F.col("n").cast("long").alias("n"),
+                    F.col("_st").cast("long").alias("alert")))
+
+
+def threshold_alerts_sql(pts_sql: str, res: int, window_us: int,
+                         hi: int, lo: int) -> str:
+    """DuckDB twin of threshold_alerts over a subquery producing
+    (us, lat, lon) — same running-maxima state formula."""
+    from ..functions.cells import cell_encode_sql
+    cell = cell_encode_sql("lat", "lon", res)
+    return f"""
+WITH ta_d AS (SELECT {cell} AS cell, us // {int(window_us)} AS w
+              FROM ({pts_sql})),
+ta_c AS (SELECT cell, w, COUNT(*) AS n FROM ta_d GROUP BY 1, 2),
+ta_s AS (SELECT cell, w, n,
+         MAX(CASE WHEN n >= {int(hi)} THEN w END) OVER runw
+           AS lh,
+         MAX(CASE WHEN n < {int(lo)} THEN w END) OVER runw AS ll,
+         LEAD(w) OVER (PARTITION BY cell ORDER BY w) AS nxt
+         FROM ta_c
+         WINDOW runw AS (PARTITION BY cell ORDER BY w
+                         ROWS UNBOUNDED PRECEDING)),
+ta_t AS (SELECT cell, w, n, nxt,
+         CASE WHEN lh IS NOT NULL AND (ll IS NULL OR lh > ll)
+         THEN 1 ELSE 0 END AS st FROM ta_s),
+ta_u AS (SELECT cell, w, n, nxt, st,
+         COALESCE(LAG(st) OVER (PARTITION BY cell ORDER BY w), 0)
+           AS pst FROM ta_t)
+SELECT cell, w, CAST(n AS BIGINT) AS n, CAST(st AS BIGINT) AS alert
+FROM ta_u WHERE st <> pst AND nxt IS NOT NULL
+"""

@@ -2273,3 +2273,54 @@ xk_one AS (SELECT type_a, type_b, {sums}
            FROM xk_x GROUP BY 1, 2)
 {rungs}
 """
+
+
+def basin_stats(tiles, res: int, rounds: int, *,
+                cell_col: str = "cell", count_col: str = "n_docs"):
+    """Zonal statistics over the d8 watershed decomposition — the
+    region-level rollup that turns the per-cell flow field into a
+    catchment table: per basin label (a d8_basins terminal), the
+    member-cell count, the total event mass, and whether the basin
+    is INTERIOR (its terminal is an occupied local-minimum sink) or
+    drains off the occupied region's edge (terminal unoccupied).
+
+    Scale: d8_basins' cost plus one basin-keyed combinable agg over
+    the cell-sized label table and one left join against the
+    occupied set for the interior flag.
+    -> (basin, n_cells, total, interior 0/1)."""
+    from pyspark.sql import functions as F
+    t = tiles.select(F.col(cell_col).alias("_bc"),
+                     F.col(count_col).alias("_bn"))
+    b = d8_basins(tiles, res, rounds, cell_col=cell_col,
+                  count_col=count_col)
+    j = b.join(t, b[cell_col] == t["_bc"])
+    g = (j.groupBy("basin")
+         .agg(F.count(F.lit(1)).alias("n_cells"),
+              F.sum("_bn").alias("total")))
+    occ = t.select(F.col("_bc").alias("basin"),
+                   F.lit(1).alias("_occ"))
+    return (g.join(occ, "basin", "left")
+            .select("basin", "n_cells",
+                    F.col("total").cast("long").alias("total"),
+                    F.coalesce(F.col("_occ"), F.lit(0))
+                    .cast("long").alias("interior")))
+
+
+def basin_stats_sql(counts_sql: str, res: int, rounds: int, *,
+                    count_col: str = "n_docs") -> str:
+    """DuckDB twin of basin_stats — d8_basins_sql nested, same
+    rollup + interior flag."""
+    return f"""
+WITH bs_counts AS ({counts_sql}),
+bs_b AS (SELECT * FROM ({d8_basins_sql(counts_sql, res, rounds,
+                                       count_col=count_col)})),
+bs_g AS (SELECT b.basin, COUNT(*) AS n_cells,
+         SUM(c.{count_col}) AS total
+         FROM bs_b b JOIN bs_counts c ON c.cell = b.cell
+         GROUP BY 1)
+SELECT g.basin, CAST(g.n_cells AS BIGINT) AS n_cells,
+       CAST(g.total AS BIGINT) AS total,
+       CAST(CASE WHEN o.cell IS NULL THEN 0 ELSE 1 END AS BIGINT)
+         AS interior
+FROM bs_g g LEFT JOIN bs_counts o ON o.cell = g.basin
+"""

@@ -3104,6 +3104,48 @@ def q_cross_k(spark, sf_dir):
     return cross_k(pts, _XK_RADII, res=_CPI_RES)
 
 
+# hysteresis alerting: res-4 cells, 6-hour windows
+_TA_RES, _TA_WIN_US = 4, 6 * 3600 * 1_000_000
+_TA_HI, _TA_LO = 4, 2
+
+
+def q_basin_stats(spark, sf_dir):
+    """Watershed zonal stats (r5.37): per d8 basin, member-cell
+    count, total mass, and the interior (occupied-sink) flag
+    (operators/tiles.basin_stats docstring)."""
+    from .operators.tiles import basin_stats, tile_counts
+    t = tile_counts(_cust_points(spark, sf_dir), RES_COARSE) \
+        .withColumnRenamed("n_docs", "n_pts")
+    return basin_stats(t, RES_COARSE, _BASIN_ROUNDS,
+                       count_col="n_pts")
+
+
+def q_threshold_alerts(spark, sf_dir):
+    """Hysteresis threshold alerting (r5.37): per-cell 6-hour window
+    counts raise at >= 4 and clear below 2 — transition rows only,
+    fold-free running-maxima state formula
+    (operators/events.threshold_alerts docstring)."""
+    from .operators.events import threshold_alerts
+    return threshold_alerts(_traj_pts(spark, sf_dir), _TA_RES,
+                            _TA_WIN_US, _TA_HI, _TA_LO)
+
+
+def q_stream_alerts(spark, sf_dir):
+    """STATEFUL STREAMING hysteresis alerting under a full
+    value-hash oracle: the replayed event stream through
+    stream_threshold_alerts (one (window, count, alert-bit) row per
+    cell in the state store), transitions collected — which the
+    batch threshold_alerts SQL reproduces row for row
+    (streaming/stream.stream_threshold_alerts docstring)."""
+    from .streaming.stream import stream_threshold_alerts
+    res = _replay_time_sliced(
+        spark, sf_dir,
+        lambda sdf: stream_threshold_alerts(
+            sdf, _TA_RES, _TA_WIN_US, _TA_HI, _TA_LO),
+        "stream_alerts")
+    return res.select("cell", "w", "n", "alert")
+
+
 # Heaps-curve checkpoints: all four rungs live at sf0.01 (500 docs)
 # and are a strict prefix of every larger scale
 _VOCAB_CPS = [50, 100, 200, 400]
@@ -3289,17 +3331,17 @@ QUERIES = {
     "centroid_drift": q_centroid_drift,
     "d8_basins": q_d8_basins,
     "cross_k": q_cross_k,
+    "basin_stats": q_basin_stats,
+    "threshold_alerts": q_threshold_alerts,
+    "stream_alerts": q_stream_alerts,
     "repetition_stats": q_repetition_stats,
     "semantic_dedup": q_semantic_dedup,
     "redact_pii": q_redact_pii,
     "decontaminate": q_decontaminate,
     "dup_spans": q_dup_spans,
     "pack_sequences": q_pack_sequences,
-    "qann_topk": q_qann_topk,
     "asof_events": q_asof_events,
     "trajectories": q_trajectories,
-    "top_pairs": q_top_pairs,
-    "budget_sample": q_budget_sample,
     "ring_valid": q_ring_valid,
     "cell_moments": q_cell_moments,
     # (r5-session-8 rotation: the ten rows below moved just past
@@ -3314,6 +3356,9 @@ QUERIES = {
     "host_dup": q_host_dup,
     "funnel_by_cell": q_funnel_by_cell,
     "ring_orient": q_ring_orient,
+    "top_pairs": q_top_pairs,
+    "budget_sample": q_budget_sample,
+    "qann_topk": q_qann_topk,
     "idw_interp": q_idw_interp,
     "split_leakage": q_split_leakage,
     "retention": q_retention,
@@ -4333,6 +4378,17 @@ def oracle_sql() -> dict[str, str]:
                                      count_col="n_pts")
     from .operators.tiles import cross_k_sql
     out["cross_k"] = cross_k_sql(_CPI_PTS_SQL, _XK_RADII)
+    from .operators.events import threshold_alerts_sql
+    from .operators.tiles import basin_stats_sql
+    out["basin_stats"] = basin_stats_sql(_cust_tiles, RES_COARSE,
+                                         _BASIN_ROUNDS,
+                                         count_col="n_pts")
+    out["threshold_alerts"] = threshold_alerts_sql(
+        _TRAJ_PTS_SQL, _TA_RES, _TA_WIN_US, _TA_HI, _TA_LO)
+    # streaming transitions == the BATCH threshold_alerts SQL, row
+    # for row (the stream_revisit closing-the-gate pattern)
+    out["stream_alerts"] = threshold_alerts_sql(
+        _TRAJ_PTS_SQL, _TA_RES, _TA_WIN_US, _TA_HI, _TA_LO)
     return out
 
 

@@ -550,3 +550,76 @@ def stream_speed_flags(stream_df, vmax_udeg_s: int, *,
                                  "last_iy long"),
                 outputMode="append",
                 timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def stream_threshold_alerts(stream_df, res: int, window_us: int,
+                            hi: int, lo: int, *,
+                            ts_col: str = "ts",
+                            id_col: str = "event_id",
+                            lat_col: str = "lat",
+                            lon_col: str = "lon"):
+    """Streaming hysteresis threshold alerting
+    (applyInPandasWithState) — the real-time twin of
+    operators/events.threshold_alerts: per cell, the tumbling-window
+    count accumulates in the state store ((current window, running
+    count, alert bit) — ONE row per active cell) and each window is
+    EVALUATED when the cell's next activity closes it: raise when a
+    closed window reached ``hi`` while un-alerted, clear when it
+    dropped below ``lo`` while alerted. Matches the batch operator
+    row for row under the replay gate: both use observed-window
+    semantics (zero-event windows neither raise nor clear) and both
+    never evaluate a cell's final observed window (batch: LEAD(w)
+    IS NOT NULL; stream: nothing closes it).
+
+    Cell assignment and window arithmetic are JVM-side before the
+    Arrow state fn; us is µs since the shared 2024-01-01 epoch.
+    Contract: per-cell event-time order non-decreasing across
+    microbatches (equal-ts ties land in one window, so tie order is
+    irrelevant). -> (cell, w, n, alert 1/0) per transition."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..functions.cells import cell_encode
+    epoch_us = pd.Timestamp("2024-01-01").value // 1000
+    win, hi, lo = int(window_us), int(hi), int(lo)
+    d = stream_df.withColumn(
+        "_cell", cell_encode(lat_col, lon_col, res))
+    out_schema = "cell long, w long, n long, alert long"
+
+    def fn(key, pdfs, state):
+        cell = key[0]
+        if state.exists:
+            cur_w, cur_n, alert = state.get
+        else:
+            cur_w, cur_n, alert = None, 0, 0
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf) == 0:
+            return
+        pdf = pdf.sort_values([ts_col, id_col])
+        rows = []
+        for t in pdf[ts_col]:
+            us = int(pd.Timestamp(t).value // 1000) - epoch_us
+            w = us // win
+            if cur_w is not None and w > cur_w:
+                if alert == 0 and cur_n >= hi:
+                    alert = 1
+                    rows.append((cell, cur_w, cur_n, 1))
+                elif alert == 1 and cur_n < lo:
+                    alert = 0
+                    rows.append((cell, cur_w, cur_n, 0))
+                cur_n = 0
+            cur_w = w
+            cur_n += 1
+        state.update((cur_w, cur_n, alert))
+        if rows:
+            yield pd.DataFrame(rows,
+                               columns=["cell", "w", "n", "alert"])
+
+    return (d.groupBy("_cell")
+            .applyInPandasWithState(
+                fn, outputStructType=out_schema,
+                stateStructType=("cur_w long, cur_n long, "
+                                 "alert long"),
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout))

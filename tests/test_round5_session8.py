@@ -746,3 +746,143 @@ class TestCrossK:
         want = sorted(tuple(r) for r in con.execute(cross_k_sql(
             "SELECT * FROM p", [200_000, 600_000])).fetchall())
         assert got == want and len(got) == 2 and got[0][3] > 0
+
+
+class TestThresholdAlerts:
+    def _d(self, spark, rows):
+        # (us, lat, lon): one point per event at a fixed location
+        return spark.createDataFrame(rows,
+                                     "us long, lat double, lon double")
+
+    def _mk(self, counts, win=100):
+        """counts[i] events in window i at one location."""
+        rows = []
+        for i, n in enumerate(counts):
+            rows += [(i * win + j, 10.0, 10.0) for j in range(n)]
+        return rows
+
+    def test_hysteresis_holds_between_thresholds(self, spark):
+        """Counts 5,3,1,3,5 at hi=4/lo=2: raise at w0 (5>=4), HOLD
+        through 3 (in [2,4)), clear at w2 (1<2), hold through 3,
+        raise at w4 — but w4 is the final observed window so it is
+        NOT evaluated. A plain n>=4 filter would flap."""
+        from geospark.operators.events import threshold_alerts
+        d = self._d(spark, self._mk([5, 3, 1, 3, 5]))
+        got = [(r["w"], r["n"], r["alert"]) for r in
+               threshold_alerts(d, 4, 100, 4, 2)
+               .orderBy("w").collect()]
+        assert got == [(0, 5, 1), (2, 1, 0)]
+
+    def test_gap_windows_do_not_clear(self, spark):
+        """Observed-window semantics: windows 0 and 50 both at 4 —
+        the 49 empty windows between them neither clear nor raise,
+        so there is exactly ONE raise (w0) and no clear."""
+        from geospark.operators.events import threshold_alerts
+        d = self._d(spark, self._mk([4] + [0] * 49 + [4]))
+        got = [(r["w"], r["alert"]) for r in
+               threshold_alerts(d, 4, 100, 4, 2).collect()]
+        assert got == [(0, 1)]
+
+    def test_stream_matches_batch_across_microbatches(
+            self, spark, tmp_path):
+        """Replay through the per-cell (window, count, alert) state
+        equals the batch operator — including a window whose COUNT
+        accumulates across two microbatch files and a raise
+        evaluated only when the next file's event closes it."""
+        import datetime as dt
+
+        from pyspark.sql import functions as F
+
+        from geospark.operators.events import threshold_alerts
+        from geospark.streaming.stream import stream_threshold_alerts
+        base = dt.datetime(2024, 1, 1)
+        win_us = 60_000_000
+        rows = []
+        eid = 0
+        # w0: 5 events, 3 in file 1 + 2 in file 2 (split window);
+        # w1: 1 event (clear); w2: 1 event (closes w1)
+        for k in range(3):
+            rows.append((eid, base + dt.timedelta(seconds=k), 1,
+                         10.0, 10.0)); eid += 1
+        cut = len(rows)
+        for k in range(3, 5):
+            rows.append((eid, base + dt.timedelta(seconds=k), 1,
+                         10.0, 10.0)); eid += 1
+        rows.append((eid, base + dt.timedelta(seconds=70), 1,
+                     10.0, 10.0)); eid += 1
+        rows.append((eid, base + dt.timedelta(seconds=130), 1,
+                     10.0, 10.0)); eid += 1
+        schema = ("event_id long, ts timestamp_ntz, user_id long, "
+                  "lat double, lon double")
+        src = str(tmp_path / "ta_src")
+        spark.createDataFrame(rows[:cut], schema).coalesce(1) \
+            .write.mode("overwrite").parquet(src)
+        spark.createDataFrame(rows[cut:], schema).coalesce(1) \
+            .write.mode("append").parquet(src)
+        sdf = (spark.readStream.schema(schema)
+               .option("maxFilesPerTrigger", 1).parquet(src))
+        out = stream_threshold_alerts(sdf, 4, win_us, 4, 2)
+        q = (out.writeStream.format("memory")
+             .queryName("ta_stream").outputMode("append")
+             .option("checkpointLocation", str(tmp_path / "ck"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        got = _rows(spark.sql(
+            "SELECT cell, w, n, alert FROM ta_stream"))
+        e = spark.read.parquet(src)
+        pts = e.select("lat", "lon",
+                       F.expr("timestampdiff(MICROSECOND, "
+                              "TIMESTAMP_NTZ '2024-01-01 00:00:00', "
+                              "ts)").alias("us"))
+        want = _rows(threshold_alerts(pts, 4, win_us, 4, 2))
+        assert got == want
+        assert [(r[1], r[2], r[3]) for r in got] == [(0, 5, 1),
+                                                     (1, 1, 0)]
+
+
+class TestBasinStats:
+    def test_mass_conserved_and_interior_flag(self, spark):
+        """Every occupied cell lands in exactly one basin (totals
+        conserve the event mass and n_cells sums to the cell count);
+        a surrounded local-minimum basin is INTERIOR, edge-draining
+        basins are not."""
+        from geospark.operators.tiles import basin_stats
+        res = 6
+        cells = ([(x, y, 2) for x in (10, 11, 12) for y in (10, 11, 12)
+                  if (x, y) != (11, 11)] + [(11, 11, 1)]
+                 + [(40, 40, 7)])
+        t = spark.createDataFrame(
+            [(_cell(spark, res, x, y), n) for x, y, n in cells],
+            "cell long, n_pts long")
+        got = basin_stats(t, res, 3, count_col="n_pts").collect()
+        assert sum(r["n_cells"] for r in got) == len(cells)
+        assert sum(r["total"] for r in got) == sum(n for _, _, n
+                                                   in cells)
+        center = _cell(spark, res, 21 - 10, 21 - 10)  # placeholder
+        interior = [r for r in got if r["interior"] == 1]
+        assert len(interior) == 1
+        assert interior[0]["basin"] == _cell(spark, res, 11, 11)
+        assert interior[0]["total"] == 1
+
+    def test_inline_oracle_parity(self, spark):
+        import duckdb
+        import numpy as np
+
+        from geospark.operators.tiles import basin_stats, basin_stats_sql
+        rng = np.random.default_rng(99)
+        res = 5
+        seen = {}
+        for _ in range(220):
+            x, y = int(rng.integers(0, 32)), int(rng.integers(0, 32))
+            seen[(x, y)] = int(rng.integers(1, 15))
+        rows = [(_cell(spark, res, x, y), n)
+                for (x, y), n in seen.items()]
+        got = _rows(basin_stats(
+            spark.createDataFrame(rows, "cell long, n_pts long"),
+            res, 3, count_col="n_pts"))
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t (cell BIGINT, n_pts BIGINT)")
+        con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+        want = sorted(tuple(r) for r in con.execute(basin_stats_sql(
+            "SELECT * FROM t", res, 3, count_col="n_pts")).fetchall())
+        assert got == want and len(got) > 10
