@@ -2324,3 +2324,198 @@ SELECT g.basin, CAST(g.n_cells AS BIGINT) AS n_cells,
          AS interior
 FROM bs_g g LEFT JOIN bs_counts o ON o.cell = g.basin
 """
+
+
+def slope_aspect(tiles, res: int, *, cell_col: str = "cell",
+                 count_col: str = "n_docs"):
+    """Horn's-method slope/aspect over the density raster — the map-
+    algebra gradient pass of a DEM pipeline run on the count surface
+    (reference scope: raster->vector tile aggregation; this is the
+    3x3 focal derivative every terrain product starts from): per
+    occupied cell, the integer Horn gradient
+
+        gx = sum dx * (2 - |dy|) * nn    (east minus west, cardinal
+        gy = sum dy * (2 - |dx|) * nn     neighbors weighted 2)
+
+    over the full 3x3 neighborhood (the (0,0) term contributes 0 to
+    both sums, so no exclusion predicate has to stay in sync across
+    engines), plus slope2 = gx^2 + gy^2 (squared gradient magnitude
+    — monotone in slope, integer-exact: no sqrt/atan to ulp-flip)
+    and the DOWNSLOPE direction as a Bresenham octant label on
+    (-gx, -gy) (_octant_case's axis/diagonal-exact sectors), 'FLAT'
+    when the gradient vanishes.
+
+    Neighbor semantics match d8_flow: unoccupied neighbors hold 0;
+    longitude wraps; an off-grid latitude row KEEPS its weight with
+    nn = 0 (NULL neighbor id -> left-join miss) — the elevation-0
+    ocean convention, so border gradients tilt off the grid edge
+    instead of silently renormalizing to a 6-cell stencil.
+
+    Scale: one 9-way explode of AGGREGATE rows, one cell-keyed left
+    join to fetch neighbor counts, one combinable groupBy on the
+    center key — no window. -> (cell, n, gx, gy, slope2, aspect)."""
+    from pyspark.sql import functions as F
+
+    from .events import _octant_case
+    n = 1 << res
+    mask = n - 1
+    t = tiles.select(F.col(cell_col).alias("_c"),
+                     F.col(count_col).alias("_n"))
+    x = F.col("_c").bitwiseAND(F.lit(mask))
+    y = F.shiftright(F.col("_c"), res).bitwiseAND(F.lit(mask))
+    nb = (t.withColumn("_dx", F.explode(F.sequence(F.lit(-1),
+                                                   F.lit(1))))
+           .withColumn("_dy", F.explode(F.sequence(F.lit(-1),
+                                                   F.lit(1))))
+           .withColumn("_ny", y + F.col("_dy"))
+           .withColumn("_nb", F.when(
+               (F.col("_ny") >= 0) & (F.col("_ny") < n),
+               F.shiftleft(F.lit(res).cast("long"), 56)
+               + F.shiftleft(F.col("_ny").cast("long"), res)
+               + F.pmod(x + F.col("_dx"), F.lit(n)).cast("long"))))
+    j = (nb.join(t.select(F.col("_c").alias("_nb"),
+                          F.col("_n").alias("_nn_raw")),
+                 "_nb", "left")
+         .withColumn("_nn", F.coalesce(F.col("_nn_raw"), F.lit(0))
+                     .cast("long")))
+    g = (j.groupBy("_c", "_n")
+         .agg(F.sum(F.col("_dx") * (F.lit(2) - F.abs(F.col("_dy")))
+                    * F.col("_nn")).alias("gx"),
+              F.sum(F.col("_dy") * (F.lit(2) - F.abs(F.col("_dx")))
+                    * F.col("_nn")).alias("gy")))
+    return g.select(
+        F.col("_c").alias(cell_col), F.col("_n").alias("n"),
+        F.col("gx").cast("long").alias("gx"),
+        F.col("gy").cast("long").alias("gy"),
+        (F.col("gx") * F.col("gx") + F.col("gy") * F.col("gy"))
+        .cast("long").alias("slope2"),
+        F.expr("CASE WHEN gx = 0 AND gy = 0 THEN 'FLAT' ELSE "
+               + _octant_case("-gx", "-gy") + " END").alias("aspect"))
+
+
+def slope_aspect_sql(counts_sql: str, res: int, *,
+                     count_col: str = "n_docs") -> str:
+    """DuckDB twin of slope_aspect over a counts subquery
+    (cell, ``count_col``) — same 3x3 lateral, same wrap/off-grid-0
+    arithmetic, identical octant CASE text."""
+    from .events import _octant_case
+    n = 1 << res
+    mask = n - 1
+    x = "(c.cell & %d)" % mask
+    y = "((c.cell // %d) & %d)" % (n, mask)
+    oct_ = _octant_case("-gx", "-gy")
+    return f"""
+WITH sa_counts AS ({counts_sql}),
+sa_nb AS (SELECT c.cell, c.{count_col} AS cn, dx.g AS dx, dy.g AS dy,
+          CASE WHEN {y} + dy.g >= 0 AND {y} + dy.g < {n}
+          THEN CAST({res} AS BIGINT) * {1 << 56}
+               + ({y} + dy.g) * {n}
+               + (({x} + dx.g) % {n} + {n}) % {n} END AS nb
+          FROM sa_counts c, generate_series(-1, 1) dx(g),
+          generate_series(-1, 1) dy(g)),
+sa_j AS (SELECT b.cell, b.cn, b.dx, b.dy,
+         COALESCE(c2.{count_col}, 0) AS nn
+         FROM sa_nb b LEFT JOIN sa_counts c2 ON c2.cell = b.nb),
+sa_g AS (SELECT cell, cn,
+         SUM(dx * (2 - abs(dy)) * nn) AS gx,
+         SUM(dy * (2 - abs(dx)) * nn) AS gy
+         FROM sa_j GROUP BY 1, 2)
+SELECT cell, CAST(cn AS BIGINT) AS n,
+       CAST(gx AS BIGINT) AS gx, CAST(gy AS BIGINT) AS gy,
+       CAST(gx * gx + gy * gy AS BIGINT) AS slope2,
+       CASE WHEN gx = 0 AND gy = 0 THEN 'FLAT' ELSE {oct_} END
+         AS aspect
+FROM sa_g
+"""
+
+
+def flow_accum(tiles, res: int, doublings: int, *,
+               cell_col: str = "cell", count_col: str = "n_docs"):
+    """Flow accumulation over the d8 flow graph — the second classic
+    hydrology raster after flow direction: per node, how many
+    occupied cells drain THROUGH it (upstream count + itself when
+    occupied). Stream networks are exactly the high-accumulation
+    cells; on the density surface this ranks each cell by the mass
+    of the density-descent tree rooted at it.
+
+    The d8 edge set (u -> down(u), non-sink rows only) is acyclic by
+    construction (strict count descent — d8_basins docstring), so
+    the ancestor closure is computed by CLOSURE DOUBLING: A_1 = the
+    edge set; A_{k+1} = distinct(A_k UNION A_k o A_k) — after k
+    rounds A covers all descent paths up to length 2^k, and since
+    path length is bounded by the number of distinct count levels,
+    small k converges (callers verify with the k vs k+1 equality
+    check, the d8_basins discipline). acc(c) = [c occupied] +
+    |{u : (u, c) in A}|; the node set is the occupied cells plus the
+    unoccupied terminals boundary paths drain into (n = 0 there,
+    matching d8_flow's elevation-0 convention).
+
+    Scale: d8_flow's cost plus ``doublings`` self-joins of the
+    closure pair table — closure size is bounded by cells x max
+    depth (aggregate rows x a small constant), each round
+    materialize()'d for lineage truncation; log-depth rounds, not
+    linear sweeps. -> (cell, n, acc)."""
+    from pyspark.sql import functions as F
+
+    from ..materialize import materialize
+    f = materialize(d8_flow(tiles, res, cell_col=cell_col,
+                            count_col=count_col))
+    anc = materialize(
+        f.filter(F.col("is_sink") == 0)
+         .select(F.col(cell_col).alias("_u"),
+                 F.col("down_cell").alias("_a")))
+    for _ in range(int(doublings)):
+        hop = anc.select(F.col("_u").alias("_hu"),
+                         F.col("_a").alias("_ha"))
+        ext = (anc.join(hop, anc["_a"] == hop["_hu"])
+                  .select("_u", F.col("_ha").alias("_a")))
+        anc = materialize(anc.unionByName(ext).distinct())
+    nodes = (f.select(F.col(cell_col).alias("_nc"),
+                      F.col("n").alias("_nn"))
+             .unionByName(
+                 f.filter(F.col("is_sink") == 0)
+                  .select(F.col("down_cell").alias("_nc"),
+                          F.lit(0).cast("long").alias("_nn"))
+                  .distinct())
+             .groupBy("_nc").agg(F.max("_nn").alias("_n")))
+    ups = anc.groupBy(F.col("_a").alias("_nc")) \
+             .agg(F.count(F.lit(1)).alias("_nup"))
+    return (nodes.join(ups, "_nc", "left")
+            .select(F.col("_nc").alias(cell_col),
+                    F.col("_n").alias("n"),
+                    (F.expr("CASE WHEN _n > 0 THEN 1 ELSE 0 END")
+                     + F.coalesce(F.col("_nup"), F.lit(0)))
+                    .cast("long").alias("acc")))
+
+
+def flow_accum_sql(counts_sql: str, res: int, doublings: int, *,
+                   count_col: str = "n_docs") -> str:
+    """DuckDB twin of flow_accum — d8_flow_sql nested, the same
+    fixed chain of closure-doubling stages, same node set and
+    occupied-base arithmetic."""
+    stages = []
+    for i in range(1, int(doublings) + 1):
+        stages.append(
+            f"fa{i} AS (SELECT DISTINCT u, a FROM ("
+            f"SELECT u, a FROM fa{i - 1} UNION ALL "
+            f"SELECT x.u, y.a FROM fa{i - 1} x JOIN fa{i - 1} y "
+            f"ON y.u = x.a))")
+    chain = (",\n".join(stages) + ",\n") if stages else ""
+    last = f"fa{int(doublings)}"
+    return f"""
+WITH fa_f AS (SELECT * FROM ({d8_flow_sql(counts_sql, res,
+                                          count_col=count_col)})),
+fa0 AS (SELECT cell AS u, down_cell AS a FROM fa_f
+        WHERE is_sink = 0),
+{chain}fa_nodes AS (SELECT cell, MAX(n) AS n FROM (
+    SELECT cell, n FROM fa_f
+    UNION ALL
+    SELECT DISTINCT down_cell, 0 FROM fa_f WHERE is_sink = 0)
+    GROUP BY cell),
+fa_ups AS (SELECT a AS cell, COUNT(*) AS n_up FROM {last}
+           GROUP BY 1)
+SELECT d.cell, CAST(d.n AS BIGINT) AS n,
+       CAST(CASE WHEN d.n > 0 THEN 1 ELSE 0 END
+            + COALESCE(u.n_up, 0) AS BIGINT) AS acc
+FROM fa_nodes d LEFT JOIN fa_ups u ON u.cell = d.cell
+"""

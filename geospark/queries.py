@@ -3120,6 +3120,36 @@ def q_basin_stats(spark, sf_dir):
                        count_col="n_pts")
 
 
+def q_slope_aspect(spark, sf_dir):
+    """Horn slope/aspect map algebra (r5.38): per occupied res-6
+    cell, the integer 3x3 Horn gradient, squared magnitude, and
+    downslope octant over the customer count surface
+    (operators/tiles.slope_aspect docstring: off-grid rows keep
+    weight at nn=0, FLAT when the gradient vanishes)."""
+    from .operators.tiles import slope_aspect, tile_counts
+    t = tile_counts(_cust_points(spark, sf_dir), RES_COARSE) \
+        .withColumnRenamed("n_docs", "n_pts")
+    return slope_aspect(t, RES_COARSE, count_col="n_pts")
+
+
+# closure doubling: 4 rounds cover descent chains up to 16 hops;
+# converged at sf0.01 (doublings 5 output equals 4 — pinned by
+# tests/test_round5_session9.py::TestFlowAccum)
+_ACCUM_DOUBLINGS = 4
+
+
+def q_flow_accum(spark, sf_dir):
+    """D8 flow accumulation (r5.38): upstream occupied-cell count
+    per node of the density-descent graph via closure doubling —
+    the stream-network raster on the count surface
+    (operators/tiles.flow_accum docstring)."""
+    from .operators.tiles import flow_accum, tile_counts
+    t = tile_counts(_cust_points(spark, sf_dir), RES_COARSE) \
+        .withColumnRenamed("n_docs", "n_pts")
+    return flow_accum(t, RES_COARSE, _ACCUM_DOUBLINGS,
+                      count_col="n_pts")
+
+
 def q_threshold_alerts(spark, sf_dir):
     """Hysteresis threshold alerting (r5.37): per-cell 6-hour window
     counts raise at >= 4 and clear below 2 — transition rows only,
@@ -3186,6 +3216,13 @@ def q_bearing_hist(spark, sf_dir):
 
 
 QUERIES = {
+    # -- round-5.38 additions (session 9), inside the window for
+    #    their first driver row. Evicted just past the window:
+    #    trajectories and ring_valid — both driver-green r4
+    #    (CORRECTNESS_r04.json hash-green), both replica-green under
+    #    tools/check_oracle.py this session --
+    "slope_aspect": q_slope_aspect,
+    "flow_accum": q_flow_accum,
     # -- round-5.13 addition, inside the window for its first driver
     #    row (curation_filter rotates just past the window:
     #    driver-green r4, a plain token-count filter) --
@@ -4383,6 +4420,12 @@ def oracle_sql() -> dict[str, str]:
     out["basin_stats"] = basin_stats_sql(_cust_tiles, RES_COARSE,
                                          _BASIN_ROUNDS,
                                          count_col="n_pts")
+    from .operators.tiles import flow_accum_sql, slope_aspect_sql
+    out["slope_aspect"] = slope_aspect_sql(_cust_tiles, RES_COARSE,
+                                           count_col="n_pts")
+    out["flow_accum"] = flow_accum_sql(_cust_tiles, RES_COARSE,
+                                       _ACCUM_DOUBLINGS,
+                                       count_col="n_pts")
     out["threshold_alerts"] = threshold_alerts_sql(
         _TRAJ_PTS_SQL, _TA_RES, _TA_WIN_US, _TA_HI, _TA_LO)
     # streaming transitions == the BATCH threshold_alerts SQL, row

@@ -1,0 +1,192 @@
+"""Round-5 session-9 operator tests: Horn slope/aspect map algebra
+and D8 flow accumulation over the density raster."""
+
+from __future__ import annotations
+
+from geospark.functions.cells import encode_np
+
+
+def _rows(df, cols=None):
+    cols = cols or df.columns
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def _cell(lat, lon, res):
+    import numpy as np
+    return int(encode_np(np.asarray([lat]), np.asarray([lon]),
+                         res)[0])
+
+
+def _tiles(spark, rows):
+    """rows: [(cell, n)] -> a counts frame."""
+    return spark.createDataFrame(rows, "cell long, n_pts long")
+
+
+def _mk(res, x, y):
+    return (res << 56) | (y << res) | x
+
+
+class TestSlopeAspect:
+    def test_east_gradient(self, spark):
+        """Single occupied cell: every neighbor holds 0, so the Horn
+        sums telescope to 0 from the neighbors and the center's own
+        count never enters — gradient 0, FLAT."""
+        from geospark.operators.tiles import slope_aspect
+        t = _tiles(spark, [(_mk(4, 8, 8), 5)])
+        got = _rows(slope_aspect(t, 4, count_col="n_pts"))
+        assert got == [(_mk(4, 8, 8), 5, 0, 0, 0, "FLAT")]
+
+    def test_horn_weights_east_neighbor(self, spark):
+        """Center + one east neighbor with count 3: gx picks it up
+        with cardinal weight 2 (gx = +6), gy = 0; downslope is due
+        WEST (away from the mass): octant of (-gx, 0) = (-6, 0) ->
+        'WSW' (due west lies on the WSW sector's closed edge)."""
+        from geospark.operators.tiles import slope_aspect
+        c, e = _mk(4, 8, 8), _mk(4, 9, 8)
+        t = _tiles(spark, [(c, 1), (e, 3)])
+        got = dict((r[0], r[1:]) for r in
+                   _rows(slope_aspect(t, 4, count_col="n_pts")))
+        assert got[c] == (1, 6, 0, 36, "WSW")
+        # the east cell sees the center with weight 2 on its west
+        # side: gx = -2, slope2 = 4, downslope due EAST ('ENE').
+        assert got[e] == (3, -2, 0, 4, "ENE")
+
+    def test_diagonal_weight_one(self, spark):
+        """A NE diagonal neighbor contributes weight 1 to both
+        sums: gx = gy = +n_ne."""
+        from geospark.operators.tiles import slope_aspect
+        c, ne = _mk(4, 8, 8), _mk(4, 9, 9)
+        t = _tiles(spark, [(c, 1), (ne, 4)])
+        got = dict((r[0], r[1:]) for r in
+                   _rows(slope_aspect(t, 4, count_col="n_pts")))
+        assert got[c] == (1, 4, 4, 32, "SSW")
+
+    def test_lon_wrap(self, spark):
+        """x = 0 sees x = n-1 as its west neighbor through the
+        antimeridian: mass there pulls gx negative."""
+        from geospark.operators.tiles import slope_aspect
+        res, n = 4, 16
+        c, w = _mk(res, 0, 8), _mk(res, n - 1, 8)
+        t = _tiles(spark, [(c, 1), (w, 2)])
+        got = dict((r[0], r[1:]) for r in
+                   _rows(slope_aspect(t, res, count_col="n_pts")))
+        assert got[c] == (1, -4, 0, 16, "ENE")
+
+    def test_lat_border_keeps_weight_zero(self, spark):
+        """A cell at y = 0: the three southern stencil rows are
+        off-grid and contribute 0 (not renormalized away) — a lone
+        occupied border cell still reads FLAT, and mass to its
+        north tilts gy exactly as in the interior."""
+        from geospark.operators.tiles import slope_aspect
+        res = 4
+        c, nn = _mk(res, 8, 0), _mk(res, 8, 1)
+        t = _tiles(spark, [(c, 7), (nn, 3)])
+        got = dict((r[0], r[1:]) for r in
+                   _rows(slope_aspect(t, res, count_col="n_pts")))
+        assert got[c] == (7, 0, 6, 36, "SSE")
+
+    def test_matches_sql_twin(self, spark):
+        """Spark output == DuckDB twin on a random-ish raster."""
+        import duckdb
+
+        from geospark.operators.tiles import (slope_aspect,
+                                              slope_aspect_sql)
+        res = 3
+        rows = [(_mk(res, x, y), (x * 7 + y * 13) % 9 + 1)
+                for x in range(8) for y in range(8)
+                if (x * 3 + y) % 4 != 0]
+        t = _tiles(spark, rows)
+        got = _rows(slope_aspect(t, res, count_col="n_pts"))
+        con = duckdb.connect()
+        con.execute("CREATE TABLE c (cell BIGINT, n_pts BIGINT)")
+        con.executemany("INSERT INTO c VALUES (?, ?)", rows)
+        sql = slope_aspect_sql("SELECT cell, n_pts FROM c", res,
+                               count_col="n_pts")
+        want = sorted(tuple(r) for r in con.execute(sql).fetchall())
+        assert got == want
+
+
+class TestFlowAccum:
+    def test_chain_counts(self, spark):
+        """A monotone 4-cell chain 8 > 6 > 4 > 2: each cell drains
+        through every lower one; the lowest drains off-grid into an
+        unoccupied terminal that accumulates all four."""
+        from geospark.operators.tiles import d8_flow, flow_accum
+        res = 4
+        cells = [(_mk(res, 4 + i, 8), 8 - 2 * i) for i in range(4)]
+        t = _tiles(spark, cells)
+        f = {r["cell"]: r for r in
+             d8_flow(t, res, count_col="n_pts").collect()}
+        # every occupied cell has SOME 0-count neighbor -> no sinks
+        assert all(r["is_sink"] == 0 for r in f.values())
+        got = {r[0]: (r[1], r[2]) for r in
+               _rows(flow_accum(t, res, 3, count_col="n_pts"))}
+        for (c, n) in cells:
+            assert got[c] == (n, 1), "0-neighbor drain beats chain"
+
+    def test_linear_chain_accumulates(self, spark):
+        """On a full row at res 2 (n = 4: the whole latitude band is
+        occupied, wrap closes the ring... counts break the tie) the
+        descent follows decreasing counts and accumulation grows
+        along the chain."""
+        from geospark.operators.tiles import flow_accum
+        res = 2
+        # one full y=1 row: counts 9, 7, 5, 3 -> descent terminates
+        # in the y=0/y=2 zero cells; but each cell's OWN min
+        # neighbor is off-row, so chains are length 1 again. Build
+        # a plateau-free V instead: y=1 row [9, 3, 1, 3] with wrap.
+        rows = [(_mk(res, 0, 1), 9), (_mk(res, 1, 1), 3),
+                (_mk(res, 2, 1), 1), (_mk(res, 3, 1), 3)]
+        # surround rows with occupied y=0 and y=2 bands so 0-count
+        # shortcuts vanish and flow stays in-row
+        for x in range(4):
+            rows.append((_mk(res, x, 0), 50))
+            rows.append((_mk(res, x, 2), 50))
+        t = _tiles(spark, rows)
+        got = {r[0]: (r[1], r[2]) for r in
+               _rows(flow_accum(t, res, 3, count_col="n_pts"))}
+        # x=2 (count 1) is the sink. Upstream: row cells 0, 1, 3;
+        # the y=0 band (no off-grid escape: its southern stencil is
+        # clipped, not zero-filled, in the NEIGHBOR relation) drains
+        # x=1..3 directly into it and x=0 via the row's x=1; the
+        # y=2 band instead drains north into unoccupied y=3. Total
+        # 1 + 3 + 3 + 1 = 8.
+        assert got[_mk(res, 2, 1)] == (1, 8)
+        # x=1 receives row x=0 plus band (0, 0)
+        assert got[_mk(res, 1, 1)] == (3, 3)
+
+    def test_doubling_convergence(self, spark):
+        """doublings k and k+1 agree once 2^k covers the deepest
+        chain (the d8_basins discipline)."""
+        from geospark.operators.tiles import flow_accum
+        res = 3
+        rows = [(_mk(res, x, 4), 10 - x) for x in range(8)]
+        for x in range(8):
+            rows.append((_mk(res, x, 3), 60))
+            rows.append((_mk(res, x, 5), 60))
+        t = _tiles(spark, rows)
+        a3 = _rows(flow_accum(t, res, 3, count_col="n_pts"))
+        a4 = _rows(flow_accum(t, res, 4, count_col="n_pts"))
+        assert a3 == a4
+        # and the 8-chain: head contributes to every lower cell
+        got = {r[0]: r[2] for r in a3}
+        assert got[_mk(res, 7, 4)] == 8
+
+    def test_matches_sql_twin(self, spark):
+        import duckdb
+
+        from geospark.operators.tiles import (flow_accum,
+                                              flow_accum_sql)
+        res = 3
+        rows = [(_mk(res, x, y), (x * 5 + y * 11) % 7 + 1)
+                for x in range(8) for y in range(8)
+                if (x + y * 2) % 3 != 0]
+        t = _tiles(spark, rows)
+        got = _rows(flow_accum(t, res, 4, count_col="n_pts"))
+        con = duckdb.connect()
+        con.execute("CREATE TABLE c (cell BIGINT, n_pts BIGINT)")
+        con.executemany("INSERT INTO c VALUES (?, ?)", rows)
+        sql = flow_accum_sql("SELECT cell, n_pts FROM c", res, 4,
+                             count_col="n_pts")
+        want = sorted(tuple(r) for r in con.execute(sql).fetchall())
+        assert got == want
