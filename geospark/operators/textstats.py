@@ -1013,3 +1013,65 @@ SELECT w1, w2, CAST(n AS BIGINT) AS n,
             // (CAST(n1s AS HUGEINT) * n2e) AS BIGINT) AS lift_ppm
 FROM m WHERE n >= {min_count}
 """
+
+
+def doc_skyline(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Pareto-skyline curation query — the documents no other
+    document beats on BOTH axes: token volume (content) and alpha
+    density in ppm (cleanliness). Dominance is the standard skyline
+    relation (>= on both, > on at least one); duplicate (v1, v2)
+    points are mutually non-dominating, so both survive. The
+    frontier is what a curator inspects before fixing a quality/
+    length threshold — every non-skyline doc has a strictly better
+    witness.
+
+    Distributed 2D skyline WITHOUT the O(n^2) dominance join: per-v1
+    group max of v2, then one running max over STRICTLY GREATER v1
+    groups (rowsBetween(-inf, -1) on the v1-desc DISTINCT-v1 table).
+    keep iff v2 equals its own group max (no same-v1 dominator) and
+    strictly exceeds the running max (no greater-v1 dominator).
+
+    Scale: one doc-keyed map + one combinable v1-groupBy; the ONLY
+    single-partition window runs over DISTINCT v1 values (token
+    counts — thousands of rows at any corpus size, not docs), then a
+    broadcastable join back. The oracle twin is the NOT EXISTS
+    dominance anti-join — a genuinely different formulation, so a
+    window off-by-one can't self-confirm.
+    -> (doc_id, n_tokens, alpha_ppm)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    w = words_col(text_col)
+    feats = df.select(
+        F.col(id_col),
+        F.size(w).cast("long").alias("n_tokens"),
+        F.expr(f"CAST(length(regexp_replace(lower({text_col}), "
+               f"'[^a-z0-9]', '')) AS BIGINT) * 1000000 div "
+               f"greatest(length({text_col}), 1)")
+        .alias("alpha_ppm"))
+    g = feats.groupBy("n_tokens").agg(F.max("alpha_ppm").alias("_g2"))
+    win = (Window.orderBy(F.col("n_tokens").desc())
+           .rowsBetween(Window.unboundedPreceding, -1))
+    g = g.withColumn("_mgt", F.max("_g2").over(win))
+    return (feats.join(F.broadcast(g), "n_tokens")
+            .filter((F.col("alpha_ppm") == F.col("_g2"))
+                    & (F.col("_mgt").isNull()
+                       | (F.col("alpha_ppm") > F.col("_mgt"))))
+            .select(id_col, "n_tokens", "alpha_ppm"))
+
+
+def doc_skyline_sql(table: str = "documents") -> str:
+    """DuckDB twin of doc_skyline: the NOT EXISTS dominance
+    anti-join over the same integer features."""
+    feats = (f"SELECT doc_id, CAST(len(regexp_extract_all("
+             f"lower(text), '{TOKEN_RX}')) AS BIGINT) AS n_tokens, "
+             f"CAST(length(regexp_replace(lower(text), "
+             f"'[^a-z0-9]', '', 'g')) AS BIGINT) * 1000000 "
+             f"// greatest(length(text), 1) AS alpha_ppm "
+             f"FROM {table}")
+    return f"""
+WITH sky_f AS ({feats})
+SELECT d.doc_id, d.n_tokens, d.alpha_ppm FROM sky_f d
+WHERE NOT EXISTS (SELECT 1 FROM sky_f u
+    WHERE u.n_tokens >= d.n_tokens AND u.alpha_ppm >= d.alpha_ppm
+    AND (u.n_tokens > d.n_tokens OR u.alpha_ppm > d.alpha_ppm))
+"""

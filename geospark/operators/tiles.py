@@ -2519,3 +2519,128 @@ SELECT d.cell, CAST(d.n AS BIGINT) AS n,
             + COALESCE(u.n_up, 0) AS BIGINT) AS acc
 FROM fa_nodes d LEFT JOIN fa_ups u ON u.cell = d.cell
 """
+
+
+def semivariogram(tiles, res: int, lags_cells, *,
+                  cell_col: str = "cell", count_col: str = "n_docs",
+                  parent_steps: int | None = None):
+    """Empirical semivariogram of the density raster — the
+    geostatistics primitive under kriging and spatial-correlation
+    diagnostics: for each distance class (lag, in CELL units at
+    ``res``), gamma = sum (v_i - v_j)^2 / (2 N) over unordered
+    occupied-cell pairs whose grid distance falls in the class.
+    Positions are the integer (x, y) lattice coords of the cells
+    (longitude wraps: dx = min(|x1-x2|, n - |x1-x2|)); distance
+    classes are half-open shells (prev_lag^2, lag^2] compared in
+    BIGINT — no sqrt anywhere. gamma is emitted as floor ppm
+    (1e6 * sumsq div (2 N)); sumsq accumulates in DECIMAL(38,0)
+    (counts^2 x pair-count overflows BIGINT at planetary scale, the
+    bearing_hist lesson) but the OUTPUT always fits BIGINT.
+
+    Scale: the pair join runs over AGGREGATE rows (occupied cells,
+    not points) blocked on the parent cell at ``parent_steps`` up
+    (chosen so max(lag) <= 2^parent_steps: any in-range pair's
+    parents are Chebyshev-1 adjacent) — left side explodes over the
+    3x3 parent ring via cell_neighbors_explode (wrap-residue dedup
+    included), right side keys on its single parent, `cell_l <
+    cell_r` keeps each unordered pair once. One equi-join + one
+    shell-classified combinable agg. Empty shells are emitted with
+    n_pairs = 0 and gamma NULL (the rung row is evidence the shell
+    was MEASURED, not skipped).
+    -> (lag_cells, n_pairs, gamma_ppm)."""
+    from pyspark.sql import functions as F
+
+    from ..functions.cells import cell_neighbors_explode, cell_parent
+    lags = sorted(int(v) for v in lags_cells)
+    maxlag = lags[-1]
+    if parent_steps is None:
+        parent_steps = max(1, (maxlag - 1).bit_length())
+    if maxlag > (1 << parent_steps):
+        raise ValueError("max lag exceeds one parent step")
+    n = 1 << res
+    mask = n - 1
+    t = tiles.select(
+        F.col(cell_col).alias("_c"),
+        F.col(count_col).cast("long").alias("_v"),
+        F.col(cell_col).bitwiseAND(F.lit(mask)).alias("_x"),
+        F.shiftright(F.col(cell_col), res).bitwiseAND(F.lit(mask))
+        .alias("_y"),
+        cell_parent(cell_col, res, parent_steps).alias("_p"))
+    left = (cell_neighbors_explode(
+                t.select("_c", "_v", "_x", "_y",
+                         F.col("_p").alias("cell")),
+                res - parent_steps, ring=1)
+            .select(F.col("_c").alias("_lc"), F.col("_v").alias("_lv"),
+                    F.col("_x").alias("_lx"), F.col("_y").alias("_ly"),
+                    F.col("_neighbor").alias("_jp")))
+    right = t.select(F.col("_c").alias("_rc"), F.col("_v").alias("_rv"),
+                     F.col("_x").alias("_rx"), F.col("_y").alias("_ry"),
+                     F.col("_p").alias("_jp"))
+    adx = F.abs(F.col("_lx") - F.col("_rx"))
+    dx = F.least(adx, F.lit(n) - adx)
+    dy = F.col("_ly") - F.col("_ry")
+    pairs = (left.join(right, "_jp")
+             .filter(F.col("_lc") < F.col("_rc"))
+             .select((dx * dx + dy * dy).alias("_d2"),
+                     ((F.col("_lv") - F.col("_rv"))
+                      * (F.col("_lv") - F.col("_rv")))
+                     .cast("decimal(38,0)").alias("_sq"))
+             .filter(F.col("_d2") <= F.lit(maxlag * maxlag)))
+    prev = [0] + lags[:-1]
+    aggs = []
+    for i, (lo, hi) in enumerate(zip(prev, lags)):
+        shell = (F.col("_d2") > F.lit(lo * lo)) \
+            & (F.col("_d2") <= F.lit(hi * hi))
+        aggs.append(F.coalesce(
+            F.sum(F.when(shell, F.lit(1)).otherwise(F.lit(0))),
+            F.lit(0)).cast("long").alias(f"_n{i}"))
+        aggs.append(F.sum(F.when(shell, F.col("_sq"))
+                          .otherwise(F.lit(None))).alias(f"_s{i}"))
+    one = pairs.agg(*aggs)
+    stack = ", ".join(
+        f"CAST({lag} AS BIGINT), _n{i}, "
+        f"CASE WHEN _n{i} > 0 THEN CAST(_s{i} * 1000000 div "
+        f"(2 * _n{i}) AS BIGINT) END"
+        for i, lag in enumerate(lags))
+    return one.selectExpr(
+        f"stack({len(lags)}, {stack}) "
+        f"AS (lag_cells, n_pairs, gamma_ppm)")
+
+
+def semivariogram_sql(counts_sql: str, res: int, lags_cells, *,
+                      count_col: str = "n_docs") -> str:
+    """DuckDB twin of semivariogram over a counts subquery
+    (cell, ``count_col``) — brute-force pair enumeration (oracle
+    scale; the blocked join is the scale path), same wrapped lattice
+    distance, same half-open shells, HUGEINT sum, floor-ppm gamma."""
+    lags = sorted(int(v) for v in lags_cells)
+    maxlag = lags[-1]
+    n = 1 << res
+    mask = n - 1
+    prev = [0] + lags[:-1]
+    rungs = []
+    for i, (lo, hi) in enumerate(zip(prev, lags)):
+        rungs.append(
+            f"SELECT CAST({hi} AS BIGINT) AS lag_cells, "
+            f"COALESCE(SUM(CASE WHEN d2 > {lo * lo} AND "
+            f"d2 <= {hi * hi} THEN 1 ELSE 0 END), 0) AS n_pairs, "
+            f"CAST(CASE WHEN COALESCE(SUM(CASE WHEN d2 > {lo * lo} "
+            f"AND d2 <= {hi * hi} THEN 1 ELSE 0 END), 0) > 0 THEN "
+            f"SUM(CASE WHEN d2 > {lo * lo} AND d2 <= {hi * hi} "
+            f"THEN sq END) * 1000000 // (2 * SUM(CASE WHEN "
+            f"d2 > {lo * lo} AND d2 <= {hi * hi} THEN 1 ELSE 0 "
+            f"END)) END AS BIGINT) AS gamma_ppm FROM sv_pairs")
+    ladder = " UNION ALL ".join(rungs)
+    return f"""
+WITH sv_c AS (SELECT cell, CAST({count_col} AS BIGINT) AS v,
+              (cell & {mask}) AS x, ((cell // {n}) & {mask}) AS y
+              FROM ({counts_sql})),
+sv_pairs AS (SELECT
+    least(abs(a.x - b.x), {n} - abs(a.x - b.x))
+      * least(abs(a.x - b.x), {n} - abs(a.x - b.x))
+      + (a.y - b.y) * (a.y - b.y) AS d2,
+    CAST((a.v - b.v) * (a.v - b.v) AS HUGEINT) AS sq
+    FROM sv_c a JOIN sv_c b ON a.cell < b.cell)
+SELECT lag_cells, CAST(n_pairs AS BIGINT) AS n_pairs, gamma_ppm
+FROM ({ladder})
+"""

@@ -3150,6 +3150,33 @@ def q_flow_accum(spark, sf_dir):
                       count_col="n_pts")
 
 
+# variogram shells at res 6, in cell units: 1, 2, 4, 8 (parent
+# blocking at 3 steps up: 8 <= 2^3)
+_SV_LAGS = [1, 2, 4, 8]
+
+
+def q_semivariogram(spark, sf_dir):
+    """Empirical semivariogram (r5.38): gamma ppm per distance shell
+    over the occupied res-6 customer cells — the kriging-diagnostic
+    curve (operators/tiles.semivariogram docstring: wrapped lattice
+    distance, half-open BIGINT shells, floor-ppm gamma)."""
+    from .operators.tiles import semivariogram, tile_counts
+    t = tile_counts(_cust_points(spark, sf_dir), RES_COARSE) \
+        .withColumnRenamed("n_docs", "n_pts")
+    return semivariogram(t, RES_COARSE, _SV_LAGS, count_col="n_pts")
+
+
+def q_doc_skyline(spark, sf_dir):
+    """Pareto-skyline curation query (r5.38): documents unbeaten on
+    BOTH token volume and alpha density — the curator's frontier
+    (operators/textstats.doc_skyline docstring: distinct-v1 window
+    formulation; the oracle is the NOT EXISTS dominance anti-join,
+    a genuinely different shape)."""
+    from .operators.textstats import doc_skyline
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return doc_skyline(d)
+
+
 def q_threshold_alerts(spark, sf_dir):
     """Hysteresis threshold alerting (r5.37): per-cell 6-hour window
     counts raise at >= 4 and clear below 2 — transition rows only,
@@ -3223,6 +3250,12 @@ QUERIES = {
     #    tools/check_oracle.py this session --
     "slope_aspect": q_slope_aspect,
     "flow_accum": q_flow_accum,
+    # -- round-5.38 additions (session 9), inside the window for
+    #    their first driver row. Evicted just past the window:
+    #    asof_events and pack_sequences — both driver-green r4,
+    #    both replica-green this session --
+    "semivariogram": q_semivariogram,
+    "doc_skyline": q_doc_skyline,
     # -- round-5.13 addition, inside the window for its first driver
     #    row (curation_filter rotates just past the window:
     #    driver-green r4, a plain token-count filter) --
@@ -4426,6 +4459,12 @@ def oracle_sql() -> dict[str, str]:
     out["flow_accum"] = flow_accum_sql(_cust_tiles, RES_COARSE,
                                        _ACCUM_DOUBLINGS,
                                        count_col="n_pts")
+    from .operators.textstats import doc_skyline_sql
+    from .operators.tiles import semivariogram_sql
+    out["semivariogram"] = semivariogram_sql(_cust_tiles, RES_COARSE,
+                                             _SV_LAGS,
+                                             count_col="n_pts")
+    out["doc_skyline"] = doc_skyline_sql()
     out["threshold_alerts"] = threshold_alerts_sql(
         _TRAJ_PTS_SQL, _TA_RES, _TA_WIN_US, _TA_HI, _TA_LO)
     # streaming transitions == the BATCH threshold_alerts SQL, row

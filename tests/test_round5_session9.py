@@ -190,3 +190,98 @@ class TestFlowAccum:
                              count_col="n_pts")
         want = sorted(tuple(r) for r in con.execute(sql).fetchall())
         assert got == want
+
+
+class TestSemivariogram:
+    def test_single_pair_gamma(self, spark):
+        """Two adjacent cells valued 3 and 7: shell 1 holds the one
+        pair, gamma = 1e6 * 16 / 2 = 8_000_000; farther shells are
+        emitted empty with NULL gamma."""
+        from geospark.operators.tiles import semivariogram
+        t = _tiles(spark, [(_mk(6, 10, 10), 3), (_mk(6, 11, 10), 7)])
+        got = _rows(semivariogram(t, 6, [1, 2, 4], count_col="n_pts"))
+        assert got == [(1, 1, 8_000_000), (2, 0, None), (4, 0, None)]
+
+    def test_half_open_shells(self, spark):
+        """A pair at exact distance 2 lands in shell (1, 2], not
+        (2, 4]."""
+        from geospark.operators.tiles import semivariogram
+        t = _tiles(spark, [(_mk(6, 10, 10), 1), (_mk(6, 12, 10), 5)])
+        got = _rows(semivariogram(t, 6, [1, 2, 4], count_col="n_pts"))
+        assert got == [(1, 0, None), (2, 1, 8_000_000), (4, 0, None)]
+
+    def test_lon_wrap_distance(self, spark):
+        """x = 0 and x = n-1 are lattice distance 1 through the
+        antimeridian."""
+        from geospark.operators.tiles import semivariogram
+        res, n = 6, 64
+        t = _tiles(spark, [(_mk(res, 0, 10), 2),
+                           (_mk(res, n - 1, 10), 6)])
+        got = _rows(semivariogram(t, res, [1], count_col="n_pts"))
+        assert got == [(1, 1, 8_000_000)]
+
+    def test_matches_sql_twin(self, spark):
+        import duckdb
+
+        from geospark.operators.tiles import (semivariogram,
+                                              semivariogram_sql)
+        res = 6
+        rows = [(_mk(res, x, y), (x * 7 + y * 13) % 11 + 1)
+                for x in range(20) for y in range(20)
+                if (x + y) % 3 != 0]
+        t = _tiles(spark, rows)
+        got = _rows(semivariogram(t, res, [1, 2, 4, 8],
+                                  count_col="n_pts"))
+        con = duckdb.connect()
+        con.execute("CREATE TABLE c (cell BIGINT, n_pts BIGINT)")
+        con.executemany("INSERT INTO c VALUES (?, ?)", rows)
+        sql = semivariogram_sql("SELECT cell, n_pts FROM c", res,
+                                [1, 2, 4, 8], count_col="n_pts")
+        want = sorted(tuple(r) for r in con.execute(sql).fetchall())
+        assert got == want
+
+
+class TestDocSkyline:
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_frontier_and_ties(self, spark):
+        """(1, 1e6), (2, 800000) x2 duplicates, (3, 375000) are the
+        frontier; (2, 750000) is dominated by the same-v1 800000."""
+        from geospark.operators.textstats import doc_skyline
+        d = self._docs(spark, [
+            (1, "aaaa"),            # 1 token, ppm 1_000_000
+            (2, "aa bb"),           # 2 tokens, ppm 800_000
+            (3, "a b c!!!"),        # 3 tokens, ppm 375_000
+            (4, "aa b"),            # 2 tokens, ppm 750_000 (dominated)
+            (5, "aa bb"),           # duplicate point of doc 2 (kept)
+        ])
+        got = _rows(doc_skyline(d))
+        assert got == [(1, 1, 1_000_000), (2, 2, 800_000),
+                       (3, 3, 375_000), (5, 2, 800_000)]
+
+    def test_matches_bruteforce_dominance(self, spark):
+        """Window formulation == brute-force dominance filter on a
+        spread of synthetic docs."""
+        from geospark.operators.textstats import doc_skyline
+        rows = []
+        for i in range(40):
+            n_tok = i % 7 + 1
+            junk = "!" * (i % 5)
+            rows.append((i, " ".join(["ab"] * n_tok) + junk))
+        d = self._docs(spark, rows)
+        got = _rows(doc_skyline(d))
+        feats = {r[0]: (r[1], r[2]) for r in _rows(
+            d.selectExpr(
+                "doc_id",
+                "CAST(size(regexp_extract_all(lower(text), "
+                "'[a-z0-9]+', 0)) AS BIGINT) AS v1",
+                "CAST(length(regexp_replace(lower(text), "
+                "'[^a-z0-9]', '')) AS BIGINT) * 1000000 div "
+                "greatest(length(text), 1) AS v2"))}
+        want = sorted(
+            (i, v1, v2) for i, (v1, v2) in feats.items()
+            if not any((u1 >= v1 and u2 >= v2
+                        and (u1 > v1 or u2 > v2))
+                       for u1, u2 in feats.values()))
+        assert got == want
