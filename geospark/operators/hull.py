@@ -26,7 +26,7 @@ the engine is pure-JVM column math; a hull's while-loop isn't
 expressible there, so it earns the Pandas tier).
 
 Oracle (SQL-expressible without recursion, used by the `_sql` twin):
-by Caratheodory in the plane, v is inside conv(S \ {v}) iff some
+by Caratheodory in the plane, v is inside conv(S minus {v}) iff some
 (a, b, c) triangle of other points contains it — so a point is a
 strict hull vertex iff NO triangle of other points (degenerate ones
 included) contains it. Containment is the classic same-sign cross

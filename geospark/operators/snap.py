@@ -161,3 +161,130 @@ SELECT prev AS seg_from, {seg_id} AS seg_to, COUNT(*) AS n_trips
 FROM h WHERE prev IS NOT NULL AND prev <> {seg_id}
 GROUP BY 1, 2 HAVING COUNT(*) >= {min_trips}
 """
+
+
+def corridor_join(pts, segs, eps_udeg: int, *, res: int = 4,
+                  pt_id: str = "pt_id", x_col: str = "x",
+                  y_col: str = "y", seg_id: str = "seg_id"):
+    """Corridor (within-distance-of-polyline) join — the buffer-zone
+    spatial join snap_points' argmin can't express: ALL (point,
+    segment) pairs whose planar micro-degree distance is <= eps, the
+    "events near any road / cable / boundary edge" query. Unlike a
+    geometric buffer-polygon + PIP plan there is NO polygon
+    construction and NO float projection: the within-eps test is
+    EXACT INTEGER arithmetic on the quantized lattice
+    (floor(deg * 1e6), the pair_counts convention) —
+
+        endpoint zones:  tnum <= 0  ->  |P-A|^2 <= eps^2
+                         tnum >= len2 -> |P-B|^2 <= eps^2
+        interior zone:   cross^2 <= eps^2 * len2
+
+    (tnum = (P-A).(B-A), cross = (B-A) x (P-A); clearing the
+    rational projection of its denominator keeps every comparison in
+    integers — cross^2 reaches ~1e33 at antipodal spans, so the two
+    interior products run in DECIMAL(38,0)/HUGEINT, never the
+    output). The emitted `zone` ('a' / 'mid' / 'b') states which
+    test fired, with exact-boundary ties resolved by the same
+    half-open integer conditions in both engines. Degenerate
+    (zero-length) segments take the endpoint-a test.
+
+    Scale: each segment explodes over the grid cells of its
+    eps-EXPANDED bbox at ``res`` (sequence explode over the same
+    clamped monotone div lattice the points key on — a cell a
+    matching point sits in can never be missed, the pair_counts ulp
+    argument); points carry ONE cell, so the equi-join emits each
+    candidate pair exactly once — no post-join dedup shuffle. Pick
+    ``res`` so a typical segment+eps spans ~1-4 cells. The refine is
+    a map-side expression. -> (pt_id, seg_id, zone)."""
+    from pyspark.sql import functions as F
+    n = 1 << res
+
+    def q(col):
+        return F.expr(f"CAST(floor({col} * 1000000.0) AS BIGINT)")
+
+    def cx(e):
+        return (f"(greatest(0, least(359999999, ({e}) + 180000000)) "
+                f"* {n}) div 360000000")
+
+    def cy(e):
+        return (f"(greatest(0, least(179999999, ({e}) + 90000000)) "
+                f"* {n}) div 180000000")
+
+    p = pts.select(F.col(pt_id), q(x_col).alias("_px"),
+                   q(y_col).alias("_py"))
+    p = p.withColumn("_cell", F.expr(
+        f"({cx('_px')}) * {n} + ({cy('_py')})"))
+    s = segs.select(F.col(seg_id), q("x0").alias("_ax"),
+                    q("y0").alias("_ay"), q("x1").alias("_bx"),
+                    q("y1").alias("_by"))
+    e = int(eps_udeg)
+    cover = (s
+             .withColumn("_gx", F.explode(F.expr(
+                 f"sequence({cx(f'least(_ax, _bx) - {e}')}, "
+                 f"{cx(f'greatest(_ax, _bx) + {e}')})")))
+             .withColumn("_gy", F.explode(F.expr(
+                 f"sequence({cy(f'least(_ay, _by) - {e}')}, "
+                 f"{cy(f'greatest(_ay, _by) + {e}')})")))
+             .withColumn("_cell",
+                         F.col("_gx") * n + F.col("_gy")))
+    j = cover.join(p, "_cell")
+    dx = "CAST(_bx - _ax AS DECIMAL(38,0))"
+    dy = "CAST(_by - _ay AS DECIMAL(38,0))"
+    len2 = f"({dx} * {dx} + {dy} * {dy})"
+    tnum = f"((_px - _ax) * (_bx - _ax) + (_py - _ay) * (_by - _ay))"
+    cross = (f"(CAST(_bx - _ax AS DECIMAL(38,0)) * (_py - _ay) "
+             f"- CAST(_by - _ay AS DECIMAL(38,0)) * (_px - _ax))")
+    d2a = "((_px - _ax) * (_px - _ax) + (_py - _ay) * (_py - _ay))"
+    d2b = "((_px - _bx) * (_px - _bx) + (_py - _by) * (_py - _by))"
+    zone = (f"CASE WHEN {len2} = 0 OR {tnum} <= 0 THEN "
+            f"  CASE WHEN {d2a} <= {e * e} THEN 'a' END "
+            f"WHEN {tnum} >= {len2} THEN "
+            f"  CASE WHEN {d2b} <= {e * e} THEN 'b' END "
+            f"WHEN {cross} * {cross} <= "
+            f"  CAST({e * e} AS DECIMAL(38,0)) * {len2} THEN 'mid' "
+            f"END")
+    return (j.withColumn("_zone", F.expr(zone))
+            .filter(F.col("_zone").isNotNull())
+            .select(pt_id, seg_id, F.col("_zone").alias("zone")))
+
+
+def corridor_join_sql(pts_sql: str, segs_sql: str, eps_udeg: int, *,
+                      pt_id: str = "pt_id",
+                      seg_id: str = "seg_id") -> str:
+    """DuckDB twin of corridor_join — brute-force pts x segs (oracle
+    scale; the cell cover is the scale path), identical integer zone
+    predicate in HUGEINT. ``pts_sql`` -> (pt_id, x, y); ``segs_sql``
+    -> (seg_id, x0, y0, x1, y1)."""
+    e = int(eps_udeg)
+    len2 = ("(CAST(bx - ax AS HUGEINT) * (bx - ax) "
+            "+ CAST(by - ay AS HUGEINT) * (by - ay))")
+    tnum = ("(CAST(px - ax AS HUGEINT) * (bx - ax) "
+            "+ CAST(py - ay AS HUGEINT) * (by - ay))")
+    cross = ("(CAST(bx - ax AS HUGEINT) * (py - ay) "
+             "- CAST(by - ay AS HUGEINT) * (px - ax))")
+    d2a = ("(CAST(px - ax AS HUGEINT) * (px - ax) "
+           "+ CAST(py - ay AS HUGEINT) * (py - ay))")
+    d2b = ("(CAST(px - bx AS HUGEINT) * (px - bx) "
+           "+ CAST(py - by AS HUGEINT) * (py - by))")
+    return f"""
+WITH cj_p AS (SELECT {pt_id},
+    CAST(floor(x * 1000000.0) AS BIGINT) AS px,
+    CAST(floor(y * 1000000.0) AS BIGINT) AS py
+    FROM ({pts_sql})),
+cj_s AS (SELECT {seg_id},
+    CAST(floor(x0 * 1000000.0) AS BIGINT) AS ax,
+    CAST(floor(y0 * 1000000.0) AS BIGINT) AS ay,
+    CAST(floor(x1 * 1000000.0) AS BIGINT) AS bx,
+    CAST(floor(y1 * 1000000.0) AS BIGINT) AS by
+    FROM ({segs_sql})),
+cj_z AS (SELECT {pt_id}, {seg_id},
+    CASE WHEN {len2} = 0 OR {tnum} <= 0 THEN
+      CASE WHEN {d2a} <= {e * e} THEN 'a' END
+    WHEN {tnum} >= {len2} THEN
+      CASE WHEN {d2b} <= {e * e} THEN 'b' END
+    WHEN {cross} * {cross} <= CAST('{e * e}' AS HUGEINT) * {len2}
+      THEN 'mid'
+    END AS zone
+    FROM cj_p, cj_s)
+SELECT {pt_id}, {seg_id}, zone FROM cj_z WHERE zone IS NOT NULL
+"""

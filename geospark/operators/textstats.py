@@ -1075,3 +1075,95 @@ WHERE NOT EXISTS (SELECT 1 FROM sky_f u
     WHERE u.n_tokens >= d.n_tokens AND u.alpha_ppm >= d.alpha_ppm
     AND (u.n_tokens > d.n_tokens OR u.alpha_ppm > d.alpha_ppm))
 """
+
+
+def bm25_topk(df, terms, k: int, *, text_col: str = "text",
+              id_col: str = "doc_id"):
+    """BM25-R ranked retrieval — the relevance-scored top-k behind
+    corpus search and query-based curation, in a RATIONAL-ARITHMETIC
+    variant so both engines agree to the last bit (documented
+    deviation: the log idf is replaced by the odds ratio it wraps,
+    (N - df + 0.5)/(df + 0.5), in floor-milli — per-term monotone in
+    the same df, so sparse terms still dominate; textbook BM25 needs
+    ln(), which differs across libm builds in the last ulp and would
+    flip near-tie ranks).
+
+    Per (doc, query term): the exact BM25 tf saturation with
+    k1 = 6/5, b = 3/4, cleared of fractions by 20 T:
+
+        s_upm = 44 T tf * 1e6  div  (20 T tf + 6 T + 18 dl N)
+
+    (T = total corpus tokens, N = docs, dl = doc length); the doc
+    score is sum over terms of w_milli * s_upm in nano-points. All
+    products run in DECIMAL(38,0) (T tf * 1e6 overflows BIGINT at
+    planetary corpus size; both engines' floor division agrees on
+    nonnegative operands), only the BIGINT-safe score reaches the
+    output.
+
+    Scale: candidate docs are the ones CONTAINING a query term (the
+    inverted-index semi-join — explode + isin filter, no full-corpus
+    scoring); corpus stats (N, T) are one aggregate row crossJoined
+    back (broadcast scalar); df/w_milli is a |terms|-row broadcast;
+    the final top-k is orderBy+limit = TakeOrdered (per-partition
+    heaps + one k-row merge, no global sort shuffle).
+    -> (doc_id, score_np), the k highest, ties broken by doc_id."""
+    from pyspark.sql import functions as F
+    w = words_col(text_col)
+    docs = df.select(F.col(id_col), F.size(w).cast("long")
+                     .alias("_dl"), w.alias("_w"))
+    stats = docs.agg(F.count(F.lit(1)).cast("long").alias("_nd"),
+                     F.sum("_dl").cast("long").alias("_tt"))
+    tf = (docs.select(
+            id_col, "_dl",
+            F.explode(F.filter("_w", lambda x: x.isin(*terms)))
+            .alias("_t"))
+          .groupBy(id_col, "_dl", "_t")
+          .agg(F.count(F.lit(1)).cast("long").alias("_tf")))
+    dfreq = tf.groupBy("_t").agg(F.count(F.lit(1)).cast("long")
+                                 .alias("_df"))
+    scored = (tf.join(F.broadcast(dfreq), "_t")
+              .crossJoin(F.broadcast(stats))
+              .withColumn("_wm", F.expr(
+                  "(1000 * (2 * (_nd - _df) + 1)) div (2 * _df + 1)"))
+              .withColumn("_supm", F.expr(
+                  "CAST(CAST(44 AS DECIMAL(38,0)) * _tt * _tf "
+                  "* 1000000 div (CAST(20 AS DECIMAL(38,0)) * _tt "
+                  "* _tf + CAST(6 AS DECIMAL(38,0)) * _tt "
+                  "+ CAST(18 AS DECIMAL(38,0)) * _dl * _nd) "
+                  "AS BIGINT)")))
+    return (scored.groupBy(id_col)
+            .agg(F.sum(F.col("_wm") * F.col("_supm"))
+                 .cast("long").alias("score_np"))
+            .orderBy(F.col("score_np").desc(), F.col(id_col))
+            .limit(int(k)))
+
+
+def bm25_topk_sql(terms, k: int, *, table: str = "documents") -> str:
+    """DuckDB twin of bm25_topk — same cleared-fraction integer
+    formula in HUGEINT, same odds-ratio milli weight, same
+    (score DESC, doc_id) top-k."""
+    lst = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH bm_docs AS (SELECT doc_id,
+    CAST(len(regexp_extract_all(lower(text), '{TOKEN_RX}'))
+         AS BIGINT) AS dl,
+    regexp_extract_all(lower(text), '{TOKEN_RX}') AS w
+    FROM {table}),
+bm_stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS t_tok
+             FROM bm_docs),
+bm_tf AS (SELECT doc_id, dl, t, COUNT(*) AS tf FROM (
+    SELECT doc_id, dl, unnest(list_filter(w, x -> x IN ({lst})))
+      AS t FROM bm_docs) GROUP BY 1, 2, 3),
+bm_df AS (SELECT t, COUNT(*) AS df FROM bm_tf GROUP BY 1),
+bm_s AS (SELECT f.doc_id,
+    (1000 * (2 * (s.n_docs - d.df) + 1)) // (2 * d.df + 1) AS wm,
+    CAST(CAST(44 AS HUGEINT) * s.t_tok * f.tf * 1000000
+         // (CAST(20 AS HUGEINT) * s.t_tok * f.tf
+             + CAST(6 AS HUGEINT) * s.t_tok
+             + CAST(18 AS HUGEINT) * f.dl * s.n_docs)
+         AS BIGINT) AS supm
+    FROM bm_tf f JOIN bm_df d ON d.t = f.t, bm_stats s)
+SELECT doc_id, CAST(SUM(wm * supm) AS BIGINT) AS score_np
+FROM bm_s GROUP BY 1
+ORDER BY score_np DESC, doc_id LIMIT {int(k)}
+"""

@@ -2172,15 +2172,11 @@ _SEG_SQL = ("SELECT n_nationkey AS seg_id, "
             "FROM nation")
 
 
-def q_snap_points(spark, sf_dir):
-    """Map-matching lite (r5.22): snap every customer point to its
-    nearest synthetic road segment — broadcast segments, closed-form
-    clamped projection, per-point argmin as ONE struct-MIN aggregate
-    (ties break on the lower seg_id); the oracle twin uses
-    ROW_NUMBER (operators/snap.snap_points docstring)."""
-    from pyspark.sql import functions as F
-    from .operators.snap import snap_points
-    segs = spark.read.parquet(f"{sf_dir}/nation.parquet") \
+def _road_segs(spark, sf_dir):
+    """The Spark twin of _SEG_SQL — the one place the synthetic
+    road-segment expressions exist on the Spark side (the _doc_urls
+    discipline from ADVICE r4)."""
+    return spark.read.parquet(f"{sf_dir}/nation.parquet") \
         .selectExpr("n_nationkey AS seg_id",
                     "CAST((n_nationkey * 37) % 340 AS DOUBLE) - 170.0 "
                     "AS x0",
@@ -2192,9 +2188,20 @@ def q_snap_points(spark, sf_dir):
                     "CAST((n_nationkey * 53) % 160 AS DOUBLE) - 80.0 "
                     "+ CAST((n_nationkey * 11) % 40 AS DOUBLE) - 20.0 "
                     "AS y1")
+
+
+def q_snap_points(spark, sf_dir):
+    """Map-matching lite (r5.22): snap every customer point to its
+    nearest synthetic road segment — broadcast segments, closed-form
+    clamped projection, per-point argmin as ONE struct-MIN aggregate
+    (ties break on the lower seg_id); the oracle twin uses
+    ROW_NUMBER (operators/snap.snap_points docstring)."""
+    from pyspark.sql import functions as F
+    from .operators.snap import snap_points
     pts = _cust_points(spark, sf_dir).select(
         "c_custkey", F.col("lon").alias("x"), F.col("lat").alias("y"))
-    return snap_points(pts, segs, pt_id="c_custkey")
+    return snap_points(pts, _road_segs(spark, sf_dir),
+                       pt_id="c_custkey")
 
 
 # adaptive tiling knobs: the event cloud at res 3 is heavily skewed
@@ -2451,19 +2458,7 @@ def q_route_legs(spark, sf_dir):
     pts = _traj_pts(spark, sf_dir).select(
         "user_id", "us", "event_id",
         F.col("lon").alias("x"), F.col("lat").alias("y"))
-    segs = spark.read.parquet(f"{sf_dir}/nation.parquet") \
-        .selectExpr("n_nationkey AS seg_id",
-                    "CAST((n_nationkey * 37) % 340 AS DOUBLE) - 170.0 "
-                    "AS x0",
-                    "CAST((n_nationkey * 53) % 160 AS DOUBLE) - 80.0 "
-                    "AS y0",
-                    "CAST((n_nationkey * 37) % 340 AS DOUBLE) - 170.0 "
-                    "+ CAST((n_nationkey * 7) % 40 AS DOUBLE) - 20.0 "
-                    "AS x1",
-                    "CAST((n_nationkey * 53) % 160 AS DOUBLE) - 80.0 "
-                    "+ CAST((n_nationkey * 11) % 40 AS DOUBLE) - 20.0 "
-                    "AS y1")
-    return route_legs(pts, segs)
+    return route_legs(pts, _road_segs(spark, sf_dir))
 
 
 # SemDeDup gate: the driver embeddings are random unit vectors (no
@@ -3177,6 +3172,44 @@ def q_doc_skyline(spark, sf_dir):
     return doc_skyline(d)
 
 
+# corridor half-width: 2 degrees in micro-degrees
+_CORRIDOR_EPS = 2_000_000
+
+
+def q_corridor_join(spark, sf_dir):
+    """Corridor join (r5.38): every (event, road-segment) pair
+    within 2 degrees on the micro-degree lattice, with the zone
+    ('a'/'mid'/'b') that admitted it — the buffer-zone spatial join
+    (operators/snap.corridor_join docstring: exact integer
+    cross^2 <= eps^2 len2 predicate, eps-expanded bbox cell cover,
+    one-cell points so no pair dedup)."""
+    from pyspark.sql import functions as F
+    from .operators.snap import corridor_join
+    pts = _traj_pts(spark, sf_dir).select(
+        F.col("event_id").alias("pt_id"),
+        F.col("lon").alias("x"), F.col("lat").alias("y"))
+    return corridor_join(pts, _road_segs(spark, sf_dir),
+                         _CORRIDOR_EPS)
+
+
+# ranked retrieval: the three query terms have distinct corpus df at
+# every SF; k=25 keeps score ties (same word-soup profile) exercised
+# through the deterministic doc_id tiebreak
+_BM25_TERMS = ["spark", "join", "vector"]
+_BM25_K = 25
+
+
+def q_bm25_topk(spark, sf_dir):
+    """BM25-R ranked retrieval (r5.38): top-25 docs for a 3-term
+    query under the rational-arithmetic BM25 variant
+    (operators/textstats.bm25_topk docstring: odds-ratio milli
+    weight replaces log idf, DECIMAL(38,0) products, TakeOrdered
+    top-k)."""
+    from .operators.textstats import bm25_topk
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bm25_topk(d, _BM25_TERMS, _BM25_K)
+
+
 def q_threshold_alerts(spark, sf_dir):
     """Hysteresis threshold alerting (r5.37): per-cell 6-hour window
     counts raise at >= 4 and clear below 2 — transition rows only,
@@ -3256,6 +3289,14 @@ QUERIES = {
     #    both replica-green this session --
     "semivariogram": q_semivariogram,
     "doc_skyline": q_doc_skyline,
+    # -- round-5.38 addition (session 9), inside the window for its
+    #    first driver row (dup_spans rotates just past the window:
+    #    driver-green r4, replica-green this session) --
+    "bm25_topk": q_bm25_topk,
+    # -- round-5.38 addition (session 9), inside the window for its
+    #    first driver row (decontaminate rotates just past the
+    #    window: driver-green r4, replica-green this session) --
+    "corridor_join": q_corridor_join,
     # -- round-5.13 addition, inside the window for its first driver
     #    row (curation_filter rotates just past the window:
     #    driver-green r4, a plain token-count filter) --
@@ -4465,6 +4506,12 @@ def oracle_sql() -> dict[str, str]:
                                              _SV_LAGS,
                                              count_col="n_pts")
     out["doc_skyline"] = doc_skyline_sql()
+    from .operators.textstats import bm25_topk_sql
+    out["bm25_topk"] = bm25_topk_sql(_BM25_TERMS, _BM25_K)
+    from .operators.snap import corridor_join_sql
+    out["corridor_join"] = corridor_join_sql(
+        f"SELECT event_id AS pt_id, lon AS x, lat AS y "
+        f"FROM ({_TRAJ_PTS_SQL})", _SEG_SQL, _CORRIDOR_EPS)
     out["threshold_alerts"] = threshold_alerts_sql(
         _TRAJ_PTS_SQL, _TA_RES, _TA_WIN_US, _TA_HI, _TA_LO)
     # streaming transitions == the BATCH threshold_alerts SQL, row

@@ -285,3 +285,109 @@ class TestDocSkyline:
                         and (u1 > v1 or u2 > v2))
                        for u1, u2 in feats.values()))
         assert got == want
+
+
+class TestBM25TopK:
+    def test_exact_scores_and_candidates_only(self, spark):
+        """Hand-computed BM25-R on a 3-doc corpus: N=3, T=7,
+        df(spark)=2 -> wm = 3000 div 5 = 600; d1 (tf=2, dl=3):
+        supm = 616e6 div 484 = 1272727; d2 (tf=1, dl=2): 308e6 div
+        290 = 1062068. d3 has no query term and is absent."""
+        from geospark.operators.textstats import bm25_topk
+        d = spark.createDataFrame(
+            [(1, "spark spark data"), (2, "spark data"),
+             (3, "data data")], "doc_id long, text string")
+        got = [tuple(r) for r in bm25_topk(d, ["spark"], 10).collect()]
+        assert got == [(1, 600 * 1272727), (2, 600 * 1062068)]
+
+    def test_tie_break_and_limit(self, spark):
+        """Identical docs score identically; ties order by doc_id
+        and LIMIT k cuts deterministically."""
+        from geospark.operators.textstats import bm25_topk
+        d = spark.createDataFrame(
+            [(i, "spark data") for i in (5, 3, 9, 1)],
+            "doc_id long, text string")
+        got = [r["doc_id"] for r in bm25_topk(d, ["spark"], 3).collect()]
+        assert got == [1, 3, 5]
+
+    def test_matches_sql_twin(self, spark):
+        import duckdb
+
+        from geospark.operators.textstats import (bm25_topk,
+                                                  bm25_topk_sql)
+        rows = [(i, " ".join(
+            ["spark"] * (i % 4) + ["join"] * (i % 3)
+            + ["data"] * (i % 5 + 1))) for i in range(30)]
+        d = spark.createDataFrame(rows, "doc_id long, text string")
+        got = [tuple(r) for r in
+               bm25_topk(d, ["spark", "join"], 8).collect()]
+        con = duckdb.connect()
+        con.execute("CREATE TABLE documents (doc_id BIGINT, "
+                    "text VARCHAR)")
+        con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+        want = [tuple(r) for r in con.execute(
+            bm25_topk_sql(["spark", "join"], 8)).fetchall()]
+        assert got == want
+
+
+class TestCorridorJoin:
+    def _run(self, spark, pts, segs, eps, res=4):
+        from geospark.operators.snap import corridor_join
+        p = spark.createDataFrame(pts,
+                                  "pt_id long, x double, y double")
+        s = spark.createDataFrame(
+            segs, "seg_id long, x0 double, y0 double, "
+                  "x1 double, y1 double")
+        return _rows(corridor_join(p, s, eps, res=res))
+
+    def test_zones(self, spark):
+        """Interior perpendicular hit -> mid; past endpoint within
+        eps -> a/b; far point absent."""
+        segs = [(1, 0.0, 0.0, 10.0, 0.0)]
+        pts = [(1, 5.0, 0.5), (2, -0.5, 0.0), (3, 10.5, 0.0),
+               (4, 5.0, 3.0)]
+        got = self._run(spark, pts, segs, 1_000_000)
+        assert got == [(1, 1, "mid"), (2, 1, "a"), (3, 1, "b")]
+
+    def test_exact_boundary_included(self, spark):
+        """Perpendicular distance EXACTLY eps: cross^2 == eps^2 len2
+        -> included (<=, both engines)."""
+        got = self._run(spark, [(1, 5.0, 1.0)],
+                        [(1, 0.0, 0.0, 10.0, 0.0)], 1_000_000)
+        assert got == [(1, 1, "mid")]
+
+    def test_degenerate_segment(self, spark):
+        """Zero-length segment: endpoint-a test only."""
+        got = self._run(spark, [(1, 0.5, 0.0), (2, 3.0, 0.0)],
+                        [(1, 1.0, 0.0, 1.0, 0.0)], 1_000_000)
+        assert got == [(1, 1, "a")]
+
+    def test_matches_sql_twin(self, spark):
+        import duckdb
+
+        from geospark.operators.snap import (corridor_join,
+                                             corridor_join_sql)
+        pts = [(i, (i * 37) % 80 - 40 + 0.25 * (i % 3),
+                (i * 53) % 60 - 30 + 0.5 * (i % 5)) for i in range(200)]
+        segs = [(j, (j * 17) % 60 - 30.0, (j * 29) % 40 - 20.0,
+                 (j * 17) % 60 - 30.0 + (j % 7) - 3.0,
+                 (j * 29) % 40 - 20.0 + (j % 5) - 2.0)
+                for j in range(12)]
+        p = spark.createDataFrame(pts,
+                                  "pt_id long, x double, y double")
+        s = spark.createDataFrame(
+            segs, "seg_id long, x0 double, y0 double, "
+                  "x1 double, y1 double")
+        got = _rows(corridor_join(p, s, 2_000_000, res=4))
+        con = duckdb.connect()
+        con.execute("CREATE TABLE p (pt_id BIGINT, x DOUBLE, "
+                    "y DOUBLE)")
+        con.execute("CREATE TABLE s (seg_id BIGINT, x0 DOUBLE, "
+                    "y0 DOUBLE, x1 DOUBLE, y1 DOUBLE)")
+        con.executemany("INSERT INTO p VALUES (?, ?, ?)", pts)
+        con.executemany("INSERT INTO s VALUES (?, ?, ?, ?, ?)", segs)
+        want = sorted(tuple(r) for r in con.execute(corridor_join_sql(
+            "SELECT pt_id, x, y FROM p",
+            "SELECT seg_id, x0, y0, x1, y1 FROM s",
+            2_000_000)).fetchall())
+        assert got == want
