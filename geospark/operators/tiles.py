@@ -2644,3 +2644,108 @@ sv_pairs AS (SELECT
 SELECT lag_cells, CAST(n_pairs AS BIGINT) AS n_pairs, gamma_ppm
 FROM ({ladder})
 """
+
+
+_EHS_CLASS_CASE = (
+    "CASE WHEN n_hot = 0 THEN 'none' "
+    "WHEN h_last = 1 AND n_hot = 1 THEN 'new' "
+    "WHEN h_last = 1 AND s_mk > 0 THEN 'intensifying' "
+    "WHEN h_last = 1 AND s_mk < 0 THEN 'cooling' "
+    "WHEN h_last = 1 THEN 'persistent' "
+    "WHEN s_mk < 0 THEN 'diminishing' "
+    "ELSE 'sporadic' END")
+
+
+def emerging_hotspots(points, res: int, *, us_col: str = "us",
+                      lat_col: str = "lat", lon_col: str = "lon",
+                      day_us: int = 86_400_000_000):
+    """Emerging-hotspot classification — the space-time-cube verdict
+    ('which tiles are heating up, which are cooling off') that
+    composes the per-day hot test with the Mann-Kendall trend, in a
+    fully INTEGER variant of the classic Gi*-plus-MK taxonomy: a
+    cell-day is HOT iff its count strictly beats the day's mean over
+    the dense cell set (n * C > T_d — cross-multiplied, no
+    division), and each cell classifies from (n_hot, h_last, sign
+    of MK S) via one shared CASE (_EHS_CLASS_CASE, same text in both
+    engines):
+
+        none / new (first-ever hot day is today) / intensifying /
+        cooling (hot now, counts trending down) / persistent
+        (hot now, flat trend) / diminishing (not hot now, trending
+        down) / sporadic (was hot, not now, no downtrend).
+
+    Rides _dense_daily_counts' gap-filled calendar (a zero-arrival
+    day must be able to out-vote a spike in both the hot test and
+    the trend) and cell_mk's pairwise BIGINT sign sum. Spans shorter
+    than 2 days return the empty frame (no trend is defined — the
+    cell_mk discipline).
+
+    Scale: day totals are an m-row broadcast (one per day); the MK
+    pair join runs over the DENSE AGGREGATE frame keyed on the cell
+    (|cells| x m(m-1)/2 rows, policy-bounded m); one final cell agg.
+    -> (cell, n_total, n_hot, h_last, s_mk, class)."""
+    from pyspark.sql import functions as F
+    filled, lo, hi = _dense_daily_counts(
+        points, res, us_col=us_col, lat_col=lat_col, lon_col=lon_col,
+        day_us=day_us)
+    if lo is None or hi == lo:
+        return (filled.select(
+            "cell", F.col("n_events").alias("n_total"),
+            F.lit(0).cast("long").alias("n_hot"),
+            F.lit(0).cast("long").alias("h_last"),
+            F.lit(0).cast("long").alias("s_mk"),
+            F.lit("none").alias("class")).limit(0))
+    daytot = filled.groupBy("day").agg(
+        F.sum("n_events").alias("_t"),
+        F.count(F.lit(1)).alias("_c"))
+    h = (filled.join(F.broadcast(daytot), "day")
+         .withColumn("_hot", F.expr(
+             "CASE WHEN n_events * _c > _t THEN 1 ELSE 0 END")))
+    per = h.groupBy("cell").agg(
+        F.sum("n_events").cast("long").alias("n_total"),
+        F.sum("_hot").cast("long").alias("n_hot"),
+        F.max(F.expr(f"CASE WHEN day = {hi} THEN _hot ELSE 0 END"))
+        .cast("long").alias("h_last"))
+    a = filled.select("cell", F.col("day").alias("_di"),
+                      F.col("n_events").alias("_yi"))
+    b = filled.select("cell", F.col("day").alias("_dj"),
+                      F.col("n_events").alias("_yj"))
+    s = (a.join(b, "cell").filter(F.col("_di") < F.col("_dj"))
+         .withColumn("_sgn", F.expr(
+             "CASE WHEN _yj > _yi THEN 1 "
+             "WHEN _yj < _yi THEN -1 ELSE 0 END"))
+         .groupBy("cell").agg(F.sum("_sgn").cast("long")
+                              .alias("s_mk")))
+    return (per.join(s, "cell")
+            .select("cell", "n_total", "n_hot", "h_last", "s_mk",
+                    F.expr(_EHS_CLASS_CASE).alias("class")))
+
+
+def emerging_hotspots_sql(pts_sql: str, res: int, *,
+                          day_us: int = 86_400_000_000) -> str:
+    """DuckDB twin of emerging_hotspots — the same dense prologue,
+    cross-multiplied hot test, pairwise sign sum, and the IDENTICAL
+    class CASE text."""
+    return f"""
+WITH {_dense_daily_counts_sql(pts_sql, res, day_us)},
+daytot AS (SELECT day, SUM(n_events) AS t, COUNT(*) AS c
+           FROM filled GROUP BY 1),
+h AS (SELECT f.cell, f.day, f.n_events,
+      CASE WHEN f.n_events * d.c > d.t THEN 1 ELSE 0 END AS hot
+      FROM filled f JOIN daytot d USING (day)),
+per AS (SELECT h.cell, CAST(SUM(h.n_events) AS BIGINT) AS n_total,
+        CAST(SUM(h.hot) AS BIGINT) AS n_hot,
+        CAST(MAX(CASE WHEN h.day = span.hi THEN h.hot ELSE 0 END)
+             AS BIGINT) AS h_last
+        FROM h, span GROUP BY 1),
+mk AS (SELECT a.cell, CAST(SUM(
+       CASE WHEN b.n_events > a.n_events THEN 1
+            WHEN b.n_events < a.n_events THEN -1 ELSE 0 END)
+       AS BIGINT) AS s_mk
+       FROM filled a JOIN filled b
+       ON a.cell = b.cell AND a.day < b.day
+       GROUP BY 1)
+SELECT per.cell, per.n_total, per.n_hot, per.h_last, mk.s_mk,
+       {_EHS_CLASS_CASE} AS class
+FROM per JOIN mk USING (cell), span WHERE span.hi > span.lo
+"""

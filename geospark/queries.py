@@ -3176,6 +3176,17 @@ def q_doc_skyline(spark, sf_dir):
 _CORRIDOR_EPS = 2_000_000
 
 
+def q_emerging_hotspots(spark, sf_dir):
+    """Emerging-hotspot taxonomy (r5.38): per res-4 cell, the
+    space-time-cube verdict (new / intensifying / cooling /
+    persistent / diminishing / sporadic / none) from the integer
+    hot-day test + Mann-Kendall sign trend
+    (operators/tiles.emerging_hotspots docstring: shared
+    _EHS_CLASS_CASE text, cross-multiplied hot test)."""
+    from .operators.tiles import emerging_hotspots
+    return emerging_hotspots(_traj_pts(spark, sf_dir), _TREND_RES)
+
+
 def q_corridor_join(spark, sf_dir):
     """Corridor join (r5.38): every (event, road-segment) pair
     within 2 degrees on the micro-degree lattice, with the zone
@@ -3297,6 +3308,10 @@ QUERIES = {
     #    first driver row (decontaminate rotates just past the
     #    window: driver-green r4, replica-green this session) --
     "corridor_join": q_corridor_join,
+    # -- round-5.38 addition (session 9), inside the window for its
+    #    first driver row (redact_pii rotates just past the window:
+    #    driver-green r4, replica-green this session) --
+    "emerging_hotspots": q_emerging_hotspots,
     # -- round-5.13 addition, inside the window for its first driver
     #    row (curation_filter rotates just past the window:
     #    driver-green r4, a plain token-count filter) --
@@ -4512,6 +4527,9 @@ def oracle_sql() -> dict[str, str]:
     out["corridor_join"] = corridor_join_sql(
         f"SELECT event_id AS pt_id, lon AS x, lat AS y "
         f"FROM ({_TRAJ_PTS_SQL})", _SEG_SQL, _CORRIDOR_EPS)
+    from .operators.tiles import emerging_hotspots_sql
+    out["emerging_hotspots"] = emerging_hotspots_sql(_TRAJ_PTS_SQL,
+                                                     _TREND_RES)
     out["threshold_alerts"] = threshold_alerts_sql(
         _TRAJ_PTS_SQL, _TA_RES, _TA_WIN_US, _TA_HI, _TA_LO)
     # streaming transitions == the BATCH threshold_alerts SQL, row

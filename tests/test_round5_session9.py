@@ -391,3 +391,91 @@ class TestCorridorJoin:
             "SELECT seg_id, x0, y0, x1, y1 FROM s",
             2_000_000)).fetchall())
         assert got == want
+
+
+_DAY = 86_400_000_000
+
+
+class TestEmergingHotspots:
+    def _pts(self, spark, series, res=2):
+        """series: {(x, y): [n_day0, n_day1, ...]} -> points df with
+        one row per event at the cell's center."""
+        from geospark.functions.cells import cell_bounds_np
+        import numpy as np
+        rows = []
+        for (x, y), days in series.items():
+            cell = _mk(res, x, y)
+            lo0, la0, lo1, la1 = cell_bounds_np(np.asarray([cell]))
+            lat = float((la0[0] + la1[0]) / 2)
+            lon = float((lo0[0] + lo1[0]) / 2)
+            for d, n in enumerate(days):
+                for _ in range(n):
+                    rows.append((lat, lon, d * _DAY))
+        return spark.createDataFrame(
+            rows, "lat double, lon double, us long")
+
+    def _classes(self, spark, series, res=2):
+        from geospark.operators.tiles import emerging_hotspots
+        out = emerging_hotspots(self._pts(spark, series, res), res)
+        return {r["cell"]: r["class"] for r in out.collect()}
+
+    def test_new_diminishing_sporadic(self, spark):
+        got = self._classes(spark, {
+            (0, 1): [1, 1, 5],   # hot only on the last day -> new
+            (1, 1): [3, 1, 0],   # hot d0, downtrend -> diminishing
+            (2, 1): [2, 2, 2],   # hot d1 only, flat -> sporadic
+        })
+        assert got[_mk(2, 0, 1)] == "new"
+        assert got[_mk(2, 1, 1)] == "diminishing"
+        assert got[_mk(2, 2, 1)] == "sporadic"
+
+    def test_persistent_none(self, spark):
+        got = self._classes(spark, {
+            (0, 1): [5, 0, 5],   # hot d0+d2, flat MK -> persistent
+            (1, 1): [0, 9, 0],   # hot d1 only, flat -> sporadic
+            (2, 1): [1, 1, 1],   # never hot -> none
+        })
+        assert got[_mk(2, 0, 1)] == "persistent"
+        assert got[_mk(2, 1, 1)] == "sporadic"
+        assert got[_mk(2, 2, 1)] == "none"
+
+    def test_intensifying_and_cooling(self, spark):
+        got = self._classes(spark, {
+            (0, 1): [1, 4, 9],   # hot d1+d2, uptrend -> intensifying
+            (1, 1): [9, 1, 1],   # hot d0, downtrend -> diminishing
+        })
+        assert got[_mk(2, 0, 1)] == "intensifying"
+        assert got[_mk(2, 1, 1)] == "diminishing"
+        got = self._classes(spark, {
+            (0, 1): [9, 2, 3],   # hot all days, downtrend -> cooling
+            (1, 1): [1, 1, 2],   # never hot -> none
+        })
+        assert got[_mk(2, 0, 1)] == "cooling"
+        assert got[_mk(2, 1, 1)] == "none"
+
+    def test_single_day_span_empty(self, spark):
+        from geospark.operators.tiles import emerging_hotspots
+        assert emerging_hotspots(
+            self._pts(spark, {(0, 1): [4]}), 2).count() == 0
+
+    def test_matches_sql_twin(self, spark):
+        import duckdb
+
+        from geospark.operators.tiles import (emerging_hotspots,
+                                              emerging_hotspots_sql)
+        series = {}
+        for x in range(5):
+            for y in range(3):
+                series[(x, y)] = [(x * 7 + y * 3 + d * d) % 6
+                                  for d in range(4)]
+        pts = self._pts(spark, series, res=3)
+        got = _rows(emerging_hotspots(pts, 3))
+        rows = [tuple(r) for r in pts.collect()]
+        con = duckdb.connect()
+        con.execute("CREATE TABLE p (lat DOUBLE, lon DOUBLE, "
+                    "us BIGINT)")
+        con.executemany("INSERT INTO p VALUES (?, ?, ?)", rows)
+        want = sorted(tuple(r) for r in con.execute(
+            emerging_hotspots_sql("SELECT lat, lon, us FROM p", 3))
+            .fetchall())
+        assert got == want
