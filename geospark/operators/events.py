@@ -1849,3 +1849,119 @@ ta_u AS (SELECT cell, w, n, nxt, st,
 SELECT cell, w, CAST(n AS BIGINT) AS n, CAST(st AS BIGINT) AS alert
 FROM ta_u WHERE st <> pst AND nxt IS NOT NULL
 """
+
+
+_RESAMPLE_INTERP_CASE = (
+    "CASE WHEN {num} >= 0 THEN ({num}) {d} ({den}) "
+    "ELSE -((-({num})) {d} ({den})) END")
+
+
+def traj_resample(points, step_us: int, *, user_col: str = "user_id",
+                  us_col: str = "us", lat_col: str = "lat",
+                  lon_col: str = "lon", tie_col: str = "event_id"):
+    """Fixed-time-grid trajectory resampling — the track
+    regularization every downstream sequence model wants (equal-dt
+    positions) that raw event streams never provide: per user, the
+    linearly interpolated micro-degree position at every grid epoch
+    k * step_us covered by the user's observation span.
+
+    Epoch ownership is exact and collision-free: each consecutive
+    event pair (t0, t1] emits the epochs in its HALF-OPEN interval
+    (floor(t0/step)+1 .. floor(t1/step) — duplicate-timestamp pairs
+    emit nothing, and a pair boundary epoch belongs to exactly one
+    pair), plus the user's FIRST event (row 1 by (us, tie)) emits
+    its own epoch when it sits exactly on the grid. Interpolation is
+    trunc-toward-zero rational arithmetic, sign-decomposed so
+    Spark's `div` and DuckDB's flooring `//` produce the same
+    integer (the cell_mk convention):
+
+        x(e) = x0 + trunc((x1 - x0)(e - t0) / (t1 - t0))
+
+    Scale: ONE user-keyed window (lead) and one bounded explode
+    (span/step epochs per pair) — no joins, no epoch-to-pair
+    shuffle; the output partitioning stays user-keyed for the
+    sequence models downstream. -> (user_id, epoch_us, ix, iy)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    s = int(step_us)
+    d = points.select(
+        F.col(user_col).alias("_user"), F.col(us_col).alias("_us"),
+        F.col(tie_col).alias("_tie"),
+        F.expr(f"CAST(floor({lat_col} * 1000000.0) AS BIGINT)")
+         .alias("_iy"),
+        F.expr(f"CAST(floor({lon_col} * 1000000.0) AS BIGINT)")
+         .alias("_ix"))
+    w = Window.partitionBy("_user").orderBy("_us", "_tie")
+    d = (d.withColumn("_nus", F.lead("_us").over(w))
+          .withColumn("_nx", F.lead("_ix").over(w))
+          .withColumn("_ny", F.lead("_iy").over(w))
+          .withColumn("_rk", F.row_number().over(w)))
+    first = (d.filter((F.col("_rk") == 1)
+                      & (F.col("_us") % s == 0))
+             .select(F.col("_user"), F.col("_us").alias("epoch_us"),
+                     F.col("_ix").alias("ix"),
+                     F.col("_iy").alias("iy")))
+    # guard the empty range: Spark's sequence(a, b) runs DESCENDING
+    # when b < a (a same-bucket pair would emit phantom epochs);
+    # explode(NULL) drops the row, matching DuckDB's empty
+    # generate_series
+    pair = (d.filter(F.col("_nus").isNotNull()
+                     & (F.col("_nus") > F.col("_us")))
+            .withColumn("_k", F.explode(F.expr(
+                f"CASE WHEN _nus div {s} >= _us div {s} + 1 "
+                f"THEN sequence(_us div {s} + 1, _nus div {s}) "
+                f"END")))
+            .withColumn("epoch_us", F.col("_k") * s))
+    # the displacement x time-gap product overflows BIGINT (a 1-day
+    # gap is ~8.6e10 us) -> DECIMAL(38,0); `div` narrows back
+    ix_num = "CAST(_nx - _ix AS DECIMAL(38,0)) * (epoch_us - _us)"
+    iy_num = "CAST(_ny - _iy AS DECIMAL(38,0)) * (epoch_us - _us)"
+    den = "(_nus - _us)"
+    pair = pair.select(
+        "_user", "epoch_us",
+        (F.col("_ix") + F.expr(_RESAMPLE_INTERP_CASE.format(
+            num=ix_num, den=den, d="div"))).alias("ix"),
+        (F.col("_iy") + F.expr(_RESAMPLE_INTERP_CASE.format(
+            num=iy_num, den=den, d="div"))).alias("iy"))
+    return (first.unionByName(pair)
+            .select(F.col("_user").alias(user_col), "epoch_us",
+                    F.col("ix").cast("long").alias("ix"),
+                    F.col("iy").cast("long").alias("iy")))
+
+
+def traj_resample_sql(pts_sql: str, step_us: int) -> str:
+    """DuckDB twin of traj_resample over a subquery producing
+    (user_id, us, event_id, lat, lon) — same lead window, same
+    half-open epoch ownership, same sign-decomposed interpolation
+    (`//` wrapped by the shared CASE so flooring never differs from
+    Spark's trunc)."""
+    s = int(step_us)
+    ix_i = _RESAMPLE_INTERP_CASE.format(
+        num=f"CAST(nx - ix AS HUGEINT) * (e * {s} - us)",
+        den="(nus - us)", d="//")
+    iy_i = _RESAMPLE_INTERP_CASE.format(
+        num=f"CAST(ny - iy AS HUGEINT) * (e * {s} - us)",
+        den="(nus - us)", d="//")
+    return f"""
+WITH tr_d AS (SELECT user_id AS u, us, event_id AS tie,
+    CAST(floor(lat * 1000000.0) AS BIGINT) AS iy,
+    CAST(floor(lon * 1000000.0) AS BIGINT) AS ix
+    FROM ({pts_sql})),
+tr_w AS (SELECT u, us, ix, iy,
+    LEAD(us) OVER w AS nus, LEAD(ix) OVER w AS nx,
+    LEAD(iy) OVER w AS ny,
+    ROW_NUMBER() OVER w AS rk
+    FROM tr_d WINDOW w AS (PARTITION BY u ORDER BY us, tie)),
+tr_first AS (SELECT u AS user_id, us AS epoch_us, ix, iy
+    FROM tr_w WHERE rk = 1 AND us % {s} = 0),
+tr_pair AS (SELECT u AS user_id, e * {s} AS epoch_us,
+    ix + ({ix_i}) AS ix, iy + ({iy_i}) AS iy
+    FROM (SELECT *, unnest(generate_series(us // {s} + 1,
+                                           nus // {s})) AS e
+          FROM tr_w WHERE nus IS NOT NULL AND nus > us) q)
+SELECT user_id, epoch_us, CAST(ix AS BIGINT) AS ix,
+       CAST(iy AS BIGINT) AS iy FROM tr_first
+UNION ALL
+SELECT user_id, epoch_us, CAST(ix AS BIGINT) AS ix,
+       CAST(iy AS BIGINT) AS iy FROM tr_pair
+"""

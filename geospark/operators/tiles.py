@@ -2749,3 +2749,180 @@ SELECT per.cell, per.n_total, per.n_hot, per.h_last, mk.s_mk,
        {_EHS_CLASS_CASE} AS class
 FROM per JOIN mk USING (cell), span WHERE span.hi > span.lo
 """
+
+
+def cell_theil_sen(points, res: int, *, us_col: str = "us",
+                   lat_col: str = "lat", lon_col: str = "lon",
+                   day_us: int = 86_400_000_000):
+    """Per-cell Theil-Sen slope over the dense daily count series —
+    the ROBUST trend estimator that completes the trend triad
+    (cell_trend = OLS level change, cell_mk = monotonicity verdict,
+    this = outlier-proof ppm/day rate): the MEDIAN of all pairwise
+    slopes (y_j - y_i)/(d_j - d_i), which a single spike day cannot
+    yank (OLS breaks down at one bad point; Theil-Sen tolerates 29%
+    contamination).
+
+    Median selection over RATIONALS with no float anywhere: every
+    pairwise slope maps to the exact integer key
+    dy * (L div dx) = slope * L, with L = lcm(1 .. m-1) computed
+    once from the shared m-day span (L div dx is exact by
+    construction), so ordering by the BIGINT key IS ordering by the
+    rational slope; the LOWER median (rank (P+1) div 2 of the
+    P = m(m-1)/2 pairs — P is the same for every cell on the dense
+    calendar) is then one row_number filter, and ties in the key
+    carry equal slope values, so tie order can never change the
+    selected VALUE. slope_upm = trunc(1e6 * key / L), sign-
+    decomposed so Spark's trunc `div` and DuckDB's flooring `//`
+    agree; the 1e6 * key product runs in DECIMAL(38,0)/HUGEINT.
+    Spans beyond 41 days raise (L would overflow BIGINT) — bin the
+    calendar coarser at policy level, the cell_mk m-bound argument.
+
+    Scale: the same dense-aggregate pair join as cell_mk
+    (|cells| x m(m-1)/2 rows, never points) + one cell-keyed
+    window. Spans shorter than 2 days -> empty frame.
+    -> (cell, n_total, slope_upm)."""
+    import math
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    filled, lo, hi = _dense_daily_counts(
+        points, res, us_col=us_col, lat_col=lat_col, lon_col=lon_col,
+        day_us=day_us)
+    if lo is None or hi == lo:
+        return (filled.groupBy("cell")
+                .agg(F.sum("n_events").alias("n_total"),
+                     F.lit(0).cast("long").alias("slope_upm"))
+                .limit(0))
+    m = hi - lo + 1
+    if m - 1 > 41:
+        raise ValueError("span > 41 days: lcm key overflows BIGINT; "
+                         "use coarser day_us bins")
+    big_l = math.lcm(*range(1, m))
+    p_pairs = m * (m - 1) // 2
+    rank = (p_pairs + 1) // 2
+    a = filled.select("cell", F.col("day").alias("_di"),
+                      F.col("n_events").alias("_yi"))
+    b = filled.select("cell", F.col("day").alias("_dj"),
+                      F.col("n_events").alias("_yj"))
+    pairs = (a.join(b, "cell").filter(F.col("_di") < F.col("_dj"))
+             .withColumn("_key", F.expr(
+                 f"(_yj - _yi) * ({big_l} div (_dj - _di))")))
+    w = Window.partitionBy("cell").orderBy("_key")
+    med = (pairs.withColumn("_rn", F.row_number().over(w))
+           .filter(F.col("_rn") == rank))
+    tot = filled.groupBy("cell").agg(
+        F.sum("n_events").cast("long").alias("n_total"))
+    num = "CAST(1000000 AS DECIMAL(38,0)) * _key"
+    return (tot.join(med.select("cell", "_key"), "cell")
+            .select("cell", "n_total", F.expr(
+                f"CAST(CASE WHEN _key >= 0 THEN ({num}) div {big_l} "
+                f"ELSE -((-({num})) div {big_l}) END AS BIGINT)")
+                .alias("slope_upm")))
+
+
+def cell_theil_sen_sql_for_span(pts_sql: str, res: int, m: int, *,
+                                day_us: int = 86_400_000_000) -> str:
+    """DuckDB twin of cell_theil_sen for a KNOWN m-day span: the
+    gate computes m from the same parquet before rendering the SQL
+    (tools/check_oracle replays queries at a fixed SF, so m is
+    deterministic there); the WHERE span-guard makes a span mismatch
+    return zero rows — a loud rows_match failure, never a silent
+    reorder. Same integer key, lower-median row_number, sign-
+    decomposed HUGEINT upm."""
+    import math
+    if m < 2 or m - 1 > 41:
+        raise ValueError("m out of the supported [2, 42] span")
+    big_l = math.lcm(*range(1, m))
+    p_pairs = m * (m - 1) // 2
+    rank = (p_pairs + 1) // 2
+    num = "CAST(1000000 AS HUGEINT) * key"
+    return f"""
+WITH {_dense_daily_counts_sql(pts_sql, res, day_us)},
+ts_pairs AS (SELECT a.cell,
+    (b.n_events - a.n_events) * ({big_l} // (b.day - a.day)) AS key
+    FROM filled a JOIN filled b
+    ON a.cell = b.cell AND a.day < b.day),
+ts_med AS (SELECT cell, key FROM (
+    SELECT cell, key, ROW_NUMBER() OVER (
+        PARTITION BY cell ORDER BY key) AS rn FROM ts_pairs)
+    WHERE rn = {rank}),
+ts_tot AS (SELECT cell, CAST(SUM(n_events) AS BIGINT) AS n_total
+           FROM filled GROUP BY 1)
+SELECT t.cell, t.n_total,
+       CAST(CASE WHEN m.key >= 0 THEN ({num}) // {big_l}
+            ELSE -((-({num})) // {big_l}) END AS BIGINT)
+         AS slope_upm
+FROM ts_tot t JOIN ts_med m USING (cell), span
+WHERE span.hi - span.lo + 1 = {m}
+"""
+
+
+def ht_breaks(tiles, rounds: int, *, cell_col: str = "cell",
+              count_col: str = "n_docs"):
+    """Head/tail-breaks classification of the density raster — the
+    cartographer's class ladder for HEAVY-TAILED data (Jiang 2013),
+    where equal-interval and quantile breaks both lie: split at the
+    mean, keep the head (strictly above), split the head at ITS
+    mean, repeat. A cell's level = how many successive head cuts it
+    survived; city-block data yields the familiar 'few level-R
+    peaks over a sea of level-0' hierarchy, and the level IS the
+    zoom tier a tile renderer would label the cell at.
+
+    The above-mean test is cross-multiplied (n * |set| > sum — no
+    division, no floats); ``rounds`` is FIXED (no data-dependent
+    driver loop): an empty head simply produces empty later stages,
+    and cells never above a cut keep the level of the round they
+    fell out. All-equal inputs put everything at level 0 (strict
+    inequality: nothing beats the mean).
+
+    Scale: per round, one 1-row aggregate crossJoined back (a
+    broadcast scalar) + one filter over AGGREGATE rows,
+    materialize()'d for lineage truncation; R rounds = R tiny
+    barriers, no point-table pass after the initial counts.
+    -> (cell, n, level 0..rounds)."""
+    from pyspark.sql import functions as F
+
+    from ..materialize import materialize
+    cur = materialize(tiles.select(F.col(cell_col).alias("_c"),
+                                   F.col(count_col).cast("long")
+                                   .alias("_n")))
+    parts = []
+    for lvl in range(int(rounds)):
+        stats = cur.agg(F.sum("_n").alias("_t"),
+                        F.count(F.lit(1)).alias("_cnt"))
+        j = cur.crossJoin(F.broadcast(stats))
+        parts.append(j.filter(F.expr("_n * _cnt <= _t"))
+                      .select("_c", "_n",
+                              F.lit(lvl).cast("long").alias("level")))
+        cur = materialize(j.filter(F.expr("_n * _cnt > _t"))
+                          .select("_c", "_n"))
+    parts.append(cur.select(
+        "_c", "_n", F.lit(int(rounds)).cast("long").alias("level")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(F.col("_c").alias(cell_col),
+                      F.col("_n").alias("n"), "level")
+
+
+def ht_breaks_sql(counts_sql: str, rounds: int, *,
+                  count_col: str = "n_docs") -> str:
+    """DuckDB twin of ht_breaks — the same fixed chain of
+    mean-cut stages (cross-multiplied test, strict head)."""
+    stages = [f"ht0 AS (SELECT cell AS c, CAST({count_col} AS BIGINT)"
+              f" AS n FROM ({counts_sql}))"]
+    sels = []
+    for lvl in range(int(rounds)):
+        stages.append(
+            f"hs{lvl} AS (SELECT SUM(n) AS t, COUNT(*) AS cnt "
+            f"FROM ht{lvl})")
+        stages.append(
+            f"ht{lvl + 1} AS (SELECT h.c, h.n FROM ht{lvl} h, "
+            f"hs{lvl} s WHERE h.n * s.cnt > s.t)")
+        sels.append(
+            f"SELECT h.c, h.n, CAST({lvl} AS BIGINT) AS level "
+            f"FROM ht{lvl} h, hs{lvl} s WHERE h.n * s.cnt <= s.t")
+    sels.append(f"SELECT c, n, CAST({int(rounds)} AS BIGINT) "
+                f"AS level FROM ht{int(rounds)}")
+    return ("WITH " + ",\n".join(stages) + "\nSELECT c AS cell, n, "
+            "level FROM (" + " UNION ALL ".join(sels) + ")")

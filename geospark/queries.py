@@ -3176,6 +3176,52 @@ def q_doc_skyline(spark, sf_dir):
 _CORRIDOR_EPS = 2_000_000
 
 
+# resampling grid: 6-hour epochs over the ~2-week event span
+_RESAMPLE_STEP_US = 6 * 3600 * 1_000_000
+
+# the synthetic events table spans exactly January 2024 (day indices
+# 0..29 -> m = 30) at EVERY SF — the generator pins the month; the
+# oracle twin's span-guard returns zero rows (a loud rows_match
+# failure) if that ever drifts
+_TS_SPAN_DAYS = 30
+
+
+# head/tail breaks: 4 mean cuts over the res-6 customer raster
+_HT_ROUNDS = 4
+
+
+def q_ht_breaks(spark, sf_dir):
+    """Head/tail-breaks class ladder (r5.38): per occupied res-6
+    cell, how many successive above-mean cuts it survives — the
+    heavy-tail cartography classification
+    (operators/tiles.ht_breaks docstring: cross-multiplied strict
+    mean test, fixed rounds)."""
+    from .operators.tiles import ht_breaks, tile_counts
+    t = tile_counts(_cust_points(spark, sf_dir), RES_COARSE) \
+        .withColumnRenamed("n_docs", "n_pts")
+    return ht_breaks(t, _HT_ROUNDS, count_col="n_pts")
+
+
+def q_cell_theil_sen(spark, sf_dir):
+    """Per-cell Theil-Sen slope (r5.38): the robust median-of-
+    pairwise-slopes trend in exact integer arithmetic — lcm-scaled
+    BIGINT keys order the rationals, lower-median row_number
+    selection (operators/tiles.cell_theil_sen docstring)."""
+    from .operators.tiles import cell_theil_sen
+    return cell_theil_sen(_traj_pts(spark, sf_dir), _TREND_RES)
+
+
+def q_traj_resample(spark, sf_dir):
+    """Fixed-grid trajectory resampling (r5.38): per-user linearly
+    interpolated micro-degree positions at 6-hour epochs
+    (operators/events.traj_resample docstring: half-open epoch
+    ownership per consecutive pair, sign-decomposed trunc
+    interpolation, one window + one bounded explode)."""
+    from .operators.events import traj_resample
+    return traj_resample(_traj_pts(spark, sf_dir),
+                         _RESAMPLE_STEP_US)
+
+
 def q_emerging_hotspots(spark, sf_dir):
     """Emerging-hotspot taxonomy (r5.38): per res-4 cell, the
     space-time-cube verdict (new / intensifying / cooling /
@@ -3288,30 +3334,30 @@ def q_bearing_hist(spark, sf_dir):
 
 QUERIES = {
     # -- round-5.38 additions (session 9), inside the window for
-    #    their first driver row. Evicted just past the window:
-    #    trajectories and ring_valid — both driver-green r4
-    #    (CORRECTNESS_r04.json hash-green), both replica-green under
-    #    tools/check_oracle.py this session --
+    #    their first driver row under the session-8 triage principle
+    #    (newest rows have the LEAST replica soak, so the final
+    #    driver gate covers them; the catalog outgrew the 50-row
+    #    window in round 5, so a triage is unavoidable). The ten
+    #    displaced rows (stream_alerts, repetition_stats,
+    #    semantic_dedup, redact_pii, decontaminate, dup_spans,
+    #    pack_sequences, asof_events, trajectories, ring_valid)
+    #    have NO driver row yet either, but each has been
+    #    replica-green under tools/check_oracle.py in every full
+    #    sweep since it landed (sessions 5-9) — multiple independent
+    #    Spark-vs-DuckDB hash matches, vs a single gate run for the
+    #    session-9 rows; threshold_alerts (identical SQL to
+    #    stream_alerts' oracle) stays inside, so that hash is still
+    #    driver-covered --
     "slope_aspect": q_slope_aspect,
     "flow_accum": q_flow_accum,
-    # -- round-5.38 additions (session 9), inside the window for
-    #    their first driver row. Evicted just past the window:
-    #    asof_events and pack_sequences — both driver-green r4,
-    #    both replica-green this session --
     "semivariogram": q_semivariogram,
     "doc_skyline": q_doc_skyline,
-    # -- round-5.38 addition (session 9), inside the window for its
-    #    first driver row (dup_spans rotates just past the window:
-    #    driver-green r4, replica-green this session) --
     "bm25_topk": q_bm25_topk,
-    # -- round-5.38 addition (session 9), inside the window for its
-    #    first driver row (decontaminate rotates just past the
-    #    window: driver-green r4, replica-green this session) --
     "corridor_join": q_corridor_join,
-    # -- round-5.38 addition (session 9), inside the window for its
-    #    first driver row (redact_pii rotates just past the window:
-    #    driver-green r4, replica-green this session) --
     "emerging_hotspots": q_emerging_hotspots,
+    "traj_resample": q_traj_resample,
+    "cell_theil_sen": q_cell_theil_sen,
+    "ht_breaks": q_ht_breaks,
     # -- round-5.13 addition, inside the window for its first driver
     #    row (curation_filter rotates just past the window:
     #    driver-green r4, a plain token-count filter) --
@@ -4530,6 +4576,15 @@ def oracle_sql() -> dict[str, str]:
     from .operators.tiles import emerging_hotspots_sql
     out["emerging_hotspots"] = emerging_hotspots_sql(_TRAJ_PTS_SQL,
                                                      _TREND_RES)
+    from .operators.events import traj_resample_sql
+    out["traj_resample"] = traj_resample_sql(_TRAJ_PTS_SQL,
+                                             _RESAMPLE_STEP_US)
+    from .operators.tiles import cell_theil_sen_sql_for_span
+    out["cell_theil_sen"] = cell_theil_sen_sql_for_span(
+        _TRAJ_PTS_SQL, _TREND_RES, _TS_SPAN_DAYS)
+    from .operators.tiles import ht_breaks_sql
+    out["ht_breaks"] = ht_breaks_sql(_cust_tiles, _HT_ROUNDS,
+                                     count_col="n_pts")
     out["threshold_alerts"] = threshold_alerts_sql(
         _TRAJ_PTS_SQL, _TA_RES, _TA_WIN_US, _TA_HI, _TA_LO)
     # streaming transitions == the BATCH threshold_alerts SQL, row

@@ -479,3 +479,181 @@ class TestEmergingHotspots:
             emerging_hotspots_sql("SELECT lat, lon, us FROM p", 3))
             .fetchall())
         assert got == want
+
+
+def _day_series_pts(spark, series, res=2):
+    """series: {(x, y): [n_day0, ...]} -> (lat, lon, us) points at
+    cell centers, one row per event."""
+    import numpy as np
+
+    from geospark.functions.cells import cell_bounds_np
+    rows = []
+    for (x, y), days in series.items():
+        cell = _mk(res, x, y)
+        lo0, la0, lo1, la1 = cell_bounds_np(np.asarray([cell]))
+        lat = float((la0[0] + la1[0]) / 2)
+        lon = float((lo0[0] + lo1[0]) / 2)
+        for d, n in enumerate(days):
+            for _ in range(n):
+                rows.append((lat, lon, d * _DAY))
+    return spark.createDataFrame(rows,
+                                 "lat double, lon double, us long")
+
+
+class TestTrajResample:
+    def _pts(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "user_id long, event_id long, lat double, "
+                  "lon double, us long")
+
+    def test_linear_grid(self, spark):
+        """Events at us 0 (lon 0) and us 100 (lon 100 udeg), step
+        10: epoch 0 comes from the on-grid first event, epochs
+        10..100 from the pair; ix == epoch (slope 1 udeg/us)."""
+        from geospark.operators.events import traj_resample
+        d = self._pts(spark, [(1, 1, 0.0, 0.0, 0),
+                              (1, 2, 0.0, 0.000100, 100)])
+        got = _rows(traj_resample(d, 10))
+        assert got == [(1, e, e, 0) for e in range(0, 101, 10)]
+
+    def test_trunc_toward_zero_negative(self, spark):
+        """Westward hop: interpolation truncates toward zero (the
+        sign-decomposed div), e.g. -99 * 50 / 100 -> -49, not -50."""
+        from geospark.operators.events import traj_resample
+        d = self._pts(spark, [(1, 1, 0.0, 0.0, 0),
+                              (1, 2, 0.0, -0.000099, 100)])
+        got = {r[1]: r[2] for r in _rows(traj_resample(d, 50))}
+        assert got[50] == -49
+        assert got[100] == -99
+
+    def test_same_bucket_pair_no_phantom_epochs(self, spark):
+        """A pair inside one grid bucket emits nothing (guards
+        Spark's DESCENDING sequence() on empty ranges); duplicate
+        timestamps emit nothing."""
+        from geospark.operators.events import traj_resample
+        d = self._pts(spark, [(1, 1, 0.0, 0.0, 3),
+                              (1, 2, 0.0, 0.000050, 7),
+                              (1, 3, 0.0, 0.000050, 7),
+                              (1, 4, 0.0, 0.000090, 12)])
+        got = _rows(traj_resample(d, 10))
+        # only epoch 10 exists (inside pair (7, 12]):
+        # x = 50 + trunc(40 * 3 / 5) = 74
+        assert got == [(1, 10, 74, 0)]
+
+    def test_matches_sql_twin(self, spark):
+        import duckdb
+
+        from geospark.operators.events import (traj_resample,
+                                               traj_resample_sql)
+        rows = []
+        for u in range(6):
+            for i in range(15):
+                rows.append((u, u * 100 + i,
+                             ((u * 31 + i * 17) % 120) / 2 - 30.0,
+                             ((u * 53 + i * 29) % 300) / 2 - 75.0,
+                             i * 37 + (u * 13) % 11))
+        d = self._pts(spark, rows)
+        got = _rows(traj_resample(d, 25))
+        con = duckdb.connect()
+        con.execute("CREATE TABLE p (user_id BIGINT, event_id "
+                    "BIGINT, lat DOUBLE, lon DOUBLE, us BIGINT)")
+        con.executemany("INSERT INTO p VALUES (?, ?, ?, ?, ?)", rows)
+        want = sorted(tuple(r) for r in con.execute(traj_resample_sql(
+            "SELECT user_id, event_id, lat, lon, us FROM p", 25))
+            .fetchall())
+        assert got == want
+
+
+class TestCellTheilSen:
+    def test_median_slope(self, spark):
+        """Series [1, 5, 3]: pairwise slopes 4, 1, -2 -> median 1
+        -> 1_000_000 upm."""
+        from geospark.operators.tiles import cell_theil_sen
+        pts = _day_series_pts(spark, {(0, 1): [1, 5, 3]})
+        got = _rows(cell_theil_sen(pts, 2))
+        assert got == [(_mk(2, 0, 1), 9, 1_000_000)]
+
+    def test_lower_median_even_pairs(self, spark):
+        """[0, 2, 0, 2]: sorted slopes -2, 0, 0, 2/3, 2, 2; lower
+        median (rank 3 of 6) = 0. A zero-count day requires the
+        dense fill, so day 0 uses count 0 via... day0 has 0 events
+        -> the cell must still exist: give it 1 event on day 0 and
+        shift: [1, 3, 1, 3] has the same slope multiset shape."""
+        from geospark.operators.tiles import cell_theil_sen
+        pts = _day_series_pts(spark, {(0, 1): [1, 3, 1, 3]})
+        got = _rows(cell_theil_sen(pts, 2))
+        assert got == [(_mk(2, 0, 1), 8, 0)]
+
+    def test_outlier_robust(self, spark):
+        """[1, 1, 1, 100]: median slope 0 — the spike cannot yank
+        Theil-Sen (an OLS line through this rises steeply)."""
+        from geospark.operators.tiles import cell_theil_sen
+        pts = _day_series_pts(spark, {(0, 1): [1, 1, 1, 100]})
+        got = _rows(cell_theil_sen(pts, 2))
+        assert got == [(_mk(2, 0, 1), 103, 0)]
+
+    def test_matches_sql_twin(self, spark):
+        import duckdb
+
+        from geospark.operators.tiles import (
+            cell_theil_sen, cell_theil_sen_sql_for_span)
+        series = {(x, y): [(x * 5 + y * 7 + d * d * (x % 3)) % 9
+                           for d in range(5)]
+                  for x in range(4) for y in range(3)}
+        pts = _day_series_pts(spark, series, res=3)
+        got = _rows(cell_theil_sen(pts, 3))
+        rows = [tuple(r) for r in pts.collect()]
+        con = duckdb.connect()
+        con.execute("CREATE TABLE p (lat DOUBLE, lon DOUBLE, "
+                    "us BIGINT)")
+        con.executemany("INSERT INTO p VALUES (?, ?, ?)", rows)
+        want = sorted(tuple(r) for r in con.execute(
+            cell_theil_sen_sql_for_span(
+                "SELECT lat, lon, us FROM p", 3, 5)).fetchall())
+        assert got == want
+
+
+class TestHtBreaks:
+    def _t(self, spark, counts):
+        return _tiles(spark, [(_mk(6, i, 10), n)
+                              for i, n in enumerate(counts)])
+
+    def test_two_level_hierarchy(self, spark):
+        """[1,1,1,10]: mean 3.25 cuts {10} into the head; the head's
+        own mean (10) is not strictly beaten -> 10 stops at level 1."""
+        from geospark.operators.tiles import ht_breaks
+        got = {r[1]: r[2] for r in _rows(
+            ht_breaks(self._t(spark, [1, 1, 1, 10]), 3,
+                      count_col="n_pts"))}
+        assert got == {1: 0, 10: 1}
+
+    def test_all_equal_level_zero(self, spark):
+        from geospark.operators.tiles import ht_breaks
+        got = _rows(ht_breaks(self._t(spark, [5, 5, 5]), 4,
+                              count_col="n_pts"))
+        assert [r[2] for r in got] == [0, 0, 0]
+
+    def test_heavy_tail_ladder(self, spark):
+        """[1,2,3,4,100,200]: cut 1 at 51.67 -> {100, 200}; cut 2 at
+        150 -> {200}; cut 3: 200 == its own mean -> stops at 2."""
+        from geospark.operators.tiles import ht_breaks
+        got = {r[1]: r[2] for r in _rows(
+            ht_breaks(self._t(spark, [1, 2, 3, 4, 100, 200]), 4,
+                      count_col="n_pts"))}
+        assert got == {1: 0, 2: 0, 3: 0, 4: 0, 100: 1, 200: 2}
+
+    def test_matches_sql_twin(self, spark):
+        import duckdb
+
+        from geospark.operators.tiles import ht_breaks, ht_breaks_sql
+        rows = [(_mk(6, x, y), (x * x * y) % 97 + 1)
+                for x in range(12) for y in range(8)]
+        t = _tiles(spark, rows)
+        got = _rows(ht_breaks(t, 4, count_col="n_pts"))
+        con = duckdb.connect()
+        con.execute("CREATE TABLE c (cell BIGINT, n_pts BIGINT)")
+        con.executemany("INSERT INTO c VALUES (?, ?)", rows)
+        want = sorted(tuple(r) for r in con.execute(
+            ht_breaks_sql("SELECT cell, n_pts FROM c", 4,
+                          count_col="n_pts")).fetchall())
+        assert got == want
