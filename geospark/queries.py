@@ -3222,6 +3222,21 @@ def q_traj_resample(spark, sf_dir):
                          _RESAMPLE_STEP_US)
 
 
+def q_stream_resample(spark, sf_dir):
+    """STATEFUL STREAMING trajectory resampling under a full
+    value-hash oracle: the event stream through stream_resample
+    (one last-position row per user in the state store), collected
+    grid positions — which the batch traj_resample SQL reproduces
+    row for row (the stream_speed closing-the-gate pattern;
+    streaming/stream.stream_resample docstring)."""
+    from .streaming.stream import stream_resample
+    res = _replay_time_sliced(
+        spark, sf_dir,
+        lambda sdf: stream_resample(sdf, _RESAMPLE_STEP_US),
+        "stream_resample")
+    return res.select("user_id", "epoch_us", "ix", "iy")
+
+
 def q_emerging_hotspots(spark, sf_dir):
     """Emerging-hotspot taxonomy (r5.38): per res-4 cell, the
     space-time-cube verdict (new / intensifying / cooling /
@@ -3358,6 +3373,9 @@ QUERIES = {
     "traj_resample": q_traj_resample,
     "cell_theil_sen": q_cell_theil_sen,
     "ht_breaks": q_ht_breaks,
+    # (same triage: stream_resample is the session-9 streaming row;
+    #  repetition_stats's displacement extends the list above by one)
+    "stream_resample": q_stream_resample,
     # -- round-5.13 addition, inside the window for its first driver
     #    row (curation_filter rotates just past the window:
     #    driver-green r4, a plain token-count filter) --
@@ -3430,10 +3448,12 @@ QUERIES = {
     #    inside — cell_counts, cell_distinct_users, cell_moments,
     #    hotspot_cells, geohash) --
     "best_of_cluster": q_best_of_cluster,
-    # -- round-5.8 addition, inside the window for its first driver
-    #    row (bbox_filter rotates just past the window: driver-green
-    #    r1-r4 and subsumed by bbox_join's predicate machinery) --
-    "batch_dedup": q_batch_dedup,
+    # (batch_dedup moved just past the window in session 9 to make
+    #  room for stream_resample: its oracle SQL is byte-identical to
+    #  stream_batch_dedup's, which STAYS inside — a driver green on
+    #  the streaming row certifies the same hash both engines produce
+    #  for the batch rule; the Spark-side batch path keeps its unit
+    #  tier + multi-sweep replica greens)
     # -- round-5.9 additions, inside the window for their first driver
     #    rows (cell_neighbors and events_daily_cells rotate just past
     #    the window: both driver-green r4, and their machinery is still
@@ -3505,6 +3525,11 @@ QUERIES = {
     "cross_k": q_cross_k,
     "basin_stats": q_basin_stats,
     "threshold_alerts": q_threshold_alerts,
+    # -- round-5.8 addition (comment preserved from its windowed
+    #    slot): bbox_filter rotated just past the window in r5.8,
+    #    driver-green r1-r4 and subsumed by bbox_join's predicate
+    #    machinery --
+    "batch_dedup": q_batch_dedup,
     "stream_alerts": q_stream_alerts,
     "repetition_stats": q_repetition_stats,
     "semantic_dedup": q_semantic_dedup,
@@ -4579,6 +4604,10 @@ def oracle_sql() -> dict[str, str]:
     from .operators.events import traj_resample_sql
     out["traj_resample"] = traj_resample_sql(_TRAJ_PTS_SQL,
                                              _RESAMPLE_STEP_US)
+    # streaming resample == the BATCH traj_resample SQL, row for
+    # row (the stream_speed closing-the-gate pattern)
+    out["stream_resample"] = traj_resample_sql(_TRAJ_PTS_SQL,
+                                               _RESAMPLE_STEP_US)
     from .operators.tiles import cell_theil_sen_sql_for_span
     out["cell_theil_sen"] = cell_theil_sen_sql_for_span(
         _TRAJ_PTS_SQL, _TREND_RES, _TS_SPAN_DAYS)

@@ -623,3 +623,81 @@ def stream_threshold_alerts(stream_df, res: int, window_us: int,
                                  "alert long"),
                 outputMode="append",
                 timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def stream_resample(stream_df, step_us: int, *,
+                    user_col: str = "user_id", ts_col: str = "ts",
+                    id_col: str = "event_id",
+                    lat_col: str = "lat", lon_col: str = "lon"):
+    """Streaming trajectory resampling (applyInPandasWithState) —
+    the real-time twin of operators/events.traj_resample: the moment
+    a user's next event arrives, emit the interpolated grid
+    positions for every epoch the new (prev, next] interval covers —
+    row-identical to the batch operator on the same events (the
+    stream_speed closing-the-gate pattern: same half-open epoch
+    ownership, same sign-decomposed trunc interpolation in exact
+    Python ints, same on-grid first-event emission — state.exists
+    distinguishes a user's true first event from a batch boundary).
+    Per-user state is ONE row (last event's µs timestamp + µdeg
+    coords) — O(active users), history-independent, which is why the
+    batch operator's window+explode translates 1:1.
+
+    Contract (shared with stream_speed_flags): per-user (ts, tie)
+    order non-decreasing across microbatches, equal-ts ties never
+    split across batches; within a batch Arrow chunks concatenate
+    before the sort. Duplicate timestamps chain the state through
+    every row but emit nothing (t0 == t1 owns no epochs), exactly
+    the batch rule. -> (user_id, epoch_us, ix, iy)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    epoch_off = pd.Timestamp("2024-01-01").value // 1000
+    s = int(step_us)
+    out_schema = f"{user_col} long, epoch_us long, ix long, iy long"
+
+    def _trunc_div(num, den):
+        return num // den if num >= 0 else -((-num) // den)
+
+    def fn(key, pdfs, state):
+        uid = key[0]
+        if state.exists:
+            last_us, last_ix, last_iy = state.get
+        else:
+            last_us = last_ix = last_iy = None
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf) == 0:
+            return
+        pdf = pdf.sort_values([ts_col, id_col])
+        rows = []
+        import math
+        for t, la, lo in zip(pdf[ts_col], pdf[lat_col],
+                             pdf[lon_col]):
+            us = int(pd.Timestamp(t).value // 1000) - epoch_off
+            ix = math.floor(lo * 1_000_000.0)
+            iy = math.floor(la * 1_000_000.0)
+            if last_us is None:
+                if us % s == 0:
+                    rows.append((uid, us, ix, iy))
+            elif us > last_us:
+                for k in range(last_us // s + 1, us // s + 1):
+                    e = k * s
+                    gap = us - last_us
+                    rows.append((
+                        uid, e,
+                        last_ix + _trunc_div(
+                            (ix - last_ix) * (e - last_us), gap),
+                        last_iy + _trunc_div(
+                            (iy - last_iy) * (e - last_us), gap)))
+            last_us, last_ix, last_iy = us, ix, iy
+        state.update((last_us, last_ix, last_iy))
+        if rows:
+            yield pd.DataFrame(
+                rows, columns=[user_col, "epoch_us", "ix", "iy"])
+
+    return (stream_df.groupBy(user_col)
+            .applyInPandasWithState(
+                fn, outputStructType=out_schema,
+                stateStructType=("last_us long, last_ix long, "
+                                 "last_iy long"),
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout))

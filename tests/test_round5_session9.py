@@ -657,3 +657,59 @@ class TestHtBreaks:
             ht_breaks_sql("SELECT cell, n_pts FROM c", 4,
                           count_col="n_pts")).fetchall())
         assert got == want
+
+
+class TestStreamResample:
+    def test_matches_batch_across_microbatches(self, spark, tmp_path):
+        """Chunked replay through the per-user last-position state
+        equals the batch traj_resample output row for row — the
+        interpolated epochs spanning the FILE BOUNDARY come from
+        state, and the on-grid first event self-emits exactly once."""
+        import datetime as dt
+
+        from pyspark.sql import functions as F
+
+        from geospark.operators.events import traj_resample
+        from geospark.streaming.stream import stream_resample
+        base = dt.datetime(2024, 1, 1)
+        step = 10_000_000  # 10 s grid
+        rows = [
+            (0, base, 1, 0.0, 0.0),
+            (1, base + dt.timedelta(seconds=25), 1, 0.0, 0.000100),
+            # duplicate timestamp: chains state, owns no epochs
+            (2, base + dt.timedelta(seconds=25), 1, 0.0, 0.000100),
+            # --- file boundary ---
+            (3, base + dt.timedelta(seconds=45), 1, 0.0, 0.000200),
+        ]
+        schema = ("event_id long, ts timestamp_ntz, user_id long, "
+                  "lat double, lon double")
+        src = str(tmp_path / "rs_src")
+        spark.createDataFrame(rows[:3], schema).coalesce(1) \
+            .write.mode("overwrite").parquet(src)
+        spark.createDataFrame(rows[3:], schema).coalesce(1) \
+            .write.mode("append").parquet(src)
+
+        sdf = (spark.readStream.schema(schema)
+               .option("maxFilesPerTrigger", 1).parquet(src))
+        out = stream_resample(sdf, step)
+        q = (out.writeStream.format("memory")
+             .queryName("rs_stream").outputMode("append")
+             .option("checkpointLocation", str(tmp_path / "ck"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        got = _rows(spark.sql(
+            "SELECT user_id, epoch_us, ix, iy FROM rs_stream"))
+
+        e = spark.read.parquet(src)
+        pts = e.select("user_id", "event_id", "lat", "lon",
+                       F.expr("timestampdiff(MICROSECOND, "
+                              "TIMESTAMP_NTZ '2024-01-01 00:00:00', "
+                              "ts)").alias("us"))
+        want = _rows(traj_resample(pts, step))
+        assert got == want
+        # epoch 0 (on-grid first event), 10/20 s inside file 1,
+        # 30/40 s across the file boundary via state
+        assert got == [(1, 0, 0, 0), (1, 10_000_000, 40, 0),
+                       (1, 20_000_000, 80, 0),
+                       (1, 30_000_000, 125, 0),
+                       (1, 40_000_000, 175, 0)]
