@@ -321,3 +321,78 @@ SELECT {group_col}, n_tokens,
             AS BIGINT) AS factor_ppm
 FROM g, t
 """
+
+
+def pps_sample(df, k: int, *, id_col: str = "doc_id",
+               text_col: str = "text",
+               num_partitions: int | None = None):
+    """Systematic probability-proportional-to-size sampling — the
+    curation sampler where budget_sample is the curation FILLER:
+    draw ~``k`` documents with inclusion probability proportional to
+    token weight (long docs cost more to train on, so they deserve
+    proportionally more sampling mass), via the classic systematic
+    PPS rule on the md5-ordered weight line: doc i (exclusive prefix
+    s_i, weight w_i) is hit once for every sampling-grid point
+    j*W/k inside (s_i, s_i + w_i], i.e.
+
+        n_hits = floor((s_i + w_i) k / W) - floor(s_i k / W)
+
+    — exactly k hits in total (the grid has k points in (0, W]),
+    deterministic, no RNG state: the md5 order is the engine-shared
+    pseudo-random permutation every sampler here uses, so the draw
+    is reproducible across engines and runs. Docs heavier than W/k
+    can be hit more than once (emitted once with n_hits > 1 — the
+    multiplicity IS the classic PPS-with-replacement-adjacent
+    semantics; downstream repeats or upweights).
+
+    Integer-exact: weights are BIGINT token counts; the cum*k
+    products run in DECIMAL(38,0)/HUGEINT (W*k overflows BIGINT at
+    planetary corpus size); both floors are nonnegative so div==//.
+
+    Scale: rides prefix_sum's two-phase scan (never a
+    single-partition window); W arrives as a 1-row broadcast scalar.
+    -> (doc_id, n_tokens, n_hits) for hit docs only."""
+    from pyspark.sql import functions as F
+    n_tok = (F.regexp_count(F.col(text_col), F.lit(PACK_TOKEN_RX))
+             .cast("long"))
+    prio = F.conv(F.substring(F.md5(F.col(id_col).cast("string")),
+                              1, 15), 16, 10).cast("long")
+    base = df.select(F.col(id_col), n_tok.alias("n_tokens"),
+                     prio.alias("_prio"))
+    summed = prefix_sum(base, "n_tokens", ["_prio", id_col],
+                        num_partitions=num_partitions,
+                        out_col="_start")
+    tot = summed.agg(F.sum("n_tokens").cast("long").alias("_w"))
+    j = summed.crossJoin(F.broadcast(tot))
+    hits = F.expr(
+        f"CAST((CAST(_start AS DECIMAL(38,0)) + n_tokens) * {int(k)} "
+        f"div _w - CAST(_start AS DECIMAL(38,0)) * {int(k)} div _w "
+        f"AS BIGINT)")
+    return (j.withColumn("n_hits", hits)
+            .filter(F.col("n_hits") > 0)
+            .select(id_col, "n_tokens", "n_hits"))
+
+
+def pps_sample_sql(k: int, table: str = "documents") -> str:
+    """DuckDB twin of pps_sample (single-node window — the oracle
+    needs only the same order, weights, and floor arithmetic)."""
+    h64 = ("CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, "
+           "15)) AS BIGINT)")
+    return f"""
+WITH pps_base AS (SELECT doc_id,
+    CAST(len(regexp_extract_all(text, '{PACK_TOKEN_RX}'))
+         AS BIGINT) AS n_tokens,
+    {h64} AS prio FROM {table}),
+pps_s AS (SELECT doc_id, n_tokens,
+    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY prio ASC, doc_id ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         AS BIGINT) AS start_tok FROM pps_base),
+pps_w AS (SELECT SUM(n_tokens) AS w FROM pps_base)
+SELECT doc_id, n_tokens,
+    CAST((CAST(start_tok AS HUGEINT) + n_tokens) * {int(k)} // w
+         - CAST(start_tok AS HUGEINT) * {int(k)} // w AS BIGINT)
+      AS n_hits
+FROM pps_s, pps_w
+WHERE (CAST(start_tok AS HUGEINT) + n_tokens) * {int(k)} // w
+      - CAST(start_tok AS HUGEINT) * {int(k)} // w > 0
+"""

@@ -3222,6 +3222,21 @@ def q_traj_resample(spark, sf_dir):
                          _RESAMPLE_STEP_US)
 
 
+# systematic PPS: ~60 weighted draws over the 500 sf0.01 docs
+_PPS_K = 60
+
+
+def q_pps_sample(spark, sf_dir):
+    """Systematic PPS sampling (r5.38): ~60 draws proportional to
+    token weight on the md5-ordered weight line — deterministic,
+    RNG-free, exactly k grid hits in total
+    (operators/pack.pps_sample docstring: two-phase prefix scan,
+    DECIMAL/HUGEINT floor products, multiplicity for heavy docs)."""
+    from .operators.pack import pps_sample
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pps_sample(d, _PPS_K)
+
+
 def q_stream_resample(spark, sf_dir):
     """STATEFUL STREAMING trajectory resampling under a full
     value-hash oracle: the event stream through stream_resample
@@ -3373,9 +3388,11 @@ QUERIES = {
     "traj_resample": q_traj_resample,
     "cell_theil_sen": q_cell_theil_sen,
     "ht_breaks": q_ht_breaks,
-    # (same triage: stream_resample is the session-9 streaming row;
-    #  repetition_stats's displacement extends the list above by one)
+    # (same triage: stream_resample and pps_sample are the remaining
+    #  session-9 rows; the displacement list above extends by
+    #  batch_dedup and d8_flow — see their relocation comments)
     "stream_resample": q_stream_resample,
+    "pps_sample": q_pps_sample,
     # -- round-5.13 addition, inside the window for its first driver
     #    row (curation_filter rotates just past the window:
     #    driver-green r4, a plain token-count filter) --
@@ -3519,7 +3536,12 @@ QUERIES = {
     #    wave pushes cell_moments (cell assign [driver r4] +
     #    four combinable sums) just past as well --
     "peak_cells": q_peak_cells,
-    "d8_flow": q_d8_flow,
+    # (d8_flow moved just past the window in session 9 to make room
+    #  for pps_sample: d8_flow_sql is nested VERBATIM inside the
+    #  d8_basins, basin_stats and flow_accum oracles, all three
+    #  inside the window — a driver green on those certifies the
+    #  flow-direction fragment compositionally; d8_flow keeps its
+    #  unit tier + multi-sweep replica greens)
     "centroid_drift": q_centroid_drift,
     "d8_basins": q_d8_basins,
     "cross_k": q_cross_k,
@@ -3530,6 +3552,7 @@ QUERIES = {
     #    driver-green r1-r4 and subsumed by bbox_join's predicate
     #    machinery --
     "batch_dedup": q_batch_dedup,
+    "d8_flow": q_d8_flow,
     "stream_alerts": q_stream_alerts,
     "repetition_stats": q_repetition_stats,
     "semantic_dedup": q_semantic_dedup,
@@ -4608,6 +4631,8 @@ def oracle_sql() -> dict[str, str]:
     # row (the stream_speed closing-the-gate pattern)
     out["stream_resample"] = traj_resample_sql(_TRAJ_PTS_SQL,
                                                _RESAMPLE_STEP_US)
+    from .operators.pack import pps_sample_sql
+    out["pps_sample"] = pps_sample_sql(_PPS_K)
     from .operators.tiles import cell_theil_sen_sql_for_span
     out["cell_theil_sen"] = cell_theil_sen_sql_for_span(
         _TRAJ_PTS_SQL, _TREND_RES, _TS_SPAN_DAYS)

@@ -713,3 +713,46 @@ class TestStreamResample:
                        (1, 20_000_000, 80, 0),
                        (1, 30_000_000, 125, 0),
                        (1, 40_000_000, 175, 0)]
+
+
+class TestPPSSample:
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_exactly_k_hits_total(self, spark):
+        """The systematic grid has exactly k points in (0, W]:
+        sum(n_hits) == k regardless of the weight profile."""
+        from pyspark.sql import functions as F
+
+        from geospark.operators.pack import pps_sample
+        rows = [(i, " ".join(["tok"] * (i % 13 + 1)))
+                for i in range(80)]
+        out = pps_sample(self._docs(spark, rows), 17)
+        assert out.agg(F.sum("n_hits")).collect()[0][0] == 17
+
+    def test_heavy_doc_multiplicity(self, spark):
+        """A doc carrying most of the mass straddles several grid
+        points and is emitted once with n_hits > 1."""
+        from geospark.operators.pack import pps_sample
+        rows = [(1, " ".join(["tok"] * 90)),
+                (2, "tok tok"), (3, "tok")]
+        got = {r["doc_id"]: r["n_hits"] for r in
+               pps_sample(self._docs(spark, rows), 10).collect()}
+        # doc 1 holds 90/93 of the mass -> at least 8 of 10 hits
+        assert got[1] >= 8
+        assert sum(got.values()) == 10
+
+    def test_matches_sql_twin(self, spark):
+        import duckdb
+
+        from geospark.operators.pack import pps_sample, pps_sample_sql
+        rows = [(i, " ".join(["w"] * ((i * 7) % 29 + 1)))
+                for i in range(120)]
+        got = _rows(pps_sample(self._docs(spark, rows), 23))
+        con = duckdb.connect()
+        con.execute("CREATE TABLE documents (doc_id BIGINT, "
+                    "text VARCHAR)")
+        con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+        want = sorted(tuple(r) for r in
+                      con.execute(pps_sample_sql(23)).fetchall())
+        assert got == want
