@@ -1965,3 +1965,85 @@ UNION ALL
 SELECT user_id, epoch_us, CAST(ix AS BIGINT) AS ix,
        CAST(iy AS BIGINT) AS iy FROM tr_pair
 """
+
+
+def active_coverage(points, dur_us: int, *,
+                    user_col: str = "user_id", us_col: str = "us",
+                    tie_col: str = "event_id"):
+    """Per-user active-time coverage — the sweep-line INTERVAL UNION
+    the interval_overlap join can't express: give each event a
+    ``dur_us`` activity window [us, us + dur) and merge overlaps, so
+    a burst of 100 events in one minute counts once while spaced
+    events accumulate — the denominator behind duty-cycle /
+    engagement-rate features, and the classic merge-intervals
+    algorithm as ONE window chain:
+
+        new_block = [s > running-max(e) over all EARLIER intervals]
+        block id  = running sum of new_block
+        covered   = sum over blocks of (max e in block - min s)
+
+    Integer-exact (µs BIGINT); block assignment is order-insensitive
+    among equal-start rows (their running max already includes the
+    earlier twin's end), and the (s, tie) ordering pins determinism
+    anyway.
+
+    Scale: ONE user-keyed window (two passes over the same sort) +
+    one (user, block) agg + one user agg, all map-side combinable
+    after the single sort shuffle — no joins, no explode.
+    -> (user_id, n_intervals, n_blocks, covered_us)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    d = int(dur_us)
+    iv = points.select(F.col(user_col).alias("_u"),
+                       F.col(us_col).alias("_s"),
+                       (F.col(us_col) + d).alias("_e"),
+                       F.col(tie_col).alias("_tie"))
+    w = Window.partitionBy("_u").orderBy("_s", "_tie")
+    prev = w.rowsBetween(Window.unboundedPreceding, -1)
+    iv = (iv.withColumn("_pmax", F.max("_e").over(prev))
+            .withColumn("_nb", F.expr(
+                "CASE WHEN _pmax IS NULL OR _s > _pmax THEN 1 "
+                "ELSE 0 END"))
+            .withColumn("_blk", F.sum("_nb").over(
+                w.rowsBetween(Window.unboundedPreceding, 0))))
+    blocks = (iv.groupBy("_u", "_blk")
+              .agg(F.min("_s").alias("_lo"), F.max("_e").alias("_hi"),
+                   F.count(F.lit(1)).alias("_n")))
+    return (blocks.groupBy("_u")
+            .agg(F.sum("_n").cast("long").alias("n_intervals"),
+                 F.count(F.lit(1)).cast("long").alias("n_blocks"),
+                 F.sum(F.col("_hi") - F.col("_lo")).cast("long")
+                 .alias("covered_us"))
+            .select(F.col("_u").alias(user_col), "n_intervals",
+                    "n_blocks", "covered_us"))
+
+
+def active_coverage_sql(pts_sql: str, dur_us: int) -> str:
+    """DuckDB twin of active_coverage over a subquery producing
+    (user_id, us, event_id) — same window chain."""
+    d = int(dur_us)
+    return f"""
+WITH ac_iv AS (SELECT user_id AS u, us AS s, us + {d} AS e,
+    event_id AS tie FROM ({pts_sql})),
+ac_w AS (SELECT u, s, e, tie,
+    MAX(e) OVER (PARTITION BY u ORDER BY s, tie
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      AS pmax,
+    CASE WHEN MAX(e) OVER (PARTITION BY u ORDER BY s, tie
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+         OR s > MAX(e) OVER (PARTITION BY u ORDER BY s, tie
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         THEN 1 ELSE 0 END AS nb
+    FROM ac_iv),
+ac_b AS (SELECT u, s, e,
+    SUM(nb) OVER (PARTITION BY u ORDER BY s, tie
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS blk
+    FROM ac_w),
+ac_g AS (SELECT u, blk, MIN(s) AS lo, MAX(e) AS hi, COUNT(*) AS n
+         FROM ac_b GROUP BY 1, 2)
+SELECT u AS user_id, CAST(SUM(n) AS BIGINT) AS n_intervals,
+       CAST(COUNT(*) AS BIGINT) AS n_blocks,
+       CAST(SUM(hi - lo) AS BIGINT) AS covered_us
+FROM ac_g GROUP BY 1
+"""

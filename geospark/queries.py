@@ -3222,6 +3222,19 @@ def q_traj_resample(spark, sf_dir):
                          _RESAMPLE_STEP_US)
 
 
+# activity window: each event covers 30 minutes
+_COVER_DUR_US = 30 * 60 * 1_000_000
+
+
+def q_active_coverage(spark, sf_dir):
+    """Sweep-line interval union (r5.38): per-user active-time
+    coverage with 30-minute event windows — merged blocks, covered
+    microseconds (operators/events.active_coverage docstring: one
+    window chain, no joins)."""
+    from .operators.events import active_coverage
+    return active_coverage(_traj_pts(spark, sf_dir), _COVER_DUR_US)
+
+
 # systematic PPS: ~60 weighted draws over the 500 sf0.01 docs
 _PPS_K = 60
 
@@ -3393,6 +3406,7 @@ QUERIES = {
     #  batch_dedup and d8_flow — see their relocation comments)
     "stream_resample": q_stream_resample,
     "pps_sample": q_pps_sample,
+    "active_coverage": q_active_coverage,
     # -- round-5.13 addition, inside the window for its first driver
     #    row (curation_filter rotates just past the window:
     #    driver-green r4, a plain token-count filter) --
@@ -3543,7 +3557,11 @@ QUERIES = {
     #  flow-direction fragment compositionally; d8_flow keeps its
     #  unit tier + multi-sweep replica greens)
     "centroid_drift": q_centroid_drift,
-    "d8_basins": q_d8_basins,
+    # (d8_basins moved just past the window in session 9 to make
+    #  room for active_coverage: d8_basins_sql is nested VERBATIM
+    #  inside the in-window basin_stats oracle, so the pointer-jump
+    #  chain's hash is driver-covered compositionally — the same
+    #  argument that moved d8_flow)
     "cross_k": q_cross_k,
     "basin_stats": q_basin_stats,
     "threshold_alerts": q_threshold_alerts,
@@ -3553,6 +3571,7 @@ QUERIES = {
     #    machinery --
     "batch_dedup": q_batch_dedup,
     "d8_flow": q_d8_flow,
+    "d8_basins": q_d8_basins,
     "stream_alerts": q_stream_alerts,
     "repetition_stats": q_repetition_stats,
     "semantic_dedup": q_semantic_dedup,
@@ -4633,6 +4652,9 @@ def oracle_sql() -> dict[str, str]:
                                                _RESAMPLE_STEP_US)
     from .operators.pack import pps_sample_sql
     out["pps_sample"] = pps_sample_sql(_PPS_K)
+    from .operators.events import active_coverage_sql
+    out["active_coverage"] = active_coverage_sql(_TRAJ_PTS_SQL,
+                                                 _COVER_DUR_US)
     from .operators.tiles import cell_theil_sen_sql_for_span
     out["cell_theil_sen"] = cell_theil_sen_sql_for_span(
         _TRAJ_PTS_SQL, _TREND_RES, _TS_SPAN_DAYS)

@@ -756,3 +756,58 @@ class TestPPSSample:
         want = sorted(tuple(r) for r in
                       con.execute(pps_sample_sql(23)).fetchall())
         assert got == want
+
+
+class TestActiveCoverage:
+    def _pts(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "user_id long, event_id long, us long")
+
+    def test_merge_and_gap(self, spark):
+        """Two overlapping windows merge into one block; a third
+        past the gap opens a second block: covered counts the union,
+        not 3 x dur."""
+        from geospark.operators.events import active_coverage
+        d = self._pts(spark, [(1, 1, 0), (1, 2, 50), (1, 3, 500)])
+        got = _rows(active_coverage(d, 100))
+        # block 1: [0, 150) = 150; block 2: [500, 600) = 100
+        assert got == [(1, 3, 2, 250)]
+
+    def test_burst_counts_once(self, spark):
+        """100 events in one instant cover exactly one window."""
+        from geospark.operators.events import active_coverage
+        d = self._pts(spark, [(1, i, 5) for i in range(100)])
+        got = _rows(active_coverage(d, 1000))
+        assert got == [(1, 100, 1, 1000)]
+
+    def test_touching_intervals_merge(self, spark):
+        """[0,100) then start=100: s > pmax is FALSE at equality ->
+        touching intervals merge (closed-union semantics)."""
+        from geospark.operators.events import active_coverage
+        d = self._pts(spark, [(1, 1, 0), (1, 2, 100)])
+        got = _rows(active_coverage(d, 100))
+        assert got == [(1, 2, 1, 200)]
+
+    def test_matches_sql_twin_with_dup_timestamps(self, spark):
+        import duckdb
+
+        from geospark.operators.events import (active_coverage,
+                                               active_coverage_sql)
+        rows = []
+        for u in range(5):
+            for i in range(40):
+                # duplicate timestamps on purpose (i // 2): block
+                # boundaries land on equal-s pairs
+                rows.append((u, u * 100 + i,
+                             ((i // 2) * 37 + u * 11) % 700))
+        d = self._pts(spark, rows)
+        got = _rows(active_coverage(d, 25))
+        con = duckdb.connect()
+        con.execute("CREATE TABLE p (user_id BIGINT, event_id "
+                    "BIGINT, us BIGINT)")
+        con.executemany("INSERT INTO p VALUES (?, ?, ?)", rows)
+        want = sorted(tuple(r) for r in con.execute(
+            active_coverage_sql(
+                "SELECT user_id, event_id, us, 0 AS lat, 0 AS lon "
+                "FROM p", 25)).fetchall())
+        assert got == want
