@@ -1169,3 +1169,78 @@ def knn_join(queries, points, k: int, *, res: int = 8,
         df.unpersist()
     remaining.unpersist()
     return out
+
+
+def accessibility_2sfca(demand, supply, radius_deg: float, *,
+                        res: int = 6, d_id: str = "d_id",
+                        d_lat: str = "lat", d_lon: str = "lon",
+                        s_id: str = "s_id", cap_col: str = "cap",
+                        s_lat: str = "s_lat", s_lon: str = "s_lon"):
+    """Two-step floating catchment area (2SFCA) accessibility — the
+    standard spatial-equity measure (healthcare/food/service access):
+    step 1 gives each supplier a capacity-to-demand ratio over the
+    demand INSIDE its catchment, step 2 sums those ratios over every
+    supplier a demand point can reach:
+
+        R_j   = cap_j * 1e6 div |{i : dist(i, j) <= r}|   (floor ppm)
+        A_i   = sum over reachable j of R_j
+
+    A congested clinic contributes little to each patient even if
+    close; an uncrowded one lifts everyone in range — exactly what a
+    plain count-within-radius misses. Integer-exact given the pair
+    set (counts + floor div + BIGINT sums); the membership test is
+    distance_join's closed-boundary IEEE squared compare, identical
+    expression text in both engines.
+
+    Scale: ONE blocked spatial join (distance_join's cover-cell
+    equi-join), materialize()'d and consumed twice — the per-supplier
+    demand count and the per-demand ratio sum are both combinable
+    aggs over the SAME pair frame, and the R_j table (one row per
+    supplier) broadcasts back onto it. Suppliers with zero in-range
+    demand have no ratio (excluded, not infinite); demand points with
+    no reachable supplier are absent from the output (documented —
+    a left join against the demand table restores them as zeros if a
+    dense frame is wanted). -> (d_id, n_supp, access_ppm)."""
+    from pyspark.sql import functions as F
+
+    from ..materialize import materialize
+    pairs = materialize(distance_join(
+        supply.select(F.col(s_id), F.col(cap_col),
+                      F.col(s_lat).alias("_slat"),
+                      F.col(s_lon).alias("_slon")),
+        demand.select(F.col(d_id), F.col(d_lat).alias("lat"),
+                      F.col(d_lon).alias("lon")),
+        radius_deg, res=res, l_lat="_slat", l_lon="_slon")
+        .select(s_id, cap_col, d_id))
+    ratio = (pairs.groupBy(s_id, cap_col)
+             .agg(F.count(F.lit(1)).alias("_nd"))
+             .select(F.col(s_id),
+                     F.expr(f"CAST({cap_col} AS BIGINT) * 1000000 "
+                            "div _nd").alias("_r")))
+    return (pairs.join(F.broadcast(ratio), s_id)
+            .groupBy(d_id)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_supp"),
+                 F.sum("_r").cast("long").alias("access_ppm")))
+
+
+def accessibility_2sfca_sql(demand_sql: str, supply_sql: str,
+                            radius_deg: float) -> str:
+    """DuckDB twin of accessibility_2sfca — brute-force pair
+    enumeration (oracle scale; the blocked join is the scale path),
+    same closed-boundary squared compare, floor-ppm ratio, BIGINT
+    sum. ``demand_sql`` -> (d_id, lat, lon); ``supply_sql`` ->
+    (s_id, cap, s_lat, s_lon)."""
+    r = float(radius_deg)
+    return f"""
+WITH fc_d AS ({demand_sql}),
+fc_s AS ({supply_sql}),
+fc_p AS (SELECT s.s_id, s.cap, d.d_id
+    FROM fc_s s JOIN fc_d d
+    ON (d.lat - s.s_lat) * (d.lat - s.s_lat)
+       + (d.lon - s.s_lon) * (d.lon - s.s_lon) <= {r} * {r}),
+fc_r AS (SELECT s_id, CAST(cap AS BIGINT) * 1000000 // COUNT(*)
+         AS r FROM fc_p GROUP BY s_id, cap)
+SELECT p.d_id, CAST(COUNT(*) AS BIGINT) AS n_supp,
+       CAST(SUM(fc_r.r) AS BIGINT) AS access_ppm
+FROM fc_p p JOIN fc_r USING (s_id) GROUP BY 1
+"""

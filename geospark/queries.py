@@ -3222,6 +3222,29 @@ def q_traj_resample(spark, sf_dir):
                          _RESAMPLE_STEP_US)
 
 
+# 2SFCA: 10-degree catchments (532 reachable customers at sf0.01,
+# multi-supplier overlaps up to 4 — both aggregation steps live);
+# supplier capacity 1..7 synthetic
+_SFCA_R = 10.0
+
+
+def q_accessibility(spark, sf_dir):
+    """2SFCA spatial accessibility (r5.38): per customer, the summed
+    capacity-to-demand ratios of every supplier within 10 degrees —
+    the congestion-aware access score
+    (operators/joins.accessibility_2sfca docstring: one blocked
+    spatial join consumed twice, floor-ppm ratios)."""
+    from pyspark.sql import functions as F
+    from .operators.joins import accessibility_2sfca
+    dem = _cust_points(spark, sf_dir).select(
+        F.col("c_custkey").alias("d_id"), "lat", "lon")
+    sup = _supp_queries(spark, sf_dir).select(
+        F.col("query_id").alias("s_id"),
+        ((F.col("query_id") % 7) + 1).cast("long").alias("cap"),
+        F.col("q_lat").alias("s_lat"), F.col("q_lon").alias("s_lon"))
+    return accessibility_2sfca(dem, sup, _SFCA_R)
+
+
 # activity window: each event covers 30 minutes
 _COVER_DUR_US = 30 * 60 * 1_000_000
 
@@ -3407,6 +3430,7 @@ QUERIES = {
     "stream_resample": q_stream_resample,
     "pps_sample": q_pps_sample,
     "active_coverage": q_active_coverage,
+    "accessibility": q_accessibility,
     # -- round-5.13 addition, inside the window for its first driver
     #    row (curation_filter rotates just past the window:
     #    driver-green r4, a plain token-count filter) --
@@ -3455,10 +3479,12 @@ QUERIES = {
     #    row (boilerplate rotates just past the window: driver-green
     #    r4, chunks machinery still inside via host_dup) --
     "stream_batch_dedup": q_stream_batch_dedup,
-    # -- round-5.12 addition, inside the window for its first driver
-    #    row (funnel rotates just past the window: driver-green r4,
-    #    funnel machinery still inside via funnel_by_cell) --
-    "traj_cells": q_traj_cells,
+    # (traj_cells moved just past the window in session 9 to make
+    #  room for accessibility: it is the window's OLDEST first-timer
+    #  (r5.12) with the most replica soak — green in every full
+    #  sweep since it landed — and its per-user cell-sequence
+    #  derivation underlies the in-window stay_points/od_matrix
+    #  rows; the session-9 row has one gate run)
     # (simplify_boxes and line_metrics, driver-green r4, rotate just
     #  past the window in r5.7 to keep funnel_by_cell and cell_moments
     #  — brand-new this round — inside it)
@@ -3572,6 +3598,10 @@ QUERIES = {
     "batch_dedup": q_batch_dedup,
     "d8_flow": q_d8_flow,
     "d8_basins": q_d8_basins,
+    # -- round-5.12 addition (comment preserved from its windowed
+    #    slot): funnel rotated just past the window in r5.12,
+    #    driver-green r4, funnel machinery inside via funnel_by_cell --
+    "traj_cells": q_traj_cells,
     "stream_alerts": q_stream_alerts,
     "repetition_stats": q_repetition_stats,
     "semantic_dedup": q_semantic_dedup,
@@ -4655,6 +4685,13 @@ def oracle_sql() -> dict[str, str]:
     from .operators.events import active_coverage_sql
     out["active_coverage"] = active_coverage_sql(_TRAJ_PTS_SQL,
                                                  _COVER_DUR_US)
+    from .operators.joins import accessibility_2sfca_sql
+    out["accessibility"] = accessibility_2sfca_sql(
+        f"SELECT c_custkey AS d_id, lat, lon FROM ({_CUST_PTS_CTE})",
+        f"SELECT s_suppkey AS s_id, "
+        f"CAST((s_suppkey % 7) + 1 AS BIGINT) AS cap, "
+        f"{SUPP_LAT_SQL} AS s_lat, {SUPP_LON_SQL} AS s_lon "
+        f"FROM supplier", _SFCA_R)
     from .operators.tiles import cell_theil_sen_sql_for_span
     out["cell_theil_sen"] = cell_theil_sen_sql_for_span(
         _TRAJ_PTS_SQL, _TREND_RES, _TS_SPAN_DAYS)

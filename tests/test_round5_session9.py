@@ -811,3 +811,69 @@ class TestActiveCoverage:
                 "SELECT user_id, event_id, us, 0 AS lat, 0 AS lon "
                 "FROM p", 25)).fetchall())
         assert got == want
+
+
+class TestAccessibility2SFCA:
+    def _run(self, spark, dem, sup, r):
+        from geospark.operators.joins import accessibility_2sfca
+        d = spark.createDataFrame(dem,
+                                  "d_id long, lat double, lon double")
+        s = spark.createDataFrame(
+            sup, "s_id long, cap long, s_lat double, s_lon double")
+        return {row[0]: (row[1], row[2]) for row in
+                _rows(accessibility_2sfca(d, s, r))}
+
+    def test_congestion_splits_capacity(self, spark):
+        """Two patients share clinic A (cap 6 -> ratio 3e6 each...
+        no: ratio = cap*1e6 div n_demand = 3_000_000, each patient
+        SUMS the ratio once); a third patient alone at clinic B
+        (cap 2) gets the full 2_000_000."""
+        dem = [(1, 0.0, 0.0), (2, 0.0, 0.5), (3, 50.0, 50.0)]
+        sup = [(10, 6, 0.0, 0.25), (20, 2, 50.0, 50.0)]
+        got = self._run(spark, dem, sup, 1.0)
+        assert got == {1: (1, 3_000_000), 2: (1, 3_000_000),
+                       3: (1, 2_000_000)}
+
+    def test_overlapping_catchments_sum(self, spark):
+        """A demand point reaching two suppliers sums both ratios;
+        each supplier's ratio divides by ITS OWN demand count."""
+        dem = [(1, 0.0, 0.0), (2, 0.0, 0.9)]
+        sup = [(10, 4, 0.0, -0.5), (20, 9, 0.0, 0.5)]
+        # supplier 10 reaches only d1 (d2 at 1.4): ratio 4e6
+        # supplier 20 reaches d1 and d2: ratio 4.5e6
+        got = self._run(spark, dem, sup, 1.0)
+        assert got == {1: (2, 8_500_000), 2: (1, 4_500_000)}
+
+    def test_unreachable_absent(self, spark):
+        dem = [(1, 0.0, 0.0), (2, 80.0, 170.0)]
+        sup = [(10, 1, 0.0, 0.5)]
+        got = self._run(spark, dem, sup, 1.0)
+        assert got == {1: (1, 1_000_000)}
+
+    def test_matches_sql_twin(self, spark):
+        import duckdb
+
+        from geospark.operators.joins import (accessibility_2sfca,
+                                              accessibility_2sfca_sql)
+        dem = [(i, (i * 37) % 60 - 30.0, (i * 53) % 80 - 40.0)
+               for i in range(150)]
+        sup = [(j, j % 5 + 1, (j * 29) % 60 - 30.0,
+                (j * 41) % 80 - 40.0) for j in range(20)]
+        d = spark.createDataFrame(dem,
+                                  "d_id long, lat double, lon double")
+        s = spark.createDataFrame(
+            sup, "s_id long, cap long, s_lat double, s_lon double")
+        got = _rows(accessibility_2sfca(d, s, 8.0))
+        con = duckdb.connect()
+        con.execute("CREATE TABLE d (d_id BIGINT, lat DOUBLE, "
+                    "lon DOUBLE)")
+        con.execute("CREATE TABLE s (s_id BIGINT, cap BIGINT, "
+                    "s_lat DOUBLE, s_lon DOUBLE)")
+        con.executemany("INSERT INTO d VALUES (?, ?, ?)", dem)
+        con.executemany("INSERT INTO s VALUES (?, ?, ?, ?)", sup)
+        want = sorted(tuple(r) for r in con.execute(
+            accessibility_2sfca_sql(
+                "SELECT d_id, lat, lon FROM d",
+                "SELECT s_id, cap, s_lat, s_lon FROM s",
+                8.0)).fetchall())
+        assert got == want
