@@ -2926,3 +2926,62 @@ def ht_breaks_sql(counts_sql: str, rounds: int, *,
                 f"AS level FROM ht{int(rounds)}")
     return ("WITH " + ",\n".join(stages) + "\nSELECT c AS cell, n, "
             "level FROM (" + " UNION ALL ".join(sels) + ")")
+
+
+def quadrat_csr(points, res: int, *, lat_col: str = "lat",
+                lon_col: str = "lon"):
+    """Quadrat index-of-dispersion — the one-number CSR (complete
+    spatial randomness) test under every point-pattern workflow:
+    tile the WHOLE grid at ``res`` into N = 4^res quadrats and take
+    the variance-to-mean ratio of per-quadrat counts,
+
+        vmr_ppm = 1e6 * (N * sum c^2 - T^2)  div  ((N - 1) * T)
+
+    (T = total points). Poisson scatter gives ~1e6; clumping pushes
+    it up, regular spacing below. The single-fraction identity means
+    NO intermediate rounding, the numerator is nonnegative by
+    Cauchy-Schwarz (so div == floor in both engines), and EMPTY
+    quadrats need no dense frame: they contribute 0 to sum c^2 and
+    are priced into the constant N — the whole test is one
+    map-side-combinable aggregate over occupied cells. Products run
+    in DECIMAL(38,0)/HUGEINT (N * sum c^2 reaches ~1e28 at planetary
+    counts). T = 0 returns an empty frame (no pattern, no verdict).
+    -> one row (n_quadrats, n_pts, vmr_ppm)."""
+    from pyspark.sql import functions as F
+
+    from ..functions.cells import cell_encode
+    n_q = 1 << (2 * res)
+    c = (points.groupBy(cell_encode(lat_col, lon_col, res)
+                        .alias("_c"))
+         .agg(F.count(F.lit(1)).alias("_n")))
+    g = c.agg(
+        F.sum("_n").cast("long").alias("_t"),
+        F.sum(F.expr("CAST(_n AS DECIMAL(38,0)) * _n")).alias("_s2"))
+    return (g.filter(F.col("_t") > 0)
+            .select(F.lit(n_q).cast("long").alias("n_quadrats"),
+                    F.col("_t").alias("n_pts"),
+                    F.expr(f"CAST((CAST({n_q} AS DECIMAL(38,0)) * _s2"
+                           f" - CAST(_t AS DECIMAL(38,0)) * _t) "
+                           f"* 1000000 div "
+                           f"(CAST({n_q - 1} AS DECIMAL(38,0)) * _t) "
+                           f"AS BIGINT)").alias("vmr_ppm")))
+
+
+def quadrat_csr_sql(pts_sql: str, res: int) -> str:
+    """DuckDB twin of quadrat_csr over a subquery producing
+    (lat, lon) — same single-fraction HUGEINT arithmetic."""
+    from ..functions.cells import cell_encode_sql
+    n_q = 1 << (2 * res)
+    cell = cell_encode_sql("lat", "lon", res)
+    return f"""
+WITH qc_c AS (SELECT {cell} AS c, COUNT(*) AS n
+              FROM ({pts_sql}) GROUP BY 1),
+qc_g AS (SELECT CAST(SUM(n) AS BIGINT) AS t,
+         SUM(CAST(n AS HUGEINT) * n) AS s2 FROM qc_c)
+SELECT CAST({n_q} AS BIGINT) AS n_quadrats, t AS n_pts,
+       CAST((CAST({n_q} AS HUGEINT) * s2
+             - CAST(t AS HUGEINT) * t) * 1000000
+            // (CAST({n_q - 1} AS HUGEINT) * t) AS BIGINT)
+         AS vmr_ppm
+FROM qc_g WHERE t > 0
+"""

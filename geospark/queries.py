@@ -3245,6 +3245,21 @@ def q_accessibility(spark, sf_dir):
     return accessibility_2sfca(dem, sup, _SFCA_R)
 
 
+# quadrat CSR test: res-5 grid = 1024 quadrats over ~6k sf0.01 pts
+_QUADRAT_RES = 5
+
+
+def q_quadrat_csr(spark, sf_dir):
+    """Quadrat index-of-dispersion (r5.39): variance-to-mean ratio
+    of per-quadrat trajectory-point counts over the full 4^res grid
+    — the CSR clumping test, one map-side-combinable aggregate
+    (operators/tiles.quadrat_csr docstring: single-fraction
+    DECIMAL(38,0) identity, empty quadrats priced into the
+    constant)."""
+    from .operators.tiles import quadrat_csr
+    return quadrat_csr(_traj_pts(spark, sf_dir), _QUADRAT_RES)
+
+
 # activity window: each event covers 30 minutes
 _COVER_DUR_US = 30 * 60 * 1_000_000
 
@@ -3399,6 +3414,13 @@ def q_bearing_hist(spark, sf_dir):
 
 
 QUERIES = {
+    # -- round-5.39 addition (session 10), inside the window for its
+    #    first driver row under the same newest-least-soak triage;
+    #    centroid_drift rotates just past the boundary to make room
+    #    (exact-integer groupBy centroid + one lag window — both
+    #    machinery tiers driver-covered via cell_trend /
+    #    sessionize / cell_theil_sen) --
+    "quadrat_csr": q_quadrat_csr,
     # -- round-5.38 additions (session 9), inside the window for
     #    their first driver row under the session-8 triage principle
     #    (newest rows have the LEAST replica soak, so the final
@@ -3582,7 +3604,8 @@ QUERIES = {
     #  inside the window — a driver green on those certifies the
     #  flow-direction fragment compositionally; d8_flow keeps its
     #  unit tier + multi-sweep replica greens)
-    "centroid_drift": q_centroid_drift,
+    # (centroid_drift moved just past the window in session 10 to
+    #  make room for quadrat_csr — see the head-of-dict comment)
     # (d8_basins moved just past the window in session 9 to make
     #  room for active_coverage: d8_basins_sql is nested VERBATIM
     #  inside the in-window basin_stats oracle, so the pointer-jump
@@ -3591,6 +3614,7 @@ QUERIES = {
     "cross_k": q_cross_k,
     "basin_stats": q_basin_stats,
     "threshold_alerts": q_threshold_alerts,
+    "centroid_drift": q_centroid_drift,
     # -- round-5.8 addition (comment preserved from its windowed
     #    slot): bbox_filter rotated just past the window in r5.8,
     #    driver-green r1-r4 and subsumed by bbox_join's predicate
@@ -4682,6 +4706,8 @@ def oracle_sql() -> dict[str, str]:
                                                _RESAMPLE_STEP_US)
     from .operators.pack import pps_sample_sql
     out["pps_sample"] = pps_sample_sql(_PPS_K)
+    from .operators.tiles import quadrat_csr_sql
+    out["quadrat_csr"] = quadrat_csr_sql(_TRAJ_PTS_SQL, _QUADRAT_RES)
     from .operators.events import active_coverage_sql
     out["active_coverage"] = active_coverage_sql(_TRAJ_PTS_SQL,
                                                  _COVER_DUR_US)
