@@ -2985,3 +2985,166 @@ SELECT CAST({n_q} AS BIGINT) AS n_quadrats, t AS n_pts,
          AS vmr_ppm
 FROM qc_g WHERE t > 0
 """
+
+
+def geary_c(points, res: int, *, lat_col: str = "lat",
+            lon_col: str = "lon"):
+    """Global Geary's C over the per-cell count raster — the
+    squared-DIFFERENCE complement of moran_i (same binary queen
+    contiguity on OCCUPIED cells, same wrap/clamp convention):
+    C = (N-1) sum_ij w_ij (x_i-x_j)^2 / (2W sum_i (x_i-xbar)^2);
+    ~1 = random, <1 = clustered, >1 = checkerboard. Where Moran's I
+    is a cross-PRODUCT statistic (dominated by extremes), Geary's C
+    is pair-local — the standard second opinion on the same surface.
+
+    Integer-exact via the same dev_i = N*x_i - T trick: x_i - x_j =
+    (dev_i - dev_j)/N and sum (x_i-xbar)^2 = M2/N^2, so the N^2
+    cancels and geary_ppm = trunc(1e6 * (N-1) * SD / (2 * W * M2))
+    with SD = sum over ordered neighbor pairs (dev_i - dev_j)^2 and
+    M2 = sum dev_i^2. dev is BIGINT; squares and sums run in
+    DECIMAL(38,0)/HUGEINT (headroom: 1e6*N*SD needs N*W*dev^2 <
+    1e32 — holds to ~1e9 occupied cells at 1e9 max count; beyond
+    that drop the ppm scale to ppk). Both orders of each pair are
+    counted in SD and W (the ratio is identical to once-per-pair).
+    NULL geary_ppm when W = 0 or M2 = 0 (constant surface).
+
+    Scale: identical shape to moran_i — one map-side-combinable
+    point pass, then aggregate-row machinery only (broadcast 1-row
+    stats, 9-way ring explode, one cell-keyed join, scalar aggs).
+    -> one row (n_cells, w_pairs, geary_ppm)."""
+    from pyspark.sql import functions as F
+
+    from ..functions.cells import cell_neighbors_explode
+    counts = tile_counts(points, res, lat_col=lat_col, lon_col=lon_col)
+    stats = counts.agg(F.count(F.lit(1)).alias("_nc"),
+                       F.sum("n_docs").alias("_t"))
+    d = (counts.crossJoin(F.broadcast(stats))
+         .select("cell",
+                 (F.col("_nc") * F.col("n_docs") - F.col("_t"))
+                 .alias("_dev"), "_nc"))
+    right = d.select(F.col("cell").alias("_neighbor"),
+                     F.col("_dev").alias("_dev_j"))
+    pairs = (cell_neighbors_explode(d.select("cell", "_dev"), res,
+                                    ring=1)
+             .filter(F.col("_neighbor") != F.col("cell"))
+             .join(right, "_neighbor", "inner"))
+    pr = pairs.agg(
+        F.count(F.lit(1)).alias("w_pairs"),
+        F.sum((F.col("_dev") - F.col("_dev_j")).cast("decimal(38,0)")
+              * (F.col("_dev") - F.col("_dev_j"))).alias("_sd"))
+    m = d.agg(F.max("_nc").alias("n_cells"),
+              F.sum(F.col("_dev").cast("decimal(38,0)")
+                    * F.col("_dev")).alias("_m2"))
+    return (m.crossJoin(pr)
+            .select(F.col("n_cells").cast("long").alias("n_cells"),
+                    F.col("w_pairs").cast("long").alias("w_pairs"),
+                    F.expr("CASE WHEN w_pairs = 0 OR _m2 = 0 "
+                           "THEN CAST(NULL AS BIGINT) ELSE "
+                           "(CAST(n_cells - 1 AS DECIMAL(38,0)) "
+                           "* _sd * 1000000) div (2 * CAST(w_pairs "
+                           "AS DECIMAL(38,0)) * _m2) END")
+                    .alias("geary_ppm")))
+
+
+def geary_c_sql(pts_sql: str, res: int) -> str:
+    """DuckDB twin of geary_c over a subquery producing (lat, lon).
+    The ppm numerator is nonnegative (squared differences), so
+    HUGEINT // equals Spark's decimal div with no sign split."""
+    from ..functions.cells import cell_encode_sql, cell_neighbors_sql
+    cell = cell_encode_sql("lat", "lon", res)
+    nb = cell_neighbors_sql("a.cell", res, 1)
+    return f"""
+WITH counts AS (SELECT {cell} AS cell, COUNT(*) AS n
+                FROM ({pts_sql}) GROUP BY 1),
+st AS (SELECT COUNT(*) AS nc, CAST(SUM(n) AS BIGINT) AS t
+       FROM counts),
+d AS (SELECT cell, CAST(st.nc * counts.n - st.t AS BIGINT) AS dev
+      FROM counts, st),
+pr AS (SELECT COUNT(b.cell) AS w,
+       COALESCE(SUM(CAST(a.dev - b.dev AS HUGEINT)
+                    * (a.dev - b.dev)), 0) AS sd
+       FROM d a, LATERAL ({nb}) nb, d b
+       WHERE nb.neighbor = b.cell AND nb.neighbor <> a.cell),
+m AS (SELECT CAST(SUM(CAST(dev AS HUGEINT) * dev) AS HUGEINT) AS m2
+      FROM d)
+SELECT CAST(st.nc AS BIGINT) AS n_cells,
+       CAST(pr.w AS BIGINT) AS w_pairs,
+       CAST(CASE WHEN pr.w = 0 OR m.m2 = 0 THEN NULL
+            ELSE (CAST(st.nc - 1 AS HUGEINT) * pr.sd * 1000000)
+                 // (2 * CAST(pr.w AS HUGEINT) * m.m2) END
+            AS BIGINT) AS geary_ppm
+FROM st, pr, m
+"""
+
+
+def join_counts(points, res: int, *, lat_col: str = "lat",
+                lon_col: str = "lon"):
+    """Binary join-count statistics over the occupied-cell lattice —
+    the categorical sibling of moran_i/geary_c: classify each
+    occupied cell HIGH (N*x_i > T, i.e. count above the mean) or
+    LOW, then count adjacent HH / LL / HL pairs under the same queen
+    contiguity. Clustering shows as HH+LL above the CSR share of
+    W; a checkerboard as HL dominance. Pure integer counting — no
+    division at all, so the oracle is exact by construction. Pairs
+    are reported ONCE each (ordered-pair tally halved; W even by
+    symmetry). -> one row (n_cells, n_high, hh, ll, hl, w_pairs)."""
+    from pyspark.sql import functions as F
+
+    from ..functions.cells import cell_neighbors_explode
+    counts = tile_counts(points, res, lat_col=lat_col, lon_col=lon_col)
+    stats = counts.agg(F.count(F.lit(1)).alias("_nc"),
+                       F.sum("n_docs").alias("_t"))
+    d = (counts.crossJoin(F.broadcast(stats))
+         .select("cell",
+                 (F.col("_nc") * F.col("n_docs") > F.col("_t"))
+                 .cast("int").alias("_hi"), "_nc"))
+    right = d.select(F.col("cell").alias("_neighbor"),
+                     F.col("_hi").alias("_hi_j"))
+    pairs = (cell_neighbors_explode(d.select("cell", "_hi"), res,
+                                    ring=1)
+             .filter(F.col("_neighbor") != F.col("cell"))
+             .join(right, "_neighbor", "inner"))
+    pr = pairs.agg(
+        F.expr("count(1) div 2").alias("w_pairs"),
+        F.expr("sum(_hi * _hi_j) div 2").alias("hh"),
+        F.expr("sum((1 - _hi) * (1 - _hi_j)) div 2").alias("ll"))
+    m = d.agg(F.max("_nc").alias("n_cells"),
+              F.sum("_hi").alias("n_high"))
+    return (m.crossJoin(pr)
+            .select(F.col("n_cells").cast("long").alias("n_cells"),
+                    F.col("n_high").cast("long").alias("n_high"),
+                    F.coalesce("hh", F.lit(0)).alias("hh"),
+                    F.coalesce("ll", F.lit(0)).alias("ll"),
+                    (F.col("w_pairs") - F.coalesce("hh", F.lit(0))
+                     - F.coalesce("ll", F.lit(0))).alias("hl"),
+                    F.col("w_pairs")))
+
+
+def join_counts_sql(pts_sql: str, res: int) -> str:
+    """DuckDB twin of join_counts over a subquery producing
+    (lat, lon) — same once-per-pair halving of the ordered tally."""
+    from ..functions.cells import cell_encode_sql, cell_neighbors_sql
+    cell = cell_encode_sql("lat", "lon", res)
+    nb = cell_neighbors_sql("a.cell", res, 1)
+    return f"""
+WITH counts AS (SELECT {cell} AS cell, COUNT(*) AS n
+                FROM ({pts_sql}) GROUP BY 1),
+st AS (SELECT COUNT(*) AS nc, CAST(SUM(n) AS BIGINT) AS t
+       FROM counts),
+d AS (SELECT cell,
+      CAST(CASE WHEN st.nc * counts.n > st.t THEN 1 ELSE 0 END
+           AS BIGINT) AS hi
+      FROM counts, st),
+pr AS (SELECT CAST(COUNT(b.cell) // 2 AS BIGINT) AS w,
+       CAST(COALESCE(SUM(a.hi * b.hi), 0) // 2 AS BIGINT) AS hh,
+       CAST(COALESCE(SUM((1 - a.hi) * (1 - b.hi)), 0) // 2
+            AS BIGINT) AS ll
+       FROM d a, LATERAL ({nb}) nb, d b
+       WHERE nb.neighbor = b.cell AND nb.neighbor <> a.cell),
+m AS (SELECT CAST(st.nc AS BIGINT) AS n_cells,
+      CAST(SUM(hi) AS BIGINT) AS n_high FROM d, st
+      GROUP BY st.nc)
+SELECT m.n_cells, m.n_high, pr.hh, pr.ll,
+       pr.w - pr.hh - pr.ll AS hl, pr.w AS w_pairs
+FROM m, pr
+"""

@@ -3249,6 +3249,27 @@ def q_accessibility(spark, sf_dir):
 _QUADRAT_RES = 5
 
 
+def q_geary_c(spark, sf_dir):
+    """Global Geary's C over the res-4 event raster (r5.39): the
+    squared-difference complement of moran_i — pair-local
+    autocorrelation on the same queen-contiguity lattice, exact
+    integer ppm (operators/tiles.geary_c docstring: dev-difference
+    identity cancels the mean's rational, nonnegative numerator so
+    div == floor in both engines)."""
+    from .operators.tiles import geary_c
+    return geary_c(_traj_pts(spark, sf_dir), _MORAN_RES)
+
+
+def q_join_counts(spark, sf_dir):
+    """Binary join-count statistics over the res-4 event raster
+    (r5.39): HH/LL/HL adjacent-pair tallies under above-mean
+    classification — the categorical autocorrelation sibling, pure
+    integer counting with no division at all
+    (operators/tiles.join_counts docstring)."""
+    from .operators.tiles import join_counts
+    return join_counts(_traj_pts(spark, sf_dir), _MORAN_RES)
+
+
 def q_quadrat_csr(spark, sf_dir):
     """Quadrat index-of-dispersion (r5.39): variance-to-mean ratio
     of per-quadrat trajectory-point counts over the full 4^res grid
@@ -3421,6 +3442,14 @@ QUERIES = {
     #    machinery tiers driver-covered via cell_trend /
     #    sessionize / cell_theil_sen) --
     "quadrat_csr": q_quadrat_csr,
+    # -- round-5.39 additions (session 10), same triage: geary_c
+    #    and join_counts complete the autocorrelation family next
+    #    to the driver-candidate moran_i/lisa_cells; crawl_budget
+    #    and source_overlap (r5.13 — the most replica soak of any
+    #    in-window row: green in every full sweep since session 3)
+    #    rotate just past the boundary to make room --
+    "geary_c": q_geary_c,
+    "join_counts": q_join_counts,
     # -- round-5.38 additions (session 9), inside the window for
     #    their first driver row under the session-8 triage principle
     #    (newest rows have the LEAST replica soak, so the final
@@ -3453,15 +3482,10 @@ QUERIES = {
     "pps_sample": q_pps_sample,
     "active_coverage": q_active_coverage,
     "accessibility": q_accessibility,
-    # -- round-5.13 addition, inside the window for its first driver
-    #    row (curation_filter rotates just past the window:
-    #    driver-green r4, a plain token-count filter) --
-    "crawl_budget": q_crawl_budget,
-    # -- round-5.13 addition, inside the window for its first driver
-    #    row (box_geom_stats rotates just past the window:
-    #    driver-green r4; the vectorized batch-measure codec it
-    #    exercises stays covered by the r4 driver row and tests) --
-    "source_overlap": q_source_overlap,
+    # (crawl_budget and source_overlap — r5.13 — moved just past the
+    #  window in session 10 to make room for geary_c/join_counts;
+    #  see the head-of-dict comment. Their original slot comments
+    #  ride along at the new location.)
     # -- round-5.14 addition, inside the window for its first driver
     #    row (sessionize rotates just past the window: driver-green
     #    r4, and stream_sessionize — the value-hash-gated streaming
@@ -3615,6 +3639,12 @@ QUERIES = {
     "basin_stats": q_basin_stats,
     "threshold_alerts": q_threshold_alerts,
     "centroid_drift": q_centroid_drift,
+    # -- round-5.13 additions (windowed r5.13–r5.39.0; rotated here
+    #    in session 10; originally: curation_filter / box_geom_stats
+    #    rotated just past the window to admit them, both
+    #    driver-green r4) --
+    "crawl_budget": q_crawl_budget,
+    "source_overlap": q_source_overlap,
     # -- round-5.8 addition (comment preserved from its windowed
     #    slot): bbox_filter rotated just past the window in r5.8,
     #    driver-green r1-r4 and subsumed by bbox_join's predicate
@@ -4708,6 +4738,9 @@ def oracle_sql() -> dict[str, str]:
     out["pps_sample"] = pps_sample_sql(_PPS_K)
     from .operators.tiles import quadrat_csr_sql
     out["quadrat_csr"] = quadrat_csr_sql(_TRAJ_PTS_SQL, _QUADRAT_RES)
+    from .operators.tiles import geary_c_sql, join_counts_sql
+    out["geary_c"] = geary_c_sql(_TRAJ_PTS_SQL, _MORAN_RES)
+    out["join_counts"] = join_counts_sql(_TRAJ_PTS_SQL, _MORAN_RES)
     from .operators.events import active_coverage_sql
     out["active_coverage"] = active_coverage_sql(_TRAJ_PTS_SQL,
                                                  _COVER_DUR_US)

@@ -90,3 +90,159 @@ class TestQuadratCSR:
         for bad in ("BatchEvalPython", "ArrowEvalPython", "Join",
                     "Window"):
             assert bad not in plan, plan
+
+
+from fractions import Fraction
+
+
+def _center(y, x, res):
+    n = 1 << res
+    return (-90.0 + (y + 0.5) * 180.0 / n,
+            -180.0 + (x + 0.5) * 360.0 / n)
+
+
+def _lattice(spark, cells, res, counts):
+    rows = []
+    for (y, x), c in zip(cells, counts):
+        lat, lon = _center(y, x, res)
+        rows += [(lat, lon)] * c
+    return spark.createDataFrame(rows, "lat double, lon double")
+
+
+def _geary_ppm_ref(cells, counts):
+    """Independent exact re-derivation of Geary's C (queen ring-1,
+    interior fixtures only), truncated toward zero at ppm."""
+    n = len(cells)
+    t = sum(counts)
+    dev = {c: n * x - t for c, x in zip(cells, counts)}
+    sd = w = 0
+    for ci in cells:
+        for cj in cells:
+            if ci == cj:
+                continue
+            if max(abs(ci[0] - cj[0]), abs(ci[1] - cj[1])) == 1:
+                w += 1
+                sd += (dev[ci] - dev[cj]) ** 2
+    m2 = sum(d * d for d in dev.values())
+    if w == 0 or m2 == 0:
+        return None, w
+    return int(Fraction(1_000_000 * (n - 1) * sd, 2 * w * m2)), w
+
+
+class TestGearyC:
+    RES = 4
+
+    def _run(self, spark, cells, counts):
+        from geospark.operators.tiles import geary_c
+        d = _lattice(spark, cells, self.RES, counts)
+        row = geary_c(d, self.RES).collect()[0]
+        return row["n_cells"], row["w_pairs"], row["geary_ppm"]
+
+    def test_two_cell_hand_value(self, spark):
+        """Counts (3,1) side by side: dev=(2,-2), SD=2*16=32, M2=8,
+        W=2 -> C = 1e6*1*32/(2*2*8) = exactly 1_000_000."""
+        nc, wp, ppm = self._run(spark, [(5, 5), (5, 6)], [3, 1])
+        assert (nc, wp, ppm) == (2, 2, 1_000_000)
+
+    def test_clustered_below_one(self, spark):
+        """Hot 2x2 block beside a cold 2x2 block: like borders
+        like -> C < 1 (ppm < 1e6); exact Fraction re-derivation."""
+        cells = [(5, 5), (5, 6), (6, 5), (6, 6),
+                 (5, 8), (5, 9), (6, 8), (6, 9)]
+        counts = [9, 9, 9, 9, 1, 1, 1, 1]
+        want, w = _geary_ppm_ref(cells, counts)
+        nc, wp, ppm = self._run(spark, cells, counts)
+        assert (nc, wp) == (8, w) and ppm == want and ppm < 1_000_000
+
+    def test_checkerboard_above_one(self, spark):
+        """Alternating high/low 3x3: every neighbor differs ->
+        C > 1 (ppm > 1e6)."""
+        cells = [(y, x) for y in (5, 6, 7) for x in (5, 6, 7)]
+        counts = [9 if (y + x) % 2 == 0 else 1 for (y, x) in cells]
+        want, w = _geary_ppm_ref(cells, counts)
+        nc, wp, ppm = self._run(spark, cells, counts)
+        assert (nc, wp) == (9, w) and ppm == want and ppm > 1_000_000
+
+    def test_constant_surface_null(self, spark):
+        """M2 = 0 -> NULL, matching moran_i's convention."""
+        nc, wp, ppm = self._run(spark, [(5, 5), (5, 6), (6, 5)],
+                                [4, 4, 4])
+        assert nc == 3 and wp > 0 and ppm is None
+
+    def test_isolated_cells_null(self, spark):
+        """W = 0 -> NULL."""
+        nc, wp, ppm = self._run(spark, [(2, 2), (8, 8), (12, 4)],
+                                [1, 5, 9])
+        assert nc == 3 and wp == 0 and ppm is None
+
+    def test_inline_oracle_parity(self, spark):
+        import duckdb
+        import numpy as np
+
+        from geospark.operators.tiles import geary_c, geary_c_sql
+        rng = np.random.default_rng(84)
+        rows = [(float(a), float(b)) for a, b in zip(
+            rng.uniform(-80, 80, 800).round(1),
+            rng.uniform(-170, 170, 800).round(1))]
+        d = spark.createDataFrame(rows, "lat double, lon double")
+        got = sorted(tuple(r) for r in geary_c(d, 3).collect())
+        con = duckdb.connect()
+        con.execute("CREATE TABLE p (lat DOUBLE, lon DOUBLE)")
+        con.executemany("INSERT INTO p VALUES (?, ?)", rows)
+        want = sorted(tuple(r) for r in con.execute(
+            geary_c_sql("SELECT lat, lon FROM p", 3)).fetchall())
+        assert got == want and got[0][2] is not None
+
+
+class TestJoinCounts:
+    RES = 4
+
+    def _run(self, spark, cells, counts):
+        from geospark.operators.tiles import join_counts
+        d = _lattice(spark, cells, self.RES, counts)
+        r = join_counts(d, self.RES).collect()[0]
+        return tuple(r)
+
+    def test_alternating_row_all_hl(self, spark):
+        """Counts (3,1,3) in a row, mean 7/3: HIGH/LOW/HIGH -> the
+        two adjacencies are both cross pairs: hh=ll=0, hl=2."""
+        got = self._run(spark, [(5, 5), (5, 6), (5, 7)], [3, 1, 3])
+        assert got == (3, 2, 0, 0, 2, 2)
+
+    def test_blocked_row_one_of_each(self, spark):
+        """Counts (5,5,1,1) in a row: HH | HL | LL -> one pair of
+        each kind."""
+        got = self._run(spark, [(5, 5), (5, 6), (5, 7), (5, 8)],
+                        [5, 5, 1, 1])
+        assert got == (4, 2, 1, 1, 1, 3)
+
+    def test_queen_diagonal_is_adjacent(self, spark):
+        """Two HIGH cells touching only diagonally still join:
+        (5,5) and (6,6) high, a far LOW cell breaks the tie ->
+        hh=1, w=1."""
+        got = self._run(spark, [(5, 5), (6, 6), (10, 10)],
+                        [5, 5, 1])
+        assert got == (3, 2, 1, 0, 0, 1)
+
+    def test_no_adjacency_zero_pairs(self, spark):
+        got = self._run(spark, [(2, 2), (8, 8)], [3, 1])
+        assert got == (2, 1, 0, 0, 0, 0)
+
+    def test_inline_oracle_parity(self, spark):
+        import duckdb
+        import numpy as np
+
+        from geospark.operators.tiles import (join_counts,
+                                              join_counts_sql)
+        rng = np.random.default_rng(85)
+        rows = [(float(a), float(b)) for a, b in zip(
+            rng.uniform(-80, 80, 800).round(1),
+            rng.uniform(-170, 170, 800).round(1))]
+        d = spark.createDataFrame(rows, "lat double, lon double")
+        got = sorted(tuple(r) for r in join_counts(d, 3).collect())
+        con = duckdb.connect()
+        con.execute("CREATE TABLE p (lat DOUBLE, lon DOUBLE)")
+        con.executemany("INSERT INTO p VALUES (?, ?)", rows)
+        want = sorted(tuple(r) for r in con.execute(
+            join_counts_sql("SELECT lat, lon FROM p", 3)).fetchall())
+        assert got == want and got[0][5] > 0
