@@ -1323,3 +1323,82 @@ SELECT doc_a, doc_b, CAST(ni AS BIGINT) AS ni,
 FROM inter
 WHERE (1000000 * ni) // LEAST(na, nb) >= {int(min_cont_ppm)}
 """
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy (edit-distance) near-dup pairs — blocked Levenshtein join
+# ---------------------------------------------------------------------------
+
+def fuzzy_pairs(df, *, d: int = 8, title_len: int = 24,
+                prefix_len: int = 8, max_block: int = 50,
+                id_col: str = "doc_id", text_col: str = "text"):
+    """Edit-distance near-dup pairs over a derived title (the first
+    ``title_len`` chars of ``text_col``) — the classic entity-
+    resolution tier BETWEEN exact dedup (hash) and set-similarity
+    (minhash/ngram): catches single-character edits, truncations and
+    reorderings shorter than ``d`` that shingle methods dilute.
+
+    Semantics (the oracle mirrors every clause): candidate pairs are
+    doc pairs whose titles share the same ``prefix_len``-char prefix
+    BLOCK, drawn only from blocks of size in [2, ``max_block``]
+    (hot blocks — boilerplate openings — are DROPPED, the standard
+    blocking-cap tradeoff; a dropped block is a coverage cap, not a
+    wrong answer); a candidate is emitted when the title length gap
+    is <= ``d`` and levenshtein(title_a, title_b) <= ``d``. Both
+    engines ship the same classic DP levenshtein over code points,
+    so the distance is engine-exact.
+
+    Scale: prefix blocking bounds the pair space to
+    sum_b n_b^2 <= max_block * |docs|; the DP cost per pair is the
+    constant title_len^2. ONE shuffle on the block key, explicitly
+    repartitioned one-partition-per-core BEFORE the size window and
+    self-join (both then reuse that exchange): the join's work is
+    CPU per emitted candidate, invisible to AQE's byte-based
+    coalescing, which would otherwise collapse the stage to 1-2
+    tasks on a single-file scan. -> (doc_a, doc_b, dist), doc_a <
+    doc_b."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    p = df.sparkSession.sparkContext.defaultParallelism
+    t = (df.select(F.col(id_col).alias("_id"),
+                   F.substring(text_col, 1, title_len).alias("_s"),
+                   F.substring(text_col, 1, prefix_len).alias("_blk"))
+         .repartition(p, "_blk"))
+    t = (t.withColumn("_n", F.count(F.lit(1))
+                      .over(Window.partitionBy("_blk")))
+         .filter((F.col("_n") >= 2) & (F.col("_n") <= int(max_block)))
+         .drop("_n"))
+    a = t.select(F.col("_blk"), F.col("_id").alias("doc_a"),
+                 F.col("_s").alias("_sa"))
+    b = t.select(F.col("_blk"), F.col("_id").alias("doc_b"),
+                 F.col("_s").alias("_sb"))
+    return (a.join(b, "_blk")
+            .filter((F.col("doc_a") < F.col("doc_b"))
+                    & (F.abs(F.length("_sa") - F.length("_sb"))
+                       <= int(d))
+                    & (F.levenshtein("_sa", "_sb") <= int(d)))
+            .select("doc_a", "doc_b",
+                    F.levenshtein("_sa", "_sb").cast("long")
+                    .alias("dist")))
+
+
+def fuzzy_pairs_sql(d: int = 8, title_len: int = 24,
+                    prefix_len: int = 8, max_block: int = 50,
+                    table: str = "documents") -> str:
+    """DuckDB twin of fuzzy_pairs — same block gate, same length
+    pre-filter, same levenshtein threshold."""
+    return f"""
+WITH fz_t AS (SELECT doc_id, substr(text, 1, {int(title_len)}) AS s,
+              substr(text, 1, {int(prefix_len)}) AS blk
+              FROM {table}),
+fz_b AS (SELECT blk FROM fz_t GROUP BY blk
+         HAVING COUNT(*) BETWEEN 2 AND {int(max_block)}),
+fz_k AS (SELECT fz_t.* FROM fz_t JOIN fz_b USING (blk))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+FROM fz_k a JOIN fz_k b
+  ON a.blk = b.blk AND a.doc_id < b.doc_id
+ AND abs(length(a.s) - length(b.s)) <= {int(d)}
+ AND levenshtein(a.s, b.s) <= {int(d)}
+"""

@@ -3249,6 +3249,22 @@ def q_accessibility(spark, sf_dir):
 _QUADRAT_RES = 5
 
 
+# fuzzy dedup: ±8 edits over 24-char titles, 8-char prefix blocks
+_FUZZY_D, _FUZZY_TLEN, _FUZZY_PFX, _FUZZY_MAXBLK = 8, 24, 8, 50
+
+
+def q_fuzzy_pairs(spark, sf_dir):
+    """Blocked Levenshtein near-dup pairs (r5.39): the edit-distance
+    tier between exact dedup and minhash/ngram set similarity —
+    prefix blocks, hot-block cap, engine-exact DP distance
+    (operators/dedup.fuzzy_pairs docstring: one block-keyed shuffle
+    repartitioned one-per-core past AQE's byte-based coalescing)."""
+    from .operators.dedup import fuzzy_pairs
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return fuzzy_pairs(d, d=_FUZZY_D, title_len=_FUZZY_TLEN,
+                       prefix_len=_FUZZY_PFX, max_block=_FUZZY_MAXBLK)
+
+
 def q_geary_c(spark, sf_dir):
     """Global Geary's C over the res-4 event raster (r5.39): the
     squared-difference complement of moran_i — pair-local
@@ -3450,6 +3466,9 @@ QUERIES = {
     #    rotate just past the boundary to make room --
     "geary_c": q_geary_c,
     "join_counts": q_join_counts,
+    # (same session-10 triage: fuzzy_pairs displaces quality_pr —
+    #  r5.14, replica-green in every sweep since it landed)
+    "fuzzy_pairs": q_fuzzy_pairs,
     # -- round-5.38 additions (session 9), inside the window for
     #    their first driver row under the session-8 triage principle
     #    (newest rows have the LEAST replica soak, so the final
@@ -3486,11 +3505,8 @@ QUERIES = {
     #  window in session 10 to make room for geary_c/join_counts;
     #  see the head-of-dict comment. Their original slot comments
     #  ride along at the new location.)
-    # -- round-5.14 addition, inside the window for its first driver
-    #    row (sessionize rotates just past the window: driver-green
-    #    r4, and stream_sessionize — the value-hash-gated streaming
-    #    twin of the same gap rule — stays inside) --
-    "quality_pr": q_quality_pr,
+    # (quality_pr — r5.14 — moved just past the window in session 10
+    #  to make room for fuzzy_pairs; see the head-of-dict comment)
     # -- round-5.16 addition, inside the window for its first driver
     #    row (st_roundtrip rotates just past the window: driver-green
     #    r4; the EP1/EP2 encode path keeps schema_infer inside plus
@@ -3645,6 +3661,11 @@ QUERIES = {
     #    driver-green r4) --
     "crawl_budget": q_crawl_budget,
     "source_overlap": q_source_overlap,
+    # -- round-5.14 addition (windowed r5.14–r5.39.0; rotated here
+    #    in session 10; originally: sessionize rotated just past the
+    #    window to admit it, driver-green r4 with stream_sessionize
+    #    — the value-hash-gated streaming twin — staying inside) --
+    "quality_pr": q_quality_pr,
     # -- round-5.8 addition (comment preserved from its windowed
     #    slot): bbox_filter rotated just past the window in r5.8,
     #    driver-green r1-r4 and subsumed by bbox_join's predicate
@@ -4741,6 +4762,9 @@ def oracle_sql() -> dict[str, str]:
     from .operators.tiles import geary_c_sql, join_counts_sql
     out["geary_c"] = geary_c_sql(_TRAJ_PTS_SQL, _MORAN_RES)
     out["join_counts"] = join_counts_sql(_TRAJ_PTS_SQL, _MORAN_RES)
+    from .operators.dedup import fuzzy_pairs_sql
+    out["fuzzy_pairs"] = fuzzy_pairs_sql(
+        _FUZZY_D, _FUZZY_TLEN, _FUZZY_PFX, _FUZZY_MAXBLK)
     from .operators.events import active_coverage_sql
     out["active_coverage"] = active_coverage_sql(_TRAJ_PTS_SQL,
                                                  _COVER_DUR_US)

@@ -246,3 +246,99 @@ class TestJoinCounts:
         want = sorted(tuple(r) for r in con.execute(
             join_counts_sql("SELECT lat, lon FROM p", 3)).fetchall())
         assert got == want and got[0][5] > 0
+
+
+class TestFuzzyPairs:
+    def _docs(self, spark, texts):
+        return spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id long, text string")
+
+    def _run(self, spark, texts, **kw):
+        from geospark.operators.dedup import fuzzy_pairs
+        return sorted(tuple(r) for r in
+                      fuzzy_pairs(self._docs(spark, texts),
+                                  **kw).collect())
+
+    def test_single_edit_found_exact_dist(self, spark):
+        """One substitution inside the title -> dist 1."""
+        got = self._run(spark, ["the quick brown fox jumps",
+                                "the quick brewn fox jumps",
+                                "zzz unrelated zzz zzz zzz"],
+                        d=3, title_len=24, prefix_len=8)
+        assert got == [(0, 1, 1)]
+
+    def test_cross_block_pair_invisible(self, spark):
+        """Identical tails but different 8-char prefixes: blocking
+        semantics say NO pair — the documented coverage cap."""
+        got = self._run(spark, ["alpha one two three four",
+                                "bravo one two three four"],
+                        d=20, title_len=24, prefix_len=8)
+        assert got == []
+
+    def test_hot_block_dropped(self, spark):
+        """A block larger than max_block is dropped whole; a cold
+        block beside it still pairs."""
+        hot = [f"same start {i:013d}" for i in range(4)]
+        cold = ["cold start aaaa", "cold start aaab"]
+        got = self._run(spark, hot + cold, d=8, title_len=24,
+                        prefix_len=8, max_block=3)
+        assert got == [(4, 5, 1)]
+        # raising the cap admits the hot block's pairs too
+        got2 = self._run(spark, hot + cold, d=8, title_len=24,
+                         prefix_len=8, max_block=4)
+        assert len(got2) == 6 + 1
+
+    def test_distance_boundary(self, spark):
+        """dist == d kept, dist == d+1 dropped: titles differing in
+        exactly 3 / exactly 4 substitutions at d=3."""
+        base = "prefix__ then the tail ok"
+        three = "prefix__ thXn Xhe tXil ok"
+        four = "prefix__ thXn Xhe tXiX ok"
+        assert self._run(spark, [base, three], d=3) == [(0, 1, 3)]
+        assert self._run(spark, [base, four], d=3) == []
+
+    def test_title_truncation_is_the_key(self, spark):
+        """Edits PAST title_len are invisible: same first 24 chars
+        -> dist 0 pair regardless of the tails."""
+        got = self._run(spark, ["shared twenty-four chars AAAA",
+                                "shared twenty-four chars BBBB"],
+                        d=2, title_len=24, prefix_len=8)
+        assert got == [(0, 1, 0)]
+
+    def test_inline_oracle_parity(self, spark):
+        import duckdb
+
+        from geospark.operators.dedup import (fuzzy_pairs,
+                                              fuzzy_pairs_sql)
+        vocab = ["data", "query", "spark", "tile", "cell", "join"]
+        texts = []
+        for i in range(120):
+            w = [vocab[(i * 7 + k) % 6] for k in range(6)]
+            t = " ".join(w)
+            if i % 3 == 0:
+                t = t[:10] + "X" + t[11:]
+            texts.append(t)
+        docs = self._docs(spark, texts)
+        got = sorted(tuple(r) for r in fuzzy_pairs(
+            docs, d=4, title_len=20, prefix_len=6,
+            max_block=80).collect())
+        con = duckdb.connect()
+        con.execute("CREATE TABLE documents (doc_id BIGINT, "
+                    "text VARCHAR)")
+        con.executemany("INSERT INTO documents VALUES (?, ?)",
+                        list(enumerate(texts)))
+        want = sorted(tuple(r) for r in con.execute(
+            fuzzy_pairs_sql(4, 20, 6, 80)).fetchall())
+        assert got == want and len(got) > 0
+
+    def test_plan_jvm_side_and_partitioned(self, spark):
+        """The DP distance runs JVM-side (no Python eval) and the
+        self-join reuses one explicit block-key exchange."""
+        from geospark.operators.dedup import fuzzy_pairs
+        docs = self._docs(spark, ["aaaa bbbb", "aaaa bbbc"])
+        plan = fuzzy_pairs(docs)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "levenshtein" in plan
+        for bad in ("BatchEvalPython", "ArrowEvalPython"):
+            assert bad not in plan, plan
