@@ -2047,3 +2047,92 @@ SELECT u AS user_id, CAST(SUM(n) AS BIGINT) AS n_intervals,
        CAST(SUM(hi - lo) AS BIGINT) AS covered_us
 FROM ac_g GROUP BY 1
 """
+
+
+def sd_ellipse(points, *, user_col: str = "user_id",
+               lat_col: str = "lat", lon_col: str = "lon"):
+    """Standard deviational ellipse (directional distribution) per
+    user — the GIS-standard "which WAY does this activity cloud
+    stretch" summary that gyration's isotropic radius cannot see:
+    exact central second moments of the µdeg lattice positions plus
+    the ellipse's orientation CLASS. Uses the same one-pass
+    sufficient-statistics identity as gyration (Sxx = n·Σx² − (Σx)²
+    etc., no centroid join): var_x = Sxx div n², var_y = Syy div n²,
+    cov_xy = Sxy div n² — and since tan(2θ) = 2Sxy/(Sxx−Syy), the
+    exact SIGNS of Sxy and Sxx−Syy classify the major axis without
+    a single libm call: NE (θ in (0°,90°)), NW, EW, NS, or CIRCULAR
+    (isotropic: Sxy = 0 and Sxx = Syy — includes n = 1).
+
+    Integer-exact: sums in DECIMAL(38,0)/HUGEINT; Sxx, Syy are
+    nonnegative (Cauchy-Schwarz) so their div is floor in both
+    engines; cov_xy CAN be negative — Spark's decimal div truncates
+    toward zero, replicated in the twin by sign decomposition over
+    HUGEINT floor division (the moran_i rule).
+
+    Scale: ONE user-keyed partial-aggregating groupBy — six
+    combinable sums, map-side combine does the volume work.
+    -> (user, n_pts, var_x, var_y, cov_xy, orient)."""
+    from pyspark.sql import functions as F
+    d = points.select(
+        F.col(user_col).alias("_user"),
+        F.expr(f"CAST(floor({lon_col} * 1000000.0) AS BIGINT)")
+         .alias("_ix"),
+        F.expr(f"CAST(floor({lat_col} * 1000000.0) AS BIGINT)")
+         .alias("_iy"))
+    g = (d.groupBy("_user")
+         .agg(F.count(F.lit(1)).alias("n_pts"),
+              F.sum(F.col("_ix").cast("decimal(38,0)")).alias("_sx"),
+              F.sum(F.col("_iy").cast("decimal(38,0)")).alias("_sy"),
+              F.sum(F.expr("_ix * _ix").cast("decimal(38,0)"))
+              .alias("_sxx"),
+              F.sum(F.expr("_iy * _iy").cast("decimal(38,0)"))
+              .alias("_syy"),
+              F.sum(F.expr("_ix * _iy").cast("decimal(38,0)"))
+              .alias("_sxy")))
+    n2 = "CAST(n_pts AS DECIMAL(38,0)) * n_pts"
+    cxx = f"(CAST(n_pts AS DECIMAL(38,0)) * _sxx - _sx * _sx)"
+    cyy = f"(CAST(n_pts AS DECIMAL(38,0)) * _syy - _sy * _sy)"
+    cxy = f"(CAST(n_pts AS DECIMAL(38,0)) * _sxy - _sx * _sy)"
+    return (g.select(
+        F.col("_user").alias(user_col), "n_pts",
+        F.expr(f"CAST({cxx} div ({n2}) AS BIGINT)").alias("var_x"),
+        F.expr(f"CAST({cyy} div ({n2}) AS BIGINT)").alias("var_y"),
+        F.expr(f"CAST({cxy} div ({n2}) AS BIGINT)").alias("cov_xy"),
+        F.expr(f"CASE WHEN {cxy} > 0 THEN 'NE' "
+               f"WHEN {cxy} < 0 THEN 'NW' "
+               f"WHEN {cxx} > {cyy} THEN 'EW' "
+               f"WHEN {cxx} < {cyy} THEN 'NS' "
+               f"ELSE 'CIRCULAR' END").alias("orient")))
+
+
+def sd_ellipse_sql(pts_sql: str) -> str:
+    """DuckDB twin of sd_ellipse over a subquery producing
+    (user_id, lat, lon) — HUGEINT sums; cov_xy's truncating division
+    via sign decomposition over floor //."""
+    cxx = "(CAST(n AS HUGEINT) * sxx - sx * sx)"
+    cyy = "(CAST(n AS HUGEINT) * syy - sy * sy)"
+    cxy = "(CAST(n AS HUGEINT) * sxy - sx * sy)"
+    n2 = "(CAST(n AS HUGEINT) * n)"
+    return f"""
+WITH d AS (SELECT user_id AS u,
+           CAST(floor(lat * 1000000.0) AS BIGINT) AS iy,
+           CAST(floor(lon * 1000000.0) AS BIGINT) AS ix
+           FROM ({pts_sql})),
+g AS (SELECT u, COUNT(*) AS n,
+      SUM(CAST(ix AS HUGEINT)) AS sx,
+      SUM(CAST(iy AS HUGEINT)) AS sy,
+      SUM(CAST(ix AS HUGEINT) * ix) AS sxx,
+      SUM(CAST(iy AS HUGEINT) * iy) AS syy,
+      SUM(CAST(ix AS HUGEINT) * iy) AS sxy
+      FROM d GROUP BY u)
+SELECT u AS user_id, CAST(n AS BIGINT) AS n_pts,
+       CAST({cxx} // {n2} AS BIGINT) AS var_x,
+       CAST({cyy} // {n2} AS BIGINT) AS var_y,
+       CAST(CASE WHEN {cxy} >= 0 THEN {cxy} // {n2}
+            ELSE -((-{cxy}) // {n2}) END AS BIGINT) AS cov_xy,
+       CASE WHEN {cxy} > 0 THEN 'NE' WHEN {cxy} < 0 THEN 'NW'
+            WHEN {cxx} > {cyy} THEN 'EW'
+            WHEN {cxx} < {cyy} THEN 'NS'
+            ELSE 'CIRCULAR' END AS orient
+FROM g
+"""

@@ -3249,6 +3249,17 @@ def q_accessibility(spark, sf_dir):
 _QUADRAT_RES = 5
 
 
+def q_sd_ellipse(spark, sf_dir):
+    """Standard deviational ellipse per user (r5.39): exact central
+    second moments of the µdeg trajectory cloud + libm-free
+    orientation class from the signs of Sxy and Sxx−Syy — the
+    directional sibling of gyration
+    (operators/events.sd_ellipse docstring: one-pass sufficient
+    statistics, sign-decomposed truncating division for cov)."""
+    from .operators.events import sd_ellipse
+    return sd_ellipse(_traj_pts(spark, sf_dir))
+
+
 # fuzzy dedup: ±8 edits over 24-char titles, 8-char prefix blocks
 _FUZZY_D, _FUZZY_TLEN, _FUZZY_PFX, _FUZZY_MAXBLK = 8, 24, 8, 50
 
@@ -3467,8 +3478,10 @@ QUERIES = {
     "geary_c": q_geary_c,
     "join_counts": q_join_counts,
     # (same session-10 triage: fuzzy_pairs displaces quality_pr —
-    #  r5.14, replica-green in every sweep since it landed)
+    #  r5.14, replica-green in every sweep since it landed;
+    #  sd_ellipse displaces colocation — r5.16, same soak argument)
     "fuzzy_pairs": q_fuzzy_pairs,
+    "sd_ellipse": q_sd_ellipse,
     # -- round-5.38 additions (session 9), inside the window for
     #    their first driver row under the session-8 triage principle
     #    (newest rows have the LEAST replica soak, so the final
@@ -3507,11 +3520,8 @@ QUERIES = {
     #  ride along at the new location.)
     # (quality_pr — r5.14 — moved just past the window in session 10
     #  to make room for fuzzy_pairs; see the head-of-dict comment)
-    # -- round-5.16 addition, inside the window for its first driver
-    #    row (st_roundtrip rotates just past the window: driver-green
-    #    r4; the EP1/EP2 encode path keeps schema_infer inside plus
-    #    the full kernel-corpus test tier) --
-    "colocation": q_colocation,
+    # (colocation — r5.16 — moved just past the window in session 10
+    #  to make room for sd_ellipse; see the head-of-dict comment)
     # -- round-5.17 addition, inside the window for its first driver
     #    row (distance_join rotates just past the window: driver-green
     #    r4 AND re-measured in the r5 headline bench — the epsilon-join
@@ -3666,6 +3676,12 @@ QUERIES = {
     #    window to admit it, driver-green r4 with stream_sessionize
     #    — the value-hash-gated streaming twin — staying inside) --
     "quality_pr": q_quality_pr,
+    # -- round-5.16 addition (windowed r5.16–r5.39.0; rotated here
+    #    in session 10; originally: st_roundtrip rotated just past
+    #    the window to admit it, driver-green r4 with the EP1/EP2
+    #    encode path keeping schema_infer inside plus the full
+    #    kernel-corpus test tier) --
+    "colocation": q_colocation,
     # -- round-5.8 addition (comment preserved from its windowed
     #    slot): bbox_filter rotated just past the window in r5.8,
     #    driver-green r1-r4 and subsumed by bbox_join's predicate
@@ -4765,6 +4781,8 @@ def oracle_sql() -> dict[str, str]:
     from .operators.dedup import fuzzy_pairs_sql
     out["fuzzy_pairs"] = fuzzy_pairs_sql(
         _FUZZY_D, _FUZZY_TLEN, _FUZZY_PFX, _FUZZY_MAXBLK)
+    from .operators.events import sd_ellipse_sql
+    out["sd_ellipse"] = sd_ellipse_sql(_TRAJ_PTS_SQL)
     from .operators.events import active_coverage_sql
     out["active_coverage"] = active_coverage_sql(_TRAJ_PTS_SQL,
                                                  _COVER_DUR_US)

@@ -342,3 +342,80 @@ class TestFuzzyPairs:
         assert "levenshtein" in plan
         for bad in ("BatchEvalPython", "ArrowEvalPython"):
             assert bad not in plan, plan
+
+
+class TestSDEllipse:
+    M2 = 10 ** 12  # 1 degree = 1e6 µdeg, so 1 deg^2 = 1e12 µdeg^2
+
+    def _run(self, spark, pts):
+        """pts: [(user, lat_deg, lon_deg)] — integer degrees, so the
+        µdeg scaling is float-exact."""
+        from geospark.operators.events import sd_ellipse
+        d = spark.createDataFrame(
+            [(u, float(la), float(lo)) for u, la, lo in pts],
+            "user_id long, lat double, lon double")
+        return {r["user_id"]: (r["n_pts"], r["var_x"], r["var_y"],
+                               r["cov_xy"], r["orient"])
+                for r in sd_ellipse(d).collect()}
+
+    def test_diagonal_ne(self, spark):
+        """(0,0) and (2,2) deg: Sxx=Syy=Sxy=4e12, n^2=4 ->
+        var=cov=1e12, orient NE."""
+        got = self._run(spark, [(1, 0, 0), (1, 2, 2)])
+        assert got[1] == (2, self.M2, self.M2, self.M2, "NE")
+
+    def test_antidiagonal_nw_negative_cov(self, spark):
+        got = self._run(spark, [(1, 2, 0), (1, 0, 2)])
+        assert got[1] == (2, self.M2, self.M2, -self.M2, "NW")
+
+    def test_axis_aligned_ew_ns(self, spark):
+        got = self._run(spark, [(1, 0, 0), (1, 0, 2),
+                                (2, 0, 0), (2, 2, 0)])
+        assert got[1] == (2, self.M2, 0, 0, "EW")
+        assert got[2] == (2, 0, self.M2, 0, "NS")
+
+    def test_single_point_circular(self, spark):
+        got = self._run(spark, [(7, 45, 120)])
+        assert got[7] == (1, 0, 0, 0, "CIRCULAR")
+
+    def test_negative_cov_truncates_toward_zero(self, spark):
+        """x=(0,1,5), y=(5,1,0) deg: Sxy = 3*1e12 - 36e12 = -33e12,
+        n^2 = 9 -> cov = trunc(-33e12/9) = -3_666_666_666_666 (floor
+        would be one lower) — pins Spark's decimal div semantics."""
+        got = self._run(spark, [(1, 5, 0), (1, 1, 1), (1, 0, 5)])
+        assert got[1][3] == -3_666_666_666_666
+
+    def test_inline_oracle_parity(self, spark):
+        import duckdb
+
+        from geospark.operators.events import (sd_ellipse,
+                                               sd_ellipse_sql)
+        rows = []
+        for i in range(300):
+            u = i % 9
+            lat = ((i * 31 + u * 7) % 1700) / 10.0 - 85.0
+            lon = ((i * i * 17) % 3500) / 10.0 - 175.0
+            rows.append((u, lat, lon))
+        d = spark.createDataFrame(
+            rows, "user_id long, lat double, lon double")
+        got = sorted(tuple(r) for r in sd_ellipse(d).collect())
+        con = duckdb.connect()
+        con.execute("CREATE TABLE p (user_id BIGINT, lat DOUBLE, "
+                    "lon DOUBLE)")
+        con.executemany("INSERT INTO p VALUES (?, ?, ?)", rows)
+        want = sorted(tuple(r) for r in con.execute(sd_ellipse_sql(
+            "SELECT user_id, lat, lon FROM p")).fetchall())
+        assert got == want and len(got) == 9
+        # the scatter should produce at least one negative cov
+        assert any(r[4] < 0 for r in got)
+
+    def test_plan_single_groupby_no_python(self, spark):
+        from geospark.operators.events import sd_ellipse
+        d = spark.createDataFrame([(1, 1.0, 2.0)],
+                                  "user_id long, lat double, "
+                                  "lon double")
+        plan = sd_ellipse(d)._jdf.queryExecution().executedPlan() \
+            .toString()
+        for bad in ("BatchEvalPython", "ArrowEvalPython", "Join",
+                    "Window"):
+            assert bad not in plan, plan
