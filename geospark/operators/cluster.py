@@ -451,3 +451,115 @@ SELECT m.cell, m.label, t.n_pts,
        COALESCE(l.region_id, m.cell) AS region_id
 FROM modal m JOIN tot t USING (cell) LEFT JOIN lbl l USING (cell)
 """
+
+
+def cost_distance(pts, res: int, rounds: int, *,
+                  min_seed_pts: int, lat_col: str = "lat",
+                  lon_col: str = "lon"):
+    """Accumulated-cost distance over the OCCUPIED cell raster — the
+    WEIGHTED sibling of grid_reach: entering a cell costs its point
+    count (the congestion surface), seeds (density rule: count >=
+    ``min_seed_pts``, same as grid_reach/dbscan) start at 0, and
+    each occupied cell gets the minimum summed cost over 8-adjacency
+    paths of at most ``rounds`` steps that never leave occupied
+    cells. The cost-surface / least-cost-corridor primitive: hop BFS
+    treats a packed cell and an empty-ish one alike; this one routes
+    AROUND congestion.
+
+    Bounded Bellman-Ford with frontier relaxation: round k relaxes
+    only from cells improved in round k-1 — exact for the <=k-hop
+    minimum (an unimproved cell was already fully relaxed with the
+    same value), so the result equals the twin's enumerate-all-paths
+    MIN by induction, with early exit when a round improves nothing
+    (identical output, fewer jobs). Integer-exact: costs are BIGINT
+    count sums, ties need no rule (MIN over equal costs).
+
+    Scale shape: ONE point-level shuffle (the cell count), then
+    every round runs on aggregate-sized tables — frontier neighbor
+    explode (9x), equi-join against the cell-cost table, one
+    cell-keyed MIN, an improvement join. State is O(occupied cells);
+    rounds are caller-bounded regardless of raster size. Per-round
+    materialize() is the CC lineage-truncation lesson.
+    -> (cell, cost), cost = 0 rows are the seeds."""
+    from pyspark.sql import functions as F
+
+    from ..functions.cells import cell_encode, cell_neighbors_explode
+    from ..materialize import materialize
+    counts = (pts
+              .select(cell_encode(lat_col, lon_col, res).alias("cell"))
+              .groupBy("cell")
+              .agg(F.count("*").cast("long").alias("n_pts")))
+    counts = materialize(counts)
+    best = materialize(
+        counts.filter(F.col("n_pts") >= int(min_seed_pts))
+              .select("cell", F.lit(0).cast("long").alias("cost")))
+    front = best
+    for _ in range(int(rounds)):
+        cand = (cell_neighbors_explode(front.select("cell", "cost"),
+                                       res, ring=1)
+                .filter(F.col("_neighbor") != F.col("cell"))
+                .select(F.col("_neighbor").alias("cell"), "cost")
+                .join(counts, "cell")
+                .select("cell",
+                        (F.col("cost") + F.col("n_pts"))
+                        .alias("cost"))
+                .groupBy("cell").agg(F.min("cost").alias("cost")))
+        improved = (cand.join(best.select("cell",
+                                          F.col("cost").alias("_old")),
+                              "cell", "left")
+                    .filter(F.col("_old").isNull()
+                            | (F.col("cost") < F.col("_old")))
+                    .select("cell", "cost"))
+        improved = materialize(improved)
+        if improved.isEmpty():
+            break
+        best = materialize(
+            best.join(improved.select("cell",
+                                      F.col("cost").alias("_new")),
+                      "cell", "left")
+                .select("cell", F.coalesce("_new", "cost")
+                        .alias("cost"))
+                .unionByName(
+                    improved.join(best.select("cell"), "cell",
+                                  "left_anti")))
+        front = improved
+    return best
+
+
+def cost_distance_sql(pts_cte: str, res: int, rounds: int,
+                      min_seed_pts: int) -> str:
+    """DuckDB twin of cost_distance: recursive-CTE path enumeration
+    over (cell, cost, hops) with ``hops < rounds`` bounding the walk
+    and MIN(cost) per cell recovering the accumulated-cost distance.
+    Neighbor arithmetic matches cell_neighbors_sql (x wraps mod
+    2^res, y clamps by range filter)."""
+    n = 1 << res
+    mask = n - 1
+    cell = (f"(CAST({res} AS BIGINT) << {_RES_SHIFT}) "
+            f"| (CAST(least(greatest(floor((lat + 90.0) / 180.0 * {n}), "
+            f"0), {n - 1}) AS BIGINT) << {res}) "
+            f"| CAST(least(greatest(floor((lon + 180.0) / 360.0 * {n}), "
+            f"0), {n - 1}) AS BIGINT)")
+    wx = f"((w.cell & {mask}) + dx.g)"
+    wy = f"(((w.cell >> {res}) & {mask}) + dy.g)"
+    nbr = (f"(CAST({res} AS BIGINT) << {_RES_SHIFT}) "
+           f"| (CAST({wy} AS BIGINT) << {res}) "
+           f"| CAST((({wx}) % {n} + {n}) % {n} AS BIGINT)")
+    return f"""
+WITH RECURSIVE cd_counts AS (
+  SELECT {cell} AS cell, COUNT(*) AS n_pts
+  FROM ({pts_cte}) GROUP BY 1),
+walk(cell, cost, hops) AS (
+  SELECT cell, CAST(0 AS BIGINT), 0 FROM cd_counts
+  WHERE n_pts >= {min_seed_pts}
+  UNION
+  SELECT o.cell, w.cost + o.n_pts, w.hops + 1
+  FROM walk w,
+       generate_series(-1, 1) dx(g), generate_series(-1, 1) dy(g),
+       cd_counts o
+  WHERE w.hops < {rounds}
+    AND NOT (dx.g = 0 AND dy.g = 0)
+    AND {wy} >= 0 AND {wy} < {n}
+    AND o.cell = {nbr})
+SELECT cell, MIN(cost) AS cost FROM walk GROUP BY cell
+"""

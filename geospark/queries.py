@@ -3249,6 +3249,22 @@ def q_accessibility(spark, sf_dir):
 _QUADRAT_RES = 5
 
 
+# cost-distance: 4 weighted relaxation rounds over the res-5 raster
+_COST_ROUNDS = 4
+
+
+def q_cost_distance(spark, sf_dir):
+    """Accumulated-cost distance (r5.39): congestion-weighted
+    least-cost labeling of every customer cell within 4 steps of a
+    dense seed — the weighted sibling of grid_reach, exact bounded
+    Bellman-Ford vs the twin's enumerate-all-paths MIN
+    (operators/cluster.cost_distance docstring: frontier relaxation
+    is exact for the <=k-hop minimum, early exit changes nothing)."""
+    from .operators.cluster import cost_distance
+    return cost_distance(_cust_points(spark, sf_dir), _DBSCAN_RES,
+                         _COST_ROUNDS, min_seed_pts=_DBSCAN_MINPTS)
+
+
 def q_sd_ellipse(spark, sf_dir):
     """Standard deviational ellipse per user (r5.39): exact central
     second moments of the µdeg trajectory cloud + libm-free
@@ -3482,6 +3498,9 @@ QUERIES = {
     #  sd_ellipse displaces colocation — r5.16, same soak argument)
     "fuzzy_pairs": q_fuzzy_pairs,
     "sd_ellipse": q_sd_ellipse,
+    # (same session-10 triage: cost_distance displaces cell_rolling
+    #  — r5.17, replica-green in every sweep since it landed)
+    "cost_distance": q_cost_distance,
     # -- round-5.38 additions (session 9), inside the window for
     #    their first driver row under the session-8 triage principle
     #    (newest rows have the LEAST replica soak, so the final
@@ -3522,12 +3541,9 @@ QUERIES = {
     #  to make room for fuzzy_pairs; see the head-of-dict comment)
     # (colocation — r5.16 — moved just past the window in session 10
     #  to make room for sd_ellipse; see the head-of-dict comment)
-    # -- round-5.17 addition, inside the window for its first driver
-    #    row (distance_join rotates just past the window: driver-green
-    #    r4 AND re-measured in the r5 headline bench — the epsilon-join
-    #    machinery keeps its bench row; correctness stays covered by
-    #    the r4 driver green + replica) --
-    "cell_rolling": q_cell_rolling,
+    # (cell_rolling — r5.17 — moved just past the window in session
+    #  10 to make room for cost_distance; see the head-of-dict
+    #  comment)
     # -- round-5.18 addition, inside the window for its first driver
     #    row (pip_anti rotates just past the window: driver-green r4;
     #    the PIP machinery keeps pip_join/pip_agg/pip_tile_agg inside) --
@@ -3682,6 +3698,11 @@ QUERIES = {
     #    encode path keeping schema_infer inside plus the full
     #    kernel-corpus test tier) --
     "colocation": q_colocation,
+    # -- round-5.17 addition (windowed r5.17–r5.39.0; rotated here
+    #    in session 10; originally: distance_join rotated just past
+    #    the window to admit it, driver-green r4 AND re-measured in
+    #    the r5 headline bench) --
+    "cell_rolling": q_cell_rolling,
     # -- round-5.8 addition (comment preserved from its windowed
     #    slot): bbox_filter rotated just past the window in r5.8,
     #    driver-green r1-r4 and subsumed by bbox_join's predicate
@@ -4783,6 +4804,10 @@ def oracle_sql() -> dict[str, str]:
         _FUZZY_D, _FUZZY_TLEN, _FUZZY_PFX, _FUZZY_MAXBLK)
     from .operators.events import sd_ellipse_sql
     out["sd_ellipse"] = sd_ellipse_sql(_TRAJ_PTS_SQL)
+    from .operators.cluster import cost_distance_sql
+    out["cost_distance"] = cost_distance_sql(
+        f"SELECT lat, lon FROM ({_CUST_PTS_CTE})",
+        _DBSCAN_RES, _COST_ROUNDS, _DBSCAN_MINPTS)
     from .operators.events import active_coverage_sql
     out["active_coverage"] = active_coverage_sql(_TRAJ_PTS_SQL,
                                                  _COVER_DUR_US)

@@ -419,3 +419,83 @@ class TestSDEllipse:
         for bad in ("BatchEvalPython", "ArrowEvalPython", "Join",
                     "Window"):
             assert bad not in plan, plan
+
+
+class TestCostDistance:
+    RES = 4
+
+    def _run(self, spark, cells, counts, rounds, minpts):
+        from geospark.operators.cluster import cost_distance
+        d = _lattice(spark, cells, self.RES, counts)
+        return {r["cell"]: r["cost"] for r in
+                cost_distance(d, self.RES, rounds,
+                              min_seed_pts=minpts).collect()}
+
+    def _mk(self, y, x):
+        return (self.RES << 56) | (y << self.RES) | x
+
+    def test_routes_around_congestion(self, spark):
+        """Seed at (8,8) (the only count >= minpts 5); the direct
+        middle cell costs 4, the diagonal detour cell costs 1 ->
+        target reached at cost 2, not 5."""
+        cells = [(8, 8), (8, 9), (9, 9), (7, 9), (8, 10)]
+        counts = [5, 4, 1, 2, 1]
+        got = self._run(spark, cells, counts, 4, 5)
+        assert got[self._mk(8, 8)] == 0
+        assert got[self._mk(9, 9)] == 1
+        assert got[self._mk(7, 9)] == 2
+        assert got[self._mk(8, 9)] == 4
+        assert got[self._mk(8, 10)] == 2
+
+    def test_round_budget_bounds_reach(self, spark):
+        """A 3-hop-only target vanishes at rounds=2 and appears at
+        rounds=3 with the exact chain cost."""
+        cells = [(8, 8), (8, 9), (8, 10), (8, 11)]
+        counts = [5, 2, 2, 2]
+        near = self._run(spark, cells, counts, 2, 3)
+        far = self._run(spark, cells, counts, 3, 3)
+        assert self._mk(8, 11) not in near
+        assert far[self._mk(8, 11)] == 6
+
+    def test_early_exit_matches_excess_rounds(self, spark):
+        """rounds far past convergence returns the identical map."""
+        cells = [(8, 8), (8, 9), (9, 9), (7, 9), (8, 10)]
+        counts = [5, 9, 1, 2, 1]
+        assert (self._run(spark, cells, counts, 4, 3)
+                == self._run(spark, cells, counts, 12, 3))
+
+    def test_multi_seed_min(self, spark):
+        """Two seeds, a shared middle cell takes the cheaper side."""
+        cells = [(8, 8), (8, 9), (8, 10)]
+        counts = [5, 2, 7]
+        got = self._run(spark, cells, counts, 2, 5)
+        assert got[self._mk(8, 8)] == 0 and got[self._mk(8, 10)] == 0
+        assert got[self._mk(8, 9)] == 2
+
+    def test_gap_blocks_path(self, spark):
+        """Occupied cells separated by an empty ring are unreachable
+        at any budget — paths never leave the raster."""
+        cells = [(8, 8), (12, 12)]
+        counts = [5, 1]
+        got = self._run(spark, cells, counts, 6, 3)
+        assert got == {self._mk(8, 8): 0}
+
+    def test_inline_oracle_parity(self, spark):
+        import duckdb
+        import numpy as np
+
+        from geospark.operators.cluster import (cost_distance,
+                                                cost_distance_sql)
+        rng = np.random.default_rng(86)
+        rows = [(float(a), float(b)) for a, b in zip(
+            rng.uniform(-60, 60, 600).round(1),
+            rng.uniform(-170, 170, 600).round(1))]
+        d = spark.createDataFrame(rows, "lat double, lon double")
+        got = sorted(tuple(r) for r in
+                     cost_distance(d, 4, 3, min_seed_pts=4).collect())
+        con = duckdb.connect()
+        con.execute("CREATE TABLE p (lat DOUBLE, lon DOUBLE)")
+        con.executemany("INSERT INTO p VALUES (?, ?)", rows)
+        want = sorted(tuple(r) for r in con.execute(cost_distance_sql(
+            "SELECT lat, lon FROM p", 4, 3, 4)).fetchall())
+        assert got == want and len(got) > 10
