@@ -2136,3 +2136,74 @@ SELECT u AS user_id, CAST(n AS BIGINT) AS n_pts,
             ELSE 'CIRCULAR' END AS orient
 FROM g
 """
+
+
+def hour_profile(points, res: int, *, us_col: str = "us",
+                 lat_col: str = "lat", lon_col: str = "lon"):
+    """Diurnal concentration per cell — the bot-vs-human temporal
+    signature over the raster: bin each cell's events into 24
+    hour-of-day buckets and score how far the profile sits from
+    uniform with the exact chi-square identity
+
+        chi2_ppm = 1e6 * (24 * sum c_h^2 - T^2)  div  T
+
+    (T = cell total; this equals 1e6 * sum (c_h - T/24)^2 / (T/24),
+    the classic goodness-of-fit statistic, in one fraction with no
+    intermediate rounding — the quadrat_csr identity over TIME bins
+    instead of space). Uniform activity scores ~23e6 under
+    randomness (chi2 df=23 scaled by 1e6); a single-hour spike
+    scores 23 * T * 1e6 — organic diurnal cycles sit between. Hour
+    is integer microsecond arithmetic ((us div 3600e6) mod 24), no
+    timestamp libm. Also reports the active-hour count and the
+    peak hour (ties -> lowest hour).
+
+    Integer-exact: numerator nonnegative by Cauchy-Schwarz so div ==
+    floor in both engines; 24 * sum c_h^2 runs in DECIMAL(38,0)/
+    HUGEINT (a 1e12-event single cell squares to 1e24).
+
+    Scale: two map-side-combinable groupBys, (cell, hour) then cell
+    — both shuffle the AGGREGATE rows (<= 24 per cell), never the
+    events twice. -> (cell, n_pts, n_hours, chi2_ppm, peak_hour)."""
+    from pyspark.sql import functions as F
+
+    from ..functions.cells import cell_encode
+    h = (points.select(
+            cell_encode(lat_col, lon_col, res).alias("cell"),
+            F.expr(f"CAST(({us_col} div 3600000000) % 24 AS INT)")
+             .alias("_h"))
+         .groupBy("cell", "_h")
+         .agg(F.count(F.lit(1)).cast("long").alias("_c")))
+    return (h.groupBy("cell")
+            .agg(F.sum("_c").alias("_t"),
+                 F.count(F.lit(1)).cast("long").alias("n_hours"),
+                 F.sum(F.expr("CAST(_c AS DECIMAL(38,0)) * _c"))
+                 .alias("_s2"),
+                 F.min(F.struct(F.negate(F.col("_c")).alias("_nc"),
+                                F.col("_h"))).alias("_pk"))
+            .select("cell", F.col("_t").cast("long").alias("n_pts"),
+                    "n_hours",
+                    F.expr("CAST((24 * _s2 - CAST(_t AS "
+                           "DECIMAL(38,0)) * _t) * 1000000 div _t "
+                           "AS BIGINT)").alias("chi2_ppm"),
+                    F.col("_pk._h").cast("int").alias("peak_hour")))
+
+
+def hour_profile_sql(pts_sql: str, res: int) -> str:
+    """DuckDB twin of hour_profile over a subquery producing
+    (lat, lon, us) — same integer hour, HUGEINT squares, arg-min
+    peak-hour tiebreak."""
+    from ..functions.cells import cell_encode_sql
+    cell = cell_encode_sql("lat", "lon", res)
+    return f"""
+WITH hp_h AS (SELECT {cell} AS cell,
+              CAST((us // 3600000000) % 24 AS INTEGER) AS h,
+              COUNT(*) AS c
+              FROM ({pts_sql}) GROUP BY 1, 2)
+SELECT cell, CAST(SUM(c) AS BIGINT) AS n_pts,
+       CAST(COUNT(*) AS BIGINT) AS n_hours,
+       CAST((24 * SUM(CAST(c AS HUGEINT) * c)
+             - CAST(SUM(c) AS HUGEINT) * SUM(c)) * 1000000
+            // SUM(c) AS BIGINT) AS chi2_ppm,
+       CAST(MIN({{'nc': -c, 'h': h}}).h AS INTEGER) AS peak_hour
+FROM hp_h GROUP BY cell
+"""

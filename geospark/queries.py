@@ -3324,6 +3324,20 @@ def q_quadrat_csr(spark, sf_dir):
     return quadrat_csr(_traj_pts(spark, sf_dir), _QUADRAT_RES)
 
 
+# diurnal profiles: coarse cells so each holds a multi-hour history
+_HOURPROF_RES = 3
+
+
+def q_hour_profile(spark, sf_dir):
+    """Diurnal concentration per res-3 cell (r5.39): 24-bucket
+    hour-of-day chi-square distance from uniform — the bot-vs-human
+    temporal signature, quadrat_csr's identity over TIME bins
+    (operators/events.hour_profile docstring: two map-side
+    aggregates, DECIMAL(38,0)/HUGEINT squares, arg-min peak hour)."""
+    from .operators.events import hour_profile
+    return hour_profile(_traj_pts(spark, sf_dir), _HOURPROF_RES)
+
+
 # activity window: each event covers 30 minutes
 _COVER_DUR_US = 30 * 60 * 1_000_000
 
@@ -3485,6 +3499,11 @@ QUERIES = {
     #    machinery tiers driver-covered via cell_trend /
     #    sessionize / cell_theil_sen) --
     "quadrat_csr": q_quadrat_csr,
+    # (same session-10 triage: hour_profile displaces triangles —
+    #  r5.31, the window's oldest first-timer, replica-green in
+    #  every full sweep since it landed; its proximity-edge input
+    #  machinery stays inside via bounded_paths/kcore)
+    "hour_profile": q_hour_profile,
     # -- round-5.39 additions (session 10), same triage: geary_c
     #    and join_counts complete the autocorrelation family next
     #    to the driver-candidate moran_i/lisa_cells; crawl_budget
@@ -3645,7 +3664,6 @@ QUERIES = {
     #    cell assign [driver r4]; ring_orient shares ring_valid's
     #    ring parser — ring_valid stays inside). All twenty are
     #    replica-green under tools/check_oracle.py this session --
-    "triangles": q_triangles,
     "stream_revisit": q_stream_revisit,
     "bounded_paths": q_bounded_paths,
     "coloc_pi": q_coloc_pi,
@@ -3680,6 +3698,9 @@ QUERIES = {
     "cross_k": q_cross_k,
     "basin_stats": q_basin_stats,
     "threshold_alerts": q_threshold_alerts,
+    # (triangles — r5.31 — moved just past the window in session 10
+    #  to make room for hour_profile; see the head-of-dict comment)
+    "triangles": q_triangles,
     "centroid_drift": q_centroid_drift,
     # -- round-5.13 additions (windowed r5.13–r5.39.0; rotated here
     #    in session 10; originally: curation_filter / box_geom_stats
@@ -4799,6 +4820,9 @@ def oracle_sql() -> dict[str, str]:
     from .operators.tiles import geary_c_sql, join_counts_sql
     out["geary_c"] = geary_c_sql(_TRAJ_PTS_SQL, _MORAN_RES)
     out["join_counts"] = join_counts_sql(_TRAJ_PTS_SQL, _MORAN_RES)
+    from .operators.events import hour_profile_sql
+    out["hour_profile"] = hour_profile_sql(_TRAJ_PTS_SQL,
+                                           _HOURPROF_RES)
     from .operators.dedup import fuzzy_pairs_sql
     out["fuzzy_pairs"] = fuzzy_pairs_sql(
         _FUZZY_D, _FUZZY_TLEN, _FUZZY_PFX, _FUZZY_MAXBLK)

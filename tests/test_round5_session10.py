@@ -499,3 +499,98 @@ class TestCostDistance:
         want = sorted(tuple(r) for r in con.execute(cost_distance_sql(
             "SELECT lat, lon FROM p", 4, 3, 4)).fetchall())
         assert got == want and len(got) > 10
+
+
+_HR = 3_600_000_000  # one hour in microseconds
+
+
+class TestHourProfile:
+    """Diurnal chi-square concentration per cell (r5.39)."""
+
+    def _pts(self, spark, rows):
+        """rows: [(lat, lon, us)]."""
+        return spark.createDataFrame(
+            rows, "lat double, lon double, us long")
+
+    def _one(self, df):
+        out = df.select("n_pts", "n_hours", "chi2_ppm",
+                        "peak_hour").collect()
+        assert len(out) == 1
+        return tuple(out[0])
+
+    def test_single_hour_spike(self, spark):
+        """T events in one hour: sum c^2 = T^2, chi2_ppm =
+        1e6*(24T^2 - T^2)/T = 23e6*T — the maximal-concentration
+        closed form."""
+        from geospark.operators.events import hour_profile
+        p = self._pts(spark, [(-45.0, -90.0, 5 * _HR + i)
+                              for i in range(4)])
+        assert self._one(hour_profile(p, 1)) == (4, 1, 92_000_000, 5)
+
+    def test_uniform_profile_scores_zero(self, spark):
+        """One event in each of the 24 hours: chi2 0, peak-hour tie
+        resolves to the lowest hour."""
+        from geospark.operators.events import hour_profile
+        p = self._pts(spark, [(-45.0, -90.0, h * _HR)
+                              for h in range(24)])
+        assert self._one(hour_profile(p, 1)) == (24, 24, 0, 0)
+
+    def test_inexact_division_floors(self, spark):
+        """counts (5,1,1): T=7, sum c^2=27, num = (648-49)e6 —
+        599e6/7 floors to 85_571_428 in both engines (numerator
+        nonnegative by Cauchy-Schwarz)."""
+        from geospark.operators.events import hour_profile
+        p = self._pts(spark, [(-45.0, -90.0, 2 * _HR + i)
+                              for i in range(5)]
+                      + [(-45.0, -90.0, 7 * _HR),
+                         (-45.0, -90.0, 9 * _HR)])
+        assert self._one(hour_profile(p, 1)) == (7, 3, 85_571_428, 2)
+
+    def test_hour_wraps_across_days(self, spark):
+        """us at 25h and 49h land in hour-1 alongside 1h — one
+        bucket of 3, not three buckets."""
+        from geospark.operators.events import hour_profile
+        p = self._pts(spark, [(-45.0, -90.0, 1 * _HR),
+                              (-45.0, -90.0, 25 * _HR),
+                              (-45.0, -90.0, 49 * _HR)])
+        assert self._one(hour_profile(p, 1)) == (3, 1, 69_000_000, 1)
+
+    def test_peak_tiebreak_lowest_hour(self, spark):
+        """counts (2@h7, 2@h3, 1@h5): tied peak -> hour 3."""
+        from geospark.operators.events import hour_profile
+        p = self._pts(spark, [(-45.0, -90.0, 7 * _HR),
+                              (-45.0, -90.0, 7 * _HR + 1),
+                              (-45.0, -90.0, 3 * _HR),
+                              (-45.0, -90.0, 3 * _HR + 1),
+                              (-45.0, -90.0, 5 * _HR)])
+        got = self._one(hour_profile(p, 1))
+        assert got[0] == 5 and got[1] == 3 and got[3] == 3
+
+    def test_cells_profile_independently(self, spark):
+        from geospark.operators.events import hour_profile
+        p = self._pts(spark, [(-45.0, -90.0, 5 * _HR),
+                              (-45.0, -90.0, 5 * _HR + 1),
+                              (45.0, 90.0, 8 * _HR)])
+        got = {r["cell"]: (r["n_pts"], r["peak_hour"])
+               for r in hour_profile(p, 1).collect()}
+        assert sorted(got.values()) == [(1, 8), (2, 5)]
+
+    def test_inline_oracle_parity(self, spark):
+        import duckdb
+        import numpy as np
+
+        from geospark.operators.events import (hour_profile,
+                                               hour_profile_sql)
+        rng = np.random.default_rng(87)
+        rows = [(float(a), float(b), int(u)) for a, b, u in zip(
+            rng.uniform(-60, 60, 800).round(1),
+            rng.uniform(-170, 170, 800).round(1),
+            rng.integers(0, 96 * _HR, 800))]
+        d = spark.createDataFrame(rows, "lat double, lon double, us long")
+        got = sorted(tuple(r) for r in hour_profile(d, 2).collect())
+        con = duckdb.connect()
+        con.execute("CREATE TABLE p (lat DOUBLE, lon DOUBLE, us BIGINT)")
+        con.executemany("INSERT INTO p VALUES (?, ?, ?)", rows)
+        want = sorted(tuple(r) for r in con.execute(hour_profile_sql(
+            "SELECT lat, lon, us FROM p", 2)).fetchall())
+        assert got == want and len(got) > 10
