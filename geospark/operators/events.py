@@ -607,6 +607,74 @@ FROM g GROUP BY 1, 2 HAVING COUNT(*) >= {min_trips}
 """
 
 
+def od_gravity(points, res: int, *, user_col: str = "user_id",
+               us_col: str = "us", lat_col: str = "lat",
+               lon_col: str = "lon", tie_col: str = "event_id",
+               day_us: int = 86_400_000_000):
+    """Gravity-model flow lift over the OD matrix — the spatial-
+    interaction staple: under the independence (gravity, unit
+    deterrence) null, the expected flow on pair (i, j) is
+    E_ij = O_i * D_j / T with O_i the origin's total outflow, D_j the
+    destination's total inflow, and T the trip total; the LIFT
+
+        lift_ppm = 1e6 * n_ij * T  div  (O_i * D_j)
+
+    says how far the observed flow sits above (>1e6) or below the
+    null — the corridor-discovery / anomalous-route signal. Exactly
+    the colloc_lift identity with cells for words. Stationary o == d
+    days are kept (they are flows under the od_matrix convention and
+    dominate the diagonal; filter downstream for travel-only lift).
+
+    Integer-exact: numerator and denominator are nonnegative BIGINT
+    products run in DECIMAL(38,0)/HUGEINT (1e12 trips: n*T*1e6 ~
+    1e30 fits 38 digits), so div == floor in both engines.
+
+    Scale: everything past od_matrix's two map-side aggs runs on
+    AGGREGATE rows — two cell-keyed marginal aggs broadcast back
+    onto the pair rows plus a broadcast 1-row total; the repeated od
+    subplan is one reused exchange (identical aggregates -> Catalyst
+    ReusedExchange), never a second event scan per marginal.
+    -> (o_cell, d_cell, n_trips, o_out, d_in, lift_ppm)."""
+    from pyspark.sql import functions as F
+    od = od_matrix(points, res, user_col=user_col, us_col=us_col,
+                   lat_col=lat_col, lon_col=lon_col,
+                   tie_col=tie_col, day_us=day_us)
+    o = od.groupBy("o_cell").agg(F.sum("n_trips").alias("o_out"))
+    d = od.groupBy("d_cell").agg(F.sum("n_trips").alias("d_in"))
+    t = od.agg(F.sum("n_trips").alias("_t"))
+    return (od.join(F.broadcast(o), "o_cell")
+            .join(F.broadcast(d), "d_cell")
+            .crossJoin(F.broadcast(t))
+            .select("o_cell", "d_cell",
+                    F.col("n_trips").cast("long").alias("n_trips"),
+                    F.col("o_out").cast("long").alias("o_out"),
+                    F.col("d_in").cast("long").alias("d_in"),
+                    F.expr("CAST((CAST(n_trips AS DECIMAL(38,0)) "
+                           "* _t * 1000000) div "
+                           "(CAST(o_out AS DECIMAL(38,0)) * d_in) "
+                           "AS BIGINT)").alias("lift_ppm")))
+
+
+def od_gravity_sql(pts_sql: str, res: int, *,
+                   day_us: int = 86_400_000_000) -> str:
+    """DuckDB twin of od_gravity — the od_matrix_sql body with
+    window-sum marginals (HUGEINT products, // floor)."""
+    od = od_matrix_sql(pts_sql, res, day_us=day_us)
+    return f"""
+WITH og AS ({od}),
+om AS (SELECT o_cell, d_cell, n_trips,
+       SUM(n_trips) OVER (PARTITION BY o_cell) AS o_out,
+       SUM(n_trips) OVER (PARTITION BY d_cell) AS d_in,
+       SUM(n_trips) OVER () AS t FROM og)
+SELECT o_cell, d_cell, CAST(n_trips AS BIGINT) AS n_trips,
+       CAST(o_out AS BIGINT) AS o_out, CAST(d_in AS BIGINT) AS d_in,
+       CAST((CAST(n_trips AS HUGEINT) * t * 1000000)
+            // (CAST(o_out AS HUGEINT) * d_in) AS BIGINT)
+       AS lift_ppm
+FROM om
+"""
+
+
 def peak_concurrency(intervals, *, key_col: str = "day",
                      start_col: str = "start_us",
                      end_col: str = "end_us"):

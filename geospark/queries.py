@@ -769,6 +769,16 @@ def q_od_matrix(spark, sf_dir):
     return od_matrix(pts, _OD_RES)
 
 
+def q_od_gravity(spark, sf_dir):
+    """Gravity-model flow lift over the res-3 OD matrix (r5.39):
+    observed vs independence-null expected flow per corridor, exact
+    integer ppm — the spatial-interaction sibling of colloc_lift
+    (operators/events.od_gravity docstring: aggregate-row marginals
+    broadcast back, DECIMAL(38,0)/HUGEINT products)."""
+    from .operators.events import od_gravity
+    return od_gravity(_traj_pts(spark, sf_dir), _OD_RES)
+
+
 def q_stay_points(spark, sf_dir):
     """Stay-point detection (r5): maximal same-cell runs per user with
     dwell/min-event thresholds — the trajectory-mining step that turns
@@ -3504,6 +3514,12 @@ QUERIES = {
     #  every full sweep since it landed; its proximity-edge input
     #  machinery stays inside via bounded_paths/kcore)
     "hour_profile": q_hour_profile,
+    # (same session-10 triage: od_gravity displaces bounded_paths —
+    #  r5.32, next-oldest first-timer after triangles, replica-green
+    #  in every full sweep since it landed; the proximity-edge
+    #  machinery stays inside via kcore/coloc_pi and the weighted
+    #  relaxation tier via cost_distance)
+    "od_gravity": q_od_gravity,
     # -- round-5.39 additions (session 10), same triage: geary_c
     #    and join_counts complete the autocorrelation family next
     #    to the driver-candidate moran_i/lisa_cells; crawl_budget
@@ -3665,7 +3681,6 @@ QUERIES = {
     #    ring parser — ring_valid stays inside). All twenty are
     #    replica-green under tools/check_oracle.py this session --
     "stream_revisit": q_stream_revisit,
-    "bounded_paths": q_bounded_paths,
     "coloc_pi": q_coloc_pi,
     "path_crossings": q_path_crossings,
     "kcore": q_kcore,
@@ -3701,6 +3716,9 @@ QUERIES = {
     # (triangles — r5.31 — moved just past the window in session 10
     #  to make room for hour_profile; see the head-of-dict comment)
     "triangles": q_triangles,
+    # (bounded_paths — r5.32 — moved just past the window in session
+    #  10 to make room for od_gravity; see the head-of-dict comment)
+    "bounded_paths": q_bounded_paths,
     "centroid_drift": q_centroid_drift,
     # -- round-5.13 additions (windowed r5.13–r5.39.0; rotated here
     #    in session 10; originally: curation_filter / box_geom_stats
@@ -4316,6 +4334,8 @@ def oracle_sql() -> dict[str, str]:
         f"{_TRAJ_LON} AS lon, datediff('microseconds', "
         f"TIMESTAMP '2024-01-01 00:00:00', ts) AS us FROM events",
         _OD_RES)
+    from .operators.events import od_gravity_sql
+    out["od_gravity"] = od_gravity_sql(_TRAJ_PTS_SQL, _OD_RES)
     from .operators.events import stay_points_sql
     out["stay_points"] = stay_points_sql(
         f"SELECT user_id, event_id, {_TRAJ_LAT} AS lat, "

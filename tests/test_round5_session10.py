@@ -594,3 +594,90 @@ class TestHourProfile:
         want = sorted(tuple(r) for r in con.execute(hour_profile_sql(
             "SELECT lat, lon, us FROM p", 2)).fetchall())
         assert got == want and len(got) > 10
+
+
+_DAY = 86_400_000_000  # one day in microseconds
+
+
+class TestODGravity:
+    """Gravity-model flow lift over the OD matrix (r5.39)."""
+
+    # four quadrant anchors -> four distinct res-1 cells
+    _Q = {"A": (-45.0, -90.0), "X": (-45.0, 90.0),
+          "B": (45.0, -90.0), "Y": (45.0, 90.0)}
+
+    def _trips(self, spark, flows):
+        """flows: [(o_label, d_label, n)] -> a points frame where
+        each trip is one (user, day) with a morning event at the
+        origin and an evening event at the destination."""
+        rows, uid = [], 0
+        for o, d, n in flows:
+            (olat, olon), (dlat, dlon) = self._Q[o], self._Q[d]
+            for _ in range(n):
+                uid += 1
+                day0 = uid * _DAY
+                rows.append((uid, 2 * uid, olat, olon, day0))
+                rows.append((uid, 2 * uid + 1, dlat, dlon,
+                             day0 + 3_600_000_000))
+        return spark.createDataFrame(
+            rows, "user_id long, event_id long, lat double, "
+                  "lon double, us long")
+
+    def _lifts(self, spark, flows):
+        from geospark.operators.events import od_gravity
+        out = od_gravity(self._trips(spark, flows), 1).collect()
+        return sorted((r["n_trips"], r["o_out"], r["d_in"],
+                       r["lift_ppm"]) for r in out)
+
+    def test_single_corridor_unit_lift(self, spark):
+        """One OD pair: n == O == D == T -> lift exactly 1e6."""
+        assert self._lifts(spark, [("A", "X", 3)]) == [
+            (3, 3, 3, 1_000_000)]
+
+    def test_independence_null_all_unit(self, spark):
+        """Flows exactly proportional to the marginals: every lift
+        1e6 — A->X 2, A->Y 2, B->X 1, B->Y 1 (O_A=4, O_B=2,
+        D_X=D_Y=3, T=6; E(A,X)=2 etc.)."""
+        got = self._lifts(spark, [("A", "X", 2), ("A", "Y", 2),
+                                  ("B", "X", 1), ("B", "Y", 1)])
+        assert [g[3] for g in got] == [1_000_000] * 4
+
+    def test_concentrated_corridors_lift_up(self, spark):
+        """Disjoint corridors: A->X 2 (O=D=2, T=3 -> 1.5e6) and
+        B->Y 1 (O=D=1 -> 3e6)."""
+        assert self._lifts(spark, [("A", "X", 2), ("B", "Y", 1)]) \
+            == [(1, 1, 1, 3_000_000), (2, 2, 2, 1_500_000)]
+
+    def test_inexact_division_floors(self, spark):
+        """A->X 2, A->Y 1, B->X 2, B->Y 2: lift(A,X) =
+        1e6*2*7/(3*4) = 1_166_666.67 -> floors to 1_166_666."""
+        got = self._lifts(spark, [("A", "X", 2), ("A", "Y", 1),
+                                  ("B", "X", 2), ("B", "Y", 2)])
+        assert (2, 3, 4, 1_166_666) in got
+
+    def test_inline_oracle_parity(self, spark):
+        import duckdb
+        import numpy as np
+
+        from geospark.operators.events import (od_gravity,
+                                               od_gravity_sql)
+        rng = np.random.default_rng(88)
+        n = 900
+        rows = [(int(u), int(e), float(a), float(b), int(t))
+                for u, e, a, b, t in zip(
+                    rng.integers(1, 60, n), range(n),
+                    rng.uniform(-60, 60, n).round(1),
+                    rng.uniform(-170, 170, n).round(1),
+                    rng.integers(0, 20 * _DAY, n))]
+        d = spark.createDataFrame(
+            rows, "user_id long, event_id long, lat double, "
+                  "lon double, us long")
+        got = sorted(tuple(r) for r in od_gravity(d, 2).collect())
+        con = duckdb.connect()
+        con.execute("CREATE TABLE p (user_id BIGINT, event_id BIGINT,"
+                    " lat DOUBLE, lon DOUBLE, us BIGINT)")
+        con.executemany("INSERT INTO p VALUES (?, ?, ?, ?, ?)", rows)
+        want = sorted(tuple(r) for r in con.execute(od_gravity_sql(
+            "SELECT user_id, event_id, lat, lon, us FROM p",
+            2)).fetchall())
+        assert got == want and len(got) > 20
