@@ -1167,3 +1167,87 @@ SELECT doc_id, CAST(SUM(wm * supm) AS BIGINT) AS score_np
 FROM bm_s GROUP BY 1
 ORDER BY score_np DESC, doc_id LIMIT {int(k)}
 """
+
+
+def token_drift(df, *, group_col: str = "host",
+                text_col: str = "text"):
+    """Per-group token-distribution drift — "which hosts speak a
+    different language than the corpus": Pearson chi-square of each
+    group's term counts against the pooled corpus distribution, the
+    domain-shift / SEO-spam / template-farm detector a pretraining
+    curation pipeline runs per host before sampling. Uses the
+    zero-cell-free identity
+
+        chi2 = sum_t (c_th - e_th)^2 / e_th  =  sum_{t: c>0}
+               c_th^2 * T / (n_h * c_t)  -  n_h
+
+    (e_th = n_h * c_t / T; the -2*sum c + sum e terms collapse to
+    -n_h, and every UNOBSERVED (host, term) cell's contribution
+    vanishes inside the closed form — so the sum runs only over the
+    observed cells, never the host x vocab cross product). Under the
+    null (host sampled from the corpus) chi2 ~ df ~ n_terms; a
+    boilerplate farm scores orders of magnitude higher.
+
+    Cross-engine exactness: each term's contribution is floored ppm —
+    q_t = (1e6 * c^2 * T) div (n_h * c_t) in DECIMAL(38,0)/HUGEINT —
+    and chi2_ppm = sum q_t - 1e6 * n_h; per-term flooring (< 1 ppm
+    loss each) is the deterministic convention both engines replay
+    bit-identically (a single-fraction form does not exist: the c_t
+    denominators differ per term). Products stay under 38 digits to
+    ~1e9 tokens per (host, term) cell at a 1e14-token corpus.
+
+    Scale: one (group, term) map-side-combinable agg off the exploded
+    scan, then everything runs on AGGREGATE rows — a term-keyed
+    marginal agg joined back term-keyed, a group-keyed marginal, one
+    broadcast 1-row total. -> (group, n_tokens, n_terms, chi2_ppm)."""
+    from pyspark.sql import functions as F
+    tok = df.select(F.col(group_col).alias("_g"),
+                    F.explode(words_col(text_col)).alias("_t"))
+    ht = (tok.groupBy("_g", "_t")
+          .agg(F.count(F.lit(1)).alias("_c")))
+    tm = ht.groupBy("_t").agg(F.sum("_c").alias("_ct"))
+    tot = ht.agg(F.sum("_c").alias("_tt"))
+    hm = ht.groupBy("_g").agg(F.sum("_c").alias("_nh"),
+                              F.count(F.lit(1)).alias("n_terms"))
+    q = (ht.join(tm, "_t")
+         .join(F.broadcast(hm), "_g")
+         .crossJoin(F.broadcast(tot))
+         .select("_g", "_nh", "n_terms", F.expr(
+             "(1000000 * CAST(_c AS DECIMAL(38,0)) * _c * _tt) "
+             "div (CAST(_nh AS DECIMAL(38,0)) * _ct)").alias("_q")))
+    return (q.groupBy("_g")
+            .agg(F.max("_nh").alias("_nh"),
+                 F.max("n_terms").cast("long").alias("n_terms"),
+                 F.sum("_q").alias("_sq"))
+            .select(F.col("_g").alias(group_col),
+                    F.col("_nh").cast("long").alias("n_tokens"),
+                    "n_terms",
+                    F.expr("CAST(_sq - 1000000 * CAST(_nh AS "
+                           "DECIMAL(38,0)) AS BIGINT)")
+                    .alias("chi2_ppm")))
+
+
+def token_drift_sql(docs_sql: str, group_col: str = "host") -> str:
+    """DuckDB twin of token_drift over a subquery producing
+    (``group_col``, text) — window-sum marginals over the observed
+    (group, term) cells, HUGEINT products, identical per-term
+    flooring."""
+    return f"""
+WITH td_tok AS (SELECT {group_col} AS g,
+    unnest(regexp_extract_all(lower(text), '{TOKEN_RX}')) AS t
+    FROM ({docs_sql})),
+td_c AS (SELECT g, t, COUNT(*) AS c FROM td_tok GROUP BY 1, 2),
+td_m AS (SELECT g, c,
+    SUM(c) OVER (PARTITION BY t) AS ct,
+    SUM(c) OVER (PARTITION BY g) AS nh,
+    COUNT(*) OVER (PARTITION BY g) AS n_terms,
+    SUM(c) OVER () AS tt FROM td_c),
+td_q AS (SELECT g, nh, n_terms,
+    (1000000 * CAST(c AS HUGEINT) * c * tt)
+        // (CAST(nh AS HUGEINT) * ct) AS q FROM td_m)
+SELECT g AS {group_col}, CAST(MAX(nh) AS BIGINT) AS n_tokens,
+       CAST(MAX(n_terms) AS BIGINT) AS n_terms,
+       CAST(SUM(q) - 1000000 * CAST(MAX(nh) AS HUGEINT) AS BIGINT)
+       AS chi2_ppm
+FROM td_q GROUP BY 1
+"""

@@ -1535,6 +1535,22 @@ def q_host_stats(spark, sf_dir):
                  F.countDistinct("lang").alias("n_langs")))
 
 
+def q_host_drift(spark, sf_dir):
+    """Per-host token-distribution drift (r5.39): Pearson chi-square
+    of each host's term counts vs the pooled corpus via the
+    zero-cell-free identity — the domain-shift / template-farm
+    detector downstream of host_stats
+    (operators/textstats.token_drift docstring: observed cells only,
+    per-term floored ppm, aggregate-row marginals)."""
+    from pyspark.sql import functions as F
+    from .operators.dedup import canonical_url
+    from .operators.textstats import token_drift
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    host = F.regexp_extract(canonical_url(_doc_url_col()),
+                            "^[a-z]+://([^/]+)", 1)
+    return token_drift(d.select(host.alias("host"), "text"))
+
+
 def q_crawl_budget(spark, sf_dir):
     """Largest-remainder crawl-budget apportionment (r5): split an
     integer fetch budget across hosts proportional to per-host char
@@ -3520,6 +3536,12 @@ QUERIES = {
     #  machinery stays inside via kcore/coloc_pi and the weighted
     #  relaxation tier via cost_distance)
     "od_gravity": q_od_gravity,
+    # (same session-10 triage: host_drift displaces coloc_pi —
+    #  r5.33, next-oldest first-timer, replica-green in every full
+    #  sweep since it landed; its carry-attributed proximity-edge
+    #  machinery stays inside via kcore/knox, and the token-agg
+    #  machinery host_drift rides is inside via colloc_lift)
+    "host_drift": q_host_drift,
     # -- round-5.39 additions (session 10), same triage: geary_c
     #    and join_counts complete the autocorrelation family next
     #    to the driver-candidate moran_i/lisa_cells; crawl_budget
@@ -3681,7 +3703,6 @@ QUERIES = {
     #    ring parser — ring_valid stays inside). All twenty are
     #    replica-green under tools/check_oracle.py this session --
     "stream_revisit": q_stream_revisit,
-    "coloc_pi": q_coloc_pi,
     "path_crossings": q_path_crossings,
     "kcore": q_kcore,
     "colloc_lift": q_colloc_lift,
@@ -3719,6 +3740,9 @@ QUERIES = {
     # (bounded_paths — r5.32 — moved just past the window in session
     #  10 to make room for od_gravity; see the head-of-dict comment)
     "bounded_paths": q_bounded_paths,
+    # (coloc_pi — r5.33 — moved just past the window in session 10
+    #  to make room for host_drift; see the head-of-dict comment)
+    "coloc_pi": q_coloc_pi,
     "centroid_drift": q_centroid_drift,
     # -- round-5.13 additions (windowed r5.13–r5.39.0; rotated here
     #    in session 10; originally: curation_filter / box_geom_stats
@@ -4540,6 +4564,11 @@ def oracle_sql() -> dict[str, str]:
         f"FROM (SELECT doc_id, n_chars, lang, "
         f"{canonical_url_sql(_url_expr)} AS canon FROM documents) "
         f"GROUP BY 1")
+    from .operators.textstats import token_drift_sql
+    out["host_drift"] = token_drift_sql(
+        f"SELECT regexp_extract(canon, '^[a-z]+://([^/]+)', 1) "
+        f"AS host, text FROM (SELECT text, "
+        f"{canonical_url_sql(_url_expr)} AS canon FROM documents)")
     from .operators.pack import apportion_budget_sql
     out["crawl_budget"] = apportion_budget_sql(
         f"SELECT regexp_extract(canon, '^[a-z]+://([^/]+)', 1) AS host, "

@@ -681,3 +681,73 @@ class TestODGravity:
             "SELECT user_id, event_id, lat, lon, us FROM p",
             2)).fetchall())
         assert got == want and len(got) > 20
+
+
+class TestTokenDrift:
+    """Per-group token-distribution chi-square drift (r5.39)."""
+
+    def _docs(self, spark, rows):
+        """rows: [(host, text)]."""
+        return spark.createDataFrame(rows, "host string, text string")
+
+    def _run(self, spark, rows):
+        from geospark.operators.textstats import token_drift
+        out = token_drift(self._docs(spark, rows)).collect()
+        return {r["host"]: (r["n_tokens"], r["n_terms"],
+                            r["chi2_ppm"]) for r in out}
+
+    def test_single_group_zero_drift(self, spark):
+        """One host IS the corpus: chi2 exactly 0 whatever it says."""
+        got = self._run(spark, [("h1", "the quick brown fox the")])
+        assert got == {"h1": (5, 4, 0)}
+
+    def test_identical_distributions_zero(self, spark):
+        """Two hosts with the same term mix: both exactly 0."""
+        got = self._run(spark, [("h1", "a a b"), ("h2", "a a b")])
+        assert got == {"h1": (3, 2, 0), "h2": (3, 2, 0)}
+
+    def test_disjoint_vocab_closed_form(self, spark):
+        """g1='a a', g2='b b': each host's chi2 = (2-1)^2/1 +
+        (0-1)^2/1 = 2 -> 2e6 ppm (the zero cell enters through the
+        identity, never through a cross-product row)."""
+        got = self._run(spark, [("h1", "a a"), ("h2", "b b")])
+        assert got == {"h1": (2, 1, 2_000_000),
+                       "h2": (2, 1, 2_000_000)}
+
+    def test_per_term_flooring(self, spark):
+        """g1='a b b', g2='a a a b' (c_a=4, c_b=3, T=7): floored
+        per-term ppm gives chi2 694_444 / 520_833 — exercises the
+        deterministic floor-then-sum convention."""
+        got = self._run(spark, [("h1", "a b b"), ("h2", "a a a b")])
+        assert got == {"h1": (3, 2, 694_444),
+                       "h2": (4, 2, 520_833)}
+
+    def test_tokenless_group_absent(self, spark):
+        """A host whose text has no [a-z0-9] tokens emits no row."""
+        got = self._run(spark, [("h1", "a a"), ("h2", "!!! ???")])
+        assert set(got) == {"h1"}
+
+    def test_inline_oracle_parity(self, spark):
+        import duckdb
+        import numpy as np
+
+        from geospark.operators.textstats import (token_drift,
+                                                  token_drift_sql)
+        rng = np.random.default_rng(89)
+        vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+        rows = []
+        for i in range(300):
+            h = f"h{int(rng.integers(0, 12))}"
+            # skewed per-host vocab so drift is non-trivial
+            p = rng.dirichlet(np.ones(len(vocab)) * (1 + i % 3))
+            words = rng.choice(vocab, size=int(rng.integers(3, 30)),
+                               p=p)
+            rows.append((h, " ".join(words)))
+        d = spark.createDataFrame(rows, "host string, text string")
+        got = sorted(tuple(r) for r in token_drift(d).collect())
+        con = duckdb.connect()
+        con.execute("CREATE TABLE docs (host VARCHAR, text VARCHAR)")
+        con.executemany("INSERT INTO docs VALUES (?, ?)", rows)
+        want = sorted(tuple(r) for r in con.execute(token_drift_sql(
+            "SELECT host, text FROM docs")).fetchall())
+        assert got == want and len(got) == 12
