@@ -10,6 +10,7 @@ the plan until the optional boundary materialization.
 
 from __future__ import annotations
 
+from ..functions import cells as _cells
 from ..functions.cells import cell_encode, cell_parent
 from ..materialize import materialize
 
@@ -3147,4 +3148,119 @@ m AS (SELECT CAST(st.nc AS BIGINT) AS n_cells,
 SELECT m.n_cells, m.n_high, pr.hh, pr.ll,
        pr.w - pr.hh - pr.ll AS hl, pr.w AS w_pairs
 FROM m, pr
+"""
+
+
+def viewshed_k(tiles, res: int, k: int, *, cell_col: str = "cell",
+               count_col: str = "n_docs"):
+    """Bounded viewshed over the density raster — the visibility
+    primitive on the count-as-elevation surface: from each occupied
+    cell, how many occupied cells within ``k`` steps along the 8
+    principal rays have an unobstructed line of sight. A target at
+    step s (height h_t, observer h_o) is VISIBLE iff every occupied
+    intermediate j < s on the same ray keeps a strictly smaller
+    elevation angle:
+
+        (h_j - h_o) * s  <  (h_t - h_o) * j      for all j < s
+
+    — the classic DEM viewshed test with the fractions cross-
+    multiplied into exact BIGINT (s, j > 0 so the inequality
+    direction is stable; no libm, no doubles). Unoccupied cells
+    (height 0 in the DEM analogy) can never block an occupied
+    target: the grazing angle -h_o/j is always below the target's
+    (h_t - h_o)/s for h_t >= 1 — so the ray frame inner-joins the
+    occupied raster and missing steps drop out for free, exactly
+    d8_flow's ocean-cell convention. Longitude wraps, latitude
+    clamps (the lattice contract); wrap-degenerate rays at coarse
+    grids (a ray circling onto its origin) are disarmed by counting
+    DISTINCT visible target cells and excluding the origin itself.
+
+    Scale: everything runs on AGGREGATE rows — an 8 x k explode of
+    the raster, one cell-keyed inner join for ray heights, one
+    bounded (<= k x k per ray) self-join on the (origin, ray) key
+    for the prefix test, two groupBys. The ray self-join is CPU-
+    bound on byte-tiny shuffle inputs — the AQE coalesce trap — so
+    the ray frame is pinned one-partition-per-core on its join key.
+    -> (cell, n, n_visible)."""
+    from pyspark.sql import functions as F
+    n = 1 << res
+    mask = n - 1
+    t = tiles.select(F.col(cell_col).alias("_o"),
+                     F.col(count_col).alias("_ho"))
+    x = F.col("_o").bitwiseAND(F.lit(mask))
+    y = F.shiftright(F.col("_o"), res).bitwiseAND(F.lit(mask))
+    rays = (t
+            .withColumn("_dx", F.explode(F.sequence(F.lit(-1),
+                                                    F.lit(1))))
+            .withColumn("_dy", F.explode(F.sequence(F.lit(-1),
+                                                    F.lit(1))))
+            .filter("NOT (_dx = 0 AND _dy = 0)")
+            .withColumn("_s", F.explode(F.sequence(F.lit(1),
+                                                   F.lit(int(k)))))
+            .withColumn("_nx", F.pmod(x + F.col("_dx") * F.col("_s"),
+                                      F.lit(n)))
+            .withColumn("_ny", y + F.col("_dy") * F.col("_s"))
+            .filter((F.col("_ny") >= 0) & (F.col("_ny") < n))
+            .withColumn("_tc",
+                        F.shiftleft(F.lit(res).cast("long"),
+                                    _cells._RES_SHIFT)
+                        + F.shiftleft(F.col("_ny").cast("long"), res)
+                        + F.col("_nx").cast("long"))
+            .filter(F.col("_tc") != F.col("_o"))
+            .withColumn("_d", F.col("_dx") * 4 + F.col("_dy"))
+            .select("_o", "_ho", "_d", "_s", "_tc"))
+    hj = (rays.join(t.select(F.col("_o").alias("_tc"),
+                             F.col("_ho").alias("_h")), "_tc")
+          .select("_o", "_ho", "_d", "_s", "_tc", "_h"))
+    p = hj.sparkSession.sparkContext.defaultParallelism
+    hj = hj.repartition(p, "_o", "_d")
+    blk = hj.select(F.col("_o"), F.col("_d"),
+                    F.col("_s").alias("_j"), F.col("_h").alias("_hj"))
+    vio = (hj.join(blk, ["_o", "_d"])
+           .filter(F.col("_j") < F.col("_s"))
+           .filter((F.col("_hj") - F.col("_ho")) * F.col("_s")
+                   >= (F.col("_h") - F.col("_ho")) * F.col("_j"))
+           .select("_o", "_d", "_s").distinct())
+    vis = (hj.join(vio, ["_o", "_d", "_s"], "left_anti")
+           .groupBy("_o")
+           .agg(F.countDistinct("_tc").alias("n_visible")))
+    return (t.join(vis, "_o", "left")
+            .select(F.col("_o").alias(cell_col),
+                    F.col("_ho").cast("long").alias("n"),
+                    F.coalesce("n_visible", F.lit(0)).cast("long")
+                    .alias("n_visible")))
+
+
+def viewshed_k_sql(counts_sql: str, res: int, k: int, *,
+                   count_col: str = "n_docs") -> str:
+    """DuckDB twin of viewshed_k over a counts subquery (cell,
+    ``count_col``) — same wrap/clamp ray lattice, same cross-
+    multiplied strict test, anti-join via NOT EXISTS."""
+    n = 1 << res
+    mask = n - 1
+    shift_base = 1 << _cells._RES_SHIFT
+    return f"""
+WITH vs_t AS (SELECT cell AS o, {count_col} AS ho
+              FROM ({counts_sql})),
+vs_rays AS (SELECT t.o, t.ho, dx.g * 4 + dy.g AS d, s.g AS s,
+    CAST({res} AS BIGINT) * {shift_base}
+      + ((((t.o // {n}) & {mask}) + dy.g * s.g)) * {n}
+      + (((t.o & {mask}) + dx.g * s.g) % {n} + {n}) % {n} AS tc
+    FROM vs_t t, generate_series(-1, 1) dx(g),
+         generate_series(-1, 1) dy(g), generate_series(1, {int(k)}) s(g)
+    WHERE NOT (dx.g = 0 AND dy.g = 0)
+      AND ((t.o // {n}) & {mask}) + dy.g * s.g >= 0
+      AND ((t.o // {n}) & {mask}) + dy.g * s.g < {n}),
+vs_h AS (SELECT r.o, r.ho, r.d, r.s, r.tc, t2.ho AS h
+         FROM vs_rays r JOIN vs_t t2 ON t2.o = r.tc
+         WHERE r.tc <> r.o),
+vs_vis AS (SELECT a.o, COUNT(DISTINCT a.tc) AS n_visible
+    FROM vs_h a WHERE NOT EXISTS (
+        SELECT 1 FROM vs_h b
+        WHERE b.o = a.o AND b.d = a.d AND b.s < a.s
+          AND (b.h - b.ho) * a.s >= (a.h - a.ho) * b.s)
+    GROUP BY a.o)
+SELECT t.o AS cell, CAST(t.ho AS BIGINT) AS n,
+       CAST(COALESCE(v.n_visible, 0) AS BIGINT) AS n_visible
+FROM vs_t t LEFT JOIN vs_vis v ON v.o = t.o
 """

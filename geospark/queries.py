@@ -3083,6 +3083,22 @@ def q_d8_flow(spark, sf_dir):
     return d8_flow(t, RES_COARSE, count_col="n_pts")
 
 
+_VIEWSHED_K = 4
+
+
+def q_viewshed(spark, sf_dir):
+    """Bounded viewshed on the res-6 density raster (r5.39): per
+    occupied cell, the count of occupied cells within 4 steps along
+    the 8 principal rays with unobstructed line of sight over the
+    count-as-elevation surface — the visibility sibling of
+    d8_flow/slope_aspect (operators/tiles.viewshed_k docstring:
+    cross-multiplied exact angle test, one-per-core ray frame)."""
+    from .operators.tiles import tile_counts, viewshed_k
+    t = tile_counts(_cust_points(spark, sf_dir), RES_COARSE) \
+        .withColumnRenamed("n_docs", "n_pts")
+    return viewshed_k(t, RES_COARSE, _VIEWSHED_K, count_col="n_pts")
+
+
 def q_centroid_drift(spark, sf_dir):
     """Daily activity-centroid drift (r5.36): per-day exact integer
     centroid of the trajectory events plus the squared displacement
@@ -3542,6 +3558,12 @@ QUERIES = {
     #  machinery stays inside via kcore/knox, and the token-agg
     #  machinery host_drift rides is inside via colloc_lift)
     "host_drift": q_host_drift,
+    # (same session-10 triage: viewshed displaces path_crossings —
+    #  r5.33, next-oldest first-timer, replica-green in every full
+    #  sweep since it landed; its _user_hops window machinery stays
+    #  driver-covered via stream_speed's speed_flags SQL, and the
+    #  PBSM blocked-pair-join tier via knox/containment)
+    "viewshed": q_viewshed,
     # -- round-5.39 additions (session 10), same triage: geary_c
     #    and join_counts complete the autocorrelation family next
     #    to the driver-candidate moran_i/lisa_cells; crawl_budget
@@ -3703,7 +3725,6 @@ QUERIES = {
     #    ring parser — ring_valid stays inside). All twenty are
     #    replica-green under tools/check_oracle.py this session --
     "stream_revisit": q_stream_revisit,
-    "path_crossings": q_path_crossings,
     "kcore": q_kcore,
     "colloc_lift": q_colloc_lift,
     "knox": q_knox,
@@ -3743,6 +3764,10 @@ QUERIES = {
     # (coloc_pi — r5.33 — moved just past the window in session 10
     #  to make room for host_drift; see the head-of-dict comment)
     "coloc_pi": q_coloc_pi,
+    # (path_crossings — r5.33 — moved just past the window in
+    #  session 10 to make room for viewshed; see the head-of-dict
+    #  comment)
+    "path_crossings": q_path_crossings,
     "centroid_drift": q_centroid_drift,
     # -- round-5.13 additions (windowed r5.13–r5.39.0; rotated here
     #    in session 10; originally: curation_filter / box_geom_stats
@@ -4822,6 +4847,9 @@ def oracle_sql() -> dict[str, str]:
                                        count_col="n_pts")
     out["d8_flow"] = d8_flow_sql(_cust_tiles, RES_COARSE,
                                  count_col="n_pts")
+    from .operators.tiles import viewshed_k_sql
+    out["viewshed"] = viewshed_k_sql(_cust_tiles, RES_COARSE,
+                                     _VIEWSHED_K, count_col="n_pts")
     out["centroid_drift"] = centroid_drift_sql(_TRAJ_PTS_SQL)
     from .operators.tiles import d8_basins_sql
     out["d8_basins"] = d8_basins_sql(_cust_tiles, RES_COARSE,

@@ -751,3 +751,97 @@ class TestTokenDrift:
         want = sorted(tuple(r) for r in con.execute(token_drift_sql(
             "SELECT host, text FROM docs")).fetchall())
         assert got == want and len(got) == 12
+
+
+class TestViewshedK:
+    """Bounded viewshed over the count-as-elevation raster (r5.39)."""
+
+    RES = 4
+
+    def _mk(self, y, x, res=None):
+        r = self.RES if res is None else res
+        return (r << 56) | (y << r) | x
+
+    def _run(self, spark, cells, heights, k, res=None):
+        from geospark.operators.tiles import viewshed_k
+        r = self.RES if res is None else res
+        rows = [(self._mk(y, x, r), int(h))
+                for (y, x), h in zip(cells, heights)]
+        d = spark.createDataFrame(rows, "cell long, n_docs long")
+        return {row["cell"]: row["n_visible"]
+                for row in viewshed_k(d, r, k).collect()}
+
+    def test_adjacent_always_visible(self, spark):
+        """Two adjacent towers: no intermediates, both see each
+        other regardless of heights."""
+        got = self._run(spark, [(5, 5), (5, 6)], [3, 1], 2)
+        assert got == {self._mk(5, 5): 1, self._mk(5, 6): 1}
+
+    def test_high_intermediate_blocks(self, spark):
+        """Heights 1,5,2 along +x: the 5 sees both ends, each end
+        sees only the 5 (cross-multiplied strict test: (5-1)*2=8 >=
+        (2-1)*1=1 blocks the far pair both ways)."""
+        got = self._run(spark, [(5, 4), (5, 5), (5, 6)],
+                        [1, 5, 2], 2)
+        assert got == {self._mk(5, 4): 1, self._mk(5, 5): 2,
+                       self._mk(5, 6): 1}
+
+    def test_convex_staircase_all_visible(self, spark):
+        """Doubling heights 1,2,4,8 along +x keep a convex-up
+        skyline: the base of the staircase sees all three above."""
+        got = self._run(spark, [(5, 4), (5, 5), (5, 6), (5, 7)],
+                        [1, 2, 4, 8], 3)
+        assert got[self._mk(5, 4)] == 3
+
+    def test_plateau_grazing_blocks(self, spark):
+        """Equal heights: the grazing angle equals the target angle
+        -> blocked (strict inequality); everyone sees only their
+        immediate neighbors."""
+        got = self._run(spark, [(5, 4), (5, 5), (5, 6)],
+                        [1, 1, 1], 2)
+        assert got == {self._mk(5, 4): 1, self._mk(5, 5): 2,
+                       self._mk(5, 6): 1}
+
+    def test_unoccupied_gap_never_blocks(self, spark):
+        """Diagonal pair at Chebyshev distance 2 with an empty cell
+        between: visible (height-0 gaps cannot occlude)."""
+        got = self._run(spark, [(5, 5), (7, 7)], [1, 1], 2)
+        assert got == {self._mk(5, 5): 1, self._mk(7, 7): 1}
+
+    def test_k_bounds_the_ray(self, spark):
+        """Same pair at step 3 with k=2: out of range, invisible."""
+        got = self._run(spark, [(5, 5), (5, 8)], [1, 1], 2)
+        assert got == {self._mk(5, 5): 0, self._mk(5, 8): 0}
+
+    def test_wrap_dedup_and_self_exclusion(self, spark):
+        """res 2 (4x4, lon wraps): x=0 and x=3 meet at s=1 westward
+        AND s=3 eastward — one DISTINCT visible cell each, and the
+        s=4 wrap onto the origin itself is excluded."""
+        got = self._run(spark, [(2, 0), (2, 3)], [1, 1], 4, res=2)
+        assert got == {self._mk(2, 0, 2): 1, self._mk(2, 3, 2): 1}
+
+    def test_lat_clamp_no_polar_wrap(self, spark):
+        """A cell on the bottom row looking south finds nothing —
+        rays clamp at the lat edge instead of wrapping."""
+        got = self._run(spark, [(0, 5)], [7], 3)
+        assert got == {self._mk(0, 5): 0}
+
+    def test_inline_oracle_parity(self, spark):
+        import duckdb
+        import numpy as np
+
+        from geospark.operators.tiles import (viewshed_k,
+                                              viewshed_k_sql)
+        rng = np.random.default_rng(90)
+        n = 1 << 3
+        occ = rng.random((n, n)) < 0.55
+        rows = [(self._mk(y, x, 3), int(rng.integers(1, 9)))
+                for y in range(n) for x in range(n) if occ[y, x]]
+        d = spark.createDataFrame(rows, "cell long, n_docs long")
+        got = sorted(tuple(r) for r in viewshed_k(d, 3, 4).collect())
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t (cell BIGINT, n_docs BIGINT)")
+        con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+        want = sorted(tuple(r) for r in con.execute(viewshed_k_sql(
+            "SELECT cell, n_docs FROM t", 3, 4)).fetchall())
+        assert got == want and len(got) > 20
