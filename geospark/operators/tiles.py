@@ -3264,3 +3264,108 @@ SELECT t.o AS cell, CAST(t.ho AS BIGINT) AS n,
        CAST(COALESCE(v.n_visible, 0) AS BIGINT) AS n_visible
 FROM vs_t t LEFT JOIN vs_vis v ON v.o = t.o
 """
+
+
+def huff_shares(points, seeds, *, seed_col: str = "seed_id",
+                w_col: str = "w", lat_col: str = "lat",
+                lon_col: str = "lon", slat_col: str = "lat",
+                slon_col: str = "lon"):
+    """Huff gravity market capture — the probabilistic sibling of
+    voronoi_counts: each point patronizes facility j with probability
+    proportional to attractiveness over squared distance,
+
+        P_ij = (w_j / (d2_ij + 1))  /  sum_k (w_k / (d2_ik + 1))
+
+    (the +1 regularizes a point sitting exactly on a seed; exponent 2
+    is the classic Huff deterrence and is exact on the µdeg lattice
+    with no libm). Per facility: expected patronage in ppm-points
+    (sum of the per-point shares) and the count of points whose TOP
+    choice it is — trade-area analysis where Voronoi's hard nearest
+    assignment is wrong because a big mall outdraws a close kiosk.
+
+    Cross-engine exactness: per (point, seed) q = (1e18 * w) div
+    (d2 + 1) in DECIMAL(38,0)/HUGEINT (1e18 keeps antipodal d2 ~
+    1.6e17 above zero mass), per-point total = sum q, share_ppm =
+    (1e6 * q) div total — floored at both steps, identically in both
+    engines; top choice is MIN over (-q, sid) structs so the tie
+    rule is part of the ordering. An all-zero q vector is impossible
+    at this scale (q >= 5 even antipodal at w = 1) but guarded to
+    share 0 anyway. q lands in BIGINT (Spark's decimal `div` returns
+    long), so attractiveness weights must stay <= 9 — rescale
+    heavier weight columns upstream.
+
+    Scale: seeds are aggregate-sized by contract — collected into ONE
+    array row and broadcast; q/total/share/top are per-row array
+    transforms, MAP-ONLY (the voronoi_counts rule: no point-keyed
+    exchange carries the k-fold expansion); the k-fold explode feeds
+    a seed-keyed agg whose map-side combine collapses each partition
+    to <= k rows before the only exchange.
+    -> (seed_id, w, n_top, share_ppm)."""
+    from pyspark.sql import functions as F
+
+    def ix(c):
+        return F.expr(f"CAST(floor({c} * 1000000.0) AS BIGINT)")
+
+    p = points.select(ix(lon_col).alias("_px"),
+                      ix(lat_col).alias("_py"))
+    sarr = (seeds.select(F.struct(
+        F.col(seed_col).alias("sid"), F.col(w_col).alias("w"),
+        ix(slon_col).alias("sx"), ix(slat_col).alias("sy"))
+        .alias("_s"))
+        .agg(F.collect_list("_s").alias("_seeds")))
+    q = (p.join(F.broadcast(sarr))
+         .select(F.expr(
+             "transform(_seeds, s -> struct(s.sid AS sid, "
+             "s.w AS w, "
+             "(CAST(1000000000000000000 AS DECIMAL(38,0)) * s.w) div "
+             "((_px - s.sx) * (_px - s.sx) "
+             "+ (_py - s.sy) * (_py - s.sy) + 1) AS q))").alias("_q"))
+         .withColumn("_tot", F.expr(
+             "aggregate(_q, CAST(0 AS DECIMAL(38,0)), "
+             "(a, x) -> a + x.q)"))
+         .withColumn("_top", F.expr(
+             "array_min(transform(_q, x -> "
+             "struct(-x.q AS nq, x.sid AS sid))).sid")))
+    ex = q.select(F.col("_top"), F.explode("_q").alias("_x"),
+                  F.col("_tot"))
+    return (ex.groupBy(F.col("_x.sid").alias(seed_col))
+            .agg(F.max("_x.w").alias("w"),
+                 F.sum(F.when(F.col("_top") == F.col("_x.sid"), 1)
+                       .otherwise(0)).cast("long").alias("n_top"),
+                 F.sum(F.expr(
+                     "CASE WHEN _tot = 0 THEN CAST(0 AS BIGINT) "
+                     "ELSE CAST((1000000 * CAST(_x.q AS "
+                     "DECIMAL(38,0))) div _tot AS BIGINT) "
+                     "END")).cast("long").alias("share_ppm")))
+
+
+def huff_shares_sql(pts_sql: str, seeds_sql: str) -> str:
+    """DuckDB twin of huff_shares over subqueries producing
+    (lat, lon) and (seed_id, w, lat, lon) — cross join + per-point
+    window total and struct-min top choice, HUGEINT floors."""
+    return f"""
+WITH hf_p AS (SELECT ROW_NUMBER() OVER () AS pid,
+      CAST(floor(lat * 1000000.0) AS BIGINT) AS py,
+      CAST(floor(lon * 1000000.0) AS BIGINT) AS px
+      FROM ({pts_sql})),
+hf_s AS (SELECT seed_id AS sid, w,
+      CAST(floor(lat * 1000000.0) AS BIGINT) AS sy,
+      CAST(floor(lon * 1000000.0) AS BIGINT) AS sx
+      FROM ({seeds_sql})),
+hf_q AS (SELECT p.pid, s.sid, s.w,
+      (CAST(1000000000000000000 AS HUGEINT) * s.w)
+      // ((p.px - s.sx) * (p.px - s.sx)
+          + (p.py - s.sy) * (p.py - s.sy) + 1) AS q
+      FROM hf_p p CROSS JOIN hf_s s),
+hf_w AS (SELECT pid, sid, w, q,
+      SUM(q) OVER (PARTITION BY pid) AS tot,
+      (MIN({{'nq': -q, 'sid': sid}}) OVER (PARTITION BY pid)).sid
+        AS top FROM hf_q)
+SELECT sid AS seed_id, MAX(w) AS w,
+       CAST(SUM(CASE WHEN top = sid THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_top,
+       CAST(SUM(CASE WHEN tot = 0 THEN 0
+                ELSE (1000000 * q) // tot END) AS BIGINT)
+         AS share_ppm
+FROM hf_w GROUP BY 1
+"""

@@ -2723,6 +2723,26 @@ def q_voronoi_counts(spark, sf_dir):
     return voronoi_counts(_cust_points(spark, sf_dir), seeds)
 
 
+# Huff attractiveness: deterministic small-integer weight per nation
+NATION_SEED_W_SQL = "CAST(n_nationkey % 5 + 1 AS BIGINT)"
+
+
+def q_huff_shares(spark, sf_dir):
+    """Huff gravity market capture (r5.39): probabilistic trade-area
+    shares of the nation anchors over the customer points — the soft
+    sibling of voronoi_counts where a heavy far facility outdraws a
+    light near one (operators/tiles.huff_shares docstring: map-only
+    array transforms over ONE broadcast seed row, floored ppm)."""
+    from pyspark.sql import functions as F
+    from .operators.tiles import huff_shares
+    seeds = (spark.read.parquet(f"{sf_dir}/nation.parquet")
+             .select(F.col("n_nationkey").alias("seed_id"),
+                     F.expr(NATION_SEED_W_SQL).alias("w"),
+                     F.expr(NATION_SEED_LAT_SQL).alias("lat"),
+                     F.expr(NATION_SEED_LON_SQL).alias("lon")))
+    return huff_shares(_cust_points(spark, sf_dir), seeds)
+
+
 def q_gyration(spark, sf_dir):
     """Radius of gyration (r5.29): per-user exact mean squared
     deviation from the user's own centroid over the trajectory
@@ -3564,6 +3584,13 @@ QUERIES = {
     #  driver-covered via stream_speed's speed_flags SQL, and the
     #  PBSM blocked-pair-join tier via knox/containment)
     "viewshed": q_viewshed,
+    # (same session-10 triage: huff_shares displaces colloc_lift —
+    #  r5.34, next-oldest first-timer, replica-green in every full
+    #  sweep since it landed; its bigram-lift token machinery stays
+    #  inside via bm25_topk/host_drift, and the broadcast-seed
+    #  argmin machinery huff_shares extends is driver-covered via
+    #  the r1–r3 voronoi family greens)
+    "huff_shares": q_huff_shares,
     # -- round-5.39 additions (session 10), same triage: geary_c
     #    and join_counts complete the autocorrelation family next
     #    to the driver-candidate moran_i/lisa_cells; crawl_budget
@@ -3726,7 +3753,6 @@ QUERIES = {
     #    replica-green under tools/check_oracle.py this session --
     "stream_revisit": q_stream_revisit,
     "kcore": q_kcore,
-    "colloc_lift": q_colloc_lift,
     "knox": q_knox,
     "containment": q_containment,
     "stream_speed": q_stream_speed,
@@ -3768,6 +3794,9 @@ QUERIES = {
     #  session 10 to make room for viewshed; see the head-of-dict
     #  comment)
     "path_crossings": q_path_crossings,
+    # (colloc_lift — r5.34 — moved just past the window in session
+    #  10 to make room for huff_shares; see the head-of-dict comment)
+    "colloc_lift": q_colloc_lift,
     "centroid_drift": q_centroid_drift,
     # -- round-5.13 additions (windowed r5.13–r5.39.0; rotated here
     #    in session 10; originally: curation_filter / box_geom_stats
@@ -4782,6 +4811,12 @@ def oracle_sql() -> dict[str, str]:
     out["voronoi_counts"] = voronoi_counts_sql(
         _CUST_PTS_CTE,
         f"SELECT n_nationkey AS seed_id, "
+        f"{NATION_SEED_LAT_SQL} AS lat, "
+        f"{NATION_SEED_LON_SQL} AS lon FROM nation")
+    from .operators.tiles import huff_shares_sql
+    out["huff_shares"] = huff_shares_sql(
+        _CUST_PTS_CTE,
+        f"SELECT n_nationkey AS seed_id, {NATION_SEED_W_SQL} AS w, "
         f"{NATION_SEED_LAT_SQL} AS lat, "
         f"{NATION_SEED_LON_SQL} AS lon FROM nation")
     from .operators.events import gyration_sql, path_motifs_sql

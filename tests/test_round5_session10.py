@@ -845,3 +845,89 @@ class TestViewshedK:
         want = sorted(tuple(r) for r in con.execute(viewshed_k_sql(
             "SELECT cell, n_docs FROM t", 3, 4)).fetchall())
         assert got == want and len(got) > 20
+
+
+class TestHuffShares:
+    """Huff gravity market capture (r5.39)."""
+
+    def _run(self, spark, pts, seeds):
+        from geospark.operators.tiles import huff_shares
+        p = spark.createDataFrame(pts, "lat double, lon double")
+        s = spark.createDataFrame(
+            seeds, "seed_id long, w long, lat double, lon double")
+        return {r["seed_id"]: (r["w"], r["n_top"], r["share_ppm"])
+                for r in huff_shares(p, s).collect()}
+
+    def test_single_seed_takes_everything(self, spark):
+        """One facility: every point's share is exactly 1e6."""
+        got = self._run(spark, [(0.0, 0.0), (10.0, 10.0)],
+                        [(7, 3, 5.0, 5.0)])
+        assert got == {7: (3, 2, 2_000_000)}
+
+    def test_equidistant_equal_weight_splits_half(self, spark):
+        """A point dead-centre between equal twins: 500000 ppm each,
+        top choice to the smaller seed id (tie rule)."""
+        got = self._run(spark, [(0.0, 0.0)],
+                        [(2, 1, 0.0, 1.0), (1, 1, 0.0, -1.0)])
+        assert got[1] == (1, 1, 500_000)
+        assert got[2] == (1, 0, 500_000)
+
+    def test_weight_dominance_four_to_one(self, spark):
+        """Equidistant seeds at w=4 vs w=1: ~800000 vs ~200000 ppm
+        (exact up to the two floor steps), top to the heavy one."""
+        got = self._run(spark, [(0.0, 0.0)],
+                        [(1, 4, 0.0, 1.0), (2, 1, 0.0, -1.0)])
+        (w1, t1, s1), (w2, t2, s2) = got[1], got[2]
+        assert (w1, t1) == (4, 1) and (w2, t2) == (1, 0)
+        assert abs(s1 - 800_000) <= 1 and abs(s2 - 200_000) <= 1
+        assert s1 + s2 <= 1_000_000
+
+    def test_far_mall_outdraws_near_kiosk(self, spark):
+        """The Huff-vs-Voronoi separator: w=1 at d2=1e6 loses the
+        top choice to w=5 at d2=4e6 (q = 1e12 vs 1.25e12) even
+        though Voronoi would assign the point to the kiosk."""
+        got = self._run(spark, [(0.0, 0.0)],
+                        [(1, 1, 0.0, 0.001), (2, 5, 0.0, 0.002)])
+        assert got[1][1] == 0 and got[2][1] == 1
+        assert got[2][2] > got[1][2]
+
+    def test_floored_shares_sum_within_budget(self, spark):
+        """Across many points and seeds, sum(share_ppm) <= 1e6 *
+        n_pts and n_top sums to n_pts exactly."""
+        pts = [(float(a) / 7.0, float(b) / 11.0)
+               for a in range(-3, 4) for b in range(-3, 4)]
+        seeds = [(i, i % 3 + 1, i * 13.0 - 26.0, i * 31.0 - 62.0)
+                 for i in range(5)]
+        got = self._run(spark, pts, seeds)
+        assert sum(v[1] for v in got.values()) == len(pts)
+        assert 0 < sum(v[2] for v in got.values()) \
+            <= 1_000_000 * len(pts)
+
+    def test_inline_oracle_parity(self, spark):
+        import duckdb
+        import numpy as np
+
+        from geospark.operators.tiles import (huff_shares,
+                                              huff_shares_sql)
+        rng = np.random.default_rng(91)
+        pts = [(float(a), float(b)) for a, b in zip(
+            rng.uniform(-60, 60, 700).round(2),
+            rng.uniform(-170, 170, 700).round(2))]
+        seeds = [(i, int(rng.integers(1, 6)),
+                  round(float(rng.uniform(-60, 60)), 2),
+                  round(float(rng.uniform(-170, 170)), 2))
+                 for i in range(8)]
+        p = spark.createDataFrame(pts, "lat double, lon double")
+        s = spark.createDataFrame(
+            seeds, "seed_id long, w long, lat double, lon double")
+        got = sorted(tuple(r) for r in huff_shares(p, s).collect())
+        con = duckdb.connect()
+        con.execute("CREATE TABLE p (lat DOUBLE, lon DOUBLE)")
+        con.executemany("INSERT INTO p VALUES (?, ?)", pts)
+        con.execute("CREATE TABLE s (seed_id BIGINT, w BIGINT, "
+                    "lat DOUBLE, lon DOUBLE)")
+        con.executemany("INSERT INTO s VALUES (?, ?, ?, ?)", seeds)
+        want = sorted(tuple(r) for r in con.execute(huff_shares_sql(
+            "SELECT lat, lon FROM p",
+            "SELECT seed_id, w, lat, lon FROM s")).fetchall())
+        assert got == want and len(got) == 8
