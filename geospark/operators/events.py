@@ -607,6 +607,34 @@ FROM g GROUP BY 1, 2 HAVING COUNT(*) >= {min_trips}
 """
 
 
+def od_matrix_closed_sql(pts_sql: str, res: int, *,
+                         day_us: int = 86_400_000_000) -> str:
+    """DuckDB oracle for streaming/stream.stream_od_trips: the
+    od_matrix_sql body restricted to each user's CLOSED days
+    (day < the user's max day — the stream emits a trip only when a
+    later-day event proves the day ended, and the final day never
+    closes inside the replay)."""
+    from ..functions.cells import cell_encode_sql
+    cell = cell_encode_sql("lat", "lon", res)
+    return f"""
+WITH d AS (SELECT user_id AS u, us // {day_us} AS day, us, event_id,
+           {cell} AS cell FROM ({pts_sql})),
+r AS (SELECT u, day, cell,
+      ROW_NUMBER() OVER (PARTITION BY u, day
+                         ORDER BY us ASC, event_id ASC) AS rf,
+      ROW_NUMBER() OVER (PARTITION BY u, day
+                         ORDER BY us DESC, event_id DESC) AS rl
+      FROM d),
+g AS (SELECT u, day,
+      MAX(CASE WHEN rf = 1 THEN cell END) AS o_cell,
+      MAX(CASE WHEN rl = 1 THEN cell END) AS d_cell
+      FROM r GROUP BY 1, 2),
+m AS (SELECT *, MAX(day) OVER (PARTITION BY u) AS mxd FROM g)
+SELECT o_cell, d_cell, COUNT(*) AS n_trips
+FROM m WHERE day < mxd GROUP BY 1, 2
+"""
+
+
 def od_gravity(points, res: int, *, user_col: str = "user_id",
                us_col: str = "us", lat_col: str = "lat",
                lon_col: str = "lon", tie_col: str = "event_id",

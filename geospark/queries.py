@@ -3443,6 +3443,34 @@ def q_stream_resample(spark, sf_dir):
     return res.select("user_id", "epoch_us", "ix", "iy")
 
 
+def q_stream_od(spark, sf_dir):
+    """STATEFUL STREAMING origin-destination trips under a full
+    value-hash oracle: the event stream through stream_od_trips
+    (one (day, first_cell, last_cell) row per user in the state
+    store, a trip emitted only when a later-day event CLOSES the
+    day), aggregated to the (o, d, n_trips) matrix — which the
+    closed-day-restricted batch SQL reproduces row for row. us and
+    cell are computed JVM-side with the SAME expressions as
+    q_od_matrix (streaming/stream.stream_od_trips docstring;
+    oracle operators/events.od_matrix_closed_sql)."""
+    from pyspark.sql import functions as F
+    from .functions.cells import cell_encode
+    from .streaming.stream import stream_od_trips
+
+    def build(sdf):
+        d = sdf.select("user_id", "event_id",
+                       F.expr("timestampdiff(MICROSECOND, "
+                              "TIMESTAMP_NTZ '2024-01-01 00:00:00', "
+                              "ts)").alias("us"),
+                       cell_encode("lat", "lon", _OD_RES)
+                       .alias("cell"))
+        return stream_od_trips(d)
+
+    res = _replay_time_sliced(spark, sf_dir, build, "stream_od")
+    return (res.groupBy("o_cell", "d_cell")
+            .agg(F.count(F.lit(1)).alias("n_trips")))
+
+
 def q_emerging_hotspots(spark, sf_dir):
     """Emerging-hotspot taxonomy (r5.38): per res-4 cell, the
     space-time-cube verdict (new / intensifying / cooling /
@@ -3591,6 +3619,13 @@ QUERIES = {
     #  argmin machinery huff_shares extends is driver-covered via
     #  the r1–r3 voronoi family greens)
     "huff_shares": q_huff_shares,
+    # (same session-10 triage: stream_od displaces knox — r5.35,
+    #  next-oldest first-timer, replica-green in every full sweep
+    #  since it landed; its blocked space-time pair-join machinery
+    #  stays inside via containment, and the stateful-streaming
+    #  replay gate gains a third in-window row next to
+    #  stream_resample/stream_batch_dedup)
+    "stream_od": q_stream_od,
     # -- round-5.39 additions (session 10), same triage: geary_c
     #    and join_counts complete the autocorrelation family next
     #    to the driver-candidate moran_i/lisa_cells; crawl_budget
@@ -3753,7 +3788,6 @@ QUERIES = {
     #    replica-green under tools/check_oracle.py this session --
     "stream_revisit": q_stream_revisit,
     "kcore": q_kcore,
-    "knox": q_knox,
     "containment": q_containment,
     "stream_speed": q_stream_speed,
     # -- r5.36 additions, newest-inside per the same rule:
@@ -3797,6 +3831,9 @@ QUERIES = {
     # (colloc_lift — r5.34 — moved just past the window in session
     #  10 to make room for huff_shares; see the head-of-dict comment)
     "colloc_lift": q_colloc_lift,
+    # (knox — r5.35 — moved just past the window in session 10 to
+    #  make room for stream_od; see the head-of-dict comment)
+    "knox": q_knox,
     "centroid_drift": q_centroid_drift,
     # -- round-5.13 additions (windowed r5.13–r5.39.0; rotated here
     #    in session 10; originally: curation_filter / box_geom_stats
@@ -4414,6 +4451,8 @@ def oracle_sql() -> dict[str, str]:
         _OD_RES)
     from .operators.events import od_gravity_sql
     out["od_gravity"] = od_gravity_sql(_TRAJ_PTS_SQL, _OD_RES)
+    from .operators.events import od_matrix_closed_sql
+    out["stream_od"] = od_matrix_closed_sql(_TRAJ_PTS_SQL, _OD_RES)
     from .operators.events import stay_points_sql
     out["stay_points"] = stay_points_sql(
         f"SELECT user_id, event_id, {_TRAJ_LAT} AS lat, "

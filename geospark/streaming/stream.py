@@ -701,3 +701,67 @@ def stream_resample(stream_df, step_us: int, *,
                                  "last_iy long"),
                 outputMode="append",
                 timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def stream_od_trips(stream_df, day_us: int = 86_400_000_000, *,
+                    user_col: str = "user_id", us_col: str = "us",
+                    cell_col: str = "cell", tie_col: str = "event_id"):
+    """Streaming origin-destination trips (applyInPandasWithState) —
+    the real-time twin of operators/events.od_matrix: one trip row
+    per (user, day) emitted the moment the day CLOSES (the user's
+    first event of a later day arrives), carrying the closed day's
+    first and last cell. The state is load-bearing append-mode
+    semantics: a day's origin cell may arrive many microbatches
+    before its destination, so the trip is constructible only from
+    the (day, first_cell, last_cell) state row — and a destination
+    is unknowable until the day ends, so day-close is the earliest
+    correct emission point. The user's final (never-closed) day
+    stays in the state store and is intentionally absent from the
+    output — the batch oracle applies the same day < max(day)
+    restriction per user.
+
+    Contract (shared with stream_resample / stream_speed_flags):
+    per-user (us, tie) order non-decreasing across microbatches,
+    equal-ts ties never split across batches; within a batch the
+    Arrow chunks concatenate before the sort. ``us`` and ``cell``
+    are computed JVM-side upstream with the SAME column expressions
+    as the batch operator (cell_encode + timestampdiff), so the
+    Python state fn never re-derives lattice math.
+    Per-user state is ONE row. -> (user_id, day, o_cell, d_cell)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    d_us = int(day_us)
+    out_schema = f"{user_col} long, day long, o_cell long, d_cell long"
+
+    def fn(key, pdfs, state):
+        uid = key[0]
+        if state.exists:
+            day, f_cell, l_cell = state.get
+        else:
+            day = f_cell = l_cell = None
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf) == 0:
+            return
+        pdf = pdf.sort_values([us_col, tie_col])
+        rows = []
+        for us, cell in zip(pdf[us_col], pdf[cell_col]):
+            d = int(us) // d_us
+            if day is None:
+                day, f_cell, l_cell = d, int(cell), int(cell)
+            elif d > day:
+                rows.append((uid, day, f_cell, l_cell))
+                day, f_cell, l_cell = d, int(cell), int(cell)
+            else:
+                l_cell = int(cell)
+        state.update((day, f_cell, l_cell))
+        if rows:
+            yield pd.DataFrame(
+                rows, columns=[user_col, "day", "o_cell", "d_cell"])
+
+    return (stream_df.groupBy(user_col)
+            .applyInPandasWithState(
+                fn, outputStructType=out_schema,
+                stateStructType="day long, f_cell long, l_cell long",
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout))

@@ -931,3 +931,115 @@ class TestHuffShares:
             "SELECT lat, lon FROM p",
             "SELECT seed_id, w, lat, lon FROM s")).fetchall())
         assert got == want and len(got) == 8
+
+
+def _sorted_rows(df, cols=None):
+    cols = cols or df.columns
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+class TestStreamODTrips:
+    """Stateful streaming OD trips, day-close emission (r5.39)."""
+
+    C = 1 << 56  # res-1 cell base: quadrant cells C+0..C+3
+
+    def _replay(self, spark, tmp_path, files, res=1):
+        """files: list of row lists; each list becomes one microbatch
+        file. Rows: (event_id, ts, user_id, lat, lon). Returns the
+        aggregated (o_cell, d_cell, n_trips) rows."""
+        from pyspark.sql import functions as F
+
+        from geospark.functions.cells import cell_encode
+        from geospark.streaming.stream import stream_od_trips
+        schema = ("event_id long, ts timestamp_ntz, user_id long, "
+                  "lat double, lon double")
+        src = str(tmp_path / "od_src")
+        mode = "overwrite"
+        for rows in files:
+            spark.createDataFrame(rows, schema).coalesce(1) \
+                .write.mode(mode).parquet(src)
+            mode = "append"
+        sdf = (spark.readStream.schema(schema)
+               .option("maxFilesPerTrigger", 1).parquet(src))
+        d = sdf.select("user_id", "event_id",
+                       F.expr("timestampdiff(MICROSECOND, "
+                              "TIMESTAMP_NTZ '2024-01-01 00:00:00', "
+                              "ts)").alias("us"),
+                       cell_encode("lat", "lon", res).alias("cell"))
+        q = (stream_od_trips(d).writeStream.format("memory")
+             .queryName("od_stream").outputMode("append")
+             .option("checkpointLocation", str(tmp_path / "ck"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        got = _sorted_rows(
+            spark.sql("SELECT o_cell, d_cell, COUNT(*) AS n FROM "
+                      "od_stream GROUP BY 1, 2"))
+        spark.catalog.dropTempView("od_stream")
+        return got
+
+    def test_day_close_across_file_boundary(self, spark, tmp_path):
+        """User 1's day-0 trip (A->B) closes only when the day-1
+        event arrives in the SECOND file — the trip must come out of
+        the state store; day 1 (C->C single event) closes at day 2;
+        day 2 stays open and never emits. User 2 has one open day ->
+        nothing."""
+        import datetime as dt
+        b = dt.datetime(2024, 1, 1)
+        day = dt.timedelta(days=1)
+        hr = dt.timedelta(hours=1)
+        A, X, B2, Y = (-45.0, -90.0), (-45.0, 90.0), \
+            (45.0, -90.0), (45.0, 90.0)
+        f1 = [(0, b + hr, 1, *A), (1, b + 2 * hr, 1, *X),
+              (2, b + hr, 2, *Y)]
+        f2 = [(3, b + day + hr, 1, *B2),
+              (4, b + 2 * day + hr, 1, *Y),
+              (5, b + 2 * hr, 2, *Y)]
+        got = self._replay(spark, tmp_path, [f1, f2])
+        assert got == [(self.C + 0, self.C + 1, 1),   # A -> X
+                       (self.C + 2, self.C + 2, 1)]   # B2 -> B2
+
+    def test_tie_order_matches_batch_argminmax(self, spark, tmp_path):
+        """Equal timestamps inside a day: first/last resolve by
+        event_id, matching od_matrix's (us, tie) struct order."""
+        import datetime as dt
+        b = dt.datetime(2024, 1, 1)
+        day = dt.timedelta(days=1)
+        A, X = (-45.0, -90.0), (-45.0, 90.0)
+        f1 = [(2, b, 1, *X), (1, b, 1, *A),  # tie: id 1 is first
+              (3, b + day, 1, *A)]           # closes day 0
+        got = self._replay(spark, tmp_path, [f1])
+        assert got == [(self.C + 0, self.C + 1, 1)]   # A -> X
+
+    def test_inline_oracle_parity(self, spark, tmp_path):
+        """Random two-file replay equals the closed-day batch SQL."""
+        import datetime as dt
+
+        import duckdb
+        import numpy as np
+
+        from geospark.operators.events import od_matrix_closed_sql
+        rng = np.random.default_rng(92)
+        b = dt.datetime(2024, 1, 1)
+        n = 600
+        rows = sorted(
+            ((int(e), b + dt.timedelta(
+                microseconds=int(rng.integers(0, 6 * 86_400_000_000))),
+              int(rng.integers(1, 40)),
+              round(float(rng.uniform(-60, 60)), 2),
+              round(float(rng.uniform(-170, 170)), 2))
+             for e in range(n)), key=lambda r: (r[1], r[0]))
+        cut = n // 2  # sorted by ts: per-user order holds per file
+        got = self._replay(spark, tmp_path, [rows[:cut], rows[cut:]],
+                           res=2)
+        con = duckdb.connect()
+        con.execute("CREATE TABLE e (event_id BIGINT, us BIGINT, "
+                    "user_id BIGINT, lat DOUBLE, lon DOUBLE)")
+        con.executemany(
+            "INSERT INTO e VALUES (?, ?, ?, ?, ?)",
+            [(e, int((t - b).total_seconds() * 1_000_000), u, la, lo)
+             for e, t, u, la, lo in rows])
+        want = sorted(tuple(r) for r in con.execute(
+            od_matrix_closed_sql(
+                "SELECT user_id, event_id, lat, lon, us FROM e",
+                2)).fetchall())
+        assert got == want and len(got) > 10
