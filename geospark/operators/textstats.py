@@ -1251,3 +1251,92 @@ SELECT g AS {group_col}, CAST(MAX(nh) AS BIGINT) AS n_tokens,
        AS chi2_ppm
 FROM td_q GROUP BY 1
 """
+
+
+def rrf_fuse(df, rank_exprs, k: int, *, id_col: str = "doc_id",
+             kconst: int = 60, m: int = 256):
+    """Reciprocal-rank fusion of R deterministic rankers — the
+    curation step that mixes incomparable signals (length quality,
+    freshness, BM25 relevance) without calibrating them: per doc,
+
+        score_ppm = sum_r  1e6 div (kconst + rank_r)
+
+    (Cormack et al. SIGIR'09 with the classic kconst=60), top-k by
+    score desc then id asc. Each ranker is an integer SQL expression
+    whose ASCENDING order (ties -> id asc) defines rank 1, 2, ... —
+    callers encode direction in the expression ("-n_chars" ranks
+    longest first). Per-term floored ppm is the cross-engine
+    convention (bit-identical in both engines; fractions with
+    different denominators have no single-fraction form).
+
+    Scale: NO global sort. Phase 1 takes each ranker's top-``m`` ids
+    via orderBy+limit (Spark's distributed TakeOrdered — never a
+    single-partition window). Phase 2 computes EXACT global ranks
+    for the <= R*m candidates only: one full scan against the
+    broadcast candidate keys, rank = 1 + count of rows ordering
+    strictly before. Completeness is provable, not hoped: a doc
+    outside every ranker's top-m scores < R * 1e6/(kconst+m+1),
+    while the k-th candidate scores >= 1e6 div (kconst+k) (it beats
+    a doc holding rank k in some single ranker) — with the default
+    kconst=60, m=256, R<=2, k<=10: 6309 < 14285, so no non-candidate
+    can reach the top k. Raise ``m`` for more rankers or deeper k
+    (need R*1e6/(kconst+m+1) < 1e6 div (kconst+k)).
+    -> (id, rank_1..rank_R, score_ppm), k rows."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+    exprs = list(rank_exprs)
+    r = len(exprs)
+    assert r * (kconst + k) < kconst + m + 1, \
+        "m too small for provable top-k completeness"
+    cands = reduce(lambda a, b: a.unionByName(b),
+                   [df.select(F.col(id_col).alias("_cid"))
+                    .orderBy(F.expr(e).asc(), F.col(id_col).asc())
+                    .limit(m) for e in exprs]).distinct()
+    ckeys = (df.join(F.broadcast(cands),
+                     df[id_col] == F.col("_cid"))
+             .select(F.col("_cid"),
+                     *[F.expr(e).alias(f"_ck{i}")
+                       for i, e in enumerate(exprs)]))
+    full = df.select(F.col(id_col).alias("_fid"),
+                     *[F.expr(e).alias(f"_fk{i}")
+                       for i, e in enumerate(exprs)])
+    before = [F.sum(F.when(
+        (F.col(f"_fk{i}") < F.col(f"_ck{i}"))
+        | ((F.col(f"_fk{i}") == F.col(f"_ck{i}"))
+           & (F.col("_fid") < F.col("_cid"))), 1).otherwise(0))
+        .alias(f"_b{i}") for i in range(r)]
+    ranks = (full.crossJoin(F.broadcast(ckeys))
+             .groupBy("_cid").agg(*before))
+    score = reduce(lambda a, b: a + b,
+                   [F.expr(f"1000000 div ({kconst} + _b{i} + 1)")
+                    for i in range(r)])
+    return (ranks.select(
+        F.col("_cid").alias(id_col),
+        *[(F.col(f"_b{i}") + 1).cast("long").alias(f"rank_{i + 1}")
+          for i in range(r)],
+        score.cast("long").alias("score_ppm"))
+        .orderBy(F.col("score_ppm").desc(), F.col(id_col).asc())
+        .limit(int(k)))
+
+
+def rrf_fuse_sql(docs_sql: str, rank_exprs, k: int, *,
+                 id_col: str = "doc_id", kconst: int = 60) -> str:
+    """DuckDB twin of rrf_fuse over a subquery — full window
+    ROW_NUMBER per ranker (the small-data exact form the pruned
+    Spark plan provably equals), identical floored ppm terms."""
+    exprs = list(rank_exprs)
+    rn = ", ".join(
+        f"ROW_NUMBER() OVER (ORDER BY ({e}), {id_col}) AS r{i}"
+        for i, e in enumerate(exprs))
+    score = " + ".join(f"1000000 // ({kconst} + r{i})"
+                       for i in range(len(exprs)))
+    rcols = ", ".join(f"CAST(r{i} AS BIGINT) AS rank_{i + 1}"
+                      for i in range(len(exprs)))
+    return f"""
+WITH rrf_r AS (SELECT {id_col}, {rn} FROM ({docs_sql}))
+SELECT {id_col}, {rcols},
+       CAST({score} AS BIGINT) AS score_ppm
+FROM rrf_r
+ORDER BY score_ppm DESC, {id_col} ASC LIMIT {int(k)}
+"""

@@ -2033,6 +2033,23 @@ def q_freshness(spark, sf_dir):
                            horizon=_FRESH_HORIZON)
 
 
+# RRF: longest-doc ranker + freshest-arrival-day ranker, classic k=60
+_RRF_EXPRS = ("-n_chars", "-(doc_id % 64)")
+_RRF_K = 10
+
+
+def q_rrf_fuse(spark, sf_dir):
+    """Reciprocal-rank fusion (r5.39): the length-quality and
+    freshness rankers fused at kconst=60, top-10 — mixing
+    incomparable curation signals without calibration
+    (operators/textstats.rrf_fuse docstring: TakeOrdered top-m
+    candidates + broadcast exact re-rank, provable completeness, no
+    global sort)."""
+    from .operators.textstats import rrf_fuse
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return rrf_fuse(d, _RRF_EXPRS, _RRF_K)
+
+
 def q_interval_overlap(spark, sf_dir):
     """Interval-OVERLAP join (r5.21): per-(user, day) activity spans
     intersected with the synthetic campaign windows (the
@@ -3626,6 +3643,11 @@ QUERIES = {
     #  replay gate gains a third in-window row next to
     #  stream_resample/stream_batch_dedup)
     "stream_od": q_stream_od,
+    # (same session-10 triage: rrf_fuse displaces peak_cells —
+    #  r5.36, next-oldest first-timer, replica-green in every full
+    #  sweep since it landed; the raster local-extremum machinery
+    #  stays inside via basin_stats/ht_breaks/emerging_hotspots)
+    "rrf_fuse": q_rrf_fuse,
     # -- round-5.39 additions (session 10), same triage: geary_c
     #    and join_counts complete the autocorrelation family next
     #    to the driver-candidate moran_i/lisa_cells; crawl_budget
@@ -3798,7 +3820,6 @@ QUERIES = {
     #    past the boundary to make room; d8_basins joining the
     #    wave pushes cell_moments (cell assign [driver r4] +
     #    four combinable sums) just past as well --
-    "peak_cells": q_peak_cells,
     # (d8_flow moved just past the window in session 9 to make room
     #  for pps_sample: d8_flow_sql is nested VERBATIM inside the
     #  d8_basins, basin_stats and flow_accum oracles, all three
@@ -3815,6 +3836,9 @@ QUERIES = {
     "cross_k": q_cross_k,
     "basin_stats": q_basin_stats,
     "threshold_alerts": q_threshold_alerts,
+    # (peak_cells — r5.36 — moved just past the window in session 10
+    #  to make room for rrf_fuse; see the head-of-dict comment)
+    "peak_cells": q_peak_cells,
     # (triangles — r5.31 — moved just past the window in session 10
     #  to make room for hour_profile; see the head-of-dict comment)
     "triangles": q_triangles,
@@ -4657,6 +4681,9 @@ def oracle_sql() -> dict[str, str]:
         f"FROM (SELECT doc_id, n_chars, lang, "
         f"{canonical_url_sql(_url_expr)} AS canon FROM documents) "
         f"GROUP BY 1")
+    from .operators.textstats import rrf_fuse_sql
+    out["rrf_fuse"] = rrf_fuse_sql(
+        "SELECT doc_id, n_chars FROM documents", _RRF_EXPRS, _RRF_K)
     from .operators.textstats import token_drift_sql
     out["host_drift"] = token_drift_sql(
         f"SELECT regexp_extract(canon, '^[a-z]+://([^/]+)', 1) "

@@ -1043,3 +1043,73 @@ class TestStreamODTrips:
                 "SELECT user_id, event_id, lat, lon, us FROM e",
                 2)).fetchall())
         assert got == want and len(got) > 10
+
+
+class TestRRFFuse:
+    """Reciprocal-rank fusion top-k (r5.39)."""
+
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, n_chars long")
+
+    def test_hand_scores_and_order(self, spark):
+        """5 docs, longest-first + highest-id-first rankers, k=3:
+        id4 (ranks 2,2 -> 32258) beats id2 (1,4 -> 32018) beats
+        id5 (5,1 -> 31777) — consistent mid-ranks outscore one
+        first place, the RRF signature."""
+        from geospark.operators.textstats import rrf_fuse
+        d = self._docs(spark, [(1, 100), (2, 300), (3, 200),
+                               (4, 300), (5, 50)])
+        got = [tuple(r) for r in
+               rrf_fuse(d, ["-n_chars", "-doc_id"], 3).collect()]
+        assert got == [(4, 2, 2, 32258), (2, 1, 4, 32018),
+                       (5, 5, 1, 31777)]
+
+    def test_fused_tie_breaks_by_id(self, spark):
+        """Mirror-symmetric ranks (1,2) vs (2,1): equal scores,
+        smaller id first."""
+        from geospark.operators.textstats import rrf_fuse
+        d = self._docs(spark, [(1, 300), (2, 100)])
+        got = [tuple(r) for r in
+               rrf_fuse(d, ["-n_chars", "-doc_id"], 2).collect()]
+        assert got[0][0] == 1 and got[1][0] == 2
+        assert got[0][3] == got[1][3]
+
+    def test_completeness_guard_raises(self, spark):
+        """m too small for the provable top-k bound -> assert."""
+        import pytest
+
+        from geospark.operators.textstats import rrf_fuse
+        d = self._docs(spark, [(1, 1)])
+        with pytest.raises(AssertionError):
+            rrf_fuse(d, ["-n_chars", "-doc_id"], 10, m=10)
+
+    def test_plan_has_no_global_window(self, spark):
+        """The scale contract: no Window operator (no global
+        row_number sort) and no Python in the plan."""
+        from geospark.operators.textstats import rrf_fuse
+        d = self._docs(spark, [(1, 10), (2, 20)])
+        plan = rrf_fuse(d, ["-n_chars", "-doc_id"], 2) \
+            ._jdf.queryExecution().executedPlan().toString()
+        for bad in ("Window", "BatchEvalPython", "ArrowEvalPython"):
+            assert bad not in plan, plan
+
+    def test_inline_oracle_parity_past_candidate_cap(self, spark):
+        """500 docs > m=256: the pruned-candidate Spark plan equals
+        the full-window DuckDB ranking — the completeness proof
+        exercised, not assumed."""
+        import duckdb
+        import numpy as np
+
+        from geospark.operators.textstats import (rrf_fuse,
+                                                  rrf_fuse_sql)
+        rng = np.random.default_rng(93)
+        rows = [(i, int(rng.integers(1, 400))) for i in range(500)]
+        d = self._docs(spark, rows)
+        exprs = ["-n_chars", "-(doc_id % 64)"]
+        got = [tuple(r) for r in rrf_fuse(d, exprs, 10).collect()]
+        con = duckdb.connect()
+        con.execute("CREATE TABLE docs (doc_id BIGINT, n_chars BIGINT)")
+        con.executemany("INSERT INTO docs VALUES (?, ?)", rows)
+        want = [tuple(r) for r in con.execute(rrf_fuse_sql(
+            "SELECT doc_id, n_chars FROM docs", exprs, 10)).fetchall()]
+        assert got == want and len(got) == 10
