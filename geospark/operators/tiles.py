@@ -3151,6 +3151,104 @@ FROM m, pr
 """
 
 
+def gi_star(points, res: int, *, lat_col: str = "lat",
+            lon_col: str = "lon"):
+    """Getis-Ord Gi* per occupied cell — the hotspot Z-SCORE the
+    ESDA family still lacked: where lisa_cells asks "does my
+    deviation co-vary with my neighbors'", Gi* asks "is my
+    NEIGHBORHOOD SUM (self included — the star variant) larger than
+    chance": z_i = (S_i - xbar W_i) / (S sqrt((N W_i - W_i^2)/(N-1)))
+    with binary queen ring-1 weights over occupied cells, W_i the
+    neighborhood size incl self, S_i its count sum.
+
+    Integer-exact by squaring: z_i^2 is rational —
+        z2 = (N-1) * (N S_i - W_i T)^2
+             / ((N Q - T^2) * (W_i (N - W_i)))
+    (Q = sum x^2; multiply num and den by N^2 — the mean's and
+    variance's denominators cancel). Emitted as
+    gi2_ppm = sign(N S_i - W_i T) * (1e6 * z2) with the nonnegative
+    part truncated by decimal `div` (== DuckDB HUGEINT //), the
+    signed square preserving hot/cold direction: |gi2_ppm| >=
+    ~2.7e6 is the classic |z| >= 1.645 hot/cold call at 90%. NULL
+    when N*Q = T^2 (constant surface) or W_i = N (a neighborhood
+    swallowing every occupied cell: zero variance). Headroom:
+    1e6 * N * (N * 9 * max)^2 < 1e38 holds past 1e6 occupied cells
+    at 1e6 max count.
+
+    Scale: one map-side-combinable point pass to counts, broadcast
+    1-row stats (N, T, Q), the 9-way ring explode with NO
+    self-exclusion (the star), ONE cell-keyed join + cell agg —
+    moran_i's exact shuffle shape. -> (cell, n_pts, w_i, s_i,
+    gi2_ppm), one row per occupied cell."""
+    from pyspark.sql import functions as F
+
+    from ..functions.cells import cell_neighbors_explode
+    counts = tile_counts(points, res, lat_col=lat_col, lon_col=lon_col)
+    right = counts.select(F.col("cell").alias("_neighbor"),
+                          F.col("n_docs").alias("_n_j"))
+    nbh = (cell_neighbors_explode(counts.select("cell"), res, ring=1)
+           .join(right, "_neighbor", "inner")
+           .groupBy("cell")
+           .agg(F.count(F.lit(1)).alias("w_i"),
+                F.sum("_n_j").alias("s_i")))
+    stats = counts.agg(
+        F.count(F.lit(1)).alias("_nc"),
+        F.sum("n_docs").alias("_t"),
+        F.sum(F.col("n_docs").cast("decimal(38,0)")
+              * F.col("n_docs")).alias("_q"))
+    return (counts.join(nbh, "cell", "inner")
+            .crossJoin(F.broadcast(stats))
+            .select(
+                "cell", F.col("n_docs").cast("long").alias("n_pts"),
+                F.col("w_i").cast("long").alias("w_i"),
+                F.col("s_i").cast("long").alias("s_i"),
+                F.expr(
+                    "CASE WHEN _nc * _q = CAST(_t AS DECIMAL(38,0)) "
+                    "* _t OR w_i = _nc THEN CAST(NULL AS BIGINT) "
+                    "ELSE CAST(SIGN(_nc * s_i - w_i * _t) AS BIGINT)"
+                    " * ((CAST(_nc - 1 AS DECIMAL(38,0)) * 1000000 "
+                    "* (CAST(_nc * s_i - w_i * _t AS DECIMAL(38,0)) "
+                    "* (_nc * s_i - w_i * _t))) div "
+                    "((_nc * _q - CAST(_t AS DECIMAL(38,0)) * _t) "
+                    "* (CAST(w_i AS DECIMAL(38,0)) * (_nc - w_i)))) "
+                    "END").alias("gi2_ppm")))
+
+
+def gi_star_sql(pts_sql: str, res: int) -> str:
+    """DuckDB twin of gi_star over a subquery producing (lat, lon) —
+    same signed-square identity; the div numerator is nonnegative
+    (a square), so HUGEINT // equals Spark's decimal div."""
+    from ..functions.cells import cell_encode_sql, cell_neighbors_sql
+    cell = cell_encode_sql("lat", "lon", res)
+    nb = cell_neighbors_sql("a.cell", res, 1)
+    return f"""
+WITH counts AS (SELECT {cell} AS cell, COUNT(*) AS n
+                FROM ({pts_sql}) GROUP BY 1),
+st AS (SELECT COUNT(*) AS nc, CAST(SUM(n) AS BIGINT) AS t,
+       CAST(SUM(CAST(n AS HUGEINT) * n) AS HUGEINT) AS q
+       FROM counts),
+nbh AS (SELECT a.cell, COUNT(*) AS w, CAST(SUM(b.n) AS BIGINT) AS s
+        FROM counts a, LATERAL ({nb}) nb, counts b
+        WHERE nb.neighbor = b.cell GROUP BY 1)
+SELECT counts.cell, CAST(counts.n AS BIGINT) AS n_pts,
+       CAST(nbh.w AS BIGINT) AS w_i, nbh.s AS s_i,
+       CAST(CASE WHEN st.nc * st.q = CAST(st.t AS HUGEINT) * st.t
+                 OR nbh.w = st.nc THEN NULL
+            ELSE CAST(CASE WHEN st.nc * nbh.s < nbh.w * st.t
+                      THEN -1 ELSE 1 END AS HUGEINT)
+                 * ((CAST(st.nc - 1 AS HUGEINT) * 1000000
+                     * (CAST(st.nc * nbh.s - nbh.w * st.t
+                             AS HUGEINT)
+                        * (st.nc * nbh.s - nbh.w * st.t)))
+                    // ((st.nc * st.q
+                         - CAST(st.t AS HUGEINT) * st.t)
+                        * (CAST(nbh.w AS HUGEINT)
+                           * (st.nc - nbh.w)))) END
+            AS BIGINT) AS gi2_ppm
+FROM counts JOIN nbh ON counts.cell = nbh.cell, st
+"""
+
+
 def viewshed_k(tiles, res: int, k: int, *, cell_col: str = "cell",
                count_col: str = "n_docs"):
     """Bounded viewshed over the density raster — the visibility

@@ -3382,6 +3382,18 @@ def q_geary_c(spark, sf_dir):
     return geary_c(_traj_pts(spark, sf_dir), _MORAN_RES)
 
 
+def q_gi_star(spark, sf_dir):
+    """Getis-Ord Gi* hotspot z-scores over the res-4 event raster
+    (r5.39): per-cell neighborhood-sum significance (self included —
+    the star variant) as the signed integer-exact z^2 ppm
+    (operators/tiles.gi_star docstring: squaring makes the z
+    rational, the N^2 cancellation keeps it in DECIMAL/HUGEINT) —
+    the hotspot-CALL member the moran_i/lisa/geary/join-count family
+    still lacked."""
+    from .operators.tiles import gi_star
+    return gi_star(_traj_pts(spark, sf_dir), _MORAN_RES)
+
+
 def q_join_counts(spark, sf_dir):
     """Binary join-count statistics over the res-4 event raster
     (r5.39): HH/LL/HL adjacent-pair tallies under above-mean
@@ -3656,6 +3668,14 @@ QUERIES = {
     #    rotate just past the boundary to make room --
     "geary_c": q_geary_c,
     "join_counts": q_join_counts,
+    # (same session-10 triage: gi_star — the hotspot-call member of
+    #  the same ESDA family, new this session — displaces
+    #  campaign_attrib, r5.15, the window's oldest remaining
+    #  first-timer: replica-green in every full sweep since session
+    #  3, and its bucket-decomposed range-join machinery over the
+    #  same synthetic campaign dims stays inside via
+    #  interval_overlap)
+    "gi_star": q_gi_star,
     # (same session-10 triage: fuzzy_pairs displaces quality_pr —
     #  r5.14, replica-green in every sweep since it landed;
     #  sd_ellipse displaces colocation — r5.16, same soak argument)
@@ -3720,11 +3740,10 @@ QUERIES = {
     #    r1-r4; pip_join and pip_tile_agg keep the PIP machinery
     #    inside) --
     "od_matrix": q_od_matrix,
-    # -- round-5.15 addition, inside the window for its first driver
-    #    row (zorder_keys rotates just past the window: driver-green
-    #    r4; layout-key coverage stays inside via hilbert_keys,
-    #    hilbert_pack and geohash) --
-    "campaign_attrib": q_campaign_attrib,
+    # (campaign_attrib — r5.15 — moved just past the window in
+    #  session 10 to make room for gi_star; see the head-of-dict
+    #  comment. Original slot comment rides along at the new
+    #  location.)
     # -- round-3 additions, driver-verified for the first time in r4 --
     # -- round-5.11 addition, inside the window for its first driver
     #    row (boilerplate rotates just past the window: driver-green
@@ -3839,6 +3858,13 @@ QUERIES = {
     # (peak_cells — r5.36 — moved just past the window in session 10
     #  to make room for rrf_fuse; see the head-of-dict comment)
     "peak_cells": q_peak_cells,
+    # (campaign_attrib — r5.15 — moved just past the window in
+    #  session 10 to make room for gi_star; see the head-of-dict
+    #  comment. Original r5.15 slot comment: inside the window for
+    #  its first driver row; zorder_keys rotated just past the
+    #  window — driver-green r4; layout-key coverage stays inside
+    #  via hilbert_keys, hilbert_pack and geohash.)
+    "campaign_attrib": q_campaign_attrib,
     # (triangles — r5.31 — moved just past the window in session 10
     #  to make room for hour_profile; see the head-of-dict comment)
     "triangles": q_triangles,
@@ -4995,9 +5021,10 @@ def oracle_sql() -> dict[str, str]:
     out["pps_sample"] = pps_sample_sql(_PPS_K)
     from .operators.tiles import quadrat_csr_sql
     out["quadrat_csr"] = quadrat_csr_sql(_TRAJ_PTS_SQL, _QUADRAT_RES)
-    from .operators.tiles import geary_c_sql, join_counts_sql
+    from .operators.tiles import geary_c_sql, gi_star_sql, join_counts_sql
     out["geary_c"] = geary_c_sql(_TRAJ_PTS_SQL, _MORAN_RES)
     out["join_counts"] = join_counts_sql(_TRAJ_PTS_SQL, _MORAN_RES)
+    out["gi_star"] = gi_star_sql(_TRAJ_PTS_SQL, _MORAN_RES)
     from .operators.events import hour_profile_sql
     out["hour_profile"] = hour_profile_sql(_TRAJ_PTS_SQL,
                                            _HOURPROF_RES)

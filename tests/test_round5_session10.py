@@ -1113,3 +1113,135 @@ class TestRRFFuse:
         want = [tuple(r) for r in con.execute(rrf_fuse_sql(
             "SELECT doc_id, n_chars FROM docs", exprs, 10)).fetchall()]
         assert got == want and len(got) == 10
+
+
+def _gi2_ppm_ref(cells, counts):
+    """Independent exact re-derivation of the signed Gi* z^2 ppm
+    (queen ring-1 INCLUDING self, interior fixtures only)."""
+    n = len(cells)
+    t = sum(counts)
+    q = sum(c * c for c in counts)
+    cnt = dict(zip(cells, counts))
+    out = {}
+    for ci in cells:
+        nb = [cj for cj in cells
+              if max(abs(ci[0] - cj[0]), abs(ci[1] - cj[1])) <= 1]
+        w, s = len(nb), sum(cnt[cj] for cj in nb)
+        den = (n * q - t * t) * w * (n - w)
+        if den == 0:
+            out[ci] = (w, s, None)
+            continue
+        nnum = n * s - w * t
+        sign = (nnum > 0) - (nnum < 0)
+        out[ci] = (w, s, sign * int(Fraction(
+            10**6 * (n - 1) * nnum * nnum, den)))
+    return out
+
+
+class TestGiStar:
+    """Getis-Ord Gi* signed z^2 ppm per cell (r5.39)."""
+
+    RES = 4
+
+    def _run(self, spark, cells, counts):
+        from geospark.operators.tiles import gi_star
+        d = _lattice(spark, cells, self.RES, counts)
+        rows = gi_star(d, self.RES).collect()
+        assert len(rows) == len(cells)
+        got = {}
+        for r in rows:
+            got[r["cell"]] = (r["n_pts"], r["w_i"], r["s_i"],
+                              r["gi2_ppm"])
+        return got
+
+    def _cells_of(self, spark, cells):
+        from geospark.functions.cells import cell_encode_sql
+        ids = {}
+        for (y, x) in cells:
+            lat, lon = _center(y, x, self.RES)
+            cid = spark.sql(
+                "SELECT " + cell_encode_sql(repr(lat), repr(lon),
+                                            self.RES)).collect()[0][0]
+            ids[(y, x)] = cid
+        return ids
+
+    def test_two_blocks_signs_and_exact_values(self, spark):
+        """Hot 2x2 block far from a cold 2x2 block: hot cells
+        strictly positive, cold strictly negative, every (w, s,
+        gi2_ppm) equal to the Fraction re-derivation."""
+        cells = [(5, 5), (5, 6), (6, 5), (6, 6),
+                 (5, 9), (5, 10), (6, 9), (6, 10)]
+        counts = [9, 9, 9, 9, 1, 1, 1, 1]
+        want = _gi2_ppm_ref(cells, counts)
+        got = self._run(spark, cells, counts)
+        ids = self._cells_of(spark, cells)
+        for (yx, c) in zip(cells, counts):
+            w, s, ppm = want[yx]
+            assert got[ids[yx]] == (c, w, s, ppm)
+        assert all(want[yx][2] > 0 for yx in cells[:4])
+        assert all(want[yx][2] < 0 for yx in cells[4:])
+
+    def test_neighborhood_swallows_all_null(self, spark):
+        """Two adjacent cells: W_i = N for both -> zero variance of
+        the neighborhood sum -> NULL (the star-variant guard)."""
+        got = self._run(spark, [(5, 5), (5, 6)], [3, 1])
+        assert [v[3] for v in got.values()] == [None, None]
+
+    def test_constant_surface_null(self, spark):
+        """Equal counts everywhere: N*Q = T^2 -> NULL even where
+        W_i < N."""
+        got = self._run(spark, [(5, 5), (5, 6), (9, 9)], [4, 4, 4])
+        assert [v[3] for v in got.values()] == [None, None, None]
+
+    def test_isolated_cells_exact(self, spark):
+        """Singleton neighborhoods (W_i = 1): Gi* reduces to the
+        cell's own standardized count; exact vs the re-derivation."""
+        cells = [(2, 2), (8, 8), (12, 4)]
+        counts = [1, 5, 9]
+        want = _gi2_ppm_ref(cells, counts)
+        got = self._run(spark, cells, counts)
+        ids = self._cells_of(spark, cells)
+        for yx, c in zip(cells, counts):
+            w, s, ppm = want[yx]
+            assert got[ids[yx]] == (c, w, s, ppm)
+
+    def test_matches_float_zscore(self, spark):
+        """|gi2_ppm| == trunc(1e6 * z^2) of the textbook float Gi*
+        z-score (binary weights incl self), sign == sign(z) — the
+        algebraic identity exercised end to end."""
+        import numpy as np
+        cells = [(5, 5), (5, 6), (6, 5), (7, 7), (7, 8), (9, 9),
+                 (3, 3), (3, 4)]
+        counts = [12, 7, 3, 1, 2, 30, 4, 4]
+        got = self._run(spark, cells, counts)
+        ids = self._cells_of(spark, cells)
+        x = np.array(counts, dtype=float)
+        n, xbar, s = len(x), x.mean(), x.std()
+        for i, ci in enumerate(cells):
+            nb = [j for j, cj in enumerate(cells)
+                  if max(abs(ci[0] - cj[0]), abs(ci[1] - cj[1])) <= 1]
+            w = float(len(nb))
+            z = ((x[nb].sum() - xbar * w)
+                 / (s * np.sqrt(w * (n - w) / (n - 1))))
+            ppm = got[ids[ci]][3]
+            assert ppm is not None
+            assert (ppm > 0) == (z > 0) or z == 0
+            assert abs(abs(ppm) - int(1e6 * z * z)) <= 1
+
+    def test_inline_oracle_parity(self, spark):
+        import duckdb
+        import numpy as np
+
+        from geospark.operators.tiles import gi_star, gi_star_sql
+        rng = np.random.default_rng(85)
+        rows = [(float(a), float(b)) for a, b in zip(
+            rng.uniform(-80, 80, 800).round(1),
+            rng.uniform(-170, 170, 800).round(1))]
+        d = spark.createDataFrame(rows, "lat double, lon double")
+        got = sorted(tuple(r) for r in gi_star(d, 3).collect())
+        con = duckdb.connect()
+        con.execute("CREATE TABLE p (lat DOUBLE, lon DOUBLE)")
+        con.executemany("INSERT INTO p VALUES (?, ?)", rows)
+        want = sorted(tuple(r) for r in con.execute(
+            gi_star_sql("SELECT lat, lon FROM p", 3)).fetchall())
+        assert got == want and len(got) > 50
