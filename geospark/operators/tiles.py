@@ -3249,6 +3249,82 @@ FROM counts JOIN nbh ON counts.cell = nbh.cell, st
 """
 
 
+def lq_cells(points, res: int, *, label_col: str = "ftype",
+             lat_col: str = "lat", lon_col: str = "lon"):
+    """Location quotient per (cell, category) — the classic
+    'where is category k over-represented' concentration map
+    (regional-science LQ, the retail/industry siting staple):
+
+        LQ = (n_ck / n_c) / (N_k / N)
+
+    local share over global share; > 1 = the cell specializes in k.
+    Emitted integer-exact as lq_ppm = (n_ck * N * 1e6) div
+    (n_c * N_k) — all terms positive so truncating div == floor in
+    both engines; DECIMAL(38,0)/HUGEINT products keep headroom to
+    N ~ 1e12 points (n*N*1e6 overflows BIGINT past ~1e9).
+
+    Scale: ONE map-side-combinable point pass to (cell, k, n) —
+    the ONLY scan of the input (a naive side-aggregate formulation
+    rescans the points once per total: Catalyst collapses
+    agg-over-agg back onto the base table, and column pruning then
+    defeats exchange reuse — measured 5 scans -> 1 here). Every
+    total is then a window SUM over the |cells x K| AGGREGATE
+    frame; Catalyst orders the grand-total window first, so the
+    whole post-scan tail is exactly TWO exchanges ((cell, k)
+    combine + one single-partition hop) and the cell/category
+    windows run as sorts on the collapsed frame. The one-task tail
+    is bounded by cells x K aggregate rows (~1e6 at res 7), never
+    by input rows. -> (cell, <label_col>, n_events, cell_total,
+    lq_ppm)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..functions.cells import cell_encode
+    ct = (points
+          .withColumn("cell", cell_encode(lat_col, lon_col, res))
+          .groupBy("cell", label_col)
+          .agg(F.count(F.lit(1)).alias("n_events")))
+    ct = (ct
+          .withColumn("cell_total", F.sum("n_events").over(
+              Window.partitionBy("cell")))
+          .withColumn("_n_k", F.sum("n_events").over(
+              Window.partitionBy(label_col)))
+          .withColumn("_n", F.sum("n_events").over(
+              Window.partitionBy())))
+    return (ct
+            .select("cell", label_col,
+                    F.col("n_events").cast("long").alias("n_events"),
+                    F.col("cell_total").cast("long")
+                    .alias("cell_total"),
+                    F.expr("(CAST(n_events AS DECIMAL(38,0)) * _n "
+                           "* 1000000) div "
+                           "(CAST(cell_total AS DECIMAL(38,0)) "
+                           "* _n_k)").cast("long").alias("lq_ppm")))
+
+
+def lq_cells_sql(pts_sql: str, res: int, *,
+                 label_sql: str = "ftype") -> str:
+    """DuckDB twin of lq_cells over a subquery producing
+    (lat, lon, <label>) — same positive truncating division."""
+    from ..functions.cells import cell_encode_sql
+    cell = cell_encode_sql("lat", "lon", res)
+    return f"""
+WITH ct AS (SELECT {cell} AS cell, {label_sql} AS k,
+            COUNT(*) AS n FROM ({pts_sql}) GROUP BY 1, 2),
+cellt AS (SELECT cell, CAST(SUM(n) AS BIGINT) AS n_c
+          FROM ct GROUP BY 1),
+typet AS (SELECT k, CAST(SUM(n) AS BIGINT) AS n_k FROM ct GROUP BY 1),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM ct)
+SELECT ct.cell, ct.k AS {label_sql},
+       CAST(ct.n AS BIGINT) AS n_events,
+       cellt.n_c AS cell_total,
+       CAST((CAST(ct.n AS HUGEINT) * tot.t * 1000000)
+            // (CAST(cellt.n_c AS HUGEINT) * typet.n_k)
+            AS BIGINT) AS lq_ppm
+FROM ct JOIN cellt USING (cell) JOIN typet USING (k), tot
+"""
+
+
 def viewshed_k(tiles, res: int, k: int, *, cell_col: str = "cell",
                count_col: str = "n_docs"):
     """Bounded viewshed over the density raster — the visibility

@@ -2449,6 +2449,20 @@ def q_cell_diversity(spark, sf_dir):
                           label_col="event_type")
 
 
+def q_lq_cells(spark, sf_dir):
+    """Location quotients per (cell, event_type) at res 4 (r5.39):
+    local share over global share in integer ppm — the regional-
+    science over-representation map next to cell_diversity's
+    mixedness (operators/tiles.lq_cells docstring: re-aggregated
+    cell totals join exchange-free, category totals broadcast)."""
+    from pyspark.sql import functions as F
+    from .operators.tiles import lq_cells
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pts = e.select(F.expr(_TRAJ_LAT).alias("lat"),
+                   F.expr(_TRAJ_LON).alias("lon"), "event_type")
+    return lq_cells(pts, _DIVERSITY_RES, label_col="event_type")
+
+
 def q_jump_hist(spark, sf_dir):
     """Jump-length histogram (r5.26): per-hop displacement in exact
     integer log2 buckets — the truncated-power-law mobility
@@ -3676,6 +3690,13 @@ QUERIES = {
     #  same synthetic campaign dims stays inside via
     #  interval_overlap)
     "gi_star": q_gi_star,
+    # (same session-10 triage: lq_cells — per-(cell, category)
+    #  location quotients, new this session — displaces mixture,
+    #  r5.18, the next-oldest first-timer: replica-green in every
+    #  full sweep since it landed, and its single doc-table
+    #  group-agg + scalar-broadcast shape is exercised inside by
+    #  doc_skyline/bm25_topk/host_drift)
+    "lq_cells": q_lq_cells,
     # (same session-10 triage: fuzzy_pairs displaces quality_pr —
     #  r5.14, replica-green in every sweep since it landed;
     #  sd_ellipse displaces colocation — r5.16, same soak argument)
@@ -3727,10 +3748,8 @@ QUERIES = {
     # (cell_rolling — r5.17 — moved just past the window in session
     #  10 to make room for cost_distance; see the head-of-dict
     #  comment)
-    # -- round-5.18 addition, inside the window for its first driver
-    #    row (pip_anti rotates just past the window: driver-green r4;
-    #    the PIP machinery keeps pip_join/pip_agg/pip_tile_agg inside) --
-    "mixture": q_mixture,
+    # (mixture — r5.18 — moved just past the window in session 10 to
+    #  make room for lq_cells; see the head-of-dict comment.)
     # -- round-5.19 addition, inside the window for its first driver
     #    row (cell_compact rotates just past the window: driver-green
     #    r4; the compaction quartet algebra keeps its unit tier) --
@@ -3865,6 +3884,13 @@ QUERIES = {
     #  window — driver-green r4; layout-key coverage stays inside
     #  via hilbert_keys, hilbert_pack and geohash.)
     "campaign_attrib": q_campaign_attrib,
+    # (mixture — r5.18 — moved just past the window in session 10 to
+    #  make room for lq_cells; see the head-of-dict comment.
+    #  Original r5.18 slot comment: inside the window for its first
+    #  driver row; pip_anti rotated just past the window —
+    #  driver-green r4; the PIP machinery keeps pip_tile_agg
+    #  inside.)
+    "mixture": q_mixture,
     # (triangles — r5.31 — moved just past the window in session 10
     #  to make room for hour_profile; see the head-of-dict comment)
     "triangles": q_triangles,
@@ -4858,6 +4884,11 @@ def oracle_sql() -> dict[str, str]:
         "FROM customer")
     from .operators.tiles import cell_diversity_sql
     out["cell_diversity"] = cell_diversity_sql(
+        f"SELECT {_TRAJ_LAT} AS lat, {_TRAJ_LON} AS lon, event_type "
+        "FROM events",
+        _DIVERSITY_RES, label_sql="event_type")
+    from .operators.tiles import lq_cells_sql
+    out["lq_cells"] = lq_cells_sql(
         f"SELECT {_TRAJ_LAT} AS lat, {_TRAJ_LON} AS lon, event_type "
         "FROM events",
         _DIVERSITY_RES, label_sql="event_type")

@@ -1245,3 +1245,71 @@ class TestGiStar:
         want = sorted(tuple(r) for r in con.execute(
             gi_star_sql("SELECT lat, lon FROM p", 3)).fetchall())
         assert got == want and len(got) > 50
+
+
+class TestLQCells:
+    """Location quotient per (cell, category) (r5.39)."""
+
+    RES = 4
+
+    def _run(self, spark, placed):
+        """placed: list of ((y, x), ftype, count)."""
+        from geospark.operators.tiles import lq_cells
+        rows = []
+        for (y, x), t, c in placed:
+            lat, lon = _center(y, x, self.RES)
+            rows += [(lat, lon, t)] * c
+        d = spark.createDataFrame(
+            rows, "lat double, lon double, ftype string")
+        out = {}
+        for r in lq_cells(d, self.RES).collect():
+            out[(r["cell"], r["ftype"])] = (r["n_events"],
+                                            r["cell_total"],
+                                            r["lq_ppm"])
+        return out
+
+    def test_hand_values_symmetric(self, spark):
+        """3/1 vs 1/3 across two cells: LQ 1.5 and 0.5 exactly."""
+        got = self._run(spark, [((5, 5), "x", 3), ((5, 5), "y", 1),
+                                ((9, 9), "x", 1), ((9, 9), "y", 3)])
+        ppms = sorted(v[2] for v in got.values())
+        assert ppms == [500_000, 500_000, 1_500_000, 1_500_000]
+        assert all(v[1] == 4 for v in got.values())
+
+    def test_uniform_is_exactly_one(self, spark):
+        """Same mix everywhere -> every LQ exactly 1e6 ppm."""
+        placed = [((y, x), t, c) for (y, x) in [(5, 5), (7, 7), (9, 2)]
+                  for t, c in (("a", 2), ("b", 4), ("c", 6))]
+        got = self._run(spark, placed)
+        assert len(got) == 9
+        assert all(v[2] == 1_000_000 for v in got.values())
+
+    def test_exclusive_type_concentration(self, spark):
+        """Each type lives in exactly one cell: LQ = N / N_k,
+        truncated ppm."""
+        got = self._run(spark, [((5, 5), "only_a", 2),
+                                ((9, 9), "only_b", 6)])
+        vals = {k[1]: v for k, v in got.items()}
+        assert vals["only_a"][2] == 4_000_000   # (2/2)/(2/8)
+        assert vals["only_b"][2] == 1_333_333   # (6/6)/(6/8) trunc
+
+    def test_inline_oracle_parity(self, spark):
+        import duckdb
+        import numpy as np
+
+        from geospark.operators.tiles import lq_cells, lq_cells_sql
+        rng = np.random.default_rng(86)
+        rows = [(float(a), float(b), f"t{int(k)}") for a, b, k in zip(
+            rng.uniform(-80, 80, 900).round(1),
+            rng.uniform(-170, 170, 900).round(1),
+            rng.integers(0, 5, 900))]
+        d = spark.createDataFrame(rows,
+                                  "lat double, lon double, ftype string")
+        got = sorted(tuple(r) for r in lq_cells(d, 3).collect())
+        con = duckdb.connect()
+        con.execute("CREATE TABLE p (lat DOUBLE, lon DOUBLE, "
+                    "ftype VARCHAR)")
+        con.executemany("INSERT INTO p VALUES (?, ?, ?)", rows)
+        want = sorted(tuple(r) for r in con.execute(lq_cells_sql(
+            "SELECT lat, lon, ftype FROM p", 3)).fetchall())
+        assert got == want and len(got) > 100
