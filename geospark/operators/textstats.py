@@ -1340,3 +1340,75 @@ SELECT {id_col}, {rcols},
 FROM rrf_r
 ORDER BY score_ppm DESC, {id_col} ASC LIMIT {int(k)}
 """
+
+
+def score_auc(df, score_col: str, label_col: str, *,
+              group_col: str = "source"):
+    """Per-group ROC-AUC of an integer ranking score against a
+    binary label — the one-number answer to 'does this quality
+    signal actually separate the classes', via the Mann-Whitney
+    rank-sum identity (AUC = P(score_pos > score_neg) + P(=)/2):
+    exact tie handling in DOUBLED units, u2 = sum over score values
+    of pos_s * (2 * neg_below + neg_s), so
+
+        auc_ppm = (1e6 * u2) div (2 * n_pos * n_neg)
+
+    is integer-exact end to end (no float ranks, no libm); NULL
+    when a group is single-class. 500_000 = no signal, 1_000_000 =
+    perfect separation.
+
+    Scale: one map-side-combinable pass to (group, score, cnt,
+    pos) — the only scan; the cumulative-negatives window orders
+    DISTINCT SCORE VALUES within each group (aggregate rows, never
+    input rows), and the final per-group agg inherits the window's
+    partitioning, so the tail is exactly one aggregate-frame
+    exchange. -> (group, n_pos, n_neg, auc_ppm)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    ct = (df.groupBy(F.col(group_col).alias("g"),
+                     F.col(score_col).alias("_s"))
+          .agg(F.count(F.lit(1)).alias("_c"),
+               F.sum(F.col(label_col).cast("long")).alias("_p"))
+          .withColumn("_ng", F.col("_c") - F.col("_p")))
+    w = (Window.partitionBy("g").orderBy("_s")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    ct = ct.withColumn("_nb", F.coalesce(F.sum("_ng").over(w),
+                                         F.lit(0)))
+    return (ct.groupBy("g")
+            .agg(F.sum("_p").alias("n_pos"),
+                 F.sum("_ng").alias("n_neg"),
+                 F.sum(F.col("_p").cast("decimal(38,0)")
+                       * (2 * F.col("_nb") + F.col("_ng")))
+                 .alias("_u2"))
+            .select(F.col("g").alias(group_col),
+                    F.col("n_pos").cast("long").alias("n_pos"),
+                    F.col("n_neg").cast("long").alias("n_neg"),
+                    F.expr("CASE WHEN n_pos = 0 OR n_neg = 0 THEN "
+                           "CAST(NULL AS BIGINT) ELSE CAST((_u2 * "
+                           "1000000) div (2 * CAST(n_pos AS "
+                           "DECIMAL(38,0)) * n_neg) AS BIGINT) "
+                           "END").alias("auc_ppm")))
+
+
+def score_auc_sql(scored_sql: str, *, group_col: str = "source") -> str:
+    """DuckDB twin of score_auc over a subquery producing
+    (<group>, score, label) — same doubled-unit tie identity, same
+    positive truncating division."""
+    return f"""
+WITH ct AS (SELECT {group_col} AS g, score AS s, COUNT(*) AS c,
+            CAST(SUM(CAST(label AS BIGINT)) AS BIGINT) AS p
+            FROM ({scored_sql}) GROUP BY 1, 2),
+cn AS (SELECT g, s, p, c - p AS ng,
+       COALESCE(SUM(c - p) OVER (PARTITION BY g ORDER BY s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                0) AS nb
+       FROM ct)
+SELECT g AS {group_col},
+       CAST(SUM(p) AS BIGINT) AS n_pos,
+       CAST(SUM(ng) AS BIGINT) AS n_neg,
+       CAST(CASE WHEN SUM(p) = 0 OR SUM(ng) = 0 THEN NULL
+            ELSE (SUM(CAST(p AS HUGEINT) * (2 * nb + ng)) * 1000000)
+                 // (2 * CAST(SUM(p) AS HUGEINT) * SUM(ng)) END
+            AS BIGINT) AS auc_ppm
+FROM cn GROUP BY 1
+"""

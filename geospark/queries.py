@@ -2050,6 +2050,22 @@ def q_rrf_fuse(spark, sf_dir):
     return rrf_fuse(d, _RRF_EXPRS, _RRF_K)
 
 
+def q_score_auc(spark, sf_dir):
+    """Per-source ROC-AUC (r5.39): does document length separate
+    English from non-English, per source — the Mann-Whitney
+    rank-sum identity with exact doubled-unit tie handling, integer
+    ppm end to end (operators/textstats.score_auc docstring: one
+    combinable pass to score-value counts, window over aggregate
+    rows only). The single-number companion to quality_pr's decile
+    sheet."""
+    from pyspark.sql import functions as F
+    from .operators.textstats import score_auc
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "source", F.col("n_chars").alias("score"),
+        (F.col("lang") == "en").cast("int").alias("label"))
+    return score_auc(d, "score", "label", group_col="source")
+
+
 def q_interval_overlap(spark, sf_dir):
     """Interval-OVERLAP join (r5.21): per-(user, day) activity spans
     intersected with the synthetic campaign windows (the
@@ -3697,6 +3713,13 @@ QUERIES = {
     #  group-agg + scalar-broadcast shape is exercised inside by
     #  doc_skyline/bm25_topk/host_drift)
     "lq_cells": q_lq_cells,
+    # (same session-10 triage: score_auc — the Mann-Whitney AUC
+    #  companion to quality_pr's decile sheet, new this session —
+    #  displaces stay_points, r5.19, the next-oldest first-timer:
+    #  replica-green in every full sweep since it landed, and its
+    #  per-user ordered-window trajectory machinery stays inside
+    #  via od_matrix/traj_resample/stream_od)
+    "score_auc": q_score_auc,
     # (same session-10 triage: fuzzy_pairs displaces quality_pr —
     #  r5.14, replica-green in every sweep since it landed;
     #  sd_ellipse displaces colocation — r5.16, same soak argument)
@@ -3750,10 +3773,8 @@ QUERIES = {
     #  comment)
     # (mixture — r5.18 — moved just past the window in session 10 to
     #  make room for lq_cells; see the head-of-dict comment.)
-    # -- round-5.19 addition, inside the window for its first driver
-    #    row (cell_compact rotates just past the window: driver-green
-    #    r4; the compaction quartet algebra keeps its unit tier) --
-    "stay_points": q_stay_points,
+    # (stay_points — r5.19 — moved just past the window in session
+    #  10 to make room for score_auc; see the head-of-dict comment.)
     # -- round-5.20 addition, inside the window for its first driver
     #    row (pip_agg rotates just past the window: driver-green
     #    r1-r4; pip_join and pip_tile_agg keep the PIP machinery
@@ -3891,6 +3912,13 @@ QUERIES = {
     #  driver-green r4; the PIP machinery keeps pip_tile_agg
     #  inside.)
     "mixture": q_mixture,
+    # (stay_points — r5.19 — moved just past the window in session
+    #  10 to make room for score_auc; see the head-of-dict comment.
+    #  Original r5.19 slot comment: inside the window for its first
+    #  driver row; cell_compact rotated just past the window —
+    #  driver-green r4; the compaction quartet algebra keeps its
+    #  unit tier.)
+    "stay_points": q_stay_points,
     # (triangles — r5.31 — moved just past the window in session 10
     #  to make room for hour_profile; see the head-of-dict comment)
     "triangles": q_triangles,
@@ -4566,6 +4594,11 @@ def oracle_sql() -> dict[str, str]:
         f"CASE WHEN doc_id % {_QPR_BAD_MOD} = 0 THEN 1 ELSE 0 END "
         f"AS label "
         f"FROM ({quality_features_sql()})")
+    from .operators.textstats import score_auc_sql
+    out["score_auc"] = score_auc_sql(
+        "SELECT source, n_chars AS score, "
+        "CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label "
+        "FROM documents")
     from .operators.tiles import traverse_cells_sql
     out["traj_cells"] = traverse_cells_sql(
         f"SELECT user_id, ts, event_id, {_TRAJ_LAT} AS lat, "

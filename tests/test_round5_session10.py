@@ -1313,3 +1313,81 @@ class TestLQCells:
         want = sorted(tuple(r) for r in con.execute(lq_cells_sql(
             "SELECT lat, lon, ftype FROM p", 3)).fetchall())
         assert got == want and len(got) > 100
+
+
+class TestScoreAuc:
+    """Mann-Whitney ROC-AUC with exact doubled-unit tie handling
+    (operators/textstats.score_auc)."""
+
+    def _run(self, spark, rows):
+        d = spark.createDataFrame(
+            rows, "source string, score long, label int")
+        from geospark.operators.textstats import score_auc
+        return {r["source"]: (r["n_pos"], r["n_neg"], r["auc_ppm"])
+                for r in score_auc(d, "score", "label").collect()}
+
+    def test_perfect_separation(self, spark):
+        """All positives strictly above all negatives -> 1e6."""
+        got = self._run(spark, [("a", 10, 1), ("a", 11, 1),
+                                ("a", 1, 0), ("a", 2, 0)])
+        assert got == {"a": (2, 2, 1_000_000)}
+
+    def test_perfect_inversion_zero(self, spark):
+        """All positives strictly below all negatives -> 0."""
+        got = self._run(spark, [("a", 1, 1), ("a", 2, 1),
+                                ("a", 10, 0), ("a", 11, 0)])
+        assert got == {"a": (2, 2, 0)}
+
+    def test_all_tied_is_half(self, spark):
+        """Every row shares one score: pure ties -> exactly
+        500_000 regardless of class balance."""
+        got = self._run(spark, [("a", 7, 1), ("a", 7, 1),
+                                ("a", 7, 0), ("a", 7, 0), ("a", 7, 0)])
+        assert got == {"a": (2, 3, 500_000)}
+
+    def test_hand_mixed_ties(self, spark):
+        """scores pos={1,2,2}, neg={2,3}: u2 = sum over values of
+        p*(2*nb+ng): v=1: 1*(0+0)=0; v=2: 2*(0+1)=2; v=3: 0.
+        auc = 2 / (2*3*2) = 1/6 -> 166_666 ppm truncated."""
+        got = self._run(spark, [("a", 1, 1), ("a", 2, 1), ("a", 2, 1),
+                                ("a", 2, 0), ("a", 3, 0)])
+        assert got == {"a": (3, 2, 166_666)}
+
+    def test_single_class_null(self, spark):
+        """A group with no negatives (or no positives) has no
+        ranking question to answer -> NULL, not a crash."""
+        got = self._run(spark, [("p", 5, 1), ("p", 6, 1),
+                                ("n", 5, 0)])
+        assert got == {"p": (2, 0, None), "n": (0, 1, None)}
+
+    def test_groups_independent(self, spark):
+        """Two groups with opposite orderings score 1e6 and 0 —
+        no cross-group leakage through the shared score values."""
+        got = self._run(spark, [("up", 9, 1), ("up", 1, 0),
+                                ("dn", 1, 1), ("dn", 9, 0)])
+        assert got["up"] == (1, 1, 1_000_000)
+        assert got["dn"] == (1, 1, 0)
+
+    def test_inline_oracle_parity(self, spark):
+        import duckdb
+        import numpy as np
+
+        from geospark.operators.textstats import score_auc, score_auc_sql
+        rng = np.random.default_rng(87)
+        rows = [(f"s{int(g)}", int(s), int(l)) for g, s, l in zip(
+            rng.integers(0, 4, 1200),
+            rng.integers(0, 40, 1200),      # heavy ties on purpose
+            rng.integers(0, 2, 1200))]
+        d = spark.createDataFrame(
+            rows, "source string, score long, label int")
+        got = sorted(tuple(r) for r in
+                     score_auc(d, "score", "label").collect())
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t (source VARCHAR, score BIGINT, "
+                    "label INT)")
+        con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+        want = sorted(tuple(r) for r in con.execute(score_auc_sql(
+            "SELECT source, score, label FROM t")).fetchall())
+        assert got == want and len(got) == 4
+        # sanity: random labels vs random scores hovers near 1/2
+        assert all(300_000 < r[3] < 700_000 for r in got)
