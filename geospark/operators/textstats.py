@@ -1412,3 +1412,102 @@ SELECT g AS {group_col},
             AS BIGINT) AS auc_ppm
 FROM cn GROUP BY 1
 """
+
+
+def ks_stat(df, value_col: str, *, group_col: str = "source"):
+    """Per-group two-sample Kolmogorov-Smirnov drift: for each
+    group, the exact KS distance between ITS distribution of an
+    integer value and the REST of the corpus — the standard
+    'did this host/source drift from the pool' test on a whole
+    distribution where token_drift tests term counts and score_auc
+    tests a labeled ranking. D = sup_v |F_g(v) - F_rest(v)| is
+    attained at a jump of either CDF, and both CDFs jump only at
+    observed values, so evaluating at every global value is exact:
+
+        ks_ppm = max_v 1e6 * |n_rest * C_g(v) - n_g * C_rest(v)|
+                 div (n_g * n_rest)
+
+    (C = cumulative count; one cross-multiplied fraction, no float
+    CDFs, truncating div on a nonnegative numerator == floor in
+    both engines). NULL when a group is the whole corpus (n_rest =
+    0). 0 = identical distributions, 1e6 = disjoint supports.
+
+    Scale: one map-side-combinable pass to (group, value) counts —
+    the only input scan; global value counts derive from those
+    AGGREGATE rows; the evaluation frame is groups x global values
+    built by joining the group-total row set (tiny, broadcast) to
+    the global value frame, never by rescanning input. Products in
+    DECIMAL(38,0)/HUGEINT (n_rest * C_g ~ 1e24 at 1e12 rows). For
+    a continuous value at planetary scale, pre-bin upstream — the
+    frame is |groups| x |distinct values|, aggregate-sized only
+    when the value is discrete. -> (group, n, n_rest, ks_ppm)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    gv = (df.groupBy(F.col(group_col).alias("g"),
+                     F.col(value_col).alias("_v"))
+          .agg(F.count(F.lit(1)).alias("_c")))
+    vals = gv.groupBy("_v").agg(F.sum("_c").alias("_ca"))
+    groups = gv.groupBy("g").agg(F.sum("_c").alias("_ng"))
+    frame = (vals.crossJoin(F.broadcast(groups))
+             .join(gv, ["g", "_v"], "left")
+             .fillna(0, subset=["_c"]))
+    w = (Window.partitionBy("g").orderBy("_v")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    frame = (frame.withColumn("_cg", F.sum("_c").over(w))
+             .withColumn("_call", F.sum("_ca").over(w)))
+    tot = vals.agg(F.sum("_ca").alias("_t"))
+    return (frame.crossJoin(F.broadcast(tot))
+            .withColumn("_nr", F.col("_t") - F.col("_ng"))
+            .withColumn("_d", F.abs(
+                F.col("_nr").cast("decimal(38,0)") * F.col("_cg")
+                - F.col("_ng").cast("decimal(38,0)")
+                * (F.col("_call") - F.col("_cg"))))
+            .groupBy("g")
+            .agg(F.max("_ng").alias("n"), F.max("_nr").alias("_nr2"),
+                 F.max("_d").alias("_dm"))
+            .select(F.col("g").alias(group_col),
+                    F.col("n").cast("long").alias("n"),
+                    F.col("_nr2").cast("long").alias("n_rest"),
+                    F.expr("CASE WHEN n = 0 OR _nr2 = 0 THEN "
+                           "CAST(NULL AS BIGINT) ELSE CAST("
+                           "(_dm * 1000000) div (CAST(n AS "
+                           "DECIMAL(38,0)) * _nr2) AS BIGINT) END"
+                           ).alias("ks_ppm")))
+
+
+def ks_stat_sql(src_sql: str, *, group_col: str = "source") -> str:
+    """DuckDB twin of ks_stat over a subquery producing
+    (<group>, v) — same cross-multiplied sup over the global value
+    grid, same truncating division."""
+    return f"""
+WITH gv AS (SELECT {group_col} AS g, v, COUNT(*) AS c
+            FROM ({src_sql}) GROUP BY 1, 2),
+vals AS (SELECT v, SUM(c) AS ca FROM gv GROUP BY 1),
+grps AS (SELECT g, SUM(c) AS ng FROM gv GROUP BY 1),
+tot AS (SELECT SUM(ca) AS t FROM vals),
+frame AS (SELECT grps.g, vals.v, grps.ng, vals.ca,
+          COALESCE(gv.c, 0) AS c
+          FROM vals CROSS JOIN grps
+          LEFT JOIN gv ON gv.g = grps.g AND gv.v = vals.v),
+cum AS (SELECT g, ng, c, ca,
+        SUM(c) OVER (PARTITION BY g ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+                     ROW) AS cg,
+        SUM(ca) OVER (PARTITION BY g ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+                      ROW) AS call
+        FROM frame)
+SELECT g AS {group_col},
+       CAST(MAX(ng) AS BIGINT) AS n,
+       CAST(MAX((SELECT t FROM tot) - ng) AS BIGINT) AS n_rest,
+       CAST(CASE WHEN MAX(ng) = 0 OR MAX((SELECT t FROM tot) - ng)
+                 = 0 THEN NULL
+            ELSE (MAX(ABS(CAST(((SELECT t FROM tot) - ng) AS
+                              HUGEINT) * cg
+                          - CAST(ng AS HUGEINT) * (call - cg)))
+                  * 1000000)
+                 // (CAST(MAX(ng) AS HUGEINT)
+                     * MAX((SELECT t FROM tot) - ng)) END
+            AS BIGINT) AS ks_ppm
+FROM cum GROUP BY 1
+"""

@@ -2066,6 +2066,21 @@ def q_score_auc(spark, sf_dir):
     return score_auc(d, "score", "label", group_col="source")
 
 
+def q_ks_stat(spark, sf_dir):
+    """Per-source two-sample KS drift (r5.40): the exact
+    Kolmogorov-Smirnov distance between each source's document-
+    length distribution and the rest of the corpus — cross-
+    multiplied sup over the global value grid, integer ppm end to
+    end (operators/textstats.ks_stat docstring: one combinable pass
+    to (source, value) counts, everything after runs on aggregate
+    rows). The whole-distribution companion to host_drift's
+    term-level chi-square."""
+    from .operators.textstats import ks_stat
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "source", "n_chars")
+    return ks_stat(d, "n_chars", group_col="source")
+
+
 def q_interval_overlap(spark, sf_dir):
     """Interval-OVERLAP join (r5.21): per-(user, day) activity spans
     intersected with the synthetic campaign windows (the
@@ -3728,6 +3743,14 @@ QUERIES = {
     # (same session-10 triage: cost_distance displaces cell_rolling
     #  — r5.17, replica-green in every sweep since it landed)
     "cost_distance": q_cost_distance,
+    # (same session-10 triage: ks_stat — per-source two-sample KS
+    #  drift, new this session — displaces od_matrix, r5.20, the
+    #  oldest remaining soaked first-timer: replica-green in every
+    #  full sweep since it landed, its SQL nested VERBATIM inside
+    #  the in-window od_gravity oracle (the d8_flow twin precedent —
+    #  the shared hash stays driver-certified), and its streaming
+    #  twin stream_od sits inside under the full replay gate)
+    "ks_stat": q_ks_stat,
     # -- round-5.38 additions (session 9), inside the window for
     #    their first driver row under the session-8 triage principle
     #    (newest rows have the LEAST replica soak, so the final
@@ -3775,11 +3798,8 @@ QUERIES = {
     #  make room for lq_cells; see the head-of-dict comment.)
     # (stay_points — r5.19 — moved just past the window in session
     #  10 to make room for score_auc; see the head-of-dict comment.)
-    # -- round-5.20 addition, inside the window for its first driver
-    #    row (pip_agg rotates just past the window: driver-green
-    #    r1-r4; pip_join and pip_tile_agg keep the PIP machinery
-    #    inside) --
-    "od_matrix": q_od_matrix,
+    # (od_matrix — r5.20 — moved just past the window in session 10
+    #  to make room for ks_stat; see the head-of-dict comment.)
     # (campaign_attrib — r5.15 — moved just past the window in
     #  session 10 to make room for gi_star; see the head-of-dict
     #  comment. Original slot comment rides along at the new
@@ -3898,6 +3918,13 @@ QUERIES = {
     # (peak_cells — r5.36 — moved just past the window in session 10
     #  to make room for rrf_fuse; see the head-of-dict comment)
     "peak_cells": q_peak_cells,
+    # (od_matrix — r5.20 — moved just past the window in session 10
+    #  to make room for ks_stat; see the head-of-dict comment.
+    #  Original r5.20 slot comment: inside the window for its first
+    #  driver row; pip_agg rotated just past the window —
+    #  driver-green r1-r4; pip_join and pip_tile_agg keep the PIP
+    #  machinery inside.)
+    "od_matrix": q_od_matrix,
     # (campaign_attrib — r5.15 — moved just past the window in
     #  session 10 to make room for gi_star; see the head-of-dict
     #  comment. Original r5.15 slot comment: inside the window for
@@ -4599,6 +4626,9 @@ def oracle_sql() -> dict[str, str]:
         "SELECT source, n_chars AS score, "
         "CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label "
         "FROM documents")
+    from .operators.textstats import ks_stat_sql
+    out["ks_stat"] = ks_stat_sql(
+        "SELECT source, n_chars AS v FROM documents")
     from .operators.tiles import traverse_cells_sql
     out["traj_cells"] = traverse_cells_sql(
         f"SELECT user_id, ts, event_id, {_TRAJ_LAT} AS lat, "

@@ -1391,3 +1391,72 @@ class TestScoreAuc:
         assert got == want and len(got) == 4
         # sanity: random labels vs random scores hovers near 1/2
         assert all(300_000 < r[3] < 700_000 for r in got)
+
+
+class TestKSStat:
+    """Two-sample KS drift on the union value grid
+    (operators/textstats.ks_stat)."""
+
+    def _run(self, spark, rows):
+        d = spark.createDataFrame(rows, "source string, v long")
+        from geospark.operators.textstats import ks_stat
+        return {r["source"]: (r["n"], r["n_rest"], r["ks_ppm"])
+                for r in ks_stat(d, "v").collect()}
+
+    def test_disjoint_supports_full(self, spark):
+        """No overlap between a group and the rest -> 1e6 both
+        ways."""
+        got = self._run(spark, [("a", 5), ("b", 1), ("b", 1),
+                                ("b", 1)])
+        assert got == {"a": (1, 3, 1_000_000),
+                       "b": (3, 1, 1_000_000)}
+
+    def test_hand_symmetric_half(self, spark):
+        """a={1,2} vs b={2,3}: sup |2*C_a - 2*C_b| = 2 at v=1
+        -> 500_000 for both groups by symmetry."""
+        got = self._run(spark, [("a", 1), ("a", 2), ("b", 2),
+                                ("b", 3)])
+        assert got == {"a": (2, 2, 500_000), "b": (2, 2, 500_000)}
+
+    def test_max_at_rest_only_jump(self, spark):
+        """a={0,10,10,10}, b={5,5}: the sup for group a sits at
+        v=5 — a value group a NEVER takes (d=6 there vs 2 and 0 at
+        its own jumps): |2*1 - 4*2| = 6 -> 750_000. Evaluating only
+        at the group's own values would return 250_000 — the union
+        grid is load-bearing."""
+        got = self._run(spark, [("a", 0), ("a", 10), ("a", 10),
+                                ("a", 10), ("b", 5), ("b", 5)])
+        assert got["a"] == (4, 2, 750_000)
+
+    def test_identical_scaled_distributions_zero(self, spark):
+        """b is a doubled copy of a's distribution: every
+        cross-multiplied CDF difference cancels -> 0."""
+        rows = [("a", v) for v in (1, 2, 3)]
+        rows += [("b", v) for v in (1, 1, 2, 2, 3, 3)]
+        got = self._run(spark, rows)
+        assert got == {"a": (3, 6, 0), "b": (6, 3, 0)}
+
+    def test_single_group_null(self, spark):
+        """One group owns the whole corpus: n_rest = 0 -> NULL."""
+        got = self._run(spark, [("a", 1), ("a", 2)])
+        assert got == {"a": (2, 0, None)}
+
+    def test_inline_oracle_parity(self, spark):
+        import duckdb
+        import numpy as np
+
+        from geospark.operators.textstats import ks_stat, ks_stat_sql
+        rng = np.random.default_rng(88)
+        rows = [(f"s{int(g)}", int(v)) for g, v in zip(
+            rng.integers(0, 5, 1500),
+            rng.integers(0, 60, 1500) ** 2 // 7)]   # lumpy values
+        d = spark.createDataFrame(rows, "source string, v long")
+        got = sorted(tuple(r) for r in ks_stat(d, "v").collect())
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t (source VARCHAR, v BIGINT)")
+        con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+        want = sorted(tuple(r) for r in con.execute(ks_stat_sql(
+            "SELECT source, v FROM t")).fetchall())
+        assert got == want and len(got) == 5
+        # random groups from one distribution: small but nonzero D
+        assert all(0 < r[3] < 200_000 for r in got)
