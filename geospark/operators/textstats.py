@@ -1511,3 +1511,96 @@ SELECT g AS {group_col},
             AS BIGINT) AS ks_ppm
 FROM cum GROUP BY 1
 """
+
+
+def kendall_tau(df, x_col: str, y_col: str, *,
+                group_col: str = "source"):
+    """Per-group exact Kendall tau-a between two integer signals —
+    'do these two quality scores RANK documents the same way',
+    the ordinal companion to score_auc (which needs a label) and
+    quality_pr (which needs a threshold): tau_a = (C - D) /
+    (n(n-1)/2) with C/D the strictly concordant/discordant pair
+    counts; tied pairs (either coordinate) contribute 0 to the
+    numerator and stay in the denominator, the classic tau-a
+    convention — no sqrt tie correction, so the statistic is
+    integer-exact:
+
+        tau_ppm = sign(C - D) * (1e6 * |C - D|) div (n(n-1)/2)
+
+    (sign decomposition because Spark's decimal div truncates
+    toward zero while DuckDB's // floors — the moran_i rule).
+
+    Scale: ONE map-side-combinable pass to the (group, x, y)
+    CONTINGENCY counts — the only input scan; C and D come from a
+    strict-x self-join over those AGGREGATE cells (each unordered
+    pair counted once, from its lower-x cell), so the pair space is
+    |cells|² per group, never n² — exact when the signals are
+    discrete, and the documented contract at planetary scale is
+    pre-binning x/y upstream (same as ks_stat). The cell join is
+    equi-keyed on the group with a CPU-bound inequality residual:
+    explicitly repartitioned one-partition-per-core first (AQE's
+    byte-based coalescing cannot see CPU cost). n = 1 groups
+    return NULL. -> (group, n, conc, disc, tau_ppm)."""
+    from pyspark.sql import functions as F
+    p = df.sparkSession.sparkContext.defaultParallelism
+    ct = (df.groupBy(F.col(group_col).alias("g"),
+                     F.col(x_col).alias("_x"),
+                     F.col(y_col).alias("_y"))
+          .agg(F.count(F.lit(1)).alias("_c"))
+          .repartition(p, "g"))
+    a, b = ct.alias("a"), ct.alias("b")
+    pr = (a.join(b, (F.col("a.g") == F.col("b.g"))
+                 & (F.col("b._x") > F.col("a._x")))
+          .groupBy(F.col("a.g").alias("g"))
+          .agg(F.sum(F.when(F.col("b._y") > F.col("a._y"),
+                            F.col("a._c").cast("decimal(38,0)")
+                            * F.col("b._c")).otherwise(F.lit(0)))
+               .alias("_conc"),
+               F.sum(F.when(F.col("b._y") < F.col("a._y"),
+                            F.col("a._c").cast("decimal(38,0)")
+                            * F.col("b._c")).otherwise(F.lit(0)))
+               .alias("_disc")))
+    grp = ct.groupBy("g").agg(F.sum("_c").alias("_n"))
+    return (grp.join(pr, "g", "left")
+            .fillna(0, subset=["_conc", "_disc"])
+            .select(F.col("g").alias(group_col),
+                    F.col("_n").cast("long").alias("n"),
+                    F.col("_conc").cast("long").alias("conc"),
+                    F.col("_disc").cast("long").alias("disc"),
+                    F.expr("CASE WHEN _n < 2 THEN CAST(NULL AS "
+                           "BIGINT) ELSE CAST("
+                           "CASE WHEN _conc >= _disc THEN 1 ELSE -1 "
+                           "END * ((1000000 * ABS(_conc - _disc)) "
+                           "div (CAST(_n AS DECIMAL(38,0)) * "
+                           "(_n - 1) div 2)) AS BIGINT) END"
+                           ).alias("tau_ppm")))
+
+
+def kendall_tau_sql(src_sql: str, *, group_col: str = "source") -> str:
+    """DuckDB twin of kendall_tau over a subquery producing
+    (<group>, x, y) — same contingency self-join, same sign-
+    decomposed truncating division."""
+    return f"""
+WITH ct AS (SELECT {group_col} AS g, x, y, COUNT(*) AS c
+            FROM ({src_sql}) GROUP BY 1, 2, 3),
+pr AS (SELECT a.g,
+       SUM(CASE WHEN b.y > a.y THEN CAST(a.c AS HUGEINT) * b.c
+                ELSE 0 END) AS conc,
+       SUM(CASE WHEN b.y < a.y THEN CAST(a.c AS HUGEINT) * b.c
+                ELSE 0 END) AS disc
+       FROM ct a JOIN ct b ON a.g = b.g AND b.x > a.x
+       GROUP BY 1),
+grp AS (SELECT g, SUM(c) AS n FROM ct GROUP BY 1)
+SELECT grp.g AS {group_col},
+       CAST(grp.n AS BIGINT) AS n,
+       CAST(COALESCE(pr.conc, 0) AS BIGINT) AS conc,
+       CAST(COALESCE(pr.disc, 0) AS BIGINT) AS disc,
+       CAST(CASE WHEN grp.n < 2 THEN NULL
+            ELSE (CASE WHEN COALESCE(pr.conc, 0) >=
+                       COALESCE(pr.disc, 0) THEN 1 ELSE -1 END)
+                 * ((1000000 * ABS(COALESCE(pr.conc, 0)
+                                   - COALESCE(pr.disc, 0)))
+                    // (CAST(grp.n AS HUGEINT) * (grp.n - 1) // 2))
+            END AS BIGINT) AS tau_ppm
+FROM grp LEFT JOIN pr ON grp.g = pr.g
+"""

@@ -2081,6 +2081,22 @@ def q_ks_stat(spark, sf_dir):
     return ks_stat(d, "n_chars", group_col="source")
 
 
+def q_kendall_tau(spark, sf_dir):
+    """Per-source Kendall tau-a (r5.40): do raw length (n_chars)
+    and token count rank documents concordantly, per source — the
+    exact contingency-cell pair count with sign-decomposed trunc
+    ppm (operators/textstats.kendall_tau docstring: one combinable
+    pass to (source, x, y) cells, strict-x self-join on aggregate
+    rows). Token count via the shared canonical tokenizer
+    (words_col / TOKEN_RX — one expression per engine)."""
+    from pyspark.sql import functions as F
+    from .operators.textstats import kendall_tau, words_col
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "source", F.col("n_chars").alias("x"),
+        F.size(words_col("text")).cast("long").alias("y"))
+    return kendall_tau(d, "x", "y", group_col="source")
+
+
 def q_interval_overlap(spark, sf_dir):
     """Interval-OVERLAP join (r5.21): per-(user, day) activity spans
     intersected with the synthetic campaign windows (the
@@ -3751,6 +3767,16 @@ QUERIES = {
     #  the shared hash stays driver-certified), and its streaming
     #  twin stream_od sits inside under the full replay gate)
     "ks_stat": q_ks_stat,
+    # (same session-10 triage: kendall_tau — per-source exact tau-a
+    #  concordance between two quality signals, new this session —
+    #  displaces freshness, r5.21, among the oldest remaining soaked
+    #  first-timers: replica-green in every full sweep since it
+    #  landed, and its doc-table group-agg + broadcast-scalar shape
+    #  stays inside via doc_skyline/bm25_topk/host_drift;
+    #  stream_batch_dedup, nominally older, HOLDS the in-window twin
+    #  seat that certifies batch_dedup's shared oracle hash and is
+    #  not rotatable)
+    "kendall_tau": q_kendall_tau,
     # -- round-5.38 additions (session 9), inside the window for
     #    their first driver row under the session-8 triage principle
     #    (newest rows have the LEAST replica soak, so the final
@@ -3825,7 +3851,8 @@ QUERIES = {
     #    driver pass; all five swap-ins are replica-green at sf0.01
     #    under tools/check_oracle.py this session --
     "knn_graph": q_knn_graph,
-    "freshness": q_freshness,
+    # (freshness — r5.21 — moved just past the window in session 10
+    #  to make room for kendall_tau; see the head-of-dict comment.)
     "interval_overlap": q_interval_overlap,
     "peak_sessions": q_peak_sessions,
     "robots_gate": q_robots_gate,
@@ -3925,6 +3952,9 @@ QUERIES = {
     #  driver-green r1-r4; pip_join and pip_tile_agg keep the PIP
     #  machinery inside.)
     "od_matrix": q_od_matrix,
+    # (freshness — r5.21 — moved just past the window in session 10
+    #  to make room for kendall_tau; see the head-of-dict comment.)
+    "freshness": q_freshness,
     # (campaign_attrib — r5.15 — moved just past the window in
     #  session 10 to make room for gi_star; see the head-of-dict
     #  comment. Original r5.15 slot comment: inside the window for
@@ -4629,6 +4659,11 @@ def oracle_sql() -> dict[str, str]:
     from .operators.textstats import ks_stat_sql
     out["ks_stat"] = ks_stat_sql(
         "SELECT source, n_chars AS v FROM documents")
+    from .operators.textstats import TOKEN_RX, kendall_tau_sql
+    out["kendall_tau"] = kendall_tau_sql(
+        f"SELECT source, n_chars AS x, "
+        f"CAST(len(regexp_extract_all(lower(text), '{TOKEN_RX}')) "
+        f"AS BIGINT) AS y FROM documents")
     from .operators.tiles import traverse_cells_sql
     out["traj_cells"] = traverse_cells_sql(
         f"SELECT user_id, ts, event_id, {_TRAJ_LAT} AS lat, "

@@ -1460,3 +1460,78 @@ class TestKSStat:
         assert got == want and len(got) == 5
         # random groups from one distribution: small but nonzero D
         assert all(0 < r[3] < 200_000 for r in got)
+
+
+class TestKendallTau:
+    """Exact tau-a over contingency cells
+    (operators/textstats.kendall_tau)."""
+
+    def _run(self, spark, rows):
+        d = spark.createDataFrame(rows, "source string, x long, y long")
+        from geospark.operators.textstats import kendall_tau
+        return {r["source"]: (r["n"], r["conc"], r["disc"],
+                              r["tau_ppm"])
+                for r in kendall_tau(d, "x", "y").collect()}
+
+    def test_perfect_concordance(self, spark):
+        got = self._run(spark, [("a", 1, 1), ("a", 2, 2),
+                                ("a", 3, 3)])
+        assert got == {"a": (3, 3, 0, 1_000_000)}
+
+    def test_perfect_discordance(self, spark):
+        got = self._run(spark, [("a", 1, 3), ("a", 2, 2),
+                                ("a", 3, 1)])
+        assert got == {"a": (3, 0, 3, -1_000_000)}
+
+    def test_ties_dilute_not_crash(self, spark):
+        """x-tied and y-tied pairs contribute 0 to the numerator
+        but stay in the n(n-1)/2 denominator (tau-a)."""
+        got = self._run(spark, [("xt", 1, 1), ("xt", 1, 2),
+                                ("xt", 2, 3),
+                                ("yt", 1, 5), ("yt", 2, 5),
+                                ("yt", 3, 6)])
+        assert got["xt"] == (3, 2, 0, 666_666)
+        assert got["yt"] == (3, 2, 0, 666_666)
+
+    def test_negative_truncates_toward_zero(self, spark):
+        """C=1, D=2, denom 3: tau = -(1e6*1 div 3) = -333_333 —
+        floor division would give -333_334; this pins the
+        sign-decomposed trunc convention in both engines."""
+        got = self._run(spark, [("a", 1, 3), ("a", 2, 4),
+                                ("a", 3, 1)])
+        assert got == {"a": (3, 1, 2, -333_333)}
+
+    def test_cell_multiplicities(self, spark):
+        """(1,1)x2 and (2,2)x3: C = 2*3 = 6 pairs from one cell
+        pair, denom = 10 -> 600_000."""
+        rows = [("a", 1, 1)] * 2 + [("a", 2, 2)] * 3
+        got = self._run(spark, rows)
+        assert got == {"a": (5, 6, 0, 600_000)}
+
+    def test_single_row_null(self, spark):
+        got = self._run(spark, [("a", 1, 1)])
+        assert got == {"a": (1, 0, 0, None)}
+
+    def test_inline_oracle_parity(self, spark):
+        import duckdb
+        import numpy as np
+
+        from geospark.operators.textstats import (kendall_tau,
+                                                  kendall_tau_sql)
+        rng = np.random.default_rng(89)
+        xs = rng.integers(0, 25, 1200)
+        rows = [(f"s{int(g)}", int(x), int(x // 3 + e))
+                for g, x, e in zip(rng.integers(0, 4, 1200), xs,
+                                   rng.integers(-2, 3, 1200))]
+        d = spark.createDataFrame(rows, "source string, x long, y long")
+        got = sorted(tuple(r) for r in
+                     kendall_tau(d, "x", "y").collect())
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t (source VARCHAR, x BIGINT, "
+                    "y BIGINT)")
+        con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+        want = sorted(tuple(r) for r in con.execute(kendall_tau_sql(
+            "SELECT source, x, y FROM t")).fetchall())
+        assert got == want and len(got) == 4
+        # y tracks x with noise: strong positive concordance
+        assert all(r[4] > 400_000 for r in got)
