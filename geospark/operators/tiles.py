@@ -1171,6 +1171,182 @@ WHERE hi > lo
 """
 
 
+def cell_cusum(points, res: int, *, us_col: str = "us",
+               lat_col: str = "lat", lon_col: str = "lon",
+               day_us: int = 86_400_000_000):
+    """Per-cell CUSUM changepoint scan over the dense daily count
+    series — "WHEN did this tile's traffic shift", the point-estimate
+    companion to cell_mk's "does it trend" and cell_anomaly's "which
+    single days spike". Classic cumulative-sum-of-deviations, kept
+    integer-exact by scaling deviations by the span length m: with
+    T = sum(x) over the m dense days and cum_i the prefix sum through
+    day-index i (1-based),
+
+        S_i = m*cum_i - i*T        (== m^2 * classic CUSUM_i)
+
+    so S is pure BIGINT (S_m == 0 identically). Emitted per cell:
+    the max |S_i|, the EARLIEST day attaining it (the changepoint
+    estimate — counts drop after it when the sign is +1, rise when
+    -1), and that sign. Zero-filled days are load-bearing exactly as
+    in cell_mk: a sparse rollup would miss the quiet-period half of
+    every step edge.
+
+    Scale: everything after the shared dense fill is one cell-keyed
+    window cumsum plus one map-side-combinable struct-max agg over
+    the DENSE AGGREGATE frame (|cells| x m rows, m bounded by the
+    analysis window at production) — both ride the fill join's
+    cell exchange; no self-join, no point-table second scan.
+    -> (cell, n_total, max_abs_s, cp_day, cp_sign)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    filled, lo, hi = _dense_daily_counts(
+        points, res, us_col=us_col, lat_col=lat_col, lon_col=lon_col,
+        day_us=day_us)
+    if lo is None:
+        return (filled.groupBy("cell")
+                .agg(F.sum("n_events").alias("n_total"),
+                     F.lit(0).cast("long").alias("max_abs_s"),
+                     F.lit(0).cast("long").alias("cp_day"),
+                     F.lit(0).cast("long").alias("cp_sign"))
+                .limit(0))
+    m_days = hi - lo + 1
+    w = (Window.partitionBy("cell").orderBy("day")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    tot_w = Window.partitionBy("cell")
+    s = (filled
+         .withColumn("_cum", F.sum("n_events").over(w))
+         .withColumn("_tot", F.sum("n_events").over(tot_w))
+         .withColumn("_s", F.lit(m_days) * F.col("_cum")
+                     - (F.col("day") - F.lit(lo) + 1) * F.col("_tot")))
+    # lexicographic struct-max: largest |S|, then earliest day
+    # (via negated day), carrying sign and the total along.
+    pick = (s.groupBy("cell")
+            .agg(F.max(F.struct(
+                F.abs(F.col("_s")).alias("a"),
+                (-F.col("day")).alias("nd"),
+                F.signum("_s").cast("long").alias("sg"),
+                F.col("_tot").alias("t"))).alias("_m")))
+    return pick.select(
+        "cell",
+        F.col("_m.t").cast("long").alias("n_total"),
+        F.col("_m.a").cast("long").alias("max_abs_s"),
+        (-F.col("_m.nd")).cast("long").alias("cp_day"),
+        F.col("_m.sg").alias("cp_sign"))
+
+
+def cell_cusum_sql(pts_sql: str, res: int, *,
+                   day_us: int = 86_400_000_000) -> str:
+    """DuckDB twin of cell_cusum over a subquery producing
+    (lat, lon, us) — same dense prologue, same m-scaled integer S,
+    arg-max replicated as ROW_NUMBER over (|S| DESC, day ASC)."""
+    return f"""
+WITH {_dense_daily_counts_sql(pts_sql, res, day_us)},
+s AS (SELECT cell, day,
+      SUM(n_events) OVER (PARTITION BY cell) AS tot,
+      (hi - lo + 1) * SUM(n_events) OVER (PARTITION BY cell
+           ORDER BY day ROWS UNBOUNDED PRECEDING)
+        - (day - lo + 1) * SUM(n_events) OVER (PARTITION BY cell)
+        AS sv
+      FROM filled, span),
+r AS (SELECT cell, tot, sv, day,
+      ROW_NUMBER() OVER (PARTITION BY cell
+                         ORDER BY ABS(sv) DESC, day ASC) AS rn
+      FROM s)
+SELECT cell, CAST(tot AS BIGINT) AS n_total,
+       CAST(ABS(sv) AS BIGINT) AS max_abs_s,
+       CAST(day AS BIGINT) AS cp_day,
+       CAST(SIGN(sv) AS BIGINT) AS cp_sign
+FROM r WHERE rn = 1
+"""
+
+
+def cell_autocorr(points, res: int, *, us_col: str = "us",
+                  lat_col: str = "lat", lon_col: str = "lon",
+                  day_us: int = 86_400_000_000):
+    """Per-cell lag-1 autocorrelation of the dense daily count
+    series — "is today's traffic predictive of tomorrow's", the
+    persistence test that separates bursty-but-memoryless tiles from
+    genuinely sticky ones (commuter cells read high r1, event-spike
+    cells read ~0 or negative). The classic ACF(1) ratio needs no
+    square root, so it is integer-exact end to end with m-scaled
+    deviations d_t = m*x_t - T (sum(d) == 0 identically):
+
+        r1_ppm = sign(num) * (1e6 * |num|) div den,
+        num = sum_{{t<m}} d_t * d_{{t+1}},   den = sum d_t^2
+
+    (sign decomposition because Spark's div truncates toward zero
+    while DuckDB's // floors — the moran_i rule); den = 0 (constant
+    series) -> NULL. The 1e6 product runs in DECIMAL(38,0)/HUGEINT:
+    den fits a BIGINT for any production window but 1e6*|num| does
+    not at the extreme.
+
+    Scale: one cell-keyed lead window plus one combinable agg over
+    the dense aggregate frame, riding the fill join's exchange —
+    same cost envelope as cell_mk minus its pair join.
+    -> (cell, n_total, num, den, r1_ppm)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    filled, lo, hi = _dense_daily_counts(
+        points, res, us_col=us_col, lat_col=lat_col, lon_col=lon_col,
+        day_us=day_us)
+    if lo is None or hi == lo:
+        return (filled.groupBy("cell")
+                .agg(F.sum("n_events").alias("n_total"),
+                     F.lit(0).cast("long").alias("num"),
+                     F.lit(0).cast("long").alias("den"),
+                     F.lit(None).cast("long").alias("r1_ppm"))
+                .limit(0))
+    m_days = hi - lo + 1
+    tot_w = Window.partitionBy("cell")
+    nxt_w = Window.partitionBy("cell").orderBy("day")
+    d = (filled
+         .withColumn("_tot", F.sum("n_events").over(tot_w))
+         .withColumn("_d", F.lit(m_days) * F.col("n_events")
+                     - F.col("_tot"))
+         .withColumn("_dn", F.lead("_d").over(nxt_w)))
+    agg = (d.groupBy("cell")
+           .agg(F.max("_tot").alias("n_total"),
+                F.sum(F.col("_d") * F.col("_dn")).alias("num"),
+                F.sum(F.col("_d") * F.col("_d")).alias("den")))
+    return agg.select(
+        "cell", F.col("n_total").cast("long"),
+        F.col("num").cast("long"), F.col("den").cast("long"),
+        F.expr("CASE WHEN den = 0 THEN CAST(NULL AS BIGINT) "
+               "ELSE CAST(CASE WHEN num >= 0 THEN 1 ELSE -1 END "
+               "* ((1000000 * ABS(CAST(num AS DECIMAL(38,0)))) "
+               "div CAST(den AS DECIMAL(38,0))) AS BIGINT) END")
+        .alias("r1_ppm"))
+
+
+def cell_autocorr_sql(pts_sql: str, res: int, *,
+                      day_us: int = 86_400_000_000) -> str:
+    """DuckDB twin of cell_autocorr over a subquery producing
+    (lat, lon, us) — same dense prologue, same m-scaled deviations,
+    sign-decomposed truncating HUGEINT division."""
+    num = "(1000000 * ABS(CAST(num AS HUGEINT)))"
+    return f"""
+WITH {_dense_daily_counts_sql(pts_sql, res, day_us)},
+dev AS (SELECT cell, day,
+      SUM(n_events) OVER (PARTITION BY cell) AS tot,
+      (hi - lo + 1) * n_events
+        - SUM(n_events) OVER (PARTITION BY cell) AS dv
+      FROM filled, span),
+dev2 AS (SELECT cell, tot, dv,
+         LEAD(dv) OVER (PARTITION BY cell ORDER BY day) AS dn
+         FROM dev),
+agg AS (SELECT cell, MAX(tot) AS n_total,
+        SUM(dv * dn) AS num, SUM(dv * dv) AS den
+        FROM dev2 GROUP BY 1)
+SELECT cell, CAST(n_total AS BIGINT) AS n_total,
+       CAST(num AS BIGINT) AS num, CAST(den AS BIGINT) AS den,
+       CAST(CASE WHEN den = 0 THEN NULL
+            ELSE (CASE WHEN num >= 0 THEN 1 ELSE -1 END)
+                 * ({num} // CAST(den AS HUGEINT)) END
+            AS BIGINT) AS r1_ppm
+FROM agg
+"""
+
+
 def _interleave_expr(x: str, y: str, res: int) -> str:
     """Spark/DuckDB-shared SQL text: Morton-interleave ``res`` bits of
     integer exprs x (even positions) and y (odd) — generated from one

@@ -2712,6 +2712,28 @@ def q_cell_mk(spark, sf_dir):
     return cell_mk(_traj_pts(spark, sf_dir), _TREND_RES)
 
 
+def q_cell_cusum(spark, sf_dir):
+    """Per-cell CUSUM changepoint (r5.41): WHEN each res-4 cell's
+    daily traffic shifted — max |m*cum_i - i*T| over the dense
+    calendar with the earliest arg-max day and its direction sign,
+    the point-estimate companion to cell_mk's trend verdict
+    (operators/tiles.cell_cusum docstring: one window cumsum + one
+    combinable struct-max over the dense aggregate frame)."""
+    from .operators.tiles import cell_cusum
+    return cell_cusum(_traj_pts(spark, sf_dir), _TREND_RES)
+
+
+def q_cell_autocorr(spark, sf_dir):
+    """Per-cell lag-1 autocorrelation (r5.41): is today's traffic
+    predictive of tomorrow's — the ACF(1) ratio needs no sqrt, so
+    it's integer-exact ppm with m-scaled deviations; separates
+    sticky commuter cells from memoryless spike cells
+    (operators/tiles.cell_autocorr docstring: one lead window + one
+    combinable agg riding the dense fill's cell exchange)."""
+    from .operators.tiles import cell_autocorr
+    return cell_autocorr(_traj_pts(spark, sf_dir), _TREND_RES)
+
+
 _PAIR_RADII = [1_000_000, 2_000_000, 5_000_000, 10_000_000]
 _PAIR_RES = 4
 
@@ -3672,6 +3694,19 @@ def q_bearing_hist(spark, sf_dir):
 
 
 QUERIES = {
+    # -- round-5.41 additions (session 11), inside the window for
+    #    their first driver rows under the same newest-least-soak
+    #    triage; hilbert_keys rotates just past the boundary to make
+    #    room for cell_cusum (oldest in-window first-timer — r5.9,
+    #    replica-green in every full sweep since; the locality-key
+    #    machinery keeps driver coverage via zorder_keys' r4 green
+    #    and hilbert_pack's byte-shared traversal expr), and
+    #    link_rank makes room for cell_autocorr (r5.10, same soak
+    #    argument; its pagerank_sql twin is byte-shared with
+    #    seg_rank and the iterative-relaxation tier stays inside via
+    #    kcore/cost_distance/grid-reach-family greens) --
+    "cell_cusum": q_cell_cusum,
+    "cell_autocorr": q_cell_autocorr,
     # -- round-5.39 addition (session 10), inside the window for its
     #    first driver row under the same newest-least-soak triage;
     #    centroid_drift rotates just past the boundary to make room
@@ -3873,11 +3908,12 @@ QUERIES = {
     #    the window: both driver-green r4, and their machinery is still
     #    exercised inside by hotspot_cells — the same
     #    cell_neighbors_explode — and retention/funnel_by_cell) --
-    "hilbert_keys": q_hilbert_keys,
-    # -- round-5.10 addition, inside the window for its first driver
-    #    row (pip_semi rotates just past the window: driver-green r4,
-    #    machinery fully covered by pip_join/pip_anti/pip_agg inside) --
-    "link_rank": q_link_rank,
+    # (hilbert_keys — r5.9 — and link_rank — r5.10 — moved just past
+    #  the window in session 11 to make room for cell_cusum and
+    #  cell_autocorr; see the head-of-dict comment. link_rank's
+    #  original r5.10 slot comment: pip_semi rotates just past the
+    #  window: driver-green r4, machinery fully covered by
+    #  pip_join/pip_anti/pip_agg inside.)
     # -- round-5 addition, inside the window for its first driver row --
     "pip_tile_agg": q_pip_tile_agg,
     # (pip_semi rotated just past the window in r5.10 for link_rank;
@@ -3945,6 +3981,9 @@ QUERIES = {
     # (peak_cells — r5.36 — moved just past the window in session 10
     #  to make room for rrf_fuse; see the head-of-dict comment)
     "peak_cells": q_peak_cells,
+    # (moved just past the window in session 11 — see head-of-dict)
+    "hilbert_keys": q_hilbert_keys,
+    "link_rank": q_link_rank,
     # (od_matrix — r5.20 — moved just past the window in session 10
     #  to make room for ks_stat; see the head-of-dict comment.
     #  Original r5.20 slot comment: inside the window for its first
@@ -5011,6 +5050,10 @@ def oracle_sql() -> dict[str, str]:
     out["moran_i"] = moran_i_sql(_TRAJ_PTS_SQL, _MORAN_RES)
     out["lisa_cells"] = lisa_cells_sql(_TRAJ_PTS_SQL, _MORAN_RES)
     out["cell_mk"] = cell_mk_sql(_TRAJ_PTS_SQL, _TREND_RES)
+    from .operators.tiles import cell_autocorr_sql, cell_cusum_sql
+    out["cell_cusum"] = cell_cusum_sql(_TRAJ_PTS_SQL, _TREND_RES)
+    out["cell_autocorr"] = cell_autocorr_sql(_TRAJ_PTS_SQL,
+                                             _TREND_RES)
     from .operators.events import bearing_hist_sql
     out["bearing_hist"] = bearing_hist_sql(_TRAJ_PTS_SQL)
     from .operators.textstats import bigram_lm_sql
