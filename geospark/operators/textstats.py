@@ -1604,3 +1604,112 @@ SELECT grp.g AS {group_col},
             END AS BIGINT) AS tau_ppm
 FROM grp LEFT JOIN pr ON grp.g = pr.g
 """
+
+
+def spearman_rho(df, x_col: str, y_col: str, *,
+                 group_col: str = "source"):
+    """Per-group exact Spearman rank correlation between two integer
+    signals, reported as SIGNED rho-squared in ppm — the magnitude
+    companion to kendall_tau's concordance direction (tau saturates
+    near +-1 slower than rho; reading both separates 'weakly
+    monotone' from 'rank-linear'). Square roots would break integer
+    exactness, so we emit sign(rho) * rho^2, which preserves order
+    AND sign:
+
+      doubled average ranks (ties -> midrank): 2r(v) = 2*cum_<v
+        + c_v + 1 — integers, from ONE window over the per-(group,
+        value) aggregate counts;
+      with S_xy = sum 2r_x*2r_y, S_xx, S_yy over items and the
+        identity sum(2r) = n(n+1):
+        num = S_xy - n(n+1)^2, den_x = S_xx - n(n+1)^2,
+        den_y = S_yy - n(n+1)^2   (the common factor n of the
+        classic Pearson-on-ranks numerator/denominator cancels);
+      srho2_ppm = sign(num) * (1e6 * num^2) div (den_x * den_y)
+
+    (sign decomposition for the Spark-div/DuckDB-// mismatch — the
+    moran_i rule). All-tied x or y (den = 0) -> NULL; n = 1 -> NULL.
+
+    Scale: ONE map-side-combinable pass to (group, x, y) contingency
+    cells — the only input scan; ranks come from windows over the
+    per-axis AGGREGATE marginals (never a per-row sort), and the two
+    rank joins are cell-count-sized and group-keyed. The 1e6*num^2
+    product runs in DECIMAL(38,0)/HUGEINT, exact to |num| ~ 3e15 —
+    i.e. n ~ 1e5 per group; past that pre-bin the signals upstream
+    (the ks_stat/kendall_tau contract). -> (group, n, srho2_ppm)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    cells = (df.groupBy(F.col(group_col).alias("g"),
+                        F.col(x_col).alias("_x"),
+                        F.col(y_col).alias("_y"))
+             .agg(F.count(F.lit(1)).alias("_c")))
+
+    def ranks(axis):
+        w = (Window.partitionBy("g").orderBy(axis)
+             .rowsBetween(Window.unboundedPreceding, 0))
+        return (cells.groupBy("g", axis)
+                .agg(F.sum("_c").alias("_cv"))
+                .withColumn("_2r", 2 * F.sum("_cv").over(w)
+                            - F.col("_cv") + 1)
+                .select("g", axis, "_2r"))
+    rx = ranks("_x").withColumnRenamed("_2r", "_rx")
+    ry = ranks("_y").withColumnRenamed("_2r", "_ry")
+    dec = "CAST(_c AS DECIMAL(38,0))"
+    agg = (cells.join(rx, ["g", "_x"]).join(ry, ["g", "_y"])
+           .groupBy("g")
+           .agg(F.sum("_c").alias("_n"),
+                F.sum(F.expr(f"{dec} * _rx * _ry")).alias("_sxy"),
+                F.sum(F.expr(f"{dec} * _rx * _rx")).alias("_sxx"),
+                F.sum(F.expr(f"{dec} * _ry * _ry")).alias("_syy")))
+    k = "CAST(_n AS DECIMAL(38,0)) * (_n + 1) * (_n + 1)"
+    return (agg
+            .withColumn("_num", F.expr(f"_sxy - {k}"))
+            .withColumn("_dx", F.expr(f"_sxx - {k}"))
+            .withColumn("_dy", F.expr(f"_syy - {k}"))
+            .select(F.col("g").alias(group_col),
+                    F.col("_n").cast("long").alias("n"),
+                    F.expr("CASE WHEN _dx = 0 OR _dy = 0 OR _n < 2 "
+                           "THEN CAST(NULL AS BIGINT) ELSE CAST("
+                           "CASE WHEN _num >= 0 THEN 1 ELSE -1 END "
+                           "* ((1000000 * _num * _num) "
+                           "div (_dx * _dy)) AS BIGINT) END")
+                    .alias("srho2_ppm")))
+
+
+def spearman_rho_sql(src_sql: str, *,
+                     group_col: str = "source") -> str:
+    """DuckDB twin of spearman_rho over a subquery producing
+    (<group>, x, y) — same midrank windows over aggregate marginals,
+    same cancelled-n identity, sign-decomposed truncating HUGEINT
+    division (num^2 is non-negative, so only the outer sign needs
+    decomposing)."""
+    def ranks(axis):
+        return f"""(SELECT g, {axis},
+        2 * SUM(cv) OVER (PARTITION BY g ORDER BY {axis}
+                          ROWS UNBOUNDED PRECEDING) - cv + 1 AS r2
+        FROM (SELECT g, {axis}, SUM(c) AS cv FROM cells
+              GROUP BY 1, 2))"""
+    return f"""
+WITH cells AS (SELECT {group_col} AS g, x, y, COUNT(*) AS c
+               FROM ({src_sql}) GROUP BY 1, 2, 3),
+rx AS {ranks('x')},
+ry AS {ranks('y')},
+agg AS (SELECT cells.g, SUM(c) AS n,
+        SUM(CAST(c AS HUGEINT) * rx.r2 * ry.r2) AS sxy,
+        SUM(CAST(c AS HUGEINT) * rx.r2 * rx.r2) AS sxx,
+        SUM(CAST(c AS HUGEINT) * ry.r2 * ry.r2) AS syy
+        FROM cells
+        JOIN rx ON cells.g = rx.g AND cells.x = rx.x
+        JOIN ry ON cells.g = ry.g AND cells.y = ry.y
+        GROUP BY 1),
+fin AS (SELECT g, n,
+        sxy - CAST(n AS HUGEINT) * (n + 1) * (n + 1) AS num,
+        sxx - CAST(n AS HUGEINT) * (n + 1) * (n + 1) AS dx,
+        syy - CAST(n AS HUGEINT) * (n + 1) * (n + 1) AS dy
+        FROM agg)
+SELECT g AS {group_col}, CAST(n AS BIGINT) AS n,
+       CAST(CASE WHEN dx = 0 OR dy = 0 OR n < 2 THEN NULL
+            ELSE (CASE WHEN num >= 0 THEN 1 ELSE -1 END)
+                 * ((1000000 * num * num) // (dx * dy))
+            END AS BIGINT) AS srho2_ppm
+FROM fin
+"""

@@ -2097,6 +2097,23 @@ def q_kendall_tau(spark, sf_dir):
     return kendall_tau(d, "x", "y", group_col="source")
 
 
+def q_spearman_rho(spark, sf_dir):
+    """Per-source Spearman rank correlation (r5.41): does raw length
+    rank documents the same way as VOCABULARY size (distinct tokens
+    — the type count, not kendall_tau's total-token twin signal) —
+    signed rho-squared in exact ppm via midranks over aggregate
+    marginals (operators/textstats.spearman_rho docstring: one
+    contingency pass, rank windows on aggregate rows, the
+    cancelled-n Pearson identity)."""
+    from pyspark.sql import functions as F
+    from .operators.textstats import spearman_rho, words_col
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "source", F.col("n_chars").alias("x"),
+        F.size(F.array_distinct(words_col("text")))
+        .cast("long").alias("y"))
+    return spearman_rho(d, "x", "y", group_col="source")
+
+
 def q_interval_overlap(spark, sf_dir):
     """Interval-OVERLAP join (r5.21): per-(user, day) activity spans
     intersected with the synthetic campaign windows (the
@@ -3707,6 +3724,14 @@ QUERIES = {
     #    kcore/cost_distance/grid-reach-family greens) --
     "cell_cusum": q_cell_cusum,
     "cell_autocorr": q_cell_autocorr,
+    # -- r5.41 (session 11), same triage: spearman_rho joins the
+    #    rank-statistics family next to in-window kendall_tau /
+    #    ks_stat / score_auc; pip_tile_agg rotates just past the
+    #    boundary to make room (r5 early — long replica soak; the
+    #    PIP machinery keeps r4 driver greens via pip_join/pip_agg/
+    #    pip_join_many and stays in-window via pip_join/pip_semi/
+    #    pip_anti) --
+    "spearman_rho": q_spearman_rho,
     # -- round-5.39 addition (session 10), inside the window for its
     #    first driver row under the same newest-least-soak triage;
     #    centroid_drift rotates just past the boundary to make room
@@ -3914,8 +3939,8 @@ QUERIES = {
     #  original r5.10 slot comment: pip_semi rotates just past the
     #  window: driver-green r4, machinery fully covered by
     #  pip_join/pip_anti/pip_agg inside.)
-    # -- round-5 addition, inside the window for its first driver row --
-    "pip_tile_agg": q_pip_tile_agg,
+    # (pip_tile_agg — r5 early — moved just past the window in
+    #  session 11 to make room for spearman_rho; see head-of-dict)
     # (pip_semi rotated just past the window in r5.10 for link_rank;
     #  driver-green r4; cell_counts/pip_join/knn/schema_infer —
     #  driver-green r4 — rotated just past the window in the r5-final
@@ -3984,6 +4009,7 @@ QUERIES = {
     # (moved just past the window in session 11 — see head-of-dict)
     "hilbert_keys": q_hilbert_keys,
     "link_rank": q_link_rank,
+    "pip_tile_agg": q_pip_tile_agg,
     # (od_matrix — r5.20 — moved just past the window in session 10
     #  to make room for ks_stat; see the head-of-dict comment.
     #  Original r5.20 slot comment: inside the window for its first
@@ -4703,6 +4729,11 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT source, n_chars AS x, "
         f"CAST(len(regexp_extract_all(lower(text), '{TOKEN_RX}')) "
         f"AS BIGINT) AS y FROM documents")
+    from .operators.textstats import spearman_rho_sql
+    out["spearman_rho"] = spearman_rho_sql(
+        f"SELECT source, n_chars AS x, "
+        f"CAST(len(list_distinct(regexp_extract_all(lower(text), "
+        f"'{TOKEN_RX}'))) AS BIGINT) AS y FROM documents")
     from .operators.tiles import traverse_cells_sql
     out["traj_cells"] = traverse_cells_sql(
         f"SELECT user_id, ts, event_id, {_TRAJ_LAT} AS lat, "

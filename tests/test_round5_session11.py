@@ -180,3 +180,63 @@ class TestCellAutocorr:
             cell_autocorr_sql("SELECT lat, lon, us FROM p",
                               3)).fetchall())
         assert got == want and len(got) > 10
+
+
+class TestSpearmanRho:
+    def _run(self, spark, rows):
+        from geospark.operators.textstats import spearman_rho
+        d = spark.createDataFrame(rows, "g string, x long, y long")
+        return {r["g"]: (r["n"], r["srho2_ppm"])
+                for r in spearman_rho(d, "x", "y",
+                                      group_col="g").collect()}
+
+    def test_perfect_monotone_both_signs(self, spark):
+        rows = ([("up", i, 10 * i) for i in (1, 2, 3)]
+                + [("dn", i, -7 * i) for i in (1, 2, 3)])
+        got = self._run(spark, rows)
+        assert got["up"] == (3, 1_000_000)
+        assert got["dn"] == (3, -1_000_000)
+
+    def test_midranks_classic_quarter(self, spark):
+        """x=[1,1,2], y=[1,2,2] -> rho = 0.5 via midranks ->
+        +250000 ppm (hand-derived: num=3, dx=dy=6)."""
+        got = self._run(spark, [("g", 1, 1), ("g", 1, 2),
+                                ("g", 2, 2)])
+        assert got["g"] == (3, 250_000)
+
+    def test_swapped_pairs_point_six(self, spark):
+        """x=[1,2,3,4], y=[2,1,4,3] -> classic rho = 0.6 ->
+        360000 ppm; the reversed-halves y=[3,4,1,2] mirrors to
+        -360000 (sign decomposition, not floor)."""
+        got = self._run(spark, [("a", i, y) for i, y in
+                                zip((1, 2, 3, 4), (2, 1, 4, 3))]
+                        + [("b", i, y) for i, y in
+                           zip((1, 2, 3, 4), (3, 4, 1, 2))])
+        assert got["a"] == (4, 360_000)
+        assert got["b"] == (4, -360_000)
+
+    def test_degenerate_null(self, spark):
+        """All-tied x (den 0) and singleton groups -> NULL."""
+        got = self._run(spark, [("t", 5, 1), ("t", 5, 2),
+                                ("t", 5, 3), ("s", 1, 1)])
+        assert got["t"] == (3, None)
+        assert got["s"] == (1, None)
+
+    def test_inline_oracle_parity(self, spark):
+        import duckdb
+        import numpy as np
+
+        from geospark.operators.textstats import (spearman_rho,
+                                                  spearman_rho_sql)
+        rng = np.random.default_rng(913)
+        rows = [(f"s{int(g)}", int(x), int(y)) for g, x, y in zip(
+            rng.integers(0, 4, 800), rng.integers(0, 25, 800),
+            rng.integers(0, 25, 800))]
+        d = spark.createDataFrame(rows, "g string, x long, y long")
+        got = _rows(spearman_rho(d, "x", "y", group_col="g"))
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t (g VARCHAR, x BIGINT, y BIGINT)")
+        con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+        want = sorted(tuple(r) for r in con.execute(spearman_rho_sql(
+            "SELECT g, x, y FROM t", group_col="g")).fetchall())
+        assert got == want and len(got) == 4
