@@ -3145,6 +3145,26 @@ def q_kcore(spark, sf_dir):
     return kcore_peel(e, _KCORE_K, _KCORE_ROUNDS)
 
 
+_LINKPRED_K = 50
+
+
+def q_link_pred(spark, sf_dir):
+    """Common-neighbor link prediction (r5.41): the top-50 MISSING
+    edges of the customer proximity graph by exact Jaccard overlap
+    of neighborhoods — the friend-suggestion / crawl-frontier
+    primitive over the same epsilon graph kcore and triangles read
+    (operators/graph.link_pred docstring: wedge self-join on the
+    shared-neighbor key, one anti-join, TakeOrderedAndProject)."""
+    from pyspark.sql import functions as F
+
+    from .operators.graph import link_pred
+    from .operators.tiles import proximity_edges
+    pts = _cust_points(spark, sf_dir).select(
+        F.col("c_custkey").alias("id"), "lat", "lon")
+    e = proximity_edges(pts, _PROX_R_UDEG, res=_PROX_RES)
+    return link_pred(e, _LINKPRED_K)
+
+
 def q_colloc_lift(spark, sf_dir):
     """Collocation lift (r5.34): exact integer PMI-monotone lift per
     corpus bigram over the shared tokenization — phrase mining
@@ -3732,6 +3752,13 @@ QUERIES = {
     #    pip_join_many and stays in-window via pip_join/pip_semi/
     #    pip_anti) --
     "spearman_rho": q_spearman_rho,
+    # -- r5.41 (session 11), same triage: link_pred reads the same
+    #    proximity graph as in-window kcore and scores the missing
+    #    edges; best_of_cluster rotates just past the boundary to
+    #    make room (r5.8 — long replica soak; its CC machinery keeps
+    #    the r4 dup_clusters driver green and the quality-argmax
+    #    window tier stays inside via top_terms/doc_skyline) --
+    "link_pred": q_link_pred,
     # -- round-5.39 addition (session 10), inside the window for its
     #    first driver row under the same newest-least-soak triage;
     #    centroid_drift rotates just past the boundary to make room
@@ -3916,12 +3943,11 @@ QUERIES = {
     "interval_overlap": q_interval_overlap,
     "peak_sessions": q_peak_sessions,
     "robots_gate": q_robots_gate,
-    # -- round-5.8 addition, inside the window for its first driver
-    #    row (cell_assign rotates just past the window to make room:
-    #    driver-green r1-r4 and redundant with the cell rows still
-    #    inside — cell_counts, cell_distinct_users, cell_moments,
-    #    hotspot_cells, geohash) --
-    "best_of_cluster": q_best_of_cluster,
+    # (best_of_cluster — r5.8 — moved just past the window in
+    #  session 11 to make room for link_pred; see head-of-dict.
+    #  Original r5.8 slot comment: cell_assign rotates just past the
+    #  window to make room: driver-green r1-r4 and redundant with
+    #  the cell rows still inside.)
     # (batch_dedup moved just past the window in session 9 to make
     #  room for stream_resample: its oracle SQL is byte-identical to
     #  stream_batch_dedup's, which STAYS inside — a driver green on
@@ -4010,6 +4036,7 @@ QUERIES = {
     "hilbert_keys": q_hilbert_keys,
     "link_rank": q_link_rank,
     "pip_tile_agg": q_pip_tile_agg,
+    "best_of_cluster": q_best_of_cluster,
     # (od_matrix — r5.20 — moved just past the window in session 10
     #  to make room for ks_stat; see the head-of-dict comment.
     #  Original r5.20 slot comment: inside the window for its first
@@ -5160,6 +5187,9 @@ def oracle_sql() -> dict[str, str]:
     out["kcore"] = kcore_peel_sql(
         proximity_edges_sql(cust_ids, _PROX_R_UDEG),
         _KCORE_K, _KCORE_ROUNDS)
+    from .operators.graph import link_pred_sql
+    out["link_pred"] = link_pred_sql(
+        proximity_edges_sql(cust_ids, _PROX_R_UDEG), _LINKPRED_K)
     out["colloc_lift"] = collocations_sql(min_count=_BIGRAM_MIN)
     from .operators.dedup import containment_pairs_sql
     from .operators.events import knox_stat_sql

@@ -240,3 +240,58 @@ class TestSpearmanRho:
         want = sorted(tuple(r) for r in con.execute(spearman_rho_sql(
             "SELECT g, x, y FROM t", group_col="g")).fetchall())
         assert got == want and len(got) == 4
+
+
+class TestLinkPred:
+    def _run(self, spark, edges, k=10):
+        from geospark.operators.graph import link_pred
+        e = spark.createDataFrame(edges, "id_a long, id_b long")
+        return [tuple(r) for r in link_pred(e, k).collect()]
+
+    def test_diamond_closes(self, spark):
+        """1-2,1-3,2-3,2-4,3-4: the only missing pair is (1,4),
+        with N(1) == N(4) == {2,3} -> Jaccard 1.0; adjacent pairs
+        sharing neighbors (e.g. 2-3) must NOT appear."""
+        got = self._run(spark, [(1, 2), (1, 3), (2, 3),
+                                (2, 4), (3, 4)])
+        assert got == [(1, 4, 2, 2, 2, 1_000_000)]
+
+    def test_star_ties_and_cut(self, spark):
+        """Star 0-{1,2,3}: all three leaf pairs score 1.0; the
+        deterministic (id_a, id_b) tie-break makes k=2 cut to
+        (1,2),(1,3) in both engines."""
+        got = self._run(spark, [(0, 1), (0, 2), (0, 3)], k=2)
+        assert got == [(1, 2, 1, 1, 1, 1_000_000),
+                       (1, 3, 1, 1, 1, 1_000_000)]
+
+    def test_floor_ppm_and_duplicate_edges(self, spark):
+        """Path 1-2-3 plus spurs 1-5, 3-6: pair (1,3) has cn=1,
+        deg 2+2 -> union 3 -> floor(1e6/3) = 333333; duplicated
+        input edge rows must not inflate cn or degrees."""
+        edges = [(1, 2), (2, 3), (1, 5), (3, 6), (1, 2), (2, 3)]
+        got = self._run(spark, edges)
+        assert (1, 3, 1, 2, 2, 333_333) in got
+        # (5,2): via neighbor 1 -> cn=1, deg(5)=1, deg(2)=2 -> 500000
+        assert (2, 5, 1, 2, 1, 500_000) in got
+
+    def test_inline_oracle_parity(self, spark):
+        import duckdb
+        import numpy as np
+
+        from geospark.operators.graph import link_pred, link_pred_sql
+        rng = np.random.default_rng(914)
+        edges = sorted({(int(min(a, b)), int(max(a, b)))
+                        for a, b in zip(rng.integers(0, 60, 300),
+                                        rng.integers(0, 60, 300))
+                        if a != b})
+        d = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = [tuple(r) for r in
+               __import__("geospark.operators.graph",
+                          fromlist=["link_pred"])
+               .link_pred(d, 25).collect()]
+        con = duckdb.connect()
+        con.execute("CREATE TABLE e (id_a BIGINT, id_b BIGINT)")
+        con.executemany("INSERT INTO e VALUES (?, ?)", edges)
+        want = [tuple(r) for r in con.execute(link_pred_sql(
+            "SELECT id_a, id_b FROM e", 25)).fetchall()]
+        assert got == want and len(got) == 25
