@@ -336,3 +336,88 @@ FROM miss JOIN deg du ON miss.u = du.a
 ORDER BY jac_ppm DESC, cn DESC, id_a, id_b
 LIMIT {int(k)}
 """
+
+
+def degree_assort(edges, *, a_col: str = "id_a",
+                  b_col: str = "id_b"):
+    """Global degree assortativity — 'do hubs attach to hubs'
+    (Newman 2002), as the Pearson correlation of endpoint degrees
+    over the DIRECTED adjacency (each undirected edge contributes
+    both orientations, the standard symmetrization). Positive on
+    social/contact graphs, negative on web/hub-and-spoke graphs —
+    the one-number structural fingerprint under graph-based
+    curation. Square roots would break integer exactness, so the
+    output is SIGNED r-squared in ppm (the spearman_rho trick):
+
+        num = n*S_xy - S_x*S_y,  d_x = n*S_xx - S_x^2,
+        d_y = n*S_yy - S_y^2  (x, y = endpoint degrees),
+        assort_ppm = sign(num) * (1e6 * num^2) div (d_x * d_y)
+
+    with DECIMAL(38,0)/HUGEINT products; d = 0 (regular graph) or
+    n < 2 -> NULL. By symmetry S_x = S_y and d_x = d_y — computed
+    separately anyway so the twin stays mechanical.
+
+    Scale: one degree agg, two broadcast-sized degree joins back
+    onto the edge stream, one combinable global agg — no window, no
+    self-join; exact to |num| ~ 3e15 (the spearman_rho envelope),
+    past which degrees should be log-bucketed upstream.
+    -> one row (n_dir_edges, assort_ppm)."""
+    from pyspark.sql import functions as F
+    e = edges.select(F.col(a_col).alias("_a"),
+                     F.col(b_col).alias("_b")).distinct()
+    adj = e.unionByName(e.select(F.col("_b").alias("_a"),
+                                 F.col("_a").alias("_b")))
+    deg = adj.groupBy("_a").agg(F.count(F.lit(1)).alias("_d"))
+    dec = "CAST(_dx AS DECIMAL(38,0))"
+    j = (adj
+         .join(deg.select(F.col("_a"), F.col("_d").alias("_dx")),
+               "_a")
+         .join(deg.select(F.col("_a").alias("_b"),
+                          F.col("_d").alias("_dy")), "_b"))
+    agg = j.agg(F.count(F.lit(1)).alias("_n"),
+                F.sum(F.expr(f"{dec}")).alias("_sx"),
+                F.sum(F.expr("CAST(_dy AS DECIMAL(38,0))"))
+                .alias("_sy"),
+                F.sum(F.expr(f"{dec} * _dy")).alias("_sxy"),
+                F.sum(F.expr(f"{dec} * _dx")).alias("_sxx"),
+                F.sum(F.expr("CAST(_dy AS DECIMAL(38,0)) * _dy"))
+                .alias("_syy"))
+    return (agg
+            .withColumn("_num", F.expr("_n * _sxy - _sx * _sy"))
+            .withColumn("_ddx", F.expr("_n * _sxx - _sx * _sx"))
+            .withColumn("_ddy", F.expr("_n * _syy - _sy * _sy"))
+            .select(F.col("_n").cast("long").alias("n_dir_edges"),
+                    F.expr("CASE WHEN _n < 2 OR _ddx = 0 OR _ddy = 0 "
+                           "THEN CAST(NULL AS BIGINT) ELSE CAST("
+                           "CASE WHEN _num >= 0 THEN 1 ELSE -1 END "
+                           "* ((1000000 * _num * _num) "
+                           "div (_ddx * _ddy)) AS BIGINT) END")
+                    .alias("assort_ppm")))
+
+
+def degree_assort_sql(edges_sql: str) -> str:
+    """DuckDB twin of degree_assort over a subquery producing
+    (id_a, id_b) — same symmetrization, same HUGEINT Pearson
+    identity, sign-decomposed truncating division."""
+    return f"""
+WITH da_raw AS (SELECT DISTINCT id_a, id_b FROM ({edges_sql})),
+adj AS (SELECT id_a AS a, id_b AS b FROM da_raw
+        UNION ALL SELECT id_b, id_a FROM da_raw),
+deg AS (SELECT a, COUNT(*) AS d FROM adj GROUP BY 1),
+j AS (SELECT CAST(du.d AS HUGEINT) AS dx,
+             CAST(dv.d AS HUGEINT) AS dy
+      FROM adj JOIN deg du ON adj.a = du.a
+               JOIN deg dv ON adj.b = dv.a),
+agg AS (SELECT COUNT(*) AS n, SUM(dx) AS sx, SUM(dy) AS sy,
+        SUM(dx * dy) AS sxy, SUM(dx * dx) AS sxx,
+        SUM(dy * dy) AS syy FROM j),
+fin AS (SELECT n, n * sxy - sx * sy AS num,
+        n * sxx - sx * sx AS ddx, n * syy - sy * sy AS ddy
+        FROM agg)
+SELECT CAST(n AS BIGINT) AS n_dir_edges,
+       CAST(CASE WHEN n < 2 OR ddx = 0 OR ddy = 0 THEN NULL
+            ELSE (CASE WHEN num >= 0 THEN 1 ELSE -1 END)
+                 * ((1000000 * num * num) // (ddx * ddy))
+            END AS BIGINT) AS assort_ppm
+FROM fin
+"""

@@ -3165,6 +3165,22 @@ def q_link_pred(spark, sf_dir):
     return link_pred(e, _LINKPRED_K)
 
 
+def q_degree_assort(spark, sf_dir):
+    """Degree assortativity (r5.41): do the proximity graph's hubs
+    attach to hubs — Newman's endpoint-degree Pearson over the
+    symmetrized adjacency as signed r-squared ppm
+    (operators/graph.degree_assort docstring: one degree agg, two
+    degree joins, one combinable global agg, no sqrt anywhere)."""
+    from pyspark.sql import functions as F
+
+    from .operators.graph import degree_assort
+    from .operators.tiles import proximity_edges
+    pts = _cust_points(spark, sf_dir).select(
+        F.col("c_custkey").alias("id"), "lat", "lon")
+    return degree_assort(
+        proximity_edges(pts, _PROX_R_UDEG, res=_PROX_RES))
+
+
 def q_colloc_lift(spark, sf_dir):
     """Collocation lift (r5.34): exact integer PMI-monotone lift per
     corpus bigram over the shared tokenization — phrase mining
@@ -3759,6 +3775,13 @@ QUERIES = {
     #    the r4 dup_clusters driver green and the quality-argmax
     #    window tier stays inside via top_terms/doc_skyline) --
     "link_pred": q_link_pred,
+    # -- r5.41 (session 11), same triage: degree_assort is the
+    #    one-number structural fingerprint of the same proximity
+    #    graph; robots_gate rotates just past the boundary to make
+    #    room (r5.21 — long replica soak; the canonical-URL step
+    #    tables it gates on keep the r4 url_dedup driver green and
+    #    politeness pins the host-extraction tier) --
+    "degree_assort": q_degree_assort,
     # -- round-5.39 addition (session 10), inside the window for its
     #    first driver row under the same newest-least-soak triage;
     #    centroid_drift rotates just past the boundary to make room
@@ -3942,7 +3965,8 @@ QUERIES = {
     #  to make room for kendall_tau; see the head-of-dict comment.)
     "interval_overlap": q_interval_overlap,
     "peak_sessions": q_peak_sessions,
-    "robots_gate": q_robots_gate,
+    # (robots_gate — r5.21 — moved just past the window in
+    #  session 11 to make room for degree_assort; see head-of-dict)
     # (best_of_cluster — r5.8 — moved just past the window in
     #  session 11 to make room for link_pred; see head-of-dict.
     #  Original r5.8 slot comment: cell_assign rotates just past the
@@ -4037,6 +4061,7 @@ QUERIES = {
     "link_rank": q_link_rank,
     "pip_tile_agg": q_pip_tile_agg,
     "best_of_cluster": q_best_of_cluster,
+    "robots_gate": q_robots_gate,
     # (od_matrix — r5.20 — moved just past the window in session 10
     #  to make room for ks_stat; see the head-of-dict comment.
     #  Original r5.20 slot comment: inside the window for its first
@@ -5190,6 +5215,9 @@ def oracle_sql() -> dict[str, str]:
     from .operators.graph import link_pred_sql
     out["link_pred"] = link_pred_sql(
         proximity_edges_sql(cust_ids, _PROX_R_UDEG), _LINKPRED_K)
+    from .operators.graph import degree_assort_sql
+    out["degree_assort"] = degree_assort_sql(
+        proximity_edges_sql(cust_ids, _PROX_R_UDEG))
     out["colloc_lift"] = collocations_sql(min_count=_BIGRAM_MIN)
     from .operators.dedup import containment_pairs_sql
     from .operators.events import knox_stat_sql
