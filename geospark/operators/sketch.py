@@ -1,0 +1,397 @@
+"""Cross-engine-EXACT probabilistic sketches: HyperLogLog,
+count-min, Bloom.
+
+Sketches are THE 10^12-row operator family: a distinct count, a
+heavy-hitter table or a membership filter whose state is O(1) per
+group instead of O(cardinality), mergeable under partial aggregation
+so the shuffle carries fixed-size summaries no matter how hot a key
+gets. Spark ships engine-private versions (approx_count_distinct's
+HLL++, runtime Bloom row-filters) that can never be oracle-gated —
+their register layout is an implementation detail. The sketches here
+are the opposite: every hash is the repo's shared 60-bit md5 prefix
+(operators/dedup._hash64_col convention), every register update is
+integer MAX/SUM/BIT_OR, and every estimator is floor arithmetic over
+literal constant tables — so a DuckDB twin reproduces the sketch
+BIT-FOR-BIT and the driver's value-hash gate certifies not just "an
+estimate" but the exact estimate. Each operator returns the sketch
+estimate NEXT TO the exact answer with a signed error in ppm: the
+audit shape a pipeline runs at small SF to size a sketch before
+trusting it at 10^12 rows (where the exact column is dropped and
+only the O(1)-state side remains).
+
+Estimator constants (ALPHA_PPM, the ln(m/V) linear-counting table)
+follow Flajolet/Fusy/Gandouet/Meunier 2007 and Heule/Nunkesser/Hall
+2013 (HLL++ small-range switch at 5m/2); count-min follows
+Cormode/Muthukrishnan 2005; the Bloom layout is the classic k-hash
+bit array in 32-bit words (31-bit masks so BIGINT stays positive on
+both engines).
+
+Relation to the reference: geoarrow-c-geos is a buffer-level
+encode/decode kernel with no aggregate tier (geoarrow_geos.h:1-176
+has no aggregate entry points); this module is part of the mandated
+large-scale-pipeline surface built on top of the same columns.
+"""
+
+from __future__ import annotations
+
+import math
+
+# --------------------------------------------------------------------------
+# HyperLogLog (p=6: 64 registers, ~13% rsd — the audit query reports
+# the realized error, which is the point)
+# --------------------------------------------------------------------------
+
+P_HLL = 6
+M_HLL = 1 << P_HLL            # 64 registers
+SUFFIX_BITS = 60 - P_HLL      # rho source bits (60-bit md5-prefix hash)
+RHO_CAP = SUFFIX_BITS + 1     # all-zero suffix -> rho = 55
+K_HLL = 56                    # fixed-point exponent: 2^(K-rho) stays >= 2
+ALPHA_PPM = 709_000           # alpha_64 (Flajolet et al. 2007, fig. 3)
+LC_THRESHOLD = 5 * M_HLL // 2  # HLL++ small-range switch (= 160)
+_POW2K = 1 << K_HLL
+
+
+def _hash64_spark(expr: str) -> str:
+    """Spark-SQL text of the shared 60-bit md5-prefix hash (the
+    dedup._hash64_col convention as a string, for generated exprs)."""
+    return f"CAST(conv(substr(md5({expr}), 1, 15), 16, 10) AS BIGINT)"
+
+
+def _hash64_duck(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def _rho_case(w_expr: str) -> str:
+    """Engine-agnostic CASE computing rho = 1 + trailing zeros of the
+    54-bit register suffix (the first set bit's 1-based position;
+    zero suffix -> RHO_CAP). Flat generated chain — both engines
+    evaluate CASE arms in order, and 54 integer AND-tests stay inside
+    whole-stage codegen."""
+    arms = " ".join(
+        f"WHEN (({w_expr}) & {1 << b}) <> 0 THEN {b + 1}"
+        for b in range(SUFFIX_BITS))
+    return f"(CASE WHEN ({w_expr}) = 0 THEN {RHO_CAP} {arms} END)"
+
+
+def _ln_ppm_case(v_expr: str) -> str:
+    """Linear-counting table: round(ln(m/V) * 1e6) for V = 1..m as a
+    generated literal CASE — the SAME literals on both engines, so
+    the small-range estimate is integer-exact cross-engine (a live
+    ln() would be libm-dependent)."""
+    arms = " ".join(
+        f"WHEN ({v_expr}) = {v} THEN {round(math.log(M_HLL / v) * 1e6)}"
+        for v in range(1, M_HLL + 1))
+    return f"(CASE {arms} END)"
+
+
+def _hll_est_exprs(idiv: str, dec: str):
+    """The estimator as engine-parameterized SQL text over columns
+    (occ, s_occ): ``idiv`` is the floor-division token ('div'/'//'),
+    ``dec`` the wide-integer cast template. Returns (v, s, est)."""
+    v = f"({M_HLL} - occ)"
+    s = f"(s_occ + ({M_HLL} - occ) * {_POW2K})"
+    raw = (f"CAST(({dec.format(ALPHA_PPM)} * {M_HLL * M_HLL} "
+           f"* {_POW2K}) {idiv} ({dec.format(1_000_000)} * {s}) "
+           f"AS BIGINT)")
+    est = (f"(CASE WHEN {v} > 0 AND {raw} <= {LC_THRESHOLD} "
+           f"THEN ({M_HLL} * {_ln_ppm_case(v)}) {idiv} 1000000 "
+           f"ELSE {raw} END)")
+    return v, s, est
+
+
+def _err_ppm(idiv: str, dec: str, est: str, exact: str) -> str:
+    """Signed relative error in ppm, sign-decomposed so Spark's
+    truncating ``div`` and DuckDB's flooring ``//`` agree on
+    negatives; wide-integer numerator for headroom."""
+    d = f"(({est}) - ({exact}))"
+    mag = f"(CASE WHEN {d} >= 0 THEN {d} ELSE -{d} END)"
+    return (f"(CASE WHEN {d} >= 0 THEN 1 ELSE -1 END) * "
+            f"CAST({dec.format(mag)} * 1000000 "
+            f"{idiv} ({exact}) AS BIGINT)")
+
+
+def hll_distinct(df, key_col: str, group_col: str = "cell"):
+    """Per-group HyperLogLog distinct-count audit: the from-scratch
+    engine-exact HLL estimate next to the exact distinct count.
+
+    Pipeline (all JVM exprs, no Python): one distinct on
+    (group, key) — reused by BOTH the exact count and the register
+    build, duplicates cannot change a register MAX — then
+    groupBy(group, bucket) MAX(rho), then one group-keyed agg folding
+    the 64 registers into the harmonic fixed-point sum
+    S = sum_j 2^(K - M_j) (absent registers contribute 2^K via the
+    occupancy count). Estimate = alpha*m^2*2^K // (1e6*S), switched
+    to table-lookup linear counting below 5m/2 (HLL++).
+
+    Scale: every stage is a combinable agg; at 10^12 rows the
+    production form drops the exact column and the shuffle carries
+    <= 64 (group, bucket, rho) rows per group per map task — the
+    whole point of the sketch. Exactness: md5-prefix hash, integer
+    MAX/SUM, literal constant tables -> the DuckDB twin hash-matches
+    every output row. -> (group, n_exact, n_hll, err_ppm)."""
+    from pyspark.sql import functions as F
+    dec = "CAST({} AS DECIMAL(38,0))"
+    d = df.select(F.col(group_col).alias("_g"),
+                  F.col(key_col).cast("string").alias("_k")).distinct()
+    h = d.select("_g", F.expr(_hash64_spark("_k")).alias("_h"))
+    b = h.select("_g", F.expr(f"_h % {M_HLL}").alias("_bucket"),
+                 F.expr(_rho_case(f"(_h div {M_HLL})")).alias("_rho"))
+    regs = b.groupBy("_g", "_bucket").agg(F.max("_rho").alias("_m"))
+    agg = regs.groupBy("_g").agg(
+        F.count(F.lit(1)).alias("occ"),
+        F.sum(F.expr(f"CAST(1 AS BIGINT) << ({K_HLL} - _m)"))
+        .alias("s_occ"))
+    ex = d.groupBy("_g").agg(F.count(F.lit(1)).alias("n_exact"))
+    _, _, est = _hll_est_exprs("div", dec)
+    out = (agg.join(ex, "_g")
+           .withColumn("n_hll", F.expr(est))
+           .withColumn("err_ppm", F.expr(
+               _err_ppm("div", dec, "n_hll", "n_exact"))))
+    return out.select(F.col("_g").alias(group_col), "n_exact",
+                      "n_hll", F.col("err_ppm").cast("long")
+                      .alias("err_ppm"))
+
+
+def hll_distinct_sql(points_sql: str, key: str = "k",
+                     group: str = "g",
+                     group_out: str = "cell") -> str:
+    """DuckDB twin over a subquery producing ({group}, {key}) — the
+    identical hash, register fold and estimator in HUGEINT."""
+    dec = "CAST({} AS HUGEINT)"
+    _, _, est = _hll_est_exprs("//", dec)
+    return f"""
+WITH hd_base AS ({points_sql}),
+hd_d AS (SELECT DISTINCT {group} AS g,
+                CAST({key} AS VARCHAR) AS k FROM hd_base),
+hd_h AS (SELECT g, {_hash64_duck('k')} AS h FROM hd_d),
+hd_b AS (SELECT g, h % {M_HLL} AS bucket,
+                {_rho_case(f'(h // {M_HLL})')} AS rho FROM hd_h),
+hd_regs AS (SELECT g, bucket, MAX(rho) AS m FROM hd_b GROUP BY 1, 2),
+hd_agg AS (SELECT g, COUNT(*) AS occ,
+                  SUM(CAST(1 AS BIGINT) << ({K_HLL} - m)) AS s_occ
+           FROM hd_regs GROUP BY 1),
+hd_ex AS (SELECT g, COUNT(*) AS n_exact FROM hd_d GROUP BY 1),
+hd_est AS (SELECT hd_agg.g, n_exact, {est} AS n_hll
+           FROM hd_agg JOIN hd_ex USING (g))
+SELECT g AS {group_out}, CAST(n_exact AS BIGINT) AS n_exact,
+       CAST(n_hll AS BIGINT) AS n_hll,
+       CAST({_err_ppm("//", dec, "n_hll", "n_exact")} AS BIGINT)
+       AS err_ppm
+FROM hd_est
+"""
+
+
+# --------------------------------------------------------------------------
+# Count-min heavy hitters
+# --------------------------------------------------------------------------
+
+CM_D = 4        # hash rows
+CM_W = 512      # counters per row; sketch = 2048 BIGINTs total
+
+
+def _squote(i: int, term_expr: str) -> str:  # shared salt layout
+    return f"'cm{i}|' || {term_expr}"
+
+
+def cms_topk(df, k: int = 20, *, text_col: str = "text"):
+    """Count-min heavy-hitter audit over the corpus token stream:
+    CM_D x CM_W integer counter table (point updates = groupBy SUM,
+    so the whole sketch build is one combinable agg over the exploded
+    token stream), probed for the top-``k`` tokens by exact count.
+    est = MIN over the D rows (Cormode/Muthukrishnan 2005) — an upper
+    bound on the true count, so over_ppm >= 0 always.
+
+    Scale: the sketch is 2048 counters regardless of vocabulary —
+    the shuffle after partial aggregation is D*W rows per map task,
+    vs a full vocab-keyed exchange for the exact path. The probe
+    joins the (tiny, broadcast) counter table D times via one
+    explode. -> (term, n_exact, n_cms, over_ppm) — top k by exact
+    count desc, term asc."""
+    from pyspark.sql import functions as F
+
+    from .textstats import TOKEN_RX
+    toks = df.select(F.explode(F.expr(
+        f"regexp_extract_all(lower({text_col}), '{TOKEN_RX}', 0)"))
+        .alias("term"))
+    rows = toks.select(F.explode(F.array(*[
+        F.struct(F.lit(i).alias("i"),
+                 F.expr(f"({_hash64_spark(_squote(i, 'term'))})"
+                        f" % {CM_W}").alias("bucket"))
+        for i in range(CM_D)])).alias("_r")).select("_r.i", "_r.bucket")
+    sketch = rows.groupBy("i", "bucket").agg(
+        F.count(F.lit(1)).alias("c"))
+    exact = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n_exact"))
+    probe = exact.select("term", "n_exact", F.explode(F.array(*[
+        F.struct(F.lit(i).alias("i"),
+                 F.expr(f"({_hash64_spark(_squote(i, 'term'))})"
+                        f" % {CM_W}").alias("bucket"))
+        for i in range(CM_D)])).alias("_p")).select(
+        "term", "n_exact", "_p.i", "_p.bucket")
+    est = (probe.join(F.broadcast(sketch), ["i", "bucket"])
+           .groupBy("term", "n_exact")
+           .agg(F.min("c").alias("n_cms")))
+    over = F.expr("CAST((n_cms - n_exact) * 1000000 div n_exact "
+                  "AS BIGINT)")
+    return (est.withColumn("over_ppm", over)
+            .orderBy(F.col("n_exact").desc(), F.col("term").asc())
+            .limit(k))
+
+
+def cms_topk_sql(k: int = 20, table: str = "documents") -> str:
+    """DuckDB twin: same salts, same counter fold, same MIN probe."""
+    from .textstats import TOKEN_RX
+    buckets = ", ".join(
+        f"({_hash64_duck(_squote(i, 'term'))}) % {CM_W} AS b{i}"
+        for i in range(CM_D))
+    probe_rows = " UNION ALL ".join(
+        f"SELECT term, n_exact, {i} AS i, b{i} AS bucket FROM keyed"
+        for i in range(CM_D))
+    sketch_rows = " UNION ALL ".join(
+        f"SELECT {i} AS i, ({_hash64_duck(_squote(i, 'term'))})"
+        f" % {CM_W} AS bucket FROM toks"
+        for i in range(CM_D))
+    return f"""
+WITH toks AS (SELECT unnest(regexp_extract_all(lower(text),
+                   '{TOKEN_RX}')) AS term FROM {table}),
+sketch AS (SELECT i, bucket, COUNT(*) AS c
+           FROM ({sketch_rows}) GROUP BY 1, 2),
+exact AS (SELECT term, COUNT(*) AS n_exact FROM toks GROUP BY 1),
+keyed AS (SELECT term, n_exact, {buckets} FROM exact),
+est AS (SELECT term, n_exact, MIN(c) AS n_cms
+        FROM ({probe_rows}) p JOIN sketch USING (i, bucket)
+        GROUP BY 1, 2)
+SELECT term, CAST(n_exact AS BIGINT) AS n_exact,
+       CAST(n_cms AS BIGINT) AS n_cms,
+       CAST((n_cms - n_exact) * 1000000 // n_exact AS BIGINT)
+       AS over_ppm
+FROM est
+ORDER BY n_exact DESC, term ASC
+LIMIT {int(k)}
+"""
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter membership audit
+# --------------------------------------------------------------------------
+
+BLOOM_K = 3            # hash probes per key
+BLOOM_BITS = 1 << 17   # 131072 bits
+BLOOM_WORD = 31        # bits per word: masks stay positive BIGINTs
+BLOOM_WORDS = -(-BLOOM_BITS // BLOOM_WORD)
+
+
+def bloom_probe(build, probe, *, build_col: str, probe_col: str):
+    """Bloom-filter semi-join audit: build a k-hash bit array over
+    the (distinct) build keys, probe a second key stream through it,
+    and report the realized false-positive rate against exact
+    membership — the sizing run behind Spark's own runtime-filter
+    pattern, but engine-exact and oracle-gateable.
+
+    Layout: bit position pos_j(x) = hash64('bl{{j}}|' || x) %
+    BLOOM_BITS, stored as BIGINT words of 31 bits (masks stay
+    positive, so no engine-specific sign-extension semantics can
+    leak in). Build = explode keys x K -> groupBy(word) BIT_OR(mask):
+    one combinable agg producing <= {BLOOM_WORDS} rows, broadcast to
+    the probe side. A probe key passes iff all K probed bits are set
+    (SUM(hit) = K over a left join — a missing word row is a miss).
+
+    Scale: the filter is ~{BLOOM_WORDS} rows no matter how large the
+    build side — THE distributed-join prefilter: ship the bit array,
+    not the key set, and let non-members die before the shuffle.
+    -> one audit row (n_build, n_probe, n_pass, n_true_pos,
+    n_false_pos, fp_ppm) where fp_ppm is false positives per million
+    NON-members probed (NULL if every probe key is a member)."""
+    from pyspark.sql import functions as F
+    bk = build.select(F.col(build_col).cast("string")
+                      .alias("_k")).distinct()
+    pk = probe.select(F.col(probe_col).cast("string")
+                      .alias("_k")).distinct()
+
+    def pos(j, expr):
+        return (f"({_hash64_spark(_bsalt(j, expr))})"
+                f" % {BLOOM_BITS}")
+
+    bits = bk.select(F.explode(F.array(*[
+        F.expr(pos(j, "_k")) for j in range(BLOOM_K)])).alias("_pos"))
+    filt = (bits.select(
+        F.expr(f"_pos div {BLOOM_WORD}").alias("_word"),
+        F.expr(f"CAST(1 AS BIGINT) << (_pos % {BLOOM_WORD})")
+        .alias("_m"))
+        .groupBy("_word").agg(F.bit_or("_m").alias("_bits")))
+    pr = pk.select("_k", F.explode(F.array(*[
+        F.expr(pos(j, "_k")) for j in range(BLOOM_K)])).alias("_pos"))
+    pr = pr.select("_k", F.expr(f"_pos div {BLOOM_WORD}").alias("_word"),
+                   F.expr(f"CAST(1 AS BIGINT) << "
+                          f"(_pos % {BLOOM_WORD})").alias("_m"))
+    hit = (pr.join(F.broadcast(filt), "_word", "left")
+           .select("_k", F.expr(
+               "CASE WHEN _bits IS NOT NULL AND (_bits & _m) <> 0 "
+               "THEN 1 ELSE 0 END").alias("_hit")))
+    passed = (hit.groupBy("_k")
+              .agg(F.sum("_hit").alias("_nh"))
+              .select("_k", (F.col("_nh") == BLOOM_K).cast("int")
+                      .alias("_pass")))
+    truth = passed.join(
+        bk.withColumn("_true", F.lit(1)), "_k", "left").select(
+        "_pass", F.coalesce("_true", F.lit(0)).alias("_true"))
+    nb = bk.agg(F.count(F.lit(1)).alias("n_build"))
+    agg = truth.agg(
+        F.count(F.lit(1)).alias("n_probe"),
+        F.sum("_pass").alias("n_pass"),
+        F.sum(F.expr("_pass * _true")).alias("n_true_pos"),
+        F.sum(F.expr("_pass * (1 - _true)")).alias("n_false_pos"),
+        F.sum(F.expr("1 - _true")).alias("_n_non"))
+    return (agg.crossJoin(F.broadcast(nb))
+            .select("n_build", "n_probe", "n_pass", "n_true_pos",
+                    "n_false_pos",
+                    F.expr("CASE WHEN _n_non = 0 THEN NULL ELSE "
+                           "CAST(n_false_pos * 1000000 div _n_non "
+                           "AS BIGINT) END").alias("fp_ppm")))
+
+
+def _bsalt(j: int, expr: str) -> str:
+    return f"'bl{j}|' || {expr}"
+
+
+def bloom_probe_sql(build_sql: str, probe_sql: str) -> str:
+    """DuckDB twin over subqueries each producing one column ``k``."""
+    def pos(j):
+        return f"({_hash64_duck(_bsalt(j, 'k'))}) % {BLOOM_BITS}"
+
+    b_pos = " UNION ALL ".join(
+        f"SELECT {pos(j)} AS pos FROM bk" for j in range(BLOOM_K))
+    p_pos = " UNION ALL ".join(
+        f"SELECT k, {pos(j)} AS pos FROM pk" for j in range(BLOOM_K))
+    return f"""
+WITH bk AS (SELECT DISTINCT CAST(k AS VARCHAR) AS k
+            FROM ({build_sql})),
+pk AS (SELECT DISTINCT CAST(k AS VARCHAR) AS k FROM ({probe_sql})),
+filt AS (SELECT pos // {BLOOM_WORD} AS word,
+                BIT_OR(CAST(1 AS BIGINT) << (pos % {BLOOM_WORD}))
+                AS bits
+         FROM ({b_pos}) GROUP BY 1),
+pr AS (SELECT k, pos // {BLOOM_WORD} AS word,
+              CAST(1 AS BIGINT) << (pos % {BLOOM_WORD}) AS m
+       FROM ({p_pos})),
+hit AS (SELECT pr.k, CASE WHEN filt.bits IS NOT NULL
+               AND (filt.bits & pr.m) <> 0 THEN 1 ELSE 0 END AS h
+        FROM pr LEFT JOIN filt USING (word)),
+passed AS (SELECT k,
+           CASE WHEN SUM(h) = {BLOOM_K} THEN 1 ELSE 0 END AS pass
+           FROM hit GROUP BY 1),
+truth AS (SELECT pass, CASE WHEN bk.k IS NOT NULL THEN 1 ELSE 0 END
+          AS istrue FROM passed LEFT JOIN bk ON passed.k = bk.k),
+agg AS (SELECT COUNT(*) AS n_probe, SUM(pass) AS n_pass,
+        SUM(pass * istrue) AS n_true_pos,
+        SUM(pass * (1 - istrue)) AS n_false_pos,
+        SUM(1 - istrue) AS n_non FROM truth)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM bk) AS n_build,
+       CAST(n_probe AS BIGINT) AS n_probe,
+       CAST(n_pass AS BIGINT) AS n_pass,
+       CAST(n_true_pos AS BIGINT) AS n_true_pos,
+       CAST(n_false_pos AS BIGINT) AS n_false_pos,
+       CASE WHEN n_non = 0 THEN NULL ELSE
+            CAST(n_false_pos * 1000000 // n_non AS BIGINT) END
+       AS fp_ppm
+FROM agg
+"""

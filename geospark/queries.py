@@ -3181,6 +3181,58 @@ def q_degree_assort(spark, sf_dir):
         proximity_edges(pts, _PROX_R_UDEG, res=_PROX_RES))
 
 
+def q_hll_cells(spark, sf_dir):
+    """HyperLogLog distinct-user audit per coarse cell (r5.42): the
+    from-scratch engine-exact HLL (operators/sketch.hll_distinct —
+    md5-prefix hash, 64 integer-MAX registers, literal-table
+    estimator) next to the exact count with signed error ppm — the
+    sizing run a 10^12-row pipeline does before trusting the O(1)-
+    state sketch tier of distinct_per_cell. Same cell derivation as
+    cell_distinct_users."""
+    from pyspark.sql import functions as F
+
+    from .functions.cells import cell_encode
+    from .operators.sketch import hll_distinct
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    lat = (F.col("user_id") % 180).cast("double") - 90.0
+    lon = ((F.col("value") % 360.0) + 360.0) % 360.0 - 180.0
+    d = e.select(cell_encode(lat, lon, RES_COARSE).alias("cell"),
+                 "user_id")
+    return hll_distinct(d, "user_id", "cell")
+
+
+def q_cms_terms(spark, sf_dir):
+    """Count-min heavy-hitter audit (r5.42): the 4x512 integer
+    counter sketch probed for the corpus top-20 terms, overestimate
+    in ppm (operators/sketch.cms_topk — the sketch build is one
+    combinable agg whose shuffle is 2048 counters per map task no
+    matter the vocabulary)."""
+    from .operators.sketch import cms_topk
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return cms_topk(d, 20)
+
+
+_BLOOM_PRICE = 250_000
+
+
+def q_bloom_probe(spark, sf_dir):
+    """Bloom-filter semi-join audit (r5.42): high-value order keys
+    (o_totalprice > 250k) folded into a 131072-bit / 3-hash filter,
+    lineitem order keys probed through it, realized false-positive
+    rate vs exact membership (operators/sketch.bloom_probe — ship
+    the bit array, not the key set; the distributed-join prefilter
+    behind Spark's own runtime row filters, made engine-exact)."""
+    from pyspark.sql import functions as F
+    from .operators.sketch import bloom_probe
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return bloom_probe(
+        o.filter(F.col("o_totalprice") > _BLOOM_PRICE)
+         .select("o_orderkey"),
+        li.select("l_orderkey"),
+        build_col="o_orderkey", probe_col="l_orderkey")
+
+
 def q_colloc_lift(spark, sf_dir):
     """Collocation lift (r5.34): exact integer PMI-monotone lift per
     corpus bigram over the shared tokenization — phrase mining
@@ -3782,6 +3834,21 @@ QUERIES = {
     #    tables it gates on keep the r4 url_dedup driver green and
     #    politeness pins the host-extraction tier) --
     "degree_assort": q_degree_assort,
+    # -- r5.42 additions (session 12), inside the window for their
+    #    first driver rows under the same newest-least-soak triage:
+    #    the engine-exact sketch trilogy (operators/sketch — HLL
+    #    distinct audit, count-min heavy hitters, Bloom membership
+    #    audit). The window's three oldest first-timers rotate just
+    #    past the boundary to make room: knn_graph and
+    #    interval_overlap (both r5.21 — longest replica soak in the
+    #    window; kNN machinery keeps r4 driver greens via knn/
+    #    knn_wrap and the interval tier stays inside via
+    #    peak_sessions' sweep-line) and kcore (r5.34; the graph
+    #    family stays inside via link_pred/degree_assort and the
+    #    iterative-relaxation tier via cost_distance) --
+    "hll_cells": q_hll_cells,
+    "cms_terms": q_cms_terms,
+    "bloom_probe": q_bloom_probe,
     # -- round-5.39 addition (session 10), inside the window for its
     #    first driver row under the same newest-least-soak triage;
     #    centroid_drift rotates just past the boundary to make room
@@ -3960,10 +4027,11 @@ QUERIES = {
     #    the window so five never-windowed r5.21 rows take their first
     #    driver pass; all five swap-ins are replica-green at sf0.01
     #    under tools/check_oracle.py this session --
-    "knn_graph": q_knn_graph,
+    # (knn_graph and interval_overlap — both r5.21 — moved just past
+    #  the window in session 12 to make room for the sketch trilogy;
+    #  see head-of-dict)
     # (freshness — r5.21 — moved just past the window in session 10
     #  to make room for kendall_tau; see the head-of-dict comment.)
-    "interval_overlap": q_interval_overlap,
     "peak_sessions": q_peak_sessions,
     # (robots_gate — r5.21 — moved just past the window in
     #  session 11 to make room for degree_assort; see head-of-dict)
@@ -4026,7 +4094,8 @@ QUERIES = {
     #    ring parser — ring_valid stays inside). All twenty are
     #    replica-green under tools/check_oracle.py this session --
     "stream_revisit": q_stream_revisit,
-    "kcore": q_kcore,
+    # (kcore — r5.34 — moved just past the window in session 12 to
+    #  make room for the sketch trilogy; see head-of-dict)
     "containment": q_containment,
     "stream_speed": q_stream_speed,
     # -- r5.36 additions, newest-inside per the same rule:
@@ -4062,6 +4131,9 @@ QUERIES = {
     "pip_tile_agg": q_pip_tile_agg,
     "best_of_cluster": q_best_of_cluster,
     "robots_gate": q_robots_gate,
+    "knn_graph": q_knn_graph,
+    "interval_overlap": q_interval_overlap,
+    "kcore": q_kcore,
     # (od_matrix — r5.20 — moved just past the window in session 10
     #  to make room for ks_stat; see the head-of-dict comment.
     #  Original r5.20 slot comment: inside the window for its first
@@ -4969,6 +5041,15 @@ def oracle_sql() -> dict[str, str]:
         f"FROM documents) GROUP BY 1",
         10007)
     evt_cell6 = cell_encode_sql(EVT_LAT_SQL, EVT_LON_SQL, RES_COARSE)
+    from .operators.sketch import (bloom_probe_sql, cms_topk_sql,
+                                   hll_distinct_sql)
+    out["hll_cells"] = hll_distinct_sql(
+        f"SELECT {evt_cell6} AS g, user_id AS k FROM events")
+    out["cms_terms"] = cms_topk_sql(20)
+    out["bloom_probe"] = bloom_probe_sql(
+        f"SELECT o_orderkey AS k FROM orders "
+        f"WHERE o_totalprice > {_BLOOM_PRICE}",
+        "SELECT l_orderkey AS k FROM lineitem")
     out["cell_distinct_users"] = (
         f"SELECT {evt_cell6} AS cell, "
         f"COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events "

@@ -1,6 +1,6 @@
 """Round-5 session-12 operator tests: degree assortativity over the
-proximity graph (Newman's endpoint-degree Pearson as signed
-r-squared ppm)."""
+proximity graph, and the engine-exact sketch trilogy (HyperLogLog
+distinct audit, count-min heavy hitters, Bloom membership audit)."""
 
 from __future__ import annotations
 
@@ -71,3 +71,147 @@ class TestDegreeAssort:
         want = [tuple(r) for r in con.execute(degree_assort_sql(
             "SELECT id_a, id_b FROM e")).fetchall()]
         assert got == want and got[0][1] is not None
+
+
+class TestHllDistinct:
+    def _run(self, spark, rows):
+        from geospark.operators.sketch import hll_distinct
+        d = spark.createDataFrame(rows, "cell long, user long")
+        return sorted(tuple(r) for r in
+                      hll_distinct(d, "user", "cell").collect())
+
+    def test_single_key_linear_counting_is_exact(self, spark):
+        """One distinct key sets one register -> V=63, linear
+        counting floor(64*ln(64/63)) = 1: exact, err 0."""
+        assert self._run(spark, [(7, 42)]) == [(7, 1, 1, 0)]
+
+    def test_duplicates_cannot_move_registers(self, spark):
+        """Registers fold MAX over the DISTINCT (group, key) set, so
+        repeating rows changes nothing."""
+        rows = [(1, k) for k in range(100)]
+        assert self._run(spark, rows) == self._run(spark, rows * 5)
+
+    def test_small_range_accuracy_envelope(self, spark):
+        """Linear counting at n=100 (V stays high) lands within a
+        few percent of exact — and err_ppm reports exactly the
+        realized signed error."""
+        got = self._run(spark, [(1, k * 13) for k in range(100)])
+        (cell, n_exact, n_hll, err), = got
+        assert (cell, n_exact) == (1, 100)
+        assert abs(n_hll - 100) <= 10
+        sign = 1 if n_hll >= n_exact else -1
+        assert err == sign * (abs(n_hll - n_exact) * 10**6 // 100)
+
+    def test_inline_oracle_parity(self, spark):
+        import duckdb
+
+        from geospark.operators.sketch import (hll_distinct,
+                                               hll_distinct_sql)
+        rows = [(g, (g * 37 + i * i) % (50 + 400 * g))
+                for g in range(4) for i in range(3000)]
+        d = spark.createDataFrame(rows, "cell long, user long")
+        got = sorted(tuple(r) for r in
+                     hll_distinct(d, "user", "cell").collect())
+        con = duckdb.connect()
+        con.execute("CREATE TABLE pts (cell BIGINT, u BIGINT)")
+        con.executemany("INSERT INTO pts VALUES (?, ?)", rows)
+        want = sorted(tuple(r) for r in con.execute(hll_distinct_sql(
+            "SELECT cell AS g, u AS k FROM pts")).fetchall())
+        assert got == want and len(got) == 4
+        # both estimator branches exercised: group 0 is small-range
+        # (linear counting), group 3 has ~1000+ distincts (raw path)
+        assert any(r[1] < 160 for r in got)
+        assert any(r[1] > 400 for r in got)
+
+
+class TestCmsTopk:
+    def _docs(self, spark, texts):
+        return spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id long, text string")
+
+    def test_no_collision_vocab_is_exact(self, spark):
+        """A vocabulary far under the 4x512 counter table can still
+        collide per-row, but MIN over 4 independent rows makes a
+        3-term corpus exact: over_ppm all 0, exact counts right."""
+        from geospark.operators.sketch import cms_topk
+        d = self._docs(spark, ["aa bb aa", "bb cc", "aa"])
+        got = [tuple(r) for r in cms_topk(d, 10).collect()]
+        assert got == [("aa", 3, 3, 0), ("bb", 2, 2, 0),
+                       ("cc", 1, 1, 0)]
+
+    def test_estimate_never_underestimates(self, spark):
+        """CMS is an upper bound: n_cms >= n_exact (over_ppm >= 0)
+        for every reported term, even on a colliding vocabulary."""
+        from geospark.operators.sketch import cms_topk
+        texts = [f"tok{i % 997} tok{i % 13} filler" for i in range(500)]
+        got = cms_topk(self._docs(spark, texts), 20).collect()
+        assert len(got) == 20
+        assert all(r["n_cms"] >= r["n_exact"] and r["over_ppm"] >= 0
+                   for r in got)
+
+    def test_inline_oracle_parity(self, spark):
+        import duckdb
+
+        from geospark.operators.sketch import cms_topk, cms_topk_sql
+        texts = [("alpha beta " * (i % 4 + 1)) + f"tok{i % 211}"
+                 for i in range(400)]
+        d = self._docs(spark, texts)
+        got = [tuple(r) for r in cms_topk(d, 15).collect()]
+        con = duckdb.connect()
+        con.execute("CREATE TABLE documents (doc_id BIGINT, "
+                    "text VARCHAR)")
+        con.executemany("INSERT INTO documents VALUES (?, ?)",
+                        [(i, t) for i, t in enumerate(texts)])
+        want = [tuple(r) for r in con.execute(
+            cms_topk_sql(15)).fetchall()]
+        assert got == want and len(got) == 15
+
+
+class TestBloomProbe:
+    def _run(self, spark, build, probe):
+        from geospark.operators.sketch import bloom_probe
+        b = spark.createDataFrame([(k,) for k in build], "k long")
+        p = spark.createDataFrame([(k,) for k in probe], "k long")
+        return [tuple(r) for r in bloom_probe(
+            b, p, build_col="k", probe_col="k").collect()]
+
+    def test_members_always_pass(self, spark):
+        """No false negatives ever: probing the build set itself
+        passes everything, and with zero non-members fp_ppm is
+        NULL (not 0/0)."""
+        ks = list(range(0, 400, 3))
+        got = self._run(spark, ks, ks)
+        n = len(ks)
+        assert got == [(n, n, n, n, 0, None)]
+
+    def test_duplicate_keys_counted_once(self, spark):
+        """Both sides dedup before building/probing: key multiplicity
+        cannot change any audit count."""
+        ks = list(range(50))
+        assert (self._run(spark, ks * 3, ks * 2)
+                == self._run(spark, ks, ks))
+
+    def test_known_fixture_with_false_positive(self, spark):
+        """The pinned smoke fixture: 2500 even build keys, probe
+        1000..3999 -> 1500 true members all pass, exactly one false
+        positive at 131072 bits (engine-exact, so this is stable)."""
+        got = self._run(spark, range(0, 5000, 2), range(1000, 4000))
+        assert got == [(2500, 3000, 1501, 1500, 1, 666)]
+
+    def test_inline_oracle_parity(self, spark):
+        import duckdb
+
+        from geospark.operators.sketch import (bloom_probe,
+                                               bloom_probe_sql)
+        b = spark.createDataFrame(
+            [(i * 7,) for i in range(1200)], "k long")
+        p = spark.createDataFrame(
+            [(i * 3,) for i in range(2000)], "k long")
+        got = [tuple(r) for r in bloom_probe(
+            b, p, build_col="k", probe_col="k").collect()]
+        con = duckdb.connect()
+        want = [tuple(r) for r in con.execute(bloom_probe_sql(
+            "SELECT unnest(range(0, 8400, 7)) AS k",
+            "SELECT unnest(range(0, 6000, 3)) AS k")).fetchall()]
+        assert got == want
