@@ -29,8 +29,6 @@ COPIES = 10
 
 def materialize(spark) -> str:
     from pyspark.sql import functions as F
-    if os.path.exists(os.path.join(DST, "_DONE")):
-        return DST
     os.makedirs(DST, exist_ok=True)
 
     def key_max(df, col):
@@ -59,8 +57,17 @@ def materialize(spark) -> str:
                            "embedding",
                            lambda x, j: x + F.lit(float(i) * 1e-3)
                            * ((j % 7).cast("float") - 3.0)))),
+        # session-12 additions: events (hll_cells' 10x distinct-user
+        # point) and orders (bloom_probe's 10x build side)
+        "events": (["event_id", "user_id"], lambda df, i: df
+                   .withColumn("value",
+                               F.col("value") + (i * 11.13))),
+        "orders": (["o_orderkey", "o_custkey"], None),
     }
     for table, (keys, perturb) in specs.items():
+        if os.path.exists(os.path.join(DST, f"{table}.parquet",
+                                       "_SUCCESS")):
+            continue
         base = spark.read.parquet(f"{SRC_SF}/{table}.parquet")
         offs = {k: key_max(base, k) for k in keys}
         parts = []

@@ -1,0 +1,75 @@
+"""Scale evidence for the session-12 operator wave (r5.41-42):
+warm+hot at sf0.1 and 10x points at sf1 (bench_sf1_ops3 recipe). The
+10x stories: degree_assort is two degree joins + one combinable
+global agg over the proximity edge stream (edges grow ~linearly at
+fixed radius/density); hll_cells and cms_terms are the sketch
+pitch itself — the sketch side's shuffle is O(registers/counters)
+per map task, so their cost tracks the EXACT-side distinct/vocab
+shuffle the audit deliberately keeps; bloom_probe is two distinct
+passes plus a broadcast of a <=4229-row bit-array no matter how the
+build side grows (at sf1 the 131072-bit array saturates — the audit
+run is exactly how that gets caught before production).
+
+Appends BENCH/R5OPS.md (sf0.1) and BENCH/SF1.md (sf1) and prints one
+JSON line. Run from the repo root (executor Python workers must
+import geospark — the ops8 worker-path gotcha).
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import json
+import os
+
+import bench
+import bench_sf1
+from bench_sf1_ops3 import _time
+
+OPS = ("degree_assort", "hll_cells", "cms_terms", "bloom_probe")
+
+SF01 = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def main() -> None:
+    spark = bench.build_session(
+        int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    spark.sparkContext.setLogLevel("ERROR")
+    import __spark_entry__ as entry
+    qs = entry.queries()
+
+    res01 = {}
+    for name in OPS:
+        runs, n = _time(qs[name], spark, SF01, 2)
+        res01[name] = {"warm": runs[0], "hot": runs[-1], "rows": n}
+
+    bench_sf1.materialize(spark)
+    res1 = {}
+    for name in OPS:
+        runs, n = _time(qs[name], spark, bench_sf1.DST, 2)
+        res1[name] = {"warm": runs[0], "hot": runs[-1], "rows": n}
+
+    with open("/root/repo/BENCH/R5OPS.md", "a") as f:
+        f.write("\n## r5.41-42 operators (sf0.1, local[32], "
+                "warm + hot)\n\n")
+        f.write("| query | result rows | warm s | hot s |\n"
+                "|---|---|---|---|\n")
+        for n, t in res01.items():
+            f.write(f"| {n} | {t['rows']:,} | {t['warm']} "
+                    f"| {t['hot']} |\n")
+    with open("/root/repo/BENCH/SF1.md", "a") as f:
+        f.write("\n## session-12 operators (r5.41-42) at sf1 "
+                f"({bench_sf1.COPIES}x {bench_sf1.SRC_SF})\n\n")
+        f.write("| query | result rows | warm s | hot s |\n"
+                "|---|---|---|---|\n")
+        for n, t in res1.items():
+            f.write(f"| {n} | {t['rows']:,} | {t['warm']} "
+                    f"| {t['hot']} |\n")
+    print(json.dumps({"sf0.1": res01, "sf1": res1}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
