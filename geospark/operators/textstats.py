@@ -1713,3 +1713,94 @@ SELECT g AS {group_col}, CAST(n AS BIGINT) AS n,
             END AS BIGINT) AS srho2_ppm
 FROM fin
 """
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit (r5.43)
+# ---------------------------------------------------------------------------
+
+def _benford_ppm() -> dict[int, int]:
+    """round(log10(1 + 1/d) * 1e6) for d = 1..9 — computed once in
+    Python and embedded as the SAME literals in both engines, the
+    constant-table convention (sketch._ln_ppm_case, freshness decay)
+    that keeps log-based expectations integer-exact cross-engine."""
+    import math
+    return {d: round(math.log10(1 + 1 / d) * 1e6) for d in range(1, 10)}
+
+
+def benford_digits(df, value_col: str, *, group_col: str = "source"):
+    """Per-group Benford's-law first-digit audit over a positive
+    INTEGER column — the classic generated-vs-organic data screen
+    (fabricated counters, bot traffic and synthetic spam skew the
+    leading-digit histogram away from log10(1 + 1/d); Benford 1938,
+    Nigrini's audit framing). Emits the dense 9-digit grid per group
+    so absent digits read as observed 0, not a missing row:
+
+        obs_ppm = n_d * 1e6 div n,  dev_ppm = obs_ppm - exp_ppm
+
+    with exp_ppm from the shared literal table. First digit comes
+    from the decimal string of the BIGINT value (integer-to-string
+    is engine-identical; doubles would not be) — rows with value
+    <= 0 are excluded from the audit population.
+
+    Scale: one groupBy(group, digit) count (map-side combinable, at
+    most 9 rows per group per task) + a broadcast-sized dense-grid
+    join; nothing touches row order. -> (group, digit, n_obs,
+    obs_ppm, exp_ppm, dev_ppm), 9 rows per group."""
+    from pyspark.sql import functions as F
+    exp = _benford_ppm()
+    pos = df.filter(F.col(value_col) > 0)
+    fd = pos.select(
+        F.col(group_col).alias("_g"),
+        F.expr(f"CAST(substr(CAST({value_col} AS STRING), 1, 1) "
+               f"AS BIGINT)").alias("_d"))
+    counts = fd.groupBy("_g", "_d").agg(F.count(F.lit(1)).alias("_n"))
+    totals = counts.groupBy("_g").agg(F.sum("_n").alias("_t"))
+    spark = df.sparkSession
+    digits = spark.range(1, 10).select(F.col("id").alias("_d"))
+    grid = totals.crossJoin(F.broadcast(digits))
+    exp_case = " ".join(f"WHEN _d = {d} THEN {p}"
+                        for d, p in exp.items())
+    out = (grid.join(counts, ["_g", "_d"], "left")
+           .select("_g", "_d", F.coalesce("_n", F.lit(0)).alias("_n"),
+                   "_t")
+           .withColumn("obs_ppm", F.expr("_n * 1000000 div _t"))
+           .withColumn("exp_ppm", F.expr(f"CASE {exp_case} END")))
+    return out.select(
+        F.col("_g").alias(group_col), F.col("_d").alias("digit"),
+        F.col("_n").cast("long").alias("n_obs"),
+        F.col("obs_ppm").cast("long").alias("obs_ppm"),
+        F.col("exp_ppm").cast("long").alias("exp_ppm"),
+        (F.col("obs_ppm") - F.col("exp_ppm")).cast("long")
+        .alias("dev_ppm"))
+
+
+def benford_digits_sql(src_sql: str, *, group_col: str = "source",
+                       group_type: str = "VARCHAR") -> str:
+    """DuckDB twin over a subquery producing ({group_col}, v) with v
+    a positive BIGINT — same dense grid, same literal table."""
+    exp = _benford_ppm()
+    exp_case = " ".join(f"WHEN bf_grid.d = {dd} THEN {p}"
+                        for dd, p in exp.items())
+    return f"""
+WITH bf_src AS (SELECT {group_col} AS g, v FROM ({src_sql})
+                WHERE v > 0),
+bf_fd AS (SELECT g, CAST(substr(CAST(v AS VARCHAR), 1, 1) AS BIGINT)
+                 AS d FROM bf_src),
+bf_counts AS (SELECT g, d, COUNT(*) AS n FROM bf_fd GROUP BY 1, 2),
+bf_tot AS (SELECT g, SUM(n) AS t FROM bf_counts GROUP BY 1),
+bf_grid AS (SELECT g, t, gs.d FROM bf_tot,
+            (SELECT unnest(range(1, 10)) AS d) gs),
+bf_out AS (SELECT bf_grid.g AS g, bf_grid.d AS d,
+           COALESCE(n, 0) AS nn, t,
+           COALESCE(n, 0) * 1000000 // t AS obs_ppm,
+           (CASE {exp_case} END) AS exp_ppm
+           FROM bf_grid LEFT JOIN bf_counts
+           ON bf_grid.g = bf_counts.g AND bf_grid.d = bf_counts.d)
+SELECT CAST(g AS {group_type}) AS {group_col},
+       CAST(d AS BIGINT) AS digit, CAST(nn AS BIGINT) AS n_obs,
+       CAST(obs_ppm AS BIGINT) AS obs_ppm,
+       CAST(exp_ppm AS BIGINT) AS exp_ppm,
+       CAST(obs_ppm - exp_ppm AS BIGINT) AS dev_ppm
+FROM bf_out
+"""

@@ -3719,3 +3719,124 @@ SELECT sid AS seed_id, MAX(w) AS w,
          AS share_ppm
 FROM hf_w GROUP BY 1
 """
+
+
+def bivariate_moran(cells, res: int, *, x_col: str, y_col: str,
+                    cell_col: str = "cell"):
+    """Global BIVARIATE Moran's I over two per-cell integer
+    aggregates — "does x here predict y NEXT DOOR" (Anselin's
+    bivariate Moran scatterplot, symmetric-kernel form): the spatial
+    cross-correlation between, e.g., traffic volume and audience
+    breadth. Same queen-contiguity weights and N^2-cancelled scaled
+    deviations as moran_i (devx_i = N*x_i - Tx, devy likewise);
+    S = sum over ordered neighbor pairs of devx_i * devy_j, which the
+    symmetric weight matrix makes order-free.
+
+    Integer-exactness vs headroom: the Pearson-style square
+    N^2*S^2/(W^2*M2x*M2y) overflows DECIMAL(38,0) on real surfaces
+    (S ~ 1e20 squares to 1e40), so the statistic is COMPOSED of two
+    bounded truncating ratios — the two spatial-lag slopes
+
+        lagx_ppm = (1e6 * N * S) div (W * M2x)   [y's lag on x]
+        lagy_ppm = (1e6 * N * S) div (W * M2y)   [x's lag on y]
+
+    and their ppm product bimoran2_ppm = sign(S) * (|lagx| * |lagy|)
+    div 1e6 = the signed SQUARED bivariate Moran's I in ppm up to
+    <= ~2 ppm of double-truncation (each slope is exact; only the
+    recombination truncates twice). Every quantity is DECIMAL(38,0)/
+    HUGEINT with division sign-decomposed so Spark's trunc-toward-
+    zero and DuckDB's floor agree. NULL stats when W = 0 or either
+    surface is constant (M2 = 0).
+
+    Scale: identical shape to moran_i — all work on AGGREGATE rows:
+    one broadcast 1-row stats join, a 9-way ring explode of |cells|,
+    one cell-keyed join, two scalar aggs.
+    -> one row (n_cells, w_pairs, lagx_ppm, lagy_ppm, bimoran2_ppm).
+    """
+    from pyspark.sql import functions as F
+
+    from ..functions.cells import cell_neighbors_explode
+    stats = cells.agg(F.count(F.lit(1)).alias("_nc"),
+                      F.sum(x_col).alias("_tx"),
+                      F.sum(y_col).alias("_ty"))
+    d = (cells.crossJoin(F.broadcast(stats))
+         .select(F.col(cell_col).alias("cell"),
+                 (F.col("_nc") * F.col(x_col) - F.col("_tx"))
+                 .alias("_devx"),
+                 (F.col("_nc") * F.col(y_col) - F.col("_ty"))
+                 .alias("_devy"), "_nc"))
+    right = d.select(F.col("cell").alias("_neighbor"),
+                     F.col("_devy").alias("_devy_j"))
+    pairs = (cell_neighbors_explode(d.select("cell", "_devx"), res,
+                                    ring=1)
+             .filter(F.col("_neighbor") != F.col("cell"))
+             .join(right, "_neighbor", "inner"))
+    pr = pairs.agg(
+        F.count(F.lit(1)).alias("w_pairs"),
+        F.sum(F.col("_devx").cast("decimal(38,0)")
+              * F.col("_devy_j").cast("decimal(38,0)")).alias("_s"))
+    m = d.agg(F.max("_nc").alias("n_cells"),
+              F.sum(F.col("_devx").cast("decimal(38,0)")
+                    * F.col("_devx").cast("decimal(38,0)")).alias("_m2x"),
+              F.sum(F.col("_devy").cast("decimal(38,0)")
+                    * F.col("_devy").cast("decimal(38,0)")).alias("_m2y"))
+
+    def slope(m2):
+        return (f"CASE WHEN w_pairs = 0 OR {m2} = 0 THEN NULL ELSE "
+                f"CAST((CAST(n_cells AS DECIMAL(38,0)) * _s * 1000000)"
+                f" div (CAST(w_pairs AS DECIMAL(38,0)) * {m2}) "
+                f"AS BIGINT) END")
+
+    out = (m.crossJoin(pr)
+           .withColumn("lagx_ppm", F.expr(slope("_m2x")))
+           .withColumn("lagy_ppm", F.expr(slope("_m2y"))))
+    sq = ("CASE WHEN lagx_ppm IS NULL OR lagy_ppm IS NULL THEN NULL "
+          "ELSE (CASE WHEN _s >= 0 THEN 1 ELSE -1 END) * "
+          "(abs(lagx_ppm) * abs(lagy_ppm) div 1000000) END")
+    return out.select(
+        F.col("n_cells").cast("long").alias("n_cells"),
+        F.col("w_pairs").cast("long").alias("w_pairs"),
+        "lagx_ppm", "lagy_ppm",
+        F.expr(sq).cast("long").alias("bimoran2_ppm"))
+
+
+def bivariate_moran_sql(cells_sql: str, res: int) -> str:
+    """DuckDB twin of bivariate_moran over a subquery producing
+    (cell, x, y) — HUGEINT products, floor division sign-decomposed
+    to match Spark's truncation toward zero."""
+    from ..functions.cells import cell_neighbors_sql
+    nb = cell_neighbors_sql("a.cell", res, 1)
+    num = "(st.nc * pr.s * 1000000)"
+
+    def slope(m2):
+        den = f"(pr.w * m.{m2})"
+        return (f"CASE WHEN pr.w = 0 OR m.{m2} = 0 THEN NULL "
+                f"WHEN {num} >= 0 THEN {num} // {den} "
+                f"ELSE -((-{num}) // {den}) END")
+
+    return f"""
+WITH bm_cells AS ({cells_sql}),
+st AS (SELECT COUNT(*) AS nc, CAST(SUM(x) AS BIGINT) AS tx,
+              CAST(SUM(y) AS BIGINT) AS ty FROM bm_cells),
+d AS (SELECT cell, CAST(st.nc * c.x - st.tx AS BIGINT) AS dx,
+             CAST(st.nc * c.y - st.ty AS BIGINT) AS dy
+      FROM bm_cells c, st),
+pr AS (SELECT COUNT(b.cell) AS w,
+       COALESCE(SUM(CAST(a.dx AS HUGEINT) * b.dy), 0) AS s
+       FROM d a, LATERAL ({nb}) nb, d b
+       WHERE nb.neighbor = b.cell AND nb.neighbor <> a.cell),
+m AS (SELECT CAST(SUM(CAST(dx AS HUGEINT) * dx) AS HUGEINT) AS m2x,
+             CAST(SUM(CAST(dy AS HUGEINT) * dy) AS HUGEINT) AS m2y
+      FROM d),
+sl AS (SELECT st.nc AS nc, pr.w AS w, pr.s AS s,
+       CAST({slope('m2x')} AS BIGINT) AS lagx_ppm,
+       CAST({slope('m2y')} AS BIGINT) AS lagy_ppm
+       FROM st, pr, m)
+SELECT CAST(nc AS BIGINT) AS n_cells, CAST(w AS BIGINT) AS w_pairs,
+       lagx_ppm, lagy_ppm,
+       CAST(CASE WHEN lagx_ppm IS NULL OR lagy_ppm IS NULL THEN NULL
+            ELSE (CASE WHEN s >= 0 THEN 1 ELSE -1 END) *
+                 (abs(lagx_ppm) * abs(lagy_ppm) // 1000000)
+            END AS BIGINT) AS bimoran2_ppm
+FROM sl
+"""

@@ -3233,6 +3233,40 @@ def q_bloom_probe(spark, sf_dir):
         build_col="o_orderkey", probe_col="l_orderkey")
 
 
+def q_benford(spark, sf_dir):
+    """Benford first-digit audit per source (r5.43): observed vs
+    log10(1+1/d) leading-digit distribution of document lengths, the
+    generated-vs-organic data screen (operators/textstats.
+    benford_digits — literal expectation table, dense 9-digit grid,
+    one combinable groupBy)."""
+    from pyspark.sql import functions as F
+
+    from .operators.textstats import benford_digits
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return benford_digits(d.select("source", "n_chars"), "n_chars")
+
+
+def q_bimoran(spark, sf_dir):
+    """Bivariate Moran's I (r5.43): spatial cross-correlation between
+    per-cell event volume and audience breadth — does traffic HERE
+    predict distinct users NEXT DOOR (operators/tiles.bivariate_moran
+    — moran_i's queen weights and N^2-cancelled deviations, the
+    overflow-safe composed-slope estimator)."""
+    from pyspark.sql import functions as F
+
+    from .functions.cells import cell_encode
+    from .operators.tiles import bivariate_moran
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    lat = (F.col("user_id") % 180).cast("double") - 90.0
+    lon = ((F.col("value") % 360.0) + 360.0) % 360.0 - 180.0
+    cells = (e.select(cell_encode(lat, lon, RES_COARSE).alias("cell"),
+                      "user_id")
+             .groupBy("cell")
+             .agg(F.count(F.lit(1)).alias("x"),
+                  F.countDistinct("user_id").alias("y")))
+    return bivariate_moran(cells, RES_COARSE, x_col="x", y_col="y")
+
+
 def q_colloc_lift(spark, sf_dir):
     """Collocation lift (r5.34): exact integer PMI-monotone lift per
     corpus bigram over the shared tokenization — phrase mining
@@ -3849,6 +3883,17 @@ QUERIES = {
     "hll_cells": q_hll_cells,
     "cms_terms": q_cms_terms,
     "bloom_probe": q_bloom_probe,
+    # -- r5.43 (session 12), same triage: benford (first-digit
+    #    data-quality screen, literal-table expectations) and
+    #    bimoran (bivariate Moran's I, moran_i's machinery with the
+    #    composed-slope estimator). The next-oldest first-timers
+    #    rotate just past the boundary: containment (r5.35 — the
+    #    set-similarity tier keeps r4 driver greens via
+    #    minhash_pairs/ngram_pairs) and cross_k (r5.37 — the
+    #    spatial-stats family stays inside via join_counts/gi_star/
+    #    geary_c/quadrat_csr) --
+    "benford": q_benford,
+    "bimoran": q_bimoran,
     # -- round-5.39 addition (session 10), inside the window for its
     #    first driver row under the same newest-least-soak triage;
     #    centroid_drift rotates just past the boundary to make room
@@ -4096,7 +4141,8 @@ QUERIES = {
     "stream_revisit": q_stream_revisit,
     # (kcore — r5.34 — moved just past the window in session 12 to
     #  make room for the sketch trilogy; see head-of-dict)
-    "containment": q_containment,
+    # (containment — r5.35 — moved just past the window in
+    #  session 12 to make room for benford; see head-of-dict)
     "stream_speed": q_stream_speed,
     # -- r5.36 additions, newest-inside per the same rule:
     #    split_leakage (minhash_pairs [driver r4] + split_assign),
@@ -4119,7 +4165,8 @@ QUERIES = {
     #  inside the in-window basin_stats oracle, so the pointer-jump
     #  chain's hash is driver-covered compositionally — the same
     #  argument that moved d8_flow)
-    "cross_k": q_cross_k,
+    # (cross_k — r5.37 — moved just past the window in session 12
+    #  to make room for bimoran; see head-of-dict)
     "basin_stats": q_basin_stats,
     "threshold_alerts": q_threshold_alerts,
     # (peak_cells — r5.36 — moved just past the window in session 10
@@ -4134,6 +4181,8 @@ QUERIES = {
     "knn_graph": q_knn_graph,
     "interval_overlap": q_interval_overlap,
     "kcore": q_kcore,
+    "containment": q_containment,
+    "cross_k": q_cross_k,
     # (od_matrix — r5.20 — moved just past the window in session 10
     #  to make room for ks_stat; see the head-of-dict comment.
     #  Original r5.20 slot comment: inside the window for its first
@@ -5050,6 +5099,14 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT o_orderkey AS k FROM orders "
         f"WHERE o_totalprice > {_BLOOM_PRICE}",
         "SELECT l_orderkey AS k FROM lineitem")
+    from .operators.textstats import benford_digits_sql
+    out["benford"] = benford_digits_sql(
+        "SELECT source, n_chars AS v FROM documents")
+    from .operators.tiles import bivariate_moran_sql
+    out["bimoran"] = bivariate_moran_sql(
+        f"SELECT {evt_cell6} AS cell, COUNT(*) AS x, "
+        f"COUNT(DISTINCT user_id) AS y FROM events GROUP BY 1",
+        RES_COARSE)
     out["cell_distinct_users"] = (
         f"SELECT {evt_cell6} AS cell, "
         f"COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events "
