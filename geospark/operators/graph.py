@@ -421,3 +421,104 @@ SELECT CAST(n AS BIGINT) AS n_dir_edges,
             END AS BIGINT) AS assort_ppm
 FROM fin
 """
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities (r5.44)
+# ---------------------------------------------------------------------------
+
+def hits(edges, nodes, *, iters: int = 4, src_col: str = "src",
+         dst_col: str = "dst", id_col: str = "doc_id"):
+    """Integer-exact HITS (Kleinberg 1999) over a directed link
+    graph: hub and authority scores as ppm of the per-iteration
+    maximum — the query-independent link signal that separates
+    DIRECTORY pages (hubs: point at many good authorities) from
+    CONTENT pages (authorities: pointed at by many good hubs), the
+    complement to pagerank's single random-surfer score.
+
+    The float algorithm L2-normalizes each half-step; sqrt is not
+    integer-exact, so this normalizes by the MAXIMUM instead (scores
+    in [0, 1e6], the top node pinned at exactly 1_000_000) — rank
+    order and ratio structure are what downstream curation consumes,
+    and max-normalization preserves both while keeping every value a
+    BIGINT floor ratio, bit-identical on any engine / partitioning:
+
+        a_raw(v) = SUM over u->v of h(u);  a = a_raw * 1e6 div max(a_raw)
+        h_raw(u) = SUM over u->v of a(v);  h = h_raw * 1e6 div max(h_raw)
+
+    from h_0 = 1e6 at every node, ``iters`` full (authority, hub)
+    rounds. Raw sums ride DECIMAL(38,0) (in-degree * 1e12 overflows
+    BIGINT on web-scale hub pages). A graph with no edges yields all
+    zeros (max = 0 guard), isolated nodes stay 0 from round 1.
+
+    Scale: per round, TWO edge-keyed equi-joins + TWO map-side-
+    combinable groupBy sums + a broadcast 1-row max join; per-round
+    materialize() truncates the lineage (the pagerank/CC lesson).
+    ``nodes`` is the full node universe (id), kept so unreferenced
+    pages report 0 rather than vanishing. -> (id, auth_ppm, hub_ppm).
+    """
+    from pyspark.sql import functions as F
+
+    e = materialize(edges.select(F.col(src_col).alias("_u"),
+                                 F.col(dst_col).alias("_v")).distinct())
+    n = nodes.select(F.col(id_col).alias("_id"))
+    h = n.select("_id", F.lit(10**6).cast("decimal(38,0)").alias("_h"))
+
+    def _half(scores, score_col, join_key, group_key):
+        raw = (e.join(scores, e[join_key] == scores["_id"])
+               .groupBy(group_key)
+               .agg(F.sum(score_col).alias("_raw")))
+        full = (n.join(raw, n["_id"] == raw[group_key], "left")
+                .select("_id", F.coalesce("_raw", F.lit(0))
+                        .cast("decimal(38,0)").alias("_raw")))
+        mx = full.agg(F.max("_raw").alias("_mx"))
+        out = (full.crossJoin(F.broadcast(mx))
+               .select("_id", F.expr(
+                   "CASE WHEN _mx = 0 THEN CAST(0 AS DECIMAL(38,0)) "
+                   "ELSE (_raw * 1000000) div _mx END").alias("_s")))
+        return materialize(out)
+
+    a = None
+    for _ in range(iters):
+        a = _half(h.select("_id", F.col("_h").alias("_s")), "_s",
+                  "_u", "_v").select("_id", F.col("_s").alias("_a"))
+        h = _half(a.select("_id", F.col("_a").alias("_s")), "_s",
+                  "_v", "_u").select("_id", F.col("_s").alias("_h"))
+    return (a.join(h, "_id")
+            .select(F.col("_id").alias(id_col),
+                    F.col("_a").cast("long").alias("auth_ppm"),
+                    F.col("_h").cast("long").alias("hub_ppm")))
+
+
+def hits_sql(edges_sql: str, nodes_sql: str, *, iters: int = 4,
+             id_col: str = "doc_id") -> str:
+    """DuckDB twin of hits: the same max-normalized recurrence
+    unrolled one CTE pair per iteration (generated here, so the
+    arithmetic exists once). HUGEINT sums; every value nonnegative,
+    so floor division needs no sign decomposition."""
+    ctes = [f"ht_e AS (SELECT DISTINCT src, dst FROM ({edges_sql}))",
+            f"ht_n AS ({nodes_sql})",
+            "h0 AS (SELECT id, CAST(1000000 AS HUGEINT) AS s FROM ht_n)"]
+
+    def half(out, prev, join_key, group_key):
+        ctes.append(
+            f"{out}_r AS (SELECT n.id, "
+            f"CAST(COALESCE(x.s, 0) AS HUGEINT) AS raw FROM ht_n n "
+            f"LEFT JOIN (SELECT e.{group_key} AS v, SUM(p.s) AS s "
+            f"FROM ht_e e JOIN {prev} p ON e.{join_key} = p.id "
+            f"GROUP BY 1) x ON n.id = x.v)")
+        ctes.append(
+            f"{out} AS (SELECT id, CASE WHEN m.mx = 0 THEN 0 "
+            f"ELSE raw * 1000000 // m.mx END AS s FROM {out}_r, "
+            f"(SELECT MAX(raw) AS mx FROM {out}_r) m)")
+
+    prev = "h0"
+    for i in range(iters):
+        half(f"a{i + 1}", prev, "src", "dst")
+        half(f"h{i + 1}", f"a{i + 1}", "dst", "src")
+        prev = f"h{i + 1}"
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT a.id AS {id_col}, "
+            f"CAST(a.s AS BIGINT) AS auth_ppm, "
+            f"CAST(h.s AS BIGINT) AS hub_ppm "
+            f"FROM a{iters} a JOIN h{iters} h USING (id)")

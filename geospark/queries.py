@@ -3267,6 +3267,26 @@ def q_bimoran(spark, sf_dir):
     return bivariate_moran(cells, RES_COARSE, x_col="x", y_col="y")
 
 
+def q_hits(spark, sf_dir):
+    """HITS hubs & authorities (r5.44): max-normalized integer
+    Kleinberg scores over the same deterministic synthetic link
+    graph link_rank ranks — the directory-vs-content link signal
+    that complements the single random-surfer score
+    (operators/graph.hits docstring: two edge joins + two combinable
+    sums + a broadcast max per round, materialize() per round)."""
+    from pyspark.sql import functions as F
+
+    from .operators.graph import hits
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    n = d.count()
+    edges = (d.select(F.col("doc_id").alias("src"),
+                      F.explode(F.array(*[
+                          (F.col("doc_id") * 7 + 13 * j + 1) % n
+                          for j in range(3)])).alias("dst"))
+             .filter(F.col("src") != F.col("dst")))
+    return hits(edges, d)
+
+
 def q_colloc_lift(spark, sf_dir):
     """Collocation lift (r5.34): exact integer PMI-monotone lift per
     corpus bigram over the shared tokenization — phrase mining
@@ -3894,6 +3914,13 @@ QUERIES = {
     #    geary_c/quadrat_csr) --
     "benford": q_benford,
     "bimoran": q_bimoran,
+    # -- r5.44 (session 13), same triage: hits (max-normalized
+    #    integer HITS over link_rank's synthetic link graph).
+    #    peak_sessions (r5.21 — the most-soaked in-window first-timer
+    #    that is neither a twin anchor nor the ADVICE-r4-mandated
+    #    host_stats/cell_distinct_users pair) rotates just past the
+    #    boundary with its multi-sweep replica greens banked --
+    "hits": q_hits,
     # -- round-5.39 addition (session 10), inside the window for its
     #    first driver row under the same newest-least-soak triage;
     #    centroid_drift rotates just past the boundary to make room
@@ -4077,7 +4104,8 @@ QUERIES = {
     #  see head-of-dict)
     # (freshness — r5.21 — moved just past the window in session 10
     #  to make room for kendall_tau; see the head-of-dict comment.)
-    "peak_sessions": q_peak_sessions,
+    # (peak_sessions — r5.21 — moved just past the window in
+    #  session 13 to make room for hits; see head-of-dict)
     # (robots_gate — r5.21 — moved just past the window in
     #  session 11 to make room for degree_assort; see head-of-dict)
     # (best_of_cluster — r5.8 — moved just past the window in
@@ -4172,6 +4200,7 @@ QUERIES = {
     # (peak_cells — r5.36 — moved just past the window in session 10
     #  to make room for rrf_fuse; see the head-of-dict comment)
     "peak_cells": q_peak_cells,
+    "peak_sessions": q_peak_sessions,
     # (moved just past the window in session 11 — see head-of-dict)
     "hilbert_keys": q_hilbert_keys,
     "link_rank": q_link_rank,
@@ -4921,6 +4950,13 @@ def oracle_sql() -> dict[str, str]:
         f") WHERE src <> dst",
         "SELECT CAST(doc_id AS BIGINT) AS id FROM documents",
         _n_docs)
+    from .operators.graph import hits_sql
+    out["hits"] = hits_sql(
+        f"SELECT doc_id AS src, "
+        f"(doc_id * 7 + 13 * j + 1) % {_n_docs} AS dst "
+        f"FROM documents CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) "
+        f"WHERE doc_id <> (doc_id * 7 + 13 * j + 1) % {_n_docs}",
+        "SELECT CAST(doc_id AS BIGINT) AS id FROM documents")
     from .functions.cells import hilbert_sql
     out["hilbert_keys"] = (
         f"SELECT c_custkey, hkey FROM ("

@@ -189,3 +189,89 @@ class TestBivariateMoran:
             bivariate_moran_sql("SELECT cell, x, y FROM c",
                                 RES)).fetchall())
         assert got == want and got[0][4] is not None
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities
+# ---------------------------------------------------------------------------
+
+def _hits_ref(edges, nodes, iters=4):
+    """Independent re-derivation of the max-normalized integer HITS
+    recurrence (floor division everywhere)."""
+    edges = sorted(set(edges))
+    h = {v: 10**6 for v in nodes}
+    a = {v: 0 for v in nodes}
+    for _ in range(iters):
+        raw = {v: 0 for v in nodes}
+        for u, v in edges:
+            raw[v] += h[u]
+        mx = max(raw.values()) if nodes else 0
+        a = {v: (r * 10**6 // mx if mx else 0)
+             for v, r in raw.items()}
+        raw = {v: 0 for v in nodes}
+        for u, v in edges:
+            raw[u] += a[v]
+        mx = max(raw.values()) if nodes else 0
+        h = {v: (r * 10**6 // mx if mx else 0)
+             for v, r in raw.items()}
+    return sorted((v, a[v], h[v]) for v in nodes)
+
+
+class TestHits:
+    def _run(self, spark, edges, nodes, iters=4):
+        from geospark.operators.graph import hits
+        e = spark.createDataFrame(edges, "src long, dst long")
+        n = spark.createDataFrame([(v,) for v in nodes],
+                                  "doc_id long")
+        return _rows(hits(e, n, iters=iters))
+
+    def test_star_separates_hub_from_authority(self, spark):
+        """1,2,3 -> 0: node 0 is the pure authority (auth 1e6,
+        hub 0), the pointers are pure equal hubs (hub 1e6, auth 0)."""
+        got = self._run(spark, [(1, 0), (2, 0), (3, 0)], range(4))
+        assert got == [(0, 10**6, 0), (1, 0, 10**6),
+                       (2, 0, 10**6), (3, 0, 10**6)]
+
+    def test_unbalanced_bipartite_matches_ref(self, spark):
+        """Hub 0 points at both authorities, hub 1 at one: scores
+        match the independent floor-arithmetic re-derivation, the
+        stronger hub and stronger authority pin at 1e6."""
+        edges = [(0, 2), (0, 3), (1, 2)]
+        nodes = range(4)
+        got = self._run(spark, edges, nodes)
+        assert got == _hits_ref(edges, nodes)
+        assert got[0][2] == 10**6 and got[2][1] == 10**6
+
+    def test_no_edges_all_zero(self, spark):
+        """Empty graph: the max-0 guard yields all-zero scores, not a
+        division error."""
+        from geospark.operators.graph import hits
+        e = spark.createDataFrame([], "src long, dst long")
+        n = spark.createDataFrame([(v,) for v in range(3)],
+                                  "doc_id long")
+        assert _rows(hits(e, n)) == [(0, 0, 0), (1, 0, 0), (2, 0, 0)]
+
+    def test_duplicate_edges_collapse(self, spark):
+        """Edge multiplicity is ignored (DISTINCT before the
+        recurrence): duplicating an edge changes nothing."""
+        edges = [(0, 2), (0, 3), (1, 2)]
+        assert (self._run(spark, edges * 3, range(4))
+                == self._run(spark, edges, range(4)))
+
+    def test_inline_oracle_parity(self, spark):
+        import duckdb
+
+        from geospark.operators.graph import hits, hits_sql
+        edges = [(i, (i * 7 + 13 * j + 1) % 60)
+                 for i in range(60) for j in range(3)]
+        edges = [(u, v) for u, v in edges if u != v]
+        nodes = range(60)
+        got = self._run(spark, edges, nodes)
+        assert got == _hits_ref(edges, nodes)
+        con = duckdb.connect()
+        con.execute("CREATE TABLE e (src BIGINT, dst BIGINT)")
+        con.executemany("INSERT INTO e VALUES (?, ?)", edges)
+        want = sorted(tuple(r) for r in con.execute(hits_sql(
+            "SELECT src, dst FROM e",
+            "SELECT unnest(range(60)) AS id")).fetchall())
+        assert got == want
