@@ -2303,3 +2303,106 @@ SELECT cell, CAST(SUM(c) AS BIGINT) AS n_pts,
        CAST(MIN({{'nc': -c, 'h': h}}).h AS INTEGER) AS peak_hour
 FROM hp_h GROUP BY cell
 """
+
+
+# ---------------------------------------------------------------------------
+# Discrete-time hazard / Kaplan-Meier life table (r5.44)
+# ---------------------------------------------------------------------------
+
+def km_hazard(events, *, user_col: str = "user_id", ts_col: str = "ts",
+              unit_us: int = 3_600_000_000):
+    """Discrete-time Kaplan-Meier life table over per-user RETURN
+    gaps — the churn/retention primitive revisit_hist's histogram
+    cannot express, because "how many users who survived t hours
+    without returning came back in hour t" needs the RISK SET, and
+    the user's final open gap must be right-CENSORED at the global
+    horizon rather than dropped (dropping it biases hazard upward:
+    long silences are exactly the spells still open at snapshot
+    time; Kaplan-Meier 1958).
+
+    Spells, in integer ``unit_us`` buckets of the fixed-NTZ-epoch
+    microsecond timeline (the sessionizer convention): every
+    consecutive-event gap is a COMPLETE spell (the user returned);
+    each user contributes one CENSORED spell from their last event
+    to the global max timestamp. Life table at each duration t with
+    at least one return:
+
+        n_risk(t)   = spells with duration >= t (complete or censored)
+        hazard_ppm  = n_events(t) * 1e6 div n_risk(t)
+
+    Survival itself is a product of (1 - h) — not integer-exact, so
+    the table reports the exact hazard column and leaves the
+    cumulative product to the (client-side) consumer, the same
+    division of labor as the sketch operators.
+
+    Scale: gaps ride ONE user-keyed lead() window (ties share a
+    timestamp bucket; the sorted-gap multiset is order-invariant);
+    the horizon is a broadcast 1-row max; the life table aggregates
+    to AT MOST horizon/unit rows (bounded by the observation window
+    in units, NOT by event volume), so the final risk-set cumulative
+    window runs on that bounded grid — the same grid-not-data
+    argument as ks_stat. -> (dur, n_risk, n_events, n_censored,
+    hazard_ppm), one row per duration with n_events > 0."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    us = _us_expr(ts_col)
+    ev = events.select(F.col(user_col).alias("_u"), us.alias("_us"))
+    w = Window.partitionBy("_u").orderBy("_us")
+    nx = ev.withColumn("_nus", F.lead("_us").over(w))
+    complete = (nx.filter(F.col("_nus").isNotNull())
+                .select(F.expr(f"(_nus - _us) div {unit_us}")
+                        .alias("_dur"), F.lit(1).alias("_ev")))
+    horizon = ev.agg(F.max("_us").alias("_h"))
+    censored = (ev.groupBy("_u").agg(F.max("_us").alias("_mx"))
+                .crossJoin(F.broadcast(horizon))
+                .select(F.expr(f"(_h - _mx) div {unit_us}")
+                        .alias("_dur"), F.lit(0).alias("_ev")))
+    g = (complete.unionByName(censored)
+         .groupBy("_dur")
+         .agg(F.sum("_ev").alias("_d"),
+              F.sum(1 - F.col("_ev")).alias("_c")))
+    wg = (Window.orderBy("_dur")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    out = (g.withColumn("_ended", F.coalesce(
+               F.sum(F.col("_d") + F.col("_c")).over(wg), F.lit(0)))
+           .crossJoin(F.broadcast(
+               g.agg(F.sum(F.col("_d") + F.col("_c")).alias("_tot"))))
+           .withColumn("n_risk", F.col("_tot") - F.col("_ended"))
+           .filter(F.col("_d") > 0))
+    return out.select(
+        F.col("_dur").cast("long").alias("dur"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("_d").cast("long").alias("n_events"),
+        F.col("_c").cast("long").alias("n_censored"),
+        F.expr("_d * 1000000 div n_risk").cast("long")
+        .alias("hazard_ppm"))
+
+
+def km_hazard_sql(src_sql: str, *, unit_us: int = 3_600_000_000) -> str:
+    """DuckDB twin of km_hazard over a subquery producing (u, ts) —
+    same spells, same bounded-grid running risk set. All quantities
+    nonnegative, so floor division needs no sign decomposition."""
+    us = f"datediff('microseconds', TIMESTAMP '{EPOCH}', ts)"
+    return f"""
+WITH km_ev AS (SELECT u, {us} AS us FROM ({src_sql})),
+km_h AS (SELECT MAX(us) AS h FROM km_ev),
+km_nx AS (SELECT u, us, LEAD(us) OVER (PARTITION BY u ORDER BY us)
+                 AS nus FROM km_ev),
+km_sp AS (SELECT (nus - us) // {unit_us} AS dur, 1 AS ev
+          FROM km_nx WHERE nus IS NOT NULL
+          UNION ALL
+          SELECT (km_h.h - mx) // {unit_us}, 0
+          FROM (SELECT u, MAX(us) AS mx FROM km_ev GROUP BY 1), km_h),
+km_g AS (SELECT dur, SUM(ev) AS d, SUM(1 - ev) AS c
+         FROM km_sp GROUP BY 1),
+km_r AS (SELECT dur, d, c, t.tot - COALESCE(
+             SUM(d + c) OVER (ORDER BY dur
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             0) AS n_risk
+         FROM km_g, (SELECT SUM(d + c) AS tot FROM km_g) t)
+SELECT CAST(dur AS BIGINT) AS dur, CAST(n_risk AS BIGINT) AS n_risk,
+       CAST(d AS BIGINT) AS n_events, CAST(c AS BIGINT) AS n_censored,
+       CAST(d * 1000000 // n_risk AS BIGINT) AS hazard_ppm
+FROM km_r WHERE d > 0
+"""

@@ -3287,6 +3287,19 @@ def q_hits(spark, sf_dir):
     return hits(edges, d)
 
 
+def q_km_hazard(spark, sf_dir):
+    """Discrete-time return-hazard life table (r5.44): per hour-
+    since-last-event, how many at-risk user spells returned — the
+    right-censored churn curve over the events table
+    (operators/events.km_hazard docstring: one user-keyed lead
+    window, broadcast horizon, bounded duration-grid risk set)."""
+    from pyspark.sql import functions as F
+
+    from .operators.events import km_hazard
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return km_hazard(e.select("user_id", "ts"))
+
+
 def q_colloc_lift(spark, sf_dir):
     """Collocation lift (r5.34): exact integer PMI-monotone lift per
     corpus bigram over the shared tokenization — phrase mining
@@ -3921,6 +3934,11 @@ QUERIES = {
     #    host_stats/cell_distinct_users pair) rotates just past the
     #    boundary with its multi-sweep replica greens banked --
     "hits": q_hits,
+    # -- r5.44 continued: km_hazard (right-censored return-hazard
+    #    life table). active_coverage (r5.38 — next-oldest non-anchor
+    #    first-timer; its sweep-line window chain keeps multi-sweep
+    #    replica greens) rotates just past the boundary --
+    "km_hazard": q_km_hazard,
     # -- round-5.39 addition (session 10), inside the window for its
     #    first driver row under the same newest-least-soak triage;
     #    centroid_drift rotates just past the boundary to make room
@@ -4056,7 +4074,8 @@ QUERIES = {
     #  batch_dedup and d8_flow — see their relocation comments)
     "stream_resample": q_stream_resample,
     "pps_sample": q_pps_sample,
-    "active_coverage": q_active_coverage,
+    # (active_coverage — r5.38 — moved just past the window in
+    #  session 13 to make room for km_hazard; see head-of-dict)
     "accessibility": q_accessibility,
     # (crawl_budget and source_overlap — r5.13 — moved just past the
     #  window in session 10 to make room for geary_c/join_counts;
@@ -4201,6 +4220,7 @@ QUERIES = {
     #  to make room for rrf_fuse; see the head-of-dict comment)
     "peak_cells": q_peak_cells,
     "peak_sessions": q_peak_sessions,
+    "active_coverage": q_active_coverage,
     # (moved just past the window in session 11 — see head-of-dict)
     "hilbert_keys": q_hilbert_keys,
     "link_rank": q_link_rank,
@@ -4957,6 +4977,9 @@ def oracle_sql() -> dict[str, str]:
         f"FROM documents CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) "
         f"WHERE doc_id <> (doc_id * 7 + 13 * j + 1) % {_n_docs}",
         "SELECT CAST(doc_id AS BIGINT) AS id FROM documents")
+    from .operators.events import km_hazard_sql
+    out["km_hazard"] = km_hazard_sql(
+        "SELECT user_id AS u, ts FROM events")
     from .functions.cells import hilbert_sql
     out["hilbert_keys"] = (
         f"SELECT c_custkey, hkey FROM ("

@@ -275,3 +275,69 @@ class TestHits:
             "SELECT src, dst FROM e",
             "SELECT unnest(range(60)) AS id")).fetchall())
         assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Discrete-time return-hazard life table
+# ---------------------------------------------------------------------------
+
+class TestKmHazard:
+    HOUR = 3_600_000_000
+
+    def _run(self, spark, rows):
+        from datetime import datetime, timedelta
+
+        from geospark.operators.events import km_hazard
+        base = datetime(2024, 1, 1)
+        data = [(u, base + timedelta(hours=h)) for u, h in rows]
+        d = spark.createDataFrame(data, "user_id long, ts timestamp")
+        return _rows(km_hazard(d),
+                     ["dur", "n_risk", "n_events", "n_censored",
+                      "hazard_ppm"])
+
+    def test_hand_worked_life_table(self, spark):
+        """user 1 at hours 0,1,3; user 2 at 0,5. Complete spells
+        {1,2,5}, censored {2,0} (horizon = hour 5). Risk sets 5,4,3,1
+        down the grid; rows only where a return happened."""
+        got = self._run(spark, [(1, 0), (1, 1), (1, 3),
+                                (2, 0), (2, 5)])
+        assert got == [(1, 4, 1, 0, 250_000),
+                       (2, 3, 1, 1, 333_333),
+                       (5, 1, 1, 0, 1_000_000)]
+
+    def test_censoring_inflates_risk_not_events(self, spark):
+        """A single-event user adds one censored spell (never a
+        return): every hazard at or below its censor time drops, and
+        no new output row appears."""
+        base = [(1, 0), (1, 1), (1, 3), (2, 0), (2, 5)]
+        got = self._run(spark, base + [(3, 0)])  # censored at dur 5
+        assert got == [(1, 5, 1, 0, 200_000),
+                       (2, 4, 1, 1, 250_000),
+                       (5, 2, 1, 1, 500_000)]
+
+    def test_tied_timestamps_are_zero_spells(self, spark):
+        """Two events at the same instant: a complete dur-0 spell —
+        counted, deterministic under any tie order."""
+        got = self._run(spark, [(1, 0), (1, 0), (1, 2)])
+        # spells: complete {0, 2}, censored {0}; risk 3 then 1
+        assert got == [(0, 3, 1, 1, 333_333),
+                       (2, 1, 1, 0, 1_000_000)]
+
+    def test_inline_oracle_parity(self, spark):
+        from datetime import datetime, timedelta
+
+        import duckdb
+
+        from geospark.operators.events import km_hazard, km_hazard_sql
+        base = datetime(2024, 1, 1)
+        rows = [(i % 17, base + timedelta(
+                    minutes=(i * i * 31 + 7 * i) % 10000))
+                for i in range(400)]
+        d = spark.createDataFrame(rows, "user_id long, ts timestamp")
+        got = _rows(km_hazard(d))
+        con = duckdb.connect()
+        con.execute("CREATE TABLE ev (u BIGINT, ts TIMESTAMP)")
+        con.executemany("INSERT INTO ev VALUES (?, ?)", rows)
+        want = sorted(tuple(r) for r in con.execute(
+            km_hazard_sql("SELECT u, ts FROM ev")).fetchall())
+        assert got == want and len(got) > 5
