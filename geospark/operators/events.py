@@ -2406,3 +2406,147 @@ SELECT CAST(dur AS BIGINT) AS dur, CAST(n_risk AS BIGINT) AS n_risk,
        CAST(d * 1000000 // n_risk AS BIGINT) AS hazard_ppm
 FROM km_r WHERE d > 0
 """
+
+
+# ---------------------------------------------------------------------------
+# Per-cell circular concentration (Rayleigh resultant) (r5.44)
+# ---------------------------------------------------------------------------
+
+def _octant_unit_ppm() -> dict[str, tuple[int, int]]:
+    """(cos, sin) of each octant's CENTER angle in ppm — computed
+    once in Python and embedded as the SAME literals in both engines
+    (the benford/_ln_ppm_case constant-table convention). Sector
+    centers are 22.5 + k*45 degrees counterclockwise from due east,
+    matching _octant_case's half-open sectors."""
+    import math
+    labels = ["ENE", "NNE", "NNW", "WNW", "WSW", "SSW", "SSE", "ESE"]
+    return {lab: (round(math.cos(math.radians(22.5 + 45 * k)) * 1e6),
+                  round(math.sin(math.radians(22.5 + 45 * k)) * 1e6))
+            for k, lab in enumerate(labels)}
+
+
+def _octant_unit_case(oct_expr: str) -> tuple[str, str]:
+    """Shared SQL text mapping an octant label to its unit-vector
+    ppm components."""
+    units = _octant_unit_ppm()
+    ux = " ".join(f"WHEN {oct_expr} = '{o}' THEN {c}"
+                  for o, (c, _) in units.items())
+    uy = " ".join(f"WHEN {oct_expr} = '{o}' THEN {s}"
+                  for o, (_, s) in units.items())
+    return f"CASE {ux} END", f"CASE {uy} END"
+
+
+def _origin_cell_exprs(px: str, py: str, res: int) -> str:
+    """Shared SQL text: the res-grid cell id of a µdeg integer
+    position — the same floor((coord+offset)/span*2^res) grid as
+    cell_encode, carried out in EXACT integer arithmetic on the
+    µdeg values (both engines run this text, so the hop's origin
+    cell can never ulp-flip across a cell edge)."""
+    n = 1 << res
+    # clamp BEFORE the division so the numerator is nonnegative and
+    # Spark's trunc-toward-zero agrees with DuckDB's floor even on
+    # out-of-domain coordinates
+    cx = (f"least(greatest(({px}) + 180000000, 0) * {n} "
+          f"div 360000000, {n - 1})")
+    cy = (f"least(greatest(({py}) + 90000000, 0) * {n} "
+          f"div 180000000, {n - 1})")
+    return f"(CAST({res} AS BIGINT) * {1 << 56} + ({cy}) * {n} + ({cx}))"
+
+
+def rayleigh_cells(points, res: int, *, user_col: str = "user_id",
+                   us_col: str = "us", lat_col: str = "lat",
+                   lon_col: str = "lon", tie_col: str = "event_id",
+                   min_hops: int = 5):
+    """Per-cell circular CONCENTRATION of outgoing movement bearings
+    — the directional-flow field bearing_hist's global histogram
+    cannot localize: a cell on a one-way arterial shows a resultant
+    near 1, a cell where trips scatter shows near 0 (Rayleigh test /
+    Mardia circular statistics, mean-resultant-length form). Each
+    per-user consecutive hop contributes its octant's CENTER unit
+    vector (the _octant_case sectors; components from the shared
+    ppm literal table, so no trig runs in either engine), keyed by
+    the hop's ORIGIN cell via exact integer µdeg grid math:
+
+        r2_ppm = (Sx^2 + Sy^2) div (n^2 * 1e6)   in [0, 1e6]
+
+    the squared mean resultant length in ppm — squaring instead of
+    sqrt keeps it integer-exact (the assortativity convention), and
+    n * R^2 is the Rayleigh z if the consumer wants the test. Sx, Sy
+    are also emitted (BIGINT, bounded by n * 1e6): their signs give
+    the mean flow direction. Octant quantization caps r2 at
+    cos(22.5deg)^2 ~ 853553 ppm for perfectly aligned real bearings;
+    comparisons across cells are unaffected (same quantizer
+    everywhere).
+
+    Scale: one user-keyed lag window (shared shape with
+    speed_flags/jump_hist), then ONE map-side-combinable groupBy on
+    the origin cell; squares ride DECIMAL(38,0)/HUGEINT (n ~ 1e9
+    hops in a hub cell puts Sx^2 at 1e30). Stationary hops carry no
+    direction and are dropped; cells with fewer than ``min_hops``
+    hops are suppressed (a 1-hop cell is always r2 = 1e6 * cos^2 —
+    pure noise). -> (cell, n_hops, sx, sy, r2_ppm)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    d = points.select(
+        F.col(user_col).alias("_u"), F.col(us_col).alias("_us"),
+        F.col(tie_col).alias("_tie"),
+        F.expr(f"CAST(floor({lat_col} * 1000000.0) AS BIGINT)")
+        .alias("_iy"),
+        F.expr(f"CAST(floor({lon_col} * 1000000.0) AS BIGINT)")
+        .alias("_ix"))
+    w = Window.partitionBy("_u").orderBy("_us", "_tie")
+    h = (d.withColumn("_px", F.lag("_ix").over(w))
+         .withColumn("_py", F.lag("_iy").over(w))
+         .filter(F.col("_px").isNotNull()
+                 & ((F.col("_ix") != F.col("_px"))
+                    | (F.col("_iy") != F.col("_py")))))
+    oct_ = _octant_case("_ix - _px", "_iy - _py")
+    ux, uy = _octant_unit_case(f"({oct_})")
+    cell = _origin_cell_exprs("_px", "_py", res)
+    g = (h.select(F.expr(cell).alias("cell"),
+                  F.expr(ux).alias("_ux"), F.expr(uy).alias("_uy"))
+         .groupBy("cell")
+         .agg(F.count(F.lit(1)).alias("n_hops"),
+              F.sum("_ux").alias("_sx"), F.sum("_uy").alias("_sy"))
+         .filter(F.col("n_hops") >= min_hops))
+    r2 = ("(CAST(_sx AS DECIMAL(38,0)) * _sx "
+          "+ CAST(_sy AS DECIMAL(38,0)) * _sy) div "
+          "(CAST(n_hops AS DECIMAL(38,0)) * n_hops * 1000000)")
+    return g.select(
+        "cell", F.col("n_hops").cast("long").alias("n_hops"),
+        F.col("_sx").cast("long").alias("sx"),
+        F.col("_sy").cast("long").alias("sy"),
+        F.expr(r2).cast("long").alias("r2_ppm"))
+
+
+def rayleigh_cells_sql(pts_sql: str, res: int, *,
+                       min_hops: int = 5) -> str:
+    """DuckDB twin of rayleigh_cells over a subquery producing
+    (user_id, us, event_id, lat, lon) — identical octant CASE,
+    identical unit literal table, identical integer origin-cell
+    text; numerator nonnegative so floor == trunc."""
+    oct_ = _octant_case("ix - px", "iy - py")
+    ux, uy = _octant_unit_case(f"({oct_})")
+    cell = (_origin_cell_exprs("px", "py", res)
+            .replace(" div ", " // "))
+    return f"""
+WITH rc_d AS (SELECT user_id AS u, us, event_id AS tie,
+              CAST(floor(lat * 1000000.0) AS BIGINT) AS iy,
+              CAST(floor(lon * 1000000.0) AS BIGINT) AS ix
+              FROM ({pts_sql})),
+rc_h AS (SELECT ix, iy, LAG(ix) OVER w AS px, LAG(iy) OVER w AS py
+         FROM rc_d WINDOW w AS (PARTITION BY u ORDER BY us, tie)),
+rc_p AS (SELECT ix, iy, px, py FROM rc_h
+         WHERE px IS NOT NULL AND (ix <> px OR iy <> py)),
+rc_g AS (SELECT {cell} AS cell, COUNT(*) AS n,
+         SUM(CAST({ux} AS HUGEINT)) AS sx,
+         SUM(CAST({uy} AS HUGEINT)) AS sy
+         FROM rc_p GROUP BY 1 HAVING COUNT(*) >= {min_hops})
+SELECT cell, CAST(n AS BIGINT) AS n_hops,
+       CAST(sx AS BIGINT) AS sx, CAST(sy AS BIGINT) AS sy,
+       CAST((sx * sx + sy * sy)
+            // (CAST(n AS HUGEINT) * n * 1000000) AS BIGINT)
+         AS r2_ppm
+FROM rc_g
+"""

@@ -749,6 +749,7 @@ _ROLL_RES, _ROLL_DAYS = 4, 7
 
 _STAY_RES = 2
 _OD_RES = 3
+_RAYL_RES = 5
 
 
 def q_od_matrix(spark, sf_dir):
@@ -3300,6 +3301,17 @@ def q_km_hazard(spark, sf_dir):
     return km_hazard(e.select("user_id", "ts"))
 
 
+def q_rayleigh(spark, sf_dir):
+    """Per-cell circular flow concentration (r5.44): squared mean
+    resultant length of outgoing hop bearings per origin cell — the
+    directional-flow field over the trajectory points
+    (operators/events.rayleigh_cells docstring: octant unit vectors
+    from the shared ppm literal table, exact integer µdeg origin-cell
+    math, one combinable groupBy)."""
+    from .operators.events import rayleigh_cells
+    return rayleigh_cells(_traj_pts(spark, sf_dir), _RAYL_RES)
+
+
 def q_colloc_lift(spark, sf_dir):
     """Collocation lift (r5.34): exact integer PMI-monotone lift per
     corpus bigram over the shared tokenization — phrase mining
@@ -3939,6 +3951,12 @@ QUERIES = {
     #    first-timer; its sweep-line window chain keeps multi-sweep
     #    replica greens) rotates just past the boundary --
     "km_hazard": q_km_hazard,
+    # -- r5.44 continued: rayleigh (per-cell circular flow
+    #    concentration). traj_resample rotates just past the boundary
+    #    AT NO HASH COST: its oracle SQL is byte-identical to
+    #    stream_resample's, which stays inside (the window twin rule
+    #    — one member certifies the shared hash) --
+    "rayleigh": q_rayleigh,
     # -- round-5.39 addition (session 10), inside the window for its
     #    first driver row under the same newest-least-soak triage;
     #    centroid_drift rotates just past the boundary to make room
@@ -4066,7 +4084,10 @@ QUERIES = {
     "bm25_topk": q_bm25_topk,
     "corridor_join": q_corridor_join,
     "emerging_hotspots": q_emerging_hotspots,
-    "traj_resample": q_traj_resample,
+    # (traj_resample — r5.38 — moved just past the window in
+    #  session 13 to make room for rayleigh at NO hash cost:
+    #  its oracle SQL is byte-identical to stream_resample's,
+    #  which stays inside)
     "cell_theil_sen": q_cell_theil_sen,
     "ht_breaks": q_ht_breaks,
     # (same triage: stream_resample and pps_sample are the remaining
@@ -4221,6 +4242,7 @@ QUERIES = {
     "peak_cells": q_peak_cells,
     "peak_sessions": q_peak_sessions,
     "active_coverage": q_active_coverage,
+    "traj_resample": q_traj_resample,
     # (moved just past the window in session 11 — see head-of-dict)
     "hilbert_keys": q_hilbert_keys,
     "link_rank": q_link_rank,
@@ -4980,6 +5002,8 @@ def oracle_sql() -> dict[str, str]:
     from .operators.events import km_hazard_sql
     out["km_hazard"] = km_hazard_sql(
         "SELECT user_id AS u, ts FROM events")
+    from .operators.events import rayleigh_cells_sql
+    out["rayleigh"] = rayleigh_cells_sql(_TRAJ_PTS_SQL, _RAYL_RES)
     from .functions.cells import hilbert_sql
     out["hilbert_keys"] = (
         f"SELECT c_custkey, hkey FROM ("

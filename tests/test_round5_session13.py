@@ -341,3 +341,81 @@ class TestKmHazard:
         want = sorted(tuple(r) for r in con.execute(
             km_hazard_sql("SELECT u, ts FROM ev")).fetchall())
         assert got == want and len(got) > 5
+
+
+# ---------------------------------------------------------------------------
+# Per-cell circular flow concentration (Rayleigh resultant)
+# ---------------------------------------------------------------------------
+
+class TestRayleighCells:
+    def _run(self, spark, pts, res=4, min_hops=5):
+        from geospark.operators.events import rayleigh_cells
+        d = spark.createDataFrame(
+            pts, "user_id long, us long, event_id long, "
+                 "lat double, lon double")
+        return _rows(rayleigh_cells(d, res, min_hops=min_hops),
+                     ["cell", "n_hops", "sx", "sy", "r2_ppm"])
+
+    @staticmethod
+    def _walk(user, lons, lat=10.0):
+        return [(user, k, k, lat, lon) for k, lon in enumerate(lons)]
+
+    def test_aligned_flow_is_fully_concentrated(self, spark):
+        """Six due-east hops from one cell: every hop lands in the
+        ENE sector, the resultant is the full unit vector, r2 pins at
+        1e6 (the +1 is the literal table's rounding, truncated back
+        by the div)."""
+        pts = self._walk(1, [10.0 + 0.001 * k for k in range(7)])
+        got = self._run(spark, pts)
+        assert len(got) == 1
+        cell, n, sx, sy, r2 = got[0]
+        assert (n, sx, sy) == (6, 6 * 923880, 6 * 382683)
+        assert r2 == 1_000_000
+
+    def test_opposing_flows_cancel(self, spark):
+        """Alternating east/west hops: ENE and WSW center vectors are
+        exact opposites, the resultant vanishes, r2 = 0."""
+        lons = [10.0, 10.001] * 4  # 7 hops: 4 east... make even
+        lons = [10.0, 10.001, 10.0, 10.001, 10.0, 10.001, 10.0]
+        pts = self._walk(1, lons)  # 3 east + 3 west
+        got = self._run(spark, pts)
+        assert got[0][1:] == (6, 0, 0, 0)
+
+    def test_min_hops_suppresses_noise_cells(self, spark):
+        """4 hops in a cell: below min_hops=5 -> no row; a 5th hop
+        makes the cell appear."""
+        pts4 = self._walk(1, [10.0 + 0.001 * k for k in range(5)])
+        assert self._run(spark, pts4) == []
+        pts5 = self._walk(1, [10.0 + 0.001 * k for k in range(6)])
+        assert len(self._run(spark, pts5)) == 1
+
+    def test_stationary_hops_dropped(self, spark):
+        """Repeated identical positions carry no direction: only the
+        moving hops count."""
+        lons = [10.0, 10.0, 10.001, 10.001, 10.002, 10.002, 10.003,
+                10.003, 10.004, 10.004, 10.005]
+        got = self._run(spark, self._walk(1, lons))
+        assert got[0][1] == 5  # 5 moving hops, 5 stationary dropped
+
+    def test_inline_oracle_parity(self, spark):
+        import duckdb
+
+        from geospark.operators.events import (rayleigh_cells,
+                                               rayleigh_cells_sql)
+        pts = []
+        for u in range(8):
+            lat, lon = 5.0 + 9 * u - 40, -60.0 + 15 * u
+            for k in range(50):
+                lat += ((u * 31 + k * k * 7) % 11 - 5) * 0.003
+                lon += ((u * 17 + k * 13) % 9 - 4) * 0.003
+                pts.append((u, k * 1000, k, round(lat, 6),
+                            round(lon, 6)))
+        got = self._run(spark, pts, res=3, min_hops=5)
+        con = duckdb.connect()
+        con.execute("CREATE TABLE p (user_id BIGINT, us BIGINT, "
+                    "event_id BIGINT, lat DOUBLE, lon DOUBLE)")
+        con.executemany("INSERT INTO p VALUES (?, ?, ?, ?, ?)", pts)
+        want = sorted(tuple(r) for r in con.execute(rayleigh_cells_sql(
+            "SELECT user_id, us, event_id, lat, lon FROM p",
+            3, min_hops=5)).fetchall())
+        assert got == want and len(got) >= 4
