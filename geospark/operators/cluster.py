@@ -563,3 +563,106 @@ walk(cell, cost, hops) AS (
     AND o.cell = {nbr})
 SELECT cell, MIN(cost) AS cost FROM walk GROUP BY cell
 """
+
+
+# ---------------------------------------------------------------------------
+# Region shape metrics (r5.44)
+# ---------------------------------------------------------------------------
+
+def _pi_ppm() -> int:
+    """round(pi * 1e6), computed once in Python and embedded as the
+    SAME literal in both engines (the benford/octant constant-table
+    convention)."""
+    import math
+    return round(math.pi * 1e6)
+
+
+def region_shape(regions, res: int, *, cell_col: str = "cell",
+                 region_col: str = "region_id"):
+    """Shape metrics for each contiguous cell region — area,
+    perimeter, and Polsby-Popper compactness, the morphometrics pass
+    that separates a compact downtown zone from a sprawling
+    ribbon-along-a-highway region of the SAME area (Polsby &
+    Popper 1991; on a raster, area = cell count and perimeter =
+    EXPOSED rook edge count, the standard raster perimeter):
+
+        perimeter = 4 * area - (# ordered same-region rook-adjacent
+                                cell pairs)
+        pp_ppm    = (4 * PI_PPM * area) div perimeter^2
+
+    with PI_PPM from the shared literal table, so a grid square
+    scores pi/4 ~ 785398 ppm (the raster ceiling) and a 1-cell-wide
+    ribbon of length L scores ~pi*L/(L+1)^2 -> 0. Rook neighbors
+    follow the cells-module boundary convention: longitude WRAPS,
+    latitude CLAMPS (a polar-edge cell has its off-grid side
+    exposed). Requires res >= 2 (at res 1 the two lon neighbors
+    coincide and the pair count would double).
+
+    Scale: all work on AGGREGATE cell rows — one 4-way rook explode,
+    one (cell, region)-keyed equi-join, one region-keyed combinable
+    agg. Input is cell_regions/d8_basins-shaped (cell, region_id).
+    -> (region_id, area_cells, perimeter, pp_ppm)."""
+    from pyspark.sql import functions as F
+    if res < 2:
+        raise ValueError("region_shape requires res >= 2")
+    n = 1 << res
+    mask = n - 1
+    d = regions.select(F.col(cell_col).alias("_cell"),
+                       F.col(region_col).alias("_rid"))
+    x = f"(_cell & {mask})"
+    y = f"(shiftright(_cell, {res}) & {mask})"
+    head = f"shiftleft(CAST({res} AS BIGINT), {_RES_SHIFT})"
+    nbrs = (f"array(({head}) | shiftleft({y}, {res}) "
+            f"| (({x} + 1) % {n}), "
+            f"({head}) | shiftleft({y}, {res}) "
+            f"| (({x} + {n - 1}) % {n}), "
+            f"IF({y} < {n - 1}, "
+            f"({head}) | shiftleft({y} + 1, {res}) | {x}, NULL), "
+            f"IF({y} > 0, "
+            f"({head}) | shiftleft({y} - 1, {res}) | {x}, NULL))")
+    pairs = (d.select("_rid", F.explode(F.expr(nbrs)).alias("_nb"))
+             .filter(F.col("_nb").isNotNull())
+             .join(d.select(F.col("_cell").alias("_nb"),
+                            F.col("_rid").alias("_rid2")), "_nb")
+             .filter(F.col("_rid") == F.col("_rid2"))
+             .groupBy("_rid").agg(F.count(F.lit(1)).alias("_m")))
+    area = d.groupBy("_rid").agg(F.count(F.lit(1)).alias("_a"))
+    pp = (f"CAST((4 * {_pi_ppm()} * CAST(_a AS DECIMAL(38,0))) div "
+          f"(CAST(_p AS DECIMAL(38,0)) * _p) AS BIGINT)")
+    return (area.join(pairs, "_rid", "left")
+            .withColumn("_p", F.expr("4 * _a - coalesce(_m, 0)"))
+            .select(F.col("_rid").alias(region_col),
+                    F.col("_a").cast("long").alias("area_cells"),
+                    F.col("_p").cast("long").alias("perimeter"),
+                    F.expr(pp).alias("pp_ppm")))
+
+
+def region_shape_sql(src_sql: str, res: int) -> str:
+    """DuckDB twin of region_shape over a subquery producing
+    (cell, region_id) — same wrap/clamp rook relation expressed as a
+    pair join (oracle-scale), same literal pi table; every quantity
+    nonnegative so floor == trunc."""
+    n = 1 << res
+    mask = n - 1
+    ax, bx = f"(a.cell & {mask})", f"(b.cell & {mask})"
+    ay, by = (f"((a.cell >> {res}) & {mask})",
+              f"((b.cell >> {res}) & {mask})")
+    rook = (f"(({ay} = {by} AND least(abs({ax} - {bx}), "
+            f"{n} - abs({ax} - {bx})) = 1) OR "
+            f"({ax} = {bx} AND abs({ay} - {by}) = 1))")
+    return f"""
+WITH rs_src AS (SELECT cell, region_id FROM ({src_sql})),
+rs_m AS (SELECT a.region_id, COUNT(*) AS m
+         FROM rs_src a JOIN rs_src b
+         ON a.region_id = b.region_id AND a.cell <> b.cell
+         AND {rook} GROUP BY 1),
+rs_a AS (SELECT region_id, COUNT(*) AS a FROM rs_src GROUP BY 1),
+rs_f AS (SELECT rs_a.region_id, a,
+         4 * a - COALESCE(m, 0) AS p
+         FROM rs_a LEFT JOIN rs_m USING (region_id))
+SELECT region_id, CAST(a AS BIGINT) AS area_cells,
+       CAST(p AS BIGINT) AS perimeter,
+       CAST((4 * {_pi_ppm()} * CAST(a AS HUGEINT))
+            // (CAST(p AS HUGEINT) * p) AS BIGINT) AS pp_ppm
+FROM rs_f
+"""

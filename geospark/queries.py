@@ -3312,6 +3312,25 @@ def q_rayleigh(spark, sf_dir):
     return rayleigh_cells(_traj_pts(spark, sf_dir), _RAYL_RES)
 
 
+def q_region_shape(spark, sf_dir):
+    """Region morphometrics (r5.44): area, exposed-edge perimeter and
+    Polsby-Popper compactness for each contiguous modal-event_type
+    region of the cell raster — compact zones vs sprawl ribbons
+    (operators/cluster.region_shape docstring: 4-way rook explode
+    over aggregate cells, shared pi literal; composes cell_regions'
+    segmentation the way basin_stats composes d8_basins)."""
+    from pyspark.sql import functions as F
+
+    from .operators.cluster import cell_regions, region_shape
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pts = e.select(F.expr(_TRAJ_LAT).alias("lat"),
+                   F.expr(_TRAJ_LON).alias("lon"), "event_type")
+    regions = cell_regions(pts, _REGION_RES, label_col="event_type",
+                           algorithm="star")
+    return region_shape(regions.select("cell", "region_id"),
+                        _REGION_RES)
+
+
 def q_colloc_lift(spark, sf_dir):
     """Collocation lift (r5.34): exact integer PMI-monotone lift per
     corpus bigram over the shared tokenization — phrase mining
@@ -3957,6 +3976,12 @@ QUERIES = {
     #    stream_resample's, which stays inside (the window twin rule
     #    — one member certifies the shared hash) --
     "rayleigh": q_rayleigh,
+    # -- r5.44 continued: region_shape (Polsby-Popper morphometrics
+    #    composing cell_regions, the basin_stats pattern).
+    #    emerging_hotspots (r5.38) rotates just past the boundary:
+    #    its Getis-Ord z machinery stays driver-covered inside via
+    #    gi_star --
+    "region_shape": q_region_shape,
     # -- round-5.39 addition (session 10), inside the window for its
     #    first driver row under the same newest-least-soak triage;
     #    centroid_drift rotates just past the boundary to make room
@@ -4083,7 +4108,9 @@ QUERIES = {
     "doc_skyline": q_doc_skyline,
     "bm25_topk": q_bm25_topk,
     "corridor_join": q_corridor_join,
-    "emerging_hotspots": q_emerging_hotspots,
+    # (emerging_hotspots — r5.38 — moved just past the window in
+    #  session 13 to make room for region_shape; gi_star stays
+    #  inside)
     # (traj_resample — r5.38 — moved just past the window in
     #  session 13 to make room for rayleigh at NO hash cost:
     #  its oracle SQL is byte-identical to stream_resample's,
@@ -4243,6 +4270,7 @@ QUERIES = {
     "peak_sessions": q_peak_sessions,
     "active_coverage": q_active_coverage,
     "traj_resample": q_traj_resample,
+    "emerging_hotspots": q_emerging_hotspots,
     # (moved just past the window in session 11 — see head-of-dict)
     "hilbert_keys": q_hilbert_keys,
     "link_rank": q_link_rank,
@@ -5345,6 +5373,10 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT {_TRAJ_LAT} AS lat, {_TRAJ_LON} AS lon, event_type "
         "FROM events",
         _REGION_RES, label_sql="event_type")
+    from .operators.cluster import region_shape_sql
+    out["region_shape"] = region_shape_sql(
+        f"SELECT cell, region_id FROM ({out['cell_regions']})",
+        _REGION_RES)
     from .operators.tiles import adaptive_tiles_sql
     out["adaptive_tiles"] = adaptive_tiles_sql(
         f"SELECT {EVT_LAT_SQL} AS lat, {EVT_LON_SQL} AS lon FROM events",

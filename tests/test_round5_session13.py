@@ -1,5 +1,7 @@
-"""Round-5 session-13 operator tests: Benford first-digit audit and
-bivariate Moran's I spatial cross-correlation."""
+"""Round-5 session-13 operator tests: Benford first-digit audit,
+bivariate Moran's I, HITS hubs/authorities, the Kaplan-Meier return-
+hazard life table, per-cell circular flow concentration, and region
+shape metrics."""
 
 from __future__ import annotations
 
@@ -419,3 +421,71 @@ class TestRayleighCells:
             "SELECT user_id, us, event_id, lat, lon FROM p",
             3, min_hops=5)).fetchall())
         assert got == want and len(got) >= 4
+
+
+# ---------------------------------------------------------------------------
+# Region shape metrics (area / perimeter / Polsby-Popper)
+# ---------------------------------------------------------------------------
+
+class TestRegionShape:
+    def _run(self, spark, assign, res=RES):
+        from geospark.operators.cluster import region_shape
+        rows = [(_cell(y, x, res), rid) for (y, x), rid in assign]
+        d = spark.createDataFrame(rows, "cell long, region_id long")
+        return _rows(region_shape(d, res),
+                     ["region_id", "area_cells", "perimeter",
+                      "pp_ppm"])
+
+    def test_square_hits_raster_ceiling(self, spark):
+        """A 1-cell and a 2x2 region both score exactly pi/4 =
+        785398 ppm — Polsby-Popper is scale-free on squares."""
+        one = self._run(spark, [((5, 5), 1)])
+        assert one == [(1, 1, 4, 785398)]
+        sq = self._run(spark, [((5, 5), 1), ((5, 6), 1),
+                               ((6, 5), 1), ((6, 6), 1)])
+        assert sq == [(1, 4, 8, 785398)]
+
+    def test_ribbon_scores_below_square(self, spark):
+        """A 1x3 ribbon: area 3, perimeter 8 -> 589048 ppm, strictly
+        less compact than any square."""
+        got = self._run(spark, [((5, 5), 1), ((5, 6), 1),
+                                ((5, 7), 1)])
+        assert got == [(1, 3, 8, 589048)]
+
+    def test_longitude_wraps_latitude_clamps(self, spark):
+        """Cells (y=5, x=15) and (y=5, x=0) at res 4 are rook
+        neighbors across the antimeridian (perimeter 6, not 8); a
+        cell on the polar row y=0 keeps its off-grid edge exposed
+        (perimeter still 4)."""
+        wrap = self._run(spark, [((5, 15), 1), ((5, 0), 1)])
+        assert wrap == [(1, 2, 6, 698131)]
+        polar = self._run(spark, [((0, 3), 7)])
+        assert polar == [(7, 1, 4, 785398)]
+
+    def test_regions_do_not_leak(self, spark):
+        """Two touching cells in DIFFERENT regions share no
+        perimeter reduction — each stays a 4-edge singleton."""
+        got = self._run(spark, [((5, 5), 1), ((5, 6), 2)])
+        assert got == [(1, 1, 4, 785398), (2, 1, 4, 785398)]
+
+    def test_inline_oracle_parity(self, spark):
+        import duckdb
+
+        from geospark.operators.cluster import (region_shape,
+                                                region_shape_sql)
+        assign = [((2 + (i * 7) % 12, (i * 5) % 16),
+                   (i * 3) % 4) for i in range(90)]
+        seen, uniq = set(), []
+        for c, r in assign:
+            if c not in seen:
+                seen.add(c)
+                uniq.append((c, r))
+        got = self._run(spark, uniq)
+        con = duckdb.connect()
+        con.execute("CREATE TABLE r (cell BIGINT, region_id BIGINT)")
+        con.executemany("INSERT INTO r VALUES (?, ?)",
+                        [(_cell(y, x), rid)
+                         for (y, x), rid in uniq])
+        want = sorted(tuple(r) for r in con.execute(region_shape_sql(
+            "SELECT cell, region_id FROM r", RES)).fetchall())
+        assert got == want and len(got) == 4
