@@ -1804,3 +1804,104 @@ SELECT CAST(g AS {group_type}) AS {group_col},
        CAST(obs_ppm - exp_ppm AS BIGINT) AS dev_ppm
 FROM bf_out
 """
+
+
+# ---------------------------------------------------------------------------
+# Distinctive-term odds ratios per source (r5.44)
+# ---------------------------------------------------------------------------
+
+def term_contrast(df, *, group_col: str = "source",
+                  text_col: str = "text", id_col: str = "doc_id",
+                  k: int = 10, min_docs: int = 5):
+    """Top-``k`` DISTINCTIVE terms per source by document-frequency
+    odds ratio against the rest of the corpus — the "what makes this
+    crawl slice different" keyword contrast (the log-odds-ratio
+    family of Monroe/Colaresi/Quinn 2008, kept integer-exact by
+    ranking on the RAW Haldane-corrected odds ratio: log is monotone,
+    so the ranking is identical and no ln() touches either engine):
+
+        a = docs in g containing t        b = n_g - a
+        c = docs outside g containing t   d = (N - n_g) - c
+        or_ppm = (2a+1)(2d+1) * 1e6 div ((2b+1)(2c+1))
+
+    The 2x+1 terms are the +0.5 Haldane-Anscombe correction cleared
+    of fractions, so zero cells (a term absent outside its source)
+    stay finite and every quantity is an integer. Document frequency,
+    not token frequency — one spammy doc repeating a term 10^4 times
+    should not crown it distinctive.
+
+    Scale: one DISTINCT (doc, term) explode-shuffle is the only
+    full-data pass; a, df_t and n_g are combinable aggregates over
+    it; the rank window partitions by source over terms already
+    filtered to a >= ``min_docs``. Products ride DECIMAL(38,0)/
+    HUGEINT ((2N)^2 * 1e6 ~ 4e24 at N = 1e9 docs).
+    -> (group, term, n_in, n_out, or_ppm, rank)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    base = df.select(F.col(id_col).alias("_doc"),
+                     F.col(group_col).alias("_g"),
+                     F.col(text_col).alias("_t"))
+    tok = (base.select("_doc", "_g",
+                       F.explode(words_col("_t")).alias("term"))
+           .distinct())
+    a = tok.groupBy("_g", "term").agg(F.count(F.lit(1)).alias("_a"))
+    dft = a.groupBy("term").agg(F.sum("_a").alias("_df"))
+    ng = base.select("_doc", "_g").distinct() \
+        .groupBy("_g").agg(F.count(F.lit(1)).alias("_ng"))
+    n = base.select("_doc").distinct().agg(
+        F.count(F.lit(1)).alias("_n"))
+    j = (a.filter(F.col("_a") >= min_docs)
+         .join(dft, "term")
+         .join(F.broadcast(ng), "_g")
+         .crossJoin(F.broadcast(n)))
+    or_ = ("CAST(((2 * CAST(_a AS DECIMAL(38,0)) + 1) "
+           "* (2 * (_n - _ng - _df + _a) + 1) * 1000000) div "
+           "((2 * (_ng - _a) + 1) "
+           "* (2 * CAST(_df - _a AS DECIMAL(38,0)) + 1)) AS BIGINT)")
+    w = Window.partitionBy("_g").orderBy(
+        F.col("or_ppm").desc(), F.col("term").asc())
+    return (j.withColumn("or_ppm", F.expr(or_))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(F.col("_g").alias(group_col), "term",
+                    F.col("_a").cast("long").alias("n_in"),
+                    (F.col("_df") - F.col("_a")).cast("long")
+                    .alias("n_out"),
+                    "or_ppm", F.col("rank").cast("int").alias("rank")))
+
+
+def term_contrast_sql(table: str = "documents", *,
+                      group_col: str = "source", k: int = 10,
+                      min_docs: int = 5) -> str:
+    """DuckDB twin of term_contrast — identical token regex,
+    identical cleared-fraction Haldane arithmetic in HUGEINT; every
+    factor is positive so floor == trunc."""
+    return f"""
+WITH tc_tok AS (
+  SELECT DISTINCT doc_id, {group_col} AS g,
+         unnest(regexp_extract_all(lower(text), '{TOKEN_RX}')) AS term
+  FROM {table}),
+tc_a AS (SELECT g, term, COUNT(*) AS a FROM tc_tok GROUP BY 1, 2),
+tc_df AS (SELECT term, SUM(a) AS df FROM tc_a GROUP BY 1),
+tc_ng AS (SELECT {group_col} AS g, COUNT(DISTINCT doc_id) AS ng
+          FROM {table} GROUP BY 1),
+tc_n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM {table}),
+tc_or AS (
+  SELECT g, term, a, df - a AS n_out,
+         CAST(((2 * CAST(a AS HUGEINT) + 1)
+               * (2 * (n - ng - df + a) + 1) * 1000000) //
+              ((2 * (ng - a) + 1)
+               * (2 * CAST(df - a AS HUGEINT) + 1)) AS BIGINT)
+           AS or_ppm
+  FROM tc_a JOIN tc_df USING (term) JOIN tc_ng USING (g), tc_n
+  WHERE a >= {min_docs}),
+tc_r AS (SELECT g, term, a, n_out, or_ppm,
+         ROW_NUMBER() OVER (PARTITION BY g
+             ORDER BY or_ppm DESC, term ASC) AS rank
+         FROM tc_or)
+SELECT g AS {group_col}, term, CAST(a AS BIGINT) AS n_in,
+       CAST(n_out AS BIGINT) AS n_out, or_ppm,
+       CAST(rank AS INTEGER) AS rank
+FROM tc_r WHERE rank <= {k}
+"""

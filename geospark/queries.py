@@ -3331,6 +3331,18 @@ def q_region_shape(spark, sf_dir):
                         _REGION_RES)
 
 
+def q_term_contrast(spark, sf_dir):
+    """Distinctive terms per source (r5.44): top-10 document-
+    frequency odds ratios against the rest of the corpus, Haldane-
+    corrected so single-source terms stay finite — the crawl-slice
+    fingerprint (operators/textstats.term_contrast docstring: one
+    distinct (doc, term) shuffle, broadcast group sizes, log-free
+    monotone ranking)."""
+    from .operators.textstats import term_contrast
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return term_contrast(d)
+
+
 def q_colloc_lift(spark, sf_dir):
     """Collocation lift (r5.34): exact integer PMI-monotone lift per
     corpus bigram over the shared tokenization — phrase mining
@@ -3982,6 +3994,11 @@ QUERIES = {
     #    its Getis-Ord z machinery stays driver-covered inside via
     #    gi_star --
     "region_shape": q_region_shape,
+    # -- r5.44 continued: term_contrast (Haldane odds-ratio source
+    #    fingerprint). slope_aspect (r5.38) rotates just past the
+    #    boundary: its density-raster CTE is nested verbatim in the
+    #    in-window flow_accum oracle (the d8_flow argument) --
+    "term_contrast": q_term_contrast,
     # -- round-5.39 addition (session 10), inside the window for its
     #    first driver row under the same newest-least-soak triage;
     #    centroid_drift rotates just past the boundary to make room
@@ -4102,7 +4119,9 @@ QUERIES = {
     #    session-9 rows; threshold_alerts (identical SQL to
     #    stream_alerts' oracle) stays inside, so that hash is still
     #    driver-covered --
-    "slope_aspect": q_slope_aspect,
+    # (slope_aspect — r5.38 — moved just past the window in
+    #  session 13 to make room for term_contrast; its raster CTE is
+    #  nested in flow_accum's in-window oracle)
     "flow_accum": q_flow_accum,
     "semivariogram": q_semivariogram,
     "doc_skyline": q_doc_skyline,
@@ -4271,6 +4290,7 @@ QUERIES = {
     "active_coverage": q_active_coverage,
     "traj_resample": q_traj_resample,
     "emerging_hotspots": q_emerging_hotspots,
+    "slope_aspect": q_slope_aspect,
     # (moved just past the window in session 11 — see head-of-dict)
     "hilbert_keys": q_hilbert_keys,
     "link_rank": q_link_rank,
@@ -5030,6 +5050,8 @@ def oracle_sql() -> dict[str, str]:
     from .operators.events import km_hazard_sql
     out["km_hazard"] = km_hazard_sql(
         "SELECT user_id AS u, ts FROM events")
+    from .operators.textstats import term_contrast_sql
+    out["term_contrast"] = term_contrast_sql()
     from .operators.events import rayleigh_cells_sql
     out["rayleigh"] = rayleigh_cells_sql(_TRAJ_PTS_SQL, _RAYL_RES)
     from .functions.cells import hilbert_sql

@@ -489,3 +489,70 @@ class TestRegionShape:
         want = sorted(tuple(r) for r in con.execute(region_shape_sql(
             "SELECT cell, region_id FROM r", RES)).fetchall())
         assert got == want and len(got) == 4
+
+
+# ---------------------------------------------------------------------------
+# Distinctive-term odds ratios per source
+# ---------------------------------------------------------------------------
+
+class TestTermContrast:
+    def _run(self, spark, rows, k=10, min_docs=1):
+        from geospark.operators.textstats import term_contrast
+        d = spark.createDataFrame(
+            rows, "doc_id long, source string, text string")
+        return _rows(term_contrast(d, k=k, min_docs=min_docs),
+                     ["source", "term", "n_in", "n_out", "or_ppm",
+                      "rank"])
+
+    def test_hand_worked_odds_ratios(self, spark):
+        """3 'apple the' docs in A vs 3 'banana the' docs in B:
+        apple in A has a=3,b=0,c=0,d=3 -> (7*7)/(1*1) = 49e6 ppm;
+        'the' is everywhere -> exactly 1e6 (no signal). Ranks follow."""
+        rows = ([(i, "A", "apple the") for i in range(3)]
+                + [(i + 3, "B", "banana the") for i in range(3)])
+        got = self._run(spark, rows)
+        by = {(r[0], r[1]): r for r in got}
+        assert by[("A", "apple")] == ("A", "apple", 3, 0,
+                                      49_000_000, 1)
+        assert by[("A", "the")] == ("A", "the", 3, 3, 1_000_000, 2)
+        assert by[("B", "banana")][4] == 49_000_000
+        assert len(got) == 4  # apple absent from B's rows (a=0 < 1)
+
+    def test_document_frequency_not_token_frequency(self, spark):
+        """A doc repeating a term 50 times counts once: the spam doc
+        cannot crown its term."""
+        rows = [(0, "A", "spam " * 50), (1, "A", "real talk"),
+                (2, "B", "other words")]
+        got = self._run(spark, rows)
+        spam = [r for r in got if r[1] == "spam"][0]
+        assert spam[2] == 1  # n_in = 1 doc, not 50
+
+    def test_min_docs_gate(self, spark):
+        """min_docs=2 drops single-doc terms from the ranking
+        entirely."""
+        rows = [(0, "A", "rare common"), (1, "A", "common"),
+                (2, "B", "noise")]
+        got = self._run(spark, rows, min_docs=2)
+        assert {r[1] for r in got if r[0] == "A"} == {"common"}
+
+    def test_inline_oracle_parity(self, spark):
+        import duckdb
+
+        from geospark.operators.textstats import (term_contrast,
+                                                  term_contrast_sql)
+        vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+        rows = []
+        for i in range(120):
+            g = f"s{i % 3}"
+            words = [vocab[(i * 7 + j * (i % 3 + 1)) % 6]
+                     for j in range(5)]
+            rows.append((i, g, " ".join(words)))
+        got = self._run(spark, rows, k=4, min_docs=3)
+        con = duckdb.connect()
+        con.execute("CREATE TABLE documents (doc_id BIGINT, "
+                    "source VARCHAR, text VARCHAR)")
+        con.executemany("INSERT INTO documents VALUES (?, ?, ?)",
+                        rows)
+        want = sorted(tuple(r) for r in con.execute(term_contrast_sql(
+            k=4, min_docs=3)).fetchall())
+        assert got == want and len(got) == 10
