@@ -2550,3 +2550,97 @@ SELECT cell, CAST(n AS BIGINT) AS n_hops,
          AS r2_ppm
 FROM rc_g
 """
+
+
+# ---------------------------------------------------------------------------
+# Per-cell diurnal phase vector (r5.44)
+# ---------------------------------------------------------------------------
+
+def _hour_unit_ppm() -> dict[int, tuple[int, int]]:
+    """(cos, sin) of each hour-of-day angle (h * 15 degrees) in ppm
+    — computed once in Python, embedded as the SAME literals in both
+    engines (the octant/benford constant-table convention; round()
+    lands exact 0 at 90/180/270)."""
+    import math
+    return {h: (round(math.cos(math.radians(15 * h)) * 1e6),
+                round(math.sin(math.radians(15 * h)) * 1e6))
+            for h in range(24)}
+
+
+def _hour_unit_case(hour_expr: str) -> tuple[str, str]:
+    units = _hour_unit_ppm()
+    ux = " ".join(f"WHEN {hour_expr} = {h} THEN {c}"
+                  for h, (c, _) in units.items())
+    uy = " ".join(f"WHEN {hour_expr} = {h} THEN {s}"
+                  for h, (_, s) in units.items())
+    return f"CASE {ux} END", f"CASE {uy} END"
+
+
+def diurnal_vector(points, res: int, *, us_col: str = "us",
+                   lat_col: str = "lat", lon_col: str = "lon"):
+    """Per-cell circular MEAN of event hour-of-day — the diurnal
+    PHASE signature hour_profile's chi-square cannot express: chi2
+    says "this cell's clock is non-uniform", the resultant vector
+    says WHERE on the clock its mass sits (sx > 0, sy > 0 -> morning
+    quadrant; a commuter origin and a nightlife strip can share a
+    chi2 yet sit opposite on the dial) and how tightly (r2). Hours
+    map to the 24-point unit circle via the shared ppm literal trig
+    table (midnight = (1e6, 0), 06:00 = (0, 1e6)); per cell,
+
+        r2_ppm = (Sx^2 + Sy^2) div (n^2 * 1e6)   in [0, 1e6]
+
+    the squared mean resultant length (rayleigh_cells' estimator
+    over TIME-of-day instead of bearing octants — circular variance
+    is 1 - sqrt(r2)). Hour is integer µs arithmetic, no timestamp
+    libm; a uniform 24/7 cell scores 0, a one-hour spike exactly
+    1e6.
+
+    Scale: hour quantization is map-side; ONE (cell)-keyed
+    combinable groupBy; squares ride DECIMAL(38,0)/HUGEINT.
+    -> (cell, n_pts, sx, sy, r2_ppm)."""
+    from pyspark.sql import functions as F
+
+    from ..functions.cells import cell_encode
+    hour = f"CAST(({us_col} div 3600000000) % 24 AS INT)"
+    ux, uy = _hour_unit_case(f"({hour})")
+    g = (points.select(
+            cell_encode(lat_col, lon_col, res).alias("cell"),
+            F.expr(ux).alias("_ux"), F.expr(uy).alias("_uy"))
+         .groupBy("cell")
+         .agg(F.count(F.lit(1)).alias("_n"),
+              F.sum("_ux").alias("_sx"), F.sum("_uy").alias("_sy")))
+    r2 = ("CAST((CAST(_sx AS DECIMAL(38,0)) * _sx "
+          "+ CAST(_sy AS DECIMAL(38,0)) * _sy) div "
+          "(CAST(_n AS DECIMAL(38,0)) * _n * 1000000) AS BIGINT)")
+    return g.select(
+        "cell", F.col("_n").cast("long").alias("n_pts"),
+        F.col("_sx").cast("long").alias("sx"),
+        F.col("_sy").cast("long").alias("sy"),
+        F.expr(r2).alias("r2_ppm"))
+
+
+def diurnal_vector_sql(pts_sql: str, res: int) -> str:
+    """DuckDB twin of diurnal_vector over a subquery producing
+    (us, lat, lon) — identical literal trig table and cell grid;
+    numerator nonnegative so floor == trunc."""
+    n = 1 << res
+    cell = (f"(CAST({res} AS BIGINT) << 56) "
+            f"| (CAST(least(greatest(floor((lat + 90.0) / 180.0 "
+            f"* {n}), 0), {n - 1}) AS BIGINT) << {res}) "
+            f"| CAST(least(greatest(floor((lon + 180.0) / 360.0 "
+            f"* {n}), 0), {n - 1}) AS BIGINT)")
+    ux, uy = _hour_unit_case("((us // 3600000000) % 24)")
+    return f"""
+WITH dv_p AS (SELECT {cell} AS cell,
+              CAST({ux} AS HUGEINT) AS ux,
+              CAST({uy} AS HUGEINT) AS uy
+              FROM ({pts_sql})),
+dv_g AS (SELECT cell, COUNT(*) AS n, SUM(ux) AS sx, SUM(uy) AS sy
+         FROM dv_p GROUP BY 1)
+SELECT cell, CAST(n AS BIGINT) AS n_pts,
+       CAST(sx AS BIGINT) AS sx, CAST(sy AS BIGINT) AS sy,
+       CAST((sx * sx + sy * sy)
+            // (CAST(n AS HUGEINT) * n * 1000000) AS BIGINT)
+         AS r2_ppm
+FROM dv_g
+"""

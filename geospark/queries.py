@@ -3343,6 +3343,16 @@ def q_term_contrast(spark, sf_dir):
     return term_contrast(d)
 
 
+def q_diurnal(spark, sf_dir):
+    """Per-cell diurnal phase vector (r5.44): circular mean of event
+    hour-of-day — WHERE on the clock each cell's activity sits and
+    how tightly, the phase complement to hour_profile's chi-square
+    (operators/events.diurnal_vector docstring: 24-point literal
+    trig table, one combinable groupBy)."""
+    from .operators.events import diurnal_vector
+    return diurnal_vector(_traj_pts(spark, sf_dir), _HOURPROF_RES)
+
+
 def q_colloc_lift(spark, sf_dir):
     """Collocation lift (r5.34): exact integer PMI-monotone lift per
     corpus bigram over the shared tokenization — phrase mining
@@ -3999,6 +4009,11 @@ QUERIES = {
     #    boundary: its density-raster CTE is nested verbatim in the
     #    in-window flow_accum oracle (the d8_flow argument) --
     "term_contrast": q_term_contrast,
+    # -- r5.44 continued: diurnal (circular hour-of-day phase vector,
+    #    hour_profile's complement). cell_theil_sen (r5.38) rotates
+    #    just past the boundary: its dense-calendar machinery stays
+    #    driver-covered inside via cell_cusum/cell_autocorr --
+    "diurnal": q_diurnal,
     # -- round-5.39 addition (session 10), inside the window for its
     #    first driver row under the same newest-least-soak triage;
     #    centroid_drift rotates just past the boundary to make room
@@ -4134,7 +4149,9 @@ QUERIES = {
     #  session 13 to make room for rayleigh at NO hash cost:
     #  its oracle SQL is byte-identical to stream_resample's,
     #  which stays inside)
-    "cell_theil_sen": q_cell_theil_sen,
+    # (cell_theil_sen — r5.38 — moved just past the window in
+    #  session 13 to make room for diurnal; the dense-calendar
+    #  machinery stays inside via cell_cusum/cell_autocorr)
     "ht_breaks": q_ht_breaks,
     # (same triage: stream_resample and pps_sample are the remaining
     #  session-9 rows; the displacement list above extends by
@@ -4291,6 +4308,7 @@ QUERIES = {
     "traj_resample": q_traj_resample,
     "emerging_hotspots": q_emerging_hotspots,
     "slope_aspect": q_slope_aspect,
+    "cell_theil_sen": q_cell_theil_sen,
     # (moved just past the window in session 11 — see head-of-dict)
     "hilbert_keys": q_hilbert_keys,
     "link_rank": q_link_rank,
@@ -5052,6 +5070,8 @@ def oracle_sql() -> dict[str, str]:
         "SELECT user_id AS u, ts FROM events")
     from .operators.textstats import term_contrast_sql
     out["term_contrast"] = term_contrast_sql()
+    from .operators.events import diurnal_vector_sql
+    out["diurnal"] = diurnal_vector_sql(_TRAJ_PTS_SQL, _HOURPROF_RES)
     from .operators.events import rayleigh_cells_sql
     out["rayleigh"] = rayleigh_cells_sql(_TRAJ_PTS_SQL, _RAYL_RES)
     from .functions.cells import hilbert_sql

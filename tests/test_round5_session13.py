@@ -556,3 +556,60 @@ class TestTermContrast:
         want = sorted(tuple(r) for r in con.execute(term_contrast_sql(
             k=4, min_docs=3)).fetchall())
         assert got == want and len(got) == 10
+
+
+# ---------------------------------------------------------------------------
+# Per-cell diurnal phase vector
+# ---------------------------------------------------------------------------
+
+class TestDiurnalVector:
+    HOUR = 3_600_000_000
+
+    def _run(self, spark, rows, res=3):
+        from geospark.operators.events import diurnal_vector
+        d = spark.createDataFrame(rows,
+                                  "us long, lat double, lon double")
+        return _rows(diurnal_vector(d, res),
+                     ["cell", "n_pts", "sx", "sy", "r2_ppm"])
+
+    def test_single_hour_spike_pins_at_one(self, spark):
+        """All events in hour 3: resultant = n * unit(45 deg),
+        r2 = 1e6 exactly (the double-rounding in the literal table
+        truncates back out)."""
+        rows = [(3 * self.HOUR + k, 10.0, 10.0) for k in range(5)]
+        got = self._run(spark, rows)
+        assert got[0][1:] == (5, 5 * 707107, 5 * 707107, 1_000_000)
+
+    def test_uniform_clock_is_zero(self, spark):
+        """One event in every hour: the 24 unit vectors cancel
+        exactly (the literal table is rounding-symmetric), r2 = 0."""
+        rows = [(h * self.HOUR, 10.0, 10.0) for h in range(24)]
+        got = self._run(spark, rows)
+        assert got[0][1:] == (24, 0, 0, 0)
+
+    def test_antipodal_hours_cancel(self, spark):
+        """Equal mass at 00:00 and 12:00: exactly opposite phases,
+        r2 = 0 even though the chi-square profile is maximally
+        spiky — the statistic diurnal_vector adds over
+        hour_profile."""
+        rows = ([(0, 10.0, 10.0)] * 3
+                + [(12 * self.HOUR, 10.0, 10.0)] * 3)
+        got = self._run(spark, rows)
+        assert got[0][1:] == (6, 0, 0, 0)
+
+    def test_inline_oracle_parity(self, spark):
+        import duckdb
+
+        from geospark.operators.events import (diurnal_vector,
+                                               diurnal_vector_sql)
+        rows = [((i * i * 7 + i * 131) % 200 * self.HOUR // 2,
+                 -60.0 + (i * 13) % 120, -150.0 + (i * 29) % 300)
+                for i in range(500)]
+        got = self._run(spark, rows, res=3)
+        con = duckdb.connect()
+        con.execute("CREATE TABLE p (us BIGINT, lat DOUBLE, "
+                    "lon DOUBLE)")
+        con.executemany("INSERT INTO p VALUES (?, ?, ?)", rows)
+        want = sorted(tuple(r) for r in con.execute(diurnal_vector_sql(
+            "SELECT us, lat, lon FROM p", 3)).fetchall())
+        assert got == want and len(got) > 10
