@@ -2644,3 +2644,100 @@ SELECT cell, CAST(n AS BIGINT) AS n_pts,
          AS r2_ppm
 FROM dv_g
 """
+
+
+# ---------------------------------------------------------------------------
+# Markov stationary mix over the type-transition chain (r5.44)
+# ---------------------------------------------------------------------------
+
+def markov_stationary(events, *, user_col: str = "user_id",
+                      us_col: str = "us", type_col: str = "event_type",
+                      tie_col: str = "event_id", iters: int = 8):
+    """Long-run stationary mix of the first-order event-type Markov
+    chain — "if sessions keep flowing like this, what does steady-
+    state traffic look like": power iteration on type_transitions'
+    floor-ppm conditional matrix, the chain-level summary its
+    per-edge table doesn't give (a type can be a rare ENTRY yet
+    dominate steady state through self-loops).
+
+    Integer-exact pagerank conventions: x_0 = 1e6 div n_states
+    micro-units; one step x'(j) = SUM over i of
+    (x(i) * cond_ppm(i, j)) div 1e6 with the floor applied PER TERM
+    (a sum of per-term floors is partitioning/order-invariant; a
+    floored sum of exact products would need exact order). States
+    with no outgoing transitions leak their mass — the pagerank
+    dangling convention, mirrored by the twin. After ``iters`` steps
+    the vector is reported as-is (mass <= 1e6 with the leak/floor
+    losses); consumers compare components, not the total.
+
+    Scale: the matrix and the vector are ALPHABET-sized aggregate
+    frames — after one user-keyed lag window and one (t1, t2) count
+    shuffle, every round is a tiny join + combinable agg
+    (materialize() per round, the pagerank lesson).
+    -> (event_type, pi_ppm) for every state seen as a transition
+    source or target."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..materialize import materialize
+    d = events.select(
+        F.col(user_col).alias("_u"), F.col(us_col).alias("_us"),
+        F.col(tie_col).alias("_tie"), F.col(type_col).alias("_t"))
+    w = Window.partitionBy("_u").orderBy("_us", "_tie")
+    h = (d.withColumn("_p", F.lag("_t").over(w))
+         .filter(F.col("_p").isNotNull()))
+    g = (h.groupBy(F.col("_p").alias("_t1"), F.col("_t").alias("_t2"))
+         .agg(F.count(F.lit(1)).alias("_n")))
+    trans = materialize(
+        g.withColumn("_cp", F.expr(
+            "(1000000 * _n) div sum(_n) OVER (PARTITION BY _t1)"))
+        .select("_t1", "_t2", "_cp"))
+    states = materialize(
+        trans.select(F.col("_t1").alias("_s"))
+        .union(trans.select("_t2")).distinct())
+    n_states = states.count()
+    x = states.select("_s", F.lit(10**6 // n_states).cast("long")
+                      .alias("_x"))
+    for _ in range(iters):
+        step = (trans.join(x, trans["_t1"] == x["_s"])
+                .select(F.col("_t2").alias("_v"),
+                        F.expr("(_x * _cp) div 1000000").alias("_c"))
+                .groupBy("_v").agg(F.sum("_c").alias("_nx")))
+        x = materialize(
+            states.join(step, states["_s"] == step["_v"], "left")
+            .select("_s", F.coalesce("_nx", F.lit(0)).cast("long")
+                    .alias("_x")))
+    return x.select(F.col("_s").alias(type_col),
+                    F.col("_x").alias("pi_ppm"))
+
+
+def markov_stationary_sql(pts_sql: str, *, iters: int = 8,
+                          type_col: str = "event_type") -> str:
+    """DuckDB twin of markov_stationary over a subquery producing
+    (user_id, us, event_id, event_type) — the same per-term-floor
+    power step unrolled one CTE per iteration; all values
+    nonnegative so floor == trunc."""
+    ctes = [
+        f"mk_d AS (SELECT user_id AS u, us, event_id AS tie, "
+        f"event_type AS t FROM ({pts_sql}))",
+        "mk_h AS (SELECT t, LAG(t) OVER (PARTITION BY u "
+        "ORDER BY us, tie) AS p FROM mk_d)",
+        "mk_g AS (SELECT p AS t1, t AS t2, COUNT(*) AS n FROM mk_h "
+        "WHERE p IS NOT NULL GROUP BY 1, 2)",
+        "mk_tr AS (SELECT t1, t2, (1000000 * n) // "
+        "SUM(n) OVER (PARTITION BY t1) AS cp FROM mk_g)",
+        "mk_s AS (SELECT DISTINCT t1 AS s FROM mk_tr "
+        "UNION SELECT DISTINCT t2 FROM mk_tr)",
+        "mk_ns AS (SELECT COUNT(*) AS ns FROM mk_s)",
+        "x0 AS (SELECT s, CAST(1000000 // ns AS BIGINT) AS x "
+        "FROM mk_s, mk_ns)",
+    ]
+    for i in range(iters):
+        ctes.append(
+            f"x{i + 1} AS (SELECT n.s, CAST(COALESCE(st.nx, 0) "
+            f"AS BIGINT) AS x FROM mk_s n LEFT JOIN ("
+            f"SELECT tr.t2 AS v, SUM((p.x * tr.cp) // 1000000) AS nx "
+            f"FROM mk_tr tr JOIN x{i} p ON tr.t1 = p.s GROUP BY 1"
+            f") st ON n.s = st.v)")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT s AS {type_col}, x AS pi_ppm FROM x{iters}")

@@ -3353,6 +3353,24 @@ def q_diurnal(spark, sf_dir):
     return diurnal_vector(_traj_pts(spark, sf_dir), _HOURPROF_RES)
 
 
+def q_markov(spark, sf_dir):
+    """Markov stationary mix (r5.44): long-run event_type traffic
+    composition under the observed first-order transition chain —
+    the steady-state summary type_transitions' per-edge table
+    doesn't give (operators/events.markov_stationary docstring:
+    per-term-floor power iteration over alphabet-sized aggregate
+    frames, pagerank dangling convention)."""
+    from pyspark.sql import functions as F
+
+    from .operators.events import markov_stationary
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return markov_stationary(e.select(
+        "user_id", "event_id", "event_type",
+        F.expr("timestampdiff(MICROSECOND, "
+               "TIMESTAMP_NTZ '2024-01-01 00:00:00', ts)")
+        .alias("us")))
+
+
 def q_colloc_lift(spark, sf_dir):
     """Collocation lift (r5.34): exact integer PMI-monotone lift per
     corpus bigram over the shared tokenization — phrase mining
@@ -4014,6 +4032,12 @@ QUERIES = {
     #    just past the boundary: its dense-calendar machinery stays
     #    driver-covered inside via cell_cusum/cell_autocorr --
     "diurnal": q_diurnal,
+    # -- r5.44 continued: markov (stationary event_type mix, the
+    #    chain-level summary over type_transitions' machinery).
+    #    accessibility (r5.38) rotates just past the boundary: its
+    #    broadcast-seed distance-decay shape stays driver-covered
+    #    inside via huff_shares --
+    "markov": q_markov,
     # -- round-5.39 addition (session 10), inside the window for its
     #    first driver row under the same newest-least-soak triage;
     #    centroid_drift rotates just past the boundary to make room
@@ -4160,7 +4184,9 @@ QUERIES = {
     "pps_sample": q_pps_sample,
     # (active_coverage — r5.38 — moved just past the window in
     #  session 13 to make room for km_hazard; see head-of-dict)
-    "accessibility": q_accessibility,
+    # (accessibility — r5.38 — moved just past the window in
+    #  session 13 to make room for markov; huff_shares keeps the
+    #  broadcast-seed decay shape inside)
     # (crawl_budget and source_overlap — r5.13 — moved just past the
     #  window in session 10 to make room for geary_c/join_counts;
     #  see the head-of-dict comment. Their original slot comments
@@ -4309,6 +4335,7 @@ QUERIES = {
     "emerging_hotspots": q_emerging_hotspots,
     "slope_aspect": q_slope_aspect,
     "cell_theil_sen": q_cell_theil_sen,
+    "accessibility": q_accessibility,
     # (moved just past the window in session 11 — see head-of-dict)
     "hilbert_keys": q_hilbert_keys,
     "link_rank": q_link_rank,
@@ -5070,6 +5097,11 @@ def oracle_sql() -> dict[str, str]:
         "SELECT user_id AS u, ts FROM events")
     from .operators.textstats import term_contrast_sql
     out["term_contrast"] = term_contrast_sql()
+    from .operators.events import markov_stationary_sql
+    out["markov"] = markov_stationary_sql(
+        "SELECT user_id, event_id, event_type, "
+        "datediff('microseconds', "
+        "TIMESTAMP '2024-01-01 00:00:00', ts) AS us FROM events")
     from .operators.events import diurnal_vector_sql
     out["diurnal"] = diurnal_vector_sql(_TRAJ_PTS_SQL, _HOURPROF_RES)
     from .operators.events import rayleigh_cells_sql

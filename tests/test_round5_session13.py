@@ -613,3 +613,88 @@ class TestDiurnalVector:
         want = sorted(tuple(r) for r in con.execute(diurnal_vector_sql(
             "SELECT us, lat, lon FROM p", 3)).fetchall())
         assert got == want and len(got) > 10
+
+
+# ---------------------------------------------------------------------------
+# Markov stationary mix
+# ---------------------------------------------------------------------------
+
+def _markov_ref(seqs, iters=8):
+    """Independent re-derivation: floor-ppm conditionals, per-term
+    floor power steps, dangling leak."""
+    trans = {}
+    for seq in seqs:
+        for a, b in zip(seq, seq[1:]):
+            trans[(a, b)] = trans.get((a, b), 0) + 1
+    out_tot = {}
+    for (a, _), n in trans.items():
+        out_tot[a] = out_tot.get(a, 0) + n
+    cp = {(a, b): 1_000_000 * n // out_tot[a]
+          for (a, b), n in trans.items()}
+    states = sorted({a for a, _ in trans} | {b for _, b in trans})
+    x = {s: 1_000_000 // len(states) for s in states}
+    for _ in range(iters):
+        nx = {s: 0 for s in states}
+        for (a, b), p in cp.items():
+            nx[b] += (x[a] * p) // 1_000_000
+        x = nx
+    return sorted(x.items())
+
+
+class TestMarkovStationary:
+    def _run(self, spark, seqs, iters=8):
+        from geospark.operators.events import markov_stationary
+        rows = []
+        for u, seq in enumerate(seqs):
+            for k, t in enumerate(seq):
+                rows.append((u, k * 1000, k, t))
+        d = spark.createDataFrame(
+            rows, "user_id long, us long, event_id long, "
+                  "event_type string")
+        return _rows(markov_stationary(d, iters=iters))
+
+    def test_two_state_cycle_stays_uniform(self, spark):
+        """A<->B deterministic cycle: the uniform start is already
+        stationary, every step swaps the equal halves."""
+        got = self._run(spark, [list("ABABABABA")])
+        assert got == [("A", 500_000), ("B", 500_000)]
+
+    def test_dangling_state_leaks_all_mass(self, spark):
+        """A -> B with B absorbing-and-dangling: by iteration 2 all
+        mass has left the chain (the pagerank dangling convention,
+        pinned so the twin can't diverge)."""
+        got = self._run(spark, [["A", "B"]])
+        assert got == [("A", 0), ("B", 0)]
+
+    def test_self_loop_dominance_matches_ref(self, spark):
+        """Heavy A self-loop vs a B detour: steady state concentrates
+        on A; exact values match the independent floor
+        re-derivation."""
+        seqs = [list("AAAABA" * 3)]
+        got = self._run(spark, seqs)
+        want = _markov_ref(seqs)
+        assert got == want and got[0][1] > got[1][1]
+
+    def test_inline_oracle_parity(self, spark):
+        import duckdb
+
+        from geospark.operators.events import (markov_stationary,
+                                               markov_stationary_sql)
+        types = "ABCDE"
+        seqs = [[types[(u * 3 + k * k) % 5] for k in range(40)]
+                for u in range(12)]
+        got = self._run(spark, seqs)
+        assert got == _markov_ref(seqs)
+        rows = []
+        for u, seq in enumerate(seqs):
+            for k, t in enumerate(seq):
+                rows.append((u, k * 1000, k, t))
+        con = duckdb.connect()
+        con.execute("CREATE TABLE ev (user_id BIGINT, us BIGINT, "
+                    "event_id BIGINT, event_type VARCHAR)")
+        con.executemany("INSERT INTO ev VALUES (?, ?, ?, ?)", rows)
+        want = sorted(tuple(r) for r in con.execute(
+            markov_stationary_sql(
+                "SELECT user_id, us, event_id, event_type FROM ev"
+            )).fetchall())
+        assert got == want
