@@ -3840,3 +3840,89 @@ SELECT CAST(nc AS BIGINT) AS n_cells, CAST(w AS BIGINT) AS w_pairs,
             END AS BIGINT) AS bimoran2_ppm
 FROM sl
 """
+
+
+# ---------------------------------------------------------------------------
+# Spatial concentration (Lorenz) decile curve (r5.44)
+# ---------------------------------------------------------------------------
+
+def lorenz_cells(pts, res: int, *, lat_col: str = "lat",
+                 lon_col: str = "lon", deciles: int = 10):
+    """Traffic-concentration curve over the occupied cell raster —
+    "the top i/10 of tiles carry X% of events", the capacity-planning
+    TABLE behind cell_gini's scalar (a CDN places caches and a crawl
+    scheduler shards frontiers off this curve, not off one
+    inequality number). Cells rank by (count DESC, cell ASC); decile
+    i reports the cumulative event share of the top ceil(i*C/D)
+    cells:
+
+        share_ppm = cum_events * 1e6 div T
+
+    exact BIGINT floor, both boundaries integer (ceil via
+    (i*C + D - 1) div D). With fewer cells than deciles, adjacent
+    rows repeat the same cutoff — output is ALWAYS exactly
+    ``deciles`` rows, so the frame is schema-stable for dashboards.
+
+    Scale: one point-level cell-count shuffle is the only full-data
+    pass; the rank/cumsum window and the decile join run on the
+    bounded OCCUPIED-CELL frame (<= 4^res rows — the ks_stat
+    grid-not-data argument). -> (pct, n_cells, cum_events,
+    share_ppm), one row per decile."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..functions.cells import cell_encode
+    counts = (pts.select(cell_encode(lat_col, lon_col, res)
+                         .alias("cell"))
+              .groupBy("cell").agg(F.count(F.lit(1)).alias("_n")))
+    w = Window.orderBy(F.col("_n").desc(), F.col("cell").asc())
+    ranked = (counts
+              .withColumn("_r", F.row_number().over(w))
+              .withColumn("_cum", F.sum("_n").over(
+                  w.rowsBetween(Window.unboundedPreceding, 0))))
+    tot = counts.agg(F.count(F.lit(1)).alias("_c"),
+                     F.sum("_n").alias("_t"))
+    spark = pts.sparkSession
+    dec = spark.range(1, deciles + 1).select(
+        F.col("id").alias("_i"))
+    cut = (dec.crossJoin(F.broadcast(tot))
+           .withColumn("_cut", F.expr(
+               f"(_i * _c + {deciles} - 1) div {deciles}")))
+    return (cut.join(ranked, cut["_cut"] == ranked["_r"])
+            .select(
+                F.expr(f"CAST(_i * 100 div {deciles} AS INT)")
+                .alias("pct"),
+                F.col("_r").cast("long").alias("n_cells"),
+                F.col("_cum").cast("long").alias("cum_events"),
+                F.expr("(_cum * 1000000) div _t").cast("long")
+                .alias("share_ppm")))
+
+
+def lorenz_cells_sql(pts_sql: str, res: int, *,
+                     deciles: int = 10) -> str:
+    """DuckDB twin of lorenz_cells over a subquery producing
+    (lat, lon) — same float cell grid text as the cell family, same
+    integer cutoffs; all values nonnegative so floor == trunc."""
+    n = 1 << res
+    cell = (f"(CAST({res} AS BIGINT) << 56) "
+            f"| (CAST(least(greatest(floor((lat + 90.0) / 180.0 "
+            f"* {n}), 0), {n - 1}) AS BIGINT) << {res}) "
+            f"| CAST(least(greatest(floor((lon + 180.0) / 360.0 "
+            f"* {n}), 0), {n - 1}) AS BIGINT)")
+    return f"""
+WITH lz_c AS (SELECT {cell} AS cell, COUNT(*) AS cn
+              FROM ({pts_sql}) GROUP BY 1),
+lz_r AS (SELECT cell, cn,
+         ROW_NUMBER() OVER (ORDER BY cn DESC, cell ASC) AS r,
+         SUM(cn) OVER (ORDER BY cn DESC, cell ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         FROM lz_c),
+lz_t AS (SELECT COUNT(*) AS c, SUM(cn) AS t FROM lz_c),
+lz_d AS (SELECT unnest(range(1, {deciles + 1})) AS i)
+SELECT CAST(i * 100 // {deciles} AS INTEGER) AS pct,
+       CAST(r AS BIGINT) AS n_cells,
+       CAST(cum AS BIGINT) AS cum_events,
+       CAST((cum * 1000000) // t AS BIGINT) AS share_ppm
+FROM lz_d, lz_t JOIN lz_r
+ON lz_r.r = (i * c + {deciles} - 1) // {deciles}
+"""

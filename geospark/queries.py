@@ -3371,6 +3371,21 @@ def q_markov(spark, sf_dir):
         .alias("us")))
 
 
+def q_lorenz(spark, sf_dir):
+    """Spatial concentration curve (r5.44): the top-decile-of-tiles
+    cumulative traffic shares over the res-6 event raster — the
+    capacity-planning table behind cell_gini's scalar
+    (operators/tiles.lorenz_cells docstring: one cell-count shuffle,
+    rank/cutoff machinery on the bounded occupied-cell frame)."""
+    from pyspark.sql import functions as F
+
+    from .operators.tiles import lorenz_cells
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pts = e.select(F.expr(EVT_LAT_SQL).alias("lat"),
+                   F.expr(EVT_LON_SQL).alias("lon"))
+    return lorenz_cells(pts, RES_COARSE)
+
+
 def q_colloc_lift(spark, sf_dir):
     """Collocation lift (r5.34): exact integer PMI-monotone lift per
     corpus bigram over the shared tokenization — phrase mining
@@ -4038,6 +4053,11 @@ QUERIES = {
     #    broadcast-seed distance-decay shape stays driver-covered
     #    inside via huff_shares --
     "markov": q_markov,
+    # -- r5.44 continued: lorenz (decile concentration curve over
+    #    the cell raster). ht_breaks (r5.38) rotates just past the
+    #    boundary: its cell-count frame is the catalog's most
+    #    driver-covered shape (tile_counts rows green r1-r4) --
+    "lorenz": q_lorenz,
     # -- round-5.39 addition (session 10), inside the window for its
     #    first driver row under the same newest-least-soak triage;
     #    centroid_drift rotates just past the boundary to make room
@@ -4176,7 +4196,8 @@ QUERIES = {
     # (cell_theil_sen — r5.38 — moved just past the window in
     #  session 13 to make room for diurnal; the dense-calendar
     #  machinery stays inside via cell_cusum/cell_autocorr)
-    "ht_breaks": q_ht_breaks,
+    # (ht_breaks — r5.38 — moved just past the window in
+    #  session 13 to make room for lorenz; see head-of-dict)
     # (same triage: stream_resample and pps_sample are the remaining
     #  session-9 rows; the displacement list above extends by
     #  batch_dedup and d8_flow — see their relocation comments)
@@ -4336,6 +4357,7 @@ QUERIES = {
     "slope_aspect": q_slope_aspect,
     "cell_theil_sen": q_cell_theil_sen,
     "accessibility": q_accessibility,
+    "ht_breaks": q_ht_breaks,
     # (moved just past the window in session 11 — see head-of-dict)
     "hilbert_keys": q_hilbert_keys,
     "link_rank": q_link_rank,
@@ -5097,6 +5119,10 @@ def oracle_sql() -> dict[str, str]:
         "SELECT user_id AS u, ts FROM events")
     from .operators.textstats import term_contrast_sql
     out["term_contrast"] = term_contrast_sql()
+    from .operators.tiles import lorenz_cells_sql
+    out["lorenz"] = lorenz_cells_sql(
+        f"SELECT {EVT_LAT_SQL} AS lat, {EVT_LON_SQL} AS lon "
+        "FROM events", RES_COARSE)
     from .operators.events import markov_stationary_sql
     out["markov"] = markov_stationary_sql(
         "SELECT user_id, event_id, event_type, "

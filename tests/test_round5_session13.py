@@ -698,3 +698,67 @@ class TestMarkovStationary:
                 "SELECT user_id, us, event_id, event_type FROM ev"
             )).fetchall())
         assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Spatial concentration (Lorenz) decile curve
+# ---------------------------------------------------------------------------
+
+class TestLorenzCells:
+    def _run(self, spark, cells, counts, res=RES):
+        from geospark.operators.tiles import lorenz_cells
+        rows = []
+        n = 1 << res
+        for (y, x), c in zip(cells, counts):
+            lat = -90.0 + (y + 0.5) * 180.0 / n
+            lon = -180.0 + (x + 0.5) * 360.0 / n
+            rows += [(lat, lon)] * c
+        d = spark.createDataFrame(rows, "lat double, lon double")
+        return _rows(lorenz_cells(d, res),
+                     ["pct", "n_cells", "cum_events", "share_ppm"])
+
+    def test_hand_worked_curve(self, spark):
+        """10 cells with counts 10,9,...,1 (T=55): decile i cuts at
+        the top i cells; shares are the exact triangular prefix
+        ratios."""
+        cells = [(5, x) for x in range(10)]
+        counts = list(range(10, 0, -1))
+        got = sorted(self._run(spark, cells, counts))
+        pre = 0
+        want = []
+        for i in range(1, 11):
+            pre += counts[i - 1]
+            want.append((i * 10, i, pre, pre * 1_000_000 // 55))
+        assert got == sorted(want)
+
+    def test_fewer_cells_than_deciles_repeats_cutoffs(self, spark):
+        """3 cells: the output is STILL exactly 10 rows — adjacent
+        deciles repeat a cutoff (ceil semantics), the last row is
+        always (100, C, T, 1e6)."""
+        got = self._run(spark, [(5, 5), (5, 6), (5, 7)], [6, 3, 1])
+        assert len(got) == 10
+        assert got[-1] == (100, 3, 10, 1_000_000)
+        assert got[0] == (10, 1, 6, 600_000)
+
+    def test_uniform_surface_is_diagonal(self, spark):
+        """Equal counts everywhere: the curve is the diagonal —
+        share_ppm == pct * 1e4 at every decile."""
+        cells = [(5, x) for x in range(10)]
+        got = self._run(spark, cells, [4] * 10)
+        assert all(r[3] == r[0] * 10_000 for r in got)
+
+    def test_inline_oracle_parity(self, spark):
+        import duckdb
+
+        from geospark.operators.tiles import (lorenz_cells,
+                                              lorenz_cells_sql)
+        pts = [(-60.0 + (i * i * 13) % 120, -150.0 + (i * 37) % 300)
+               for i in range(800)]
+        d = spark.createDataFrame(pts, "lat double, lon double")
+        got = _rows(lorenz_cells(d, 3))
+        con = duckdb.connect()
+        con.execute("CREATE TABLE p (lat DOUBLE, lon DOUBLE)")
+        con.executemany("INSERT INTO p VALUES (?, ?)", pts)
+        want = sorted(tuple(r) for r in con.execute(lorenz_cells_sql(
+            "SELECT lat, lon FROM p", 3)).fetchall())
+        assert got == want and len(got) == 10
