@@ -28,7 +28,8 @@ import bench_sf1
 from bench_sf1_ops3 import _time
 
 OPS = ("benford", "bimoran", "hits", "km_hazard", "rayleigh",
-       "region_shape", "term_contrast", "diurnal")
+       "region_shape", "term_contrast", "diurnal", "markov",
+       "lorenz")
 
 SF01 = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
