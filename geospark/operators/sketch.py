@@ -395,3 +395,100 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM bk) AS n_build,
        AS fp_ppm
 FROM agg
 """
+
+
+# --------------------------------------------------------------------------
+# KMV (bottom-k / theta) distinct sketch
+# --------------------------------------------------------------------------
+
+KMV_K = 64                    # sketch size: k minimum hash values
+KMV_DOMAIN = 1 << 60          # md5-prefix hash domain [0, 2^60)
+
+
+def kmv_distinct(df, key_col: str, group_col: str, *, k: int = KMV_K):
+    """Per-group KMV (bottom-k / theta-sketch) distinct-count audit —
+    the third distinct-count shape next to hll_distinct: where HLL
+    folds into 64 fixed registers, KMV keeps the ``k`` SMALLEST
+    distinct hash values and estimates
+
+        n_kmv = (k - 1) * D  div  theta          (Bar-Yossef et al.
+                                                  2002; theta-sketch
+                                                  bottom-k form)
+
+    where theta is the k-th smallest hash and D = 2^60 the domain of
+    the repo's shared md5-prefix hash. Groups with fewer than ``k``
+    distinct keys report exactly (the sketch IS the distinct set).
+    The extra '_ALL_' row is the UNION sketch over every group —
+    bottom-k of a union equals bottom-k of the merged bottom-k's, the
+    mergeability that makes KMV a partial-aggregate at cluster scale
+    (and, unlike HLL, KMV supports intersection estimates downstream).
+    (k-1) * 2^60 overflows BIGINT, so the product and the floor
+    division run in DECIMAL(38,0) / HUGEINT; theta > 0 always (it is
+    an md5 value of a kept row). err_ppm is the signed realized error
+    vs the exact distinct count — the audit column a pipeline uses at
+    small SF to size k, then drops at 10^12 rows.
+
+    Scale: ONE distinct shuffle on (group, hash) feeds both sides;
+    the rank window runs on that already-deduped frame and is
+    group-keyed (no single funnel); at full scale the window is
+    replaced by the two-level min-k partial agg the mergeability
+    property licenses — the shuffle then carries k values per group
+    per map task, O(1) in row count. -> (group, n_exact, theta,
+    n_kmv, err_ppm)."""
+    from pyspark.sql import functions as F
+
+    h = F.expr(_hash64_spark(key_col))
+    base = (df.select(F.col(group_col).alias("_g"), h.alias("_h"))
+            .filter(F.col("_h").isNotNull()).distinct())
+    u = base.unionByName(
+        base.select(F.lit("_ALL_").alias("_g"), "_h").distinct())
+    r = u.withColumn("_rn", F.expr(
+        "row_number() OVER (PARTITION BY _g ORDER BY _h ASC)"))
+    agg = r.groupBy("_g").agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.max(F.when(F.col("_rn") <= k, F.col("_h"))).alias("theta"))
+    est = (f"CASE WHEN n_exact <= {int(k)} THEN n_exact ELSE "
+           f"CAST((CAST({int(k) - 1} AS DECIMAL(38,0)) * "
+           f"{KMV_DOMAIN}) div theta AS BIGINT) END")
+    out = agg.select(
+        F.col("_g").alias(group_col),
+        F.col("n_exact").cast("long"),
+        F.col("theta").cast("long"),
+        F.expr(est).cast("long").alias("n_kmv"))
+    return out.withColumn("err_ppm", F.expr(_err_ppm(
+        "div", "CAST({} AS DECIMAL(38,0))", "n_kmv", "n_exact"))
+        .cast("long"))
+
+
+def kmv_distinct_sql(rows_sql: str, *, key: str = "k",
+                     group: str = "g", k: int = KMV_K) -> str:
+    """DuckDB twin of kmv_distinct over a subquery producing
+    (group, key) — same hash, same rank, same HUGEINT floor."""
+    est = (f"CASE WHEN n_exact <= {int(k)} THEN n_exact ELSE "
+           f"CAST((CAST({int(k) - 1} AS HUGEINT) * {KMV_DOMAIN}) "
+           f"// theta AS BIGINT) END")
+    d = "(n_kmv - n_exact)"
+    mag = f"(CASE WHEN {d} >= 0 THEN {d} ELSE -{d} END)"
+    err = (f"(CASE WHEN {d} >= 0 THEN 1 ELSE -1 END) * "
+           f"CAST(CAST({mag} AS HUGEINT) * 1000000 "
+           f"// n_exact AS BIGINT)")
+    return f"""
+WITH kmv_b AS (SELECT DISTINCT {group} AS g,
+                      ({_hash64_duck(key)}) AS h
+               FROM ({rows_sql})
+               WHERE ({_hash64_duck(key)}) IS NOT NULL),
+kmv_u AS (SELECT g, h FROM kmv_b
+          UNION ALL SELECT DISTINCT '_ALL_' AS g, h FROM kmv_b),
+kmv_r AS (SELECT g, h,
+          ROW_NUMBER() OVER (PARTITION BY g ORDER BY h ASC) AS rn
+          FROM kmv_u),
+kmv_a AS (SELECT g, COUNT(*) AS n_exact,
+          MAX(CASE WHEN rn <= {int(k)} THEN h END) AS theta
+          FROM kmv_r GROUP BY 1),
+kmv_e AS (SELECT g, n_exact, theta, {est} AS n_kmv FROM kmv_a)
+SELECT g AS {group}, CAST(n_exact AS BIGINT) AS n_exact,
+       CAST(theta AS BIGINT) AS theta,
+       CAST(n_kmv AS BIGINT) AS n_kmv,
+       {err} AS err_ppm
+FROM kmv_e
+"""

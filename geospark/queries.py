@@ -3386,6 +3386,28 @@ def q_lorenz(spark, sf_dir):
     return lorenz_cells(pts, RES_COARSE)
 
 
+def q_kmv_reach(spark, sf_dir):
+    """KMV reach audit (r5.45): per-event-type distinct (user, cell)
+    audience reach via the bottom-k theta sketch, next to the exact
+    count and the realized error — the third engine-exact
+    distinct-count shape after hll_cells, plus the '_ALL_' union-
+    sketch row HLL registers can't give intersections from
+    (operators/sketch.kmv_distinct docstring: one (group, hash)
+    distinct shuffle, DECIMAL(38,0)/HUGEINT floor estimator)."""
+    from pyspark.sql import functions as F
+
+    from .functions.cells import cell_encode
+    from .operators.sketch import kmv_distinct
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pts = e.select(
+        "event_type",
+        F.concat_ws(
+            ":", F.col("user_id").cast("string"),
+            cell_encode(F.expr(EVT_LAT_SQL), F.expr(EVT_LON_SQL),
+                        RES_COARSE).cast("string")).alias("k"))
+    return kmv_distinct(pts, "k", "event_type")
+
+
 def q_colloc_lift(spark, sf_dir):
     """Collocation lift (r5.34): exact integer PMI-monotone lift per
     corpus bigram over the shared tokenization — phrase mining
@@ -3952,6 +3974,17 @@ def q_bearing_hist(spark, sf_dir):
 
 
 QUERIES = {
+    # -- r5.45 (session 14), inside the window under the same
+    #    newest-least-soak triage: kmv_reach (bottom-k theta-sketch
+    #    distinct audit, the sketch family's third shape).
+    #    semivariogram (r5.38 — the oldest in-window first-timer
+    #    that is neither a twin/fragment anchor — basin_stats
+    #    carries the nested d8_basins oracle, flow_accum the d8_flow
+    #    one — nor ADVICE-mandated) rotates just past the boundary
+    #    with multi-sweep replica greens; its binned-lag machinery
+    #    stays driver-covered inside via cost_distance/gi_star's
+    #    neighbor-offset frames --
+    "kmv_reach": q_kmv_reach,
     # -- round-5.41 additions (session 11), inside the window for
     #    their first driver rows under the same newest-least-soak
     #    triage; hilbert_keys rotates just past the boundary to make
@@ -4182,7 +4215,6 @@ QUERIES = {
     #  session 13 to make room for term_contrast; its raster CTE is
     #  nested in flow_accum's in-window oracle)
     "flow_accum": q_flow_accum,
-    "semivariogram": q_semivariogram,
     "doc_skyline": q_doc_skyline,
     "bm25_topk": q_bm25_topk,
     "corridor_join": q_corridor_join,
@@ -4347,6 +4379,9 @@ QUERIES = {
     #  to make room for bimoran; see head-of-dict)
     "basin_stats": q_basin_stats,
     "threshold_alerts": q_threshold_alerts,
+    # (semivariogram — r5.38 — moved just past the window in
+    #  session 14 to make room for kmv_reach; see head-of-dict)
+    "semivariogram": q_semivariogram,
     # (peak_cells — r5.36 — moved just past the window in session 10
     #  to make room for rrf_fuse; see the head-of-dict comment)
     "peak_cells": q_peak_cells,
@@ -5306,6 +5341,11 @@ def oracle_sql() -> dict[str, str]:
     out["hll_cells"] = hll_distinct_sql(
         f"SELECT {evt_cell6} AS g, user_id AS k FROM events")
     out["cms_terms"] = cms_topk_sql(20)
+    from .operators.sketch import kmv_distinct_sql
+    out["kmv_reach"] = kmv_distinct_sql(
+        f"SELECT event_type, CAST(user_id AS VARCHAR) || ':' || "
+        f"CAST({evt_cell6} AS VARCHAR) AS k FROM events",
+        key="k", group="event_type")
     out["bloom_probe"] = bloom_probe_sql(
         f"SELECT o_orderkey AS k FROM orders "
         f"WHERE o_totalprice > {_BLOOM_PRICE}",

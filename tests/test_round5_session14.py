@@ -1,0 +1,91 @@
+"""Round-5 session-14 operator tests: KMV bottom-k distinct sketch
+(and the rest of the session-14 wave as it lands)."""
+
+from __future__ import annotations
+
+import hashlib
+
+
+def _rows(df, cols=None):
+    cols = cols or df.columns
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def _h60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+# ---------------------------------------------------------------------------
+# KMV (bottom-k / theta) distinct sketch
+# ---------------------------------------------------------------------------
+
+class TestKMVDistinct:
+    def _run(self, spark, rows, k):
+        from geospark.operators.sketch import kmv_distinct
+        d = spark.createDataFrame(rows, "g string, k string")
+        return {r[0]: r[1:] for r in _rows(
+            kmv_distinct(d, "k", "g", k=k),
+            ["g", "n_exact", "theta", "n_kmv", "err_ppm"])}
+
+    def test_small_group_reports_exactly(self, spark):
+        """n_exact <= k: the sketch IS the distinct set — estimate
+        equals the exact count, err_ppm = 0, theta = max kept hash,
+        and duplicates do not inflate the count."""
+        got = self._run(spark, [("a", "x"), ("a", "y"), ("a", "x")],
+                        k=4)
+        theta = max(_h60("x"), _h60("y"))
+        assert got["a"] == (2, theta, 2, 0)
+        assert got["_ALL_"] == (2, theta, 2, 0)
+
+    def test_estimator_path_known_hashes(self, spark):
+        """n_exact > k: n_kmv = (k-1) * 2^60 div theta with theta the
+        k-th smallest distinct hash — checked against a from-scratch
+        Python replica of the same md5-prefix arithmetic."""
+        keys = [f"key{i}" for i in range(20)]
+        got = self._run(spark, [("a", s) for s in keys], k=4)
+        hs = sorted(_h60(s) for s in keys)
+        theta = hs[3]
+        est = (3 * (1 << 60)) // theta
+        err = (est - 20) * 1_000_000
+        err = (1 if err >= 0 else -1) * (abs(err) // 20)
+        assert got["a"] == (20, theta, est, err)
+
+    def test_union_row_dedups_across_groups(self, spark):
+        """'_ALL_' is the union sketch: a key present in two groups
+        counts once — n_exact(_ALL_) < sum of group n_exacts."""
+        got = self._run(spark, [("a", "x"), ("a", "y"),
+                                ("b", "x"), ("b", "z")], k=8)
+        assert got["a"][0] == 2 and got["b"][0] == 2
+        assert got["_ALL_"][0] == 3
+
+    def test_union_theta_is_bottom_k_of_merge(self, spark):
+        """With k smaller than the union cardinality, the union
+        theta is the k-th smallest over ALL distinct hashes — the
+        mergeability property (bottom-k of union == bottom-k of
+        merged bottom-ks)."""
+        rows = ([("a", f"a{i}") for i in range(6)]
+                + [("b", f"b{i}") for i in range(6)])
+        got = self._run(spark, rows, k=4)
+        hs = sorted(_h60(s) for s in
+                    [f"a{i}" for i in range(6)]
+                    + [f"b{i}" for i in range(6)])
+        assert got["_ALL_"][1] == hs[3]
+        assert got["_ALL_"][0] == 12
+
+    def test_null_keys_excluded(self, spark):
+        """NULL keys hash to NULL and leave the population."""
+        got = self._run(spark, [("a", "x"), ("a", None)], k=4)
+        assert got["a"][0] == 1
+
+    def test_catalog_query_shapes(self, spark):
+        """kmv_reach at sf0.001: one row per event_type plus the
+        union row; exact >= any single type's reach; all estimates
+        positive."""
+        from geospark.queries import QUERIES
+        out = _rows(QUERIES["kmv_reach"](spark, "/root/testdata/sf0.001"))
+        groups = {r[0] for r in out}
+        assert "_ALL_" in groups and len(groups) >= 2
+        alln = {r[0]: r[1] for r in out}
+        assert alln["_ALL_"] == max(
+            alln.values())  # union reach dominates
+        assert all(r[3] > 0 for r in out)
