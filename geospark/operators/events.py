@@ -2741,3 +2741,101 @@ def markov_stationary_sql(pts_sql: str, *, iters: int = 8,
             f") st ON n.s = st.v)")
     return ("WITH " + ",\n".join(ctes)
             + f"\nSELECT s AS {type_col}, x AS pi_ppm FROM x{iters}")
+
+
+# ---------------------------------------------------------------------------
+# Week-over-week per-cell audience churn
+# ---------------------------------------------------------------------------
+
+WEEK_US = 7 * 86_400 * 1_000_000
+
+
+def cell_churn(pts, res: int, *, period_us: int = WEEK_US):
+    """Per-cell audience turnover between consecutive periods: for
+    every cell occupied in week p-1 AND week p, the distinct-user
+    overlap of the two weekly audiences —
+
+        jaccard_ppm = n_common * 1e6  div  (n_prev + n_curr - n_common)
+
+    exact BIGINT floor. The geospatial churn table behind retention's
+    user-level cohort curve: a cell whose audience replaces itself
+    weekly (low Jaccard at flat counts) is transient footfall —
+    stations, venues — while a high-Jaccard cell is habitual
+    territory; at crawl scale the same shape over (host-cell, week,
+    user) separates loyal-readership regions from drive-by traffic.
+    Input pts = (user_id, lat, lon, us) with us microseconds from the
+    epoch floor; period index p = us div period_us (integer, both
+    engines truncate the same for nonnegative us).
+
+    Scale: ONE distinct shuffle on (cell, p, user) builds the visit
+    frame v; the per-period counts are a combinable groupBy of v, and
+    the overlap join keys on (cell, user) — per-key groups are the
+    handful of weeks a user visits a cell, so no hot reducer; both
+    sides derive from the same v, so AQE reuses the exchange. Cells
+    occupied in only one of the two weeks carry no row (the join is
+    the week-pair existence test); overlap-free pairs report 0 via
+    the left join, never dropped rows. -> (cell, period, n_prev,
+    n_curr, n_common, jaccard_ppm)."""
+    from pyspark.sql import functions as F
+
+    from ..functions.cells import cell_encode
+    v = (pts.select(cell_encode("lat", "lon", res).alias("cell"),
+                    F.expr(f"us div {int(period_us)}").alias("p"),
+                    "user_id")
+         .distinct())
+    cnt = v.groupBy("cell", "p").agg(F.count(F.lit(1)).alias("n"))
+    pairs = (cnt.alias("a").join(
+        cnt.alias("b"),
+        (F.col("a.cell") == F.col("b.cell"))
+        & (F.col("b.p") == F.col("a.p") + 1))
+        .select(F.col("a.cell").alias("cell"),
+                F.col("b.p").alias("period"),
+                F.col("a.n").alias("n_prev"),
+                F.col("b.n").alias("n_curr")))
+    common = (v.alias("x").join(
+        v.alias("y"),
+        (F.col("x.cell") == F.col("y.cell"))
+        & (F.col("x.user_id") == F.col("y.user_id"))
+        & (F.col("y.p") == F.col("x.p") + 1))
+        .groupBy(F.col("y.cell").alias("cell"),
+                 F.col("y.p").alias("period"))
+        .agg(F.count(F.lit(1)).alias("n_common")))
+    out = (pairs.join(common, ["cell", "period"], "left")
+           .fillna(0, subset=["n_common"]))
+    return out.select(
+        "cell", "period",
+        F.col("n_prev").cast("long"), F.col("n_curr").cast("long"),
+        F.col("n_common").cast("long"),
+        F.expr("(n_common * 1000000) div "
+               "(n_prev + n_curr - n_common)").cast("long")
+        .alias("jaccard_ppm"))
+
+
+def cell_churn_sql(pts_sql: str, res: int, *,
+                   period_us: int = WEEK_US) -> str:
+    """DuckDB twin of cell_churn over a subquery producing
+    (user_id, lat, lon, us) — same cell grid text, same floor."""
+    from ..functions.cells import cell_encode_sql
+    cell = cell_encode_sql("lat", "lon", res)
+    return f"""
+WITH ch_v AS (SELECT DISTINCT {cell} AS cell,
+                     us // {int(period_us)} AS p, user_id
+              FROM ({pts_sql})),
+ch_c AS (SELECT cell, p, COUNT(*) AS n FROM ch_v GROUP BY 1, 2),
+ch_p AS (SELECT a.cell, b.p AS period, a.n AS n_prev, b.n AS n_curr
+         FROM ch_c a JOIN ch_c b
+         ON a.cell = b.cell AND b.p = a.p + 1),
+ch_o AS (SELECT y.cell, y.p AS period, COUNT(*) AS n_common
+         FROM ch_v x JOIN ch_v y
+         ON x.cell = y.cell AND x.user_id = y.user_id
+            AND y.p = x.p + 1
+         GROUP BY 1, 2)
+SELECT cell, period,
+       CAST(n_prev AS BIGINT) AS n_prev,
+       CAST(n_curr AS BIGINT) AS n_curr,
+       CAST(COALESCE(n_common, 0) AS BIGINT) AS n_common,
+       CAST((COALESCE(n_common, 0) * 1000000)
+            // (n_prev + n_curr - COALESCE(n_common, 0)) AS BIGINT)
+       AS jaccard_ppm
+FROM ch_p LEFT JOIN ch_o USING (cell, period)
+"""

@@ -3408,6 +3408,21 @@ def q_kmv_reach(spark, sf_dir):
     return kmv_distinct(pts, "k", "event_type")
 
 
+# churn at res 4: 256 cells over the traj spread gives multi-user
+# weekly audiences (the Jaccard is meaningful, not 0/1 noise)
+_CHURN_RES = 4
+
+
+def q_cell_churn(spark, sf_dir):
+    """Per-cell audience churn (r5.45): week-over-week distinct-user
+    Jaccard per res-4 cell — the spatial turnover table behind
+    retention's user-level cohort curve (operators/events.cell_churn
+    docstring: one (cell, week, user) distinct shuffle, (cell, user)-
+    keyed overlap join, exact ppm floor)."""
+    from .operators.events import cell_churn
+    return cell_churn(_traj_pts(spark, sf_dir), _CHURN_RES)
+
+
 def q_colloc_lift(spark, sf_dir):
     """Collocation lift (r5.34): exact integer PMI-monotone lift per
     corpus bigram over the shared tokenization — phrase mining
@@ -3985,6 +4000,12 @@ QUERIES = {
     #    stays driver-covered inside via cost_distance/gi_star's
     #    neighbor-offset frames --
     "kmv_reach": q_kmv_reach,
+    # -- r5.45 continued: cell_churn (week-over-week per-cell
+    #    distinct-user Jaccard). doc_skyline (r5.38 — next-oldest
+    #    non-anchor first-timer) rotates just past the boundary; its
+    #    Pareto-window machinery stays driver-covered inside via
+    #    term_contrast/bm25_topk's document-frame windows --
+    "cell_churn": q_cell_churn,
     # -- round-5.41 additions (session 11), inside the window for
     #    their first driver rows under the same newest-least-soak
     #    triage; hilbert_keys rotates just past the boundary to make
@@ -4215,7 +4236,6 @@ QUERIES = {
     #  session 13 to make room for term_contrast; its raster CTE is
     #  nested in flow_accum's in-window oracle)
     "flow_accum": q_flow_accum,
-    "doc_skyline": q_doc_skyline,
     "bm25_topk": q_bm25_topk,
     "corridor_join": q_corridor_join,
     # (emerging_hotspots — r5.38 — moved just past the window in
@@ -4382,6 +4402,9 @@ QUERIES = {
     # (semivariogram — r5.38 — moved just past the window in
     #  session 14 to make room for kmv_reach; see head-of-dict)
     "semivariogram": q_semivariogram,
+    # (doc_skyline — r5.38 — moved just past the window in
+    #  session 14 to make room for cell_churn; see head-of-dict)
+    "doc_skyline": q_doc_skyline,
     # (peak_cells — r5.36 — moved just past the window in session 10
     #  to make room for rrf_fuse; see the head-of-dict comment)
     "peak_cells": q_peak_cells,
@@ -5346,6 +5369,8 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT event_type, CAST(user_id AS VARCHAR) || ':' || "
         f"CAST({evt_cell6} AS VARCHAR) AS k FROM events",
         key="k", group="event_type")
+    from .operators.events import cell_churn_sql
+    out["cell_churn"] = cell_churn_sql(_TRAJ_PTS_SQL, _CHURN_RES)
     out["bloom_probe"] = bloom_probe_sql(
         f"SELECT o_orderkey AS k FROM orders "
         f"WHERE o_totalprice > {_BLOOM_PRICE}",

@@ -89,3 +89,55 @@ class TestKMVDistinct:
         assert alln["_ALL_"] == max(
             alln.values())  # union reach dominates
         assert all(r[3] > 0 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# Week-over-week per-cell audience churn
+# ---------------------------------------------------------------------------
+
+WEEK = 7 * 86_400 * 1_000_000
+
+
+class TestCellChurn:
+    def _run(self, spark, rows, res=2):
+        from geospark.operators.events import cell_churn
+        d = spark.createDataFrame(
+            rows, "user_id long, lat double, lon double, us long")
+        return _rows(cell_churn(d, res),
+                     ["cell", "period", "n_prev", "n_curr",
+                      "n_common", "jaccard_ppm"])
+
+    def test_known_overlap(self, spark):
+        """Week 0 audience {1,2,3}, week 1 audience {2,3,4} in one
+        cell: n_common=2, union=4 -> 500000 ppm."""
+        rows = ([(u, 10.0, 10.0, 100) for u in (1, 2, 3)]
+                + [(u, 10.0, 10.0, WEEK + 100) for u in (2, 3, 4)])
+        got = self._run(spark, rows)
+        assert len(got) == 1
+        assert got[0][1:] == (1, 3, 3, 2, 500_000)
+
+    def test_duplicate_visits_count_once(self, spark):
+        """A user visiting the same cell twice in a week is one
+        audience member."""
+        rows = [(1, 10.0, 10.0, 0), (1, 10.0, 10.0, 5),
+                (1, 10.0, 10.0, WEEK + 1)]
+        got = self._run(spark, rows)
+        assert got[0][2:] == (1, 1, 1, 1_000_000)
+
+    def test_disjoint_audiences_zero_jaccard(self, spark):
+        """Total turnover: overlap-free week pair reports 0, not a
+        dropped row."""
+        rows = [(1, 10.0, 10.0, 0), (2, 10.0, 10.0, WEEK + 1)]
+        got = self._run(spark, rows)
+        assert got[0][2:] == (1, 1, 0, 0)
+
+    def test_gap_weeks_produce_no_row(self, spark):
+        """A cell occupied in weeks 0 and 2 only has no consecutive
+        pair — no row (the join is the existence test)."""
+        rows = [(1, 10.0, 10.0, 0), (1, 10.0, 10.0, 2 * WEEK + 1)]
+        assert self._run(spark, rows) == []
+
+    def test_cells_independent(self, spark):
+        """Users in different cells never cross-count."""
+        rows = [(1, 10.0, 10.0, 0), (1, -10.0, -10.0, WEEK + 1)]
+        assert self._run(spark, rows) == []
