@@ -3926,3 +3926,84 @@ SELECT CAST(i * 100 // {deciles} AS INTEGER) AS pct,
 FROM lz_d, lz_t JOIN lz_r
 ON lz_r.r = (i * c + {deciles} - 1) // {deciles}
 """
+
+
+def focal_mode(points, res: int, *, label_col: str = "label",
+               lat_col: str = "lat", lon_col: str = "lon"):
+    """Majority (focal-mode) filter over the occupied raster — map
+    algebra's categorical twin to cell_smooth's mean: every occupied
+    cell reports the modal LABEL of its ring-1 Chebyshev
+    neighborhood restricted to occupied cells (longitude wraps,
+    latitude clamps, unoccupied cells are not support — the
+    grid_reach obstacle convention), ties broken by smallest label.
+    The declutter step before rendering a categorical tile layer
+    (dominant land-use / dominant event type per tile) and the
+    label-denoising pass before training on per-cell categories:
+    isolated single-cell classes dissolve into their surroundings,
+    integer-exact with no float kernel anywhere.
+
+    Scale: ONE point-level (cell, label) groupBy is the only
+    full-data shuffle; the 9x neighbor explode runs on the
+    aggregate-sized (occupied-cell x label) frame, re-aggregates
+    map-side-combinably onto the target cell, and the argmax is a
+    cell-keyed window on that bounded frame. -> (cell, mode_label,
+    n_mode, n_total, share_ppm) with share the modal label's weight
+    in the neighborhood's point mass."""
+    from pyspark.sql import functions as F
+
+    from ..functions.cells import cell_encode, cell_neighbors_explode
+    cnt = (points
+           .select(cell_encode(lat_col, lon_col, res).alias("cell"),
+                   F.col(label_col).alias("_lab"))
+           .groupBy("cell", "_lab").agg(F.count(F.lit(1)).alias("_n")))
+    occ = cnt.select("cell").distinct()
+    contrib = (cell_neighbors_explode(cnt, res, ring=1)
+               .select(F.col("_neighbor").alias("cell"), "_lab", "_n"))
+    hood = (contrib.join(occ, "cell")
+            .groupBy("cell", "_lab").agg(F.sum("_n").alias("_m")))
+    w = ("(PARTITION BY cell ORDER BY _m DESC, _lab ASC)")
+    ranked = (hood
+              .withColumn("_r", F.expr(f"row_number() OVER {w}"))
+              .withColumn("_t", F.expr(
+                  "sum(_m) OVER (PARTITION BY cell)")))
+    return (ranked.filter(F.col("_r") == 1)
+            .select("cell",
+                    F.col("_lab").alias("mode_label"),
+                    F.col("_m").cast("long").alias("n_mode"),
+                    F.col("_t").cast("long").alias("n_total"),
+                    F.expr("(_m * 1000000) div _t").cast("long")
+                    .alias("share_ppm")))
+
+
+def focal_mode_sql(pts_sql: str, res: int) -> str:
+    """DuckDB twin of focal_mode over a subquery producing
+    (lat, lon, label) — same wrap/clamp adjacency as cell_smooth_sql,
+    same tie order, same floor."""
+    from ..functions.cells import cell_encode_sql
+    n = 1 << res
+    mask = n - 1
+    cell = cell_encode_sql("lat", "lon", res)
+    ax, bx = f"(a.cell & {mask})", f"(b.cell & {mask})"
+    ay, by = (f"((a.cell >> {res}) & {mask})",
+              f"((b.cell >> {res}) & {mask})")
+    adj = (f"abs({ay} - {by}) <= 1 AND "
+           f"least(abs({ax} - {bx}), {n} - abs({ax} - {bx})) <= 1")
+    return f"""
+WITH fm_c AS (SELECT cell, label, COUNT(*) AS n
+              FROM (SELECT {cell} AS cell, label FROM ({pts_sql}))
+              GROUP BY 1, 2),
+fm_o AS (SELECT DISTINCT cell FROM fm_c),
+fm_h AS (SELECT b.cell, a.label, SUM(a.n) AS m
+         FROM fm_c a JOIN fm_o b ON {adj}
+         GROUP BY 1, 2),
+fm_r AS (SELECT cell, label, m,
+         ROW_NUMBER() OVER (PARTITION BY cell
+                            ORDER BY m DESC, label ASC) AS r,
+         SUM(m) OVER (PARTITION BY cell) AS t
+         FROM fm_h)
+SELECT cell, label AS mode_label,
+       CAST(m AS BIGINT) AS n_mode,
+       CAST(t AS BIGINT) AS n_total,
+       CAST((m * 1000000) // t AS BIGINT) AS share_ppm
+FROM fm_r WHERE r = 1
+"""

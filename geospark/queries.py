@@ -3423,6 +3423,28 @@ def q_cell_churn(spark, sf_dir):
     return cell_churn(_traj_pts(spark, sf_dir), _CHURN_RES)
 
 
+# focal mode at res 5: 1024 cells over the traj spread — occupied
+# neighborhoods mix several event types, so the argmax is exercised
+_FOCAL_RES = 5
+
+
+def q_focal_mode(spark, sf_dir):
+    """Focal majority filter (r5.45): modal event_type of each
+    occupied cell's ring-1 neighborhood — map algebra's categorical
+    twin to cell_smooth's mean, the declutter pass before rendering
+    a categorical tile layer (operators/tiles.focal_mode docstring:
+    one (cell, label) shuffle, aggregate-sized 9x explode, cell-keyed
+    argmax window)."""
+    from pyspark.sql import functions as F
+
+    from .operators.tiles import focal_mode
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pts = e.select(F.expr(_TRAJ_LAT).alias("lat"),
+                   F.expr(_TRAJ_LON).alias("lon"),
+                   F.col("event_type").alias("label"))
+    return focal_mode(pts, _FOCAL_RES)
+
+
 def q_colloc_lift(spark, sf_dir):
     """Collocation lift (r5.34): exact integer PMI-monotone lift per
     corpus bigram over the shared tokenization — phrase mining
@@ -4006,6 +4028,12 @@ QUERIES = {
     #    Pareto-window machinery stays driver-covered inside via
     #    term_contrast/bm25_topk's document-frame windows --
     "cell_churn": q_cell_churn,
+    # -- r5.45 continued: focal_mode (ring-1 majority filter, map
+    #    algebra's categorical twin to cell_smooth). bm25_topk
+    #    (r5.38 — next-oldest non-anchor first-timer) rotates just
+    #    past the boundary; the shared tokenization stays
+    #    driver-covered inside via cms_terms/term_contrast --
+    "focal_mode": q_focal_mode,
     # -- round-5.41 additions (session 11), inside the window for
     #    their first driver rows under the same newest-least-soak
     #    triage; hilbert_keys rotates just past the boundary to make
@@ -4236,7 +4264,6 @@ QUERIES = {
     #  session 13 to make room for term_contrast; its raster CTE is
     #  nested in flow_accum's in-window oracle)
     "flow_accum": q_flow_accum,
-    "bm25_topk": q_bm25_topk,
     "corridor_join": q_corridor_join,
     # (emerging_hotspots — r5.38 — moved just past the window in
     #  session 13 to make room for region_shape; gi_star stays
@@ -4405,6 +4432,9 @@ QUERIES = {
     # (doc_skyline — r5.38 — moved just past the window in
     #  session 14 to make room for cell_churn; see head-of-dict)
     "doc_skyline": q_doc_skyline,
+    # (bm25_topk — r5.38 — moved just past the window in session 14
+    #  to make room for focal_mode; see head-of-dict)
+    "bm25_topk": q_bm25_topk,
     # (peak_cells — r5.36 — moved just past the window in session 10
     #  to make room for rrf_fuse; see the head-of-dict comment)
     "peak_cells": q_peak_cells,
@@ -5371,6 +5401,10 @@ def oracle_sql() -> dict[str, str]:
         key="k", group="event_type")
     from .operators.events import cell_churn_sql
     out["cell_churn"] = cell_churn_sql(_TRAJ_PTS_SQL, _CHURN_RES)
+    from .operators.tiles import focal_mode_sql
+    out["focal_mode"] = focal_mode_sql(
+        f"SELECT {_TRAJ_LAT} AS lat, {_TRAJ_LON} AS lon, "
+        f"event_type AS label FROM events", _FOCAL_RES)
     out["bloom_probe"] = bloom_probe_sql(
         f"SELECT o_orderkey AS k FROM orders "
         f"WHERE o_totalprice > {_BLOOM_PRICE}",

@@ -141,3 +141,58 @@ class TestCellChurn:
         """Users in different cells never cross-count."""
         rows = [(1, 10.0, 10.0, 0), (1, -10.0, -10.0, WEEK + 1)]
         assert self._run(spark, rows) == []
+
+
+# ---------------------------------------------------------------------------
+# Focal majority (mode) filter
+# ---------------------------------------------------------------------------
+
+class TestFocalMode:
+    def _run(self, spark, rows, res=3):
+        from geospark.operators.tiles import focal_mode
+        d = spark.createDataFrame(rows, "lat double, lon double, "
+                                        "label string")
+        return _rows(focal_mode(d, res),
+                     ["cell", "mode_label", "n_mode", "n_total",
+                      "share_ppm"])
+
+    def test_isolated_cell_keeps_own_label(self, spark):
+        """A lone occupied cell's neighborhood is itself."""
+        got = self._run(spark, [(0.0, 0.0, "a"), (0.0, 0.0, "a"),
+                                (0.0, 0.0, "b")])
+        assert len(got) == 1
+        assert got[0][1:] == ("a", 2, 3, 666_666)
+
+    def test_neighbor_majority_overrides(self, spark):
+        """A single-point 'b' cell surrounded by a heavy adjacent
+        'a' cell flips to 'a' (the denoising behavior); the heavy
+        cell stays 'a'."""
+        # res 3 grid: lat cell height 22.5 deg, lon width 45 deg.
+        rows = ([(1.0, 1.0, "a")] * 5
+                + [(1.0, 46.0, "b")])  # adjacent cell in x
+        got = self._run(spark, rows)
+        assert {(r[1]) for r in got} == {"a"}
+        by_n = sorted(r[2:4] for r in got)
+        assert by_n == [(5, 6), (5, 6)]
+
+    def test_tie_breaks_to_smallest_label(self, spark):
+        """Equal mass -> lexicographically smallest label wins."""
+        got = self._run(spark, [(0.0, 0.0, "b"), (0.0, 0.0, "a")])
+        assert got[0][1:] == ("a", 1, 2, 500_000)
+
+    def test_unoccupied_cells_not_support(self, spark):
+        """Cells two steps apart don't interact and no empty cell
+        between them emits a row."""
+        rows = [(1.0, 1.0, "a"), (1.0, 91.0, "b")]
+        got = self._run(spark, rows)
+        assert len(got) == 2
+        assert {r[1] for r in got} == {"a", "b"}
+        assert all(r[2:] == (1, 1, 1_000_000) for r in got)
+
+    def test_longitude_wrap(self, spark):
+        """x = 0 and x = 2^res - 1 are adjacent: mass across the
+        antimeridian flips the lone west-edge point."""
+        rows = [(1.0, -179.0, "b")] + [(1.0, 179.0, "a")] * 3
+        got = self._run(spark, rows)
+        assert {r[1] for r in got} == {"a"}
+        assert all(r[3] == 4 for r in got)
