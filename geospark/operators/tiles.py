@@ -4007,3 +4007,88 @@ SELECT cell, label AS mode_label,
        CAST((m * 1000000) // t AS BIGINT) AS share_ppm
 FROM fm_r WHERE r = 1
 """
+
+
+def cell_ewma(points, res: int, *, us_col: str = "us",
+              lat_col: str = "lat", lon_col: str = "lon",
+              day_us: int = 86_400_000_000, min_x: int = 5):
+    """Per-cell EWMA control chart over the dense daily count series
+    — "is today anomalous against an exponentially-forgetting
+    baseline", the streaming-flavored complement to cell_anomaly's
+    all-history z-score and cell_cusum's retrospective changepoint.
+    Smoothing is the dyadic lambda = 1/2 recurrence s_t =
+    (s_{t-1} + x_t) / 2 with s_1 = x_1, made integer-exact by the
+    prefix-sum identity
+
+        s_t = N_t / 2^t,   N_t = prefix_sum(w_i),
+        w_1 = 2*x_1,  w_i = x_i * 2^(i-1)  (i >= 2)
+
+    so the reported ewma = N_t div 2^t is an exact floor with NO
+    per-step rounding drift, and the spike test "x_t >= 2 * s_{t-1}"
+    clears denominators to the pure-BIGINT comparison
+    3 * x_t * 2^(t-1) >= 2 * N_t. Headroom: the dyadic weights need
+    span_days + log2(max daily count) <= 62 — a 30-day analysis
+    window leaves 2^32 events/day/cell; longer calendars chunk by
+    epoch (the EWMA forgets geometrically, so a 62-day-back term is
+    already < 2^-60 of the state).
+
+    Scale: rides _dense_daily_counts' one (cell, day) shuffle; the
+    recurrence is ONE cell-keyed window cumsum over the dense
+    aggregate frame — no iteration, no self-join (the reason for the
+    prefix-sum identity: a naive recurrence is t chained steps).
+    -> (cell, day, x, ewma, spike) over the full dense calendar;
+    spike = 1 when x_t >= max(2*s_{t-1}, min_x), first day never
+    spikes (no baseline)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    filled, lo, hi = _dense_daily_counts(
+        points, res, us_col=us_col, lat_col=lat_col, lon_col=lon_col,
+        day_us=day_us)
+    if lo is None:
+        return (filled.select(
+            "cell", "day", F.col("n_events").alias("x"),
+            F.col("n_events").alias("ewma"),
+            F.lit(0).cast("long").alias("spike")).limit(0))
+    w = (Window.partitionBy("cell").orderBy("day")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    d = (filled
+         .withColumn("_t", (F.col("day") - F.lit(lo) + 1)
+                     .cast("int"))
+         .withColumn("_w", F.expr(
+             "n_events * shiftleft(CAST(1 AS BIGINT), _t - 1) "
+             "* CASE WHEN _t = 1 THEN 2 ELSE 1 END"))
+         .withColumn("_N", F.sum("_w").over(w)))
+    return d.select(
+        "cell", "day", F.col("n_events").cast("long").alias("x"),
+        F.expr("_N div shiftleft(CAST(1 AS BIGINT), _t)")
+        .cast("long").alias("ewma"),
+        F.expr(f"CASE WHEN _t >= 2 AND n_events >= {int(min_x)} "
+               f"AND 3 * n_events * shiftleft(CAST(1 AS BIGINT), "
+               f"_t - 1) >= 2 * _N THEN 1 ELSE 0 END")
+        .cast("long").alias("spike"))
+
+
+def cell_ewma_sql(pts_sql: str, res: int, *,
+                  day_us: int = 86_400_000_000,
+                  min_x: int = 5) -> str:
+    """DuckDB twin of cell_ewma — same dense prologue, same dyadic
+    weights, same cleared-denominator spike test."""
+    return f"""
+WITH {_dense_daily_counts_sql(pts_sql, res, day_us)},
+ew_w AS (SELECT cell, day, n_events,
+         CAST(day - lo + 1 AS INTEGER) AS t,
+         n_events * (CAST(1 AS BIGINT) << CAST(day - lo AS INTEGER))
+           * (CASE WHEN day = lo THEN 2 ELSE 1 END) AS w
+         FROM filled, span),
+ew_n AS (SELECT cell, day, n_events, t,
+         SUM(w) OVER (PARTITION BY cell ORDER BY day
+                      ROWS UNBOUNDED PRECEDING) AS nsum
+         FROM ew_w)
+SELECT cell, day, CAST(n_events AS BIGINT) AS x,
+       CAST(nsum // (CAST(1 AS BIGINT) << t) AS BIGINT) AS ewma,
+       CAST(CASE WHEN t >= 2 AND n_events >= {int(min_x)}
+            AND 3 * n_events * (CAST(1 AS BIGINT) << (t - 1))
+                >= 2 * nsum
+            THEN 1 ELSE 0 END AS BIGINT) AS spike
+FROM ew_n
+"""

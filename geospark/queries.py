@@ -3445,6 +3445,18 @@ def q_focal_mode(spark, sf_dir):
     return focal_mode(pts, _FOCAL_RES)
 
 
+def q_cell_ewma(spark, sf_dir):
+    """Per-cell EWMA control chart (r5.45): integer-exact dyadic
+    lambda=1/2 baseline over the dense daily calendar with a
+    cleared-denominator doubling-spike flag — the forgetting-
+    baseline complement to cell_anomaly's all-history z and
+    cell_cusum's retrospective changepoint (operators/tiles.
+    cell_ewma docstring: prefix-sum identity, one cell-keyed window
+    cumsum, no iteration)."""
+    from .operators.tiles import cell_ewma
+    return cell_ewma(_traj_pts(spark, sf_dir), _TREND_RES)
+
+
 def q_colloc_lift(spark, sf_dir):
     """Collocation lift (r5.34): exact integer PMI-monotone lift per
     corpus bigram over the shared tokenization — phrase mining
@@ -4034,6 +4046,13 @@ QUERIES = {
     #    past the boundary; the shared tokenization stays
     #    driver-covered inside via cms_terms/term_contrast --
     "focal_mode": q_focal_mode,
+    # -- r5.45 continued: cell_ewma (dyadic integer EWMA control
+    #    chart over the dense calendar). corridor_join (r5.38 —
+    #    next-oldest non-anchor first-timer) rotates just past the
+    #    boundary; its segment-snap machinery stays driver-covered
+    #    inside via od_gravity/huff_shares' pair frames and the
+    #    dense-calendar tier via cell_cusum/cell_autocorr --
+    "cell_ewma": q_cell_ewma,
     # -- round-5.41 additions (session 11), inside the window for
     #    their first driver rows under the same newest-least-soak
     #    triage; hilbert_keys rotates just past the boundary to make
@@ -4264,7 +4283,6 @@ QUERIES = {
     #  session 13 to make room for term_contrast; its raster CTE is
     #  nested in flow_accum's in-window oracle)
     "flow_accum": q_flow_accum,
-    "corridor_join": q_corridor_join,
     # (emerging_hotspots — r5.38 — moved just past the window in
     #  session 13 to make room for region_shape; gi_star stays
     #  inside)
@@ -4435,6 +4453,9 @@ QUERIES = {
     # (bm25_topk — r5.38 — moved just past the window in session 14
     #  to make room for focal_mode; see head-of-dict)
     "bm25_topk": q_bm25_topk,
+    # (corridor_join — r5.38 — moved just past the window in
+    #  session 14 to make room for cell_ewma; see head-of-dict)
+    "corridor_join": q_corridor_join,
     # (peak_cells — r5.36 — moved just past the window in session 10
     #  to make room for rrf_fuse; see the head-of-dict comment)
     "peak_cells": q_peak_cells,
@@ -5587,6 +5608,8 @@ def oracle_sql() -> dict[str, str]:
     out["cell_mk"] = cell_mk_sql(_TRAJ_PTS_SQL, _TREND_RES)
     from .operators.tiles import cell_autocorr_sql, cell_cusum_sql
     out["cell_cusum"] = cell_cusum_sql(_TRAJ_PTS_SQL, _TREND_RES)
+    from .operators.tiles import cell_ewma_sql
+    out["cell_ewma"] = cell_ewma_sql(_TRAJ_PTS_SQL, _TREND_RES)
     out["cell_autocorr"] = cell_autocorr_sql(_TRAJ_PTS_SQL,
                                              _TREND_RES)
     from .operators.events import bearing_hist_sql

@@ -196,3 +196,60 @@ class TestFocalMode:
         got = self._run(spark, rows)
         assert {r[1] for r in got} == {"a"}
         assert all(r[3] == 4 for r in got)
+
+
+# ---------------------------------------------------------------------------
+# Integer-exact dyadic EWMA control chart
+# ---------------------------------------------------------------------------
+
+DAY = 86_400_000_000
+
+
+class TestCellEwma:
+    def _run(self, spark, xs, res=2, min_x=5):
+        """xs: per-day counts for one cell starting day 0 (0 = gap
+        day, realized by simply not emitting points)."""
+        from geospark.operators.tiles import cell_ewma
+        rows = [(10.0, 10.0, d * DAY + j)
+                for d, n in enumerate(xs) for j in range(n)]
+        d = spark.createDataFrame(rows,
+                                  "lat double, lon double, us long")
+        out = cell_ewma(d, res, min_x=min_x)
+        return [r[2:] for r in _rows(out, ["cell", "day", "x",
+                                           "ewma", "spike"])]
+
+    def test_recurrence_matches_rational_replica(self, spark):
+        """ewma_t = floor of the exact rational s_t = (s_{t-1}+x_t)/2
+        with s_1 = x_1 — checked against a Fraction replica,
+        including zero-filled gap days."""
+        from fractions import Fraction
+        xs = [8, 0, 4, 16, 1]  # day 1 (index) is a gap day
+        got = self._run(spark, xs)
+        s = Fraction(xs[0])
+        exp = [(xs[0], xs[0])]
+        for x in xs[1:]:
+            s = (s + x) / 2
+            exp.append((x, int(s)))
+        assert [(r[0], r[1]) for r in got] == exp
+
+    def test_first_day_never_spikes(self, spark):
+        got = self._run(spark, [100])
+        assert got == [(100, 100, 0)]
+
+    def test_doubling_spike_fires_exactly_at_threshold(self, spark):
+        """Baseline s_1 = 4; day 2 count 8 == 2*s exactly -> spike
+        (>=); count 7 -> no spike."""
+        assert self._run(spark, [4, 8])[1][2] == 1
+        assert self._run(spark, [4, 7])[1][2] == 0
+
+    def test_min_x_floor_suppresses_tiny_spikes(self, spark):
+        """1 -> 4 quadruples but stays under min_x=5: no alert."""
+        assert self._run(spark, [1, 4])[1][2] == 0
+        assert self._run(spark, [1, 5])[1][2] == 1
+
+    def test_gap_days_decay_the_baseline(self, spark):
+        """After two zero days the baseline has quartered: 8 -> s=8,
+        gaps -> s=2, then 4 >= 2*2 spikes."""
+        got = self._run(spark, [8, 0, 0, 4], min_x=1)
+        assert got[2][1] == 2  # ewma after two gap days
+        assert got[3][2] == 1
