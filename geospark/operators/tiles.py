@@ -4092,3 +4092,86 @@ SELECT cell, day, CAST(n_events AS BIGINT) AS x,
             THEN 1 ELSE 0 END AS BIGINT) AS spike
 FROM ew_n
 """
+
+
+def median_center(points, res: int, *, lat_col: str = "lat",
+                  lon_col: str = "lon"):
+    """Per-cell L1 median center — the ROBUST middle of each tile's
+    point cloud (coordinate-wise lower median) next to
+    cell_centroids' outlier-dragged mean, plus the total absolute
+    deviation around it: the exact objective the L1 center minimizes
+    coordinate-wise, so tad_udeg is both a dispersion readout and a
+    fit diagnostic (a bimodal tile reads a high TAD at any center).
+    Coordinates enter as exact integer microdegrees
+    (floor(x * 1e6) — floor of a shared IEEE double is engine-
+    identical), medians are the (n+1) div 2-th order statistic, and
+
+        tad_udeg = sum(|ulat - med_lat| + |ulon - med_lon|)
+
+    is pure BIGINT. The robust-center shape a tiling service uses to
+    place labels/anchors inside skewed tiles where the mean falls
+    over water.
+
+    Scale: exact per-cell order statistics need a cell-keyed sort —
+    two row_number windows over the point frame (cell-parallel, no
+    global funnel) — then medians join back point-side for the TAD
+    sum; both shuffles key on cell, so AQE reuses the exchange. At
+    production the same shape downgrades to percentile_approx when
+    exactness isn't contractual. -> (cell, n_pts, med_lat_udeg,
+    med_lon_udeg, tad_udeg)."""
+    from pyspark.sql import functions as F
+
+    from ..functions.cells import cell_encode
+    p = points.select(
+        cell_encode(lat_col, lon_col, res).alias("cell"),
+        F.floor(F.col(lat_col) * 1_000_000).cast("long").alias("ulat"),
+        F.floor(F.col(lon_col) * 1_000_000).cast("long").alias("ulon"))
+    d = (p.withColumn("_rl", F.expr(
+            "row_number() OVER (PARTITION BY cell ORDER BY ulat)"))
+         .withColumn("_rg", F.expr(
+            "row_number() OVER (PARTITION BY cell ORDER BY ulon)"))
+         .withColumn("_n", F.expr(
+            "count(*) OVER (PARTITION BY cell)")))
+    med = (d.groupBy("cell").agg(
+        F.max("_n").cast("long").alias("n_pts"),
+        F.max(F.when(F.col("_rl") == F.expr("(_n + 1) div 2"),
+                     F.col("ulat"))).alias("med_lat_udeg"),
+        F.max(F.when(F.col("_rg") == F.expr("(_n + 1) div 2"),
+                     F.col("ulon"))).alias("med_lon_udeg")))
+    tad = (p.join(med, "cell")
+           .groupBy("cell")
+           .agg(F.sum(F.abs(F.col("ulat") - F.col("med_lat_udeg"))
+                      + F.abs(F.col("ulon") - F.col("med_lon_udeg")))
+                .cast("long").alias("tad_udeg")))
+    return med.join(tad, "cell")
+
+
+def median_center_sql(pts_sql: str, res: int) -> str:
+    """DuckDB twin of median_center over a subquery producing
+    (lat, lon) — same microdegree floor, same order statistic."""
+    from ..functions.cells import cell_encode_sql
+    cell = cell_encode_sql("lat", "lon", res)
+    return f"""
+WITH mc_p AS (SELECT {cell} AS cell,
+              CAST(floor(lat * 1000000) AS BIGINT) AS ulat,
+              CAST(floor(lon * 1000000) AS BIGINT) AS ulon
+              FROM ({pts_sql})),
+mc_r AS (SELECT cell, ulat, ulon,
+         ROW_NUMBER() OVER (PARTITION BY cell ORDER BY ulat) AS rl,
+         ROW_NUMBER() OVER (PARTITION BY cell ORDER BY ulon) AS rg,
+         COUNT(*) OVER (PARTITION BY cell) AS n
+         FROM mc_p),
+mc_m AS (SELECT cell, CAST(MAX(n) AS BIGINT) AS n_pts,
+         MAX(CASE WHEN rl = (n + 1) // 2 THEN ulat END)
+           AS med_lat_udeg,
+         MAX(CASE WHEN rg = (n + 1) // 2 THEN ulon END)
+           AS med_lon_udeg
+         FROM mc_r GROUP BY 1),
+mc_t AS (SELECT p.cell,
+         CAST(SUM(ABS(p.ulat - m.med_lat_udeg)
+                  + ABS(p.ulon - m.med_lon_udeg)) AS BIGINT)
+           AS tad_udeg
+         FROM mc_p p JOIN mc_m m ON p.cell = m.cell GROUP BY 1)
+SELECT mc_m.cell, n_pts, med_lat_udeg, med_lon_udeg, tad_udeg
+FROM mc_m JOIN mc_t ON mc_m.cell = mc_t.cell
+"""

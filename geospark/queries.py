@@ -3457,6 +3457,23 @@ def q_cell_ewma(spark, sf_dir):
     return cell_ewma(_traj_pts(spark, sf_dir), _TREND_RES)
 
 
+def q_median_center(spark, sf_dir):
+    """Per-cell robust center (r5.45): coordinate-wise lower-median
+    in exact integer microdegrees plus the L1 total absolute
+    deviation it minimizes — the anchor-placement center that
+    doesn't fall over water when the tile is skewed, next to
+    cell_centroids' mean (operators/tiles.median_center docstring:
+    two cell-keyed rank windows, medians join back for the TAD
+    sum)."""
+    from pyspark.sql import functions as F
+
+    from .operators.tiles import median_center
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pts = e.select(F.expr(_TRAJ_LAT).alias("lat"),
+                   F.expr(_TRAJ_LON).alias("lon"))
+    return median_center(pts, _CHURN_RES)
+
+
 def q_colloc_lift(spark, sf_dir):
     """Collocation lift (r5.34): exact integer PMI-monotone lift per
     corpus bigram over the shared tokenization — phrase mining
@@ -4053,6 +4070,13 @@ QUERIES = {
     #    inside via od_gravity/huff_shares' pair frames and the
     #    dense-calendar tier via cell_cusum/cell_autocorr --
     "cell_ewma": q_cell_ewma,
+    # -- r5.45 continued: median_center (per-cell L1 median +
+    #    exact TAD, the robust twin to cell_centroids). pps_sample
+    #    (r5.38 — next-oldest non-anchor first-timer) rotates just
+    #    past the boundary; the weighted-sampling tier keeps r4
+    #    driver greens via stratified_sample/budget_sample and
+    #    cell_quota_sample's multi-sweep replica record --
+    "median_center": q_median_center,
     # -- round-5.41 additions (session 11), inside the window for
     #    their first driver rows under the same newest-least-soak
     #    triage; hilbert_keys rotates just past the boundary to make
@@ -4299,7 +4323,6 @@ QUERIES = {
     #  session-9 rows; the displacement list above extends by
     #  batch_dedup and d8_flow — see their relocation comments)
     "stream_resample": q_stream_resample,
-    "pps_sample": q_pps_sample,
     # (active_coverage — r5.38 — moved just past the window in
     #  session 13 to make room for km_hazard; see head-of-dict)
     # (accessibility — r5.38 — moved just past the window in
@@ -4456,6 +4479,9 @@ QUERIES = {
     # (corridor_join — r5.38 — moved just past the window in
     #  session 14 to make room for cell_ewma; see head-of-dict)
     "corridor_join": q_corridor_join,
+    # (pps_sample — r5.38 — moved just past the window in session 14
+    #  to make room for median_center; see head-of-dict)
+    "pps_sample": q_pps_sample,
     # (peak_cells — r5.36 — moved just past the window in session 10
     #  to make room for rrf_fuse; see the head-of-dict comment)
     "peak_cells": q_peak_cells,
@@ -5610,6 +5636,10 @@ def oracle_sql() -> dict[str, str]:
     out["cell_cusum"] = cell_cusum_sql(_TRAJ_PTS_SQL, _TREND_RES)
     from .operators.tiles import cell_ewma_sql
     out["cell_ewma"] = cell_ewma_sql(_TRAJ_PTS_SQL, _TREND_RES)
+    from .operators.tiles import median_center_sql
+    out["median_center"] = median_center_sql(
+        f"SELECT {_TRAJ_LAT} AS lat, {_TRAJ_LON} AS lon FROM events",
+        _CHURN_RES)
     out["cell_autocorr"] = cell_autocorr_sql(_TRAJ_PTS_SQL,
                                              _TREND_RES)
     from .operators.events import bearing_hist_sql

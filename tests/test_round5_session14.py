@@ -253,3 +253,49 @@ class TestCellEwma:
         got = self._run(spark, [8, 0, 0, 4], min_x=1)
         assert got[2][1] == 2  # ewma after two gap days
         assert got[3][2] == 1
+
+
+# ---------------------------------------------------------------------------
+# Per-cell L1 median center
+# ---------------------------------------------------------------------------
+
+class TestMedianCenter:
+    def _run(self, spark, rows, res=2):
+        from geospark.operators.tiles import median_center
+        d = spark.createDataFrame(rows, "lat double, lon double")
+        return _rows(median_center(d, res),
+                     ["cell", "n_pts", "med_lat_udeg",
+                      "med_lon_udeg", "tad_udeg"])
+
+    def test_odd_count_exact_median_and_tad(self, spark):
+        """lats 1,2,10 / lons 3,4,5 (one cell): med = (2e6, 4e6);
+        TAD = (1+0+8 + 1+0+1) * 1e6."""
+        rows = [(1.0, 3.0), (2.0, 4.0), (10.0, 5.0)]
+        got = self._run(spark, rows)
+        assert got == [(got[0][0], 3, 2_000_000, 4_000_000,
+                        11_000_000)]
+
+    def test_even_count_lower_median(self, spark):
+        """n=4: the (n+1) div 2 = 2nd smallest — the LOWER median."""
+        rows = [(1.0, 1.0), (2.0, 2.0), (3.0, 3.0), (4.0, 4.0)]
+        got = self._run(spark, rows)
+        assert got[0][2:4] == (2_000_000, 2_000_000)
+
+    def test_coordinates_median_independently(self, spark):
+        """The L1 center medians lat and lon separately: it need not
+        coincide with any input point."""
+        rows = [(1.0, 9.0), (2.0, 8.0), (3.0, 7.0)]
+        got = self._run(spark, rows)
+        assert got[0][2:4] == (2_000_000, 8_000_000)
+
+    def test_robust_against_outlier_vs_mean(self, spark):
+        """One far outlier moves the mean, not the median."""
+        rows = [(1.0, 1.0), (1.1, 1.0), (1.2, 1.0), (20.0, 1.0)]
+        got = self._run(spark, rows)
+        assert got[0][2] == 1_100_000
+
+    def test_negative_coords_floor_not_trunc(self, spark):
+        """floor(-1.5e6) = -1500000 on both engines (not trunc):
+        single point reads back its own floored microdegrees."""
+        got = self._run(spark, [(-1.5, -2.5)])
+        assert got[0][2:] == (-1_500_000, -2_500_000, 0)
