@@ -2839,3 +2839,155 @@ SELECT cell, period,
        AS jaccard_ppm
 FROM ch_p LEFT JOIN ch_o USING (cell, period)
 """
+
+
+# ---------------------------------------------------------------------------
+# Radiation-model OD flow prediction
+# ---------------------------------------------------------------------------
+
+def radiation_flows(points, res: int, *, user_col: str = "user_id",
+                    us_col: str = "us", lat_col: str = "lat",
+                    lon_col: str = "lon", tie_col: str = "event_id",
+                    day_us: int = 86_400_000_000):
+    """Radiation-model trip prediction over the observed OD matrix —
+    the parameter-free null that od_gravity's fitted decay can't
+    give (Simini et al. 2012): the probability a trip leaving origin
+    i lands at destination j is
+
+        p_ij = m_i * m_j / ((m_i + s_ij) * (m_i + m_j + s_ij))
+
+    with m the cell "population" (event mass) and s_ij the mass
+    STRICTLY inside the circle of radius d_ij around i, excluding i
+    and j themselves — opportunities absorb trips before distance
+    does. Everything is integer-exact: distances are squared wrapped
+    grid distances (dx wraps mod 2^res, dy clamps — the cell-family
+    convention), "inside" is the pure-BIGINT comparison d2 < d2_ij,
+    and the products run in DECIMAL(38,0)/HUGEINT before one floor
+    to ppm. Reported next to p_ppm: t_pred = T_i * p_ij floored,
+    the expected trip count given i's observed outflow — the lift
+    table (n_trips vs t_pred) is corridor discovery under the
+    radiation null, the same readout od_gravity builds under the
+    gravity null.
+
+    Scale: masses and observed OD pairs are both AGGREGATE-sized
+    frames (occupied cells <= 4^res; pairs <= realized trips); the
+    s_ij step is a broadcast-nested-loop of pairs x occupied-raster
+    — bounded broadcast, CPU-bound candidate arithmetic, so the pair
+    frame pre-partitions one-per-core (AQE's byte-based coalescing
+    cannot see per-row CPU; the seg_crossings lesson). No point-level
+    shuffle beyond od_matrix's own (user, day) agg and the mass
+    groupBy. -> (o_cell, d_cell, n_trips, m_o, m_d, s_mass, p_ppm,
+    t_pred)."""
+    from pyspark.sql import functions as F
+
+    from ..functions.cells import cell_encode
+    n = 1 << res
+    mask = n - 1
+    spark = points.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    m = (points
+         .select(cell_encode(lat_col, lon_col, res).alias("cell"))
+         .groupBy("cell").agg(F.count(F.lit(1)).alias("mass"))
+         .withColumn("x", F.col("cell").bitwiseAND(F.lit(mask)))
+         .withColumn("y", F.shiftright("cell", res)
+                     .bitwiseAND(F.lit(mask))))
+    od = od_matrix(points, res, user_col=user_col, us_col=us_col,
+                   lat_col=lat_col, lon_col=lon_col, tie_col=tie_col,
+                   day_us=day_us).filter("o_cell <> d_cell")
+    tout = od.groupBy("o_cell").agg(F.sum("n_trips").alias("t_out"))
+    mo = m.select(F.col("cell").alias("o_cell"),
+                  F.col("mass").alias("m_o"),
+                  F.col("x").alias("_xo"), F.col("y").alias("_yo"))
+    md = m.select(F.col("cell").alias("d_cell"),
+                  F.col("mass").alias("m_d"),
+                  F.col("x").alias("_xd"), F.col("y").alias("_yd"))
+    pairs = (od.join(tout, "o_cell").join(mo, "o_cell")
+             .join(md, "d_cell")
+             .withColumn("_d2", F.expr(
+                 f"least(abs(_xo - _xd), {n} - abs(_xo - _xd)) "
+                 f"* least(abs(_xo - _xd), {n} - abs(_xo - _xd)) "
+                 f"+ (_yo - _yd) * (_yo - _yd)"))
+             .repartition(par, "o_cell", "d_cell"))
+    k = m.select(F.col("cell").alias("_kc"),
+                 F.col("mass").alias("_km"),
+                 F.col("x").alias("_xk"), F.col("y").alias("_yk"))
+    dk = (f"least(abs(_xo - _xk), {n} - abs(_xo - _xk)) "
+          f"* least(abs(_xo - _xk), {n} - abs(_xo - _xk)) "
+          f"+ (_yo - _yk) * (_yo - _yk)")
+    s = (pairs.join(
+            F.broadcast(k),
+            F.expr(f"({dk}) < _d2 AND _kc <> o_cell AND _kc <> d_cell"))
+         .groupBy("o_cell", "d_cell")
+         .agg(F.sum("_km").alias("s_mass")))
+    out = (pairs.join(s, ["o_cell", "d_cell"], "left")
+           .fillna(0, subset=["s_mass"]))
+    den = ("(CAST(m_o AS DECIMAL(38,0)) + s_mass) "
+           "* (CAST(m_o AS DECIMAL(38,0)) + m_d + s_mass)")
+    return out.select(
+        "o_cell", "d_cell", F.col("n_trips").cast("long"),
+        F.col("m_o").cast("long"), F.col("m_d").cast("long"),
+        F.col("s_mass").cast("long"),
+        F.expr(f"CAST((CAST(1000000 AS DECIMAL(38,0)) * m_o * m_d) "
+               f"div ({den}) AS BIGINT)").alias("p_ppm"),
+        F.expr(f"CAST((CAST(t_out AS DECIMAL(38,0)) * m_o * m_d) "
+               f"div ({den}) AS BIGINT)").alias("t_pred"))
+
+
+def radiation_flows_sql(pts_sql: str, res: int, *,
+                        day_us: int = 86_400_000_000) -> str:
+    """DuckDB twin of radiation_flows over a subquery producing
+    (user_id, us, event_id, lat, lon) — same od_matrix first/last
+    convention, same wrapped d2, same HUGEINT floor."""
+    from ..functions.cells import cell_encode_sql
+    n = 1 << res
+    mask = n - 1
+    cell = cell_encode_sql("lat", "lon", res)
+    def d2(xa, ya, xb, yb):
+        return (f"least(abs({xa} - {xb}), {n} - abs({xa} - {xb})) "
+                f"* least(abs({xa} - {xb}), {n} - abs({xa} - {xb})) "
+                f"+ ({ya} - {yb}) * ({ya} - {yb})")
+    return f"""
+WITH rf_d AS (SELECT user_id AS u, us // {day_us} AS day, us,
+              event_id, {cell} AS cell FROM ({pts_sql})),
+rf_r AS (SELECT u, day, cell,
+         ROW_NUMBER() OVER (PARTITION BY u, day
+                            ORDER BY us ASC, event_id ASC) AS rf,
+         ROW_NUMBER() OVER (PARTITION BY u, day
+                            ORDER BY us DESC, event_id DESC) AS rl
+         FROM rf_d),
+rf_g AS (SELECT u, day,
+         MAX(CASE WHEN rf = 1 THEN cell END) AS o_cell,
+         MAX(CASE WHEN rl = 1 THEN cell END) AS d_cell
+         FROM rf_r GROUP BY 1, 2),
+rf_od AS (SELECT o_cell, d_cell, COUNT(*) AS n_trips FROM rf_g
+          WHERE o_cell <> d_cell GROUP BY 1, 2),
+rf_t AS (SELECT o_cell, SUM(n_trips) AS t_out FROM rf_od GROUP BY 1),
+rf_m AS (SELECT cell, COUNT(*) AS mass, cell & {mask} AS x,
+         (cell >> {res}) & {mask} AS y
+         FROM (SELECT {cell} AS cell FROM ({pts_sql})) GROUP BY 1),
+rf_p AS (SELECT od.o_cell, od.d_cell, od.n_trips, t.t_out,
+         a.mass AS m_o, b.mass AS m_d, a.x AS xo, a.y AS yo,
+         {d2('a.x', 'a.y', 'b.x', 'b.y')} AS dij2
+         FROM rf_od od
+         JOIN rf_t t ON od.o_cell = t.o_cell
+         JOIN rf_m a ON od.o_cell = a.cell
+         JOIN rf_m b ON od.d_cell = b.cell),
+rf_s AS (SELECT p.o_cell, p.d_cell, SUM(k.mass) AS s_mass
+         FROM rf_p p JOIN rf_m k
+         ON ({d2('p.xo', 'p.yo', 'k.x', 'k.y')}) < p.dij2
+            AND k.cell <> p.o_cell AND k.cell <> p.d_cell
+         GROUP BY 1, 2)
+SELECT p.o_cell, p.d_cell, CAST(p.n_trips AS BIGINT) AS n_trips,
+       CAST(p.m_o AS BIGINT) AS m_o, CAST(p.m_d AS BIGINT) AS m_d,
+       CAST(COALESCE(s.s_mass, 0) AS BIGINT) AS s_mass,
+       CAST((CAST(1000000 AS HUGEINT) * p.m_o * p.m_d)
+            // ((CAST(p.m_o AS HUGEINT) + COALESCE(s.s_mass, 0))
+                * (CAST(p.m_o AS HUGEINT) + p.m_d
+                   + COALESCE(s.s_mass, 0))) AS BIGINT) AS p_ppm,
+       CAST((CAST(p.t_out AS HUGEINT) * p.m_o * p.m_d)
+            // ((CAST(p.m_o AS HUGEINT) + COALESCE(s.s_mass, 0))
+                * (CAST(p.m_o AS HUGEINT) + p.m_d
+                   + COALESCE(s.s_mass, 0))) AS BIGINT) AS t_pred
+FROM rf_p p LEFT JOIN rf_s s
+ON p.o_cell = s.o_cell AND p.d_cell = s.d_cell
+"""

@@ -3474,6 +3474,18 @@ def q_median_center(spark, sf_dir):
     return median_center(pts, _CHURN_RES)
 
 
+def q_radiation(spark, sf_dir):
+    """Radiation-model corridor null (r5.45): parameter-free trip
+    prediction per observed res-3 OD pair — intervening
+    opportunities (the mass strictly inside the origin-destination
+    circle) absorb trips before distance does, the null od_gravity's
+    fitted decay can't give (operators/events.radiation_flows
+    docstring: aggregate-sized pair frame, bounded raster broadcast,
+    HUGEINT/DECIMAL38 floors)."""
+    from .operators.events import radiation_flows
+    return radiation_flows(_traj_pts(spark, sf_dir), _OD_RES)
+
+
 def q_colloc_lift(spark, sf_dir):
     """Collocation lift (r5.34): exact integer PMI-monotone lift per
     corpus bigram over the shared tokenization — phrase mining
@@ -4077,6 +4089,13 @@ QUERIES = {
     #    driver greens via stratified_sample/budget_sample and
     #    cell_quota_sample's multi-sweep replica record --
     "median_center": q_median_center,
+    # -- r5.45 continued: radiation (radiation-model OD null over
+    #    the observed corridors, od_gravity's parameter-free
+    #    counterpart). quadrat_csr (r5.39 — the r5.38 tier is
+    #    exhausted; oldest remaining non-anchor first-timer) rotates
+    #    just past the boundary; the spatial-stats family stays
+    #    driver-covered inside via geary_c/join_counts/gi_star --
+    "radiation": q_radiation,
     # -- round-5.41 additions (session 11), inside the window for
     #    their first driver rows under the same newest-least-soak
     #    triage; hilbert_keys rotates just past the boundary to make
@@ -4189,7 +4208,6 @@ QUERIES = {
     #    (exact-integer groupBy centroid + one lag window — both
     #    machinery tiers driver-covered via cell_trend /
     #    sessionize / cell_theil_sen) --
-    "quadrat_csr": q_quadrat_csr,
     # (same session-10 triage: hour_profile displaces triangles —
     #  r5.31, the window's oldest first-timer, replica-green in
     #  every full sweep since it landed; its proximity-edge input
@@ -4482,6 +4500,9 @@ QUERIES = {
     # (pps_sample — r5.38 — moved just past the window in session 14
     #  to make room for median_center; see head-of-dict)
     "pps_sample": q_pps_sample,
+    # (quadrat_csr — r5.39 — moved just past the window in
+    #  session 14 to make room for radiation; see head-of-dict)
+    "quadrat_csr": q_quadrat_csr,
     # (peak_cells — r5.36 — moved just past the window in session 10
     #  to make room for rrf_fuse; see the head-of-dict comment)
     "peak_cells": q_peak_cells,
@@ -5171,6 +5192,8 @@ def oracle_sql() -> dict[str, str]:
         _OD_RES)
     from .operators.events import od_gravity_sql
     out["od_gravity"] = od_gravity_sql(_TRAJ_PTS_SQL, _OD_RES)
+    from .operators.events import radiation_flows_sql
+    out["radiation"] = radiation_flows_sql(_TRAJ_PTS_SQL, _OD_RES)
     from .operators.events import od_matrix_closed_sql
     out["stream_od"] = od_matrix_closed_sql(_TRAJ_PTS_SQL, _OD_RES)
     from .operators.events import stay_points_sql

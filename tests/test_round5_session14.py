@@ -299,3 +299,69 @@ class TestMedianCenter:
         single point reads back its own floored microdegrees."""
         got = self._run(spark, [(-1.5, -2.5)])
         assert got[0][2:] == (-1_500_000, -2_500_000, 0)
+
+
+# ---------------------------------------------------------------------------
+# Radiation-model OD flow prediction
+# ---------------------------------------------------------------------------
+
+class TestRadiationFlows:
+    def _run(self, spark, rows, res=3):
+        """rows: (user_id, event_id, lat, lon, us)."""
+        from geospark.operators.events import radiation_flows
+        d = spark.createDataFrame(
+            rows, "user_id long, event_id long, lat double, "
+                  "lon double, us long")
+        return _rows(radiation_flows(d, res),
+                     ["o_cell", "d_cell", "n_trips", "m_o", "m_d",
+                      "s_mass", "p_ppm", "t_pred"])
+
+    def test_two_cell_world_no_interveners(self, spark):
+        """One user, one trip A->B, nothing between: s = 0 and
+        p = m_o*m_d / (m_o * (m_o+m_d)). Masses: A has 1 event,
+        B has 1 -> p = 1/(1*2) = 500000 ppm, t_pred = 0 (floor of
+        1 * 0.5)."""
+        rows = [(1, 1, 1.0, 1.0, 0), (1, 2, 1.0, 50.0, 10)]
+        got = self._run(spark, rows)
+        assert len(got) == 1
+        assert got[0][2:] == (1, 1, 1, 0, 500_000, 0)
+
+    def test_intervening_mass_absorbs(self, spark):
+        """A heavy cell strictly between origin and destination
+        enters s and shrinks p: with m_o=1, m_d=1, s=10 the
+        radiation null gives 1/(11*12) ppm."""
+        rows = [(1, 1, 1.0, 1.0, 0), (1, 2, 1.0, 91.0, 10)]
+        # 10 events one x-step from origin (strictly inside d_ij=2)
+        rows += [(9, 100 + j, 1.0, 46.0, 10**6 + j)
+                 for j in range(10)]
+        got = self._run(spark, rows)
+        trip = [r for r in got if r[2] == 1 and r[4] == 1][0]
+        assert trip[5] == 10
+        assert trip[6] == 1_000_000 * 1 * 1 // (11 * 12)
+
+    def test_destination_mass_not_in_s(self, spark):
+        """The destination's own mass is excluded from s even when
+        geometrically inside the circle (it can't be: d < d is
+        false) and the origin's is excluded by key."""
+        rows = [(1, 1, 1.0, 1.0, 0), (1, 2, 1.0, 50.0, 10),
+                (2, 3, 1.0, 50.0, 20), (2, 4, 1.0, 1.0, 30)]
+        got = self._run(spark, rows)
+        assert all(r[5] == 0 for r in got)
+
+    def test_t_pred_scales_with_outflow(self, spark):
+        """Three users making the same A->B trip: t_out = 3,
+        t_pred = floor(3 * p)."""
+        rows = []
+        for u in range(1, 4):
+            rows += [(u, 10 * u, 1.0, 1.0, u * 100),
+                     (u, 10 * u + 1, 1.0, 50.0, u * 100 + 1)]
+        got = self._run(spark, rows)
+        assert len(got) == 1
+        r = got[0]
+        # m_o = m_d = 3, s = 0: p = 9/(3*6) = 0.5
+        assert r[2] == 3 and r[6] == 500_000 and r[7] == 1
+
+    def test_stationary_days_excluded(self, spark):
+        """A same-cell day creates no corridor row."""
+        rows = [(1, 1, 1.0, 1.0, 0), (1, 2, 1.0, 1.0, 10)]
+        assert self._run(spark, rows) == []
