@@ -519,3 +519,75 @@ def hilbert_d_np(x, y, order: int):
         x, y = (np.where(ry == 0, y2, x2).astype(np.int64),
                 np.where(ry == 0, x2, y2).astype(np.int64))
     return d
+
+
+# ---------------------------------------------------------------------------
+# Smallest enclosing cell for an extent (bbox covering key)
+# ---------------------------------------------------------------------------
+# The single-cell extent key every spatial index needs for NON-point
+# rows: a bbox maps to the deepest grid cell that still contains it
+# whole (the longest common ancestor of its corner cells), so box
+# tables get a cell column that composes with the point family —
+# equality-partition boxes by enc_cell ancestors, prune scans by key
+# prefix, or bucket an extent join. The S2 "one-cell covering" /
+# XZ-index idea re-expressed on the repo's quadkey grid.
+
+def _blen_case(v_expr: str, res: int) -> str:
+    """Engine-neutral bit-length of a value in [0, 2^res) as a CASE
+    chain (highest set bit + 1; 0 -> 0) — no log, no loop."""
+    arms = " ".join(
+        f"WHEN ({v_expr}) >= {1 << (b - 1)} THEN {b}"
+        for b in range(res, 0, -1))
+    return f"(CASE {arms} ELSE 0 END)"
+
+
+def _xy_idx_sql(lo_expr: str, span: float, shift: float,
+                res: int) -> str:
+    n = 1 << res
+    return (f"least({n - 1}, greatest(0, "
+            f"cast(floor((({lo_expr}) + {shift}) / {span} * {n}) "
+            f"as bigint)))")
+
+
+def enclosing_cell_sql(xmin: str, ymin: str, xmax: str, ymax: str,
+                       res: int) -> str:
+    """SQL text (valid in BOTH Spark SQL and DuckDB) computing the
+    struct-free columns of the smallest enclosing cell of a bbox at
+    max resolution ``res``: emits a SELECT-fragment
+    ``enc_res, enc_cell, nx, ny`` given corner lon/lat expressions.
+    nx/ny are the res-level index spans (the covering size the
+    single-cell key trades against). Corner indices clamp exactly as
+    cell_encode; a degenerate box (corners in one res-cell) returns
+    that cell."""
+    return ", ".join(
+        enclosing_cell_exprs(xmin, ymin, xmax, ymax, res))
+
+
+def enclosing_cell_exprs(xmin: str, ymin: str, xmax: str, ymax: str,
+                         res: int) -> list:
+    """The same four aliased column expressions as a list — Spark
+    consumes them via ``selectExpr(*exprs)``, the DuckDB twin via
+    the comma-joined ``enclosing_cell_sql`` — one text source, both
+    engines (the ADVICE-r4 single-source convention). Common-prefix
+    length comes XOR-free: for BIGINTs a, b the value
+    a + b - 2*(a & b) equals a XOR b, and the bit-length CASE chain
+    needs no log; the shift-by-s is floor(a / 2^s) spelled via
+    floor() because Spark floor-divides with `div` and DuckDB with
+    `//` — exact here since indices are < 2^res << 2^53."""
+    x1 = _xy_idx_sql(xmin, 360.0, 180.0, res)
+    x2 = _xy_idx_sql(xmax, 360.0, 180.0, res)
+    y1 = _xy_idx_sql(ymin, 180.0, 90.0, res)
+    y2 = _xy_idx_sql(ymax, 180.0, 90.0, res)
+    dx = f"(({x1}) + ({x2}) - 2 * (({x1}) & ({x2})))"
+    dy = f"(({y1}) + ({y2}) - 2 * (({y1}) & ({y2})))"
+    s = (f"greatest({_blen_case(dx, res)}, {_blen_case(dy, res)})")
+    enc_res = f"({res} - {s})"
+    pow_s = (f"(CASE {' '.join(f'WHEN {s} = {k} THEN {1 << k}' for k in range(res + 1))} END)")
+    pow_r = (f"(CASE {' '.join(f'WHEN {enc_res} = {k} THEN {1 << k}' for k in range(res + 1))} END)")
+    cell = (f"(cast({enc_res} as bigint) * {1 << _RES_SHIFT} "
+            f"+ cast(floor(({y1}) / {pow_s}) as bigint) * {pow_r} "
+            f"+ cast(floor(({x1}) / {pow_s}) as bigint))")
+    return [f"CAST({enc_res} AS BIGINT) AS enc_res",
+            f"CAST({cell} AS BIGINT) AS enc_cell",
+            f"CAST(({x2}) - ({x1}) + 1 AS BIGINT) AS nx",
+            f"CAST(({y2}) - ({y1}) + 1 AS BIGINT) AS ny"]

@@ -3486,6 +3486,25 @@ def q_radiation(spark, sf_dir):
     return radiation_flows(_traj_pts(spark, sf_dir), _OD_RES)
 
 
+# extent keys at res 8 (PART_BOX half-sizes 0.5-1.7 deg: mixed
+# enc_res levels, so the common-prefix machinery is exercised)
+_ENC_RES = 8
+
+
+def q_enclosing_cell(spark, sf_dir):
+    """Extent covering key (r5.45): the deepest single grid cell
+    containing each part box whole (longest common ancestor of the
+    corner cells) plus the res-8 index spans it trades against —
+    the non-point row's entry into the cell-keyed index family
+    (functions/cells.enclosing_cell_exprs docstring: one shared
+    engine-neutral fragment, XOR-free prefix length, no UDF)."""
+    from .functions.cells import enclosing_cell_exprs
+    b = _part_boxes(spark, sf_dir)
+    return b.selectExpr(
+        "box_id", *enclosing_cell_exprs("xmin", "ymin", "xmax",
+                                        "ymax", _ENC_RES))
+
+
 def q_colloc_lift(spark, sf_dir):
     """Collocation lift (r5.34): exact integer PMI-monotone lift per
     corpus bigram over the shared tokenization — phrase mining
@@ -4096,6 +4115,13 @@ QUERIES = {
     #    just past the boundary; the spatial-stats family stays
     #    driver-covered inside via geary_c/join_counts/gi_star --
     "radiation": q_radiation,
+    # -- r5.45 continued: enclosing_cell (single-cell extent
+    #    covering key for the box table). hour_profile (r5.39 —
+    #    next-oldest non-anchor first-timer) rotates just past the
+    #    boundary; the hour-of-day machinery stays driver-covered
+    #    inside via diurnal (same clock decomposition over the same
+    #    traj frame) --
+    "enclosing_cell": q_enclosing_cell,
     # -- round-5.41 additions (session 11), inside the window for
     #    their first driver rows under the same newest-least-soak
     #    triage; hilbert_keys rotates just past the boundary to make
@@ -4212,7 +4238,6 @@ QUERIES = {
     #  r5.31, the window's oldest first-timer, replica-green in
     #  every full sweep since it landed; its proximity-edge input
     #  machinery stays inside via bounded_paths/kcore)
-    "hour_profile": q_hour_profile,
     # (same session-10 triage: od_gravity displaces bounded_paths —
     #  r5.32, next-oldest first-timer after triangles, replica-green
     #  in every full sweep since it landed; the proximity-edge
@@ -4503,6 +4528,9 @@ QUERIES = {
     # (quadrat_csr — r5.39 — moved just past the window in
     #  session 14 to make room for radiation; see head-of-dict)
     "quadrat_csr": q_quadrat_csr,
+    # (hour_profile — r5.39 — moved just past the window in
+    #  session 14 to make room for enclosing_cell; see head-of-dict)
+    "hour_profile": q_hour_profile,
     # (peak_cells — r5.36 — moved just past the window in session 10
     #  to make room for rrf_fuse; see the head-of-dict comment)
     "peak_cells": q_peak_cells,
@@ -5194,6 +5222,11 @@ def oracle_sql() -> dict[str, str]:
     out["od_gravity"] = od_gravity_sql(_TRAJ_PTS_SQL, _OD_RES)
     from .operators.events import radiation_flows_sql
     out["radiation"] = radiation_flows_sql(_TRAJ_PTS_SQL, _OD_RES)
+    from .functions.cells import enclosing_cell_sql
+    out["enclosing_cell"] = (
+        f"SELECT box_id, "
+        f"{enclosing_cell_sql('xmin_c - half', 'ymin_c - half', 'xmin_c + half', 'ymin_c + half', _ENC_RES)} "
+        f"FROM ({PART_BOX_SQL})")
     from .operators.events import od_matrix_closed_sql
     out["stream_od"] = od_matrix_closed_sql(_TRAJ_PTS_SQL, _OD_RES)
     from .operators.events import stay_points_sql

@@ -365,3 +365,85 @@ class TestRadiationFlows:
         """A same-cell day creates no corridor row."""
         rows = [(1, 1, 1.0, 1.0, 0), (1, 2, 1.0, 1.0, 10)]
         assert self._run(spark, rows) == []
+
+
+# ---------------------------------------------------------------------------
+# Smallest enclosing cell (extent covering key)
+# ---------------------------------------------------------------------------
+
+class TestEnclosingCell:
+    def _run(self, spark, boxes, res=8):
+        from geospark.functions.cells import enclosing_cell_exprs
+        d = spark.createDataFrame(boxes, "xmin double, ymin double, "
+                                         "xmax double, ymax double")
+        return _rows(d.selectExpr(*enclosing_cell_exprs(
+            "xmin", "ymin", "xmax", "ymax", res)),
+            ["enc_res", "enc_cell", "nx", "ny"])
+
+    @staticmethod
+    def _np_key(xmin, ymin, xmax, ymax, res=8):
+        """Independent replica: corner indices + common ancestor."""
+        n = 1 << res
+        def ix(v, lo, span):
+            return min(n - 1, max(0, int(((v + lo) / span) * n) if ((v + lo) / span * n) >= 0 else -1))
+        import math
+        def idx(v, shift, span):
+            return min(n - 1, max(0, math.floor((v + shift) / span * n)))
+        x1, x2 = idx(xmin, 180, 360), idx(xmax, 180, 360)
+        y1, y2 = idx(ymin, 90, 180), idx(ymax, 90, 180)
+        s = max((x1 ^ x2).bit_length(), (y1 ^ y2).bit_length())
+        r = res - s
+        cell = (r << 56) | ((y1 >> s) << r) | (x1 >> s)
+        return r, cell, x2 - x1 + 1, y2 - y1 + 1
+
+    def test_degenerate_box_is_its_own_cell(self, spark):
+        """Corners in one res-cell -> enc_res == res, spans 1."""
+        got = self._run(spark, [(10.0, 10.0, 10.1, 10.1)])
+        assert got[0] == self._np_key(10.0, 10.0, 10.1, 10.1)
+        assert got[0][0] == 8 and got[0][2:] == (1, 1)
+
+    def test_worst_case_center_straddle(self, spark):
+        """A tiny box straddling the equator/prime-meridian center
+        has NO common ancestor below the root: enc_res = 0."""
+        got = self._run(spark, [(-0.1, -0.1, 0.1, 0.1)])
+        assert got[0][0] == 0
+        assert got[0][1] == 0  # root cell id: res 0, y 0, x 0
+
+    def test_parent_alignment_levels(self, spark):
+        """Boxes sized to span 2 cells at res 8 land at enc_res 7
+        when aligned, lower when straddling a coarser boundary."""
+        # one res-8 x-cell is 360/256 = 1.40625 deg wide
+        w = 360.0 / 256
+        got = self._run(spark, [(0.0, 10.0, 0.0 + 1.5 * w, 10.1)])
+        exp = self._np_key(0.0, 10.0, 0.0 + 1.5 * w, 10.1)
+        assert got[0] == exp
+
+    def test_matches_replica_on_grid_sweep(self, spark):
+        """Replica parity over a deterministic sweep of mixed sizes
+        and positions (97 boxes)."""
+        boxes = []
+        for i in range(97):
+            x = -170.0 + (i * 3.57) % 340
+            y = -80.0 + (i * 7.13) % 160
+            w = 0.05 + (i % 7) * 1.3
+            h = 0.05 + (i % 5) * 0.9
+            boxes.append((x, y, x + w, y + h))
+        got = self._run(spark, boxes)
+        exp = sorted(self._np_key(*b) for b in boxes)
+        assert got == exp
+
+    def test_containment_invariant(self, spark):
+        """The enc cell really contains the box: re-encoding both
+        corners at enc_res yields enc_cell (checked via replica
+        arithmetic on the sweep)."""
+        import math
+        boxes = [(-12.3, 4.5, -11.0, 6.7), (100.0, -45.0, 103.0, -44.0)]
+        got = self._run(spark, boxes)
+        assert got == sorted(self._np_key(*b) for b in boxes)
+        for b in boxes:
+            r, cell, nx, ny = self._np_key(*b)
+            n = 1 << r
+            for (vx, vy) in ((b[0], b[1]), (b[2], b[3])):
+                xi = min(n - 1, max(0, math.floor((vx + 180) / 360 * n)))
+                yi = min(n - 1, max(0, math.floor((vy + 90) / 180 * n)))
+                assert (r << 56) | (yi << r) | xi == cell
