@@ -3960,6 +3960,32 @@ def q_stream_od(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n_trips")))
 
 
+def q_stream_ewma(spark, sf_dir):
+    """STATEFUL STREAMING EWMA control chart under a full value-hash
+    oracle: the event stream through stream_cell_ewma (per-cell
+    state = open day + running count + dyadic closed-prefix
+    numerator; a day's row emits the moment a later-day event closes
+    it, gap days close in bulk and decay the baseline) — which the
+    day < per-cell-last-day-restricted batch cell_ewma SQL
+    reproduces row for row. cell and us are computed JVM-side with
+    the SAME expressions as q_cell_ewma
+    (streaming/stream.stream_cell_ewma docstring)."""
+    from pyspark.sql import functions as F
+
+    from .functions.cells import cell_encode
+    from .streaming.stream import stream_cell_ewma
+
+    def build(sdf):
+        d = sdf.select(
+            cell_encode("lat", "lon", _TREND_RES).alias("cell"),
+            F.expr("timestampdiff(MICROSECOND, "
+                   "TIMESTAMP_NTZ '2024-01-01 00:00:00', ts)")
+            .alias("us"))
+        return stream_cell_ewma(d)
+
+    return _replay_time_sliced(spark, sf_dir, build, "stream_ewma")
+
+
 def q_emerging_hotspots(spark, sf_dir):
     """Emerging-hotspot taxonomy (r5.38): per res-4 cell, the
     space-time-cube verdict (new / intensifying / cooling /
@@ -4122,6 +4148,16 @@ QUERIES = {
     #    inside via diurnal (same clock decomposition over the same
     #    traj frame) --
     "enclosing_cell": q_enclosing_cell,
+    # -- r5.45 continued: stream_ewma (STATEFUL STREAMING twin of
+    #    cell_ewma under the full value-hash replay gate — its
+    #    oracle is the day-close-restricted batch SQL, DIFFERENT
+    #    text from cell_ewma's, so both sit inside legitimately).
+    #    od_gravity (r5.39 — next-oldest non-anchor first-timer)
+    #    rotates just past the boundary; the distance-decay
+    #    broadcast-seed shape stays driver-covered inside via
+    #    huff_shares and the OD-corridor tier via radiation +
+    #    stream_od --
+    "stream_ewma": q_stream_ewma,
     # -- round-5.41 additions (session 11), inside the window for
     #    their first driver rows under the same newest-least-soak
     #    triage; hilbert_keys rotates just past the boundary to make
@@ -4243,7 +4279,6 @@ QUERIES = {
     #  in every full sweep since it landed; the proximity-edge
     #  machinery stays inside via kcore/coloc_pi and the weighted
     #  relaxation tier via cost_distance)
-    "od_gravity": q_od_gravity,
     # (same session-10 triage: host_drift displaces coloc_pi —
     #  r5.33, next-oldest first-timer, replica-green in every full
     #  sweep since it landed; its carry-attributed proximity-edge
@@ -4531,6 +4566,9 @@ QUERIES = {
     # (hour_profile — r5.39 — moved just past the window in
     #  session 14 to make room for enclosing_cell; see head-of-dict)
     "hour_profile": q_hour_profile,
+    # (od_gravity — r5.39 — moved just past the window in session 14
+    #  to make room for stream_ewma; see head-of-dict)
+    "od_gravity": q_od_gravity,
     # (peak_cells — r5.36 — moved just past the window in session 10
     #  to make room for rrf_fuse; see the head-of-dict comment)
     "peak_cells": q_peak_cells,
@@ -5692,6 +5730,14 @@ def oracle_sql() -> dict[str, str]:
     out["cell_cusum"] = cell_cusum_sql(_TRAJ_PTS_SQL, _TREND_RES)
     from .operators.tiles import cell_ewma_sql
     out["cell_ewma"] = cell_ewma_sql(_TRAJ_PTS_SQL, _TREND_RES)
+    _trend_cell = cell_encode_sql("lat", "lon", _TREND_RES)
+    out["stream_ewma"] = (
+        f"SELECT b.cell, b.day, b.x, b.ewma, b.spike "
+        f"FROM ({cell_ewma_sql(_TRAJ_PTS_SQL, _TREND_RES)}) b "
+        f"JOIN (SELECT {_trend_cell} AS cell, "
+        f"MAX(us // 86400000000) AS mx "
+        f"FROM ({_TRAJ_PTS_SQL}) t GROUP BY 1) m "
+        f"ON b.cell = m.cell WHERE b.day < m.mx")
     from .operators.tiles import median_center_sql
     out["median_center"] = median_center_sql(
         f"SELECT {_TRAJ_LAT} AS lat, {_TRAJ_LON} AS lon FROM events",

@@ -765,3 +765,86 @@ def stream_od_trips(stream_df, day_us: int = 86_400_000_000, *,
                 stateStructType="day long, f_cell long, l_cell long",
                 outputMode="append",
                 timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def stream_cell_ewma(stream_df, *, lo_day: int = 0,
+                     day_us: int = 86_400_000_000, min_x: int = 5,
+                     cell_col: str = "cell", us_col: str = "us"):
+    """Streaming EWMA control chart (applyInPandasWithState) — the
+    real-time twin of operators/tiles.cell_ewma: a cell's daily row
+    (x, ewma, spike) is emitted the moment the day CLOSES (a
+    later-day event for that cell arrives), computed from the SAME
+    dyadic prefix-sum identity in exact Python ints — N_t = N_{t-1}
+    + x_t * 2^(t-1) (doubled at t = 1), ewma = N_t >> t, spike when
+    3 * x * 2^(t-1) >= 2 * N_t and x >= min_x. Day-close is the
+    earliest correct emission point (the day's count is still
+    accumulating until then), so the batch oracle is cell_ewma
+    restricted to day < the cell's last observed day; gap days
+    between a cell's events close in bulk and decay the baseline
+    exactly as the batch dense fill does, and a cell's first
+    appearance back-fills the zero days from ``lo_day`` (the
+    analysis-window start is a plan-time choice in production, a
+    data-derived constant in the oracle pair). Per-cell state is ONE
+    row (open day, its running count, the closed-prefix numerator) —
+    O(occupied cells), history-independent.
+
+    Contract (shared with stream_resample / stream_od_trips):
+    per-cell event-time order non-decreasing across microbatches;
+    ``cell`` and ``us`` are computed JVM-side upstream with the SAME
+    expressions as the batch operator, so the state fn never
+    re-derives lattice math. -> (cell, day, x, ewma, spike)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    d_us = int(day_us)
+    lo = int(lo_day)
+    mx = int(min_x)
+    out_schema = "cell long, day long, x long, ewma long, spike long"
+
+    def fn(key, pdfs, state):
+        cid = key[0]
+        if state.exists:
+            cur_day, n_open, nsum = state.get
+        else:
+            cur_day = None
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf) == 0:
+            return
+        rows = []
+
+        def close(day, x, nsum):
+            t = day - lo + 1
+            w = x * (1 << (t - 1)) * (2 if t == 1 else 1)
+            nsum += w
+            spike = 1 if (t >= 2 and x >= mx
+                          and 3 * x * (1 << (t - 1)) >= 2 * nsum) \
+                else 0
+            rows.append((cid, day, x, nsum >> t, spike))
+            return nsum
+
+        for us in sorted(int(v) for v in pdf[us_col]):
+            d = us // d_us
+            if cur_day is None:
+                nsum = 0
+                for g in range(lo, d):
+                    nsum = close(g, 0, nsum)
+                cur_day, n_open = d, 1
+            elif d == cur_day:
+                n_open += 1
+            else:
+                nsum = close(cur_day, n_open, nsum)
+                for g in range(cur_day + 1, d):
+                    nsum = close(g, 0, nsum)
+                cur_day, n_open = d, 1
+        state.update((cur_day, n_open, nsum))
+        if rows:
+            yield pd.DataFrame(
+                rows, columns=["cell", "day", "x", "ewma", "spike"])
+
+    return (stream_df.groupBy(cell_col)
+            .applyInPandasWithState(
+                fn, outputStructType=out_schema,
+                stateStructType="cur_day long, n_open long, "
+                                "nsum long",
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout))

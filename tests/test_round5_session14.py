@@ -447,3 +447,110 @@ class TestEnclosingCell:
                 xi = min(n - 1, max(0, math.floor((vx + 180) / 360 * n)))
                 yi = min(n - 1, max(0, math.floor((vy + 90) / 180 * n)))
                 assert (r << 56) | (yi << r) | xi == cell
+
+
+# ---------------------------------------------------------------------------
+# Streaming EWMA control chart (stateful twin of cell_ewma)
+# ---------------------------------------------------------------------------
+
+class TestStreamCellEwma:
+    def test_matches_batch_across_microbatches(self, spark, tmp_path):
+        """Chunked replay through the per-cell dyadic state equals
+        batch cell_ewma restricted to closed days (day < the cell's
+        last observed day) — gap days spanning the FILE BOUNDARY
+        close from state, and a cell first seen mid-stream
+        back-fills its zero days from lo_day."""
+        import datetime as dt
+
+        from pyspark.sql import functions as F
+
+        from geospark.functions.cells import cell_encode
+        from geospark.operators.tiles import cell_ewma
+        from geospark.streaming.stream import stream_cell_ewma
+        base = dt.datetime(2024, 1, 1)
+
+        def at(day, sec):
+            return base + dt.timedelta(days=day, seconds=sec)
+
+        rows = []
+        eid = 0
+        # cell A (lat 10): days 0(x2), 1(x6 -> spike), 3(x1), 5
+        for day, n in ((0, 2), (1, 6), (3, 1)):
+            for j in range(n):
+                rows.append((eid, at(day, j), 1, 10.0, 10.0))
+                eid += 1
+        # --- file boundary inside cell A's day-3..5 gap ---
+        tail = [(eid, at(5, 0), 1, 10.0, 10.0)]
+        eid += 1
+        # cell B (lat -40): first seen day 2 -> backfill days 0,1
+        tail += [(eid, at(2, 0), 2, -40.0, -40.0),
+                 (eid + 1, at(4, 0), 2, -40.0, -40.0)]
+        schema = ("event_id long, ts timestamp_ntz, user_id long, "
+                  "lat double, lon double")
+        src = str(tmp_path / "ew_src")
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("overwrite").parquet(src)
+        spark.createDataFrame(tail, schema).coalesce(1) \
+            .write.mode("append").parquet(src)
+
+        sdf = (spark.readStream.schema(schema)
+               .option("maxFilesPerTrigger", 1).parquet(src))
+        out = stream_cell_ewma(sdf.select(
+            cell_encode("lat", "lon", 4).alias("cell"),
+            F.expr("timestampdiff(MICROSECOND, "
+                   "TIMESTAMP_NTZ '2024-01-01 00:00:00', ts)")
+            .alias("us")), min_x=5)
+        q = (out.writeStream.format("memory")
+             .queryName("ew_stream").outputMode("append")
+             .option("checkpointLocation", str(tmp_path / "ck"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        got = _rows(spark.sql(
+            "SELECT cell, day, x, ewma, spike FROM ew_stream"))
+
+        e = spark.read.parquet(src)
+        pts = e.select("lat", "lon",
+                       F.expr("timestampdiff(MICROSECOND, "
+                              "TIMESTAMP_NTZ '2024-01-01 "
+                              "00:00:00', ts)").alias("us"))
+        batch = cell_ewma(pts, 4, min_x=5)
+        mx = (pts.select(cell_encode("lat", "lon", 4).alias("cell"),
+                         F.expr("us div 86400000000").alias("day"))
+              .groupBy("cell").agg(F.max("day").alias("mx")))
+        exp = _rows(batch.join(mx, "cell")
+                    .filter("day < mx")
+                    .select("cell", "day", "x", "ewma", "spike"))
+        assert got == exp
+        # the day-1 sextuple doubles the baseline: spike row present
+        assert any(r[2] == 6 and r[4] == 1 for r in got)
+        # cell B's backfilled zero days made it into the output
+        assert sum(1 for r in got if r[2] == 0) >= 3
+
+    def test_open_day_emits_nothing(self, spark, tmp_path):
+        """A cell with all events on one day has no closed day: the
+        stream emits zero rows while batch would emit the day."""
+        import datetime as dt
+        from pyspark.sql import functions as F
+        from geospark.functions.cells import cell_encode
+        from geospark.streaming.stream import stream_cell_ewma
+        base = dt.datetime(2024, 1, 1)
+        rows = [(0, base, 1, 10.0, 10.0),
+                (1, base + dt.timedelta(seconds=9), 1, 10.0, 10.0)]
+        schema = ("event_id long, ts timestamp_ntz, user_id long, "
+                  "lat double, lon double")
+        src = str(tmp_path / "ew1_src")
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("overwrite").parquet(src)
+        sdf = (spark.readStream.schema(schema)
+               .option("maxFilesPerTrigger", 1).parquet(src))
+        out = stream_cell_ewma(sdf.select(
+            cell_encode("lat", "lon", 4).alias("cell"),
+            F.expr("timestampdiff(MICROSECOND, "
+                   "TIMESTAMP_NTZ '2024-01-01 00:00:00', ts)")
+            .alias("us")))
+        q = (out.writeStream.format("memory")
+             .queryName("ew1_stream").outputMode("append")
+             .option("checkpointLocation", str(tmp_path / "ck1"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        assert spark.sql("SELECT * FROM ew1_stream").count() == 0
