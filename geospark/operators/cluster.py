@@ -666,3 +666,112 @@ SELECT region_id, CAST(a AS BIGINT) AS area_cells,
             // (CAST(p AS HUGEINT) * p) AS BIGINT) AS pp_ppm
 FROM rs_f
 """
+
+
+def kmeans_silhouette(pts, res: int, k: int, iters: int, *,
+                      lat_col: str = "lat", lon_col: str = "lon"):
+    """Per-cluster simplified-silhouette audit over kmeans_cells —
+    "did k fit": for every occupied cell, a = squared lattice
+    distance to its OWN cluster's center (recomputed from the final
+    labels — one more Lloyd half-step, the standard evaluation
+    convention) and b = the min distance to any OTHER center, scored
+
+        s_ppm = sign(b - a) * (|b - a| * 1e6) div max(a, b)
+
+    — the centroid-based simplified silhouette (Hruschka et al.),
+    sqrt-free on squared distances so it stays integer-exact; a cell
+    whose own center is no longer nearest reads negative. Clusters
+    aggregate point-weighted: sil_ppm = sign-decomposed floor of
+    sum(n_pts * s) / sum(n_pts), plus a cid = -1 overall row — the
+    ONE-TABLE answer to "raise or lower k" that the inertia curve
+    needs a sweep for. Degeneracies: max(a,b) = 0 (coincident
+    centers) and a vanished-b (k collapsed to 1) read 0.
+
+    Scale: rides kmeans_cells' aggregate frames — the scoring join
+    is occupied-cells x k-row broadcast, the rollup one k-keyed
+    combinable agg; headroom sum(n_pts * s_ppm) <= 1e6 * N needs
+    N <= 9e12 points per cluster before a DECIMAL upgrade.
+    -> (cid, n_cells, n_pts, sil_ppm)."""
+    from pyspark.sql import functions as F
+
+    mask = (1 << res) - 1
+    a = (kmeans_cells(pts, res, k, iters,
+                      lat_col=lat_col, lon_col=lon_col)
+         .withColumn("x", F.expr(f"cell & {mask}"))
+         .withColumn("y", F.expr(f"(cell >> {res}) & {mask}")))
+    cents = (a.groupBy("cid").agg(
+        F.expr("sum(n_pts * x) div sum(n_pts)").alias("cx"),
+        F.expr("sum(n_pts * y) div sum(n_pts)").alias("cy"))
+        .select(F.col("cid").alias("ocid"), "cx", "cy"))
+    per = (a.join(F.broadcast(cents))
+           .withColumn("_d2", F.expr(
+               "(x - cx) * (x - cx) + (y - cy) * (y - cy)"))
+           .groupBy("cell", "n_pts", "cid")
+           .agg(F.min(F.when(F.col("ocid") == F.col("cid"),
+                             F.col("_d2"))).alias("_a"),
+                F.min(F.when(F.col("ocid") != F.col("cid"),
+                             F.col("_d2"))).alias("_b"))
+           .withColumn("_s", F.expr(
+               "CASE WHEN _b IS NULL OR greatest(_a, _b) = 0 THEN 0 "
+               "ELSE (CASE WHEN _b >= _a THEN 1 ELSE -1 END) * "
+               "((abs(_b - _a) * 1000000) div greatest(_a, _b)) "
+               "END")))
+    grp = (per.groupBy("cid")
+           .agg(F.count(F.lit(1)).alias("n_cells"),
+                F.sum("n_pts").alias("n_pts"),
+                F.sum(F.expr("n_pts * _s")).alias("_num")))
+    allr = (per.agg(F.lit(-1).cast("long").alias("cid"),
+                    F.count(F.lit(1)).alias("n_cells"),
+                    F.sum("n_pts").alias("n_pts"),
+                    F.sum(F.expr("n_pts * _s")).alias("_num")))
+    sil = ("(CASE WHEN _num >= 0 THEN 1 ELSE -1 END) * "
+           "(abs(_num) div n_pts)")
+    return (grp.unionByName(allr)
+            .select(F.col("cid").cast("long"),
+                    F.col("n_cells").cast("long"),
+                    F.col("n_pts").cast("long"),
+                    F.expr(sil).cast("long").alias("sil_ppm")))
+
+
+def kmeans_silhouette_sql(pts_sql: str, res: int, k: int,
+                          iters: int) -> str:
+    """DuckDB twin of kmeans_silhouette — nests the kmeans_cells_sql
+    oracle verbatim (the region_shape composition convention), then
+    the same center recompute, broadcast scoring and sign-decomposed
+    floors."""
+    mask = (1 << res) - 1
+    inner = kmeans_cells_sql(pts_sql, res, k, iters)
+    return f"""
+WITH ks_a AS (SELECT cell, n_pts, cid,
+              cell & {mask} AS x, (cell >> {res}) & {mask} AS y
+              FROM ({inner})),
+ks_c AS (SELECT cid AS ocid,
+         SUM(n_pts * x) // SUM(n_pts) AS cx,
+         SUM(n_pts * y) // SUM(n_pts) AS cy
+         FROM ks_a GROUP BY 1),
+ks_p AS (SELECT a.cell, a.n_pts, a.cid,
+         MIN(CASE WHEN c.ocid = a.cid THEN
+             (a.x - c.cx) * (a.x - c.cx)
+             + (a.y - c.cy) * (a.y - c.cy) END) AS da,
+         MIN(CASE WHEN c.ocid <> a.cid THEN
+             (a.x - c.cx) * (a.x - c.cx)
+             + (a.y - c.cy) * (a.y - c.cy) END) AS db
+         FROM ks_a a CROSS JOIN ks_c c
+         GROUP BY 1, 2, 3),
+ks_s AS (SELECT cell, n_pts, cid,
+         CASE WHEN db IS NULL OR greatest(da, db) = 0 THEN 0
+              ELSE (CASE WHEN db >= da THEN 1 ELSE -1 END) *
+                   ((abs(db - da) * 1000000) // greatest(da, db))
+         END AS s
+         FROM ks_p),
+ks_g AS (SELECT cid, COUNT(*) AS n_cells, SUM(n_pts) AS n_pts,
+         SUM(n_pts * s) AS num FROM ks_s GROUP BY 1
+         UNION ALL
+         SELECT -1, COUNT(*), SUM(n_pts), SUM(n_pts * s) FROM ks_s)
+SELECT CAST(cid AS BIGINT) AS cid,
+       CAST(n_cells AS BIGINT) AS n_cells,
+       CAST(n_pts AS BIGINT) AS n_pts,
+       CAST((CASE WHEN num >= 0 THEN 1 ELSE -1 END)
+            * (abs(num) // n_pts) AS BIGINT) AS sil_ppm
+FROM ks_g
+"""

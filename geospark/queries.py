@@ -3986,6 +3986,18 @@ def q_stream_ewma(spark, sf_dir):
     return _replay_time_sliced(spark, sf_dir, build, "stream_ewma")
 
 
+def q_silhouette(spark, sf_dir):
+    """k-means fit audit (r5.45): per-cluster simplified silhouette
+    over the SAME 12-cluster Lloyd run as kmeans_cells, plus the
+    cid=-1 overall row — the one-table raise-or-lower-k answer
+    (operators/cluster.kmeans_silhouette docstring: centers
+    recomputed from final labels, sqrt-free squared-distance score,
+    sign-decomposed integer floors)."""
+    from .operators.cluster import kmeans_silhouette
+    return kmeans_silhouette(_cust_points(spark, sf_dir),
+                             _KMEANS_RES, _KMEANS_K, _KMEANS_ITERS)
+
+
 def q_emerging_hotspots(spark, sf_dir):
     """Emerging-hotspot taxonomy (r5.38): per res-4 cell, the
     space-time-cube verdict (new / intensifying / cooling /
@@ -4158,6 +4170,14 @@ QUERIES = {
     #    huff_shares and the OD-corridor tier via radiation +
     #    stream_od --
     "stream_ewma": q_stream_ewma,
+    # -- r5.45 continued: silhouette (simplified-silhouette fit
+    #    audit nesting the kmeans_cells oracle verbatim — the
+    #    region_shape composition convention, so the Lloyd fragment
+    #    gains an in-window carrier). host_drift (r5.39 —
+    #    next-oldest non-anchor first-timer) rotates just past the
+    #    boundary; the per-host token machinery stays driver-covered
+    #    inside via host_stats/cms_terms/term_contrast --
+    "silhouette": q_silhouette,
     # -- round-5.41 additions (session 11), inside the window for
     #    their first driver rows under the same newest-least-soak
     #    triage; hilbert_keys rotates just past the boundary to make
@@ -4284,7 +4304,6 @@ QUERIES = {
     #  sweep since it landed; its carry-attributed proximity-edge
     #  machinery stays inside via kcore/knox, and the token-agg
     #  machinery host_drift rides is inside via colloc_lift)
-    "host_drift": q_host_drift,
     # (same session-10 triage: viewshed displaces path_crossings —
     #  r5.33, next-oldest first-timer, replica-green in every full
     #  sweep since it landed; its _user_hops window machinery stays
@@ -4569,6 +4588,9 @@ QUERIES = {
     # (od_gravity — r5.39 — moved just past the window in session 14
     #  to make room for stream_ewma; see head-of-dict)
     "od_gravity": q_od_gravity,
+    # (host_drift — r5.39 — moved just past the window in session 14
+    #  to make room for silhouette; see head-of-dict)
+    "host_drift": q_host_drift,
     # (peak_cells — r5.36 — moved just past the window in session 10
     #  to make room for rrf_fuse; see the head-of-dict comment)
     "peak_cells": q_peak_cells,
@@ -5640,6 +5662,10 @@ def oracle_sql() -> dict[str, str]:
         _TRAJ_PTS_SQL, _fence_sql, _FENCE_RES)
     out["speed_flags"] = speed_flags_sql(_TRAJ_PTS_SQL, _SPEED_VMAX)
     from .operators.cluster import kmeans_cells_sql
+    from .operators.cluster import kmeans_silhouette_sql
+    out["silhouette"] = kmeans_silhouette_sql(
+        f"SELECT lat, lon FROM ({_CUST_PTS_CTE})",
+        _KMEANS_RES, _KMEANS_K, _KMEANS_ITERS)
     out["kmeans_cells"] = kmeans_cells_sql(
         f"SELECT lat, lon FROM ({_CUST_PTS_CTE})",
         _KMEANS_RES, _KMEANS_K, _KMEANS_ITERS)

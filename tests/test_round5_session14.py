@@ -554,3 +554,49 @@ class TestStreamCellEwma:
              .trigger(availableNow=True).start())
         q.awaitTermination()
         assert spark.sql("SELECT * FROM ew1_stream").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Simplified silhouette over kmeans_cells
+# ---------------------------------------------------------------------------
+
+class TestKmeansSilhouette:
+    def _run(self, spark, rows, k, iters=2, res=4):
+        from geospark.operators.cluster import kmeans_silhouette
+        d = spark.createDataFrame(rows, "lat double, lon double")
+        return _rows(kmeans_silhouette(d, res, k, iters),
+                     ["cid", "n_cells", "n_pts", "sil_ppm"])
+
+    def test_two_tight_far_clusters_score_high(self, spark):
+        """Two compact blobs far apart: every cell's own center is
+        near and the other far -> sil near 1e6, overall row too."""
+        rows = ([(0.0 + i, -170.0) for i in range(3)]
+                + [(0.0 + i, 170.0) for i in range(3)])
+        got = self._run(spark, rows, k=2)
+        assert len(got) == 3  # 2 clusters + overall
+        overall = [r for r in got if r[0] == -1][0]
+        assert overall[3] > 800_000
+        assert all(r[3] > 800_000 for r in got)
+
+    def test_single_cluster_reads_zero(self, spark):
+        """k seeds collapsing to one cluster: b is NULL -> 0 (the
+        degeneracy guard, not a crash)."""
+        got = self._run(spark, [(10.0, 10.0), (10.0, 10.0)], k=1)
+        assert all(r[3] == 0 for r in got)
+
+    def test_weighted_rollup_and_counts(self, spark):
+        """n_pts weights the rollup; the overall row sums both
+        clusters' cells and points."""
+        rows = ([(0.0, -170.0)] * 5 + [(0.0, 170.0)] * 7)
+        got = self._run(spark, rows, k=2)
+        overall = [r for r in got if r[0] == -1][0]
+        assert overall[1] == 2 and overall[2] == 12
+
+    def test_straddle_cell_scores_negative_or_low(self, spark):
+        """A lone cell equidistant-ish between two heavy centers
+        drags its cluster's silhouette below the tight cluster's."""
+        rows = ([(0.0, -170.0)] * 6 + [(0.0, 170.0)] * 6
+                + [(0.0, 0.0)])
+        got = self._run(spark, rows, k=2)
+        per = {r[0]: r[3] for r in got if r[0] != -1}
+        assert min(per.values()) < max(per.values())
