@@ -2991,3 +2991,153 @@ SELECT p.o_cell, p.d_cell, CAST(p.n_trips AS BIGINT) AS n_trips,
 FROM rf_p p LEFT JOIN rf_s s
 ON p.o_cell = s.o_cell AND p.d_cell = s.d_cell
 """
+
+
+# ---------------------------------------------------------------------------
+# Bounded DTW trajectory-pair distance
+# ---------------------------------------------------------------------------
+
+DTW_L = 8
+
+
+def _dtw_cols(L: int, idx) -> list:
+    """The unrolled DTW dynamic program as an ORDERED list of
+    (column_name, expression_text) pairs — dp_i_j = d(i, j) +
+    least(dp_{i-1}_j, dp_i_{j-1}, dp_{i-1}_{j-1}) in row-major
+    dependency order, so each engine folds them one projection at a
+    time (Spark withColumn chain / DuckDB nested SELECTs). ``idx``
+    maps (array_name, 1-based position) to that engine's subscript
+    syntax — the ONLY dialect difference; the arithmetic text is
+    shared (single-source, the enclosing_cell convention). L is a
+    plan-time constant: L^2 generated columns, no recursion, no UDF.
+    """
+    def d(i, j):
+        dx = f"({idx('ax', i)} - {idx('bx', j)})"
+        dy = f"({idx('ay', i)} - {idx('by', j)})"
+        return f"({dx} * {dx} + {dy} * {dy})"
+
+    cols = []
+    for i in range(1, L + 1):
+        for j in range(1, L + 1):
+            if i == 1 and j == 1:
+                prev = None
+            elif i == 1:
+                prev = f"dp_1_{j - 1}"
+            elif j == 1:
+                prev = f"dp_{i - 1}_1"
+            else:
+                prev = (f"least(dp_{i - 1}_{j}, dp_{i}_{j - 1}, "
+                        f"dp_{i - 1}_{j - 1})")
+            e = d(i, j) if prev is None else f"{d(i, j)} + {prev}"
+            cols.append((f"dp_{i}_{j}", e))
+    return cols
+
+
+def dtw_pairs(points, *, block_res: int = 1, L: int = DTW_L,
+              user_col: str = "user_id", us_col: str = "us",
+              tie_col: str = "event_id", lat_col: str = "lat",
+              lon_col: str = "lon"):
+    """Dynamic-time-warping distance between user trajectories —
+    the alignment-aware similarity traj_similarity's place-set
+    Jaccard cannot give (two commuters tracing the same loop at
+    different speeds score CLOSE here, identical-places-visited-in-
+    reverse score far): each user's first ``L`` events (by us, tie)
+    form a centidegree integer sequence; users sharing a
+    ``block_res`` home cell (their FIRST event's cell — the
+    candidate blocker that keeps the pair join key-equality) pair
+    up, and the classic DP
+
+        dp[i][j] = d2(i, j) + min(dp[i-1][j], dp[i][j-1],
+                                  dp[i-1][j-1])
+
+    runs UNROLLED as L^2 generated integer column expressions (a
+    sequential-looking algorithm made one whole-stage-codegen
+    projection — no iteration, no Python, engine-parity by
+    construction since the DuckDB twin folds the same generated
+    text). Centidegrees bound the arithmetic: d2 <= ~1.5e9 and the
+    warp path has <= 2L-1 steps, so dtw < 5e10 — BIGINT everywhere.
+    Users with fewer than L events drop (no padding bias).
+
+    Scale: one user-keyed rank window + one combinable
+    array_sort(collect_list) agg build the L-point sequences (state
+    O(L) per user); the pair join keys on the home cell — block
+    sizes are the skew knob, and the DP itself is flat CPU per pair,
+    the blocked-join shape that pins one-per-core partitioning at
+    bench scale. -> (user_a, user_b, block, dtw)."""
+    from pyspark.sql import functions as F
+
+    from ..functions.cells import cell_encode
+    p = points.select(
+        F.col(user_col).alias("u"), F.col(us_col).alias("_us"),
+        F.col(tie_col).alias("_tie"),
+        F.floor(F.col(lat_col) * 100).cast("long").alias("cy"),
+        F.floor(F.col(lon_col) * 100).cast("long").alias("cx"),
+        cell_encode(lat_col, lon_col, block_res).alias("_bc"))
+    r = p.withColumn("_rn", F.expr(
+        "row_number() OVER (PARTITION BY u ORDER BY _us, _tie)"))
+    seq = (r.filter(F.col("_rn") <= L)
+           .groupBy("u")
+           .agg(F.count(F.lit(1)).alias("_n"),
+                F.array_sort(F.collect_list(F.struct(
+                    "_rn", "cx", "cy"))).alias("_s"),
+                F.max(F.when(F.col("_rn") == 1, F.col("_bc")))
+                .alias("block"))
+           .filter(F.col("_n") == L)
+           .select("u", "block",
+                   F.expr("transform(_s, s -> s.cx)").alias("x"),
+                   F.expr("transform(_s, s -> s.cy)").alias("y")))
+    a = seq.select(F.col("u").alias("user_a"), "block",
+                   F.col("x").alias("ax"), F.col("y").alias("ay"))
+    b = seq.select(F.col("u").alias("user_b"),
+                   F.col("block").alias("_bb"),
+                   F.col("x").alias("bx"), F.col("y").alias("by"))
+    pairs = a.join(b, (F.col("block") == F.col("_bb"))
+                   & (F.col("user_a") < F.col("user_b")))
+    for name, expr in _dtw_cols(L, lambda arr, i: f"{arr}[{i - 1}]"):
+        pairs = pairs.withColumn(name, F.expr(expr))
+    return pairs.select("user_a", "user_b", "block",
+                        F.col(f"dp_{L}_{L}").cast("long")
+                        .alias("dtw"))
+
+
+def dtw_pairs_sql(pts_sql: str, *, block_res: int = 1,
+                  L: int = DTW_L) -> str:
+    """DuckDB twin of dtw_pairs over a subquery producing (user_id,
+    us, event_id, lat, lon) — same rank/sequence build, same
+    generated DP text folded as nested SELECTs (1-based list
+    subscripts are the only dialect difference)."""
+    from ..functions.cells import cell_encode_sql
+    cell = cell_encode_sql("lat", "lon", block_res)
+    sql = f"""
+SELECT a.u AS user_a, b.u AS user_b, a.block, a.x AS ax, a.y AS ay,
+       b.x AS bx, b.y AS by
+FROM (SELECT u, block, x, y FROM (
+  SELECT u, COUNT(*) AS n,
+         MAX(CASE WHEN rn = 1 THEN bc END) AS block,
+         list(cx ORDER BY rn) AS x, list(cy ORDER BY rn) AS y
+  FROM (SELECT user_id AS u,
+               CAST(floor(lat * 100) AS BIGINT) AS cy,
+               CAST(floor(lon * 100) AS BIGINT) AS cx,
+               {cell} AS bc,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY us, event_id) AS rn
+        FROM ({pts_sql})) WHERE rn <= {L} GROUP BY u)
+  WHERE n = {L}) a
+JOIN (SELECT u, block, x, y FROM (
+  SELECT u, COUNT(*) AS n,
+         MAX(CASE WHEN rn = 1 THEN bc END) AS block,
+         list(cx ORDER BY rn) AS x, list(cy ORDER BY rn) AS y
+  FROM (SELECT user_id AS u,
+               CAST(floor(lat * 100) AS BIGINT) AS cy,
+               CAST(floor(lon * 100) AS BIGINT) AS cx,
+               {cell} AS bc,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY us, event_id) AS rn
+        FROM ({pts_sql})) WHERE rn <= {L} GROUP BY u)
+  WHERE n = {L}) b
+ON a.block = b.block AND a.u < b.u
+"""
+    for name, expr in _dtw_cols(L, lambda arr, i: f"{arr}[{i}]"):
+        sql = f"SELECT *, {expr} AS {name} FROM ({sql})"
+    return (f"SELECT user_a, user_b, block, "
+            f"CAST(dp_{L}_{L} AS BIGINT) AS dtw FROM ({sql})")

@@ -3998,6 +3998,18 @@ def q_silhouette(spark, sf_dir):
                              _KMEANS_RES, _KMEANS_K, _KMEANS_ITERS)
 
 
+def q_dtw_pairs(spark, sf_dir):
+    """Trajectory DTW pairs (r5.45): dynamic-time-warping distance
+    between the first-8-event centidegree sequences of users sharing
+    a res-1 home cell — alignment-aware similarity (same loop at
+    different speeds scores close; traj_similarity's place-set
+    Jaccard can't see order), the 8x8 DP unrolled into 64 generated
+    integer columns in ONE codegen projection
+    (operators/events.dtw_pairs docstring)."""
+    from .operators.events import dtw_pairs
+    return dtw_pairs(_traj_pts(spark, sf_dir))
+
+
 def q_emerging_hotspots(spark, sf_dir):
     """Emerging-hotspot taxonomy (r5.38): per res-4 cell, the
     space-time-cube verdict (new / intensifying / cooling /
@@ -4178,6 +4190,15 @@ QUERIES = {
     #    boundary; the per-host token machinery stays driver-covered
     #    inside via host_stats/cms_terms/term_contrast --
     "silhouette": q_silhouette,
+    # -- r5.45 continued: dtw_pairs (unrolled-DP dynamic time
+    #    warping over home-cell-blocked trajectory pairs — the
+    #    sequential algorithm flattened into one codegen
+    #    projection). viewshed (r5.39 — next-oldest non-anchor
+    #    first-timer) rotates just past the boundary; its
+    #    density-raster machinery stays driver-covered inside via
+    #    flow_accum (same raster CTE family) and the bounded-scan
+    #    tier via cost_distance --
+    "dtw_pairs": q_dtw_pairs,
     # -- round-5.41 additions (session 11), inside the window for
     #    their first driver rows under the same newest-least-soak
     #    triage; hilbert_keys rotates just past the boundary to make
@@ -4309,7 +4330,6 @@ QUERIES = {
     #  sweep since it landed; its _user_hops window machinery stays
     #  driver-covered via stream_speed's speed_flags SQL, and the
     #  PBSM blocked-pair-join tier via knox/containment)
-    "viewshed": q_viewshed,
     # (same session-10 triage: huff_shares displaces colloc_lift —
     #  r5.34, next-oldest first-timer, replica-green in every full
     #  sweep since it landed; its bigram-lift token machinery stays
@@ -4591,6 +4611,9 @@ QUERIES = {
     # (host_drift — r5.39 — moved just past the window in session 14
     #  to make room for silhouette; see head-of-dict)
     "host_drift": q_host_drift,
+    # (viewshed — r5.39 — moved just past the window in session 14
+    #  to make room for dtw_pairs; see head-of-dict)
+    "viewshed": q_viewshed,
     # (peak_cells — r5.36 — moved just past the window in session 10
     #  to make room for rrf_fuse; see the head-of-dict comment)
     "peak_cells": q_peak_cells,
@@ -5564,6 +5587,8 @@ def oracle_sql() -> dict[str, str]:
         key="k", group="event_type")
     from .operators.events import cell_churn_sql
     out["cell_churn"] = cell_churn_sql(_TRAJ_PTS_SQL, _CHURN_RES)
+    from .operators.events import dtw_pairs_sql
+    out["dtw_pairs"] = dtw_pairs_sql(_TRAJ_PTS_SQL)
     from .operators.tiles import focal_mode_sql
     out["focal_mode"] = focal_mode_sql(
         f"SELECT {_TRAJ_LAT} AS lat, {_TRAJ_LON} AS lon, "
