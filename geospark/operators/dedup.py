@@ -1402,3 +1402,97 @@ FROM fz_k a JOIN fz_k b
  AND abs(length(a.s) - length(b.s)) <= {int(d)}
  AND levenshtein(a.s, b.s) <= {int(d)}
 """
+
+
+# ---------------------------------------------------------------------------
+# Site-structure profile: per-host URL tree fanout
+# ---------------------------------------------------------------------------
+
+def url_tree(urls, *, url_col: str = "url"):
+    """Per-host URL-hierarchy profile — the crawl-planning view of a
+    site's shape: every URL's path explodes into its directory
+    prefixes, and each (host, depth) level reports how many distinct
+    NODES exist there, how many URLs TERMINATE there, and the
+    child fanout
+
+        branch_ppm = n_nodes(depth+1) * 1e6  div  n_nodes(depth)
+
+    (NULL at the deepest level). Wide-and-shallow hosts (high early
+    fanout) want breadth-first frontier sharding; deep chains signal
+    calendar/pagination traps for crawl_budget to cap — the
+    structural readout politeness/robots operate blind to. Host
+    parse is the anchored-regexp convention (scheme stripped, host
+    lowercased); empty path segments collapse, so ``//`` and
+    trailing ``/`` never mint phantom nodes.
+
+    Scale: ONE explode of depth rows per URL (bounded by path depth,
+    not corpus size) into a distinct on (host, depth, prefix) — the
+    only full-data shuffles; levels then aggregate on the NODE frame
+    and the fanout join keys (host, depth) against its own lead —
+    aggregate-sized. -> (host, depth, n_nodes, n_urls, branch_ppm).
+    """
+    from pyspark.sql import functions as F
+
+    p = urls.select(
+        F.lower(F.regexp_extract(
+            F.col(url_col), r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)",
+            1)).alias("host"),
+        F.expr(
+            f"filter(split(regexp_extract({url_col}, "
+            f"'^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1), "
+            f"'/'), s -> s <> '')").alias("_segs"))
+    pref = (p.filter(F.expr("size(_segs) > 0"))
+            .select("host", F.explode(F.expr(
+                "transform(sequence(1, size(_segs)), d -> "
+                "struct(cast(d as bigint) as d, "
+                "array_join(slice(_segs, 1, d), '/') as pre, "
+                "cast(size(_segs) as bigint) as full))"))
+                .alias("_x"))
+            .select("host", F.col("_x.d").alias("depth"),
+                    F.col("_x.pre").alias("_pre"),
+                    F.col("_x.full").alias("_full")))
+    lvl = (pref.groupBy("host", "depth")
+           .agg(F.countDistinct("_pre").alias("n_nodes"),
+                F.sum(F.expr(
+                    "CASE WHEN depth = _full THEN 1 ELSE 0 END"))
+                .alias("n_urls")))
+    nxt = lvl.select(F.col("host").alias("_h"),
+                     (F.col("depth") - 1).alias("_d"),
+                     F.col("n_nodes").alias("_child"))
+    return (lvl.join(nxt, (F.col("host") == F.col("_h"))
+                     & (F.col("depth") == F.col("_d")), "left")
+            .select("host", "depth",
+                    F.col("n_nodes").cast("long"),
+                    F.col("n_urls").cast("long"),
+                    F.expr("(_child * 1000000) div n_nodes")
+                    .cast("long").alias("branch_ppm")))
+
+
+def url_tree_sql(urls_sql: str) -> str:
+    """DuckDB twin of url_tree over a subquery producing (url) —
+    same anchored regexps, same prefix explode, same floor."""
+    return r"""
+WITH ut_p AS (
+  SELECT lower(regexp_extract(url,
+           '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS host,
+         list_filter(string_split(regexp_extract(url,
+           '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1), '/'),
+           s -> s <> '') AS segs
+  FROM (""" + urls_sql + r""")),
+ut_e AS (
+  SELECT host, CAST(d AS BIGINT) AS depth,
+         array_to_string(list_slice(segs, 1, d), '/') AS pre,
+         CAST(len(segs) AS BIGINT) AS fdep
+  FROM ut_p, unnest(generate_series(1, len(segs))) AS t(d)
+  WHERE len(segs) > 0),
+ut_l AS (
+  SELECT host, depth, COUNT(DISTINCT pre) AS n_nodes,
+         SUM(CASE WHEN depth = fdep THEN 1 ELSE 0 END) AS n_urls
+  FROM ut_e GROUP BY 1, 2)
+SELECT a.host, a.depth, CAST(a.n_nodes AS BIGINT) AS n_nodes,
+       CAST(a.n_urls AS BIGINT) AS n_urls,
+       CAST((b.n_nodes * 1000000) // a.n_nodes AS BIGINT)
+         AS branch_ppm
+FROM ut_l a LEFT JOIN ut_l b
+ON a.host = b.host AND b.depth = a.depth + 1
+"""

@@ -1499,6 +1499,41 @@ def _doc_urls(spark, sf_dir):
     return d.select("doc_id", _doc_url_col().alias("url"))
 
 
+# tree-shaped synthetic URL (shared step tables, the _DOC_URL_SUFFIXES
+# convention): depth varies 1-3 by doc_id % 4, fanout 5 -> 25 -> docs
+def _tree_url_col():
+    from pyspark.sql import functions as F
+    s2 = F.concat(F.lit("/c"), (F.col("doc_id") % 25).cast("string"))
+    s3 = F.concat(F.lit("/p"), F.col("doc_id").cast("string"))
+    return F.concat(
+        F.lit("http://"), F.col("source"), F.lit(".example.com/s"),
+        (F.col("doc_id") % 5).cast("string"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit(""))
+        .otherwise(F.concat(s2, F.when(F.col("doc_id") % 4 == 1,
+                                       F.lit("")).otherwise(s3))))
+
+
+def _tree_url_sql() -> str:
+    return ("concat('http://', source, '.example.com/s', "
+            "CAST(doc_id % 5 AS VARCHAR), "
+            "CASE WHEN doc_id % 4 = 0 THEN '' ELSE "
+            "concat('/c', CAST(doc_id % 25 AS VARCHAR), "
+            "CASE WHEN doc_id % 4 = 1 THEN '' ELSE "
+            "concat('/p', CAST(doc_id AS VARCHAR)) END) END)")
+
+
+def q_url_tree(spark, sf_dir):
+    """Per-host site-structure profile (r5.45): distinct directory
+    nodes, terminating URLs and child fanout per (host, depth) over
+    the tree-shaped synthetic URLs — the crawl-planning readout
+    (breadth-first shard vs pagination-trap cap) that politeness and
+    robots_gate operate blind to (operators/dedup.url_tree
+    docstring: one bounded prefix explode, one distinct shuffle)."""
+    from .operators.dedup import url_tree
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return url_tree(d.select(_tree_url_col().alias("url")))
+
+
 def q_url_dedup(spark, sf_dir):
     """URL-canonicalization dedup (r4): http/https + www + query +
     fragment + trailing-slash variants collapse to one canonical key;
@@ -4199,6 +4234,13 @@ QUERIES = {
     #    flow_accum (same raster CTE family) and the bounded-scan
     #    tier via cost_distance --
     "dtw_pairs": q_dtw_pairs,
+    # -- r5.45 continued: url_tree (per-host directory fanout over
+    #    tree-shaped synthetic URLs — site-structure profiling for
+    #    the crawl tier). lq_cells (r5.39 — next-oldest non-anchor
+    #    first-timer) rotates just past the boundary; its
+    #    share-of-shares arithmetic on cell-count frames stays
+    #    driver-covered inside via gi_star/geary_c/join_counts --
+    "url_tree": q_url_tree,
     # -- round-5.41 additions (session 11), inside the window for
     #    their first driver rows under the same newest-least-soak
     #    triage; hilbert_keys rotates just past the boundary to make
@@ -4371,7 +4413,6 @@ QUERIES = {
     #  full sweep since it landed, and its single doc-table
     #  group-agg + scalar-broadcast shape is exercised inside by
     #  doc_skyline/bm25_topk/host_drift)
-    "lq_cells": q_lq_cells,
     # (same session-10 triage: score_auc — the Mann-Whitney AUC
     #  companion to quality_pr's decile sheet, new this session —
     #  displaces stay_points, r5.19, the next-oldest first-timer:
@@ -4614,6 +4655,9 @@ QUERIES = {
     # (viewshed — r5.39 — moved just past the window in session 14
     #  to make room for dtw_pairs; see head-of-dict)
     "viewshed": q_viewshed,
+    # (lq_cells — r5.39 — moved just past the window in session 14
+    #  to make room for url_tree; see head-of-dict)
+    "lq_cells": q_lq_cells,
     # (peak_cells — r5.36 — moved just past the window in session 10
     #  to make room for rrf_fuse; see the head-of-dict comment)
     "peak_cells": q_peak_cells,
@@ -5589,6 +5633,9 @@ def oracle_sql() -> dict[str, str]:
     out["cell_churn"] = cell_churn_sql(_TRAJ_PTS_SQL, _CHURN_RES)
     from .operators.events import dtw_pairs_sql
     out["dtw_pairs"] = dtw_pairs_sql(_TRAJ_PTS_SQL)
+    from .operators.dedup import url_tree_sql
+    out["url_tree"] = url_tree_sql(
+        f"SELECT {_tree_url_sql()} AS url FROM documents")
     from .operators.tiles import focal_mode_sql
     out["focal_mode"] = focal_mode_sql(
         f"SELECT {_TRAJ_LAT} AS lat, {_TRAJ_LON} AS lon, "

@@ -688,3 +688,45 @@ class TestDtwPairs:
         rows = self._traj(1, ca2) + self._traj(2, cb2)
         got = self._run(spark, rows)
         assert len(got) == 1 and got[0][3] > 0
+
+
+# ---------------------------------------------------------------------------
+# Per-host URL tree fanout
+# ---------------------------------------------------------------------------
+
+class TestUrlTree:
+    def _run(self, spark, urls):
+        from geospark.operators.dedup import url_tree
+        d = spark.createDataFrame([(u,) for u in urls], "url string")
+        return _rows(url_tree(d),
+                     ["host", "depth", "n_nodes", "n_urls",
+                      "branch_ppm"])
+
+    def test_known_tree(self, spark):
+        """a.com: /x/1, /x/2, /y -> depth1 {x,y} (1 URL ends), depth2
+        {x/1, x/2} (2 end); branch 2e6/2 = 1e6; leaf level NULL."""
+        got = self._run(spark, ["http://a.com/x/1", "http://a.com/x/2",
+                                "http://a.com/y"])
+        assert got == [("a.com", 1, 2, 1, 1_000_000),
+                       ("a.com", 2, 2, 2, None)]
+
+    def test_hosts_independent_and_lowercased(self, spark):
+        got = self._run(spark, ["http://B.com/x", "https://b.COM/y"])
+        assert got == [("b.com", 1, 2, 2, None)]
+
+    def test_empty_segments_collapse(self, spark):
+        """Double slashes and trailing slash mint no phantom nodes;
+        query/fragment never enter the path."""
+        got = self._run(spark, ["http://a.com//x//1/?q=2#f"])
+        assert got == [("a.com", 1, 1, 0, 1_000_000),
+                       ("a.com", 2, 1, 1, None)]
+
+    def test_root_only_urls_dropped(self, spark):
+        """A bare host has no path nodes — no rows, no crash."""
+        assert self._run(spark, ["http://a.com/", "http://a.com"]) == []
+
+    def test_shared_prefixes_count_once(self, spark):
+        """Ten URLs under one directory: depth-1 n_nodes stays 1."""
+        got = self._run(spark, [f"http://a.com/d/{i}" for i in
+                                range(10)])
+        assert got[0][2] == 1 and got[1][2:4] == (10, 10)
