@@ -492,3 +492,157 @@ SELECT g AS {group}, CAST(n_exact AS BIGINT) AS n_exact,
        {err} AS err_ppm
 FROM kmv_e
 """
+
+
+def kmv_overlap(df, key_col: str, group_col: str, *, k: int = KMV_K):
+    """Pairwise audience-overlap audit from merged KMV sketches —
+    the capability that justified bottom-k over HLL registers in
+    kmv_distinct: for every unordered group pair, the union sketch
+    is the bottom-k of the two kept sets (exact mergeability, no
+    rescan), the intersection estimate is inclusion-exclusion
+    clamped at 0,
+
+        inter_kmv = greatest(0, est_a + est_b - est_union),
+
+    and both the estimated and the EXACT Jaccard land side by side
+    in ppm — the audit that sizes k before pairwise-overlap queries
+    run at 10^12 rows where the exact columns are unaffordable
+    (cross-source contamination checks, audience-dedup planning).
+    Estimators and floors are kmv_distinct's to the letter
+    (DECIMAL(38,0)/HUGEINT, (k-1)*2^60 div theta, exhaustive-sketch
+    groups report exactly).
+
+    Scale: ONE (group, hash) distinct shuffle; the exact
+    intersection is a hash-keyed self-join of that frame (the only
+    pair-order-data-sized step — dropped at production with the
+    other exact columns); every sketch-side step runs on kept rows,
+    <= k per group. -> (g_a, g_b, n_a, n_b, inter_exact, inter_kmv,
+    jacc_ppm, jacc_kmv_ppm)."""
+    from pyspark.sql import functions as F
+
+    h = F.expr(_hash64_spark(key_col))
+    base = (df.select(F.col(group_col).alias("_g"), h.alias("_h"))
+            .filter(F.col("_h").isNotNull()).distinct())
+    kept = (base.withColumn("_rn", F.expr(
+        "row_number() OVER (PARTITION BY _g ORDER BY _h ASC)"))
+        .filter(F.col("_rn") <= k).select("_g", "_h"))
+    est = (f"CASE WHEN n <= {int(k)} THEN n ELSE "
+           f"CAST((CAST({int(k) - 1} AS DECIMAL(38,0)) * "
+           f"{KMV_DOMAIN}) div theta AS BIGINT) END")
+    # the merged frame keeps AT MOST k rows, so its count saturates
+    # at k and only a STRICTLY smaller count proves exhaustion
+    est_u = est.replace(f"n <= {int(k)}", f"n < {int(k)}")
+    per = (base.groupBy("_g")
+           .agg(F.count(F.lit(1)).alias("n"))
+           .join(kept.groupBy("_g").agg(F.max("_h").alias("theta")),
+                 "_g")
+           .withColumn("_e", F.expr(est)))
+    # exact intersection: hash-keyed self-join of the distinct frame
+    ix = (base.alias("a").join(
+        base.alias("b"),
+        (F.col("a._h") == F.col("b._h"))
+        & (F.col("a._g") < F.col("b._g")))
+        .groupBy(F.col("a._g").alias("g_a"),
+                 F.col("b._g").alias("g_b"))
+        .agg(F.count(F.lit(1)).alias("inter_exact")))
+    # union sketch per pair: bottom-k of the two kept sets
+    pairs = (per.alias("pa").join(
+        per.alias("pb"), F.col("pa._g") < F.col("pb._g"))
+        .select(F.col("pa._g").alias("g_a"),
+                F.col("pb._g").alias("g_b"),
+                F.col("pa.n").alias("n_a"), F.col("pb.n").alias("n_b"),
+                F.col("pa._e").alias("e_a"),
+                F.col("pb._e").alias("e_b")))
+    merged = (pairs.select("g_a", "g_b")
+              .join(kept.alias("ka"), F.col("g_a") == F.col("ka._g"))
+              .select("g_a", "g_b", "_h")
+              .unionByName(
+                  pairs.select("g_a", "g_b")
+                  .join(kept.alias("kb"),
+                        F.col("g_b") == F.col("kb._g"))
+                  .select("g_a", "g_b", "_h"))
+              .distinct()
+              .withColumn("_rn", F.expr(
+                  "row_number() OVER (PARTITION BY g_a, g_b "
+                  "ORDER BY _h ASC)"))
+              .filter(F.col("_rn") <= k)
+              .groupBy("g_a", "g_b")
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.max("_h").alias("theta"))
+              .withColumn("e_u", F.expr(est_u))
+              .select("g_a", "g_b", "e_u"))
+    out = (pairs.join(merged, ["g_a", "g_b"])
+           .join(ix, ["g_a", "g_b"], "left")
+           .fillna(0, subset=["inter_exact"])
+           .withColumn("inter_kmv", F.expr(
+               "greatest(CAST(0 AS BIGINT), e_a + e_b - e_u)")))
+    return out.select(
+        "g_a", "g_b", F.col("n_a").cast("long"),
+        F.col("n_b").cast("long"),
+        F.col("inter_exact").cast("long"),
+        F.col("inter_kmv").cast("long"),
+        F.expr("(inter_exact * 1000000) div "
+               "(n_a + n_b - inter_exact)").cast("long")
+        .alias("jacc_ppm"),
+        F.expr("CASE WHEN e_a + e_b - inter_kmv = 0 THEN 0 ELSE "
+               "(inter_kmv * 1000000) div (e_a + e_b - inter_kmv) "
+               "END").cast("long").alias("jacc_kmv_ppm"))
+
+
+def kmv_overlap_sql(rows_sql: str, *, key: str = "k",
+                    group: str = "g", k: int = KMV_K) -> str:
+    """DuckDB twin of kmv_overlap — same hash, same kept sets, same
+    inclusion-exclusion clamp and floors."""
+    est = (f"CASE WHEN n <= {int(k)} THEN n ELSE "
+           f"CAST((CAST({int(k) - 1} AS HUGEINT) * {KMV_DOMAIN}) "
+           f"// theta AS BIGINT) END")
+    est_u = est.replace(f"n <= {int(k)}", f"n < {int(k)}")
+    return f"""
+WITH ko_b AS (SELECT DISTINCT {group} AS g,
+                     ({_hash64_duck(key)}) AS h
+              FROM ({rows_sql})
+              WHERE ({_hash64_duck(key)}) IS NOT NULL),
+ko_k AS (SELECT g, h FROM (
+           SELECT g, h, ROW_NUMBER() OVER (PARTITION BY g
+                        ORDER BY h ASC) AS rn FROM ko_b)
+         WHERE rn <= {int(k)}),
+ko_p AS (SELECT b.g, COUNT(*) AS n, MAX(kk.theta) AS theta
+         FROM ko_b b JOIN (SELECT g, MAX(h) AS theta FROM ko_k
+                           GROUP BY 1) kk ON b.g = kk.g
+         GROUP BY 1),
+ko_e AS (SELECT g, n, {est} AS e FROM ko_p),
+ko_x AS (SELECT a.g AS g_a, b.g AS g_b, COUNT(*) AS inter_exact
+         FROM ko_b a JOIN ko_b b
+         ON a.h = b.h AND a.g < b.g GROUP BY 1, 2),
+ko_pr AS (SELECT pa.g AS g_a, pb.g AS g_b, pa.n AS n_a,
+          pb.n AS n_b, pa.e AS e_a, pb.e AS e_b
+          FROM ko_e pa JOIN ko_e pb ON pa.g < pb.g),
+ko_mh AS (SELECT DISTINCT p.g_a, p.g_b, kk.h
+          FROM ko_pr p JOIN ko_k kk
+          ON kk.g = p.g_a OR kk.g = p.g_b),
+ko_mr AS (SELECT g_a, g_b, h,
+          ROW_NUMBER() OVER (PARTITION BY g_a, g_b
+                             ORDER BY h ASC) AS rn
+          FROM ko_mh),
+ko_mu AS (SELECT g_a, g_b, COUNT(*) AS n, MAX(h) AS theta
+          FROM ko_mr WHERE rn <= {int(k)} GROUP BY 1, 2),
+ko_eu AS (SELECT g_a, g_b, {est_u} AS e_u FROM ko_mu),
+ko_f AS (SELECT pr.g_a, pr.g_b, pr.n_a, pr.n_b,
+         COALESCE(x.inter_exact, 0) AS inter_exact,
+         greatest(CAST(0 AS BIGINT), pr.e_a + pr.e_b - eu.e_u)
+           AS inter_kmv,
+         pr.e_a, pr.e_b
+         FROM ko_pr pr
+         JOIN ko_eu eu ON pr.g_a = eu.g_a AND pr.g_b = eu.g_b
+         LEFT JOIN ko_x x ON pr.g_a = x.g_a AND pr.g_b = x.g_b)
+SELECT g_a, g_b, CAST(n_a AS BIGINT) AS n_a,
+       CAST(n_b AS BIGINT) AS n_b,
+       CAST(inter_exact AS BIGINT) AS inter_exact,
+       CAST(inter_kmv AS BIGINT) AS inter_kmv,
+       CAST((inter_exact * 1000000)
+            // (n_a + n_b - inter_exact) AS BIGINT) AS jacc_ppm,
+       CAST(CASE WHEN e_a + e_b - inter_kmv = 0 THEN 0 ELSE
+            (inter_kmv * 1000000) // (e_a + e_b - inter_kmv)
+            END AS BIGINT) AS jacc_kmv_ppm
+FROM ko_f
+"""

@@ -3540,6 +3540,29 @@ def q_enclosing_cell(spark, sf_dir):
                                         "ymax", _ENC_RES))
 
 
+def q_kmv_overlap(spark, sf_dir):
+    """Pairwise audience overlap via merged KMV sketches (r5.45):
+    per event-type pair, exact AND sketch-estimated (user, cell)
+    reach intersection + Jaccard side by side — the
+    inclusion-exclusion capability that justified bottom-k over HLL
+    registers, audited before pairwise queries run where exact
+    intersections are unaffordable (operators/sketch.kmv_overlap
+    docstring: one distinct shuffle, kept-set merge, clamped
+    estimator)."""
+    from pyspark.sql import functions as F
+
+    from .functions.cells import cell_encode
+    from .operators.sketch import kmv_overlap
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pts = e.select(
+        "event_type",
+        F.concat_ws(
+            ":", F.col("user_id").cast("string"),
+            cell_encode(F.expr(EVT_LAT_SQL), F.expr(EVT_LON_SQL),
+                        RES_COARSE).cast("string")).alias("k"))
+    return kmv_overlap(pts, "k", "event_type")
+
+
 def q_colloc_lift(spark, sf_dir):
     """Collocation lift (r5.34): exact integer PMI-monotone lift per
     corpus bigram over the shared tokenization — phrase mining
@@ -4241,6 +4264,13 @@ QUERIES = {
     #    share-of-shares arithmetic on cell-count frames stays
     #    driver-covered inside via gi_star/geary_c/join_counts --
     "url_tree": q_url_tree,
+    # -- r5.45 continued: kmv_overlap (merged-sketch pairwise
+    #    intersection audit, the bottom-k family capstone next to
+    #    in-window kmv_reach). rrf_fuse (r5.39 — next-oldest
+    #    non-anchor first-timer) rotates just past the boundary; its
+    #    rank-window fusion machinery stays driver-covered inside
+    #    via score_auc's rank identity and doc-frame windows --
+    "kmv_overlap": q_kmv_overlap,
     # -- round-5.41 additions (session 11), inside the window for
     #    their first driver rows under the same newest-least-soak
     #    triage; hilbert_keys rotates just past the boundary to make
@@ -4390,7 +4420,6 @@ QUERIES = {
     #  r5.36, next-oldest first-timer, replica-green in every full
     #  sweep since it landed; the raster local-extremum machinery
     #  stays inside via basin_stats/ht_breaks/emerging_hotspots)
-    "rrf_fuse": q_rrf_fuse,
     # -- round-5.39 additions (session 10), same triage: geary_c
     #    and join_counts complete the autocorrelation family next
     #    to the driver-candidate moran_i/lisa_cells; crawl_budget
@@ -4658,6 +4687,9 @@ QUERIES = {
     # (lq_cells — r5.39 — moved just past the window in session 14
     #  to make room for url_tree; see head-of-dict)
     "lq_cells": q_lq_cells,
+    # (rrf_fuse — r5.39 — moved just past the window in session 14
+    #  to make room for kmv_overlap; see head-of-dict)
+    "rrf_fuse": q_rrf_fuse,
     # (peak_cells — r5.36 — moved just past the window in session 10
     #  to make room for rrf_fuse; see the head-of-dict comment)
     "peak_cells": q_peak_cells,
@@ -5626,6 +5658,11 @@ def oracle_sql() -> dict[str, str]:
     out["cms_terms"] = cms_topk_sql(20)
     from .operators.sketch import kmv_distinct_sql
     out["kmv_reach"] = kmv_distinct_sql(
+        f"SELECT event_type, CAST(user_id AS VARCHAR) || ':' || "
+        f"CAST({evt_cell6} AS VARCHAR) AS k FROM events",
+        key="k", group="event_type")
+    from .operators.sketch import kmv_overlap_sql
+    out["kmv_overlap"] = kmv_overlap_sql(
         f"SELECT event_type, CAST(user_id AS VARCHAR) || ':' || "
         f"CAST({evt_cell6} AS VARCHAR) AS k FROM events",
         key="k", group="event_type")

@@ -730,3 +730,75 @@ class TestUrlTree:
         got = self._run(spark, [f"http://a.com/d/{i}" for i in
                                 range(10)])
         assert got[0][2] == 1 and got[1][2:4] == (10, 10)
+
+
+# ---------------------------------------------------------------------------
+# Pairwise KMV overlap
+# ---------------------------------------------------------------------------
+
+class TestKMVOverlap:
+    def _run(self, spark, rows, k=4):
+        from geospark.operators.sketch import kmv_overlap
+        d = spark.createDataFrame(rows, "g string, k string")
+        return {(r[0], r[1]): r[2:] for r in _rows(
+            kmv_overlap(d, "k", "g", k=k),
+            ["g_a", "g_b", "n_a", "n_b", "inter_exact", "inter_kmv",
+             "jacc_ppm", "jacc_kmv_ppm"])}
+
+    def test_exhaustive_sketches_are_exact(self, spark):
+        """Both groups under k: estimates equal exact everywhere."""
+        rows = [("a", "x"), ("a", "y"), ("b", "y"), ("b", "z")]
+        got = self._run(spark, rows, k=8)
+        assert got[("a", "b")] == (2, 2, 1, 1, 333_333, 333_333)
+
+    def test_disjoint_groups(self, spark):
+        rows = [("a", "x"), ("b", "z")]
+        got = self._run(spark, rows, k=8)
+        assert got[("a", "b")] == (1, 1, 0, 0, 0, 0)
+
+    def test_identical_groups_full_jaccard(self, spark):
+        rows = [("a", "x"), ("a", "y"), ("b", "x"), ("b", "y")]
+        got = self._run(spark, rows, k=8)
+        assert got[("a", "b")][2:] == (2, 2, 1_000_000, 1_000_000)
+
+    def test_estimator_clamps_at_zero(self, spark):
+        """Past-k disjoint groups can estimate a negative
+        intersection before the clamp — inter_kmv >= 0 always."""
+        rows = ([("a", f"a{i}") for i in range(12)]
+                + [("b", f"b{i}") for i in range(12)])
+        got = self._run(spark, rows, k=4)
+        (n_a, n_b, ix, ik, jp, jk) = got[("a", "b")]
+        assert (n_a, n_b, ix, jp) == (12, 12, 0, 0)
+        assert ik >= 0 and jk >= 0
+
+    def test_matches_python_replica_past_k(self, spark):
+        """Full replica of the merged-sketch inclusion-exclusion on
+        overlapping past-k groups."""
+        ka = [f"s{i}" for i in range(10)]
+        kb = [f"s{i}" for i in range(5, 15)]
+        rows = [("a", s) for s in ka] + [("b", s) for s in kb]
+        K = 4
+        got = self._run(spark, rows, k=K)
+
+        def est(keys):
+            hs = sorted(_h60(s) for s in set(keys))
+            if len(hs) <= K:
+                return len(hs)
+            return (K - 1) * (1 << 60) // hs[K - 1]
+
+        def kept(keys):
+            return sorted(_h60(s) for s in set(keys))[:K]
+
+        e_a, e_b = est(ka), est(kb)
+        merged = sorted(set(kept(ka)) | set(kept(kb)))[:K]
+        e_u = (len(merged) if len(merged) <= K
+               else (K - 1) * (1 << 60) // merged[K - 1])
+        # len(merged) == K here, so the theta path applies
+        e_u = (K - 1) * (1 << 60) // merged[K - 1]
+        ik = max(0, e_a + e_b - e_u)
+        exact_i = len(set(ka) & set(kb))
+        exp = (10, 10, exact_i, ik,
+               exact_i * 1_000_000 // (20 - exact_i),
+               0 if e_a + e_b - ik == 0
+               else ik * 1_000_000 // (e_a + e_b - ik))
+        assert got[("a", "b")] == exp
