@@ -3141,3 +3141,105 @@ ON a.block = b.block AND a.u < b.u
         sql = f"SELECT *, {expr} AS {name} FROM ({sql})"
     return (f"SELECT user_a, user_b, block, "
             f"CAST(dp_{L}_{L} AS BIGINT) AS dtw FROM ({sql})")
+
+
+def detour_index(points, *, user_col: str = "user_id",
+                 us_col: str = "us", tie_col: str = "event_id",
+                 lat_col: str = "lat", lon_col: str = "lon",
+                 day_us: int = 86_400_000_000):
+    """Per-trip detour index — network efficiency without a network:
+    for every (user, day) with >= 2 events, the traveled path length
+    against the straight origin-destination line,
+
+        detour_ppm = path_udeg * 1e6  div  line_udeg
+
+    in L1 microdegrees (|dlat| + |dlon| — integer-exact, no sqrt;
+    the SAME norm for both legs so the ratio is scale-honest:
+    1e6 = perfectly direct, 3e6 = three times the straight way).
+    The route-quality screen over od_matrix's corridors: a corridor
+    whose trips all read high detour is a missing road / blocked
+    link signal, and in crawl terms the same shape scores redirect-
+    chain inefficiency. Zero-line trips (o == d, round trips) report
+    NULL detour rather than dividing by zero — they're loops, not
+    detours; zero-PATH trips (stationary all day) drop entirely.
+
+    Scale: one (user, day)-keyed lag window for the hop lengths,
+    then one combinable agg per trip — the sessionize cost envelope;
+    no joins, no raster. -> (user_id, day, n_hops, path_udeg,
+    line_udeg, detour_ppm)."""
+    from pyspark.sql import functions as F
+
+    d = points.select(
+        F.col(user_col).alias("user_id"),
+        F.expr(f"{us_col} div {int(day_us)}").alias("day"),
+        F.col(us_col).alias("_us"), F.col(tie_col).alias("_tie"),
+        F.floor(F.col(lat_col) * 1_000_000).cast("long")
+        .alias("_uy"),
+        F.floor(F.col(lon_col) * 1_000_000).cast("long")
+        .alias("_ux"))
+    w = "(PARTITION BY user_id, day ORDER BY _us, _tie)"
+    h = (d.withColumn("_py", F.expr(f"lag(_uy) OVER {w}"))
+         .withColumn("_px", F.expr(f"lag(_ux) OVER {w}"))
+         .withColumn("_rf", F.expr(f"row_number() OVER {w}"))
+         .withColumn("_rl", F.expr(
+             "row_number() OVER (PARTITION BY user_id, day "
+             "ORDER BY _us DESC, _tie DESC)")))
+    t = (h.groupBy("user_id", "day")
+         .agg(F.count(F.lit(1)).alias("_n"),
+              F.sum(F.expr(
+                  "CASE WHEN _py IS NULL THEN 0 ELSE "
+                  "abs(_uy - _py) + abs(_ux - _px) END"))
+              .alias("path_udeg"),
+              F.max(F.when(F.col("_rf") == 1, F.struct("_uy", "_ux")))
+              .alias("_o"),
+              F.max(F.when(F.col("_rl") == 1, F.struct("_uy", "_ux")))
+              .alias("_d")))
+    return (t.filter(F.col("_n") >= 2)
+            .withColumn("line_udeg", F.expr(
+                "abs(_d._uy - _o._uy) + abs(_d._ux - _o._ux)"))
+            .filter(F.col("path_udeg") > 0)
+            .select("user_id", "day",
+                    (F.col("_n") - 1).cast("long").alias("n_hops"),
+                    F.col("path_udeg").cast("long"),
+                    F.col("line_udeg").cast("long"),
+                    F.expr("CASE WHEN line_udeg = 0 THEN NULL ELSE "
+                           "(path_udeg * 1000000) div line_udeg END")
+                    .cast("long").alias("detour_ppm")))
+
+
+def detour_index_sql(pts_sql: str, *,
+                     day_us: int = 86_400_000_000) -> str:
+    """DuckDB twin of detour_index over a subquery producing
+    (user_id, us, event_id, lat, lon) — same lag/argmin text, same
+    L1 floor."""
+    return f"""
+WITH dt_d AS (SELECT user_id, us // {int(day_us)} AS day, us,
+              event_id,
+              CAST(floor(lat * 1000000) AS BIGINT) AS uy,
+              CAST(floor(lon * 1000000) AS BIGINT) AS ux
+              FROM ({pts_sql})),
+dt_h AS (SELECT user_id, day, uy, ux,
+         LAG(uy) OVER w AS py, LAG(ux) OVER w AS px,
+         ROW_NUMBER() OVER w AS rf,
+         ROW_NUMBER() OVER (PARTITION BY user_id, day
+                            ORDER BY us DESC, event_id DESC) AS rl
+         FROM dt_d
+         WINDOW w AS (PARTITION BY user_id, day
+                      ORDER BY us, event_id)),
+dt_t AS (SELECT user_id, day, COUNT(*) AS n,
+         SUM(CASE WHEN py IS NULL THEN 0
+             ELSE abs(uy - py) + abs(ux - px) END) AS path_udeg,
+         MAX(CASE WHEN rf = 1 THEN uy END) AS oy,
+         MAX(CASE WHEN rf = 1 THEN ux END) AS ox,
+         MAX(CASE WHEN rl = 1 THEN uy END) AS dy,
+         MAX(CASE WHEN rl = 1 THEN ux END) AS dx
+         FROM dt_h GROUP BY 1, 2)
+SELECT user_id, day, CAST(n - 1 AS BIGINT) AS n_hops,
+       CAST(path_udeg AS BIGINT) AS path_udeg,
+       CAST(abs(dy - oy) + abs(dx - ox) AS BIGINT) AS line_udeg,
+       CAST(CASE WHEN abs(dy - oy) + abs(dx - ox) = 0 THEN NULL
+            ELSE (path_udeg * 1000000)
+                 // (abs(dy - oy) + abs(dx - ox)) END AS BIGINT)
+         AS detour_ppm
+FROM dt_t WHERE n >= 2 AND path_udeg > 0
+"""

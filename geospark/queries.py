@@ -3563,6 +3563,16 @@ def q_kmv_overlap(spark, sf_dir):
     return kmv_overlap(pts, "k", "event_type")
 
 
+def q_detour(spark, sf_dir):
+    """Trip detour index (r5.45): per (user, day) the L1 path length
+    vs the straight o->d line in exact integer microdegrees — the
+    route-quality screen over od_matrix's corridors, loops reporting
+    NULL not division blowups (operators/events.detour_index
+    docstring: one (user, day) lag window + one combinable agg)."""
+    from .operators.events import detour_index
+    return detour_index(_traj_pts(spark, sf_dir))
+
+
 def q_colloc_lift(spark, sf_dir):
     """Collocation lift (r5.34): exact integer PMI-monotone lift per
     corpus bigram over the shared tokenization — phrase mining
@@ -4271,6 +4281,13 @@ QUERIES = {
     #    rank-window fusion machinery stays driver-covered inside
     #    via score_auc's rank identity and doc-frame windows --
     "kmv_overlap": q_kmv_overlap,
+    # -- r5.45 continued: detour (trip-level path-vs-line L1
+    #    efficiency over the same trajectory frame). sd_ellipse
+    #    (r5.39 — next-oldest non-anchor first-timer) rotates just
+    #    past the boundary; its integer second-moment machinery
+    #    stays driver-covered inside via geary_c/gi_star's m2 sums
+    #    and the argmin/argmax struct tier via stream_od --
+    "detour": q_detour,
     # -- round-5.41 additions (session 11), inside the window for
     #    their first driver rows under the same newest-least-soak
     #    triage; hilbert_keys rotates just past the boundary to make
@@ -4453,7 +4470,6 @@ QUERIES = {
     #  r5.14, replica-green in every sweep since it landed;
     #  sd_ellipse displaces colocation — r5.16, same soak argument)
     "fuzzy_pairs": q_fuzzy_pairs,
-    "sd_ellipse": q_sd_ellipse,
     # (same session-10 triage: cost_distance displaces cell_rolling
     #  — r5.17, replica-green in every sweep since it landed)
     "cost_distance": q_cost_distance,
@@ -4690,6 +4706,9 @@ QUERIES = {
     # (rrf_fuse — r5.39 — moved just past the window in session 14
     #  to make room for kmv_overlap; see head-of-dict)
     "rrf_fuse": q_rrf_fuse,
+    # (sd_ellipse — r5.39 — moved just past the window in session 14
+    #  to make room for detour; see head-of-dict)
+    "sd_ellipse": q_sd_ellipse,
     # (peak_cells — r5.36 — moved just past the window in session 10
     #  to make room for rrf_fuse; see the head-of-dict comment)
     "peak_cells": q_peak_cells,
@@ -5668,6 +5687,8 @@ def oracle_sql() -> dict[str, str]:
         key="k", group="event_type")
     from .operators.events import cell_churn_sql
     out["cell_churn"] = cell_churn_sql(_TRAJ_PTS_SQL, _CHURN_RES)
+    from .operators.events import detour_index_sql
+    out["detour"] = detour_index_sql(_TRAJ_PTS_SQL)
     from .operators.events import dtw_pairs_sql
     out["dtw_pairs"] = dtw_pairs_sql(_TRAJ_PTS_SQL)
     from .operators.dedup import url_tree_sql

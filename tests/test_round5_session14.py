@@ -802,3 +802,53 @@ class TestKMVOverlap:
                0 if e_a + e_b - ik == 0
                else ik * 1_000_000 // (e_a + e_b - ik))
         assert got[("a", "b")] == exp
+
+
+# ---------------------------------------------------------------------------
+# Trip detour index
+# ---------------------------------------------------------------------------
+
+class TestDetourIndex:
+    def _run(self, spark, rows):
+        from geospark.operators.events import detour_index
+        d = spark.createDataFrame(
+            rows, "user_id long, event_id long, lat double, "
+                  "lon double, us long")
+        return _rows(detour_index(d),
+                     ["user_id", "day", "n_hops", "path_udeg",
+                      "line_udeg", "detour_ppm"])
+
+    def test_straight_line_reads_one(self, spark):
+        """Monotone path: detour exactly 1e6."""
+        rows = [(1, i, 0.0, float(i), i) for i in range(3)]
+        got = self._run(spark, rows)
+        assert got == [(1, 0, 2, 2_000_000, 2_000_000, 1_000_000)]
+
+    def test_dogleg_doubles(self, spark):
+        """Out-and-back halfway then on: path 2, line 1 -> 2e6."""
+        rows = [(1, 0, 0.0, 0.0, 0), (1, 1, 0.0, 0.75, 1),
+                (1, 2, 0.0, 0.5, 2)]
+        got = self._run(spark, rows)
+        assert got[0][3:] == (1_000_000, 500_000, 2_000_000)
+
+    def test_round_trip_null(self, spark):
+        """o == d with movement: loop, NULL detour, row kept."""
+        rows = [(1, 0, 0.0, 0.0, 0), (1, 1, 0.0, 1.0, 1),
+                (1, 2, 0.0, 0.0, 2)]
+        got = self._run(spark, rows)
+        assert got[0][3:] == (2_000_000, 0, None)
+
+    def test_stationary_day_dropped(self, spark):
+        """Zero path: no row; single-event days: no row."""
+        rows = [(1, 0, 0.0, 0.0, 0), (1, 1, 0.0, 0.0, 1),
+                (2, 2, 5.0, 5.0, 0)]
+        assert self._run(spark, rows) == []
+
+    def test_days_split_trips(self, spark):
+        """Events across midnight form two trips."""
+        day = 86_400_000_000
+        rows = [(1, 0, 0.0, 0.0, 0), (1, 1, 0.0, 1.0, 1),
+                (1, 2, 0.0, 2.0, day + 1), (1, 3, 0.0, 4.0, day + 2)]
+        got = self._run(spark, rows)
+        assert [r[1] for r in got] == [0, 1]
+        assert got[1][3:] == (2_000_000, 2_000_000, 1_000_000)
