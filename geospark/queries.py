@@ -3573,6 +3573,17 @@ def q_detour(spark, sf_dir):
     return detour_index(_traj_pts(spark, sf_dir))
 
 
+def q_od_ipf(spark, sf_dir):
+    """OD matrix balancing (r5.45): Furness/IPF rescale of the
+    full-period res-3 trip matrix to the last-week margins —
+    yesterday's structure at today's volumes, the transport-planning
+    step after the gravity/radiation corridor judges
+    (operators/events.od_ipf docstring: aggregate-frame window
+    half-rounds, per-entry floors, DECIMAL38/HUGEINT products)."""
+    from .operators.events import od_ipf
+    return od_ipf(_traj_pts(spark, sf_dir), _OD_RES)
+
+
 def q_colloc_lift(spark, sf_dir):
     """Collocation lift (r5.34): exact integer PMI-monotone lift per
     corpus bigram over the shared tokenization — phrase mining
@@ -4288,6 +4299,13 @@ QUERIES = {
     #    stays driver-covered inside via geary_c/gi_star's m2 sums
     #    and the argmin/argmax struct tier via stream_od --
     "detour": q_detour,
+    # -- r5.45 continued: od_ipf (Furness matrix balancing — the
+    #    iterative-rescale family capstone next to markov's power
+    #    iteration). fuzzy_pairs (r5.39 — next-oldest non-anchor
+    #    first-timer) rotates just past the boundary; its blocked
+    #    edit-distance machinery stays driver-covered inside via
+    #    dtw_pairs' blocked pair join and minhash/ngram r4 greens --
+    "od_ipf": q_od_ipf,
     # -- round-5.41 additions (session 11), inside the window for
     #    their first driver rows under the same newest-least-soak
     #    triage; hilbert_keys rotates just past the boundary to make
@@ -4469,7 +4487,6 @@ QUERIES = {
     # (same session-10 triage: fuzzy_pairs displaces quality_pr —
     #  r5.14, replica-green in every sweep since it landed;
     #  sd_ellipse displaces colocation — r5.16, same soak argument)
-    "fuzzy_pairs": q_fuzzy_pairs,
     # (same session-10 triage: cost_distance displaces cell_rolling
     #  — r5.17, replica-green in every sweep since it landed)
     "cost_distance": q_cost_distance,
@@ -4709,6 +4726,9 @@ QUERIES = {
     # (sd_ellipse — r5.39 — moved just past the window in session 14
     #  to make room for detour; see head-of-dict)
     "sd_ellipse": q_sd_ellipse,
+    # (fuzzy_pairs — r5.39 — moved just past the window in
+    #  session 14 to make room for od_ipf; see head-of-dict)
+    "fuzzy_pairs": q_fuzzy_pairs,
     # (peak_cells — r5.36 — moved just past the window in session 10
     #  to make room for rrf_fuse; see the head-of-dict comment)
     "peak_cells": q_peak_cells,
@@ -5689,6 +5709,8 @@ def oracle_sql() -> dict[str, str]:
     out["cell_churn"] = cell_churn_sql(_TRAJ_PTS_SQL, _CHURN_RES)
     from .operators.events import detour_index_sql
     out["detour"] = detour_index_sql(_TRAJ_PTS_SQL)
+    from .operators.events import od_ipf_sql
+    out["od_ipf"] = od_ipf_sql(_TRAJ_PTS_SQL, _OD_RES)
     from .operators.events import dtw_pairs_sql
     out["dtw_pairs"] = dtw_pairs_sql(_TRAJ_PTS_SQL)
     from .operators.dedup import url_tree_sql

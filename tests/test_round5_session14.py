@@ -852,3 +852,69 @@ class TestDetourIndex:
         got = self._run(spark, rows)
         assert [r[1] for r in got] == [0, 1]
         assert got[1][3:] == (2_000_000, 2_000_000, 1_000_000)
+
+
+# ---------------------------------------------------------------------------
+# IPF (Furness) OD matrix balancing
+# ---------------------------------------------------------------------------
+
+class TestOdIpf:
+    def _run(self, spark, rows, rounds=3, tail_day=21, res=3):
+        from geospark.operators.events import od_ipf
+        d = spark.createDataFrame(
+            rows, "user_id long, event_id long, lat double, "
+                  "lon double, us long")
+        return _rows(od_ipf(d, res, rounds=rounds,
+                            tail_day=tail_day),
+                     ["o_cell", "d_cell", "n_obs", "fit_ppm"])
+
+    @staticmethod
+    def _trip(uid, day, a, b):
+        day_us = 86_400_000_000
+        return [(uid, 2 * uid, a[0], a[1], day * day_us + 10),
+                (uid, 2 * uid + 1, b[0], b[1], day * day_us + 20)]
+
+    # three well-separated anchor points (res-3 cells)
+    A, B, C = (1.0, 1.0), (1.0, 91.0), (40.0, 1.0)
+
+    def test_margins_hit_after_balancing(self, spark):
+        """Full period: A->B x2, A->C x2. Tail: A->B x3, A->C x1.
+        After IPF the fitted rows match the tail margins: col sums
+        ~3e6 and ~1e6 (floor slack < 1 per entry)."""
+        rows = []
+        uid = 1
+        for _ in range(2):
+            rows += self._trip(uid, 0, self.A, self.B); uid += 1
+            rows += self._trip(uid, 0, self.A, self.C); uid += 1
+        for _ in range(3):
+            rows += self._trip(uid, 25, self.A, self.B); uid += 1
+        rows += self._trip(uid, 25, self.A, self.C); uid += 1
+        got = self._run(spark, rows)
+        fit = {(r[0], r[1]): r[3] for r in got}
+        vals = sorted(fit.values())
+        # tail totals: A->B 3+obs? full matrix includes tail trips
+        # (days 25 >= 0), so obs = (B:5, C:3), margins R_A=4e6,
+        # C_B=3e6, C_C=1e6 -> fitted entries ~3e6 and ~1e6
+        assert abs(vals[1] - 3_000_000) <= 3
+        assert abs(vals[0] - 1_000_000) <= 3
+        obs = {(r[0], r[1]): r[2] for r in got}
+        assert sorted(obs.values()) == [3, 5]
+
+    def test_absent_tail_origin_zeroes_row(self, spark):
+        """A corridor whose origin vanished from the tail fits 0."""
+        rows = (self._trip(1, 0, self.B, self.C)
+                + self._trip(2, 25, self.A, self.C))
+        got = self._run(spark, rows)
+        fit = {(r[0], r[1]): r[3] for r in got}
+        assert len(got) == 2 and min(fit.values()) == 0
+
+    def test_identity_when_margins_match(self, spark):
+        """Tail == full period: IPF is a fixed point — fit equals
+        the observed matrix in ppm exactly (floors take no slack
+        when the scale factor is exactly 1)."""
+        rows = (self._trip(1, 25, self.A, self.B)
+                + self._trip(2, 25, self.A, self.B)
+                + self._trip(3, 26, self.B, self.C))
+        got = self._run(spark, rows)
+        for o, d, n, fit in got:
+            assert fit == n * 1_000_000
