@@ -646,3 +646,108 @@ SELECT g_a, g_b, CAST(n_a AS BIGINT) AS n_a,
             END AS BIGINT) AS jacc_kmv_ppm
 FROM ko_f
 """
+
+
+# --------------------------------------------------------------------------
+# Exponential-histogram quantile sketch
+# --------------------------------------------------------------------------
+
+QHIST_QS = (50, 90, 99)
+
+
+def qhist_quantiles(df, val_col: str, group_col: str,
+                    *, qs=QHIST_QS):
+    """Per-group quantile-sketch audit — the quantile member of the
+    engine-exact sketch family (HLL/KMV/CMS/Bloom count things; this
+    bounds ORDER statistics in O(64) state): positive values fold
+    into power-of-two buckets by bit length, the sketch answers
+    quantile q with the CEILING of the owning bucket (2^b - 1, a
+    guaranteed upper bound at <= 2x relative error), and the exact
+    type-1 quantile sits beside it with the realized signed error —
+    the audit that decides whether 64 counters suffice before a
+    10^12-row percentile dashboard drops the exact path. Everything
+    is integer: bucket = bit_length (a CASE chain, no log), rank
+    cutoff k = ceil(q*n/100) via (q*n + 99) div 100, est = the
+    smallest bucket whose cumulative count reaches k.
+
+    Scale: the sketch build is ONE (group, bucket) combinable
+    groupBy — 64 counters per group regardless of distribution; the
+    exact side is a group-keyed rank window (dropped at production).
+    -> (group, q, n, exact_q, est_q, err_ppm)."""
+    from pyspark.sql import functions as F
+
+    from ..functions.cells import _blen_case
+    qs = tuple(int(q) for q in qs)
+    d = (df.select(F.col(group_col).alias("_g"),
+                   F.col(val_col).cast("long").alias("_v"))
+         .filter(F.col("_v") > 0))
+    qrows = ", ".join(str(q) for q in qs)
+    # exact side: rank window, value at position k (ties share a
+    # value, so the picked VALUE is deterministic)
+    r = (d.withColumn("_rn", F.expr(
+            "row_number() OVER (PARTITION BY _g ORDER BY _v)"))
+         .withColumn("_n", F.expr(
+            "count(*) OVER (PARTITION BY _g)")))
+    ex = (r.select("_g", "_v", "_rn", "_n",
+                   F.explode(F.expr(f"array({qrows})")).alias("q"))
+          .filter(F.expr("_rn = (q * _n + 99) div 100"))
+          .select(F.col("_g"), F.col("q").cast("long"),
+                  F.col("_n").cast("long").alias("n"),
+                  F.col("_v").alias("exact_q")))
+    hist = (d.withColumn("_b", F.expr(_blen_case("_v", 63)))
+            .groupBy("_g", "_b").agg(F.count(F.lit(1)).alias("_c"))
+            .withColumn("_cum", F.expr(
+                "sum(_c) OVER (PARTITION BY _g ORDER BY _b)"))
+            .withColumn("_n", F.expr(
+                "sum(_c) OVER (PARTITION BY _g)")))
+    est = (hist.select("_g", "_b", "_cum", "_n",
+                       F.explode(F.expr(f"array({qrows})"))
+                       .alias("q"))
+           .filter(F.expr("_cum >= (q * _n + 99) div 100"))
+           .groupBy("_g", "q").agg(F.min("_b").alias("_eb"))
+           .select("_g", F.col("q").cast("long"),
+                   F.expr("shiftleft(CAST(1 AS BIGINT), "
+                          "CAST(_eb AS INT)) - 1").alias("est_q")))
+    out = ex.join(est, ["_g", "q"])
+    return (out.withColumn("err_ppm", F.expr(_err_ppm(
+        "div", "CAST({} AS DECIMAL(38,0))", "est_q", "exact_q"))
+        .cast("long"))
+        .select(F.col("_g").alias(group_col), "q", "n",
+                "exact_q", "est_q", "err_ppm"))
+
+
+def qhist_quantiles_sql(rows_sql: str, *, val: str = "v",
+                        group: str = "g", qs=QHIST_QS) -> str:
+    """DuckDB twin of qhist_quantiles — same CASE-chain bit length,
+    same ceiling cutoffs, same floors."""
+    from ..functions.cells import _blen_case
+    qs = tuple(int(q) for q in qs)
+    qrows = ", ".join(str(q) for q in qs)
+    d = "(est_q - exact_q)"
+    mag = f"(CASE WHEN {d} >= 0 THEN {d} ELSE -{d} END)"
+    err = (f"(CASE WHEN {d} >= 0 THEN 1 ELSE -1 END) * "
+           f"CAST(CAST({mag} AS HUGEINT) * 1000000 "
+           f"// exact_q AS BIGINT)")
+    return f"""
+WITH qh_d AS (SELECT {group} AS g, CAST({val} AS BIGINT) AS v
+              FROM ({rows_sql}) WHERE {val} > 0),
+qh_r AS (SELECT g, v,
+         ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) AS rn,
+         COUNT(*) OVER (PARTITION BY g) AS n FROM qh_d),
+qh_q AS (SELECT unnest([{qrows}]) AS q),
+qh_e AS (SELECT g, CAST(q AS BIGINT) AS q, CAST(n AS BIGINT) AS n,
+         v AS exact_q
+         FROM qh_r, qh_q WHERE rn = (q * n + 99) // 100),
+qh_h AS (SELECT g, {_blen_case('v', 63)} AS b, COUNT(*) AS c
+         FROM qh_d GROUP BY 1, 2),
+qh_c AS (SELECT g, b,
+         SUM(c) OVER (PARTITION BY g ORDER BY b) AS cum,
+         SUM(c) OVER (PARTITION BY g) AS n FROM qh_h),
+qh_s AS (SELECT g, CAST(q AS BIGINT) AS q,
+         (CAST(1 AS BIGINT) << CAST(MIN(b) AS INTEGER)) - 1
+           AS est_q
+         FROM qh_c, qh_q WHERE cum >= (q * n + 99) // 100
+         GROUP BY 1, 2)
+SELECT e.g AS {group}, e.q, e.n, e.exact_q, s.est_q, {err} AS err_ppm
+FROM qh_e e JOIN qh_s s ON e.g = s.g AND e.q = s.q
+"""

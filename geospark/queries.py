@@ -3584,6 +3584,23 @@ def q_od_ipf(spark, sf_dir):
     return od_ipf(_traj_pts(spark, sf_dir), _OD_RES)
 
 
+def q_qhist(spark, sf_dir):
+    """Quantile-sketch audit (r5.45): p50/p90/p99 of integer-floored
+    order totals per priority class from a 64-bucket power-of-two
+    histogram, next to the exact type-1 quantiles and the realized
+    error — the order-statistics member of the engine-exact sketch
+    family (operators/sketch.qhist_quantiles docstring: bit-length
+    CASE chain, ceiling rank cutoffs, one combinable groupBy)."""
+    from pyspark.sql import functions as F
+
+    from .operators.sketch import qhist_quantiles
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return qhist_quantiles(
+        o.select("o_orderpriority",
+                 F.floor("o_totalprice").cast("long").alias("v")),
+        "v", "o_orderpriority")
+
+
 def q_colloc_lift(spark, sf_dir):
     """Collocation lift (r5.34): exact integer PMI-monotone lift per
     corpus bigram over the shared tokenization — phrase mining
@@ -4306,6 +4323,14 @@ QUERIES = {
     #    edit-distance machinery stays driver-covered inside via
     #    dtw_pairs' blocked pair join and minhash/ngram r4 greens --
     "od_ipf": q_od_ipf,
+    # -- r5.45 continued: qhist (power-of-two-histogram quantile
+    #    audit, the order-statistics member of the sketch family
+    #    next to in-window kmv_reach/kmv_overlap/hll/cms/bloom).
+    #    join_counts (r5.39 — next-oldest non-anchor first-timer)
+    #    rotates just past the boundary; its rook-adjacency
+    #    machinery stays driver-covered inside via region_shape's
+    #    rook pairs and gi_star/geary_c's neighbor frames --
+    "qhist": q_qhist,
     # -- round-5.41 additions (session 11), inside the window for
     #    their first driver rows under the same newest-least-soak
     #    triage; hilbert_keys rotates just past the boundary to make
@@ -4462,7 +4487,6 @@ QUERIES = {
     #    in-window row: green in every full sweep since session 3)
     #    rotate just past the boundary to make room --
     "geary_c": q_geary_c,
-    "join_counts": q_join_counts,
     # (same session-10 triage: gi_star — the hotspot-call member of
     #  the same ESDA family, new this session — displaces
     #  campaign_attrib, r5.15, the window's oldest remaining
@@ -4729,6 +4753,9 @@ QUERIES = {
     # (fuzzy_pairs — r5.39 — moved just past the window in
     #  session 14 to make room for od_ipf; see head-of-dict)
     "fuzzy_pairs": q_fuzzy_pairs,
+    # (join_counts — r5.39 — moved just past the window in
+    #  session 14 to make room for qhist; see head-of-dict)
+    "join_counts": q_join_counts,
     # (peak_cells — r5.36 — moved just past the window in session 10
     #  to make room for rrf_fuse; see the head-of-dict comment)
     "peak_cells": q_peak_cells,
@@ -5711,6 +5738,11 @@ def oracle_sql() -> dict[str, str]:
     out["detour"] = detour_index_sql(_TRAJ_PTS_SQL)
     from .operators.events import od_ipf_sql
     out["od_ipf"] = od_ipf_sql(_TRAJ_PTS_SQL, _OD_RES)
+    from .operators.sketch import qhist_quantiles_sql
+    out["qhist"] = qhist_quantiles_sql(
+        "SELECT o_orderpriority, CAST(floor(o_totalprice) AS BIGINT)"
+        " AS v FROM orders",
+        val="v", group="o_orderpriority")
     from .operators.events import dtw_pairs_sql
     out["dtw_pairs"] = dtw_pairs_sql(_TRAJ_PTS_SQL)
     from .operators.dedup import url_tree_sql

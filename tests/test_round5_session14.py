@@ -918,3 +918,41 @@ class TestOdIpf:
         got = self._run(spark, rows)
         for o, d, n, fit in got:
             assert fit == n * 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# Exponential-histogram quantile sketch
+# ---------------------------------------------------------------------------
+
+class TestQhistQuantiles:
+    def _run(self, spark, rows, qs=(50, 90, 99)):
+        from geospark.operators.sketch import qhist_quantiles
+        d = spark.createDataFrame(rows, "g string, v long")
+        return {(r[0], r[1]): r[2:] for r in _rows(
+            qhist_quantiles(d, "v", "g", qs=qs),
+            ["g", "q", "n", "exact_q", "est_q", "err_ppm"])}
+
+    def test_known_exact_and_bucket_bounds(self, spark):
+        """Values 1..10: p50 = 5th smallest = 5, bucket blen(5)=3 ->
+        est 7; p90 = 9 -> blen 4 -> est 15; p99 = 10 -> est 15."""
+        got = self._run(spark, [("a", v) for v in range(1, 11)])
+        assert got[("a", 50)] == (10, 5, 7, 400_000)
+        assert got[("a", 90)] == (10, 9, 15, 666_666)
+        assert got[("a", 99)] == (10, 10, 15, 500_000)
+
+    def test_estimate_is_upper_bound(self, spark):
+        """est >= exact always (the bucket ceiling property)."""
+        import random
+        rng = random.Random(7)
+        rows = [("a", rng.randrange(1, 10**6)) for _ in range(200)]
+        got = self._run(spark, rows)
+        assert all(v[2] >= v[1] and v[3] >= 0 for v in got.values())
+
+    def test_power_of_two_exact_at_ceiling(self, spark):
+        """All values = 2^b - 1: sketch is exact, err 0."""
+        got = self._run(spark, [("a", 7)] * 5)
+        assert all(v[1:] == (7, 7, 0) for v in got.values())
+
+    def test_nonpositive_excluded(self, spark):
+        got = self._run(spark, [("a", 0), ("a", -3), ("a", 4)])
+        assert got[("a", 50)][0] == 1
