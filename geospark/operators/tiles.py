@@ -4175,3 +4175,106 @@ mc_t AS (SELECT p.cell,
 SELECT mc_m.cell, n_pts, med_lat_udeg, med_lon_udeg, tad_udeg
 FROM mc_m JOIN mc_t ON mc_m.cell = mc_t.cell
 """
+
+
+def rendezvous_shards(points, res: int, n_shards: int, *,
+                      lat_col: str = "lat", lon_col: str = "lon"):
+    """Rendezvous (highest-random-weight) shard placement audit over
+    the occupied raster — the data-placement layer under the
+    z-order/hilbert FILE layouts: every cell's owner is the shard
+    with the largest md5(cell:shard) weight, so placement needs no
+    directory, any node computes it, and — the property this audit
+    exists to EVIDENCE — adding a shard moves only the cells the new
+    shard wins (expected 1/(S+1) of them), never reshuffling the
+    rest. Per shard under S = ``n_shards``: cell count, event load,
+    load share, and exactly which of its cells an S+1-th shard would
+    claim (moved_cells / moved_load_ppm — the reshard cost quote).
+    Ties on the 60-bit weight break to the larger shard id in both
+    engines (max struct order).
+
+    Scale: ONE point-level cell shuffle; the placement explode is
+    (S+1) rows per OCCUPIED cell (aggregate-sized) folding through
+    two conditional struct-maxes into a shard-keyed agg — no joins.
+    -> (shard, n_cells, load_events, load_ppm, moved_cells,
+    moved_load_ppm)."""
+    from pyspark.sql import functions as F
+
+    from ..functions.cells import cell_encode
+    from .sketch import _hash64_spark
+    s1 = int(n_shards) + 1
+    cells = (points
+             .select(cell_encode(lat_col, lon_col, res).alias("cell"))
+             .groupBy("cell").agg(F.count(F.lit(1)).alias("_n")))
+    h = _hash64_spark(
+        "concat(cast(cell as string), ':', cast(_s as string))")
+    owned = (cells
+             .withColumn("_s", F.explode(F.expr(
+                 f"sequence(0, {s1 - 1})")))
+             .withColumn("_h", F.expr(h))
+             .groupBy("cell", "_n")
+             .agg(F.max(F.when(F.col("_s") < n_shards, F.struct(
+                 F.col("_h").alias("h"), F.col("_s").alias("s"))))
+                 .alias("_o"),
+                 F.max(F.struct(F.col("_h").alias("h"),
+                                F.col("_s").alias("s")))
+                 .alias("_o1")))
+    g = (owned.groupBy(F.col("_o.s").alias("shard"))
+         .agg(F.count(F.lit(1)).alias("n_cells"),
+              F.sum("_n").alias("load_events"),
+              F.sum(F.expr(
+                  "CASE WHEN _o1.s <> _o.s THEN 1 ELSE 0 END"))
+              .alias("moved_cells"),
+              F.sum(F.expr(
+                  "CASE WHEN _o1.s <> _o.s THEN _n ELSE 0 END"))
+              .alias("_moved_load")))
+    return (g.withColumn("_tot", F.expr("sum(load_events) OVER ()"))
+            .select(F.col("shard").cast("long"),
+                    F.col("n_cells").cast("long"),
+                    F.col("load_events").cast("long"),
+                    F.expr("(load_events * 1000000) div _tot")
+                    .cast("long").alias("load_ppm"),
+                    F.col("moved_cells").cast("long"),
+                    F.expr("CASE WHEN load_events = 0 THEN 0 ELSE "
+                           "(_moved_load * 1000000) div load_events "
+                           "END").cast("long")
+                    .alias("moved_load_ppm")))
+
+
+def rendezvous_shards_sql(pts_sql: str, res: int,
+                          n_shards: int) -> str:
+    """DuckDB twin of rendezvous_shards — same hash text, same
+    struct-max tie order (argmax by (h, s) via window rank)."""
+    from ..functions.cells import cell_encode_sql
+    from .sketch import _hash64_duck
+    s1 = int(n_shards) + 1
+    cell = cell_encode_sql("lat", "lon", res)
+    h = _hash64_duck(
+        "concat(CAST(cell AS VARCHAR), ':', CAST(s AS VARCHAR))")
+    return f"""
+WITH rv_c AS (SELECT cell, COUNT(*) AS n FROM
+              (SELECT {cell} AS cell FROM ({pts_sql})) GROUP BY 1),
+rv_w AS (SELECT cell, n, s, {h} AS h
+         FROM rv_c, (SELECT unnest(range(0, {s1})) AS s)),
+rv_o AS (SELECT cell, n,
+         MAX(CASE WHEN s < {int(n_shards)}
+             THEN CAST(h AS HUGEINT) * {s1} + s END) AS o_key,
+         MAX(CAST(h AS HUGEINT) * {s1} + s) AS o1_key
+         FROM rv_w GROUP BY 1, 2),
+rv_d AS (SELECT cell, n, CAST(o_key % {s1} AS BIGINT) AS o_s,
+         CAST(o1_key % {s1} AS BIGINT) AS o1_s FROM rv_o),
+rv_g AS (SELECT o_s AS shard, COUNT(*) AS n_cells,
+         SUM(n) AS load_events,
+         SUM(CASE WHEN o1_s <> o_s THEN 1 ELSE 0 END) AS moved_cells,
+         SUM(CASE WHEN o1_s <> o_s THEN n ELSE 0 END) AS moved_load
+         FROM rv_d GROUP BY 1)
+SELECT CAST(shard AS BIGINT) AS shard,
+       CAST(n_cells AS BIGINT) AS n_cells,
+       CAST(load_events AS BIGINT) AS load_events,
+       CAST((load_events * 1000000)
+            // SUM(load_events) OVER () AS BIGINT) AS load_ppm,
+       CAST(moved_cells AS BIGINT) AS moved_cells,
+       CAST(CASE WHEN load_events = 0 THEN 0 ELSE
+            (moved_load * 1000000) // load_events END AS BIGINT)
+         AS moved_load_ppm
+FROM rv_g
+"""

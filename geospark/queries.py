@@ -3601,6 +3601,25 @@ def q_qhist(spark, sf_dir):
         "v", "o_orderpriority")
 
 
+_RV_SHARDS = 8
+
+
+def q_rendezvous(spark, sf_dir):
+    """Rendezvous placement audit (r5.45): highest-random-weight
+    shard ownership of the res-6 event raster under 8 shards, with
+    per-shard load share and the exact reshard quote (which cells an
+    added 9th shard claims — rendezvous moves ONLY those)
+    (operators/tiles.rendezvous_shards docstring: one cell shuffle,
+    (S+1)-row explode on the aggregate frame, two struct-maxes)."""
+    from pyspark.sql import functions as F
+
+    from .operators.tiles import rendezvous_shards
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pts = e.select(F.expr(EVT_LAT_SQL).alias("lat"),
+                   F.expr(EVT_LON_SQL).alias("lon"))
+    return rendezvous_shards(pts, RES_COARSE, _RV_SHARDS)
+
+
 def q_colloc_lift(spark, sf_dir):
     """Collocation lift (r5.34): exact integer PMI-monotone lift per
     corpus bigram over the shared tokenization — phrase mining
@@ -4331,6 +4350,13 @@ QUERIES = {
     #    machinery stays driver-covered inside via region_shape's
     #    rook pairs and gi_star/geary_c's neighbor frames --
     "qhist": q_qhist,
+    # -- r5.45 continued: rendezvous (highest-random-weight shard
+    #    placement + exact reshard quote — the data-placement layer
+    #    under the zorder/hilbert file layouts). kendall_tau (r5.40
+    #    — next-oldest non-anchor first-timer) rotates just past the
+    #    boundary; rank concordance stays driver-covered inside via
+    #    spearman_rho and score_auc's Mann-Whitney identity --
+    "rendezvous": q_rendezvous,
     # -- round-5.41 additions (session 11), inside the window for
     #    their first driver rows under the same newest-least-soak
     #    triage; hilbert_keys rotates just past the boundary to make
@@ -4531,7 +4557,6 @@ QUERIES = {
     #  stream_batch_dedup, nominally older, HOLDS the in-window twin
     #  seat that certifies batch_dedup's shared oracle hash and is
     #  not rotatable)
-    "kendall_tau": q_kendall_tau,
     # -- round-5.38 additions (session 9), inside the window for
     #    their first driver row under the session-8 triage principle
     #    (newest rows have the LEAST replica soak, so the final
@@ -4756,6 +4781,9 @@ QUERIES = {
     # (join_counts — r5.39 — moved just past the window in
     #  session 14 to make room for qhist; see head-of-dict)
     "join_counts": q_join_counts,
+    # (kendall_tau — r5.40 — moved just past the window in
+    #  session 14 to make room for rendezvous; see head-of-dict)
+    "kendall_tau": q_kendall_tau,
     # (peak_cells — r5.36 — moved just past the window in session 10
     #  to make room for rrf_fuse; see the head-of-dict comment)
     "peak_cells": q_peak_cells,
@@ -5727,6 +5755,10 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT event_type, CAST(user_id AS VARCHAR) || ':' || "
         f"CAST({evt_cell6} AS VARCHAR) AS k FROM events",
         key="k", group="event_type")
+    from .operators.tiles import rendezvous_shards_sql
+    out["rendezvous"] = rendezvous_shards_sql(
+        f"SELECT {EVT_LAT_SQL} AS lat, {EVT_LON_SQL} AS lon "
+        f"FROM events", RES_COARSE, _RV_SHARDS)
     from .operators.sketch import kmv_overlap_sql
     out["kmv_overlap"] = kmv_overlap_sql(
         f"SELECT event_type, CAST(user_id AS VARCHAR) || ':' || "

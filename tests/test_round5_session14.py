@@ -956,3 +956,75 @@ class TestQhistQuantiles:
     def test_nonpositive_excluded(self, spark):
         got = self._run(spark, [("a", 0), ("a", -3), ("a", 4)])
         assert got[("a", 50)][0] == 1
+
+
+# ---------------------------------------------------------------------------
+# Rendezvous (HRW) shard placement
+# ---------------------------------------------------------------------------
+
+class TestRendezvousShards:
+    def _run(self, spark, rows, n_shards=4, res=4):
+        from geospark.operators.tiles import rendezvous_shards
+        d = spark.createDataFrame(rows, "lat double, lon double")
+        return _rows(rendezvous_shards(d, res, n_shards),
+                     ["shard", "n_cells", "load_events", "load_ppm",
+                      "moved_cells", "moved_load_ppm"])
+
+    @staticmethod
+    def _owner(cell, shards):
+        return max(range(shards),
+                   key=lambda s: (_h60(f"{cell}:{s}"), s))
+
+    def test_matches_python_hrw_replica(self, spark):
+        """Owners and loads equal a from-scratch HRW replica over a
+        deterministic point sweep."""
+        import collections
+        import math
+        rows = [(float(-80 + 7 * i % 160), float(-170 + 11 * i % 340))
+                for i in range(60)]
+        got = self._run(spark, rows)
+        n = 1 << 4
+        loads = collections.Counter()
+        cellload = collections.Counter()
+        for la, lo in rows:
+            x = min(n - 1, max(0, math.floor((lo + 180) / 360 * n)))
+            y = min(n - 1, max(0, math.floor((la + 90) / 180 * n)))
+            cellload[(4 << 56) | (y << 4) | x] += 1
+        exp = collections.Counter()
+        expload = collections.Counter()
+        for cell, ld in cellload.items():
+            o = self._owner(cell, 4)
+            exp[o] += 1
+            expload[o] += ld
+        assert {r[0]: r[1] for r in got} == dict(exp)
+        assert {r[0]: r[2] for r in got} == dict(expload)
+
+    def test_reshard_moves_only_to_new_shard(self, spark):
+        """Every cell moved under S+1 is claimed BY shard S in the
+        replica — the rendezvous minimal-disruption property — and
+        unmoved cells keep their owner."""
+        import collections
+        import math
+        rows = [(float(-80 + 13 * i % 160), float(-170 + 17 * i % 340))
+                for i in range(80)]
+        got = self._run(spark, rows, n_shards=4)
+        n = 1 << 4
+        cells = set()
+        for la, lo in rows:
+            x = min(n - 1, max(0, math.floor((lo + 180) / 360 * n)))
+            y = min(n - 1, max(0, math.floor((la + 90) / 180 * n)))
+            cells.add((4 << 56) | (y << 4) | x)
+        moved = collections.Counter()
+        for c in cells:
+            o4, o5 = self._owner(c, 4), self._owner(c, 5)
+            if o4 != o5:
+                assert o5 == 4  # only the new shard claims
+                moved[o4] += 1
+        assert {r[0]: r[4] for r in got} == dict(
+            {s: moved.get(s, 0) for s in {r[0] for r in got}})
+
+    def test_load_shares_sum_to_one(self, spark):
+        rows = [(10.0, 10.0)] * 9 + [(50.0, 120.0)] * 3
+        got = self._run(spark, rows)
+        assert sum(r[2] for r in got) == 12
+        assert abs(sum(r[3] for r in got) - 1_000_000) < len(got)
