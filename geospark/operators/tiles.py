@@ -4278,3 +4278,130 @@ SELECT CAST(shard AS BIGINT) AS shard,
          AS moved_load_ppm
 FROM rv_g
 """
+
+
+def layout_locality(points, res: int, *, lat_col: str = "lat",
+                    lon_col: str = "lon"):
+    """Space-filling-curve locality audit — the measurement behind
+    the zorder/hilbert layout choice instead of folklore: rank every
+    occupied cell along each curve (rank = the file/row-group
+    position a CLUSTER BY that key would give it), then for every
+    rook-adjacent cell pair report the rank gap
+
+        mean_gap_x1e6 = sum |rank_a - rank_b| * 1e6  div  n_pairs
+
+    per layout ('morton', 'hilbert') plus the worst single seam
+    (max_gap). Spatial neighbors far apart in rank = bbox queries
+    touching that seam read scattered row groups. The audit exists
+    precisely because folklore misleads here: Hilbert guarantees the
+    FORWARD direction (rank-adjacent cells are always space-adjacent
+    — ideal for sequential scans), but on this REVERSE metric (how
+    far apart do space-neighbors land in rank — the row-group
+    pruning question) a dense grid measures Morton TIGHTER on both
+    total and worst seam (504 vs 568 total, 22 vs 53 max on the full
+    8x8 — pinned by the replica test); which curve wins depends on
+    occupancy shape, so an OPTIMIZE-style job should consult this
+    table, not a rule of thumb. No wrap: file layout has no
+    antimeridian. Keys come from the SAME zorder_key/hilbert_encode
+    machinery the layout writers use, fed cell-center coordinates
+    (which quantize back to the cell's own indices — 0.5-cell margin
+    dwarfs double ulp on both engines).
+
+    Scale: one point-level cell shuffle; ranks are two windows over
+    the OCCUPIED frame (global-order windows, aggregate-sized by
+    construction — the lorenz argument); neighbor pairs are two
+    cell-arithmetic equi-joins of that frame with itself.
+    -> (layout, n_pairs, total_gap, max_gap, mean_gap_x1e6)."""
+    from pyspark.sql import functions as F
+
+    from ..functions.cells import (cell_encode, hilbert_encode,
+                                   zorder_key)
+    n = 1 << res
+    mask = n - 1
+    cells = (points
+             .select(cell_encode(lat_col, lon_col, res).alias("cell"))
+             .groupBy("cell").agg(F.count(F.lit(1)).alias("_n"))
+             .withColumn("_x", F.col("cell").bitwiseAND(F.lit(mask)))
+             .withColumn("_y", F.shiftright("cell", res)
+                         .bitwiseAND(F.lit(mask)))
+             .withColumn("clat", (F.col("_y") + 0.5)
+                         * (180.0 / n) - 90.0)
+             .withColumn("clon", (F.col("_x") + 0.5)
+                         * (360.0 / n) - 180.0))
+    keyed = (hilbert_encode(
+        cells.withColumn("zkey", zorder_key("clat", "clon", res)),
+        "clat", "clon", order=res)
+        .withColumn("rz", F.expr(
+            "row_number() OVER (ORDER BY zkey)"))
+        .withColumn("rh", F.expr(
+            "row_number() OVER (ORDER BY hkey)"))
+        .select("cell", "_x", "_y", "rz", "rh"))
+    a = keyed
+    right = keyed.select((F.col("cell") + 1).alias("cell"),
+                         F.col("rz").alias("rz2"),
+                         F.col("rh").alias("rh2"),
+                         F.col("_x").alias("_xb"))
+    up = keyed.select((F.col("cell") + n).alias("cell"),
+                      F.col("rz").alias("rz2"),
+                      F.col("rh").alias("rh2"),
+                      F.lit(None).cast("long").alias("_xb"))
+    pairs = (a.join(right, "cell")
+             .filter(F.col("_xb") < mask)  # b was at x < n-1: no wrap
+             .select("rz", "rh", "rz2", "rh2")
+             .unionByName(a.join(up, "cell")
+                          .select("rz", "rh", "rz2", "rh2")))
+    g = pairs.select(F.explode(F.array(
+        F.struct(F.lit("morton").alias("layout"),
+                 F.abs(F.col("rz") - F.col("rz2")).alias("gap")),
+        F.struct(F.lit("hilbert").alias("layout"),
+                 F.abs(F.col("rh") - F.col("rh2")).alias("gap"))))
+        .alias("_e")).select("_e.layout", "_e.gap")
+    return (g.groupBy("layout")
+            .agg(F.count(F.lit(1)).alias("n_pairs"),
+                 F.sum("gap").alias("total_gap"),
+                 F.max("gap").alias("max_gap"))
+            .select("layout", F.col("n_pairs").cast("long"),
+                    F.col("total_gap").cast("long"),
+                    F.col("max_gap").cast("long"),
+                    F.expr("(total_gap * 1000000) div n_pairs")
+                    .cast("long").alias("mean_gap_x1e6")))
+
+
+def layout_locality_sql(pts_sql: str, res: int) -> str:
+    """DuckDB twin of layout_locality — same center quantization,
+    same zorder_key_sql / hilbert_sql keys, same no-wrap pairs."""
+    from ..functions.cells import (cell_encode_sql, hilbert_sql,
+                                   zorder_key_sql)
+    n = 1 << res
+    mask = n - 1
+    cell = cell_encode_sql("lat", "lon", res)
+    base = f"""SELECT cell, cell & {mask} AS x,
+       (cell >> {res}) & {mask} AS y,
+       ((cell >> {res}) & {mask}) * {180.0 / n} + {0.5 * 180.0 / n} - 90.0 AS clat,
+       (cell & {mask}) * {360.0 / n} + {0.5 * 360.0 / n} - 180.0 AS clon,
+       {zorder_key_sql('((cell >> ' + str(res) + ') & ' + str(mask) + ') * ' + str(180.0 / n) + ' + ' + str(0.5 * 180.0 / n) + ' - 90.0',
+                       '(cell & ' + str(mask) + ') * ' + str(360.0 / n) + ' + ' + str(0.5 * 360.0 / n) + ' - 180.0', res)} AS zkey
+FROM (SELECT cell FROM (SELECT {cell} AS cell FROM ({pts_sql}))
+      GROUP BY 1)"""
+    hil = hilbert_sql("clat", "clon", base, order=res)
+    return f"""
+WITH ll_k AS (SELECT cell, x, y,
+              ROW_NUMBER() OVER (ORDER BY zkey) AS rz,
+              ROW_NUMBER() OVER (ORDER BY hkey) AS rh
+              FROM ({hil})),
+ll_p AS (SELECT a.rz, a.rh, b.rz AS rz2, b.rh AS rh2
+         FROM ll_k a JOIN ll_k b
+         ON b.cell = a.cell + 1 AND a.x < {mask}
+         UNION ALL
+         SELECT a.rz, a.rh, b.rz, b.rh
+         FROM ll_k a JOIN ll_k b ON b.cell = a.cell + {n}),
+ll_g AS (SELECT 'morton' AS layout, abs(rz - rz2) AS gap FROM ll_p
+         UNION ALL
+         SELECT 'hilbert', abs(rh - rh2) FROM ll_p)
+SELECT layout, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(gap) AS BIGINT) AS total_gap,
+       CAST(MAX(gap) AS BIGINT) AS max_gap,
+       CAST((SUM(gap) * 1000000) // COUNT(*) AS BIGINT)
+         AS mean_gap_x1e6
+FROM ll_g GROUP BY 1
+"""

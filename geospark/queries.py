@@ -3620,6 +3620,23 @@ def q_rendezvous(spark, sf_dir):
     return rendezvous_shards(pts, RES_COARSE, _RV_SHARDS)
 
 
+def q_layout_locality(spark, sf_dir):
+    """Curve-locality audit (r5.45): mean and worst rook-neighbor
+    rank gap under Morton vs Hilbert cluster keys over the occupied
+    res-6 event raster — the measured (counter-folklore: dense grids
+    favor Morton on this reverse metric) justification for the
+    layout writers' curve choice (operators/tiles.layout_locality
+    docstring: same key machinery as zorder_keys/hilbert_keys,
+    aggregate-frame windows and joins)."""
+    from pyspark.sql import functions as F
+
+    from .operators.tiles import layout_locality
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pts = e.select(F.expr(EVT_LAT_SQL).alias("lat"),
+                   F.expr(EVT_LON_SQL).alias("lon"))
+    return layout_locality(pts, RES_COARSE)
+
+
 def q_colloc_lift(spark, sf_dir):
     """Collocation lift (r5.34): exact integer PMI-monotone lift per
     corpus bigram over the shared tokenization — phrase mining
@@ -4357,6 +4374,14 @@ QUERIES = {
     #    boundary; rank concordance stays driver-covered inside via
     #    spearman_rho and score_auc's Mann-Whitney identity --
     "rendezvous": q_rendezvous,
+    # -- r5.45 continued: layout_locality (measured Morton-vs-
+    #    Hilbert neighbor rank gaps — the evidence behind the layout
+    #    tier, next to in-window rendezvous/enclosing_cell and the
+    #    r4 zorder_keys green). ks_stat (r5.40 — next-oldest
+    #    non-anchor first-timer) rotates just past the boundary; the
+    #    rank/CDF machinery stays driver-covered inside via
+    #    spearman_rho and cell_cusum's max-deviation scan --
+    "layout_locality": q_layout_locality,
     # -- round-5.41 additions (session 11), inside the window for
     #    their first driver rows under the same newest-least-soak
     #    triage; hilbert_keys rotates just past the boundary to make
@@ -4547,7 +4572,6 @@ QUERIES = {
     #  the in-window od_gravity oracle (the d8_flow twin precedent —
     #  the shared hash stays driver-certified), and its streaming
     #  twin stream_od sits inside under the full replay gate)
-    "ks_stat": q_ks_stat,
     # (same session-10 triage: kendall_tau — per-source exact tau-a
     #  concordance between two quality signals, new this session —
     #  displaces freshness, r5.21, among the oldest remaining soaked
@@ -4784,6 +4808,9 @@ QUERIES = {
     # (kendall_tau — r5.40 — moved just past the window in
     #  session 14 to make room for rendezvous; see head-of-dict)
     "kendall_tau": q_kendall_tau,
+    # (ks_stat — r5.40 — moved just past the window in session 14
+    #  to make room for layout_locality; see head-of-dict)
+    "ks_stat": q_ks_stat,
     # (peak_cells — r5.36 — moved just past the window in session 10
     #  to make room for rrf_fuse; see the head-of-dict comment)
     "peak_cells": q_peak_cells,
@@ -5755,6 +5782,10 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT event_type, CAST(user_id AS VARCHAR) || ':' || "
         f"CAST({evt_cell6} AS VARCHAR) AS k FROM events",
         key="k", group="event_type")
+    from .operators.tiles import layout_locality_sql
+    out["layout_locality"] = layout_locality_sql(
+        f"SELECT {EVT_LAT_SQL} AS lat, {EVT_LON_SQL} AS lon "
+        f"FROM events", RES_COARSE)
     from .operators.tiles import rendezvous_shards_sql
     out["rendezvous"] = rendezvous_shards_sql(
         f"SELECT {EVT_LAT_SQL} AS lat, {EVT_LON_SQL} AS lon "

@@ -1028,3 +1028,83 @@ class TestRendezvousShards:
         got = self._run(spark, rows)
         assert sum(r[2] for r in got) == 12
         assert abs(sum(r[3] for r in got) - 1_000_000) < len(got)
+
+
+# ---------------------------------------------------------------------------
+# Space-filling-curve locality audit
+# ---------------------------------------------------------------------------
+
+class TestLayoutLocality:
+    def _run(self, spark, rows, res=3):
+        from geospark.operators.tiles import layout_locality
+        d = spark.createDataFrame(rows, "lat double, lon double")
+        return {r[0]: r[1:] for r in _rows(
+            layout_locality(d, res),
+            ["layout", "n_pairs", "total_gap", "max_gap",
+             "mean_gap_x1e6"])}
+
+    @staticmethod
+    def _full_grid(res):
+        """One point per cell of the full res grid."""
+        n = 1 << res
+        rows = []
+        for y in range(n):
+            for x in range(n):
+                rows.append((-90.0 + (y + 0.5) * 180.0 / n,
+                             -180.0 + (x + 0.5) * 360.0 / n))
+        return rows
+
+    def test_full_grid_counter_folklore(self, spark):
+        """On the full dense grid the REVERSE-locality metric favors
+        Morton on both total and worst seam (Hilbert's guarantee is
+        the forward direction) — the measurement the audit exists to
+        surface against the rule of thumb."""
+        got = self._run(spark, self._full_grid(3))
+        n = 1 << 3
+        assert got["hilbert"][0] == got["morton"][0] == \
+            2 * n * (n - 1)
+        assert got["morton"][1] < got["hilbert"][1]
+        assert got["morton"][2] < got["hilbert"][2]
+
+    def test_matches_python_replica(self, spark):
+        """Exact totals vs a from-scratch replica using the repo's
+        hilbert_d_np / zorder bit-interleave references."""
+        import numpy as np
+        from geospark.functions.cells import hilbert_d_np, zorder_np
+        res, n = 3, 8
+        rows = self._full_grid(3)
+        lat = np.array([r[0] for r in rows])
+        lon = np.array([r[1] for r in rows])
+        z = zorder_np(lat, lon, res)
+        x = np.floor((lon + 180) / 360 * n).astype(int)
+        y = np.floor((lat + 90) / 180 * n).astype(int)
+        h = hilbert_d_np(x, y, res)
+        rz = {(int(a), int(b)): r for r, (a, b) in enumerate(
+            sorted(zip(x, y), key=lambda p: z[list(zip(x, y)).index(p)]))}
+        # simpler: rank arrays
+        zr = z.argsort().argsort() + 1
+        hr = h.argsort().argsort() + 1
+        tz = th = mz = mh = npairs = 0
+        idx = {(int(a), int(b)): i for i, (a, b) in
+               enumerate(zip(x, y))}
+        for (a, b), i in idx.items():
+            for (dx, dy) in ((1, 0), (0, 1)):
+                j = idx.get((a + dx, b + dy))
+                if j is None:
+                    continue
+                npairs += 1
+                gz = abs(int(zr[i]) - int(zr[j]))
+                gh = abs(int(hr[i]) - int(hr[j]))
+                tz += gz; th += gh
+                mz = max(mz, gz); mh = max(mh, gh)
+        got = self._run(spark, rows)
+        assert got["morton"] == (npairs, tz, mz,
+                                 tz * 1_000_000 // npairs)
+        assert got["hilbert"] == (npairs, th, mh,
+                                  th * 1_000_000 // npairs)
+
+    def test_no_antimeridian_pairs(self, spark):
+        """Cells at x = 0 and x = n-1 on the same row are NOT
+        neighbors for file layout."""
+        rows = [(10.0, -179.0), (10.0, 179.0)]
+        assert self._run(spark, rows) == {}
