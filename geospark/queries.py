@@ -4142,6 +4142,34 @@ def q_dtw_pairs(spark, sf_dir):
     return dtw_pairs(_traj_pts(spark, sf_dir))
 
 
+def q_stream_detour(spark, sf_dir):
+    """STATEFUL STREAMING trip detour under a full value-hash
+    oracle: the event stream through stream_detour (O(1) per-user
+    state: open day, endpoints, running L1 path; the trip row emits
+    when a later-day event closes the day) — which the
+    day < per-user-last-day-restricted batch detour SQL reproduces
+    row for row. uy/ux and us are computed JVM-side with the SAME
+    floor expressions as q_detour
+    (streaming/stream.stream_detour docstring)."""
+    from pyspark.sql import functions as F
+
+    from .streaming.stream import stream_detour
+
+    def build(sdf):
+        d = sdf.select(
+            "user_id", "event_id",
+            F.expr("timestampdiff(MICROSECOND, "
+                   "TIMESTAMP_NTZ '2024-01-01 00:00:00', ts)")
+            .alias("us"),
+            F.floor(F.col("lat") * 1_000_000).cast("long")
+            .alias("uy"),
+            F.floor(F.col("lon") * 1_000_000).cast("long")
+            .alias("ux"))
+        return stream_detour(d)
+
+    return _replay_time_sliced(spark, sf_dir, build, "stream_detour")
+
+
 def q_emerging_hotspots(spark, sf_dir):
     """Emerging-hotspot taxonomy (r5.38): per res-4 cell, the
     space-time-cube verdict (new / intensifying / cooling /
@@ -4382,6 +4410,14 @@ QUERIES = {
     #    rank/CDF machinery stays driver-covered inside via
     #    spearman_rho and cell_cusum's max-deviation scan --
     "layout_locality": q_layout_locality,
+    # -- r5.45 continued: stream_detour (STATEFUL STREAMING twin of
+    #    detour under the full value-hash replay gate — its oracle is
+    #    the day-close-restricted batch SQL, different text from
+    #    detour's, so both sit inside legitimately). geary_c (r5.39
+    #    — next-oldest non-anchor first-timer) rotates just past the
+    #    boundary; the spatial-autocorrelation family stays
+    #    driver-covered inside via gi_star and bimoran --
+    "stream_detour": q_stream_detour,
     # -- round-5.41 additions (session 11), inside the window for
     #    their first driver rows under the same newest-least-soak
     #    triage; hilbert_keys rotates just past the boundary to make
@@ -4537,7 +4573,6 @@ QUERIES = {
     #    and source_overlap (r5.13 — the most replica soak of any
     #    in-window row: green in every full sweep since session 3)
     #    rotate just past the boundary to make room --
-    "geary_c": q_geary_c,
     # (same session-10 triage: gi_star — the hotspot-call member of
     #  the same ESDA family, new this session — displaces
     #  campaign_attrib, r5.15, the window's oldest remaining
@@ -4811,6 +4846,9 @@ QUERIES = {
     # (ks_stat — r5.40 — moved just past the window in session 14
     #  to make room for layout_locality; see head-of-dict)
     "ks_stat": q_ks_stat,
+    # (geary_c — r5.39 — moved just past the window in session 14
+    #  to make room for stream_detour; see head-of-dict)
+    "geary_c": q_geary_c,
     # (peak_cells — r5.36 — moved just past the window in session 10
     #  to make room for rrf_fuse; see the head-of-dict comment)
     "peak_cells": q_peak_cells,
@@ -5799,6 +5837,13 @@ def oracle_sql() -> dict[str, str]:
     out["cell_churn"] = cell_churn_sql(_TRAJ_PTS_SQL, _CHURN_RES)
     from .operators.events import detour_index_sql
     out["detour"] = detour_index_sql(_TRAJ_PTS_SQL)
+    out["stream_detour"] = (
+        f"SELECT b.user_id, b.day, b.n_hops, b.path_udeg, "
+        f"b.line_udeg, b.detour_ppm "
+        f"FROM ({detour_index_sql(_TRAJ_PTS_SQL)}) b "
+        f"JOIN (SELECT user_id, MAX(us // 86400000000) AS mx "
+        f"FROM ({_TRAJ_PTS_SQL}) t GROUP BY 1) m "
+        f"ON b.user_id = m.user_id WHERE b.day < m.mx")
     from .operators.events import od_ipf_sql
     out["od_ipf"] = od_ipf_sql(_TRAJ_PTS_SQL, _OD_RES)
     from .operators.sketch import qhist_quantiles_sql

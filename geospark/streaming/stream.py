@@ -848,3 +848,76 @@ def stream_cell_ewma(stream_df, *, lo_day: int = 0,
                                 "nsum long",
                 outputMode="append",
                 timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def stream_detour(stream_df, *, day_us: int = 86_400_000_000,
+                  user_col: str = "user_id", us_col: str = "us",
+                  tie_col: str = "event_id"):
+    """Streaming trip detour (applyInPandasWithState) — the
+    real-time twin of operators/events.detour_index: a (user, day)
+    trip's (n_hops, path, line, detour_ppm) row emits the moment the
+    day CLOSES (the user's first event of a later day arrives),
+    accumulated from ONE state row per user: open day, its first and
+    last µdeg position, running L1 path sum and event count — O(1)
+    state, history-independent, the reason the batch window+agg
+    translates 1:1. Same exact integer arithmetic (floor µdeg
+    inputs arrive precomputed; |Δ| sums and the ppm floor run in
+    Python ints == BIGINT), same drop rules: single-event and
+    zero-path days emit nothing, loops emit NULL detour. The batch
+    oracle applies the same day < per-user max(day) restriction.
+
+    Contract (shared with stream_od_trips): per-user (us, tie) order
+    non-decreasing across microbatches; uy/ux are computed JVM-side
+    upstream with the SAME floor expressions as the batch operator.
+    -> (user_id, day, n_hops, path_udeg, line_udeg, detour_ppm)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    d_us = int(day_us)
+    out_schema = (f"{user_col} long, day long, n_hops long, "
+                  "path_udeg long, line_udeg long, detour_ppm long")
+
+    def fn(key, pdfs, state):
+        uid = key[0]
+        if state.exists:
+            day, oy, ox, py, px, path, n = state.get
+        else:
+            day = None
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf) == 0:
+            return
+        pdf = pdf.sort_values([us_col, tie_col])
+        rows = []
+
+        def close():
+            if n >= 2 and path > 0:
+                line = abs(py - oy) + abs(px - ox)
+                rows.append((uid, day, n - 1, path, line,
+                             None if line == 0
+                             else path * 1_000_000 // line))
+
+        for us, uy, ux in zip(pdf[us_col], pdf["uy"], pdf["ux"]):
+            d, uy, ux = int(us) // d_us, int(uy), int(ux)
+            if day is None:
+                day, oy, ox, py, px, path, n = d, uy, ux, uy, ux, 0, 1
+            elif d == day:
+                path += abs(uy - py) + abs(ux - px)
+                py, px, n = uy, ux, n + 1
+            else:
+                close()
+                day, oy, ox, py, px, path, n = d, uy, ux, uy, ux, 0, 1
+        state.update((day, oy, ox, py, px, path, n))
+        if rows:
+            yield pd.DataFrame(
+                rows, columns=[user_col, "day", "n_hops",
+                               "path_udeg", "line_udeg",
+                               "detour_ppm"])
+
+    return (stream_df.groupBy(user_col)
+            .applyInPandasWithState(
+                fn, outputStructType=out_schema,
+                stateStructType=("day long, oy long, ox long, "
+                                 "py long, px long, path long, "
+                                 "n long"),
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout))

@@ -1108,3 +1108,80 @@ class TestLayoutLocality:
         neighbors for file layout."""
         rows = [(10.0, -179.0), (10.0, 179.0)]
         assert self._run(spark, rows) == {}
+
+
+# ---------------------------------------------------------------------------
+# Streaming trip detour (stateful twin of detour_index)
+# ---------------------------------------------------------------------------
+
+class TestStreamDetour:
+    def test_matches_batch_across_microbatches(self, spark, tmp_path):
+        """Chunked replay == batch detour restricted to closed days;
+        a day whose origin arrives in batch 1 and destination in
+        batch 2 closes correctly from state."""
+        import datetime as dt
+
+        from pyspark.sql import functions as F
+
+        from geospark.operators.events import detour_index
+        from geospark.streaming.stream import stream_detour
+        base = dt.datetime(2024, 1, 1)
+
+        def ev(eid, uid, day, sec, lat, lon):
+            return (eid, base + dt.timedelta(days=day, seconds=sec),
+                    uid, lat, lon)
+
+        head = [ev(0, 1, 0, 0, 0.0, 0.0), ev(1, 1, 0, 10, 0.0, 0.75)]
+        # --- file boundary splits day 0's tail and day 1 ---
+        tail = [ev(2, 1, 0, 20, 0.0, 0.5),
+                ev(3, 1, 1, 0, 1.0, 1.0),   # closes day 0
+                ev(4, 1, 2, 0, 2.0, 2.0),   # closes day 1 (1 event
+                                            # -> no row)
+                ev(5, 2, 0, 5, 5.0, 5.0),
+                ev(6, 2, 0, 6, 5.0, 6.0),
+                ev(7, 2, 3, 0, 5.0, 7.0)]   # closes user 2 day 0
+        schema = ("event_id long, ts timestamp_ntz, user_id long, "
+                  "lat double, lon double")
+        src = str(tmp_path / "sd_src")
+        spark.createDataFrame(head, schema).coalesce(1) \
+            .write.mode("overwrite").parquet(src)
+        spark.createDataFrame(tail, schema).coalesce(1) \
+            .write.mode("append").parquet(src)
+
+        sdf = (spark.readStream.schema(schema)
+               .option("maxFilesPerTrigger", 1).parquet(src))
+        out = stream_detour(sdf.select(
+            "user_id", "event_id",
+            F.expr("timestampdiff(MICROSECOND, "
+                   "TIMESTAMP_NTZ '2024-01-01 00:00:00', ts)")
+            .alias("us"),
+            F.floor(F.col("lat") * 1_000_000).cast("long")
+            .alias("uy"),
+            F.floor(F.col("lon") * 1_000_000).cast("long")
+            .alias("ux")))
+        q = (out.writeStream.format("memory")
+             .queryName("sd_stream").outputMode("append")
+             .option("checkpointLocation", str(tmp_path / "ck"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        cols = ["user_id", "day", "n_hops", "path_udeg",
+                "line_udeg", "detour_ppm"]
+        got = _rows(spark.sql(
+            f"SELECT {', '.join(cols)} FROM sd_stream"))
+
+        e = spark.read.parquet(src)
+        pts = e.select("user_id", "event_id", "lat", "lon",
+                       F.expr("timestampdiff(MICROSECOND, "
+                              "TIMESTAMP_NTZ '2024-01-01 "
+                              "00:00:00', ts)").alias("us"))
+        batch = detour_index(pts)
+        mx = (pts.groupBy("user_id")
+              .agg(F.max(F.expr("us div 86400000000")).alias("mx")))
+        exp = _rows(batch.join(mx, "user_id").filter("day < mx")
+                    .select(*cols))
+        assert got == exp
+        # the boundary-spanning trip closed with the full 3-hop path
+        assert (1, 0, 2, 1_000_000, 500_000, 2_000_000) in got
+        # user 2's straight day closed; the open last days did not
+        assert (2, 0, 1, 1_000_000, 1_000_000, 1_000_000) in got
+        assert len(got) == 2
