@@ -3371,3 +3371,118 @@ def od_ipf_sql(pts_sql: str, res: int, *, rounds: int = 3,
             + f"\nSELECT o_cell, d_cell, "
               f"CAST(n_trips AS BIGINT) AS n_obs, "
               f"CAST(v AS BIGINT) AS fit_ppm FROM {cur}")
+
+
+def _lcs_cols(L: int, idx) -> list:
+    """Longest-common-subsequence DP as ordered (name, expr) pairs —
+    the _dtw_cols generator's sibling: lc_i_j = a_i == b_j ?
+    lc_{i-1}_{j-1} + 1 : greatest(lc_{i-1}_j, lc_i_{j-1}), with the
+    i=0 / j=0 border folded into the expressions (plan-time
+    constants, no extra columns)."""
+    def eq(i, j):
+        return (f"({idx('ac', i)} = {idx('bc', j)} "
+                f"AND {idx('ar', i)} = {idx('br', j)})")
+
+    cols = []
+    for i in range(1, L + 1):
+        for j in range(1, L + 1):
+            diag = "0" if (i == 1 or j == 1) else f"lc_{i-1}_{j-1}"
+            up = "0" if i == 1 else f"lc_{i-1}_{j}"
+            left = "0" if j == 1 else f"lc_{i}_{j-1}"
+            cols.append((f"lc_{i}_{j}",
+                         f"CASE WHEN {eq(i, j)} THEN {diag} + 1 "
+                         f"ELSE greatest({up}, {left}) END"))
+    return cols
+
+
+def lcs_routes(points, res: int, *, block_res: int = 1,
+               L: int = 8, user_col: str = "user_id",
+               us_col: str = "us", tie_col: str = "event_id",
+               lat_col: str = "lat", lon_col: str = "lon"):
+    """Order-preserving route overlap — the third trajectory
+    similarity next to traj_similarity's place-set Jaccard (no
+    order) and dtw_pairs' elastic alignment (no skips): the longest
+    common CELL subsequence of two users' first-``L``-event routes,
+    as overlap_ppm = lcs * 1e6 div L. Two couriers sharing a 5-stop
+    corridor in the same order score 625000 even if each detours
+    differently between stops — the shared-itinerary signal neither
+    Jaccard (order-blind) nor DTW (skip-blind) isolates. Sequences
+    quantize to res cells; pairs block on the res-``block_res`` home
+    cell; the L x L recurrence UNROLLS into generated integer
+    columns exactly like dtw_pairs (one codegen projection, no
+    iteration, engine parity by construction).
+
+    Scale: identical envelope to dtw_pairs — one user-keyed rank
+    window, one combinable sequence agg, a home-cell-blocked pair
+    join with flat CPU per pair. -> (user_a, user_b, block, lcs,
+    overlap_ppm)."""
+    from pyspark.sql import functions as F
+
+    from ..functions.cells import cell_encode
+    mask = (1 << res) - 1
+    p = points.select(
+        F.col(user_col).alias("u"), F.col(us_col).alias("_us"),
+        F.col(tie_col).alias("_tie"),
+        cell_encode(lat_col, lon_col, res).alias("_c"),
+        cell_encode(lat_col, lon_col, block_res).alias("_bc"))
+    r = p.withColumn("_rn", F.expr(
+        "row_number() OVER (PARTITION BY u ORDER BY _us, _tie)"))
+    seq = (r.filter(F.col("_rn") <= L)
+           .groupBy("u")
+           .agg(F.count(F.lit(1)).alias("_n"),
+                F.array_sort(F.collect_list(F.struct("_rn", "_c")))
+                .alias("_s"),
+                F.max(F.when(F.col("_rn") == 1, F.col("_bc")))
+                .alias("block"))
+           .filter(F.col("_n") == L)
+           .select("u", "block",
+                   F.expr(f"transform(_s, s -> s._c & {mask})")
+                   .alias("cx"),
+                   F.expr(f"transform(_s, s -> (s._c >> {res}) "
+                          f"& {mask})").alias("cy")))
+    a = seq.select(F.col("u").alias("user_a"), "block",
+                   F.col("cx").alias("ac"), F.col("cy").alias("ar"))
+    b = seq.select(F.col("u").alias("user_b"),
+                   F.col("block").alias("_bb"),
+                   F.col("cx").alias("bc"), F.col("cy").alias("br"))
+    pairs = a.join(b, (F.col("block") == F.col("_bb"))
+                   & (F.col("user_a") < F.col("user_b")))
+    for name, expr in _lcs_cols(L, lambda arr, i: f"{arr}[{i - 1}]"):
+        pairs = pairs.withColumn(name, F.expr(expr))
+    return pairs.select(
+        "user_a", "user_b", "block",
+        F.col(f"lc_{L}_{L}").cast("long").alias("lcs"),
+        F.expr(f"(lc_{L}_{L} * 1000000) div {L}").cast("long")
+        .alias("overlap_ppm"))
+
+
+def lcs_routes_sql(pts_sql: str, res: int, *, block_res: int = 1,
+                   L: int = 8) -> str:
+    """DuckDB twin of lcs_routes — same sequence build, same
+    generated LCS text folded as nested SELECTs."""
+    from ..functions.cells import cell_encode_sql
+    mask = (1 << res) - 1
+    cell = cell_encode_sql("lat", "lon", res)
+    bcell = cell_encode_sql("lat", "lon", block_res)
+    seq = f"""SELECT u, block, x AS cx, y AS cy FROM (
+  SELECT u, COUNT(*) AS n,
+         MAX(CASE WHEN rn = 1 THEN bc END) AS block,
+         list(c & {mask} ORDER BY rn) AS x,
+         list((c >> {res}) & {mask} ORDER BY rn) AS y
+  FROM (SELECT user_id AS u, {cell} AS c, {bcell} AS bc,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY us, event_id) AS rn
+        FROM ({pts_sql})) WHERE rn <= {L} GROUP BY u)
+  WHERE n = {L}"""
+    sql = f"""
+SELECT a.u AS user_a, b.u AS user_b, a.block, a.cx AS ac,
+       a.cy AS ar, b.cx AS bc, b.cy AS br
+FROM ({seq}) a JOIN ({seq}) b
+ON a.block = b.block AND a.u < b.u
+"""
+    for name, expr in _lcs_cols(L, lambda arr, i: f"{arr}[{i}]"):
+        sql = f"SELECT *, {expr} AS {name} FROM ({sql})"
+    return (f"SELECT user_a, user_b, block, "
+            f"CAST(lc_{L}_{L} AS BIGINT) AS lcs, "
+            f"CAST((lc_{L}_{L} * 1000000) // {L} AS BIGINT) "
+            f"AS overlap_ppm FROM ({sql})")

@@ -4170,6 +4170,17 @@ def q_stream_detour(spark, sf_dir):
     return _replay_time_sliced(spark, sf_dir, build, "stream_detour")
 
 
+def q_lcs_routes(spark, sf_dir):
+    """Route overlap LCS (r5.46): longest common cell subsequence of
+    home-cell-blocked user routes — the order-preserving,
+    skip-tolerant third trajectory similarity next to
+    traj_similarity (order-blind) and dtw_pairs (skip-blind); the
+    8x8 recurrence unrolls through the same generator machinery
+    (operators/events.lcs_routes docstring)."""
+    from .operators.events import lcs_routes
+    return lcs_routes(_traj_pts(spark, sf_dir), _TRAJSIM_RES)
+
+
 def q_emerging_hotspots(spark, sf_dir):
     """Emerging-hotspot taxonomy (r5.38): per res-4 cell, the
     space-time-cube verdict (new / intensifying / cooling /
@@ -4849,6 +4860,14 @@ QUERIES = {
     # (geary_c — r5.39 — moved just past the window in session 14
     #  to make room for stream_detour; see head-of-dict)
     "geary_c": q_geary_c,
+    # -- r5.46 (session 14, post-rotation additions): placed JUST
+    #    PAST the window by design — the in-window slots are
+    #    committed to the 18-op r5.45 wave plus the session-11-13
+    #    first-timers and the twin/fragment anchors, and no honest
+    #    eviction remains; these rows ship replica-green (gated
+    #    individually on landing + the full-catalog sweep protocol)
+    #    like every other never-windowed catalog row --
+    "lcs_routes": q_lcs_routes,
     # (peak_cells — r5.36 — moved just past the window in session 10
     #  to make room for rrf_fuse; see the head-of-dict comment)
     "peak_cells": q_peak_cells,
@@ -5844,6 +5863,8 @@ def oracle_sql() -> dict[str, str]:
         f"JOIN (SELECT user_id, MAX(us // 86400000000) AS mx "
         f"FROM ({_TRAJ_PTS_SQL}) t GROUP BY 1) m "
         f"ON b.user_id = m.user_id WHERE b.day < m.mx")
+    from .operators.events import lcs_routes_sql
+    out["lcs_routes"] = lcs_routes_sql(_TRAJ_PTS_SQL, _TRAJSIM_RES)
     from .operators.events import od_ipf_sql
     out["od_ipf"] = od_ipf_sql(_TRAJ_PTS_SQL, _OD_RES)
     from .operators.sketch import qhist_quantiles_sql

@@ -1185,3 +1185,70 @@ class TestStreamDetour:
         # user 2's straight day closed; the open last days did not
         assert (2, 0, 1, 1_000_000, 1_000_000, 1_000_000) in got
         assert len(got) == 2
+
+
+# ---------------------------------------------------------------------------
+# LCS route overlap
+# ---------------------------------------------------------------------------
+
+def _lcs_ref(a, b):
+    L = len(a)
+    dp = [[0] * (L + 1) for _ in range(L + 1)]
+    for i in range(1, L + 1):
+        for j in range(1, L + 1):
+            dp[i][j] = (dp[i - 1][j - 1] + 1 if a[i - 1] == b[j - 1]
+                        else max(dp[i - 1][j], dp[i][j - 1]))
+    return dp[L][L]
+
+
+class TestLcsRoutes:
+    def _run(self, spark, rows, L=4, res=3):
+        from geospark.operators.events import lcs_routes
+        d = spark.createDataFrame(
+            rows, "user_id long, event_id long, lat double, "
+                  "lon double, us long")
+        return _rows(lcs_routes(d, res, L=L),
+                     ["user_a", "user_b", "block", "lcs",
+                      "overlap_ppm"])
+
+    @staticmethod
+    def _traj(uid, coords, t0=0):
+        return [(uid, 10 * uid + i, la, lo, t0 + i)
+                for i, (la, lo) in enumerate(coords)]
+
+    def test_matches_python_replica(self, spark):
+        """Engine LCS == classic replica on cell index sequences;
+        res-3 cells are 22.5 x 45 deg, coords chosen per-cell."""
+        import math
+        ca = [(1.0, 1.0), (1.0, 46.0), (30.0, 1.0), (1.0, 91.0)]
+        cb = [(1.0, 1.0), (30.0, 46.0), (30.0, 1.0), (1.0, 91.0)]
+        got = self._run(spark, self._traj(1, ca) + self._traj(2, cb))
+        def cells(cs):
+            n = 8
+            return [(math.floor((lo + 180) / 360 * n),
+                     math.floor((la + 90) / 180 * n))
+                    for la, lo in cs]
+        ref = _lcs_ref(cells(ca), cells(cb))
+        assert got[0][3] == ref == 3
+        assert got[0][4] == ref * 1_000_000 // 4
+
+    def test_order_matters(self, spark):
+        """Same cells reversed after the shared anchor: LCS stays
+        low where Jaccard would be 1."""
+        ca = [(1.0, 1.0), (1.0, 46.0), (30.0, 1.0), (1.0, 91.0)]
+        cb = [ca[0]] + list(reversed(ca[1:]))
+        got = self._run(spark, self._traj(1, ca) + self._traj(2, cb))
+        assert got[0][3] == 2  # anchor + one of the reversed tail
+
+    def test_identical_routes_full_overlap(self, spark):
+        ca = [(1.0, 1.0), (1.0, 46.0), (30.0, 1.0), (1.0, 91.0)]
+        got = self._run(spark, self._traj(1, ca) + self._traj(2, ca))
+        assert got[0][3:] == (4, 1_000_000)
+
+    def test_skip_tolerance_vs_dtw(self, spark):
+        """A detour in the middle keeps the shared stops counting —
+        the property DTW's no-skip alignment penalizes."""
+        ca = [(1.0, 1.0), (1.0, 46.0), (30.0, 1.0), (1.0, 91.0)]
+        cb = [ca[0], (60.0, -120.0), ca[1], ca[2]]  # detour then rejoin
+        got = self._run(spark, self._traj(1, ca) + self._traj(2, cb))
+        assert got[0][3] == 3
