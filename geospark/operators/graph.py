@@ -522,3 +522,70 @@ def hits_sql(edges_sql: str, nodes_sql: str, *, iters: int = 4,
             f"CAST(a.s AS BIGINT) AS auth_ppm, "
             f"CAST(h.s AS BIGINT) AS hub_ppm "
             f"FROM a{iters} a JOIN h{iters} h USING (id)")
+
+
+def harmonic2(edges, *, a_col: str = "id_a", b_col: str = "id_b"):
+    """Bounded-hop harmonic centrality — the node-importance reach
+    score over an undirected graph, truncated at radius 2 where the
+    all-pairs sum is still tractable distributedly:
+
+        harm_x2 = 2 * n1 + n2     (sum of 2/d, d in {1, 2} — the
+                                   lcm-2 scaling keeps it BIGINT,
+                                   no fractions)
+
+    with n1 the degree and n2 the count of distinct nodes exactly
+    two hops away (reachable via a neighbor, not a neighbor, not
+    self). Unlike degree alone, harm_x2 separates a hub inside a
+    clique (n2 ~ 0) from a broker bridging neighborhoods (n2 large)
+    — the same distinction betweenness draws, at equi-join cost
+    instead of all-pairs paths. Truncation is the 100 TB design
+    point: radius-2 is one self-join of the edge frame; each extra
+    hop multiplies by the average degree, so deeper reach belongs to
+    the iterative grid_reach/bounded_paths tier.
+
+    Scale: symmetrize (one union), ONE (mid)-keyed self-join for the
+    wedge frame, a distinct on (src, dst2), an anti-join against the
+    edge set, and two combinable counts — all node-/edge-keyed, no
+    global funnel. -> (id, n1, n2, harm_x2)."""
+    from pyspark.sql import functions as F
+
+    sym = (edges.select(F.col(a_col).alias("s"),
+                        F.col(b_col).alias("d"))
+           .unionByName(edges.select(F.col(b_col).alias("s"),
+                                     F.col(a_col).alias("d")))
+           .distinct())
+    deg = sym.groupBy("s").agg(F.count(F.lit(1)).alias("n1"))
+    wedge = (sym.alias("x").join(
+        sym.alias("y"), F.col("x.d") == F.col("y.s"))
+        .filter(F.col("x.s") != F.col("y.d"))
+        .select(F.col("x.s").alias("s"), F.col("y.d").alias("d2"))
+        .distinct())
+    two = (wedge.join(sym.withColumnRenamed("d", "d2"),
+                      ["s", "d2"], "left_anti")
+           .groupBy("s").agg(F.count(F.lit(1)).alias("n2")))
+    return (deg.join(two, "s", "left").fillna(0, subset=["n2"])
+            .select(F.col("s").alias("id"),
+                    F.col("n1").cast("long"),
+                    F.col("n2").cast("long"),
+                    F.expr("2 * n1 + n2").cast("long")
+                    .alias("harm_x2")))
+
+
+def harmonic2_sql(edges_sql: str) -> str:
+    """DuckDB twin of harmonic2 over a subquery producing
+    (id_a, id_b) — same symmetrize/wedge/anti-join text."""
+    return f"""
+WITH h2_e AS (SELECT id_a AS s, id_b AS d FROM ({edges_sql})
+              UNION SELECT id_b, id_a FROM ({edges_sql})),
+h2_d AS (SELECT s, COUNT(*) AS n1 FROM h2_e GROUP BY 1),
+h2_w AS (SELECT DISTINCT x.s, y.d AS d2
+         FROM h2_e x JOIN h2_e y ON x.d = y.s
+         WHERE x.s <> y.d),
+h2_t AS (SELECT w.s, COUNT(*) AS n2 FROM h2_w w
+         LEFT JOIN h2_e e ON w.s = e.s AND w.d2 = e.d
+         WHERE e.s IS NULL GROUP BY 1)
+SELECT d.s AS id, CAST(d.n1 AS BIGINT) AS n1,
+       CAST(COALESCE(t.n2, 0) AS BIGINT) AS n2,
+       CAST(2 * d.n1 + COALESCE(t.n2, 0) AS BIGINT) AS harm_x2
+FROM h2_d d LEFT JOIN h2_t t ON d.s = t.s
+"""

@@ -4170,6 +4170,22 @@ def q_stream_detour(spark, sf_dir):
     return _replay_time_sliced(spark, sf_dir, build, "stream_detour")
 
 
+def q_harmonic2(spark, sf_dir):
+    """Bounded harmonic centrality (r5.46): 2*deg + |2-hop set| over
+    the 5-degree customer proximity graph — broker-vs-clique-hub
+    separation at equi-join cost (operators/graph.harmonic2
+    docstring: one wedge self-join + anti-join, lcm-2 integer
+    scaling)."""
+    from pyspark.sql import functions as F
+
+    from .operators.graph import harmonic2
+    from .operators.tiles import proximity_edges
+    pts = _cust_points(spark, sf_dir).select(
+        F.col("c_custkey").alias("id"), "lat", "lon")
+    return harmonic2(proximity_edges(pts, _PROX_R_UDEG,
+                                     res=_PROX_RES))
+
+
 def q_lcs_routes(spark, sf_dir):
     """Route overlap LCS (r5.46): longest common cell subsequence of
     home-cell-blocked user routes — the order-preserving,
@@ -4868,6 +4884,7 @@ QUERIES = {
     #    individually on landing + the full-catalog sweep protocol)
     #    like every other never-windowed catalog row --
     "lcs_routes": q_lcs_routes,
+    "harmonic2": q_harmonic2,
     # (peak_cells — r5.36 — moved just past the window in session 10
     #  to make room for rrf_fuse; see the head-of-dict comment)
     "peak_cells": q_peak_cells,
@@ -5863,6 +5880,11 @@ def oracle_sql() -> dict[str, str]:
         f"JOIN (SELECT user_id, MAX(us // 86400000000) AS mx "
         f"FROM ({_TRAJ_PTS_SQL}) t GROUP BY 1) m "
         f"ON b.user_id = m.user_id WHERE b.day < m.mx")
+    from .operators.graph import harmonic2_sql
+    from .operators.tiles import proximity_edges_sql
+    out["harmonic2"] = harmonic2_sql(proximity_edges_sql(
+        f"SELECT c_custkey AS id, lat, lon FROM ({_CUST_PTS_CTE})",
+        _PROX_R_UDEG))
     from .operators.events import lcs_routes_sql
     out["lcs_routes"] = lcs_routes_sql(_TRAJ_PTS_SQL, _TRAJSIM_RES)
     from .operators.events import od_ipf_sql

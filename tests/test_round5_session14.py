@@ -1252,3 +1252,44 @@ class TestLcsRoutes:
         cb = [ca[0], (60.0, -120.0), ca[1], ca[2]]  # detour then rejoin
         got = self._run(spark, self._traj(1, ca) + self._traj(2, cb))
         assert got[0][3] == 3
+
+
+# ---------------------------------------------------------------------------
+# Bounded harmonic centrality
+# ---------------------------------------------------------------------------
+
+class TestHarmonic2:
+    def _run(self, spark, edges):
+        from geospark.operators.graph import harmonic2
+        d = spark.createDataFrame(edges, "id_a long, id_b long")
+        return {r[0]: r[1:] for r in _rows(
+            harmonic2(d), ["id", "n1", "n2", "harm_x2"])}
+
+    def test_path_graph(self, spark):
+        """1-2-3-4: ends see 1 neighbor + 1 two-hop; middles see 2
+        neighbors + 1 two-hop."""
+        got = self._run(spark, [(1, 2), (2, 3), (3, 4)])
+        assert got[1] == (1, 1, 3) and got[4] == (1, 1, 3)
+        assert got[2] == (2, 1, 5) and got[3] == (2, 1, 5)
+
+    def test_clique_has_no_two_hop(self, spark):
+        """Triangle: everyone is everyone's neighbor — n2 = 0, the
+        clique-hub signature."""
+        got = self._run(spark, [(1, 2), (2, 3), (1, 3)])
+        assert all(v == (2, 0, 4) for v in got.values())
+
+    def test_broker_beats_clique_hub(self, spark):
+        """A degree-2 broker bridging two pairs outscores a degree-2
+        clique member: same n1, bigger n2."""
+        # clique 1-2-3; broker 4 linking 5 and 6 (5,6 not linked)
+        got = self._run(spark, [(1, 2), (2, 3), (1, 3),
+                                (4, 5), (4, 6)])
+        assert got[4] == (2, 0, 4)  # 5,6 are neighbors, no 2-hop
+        # 5 reaches 6 via 4: n2 = 1 -> the LEAVES gain reach,
+        # while every clique member stays closed at 1 hop
+        assert got[5] == (1, 1, 3)
+        assert got[1] == (2, 0, 4)
+
+    def test_duplicate_and_reversed_edges_collapse(self, spark):
+        got = self._run(spark, [(1, 2), (2, 1), (1, 2)])
+        assert got[1] == (1, 0, 2) and got[2] == (1, 0, 2)
