@@ -3486,3 +3486,90 @@ ON a.block = b.block AND a.u < b.u
             f"CAST(lc_{L}_{L} AS BIGINT) AS lcs, "
             f"CAST((lc_{L}_{L} * 1000000) // {L} AS BIGINT) "
             f"AS overlap_ppm FROM ({sql})")
+
+
+def cell_rules(pts, res: int, *, min_users: int = 5,
+               user_col: str = "user_id", lat_col: str = "lat",
+               lon_col: str = "lon"):
+    """Market-basket association rules over visited cells — "users
+    who frequent A also frequent B": for every ordered cell pair
+    with at least ``min_users`` co-visitors,
+
+        support_ppm = n_ab * 1e6 div N
+        conf_ppm    = n_ab * 1e6 div n_a          (A -> B)
+        lift_ppm    = n_ab * N * 1e6 div (n_a * n_b)
+
+    over the distinct (user, cell) visit sets — ANY-time co-patronage
+    at the USER grain, vs colocation's same-day co-presence and
+    colloc_lift's adjacent-token grain; lift > 1e6 is the
+    cross-visitation signal retail siting and transit planning run
+    on. Integer-exact throughout (the n_ab·N product runs in
+    DECIMAL(38,0)/HUGEINT).
+
+    Scale: the apriori prune comes FIRST — cells with fewer than
+    ``min_users`` visitors can never reach the co-visitor floor, so
+    visits semi-join the frequent-cell set before the user-keyed
+    pair explode (the step that bounds basket fanout); the pair
+    groupBy is map-side combinable. -> (cell_a, cell_b, n_a, n_b,
+    n_ab, support_ppm, conf_ppm, lift_ppm), both directions."""
+    from pyspark.sql import functions as F
+
+    from ..functions.cells import cell_encode
+    v = (pts.select(F.col(user_col).alias("u"),
+                    cell_encode(lat_col, lon_col, res).alias("c"))
+         .distinct())
+    freq = (v.groupBy("c").agg(F.count(F.lit(1)).alias("n_c"))
+            .filter(F.col("n_c") >= int(min_users)))
+    fv = v.join(F.broadcast(freq), "c")
+    n_tot = v.select("u").distinct().count()
+    pairs = (fv.alias("a").join(
+        fv.alias("b"),
+        (F.col("a.u") == F.col("b.u"))
+        & (F.col("a.c") != F.col("b.c")))
+        .groupBy(F.col("a.c").alias("cell_a"),
+                 F.col("b.c").alias("cell_b"),
+                 F.col("a.n_c").alias("n_a"),
+                 F.col("b.n_c").alias("n_b"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= int(min_users)))
+    return pairs.select(
+        "cell_a", "cell_b",
+        F.col("n_a").cast("long"), F.col("n_b").cast("long"),
+        F.col("n_ab").cast("long"),
+        F.expr(f"(n_ab * 1000000) div {n_tot}").cast("long")
+        .alias("support_ppm"),
+        F.expr("(n_ab * 1000000) div n_a").cast("long")
+        .alias("conf_ppm"),
+        F.expr(f"CAST((CAST(n_ab AS DECIMAL(38,0)) * {n_tot} "
+               f"* 1000000) div (CAST(n_a AS DECIMAL(38,0)) * n_b) "
+               f"AS BIGINT)").alias("lift_ppm"))
+
+
+def cell_rules_sql(pts_sql: str, res: int, *,
+                   min_users: int = 5) -> str:
+    """DuckDB twin of cell_rules over a subquery producing
+    (user_id, lat, lon) — same prune-first order, same floors."""
+    from ..functions.cells import cell_encode_sql
+    cell = cell_encode_sql("lat", "lon", res)
+    return f"""
+WITH cr_v AS (SELECT DISTINCT user_id AS u, {cell} AS c
+              FROM ({pts_sql})),
+cr_f AS (SELECT c, COUNT(*) AS n_c FROM cr_v GROUP BY 1
+         HAVING COUNT(*) >= {int(min_users)}),
+cr_n AS (SELECT COUNT(DISTINCT u) AS n FROM cr_v),
+cr_fv AS (SELECT v.u, v.c, f.n_c FROM cr_v v JOIN cr_f f
+          ON v.c = f.c),
+cr_p AS (SELECT a.c AS cell_a, b.c AS cell_b, a.n_c AS n_a,
+         b.n_c AS n_b, COUNT(*) AS n_ab
+         FROM cr_fv a JOIN cr_fv b
+         ON a.u = b.u AND a.c <> b.c
+         GROUP BY 1, 2, 3, 4
+         HAVING COUNT(*) >= {int(min_users)})
+SELECT cell_a, cell_b, CAST(n_a AS BIGINT) AS n_a,
+       CAST(n_b AS BIGINT) AS n_b, CAST(n_ab AS BIGINT) AS n_ab,
+       CAST((n_ab * 1000000) // n AS BIGINT) AS support_ppm,
+       CAST((n_ab * 1000000) // n_a AS BIGINT) AS conf_ppm,
+       CAST((CAST(n_ab AS HUGEINT) * n * 1000000)
+            // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT) AS lift_ppm
+FROM cr_p, cr_n
+"""

@@ -4186,6 +4186,16 @@ def q_harmonic2(spark, sf_dir):
                                      res=_PROX_RES))
 
 
+def q_cell_rules(spark, sf_dir):
+    """Cell association rules (r5.46): any-time co-patronage rules
+    A->B over per-user visited-cell sets at res 3 — support /
+    confidence / lift in exact ppm with the apriori prune first, the
+    retail-siting signal colocation's same-day grain can't give
+    (operators/events.cell_rules docstring)."""
+    from .operators.events import cell_rules
+    return cell_rules(_traj_pts(spark, sf_dir), _OD_RES)
+
+
 def q_lcs_routes(spark, sf_dir):
     """Route overlap LCS (r5.46): longest common cell subsequence of
     home-cell-blocked user routes — the order-preserving,
@@ -4885,6 +4895,7 @@ QUERIES = {
     #    like every other never-windowed catalog row --
     "lcs_routes": q_lcs_routes,
     "harmonic2": q_harmonic2,
+    "cell_rules": q_cell_rules,
     # (peak_cells — r5.36 — moved just past the window in session 10
     #  to make room for rrf_fuse; see the head-of-dict comment)
     "peak_cells": q_peak_cells,
@@ -5880,6 +5891,8 @@ def oracle_sql() -> dict[str, str]:
         f"JOIN (SELECT user_id, MAX(us // 86400000000) AS mx "
         f"FROM ({_TRAJ_PTS_SQL}) t GROUP BY 1) m "
         f"ON b.user_id = m.user_id WHERE b.day < m.mx")
+    from .operators.events import cell_rules_sql
+    out["cell_rules"] = cell_rules_sql(_TRAJ_PTS_SQL, _OD_RES)
     from .operators.graph import harmonic2_sql
     from .operators.tiles import proximity_edges_sql
     out["harmonic2"] = harmonic2_sql(proximity_edges_sql(

@@ -1293,3 +1293,59 @@ class TestHarmonic2:
     def test_duplicate_and_reversed_edges_collapse(self, spark):
         got = self._run(spark, [(1, 2), (2, 1), (1, 2)])
         assert got[1] == (1, 0, 2) and got[2] == (1, 0, 2)
+
+
+# ---------------------------------------------------------------------------
+# Cell association rules
+# ---------------------------------------------------------------------------
+
+class TestCellRules:
+    def _run(self, spark, rows, min_users=2, res=3):
+        from geospark.operators.events import cell_rules
+        d = spark.createDataFrame(
+            rows, "user_id long, lat double, lon double")
+        return {(r[0], r[1]): r[2:] for r in _rows(
+            cell_rules(d, res, min_users=min_users),
+            ["cell_a", "cell_b", "n_a", "n_b", "n_ab",
+             "support_ppm", "conf_ppm", "lift_ppm"])}
+
+    A, B, C = (1.0, 1.0), (1.0, 46.0), (30.0, 91.0)
+
+    def test_known_rule_arithmetic(self, spark):
+        """4 users: 3 visit A, 2 visit both A and B, 1 visits only
+        C + B. N=4, n_A=3, n_B=3, n_AB=2: support 500000, conf(A->B)
+        666666, lift = 2*4/(3*3) ppm."""
+        rows = ([(u, *self.A) for u in (1, 2, 3)]
+                + [(u, *self.B) for u in (1, 2, 4)]
+                + [(4, *self.C)])
+        got = self._run(spark, rows)
+        a = [k for k in got if got[k][2] == 2][0]
+        assert got[a] == (3, 3, 2, 500_000, 666_666,
+                          2 * 4 * 1_000_000 // 9)
+        # both directions present with swapped margins
+        assert (a[1], a[0]) in got
+
+    def test_duplicate_visits_collapse(self, spark):
+        """Repeat visits don't inflate co-visitor counts."""
+        rows = [(1, *self.A), (1, *self.A), (1, *self.B),
+                (2, *self.A), (2, *self.B)]
+        got = self._run(spark, rows)
+        assert all(v[2] == 2 for v in got.values())
+
+    def test_apriori_prune(self, spark):
+        """A cell below min_users never appears in any rule."""
+        rows = [(1, *self.A), (1, *self.C),
+                (2, *self.A), (2, *self.B), (1, *self.B)]
+        got = self._run(spark, rows, min_users=2)
+        cells = {k[0] for k in got} | {k[1] for k in got}
+        assert len(got) == 2  # A<->B only; C pruned (1 visitor)
+
+    def test_lift_above_one_for_correlated(self, spark):
+        """Perfectly co-visited pair: lift = N/n ppm > 1e6 when a
+        third independent user exists."""
+        rows = ([(u, *self.A) for u in (1, 2)]
+                + [(u, *self.B) for u in (1, 2)]
+                + [(3, *self.C), (3, *self.C)])
+        got = self._run(spark, rows)
+        assert all(v[5] == 3 * 1_000_000 // 2
+                   for v in got.values())

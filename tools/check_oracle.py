@@ -5,17 +5,21 @@ row count, column names, and an order-insensitive value hash
 rounding at 1e-9 granularity).
 
 Usage: python tools/check_oracle.py [query ...]
+GEOSPARK_ORACLE_SF_DIR overrides the comparison scale (both engines
+switch together — queries.py's IVF oracle already honors it).
 """
 
 from __future__ import annotations
 
+import os
 import sys
 
 import duckdb
 import numpy as np
 import pandas as pd
 
-SF_DIR = "/root/testdata/sf0.01"
+SF_DIR = os.environ.get("GEOSPARK_ORACLE_SF_DIR",
+                        "/root/testdata/sf0.01")
 TABLES = ("region nation customer supplier part orders lineitem events "
           "documents embeddings").split()
 
