@@ -4405,3 +4405,84 @@ SELECT layout, CAST(COUNT(*) AS BIGINT) AS n_pairs,
          AS mean_gap_x1e6
 FROM ll_g GROUP BY 1
 """
+
+
+def cell_backtest(points, res: int, *, season: int = 7,
+                  us_col: str = "us", lat_col: str = "lat",
+                  lon_col: str = "lon",
+                  day_us: int = 86_400_000_000):
+    """Per-cell forecast backtest — "is this tile's traffic
+    predictable, and does weekly seasonality help": over the dense
+    daily calendar, score the seasonal-naive forecast (x_hat_t =
+    x_{t-season}) against the persistence baseline (x_hat_t =
+    x_{t-1}) on the SAME scored days (t > season, so both models
+    forecast every scored day), reporting exact integer absolute
+    error sums and
+
+        skill_ppm = mae_season_sum * 1e6 div mae_naive_sum
+
+    (< 1e6 = seasonality beats persistence; NULL when the baseline
+    is perfect). The model-selection table a forecasting pipeline
+    consults per REGION before fitting anything heavier — and the
+    honest-evaluation shape (fixed-origin backtest, shared scored
+    set) that cell_trend/cell_theil_sen's fit statistics don't give.
+    Zero-filled gap days are load-bearing: a model that never sees
+    quiet days scores fantasy errors.
+
+    Scale: rides _dense_daily_counts' one (cell, day) shuffle; both
+    forecasts are lag windows over the dense AGGREGATE frame and the
+    scores one combinable agg. -> (cell, n_scored, err_season,
+    err_naive, skill_ppm)."""
+    from pyspark.sql import functions as F
+    filled, lo, hi = _dense_daily_counts(
+        points, res, us_col=us_col, lat_col=lat_col, lon_col=lon_col,
+        day_us=day_us)
+    if lo is None or hi - lo < season:
+        return (filled.select(
+            "cell", F.lit(0).cast("long").alias("n_scored"),
+            F.lit(0).cast("long").alias("err_season"),
+            F.lit(0).cast("long").alias("err_naive"),
+            F.lit(None).cast("long").alias("skill_ppm")).limit(0))
+    w = "(PARTITION BY cell ORDER BY day)"
+    d = (filled
+         .withColumn("_ps", F.expr(
+             f"lag(n_events, {int(season)}) OVER {w}"))
+         .withColumn("_p1", F.expr(f"lag(n_events, 1) OVER {w}"))
+         .filter(F.col("_ps").isNotNull()))
+    return (d.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n_scored"),
+                 F.sum(F.abs(F.col("n_events") - F.col("_ps")))
+                 .alias("err_season"),
+                 F.sum(F.abs(F.col("n_events") - F.col("_p1")))
+                 .alias("err_naive"))
+            .select("cell", F.col("n_scored").cast("long"),
+                    F.col("err_season").cast("long"),
+                    F.col("err_naive").cast("long"),
+                    F.expr("CASE WHEN err_naive = 0 THEN NULL ELSE "
+                           "(err_season * 1000000) div err_naive "
+                           "END").cast("long").alias("skill_ppm")))
+
+
+def cell_backtest_sql(pts_sql: str, res: int, *, season: int = 7,
+                      day_us: int = 86_400_000_000) -> str:
+    """DuckDB twin of cell_backtest — same dense prologue, same
+    shared scored set, same floors."""
+    return f"""
+WITH {_dense_daily_counts_sql(pts_sql, res, day_us)},
+bt_l AS (SELECT cell, day, n_events,
+         LAG(n_events, {int(season)}) OVER w AS ps,
+         LAG(n_events, 1) OVER w AS p1
+         FROM filled
+         WINDOW w AS (PARTITION BY cell ORDER BY day)),
+bt_g AS (SELECT cell, COUNT(*) AS n_scored,
+         SUM(ABS(n_events - ps)) AS err_season,
+         SUM(ABS(n_events - p1)) AS err_naive
+         FROM bt_l WHERE ps IS NOT NULL GROUP BY 1)
+SELECT cell, CAST(n_scored AS BIGINT) AS n_scored,
+       CAST(err_season AS BIGINT) AS err_season,
+       CAST(err_naive AS BIGINT) AS err_naive,
+       CAST(CASE WHEN err_naive = 0 THEN NULL ELSE
+            (err_season * 1000000) // err_naive END AS BIGINT)
+         AS skill_ppm
+FROM bt_g
+"""

@@ -4186,6 +4186,16 @@ def q_harmonic2(spark, sf_dir):
                                      res=_PROX_RES))
 
 
+def q_cell_backtest(spark, sf_dir):
+    """Per-cell forecast backtest (r5.46): weekly seasonal-naive vs
+    persistence on the shared scored days of the dense res-4
+    calendar, exact integer error sums + skill ratio — the
+    model-selection table before fitting anything heavier
+    (operators/tiles.cell_backtest docstring)."""
+    from .operators.tiles import cell_backtest
+    return cell_backtest(_traj_pts(spark, sf_dir), _TREND_RES)
+
+
 def q_cell_rules(spark, sf_dir):
     """Cell association rules (r5.46): any-time co-patronage rules
     A->B over per-user visited-cell sets at res 3 — support /
@@ -4896,6 +4906,7 @@ QUERIES = {
     "lcs_routes": q_lcs_routes,
     "harmonic2": q_harmonic2,
     "cell_rules": q_cell_rules,
+    "cell_backtest": q_cell_backtest,
     # (peak_cells — r5.36 — moved just past the window in session 10
     #  to make room for rrf_fuse; see the head-of-dict comment)
     "peak_cells": q_peak_cells,
@@ -5891,6 +5902,9 @@ def oracle_sql() -> dict[str, str]:
         f"JOIN (SELECT user_id, MAX(us // 86400000000) AS mx "
         f"FROM ({_TRAJ_PTS_SQL}) t GROUP BY 1) m "
         f"ON b.user_id = m.user_id WHERE b.day < m.mx")
+    from .operators.tiles import cell_backtest_sql
+    out["cell_backtest"] = cell_backtest_sql(_TRAJ_PTS_SQL,
+                                             _TREND_RES)
     from .operators.events import cell_rules_sql
     out["cell_rules"] = cell_rules_sql(_TRAJ_PTS_SQL, _OD_RES)
     from .operators.graph import harmonic2_sql

@@ -1349,3 +1349,48 @@ class TestCellRules:
         got = self._run(spark, rows)
         assert all(v[5] == 3 * 1_000_000 // 2
                    for v in got.values())
+
+
+# ---------------------------------------------------------------------------
+# Per-cell forecast backtest
+# ---------------------------------------------------------------------------
+
+class TestCellBacktest:
+    def _run(self, spark, xs, season=3, res=2):
+        from geospark.operators.tiles import cell_backtest
+        rows = [(10.0, 10.0, d * DAY + j)
+                for d, n in enumerate(xs) for j in range(n)]
+        d = spark.createDataFrame(rows,
+                                  "lat double, lon double, us long")
+        return _rows(cell_backtest(d, res, season=season),
+                     ["cell", "n_scored", "err_season", "err_naive",
+                      "skill_ppm"])
+
+    def test_perfect_seasonality_scores_zero(self, spark):
+        """Period-3 series repeats exactly: seasonal error 0,
+        persistence pays for every step."""
+        xs = [3, 1, 2] * 3
+        got = self._run(spark, xs)
+        n, es, en, skill = got[0][1:]
+        assert n == len(xs) - 3 and es == 0 and en > 0
+        assert skill == 0
+
+    def test_flat_series_perfect_baseline_null(self, spark):
+        """Constant series: both errors 0 -> NULL skill, no
+        division blowup."""
+        got = self._run(spark, [2, 2, 2, 2, 2])
+        assert got[0][2:] == (0, 0, None)
+
+    def test_shared_scored_days_and_sums(self, spark):
+        """Errors accumulate only over days where BOTH models
+        forecast (t > season); hand-checked sums."""
+        xs = [5, 0, 0, 1, 4]
+        got = self._run(spark, xs)
+        # scored days: indices 3, 4. season err: |1-5| + |4-0| = 8;
+        # naive err: |1-0| + |4-1| = 4 -> skill 2e6
+        assert got[0][1:] == (2, 8, 4, 2_000_000)
+
+    def test_short_series_empty(self, spark):
+        """Span <= season: empty frame of the right shape."""
+        got = self._run(spark, [1, 2, 3])
+        assert got == []
