@@ -159,3 +159,87 @@ def areal_interp_sql(pairs_sql: str, src_sql: str, tgt_sql: str, *,
             f"JOIN ({src_sql}) USING ({src_id}) "
             f"JOIN ({tgt_sql}) USING ({tgt_id}) "
             f"GROUP BY {tgt_id}")
+
+
+def idw_loocv(points, res: int, *, lat_col: str = "lat",
+              lon_col: str = "lon"):
+    """Leave-one-out cross-validation of ring-2 IDW smoothing over
+    the occupied raster — "how well does this surface actually
+    interpolate", the honesty check idw_interp's fitted surface
+    can't provide about itself: every occupied cell is predicted
+    from its Chebyshev ring-2 NEIGHBORS ONLY (self excluded — the
+    LOO fold), and the absolute error lands next to the truth.
+    Integer-exact by the lcm trick: ring-2 squared distances can
+    only be {1, 2, 4, 5, 8} (lon wraps, lat clamps — the cell-family
+    convention), whose lcm is 40, so inverse-distance weights are
+    the EXACT integers 40 div d2 in {40, 20, 10, 8, 5} and
+
+        pred = sum(w * v) div sum(w)
+
+    needs no float anywhere. Cells with no ring-2 neighbor drop
+    (nothing to predict from — reported by absence, the gap-week
+    convention). A pipeline reads the err distribution before
+    trusting idw_interp's surface at unsampled cells.
+
+    Scale: one point-level cell shuffle; the 24x ring explode and
+    the prediction agg run on the occupied AGGREGATE frame keyed by
+    target cell. -> (cell, v_true, pred, abs_err)."""
+    from pyspark.sql import functions as F
+
+    from ..functions.cells import cell_encode, cell_neighbors_explode
+    n = 1 << res
+    mask = n - 1
+    cnt = (points
+           .select(cell_encode(lat_col, lon_col, res).alias("cell"))
+           .groupBy("cell").agg(F.count(F.lit(1)).alias("v")))
+    src = cnt.select(F.col("cell").alias("_src"),
+                     F.col("v").alias("_vs"))
+    nb = (cell_neighbors_explode(
+        src.withColumnRenamed("_src", "cell"), res, ring=2,
+        cell_col="cell")
+        .select(F.col("_neighbor").alias("cell"),
+                F.col("cell").alias("_src"), "_vs"))
+    j = (nb.join(cnt, "cell")
+         .filter(F.col("_src") != F.col("cell")))
+    dx = (f"least(abs((cell & {mask}) - (_src & {mask})), "
+          f"{n} - abs((cell & {mask}) - (_src & {mask})))")
+    dy = f"abs(((cell >> {res}) & {mask}) - ((_src >> {res}) & {mask}))"
+    d2 = f"({dx} * {dx} + {dy} * {dy})"
+    w = f"(40 div {d2})"
+    pred = (j.groupBy("cell", "v")
+            .agg(F.sum(F.expr(f"{w} * _vs")).alias("_num"),
+                 F.sum(F.expr(w)).alias("_den")))
+    return pred.select(
+        "cell", F.col("v").cast("long").alias("v_true"),
+        F.expr("_num div _den").cast("long").alias("pred"),
+        F.expr("abs(v - (_num div _den))").cast("long")
+        .alias("abs_err"))
+
+
+def idw_loocv_sql(pts_sql: str, res: int) -> str:
+    """DuckDB twin of idw_loocv — same wrap/clamp ring-2 adjacency,
+    same lcm-40 integer weights, same floor."""
+    from ..functions.cells import cell_encode_sql
+    n = 1 << res
+    mask = n - 1
+    cell = cell_encode_sql("lat", "lon", res)
+    ax, bx = f"(a.cell & {mask})", f"(b.cell & {mask})"
+    ay, by = (f"((a.cell >> {res}) & {mask})",
+              f"((b.cell >> {res}) & {mask})")
+    dx = f"least(abs({ax} - {bx}), {n} - abs({ax} - {bx}))"
+    dy = f"abs({ay} - {by})"
+    d2 = f"({dx} * {dx} + {dy} * {dy})"
+    return f"""
+WITH lv_c AS (SELECT cell, COUNT(*) AS v FROM
+              (SELECT {cell} AS cell FROM ({pts_sql})) GROUP BY 1),
+lv_j AS (SELECT b.cell, b.v,
+         SUM((40 // {d2}) * a.v) AS num,
+         SUM(40 // {d2}) AS den
+         FROM lv_c a JOIN lv_c b
+         ON a.cell <> b.cell AND {dx} <= 2 AND {dy} <= 2
+         GROUP BY 1, 2)
+SELECT cell, CAST(v AS BIGINT) AS v_true,
+       CAST(num // den AS BIGINT) AS pred,
+       CAST(abs(v - (num // den)) AS BIGINT) AS abs_err
+FROM lv_j
+"""

@@ -4186,6 +4186,21 @@ def q_harmonic2(spark, sf_dir):
                                      res=_PROX_RES))
 
 
+def q_idw_loocv(spark, sf_dir):
+    """IDW cross-validation (r5.46): leave-one-out ring-2
+    inverse-distance prediction of every occupied res-5 cell with
+    exact lcm-40 integer weights, truth and absolute error beside it
+    — the honesty check on idw_interp's surface
+    (operators/interp.idw_loocv docstring)."""
+    from pyspark.sql import functions as F
+
+    from .operators.interp import idw_loocv
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pts = e.select(F.expr(_TRAJ_LAT).alias("lat"),
+                   F.expr(_TRAJ_LON).alias("lon"))
+    return idw_loocv(pts, _FOCAL_RES)
+
+
 def q_cell_backtest(spark, sf_dir):
     """Per-cell forecast backtest (r5.46): weekly seasonal-naive vs
     persistence on the shared scored days of the dense res-4
@@ -4907,6 +4922,7 @@ QUERIES = {
     "harmonic2": q_harmonic2,
     "cell_rules": q_cell_rules,
     "cell_backtest": q_cell_backtest,
+    "idw_loocv": q_idw_loocv,
     # (peak_cells — r5.36 — moved just past the window in session 10
     #  to make room for rrf_fuse; see the head-of-dict comment)
     "peak_cells": q_peak_cells,
@@ -5902,6 +5918,10 @@ def oracle_sql() -> dict[str, str]:
         f"JOIN (SELECT user_id, MAX(us // 86400000000) AS mx "
         f"FROM ({_TRAJ_PTS_SQL}) t GROUP BY 1) m "
         f"ON b.user_id = m.user_id WHERE b.day < m.mx")
+    from .operators.interp import idw_loocv_sql
+    out["idw_loocv"] = idw_loocv_sql(
+        f"SELECT {_TRAJ_LAT} AS lat, {_TRAJ_LON} AS lon FROM events",
+        _FOCAL_RES)
     from .operators.tiles import cell_backtest_sql
     out["cell_backtest"] = cell_backtest_sql(_TRAJ_PTS_SQL,
                                              _TREND_RES)

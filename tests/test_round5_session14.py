@@ -1394,3 +1394,55 @@ class TestCellBacktest:
         """Span <= season: empty frame of the right shape."""
         got = self._run(spark, [1, 2, 3])
         assert got == []
+
+
+# ---------------------------------------------------------------------------
+# IDW leave-one-out cross-validation
+# ---------------------------------------------------------------------------
+
+class TestIdwLoocv:
+    def _run(self, spark, rows, res=3):
+        from geospark.operators.interp import idw_loocv
+        d = spark.createDataFrame(rows, "lat double, lon double")
+        return _rows(idw_loocv(d, res),
+                     ["cell", "v_true", "pred", "abs_err"])
+
+    # res-3 cell size: 22.5 lat x 45 lon; centers on a row
+    @staticmethod
+    def _pt(y, x, k=1):
+        return [(-90.0 + (y + 0.5) * 22.5, -180.0 + (x + 0.5) * 45.0)
+                ] * k
+
+    def test_lcm_weights_exact(self, spark):
+        """Target with an adjacent (d2=1, w=40) and a diagonal-2
+        (d2=8, w=5) neighbor: pred = (40*a + 5*b) div 45."""
+        rows = (self._pt(3, 3, 2)        # target, v=2
+                + self._pt(3, 4, 7)      # d2=1, v=7
+                + self._pt(5, 5, 4))     # d2=8, v=4
+        got = self._run(spark, rows)
+        by = {r[0]: r for r in got}
+        t = [r for r in got if r[1] == 2][0]
+        assert t[2] == (40 * 7 + 5 * 4) // 45
+        assert t[3] == abs(2 - t[2])
+
+    def test_self_excluded(self, spark):
+        """An isolated heavy cell has no neighbors: no row — its own
+        mass never predicts itself."""
+        got = self._run(spark, self._pt(3, 3, 9))
+        assert got == []
+
+    def test_perfect_surface_zero_error(self, spark):
+        """A constant field cross-validates exactly."""
+        rows = []
+        for y in range(2, 5):
+            for x in range(2, 5):
+                rows += self._pt(y, x, 3)
+        got = self._run(spark, rows)
+        assert len(got) == 9
+        assert all(r[1] == 3 and r[2] == 3 and r[3] == 0
+                   for r in got)
+
+    def test_ring_limit(self, spark):
+        """A neighbor 3 cells away contributes nothing."""
+        rows = self._pt(3, 3, 2) + self._pt(3, 6, 5)
+        assert self._run(spark, rows) == []
