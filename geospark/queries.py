@@ -4201,6 +4201,31 @@ def q_idw_loocv(spark, sf_dir):
     return idw_loocv(pts, _FOCAL_RES)
 
 
+def q_stream_churn(spark, sf_dir):
+    """STATEFUL STREAMING audience churn under a full value-hash
+    oracle — the streaming tier's first ARRAY-state operator: per
+    cell the state holds the open week's and the previous closed
+    week's distinct-user sets, and the consecutive-week Jaccard row
+    emits at week close — which the period < per-cell-last-week-
+    restricted batch cell_churn SQL reproduces row for row
+    (streaming/stream.stream_cell_churn docstring)."""
+    from pyspark.sql import functions as F
+
+    from .functions.cells import cell_encode
+    from .streaming.stream import stream_cell_churn
+
+    def build(sdf):
+        d = sdf.select(
+            cell_encode("lat", "lon", _CHURN_RES).alias("cell"),
+            "user_id",
+            F.expr("timestampdiff(MICROSECOND, "
+                   "TIMESTAMP_NTZ '2024-01-01 00:00:00', ts)")
+            .alias("us"))
+        return stream_cell_churn(d)
+
+    return _replay_time_sliced(spark, sf_dir, build, "stream_churn")
+
+
 def q_cell_backtest(spark, sf_dir):
     """Per-cell forecast backtest (r5.46): weekly seasonal-naive vs
     persistence on the shared scored days of the dense res-4
@@ -4923,6 +4948,7 @@ QUERIES = {
     "cell_rules": q_cell_rules,
     "cell_backtest": q_cell_backtest,
     "idw_loocv": q_idw_loocv,
+    "stream_churn": q_stream_churn,
     # (peak_cells — r5.36 — moved just past the window in session 10
     #  to make room for rrf_fuse; see the head-of-dict comment)
     "peak_cells": q_peak_cells,
@@ -5918,6 +5944,15 @@ def oracle_sql() -> dict[str, str]:
         f"JOIN (SELECT user_id, MAX(us // 86400000000) AS mx "
         f"FROM ({_TRAJ_PTS_SQL}) t GROUP BY 1) m "
         f"ON b.user_id = m.user_id WHERE b.day < m.mx")
+    _churn_cell = cell_encode_sql("lat", "lon", _CHURN_RES)
+    out["stream_churn"] = (
+        f"SELECT b.cell, b.period, b.n_prev, b.n_curr, b.n_common, "
+        f"b.jaccard_ppm "
+        f"FROM ({cell_churn_sql(_TRAJ_PTS_SQL, _CHURN_RES)}) b "
+        f"JOIN (SELECT {_churn_cell} AS cell, "
+        f"MAX(us // 604800000000) AS mx "
+        f"FROM ({_TRAJ_PTS_SQL}) t GROUP BY 1) m "
+        f"ON b.cell = m.cell WHERE b.period < m.mx")
     from .operators.interp import idw_loocv_sql
     out["idw_loocv"] = idw_loocv_sql(
         f"SELECT {_TRAJ_LAT} AS lat, {_TRAJ_LON} AS lon FROM events",

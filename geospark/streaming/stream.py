@@ -921,3 +921,82 @@ def stream_detour(stream_df, *, day_us: int = 86_400_000_000,
                                  "n long"),
                 outputMode="append",
                 timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def stream_cell_churn(stream_df, *, period_us: int = 604_800_000_000,
+                      cell_col: str = "cell", us_col: str = "us",
+                      user_col: str = "user_id"):
+    """Streaming audience churn (applyInPandasWithState) — the
+    real-time twin of operators/events.cell_churn and the streaming
+    tier's first ARRAY-state operator: per cell the state carries
+    the open week's distinct-user set plus the previous CLOSED
+    week's set (two bounded arrays — weekly audience per cell, not
+    history), and the consecutive-week Jaccard row emits the moment
+    a later-week event closes the open week. A week pair with a gap
+    before it never emits (consecutive pairs only — the batch join's
+    existence test), and a cell's final open week stays in the
+    state store, so the batch oracle is cell_churn restricted to
+    period < the cell's last observed week. Set arithmetic runs in
+    Python over sorted int arrays — exact, order-free, the same
+    integers the batch distinct/join sees.
+
+    Contract (shared with stream_cell_ewma): per-cell event-time
+    order non-decreasing across microbatches; cell/us are computed
+    JVM-side with the SAME expressions as the batch query.
+    -> (cell, period, n_prev, n_curr, n_common, jaccard_ppm)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    p_us = int(period_us)
+    out_schema = ("cell long, period long, n_prev long, "
+                  "n_curr long, n_common long, jaccard_ppm long")
+
+    def fn(key, pdfs, state):
+        cid = key[0]
+        if state.exists:
+            cur_p, cur_users, prev_p, prev_users = state.get
+            cur_users = set(cur_users)
+            prev_users = set(prev_users or [])
+            if prev_p == -1:      # the no-closed-week-yet sentinel
+                prev_p = None
+        else:
+            cur_p = None
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf) == 0:
+            return
+        rows = []
+        order = sorted(zip((int(v) for v in pdf[us_col]),
+                           (int(u) for u in pdf[user_col])))
+        for us, u in order:
+            p = us // p_us
+            if cur_p is None:
+                cur_p, cur_users = p, {u}
+                prev_p, prev_users = None, set()
+            elif p == cur_p:
+                cur_users.add(u)
+            else:
+                # close cur_p: emit only a CONSECUTIVE pair
+                if prev_p is not None and cur_p == prev_p + 1:
+                    common = len(prev_users & cur_users)
+                    union = len(prev_users) + len(cur_users) - common
+                    rows.append((cid, cur_p, len(prev_users),
+                                 len(cur_users), common,
+                                 common * 1_000_000 // union))
+                prev_p, prev_users = cur_p, cur_users
+                cur_p, cur_users = p, {u}
+        state.update((cur_p, sorted(cur_users),
+                      prev_p if prev_p is not None else -1,
+                      sorted(prev_users)))
+        if rows:
+            yield pd.DataFrame(
+                rows, columns=["cell", "period", "n_prev", "n_curr",
+                               "n_common", "jaccard_ppm"])
+
+    return (stream_df.groupBy(cell_col)
+            .applyInPandasWithState(
+                fn, outputStructType=out_schema,
+                stateStructType=("cur_p long, cur_users array<long>, "
+                                 "prev_p long, "
+                                 "prev_users array<long>"),
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout))

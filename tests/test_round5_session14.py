@@ -1446,3 +1446,85 @@ class TestIdwLoocv:
         """A neighbor 3 cells away contributes nothing."""
         rows = self._pt(3, 3, 2) + self._pt(3, 6, 5)
         assert self._run(spark, rows) == []
+
+
+# ---------------------------------------------------------------------------
+# Streaming audience churn (array-state twin of cell_churn)
+# ---------------------------------------------------------------------------
+
+class TestStreamCellChurn:
+    def test_matches_batch_across_microbatches(self, spark, tmp_path):
+        """Chunked replay == batch cell_churn restricted to closed
+        weeks: an audience split across the FILE BOUNDARY merges in
+        the array state, a gap week suppresses the non-consecutive
+        pair, and the final open week never emits."""
+        import datetime as dt
+
+        from pyspark.sql import functions as F
+
+        from geospark.functions.cells import cell_encode
+        from geospark.operators.events import cell_churn
+        from geospark.streaming.stream import stream_cell_churn
+        base = dt.datetime(2024, 1, 1)
+
+        def ev(eid, uid, week, sec, lat=10.0, lon=10.0):
+            return (eid, base + dt.timedelta(weeks=week, seconds=sec),
+                    uid, lat, lon)
+
+        head = [ev(0, 1, 0, 0), ev(1, 2, 0, 10)]
+        # file boundary splits week 0's audience
+        tail = [ev(2, 3, 0, 20),
+                ev(3, 2, 1, 0), ev(4, 3, 1, 5), ev(5, 4, 1, 9),
+                ev(6, 1, 2, 0),           # closes week 1
+                ev(7, 1, 4, 0),           # gap: closes week 2,
+                                          # (2,4) pair suppressed
+                ev(8, 9, 0, 0, -40.0, -40.0),
+                ev(9, 9, 1, 0, -40.0, -40.0),
+                ev(10, 9, 2, 0, -40.0, -40.0)]  # second cell chain
+        schema = ("event_id long, ts timestamp_ntz, user_id long, "
+                  "lat double, lon double")
+        src = str(tmp_path / "sc_src")
+        spark.createDataFrame(head, schema).coalesce(1) \
+            .write.mode("overwrite").parquet(src)
+        spark.createDataFrame(tail, schema).coalesce(1) \
+            .write.mode("append").parquet(src)
+
+        sdf = (spark.readStream.schema(schema)
+               .option("maxFilesPerTrigger", 1).parquet(src))
+        out = stream_cell_churn(sdf.select(
+            cell_encode("lat", "lon", 4).alias("cell"), "user_id",
+            F.expr("timestampdiff(MICROSECOND, "
+                   "TIMESTAMP_NTZ '2024-01-01 00:00:00', ts)")
+            .alias("us")))
+        q = (out.writeStream.format("memory")
+             .queryName("sc_stream").outputMode("append")
+             .option("checkpointLocation", str(tmp_path / "ck"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        cols = ["cell", "period", "n_prev", "n_curr", "n_common",
+                "jaccard_ppm"]
+        got = _rows(spark.sql(
+            f"SELECT {', '.join(cols)} FROM sc_stream"))
+
+        e = spark.read.parquet(src)
+        pts = e.select("user_id", "lat", "lon",
+                       F.expr("timestampdiff(MICROSECOND, "
+                              "TIMESTAMP_NTZ '2024-01-01 "
+                              "00:00:00', ts)").alias("us"))
+        batch = cell_churn(pts, 4)
+        mx = (pts.select(cell_encode("lat", "lon", 4).alias("cell"),
+                         F.expr("us div 604800000000").alias("p"))
+              .groupBy("cell").agg(F.max("p").alias("mx")))
+        exp = _rows(batch.join(mx, "cell").filter("period < mx")
+                    .select(*cols))
+        assert got == exp
+        # week-0 audience {1,2,3} vs week-1 {2,3,4}: the boundary-
+        # spanning merge produced the 500000-ppm row
+        assert any(r[2:] == (3, 3, 2, 500_000) for r in got)
+        # the gap pair (weeks 2 -> 4) is absent; weeks 1 and 2
+        # emitted for the main cell
+        assert not any(r[1] == 4 for r in got)
+        main = sorted(r[1] for r in got if r[2] == 3)
+        assert main == [1, 2]
+        # the second cell's chain emitted its consecutive pair
+        assert any(r[2:] == (1, 1, 1, 1_000_000) for r in got)
