@@ -775,3 +775,137 @@ SELECT CAST(cid AS BIGINT) AS cid,
             * (abs(num) // n_pts) AS BIGINT) AS sil_ppm
 FROM ks_g
 """
+
+
+def coverage_holes(points, res: int, *, lat_col: str = "lat",
+                   lon_col: str = "lon"):
+    """Coverage-gap analysis — the COMPLEMENT-space view every other
+    raster operator ignores: inside the occupied raster's bounding
+    box, the UNOCCUPIED cells dissolve into 8-connected hole regions
+    (lon wraps, lat clamps — the cell-family convention), each
+    reported with its size and its perimeter pressure
+
+        perim_load = sum of counts of occupied cells 8-adjacent to
+                     the region (each counted once)
+
+    — "how big is this blind spot and how much signal surrounds it",
+    the table a sensor-placement / crawl-frontier planner ranks:
+    a large hole ringed by heavy traffic is the next probe target; a
+    hole bordered by nothing is the map's edge. The bbox restriction
+    keeps the complement finite and honest (cells outside the
+    observed extent are unknown-unknowns, not holes).
+
+    Scale: the grid frame is bbox-bounded (<= 4^res rows, aggregate-
+    sized by construction); one anti-join carves the holes, the CC
+    rounds ride connected_components' aggregate machinery, and both
+    the adjacency explodes run on cell tables — the only point-level
+    pass is the occupancy count. -> (region_id, n_cells,
+    perim_load), isolated holes self-label."""
+    from pyspark.sql import functions as F
+
+    from ..functions.cells import (_RES_SHIFT, cell_encode,
+                                   cell_neighbors_explode)
+    from .dedup import connected_components
+    spark = points.sparkSession
+    n = 1 << res
+    mask = n - 1
+    occ = (points
+           .select(cell_encode(lat_col, lon_col, res).alias("cell"))
+           .groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+           .withColumn("x", F.col("cell").bitwiseAND(F.lit(mask)))
+           .withColumn("y", F.shiftright("cell", res)
+                       .bitwiseAND(F.lit(mask))))
+    b = occ.agg(F.min("x").alias("x0"), F.max("x").alias("x1"),
+                F.min("y").alias("y0"), F.max("y").alias("y1")) \
+        .collect()[0]
+    if b["x0"] is None:
+        return (occ.select(F.col("cell").alias("region_id"),
+                           F.col("n").alias("n_cells"),
+                           F.col("n").alias("perim_load")).limit(0))
+    grid = (spark.range(int(b["x0"]), int(b["x1"]) + 1)
+            .select(F.col("id").alias("x"))
+            .crossJoin(spark.range(int(b["y0"]), int(b["y1"]) + 1)
+                       .select(F.col("id").alias("y")))
+            .select(F.expr(
+                f"(CAST({res} AS BIGINT) << {_RES_SHIFT}) "
+                f"+ (y << {res}) + x").alias("cell")))
+    holes = grid.join(occ.select("cell"), "cell", "left_anti")
+    nbrs = (cell_neighbors_explode(holes, res, ring=1)
+            .filter(F.col("_neighbor") != F.col("cell")))
+    edges = (nbrs.join(holes.select(F.col("cell").alias("_neighbor")),
+                       "_neighbor")
+             .select(F.col("cell").alias("u"),
+                     F.col("_neighbor").alias("v")))
+    # holes can be high-diameter blobs (unlike shallow near-dup
+    # clusters), so the O(log n)-round star algorithm, not minlabel
+    labels = connected_components(edges, a_col="u", b_col="v",
+                                  algorithm="star", max_iters=40) \
+        .select(F.col("doc_id").alias("cell"), "cluster_id")
+    lab = (holes.join(labels, "cell", "left")
+           .select("cell", F.coalesce("cluster_id", "cell")
+                   .alias("region_id")))
+    press = (cell_neighbors_explode(lab, res, ring=1)
+             .filter(F.col("_neighbor") != F.col("cell"))
+             .join(occ.select(F.col("cell").alias("_neighbor"),
+                              "n"), "_neighbor")
+             .select("region_id", "_neighbor", "n").distinct()
+             .groupBy("region_id").agg(F.sum("n").alias("perim_load")))
+    return (lab.groupBy("region_id")
+            .agg(F.count(F.lit(1)).alias("n_cells"))
+            .join(press, "region_id", "left")
+            .fillna(0, subset=["perim_load"])
+            .select(F.col("region_id").cast("long"),
+                    F.col("n_cells").cast("long"),
+                    F.col("perim_load").cast("long")))
+
+
+def coverage_holes_sql(pts_sql: str, res: int) -> str:
+    """DuckDB twin of coverage_holes — same bbox grid, same wrap
+    adjacency, the cell_regions recursive-closure convention."""
+    from ..functions.cells import _RES_SHIFT, cell_encode_sql
+    n = 1 << res
+    mask = n - 1
+    cell = cell_encode_sql("lat", "lon", res)
+    ax, bx = f"(a.cell & {mask})", f"(b.cell & {mask})"
+    ay, by = (f"((a.cell >> {res}) & {mask})",
+              f"((b.cell >> {res}) & {mask})")
+    adj = (f"a.cell <> b.cell AND abs({ay} - {by}) <= 1 AND "
+           f"least(abs({ax} - {bx}), {n} - abs({ax} - {bx})) <= 1")
+    hx, ox = f"(h.cell & {mask})", f"(o.cell & {mask})"
+    hy, oy = (f"((h.cell >> {res}) & {mask})",
+              f"((o.cell >> {res}) & {mask})")
+    hadj = (f"abs({hy} - {oy}) <= 1 AND "
+            f"least(abs({hx} - {ox}), {n} - abs({hx} - {ox})) <= 1")
+    return f"""
+WITH RECURSIVE ch_o AS (
+  SELECT cell, COUNT(*) AS n FROM
+  (SELECT {cell} AS cell FROM ({pts_sql})) GROUP BY 1),
+ch_b AS (SELECT MIN(cell & {mask}) AS x0, MAX(cell & {mask}) AS x1,
+         MIN((cell >> {res}) & {mask}) AS y0,
+         MAX((cell >> {res}) & {mask}) AS y1 FROM ch_o),
+ch_g AS (SELECT (CAST({res} AS BIGINT) << {_RES_SHIFT})
+                + (y * {n}) + x AS cell
+         FROM ch_b,
+              unnest(generate_series(x0, x1)) AS gx(x),
+              unnest(generate_series(y0, y1)) AS gy(y)),
+ch_h AS (SELECT g.cell FROM ch_g g LEFT JOIN ch_o o
+         ON g.cell = o.cell WHERE o.cell IS NULL),
+ch_e AS (SELECT a.cell AS u, b.cell AS v
+         FROM ch_h a JOIN ch_h b ON {adj}),
+reach(u, v) AS (
+  SELECT u, v FROM ch_e
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN ch_e e ON r.v = e.u),
+ch_l AS (SELECT h.cell,
+         COALESCE(l.rid, h.cell) AS region_id
+         FROM ch_h h LEFT JOIN
+         (SELECT u AS cell, LEAST(u, MIN(v)) AS rid
+          FROM reach GROUP BY u) l ON h.cell = l.cell),
+ch_p AS (SELECT region_id, SUM(n) AS perim_load FROM (
+           SELECT DISTINCT h.region_id, o.cell, o.n
+           FROM ch_l h JOIN ch_o o ON {hadj}) GROUP BY 1)
+SELECT l.region_id, CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(COALESCE(MAX(p.perim_load), 0) AS BIGINT) AS perim_load
+FROM ch_l l LEFT JOIN ch_p p ON l.region_id = p.region_id
+GROUP BY 1
+"""

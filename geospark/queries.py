@@ -4226,6 +4226,27 @@ def q_stream_churn(spark, sf_dir):
     return _replay_time_sliced(spark, sf_dir, build, "stream_churn")
 
 
+# holes at res 3: 58% occupancy fragments the complement into
+# several regions (denser resolutions leave one percolating blob)
+_HOLES_RES = 3
+
+
+def q_coverage_holes(spark, sf_dir):
+    """Coverage-gap regions (r5.46): 8-connected unoccupied-cell
+    regions inside the res-3 occupied bbox with size and perimeter
+    pressure — the blind-spot ranking a probe/crawl-frontier planner
+    consumes, complement-space analysis over the same raster the
+    occupancy family reads (operators/cluster.coverage_holes
+    docstring: bbox-bounded grid, anti-join carve, star CC)."""
+    from pyspark.sql import functions as F
+
+    from .operators.cluster import coverage_holes
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pts = e.select(F.expr(_TRAJ_LAT).alias("lat"),
+                   F.expr(_TRAJ_LON).alias("lon"))
+    return coverage_holes(pts, _HOLES_RES)
+
+
 def q_cell_backtest(spark, sf_dir):
     """Per-cell forecast backtest (r5.46): weekly seasonal-naive vs
     persistence on the shared scored days of the dense res-4
@@ -4949,6 +4970,7 @@ QUERIES = {
     "cell_backtest": q_cell_backtest,
     "idw_loocv": q_idw_loocv,
     "stream_churn": q_stream_churn,
+    "coverage_holes": q_coverage_holes,
     # (peak_cells — r5.36 — moved just past the window in session 10
     #  to make room for rrf_fuse; see the head-of-dict comment)
     "peak_cells": q_peak_cells,
@@ -5953,6 +5975,10 @@ def oracle_sql() -> dict[str, str]:
         f"MAX(us // 604800000000) AS mx "
         f"FROM ({_TRAJ_PTS_SQL}) t GROUP BY 1) m "
         f"ON b.cell = m.cell WHERE b.period < m.mx")
+    from .operators.cluster import coverage_holes_sql
+    out["coverage_holes"] = coverage_holes_sql(
+        f"SELECT {_TRAJ_LAT} AS lat, {_TRAJ_LON} AS lon FROM events",
+        _HOLES_RES)
     from .operators.interp import idw_loocv_sql
     out["idw_loocv"] = idw_loocv_sql(
         f"SELECT {_TRAJ_LAT} AS lat, {_TRAJ_LON} AS lon FROM events",

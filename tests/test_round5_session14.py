@@ -1528,3 +1528,67 @@ class TestStreamCellChurn:
         assert main == [1, 2]
         # the second cell's chain emitted its consecutive pair
         assert any(r[2:] == (1, 1, 1, 1_000_000) for r in got)
+
+
+# ---------------------------------------------------------------------------
+# Coverage holes
+# ---------------------------------------------------------------------------
+
+class TestCoverageHoles:
+    def _run(self, spark, rows, res=3):
+        from geospark.operators.cluster import coverage_holes
+        d = spark.createDataFrame(rows, "lat double, lon double")
+        return _rows(coverage_holes(d, res),
+                     ["region_id", "n_cells", "perim_load"])
+
+    @staticmethod
+    def _pt(y, x, k=1, res=3):
+        n = 1 << res
+        return [(-90.0 + (y + 0.5) * 180.0 / n,
+                 -180.0 + (x + 0.5) * 360.0 / n)] * k
+
+    def test_single_hole_with_pressure(self, spark):
+        """A 3x3 ring of occupied cells (weights) around one empty
+        center: one hole of 1 cell, perim_load = total ring mass."""
+        rows = []
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if (dy, dx) != (0, 0):
+                    rows += self._pt(3 + dy, 3 + dx, 2)
+        got = self._run(spark, rows)
+        assert got == [(got[0][0], 1, 16)]
+
+    def test_two_separate_holes(self, spark):
+        """Two empty cells separated by occupied ground are two
+        regions; the bbox keeps the complement finite."""
+        rows = []
+        # occupied plus shape: row y=3 x in 2..6 except 3 and 5,
+        # rows y=2,4 fully occupied x 2..6
+        for x in range(2, 7):
+            rows += self._pt(2, x) + self._pt(4, x)
+        for x in (2, 4, 6):
+            rows += self._pt(3, x)
+        got = self._run(spark, rows)
+        assert len(got) == 2
+        assert all(r[1] == 1 for r in got)
+        # each hole touches 8 occupied neighbors (weight 1 each)
+        assert all(r[2] == 8 for r in got)
+
+    def test_fully_occupied_bbox_no_rows(self, spark):
+        rows = []
+        for y in (2, 3):
+            for x in (2, 3):
+                rows += self._pt(y, x)
+        assert self._run(spark, rows) == []
+
+    def test_l_shaped_hole_is_one_region(self, spark):
+        """8-connectivity merges diagonal hole cells into one
+        region."""
+        # occupied 4x4 block minus an L of two diagonal cells
+        rows = []
+        for y in range(2, 6):
+            for x in range(2, 6):
+                if (y, x) not in ((3, 3), (4, 4)):
+                    rows += self._pt(y, x)
+        got = self._run(spark, rows)
+        assert len(got) == 1 and got[0][1] == 2
