@@ -2698,6 +2698,51 @@ FROM fa_nodes d LEFT JOIN fa_ups u ON u.cell = d.cell
 """
 
 
+def _vario_pair_frame(tiles, res: int, parent_steps: int,
+                      maxlag: int, *, cell_col: str,
+                      count_col: str):
+    """Shared PBSM pair builder for the variogram family: the
+    parent-blocked occupied-cell self-join, emitting per unordered
+    in-range pair the squared wrapped distance (_d2), the squared
+    value difference in DECIMAL(38,0) (_sq), and the wrapped
+    |dx| / |dy| components (_adx, _ady) the directional variant
+    classifies on. Extracted from semivariogram so the isotropic and
+    anisotropic operators cannot drift."""
+    from pyspark.sql import functions as F
+
+    from ..functions.cells import cell_neighbors_explode, cell_parent
+    n = 1 << res
+    mask = n - 1
+    t = tiles.select(
+        F.col(cell_col).alias("_c"),
+        F.col(count_col).cast("long").alias("_v"),
+        F.col(cell_col).bitwiseAND(F.lit(mask)).alias("_x"),
+        F.shiftright(F.col(cell_col), res).bitwiseAND(F.lit(mask))
+        .alias("_y"),
+        cell_parent(cell_col, res, parent_steps).alias("_p"))
+    left = (cell_neighbors_explode(
+                t.select("_c", "_v", "_x", "_y",
+                         F.col("_p").alias("cell")),
+                res - parent_steps, ring=1)
+            .select(F.col("_c").alias("_lc"), F.col("_v").alias("_lv"),
+                    F.col("_x").alias("_lx"), F.col("_y").alias("_ly"),
+                    F.col("_neighbor").alias("_jp")))
+    right = t.select(F.col("_c").alias("_rc"), F.col("_v").alias("_rv"),
+                     F.col("_x").alias("_rx"), F.col("_y").alias("_ry"),
+                     F.col("_p").alias("_jp"))
+    adx = F.abs(F.col("_lx") - F.col("_rx"))
+    dx = F.least(adx, F.lit(n) - adx)
+    dy = F.col("_ly") - F.col("_ry")
+    return (left.join(right, "_jp")
+            .filter(F.col("_lc") < F.col("_rc"))
+            .select((dx * dx + dy * dy).alias("_d2"),
+                    ((F.col("_lv") - F.col("_rv"))
+                     * (F.col("_lv") - F.col("_rv")))
+                    .cast("decimal(38,0)").alias("_sq"),
+                    dx.alias("_adx"), F.abs(dy).alias("_ady"))
+            .filter(F.col("_d2") <= F.lit(maxlag * maxlag)))
+
+
 def semivariogram(tiles, res: int, lags_cells, *,
                   cell_col: str = "cell", count_col: str = "n_docs",
                   parent_steps: int | None = None):
@@ -2734,35 +2779,10 @@ def semivariogram(tiles, res: int, lags_cells, *,
         parent_steps = max(1, (maxlag - 1).bit_length())
     if maxlag > (1 << parent_steps):
         raise ValueError("max lag exceeds one parent step")
-    n = 1 << res
-    mask = n - 1
-    t = tiles.select(
-        F.col(cell_col).alias("_c"),
-        F.col(count_col).cast("long").alias("_v"),
-        F.col(cell_col).bitwiseAND(F.lit(mask)).alias("_x"),
-        F.shiftright(F.col(cell_col), res).bitwiseAND(F.lit(mask))
-        .alias("_y"),
-        cell_parent(cell_col, res, parent_steps).alias("_p"))
-    left = (cell_neighbors_explode(
-                t.select("_c", "_v", "_x", "_y",
-                         F.col("_p").alias("cell")),
-                res - parent_steps, ring=1)
-            .select(F.col("_c").alias("_lc"), F.col("_v").alias("_lv"),
-                    F.col("_x").alias("_lx"), F.col("_y").alias("_ly"),
-                    F.col("_neighbor").alias("_jp")))
-    right = t.select(F.col("_c").alias("_rc"), F.col("_v").alias("_rv"),
-                     F.col("_x").alias("_rx"), F.col("_y").alias("_ry"),
-                     F.col("_p").alias("_jp"))
-    adx = F.abs(F.col("_lx") - F.col("_rx"))
-    dx = F.least(adx, F.lit(n) - adx)
-    dy = F.col("_ly") - F.col("_ry")
-    pairs = (left.join(right, "_jp")
-             .filter(F.col("_lc") < F.col("_rc"))
-             .select((dx * dx + dy * dy).alias("_d2"),
-                     ((F.col("_lv") - F.col("_rv"))
-                      * (F.col("_lv") - F.col("_rv")))
-                     .cast("decimal(38,0)").alias("_sq"))
-             .filter(F.col("_d2") <= F.lit(maxlag * maxlag)))
+    pairs = _vario_pair_frame(tiles, res, parent_steps, maxlag,
+                              cell_col=cell_col,
+                              count_col=count_col) \
+        .select("_d2", "_sq")
     prev = [0] + lags[:-1]
     aggs = []
     for i, (lo, hi) in enumerate(zip(prev, lags)):
@@ -4485,4 +4505,109 @@ SELECT cell, CAST(n_scored AS BIGINT) AS n_scored,
             (err_season * 1000000) // err_naive END AS BIGINT)
          AS skill_ppm
 FROM bt_g
+"""
+
+
+def aniso_variogram(tiles, res: int, lags_cells, *,
+                    cell_col: str = "cell",
+                    count_col: str = "n_docs",
+                    parent_steps: int | None = None):
+    """Directional (anisotropic) semivariogram — does spatial
+    correlation have a GRAIN: the same half-open distance shells as
+    semivariogram, split into three integer angular sectors by the
+    2:1 rule (no trig, no tolerance parameter drift):
+
+        'ew'   when 2*|dy| <= |dx|      (within ~26.6 deg of E-W)
+        'ns'   when 2*|dx| <= |dy|
+        'diag' otherwise
+
+    — gamma rising faster N-S than E-W is the coast/valley/corridor
+    signature that tells a kriging or smoothing step to stretch its
+    kernel, and tells the layout tier which axis to favor. Every
+    (sector, lag) rung is emitted even when empty (n_pairs = 0,
+    gamma NULL — measured, not skipped: the semivariogram
+    convention), so the frame is schema-stable at 3 x |lags| rows.
+
+    Scale: rides _vario_pair_frame — the SAME parent-blocked
+    aggregate pair join as the isotropic operator (extracted shared
+    builder, zero drift), plus one (sector, shell) combinable agg
+    and a literal-grid left join. -> (sector, lag_cells, n_pairs,
+    gamma_ppm)."""
+    from pyspark.sql import functions as F
+
+    lags = sorted(int(v) for v in lags_cells)
+    maxlag = lags[-1]
+    if parent_steps is None:
+        parent_steps = max(1, (maxlag - 1).bit_length())
+    if maxlag > (1 << parent_steps):
+        raise ValueError("max lag exceeds one parent step")
+    pairs = _vario_pair_frame(tiles, res, parent_steps, maxlag,
+                              cell_col=cell_col, count_col=count_col)
+    sector = ("CASE WHEN 2 * _ady <= _adx THEN 'ew' "
+              "WHEN 2 * _adx <= _ady THEN 'ns' ELSE 'diag' END")
+    prev = [0] + lags[:-1]
+    shell = " ".join(
+        f"WHEN _d2 > {lo * lo} AND _d2 <= {hi * hi} THEN {hi}"
+        for lo, hi in zip(prev, lags))
+    g = (pairs
+         .withColumn("_sec", F.expr(sector))
+         .withColumn("_lag", F.expr(f"CASE {shell} END"))
+         .groupBy("_sec", "_lag")
+         .agg(F.count(F.lit(1)).alias("_n"),
+              F.sum("_sq").alias("_s")))
+    spark = tiles.sparkSession
+    grid = (spark.createDataFrame(
+        [(s, lag) for s in ("ew", "ns", "diag") for lag in lags],
+        "sector string, lag_cells long"))
+    return (grid.join(g, (grid["sector"] == g["_sec"])
+                      & (grid["lag_cells"] == g["_lag"]), "left")
+            .select("sector", "lag_cells",
+                    F.coalesce(F.col("_n"), F.lit(0)).cast("long")
+                    .alias("n_pairs"),
+                    F.expr("CASE WHEN _n > 0 THEN "
+                           "CAST(_s * 1000000 div (2 * _n) "
+                           "AS BIGINT) END").alias("gamma_ppm")))
+
+
+def aniso_variogram_sql(counts_sql: str, res: int, lags_cells, *,
+                        count_col: str = "n_docs") -> str:
+    """DuckDB twin of aniso_variogram — semivariogram_sql's
+    brute-force pair frame plus the same 2:1 sector CASE and the
+    literal (sector, lag) grid left join."""
+    lags = sorted(int(v) for v in lags_cells)
+    maxlag = lags[-1]
+    n = 1 << res
+    mask = n - 1
+    prev = [0] + lags[:-1]
+    shell = " ".join(
+        f"WHEN d2 > {lo * lo} AND d2 <= {hi * hi} THEN {hi}"
+        for lo, hi in zip(prev, lags))
+    lagrows = ", ".join(str(v) for v in lags)
+    return f"""
+WITH av_c AS (SELECT cell, CAST({count_col} AS BIGINT) AS v,
+              (cell & {mask}) AS x, ((cell // {n}) & {mask}) AS y
+              FROM ({counts_sql})),
+av_p AS (SELECT
+    least(abs(a.x - b.x), {n} - abs(a.x - b.x))
+      * least(abs(a.x - b.x), {n} - abs(a.x - b.x))
+      + (a.y - b.y) * (a.y - b.y) AS d2,
+    CAST((a.v - b.v) * (a.v - b.v) AS HUGEINT) AS sq,
+    least(abs(a.x - b.x), {n} - abs(a.x - b.x)) AS adx,
+    abs(a.y - b.y) AS ady
+    FROM av_c a JOIN av_c b ON a.cell < b.cell
+    WHERE least(abs(a.x - b.x), {n} - abs(a.x - b.x))
+          * least(abs(a.x - b.x), {n} - abs(a.x - b.x))
+          + (a.y - b.y) * (a.y - b.y) <= {maxlag * maxlag}),
+av_g AS (SELECT CASE WHEN 2 * ady <= adx THEN 'ew'
+                WHEN 2 * adx <= ady THEN 'ns' ELSE 'diag' END AS sec,
+         CASE {shell} END AS lag, COUNT(*) AS np, SUM(sq) AS s
+         FROM av_p GROUP BY 1, 2),
+av_l AS (SELECT sec AS sector, unnest([{lagrows}]) AS lag_cells
+         FROM (SELECT unnest(['ew', 'ns', 'diag']) AS sec))
+SELECT l.sector, CAST(l.lag_cells AS BIGINT) AS lag_cells,
+       CAST(COALESCE(g.np, 0) AS BIGINT) AS n_pairs,
+       CAST(CASE WHEN g.np > 0 THEN g.s * 1000000 // (2 * g.np)
+            END AS BIGINT) AS gamma_ppm
+FROM av_l l LEFT JOIN av_g g
+ON l.sector = g.sec AND l.lag_cells = g.lag
 """

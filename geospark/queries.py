@@ -3832,6 +3832,21 @@ def q_semivariogram(spark, sf_dir):
     return semivariogram(t, RES_COARSE, _SV_LAGS, count_col="n_pts")
 
 
+def q_aniso_variogram(spark, sf_dir):
+    """Directional semivariogram (r5.46): the isotropic operator's
+    half-open shells split into 2:1-rule angular sectors (ew/ns/
+    diag, no trig) over the res-6 customer density raster — the
+    anisotropy table that tells a kriging/smoothing step to stretch
+    its kernel and the layout tier which axis to favor
+    (operators/tiles.aniso_variogram docstring: shared
+    _vario_pair_frame builder, schema-stable 3 x lags rungs)."""
+    from .operators.tiles import aniso_variogram, tile_counts
+    t = tile_counts(_cust_points(spark, sf_dir), RES_COARSE) \
+        .withColumnRenamed("n_docs", "n_pts")
+    return aniso_variogram(t, RES_COARSE, _SV_LAGS,
+                           count_col="n_pts")
+
+
 def q_doc_skyline(spark, sf_dir):
     """Pareto-skyline curation query (r5.38): documents unbeaten on
     BOTH token volume and alpha density — the curator's frontier
@@ -4971,6 +4986,7 @@ QUERIES = {
     "idw_loocv": q_idw_loocv,
     "stream_churn": q_stream_churn,
     "coverage_holes": q_coverage_holes,
+    "aniso_variogram": q_aniso_variogram,
     # (peak_cells — r5.36 — moved just past the window in session 10
     #  to make room for rrf_fuse; see the head-of-dict comment)
     "peak_cells": q_peak_cells,
@@ -6337,6 +6353,9 @@ def oracle_sql() -> dict[str, str]:
     out["semivariogram"] = semivariogram_sql(_cust_tiles, RES_COARSE,
                                              _SV_LAGS,
                                              count_col="n_pts")
+    from .operators.tiles import aniso_variogram_sql
+    out["aniso_variogram"] = aniso_variogram_sql(
+        _cust_tiles, RES_COARSE, _SV_LAGS, count_col="n_pts")
     out["doc_skyline"] = doc_skyline_sql()
     from .operators.textstats import bm25_topk_sql
     out["bm25_topk"] = bm25_topk_sql(_BM25_TERMS, _BM25_K)

@@ -1592,3 +1592,68 @@ class TestCoverageHoles:
                     rows += self._pt(y, x)
         got = self._run(spark, rows)
         assert len(got) == 1 and got[0][1] == 2
+
+
+# ---------------------------------------------------------------------------
+# Directional semivariogram
+# ---------------------------------------------------------------------------
+
+class TestAnisoVariogram:
+    def _run(self, spark, cells, lags=(1, 2), res=4):
+        from geospark.operators.tiles import aniso_variogram
+        d = spark.createDataFrame(cells, "cell long, n_pts long")
+        return {(r[0], r[1]): r[2:] for r in _rows(
+            aniso_variogram(d, res, lags, count_col="n_pts"),
+            ["sector", "lag_cells", "n_pairs", "gamma_ppm"])}
+
+    @staticmethod
+    def _cell(y, x, res=4):
+        return (res << 56) | (y << res) | x
+
+    def test_sector_classification_and_gamma(self, spark):
+        """Three cells: an E-W pair (values 1, 5 -> gamma 8e6) and an
+        N-S pair (values 1, 3 -> gamma 2e6); the diagonal pair
+        between them lands in 'diag'."""
+        cells = [(self._cell(4, 4), 1), (self._cell(4, 5), 5),
+                 (self._cell(5, 4), 3)]
+        got = self._run(spark, cells)
+        assert got[("ew", 1)] == (1, 16 * 1_000_000 // 2)
+        assert got[("ns", 1)] == (1, 4 * 1_000_000 // 2)
+        assert got[("diag", 2)] == (1, (5 - 3) ** 2 * 1_000_000 // 2)
+
+    def test_empty_rungs_emitted(self, spark):
+        """Every (sector, lag) rung appears even with one pair."""
+        cells = [(self._cell(4, 4), 1), (self._cell(4, 5), 2)]
+        got = self._run(spark, cells)
+        assert len(got) == 6
+        assert got[("ns", 1)] == (0, None)
+        assert got[("ew", 1)][0] == 1
+
+    def test_anisotropy_detected(self, spark):
+        """A field varying only in y: N-S gamma >> E-W gamma at
+        lag 1 — the grain the operator exists to expose."""
+        cells = [(self._cell(y, x), 10 * y)
+                 for y in range(3, 7) for x in range(3, 7)]
+        got = self._run(spark, cells)
+        assert got[("ew", 1)][1] == 0
+        assert got[("ns", 1)][1] > 0
+
+    def test_matches_isotropic_totals(self, spark):
+        """Summing sector pair counts per lag reproduces the
+        isotropic semivariogram's n_pairs — same shells, same
+        pairs, just classified."""
+        from geospark.operators.tiles import semivariogram
+        cells = [(self._cell(3 + (i * 7) % 5, 3 + (i * 3) % 5),
+                  1 + i % 4) for i in range(12)]
+        cells = list({c: v for c, v in cells}.items())
+        d = spark.createDataFrame(cells, "cell long, n_pts long")
+        from geospark.operators.tiles import aniso_variogram
+        a = _rows(aniso_variogram(d, 4, (1, 2), count_col="n_pts"),
+                  ["sector", "lag_cells", "n_pairs"])
+        s = _rows(semivariogram(d, 4, (1, 2), count_col="n_pts"),
+                  ["lag_cells", "n_pairs"])
+        from collections import Counter
+        tot = Counter()
+        for sec, lag, np_ in a:
+            tot[lag] += np_
+        assert {lag: n for lag, n in s} == dict(tot)
