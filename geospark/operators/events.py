@@ -3573,3 +3573,72 @@ SELECT cell_a, cell_b, CAST(n_a AS BIGINT) AS n_a,
             // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT) AS lift_ppm
 FROM cr_p, cr_n
 """
+
+
+def dwell_cells(points, res: int, *, user_col: str = "user_id",
+                us_col: str = "us", tie_col: str = "event_id",
+                lat_col: str = "lat", lon_col: str = "lon",
+                max_gap_us: int = 6 * 3600 * 1_000_000):
+    """Time-in-cell accounting — occupancy TIME, not event counts:
+    each consecutive same-user event pair attributes its duration to
+    the FIRST event's cell (the piecewise-constant position model
+    every telecom/coverage dwell metric uses), gaps longer than
+    ``max_gap_us`` are censored (the user unobserved, not parked),
+    and cells report
+
+        dwell_share_ppm = dwell_us * 1e6 div total_attributed_us
+
+    exact BIGINT. Count-based rasters over-weight chatty sessions
+    and under-weight long quiet stays; this is the correction — the
+    difference between "where events happen" (cell_counts) and
+    "where TIME is spent", which is what coverage, ad exposure and
+    habitat-use analyses actually want.
+
+    Scale: one (user)-keyed lead window + one cell-keyed combinable
+    agg — the sessionize envelope; the censor threshold bounds any
+    single attribution so one idle user cannot dominate a cell.
+    -> (cell, n_intervals, dwell_us, dwell_share_ppm)."""
+    from pyspark.sql import functions as F
+
+    from ..functions.cells import cell_encode
+    w = "(PARTITION BY _u ORDER BY _us, _tie)"
+    d = (points.select(
+            F.col(user_col).alias("_u"), F.col(us_col).alias("_us"),
+            F.col(tie_col).alias("_tie"),
+            cell_encode(lat_col, lon_col, res).alias("cell"))
+         .withColumn("_nxt", F.expr(f"lead(_us) OVER {w}"))
+         .withColumn("_dur", F.expr("_nxt - _us"))
+         .filter(F.col("_nxt").isNotNull()
+                 & (F.col("_dur") <= int(max_gap_us))))
+    g = (d.groupBy("cell")
+         .agg(F.count(F.lit(1)).alias("n_intervals"),
+              F.sum("_dur").alias("dwell_us")))
+    return (g.withColumn("_tot", F.expr("sum(dwell_us) OVER ()"))
+            .select("cell", F.col("n_intervals").cast("long"),
+                    F.col("dwell_us").cast("long"),
+                    F.expr("(dwell_us * 1000000) div _tot")
+                    .cast("long").alias("dwell_share_ppm")))
+
+
+def dwell_cells_sql(pts_sql: str, res: int, *,
+                    max_gap_us: int = 6 * 3600 * 1_000_000) -> str:
+    """DuckDB twin of dwell_cells over a subquery producing
+    (user_id, us, event_id, lat, lon) — same lead/censor text."""
+    from ..functions.cells import cell_encode_sql
+    cell = cell_encode_sql("lat", "lon", res)
+    return f"""
+WITH dw_d AS (SELECT user_id AS u, us, event_id, {cell} AS cell
+              FROM ({pts_sql})),
+dw_l AS (SELECT cell,
+         LEAD(us) OVER (PARTITION BY u ORDER BY us, event_id) - us
+           AS dur
+         FROM dw_d),
+dw_g AS (SELECT cell, COUNT(*) AS n_intervals, SUM(dur) AS dwell_us
+         FROM dw_l WHERE dur IS NOT NULL AND dur <= {int(max_gap_us)}
+         GROUP BY 1)
+SELECT cell, CAST(n_intervals AS BIGINT) AS n_intervals,
+       CAST(dwell_us AS BIGINT) AS dwell_us,
+       CAST((dwell_us * 1000000) // SUM(dwell_us) OVER ()
+            AS BIGINT) AS dwell_share_ppm
+FROM dw_g
+"""

@@ -4611,3 +4611,86 @@ SELECT l.sector, CAST(l.lag_cells AS BIGINT) AS lag_cells,
 FROM av_l l LEFT JOIN av_g g
 ON l.sector = g.sec AND l.lag_cells = g.lag
 """
+
+
+def _zone_area_rows(res: int) -> list:
+    """Literal spherical-zone cell areas per latitude row — ONE
+    Python source emitting integer literals for both engines (the
+    diurnal trig-table convention, so no engine ever calls trig):
+    row y at resolution ``res`` spans lat [y*180/n - 90, ...+180/n];
+    one lon-cell's area on the R=6371 km sphere is
+    R^2 * (sin lat1 - sin lat0) * (2 pi / n), emitted as
+    (y, area_km2 * 1000) rounded once, here, identically for
+    Spark and DuckDB."""
+    import math
+    n = 1 << res
+    r2 = 6371.0088 ** 2
+    out = []
+    for y in range(n):
+        la0 = math.radians(y * 180.0 / n - 90.0)
+        la1 = math.radians((y + 1) * 180.0 / n - 90.0)
+        area = r2 * (math.sin(la1) - math.sin(la0)) * (2 * math.pi / n)
+        out.append((y, int(round(area * 1000))))
+    return out
+
+
+def cell_density(points, res: int, *, lat_col: str = "lat",
+                 lon_col: str = "lon"):
+    """Equal-area-corrected event density — events per km², the
+    geodesy fix every raw lat/lon raster silently needs: a res-cell
+    at lat 60 covers HALF the ground of an equatorial one, so raw
+    counts systematically overstate high-latitude intensity. Cell
+    areas come from the literal spherical-zone table
+    (_zone_area_rows — one Python source, both engines, no trig in
+    either plan) and
+
+        dens_x1e6 = n_events * 1e9  div  area_km2_x1000
+
+    is an exact integer floor (events per km², scaled 1e6). The
+    ranking flips this correction causes (a modest polar cell
+    out-densifying a busy equatorial one) is the whole point — raw
+    hotspot tables lie toward the equator.
+
+    Scale: ONE point-level cell shuffle; the area join is a
+    2^res-row literal broadcast. -> (cell, n_events,
+    area_km2_x1000, dens_x1e6)."""
+    from pyspark.sql import functions as F
+
+    from ..functions.cells import cell_encode
+    n = 1 << res
+    mask = n - 1
+    spark = points.sparkSession
+    areas = spark.createDataFrame(_zone_area_rows(res),
+                                  "y long, area_km2_x1000 long")
+    cnt = (points
+           .select(cell_encode(lat_col, lon_col, res).alias("cell"))
+           .groupBy("cell").agg(F.count(F.lit(1)).alias("n_events"))
+           .withColumn("y", F.shiftright("cell", res)
+                       .bitwiseAND(F.lit(mask))))
+    return (cnt.join(F.broadcast(areas), "y")
+            .select("cell", F.col("n_events").cast("long"),
+                    F.col("area_km2_x1000").cast("long"),
+                    F.expr("CAST(n_events AS DECIMAL(38,0)) "
+                           "* 1000000000 div area_km2_x1000")
+                    .cast("long").alias("dens_x1e6")))
+
+
+def cell_density_sql(pts_sql: str, res: int) -> str:
+    """DuckDB twin of cell_density — the SAME literal zone table as
+    VALUES rows, same floor."""
+    from ..functions.cells import cell_encode_sql
+    n = 1 << res
+    mask = n - 1
+    cell = cell_encode_sql("lat", "lon", res)
+    vals = ", ".join(f"({y}, {a})" for y, a in _zone_area_rows(res))
+    return f"""
+WITH cd_a (y, area_km2_x1000) AS (VALUES {vals}),
+cd_c AS (SELECT cell, COUNT(*) AS n_events,
+         (cell >> {res}) & {mask} AS y
+         FROM (SELECT {cell} AS cell FROM ({pts_sql})) GROUP BY 1)
+SELECT cell, CAST(n_events AS BIGINT) AS n_events,
+       CAST(area_km2_x1000 AS BIGINT) AS area_km2_x1000,
+       CAST(CAST(n_events AS HUGEINT) * 1000000000
+            // area_km2_x1000 AS BIGINT) AS dens_x1e6
+FROM cd_c JOIN cd_a USING (y)
+"""

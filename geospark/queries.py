@@ -4246,6 +4246,31 @@ def q_stream_churn(spark, sf_dir):
 _HOLES_RES = 3
 
 
+def q_cell_density(spark, sf_dir):
+    """Equal-area event density (r5.47): events per km² per res-4
+    cell via the literal spherical-zone area table (no trig in
+    either engine) — the geodesy correction raw lat/lon hotspot
+    rasters silently need (operators/tiles.cell_density
+    docstring)."""
+    from pyspark.sql import functions as F
+
+    from .operators.tiles import cell_density
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pts = e.select(F.expr(_TRAJ_LAT).alias("lat"),
+                   F.expr(_TRAJ_LON).alias("lon"))
+    return cell_density(pts, _CHURN_RES)
+
+
+def q_dwell_cells(spark, sf_dir):
+    """Time-in-cell accounting (r5.47): occupancy TIME per res-4
+    cell via consecutive-event interval attribution with a 6 h
+    censor — where time is spent, not where events fire, the
+    correction count rasters need for coverage/exposure analysis
+    (operators/events.dwell_cells docstring)."""
+    from .operators.events import dwell_cells
+    return dwell_cells(_traj_pts(spark, sf_dir), _CHURN_RES)
+
+
 def q_coverage_holes(spark, sf_dir):
     """Coverage-gap regions (r5.46): 8-connected unoccupied-cell
     regions inside the res-3 occupied bbox with size and perimeter
@@ -4987,6 +5012,8 @@ QUERIES = {
     "stream_churn": q_stream_churn,
     "coverage_holes": q_coverage_holes,
     "aniso_variogram": q_aniso_variogram,
+    "dwell_cells": q_dwell_cells,
+    "cell_density": q_cell_density,
     # (peak_cells — r5.36 — moved just past the window in session 10
     #  to make room for rrf_fuse; see the head-of-dict comment)
     "peak_cells": q_peak_cells,
@@ -5991,6 +6018,12 @@ def oracle_sql() -> dict[str, str]:
         f"MAX(us // 604800000000) AS mx "
         f"FROM ({_TRAJ_PTS_SQL}) t GROUP BY 1) m "
         f"ON b.cell = m.cell WHERE b.period < m.mx")
+    from .operators.tiles import cell_density_sql
+    out["cell_density"] = cell_density_sql(
+        f"SELECT {_TRAJ_LAT} AS lat, {_TRAJ_LON} AS lon FROM events",
+        _CHURN_RES)
+    from .operators.events import dwell_cells_sql
+    out["dwell_cells"] = dwell_cells_sql(_TRAJ_PTS_SQL, _CHURN_RES)
     from .operators.cluster import coverage_holes_sql
     out["coverage_holes"] = coverage_holes_sql(
         f"SELECT {_TRAJ_LAT} AS lat, {_TRAJ_LON} AS lon FROM events",

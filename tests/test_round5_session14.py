@@ -1657,3 +1657,104 @@ class TestAnisoVariogram:
         for sec, lag, np_ in a:
             tot[lag] += np_
         assert {lag: n for lag, n in s} == dict(tot)
+
+
+# ---------------------------------------------------------------------------
+# Time-in-cell accounting
+# ---------------------------------------------------------------------------
+
+HOUR = 3600 * 1_000_000
+
+
+class TestDwellCells:
+    def _run(self, spark, rows, res=2, max_gap_us=6 * HOUR):
+        from geospark.operators.events import dwell_cells
+        d = spark.createDataFrame(
+            rows, "user_id long, event_id long, lat double, "
+                  "lon double, us long")
+        return _rows(dwell_cells(d, res, max_gap_us=max_gap_us),
+                     ["cell", "n_intervals", "dwell_us",
+                      "dwell_share_ppm"])
+
+    def test_interval_attribution_to_first_cell(self, spark):
+        """User at A for 2h then B for 1h then gone: A gets 2h,
+        B gets 1h (the last event owns no interval)."""
+        rows = [(1, 0, 10.0, 10.0, 0),
+                (1, 1, -40.0, -40.0, 2 * HOUR),
+                (1, 2, -40.0, -40.0, 3 * HOUR)]
+        got = self._run(spark, rows)
+        by = sorted((r[2], r[3]) for r in got)
+        assert by == [(1 * HOUR, 333_333), (2 * HOUR, 666_666)]
+
+    def test_censor_long_gaps(self, spark):
+        """A 7h gap is censored: the user was unobserved, not
+        parked."""
+        rows = [(1, 0, 10.0, 10.0, 0),
+                (1, 1, 10.0, 10.0, 7 * HOUR),
+                (1, 2, 10.0, 10.0, 8 * HOUR)]
+        got = self._run(spark, rows)
+        assert got[0][1:3] == (1, 1 * HOUR)
+
+    def test_chatty_vs_quiet_sessions(self, spark):
+        """10 rapid events in A vs one long stay in B: counts favor
+        A 10:2 but dwell favors B — the correction the operator
+        exists for."""
+        rows = [(1, i, 10.0, 10.0, i * 60_000_000)
+                for i in range(10)]
+        rows += [(2, 100, -40.0, -40.0, 0),
+                 (2, 101, -40.0, -40.0, 5 * HOUR)]
+        got = self._run(spark, rows)
+        by_cell = {r[0]: r for r in got}
+        a = [r for r in got if r[1] == 9][0]
+        b = [r for r in got if r[1] == 1][0]
+        assert b[2] > a[2]
+
+    def test_users_independent(self, spark):
+        """Intervals never span users."""
+        rows = [(1, 0, 10.0, 10.0, 0), (2, 1, 10.0, 10.0, HOUR)]
+        assert self._run(spark, rows) == []
+
+
+# ---------------------------------------------------------------------------
+# Equal-area cell density
+# ---------------------------------------------------------------------------
+
+class TestCellDensity:
+    def _run(self, spark, rows, res=3):
+        from geospark.operators.tiles import cell_density
+        d = spark.createDataFrame(rows, "lat double, lon double")
+        return _rows(cell_density(d, res),
+                     ["cell", "n_events", "area_km2_x1000",
+                      "dens_x1e6"])
+
+    def test_zone_table_matches_sphere(self, spark):
+        """The emitted areas sum to the sphere over a full column
+        sweep and match an independent spherical-zone replica."""
+        import math
+        from geospark.operators.tiles import _zone_area_rows
+        rows4 = _zone_area_rows(3)
+        r2 = 6371.0088 ** 2
+        total = sum(a for _, a in rows4) * 8 / 1000.0
+        assert abs(total - 4 * math.pi * r2) / (4 * math.pi * r2) \
+            < 1e-6
+        for y, a in rows4:
+            la0 = math.radians(y * 22.5 - 90)
+            la1 = math.radians((y + 1) * 22.5 - 90)
+            exp = r2 * (math.sin(la1) - math.sin(la0)) * math.pi / 4
+            assert a == int(round(exp * 1000))
+
+    def test_polar_cell_out_densifies_equatorial(self, spark):
+        """Same raw count near the pole vs the equator: the polar
+        cell reads the higher corrected density — the ranking flip
+        raw counts hide."""
+        rows = [(85.0, 10.0)] * 5 + [(5.0, 10.0)] * 5
+        got = self._run(spark, rows)
+        polar = max(got, key=lambda r: r[3])
+        equat = min(got, key=lambda r: r[3])
+        assert polar[1] == equat[1] == 5
+        assert polar[2] < equat[2] and polar[3] > equat[3]
+
+    def test_exact_floor(self, spark):
+        got = self._run(spark, [(5.0, 10.0)] * 7)
+        n, area, dens = got[0][1:]
+        assert dens == 7 * 1_000_000_000 // area
