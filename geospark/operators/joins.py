@@ -308,9 +308,19 @@ def distributed_polygon_cover(polys_df, res: int,
     # and the pure-JVM explode below stays INLINE in the consumer's
     # plan — for an all-rect side the scan->explode->join fuses into
     # one codegen stage with no Python and no cover materialization.
-    info = materialize(polys_df.select(
-        poly_id_col, geom_col,
-        _make_rect_info_udf()(F.col(geom_col)).alias("_ri")))
+    # r6: the polygon side is typically a handful of parquet files —
+    # the Arrow detect pass would run on that many cores; one cheap
+    # conditional exchange spreads it (guide §2.6). The checkpoint is
+    # LAZY and geometry-free: the stats agg right below materializes
+    # it in the same job (one job instead of eager-checkpoint + agg),
+    # and the frozen rows carry only (id, _ri) — the general tier
+    # re-joins the polygon geometry by id from the source, so an
+    # all-rect side never checkpoints its WKB payload at all.
+    from .par import fanout_repartition
+    info = materialize(fanout_repartition(polys_df).select(
+        poly_id_col,
+        _make_rect_info_udf()(F.col(geom_col)).alias("_ri")),
+        eager=False)
 
     from ..functions.cells import _RES_SHIFT
     n = 1 << res
@@ -357,19 +367,52 @@ def distributed_polygon_cover(polys_df, res: int,
                     "_bx0", "_by0", "_bx1", "_by1",
                     F.lit(None).cast("binary").alias("_gwkb")))
 
-    gen = info.filter(~F.col("_ri.rect")).select(poly_id_col, geom_col)
+    gen = (info.filter(~F.col("_ri.rect")).select(poly_id_col)
+           .join(polys_df.select(poly_id_col, geom_col), poly_id_col))
+    # r6: ONE tiny agg over the frozen info replaces three separate
+    # per-call jobs (the old `gen.limit(1).count()` tier probe, the
+    # caller's `n_polys` count for the broadcast decision, and its
+    # 64-cells/poly guess): polygon count, non-rect residue count, and
+    # the EXACT exploded row count of the rect cover (the same clamped
+    # closed-intersect index ranges the explode below materializes).
+    n = 1 << res
+    sx0, sy0 = F.col("_ri.x0"), F.col("_ri.y0")
+    sx1, sy1 = F.col("_ri.x1"), F.col("_ri.y1")
+    zero_l = F.lit(0).cast("long")
+    nmax_l = F.lit(n - 1).cast("long")
+    six0 = F.greatest(zero_l, F.ceil((sx0 + 180.0) / 360.0 * n)
+                      .cast("long") - 1)
+    six1 = F.least(nmax_l, F.floor((sx1 + 180.0) / 360.0 * n)
+                   .cast("long"))
+    siy0 = F.greatest(zero_l, F.ceil((sy0 + 90.0) / 180.0 * n)
+                      .cast("long") - 1)
+    siy1 = F.least(nmax_l, F.floor((sy1 + 90.0) / 180.0 * n)
+                   .cast("long"))
+    rect_rows = F.when(
+        F.col("_ri.rect"),
+        F.greatest(zero_l, six1 - six0 + 1)
+        * F.greatest(zero_l, siy1 - siy0 + 1)).otherwise(F.lit(0))
+    st = info.agg(
+        F.count(F.lit(1)).alias("_np"),
+        F.sum(F.when(F.col("_ri.rect"), 0).otherwise(1)).alias("_ng"),
+        F.sum(rect_rows).alias("_rr")).collect()[0]
+    stats = {"n_polys": int(st["_np"]),
+             "n_gen": int(st["_ng"] or 0),
+             "rect_rows": int(st["_rr"] or 0)}
     # all-rect side (tiles/boxes/parcels — the common storage shape):
     # skip the general union branch AT PLAN TIME, so the returned cover
-    # is a pure column-expression subtree. The count is a tiny job over
-    # the frozen info.
-    if gen.limit(1).count() == 0:
+    # is a pure column-expression subtree.
+    if stats["n_gen"] == 0:
         # consumers key on this: a pure-JVM cover needs no cover-sized
         # materialization to be referenced from multiple branches
         rcov._geospark_pure_jvm = True
+        rcov._geospark_cover_stats = stats
         return rcov
     par = polys_df.sparkSession.sparkContext.defaultParallelism
     gcov = gen.repartition(par).mapInPandas(fn, schema=schema)
-    return rcov.unionByName(gcov)
+    out = rcov.unionByName(gcov)
+    out._geospark_cover_stats = stats
+    return out
 
 
 def make_wkb_refine_udf():
@@ -509,17 +552,37 @@ def spatial_join(points, polys_df, *, res: int | None = None,
         # the small per-poly covering re-runs per action, not the
         # exploded cover.
         has_general = not getattr(cover_df, "_geospark_pure_jvm", False)
+        if broadcast_cover is None:
+            # size-based choice: broadcasting the cover collects the
+            # exploded cover through the driver — fine at ~10^6 rows,
+            # GBs at 10^8. r6: the cover builder now reports the EXACT
+            # rect-cover row count (plus the non-rect residue, which
+            # the resolution picker aims at ~64 cells/poly), so the
+            # decision no longer mis-sizes an all-rect side by the
+            # 64x guess (measured at sf1: a 200k-box side has a 2.3M-
+            # row cover — broadcastable — but 200k*64=12.8M forced the
+            # shuffle join: 8.0 s vs 2.7 s for broadcast+wide probe).
+            # Above the cap: shuffle equi-join (AQE skew-handled).
+            stats = getattr(cover_df, "_geospark_cover_stats", None)
+            if stats is not None:
+                est = stats["rect_rows"] + stats["n_gen"] * 64
+            else:
+                est = polys_df.select(poly_id_col).count() * 64
+            cap = int(points.sparkSession.conf.get(
+                "spark.geospark.cover.broadcastMaxRows", "4000000"))
+            broadcast_cover = est <= cap
+        if broadcast_cover:
+            # broadcast leaves the probe side exchange-free, so the
+            # whole candidate fanout + refine + partial agg runs at
+            # the SCAN's parallelism — which for a single-row-group
+            # parquet file is 1-6 tasks regardless of core count. One
+            # size-capped round-robin exchange of the (narrow) point
+            # side buys full-core fanout: 8.4 s -> 2.7 s at sf1
+            # (guide §2.6/§6; no-op at production scan widths).
+            from .par import fanout_repartition
+            points = fanout_repartition(points, force=True)
         pts = points.withColumn("_cell",
                                 cell_encode(lat_col, lon_col, res))
-        if broadcast_cover is None:
-            # size-based choice: broadcasting the cover collects
-            # (cells x polygons) rows through the driver — fine for a
-            # 10^4-polygon side, GBs at 10^7. Estimate cover rows as
-            # n_polys * target cells/poly (the resolution picker aims
-            # for ~64) from one cheap narrow count, and fall back to a
-            # shuffle equi-join (AQE skew-handled) above the cap.
-            n_polys = polys_df.select(poly_id_col).count()
-            broadcast_cover = n_polys * 64 <= 1_000_000
         cov = F.broadcast(cover_df) if broadcast_cover else cover_df
         joined = pts.join(cov, "_cell", "inner")
         # rectangle fast path: [x0, x1) x [y0, y1) replicates the
@@ -999,7 +1062,14 @@ def knn_join(queries, points, k: int, *, res: int = 8,
     # contract: one row per query id — duplicate query rows would fan
     # out into duplicated candidates and corrupt row_number ranks
     queries = queries.dropDuplicates([query_id_col])
-    pts = points.withColumn("_pcell", cell_encode(p_lat, p_lon, res))
+    # r6 (guide §2.6): the candidate join streams the POINT side, and
+    # the per-query top-k's map-side sort + partial WindowGroupLimit
+    # run on the point side's scan partitions — a small single-row-group
+    # point table serializes the whole chain onto 1-2 cores (measured
+    # 4.3 s single-threaded at sf1; 32-core after the repair)
+    from .par import fanout_repartition
+    pts = fanout_repartition(points) \
+        .withColumn("_pcell", cell_encode(p_lat, p_lon, res))
     # guarantee radius of a ring r (degrees): r cells in the *narrower*
     # axis; lat cells are 180/2^res deg, lon cells 360/2^res deg — a
     # Chebyshev ring r guarantees a disk of r * min(cell_h, cell_w)
@@ -1150,21 +1220,18 @@ def knn_join(queries, points, k: int, *, res: int = 8,
         out = out.unionByName(r)
     out = out.withColumnRenamed("_sqdist", "sqdist") \
              .withColumnRenamed("_rn", "rank")
-    if len(results) > 1 or used_fallback or checkpoint:
-        # multi-iteration: ONE final materialization (result-sized,
-        # lineage-truncating), after which every per-iteration
-        # topk/remaining cache is dropped — the cache population after
-        # knn_join returns is exactly the checkpointed result.
-        out = materialize(out)
-    else:
-        # single-iteration fast path (the common case once the density
-        # heuristic sizes the first ring right): skip the checkpoint's
-        # extra materialization pass (r3 bench regression) and return
-        # the plain plan. The consumer's first action recomputes the
-        # one candidate join — cheaper than checkpoint write+read —
-        # and nothing stays persisted (r3 hygiene contract: caches do
-        # not accumulate across calls).
-        pass
+    # ONE final materialization on every path (result-sized, lineage-
+    # truncating), after which every per-iteration topk/remaining cache
+    # is dropped — the cache population after knn_join returns is
+    # exactly the checkpointed result. r6: this now covers the single-
+    # iteration fast path too — the in-loop `topk` is persisted when
+    # the checkpoint job runs, so materializing costs one result-sized
+    # job over cached blocks (~30k rows at sf1), while the old plain-
+    # plan return made the CONSUMER re-execute the whole candidate
+    # join + window chain on its first action (measured ~1.2 s of the
+    # 2.5 s warm q_knn at sf1; the r3-era "checkpoint slower" note
+    # predates the in-loop persist that makes the checkpoint cheap).
+    out = materialize(out)
     for df in to_unpersist:
         df.unpersist()
     remaining.unpersist()

@@ -87,11 +87,13 @@ class TestAutoCoverChoice:
 
     def test_large_cover_auto_shuffles_not_broadcast(self, spark):
         from geospark.operators.joins import spatial_join
-        # 16500 polys * 64 est cells/poly > 1e6 cap -> auto must pick
-        # the shuffle cover join. Catalyst still broadcasts the small
-        # polys geometry dim inside the refine — that one is wanted —
-        # so compare exchange COUNTS against the two forced plans
-        # rather than asserting zero broadcasts.
+        # r6: the auto gate now uses the EXACT exploded-cover row count
+        # (cover stats) against spark.geospark.cover.broadcastMaxRows —
+        # 16500 small boxes genuinely fit a broadcast under the default
+        # cap, so pin the over-cap branch by lowering the cap instead.
+        # Catalyst still broadcasts the small polys geometry dim inside
+        # the refine — that one is wanted — so compare exchange COUNTS
+        # against the forced plan rather than asserting zero broadcasts.
         pts, boxes = self._pts(spark), self._boxes(spark, 16500)
         # a tiny Range-backed test dim looks broadcastable to Catalyst's
         # own size estimate whatever we do; disable the automatic
@@ -100,6 +102,7 @@ class TestAutoCoverChoice:
         # would agree with the auto choice)
         prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.geospark.cover.broadcastMaxRows", "1000")
         try:
             auto = self._plan(spatial_join(pts, boxes, res=7,
                                            distributed=True))
@@ -108,6 +111,7 @@ class TestAutoCoverChoice:
                                                 broadcast_cover=True))
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+            spark.conf.unset("spark.geospark.cover.broadcastMaxRows")
         assert auto.count("BroadcastExchange") \
             < forced_on.count("BroadcastExchange")
         assert auto.count("SortMergeJoin") \
