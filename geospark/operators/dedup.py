@@ -156,8 +156,20 @@ def jaccard_verify(pairs, shashes, id_col: str = "doc_id",
                    threshold: float = 0.2):
     """Exact shingle-set Jaccard on candidate pairs (the refine step),
     over the shared exploded (id, h) table — the intersection join keys
-    on a long, not a string. -> (doc_a, doc_b, jaccard rounded 6)."""
+    on a long, not a string. -> (doc_a, doc_b, jaccard rounded 6).
+
+    r6 (guide §3.2): only docs that appear in a candidate pair matter,
+    and candidates are a vanishing fraction of the corpus — a broadcast
+    semi-join prunes the exploded shingle table BEFORE the per-doc
+    counts and the intersection join, so the (doc, h) shuffle carries
+    |candidate docs| x shingles instead of |corpus| x shingles.
+    Per-doc counts are computed after the prune (identical values:
+    pruning removes whole docs, never rows within a kept doc)."""
     from pyspark.sql import functions as F
+    cand_docs = (pairs.select(F.col("doc_a").alias(id_col))
+                 .unionByName(pairs.select(F.col("doc_b").alias(id_col)))
+                 .distinct())
+    shashes = shashes.join(F.broadcast(cand_docs), id_col, "left_semi")
     ex = shashes.join(
         shashes.groupBy(id_col).agg(F.count(F.lit(1)).alias("n")), id_col)
     a = ex.select(F.col(id_col).alias("doc_a"), F.col("n").alias("na"),
@@ -185,8 +197,13 @@ def minhash_pairs(df, *, text_col: str = "text", id_col: str = "doc_id",
            .select(F.col(id_col),
                    F.array(*[F.col(f"_m{i}")
                              for i in range(n_hashes)]).alias("sig")))
-    cand = lsh_candidate_pairs(sig, id_col, bands, n_hashes // bands,
-                               max_bucket=max_bucket)
+    # r6: freeze the (tiny) candidate table — jaccard_verify consumes
+    # it twice (the doc-prune broadcast and the intersection join), and
+    # without the checkpoint each consumer would re-run the whole LSH
+    # band self-join
+    from ..materialize import materialize
+    cand = materialize(lsh_candidate_pairs(
+        sig, id_col, bands, n_hashes // bands, max_bucket=max_bucket))
     return jaccard_verify(cand, sh, id_col, threshold)
 
 

