@@ -860,8 +860,17 @@ def spatial_join_polygons(left, right, *, res: int | None = None,
     if res is None:
         res = min(_pick_resolution_distributed(left, l_geom),
                   _pick_resolution_distributed(right, r_geom))
-    lcov_raw = distributed_polygon_cover(left, res, l_id, l_geom)
-    rcov_raw = distributed_polygon_cover(right, res, r_id, r_geom)
+    # r6 (guide §2.6 — overlap independent jobs): each cover build runs
+    # a small detect+stats job; the two sides are independent, so
+    # submit them from driver threads and let the scheduler overlap
+    # the jobs instead of serializing two half-idle stages.
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fl = pool.submit(distributed_polygon_cover, left, res,
+                         l_id, l_geom)
+        fr = pool.submit(distributed_polygon_cover, right, res,
+                         r_id, r_geom)
+        lcov_raw, rcov_raw = fl.result(), fr.result()
     lcov = (lcov_raw
             .select(l_id, "_cell",
                     F.col("_full").alias("_lf"),
@@ -1083,13 +1092,12 @@ def knn_join(queries, points, k: int, *, res: int = 8,
     Both metrics are IEEE-exact (+,-,*,abs,least only) in NumPy, Spark
     and the DuckDB oracle (kernels.ops docstring).
 
-    Determinism contract (ADVICE r4): on the single-iteration fast
-    path the returned DataFrame is a PLAIN PLAN — each downstream
-    action recomputes the candidate join, so ``queries``/``points``
-    must be deterministic (parquet scans, not unseeded samples), or
-    repeated actions can disagree. Pass ``checkpoint=True`` to freeze
-    the result via materialize() on every path (the multi-iteration
-    path always freezes)."""
+    Determinism (ADVICE r4, r6 update): the result is materialize()'d
+    on EVERY path — single-iteration included — so downstream actions
+    read frozen rows and never re-execute the candidate join (the
+    in-loop topk cache makes the final checkpoint a result-sized job).
+    ``checkpoint=True`` is therefore redundant but kept as an API
+    no-op escape hatch."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -1123,7 +1131,11 @@ def knn_join(queries, points, k: int, *, res: int = 8,
     guard_deg = cell_h  # min(180/2^r, 360/2^r) = 180/2^r
 
     remaining = queries.persist()
-    n_remaining = remaining.count()
+    # r6: no up-front count job — the first iteration's candidate pass
+    # materializes the persisted query set anyway, and its own
+    # remaining-count tells the loop whether to continue. Only the
+    # max_iters=0 fallback needs an explicit count.
+    n_remaining: int | None = None
     results = []
     to_unpersist: list = []
     # initial ring from data density: size the FIRST ring so the
@@ -1150,7 +1162,7 @@ def knn_join(queries, points, k: int, *, res: int = 8,
                       math.ceil(2.5 * math.sqrt(
                           2.0 * k / (math.pi * avg)))))
     for _ in range(max_iters):
-        if n_remaining == 0:
+        if n_remaining == 0:  # None (not yet counted) keeps iterating
             break
         # neighbor-cell fanout as pure column ops: explode dx, dy ranges.
         # Longitude wraps; once 2*ring+1 >= grid width the relative
@@ -1239,6 +1251,8 @@ def knn_join(queries, points, k: int, *, res: int = 8,
         # grid; further doubling only grows the guarantee radius
         ring = min(ring * 2, 1 << res)
     used_fallback = False
+    if n_remaining is None:  # max_iters == 0: loop never counted
+        n_remaining = remaining.count()
     if n_remaining > 0:
         # brute-force fallback for stragglers (exactness floor; with
         # the full-coverage satisfy above this is reachable only in
