@@ -521,7 +521,9 @@ def spatial_join(points, polys_df, *, res: int | None = None,
     # is null-unsafe (a matched row with a null passthrough column never
     # equals itself and wrongly reappears in the anti output) and
     # distinct() collapses legitimately duplicated input rows
-    if how in ("left_semi", "left_anti"):
+    if how in ("left_semi", "left_anti") and "_rid" not in points.columns:
+        # (the _rid guard keeps the r6 driver->distributed auto-route
+        # from re-materializing ids on re-entry)
         # monotonically_increasing_id is nondeterministic (partition- and
         # order-dependent): the points subtree is evaluated twice (once
         # under `matched`, once as the probe side of _spatial_join_how),
@@ -646,8 +648,22 @@ def spatial_join(points, polys_df, *, res: int | None = None,
             matched = joined.filter(jvm_pred).drop(*drop_cols)
         return _spatial_join_how(points, matched, how)
 
-    polys = [(r[poly_id_col], r[geom_col])
-             for r in polys_df.select(poly_id_col, geom_col).collect()]
+    # r6 (VERDICT r5 #5): the driver tier assumes a dimension-sized
+    # polygon side; guard the collect with a bounded LIMIT probe (the
+    # SAME single job the unconditional collect already paid) and
+    # auto-route oversized sides to the distributed covering instead
+    # of OOMing the driver at 100x scale.
+    max_driver = int(spark.conf.get(
+        "spark.geospark.pip.maxDriverPolygons", "100000"))
+    rows = polys_df.select(poly_id_col, geom_col) \
+        .limit(max_driver + 1).collect()
+    if len(rows) > max_driver:
+        return spatial_join(points, polys_df, res=res, lat_col=lat_col,
+                            lon_col=lon_col, poly_id_col=poly_id_col,
+                            geom_col=geom_col, how=how,
+                            broadcast_cover=broadcast_cover,
+                            distributed=True)
+    polys = [(r[poly_id_col], r[geom_col]) for r in rows]
     if res is None:
         res = pick_resolution(polys)
     cover, ring_map = polygon_cover(polys, res)
@@ -770,15 +786,43 @@ def pip_tile_counts(points, polys_df, *, res: int | None = None,
     NOTE: ``points`` is consumed by two subtrees (the pre-aggregate
     and the boundary refine). Feed it a materialized source (parquet
     scan / checkpointed stage output, as the flagship pipeline's sink
-    layout provides); a fused expensive upstream (e.g. a regex
-    extract) would be recomputed once per subtree.
+    layout provides). r6 (VERDICT r5 #6): the contract is now
+    self-enforcing — a points plan that carries an opaque/expensive
+    stage (Python eval, generate, join, aggregate) is materialize()'d
+    once instead of silently recomputing per subtree; plain
+    scan/project/filter plans pass through untouched.
     """
     from pyspark.sql import functions as F
 
     spark = points.sparkSession
     extra = list(extra_keys or [])
-    polys = [(r[poly_id_col], r[geom_col])
-             for r in polys_df.select(poly_id_col, geom_col).collect()]
+    try:
+        plan_str = points._jdf.queryExecution().optimizedPlan() \
+            .toString()
+    except Exception:
+        plan_str = ""
+    if any(m in plan_str for m in (
+            "PythonUDF", "Generate", "Join", "Aggregate", "Window")):
+        points = materialize(points)
+    # r6 (VERDICT r5 #5): bounded collect + auto-fallback — above the
+    # driver cap, compute per-(poly, tile) counts through the fully
+    # distributed join instead of collecting the polygon side.
+    max_driver = int(spark.conf.get(
+        "spark.geospark.pip.maxDriverPolygons", "100000"))
+    prows = polys_df.select(poly_id_col, geom_col) \
+        .limit(max_driver + 1).collect()
+    if len(prows) > max_driver:
+        out = spatial_join(points, polys_df, res=res, lat_col=lat_col,
+                           lon_col=lon_col, poly_id_col=poly_id_col,
+                           geom_col=geom_col, distributed=True)
+        tr = tile_res if tile_res is not None else (
+            res if res is not None else
+            _pick_resolution_distributed(polys_df, geom_col))
+        return (out.withColumn("cell",
+                               cell_encode(lat_col, lon_col, tr))
+                .groupBy(poly_id_col, "cell", *extra)
+                .agg(F.count(F.lit(1)).alias(count_col)))
+    polys = [(r[poly_id_col], r[geom_col]) for r in prows]
     if res is None:
         res = pick_resolution(polys)
     if tile_res is None:
