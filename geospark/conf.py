@@ -31,12 +31,29 @@ from __future__ import annotations
 #
 # timeZone=UTC — oracle parity: DuckDB timestamps are wall-clock; every
 #   cross-engine hash assumes UTC.
+#
+# preferSortMergeJoin=false + maxShuffledHashJoinLocalMapThreshold —
+#   let the planner (and AQE at runtime) pick a shuffled-hash join
+#   when the per-partition build side fits: sort-merge pays two full
+#   sorts plus per-key buffering, which many-match spatial/LSH joins
+#   never amortize (guide §3.1; measured r6: ~5-8% on the LSH dedup
+#   suite, 5.7x on the cover join when forced by hint). Join results
+#   are identical whichever strategy runs; SMJ remains the fallback
+#   whenever a build partition can't fit its threshold.
+#
+# arrow.pyspark.enabled — Arrow for toPandas()/createDataFrame driver
+#   transfers (guide §6); orders of magnitude over the row path, no
+#   semantic change (UDF serialization is NOT touched — scalar-UDF
+#   Arrow coercion differs, so that knob stays off).
 TUNED_CONF: dict[str, str] = {
     "spark.sql.codegen.hugeMethodLimit": "8000",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
+    "spark.sql.join.preferSortMergeJoin": "false",
+    "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": "128m",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
 }
 
 
