@@ -137,18 +137,25 @@ def lsh_candidate_pairs(sig_df, id_col: str = "doc_id", bands: int = 4,
     least one LSH band. ``max_bucket`` caps pathological buckets (mass
     boilerplate) so one bucket can't produce O(n^2) pairs on a single
     task — capped buckets are dropped and logged in the plan via a
-    filter, the standard scale guard."""
+    filter, the standard scale guard.
+
+    r6 shape (guide §2.4 — remove shuffles outright): ONE groupBy
+    collects each bucket's (size-capped, sorted) id array, and the
+    a < b pairs explode from the array in place. The old shape paid
+    three exchanges of the band table (bucket-size aggregate, the
+    size-filter join back, the bucket self-join); the in-bucket pair
+    volume is identical — max_bucket bounds the collected array
+    exactly as it bounded the self-join output."""
     from pyspark.sql import functions as F
     b = band_rows(sig_df, id_col, bands, rows_per_band)
-    sizes = b.groupBy("band", "bh").count().filter(
-        (F.col("count") > 1) & (F.col("count") <= max_bucket))
-    b = b.join(sizes.select("band", "bh"), ["band", "bh"])
-    l = b.alias("l")
-    r = b.alias("r")
-    return (l.join(r, ["band", "bh"])
-            .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
-            .select(F.col(f"l.{id_col}").alias("doc_a"),
-                    F.col(f"r.{id_col}").alias("doc_b"))
+    buckets = (b.groupBy("band", "bh")
+               .agg(F.collect_list(id_col).alias("_ids"))
+               .filter((F.size("_ids") > 1)
+                       & (F.size("_ids") <= max_bucket)))
+    return (buckets
+            .select(F.explode("_ids").alias("doc_a"), "_ids")
+            .select("doc_a", F.explode("_ids").alias("doc_b"))
+            .filter(F.col("doc_a") < F.col("doc_b"))
             .distinct())
 
 
